@@ -1,0 +1,505 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.types.DecimalType
+
+import graft.Tables
+
+/** Relational query surface (SURVEY.md §2.2).
+  *
+  * The reference (chenm11/mysql-hbase-replicator) delegates all SQL to
+  * Spark-on-HBase ("Astro", imports at `HbaseApplier.scala:15-16`); the rebuild
+  * provides the same capability natively on modern Spark SQL. Every query here
+  * has a DuckDB oracle in [[oracles]].
+  *
+  * Numeric-parity convention (so result hashes match the DuckDB oracle):
+  * per-row arithmetic stays in DOUBLE (IEEE ops are bit-identical across
+  * engines), each term is cast to DECIMAL(18,6) *before* SUM (exact,
+  * order-independent — Spark's partial-agg order differs from DuckDB's), and
+  * the final value is cast back to DOUBLE. At 100 TB this is also the right
+  * call: decimal sums don't drift with partition count.
+  */
+object Relational {
+  private def t(s: SparkSession, dir: String, n: String): DataFrame = Tables.load(s, dir, n)
+  private def dec(c: Column): Column = c.cast(DecimalType(18, 6))
+  /** Exact, order-independent sum of a double expression, returned as double. */
+  private def sumd(c: Column): Column = sum(dec(c)).cast("double")
+  private def ts(s: String): Column = lit(s).cast("timestamp")
+
+  // SQL fragment mirroring sumd(): CAST(SUM(CAST(e AS DECIMAL(18,6))) AS DOUBLE)
+  private def SUMD(e: String): String = s"CAST(SUM(CAST($e AS DECIMAL(18,6))) AS DOUBLE)"
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- aggregation: hash agg, partial+final, multiple measures (TPC-H Q1 shape)
+    "q01_agg_summary" -> ((s, dir) => {
+      import s.implicits._
+      t(s, dir, "lineitem")
+        .filter($"l_shipdate" <= ts("1998-09-02"))
+        .groupBy($"l_returnflag", $"l_linestatus")
+        .agg(
+          sumd($"l_quantity").as("sum_qty"),
+          sumd($"l_extendedprice").as("sum_base_price"),
+          sumd($"l_extendedprice" * (lit(1.0) - $"l_discount")).as("sum_disc_price"),
+          sumd($"l_extendedprice" * (lit(1.0) - $"l_discount") * (lit(1.0) + $"l_tax")).as("sum_charge"),
+          (sumd($"l_quantity") / count(lit(1))).as("avg_qty"),
+          count(lit(1)).as("count_order"))
+        .orderBy($"l_returnflag", $"l_linestatus")
+    }),
+
+    // ---- filter + projection pushdown, single-row agg (TPC-H Q6 shape)
+    "q02_filter_agg" -> ((s, dir) => {
+      import s.implicits._
+      t(s, dir, "lineitem")
+        .filter($"l_shipdate" >= ts("1996-01-01") && $"l_shipdate" < ts("1997-01-01") &&
+          $"l_discount" >= 0.05 && $"l_discount" <= 0.07 && $"l_quantity" < 24)
+        .agg(sumd($"l_extendedprice" * $"l_discount").as("revenue"),
+          count(lit(1)).as("n_rows"))
+    }),
+
+    // ---- 3-way join + agg + top-k (TPC-H Q3 shape); customer side broadcastable
+    "q03_join_topk" -> ((s, dir) => {
+      import s.implicits._
+      val c = t(s, dir, "customer").filter($"c_mktsegment" === "BUILDING")
+      val o = t(s, dir, "orders").filter($"o_orderdate" < ts("1998-01-01"))
+      val l = t(s, dir, "lineitem").filter($"l_shipdate" > ts("1998-01-01"))
+      l.join(o, $"l_orderkey" === $"o_orderkey")
+        .join(broadcast(c), $"o_custkey" === $"c_custkey")
+        .groupBy($"l_orderkey", $"o_orderpriority")
+        .agg(sumd($"l_extendedprice" * (lit(1.0) - $"l_discount")).as("revenue"))
+        .orderBy($"revenue".desc, $"l_orderkey")
+        .limit(20)
+    }),
+
+    // ---- left-semi join (EXISTS)
+    "q04_semi_join" -> ((s, dir) => {
+      import s.implicits._
+      val big = t(s, dir, "lineitem").filter($"l_quantity" > 45).select($"l_orderkey")
+      t(s, dir, "orders")
+        .join(big, $"o_orderkey" === $"l_orderkey", "left_semi")
+        .groupBy($"o_orderpriority").agg(count(lit(1)).as("n_orders"))
+        .orderBy($"o_orderpriority")
+    }),
+
+    // ---- left-anti join (NOT EXISTS)
+    "q05_anti_join" -> ((s, dir) => {
+      import s.implicits._
+      val urgent = t(s, dir, "orders").filter($"o_orderpriority" === "1-URGENT").select($"o_custkey")
+      t(s, dir, "customer")
+        .join(urgent, $"c_custkey" === $"o_custkey", "left_anti")
+        .select($"c_custkey", $"c_name", $"c_mktsegment")
+        .orderBy($"c_custkey")
+    }),
+
+    // ---- distinct aggregation
+    "q06_distinct_agg" -> ((s, dir) => {
+      import s.implicits._
+      t(s, dir, "lineitem")
+        .groupBy($"l_returnflag")
+        .agg(countDistinct($"l_partkey").as("n_parts"),
+          countDistinct($"l_suppkey").as("n_supp"),
+          count(lit(1)).as("n_rows"))
+        .orderBy($"l_returnflag")
+    }),
+
+    // ---- window: ranking, top-k per group
+    "q07_window_topk" -> ((s, dir) => {
+      import s.implicits._
+      val w = Window.partitionBy($"c_mktsegment").orderBy($"c_acctbal".desc, $"c_custkey")
+      t(s, dir, "customer")
+        .withColumn("rnk", row_number().over(w))
+        .filter($"rnk" <= 3)
+        .select($"c_mktsegment", $"rnk", $"c_custkey", $"c_acctbal")
+        .orderBy($"c_mktsegment", $"rnk")
+    }),
+
+    // ---- window: running sum + lag/lead over frames
+    "q08_window_running" -> ((s, dir) => {
+      import s.implicits._
+      val w = Window.partitionBy($"o_custkey").orderBy($"o_orderdate", $"o_orderkey")
+      t(s, dir, "orders")
+        .filter($"o_custkey" < 50)
+        .withColumn("running_total",
+          sum(dec($"o_totalprice")).over(w.rowsBetween(Window.unboundedPreceding, 0)).cast("double"))
+        .withColumn("prev_price", lag($"o_totalprice", 1).over(w))
+        .withColumn("next_price", lead($"o_totalprice", 1).over(w))
+        .select($"o_custkey", $"o_orderkey", $"o_totalprice", $"running_total", $"prev_price", $"next_price")
+        .orderBy($"o_custkey", $"o_orderkey")
+    }),
+
+    // ---- rollup
+    "q09_rollup" -> ((s, dir) => {
+      import s.implicits._
+      t(s, dir, "lineitem")
+        .rollup($"l_returnflag", $"l_linestatus")
+        .agg(sumd($"l_quantity").as("sum_qty"), count(lit(1)).as("n_rows"))
+        .orderBy($"l_returnflag".asc_nulls_first, $"l_linestatus".asc_nulls_first)
+    }),
+
+    // ---- cube
+    "q10_cube" -> ((s, dir) => {
+      import s.implicits._
+      t(s, dir, "orders")
+        .cube($"o_orderstatus", $"o_orderpriority")
+        .agg(sumd($"o_totalprice").as("total"), count(lit(1)).as("n_rows"))
+        .orderBy($"o_orderstatus".asc_nulls_first, $"o_orderpriority".asc_nulls_first)
+    }),
+
+    // ---- set operations: union distinct / intersect / except, tagged
+    "q11_setops" -> ((s, dir) => {
+      import s.implicits._
+      val a = t(s, dir, "customer").filter($"c_mktsegment" === "BUILDING").select($"c_custkey".as("k"))
+      val b = t(s, dir, "orders").filter($"o_orderstatus" === "F").select($"o_custkey".as("k"))
+      val u = a.union(b).distinct().withColumn("op", lit("union"))
+      val i = a.intersect(b).withColumn("op", lit("intersect"))
+      val e = a.except(b).withColumn("op", lit("except"))
+      u.union(i).union(e).select($"op", $"k").orderBy($"op", $"k")
+    }),
+
+    // ---- global sort + limit (top-k)
+    "q12_sort_limit" -> ((s, dir) => {
+      import s.implicits._
+      t(s, dir, "lineitem")
+        .orderBy($"l_extendedprice".desc, $"l_orderkey", $"l_linenumber")
+        .select($"l_orderkey", $"l_linenumber", $"l_extendedprice")
+        .limit(50)
+    }),
+
+    // ---- scalar functions: string / math
+    "q13_scalar_string" -> ((s, dir) => {
+      import s.implicits._
+      t(s, dir, "part")
+        .select(
+          $"p_partkey",
+          upper($"p_name").as("name_up"),
+          substring($"p_type", 1, 3).as("type3"),
+          length($"p_name").cast("long").as("name_len"),
+          concat($"p_brand", lit("-"), $"p_type").as("brand_type"),
+          abs($"p_size" - 25).as("size_dist"),
+          ($"p_size" % 7).as("size_mod"),
+          floor($"p_retailprice").as("price_floor"),
+          regexp_replace($"p_name", " ", "_").as("name_us"))
+        .orderBy($"p_partkey")
+    }),
+
+    // ---- scalar functions: date/time
+    "q14_scalar_date" -> ((s, dir) => {
+      import s.implicits._
+      t(s, dir, "orders")
+        .filter($"o_orderkey" < 500)
+        .select(
+          $"o_orderkey",
+          year($"o_orderdate").cast("long").as("y"),
+          month($"o_orderdate").cast("long").as("m"),
+          dayofmonth($"o_orderdate").cast("long").as("d"),
+          quarter($"o_orderdate").cast("long").as("q"),
+          datediff($"o_orderdate", ts("1995-01-01")).cast("long").as("days_since"),
+          date_trunc("month", $"o_orderdate").as("month_start"))
+        .orderBy($"o_orderkey")
+    }),
+
+    // ---- range join (equi key + date-range predicate)
+    "q15_range_join" -> ((s, dir) => {
+      import s.implicits._
+      val o = t(s, dir, "orders")
+      val l = t(s, dir, "lineitem")
+      l.join(o, $"l_orderkey" === $"o_orderkey" &&
+          $"l_shipdate" >= $"o_orderdate" &&
+          $"l_shipdate" <= $"o_orderdate" + expr("INTERVAL 60 DAYS"))
+        .groupBy($"o_orderpriority")
+        .agg(count(lit(1)).as("n_lines"),
+          sumd($"l_extendedprice" * (lit(1.0) - $"l_discount")).as("revenue"))
+        .orderBy($"o_orderpriority")
+    }),
+
+    // ---- theta/band join on a numeric band, small side broadcast
+    "q16_band_join" -> ((s, dir) => {
+      import s.implicits._
+      val sup = t(s, dir, "supplier")
+      val cust = t(s, dir, "customer")
+      val nat = t(s, dir, "nation")
+      cust.join(broadcast(sup), $"s_nationkey" === $"c_nationkey" &&
+          abs($"s_acctbal" - $"c_acctbal") < 1000.0)
+        .join(broadcast(nat), $"n_nationkey" === $"s_nationkey")
+        .groupBy($"n_name").agg(count(lit(1)).as("n_pairs"))
+        .orderBy($"n_name")
+    }),
+
+    // ---- as-of join: each purchase matched to the user's latest click at-or-before it.
+    // Implemented shuffle-once via union + window (scales: one shuffle on user_id,
+    // no range-cross-product), exactly the plan a 100 TB as-of needs.
+    "q17_asof_join" -> ((s, dir) => {
+      import s.implicits._
+      val ev = t(s, dir, "events").filter($"event_type".isin("click", "purchase"))
+      val tagged = ev.select($"user_id", $"ts", $"event_id", $"value", $"event_type",
+        when($"event_type" === "purchase", 1).otherwise(0).as("is_l"),
+        when($"event_type" === "click", $"event_id").as("click_id"))
+      // right rows (is_l=0) sort before left rows at equal ts → "<=" as-of semantics
+      val w = Window.partitionBy($"user_id").orderBy($"ts", $"is_l", $"event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+      tagged
+        .withColumn("matched_click", last($"click_id", ignoreNulls = true).over(w))
+        .filter($"is_l" === 1)
+        .select($"event_id", $"user_id", $"value", $"matched_click")
+        .orderBy($"event_id")
+    }),
+
+    // ---- grouping sets (via SQL)
+    "q18_grouping_sets" -> ((s, dir) => {
+      Tables.registerViews(s, dir)
+      s.sql(s"""
+        SELECT o_orderstatus, o_orderpriority,
+               ${SUMD("o_totalprice")} AS total, COUNT(*) AS n_rows
+        FROM orders
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""")
+    }),
+
+    // ---- scalar subquery (decorrelated by Catalyst)
+    "q19_scalar_subquery" -> ((s, dir) => {
+      Tables.registerViews(s, dir)
+      s.sql(s"""
+        SELECT o_orderkey, o_totalprice
+        FROM orders
+        WHERE o_totalprice > 1.5 * (SELECT ${SUMD("o_totalprice")} / COUNT(*) FROM orders)
+        ORDER BY o_orderkey""")
+    }),
+
+    // ---- correlated EXISTS (planned as semi join)
+    "q20_exists" -> ((s, dir) => {
+      Tables.registerViews(s, dir)
+      s.sql("""
+        SELECT c_custkey, c_name
+        FROM customer c
+        WHERE EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_orderstatus = 'F' AND o.o_totalprice > 150000)
+        ORDER BY c_custkey""")
+    }),
+
+    // ---- outer join preserving unmatched rows
+    "q21_outer_join" -> ((s, dir) => {
+      import s.implicits._
+      val n = t(s, dir, "nation")
+      val c = t(s, dir, "customer")
+      n.join(c, $"c_nationkey" === $"n_nationkey", "left_outer")
+        .groupBy($"n_name")
+        .agg(count($"c_custkey").as("n_cust"), sumd(coalesce($"c_acctbal", lit(0.0))).as("bal"))
+        .orderBy($"n_name")
+    }),
+
+    // ---- event-time tumbling window aggregation (batch form of the streaming op;
+    //      the streaming variant is covered in StreamingPipelineSpec)
+    "q22_time_window" -> ((s, dir) => {
+      import s.implicits._
+      t(s, dir, "events")
+        .groupBy(window($"ts", "1 hour"), $"event_type")
+        .agg(count(lit(1)).as("n"), sumd($"value").as("total_value"))
+        .select(unix_timestamp($"window.start").as("ws"), $"event_type", $"n", $"total_value")
+        .orderBy($"ws", $"event_type")
+    })
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q01_agg_summary" -> s"""
+      SELECT l_returnflag, l_linestatus,
+        ${SUMD("l_quantity")} AS sum_qty,
+        ${SUMD("l_extendedprice")} AS sum_base_price,
+        ${SUMD("l_extendedprice * (1.0 - l_discount)")} AS sum_disc_price,
+        ${SUMD("l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax)")} AS sum_charge,
+        ${SUMD("l_quantity")} / COUNT(*) AS avg_qty,
+        COUNT(*) AS count_order
+      FROM lineitem
+      WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+      GROUP BY l_returnflag, l_linestatus
+      ORDER BY l_returnflag, l_linestatus""",
+
+    "q02_filter_agg" -> s"""
+      SELECT ${SUMD("l_extendedprice * l_discount")} AS revenue, COUNT(*) AS n_rows
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+        AND l_discount >= 0.05 AND l_discount <= 0.07 AND l_quantity < 24""",
+
+    "q03_join_topk" -> s"""
+      SELECT l_orderkey, o_orderpriority,
+        ${SUMD("l_extendedprice * (1.0 - l_discount)")} AS revenue
+      FROM lineitem
+      JOIN orders ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      WHERE c_mktsegment = 'BUILDING'
+        AND o_orderdate < TIMESTAMP '1998-01-01'
+        AND l_shipdate > TIMESTAMP '1998-01-01'
+      GROUP BY l_orderkey, o_orderpriority
+      ORDER BY revenue DESC, l_orderkey
+      LIMIT 20""",
+
+    "q04_semi_join" -> """
+      SELECT o_orderpriority, COUNT(*) AS n_orders
+      FROM orders
+      WHERE EXISTS (SELECT 1 FROM lineitem
+                    WHERE l_orderkey = o_orderkey AND l_quantity > 45)
+      GROUP BY o_orderpriority
+      ORDER BY o_orderpriority""",
+
+    "q05_anti_join" -> """
+      SELECT c_custkey, c_name, c_mktsegment
+      FROM customer
+      WHERE NOT EXISTS (SELECT 1 FROM orders
+                        WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+      ORDER BY c_custkey""",
+
+    "q06_distinct_agg" -> """
+      SELECT l_returnflag,
+        COUNT(DISTINCT l_partkey) AS n_parts,
+        COUNT(DISTINCT l_suppkey) AS n_supp,
+        COUNT(*) AS n_rows
+      FROM lineitem
+      GROUP BY l_returnflag
+      ORDER BY l_returnflag""",
+
+    "q07_window_topk" -> """
+      SELECT c_mktsegment, rnk, c_custkey, c_acctbal FROM (
+        SELECT c_mktsegment, c_custkey, c_acctbal,
+          ROW_NUMBER() OVER (PARTITION BY c_mktsegment
+                             ORDER BY c_acctbal DESC, c_custkey) AS rnk
+        FROM customer) x
+      WHERE rnk <= 3
+      ORDER BY c_mktsegment, rnk""",
+
+    "q08_window_running" -> """
+      SELECT o_custkey, o_orderkey, o_totalprice,
+        CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) OVER (
+          PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_total,
+        LAG(o_totalprice, 1) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS prev_price,
+        LEAD(o_totalprice, 1) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS next_price
+      FROM orders
+      WHERE o_custkey < 50
+      ORDER BY o_custkey, o_orderkey""",
+
+    "q09_rollup" -> s"""
+      SELECT l_returnflag, l_linestatus,
+        ${SUMD("l_quantity")} AS sum_qty, COUNT(*) AS n_rows
+      FROM lineitem
+      GROUP BY ROLLUP (l_returnflag, l_linestatus)
+      ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""",
+
+    "q10_cube" -> s"""
+      SELECT o_orderstatus, o_orderpriority,
+        ${SUMD("o_totalprice")} AS total, COUNT(*) AS n_rows
+      FROM orders
+      GROUP BY CUBE (o_orderstatus, o_orderpriority)
+      ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""",
+
+    "q11_setops" -> """
+      WITH a AS (SELECT c_custkey AS k FROM customer WHERE c_mktsegment = 'BUILDING'),
+           b AS (SELECT o_custkey AS k FROM orders WHERE o_orderstatus = 'F')
+      SELECT 'union' AS op, k FROM (SELECT k FROM a UNION SELECT k FROM b)
+      UNION ALL
+      SELECT 'intersect' AS op, k FROM (SELECT k FROM a INTERSECT SELECT k FROM b)
+      UNION ALL
+      SELECT 'except' AS op, k FROM (SELECT k FROM a EXCEPT SELECT k FROM b)
+      ORDER BY op, k""",
+
+    "q12_sort_limit" -> """
+      SELECT l_orderkey, l_linenumber, l_extendedprice
+      FROM lineitem
+      ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber
+      LIMIT 50""",
+
+    "q13_scalar_string" -> """
+      SELECT p_partkey,
+        UPPER(p_name) AS name_up,
+        SUBSTRING(p_type, 1, 3) AS type3,
+        CAST(LENGTH(p_name) AS BIGINT) AS name_len,
+        CONCAT(p_brand, '-', p_type) AS brand_type,
+        ABS(p_size - 25) AS size_dist,
+        p_size % 7 AS size_mod,
+        CAST(FLOOR(p_retailprice) AS BIGINT) AS price_floor,
+        REPLACE(p_name, ' ', '_') AS name_us
+      FROM part
+      ORDER BY p_partkey""",
+
+    "q14_scalar_date" -> """
+      SELECT o_orderkey,
+        CAST(YEAR(o_orderdate) AS BIGINT) AS y,
+        CAST(MONTH(o_orderdate) AS BIGINT) AS m,
+        CAST(DAY(o_orderdate) AS BIGINT) AS d,
+        CAST(QUARTER(o_orderdate) AS BIGINT) AS q,
+        CAST(DATEDIFF('day', TIMESTAMP '1995-01-01', o_orderdate) AS BIGINT) AS days_since,
+        DATE_TRUNC('month', o_orderdate) AS month_start
+      FROM orders
+      WHERE o_orderkey < 500
+      ORDER BY o_orderkey""",
+
+    "q15_range_join" -> s"""
+      SELECT o_orderpriority, COUNT(*) AS n_lines,
+        ${SUMD("l_extendedprice * (1.0 - l_discount)")} AS revenue
+      FROM lineitem
+      JOIN orders ON l_orderkey = o_orderkey
+        AND l_shipdate >= o_orderdate
+        AND l_shipdate <= o_orderdate + INTERVAL 60 DAY
+      GROUP BY o_orderpriority
+      ORDER BY o_orderpriority""",
+
+    "q16_band_join" -> """
+      SELECT n_name, COUNT(*) AS n_pairs
+      FROM customer
+      JOIN supplier ON s_nationkey = c_nationkey AND ABS(s_acctbal - c_acctbal) < 1000.0
+      JOIN nation ON n_nationkey = s_nationkey
+      GROUP BY n_name
+      ORDER BY n_name""",
+
+    "q17_asof_join" -> """
+      WITH ev AS (
+        SELECT user_id, ts, event_id, value, event_type,
+          CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS is_l,
+          CASE WHEN event_type = 'click' THEN event_id END AS click_id
+        FROM events WHERE event_type IN ('click', 'purchase'))
+      SELECT event_id, user_id, value, matched_click FROM (
+        SELECT event_id, user_id, value, is_l,
+          LAST_VALUE(click_id IGNORE NULLS) OVER (
+            PARTITION BY user_id ORDER BY ts, is_l, event_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS matched_click
+        FROM ev) x
+      WHERE is_l = 1
+      ORDER BY event_id""",
+
+    "q18_grouping_sets" -> s"""
+      SELECT o_orderstatus, o_orderpriority,
+        ${SUMD("o_totalprice")} AS total, COUNT(*) AS n_rows
+      FROM orders
+      GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+      ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""",
+
+    "q19_scalar_subquery" -> s"""
+      SELECT o_orderkey, o_totalprice
+      FROM orders
+      WHERE o_totalprice > 1.5 * (SELECT ${SUMD("o_totalprice")} / COUNT(*) FROM orders)
+      ORDER BY o_orderkey""",
+
+    "q20_exists" -> """
+      SELECT c_custkey, c_name
+      FROM customer c
+      WHERE EXISTS (SELECT 1 FROM orders o
+                    WHERE o.o_custkey = c.c_custkey
+                      AND o.o_orderstatus = 'F' AND o.o_totalprice > 150000)
+      ORDER BY c_custkey""",
+
+    "q21_outer_join" -> s"""
+      SELECT n_name, COUNT(c_custkey) AS n_cust,
+        ${SUMD("COALESCE(c_acctbal, 0.0)")} AS bal
+      FROM nation
+      LEFT JOIN customer ON c_nationkey = n_nationkey
+      GROUP BY n_name
+      ORDER BY n_name""",
+
+    "q22_time_window" -> s"""
+      SELECT CAST(epoch(DATE_TRUNC('hour', ts)) AS BIGINT) AS ws, event_type,
+        COUNT(*) AS n, ${SUMD("value")} AS total_value
+      FROM events
+      GROUP BY 1, 2
+      ORDER BY ws, event_type"""
+  )
+}
