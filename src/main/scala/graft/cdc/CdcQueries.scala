@@ -1,0 +1,70 @@
+package graft.cdc
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+import graft.Tables
+
+/** Driver-gated CDC queries: exercise the change-feed → resolve → merge path
+  * end-to-end with a SQL-expressible oracle (SURVEY.md §5 item 2).
+  */
+object CdcQueries {
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Full CDC lifecycle over the orders table: insert everything, update
+    // every 3rd key (+10% price), delete every 5th key, then REPLAY the whole
+    // feed (at-least-once duplicate delivery). Final state must equal the
+    // declarative oracle — proving last-writer-wins resolution, delete
+    // semantics, and replay convergence in one gate.
+    "q30_cdc_merge" -> ((s, dir) => {
+      import s.implicits._
+      val o = Tables.load(s, dir, "orders")
+      val feed = ChangeFeed.inserts(o, $"o_orderkey" * 10)
+        .union(ChangeFeed.updates(
+          o.filter($"o_orderkey" % 3 === 0),
+          Map("o_totalprice" -> $"o_totalprice" * 1.1),
+          $"o_orderkey" * 10 + 5))
+        .union(ChangeFeed.deletes(o.filter($"o_orderkey" % 5 === 0), $"o_orderkey" * 10 + 7))
+      val replayed = feed.union(feed) // duplicate delivery must converge
+      val target = Files.createTempDirectory("graft_cdc").toString + "/orders_state"
+      CdcApplier.applyBatch(s, replayed, target, CdcApplier.Options(Seq("o_orderkey")))
+      s.read.parquet(target)
+        .select(o.columns.map(col): _*)
+        .orderBy($"o_orderkey")
+    }),
+
+    // Per-key last-change dedup — the micro-batch ordering primitive that
+    // replaces the reference's single-thread total order (SURVEY §2.3
+    // invariant 1): latest event per user.
+    "q31_latest_per_key" -> ((s, dir) => {
+      import s.implicits._
+      val w = Window.partitionBy($"user_id").orderBy($"ts".desc, $"event_id".desc)
+      Tables.load(s, dir, "events")
+        .withColumn("rn", row_number().over(w))
+        .filter($"rn" === 1)
+        .select($"user_id", $"event_id", $"event_type", $"value")
+        .orderBy($"user_id")
+    })
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q30_cdc_merge" -> """
+      SELECT o_orderkey, o_custkey, o_orderstatus,
+        CASE WHEN o_orderkey % 3 = 0 THEN o_totalprice * 1.1 ELSE o_totalprice END AS o_totalprice,
+        o_orderdate, o_orderpriority
+      FROM orders
+      WHERE o_orderkey % 5 <> 0
+      ORDER BY o_orderkey""",
+
+    "q31_latest_per_key" -> """
+      SELECT user_id, event_id, event_type, value FROM (
+        SELECT user_id, event_id, event_type, value,
+          ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events) x
+      WHERE rn = 1
+      ORDER BY user_id"""
+  )
+}

@@ -1,0 +1,130 @@
+package graft.cdc
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+case class Student(sn: Int, id: Int, score: Int, name: String, rem: String)
+
+/** FIXTURES.md F3 scenarios over the reference's own `student` example
+  * (composite PK (sn,id), `Mysql2HbaseCliDriver.scala:41-48`). */
+class CdcApplierSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .config("spark.sql.session.timeZone", "UTC")
+    .getOrCreate()
+
+  import spark.implicits._
+
+  private val pk = Seq("sn", "id")
+  private def opts = CdcApplier.Options(pk)
+
+  private def ev(op: String, pos: Long, before: Option[Student], after: Option[Student]): DataFrame = {
+    val base = Seq(Student(0, 0, 0, "", "")).toDF()
+    val b = before.map(x => Seq(x).toDF()).getOrElse(base.filter(lit(false)))
+    val a = after.map(x => Seq(x).toDF()).getOrElse(base.filter(lit(false)))
+    op match {
+      case "insert" => ChangeFeed.inserts(a, lit(pos))
+      case "delete" => ChangeFeed.deletes(b, lit(pos))
+      case "update" =>
+        // before-row with after-image overrides, column by column
+        val aRow = after.get
+        ChangeFeed.updates(b, Map(
+          "sn" -> lit(aRow.sn), "id" -> lit(aRow.id), "score" -> lit(aRow.score),
+          "name" -> lit(aRow.name), "rem" -> lit(aRow.rem)), lit(pos))
+    }
+  }
+
+  private def newTarget(): String =
+    Files.createTempDirectory("graft_test").toString + "/student"
+
+  private def state(target: String): Set[Student] =
+    spark.read.parquet(target).drop("_graft_pos").as[Student].collect().toSet
+
+  val s1 = Student(1, 1, 90, "ann", "a")
+  val s1v2 = Student(1, 1, 95, "ann", "b")
+  val s2 = Student(2, 7, 80, "bob", "x")
+
+  test("F3.1 insert → update (PK unchanged) → delete leaves empty state") {
+    val target = newTarget()
+    val feed = ev("insert", 10, None, Some(s1))
+      .union(ev("update", 20, Some(s1), Some(s1v2)))
+      .union(ev("delete", 30, Some(s1v2), None))
+    CdcApplier.applyBatch(spark, feed, target, opts)
+    assert(state(target).isEmpty)
+  }
+
+  test("F3.2 update that moves the PK: corrected mode deletes the old row, compat keeps it") {
+    val moved = s1.copy(id = 99, score = 77)
+    val feed = ev("insert", 10, None, Some(s1))
+      .union(ev("insert", 11, None, Some(s2)))
+      .union(ev("update", 20, Some(s1), Some(moved)))
+
+    val corrected = newTarget()
+    CdcApplier.applyBatch(spark, feed, corrected, opts)
+    assert(state(corrected) == Set(moved, s2))
+
+    val compat = newTarget()
+    CdcApplier.applyBatch(spark, feed, compat, opts.copy(compatPkChange = true))
+    // reference anomaly (HbaseApplier.scala:252-257): old row survives
+    assert(state(compat) == Set(s1, moved, s2))
+  }
+
+  test("F3.3 duplicate replay converges (at-least-once)") {
+    val target = newTarget()
+    val feed = ev("insert", 10, None, Some(s1))
+      .union(ev("update", 20, Some(s1), Some(s1v2)))
+    CdcApplier.applyBatch(spark, feed, target, opts)
+    CdcApplier.applyBatch(spark, feed, target, opts) // replay whole batch
+    assert(state(target) == Set(s1v2))
+  }
+
+  test("F3.3b stale batch replayed after newer data does not regress rows") {
+    val target = newTarget()
+    val newer = ev("update", 20, Some(s1), Some(s1v2))
+    val older = ev("insert", 10, None, Some(s1))
+    CdcApplier.applyBatch(spark, newer, target, opts)
+    CdcApplier.applyBatch(spark, older, target, opts) // out-of-order replay
+    assert(state(target) == Set(s1v2))
+  }
+
+  test("F3.5 change missing a PK column is rejected") {
+    val target = newTarget()
+    val badAfter = Seq(Student(5, 5, 1, "x", "y")).toDF()
+      .withColumn("id", lit(null).cast("int"))
+    val feed = ChangeFeed.inserts(badAfter, lit(10L))
+    val e = intercept[Exception] {
+      CdcApplier.applyBatch(spark, feed, target, opts)
+    }
+    assert(e.getMessage != null)
+  }
+
+  test("F3.6 PK schema drift fails fast") {
+    import org.apache.spark.sql.types._
+    val target = StructType(Seq(StructField("sn", IntegerType), StructField("v", StringType)))
+    val drifted = StructType(Seq(StructField("sn", LongType), StructField("v", StringType)))
+    intercept[IllegalStateException] {
+      CdcApplier.checkSchemaDrift(target, drifted, Seq("sn"))
+    }
+  }
+
+  test("F3.7 multiple changes to one key in a batch: last position wins") {
+    val target = newTarget()
+    val feed = ev("insert", 10, None, Some(s1))
+      .union(ev("update", 30, Some(s1), Some(s1v2)))
+      .union(ev("update", 20, Some(s1), Some(s1.copy(score = 1))))
+    CdcApplier.applyBatch(spark, feed, target, opts)
+    assert(state(target) == Set(s1v2))
+  }
+
+  test("delete of an absent key is a no-op") {
+    val target = newTarget()
+    CdcApplier.applyBatch(spark, ev("insert", 10, None, Some(s2)), target, opts)
+    CdcApplier.applyBatch(spark, ev("delete", 20, Some(s1), None), target, opts)
+    assert(state(target) == Set(s2))
+  }
+}

@@ -1,0 +1,58 @@
+package graft.cdc
+
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** FIXTURES.md F2 `typezoo`: every row of the reference mapping table
+  * (`HbaseTableInfo.scala:163-181`) in compat mode, plus full-mode upgrades. */
+class TypeMapperSpec extends AnyFunSuite {
+
+  val compatTable: Seq[(String, DataType)] = Seq(
+    "bigint" -> LongType,
+    "bit(1)" -> BooleanType,
+    "bit(8)" -> StringType,
+    "tinyint" -> IntegerType,
+    "boolean" -> BooleanType,
+    "bool" -> BooleanType,
+    "smallint unsigned" -> IntegerType,
+    "mediumint" -> IntegerType,
+    "int(11)" -> IntegerType,
+    "integer unsigned" -> LongType,
+    "bigint unsigned" -> LongType,
+    "float" -> FloatType,
+    "double" -> DoubleType,
+    "varchar(255)" -> StringType,
+    "decimal(18,4)" -> StringType,
+    "datetime" -> StringType,
+    "text" -> StringType,
+    "enum('pending','verified')" -> StringType)
+
+  test("compat mode reproduces the reference mapping table") {
+    compatTable.foreach { case (mysql, expected) =>
+      assert(TypeMapper.compat(mysql) == expected, s"for $mysql")
+    }
+  }
+
+  test("full mode upgrades the catch-alls") {
+    assert(TypeMapper.full("decimal(18,4)") == DecimalType(18, 4))
+    assert(TypeMapper.full("decimal(10)") == DecimalType(10, 0))
+    assert(TypeMapper.full("date") == DateType)
+    assert(TypeMapper.full("datetime") == TimestampType)
+    assert(TypeMapper.full("timestamp") == TimestampType)
+    assert(TypeMapper.full("bigint unsigned") == DecimalType(20, 0))
+    assert(TypeMapper.full("mediumblob") == BinaryType)
+    assert(TypeMapper.full("varbinary(16)") == BinaryType)
+    assert(TypeMapper.full("tinyint") == ByteType)
+    assert(TypeMapper.full("smallint") == ShortType)
+    assert(TypeMapper.full("varchar(10)") == StringType)
+    assert(TypeMapper.full("json") == StringType)
+  }
+
+  test("enum decode: 1-based ordinals, 0 encodes NULL (CHANGELOG #9)") {
+    val labels = IndexedSeq("pending", "verified")
+    assert(TypeMapper.decodeEnum(1, labels).contains("pending"))
+    assert(TypeMapper.decodeEnum(2, labels).contains("verified"))
+    assert(TypeMapper.decodeEnum(0, labels).isEmpty)
+    assert(TypeMapper.decodeEnum(3, labels).isEmpty) // out of range, no AIOOBE
+  }
+}
