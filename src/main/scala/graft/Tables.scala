@@ -1,5 +1,7 @@
 package graft
 
+import scala.collection.concurrent.TrieMap
+
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Loaders for the driver-generated TPC-H-ish tables (TESTDATA.md).
@@ -16,16 +18,24 @@ object Tables {
   def load(spark: SparkSession, dir: String, name: String): DataFrame =
     if (name == "events") {
       // events.parquet stores ts as INT64 TIMESTAMP(NANOS), which Spark's
-      // parquet reader rejects outright. Read nanos as long (legacy conf,
-      // runtime-settable, affects only NANOS columns) and convert to a
-      // proper TimestampType column at microsecond precision.
+      // parquet reader rejects outright. Preferably set at session build
+      // (Bench/Verify do); this defensive set covers ad-hoc sessions. The
+      // conf only affects NANOS-precision columns, which exist nowhere else
+      // in the testdata.
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       spark.read.parquet(s"$dir/$name.parquet")
         .withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
     } else spark.read.parquet(s"$dir/$name.parquet")
 
+  // (session identity, dir) pairs whose views are already registered — avoids
+  // re-running 10 parquet-footer reads on every SQL-based query invocation.
+  private val registered = TrieMap.empty[(Int, String), Boolean]
+
   /** Register every table as a temp view for spark.sql-based operators
-    * (grouping sets, scalar subqueries). Idempotent. */
+    * (grouping sets, scalar subqueries). Idempotent and cached per session+dir. */
   def registerViews(spark: SparkSession, dir: String): Unit =
-    all.foreach(n => load(spark, dir, n).createOrReplaceTempView(n))
+    registered.getOrElseUpdate((System.identityHashCode(spark), dir), {
+      all.foreach(n => load(spark, dir, n).createOrReplaceTempView(n))
+      true
+    })
 }

@@ -13,8 +13,12 @@ import org.apache.spark.sql.types._
   */
 object TypeMapper {
 
-  /** Faithful port of the reference's mapping semantics (not its code):
-    * ordered first-match rules over the lower-cased MySQL type string. */
+  /** Port of the reference's *intended* mapping table (not its code, and
+    * deliberately not its regex-order bugs: the reference's `int.*` case
+    * precedes `integer.*unsigned` so 'integer unsigned' lands on IntegerType,
+    * and its `r"bit(1)"` pattern — paren is a capture group — never matches
+    * the literal 'bit(1)'. We implement the documented table; ordered
+    * first-match rules over the lower-cased MySQL type string. */
   def compat(mysqlType: String): DataType = {
     val t = mysqlType.trim.toLowerCase
     if (t == "bit(1)" || t == "bool" || t == "boolean") BooleanType
@@ -28,6 +32,7 @@ object TypeMapper {
     else StringType
   }
 
+  private val BitRe = """bit\((\d+)\)""".r
   private val DecimalRe = """decimal\((\d+)\s*,\s*(\d+)\).*""".r
   private val DecimalNoScaleRe = """decimal\((\d+)\).*""".r
 
@@ -36,7 +41,9 @@ object TypeMapper {
     val t = mysqlType.trim.toLowerCase
     t match {
       case "bit(1)" | "bool" | "boolean"        => BooleanType
-      case _ if t.startsWith("bit(")            => LongType // up to bit(64)
+      case BitRe(n) if n.toInt > 63             => DecimalType(20, 0) // bit(64) overflows signed long
+      case _ if t.startsWith("bit(")            => LongType // bit(2..63)
+      case _ if t.startsWith("tinyint unsig")   => ShortType // 0..255 overflows signed byte
       case _ if t.startsWith("tinyint")         => ByteType
       case _ if t.startsWith("smallint unsig")  => IntegerType
       case _ if t.startsWith("smallint")        => ShortType

@@ -289,8 +289,8 @@ object Relational {
         .orderBy($"n_name")
     }),
 
-    // ---- event-time tumbling window aggregation (batch form of the streaming op;
-    //      the streaming variant is covered in StreamingPipelineSpec)
+    // ---- event-time tumbling window aggregation (batch form; the streaming
+    //      variant with watermarks lives in graft.streaming.StreamingPipeline)
     "q22_time_window" -> ((s, dir) => {
       import s.implicits._
       t(s, dir, "events")

@@ -43,7 +43,10 @@ class TypeMapperSpec extends AnyFunSuite {
     assert(TypeMapper.full("mediumblob") == BinaryType)
     assert(TypeMapper.full("varbinary(16)") == BinaryType)
     assert(TypeMapper.full("tinyint") == ByteType)
+    assert(TypeMapper.full("tinyint unsigned") == ShortType) // 0..255 overflows ByteType
     assert(TypeMapper.full("smallint") == ShortType)
+    assert(TypeMapper.full("bit(8)") == LongType)
+    assert(TypeMapper.full("bit(64)") == DecimalType(20, 0)) // u64 bitfield
     assert(TypeMapper.full("varchar(10)") == StringType)
     assert(TypeMapper.full("json") == StringType)
   }
