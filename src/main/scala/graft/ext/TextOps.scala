@@ -1,0 +1,245 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.Tables
+
+/** Text-analysis operators for a large-scale training-data pipeline:
+  * exact dedup, token counting, quality stats, language ID, document
+  * fingerprinting, JSON extraction.
+  *
+  * The reference (chenm11/mysql-hbase-replicator) has no text operators —
+  * these extend the engine per the rebuild's north star. All are pure
+  * DataFrame transforms: narrow per-row work (codegen'd higher-order
+  * functions, no UDFs) followed by a single hash aggregation, so every query
+  * scales linearly with the document count and shuffles only the (small)
+  * aggregate.
+  *
+  * Cross-engine determinism: every hash used here is either a standard
+  * digest (sha2/md5, identical hex in DuckDB) or [[TextOps.polyHash]], a
+  * 31-base polynomial rolling hash mod 1e9+7 — both expressible in DuckDB
+  * SQL so the oracles match bit-for-bit.
+  */
+object TextOps {
+  private def t(s: SparkSession, dir: String, n: String): DataFrame = Tables.load(s, dir, n)
+  private def dec(c: Column): Column = c.cast(DecimalType(18, 6))
+  private def sumd(c: Column): Column = sum(dec(c)).cast("double")
+  private def SUMD(e: String): String = s"CAST(SUM(CAST($e AS DECIMAL(18,6))) AS DOUBLE)"
+
+  val HashMod = 1000000007L
+
+  /** Portable polynomial rolling hash: fold over character codepoints,
+    * `acc = (acc*31 + code) mod 1e9+7`. Bounded at ~2^36 intermediate, so no
+    * overflow in either engine's signed 64-bit arithmetic. */
+  def polyHash(s: Column): Column =
+    aggregate(
+      sequence(lit(1), length(s)),
+      lit(0L),
+      (acc, i) => (acc * 31 + ascii(s.substr(i, lit(1)))) % HashMod)
+
+  /** Same fold, as a DuckDB SQL fragment over string expression `e`. */
+  def polyHashSql(e: String): String =
+    s"""list_reduce(
+          list_prepend(0::BIGINT,
+            list_transform(range(1, length($e)+1), i -> ord(substring($e, i, 1))::BIGINT)),
+          (acc, c) -> (acc*31 + c) % ${HashMod})"""
+
+  /** Character k-shingles (distinct). Requires length >= k. */
+  def shingles(s: Column, k: Int): Column =
+    array_distinct(transform(sequence(lit(1), length(s) - (k - 1)), i => s.substr(i, lit(k))))
+
+  def shinglesSql(e: String, k: Int): String =
+    s"list_distinct(list_transform(range(1, length($e)-${k - 2}), i -> substring($e, i, $k)))"
+
+  /** Lowercase word tokens — regexp-based so empty-token semantics can't
+    * diverge between engines. */
+  def words(s: Column): Column = regexp_extract_all(lower(s), lit("[a-z0-9]+"), lit(0))
+  private def wordsSql(e: String): String = s"regexp_extract_all(lower($e), '[a-z0-9]+')"
+
+  // Deterministic per-language marker vocabularies for the lang-ID heuristic
+  // (chosen from the corpus vocabulary so scores actually vary per doc).
+  val langMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "fast", "slow"),
+    "de" -> Seq("query", "window", "merge", "batch"),
+    "es" -> Seq("data", "row", "value", "line"),
+    "zh" -> Seq("spark", "table", "key", "hash"))
+
+  private val stopwords = Seq("the", "a", "of", "and", "to", "in")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- JSON extraction over the events.props JSON column (the reference
+    //      stores its entire catalog as JSON; Spark-side: get_json_object).
+    "q23_json_extract" -> ((s, dir) => {
+      import s.implicits._
+      t(s, dir, "events")
+        .withColumn("k", get_json_object($"props", "$.k").cast("long"))
+        .groupBy($"event_type")
+        .agg(
+          count(lit(1)).as("n"),
+          sum($"k").as("sum_k"),
+          count(when($"k" > 50, 1)).as("n_big"))
+        .orderBy($"event_type")
+    }),
+
+    // ---- Exact dedup by content hash. Input simulates a re-crawl (every doc
+    //      delivered twice under a different id); dedup keeps the lowest id
+    //      per sha256(text) group. One shuffle on the digest.
+    "q40_exact_dedup" -> ((s, dir) => {
+      import s.implicits._
+      val docs = t(s, dir, "documents").select($"doc_id", $"text")
+      val recrawl = docs.select(($"doc_id" + 10000).as("doc_id"), $"text")
+      docs.union(recrawl)
+        .groupBy(sha2($"text", 256).as("content_sha"))
+        .agg(min($"doc_id").as("keep_id"), count(lit(1)).as("n_copies"))
+        .select($"keep_id", $"n_copies", substring($"content_sha", 1, 16).as("sha_prefix"))
+        .orderBy($"keep_id")
+    }),
+
+    // ---- Corpus quality stats per language: doc/char/word counts, stopword
+    //      and punctuation ratios. Per-row narrow work + one small agg.
+    "q43_text_stats" -> ((s, dir) => {
+      import s.implicits._
+      val stops = array(stopwords.map(lit): _*)
+      val enriched = t(s, dir, "documents")
+        .withColumn("ws", words($"text"))
+        .withColumn("n_words", size($"ws").cast("long"))
+        .withColumn("n_stop", size(filter($"ws", w => array_contains(stops, w))).cast("long"))
+        .withColumn("n_punct", length(regexp_replace($"text", "[a-z0-9 ]", "")).cast("long"))
+      enriched.groupBy($"lang")
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum($"n_chars").as("sum_chars"),
+          (sumd($"n_chars") / count(lit(1))).as("avg_chars"),
+          (sumd($"n_words") / count(lit(1))).as("avg_words"),
+          (sumd($"n_stop") / sumd($"n_words")).as("stop_ratio"),
+          (sumd($"n_punct") / sumd($"n_chars")).as("punct_ratio"))
+        .orderBy($"lang")
+    }),
+
+    // ---- Language-ID heuristic: token hits against per-language marker
+    //      vocabularies, argmax with fixed tie-break order (en,de,es,zh).
+    "q44_lang_id" -> ((s, dir) => {
+      import s.implicits._
+      val scored = langMarkers.foldLeft(
+        t(s, dir, "documents").withColumn("ws", words($"text"))) {
+        case (df, (lang, markers)) =>
+          val m = array(markers.map(lit): _*)
+          df.withColumn(s"s_$lang",
+            size(filter($"ws", w => array_contains(m, w))).cast("long"))
+      }
+      val Seq(en, de, es, zh) = langMarkers.map { case (l, _) => col(s"s_$l") }
+      scored
+        .withColumn("pred_lang",
+          when(en >= de && en >= es && en >= zh, "en")
+            .when(de >= es && de >= zh, "de")
+            .when(es >= zh, "es")
+            .otherwise("zh"))
+        .select($"doc_id", $"pred_lang", $"s_en", $"s_de", $"s_es", $"s_zh",
+          ($"pred_lang" === $"lang").as("hit"))
+        .orderBy($"doc_id")
+    }),
+
+    // ---- Token counting: whitespace tokens vs a BPE-ish regex segmentation
+    //      (letter runs / digit runs / single non-alnum marks).
+    "q45_token_count" -> ((s, dir) => {
+      import s.implicits._
+      t(s, dir, "documents")
+        .select(
+          $"doc_id",
+          size(regexp_extract_all($"text", lit("[^ ]+"), lit(0))).cast("long").as("n_ws_tokens"),
+          size(regexp_extract_all(lower($"text"), lit("[a-z]+|[0-9]+|[^a-z0-9 ]"), lit(0)))
+            .cast("long").as("n_bpe_tokens"),
+          length($"text").cast("long").as("n_chars_actual"))
+        .orderBy($"doc_id")
+    }),
+
+    // ---- Document fingerprint: min polynomial hash over character
+    //      5-shingles (a 1-permutation MinHash — the winnowing primitive).
+    "q46_fingerprint" -> ((s, dir) => {
+      import s.implicits._
+      t(s, dir, "documents")
+        .select($"doc_id",
+          array_min(transform(shingles($"text", 5), sh => polyHash(sh))).as("fingerprint"))
+        .orderBy($"doc_id")
+    })
+  )
+
+  private val markersSql: Map[String, String] =
+    langMarkers.map { case (l, ms) => l -> ms.map(m => s"'$m'").mkString("[", ",", "]") }.toMap
+
+  val oracles: Map[String, String] = Map(
+    "q23_json_extract" -> """
+      SELECT event_type, COUNT(*) AS n,
+        CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+        COUNT(CASE WHEN CAST(json_extract_string(props, '$.k') AS BIGINT) > 50 THEN 1 END) AS n_big
+      FROM events
+      GROUP BY event_type
+      ORDER BY event_type""",
+
+    "q40_exact_dedup" -> """
+      SELECT MIN(doc_id) AS keep_id, COUNT(*) AS n_copies,
+        SUBSTRING(sha256(text), 1, 16) AS sha_prefix
+      FROM (SELECT doc_id, text FROM documents
+            UNION ALL SELECT doc_id + 10000, text FROM documents)
+      GROUP BY sha256(text)
+      ORDER BY keep_id""",
+
+    "q43_text_stats" -> s"""
+      WITH d AS (
+        SELECT lang, n_chars,
+          len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS n_words,
+          len(list_filter(regexp_extract_all(lower(text), '[a-z0-9]+'),
+              w -> list_contains(['the','a','of','and','to','in'], w))) AS n_stop,
+          length(regexp_replace(text, '[a-z0-9 ]', '', 'g')) AS n_punct
+        FROM documents)
+      SELECT lang, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+        ${SUMD("n_chars")} / COUNT(*) AS avg_chars,
+        ${SUMD("n_words")} / COUNT(*) AS avg_words,
+        ${SUMD("n_stop")} / ${SUMD("n_words")} AS stop_ratio,
+        ${SUMD("n_punct")} / ${SUMD("n_chars")} AS punct_ratio
+      FROM d
+      GROUP BY lang
+      ORDER BY lang""",
+
+    "q44_lang_id" -> s"""
+      WITH scored AS (
+        SELECT doc_id, lang,
+          len(list_filter(regexp_extract_all(lower(text), '[a-z0-9]+'),
+              w -> list_contains(${markersSql("en")}, w))) AS s_en,
+          len(list_filter(regexp_extract_all(lower(text), '[a-z0-9]+'),
+              w -> list_contains(${markersSql("de")}, w))) AS s_de,
+          len(list_filter(regexp_extract_all(lower(text), '[a-z0-9]+'),
+              w -> list_contains(${markersSql("es")}, w))) AS s_es,
+          len(list_filter(regexp_extract_all(lower(text), '[a-z0-9]+'),
+              w -> list_contains(${markersSql("zh")}, w))) AS s_zh
+        FROM documents)
+      SELECT doc_id,
+        CASE WHEN s_en >= s_de AND s_en >= s_es AND s_en >= s_zh THEN 'en'
+             WHEN s_de >= s_es AND s_de >= s_zh THEN 'de'
+             WHEN s_es >= s_zh THEN 'es'
+             ELSE 'zh' END AS pred_lang,
+        s_en, s_de, s_es, s_zh,
+        (CASE WHEN s_en >= s_de AND s_en >= s_es AND s_en >= s_zh THEN 'en'
+              WHEN s_de >= s_es AND s_de >= s_zh THEN 'de'
+              WHEN s_es >= s_zh THEN 'es'
+              ELSE 'zh' END) = lang AS hit
+      FROM scored
+      ORDER BY doc_id""",
+
+    "q45_token_count" -> """
+      SELECT doc_id,
+        len(regexp_extract_all(text, '[^ ]+')) AS n_ws_tokens,
+        len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS n_bpe_tokens,
+        length(text) AS n_chars_actual
+      FROM documents
+      ORDER BY doc_id""",
+
+    "q46_fingerprint" -> s"""
+      SELECT doc_id,
+        list_min(list_transform(${shinglesSql("text", 5)}, sh -> ${polyHashSql("sh")})) AS fingerprint
+      FROM documents
+      ORDER BY doc_id"""
+  )
+}
