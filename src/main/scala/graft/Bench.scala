@@ -31,7 +31,11 @@ object Bench {
 
     var times = Vector.empty[(String, Double)]
     var errors = Vector.empty[(String, String)]
-    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+    // Optional args restrict the run to the named queries (dev loop).
+    val selected =
+      if (args.isEmpty) SparkEntry.queries.toSeq.sortBy(_._1)
+      else SparkEntry.queries.filter(q => args.contains(q._1)).toSeq.sortBy(_._1)
+    selected.foreach { case (name, fn) =>
       val t0 = System.nanoTime()
       try {
         fn(spark, sfDir).queryExecution.toRdd.foreach(_ => ())

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.operators.Relational
 import graft.cdc.CdcQueries
-import graft.ext.TextOps
+import graft.ext.{NearDup, TextOps}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
 object SparkEntry {
@@ -14,10 +14,10 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    Relational.queries ++ CdcQueries.queries ++ TextOps.queries
+    Relational.queries ++ CdcQueries.queries ++ TextOps.queries ++ NearDup.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
-    Relational.oracles ++ CdcQueries.oracles ++ TextOps.oracles
+    Relational.oracles ++ CdcQueries.oracles ++ TextOps.oracles ++ NearDup.oracles
 }

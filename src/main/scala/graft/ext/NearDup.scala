@@ -1,0 +1,281 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+import graft.Tables
+
+/** Near-duplicate detection over the `documents` corpus — three independent
+  * scale paths to the same goal, each a `queries` entry with an exact oracle:
+  *
+  *  - q41 exact n-gram Jaccard similarity join via an inverted shingle
+  *    index count-join (+ exact length-ratio filter) — guaranteed recall,
+  *    fully codegen'd; see [[exactJaccardPairs]] for where PPJoin-style
+  *    prefix filtering slots in on natural corpora.
+  *  - q42 MinHash-LSH: 126 xxhash64 min-hash permutations, 21 bands x 6
+  *    rows, candidates = band-bucket collisions, then exact Jaccard verify.
+  *    P(miss | J=0.9) ~= 1.2e-7, so at the corpus' planted similarity
+  *    separation (J>=0.9 vs <=0.3) the output equals the exact all-pairs
+  *    answer, which is the oracle.
+  *  - q47 SimHash: 60-bit signature over word tokens; pairs at Hamming
+  *    distance <= 3 found by pigeonhole banding (4 blocks of 15 bits — a
+  *    pair within distance 3 must match exactly on >= 1 block). Exact by
+  *    construction, no probabilistic gap.
+  *
+  * The reference has no similarity operators (it delegates all query
+  * capability to Spark SQL); these are the training-data-pipeline extension.
+  */
+object NearDup {
+  private def t(s: SparkSession, dir: String, n: String): DataFrame = Tables.load(s, dir, n)
+
+  val ShingleK = 5
+  val JaccardT = 0.8
+
+  // -- MinHash parameters (fixed, deterministic). r=6 rows x 21 bands gives a
+  // steep S-curve fitted to this corpus' similarity gap (background J~0.2,
+  // near-dups J>=0.9): P(candidate | J=0.2) ~= 1.3e-3 keeps the verify join
+  // small, P(miss | J=0.9) ~= 1.2e-7 makes the exact-all-pairs oracle safe.
+  val NumPerms = 126
+  val BandRows = 6 // 21 bands
+  private val P = TextOps.HashMod
+
+
+  /** documents -> (doc_id, sh: array<string> distinct 5-shingles).
+    * Repartitions first: the shingle/hash work below is CPU-heavy narrow
+    * compute, and a small parquet input may arrive as a single partition —
+    * without the spread it would all run on one core. At real scale the
+    * scan is already wide and AQE coalesces any excess. */
+  private def withShingles(docs: DataFrame): DataFrame =
+    docs.repartition(col("doc_id"))
+      .select(col("doc_id"), TextOps.shingles(col("text"), ShingleK).as("sh"))
+
+  /** documents -> (doc_id, shh: array<long> distinct xxhash64'd 5-shingles,
+    * sz). Hashing each shingle once makes every downstream join/minhash
+    * operate on fixed-width longs instead of strings; distinct counts equal
+    * the string-set counts up to a negligible 64-bit collision probability. */
+  private def withHashedShingles(docs: DataFrame): DataFrame =
+    withShingles(docs).select(col("doc_id"),
+      array_distinct(transform(col("sh"), s => xxhash64(s))).as("shh"))
+      .withColumn("sz", size(col("shh")))
+
+  /** Exact similarity join, adaptive to the corpus' shingle-dictionary size.
+    *
+    * This corpus draws from a ~30-word vocabulary, so the GLOBAL distinct
+    * 5-shingle count is tiny (~2k) while per-shingle document frequencies
+    * are in the hundreds — which defeats every frequency-based pruning
+    * scheme: PPJoin prefix filtering (each doc's rarest shingles are still
+    * shared by hundreds of docs) degenerates to all-pairs with extra work,
+    * and an inverted-index count-join explodes into sum(df^2) ~= 500M join
+    * rows through 2k join keys. The winning exact plan instead
+    * dictionary-encodes shingles (driver-sized, like an AQE decision) and
+    * packs each doc's set into W 64-bit bitmap columns; the exact
+    * intersection count is then `sum_i bit_count(a.w_i & b.w_i)` — flat
+    * codegen'd expressions over a broadcast nested-loop pair join that
+    * applies the exact length-ratio bound (J >= t forces
+    * min(sz) >= t*max(sz)) before any bitmap work.
+    *
+    * Scale notes: exact all-pairs similarity is inherently quadratic in the
+    * worst case; at 100 TB the pair join buckets by length-band to
+    * partition the quadratic work, and on natural zipfian text (huge
+    * dictionary, rare shingles) the right exact plan flips to PPJoin prefix
+    * filtering over the inverted index. Both variants keep this function's
+    * contract; the bitmap trick is the fast path whenever the dictionary
+    * fits (char-k-grams over constrained vocabularies — common for code,
+    * logs, DNA). */
+  def exactJaccardPairs(docs: DataFrame): DataFrame = {
+    val hashed = withHashedShingles(docs)
+    val ex = hashed.select(col("doc_id"), explode(col("shh")).as("h"))
+    // Global dictionary: shingle-hash -> dense id. ~2k rows; the single-
+    // partition window is a driver-scale sort, not a data-scale one.
+    val dict = ex.select("h").distinct()
+      .withColumn("id", row_number().over(Window.orderBy("h")) - 1)
+    val dictSize = dict.count() // adaptive W, decided driver-side
+    val W = ((dictSize + 63) / 64).toInt
+    val bitmaps = ex.join(broadcast(dict), "h")
+      .groupBy(col("doc_id"))
+      .pivot((col("id") / 64).cast("int"), 0 until W)
+      .agg(expr("bit_or(shiftleft(1L, CAST(id % 64 AS INT)))"))
+      .na.fill(0L)
+      .join(hashed.select(col("doc_id"), col("sz")), "doc_id")
+    val a = bitmaps.toDF(bitmaps.columns.map(c => if (c == "doc_id" || c == "sz") c else s"w$c"): _*)
+    val pairs = a.as("a").join(a.as("b"),
+      col("a.doc_id") < col("b.doc_id") &&
+        least(col("a.sz"), col("b.sz")).cast("double") >=
+          lit(JaccardT) * greatest(col("a.sz"), col("b.sz")))
+    val c = (0 until W).map(i => expr(s"bit_count(a.w$i & b.w$i)")).reduce(_ + _).cast("double")
+    pairs
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
+        col("a.sz").as("sz_a"), col("b.sz").as("sz_b"), c.as("c"))
+      .withColumn("jaccard", col("c") / (col("sz_a") + col("sz_b") - col("c")))
+      .filter(col("jaccard") >= JaccardT)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
+  /** Join candidate (id_a, id_b) pairs back to shingle-hash arrays and keep
+    * exact-Jaccard >= t. The intersect runs on xxhash64'd shingles — same
+    * distinct counts as the string sets up to a ~2^-47 per-pair collision
+    * probability, and far cheaper to ship and intersect. Two broadcast-able
+    * joins at small candidate counts; at scale both sides shuffle on doc_id,
+    * the natural key. */
+  private def verifyPairs(cand: DataFrame, hashed: DataFrame): DataFrame =
+    cand
+      .join(hashed.select(col("doc_id").as("id_a"), col("shh").as("sh_a")), "id_a")
+      .join(hashed.select(col("doc_id").as("id_b"), col("shh").as("sh_b")), "id_b")
+      .withColumn("c", size(array_intersect(col("sh_a"), col("sh_b"))).cast("double"))
+      .withColumn("jaccard", col("c") / (size(col("sh_a")) + size(col("sh_b")) - col("c")))
+      .filter(col("jaccard") >= JaccardT)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+      .orderBy(col("id_a"), col("id_b"))
+
+  /** MinHash-LSH candidates + exact verify.
+    *
+    * The signature is computed the Spark-native way: explode shingles and
+    * take 126 `min(xxhash64(i, shingle))` aggregates in one groupBy. Every
+    * expression stays inside whole-stage codegen (an earlier higher-order-
+    * function formulation ran interpreted and was ~20x slower), map-side
+    * partial aggregation collapses the exploded rows back to one row per doc
+    * before the shuffle, and seeding xxhash64 with the permutation index
+    * gives well-mixed, independent permutations (a weak linear-perm scheme
+    * correlated minima across docs and blew the candidate count up 50x). */
+  def minhashLshPairs(docs: DataFrame): DataFrame = {
+    val hashed = withHashedShingles(docs)
+    val exploded = hashed.select(col("doc_id"), explode(col("shh")).as("h"))
+    val minCols = (0 until NumPerms).map(i => min(xxhash64(lit(i), col("h"))).as(s"m$i"))
+    val sig = exploded.groupBy("doc_id").agg(minCols.head, minCols.tail: _*)
+    val bandStructs = (0 until NumPerms / BandRows).map(b =>
+      struct(lit(b).as("band"),
+        concat_ws("-", (0 until BandRows)
+          .map(r => col(s"m${b * BandRows + r}").cast("string")): _*).as("key")))
+    val bands = sig.select(col("doc_id"), explode(array(bandStructs: _*)).as("bk"))
+      .select(col("doc_id"), col("bk.band").as("band"), col("bk.key").as("key"))
+    val cand = bands.as("a").join(bands.as("b"),
+        col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      .distinct()
+    verifyPairs(cand, hashed)
+  }
+
+  // -- SimHash: 60-bit signature = two portable 30-bit polynomial hashes.
+  val SimBits = 60
+  val HammingT = 3
+  val SimBlocks = HammingT + 1 // pigeonhole: d<=3 => >=1 of 4 blocks equal
+  private val P2 = 998244353L
+
+  /** Second independent polynomial hash (base 131 mod 998244353). */
+  private def polyHash2(s: Column): Column =
+    aggregate(sequence(lit(1), length(s)), lit(0L),
+      (acc, i) => (acc * 131 + ascii(s.substr(i, lit(1)))) % P2)
+
+  /** 60-bit count-weighted SimHash over word tokens: bit i of the signature
+    * is set iff the token-count-weighted vote for bit i wins (sum over words
+    * of count*[bit set] exceeds half the total token count). Weighting
+    * matters here: distinct-word sets are near-identical across a
+    * small-vocabulary corpus, while term frequencies distinguish documents.
+    * Word hash = low 30 bits polyHash, high 30 bits polyHash2. The bit fold
+    * uses SQL `shiftright(h, i)` (column bit-index), which the Scala
+    * functions API doesn't expose. */
+  // SQL form of the two portable polynomial hashes (column-index substring
+  // and shiftright(h, i) with a lambda-bound bit index only exist in SQL).
+  private def sqlPolyHash(e: String): String =
+    s"aggregate(sequence(1, length($e)), 0L, (ph, j) -> (ph*31 + ascii(substring($e, j, 1))) % $P)"
+  private def sqlPolyHash2(e: String): String =
+    s"aggregate(sequence(1, length($e)), 0L, (ph, j) -> (ph*131 + ascii(substring($e, j, 1))) % $P2)"
+
+  def withSimhash(docs: DataFrame): DataFrame = {
+    // Single SQL expression with `transform(array(x), v -> ...)[1]` as a
+    // let-binding (see TextOps.bind): the token array and the per-word
+    // (hash, count) structs are each evaluated once per document — HOFs run
+    // interpreted, so an inlined subexpression would be recomputed at every
+    // one of the 60 bit iterations otherwise.
+    val simhash = expr(
+      s"""element_at(transform(array(regexp_extract_all(lower(text), '[a-z0-9]+', 0)), ws ->
+            element_at(transform(array(transform(array_distinct(ws), w ->
+                named_struct(
+                  'h', ${sqlPolyHash("w")} + shiftleft(${sqlPolyHash2("w")}, 30),
+                  'c', CAST(size(filter(ws, x -> x = w)) AS BIGINT)))), whs ->
+              aggregate(sequence(0, ${SimBits - 1}), 0L, (acc, i) -> acc +
+                IF(2 * aggregate(whs, 0L,
+                       (a2, s) -> a2 + IF(shiftright(s.h, i) % 2 = 1, s.c, 0L))
+                     > CAST(size(ws) AS BIGINT),
+                   shiftleft(1L, i), 0L))), 1)), 1)""")
+    docs
+      .repartition(col("doc_id")) // spread CPU-heavy narrow work (see withShingles)
+      .select(col("doc_id"), simhash.as("simhash"))
+  }
+
+  def simhashPairs(docs: DataFrame): DataFrame = {
+    val sig = withSimhash(docs)
+    // Pigeonhole banding: 4 blocks of 15 bits; distance<=3 pairs share >=1.
+    val blockBits = SimBits / SimBlocks
+    val blockStructs = (0 until SimBlocks).map(b =>
+      struct(lit(b).as("blk"),
+        pmod(shiftright(col("simhash"), b * blockBits), lit(1L << blockBits)).as("key")))
+    val blocks = sig
+      .select(col("doc_id"), col("simhash"), explode(array(blockStructs: _*)).as("bk"))
+      .select(col("doc_id"), col("simhash"), col("bk.blk").as("blk"), col("bk.key").as("key"))
+    blocks.as("a").join(blocks.as("b"),
+        col("a.blk") === col("b.blk") && col("a.key") === col("b.key") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
+        col("a.simhash").as("sim_a"), col("b.simhash").as("sim_b"))
+      .distinct()
+      .withColumn("hamming", expr("bit_count(sim_a ^ sim_b)").cast("long"))
+      .filter(col("hamming") <= HammingT)
+      .select(col("id_a"), col("id_b"), col("hamming"))
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q41_neardup_jaccard" -> ((s, dir) => exactJaccardPairs(t(s, dir, "documents"))),
+    "q42_minhash_lsh" -> ((s, dir) => minhashLshPairs(t(s, dir, "documents"))),
+    "q47_simhash" -> ((s, dir) => simhashPairs(t(s, dir, "documents")))
+  )
+
+  // Exact all-pairs oracles (fine at sf0.01's 500 docs; the Spark side is the
+  // scalable plan). q41 and q42 share one oracle by construction.
+  private def jaccardOracle: String = s"""
+    WITH sh AS (
+      SELECT doc_id, ${TextOps.shinglesSql("text", ShingleK)} AS sh FROM documents)
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+      len(list_intersect(a.sh, b.sh))::DOUBLE
+        / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) AS jaccard
+    FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+    WHERE len(list_intersect(a.sh, b.sh))::DOUBLE
+        / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= $JaccardT
+    ORDER BY id_a, id_b"""
+
+  private def simhashOracle: String = s"""
+    WITH sig AS (
+      SELECT doc_id,
+        list_reduce(list_prepend(0::BIGINT, range(0, $SimBits)), (acc, i) -> acc +
+          CASE WHEN 2 * list_sum(list_transform(whs,
+                 s -> CASE WHEN (s.h >> i) % 2 = 1 THEN s.c ELSE 0 END)) > total
+               THEN (1::BIGINT << i) ELSE 0 END) AS simhash
+      FROM (
+        SELECT doc_id, len(ws)::BIGINT AS total,
+          list_transform(list_distinct(ws),
+            w -> {'h': ${TextOps.polyHashSql("w")} + ((${polyHash2Sql("w")}) << 30),
+                  'c': len(list_filter(ws, x -> x = w))::BIGINT}) AS whs
+        FROM (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS ws
+              FROM documents)))
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+      bit_count(xor(a.simhash, b.simhash))::BIGINT AS hamming
+    FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= $HammingT
+    ORDER BY id_a, id_b"""
+
+  private def polyHash2Sql(e: String): String =
+    s"""list_reduce(
+          list_prepend(0::BIGINT,
+            list_transform(range(1, length($e)+1), i -> ord(substring($e, i, 1))::BIGINT)),
+          (acc, c) -> (acc*131 + c) % $P2)"""
+
+  val oracles: Map[String, String] = Map(
+    "q41_neardup_jaccard" -> jaccardOracle,
+    "q42_minhash_lsh" -> jaccardOracle,
+    "q47_simhash" -> simhashOracle
+  )
+}

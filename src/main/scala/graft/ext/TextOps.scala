@@ -46,6 +46,14 @@ object TextOps {
             list_transform(range(1, length($e)+1), i -> ord(substring($e, i, 1))::BIGINT)),
           (acc, c) -> (acc*31 + c) % ${HashMod})"""
 
+  /** Poor-man's let-binding: evaluate `value` once per row, reference it many
+    * times in `body`. Higher-order-function lambda variables are bound by
+    * value, so this stops Catalyst's projection collapse from inlining (and
+    * re-evaluating) an expensive subexpression at every reference — HOFs run
+    * interpreted, where duplicated subtrees are real repeated work. */
+  def bind(value: Column)(body: Column => Column): Column =
+    element_at(transform(array(value), body), 1)
+
   /** Character k-shingles (distinct). Requires length >= k. */
   def shingles(s: Column, k: Int): Column =
     array_distinct(transform(sequence(lit(1), length(s) - (k - 1)), i => s.substr(i, lit(k))))
