@@ -1,0 +1,193 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+import graft.Tables
+
+/** Similarity search over the `embeddings` table (vec_id, embedding
+  * float[64], label) — the ANN block of the training-data-pipeline
+  * extension:
+  *
+  *  - q50 brute-force exact cosine top-k for a fixed query set: the
+  *    baseline every ANN variant is measured against. Scales as
+  *    O(queries x corpus) with the corpus side streamed — the right shape
+  *    when the query set is small and broadcast.
+  *  - q51 sign-LSH (random-hyperplane) bucketed top-k with multi-probe:
+  *    each vector gets a 12-bit sign code; a query probes its own bucket
+  *    plus all Hamming-1 buckets (13 of 4096), exact-reranks candidates.
+  *    This is the 100 TB shape: candidate generation is a hash-bucket
+  *    equi-join touching ~0.3% of the corpus per query, never all-pairs.
+  *  - q52 embedding near-dup pairs: a self-union with deterministically
+  *    rescaled copies plants cos~1.0 duplicates; 2 independent 12-bit
+  *    sign-LSH tables generate candidates (P(miss | cos~1) ~ 1e-6,
+  *    P(collide | background cos~0.1) ~ 1e-3), then exact cosine >= 0.99
+  *    verification. The oracle is the exact all-pairs answer.
+  *
+  * Cross-engine float discipline: every cosine that appears in an output
+  * column is computed as an index-order left fold over doubles — the same
+  * IEEE operation sequence DuckDB's oracle fold runs, so values (and
+  * therefore ranks) are bit-identical. Internal-only filters (q52) may use
+  * any cosine implementation since the planted/background margin
+  * (0.99 vs 0.55) dwarfs engine rounding.
+  */
+object Similarity {
+  private def t(s: SparkSession, dir: String, n: String): DataFrame = Tables.load(s, dir, n)
+
+  val TopK = 5
+  val NumQueries = 10 // query set = vec_id < 10
+  val LshBits = 12
+  val DedupCos = 0.99
+  val DedupTables = 2
+
+  /** Index-order double dot product — bit-identical to the oracle's fold. */
+  private def dotd(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+
+  private def cosd(a: Column, na: Column, b: Column, nb: Column): Column =
+    dotd(a, b) / (na * nb)
+
+  /** DuckDB fragment: same fold. */
+  private def dotSql(a: String, b: String): String =
+    s"""list_reduce(list_prepend(0.0::DOUBLE,
+          list_transform(range(1, len($a)+1), i -> $a[i]::DOUBLE * $b[i]::DOUBLE)),
+        (acc, v) -> acc + v)"""
+
+  /** Deterministic pseudo-random hyperplane component in [-1, 1). The same
+    * literal values are baked into the Spark plan and the oracle SQL. */
+  private def planeVal(plane: Int, j: Int): Double = {
+    val h = (2654435761L * (plane.toLong * 64 + j + 1) + 12345L) % 1000003L
+    h.toDouble / 500001.5 - 1.0
+  }
+  private def plane(p: Int): Seq[Double] = (0 until 64).map(j => planeVal(p, j))
+  private def planeSql(p: Int): String = plane(p).mkString("[", ",", "]")
+
+  /** Sign code over `bits` hyperplanes starting at plane index `base`. */
+  private def signCode(v: Column, base: Int, bits: Int): Column =
+    (0 until bits).map { b =>
+      when(dotd(v, typedLit(plane(base + b))) > 0, lit(1L << b)).otherwise(0L)
+    }.reduce(_ + _)
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- exact brute-force cosine top-k: 10 broadcast queries x corpus.
+    "q50_ann_brute" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+        .repartition(col("vec_id")) // spread the fold work (single-file input)
+        .withColumn("nrm", sqrt(dotd(col("embedding"), col("embedding"))))
+      val q = e.filter(col("vec_id") < NumQueries)
+        .select(col("vec_id").as("qid"), col("embedding").as("qe"), col("nrm").as("qn"))
+      val tgt = e.filter(col("vec_id") >= NumQueries)
+      val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("vec_id"))
+      tgt.crossJoin(broadcast(q))
+        .withColumn("cos", cosd(col("qe"), col("qn"), col("embedding"), col("nrm")))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= TopK)
+        .select(col("qid").as("query_id"), col("rank"), col("vec_id").as("neighbor_id"), col("cos"))
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
+    // ---- sign-LSH bucketed ANN with Hamming-1 multi-probe + exact rerank.
+    "q51_ann_lsh" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+        .repartition(col("vec_id"))
+        .withColumn("nrm", sqrt(dotd(col("embedding"), col("embedding"))))
+        .withColumn("code", signCode(col("embedding"), 0, LshBits))
+      val probeArr = array(
+        (col("code") +: (0 until LshBits).map(b => col("code").bitwiseXOR(lit(1L << b)))): _*)
+      val probes = e.filter(col("vec_id") < NumQueries)
+        .select(col("vec_id").as("qid"), col("embedding").as("qe"), col("nrm").as("qn"),
+          explode(probeArr).as("probe"))
+      val tgt = e.filter(col("vec_id") >= NumQueries)
+      val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("vec_id"))
+      tgt.join(probes, col("probe") === col("code"))
+        .withColumn("cos", cosd(col("qe"), col("qn"), col("embedding"), col("nrm")))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= TopK)
+        .select(col("qid").as("query_id"), col("rank"), col("vec_id").as("neighbor_id"), col("cos"))
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
+    // ---- embedding near-dup: self-union with rescaled copies, LSH-bucketed
+    //      candidates, exact cosine verify.
+    "q52_embed_neardup" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings").repartition(col("vec_id"))
+        .select(col("vec_id"), col("embedding"))
+      val feed = e.union(e.select((col("vec_id") + 10000).as("vec_id"),
+        transform(col("embedding"), x => x * lit(1.05f)).as("embedding")))
+        .withColumn("nrm", sqrt(dotd(col("embedding"), col("embedding"))))
+      val banded = feed.select(col("vec_id"), col("embedding"), col("nrm"),
+          explode(array((0 until DedupTables).map(tb =>
+            struct(lit(tb).as("tbl"),
+              signCode(col("embedding"), 100 + tb * LshBits, LshBits).as("code"))): _*)).as("bk"))
+        .select(col("vec_id"), col("embedding"), col("nrm"),
+          col("bk.tbl").as("tbl"), col("bk.code").as("code"))
+      banded.as("a").join(banded.as("b"),
+          col("a.tbl") === col("b.tbl") && col("a.code") === col("b.code") &&
+            col("a.vec_id") < col("b.vec_id"))
+        .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"),
+          col("a.embedding").as("ea"), col("a.nrm").as("na"),
+          col("b.embedding").as("eb"), col("b.nrm").as("nb"))
+        .distinct()
+        .filter(cosd(col("ea"), col("na"), col("eb"), col("nb")) >= DedupCos)
+        .select(col("id_a"), col("id_b"))
+        .orderBy(col("id_a"), col("id_b"))
+    })
+  )
+
+  private def codesSql(extra: String): String = s"""
+    SELECT vec_id, embedding,
+      sqrt(${dotSql("embedding", "embedding")}) AS nrm $extra
+    FROM embeddings"""
+
+  val oracles: Map[String, String] = Map(
+    "q50_ann_brute" -> s"""
+      WITH e AS (${codesSql("")}),
+      scored AS (
+        SELECT q.vec_id AS query_id, t.vec_id AS neighbor_id,
+          ${dotSql("q.embedding", "t.embedding")} / (q.nrm * t.nrm) AS cos
+        FROM e q JOIN e t ON q.vec_id < $NumQueries AND t.vec_id >= $NumQueries)
+      SELECT query_id, rank, neighbor_id, cos FROM (
+        SELECT query_id, neighbor_id, cos,
+          ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+        FROM scored) x
+      WHERE rank <= $TopK
+      ORDER BY query_id, rank""",
+
+    "q51_ann_lsh" -> {
+      val codeExpr = (0 until LshBits).map(b =>
+        s"CASE WHEN ${dotSql("embedding", planeSql(b))} > 0 THEN ${1L << b} ELSE 0 END")
+        .mkString(" + ")
+      s"""
+      WITH e AS (${codesSql(s", $codeExpr AS code")}),
+      probes AS (
+        SELECT vec_id AS qid, embedding AS qe, nrm AS qn,
+          unnest([code] || list_transform(range(0, $LshBits), b -> xor(code, 1::BIGINT << b))) AS probe
+        FROM e WHERE vec_id < $NumQueries),
+      cand AS (
+        SELECT p.qid AS query_id, t.vec_id AS neighbor_id,
+          ${dotSql("p.qe", "t.embedding")} / (p.qn * t.nrm) AS cos
+        FROM probes p JOIN e t ON p.probe = t.code AND t.vec_id >= $NumQueries)
+      SELECT query_id, rank, neighbor_id, cos FROM (
+        SELECT query_id, neighbor_id, cos,
+          ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+        FROM cand) x
+      WHERE rank <= $TopK
+      ORDER BY query_id, rank"""
+    },
+
+    // Exact all-pairs oracle over the same planted feed; DuckDB's native
+    // cosine is safe here because no cosine value is emitted and the
+    // planted/background margin (~1.0 vs <=0.55) dwarfs rounding.
+    "q52_embed_neardup" -> s"""
+      WITH feed AS (
+        SELECT vec_id, embedding FROM embeddings
+        UNION ALL
+        SELECT vec_id + 10000, list_transform(embedding, x -> x * 1.05) FROM embeddings)
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b
+      FROM feed a JOIN feed b ON a.vec_id < b.vec_id
+      WHERE list_cosine_similarity(a.embedding, b.embedding) >= $DedupCos
+      ORDER BY id_a, id_b"""
+  )
+}
