@@ -1,11 +1,13 @@
 package graft.cdc
 
-import org.apache.hadoop.fs.Path
+import java.io.IOException
+
+import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{LongType, StructType}
+import org.apache.spark.sql.types.{BooleanType, LongType, StructType}
 
-/** Idempotent CDC MERGE applier (SURVEY.md §2.1 S9-S14, §2.3 invariants).
+/** Idempotent, incremental CDC MERGE applier (SURVEY.md §2.1 S9-S14, §2.3).
   *
   * The reference applies binlog events one-at-a-time through a single-thread
   * executor (`Rep.scala:24,56-65`) with HBase Put/Delete (`HbaseApplier.scala:
@@ -19,10 +21,23 @@ import org.apache.spark.sql.types.{LongType, StructType}
   * `before` struct (null for insert), `after` struct (null for delete);
   * `before`/`after` share one struct schema.
   *
-  * Scale notes: resolve is one shuffle on PK; merge is one full-outer join on
-  * PK. With the snapshot bucketed/partitioned by PK both sides co-locate.
-  * On a Delta/Iceberg sink this whole class collapses into `MERGE INTO`;
-  * the parquet swap here stands in because the image ships no lake-format jar.
+  * Storage layout — designed so a batch's I/O is proportional to the batch,
+  * not the table:
+  *  - The snapshot is hash-bucketed by PK into `graft_bucket=K` partition
+  *    directories. A micro-batch only reads and rewrites the buckets its
+  *    keys hash into; at 100 TB with thousands of buckets a small batch
+  *    touches a small fraction of the table instead of rewriting all of it.
+  *  - Deletes are kept as TOMBSTONE rows (`_graft_deleted = true`) carrying
+  *    their position, so a stale upsert replayed after a delete loses the
+  *    position race instead of resurrecting the row. [[snapshot]] filters
+  *    tombstones at read time. (Production would compact tombstones older
+  *    than the replay horizon.)
+  *  - Each touched bucket directory is swapped atomically-enough:
+  *    live -> .bak, tmp -> live, drop .bak, with every rename checked — a
+  *    crash at any point leaves either the old or the new bucket on disk,
+  *    never neither. (On a lake format this whole class collapses into
+  *    `MERGE INTO`; the bucket-swap scheme stands in because the image
+  *    ships no lake-format jar.)
   */
 object CdcApplier {
 
@@ -34,14 +49,22 @@ object CdcApplier {
     *                        the old row (`HbaseApplier.scala:252-257`); false
     *                        (default) emits the missing delete.
     * @param strictPk        reject upserts with any NULL PK column
-    *                        (`HbaseApplier.scala:206-208`). */
+    *                        (`HbaseApplier.scala:206-208`).
+    * @param numBuckets      PK-hash buckets in the snapshot layout. Sized so
+    *                        a bucket fits executor memory at the target
+    *                        scale (thousands at 100 TB; small here). */
   case class Options(
       pkCols: Seq[String],
       compatPkChange: Boolean = false,
-      strictPk: Boolean = true)
+      strictPk: Boolean = true,
+      numBuckets: Int = 16)
 
   private val POS = "_graft_pos"
   private val KIND = "_graft_kind"
+  private val DEL = "_graft_deleted"
+  // Partition-directory column; deliberately NOT underscore-prefixed —
+  // Hadoop readers treat _-prefixed paths as hidden.
+  private val BUCKET = "graft_bucket"
 
   private def dataFields(changes: DataFrame): Seq[String] =
     changes.schema("after").dataType.asInstanceOf[StructType].fieldNames.toSeq
@@ -96,11 +119,12 @@ object CdcApplier {
       .select(col("w.*"))
   }
 
-  /** Pure merge of a resolved batch into the current snapshot.
-    * `current` carries data columns + `_graft_pos`. Full-outer join on PK;
-    * a change only wins if its position is newer than the row it replaces. */
+  /** Pure merge of a resolved batch into (the touched slice of) the current
+    * snapshot. Full-outer join on PK; a change only wins if its position is
+    * newer than the row it replaces. Every key survives — deletes become
+    * tombstones — so convergence holds under arbitrary replay order. */
   def merge(current: DataFrame, resolved: DataFrame, opts: Options): DataFrame = {
-    val cols = resolved.columns.filterNot(c => c == KIND || c == POS).toSeq
+    val cols = resolved.columns.filterNot(c => c == KIND || c == POS || c == BUCKET).toSeq
     val joinCond = opts.pkCols
       .map(k => col(s"c.$k") <=> col(s"r.$k"))
       .reduce(_ && _)
@@ -108,35 +132,76 @@ object CdcApplier {
 
     val changeWins = col(s"r.$KIND").isNotNull &&
       (col(s"c.$POS").isNull || col(s"r.$POS") > col(s"c.$POS"))
-    joined
-      .filter(!(changeWins && col(s"r.$KIND") === "delete") &&
-        // row must exist on at least one side that survives
-        (col(s"c.$POS").isNotNull || col(s"r.$KIND") === "upsert"))
-      .select(
-        cols.map(c => when(changeWins, col(s"r.$c")).otherwise(col(s"c.$c")).as(c)) :+
-          when(changeWins, col(s"r.$POS")).otherwise(col(s"c.$POS")).as(POS): _*)
+    joined.select(
+      cols.map(c => when(changeWins, col(s"r.$c")).otherwise(col(s"c.$c")).as(c)) ++ Seq(
+        when(changeWins, col(s"r.$POS")).otherwise(col(s"c.$POS")).as(POS),
+        when(changeWins, col(s"r.$KIND") === "delete")
+          .otherwise(coalesce(col(s"c.$DEL"), lit(false))).as(DEL),
+        coalesce(col(s"c.$BUCKET"), col(s"r.$BUCKET")).as(BUCKET)): _*)
   }
 
-  /** End-to-end batch apply against a parquet-backed target directory:
-    * read snapshot → resolve → merge → write tmp → atomic-ish swap. */
+  /** Read the live table state: tombstones filtered, layout columns dropped
+    * (`_graft_pos` retained for offset introspection). */
+  def snapshot(spark: SparkSession, targetDir: String): DataFrame =
+    spark.read.parquet(targetDir).filter(!col(DEL)).drop(DEL, BUCKET)
+
+  /** End-to-end incremental batch apply against a bucketed parquet target:
+    * resolve → bucket → merge only touched buckets → per-bucket atomic swap. */
   def applyBatch(spark: SparkSession, changes: DataFrame, targetDir: String, opts: Options): Unit = {
     val resolved = resolveBatch(changes, opts)
-    val hconf = spark.sparkContext.hadoopConfiguration
-    val target = new Path(targetDir)
-    val fs = target.getFileSystem(hconf)
+      .withColumn(BUCKET, pmod(hash(opts.pkCols.map(col): _*), lit(opts.numBuckets)))
+      .persist()
+    try {
+      val hconf = spark.sparkContext.hadoopConfiguration
+      val target = new Path(targetDir)
+      val fs = target.getFileSystem(hconf)
 
-    val current =
-      if (fs.exists(target)) spark.read.parquet(targetDir)
-      else {
-        val schema = StructType(resolved.schema.fields.filterNot(f => f.name == KIND || f.name == POS))
-          .add(POS, LongType)
-        spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+      // Small driver-side action: at most numBuckets values.
+      val touched = resolved.select(BUCKET).distinct().collect().map(_.getInt(0)).sorted
+      if (touched.isEmpty) return
+
+      val current =
+        if (fs.exists(target))
+          spark.read.parquet(targetDir).filter(col(BUCKET).isin(touched.map(Int.box): _*))
+        else {
+          val schema = StructType(
+            resolved.schema.fields.filterNot(f => f.name == KIND || f.name == POS || f.name == BUCKET))
+            .add(POS, LongType).add(DEL, BooleanType).add(BUCKET, "int")
+          spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+        }
+      checkSchemaDrift(current.schema, resolved.schema, opts.pkCols)
+
+      val tmp = new Path(targetDir + ".tmp")
+      if (fs.exists(tmp)) fs.delete(tmp, true)
+      merge(current, resolved, opts)
+        .write.partitionBy(BUCKET).mode("overwrite").parquet(tmp.toString)
+
+      fs.mkdirs(target)
+      touched.foreach { b =>
+        swapDir(fs,
+          live = new Path(target, s"$BUCKET=$b"),
+          fresh = new Path(tmp, s"$BUCKET=$b"))
       }
-    checkSchemaDrift(current.schema, resolved.schema, opts.pkCols)
+      fs.delete(tmp, true)
+    } finally resolved.unpersist()
+  }
 
-    val tmp = new Path(targetDir + ".tmp")
-    merge(current, resolved, opts).write.mode("overwrite").parquet(tmp.toString)
-    if (fs.exists(target)) fs.delete(target, true)
-    fs.rename(tmp, target)
+  /** Crash-safe directory swap: live -> .bak, fresh -> live, drop .bak.
+    * Every rename is checked; a failure after the first rename restores the
+    * old directory. At no point is the bucket absent from disk without a
+    * recoverable .bak alongside. */
+  private def swapDir(fs: FileSystem, live: Path, fresh: Path): Unit = {
+    // Dot-prefixed => hidden from partition discovery while it exists.
+    val bak = new Path(live.getParent, "." + live.getName + ".bak")
+    if (fs.exists(bak) && !fs.delete(bak, true))
+      throw new IOException(s"cannot clear stale backup $bak")
+    val hadLive = fs.exists(live)
+    if (hadLive && !fs.rename(live, bak))
+      throw new IOException(s"cannot back up $live")
+    if (!fs.rename(fresh, live)) {
+      if (hadLive) fs.rename(bak, live) // restore; best-effort
+      throw new IOException(s"cannot publish $fresh to $live")
+    }
+    if (hadLive) fs.delete(bak, true)
   }
 }

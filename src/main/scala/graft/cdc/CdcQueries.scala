@@ -31,7 +31,28 @@ object CdcQueries {
       val replayed = feed.union(feed) // duplicate delivery must converge
       val target = Files.createTempDirectory("graft_cdc").toString + "/orders_state"
       CdcApplier.applyBatch(s, replayed, target, CdcApplier.Options(Seq("o_orderkey")))
-      s.read.parquet(target)
+      CdcApplier.snapshot(s, target)
+        .select(o.columns.map(col): _*)
+        .orderBy($"o_orderkey")
+    }),
+
+    // Incremental merge: a full-table bootstrap batch followed by a small
+    // second batch that touches a subset of PK-hash buckets; only those
+    // bucket directories are rewritten (file-level assertion in
+    // CdcApplierSpec F3.9). Final state must equal the declarative oracle.
+    "q32_incremental_merge" -> ((s, dir) => {
+      import s.implicits._
+      val o = Tables.load(s, dir, "orders")
+      val target = Files.createTempDirectory("graft_cdc").toString + "/orders_inc"
+      val opts = CdcApplier.Options(Seq("o_orderkey"))
+      CdcApplier.applyBatch(s, ChangeFeed.inserts(o, $"o_orderkey" * 10), target, opts)
+      val second = ChangeFeed.updates(
+          o.filter($"o_orderkey" % 7 === 0),
+          Map("o_totalprice" -> $"o_totalprice" * 1.2),
+          $"o_orderkey" * 10 + 3)
+        .union(ChangeFeed.deletes(o.filter($"o_orderkey" % 11 === 0), $"o_orderkey" * 10 + 5))
+      CdcApplier.applyBatch(s, second, target, opts)
+      CdcApplier.snapshot(s, target)
         .select(o.columns.map(col): _*)
         .orderBy($"o_orderkey")
     }),
@@ -57,6 +78,14 @@ object CdcQueries {
         o_orderdate, o_orderpriority
       FROM orders
       WHERE o_orderkey % 5 <> 0
+      ORDER BY o_orderkey""",
+
+    "q32_incremental_merge" -> """
+      SELECT o_orderkey, o_custkey, o_orderstatus,
+        CASE WHEN o_orderkey % 7 = 0 THEN o_totalprice * 1.2 ELSE o_totalprice END AS o_totalprice,
+        o_orderdate, o_orderpriority
+      FROM orders
+      WHERE o_orderkey % 11 <> 0
       ORDER BY o_orderkey""",
 
     "q31_latest_per_key" -> """

@@ -43,7 +43,7 @@ class CdcApplierSpec extends AnyFunSuite {
     Files.createTempDirectory("graft_test").toString + "/student"
 
   private def state(target: String): Set[Student] =
-    spark.read.parquet(target).drop("_graft_pos").as[Student].collect().toSet
+    CdcApplier.snapshot(spark, target).drop("_graft_pos").as[Student].collect().toSet
 
   val s1 = Student(1, 1, 90, "ann", "a")
   val s1v2 = Student(1, 1, 95, "ann", "b")
@@ -126,5 +126,43 @@ class CdcApplierSpec extends AnyFunSuite {
     CdcApplier.applyBatch(spark, ev("insert", 10, None, Some(s2)), target, opts)
     CdcApplier.applyBatch(spark, ev("delete", 20, Some(s1), None), target, opts)
     assert(state(target) == Set(s2))
+  }
+
+  test("F3.8 tombstone survives: stale upsert replayed after a delete stays dead") {
+    val target = newTarget()
+    CdcApplier.applyBatch(spark, ev("insert", 10, None, Some(s1)), target, opts)
+    CdcApplier.applyBatch(spark, ev("delete", 30, Some(s1), None), target, opts)
+    // a later batch replays the original insert (older position)
+    CdcApplier.applyBatch(spark, ev("insert", 10, None, Some(s1)), target, opts)
+    assert(state(target).isEmpty, "deleted row must not be resurrected by a stale upsert")
+  }
+
+  test("F3.9 incremental apply rewrites only the touched buckets") {
+    import org.apache.hadoop.fs.Path
+    val target = newTarget()
+    // bootstrap: many keys spread across buckets
+    val rows = (1 to 64).map(i => Student(i, i, i * 10, s"n$i", "r"))
+    CdcApplier.applyBatch(spark,
+      ChangeFeed.inserts(rows.toDF(), col("sn").cast("long") * 10), target, opts)
+
+    val fs = new Path(target).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def bucketFiles(): Map[String, Seq[(String, Long, Long)]] =
+      fs.listStatus(new Path(target)).filter(_.isDirectory).map { d =>
+        d.getPath.getName ->
+          fs.listStatus(d.getPath).map(f =>
+            (f.getPath.getName, f.getLen, f.getModificationTime)).toSeq.sortBy(_._1)
+      }.toMap
+    val before = bucketFiles()
+    assert(before.size > 1, "need multiple buckets for the test to mean anything")
+
+    // second batch: update a single key -> touches exactly one bucket
+    CdcApplier.applyBatch(spark,
+      ev("update", 1000, Some(rows.head), Some(rows.head.copy(score = 999))), target, opts)
+    val after = bucketFiles()
+
+    val changed = after.keySet.filter(k => before.get(k) != after.get(k))
+    assert(changed.size == 1, s"exactly one bucket should be rewritten, got $changed")
+    assert(state(target).contains(rows.head.copy(score = 999)))
+    assert(state(target).size == 64)
   }
 }
