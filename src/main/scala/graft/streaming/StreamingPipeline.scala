@@ -1,0 +1,171 @@
+package graft.streaming
+
+import java.nio.charset.StandardCharsets
+
+import scala.collection.concurrent.TrieMap
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQuery
+import org.apache.spark.sql.types.DecimalType
+
+import graft.cdc.CdcApplier
+
+/** Structured Streaming CDC pipeline (SURVEY.md §2.1 S1/S2/S5/S12/S13/S14).
+  *
+  * The reference tails the binlog on one thread and applies events strictly
+  * in order (`Rep.scala:24,56-65`), advancing a position checkpoint after
+  * every applied event (`HbaseApplier.scala:138-176`). The Spark-native
+  * equivalent: a streaming `ChangeEvent` source → `foreachBatch` over the
+  * idempotent incremental [[CdcApplier]] — per-key ordering comes from
+  * last-writer-wins resolution, crash recovery from the Structured Streaming
+  * checkpoint (offset+commit log) plus the applier's position guard, so
+  * at-least-once redelivery converges to exactly-once state.
+  *
+  * Reference semantics preserved:
+  *  - S5 replication filter: events for unmapped tables are dropped *but
+  *    still advance the position high-watermark* (invariant 5,
+  *    `MySQLExtractor.scala:225-236`) — a burst of unmapped traffic must
+  *    not stall recovery. The high-watermark is published to a hidden file
+  *    in the target with a checked rename (same discipline as the bucket
+  *    swap).
+  *  - S13 retry / dead-letter: a failing batch is retried `maxRetries`
+  *    times, then the query fails — the analog of the reference's bounded
+  *    in-memory retry queue then process exit (`Rep.scala:67-124`);
+  *    restart-from-checkpoint is the recovery path.
+  *  - S17 metrics: per-table per-op event counts and a sliding window of
+  *    recent batch latencies (`MySQLExtractor.scala:27-29`,
+  *    `HbaseApplier.scala:45-52`), kept in [[Metrics]].
+  */
+object StreamingPipeline {
+
+  /** @param applier       merge options (PK, compat mode, buckets)
+    * @param mappedTables  replication filter set (S5); empty = replicate all
+    * @param maxRetries    applier attempts per batch before the query fails
+    * @param preApplyHook  test seam: runs before each apply attempt */
+  case class PipelineOptions(
+      applier: CdcApplier.Options,
+      mappedTables: Set[String] = Set.empty,
+      maxRetries: Int = 2,
+      preApplyHook: () => Unit = () => ())
+
+  /** Per-pipeline observability (S17): per-table-per-op counts, batch
+    * counter, last-10 batch latencies. Thread-safe; keyed by target dir. */
+  object Metrics {
+    private val opCounts = TrieMap.empty[(String, String, String), Long]
+    private val batches = TrieMap.empty[String, Long]
+    private val latencies = TrieMap.empty[String, Vector[Long]]
+
+    private[streaming] def record(
+        target: String, counts: Seq[((String, String), Long)], durationMs: Long): Unit = {
+      counts.foreach { case ((table, op), n) =>
+        val k = (target, table, op)
+        opCounts.updateWith(k) { prev => Some(prev.getOrElse(0L) + n) }
+      }
+      batches.updateWith(target)(p => Some(p.getOrElse(0L) + 1))
+      latencies.updateWith(target)(p => Some((p.getOrElse(Vector.empty) :+ durationMs).takeRight(10)))
+    }
+
+    def opCount(target: String, table: String, op: String): Long =
+      opCounts.getOrElse((target, table, op), 0L)
+    def batchCount(target: String): Long = batches.getOrElse(target, 0L)
+    def recentLatenciesMs(target: String): Vector[Long] =
+      latencies.getOrElse(target, Vector.empty)
+    def reset(target: String): Unit = {
+      opCounts.keys.filter(_._1 == target).foreach(opCounts.remove)
+      batches.remove(target); latencies.remove(target)
+    }
+  }
+
+  private def highWaterPath(targetDir: String) = new Path(targetDir, ".graft_highwater")
+
+  /** Last published position high-watermark (advances even for filtered
+    * tables — invariant 5). */
+  def readHighWater(spark: SparkSession, targetDir: String): Option[Long] = {
+    val p = highWaterPath(targetDir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      try Some(new String(in.readAllBytes(), StandardCharsets.UTF_8).trim.toLong)
+      finally in.close()
+    }
+  }
+
+  private def writeHighWater(fs: FileSystem, targetDir: String, pos: Long): Unit = {
+    val live = highWaterPath(targetDir)
+    fs.mkdirs(new Path(targetDir))
+    val tmp = new Path(targetDir, ".graft_highwater.tmp")
+    val out = fs.create(tmp, true)
+    try out.write(pos.toString.getBytes(StandardCharsets.UTF_8)) finally out.close()
+    if (fs.exists(live)) fs.delete(live, false)
+    if (!fs.rename(tmp, live))
+      throw new java.io.IOException(s"cannot publish high-watermark to $live")
+  }
+
+  /** One micro-batch: count (S17) → high-watermark over the FULL batch →
+    * replication filter (S5) → retried incremental merge (S13 + S9-S11). */
+  def applyMicroBatch(
+      spark: SparkSession, batch: DataFrame, targetDir: String, opts: PipelineOptions): Unit = {
+    val t0 = System.nanoTime()
+    val cached = batch.persist()
+    try {
+      val stats = cached.groupBy(col("table"), col("op")).count().collect()
+        .map(r => ((r.getString(0), r.getString(1)), r.getLong(2))).toSeq
+      if (stats.isEmpty) return
+
+      val newHigh = cached.agg(max(col("next_position"))).first().getLong(0)
+      val mapped =
+        if (opts.mappedTables.isEmpty) cached
+        else cached.filter(col("table").isin(opts.mappedTables.toSeq: _*))
+      val envelope = mapped.select("op", "next_position", "before", "after")
+
+      var attempt = 0
+      var done = envelope.isEmpty
+      var lastErr: Throwable = null
+      while (!done && attempt <= opts.maxRetries) {
+        try {
+          opts.preApplyHook()
+          CdcApplier.applyBatch(spark, envelope, targetDir, opts.applier)
+          done = true
+        } catch {
+          case e: Throwable => lastErr = e; attempt += 1
+        }
+      }
+      if (!done)
+        throw new IllegalStateException(
+          s"CDC batch failed after ${opts.maxRetries + 1} attempts", lastErr)
+
+      // Invariant 5: advance the watermark even when everything was filtered
+      // — and monotonically, so replayed batches can't move it backwards.
+      val fs = new Path(targetDir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val prior = readHighWater(spark, targetDir).getOrElse(Long.MinValue)
+      if (newHigh > prior) writeHighWater(fs, targetDir, newHigh)
+
+      Metrics.record(targetDir, stats, (System.nanoTime() - t0) / 1000000)
+    } finally cached.unpersist()
+  }
+
+  /** Start the streaming CDC query. `changes` must be a streaming DataFrame
+    * with columns (op, table, next_position, before, after). */
+  def start(
+      changes: DataFrame, targetDir: String, checkpointDir: String,
+      opts: PipelineOptions): StreamingQuery =
+    changes.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        applyMicroBatch(batch.sparkSession, batch, targetDir, opts)
+      }
+      .start()
+
+  /** Event-time tumbling-window aggregation with a watermark — the
+    * streaming form of q22 (late data beyond the watermark is dropped). */
+  def windowedCounts(events: DataFrame, watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast(DecimalType(18, 6))).cast("double").as("total_value"))
+      .select(col("window.start").as("ws"), col("event_type"), col("n"), col("total_value"))
+}
