@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.operators.Relational
 import graft.cdc.CdcQueries
-import graft.ext.{NearDup, Similarity, TextOps}
+import graft.ext.{Multimodal, NearDup, Similarity, TextOps}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
 object SparkEntry {
@@ -15,11 +15,11 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Relational.queries ++ CdcQueries.queries ++ TextOps.queries ++
-      NearDup.queries ++ Similarity.queries
+      NearDup.queries ++ Similarity.queries ++ Multimodal.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     Relational.oracles ++ CdcQueries.oracles ++ TextOps.oracles ++
-      NearDup.oracles ++ Similarity.oracles
+      NearDup.oracles ++ Similarity.oracles ++ Multimodal.oracles
 }

@@ -1,0 +1,141 @@
+package graft.ext
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Typed metadata travelling with an opaque media payload. */
+case class MediaMeta(width: Int, height: Int, sampleRate: Int, durationMs: Int)
+
+/** One media object: opaque `payload` bytes + typed metadata — the schema a
+  * 100 TB multimodal lake uses (never decode at rest; decode lazily in the
+  * pipeline). */
+case class MediaItem(media_id: Long, kind: String, uri: String,
+    payload: Array[Byte], meta: MediaMeta)
+
+/** Decoded + resized image frame with extracted features. */
+case class MediaFeatures(media_id: Long, kind: String, width: Int, height: Int,
+    resized_checksum: Long, f0: Long, f1: Long, f2: Long, f3: Long)
+
+/** Multimodal-column plumbing (north-star extension; the reference has no
+  * media handling).
+  *
+  * Images/audio/video are carried as opaque BINARY columns with a typed
+  * metadata struct; decode / resize / feature-extract run as plain Scala
+  * inside `mapPartitions` — the Scala analog of `mapInPandas`: one
+  * iterator pass per partition, per-partition setup done once (the decoder
+  * "context" below), no per-row UDF dispatch, rows streamed not
+  * materialized. Partitioning (`repartition` on media_id before the
+  * CPU-heavy stage) and schemas are production-shaped.
+  *
+  * STUB NOTE: the container has no imaging/audio libraries, so
+  * [[FakeCodec]] stands in for the real decoder. It is a *deterministic
+  * fake* — pure integer arithmetic over the payload bytes — so tests and
+  * the DuckDB oracle can verify the full pipeline end-to-end. A production
+  * build swaps FakeCodec for e.g. javax.imageio / ffmpeg bindings behind
+  * the same three function signatures; nothing else changes.
+  */
+object Multimodal {
+
+  val ResizedDim = 8
+
+  /** Deterministic stand-in for an image/audio codec. */
+  object FakeCodec {
+    /** "Decode": materialize width*height pixel bytes from the payload
+      * (production: actual image decode). */
+    def decode(payload: Array[Byte], w: Int, h: Int): Array[Int] =
+      Array.tabulate(w * h)(i => payload(i % payload.length) & 0xff)
+
+    /** Nearest-neighbor resize to d x d (real logic, fake pixels). */
+    def resize(pixels: Array[Int], w: Int, h: Int, d: Int): Array[Int] =
+      Array.tabulate(d * d) { i =>
+        val r = i / d; val c = i % d
+        pixels((r * h / d) * w + (c * w / d))
+      }
+
+    /** 4 integer "features": fixed pseudo-random projections of the resized
+      * pixels (production: a real embedding model). */
+    def features(resized: Array[Int]): Array[Long] =
+      Array.tabulate(4) { k =>
+        resized.zipWithIndex.map { case (v, i) => v.toLong * (((k * 64 + i) % 7) - 3) }.sum
+      }
+
+    def checksum(resized: Array[Int]): Long =
+      resized.foldLeft(0L)((acc, v) => (acc * 31 + v) % TextOps.HashMod)
+  }
+
+  /** Synthetic media corpus derived from `documents`: payload = UTF-8 text
+    * bytes (any bytes would do — they are opaque), metadata derived
+    * deterministically from n_chars. */
+  def syntheticCorpus(spark: SparkSession, dir: String): Dataset[MediaItem] = {
+    import spark.implicits._
+    Tables.load(spark, dir, "documents")
+      .select(
+        col("doc_id").as("media_id"),
+        when(col("doc_id") % 2 === 0, "image").otherwise("audio").as("kind"),
+        concat(lit("synthetic://media/"), col("doc_id")).as("uri"),
+        encode(col("text"), "UTF-8").as("payload"),
+        struct(
+          (lit(16) + col("n_chars") % 32).cast("int").as("width"),
+          (lit(8) + col("n_chars") % 16).cast("int").as("height"),
+          (lit(8000) + (col("n_chars") % 3) * 4000).cast("int").as("sampleRate"),
+          (col("n_chars") * 10).cast("int").as("durationMs")).as("meta"))
+      .as[MediaItem]
+  }
+
+  /** decode -> resize -> feature-extract, one iterator pass per partition.
+    * The repartition spreads the (CPU-bound) codec work; at real scale the
+    * input is already wide and this becomes a no-op coalesce via AQE. */
+  def extractFeatures(media: Dataset[MediaItem]): Dataset[MediaFeatures] = {
+    import media.sparkSession.implicits._
+    media
+      .repartition(col("media_id"))
+      .mapPartitions { items =>
+        // per-partition decoder context (buffers, model handles) built ONCE
+        val codec = FakeCodec
+        items.map { m =>
+          val pixels = codec.decode(m.payload, m.meta.width, m.meta.height)
+          val resized = codec.resize(pixels, m.meta.width, m.meta.height, ResizedDim)
+          val Array(f0, f1, f2, f3) = codec.features(resized)
+          MediaFeatures(m.media_id, m.kind, m.meta.width, m.meta.height,
+            codec.checksum(resized), f0, f1, f2, f3)
+        }
+      }
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Full multimodal pipeline: binary column + metadata -> mapPartitions
+    // decode/resize/extract -> relational output, oracle-verified because
+    // the fake codec is exact integer arithmetic over the payload bytes.
+    "q60_multimodal_features" -> ((s, dir) =>
+      extractFeatures(syntheticCorpus(s, dir)).toDF().orderBy(col("media_id")))
+  )
+
+  val oracles: Map[String, String] = {
+    // DuckDB mirror of FakeCodec over the UTF-8 payload (ASCII corpus).
+    val w = "(16 + n_chars % 32)"
+    val h = "(8 + n_chars % 16)"
+    val d = ResizedDim
+    // pixel i (0-based) = byte at (i mod len), 1-based substring
+    def pix(i: String) = s"ord(substring(text, ($i) % length(text) + 1, 1))"
+    val resized =
+      s"""list_transform(range(0, ${d * d}), i ->
+            ${pix(s"((i // $d) * $h // $d) * $w + ((i % $d) * $w // $d)")})"""
+    def feat(k: Int) =
+      s"""CAST(list_sum(list_transform(range(0, ${d * d}),
+            i -> rs[i + 1] * ((($k * 64 + i) % 7) - 3))) AS BIGINT)"""
+    Map("q60_multimodal_features" -> s"""
+      WITH m AS (
+        SELECT doc_id AS media_id,
+          CASE WHEN doc_id % 2 = 0 THEN 'image' ELSE 'audio' END AS kind,
+          $w AS width, $h AS height, $resized AS rs
+        FROM documents)
+      SELECT media_id, kind, width, height,
+        list_reduce(list_prepend(0::BIGINT, rs),
+          (acc, v) -> (acc * 31 + v) % ${TextOps.HashMod}) AS resized_checksum,
+        ${feat(0)} AS f0, ${feat(1)} AS f1, ${feat(2)} AS f2, ${feat(3)} AS f3
+      FROM m
+      ORDER BY media_id""")
+  }
+}
