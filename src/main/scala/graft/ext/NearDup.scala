@@ -41,22 +41,15 @@ object NearDup {
   private val P = TextOps.HashMod
 
 
-  /** documents -> (doc_id, sh: array<string> distinct 5-shingles).
-    * Repartitions first: the shingle/hash work below is CPU-heavy narrow
-    * compute, and a small parquet input may arrive as a single partition —
-    * without the spread it would all run on one core. At real scale the
-    * scan is already wide and AQE coalesces any excess. */
-  private def withShingles(docs: DataFrame): DataFrame =
-    docs.repartition(col("doc_id"))
-      .select(col("doc_id"), TextOps.shingles(col("text"), ShingleK).as("sh"))
-
-  /** documents -> (doc_id, shh: array<long> distinct xxhash64'd 5-shingles,
-    * sz). Hashing each shingle once makes every downstream join/minhash
-    * operate on fixed-width longs instead of strings; distinct counts equal
-    * the string-set counts up to a negligible 64-bit collision probability. */
+  /** documents -> (doc_id, shh: array<long> distinct sorted xxh64 5-shingle
+    * hashes, sz) via the native [[graft.functions.ShingleHashes]] kernel —
+    * no per-shingle String allocation, full codegen. Hashed shingle sets
+    * have the same distinct counts as the string sets up to a negligible
+    * 64-bit collision probability. */
   private def withHashedShingles(docs: DataFrame): DataFrame =
-    withShingles(docs).select(col("doc_id"),
-      array_distinct(transform(col("sh"), s => xxhash64(s))).as("shh"))
+    docs.repartition(col("doc_id")) // spread CPU-heavy narrow work
+      .select(col("doc_id"),
+        call_function("graft_shingle_hashes", col("text"), lit(ShingleK)).as("shh"))
       .withColumn("sz", size(col("shh")))
 
   /** Exact similarity join, adaptive to the corpus' shingle-dictionary size.
@@ -110,7 +103,7 @@ object NearDup {
       .withColumn("jaccard", col("c") / (col("sz_a") + col("sz_b") - col("c")))
       .filter(col("jaccard") >= JaccardT)
       .select(col("id_a"), col("id_b"), col("jaccard"))
-      .orderBy(col("id_a"), col("id_b"))
+      .coalesce(1).sortWithinPartitions(col("id_a"), col("id_b")) // see exactJaccardPairs
   }
 
   /** Join candidate (id_a, id_b) pairs back to shingle-hash arrays and keep
@@ -127,28 +120,29 @@ object NearDup {
       .withColumn("jaccard", col("c") / (size(col("sh_a")) + size(col("sh_b")) - col("c")))
       .filter(col("jaccard") >= JaccardT)
       .select(col("id_a"), col("id_b"), col("jaccard"))
-      .orderBy(col("id_a"), col("id_b"))
+      .coalesce(1).sortWithinPartitions(col("id_a"), col("id_b")) // see exactJaccardPairs
 
   /** MinHash-LSH candidates + exact verify.
     *
-    * The signature is computed the Spark-native way: explode shingles and
-    * take 126 `min(xxhash64(i, shingle))` aggregates in one groupBy. Every
-    * expression stays inside whole-stage codegen (an earlier higher-order-
-    * function formulation ran interpreted and was ~20x slower), map-side
-    * partial aggregation collapses the exploded rows back to one row per doc
-    * before the shuffle, and seeding xxhash64 with the permutation index
-    * gives well-mixed, independent permutations (a weak linear-perm scheme
-    * correlated minima across docs and blew the candidate count up 50x). */
+    * The 126-permutation signature is one codegen'd per-row kernel
+    * ([[graft.functions.MinHashSig]] — `min over shingles of xxh64(h, p)`),
+    * so candidate generation needs no shuffle at all before the band join.
+    * xxh64-seeded permutations are well-mixed and independent (a weak
+    * linear-perm scheme correlated minima across docs and blew the
+    * candidate count up 50x); an earlier higher-order-function formulation
+    * ran interpreted and was ~20x slower. The signature is let-bound
+    * (TextOps.bind) before fan-out into 21 band keys so projection collapse
+    * can't re-inline it per band. */
   def minhashLshPairs(docs: DataFrame): DataFrame = {
     val hashed = withHashedShingles(docs)
-    val exploded = hashed.select(col("doc_id"), explode(col("shh")).as("h"))
-    val minCols = (0 until NumPerms).map(i => min(xxhash64(lit(i), col("h"))).as(s"m$i"))
-    val sig = exploded.groupBy("doc_id").agg(minCols.head, minCols.tail: _*)
-    val bandStructs = (0 until NumPerms / BandRows).map(b =>
-      struct(lit(b).as("band"),
-        concat_ws("-", (0 until BandRows)
-          .map(r => col(s"m${b * BandRows + r}").cast("string")): _*).as("key")))
-    val bands = sig.select(col("doc_id"), explode(array(bandStructs: _*)).as("bk"))
+    val bandArr = TextOps.bind(call_function("graft_minhash_sig", col("shh"), lit(NumPerms))) {
+      sig =>
+        array((0 until NumPerms / BandRows).map(b =>
+          struct(lit(b).as("band"),
+            concat_ws("-", (0 until BandRows)
+              .map(r => element_at(sig, b * BandRows + r + 1).cast("string")): _*).as("key"))): _*)
+    }
+    val bands = hashed.select(col("doc_id"), explode(bandArr).as("bk"))
       .select(col("doc_id"), col("bk.band").as("band"), col("bk.key").as("key"))
     val cand = bands.as("a").join(bands.as("b"),
         col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
@@ -164,11 +158,6 @@ object NearDup {
   val SimBlocks = HammingT + 1 // pigeonhole: d<=3 => >=1 of 4 blocks equal
   private val P2 = 998244353L
 
-  /** Second independent polynomial hash (base 131 mod 998244353). */
-  private def polyHash2(s: Column): Column =
-    aggregate(sequence(lit(1), length(s)), lit(0L),
-      (acc, i) => (acc * 131 + ascii(s.substr(i, lit(1)))) % P2)
-
   /** 60-bit count-weighted SimHash over word tokens: bit i of the signature
     * is set iff the token-count-weighted vote for bit i wins (sum over words
     * of count*[bit set] exceeds half the total token count). Weighting
@@ -177,12 +166,10 @@ object NearDup {
     * Word hash = low 30 bits polyHash, high 30 bits polyHash2. The bit fold
     * uses SQL `shiftright(h, i)` (column bit-index), which the Scala
     * functions API doesn't expose. */
-  // SQL form of the two portable polynomial hashes (column-index substring
-  // and shiftright(h, i) with a lambda-bound bit index only exist in SQL).
-  private def sqlPolyHash(e: String): String =
-    s"aggregate(sequence(1, length($e)), 0L, (ph, j) -> (ph*31 + ascii(substring($e, j, 1))) % $P)"
-  private def sqlPolyHash2(e: String): String =
-    s"aggregate(sequence(1, length($e)), 0L, (ph, j) -> (ph*131 + ascii(substring($e, j, 1))) % $P2)"
+  // SQL form of the two portable polynomial hashes, backed by the native
+  // codegen expression (the interpreted HOF fold was ~10x slower here).
+  private def sqlPolyHash(e: String): String = s"graft_polyhash($e, 31, ${P}L)"
+  private def sqlPolyHash2(e: String): String = s"graft_polyhash($e, 131, ${P2}L)"
 
   def withSimhash(docs: DataFrame): DataFrame = {
     // Single SQL expression with `transform(array(x), v -> ...)[1]` as a
@@ -225,13 +212,22 @@ object NearDup {
       .withColumn("hamming", expr("bit_count(sim_a ^ sim_b)").cast("long"))
       .filter(col("hamming") <= HammingT)
       .select(col("id_a"), col("id_b"), col("hamming"))
-      .orderBy(col("id_a"), col("id_b"))
+      .coalesce(1).sortWithinPartitions(col("id_a"), col("id_b")) // see exactJaccardPairs
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q41_neardup_jaccard" -> ((s, dir) => exactJaccardPairs(t(s, dir, "documents"))),
-    "q42_minhash_lsh" -> ((s, dir) => minhashLshPairs(t(s, dir, "documents"))),
-    "q47_simhash" -> ((s, dir) => simhashPairs(t(s, dir, "documents")))
+    "q41_neardup_jaccard" -> ((s, dir) => {
+      graft.functions.GraftFunctions.register(s)
+      exactJaccardPairs(t(s, dir, "documents"))
+    }),
+    "q42_minhash_lsh" -> ((s, dir) => {
+      graft.functions.GraftFunctions.register(s)
+      minhashLshPairs(t(s, dir, "documents"))
+    }),
+    "q47_simhash" -> ((s, dir) => {
+      graft.functions.GraftFunctions.register(s)
+      simhashPairs(t(s, dir, "documents"))
+    })
   )
 
   // Exact all-pairs oracles (fine at sf0.01's 500 docs; the Spark side is the

@@ -30,14 +30,14 @@ object TextOps {
 
   val HashMod = 1000000007L
 
-  /** Portable polynomial rolling hash: fold over character codepoints,
+  /** Portable polynomial rolling hash: fold over characters,
     * `acc = (acc*31 + code) mod 1e9+7`. Bounded at ~2^36 intermediate, so no
-    * overflow in either engine's signed 64-bit arithmetic. */
+    * overflow in either engine's signed 64-bit arithmetic. Backed by the
+    * native codegen expression [[graft.functions.PolyHash]] (the session
+    * must have it registered — query entry points call
+    * `PolyHash.register`). */
   def polyHash(s: Column): Column =
-    aggregate(
-      sequence(lit(1), length(s)),
-      lit(0L),
-      (acc, i) => (acc * 31 + ascii(s.substr(i, lit(1)))) % HashMod)
+    call_function("graft_polyhash", s, lit(31), lit(HashMod))
 
   /** Same fold, as a DuckDB SQL fragment over string expression `e`. */
   def polyHashSql(e: String): String =
@@ -167,6 +167,7 @@ object TextOps {
     //      5-shingles (a 1-permutation MinHash — the winnowing primitive).
     "q46_fingerprint" -> ((s, dir) => {
       import s.implicits._
+      graft.functions.GraftFunctions.register(s)
       t(s, dir, "documents")
         .select($"doc_id",
           array_min(transform(shingles($"text", 5), sh => polyHash(sh))).as("fingerprint"))

@@ -1,0 +1,136 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo, XXH64}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType, LongType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** JVM kernels shared by the interpreted and codegen paths of the hashing
+  * expressions (top-level object => Java-callable static forwarders, so the
+  * generated code calls `graft.functions.HashUtil.xxx(...)` directly). */
+object HashUtil {
+  /** Distinct xxh64 hashes of every k-byte window of `s`, sorted.
+    * Hashing the byte windows in place avoids one String allocation per
+    * shingle; for ASCII text a byte window IS the character k-shingle. */
+  def shingleHashes(s: UTF8String, k: Int): ArrayData = {
+    val n = s.numBytes()
+    if (n < k) return new GenericArrayData(Array.emptyLongArray)
+    val base = s.getBaseObject
+    val off = s.getBaseOffset
+    val out = new Array[Long](n - k + 1)
+    var i = 0
+    while (i <= n - k) {
+      out(i) = XXH64.hashUnsafeBytes(base, off + i, k, 42L)
+      i += 1
+    }
+    java.util.Arrays.sort(out)
+    var m = 0
+    var j = 0
+    while (j < out.length) {
+      if (m == 0 || out(j) != out(m - 1)) { out(m) = out(j); m += 1 }
+      j += 1
+    }
+    new GenericArrayData(java.util.Arrays.copyOf(out, m))
+  }
+
+  /** MinHash signature: for permutation p in [0, perms), the minimum of
+    * `xxh64(h, seed = p)` over the input hashes. One tight O(n * perms)
+    * loop per row — no shuffle, no per-permutation array materialization. */
+  def minhashSig(hs: ArrayData, perms: Int): ArrayData = {
+    val n = hs.numElements()
+    val sig = Array.fill(perms)(Long.MaxValue)
+    var i = 0
+    while (i < n) {
+      val h = hs.getLong(i)
+      var p = 0
+      while (p < perms) {
+        val v = XXH64.hashLong(h, p)
+        if (v < sig(p)) sig(p) = v
+        p += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(sig)
+  }
+}
+
+/** `graft_shingle_hashes(text, k)` — distinct sorted xxh64 hashes of the
+  * k-byte shingle windows, as a native codegen expression. Replaces
+  * `array_distinct(transform(shingles(text), xxhash64))`, which allocates a
+  * String per shingle and runs interpreted. */
+case class ShingleHashes(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (left.dataType == StringType && right.dataType == IntegerType)
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"graft_shingle_hashes expects (string, int), got (${left.dataType}, ${right.dataType})")
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "graft_shingle_hashes"
+
+  override protected def nullSafeEval(str: Any, k: Any): Any =
+    HashUtil.shingleHashes(str.asInstanceOf[UTF8String], k.asInstanceOf[Int])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (str, k) =>
+      s"${ev.value} = graft.functions.HashUtil.shingleHashes($str, $k);")
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
+/** `graft_minhash_sig(hashes, perms)` — MinHash signature over an
+  * array<long>, one codegen'd loop per row. */
+case class MinHashSig(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (left.dataType.isInstanceOf[ArrayType] &&
+      left.dataType.asInstanceOf[ArrayType].elementType == LongType &&
+      right.dataType == IntegerType)
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"graft_minhash_sig expects (array<bigint>, int), got (${left.dataType}, ${right.dataType})")
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "graft_minhash_sig"
+
+  override protected def nullSafeEval(hs: Any, perms: Any): Any =
+    HashUtil.minhashSig(hs.asInstanceOf[ArrayData], perms.asInstanceOf[Int])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (hs, perms) =>
+      s"${ev.value} = graft.functions.HashUtil.minhashSig($hs, $perms);")
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
+/** All native functions of the engine, for registry injection. */
+object GraftFunctions {
+  val entries: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
+    PolyHash.registryEntry,
+    (FunctionIdentifier("graft_shingle_hashes"),
+      new ExpressionInfo(classOf[ShingleHashes].getName, "graft_shingle_hashes"),
+      { children: Seq[Expression] =>
+        require(children.length == 2, "graft_shingle_hashes(text, k) takes 2 arguments")
+        ShingleHashes(children(0), children(1))
+      }),
+    (FunctionIdentifier("graft_minhash_sig"),
+      new ExpressionInfo(classOf[MinHashSig].getName, "graft_minhash_sig"),
+      { children: Seq[Expression] =>
+        require(children.length == 2, "graft_minhash_sig(hashes, perms) takes 2 arguments")
+        MinHashSig(children(0), children(1))
+      }))
+
+  /** Idempotent imperative registration for an already-built session. */
+  def register(spark: SparkSession): Unit =
+    entries.foreach { case (id, info, builder) =>
+      if (!spark.catalog.functionExists(id.funcName))
+        spark.sessionState.functionRegistry.registerFunction(id, info, builder)
+    }
+}

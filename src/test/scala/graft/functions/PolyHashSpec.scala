@@ -1,0 +1,81 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Native graft_polyhash expression: interpreted eval == codegen eval ==
+  * the reference HOF fold it replaced, plus null handling and the
+  * SparkSessionExtensions injection path. */
+class PolyHashSpec extends AnyFunSuite {
+  // NOTE: specs share one JVM; getOrCreate() may return a session built by
+  // another suite, whose configs (including spark.sql.extensions) are fixed.
+  // Register imperatively; the extensions hook is covered separately below.
+  lazy val spark: SparkSession = {
+    val s = SparkSession.builder()
+      .master("local[2]")
+      .config("spark.sql.shuffle.partitions", "2")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    GraftFunctions.register(s)
+    s
+  }
+
+  import spark.implicits._
+
+  test("GraftExtensions injects every native function") {
+    val ext = new org.apache.spark.sql.SparkSessionExtensions
+    new GraftExtensions().apply(ext) // must accept all registry entries
+    assert(GraftFunctions.entries.map(_._1.funcName).sorted ==
+      Seq("graft_minhash_sig", "graft_polyhash", "graft_shingle_hashes"))
+  }
+
+  private def hofFold(s: String, base: Long, mod: Long): Long =
+    s.foldLeft(0L)((acc, c) => (acc * base + c) % mod)
+
+  test("graft_polyhash matches a scala fold (codegen path)") {
+    val df = Seq("hello", "world", "", "a b c 123", "x" * 500).toDF("s")
+      .select($"s", expr("graft_polyhash(s, 31, 1000000007L)").as("h"))
+    df.collect().foreach { r =>
+      assert(r.getLong(1) == hofFold(r.getString(0), 31, 1000000007L), s"for '${r.getString(0)}'")
+    }
+  }
+
+  test("known vector matches the DuckDB oracle fold value") {
+    // duckdb: list_reduce fold over 'hello' chars with base 31 mod 1e9+7
+    val h = Seq("hello").toDF("s")
+      .select(expr("graft_polyhash(s, 31, 1000000007L)")).first().getLong(0)
+    assert(h == 99162322L)
+  }
+
+  test("null input yields null; works through call_function and groupBy") {
+    val df = Seq(Some("abc"), None).toDF("s")
+      .select(call_function("graft_polyhash", $"s", lit(31), lit(1000000007L)).as("h"))
+    val rows = df.collect()
+    assert(rows.count(_.isNullAt(0)) == 1)
+
+    // usable inside codegen'd aggregates (the minhash/simhash shape)
+    val agg = Seq("aa", "ab", "aa").toDF("s")
+      .groupBy(call_function("graft_polyhash", $"s", lit(131), lit(998244353L)).as("h"))
+      .count().collect()
+    assert(agg.length == 2)
+  }
+
+  test("interpreted (non-codegen) eval agrees with codegen") {
+    withCodegenDisabled {
+      val h = Seq("interpreted path").toDF("s")
+        .select(expr("graft_polyhash(s, 31, 1000000007L)")).first().getLong(0)
+      assert(h == hofFold("interpreted path", 31, 1000000007L))
+    }
+  }
+
+  private def withCodegenDisabled[T](f: => T): T = {
+    val prev = spark.conf.get("spark.sql.codegen.wholeStage", "true")
+    spark.conf.set("spark.sql.codegen.wholeStage", "false")
+    spark.conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
+    try f finally {
+      spark.conf.set("spark.sql.codegen.wholeStage", prev)
+      spark.conf.set("spark.sql.codegen.factoryMode", "FALLBACK")
+    }
+  }
+}
