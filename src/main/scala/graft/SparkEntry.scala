@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.operators.Relational
+import graft.operators.{Advanced, Relational}
 import graft.cdc.CdcQueries
 import graft.ext.{Multimodal, NearDup, Similarity, TextOps}
 
@@ -14,12 +14,12 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    Relational.queries ++ CdcQueries.queries ++ TextOps.queries ++
+    Relational.queries ++ Advanced.queries ++ CdcQueries.queries ++ TextOps.queries ++
       NearDup.queries ++ Similarity.queries ++ Multimodal.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
-    Relational.oracles ++ CdcQueries.oracles ++ TextOps.oracles ++
+    Relational.oracles ++ Advanced.oracles ++ CdcQueries.oracles ++ TextOps.oracles ++
       NearDup.oracles ++ Similarity.oracles ++ Multimodal.oracles
 }

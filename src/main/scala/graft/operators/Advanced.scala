@@ -1,0 +1,92 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Encoders, SparkSession}
+import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.Tables
+
+/** Decimal-exact weighted average as a typed [[Aggregator]] (the UDAF row of
+  * SURVEY §2.2): per-row terms rounded to DECIMAL(18,6) exactly like the
+  * engine-wide SUMD convention, accumulated in arbitrary-precision
+  * BigDecimal on the JVM side (partial aggregation + merge = full
+  * map-side-combine support), final division in double. */
+object WeightedAvgAgg extends Aggregator[(String, Double, Double), (BigDecimal, BigDecimal), Double] {
+  private def dec6(d: Double): BigDecimal =
+    BigDecimal(d).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+  override def zero: (BigDecimal, BigDecimal) = (BigDecimal(0), BigDecimal(0))
+  override def reduce(b: (BigDecimal, BigDecimal), a: (String, Double, Double)) =
+    (b._1 + dec6(a._2 * a._3), b._2 + dec6(a._3))
+  override def merge(x: (BigDecimal, BigDecimal), y: (BigDecimal, BigDecimal)) =
+    (x._1 + y._1, x._2 + y._2)
+  override def finish(b: (BigDecimal, BigDecimal)): Double = b._1.toDouble / b._2.toDouble
+  override def bufferEncoder = Encoders.product[(BigDecimal, BigDecimal)]
+  override def outputEncoder = Encoders.scalaDouble
+}
+
+/** Operators beyond the round-1 relational surface: session windows and a
+  * typed-Aggregator UDAF, each with a DuckDB oracle. */
+object Advanced {
+  private def SUMD(e: String): String = s"CAST(SUM(CAST($e AS DECIMAL(18,6))) AS DOUBLE)"
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- session windows: per-user activity sessions with a 30-minute gap.
+    //      Spark merges events whose start < previous session end (strict),
+    //      i.e. a break at gap >= 30min — mirrored by the oracle's
+    //      gaps-and-islands SQL.
+    "q24_session_window" -> ((s, dir) => {
+      import s.implicits._
+      Tables.load(s, dir, "events")
+        .groupBy(session_window($"ts", "30 minutes"), $"user_id")
+        .agg(count(lit(1)).as("n"),
+          sum($"value".cast(DecimalType(18, 6))).cast("double").as("total_value"))
+        .select($"user_id",
+          unix_timestamp($"session_window.start").as("ss"),
+          unix_timestamp($"session_window.end").as("se"),
+          $"n", $"total_value")
+        .orderBy($"user_id", $"ss")
+    }),
+
+    // ---- UDAF: quantity-weighted average extended price per return flag.
+    "q25_weighted_avg" -> ((s, dir) => {
+      import s.implicits._
+      Tables.load(s, dir, "lineitem")
+        .select($"l_returnflag", $"l_extendedprice", $"l_quantity")
+        .as[(String, Double, Double)]
+        .groupByKey(_._1)
+        .agg(WeightedAvgAgg.toColumn.name("wavg"))
+        .toDF("l_returnflag", "wavg")
+        .orderBy($"l_returnflag")
+    })
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q24_session_window" -> s"""
+      WITH marked AS (
+        SELECT user_id, ts, value,
+          CASE WHEN LAG(ts) OVER w IS NULL
+                 OR ts - LAG(ts) OVER w >= INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS brk
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+      sess AS (
+        SELECT user_id, ts, value,
+          SUM(brk) OVER (PARTITION BY user_id ORDER BY ts
+                         ROWS UNBOUNDED PRECEDING) AS sid
+        FROM marked)
+      SELECT user_id,
+        CAST(FLOOR(epoch(MIN(ts))) AS BIGINT) AS ss,
+        CAST(FLOOR(epoch(MAX(ts) + INTERVAL 30 MINUTE)) AS BIGINT) AS se,
+        COUNT(*) AS n, ${SUMD("value")} AS total_value
+      FROM sess
+      GROUP BY user_id, sid
+      ORDER BY user_id, ss""",
+
+    "q25_weighted_avg" -> s"""
+      SELECT l_returnflag,
+        ${SUMD("l_extendedprice * l_quantity")} / ${SUMD("l_quantity")} AS wavg
+      FROM lineitem
+      GROUP BY l_returnflag
+      ORDER BY l_returnflag"""
+  )
+}

@@ -5,9 +5,9 @@ import java.nio.charset.StandardCharsets
 import scala.collection.concurrent.TrieMap
 
 import org.apache.hadoop.fs.{FileSystem, Path}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, Encoder, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.StreamingQuery
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, StreamingQuery}
 import org.apache.spark.sql.types.DecimalType
 
 import graft.cdc.CdcApplier
@@ -72,6 +72,9 @@ object StreamingPipeline {
     def batchCount(target: String): Long = batches.getOrElse(target, 0L)
     def recentLatenciesMs(target: String): Vector[Long] =
       latencies.getOrElse(target, Vector.empty)
+    /** All per-table-per-op counters for one target (S18 status surface). */
+    def allOpCounts(target: String): Map[(String, String), Long] =
+      opCounts.collect { case ((t, table, op), n) if t == target => (table, op) -> n }.toMap
     def reset(target: String): Unit = {
       opCounts.keys.filter(_._1 == target).foreach(opCounts.remove)
       batches.remove(target); latencies.remove(target)
@@ -158,6 +161,19 @@ object StreamingPipeline {
         applyMicroBatch(batch.sparkSession, batch, targetDir, opts)
       }
       .start()
+
+  /** Stateful per-key high-watermark via `mapGroupsWithState` — the
+    * reference's single-writer total order (S12) re-expressed as explicit
+    * keyed state: for each key, emit the highest position seen across all
+    * batches; stale/out-of-order events never move it backwards. */
+  def latestPerKey[E, K: Encoder](events: Dataset[E])(key: E => K, pos: E => Long)(
+      implicit outEnc: Encoder[(K, Long)], stateEnc: Encoder[Long]): Dataset[(K, Long)] =
+    events.groupByKey(key).mapGroupsWithState(GroupStateTimeout.NoTimeout) {
+      (k: K, it: Iterator[E], state: GroupState[Long]) =>
+        val mx = (it.map(pos) ++ state.getOption.iterator).max
+        state.update(mx)
+        (k, mx)
+    }
 
   /** Event-time tumbling-window aggregation with a watermark — the
     * streaming form of q22 (late data beyond the watermark is dropped). */

@@ -127,6 +127,57 @@ class StreamingPipelineSpec extends AnyFunSuite {
     assert(e.getMessage.contains("attempts") || e.getCause != null)
   }
 
+  test("S12 as explicit state: mapGroupsWithState tracks per-key latest position") {
+    val sink = s"lpk_${System.nanoTime()}"
+    val src = MemoryStream[SEvent]
+    val q = StreamingPipeline.latestPerKey(src.toDS())(e => (e.before, e.after) match {
+        case (_, Some(a)) => s"${a.sn}:${a.id}"
+        case (Some(b), _) => s"${b.sn}:${b.id}"
+        case _ => "?"
+      }, _.next_position)
+      .toDF("key", "latest_pos")
+      .writeStream.format("memory").queryName(sink).outputMode("update").start()
+
+    src.addData(ins(10, r1), ins(11, r2))
+    q.processAllAvailable()
+    src.addData(upd(20, r1, r1v2), ins(5, r1)) // pos 5 is stale for key 1:1
+    q.processAllAvailable()
+    val latest = spark.table(sink).as[(String, Long)].collect()
+      .groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2).max }
+    q.stop()
+    assert(latest("1:1") == 20L, "stale position must not regress the per-key state")
+    assert(latest("2:7") == 11L)
+  }
+
+  test("S18: status server serves metrics JSON over HTTP") {
+    val target = tmpdir("sp_t") + "/student"
+    Metrics.reset(target)
+    val src = MemoryStream[SEvent]
+    src.addData(ins(10, r1))
+    val q = StreamingPipeline.start(src.toDF(), target, tmpdir("sp_c"), opts())
+    q.processAllAvailable()
+    q.stop()
+
+    val server = new StatusServer(port = 0)
+    try {
+      def get(path: String): (Int, String) = {
+        val url = java.net.URI.create(s"http://localhost:${server.boundPort}$path").toURL
+        val conn = url.openConnection().asInstanceOf[java.net.HttpURLConnection]
+        val code = conn.getResponseCode
+        val is = if (code < 400) conn.getInputStream else conn.getErrorStream
+        val body = new String(is.readAllBytes(), "UTF-8")
+        (code, body)
+      }
+      assert(get("/health") == (200, "ok"))
+      val enc = java.net.URLEncoder.encode(target, "UTF-8")
+      val (code, body) = get(s"/status?target=$enc")
+      assert(code == 200)
+      assert(body.contains("\"batches\":1"))
+      assert(body.contains("\"student.insert\":1"))
+      assert(get("/status")._1 == 400)
+    } finally server.stop()
+  }
+
   test("watermarked tumbling window emits finalized windows and drops late data") {
     val sink = s"win_${System.nanoTime()}"
     val src = MemoryStream[TsEvent]
