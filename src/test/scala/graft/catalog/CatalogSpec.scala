@@ -9,6 +9,19 @@ import org.scalatest.funsuite.AnyFunSuite
 
 import graft.cdc.{CdcApplier, ChangeFeed}
 
+object CatalogFixtures {
+  // The EXACT F1 catalog-entry JSON from FIXTURES.md.
+  val f1Json: String =
+    """{"dbName":"mixfs","dbTableName":"student","hbaseTableName":"mixfs:student2",
+      | "hbaseNameSpace":"mixfs","sparkTableName":"student2","bytesUtils":"Binary","cols":[
+      |  {"dbColumnName":"sn","dbColumnType":"int(11)","hbaseColumnName":"sn","hbaseColumnType":"IntegerType","isPrimaryKey":true,"family":"cf"},
+      |  {"dbColumnName":"id","dbColumnType":"int(11)","hbaseColumnName":"id","hbaseColumnType":"IntegerType","isPrimaryKey":true,"family":"cf"},
+      |  {"dbColumnName":"score","dbColumnType":"int(11)","hbaseColumnName":"score","hbaseColumnType":"IntegerType","isPrimaryKey":false,"family":"cf"},
+      |  {"dbColumnName":"name","dbColumnType":"varchar(10)","hbaseColumnName":"name","hbaseColumnType":"StringType","isPrimaryKey":false,"family":"cf"},
+      |  {"dbColumnName":"rem","dbColumnType":"varchar(2)","hbaseColumnName":"rem","hbaseColumnType":"StringType","isPrimaryKey":false,"family":"cf"}]}
+      |""".stripMargin
+}
+
 /** S15/S16 catalog semantics against the reference's own `student` example
   * (FIXTURES.md F1, `Mysql2HbaseCliDriver.scala:41-48`) and S3 discovery
   * over the F2 typezoo fixture. */
@@ -21,16 +34,7 @@ class CatalogSpec extends AnyFunSuite {
 
   import spark.implicits._
 
-  // The EXACT F1 catalog-entry JSON from FIXTURES.md.
-  val f1Json: String =
-    """{"dbName":"mixfs","dbTableName":"student","hbaseTableName":"mixfs:student2",
-      | "hbaseNameSpace":"mixfs","sparkTableName":"student2","bytesUtils":"Binary","cols":[
-      |  {"dbColumnName":"sn","dbColumnType":"int(11)","hbaseColumnName":"sn","hbaseColumnType":"IntegerType","isPrimaryKey":true,"family":"cf"},
-      |  {"dbColumnName":"id","dbColumnType":"int(11)","hbaseColumnName":"id","hbaseColumnType":"IntegerType","isPrimaryKey":true,"family":"cf"},
-      |  {"dbColumnName":"score","dbColumnType":"int(11)","hbaseColumnName":"score","hbaseColumnType":"IntegerType","isPrimaryKey":false,"family":"cf"},
-      |  {"dbColumnName":"name","dbColumnType":"varchar(10)","hbaseColumnName":"name","hbaseColumnType":"StringType","isPrimaryKey":false,"family":"cf"},
-      |  {"dbColumnName":"rem","dbColumnType":"varchar(2)","hbaseColumnName":"rem","hbaseColumnType":"StringType","isPrimaryKey":false,"family":"cf"}]}
-      |""".stripMargin
+  val f1Json: String = CatalogFixtures.f1Json
 
   private def newCatalog(): (Catalog, String) = {
     val dir = Files.createTempDirectory("graft_catalog").toString
