@@ -91,6 +91,9 @@ object NearDup {
       .agg(expr("bit_or(shiftleft(1L, CAST(id % 64 AS INT)))"))
       .na.fill(0L)
       .join(hashed.select(col("doc_id"), col("sz")), "doc_id")
+      // one row per doc, W+2 columns — materialize once so the pair
+      // self-join below doesn't recompute the whole lineage for each side
+      .localCheckpoint()
     val a = bitmaps.toDF(bitmaps.columns.map(c => if (c == "doc_id" || c == "sz") c else s"w$c"): _*)
     val pairs = a.as("a").join(a.as("b"),
       col("a.doc_id") < col("b.doc_id") &&

@@ -1,0 +1,84 @@
+package graft.operators
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkEntry
+
+/** Physical-plan shape assertions — the properties that make these plans
+  * survive a 100x scale-up, locked in as tests so a refactor can't silently
+  * regress them (sf0.001 so planning is fast; shapes are size-independent
+  * except where AQE thresholds are noted). */
+class PlanSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private val dir = "/root/testdata/sf0.001"
+
+  /** Final physical plan, with AQE resolved (executes the query) plus the
+    * formatted explain (which carries scan PushedFilters/ReadSchema). */
+  private def plan(q: String): String = {
+    val df = SparkEntry.queries(q)(spark, dir)
+    df.queryExecution.toRdd.foreach(_ => ()) // finalize adaptive plan
+    df.queryExecution.executedPlan.toString + "\n" +
+      df.queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+  }
+
+  test("q02: filters reach the parquet scan (PushedFilters)") {
+    val p = plan("q02_filter_agg")
+    assert(p.contains("PushedFilters: ["), p)
+    assert(p.contains("GreaterThanOrEqual(l_shipdate"), p)
+  }
+
+  test("q02: scan reads only the referenced columns (schema pruning)") {
+    val p = plan("q02_filter_agg")
+    val readSchema = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(!readSchema.contains("l_orderkey"), s"pruned scan should not read l_orderkey: $readSchema")
+    assert(readSchema.contains("l_extendedprice"), readSchema)
+  }
+
+  test("q03: dimension side is broadcast, top-k is TakeOrderedAndProject") {
+    val p = plan("q03_join_topk")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("q04/q05: EXISTS/NOT EXISTS plan as semi/anti joins, not cartesian") {
+    assert(plan("q04_semi_join").contains("LeftSemi"))
+    assert(plan("q05_anti_join").contains("LeftAnti"))
+  }
+
+  test("q01: aggregation is partial + final hash aggregate (map-side combine)") {
+    val p = plan("q01_agg_summary")
+    assert("HashAggregate".r.findAllIn(p).size >= 2, p)
+  }
+
+  test("q42: LSH candidate join is an equi hash/merge join — never a cross product") {
+    val p = plan("q42_minhash_lsh")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("q51: ANN probes join target codes by equality — never all-pairs") {
+    val p = plan("q51_ann_lsh")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("q46: fingerprint runs the native graft_polyhash kernel, not an interpreted fold") {
+    val p = plan("q46_fingerprint")
+    assert(p.contains("graft_polyhash"), p)
+    assert(!p.contains("aggregate(sequence"), p)
+  }
+
+  test("whole-stage codegen covers the relational hot paths") {
+    // codegen'd stages print as "*(n) Operator" in the final adaptive plan
+    val p = plan("q01_agg_summary")
+    assert(p.contains("*(1) "), p)
+    assert(p.linesIterator.exists(l => l.contains("*(") && l.contains("HashAggregate")), p)
+  }
+}
