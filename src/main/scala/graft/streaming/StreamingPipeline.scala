@@ -162,6 +162,26 @@ object StreamingPipeline {
       }
       .start()
 
+  /** One streaming query per mapped table from a single generic feed —
+    * SURVEY §7 hard part (c): the binlog carries dynamic per-table schemas,
+    * so the shared envelope keeps `before`/`after` as JSON strings and each
+    * table's query parses them with `from_json` against its own discovered
+    * schema before the typed incremental merge. `changes` columns:
+    * (op, table, next_position, before_json, after_json). */
+  def startPerTable(
+      changes: DataFrame,
+      tables: Map[String, (org.apache.spark.sql.types.StructType, String)],
+      checkpointRoot: String,
+      opts: String => PipelineOptions): Map[String, StreamingQuery] =
+    tables.map { case (table, (schema, targetDir)) =>
+      val typed = changes
+        .filter(col("table") === table)
+        .select(col("op"), col("table"), col("next_position"),
+          from_json(col("before_json"), schema).as("before"),
+          from_json(col("after_json"), schema).as("after"))
+      table -> start(typed, targetDir, s"$checkpointRoot/$table", opts(table))
+    }
+
   /** Stateful per-key high-watermark via `mapGroupsWithState` — the
     * reference's single-writer total order (S12) re-expressed as explicit
     * keyed state: for each key, emit the highest position seen across all

@@ -15,6 +15,8 @@ case class SRow(sn: Int, id: Int, score: Int, name: String, rem: String)
 case class SEvent(op: String, table: String, next_position: Long,
     before: Option[SRow], after: Option[SRow])
 case class TsEvent(ts: Timestamp, event_type: String, value: Double)
+case class JsonEvent(op: String, table: String, next_position: Long,
+    before_json: String, after_json: String)
 
 /** Structured Streaming coverage promised by SURVEY §2.2 (streaming row) and
   * VERDICT round-1 item 3: MemoryStream -> foreachBatch(CdcApplier) with a
@@ -125,6 +127,54 @@ class StreamingPipelineSpec extends AnyFunSuite {
     val e = intercept[Exception] { q2.processAllAvailable() }
     q2.stop()
     assert(e.getMessage.contains("attempts") || e.getCause != null)
+  }
+
+  test("per-table topology: one generic JSON feed fans out to typed per-table merges") {
+    import org.apache.spark.sql.types._
+    val root = tmpdir("sp_multi")
+    val studentSchema = StructType(Seq(
+      StructField("sn", IntegerType), StructField("score", IntegerType)))
+    val courseSchema = StructType(Seq(
+      StructField("cid", LongType), StructField("title", StringType)))
+    val src = MemoryStream[JsonEvent]
+    src.addData(
+      JsonEvent("insert", "student", 10, null, """{"sn":1,"score":90}"""),
+      JsonEvent("insert", "course", 11, null, """{"cid":7,"title":"spark"}"""),
+      JsonEvent("update", "student", 12, """{"sn":1,"score":90}""", """{"sn":1,"score":95}"""),
+      JsonEvent("insert", "other", 13, null, """{"x":1}""")) // no mapping -> ignored
+    val queries = StreamingPipeline.startPerTable(
+      src.toDF(),
+      Map(
+        "student" -> (studentSchema, s"$root/student"),
+        "course" -> (courseSchema, s"$root/course")),
+      s"$root/ckpt",
+      table => PipelineOptions(CdcApplier.Options(
+        if (table == "student") Seq("sn") else Seq("cid"))))
+    queries.values.foreach(_.processAllAvailable())
+    queries.values.foreach(_.stop())
+
+    val students = CdcApplier.snapshot(spark, s"$root/student")
+      .select("sn", "score").as[(Int, Int)].collect().toSet
+    val courses = CdcApplier.snapshot(spark, s"$root/course")
+      .select("cid", "title").as[(Long, String)].collect().toSet
+    assert(students == Set((1, 95)))
+    assert(courses == Set((7L, "spark")))
+  }
+
+  test("GraftConf builds PipelineOptions from spark.graft.* conf keys") {
+    spark.conf.set("spark.graft.pk", "sn, id")
+    spark.conf.set("spark.graft.maxRetries", "5")
+    spark.conf.set("spark.graft.numBuckets", "8")
+    spark.conf.set("spark.graft.mappedTables", "student,course")
+    try {
+      val o = GraftConf.pipelineOptions(spark)
+      assert(o.applier.pkCols == Seq("sn", "id"))
+      assert(o.maxRetries == 5)
+      assert(o.applier.numBuckets == 8)
+      assert(o.applier.strictPk)
+      assert(o.mappedTables == Set("student", "course"))
+    } finally Seq("pk", "maxRetries", "numBuckets", "mappedTables")
+      .foreach(k => spark.conf.unset(s"spark.graft.$k"))
   }
 
   test("S12 as explicit state: mapGroupsWithState tracks per-key latest position") {
