@@ -48,6 +48,33 @@ object Advanced {
         .orderBy($"user_id", $"ss")
     }),
 
+    // ---- array construction + functions: collect_set/sort/size/element_at.
+    //      (the array is stringified in the final projection — the driver's
+    //      hash compare can't digest array-typed output columns)
+    "q26_array_agg" -> ((s, dir) => {
+      import s.implicits._
+      Tables.load(s, dir, "orders")
+        .groupBy($"o_orderpriority")
+        .agg(array_sort(collect_set($"o_orderstatus")).as("statuses"),
+          count(lit(1)).as("n"))
+        .select($"o_orderpriority",
+          concat_ws(",", $"statuses").as("statuses_str"),
+          size($"statuses").cast("long").as("n_statuses"),
+          element_at($"statuses", 1).as("first_status"), $"n")
+        .orderBy($"o_orderpriority")
+    }),
+
+    // ---- generator / UDTF surface: posexplode over a computed array.
+    "q27_posexplode" -> ((s, dir) => {
+      import s.implicits._
+      Tables.load(s, dir, "part")
+        .filter($"p_partkey" <= 200)
+        .select($"p_partkey", posexplode(split($"p_name", " ")).as(Seq("pos", "word")))
+        .select($"p_partkey", $"pos".cast("long").as("pos"), $"word",
+          length($"word").cast("long").as("wlen"))
+        .orderBy($"p_partkey", $"pos")
+    }),
+
     // ---- UDAF: quantity-weighted average extended price per return flag.
     "q25_weighted_avg" -> ((s, dir) => {
       import s.implicits._
@@ -87,6 +114,26 @@ object Advanced {
         ${SUMD("l_extendedprice * l_quantity")} / ${SUMD("l_quantity")} AS wavg
       FROM lineitem
       GROUP BY l_returnflag
-      ORDER BY l_returnflag"""
+      ORDER BY l_returnflag""",
+
+    "q26_array_agg" -> """
+      SELECT o_orderpriority,
+        array_to_string(list_sort(list(DISTINCT o_orderstatus)), ',') AS statuses_str,
+        CAST(len(list_sort(list(DISTINCT o_orderstatus))) AS BIGINT) AS n_statuses,
+        list_sort(list(DISTINCT o_orderstatus))[1] AS first_status,
+        COUNT(*) AS n
+      FROM orders
+      GROUP BY o_orderpriority
+      ORDER BY o_orderpriority""",
+
+    "q27_posexplode" -> """
+      SELECT p_partkey, CAST(g.i - 1 AS BIGINT) AS pos, w.word AS word,
+        CAST(length(w.word) AS BIGINT) AS wlen
+      FROM part,
+        LATERAL (SELECT string_split(p_name, ' ') AS ws) s,
+        LATERAL (SELECT unnest(range(1, len(s.ws)+1)) AS i) g,
+        LATERAL (SELECT s.ws[g.i] AS word) w
+      WHERE p_partkey <= 200
+      ORDER BY p_partkey, pos"""
   )
 }

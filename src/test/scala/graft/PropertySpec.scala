@@ -1,0 +1,73 @@
+package graft
+
+import scala.util.Random
+
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.cdc.TypeMapper
+import graft.functions.HashUtil
+
+/** Property-based invariants for the engine's pure kernels (seeded random
+  * generation — deterministic across runs). */
+class PropertySpec extends AnyFunSuite {
+  private val rnd = new Random(42)
+  private val Trials = 200
+
+  private def asciiText(max: Int = 60): String = {
+    val chars = "abcdefghijklmnopqrstuvwxyz0123456789 "
+    val n = rnd.nextInt(max + 1)
+    Seq.fill(n)(chars(rnd.nextInt(chars.length))).mkString
+  }
+
+  test("shingleHashes: count equals naive distinct string-shingle count; sorted distinct") {
+    (1 to Trials).foreach { _ =>
+      val s = asciiText()
+      val k = 1 + rnd.nextInt(8)
+      val got = HashUtil.shingleHashes(UTF8String.fromString(s), k).toLongArray().toSeq
+      val naive = (0 to s.length - k).map(i => s.substring(i, i + k)).distinct
+      assert(got.length == naive.length, s"for '$s' k=$k")
+      assert(got == got.sorted && got.distinct == got, s"for '$s' k=$k")
+    }
+  }
+
+  test("minhashSig: signature of a union is the elementwise min (the MinHash axiom)") {
+    val perms = 16
+    def sig(l: Seq[Long]) =
+      HashUtil.minhashSig(new GenericArrayData(l.toArray), perms).toLongArray().toSeq
+    (1 to Trials).foreach { _ =>
+      val a = Seq.fill(1 + rnd.nextInt(40))(rnd.nextLong())
+      val b = Seq.fill(1 + rnd.nextInt(40))(rnd.nextLong())
+      val expected = sig(a).zip(sig(b)).map { case (x, y) => math.min(x, y) }
+      assert(sig(a ++ b) == expected)
+    }
+  }
+
+  test("TypeMapper.compat: total (never throws) and lands in the reference's lattice") {
+    val lattice = Set[DataType](BooleanType, IntegerType, LongType, FloatType,
+      DoubleType, StringType)
+    (1 to Trials).foreach { _ =>
+      assert(lattice.contains(TypeMapper.compat(asciiText(20))))
+    }
+  }
+
+  test("TypeMapper.full: decimal(p,s) round-trips precision and scale") {
+    (1 to Trials).foreach { _ =>
+      val p = 1 + rnd.nextInt(38)
+      val s = rnd.nextInt(math.min(p, 18) + 1)
+      assert(TypeMapper.full(s"decimal($p,$s)") == DecimalType(p, s))
+    }
+  }
+
+  test("decodeEnum: never throws, 1-based, 0 and out-of-range encode None") {
+    (1 to Trials).foreach { _ =>
+      val labels = IndexedSeq.fill(rnd.nextInt(5))(asciiText(8))
+      val ord = rnd.nextInt(16) - 5
+      val r = TypeMapper.decodeEnum(ord, labels)
+      if (ord >= 1 && ord <= labels.size) assert(r.contains(labels(ord - 1)))
+      else assert(r.isEmpty)
+    }
+  }
+}
