@@ -25,10 +25,32 @@ object WeightedAvgAgg extends Aggregator[(String, Double, Double), (BigDecimal, 
   override def outputEncoder = Encoders.scalaDouble
 }
 
-/** Operators beyond the round-1 relational surface: session windows and a
-  * typed-Aggregator UDAF, each with a DuckDB oracle. */
+/** Operators beyond the round-1 relational surface: session windows, a
+  * typed-Aggregator UDAF, array/generator functions, and a salted
+  * aggregation for skewed keys — each with a DuckDB oracle. */
 object Advanced {
   private def SUMD(e: String): String = s"CAST(SUM(CAST($e AS DECIMAL(18,6))) AS DOUBLE)"
+
+  /** Two-phase salted aggregation for skew: phase 1 aggregates on
+    * (key, salt) — spreading one hot key over `salts` reducers — phase 2
+    * re-aggregates the partials per key. Decomposable aggs only (sum/count
+    * here). The salt is derived from a high-cardinality column so it is
+    * deterministic, unlike rand(). At local scale this is strictly more
+    * shuffle than needed; at 100 TB it is what keeps a hot key from pinning
+    * one executor. (AQE's skew-join split only covers joins, not
+    * aggregations — hence the explicit pattern.) */
+  def saltedSumCount(
+      df: org.apache.spark.sql.DataFrame, key: String, saltSource: String,
+      valueExpr: org.apache.spark.sql.Column, salts: Int)
+      : org.apache.spark.sql.DataFrame = {
+    val partial = df
+      .withColumn("_salt", pmod(hash(col(saltSource)), lit(salts)))
+      .groupBy(col(key), col("_salt"))
+      .agg(sum(valueExpr.cast(DecimalType(18, 6))).as("_psum"), count(lit(1)).as("_pcnt"))
+    partial
+      .groupBy(col(key))
+      .agg(sum(col("_psum")).cast("double").as("total"), sum(col("_pcnt")).as("n"))
+  }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- session windows: per-user activity sessions with a 30-minute gap.
@@ -73,6 +95,17 @@ object Advanced {
         .select($"p_partkey", $"pos".cast("long").as("pos"), $"word",
           length($"word").cast("long").as("wlen"))
         .orderBy($"p_partkey", $"pos")
+    }),
+
+    // ---- skew-safe aggregation: l_returnflag has 3 values — at scale each
+    //      is a hot key; the salted two-phase plan spreads each over 32
+    //      reducers. Result must equal the direct group-by (the oracle).
+    "q28_salted_agg" -> ((s, dir) => {
+      import s.implicits._
+      saltedSumCount(Tables.load(s, dir, "lineitem"),
+        key = "l_returnflag", saltSource = "l_orderkey",
+        valueExpr = $"l_extendedprice" * (lit(1.0) - $"l_discount"), salts = 32)
+        .orderBy($"l_returnflag")
     }),
 
     // ---- UDAF: quantity-weighted average extended price per return flag.
@@ -125,6 +158,14 @@ object Advanced {
       FROM orders
       GROUP BY o_orderpriority
       ORDER BY o_orderpriority""",
+
+    "q28_salted_agg" -> s"""
+      SELECT l_returnflag,
+        ${SUMD("l_extendedprice * (1.0 - l_discount)")} AS total,
+        COUNT(*) AS n
+      FROM lineitem
+      GROUP BY l_returnflag
+      ORDER BY l_returnflag""",
 
     "q27_posexplode" -> """
       SELECT p_partkey, CAST(g.i - 1 AS BIGINT) AS pos, w.word AS word,
