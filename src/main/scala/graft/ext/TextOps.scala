@@ -163,6 +163,28 @@ object TextOps {
         .orderBy($"doc_id")
     }),
 
+    // ---- Per-document quality score: bounded blend of length, punctuation
+    //      cleanliness, stopword naturalness, and type-token ratio — the
+    //      pre-training corpus-filtering heuristic. Pure double arithmetic
+    //      in a fixed operation order, so the oracle matches bit-for-bit.
+    "q49_quality_score" -> ((s, dir) => {
+      import s.implicits._
+      val d = t(s, dir, "documents")
+        .withColumn("ws", words($"text"))
+        .withColumn("n_words", size($"ws").cast("double"))
+        .withColumn("n_distinct", size(array_distinct($"ws")).cast("double"))
+        .withColumn("n_stop",
+          size(filter($"ws", w => array_contains(array(stopwords.map(lit): _*), w))).cast("double"))
+        .withColumn("n_punct",
+          length(regexp_replace($"text", "[a-z0-9 ]", "")).cast("double"))
+      d.select($"doc_id",
+          (least($"n_words" / 100.0, lit(1.0)) * 0.25
+            + (lit(1.0) - least($"n_punct" / length($"text") * 5.0, lit(1.0))) * 0.25
+            + least($"n_stop" / $"n_words" * 10.0, lit(1.0)) * 0.25
+            + ($"n_distinct" / $"n_words") * 0.25).as("quality"))
+        .orderBy($"doc_id")
+    }),
+
     // ---- Document fingerprint: min polynomial hash over character
     //      5-shingles (a 1-permutation MinHash — the winnowing primitive).
     "q46_fingerprint" -> ((s, dir) => {
@@ -243,6 +265,23 @@ object TextOps {
         len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS n_bpe_tokens,
         length(text) AS n_chars_actual
       FROM documents
+      ORDER BY doc_id""",
+
+    "q49_quality_score" -> s"""
+      WITH d AS (
+        SELECT doc_id, text,
+          len(regexp_extract_all(lower(text), '[a-z0-9]+'))::DOUBLE AS n_words,
+          len(list_distinct(regexp_extract_all(lower(text), '[a-z0-9]+')))::DOUBLE AS n_distinct,
+          len(list_filter(regexp_extract_all(lower(text), '[a-z0-9]+'),
+              w -> list_contains(['the','a','of','and','to','in'], w)))::DOUBLE AS n_stop,
+          length(regexp_replace(text, '[a-z0-9 ]', '', 'g'))::DOUBLE AS n_punct
+        FROM documents)
+      SELECT doc_id,
+        least(n_words / 100.0, 1.0) * 0.25
+          + (1.0 - least(n_punct / length(text) * 5.0, 1.0)) * 0.25
+          + least(n_stop / n_words * 10.0, 1.0) * 0.25
+          + (n_distinct / n_words) * 0.25 AS quality
+      FROM d
       ORDER BY doc_id""",
 
     "q46_fingerprint" -> s"""
