@@ -8,6 +8,11 @@ import org.apache.spark.sql.expressions.Window
 
 import graft.Tables
 
+/** Generic JSON-payload change envelope (the shape a schema-less binlog feed
+  * ships in; parsed per-table with from_json by the streaming topology). */
+case class EnvelopeRow(op: String, table: String, next_position: Long,
+    before_json: String, after_json: String)
+
 /** Driver-gated CDC queries: exercise the change-feed → resolve → merge path
   * end-to-end with a SQL-expressible oracle (SURVEY.md §5 item 2).
   */
@@ -57,6 +62,47 @@ object CdcQueries {
         .orderBy($"o_orderkey")
     }),
 
+    // The REAL Structured Streaming path, gated by the DuckDB oracle: the
+    // orders change feed is JSON-encoded into the generic envelope, fed
+    // through MemoryStream in two micro-batches (bootstrap, then
+    // updates+deletes), and applied by StreamingPipeline.startPerTable —
+    // from_json per-table parse, checkpointed foreachBatch, incremental
+    // bucketed merge. Final state must equal the declarative oracle.
+    "q33_streaming_merge" -> ((s, dir) => {
+      import s.implicits._
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+      val o = Tables.load(s, dir, "orders")
+
+      def toEnvelope(changes: org.apache.spark.sql.DataFrame): Array[EnvelopeRow] =
+        changes.select($"op", lit("orders").as("table"), $"next_position",
+            to_json($"before").as("before_json"), to_json($"after").as("after_json"))
+          .as[EnvelopeRow].collect()
+
+      val batch1 = toEnvelope(ChangeFeed.inserts(o, $"o_orderkey" * 10))
+      val batch2 = toEnvelope(
+        ChangeFeed.updates(o.filter($"o_orderkey" % 3 === 0),
+          Map("o_totalprice" -> $"o_totalprice" * 1.1), $"o_orderkey" * 10 + 5)
+          .union(ChangeFeed.deletes(o.filter($"o_orderkey" % 5 === 0), $"o_orderkey" * 10 + 7)))
+
+      val root = Files.createTempDirectory("graft_stream").toString
+      val target = s"$root/orders_state"
+      val src = MemoryStream[EnvelopeRow]
+      val queries = graft.streaming.StreamingPipeline.startPerTable(
+        src.toDF(), Map("orders" -> (o.schema, target)), s"$root/ckpt",
+        _ => graft.streaming.StreamingPipeline.PipelineOptions(
+          CdcApplier.Options(Seq("o_orderkey"))))
+      try {
+        src.addData(batch1.toIndexedSeq)
+        queries.values.foreach(_.processAllAvailable())
+        src.addData(batch2.toIndexedSeq)
+        queries.values.foreach(_.processAllAvailable())
+      } finally queries.values.foreach(_.stop())
+      CdcApplier.snapshot(s, target)
+        .select(o.columns.map(col): _*)
+        .orderBy($"o_orderkey")
+    }),
+
     // Per-key last-change dedup — the micro-batch ordering primitive that
     // replaces the reference's single-thread total order (SURVEY §2.3
     // invariant 1): latest event per user.
@@ -86,6 +132,14 @@ object CdcQueries {
         o_orderdate, o_orderpriority
       FROM orders
       WHERE o_orderkey % 11 <> 0
+      ORDER BY o_orderkey""",
+
+    "q33_streaming_merge" -> """
+      SELECT o_orderkey, o_custkey, o_orderstatus,
+        CASE WHEN o_orderkey % 3 = 0 THEN o_totalprice * 1.1 ELSE o_totalprice END AS o_totalprice,
+        o_orderdate, o_orderpriority
+      FROM orders
+      WHERE o_orderkey % 5 <> 0
       ORDER BY o_orderkey""",
 
     "q31_latest_per_key" -> """
