@@ -162,7 +162,7 @@ object CdcApplier {
 
       val current =
         if (fs.exists(target))
-          spark.read.parquet(targetDir).filter(col(BUCKET).isin(touched.map(Int.box): _*))
+          spark.read.parquet(targetDir).filter(col(BUCKET).isin(touched.map(Int.box).toIndexedSeq: _*))
         else {
           val schema = StructType(
             resolved.schema.fields.filterNot(f => f.name == KIND || f.name == POS || f.name == BUCKET))

@@ -37,7 +37,7 @@ object CdcQueries {
       val target = Files.createTempDirectory("graft_cdc").toString + "/orders_state"
       CdcApplier.applyBatch(s, replayed, target, CdcApplier.Options(Seq("o_orderkey")))
       CdcApplier.snapshot(s, target)
-        .select(o.columns.map(col): _*)
+        .select(o.columns.map(col).toIndexedSeq: _*)
         .orderBy($"o_orderkey")
     }),
 
@@ -58,7 +58,7 @@ object CdcQueries {
         .union(ChangeFeed.deletes(o.filter($"o_orderkey" % 11 === 0), $"o_orderkey" * 10 + 5))
       CdcApplier.applyBatch(s, second, target, opts)
       CdcApplier.snapshot(s, target)
-        .select(o.columns.map(col): _*)
+        .select(o.columns.map(col).toIndexedSeq: _*)
         .orderBy($"o_orderkey")
     }),
 
@@ -74,6 +74,11 @@ object CdcQueries {
       implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
       val o = Tables.load(s, dir, "orders")
 
+      // NOTE: the collect() below synthesizes the test feed — MemoryStream
+      // data must originate on the driver. A production deployment reads the
+      // envelope from a real source (Kafka/binlog tail); nothing in the
+      // pipeline itself (startPerTable -> from_json -> applyBatch) touches
+      // the driver with row data.
       def toEnvelope(changes: org.apache.spark.sql.DataFrame): Array[EnvelopeRow] =
         changes.select($"op", lit("orders").as("table"), $"next_position",
             to_json($"before").as("before_json"), to_json($"after").as("after_json"))
@@ -99,7 +104,7 @@ object CdcQueries {
         queries.values.foreach(_.processAllAvailable())
       } finally queries.values.foreach(_.stop())
       CdcApplier.snapshot(s, target)
-        .select(o.columns.map(col): _*)
+        .select(o.columns.map(col).toIndexedSeq: _*)
         .orderBy($"o_orderkey")
     }),
 

@@ -12,7 +12,7 @@ import org.apache.spark.sql.functions._
 object ChangeFeed {
 
   private def img(df: DataFrame): Column =
-    struct(df.columns.map(col): _*)
+    struct(df.columns.map(col).toIndexedSeq: _*)
 
   /** Typed NULL struct with the same schema as the row image. */
   private def nullImg(df: DataFrame): Column =
@@ -25,7 +25,7 @@ object ChangeFeed {
   /** Update events: `before` is the snapshot row, `after` applies
     * `afterExprs` overrides column-wise. */
   def updates(snapshot: DataFrame, afterExprs: Map[String, Column], pos: Column): DataFrame = {
-    val after = struct(snapshot.columns.map(c => afterExprs.getOrElse(c, col(c)).as(c)): _*)
+    val after = struct(snapshot.columns.map(c => afterExprs.getOrElse(c, col(c)).as(c)).toIndexedSeq: _*)
     snapshot.select(lit("update").as("op"), pos.cast("long").as("next_position"),
       img(snapshot).as("before"), after.as("after"))
   }

@@ -31,7 +31,7 @@ object CoercingSink {
           val labels = f.metadata.getStringArray("enumValues")
           // 1-based ordinal; 0 and out-of-range NULL-encode (CHANGELOG #9)
           when(c >= 1 && c <= labels.length,
-            element_at(array(labels.map(lit): _*), c.cast("int"))).otherwise(lit(null))
+            element_at(array(labels.map(lit).toIndexedSeq: _*), c.cast("int"))).otherwise(lit(null))
         } else f.dataType match {
           case _: DecimalType => c.cast(DoubleType)
           case BinaryType => decode(c, "UTF-8")

@@ -94,7 +94,7 @@ object NearDup {
       // one row per doc, W+2 columns — materialize once so the pair
       // self-join below doesn't recompute the whole lineage for each side
       .localCheckpoint()
-    val a = bitmaps.toDF(bitmaps.columns.map(c => if (c == "doc_id" || c == "sz") c else s"w$c"): _*)
+    val a = bitmaps.toDF(bitmaps.columns.map(c => if (c == "doc_id" || c == "sz") c else s"w$c").toIndexedSeq: _*)
     val pairs = a.as("a").join(a.as("b"),
       col("a.doc_id") < col("b.doc_id") &&
         least(col("a.sz"), col("b.sz")).cast("double") >=
