@@ -18,6 +18,9 @@ case class MediaItem(media_id: Long, kind: String, uri: String,
 case class MediaFeatures(media_id: Long, kind: String, width: Int, height: Int,
     resized_checksum: Long, f0: Long, f1: Long, f2: Long, f3: Long)
 
+/** One sampled frame of a media payload. */
+case class MediaFrame(media_id: Long, frame_idx: Int, frame_len: Int, frame_checksum: Long)
+
 /** Multimodal-column plumbing (north-star extension; the reference has no
   * media handling).
   *
@@ -104,12 +107,37 @@ object Multimodal {
       }
   }
 
+  /** Frame sampling: treat the payload as a stream and emit every
+    * `stride`-th fixed-size frame — the video keyframe-extraction shape
+    * (1 -> N rows via a flatMap inside mapPartitions; at scale the explode
+    * happens executor-side with no driver involvement). */
+  def frameSample(media: Dataset[MediaItem], frameBytes: Int, stride: Int): Dataset[MediaFrame] = {
+    import media.sparkSession.implicits._
+    media
+      .repartition(col("media_id"))
+      .mapPartitions(_.flatMap { m =>
+        val n = m.payload.length
+        (0 until (n + frameBytes - 1) / frameBytes by stride).map { i =>
+          val start = i * frameBytes
+          val frame = java.util.Arrays.copyOfRange(m.payload, start, math.min(start + frameBytes, n))
+          val checksum = frame.foldLeft(0L)((acc, b) => (acc * 31 + (b & 0xff)) % TextOps.HashMod)
+          MediaFrame(m.media_id, i, frame.length, checksum)
+        }
+      })
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Full multimodal pipeline: binary column + metadata -> mapPartitions
     // decode/resize/extract -> relational output, oracle-verified because
     // the fake codec is exact integer arithmetic over the payload bytes.
     "q60_multimodal_features" -> ((s, dir) =>
-      extractFeatures(syntheticCorpus(s, dir)).toDF().orderBy(col("media_id")))
+      extractFeatures(syntheticCorpus(s, dir)).toDF().orderBy(col("media_id"))),
+
+    // Frame sampling: every 2nd 64-byte frame of each payload, with exact
+    // per-frame checksums the oracle can mirror.
+    "q61_frame_sample" -> ((s, dir) =>
+      frameSample(syntheticCorpus(s, dir), frameBytes = 64, stride = 2)
+        .toDF().orderBy(col("media_id"), col("frame_idx")))
   )
 
   val oracles: Map[String, String] = {
@@ -125,7 +153,24 @@ object Multimodal {
     def feat(k: Int) =
       s"""CAST(list_sum(list_transform(range(0, ${d * d}),
             i -> rs[i + 1] * ((($k * 64 + i) % 7) - 3))) AS BIGINT)"""
-    Map("q60_multimodal_features" -> s"""
+    Map(
+      "q61_frame_sample" -> s"""
+      WITH f AS (
+        SELECT doc_id AS media_id, g.i AS frame_idx,
+          substring(text, g.i * 64 + 1, 64) AS frame
+        FROM documents,
+          LATERAL (SELECT unnest(range(0, (length(text) + 63) // 64)) AS i) g
+        WHERE g.i % 2 = 0)
+      SELECT media_id, CAST(frame_idx AS INT) AS frame_idx,
+        CAST(length(frame) AS INT) AS frame_len,
+        list_reduce(
+          list_prepend(0::BIGINT,
+            list_transform(range(1, length(frame)+1), j -> ord(substring(frame, j, 1))::BIGINT)),
+          (acc, c) -> (acc*31 + c) % ${TextOps.HashMod}) AS frame_checksum
+      FROM f
+      ORDER BY media_id, frame_idx""",
+
+      "q60_multimodal_features" -> s"""
       WITH m AS (
         SELECT doc_id AS media_id,
           CASE WHEN doc_id % 2 = 0 THEN 'image' ELSE 'audio' END AS kind,
