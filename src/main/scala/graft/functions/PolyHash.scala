@@ -35,6 +35,8 @@ case class PolyHash(first: Expression, second: Expression, third: Expression)
   override def dataType: DataType = LongType
   override def nullIntolerant: Boolean = true
   override def prettyName: String = "graft_polyhash"
+  // pure function of its inputs => Catalyst may constant-fold literal calls
+  override def foldable: Boolean = children.forall(_.foldable)
 
   override protected def nullSafeEval(str: Any, base: Any, mod: Any): Any = {
     val s = str.asInstanceOf[UTF8String].toString
