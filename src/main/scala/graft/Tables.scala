@@ -1,7 +1,5 @@
 package graft
 
-import scala.collection.concurrent.TrieMap
-
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Loaders for the driver-generated TPC-H-ish tables (TESTDATA.md).
@@ -27,15 +25,21 @@ object Tables {
         .withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
     } else spark.read.parquet(s"$dir/$name.parquet")
 
-  // (session identity, dir) pairs whose views are already registered — avoids
-  // re-running 10 parquet-footer reads on every SQL-based query invocation.
-  private val registered = TrieMap.empty[(Int, String), Boolean]
+  // Which dir each session's temp views currently point at. Views are
+  // session-global, so the cache must track the LAST dir registered — a
+  // (session, dir) membership set would skip re-registration after another
+  // dir overwrote the views. Weak keys: a stopped session drops out instead
+  // of aliasing a future session via identity-hash reuse.
+  private val registered =
+    java.util.Collections.synchronizedMap(
+      new java.util.WeakHashMap[SparkSession, String]())
 
   /** Register every table as a temp view for spark.sql-based operators
-    * (grouping sets, scalar subqueries). Idempotent and cached per session+dir. */
+    * (grouping sets, scalar subqueries). Idempotent per (session, dir);
+    * re-registers when the session's views point at a different dir. */
   def registerViews(spark: SparkSession, dir: String): Unit =
-    registered.getOrElseUpdate((System.identityHashCode(spark), dir), {
+    if (registered.get(spark) != dir) {
       all.foreach(n => load(spark, dir, n).createOrReplaceTempView(n))
-      true
-    })
+      registered.put(spark, dir)
+    }
 }

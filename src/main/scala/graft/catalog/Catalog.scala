@@ -56,7 +56,12 @@ class Catalog(spark: SparkSession, storeDir: String) {
   private val fs = new Path(storeDir).getFileSystem(spark.sparkContext.hadoopConfiguration)
   fs.mkdirs(new Path(storeDir))
 
-  private def docPath(qualifiedName: String) = new Path(storeDir, s"$qualifiedName.json")
+  // Names are case-insensitive like the reference's lower-cased membership
+  // test (`HBaseTableUtils.scala:25-28`): normalize once for the store key,
+  // the cache key, and every lookup.
+  private def norm(name: String): String = name.toLowerCase
+
+  private def docPath(qualifiedName: String) = new Path(storeDir, s"${norm(qualifiedName)}.json")
 
   /** Validate + persist a mapping given raw JSON (the CLI `add` verb,
     * `Mysql2HbaseCliDriver.scala:73-79`). Rejects duplicates. */
@@ -67,23 +72,23 @@ class Catalog(spark: SparkSession, storeDir: String) {
       throw new IllegalArgumentException(s"mapping ${m.qualifiedName} already exists")
     val out = fs.create(docPath(m.qualifiedName), false)
     try out.write(toJson(spark, m).getBytes("UTF-8")) finally out.close()
-    cache.put(m.qualifiedName, m)
+    cache.put(norm(m.qualifiedName), m)
     m
   }
 
   def exists(name: String): Boolean =
-    cache.contains(name) || fs.exists(docPath(name))
+    cache.contains(norm(name)) || fs.exists(docPath(name))
 
   /** Reload-on-miss lookup (reference cache semantics). */
   def get(name: String): Option[TableMapping] =
-    cache.get(name).orElse {
+    cache.get(norm(name)).orElse {
       val p = docPath(name)
       if (!fs.exists(p)) None
       else {
         val in = fs.open(p)
         val json = try new String(in.readAllBytes(), "UTF-8") finally in.close()
         val m = parse(spark, json)
-        cache.put(name, m)
+        cache.put(norm(name), m)
         Some(m)
       }
     }
@@ -98,14 +103,14 @@ class Catalog(spark: SparkSession, storeDir: String) {
       .toSeq
 
   def delete(name: String): Boolean = {
-    cache.remove(name)
+    cache.remove(norm(name))
     fs.delete(docPath(name), false)
   }
 
-  /** S5 membership test: is `db.table` replicated? (lower-cased, like
+  /** S5 membership test: is `db.table` replicated? (case-insensitive, like
     * `HBaseTableUtils.isTableNeedReplicated`, `HBaseTableUtils.scala:25-28`) */
   def isReplicated(db: String, table: String): Boolean =
-    exists(s"${db.toLowerCase}.${table.toLowerCase}")
+    exists(s"$db.$table")
 
   /** The `map` verb: register the mapping's table (backed by a CdcApplier
     * target directory) into the session catalog under `sparkTableName`,

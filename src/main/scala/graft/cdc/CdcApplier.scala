@@ -160,8 +160,17 @@ object CdcApplier {
       val touched = resolved.select(BUCKET).distinct().collect().map(_.getInt(0)).sorted
       if (touched.isEmpty) return
 
+      // Crash recovery BEFORE reading state: restore any bucket whose swap
+      // was interrupted (live missing, .bak holding the data), and drop
+      // leftovers of completed swaps. Also treat a target with no bucket
+      // dirs (crash between mkdirs and the first publish) as empty instead
+      // of letting the parquet reader fail on it forever.
+      val hasState = fs.exists(target) && {
+        recoverBuckets(fs, target)
+        fs.listStatus(target).exists(_.getPath.getName.startsWith(s"$BUCKET="))
+      }
       val current =
-        if (fs.exists(target))
+        if (hasState)
           spark.read.parquet(targetDir).filter(col(BUCKET).isin(touched.map(Int.box).toIndexedSeq: _*))
         else {
           val schema = StructType(
@@ -186,13 +195,33 @@ object CdcApplier {
     } finally resolved.unpersist()
   }
 
+  private def bakPath(live: Path): Path =
+    // Dot-prefixed => hidden from partition discovery while it exists.
+    new Path(live.getParent, "." + live.getName + ".bak")
+
+  /** Crash recovery for interrupted [[swapDir]]s: a `.bak` WITHOUT a live
+    * dir means the crash hit between the two renames — the backup is the
+    * only copy, restore it. A `.bak` WITH a live dir means the publish
+    * completed and only the backup cleanup was lost — drop it. */
+  private[cdc] def recoverBuckets(fs: FileSystem, target: Path): Unit =
+    fs.listStatus(target)
+      .filter(s => s.getPath.getName.startsWith(".") && s.getPath.getName.endsWith(".bak"))
+      .foreach { s =>
+        val live = new Path(target, s.getPath.getName.stripPrefix(".").stripSuffix(".bak"))
+        if (!fs.exists(live)) {
+          if (!fs.rename(s.getPath, live))
+            throw new IOException(s"cannot restore interrupted swap from ${s.getPath}")
+        } else fs.delete(s.getPath, true)
+      }
+
   /** Crash-safe directory swap: live -> .bak, fresh -> live, drop .bak.
     * Every rename is checked; a failure after the first rename restores the
-    * old directory. At no point is the bucket absent from disk without a
-    * recoverable .bak alongside. */
+    * old directory, and [[recoverBuckets]] replays the same logic after a
+    * hard crash — at no point is a bucket's data unreachable. */
   private def swapDir(fs: FileSystem, live: Path, fresh: Path): Unit = {
-    // Dot-prefixed => hidden from partition discovery while it exists.
-    val bak = new Path(live.getParent, "." + live.getName + ".bak")
+    val bak = bakPath(live)
+    // a leftover .bak here means the PREVIOUS swap published successfully
+    // (recoverBuckets would have restored it otherwise) — safe to drop
     if (fs.exists(bak) && !fs.delete(bak, true))
       throw new IOException(s"cannot clear stale backup $bak")
     val hadLive = fs.exists(live)

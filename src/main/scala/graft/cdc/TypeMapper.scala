@@ -36,37 +36,41 @@ object TypeMapper {
   private val DecimalRe = """decimal\((\d+)\s*,\s*(\d+)\).*""".r
   private val DecimalNoScaleRe = """decimal\((\d+)\).*""".r
 
-  /** Full-fidelity mapping for the modern engine. */
+  /** Full-fidelity mapping for the modern engine. Integer display widths —
+    * `tinyint(3) unsigned` — are presentation-only in MySQL and are stripped
+    * before matching, so the unsigned widening applies regardless of
+    * spelling (bit/decimal keep their parens: handled first). */
   def full(mysqlType: String): DataType = {
     val t = mysqlType.trim.toLowerCase
     t match {
       case "bit(1)" | "bool" | "boolean"        => BooleanType
       case BitRe(n) if n.toInt > 63             => DecimalType(20, 0) // bit(64) overflows signed long
-      case _ if t.startsWith("bit(")            => LongType // bit(2..63)
-      case _ if t.startsWith("tinyint unsig")   => ShortType // 0..255 overflows signed byte
-      case _ if t.startsWith("tinyint")         => ByteType
-      case _ if t.startsWith("smallint unsig")  => IntegerType
-      case _ if t.startsWith("smallint")        => ShortType
-      case _ if t.startsWith("mediumint")       => IntegerType
-      case _ if t.startsWith("integer unsig") ||
-                t.startsWith("int unsig")       => LongType
-      case _ if t.startsWith("bigint unsig")    => DecimalType(20, 0) // full u64 range
-      case _ if t.startsWith("bigint")          => LongType
-      case _ if t.startsWith("int") ||
-                t.startsWith("integer")         => IntegerType
-      case _ if t.startsWith("float")           => FloatType
-      case _ if t.startsWith("double") ||
-                t.startsWith("real")            => DoubleType
+      case _ if t.startsWith("bit(") || t == "bit" => LongType // bit(2..63)
       case DecimalRe(p, s)                      => DecimalType(p.toInt, s.toInt)
       case DecimalNoScaleRe(p)                  => DecimalType(p.toInt, 0)
-      case "date"                               => DateType
-      case _ if t.startsWith("datetime") ||
-                t.startsWith("timestamp")       => TimestampType
-      case "year"                               => IntegerType
-      case _ if t.contains("blob") ||
-                t.startsWith("binary") ||
-                t.startsWith("varbinary")       => BinaryType
-      case _                                    => StringType // char/text/enum/set/json/time/…
+      case _ =>
+        val base = t.replaceFirst("""\(\d+\)""", "")
+        val unsigned = base.contains("unsign")
+        base match {
+          case _ if base.startsWith("tinyint")   => if (unsigned) ShortType else ByteType
+          case _ if base.startsWith("smallint")  => if (unsigned) IntegerType else ShortType
+          case _ if base.startsWith("mediumint") => IntegerType // u24 still fits int
+          case _ if base.startsWith("bigint")    =>
+            if (unsigned) DecimalType(20, 0) else LongType // full u64 range
+          case _ if base.startsWith("int") ||
+                    base.startsWith("integer")   => if (unsigned) LongType else IntegerType
+          case _ if base.startsWith("float")     => FloatType
+          case _ if base.startsWith("double") ||
+                    base.startsWith("real")      => DoubleType
+          case "date"                            => DateType
+          case _ if base.startsWith("datetime") ||
+                    base.startsWith("timestamp") => TimestampType
+          case "year"                            => IntegerType
+          case _ if base.contains("blob") ||
+                    base.startsWith("binary") ||
+                    base.startsWith("varbinary") => BinaryType
+          case _                                 => StringType // char/text/enum/set/json/time/…
+        }
     }
   }
 

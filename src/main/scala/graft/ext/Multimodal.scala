@@ -46,9 +46,10 @@ object Multimodal {
   /** Deterministic stand-in for an image/audio codec. */
   object FakeCodec {
     /** "Decode": materialize width*height pixel bytes from the payload
-      * (production: actual image decode). */
+      * (production: actual image decode). Empty payloads decode to black. */
     def decode(payload: Array[Byte], w: Int, h: Int): Array[Int] =
-      Array.tabulate(w * h)(i => payload(i % payload.length) & 0xff)
+      if (payload.isEmpty) new Array[Int](w * h)
+      else Array.tabulate(w * h)(i => payload(i % payload.length) & 0xff)
 
     /** Nearest-neighbor resize to d x d (real logic, fake pixels). */
     def resize(pixels: Array[Int], w: Int, h: Int, d: Int): Array[Int] =

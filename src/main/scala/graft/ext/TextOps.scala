@@ -24,9 +24,8 @@ import graft.Tables
   */
 object TextOps {
   private def t(s: SparkSession, dir: String, n: String): DataFrame = Tables.load(s, dir, n)
-  private def dec(c: Column): Column = c.cast(DecimalType(18, 6))
-  private def sumd(c: Column): Column = sum(dec(c)).cast("double")
-  private def SUMD(e: String): String = s"CAST(SUM(CAST($e AS DECIMAL(18,6))) AS DOUBLE)"
+  private def sumd(c: Column): Column = graft.util.Sumd.sumd(c)
+  private def SUMD(e: String): String = graft.util.Sumd.SUMD(e)
 
   val HashMod = 1000000007L
 
@@ -54,9 +53,13 @@ object TextOps {
   def bind(value: Column)(body: Column => Column): Column =
     element_at(transform(array(value), body), 1)
 
-  /** Character k-shingles (distinct). Requires length >= k. */
+  /** Character k-shingles (distinct); empty array for text shorter than k
+    * (an unguarded `sequence(1, len-k+1)` would run DESCENDING when the
+    * stop is below 1 and emit garbage shingles). */
   def shingles(s: Column, k: Int): Column =
-    array_distinct(transform(sequence(lit(1), length(s) - (k - 1)), i => s.substr(i, lit(k))))
+    when(length(s) >= k,
+      array_distinct(transform(sequence(lit(1), length(s) - (k - 1)), i => s.substr(i, lit(k)))))
+      .otherwise(typedLit(Seq.empty[String]))
 
   def shinglesSql(e: String, k: Int): String =
     s"list_distinct(list_transform(range(1, length($e)-${k - 2}), i -> substring($e, i, $k)))"

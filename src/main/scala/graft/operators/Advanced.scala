@@ -29,7 +29,7 @@ object WeightedAvgAgg extends Aggregator[(String, Double, Double), (BigDecimal, 
   * typed-Aggregator UDAF, array/generator functions, and a salted
   * aggregation for skewed keys — each with a DuckDB oracle. */
 object Advanced {
-  private def SUMD(e: String): String = s"CAST(SUM(CAST($e AS DECIMAL(18,6))) AS DOUBLE)"
+  private def SUMD(e: String): String = graft.util.Sumd.SUMD(e)
 
   /** Two-phase salted aggregation for skew: phase 1 aggregates on
     * (key, salt) — spreading one hot key over `salts` reducers — phase 2

@@ -23,13 +23,10 @@ import graft.Tables
   */
 object Relational {
   private def t(s: SparkSession, dir: String, n: String): DataFrame = Tables.load(s, dir, n)
-  private def dec(c: Column): Column = c.cast(DecimalType(18, 6))
-  /** Exact, order-independent sum of a double expression, returned as double. */
-  private def sumd(c: Column): Column = sum(dec(c)).cast("double")
+  private def dec(c: Column): Column = graft.util.Sumd.dec(c)
+  private def sumd(c: Column): Column = graft.util.Sumd.sumd(c)
+  private def SUMD(e: String): String = graft.util.Sumd.SUMD(e)
   private def ts(s: String): Column = lit(s).cast("timestamp")
-
-  // SQL fragment mirroring sumd(): CAST(SUM(CAST(e AS DECIMAL(18,6))) AS DOUBLE)
-  private def SUMD(e: String): String = s"CAST(SUM(CAST($e AS DECIMAL(18,6))) AS DOUBLE)"
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- aggregation: hash agg, partial+final, multiple measures (TPC-H Q1 shape)

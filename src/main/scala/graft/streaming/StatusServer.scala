@@ -39,12 +39,7 @@ class StatusServer(port: Int = 31081) {
 
   private def statusJson(target: String): String = {
     import StreamingPipeline.Metrics
-    def q(s: String) = "\"" + s.flatMap {
-      case '"' => "\\\""
-      case '\\' => "\\\\"
-      case c if c < ' ' => f"\\u${c.toInt}%04x"
-      case c => c.toString
-    } + "\""
+    def q(s: String) = graft.util.Json.quote(s)
     val ops = Metrics.allOpCounts(target).toSeq.sortBy(_._1)
       .map { case ((table, op), n) => s"${q(s"$table.$op")}:$n" }
       .mkString("{", ",", "}")

@@ -114,11 +114,14 @@ object StreamingPipeline {
     val t0 = System.nanoTime()
     val cached = batch.persist()
     try {
-      val stats = cached.groupBy(col("table"), col("op")).count().collect()
-        .map(r => ((r.getString(0), r.getString(1)), r.getLong(2))).toSeq
-      if (stats.isEmpty) return
-
-      val newHigh = cached.agg(max(col("next_position"))).first().getLong(0)
+      // one aggregation pass yields both the S17 counters and the position
+      // high-watermark — no second driver action over the batch
+      val rows = cached.groupBy(col("table"), col("op"))
+        .agg(count(lit(1)).as("n"), max(col("next_position")).as("mx"))
+        .collect()
+      if (rows.isEmpty) return
+      val stats = rows.map(r => ((r.getString(0), r.getString(1)), r.getLong(2))).toSeq
+      val newHigh = rows.map(_.getLong(3)).max
       val mapped =
         if (opts.mappedTables.isEmpty) cached
         else cached.filter(col("table").isin(opts.mappedTables.toSeq: _*))

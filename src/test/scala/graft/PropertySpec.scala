@@ -2,6 +2,7 @@ package graft
 
 import scala.util.Random
 
+import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.util.GenericArrayData
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
@@ -43,6 +44,17 @@ class PropertySpec extends AnyFunSuite {
       val expected = sig(a).zip(sig(b)).map { case (x, y) => math.min(x, y) }
       assert(sig(a ++ b) == expected)
     }
+  }
+
+  test("shingles column fn: empty array (not garbage) for text shorter than k") {
+    val spark = SparkSession.builder()
+      .master("local[2]").config("spark.ui.enabled", "false").getOrCreate()
+    import spark.implicits._
+    val out = Seq("ab", "", "abcdef").toDF("text")
+      .select(graft.ext.TextOps.shingles(org.apache.spark.sql.functions.col("text"), 5).as("sh"))
+      .collect().map(_.getSeq[String](0))
+    assert(out(0).isEmpty && out(1).isEmpty)
+    assert(out(2) == Seq("abcde", "bcdef"))
   }
 
   test("TypeMapper.compat: total (never throws) and lands in the reference's lattice") {

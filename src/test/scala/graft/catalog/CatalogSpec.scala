@@ -78,6 +78,16 @@ class CatalogSpec extends AnyFunSuite {
     assert(!cat.isReplicated("mixfs", "student"))
   }
 
+  test("names are case-insensitive end-to-end (S5 membership must not miss)") {
+    val (cat, _) = newCatalog()
+    cat.add(f1Json.replace("\"dbName\":\"mixfs\"", "\"dbName\":\"MixFS\""))
+    assert(cat.isReplicated("MixFS", "Student"))
+    assert(cat.isReplicated("mixfs", "student"))
+    assert(cat.get("MIXFS.STUDENT").isDefined)
+    assert(cat.delete("Mixfs.Student"))
+    assert(!cat.isReplicated("mixfs", "student"))
+  }
+
   test("validation rejects bad mappings") {
     val noPk = f1Json.replace("\"isPrimaryKey\":true", "\"isPrimaryKey\":false")
     intercept[IllegalArgumentException] { Catalog.validate(Catalog.parse(spark, noPk)) }

@@ -128,6 +128,45 @@ class CdcApplierSpec extends AnyFunSuite {
     assert(state(target) == Set(s2))
   }
 
+  test("F3.10 crash recovery: an interrupted bucket swap is restored, not lost") {
+    import org.apache.hadoop.fs.Path
+    val target = newTarget()
+    val rows = (1 to 32).map(i => Student(i, i, i, s"n$i", "r"))
+    CdcApplier.applyBatch(spark,
+      ChangeFeed.inserts(rows.toDF(), col("sn").cast("long") * 10), target, opts)
+
+    // simulate a crash between swapDir's two renames: live dir gone, only
+    // the hidden .bak holds the bucket's data
+    val fs = new Path(target).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val bucket = fs.listStatus(new Path(target))
+      .filter(_.getPath.getName.startsWith("graft_bucket=")).head.getPath
+    assert(fs.rename(bucket, new Path(target, "." + bucket.getName + ".bak")))
+
+    // replaying any batch must first restore the backup, then merge
+    CdcApplier.applyBatch(spark,
+      ev("update", 1000, Some(rows.head), Some(rows.head.copy(score = 999))), target, opts)
+    assert(state(target).size == 32, "no row of the interrupted bucket may be lost")
+    assert(state(target).contains(rows.head.copy(score = 999)))
+
+    // and a completed-swap leftover (.bak beside a live dir) is dropped
+    val b2 = fs.listStatus(new Path(target))
+      .filter(_.getPath.getName.startsWith("graft_bucket=")).head.getPath
+    fs.mkdirs(new Path(target, "." + b2.getName + ".bak"))
+    CdcApplier.applyBatch(spark,
+      ev("update", 2000, Some(rows(1)), Some(rows(1).copy(score = 998))), target, opts)
+    assert(state(target).size == 32)
+    assert(!fs.listStatus(new Path(target)).exists(_.getPath.getName.endsWith(".bak")))
+  }
+
+  test("F3.11 empty target dir (crash before first publish) bootstraps instead of wedging") {
+    import org.apache.hadoop.fs.Path
+    val target = newTarget()
+    val fs = new Path(target).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.mkdirs(new Path(target)) // exists, but holds no bucket dirs
+    CdcApplier.applyBatch(spark, ev("insert", 10, None, Some(s1)), target, opts)
+    assert(state(target) == Set(s1))
+  }
+
   test("F3.8 tombstone survives: stale upsert replayed after a delete stays dead") {
     val target = newTarget()
     CdcApplier.applyBatch(spark, ev("insert", 10, None, Some(s1)), target, opts)

@@ -47,6 +47,12 @@ class TypeMapperSpec extends AnyFunSuite {
     assert(TypeMapper.full("smallint") == ShortType)
     assert(TypeMapper.full("bit(8)") == LongType)
     assert(TypeMapper.full("bit(64)") == DecimalType(20, 0)) // u64 bitfield
+    // display widths are presentation-only and must not defeat the widening
+    assert(TypeMapper.full("tinyint(3) unsigned") == ShortType)
+    assert(TypeMapper.full("smallint(5) unsigned") == IntegerType)
+    assert(TypeMapper.full("int(10) unsigned") == LongType)
+    assert(TypeMapper.full("bigint(20) unsigned") == DecimalType(20, 0))
+    assert(TypeMapper.full("int(11)") == IntegerType)
     assert(TypeMapper.full("varchar(10)") == StringType)
     assert(TypeMapper.full("json") == StringType)
   }
