@@ -41,10 +41,11 @@ object Similarity {
   val DedupCos = 0.99
   val DedupTables = 2
 
-  /** Index-order double dot product — bit-identical to the oracle's fold. */
+  /** Index-order double dot product — bit-identical to the oracle's fold;
+    * backed by the native codegen kernel [[graft.functions.DotProduct]]
+    * (query entry points register it). */
   private def dotd(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0), (acc, v) => acc + v)
+    call_function("graft_dot", a, b)
 
   private def cosd(a: Column, na: Column, b: Column, nb: Column): Column =
     dotd(a, b) / (na * nb)
@@ -73,6 +74,7 @@ object Similarity {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- exact brute-force cosine top-k: 10 broadcast queries x corpus.
     "q50_ann_brute" -> ((s, dir) => {
+      graft.functions.GraftFunctions.register(s)
       val e = t(s, dir, "embeddings")
         .repartition(col("vec_id")) // spread the fold work (single-file input)
         .withColumn("nrm", sqrt(dotd(col("embedding"), col("embedding"))))
@@ -90,6 +92,7 @@ object Similarity {
 
     // ---- sign-LSH bucketed ANN with Hamming-1 multi-probe + exact rerank.
     "q51_ann_lsh" -> ((s, dir) => {
+      graft.functions.GraftFunctions.register(s)
       val e = t(s, dir, "embeddings")
         .repartition(col("vec_id"))
         .withColumn("nrm", sqrt(dotd(col("embedding"), col("embedding"))))
@@ -112,6 +115,7 @@ object Similarity {
     // ---- embedding near-dup: self-union with rescaled copies, LSH-bucketed
     //      candidates, exact cosine verify.
     "q52_embed_neardup" -> ((s, dir) => {
+      graft.functions.GraftFunctions.register(s)
       val e = t(s, dir, "embeddings").repartition(col("vec_id"))
         .select(col("vec_id"), col("embedding"))
       val feed = e.union(e.select((col("vec_id") + 10000).as("vec_id"),

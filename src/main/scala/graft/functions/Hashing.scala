@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo, XXH64}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
-import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType, LongType, StringType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, IntegerType, LongType, NullType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** JVM kernels shared by the interpreted and codegen paths of the hashing
@@ -35,6 +35,21 @@ object HashUtil {
       j += 1
     }
     new GenericArrayData(java.util.Arrays.copyOf(out, m))
+  }
+
+  /** Index-order double dot product (see [[DotProduct]]). */
+  def dot(a: ArrayData, b: ArrayData, aFloat: Boolean, bFloat: Boolean): Double = {
+    val n = a.numElements()
+    require(n == b.numElements(), s"graft_dot: length mismatch $n vs ${b.numElements()}")
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      val x = if (aFloat) a.getFloat(i).toDouble else a.getDouble(i)
+      val y = if (bFloat) b.getFloat(i).toDouble else b.getDouble(i)
+      acc += x * y
+      i += 1
+    }
+    acc
   }
 
   /** MinHash signature: for permutation p in [0, perms), the minimum of
@@ -110,6 +125,43 @@ case class MinHashSig(left: Expression, right: Expression)
     copy(left = l, right = r)
 }
 
+/** `graft_dot(a, b)` — dot product of two equal-length float/double arrays
+  * as a native codegen expression: double accumulation in INDEX ORDER, the
+  * exact IEEE sequence of the `aggregate(zip_with(...))` fold it replaces
+  * (and of the DuckDB oracle's list_reduce), so output cosines stay
+  * bit-identical while skipping the interpreted-HOF cost and the
+  * intermediate zipped-array allocation. */
+case class DotProduct(left: Expression, right: Expression)
+    extends BinaryExpression {
+  private def elemType(e: Expression) = e.dataType match {
+    case ArrayType(t, _) => t
+    case _ => NullType
+  }
+  override def checkInputDataTypes(): TypeCheckResult = {
+    val ok = Seq(left, right).forall(e =>
+      elemType(e) == FloatType || elemType(e) == DoubleType)
+    if (ok) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"graft_dot expects two array<float|double>, got (${left.dataType}, ${right.dataType})")
+  }
+  override def dataType: DataType = DoubleType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "graft_dot"
+
+  private def leftFloat = elemType(left) == FloatType
+  private def rightFloat = elemType(right) == FloatType
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    HashUtil.dot(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData], leftFloat, rightFloat)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = graft.functions.HashUtil.dot($a, $b, $leftFloat, $rightFloat);")
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
 /** All native functions of the engine, for registry injection. */
 object GraftFunctions {
   val entries: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
@@ -125,6 +177,12 @@ object GraftFunctions {
       { children: Seq[Expression] =>
         require(children.length == 2, "graft_minhash_sig(hashes, perms) takes 2 arguments")
         MinHashSig(children(0), children(1))
+      }),
+    (FunctionIdentifier("graft_dot"),
+      new ExpressionInfo(classOf[DotProduct].getName, "graft_dot"),
+      { children: Seq[Expression] =>
+        require(children.length == 2, "graft_dot(a, b) takes 2 arguments")
+        DotProduct(children(0), children(1))
       }))
 
   /** Idempotent imperative registration for an already-built session. */

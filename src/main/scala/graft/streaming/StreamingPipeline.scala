@@ -43,11 +43,15 @@ object StreamingPipeline {
   /** @param applier       merge options (PK, compat mode, buckets)
     * @param mappedTables  replication filter set (S5); empty = replicate all
     * @param maxRetries    applier attempts per batch before the query fails
+    * @param secondaryDir  optional second sink (S20): after each merged
+    *                      batch the converged snapshot is replicated there
+    *                      through the Mongo-path value coercions
     * @param preApplyHook  test seam: runs before each apply attempt */
   case class PipelineOptions(
       applier: CdcApplier.Options,
       mappedTables: Set[String] = Set.empty,
       maxRetries: Int = 2,
+      secondaryDir: Option[String] = None,
       preApplyHook: () => Unit = () => ())
 
   /** Per-pipeline observability (S17): per-table-per-op counts, batch
@@ -142,6 +146,10 @@ object StreamingPipeline {
       if (!done)
         throw new IllegalStateException(
           s"CDC batch failed after ${opts.maxRetries + 1} attempts", lastErr)
+
+      // S20 second sink: coerced replica of the converged state.
+      if (!envelope.isEmpty)
+        opts.secondaryDir.foreach(graft.cdc.CoercingSink.replicate(spark, targetDir, _))
 
       // Invariant 5: advance the watermark even when everything was filtered
       // — and monotonically, so replayed batches can't move it backwards.

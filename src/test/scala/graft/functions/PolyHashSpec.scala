@@ -27,7 +27,7 @@ class PolyHashSpec extends AnyFunSuite {
     val ext = new org.apache.spark.sql.SparkSessionExtensions
     new GraftExtensions().apply(ext) // must accept all registry entries
     assert(GraftFunctions.entries.map(_._1.funcName).sorted ==
-      Seq("graft_minhash_sig", "graft_polyhash", "graft_shingle_hashes"))
+      Seq("graft_dot", "graft_minhash_sig", "graft_polyhash", "graft_shingle_hashes"))
   }
 
   private def hofFold(s: String, base: Long, mod: Long): Long =
@@ -59,6 +59,18 @@ class PolyHashSpec extends AnyFunSuite {
       .groupBy(call_function("graft_polyhash", $"s", lit(131), lit(998244353L)).as("h"))
       .count().collect()
     assert(agg.length == 2)
+  }
+
+  test("graft_dot: index-order double accumulation over float arrays") {
+    val df = Seq((Array(1.5f, -2.0f, 0.25f), Array(4.0f, 0.5f, 8.0f))).toDF("a", "b")
+      .select(call_function("graft_dot", $"a", $"b").as("d"))
+    val expect = 1.5 * 4.0 + (-2.0) * 0.5 + 0.25 * 8.0
+    assert(df.first().getDouble(0) == expect)
+
+    // float x double (the hyperplane-literal case)
+    val mixed = Seq((Array(2.0f, 3.0f), Array(0.5, -1.0))).toDF("a", "b")
+      .select(call_function("graft_dot", $"a", $"b").as("d"))
+    assert(mixed.first().getDouble(0) == 2.0 * 0.5 + 3.0 * -1.0)
   }
 
   test("interpreted (non-codegen) eval agrees with codegen") {

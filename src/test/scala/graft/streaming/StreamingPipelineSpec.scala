@@ -199,6 +199,23 @@ class StreamingPipelineSpec extends AnyFunSuite {
     assert(latest("2:7") == 11L)
   }
 
+  test("S20 as a streaming dual sink: coerced replica follows the primary") {
+    val target = tmpdir("sp_t") + "/student"
+    val second = tmpdir("sp_s") + "/student_replica"
+    Metrics.reset(target)
+    val src = MemoryStream[SEvent]
+    val q = StreamingPipeline.start(src.toDF(), target, tmpdir("sp_c"),
+      opts().copy(secondaryDir = Some(second)))
+    src.addData(ins(10, r1), ins(11, r2))
+    q.processAllAvailable()
+    src.addData(del(20, r2))
+    q.processAllAvailable()
+    q.stop()
+    val replica = spark.read.parquet(second)
+      .select("sn", "id", "score", "name", "rem").as[SRow].collect().toSet
+    assert(replica == Set(r1), "second sink must track the converged primary state")
+  }
+
   test("S18: status server serves metrics JSON over HTTP") {
     val target = tmpdir("sp_t") + "/student"
     Metrics.reset(target)
