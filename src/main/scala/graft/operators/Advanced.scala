@@ -108,6 +108,19 @@ object Advanced {
         .orderBy($"l_returnflag")
     }),
 
+    // ---- HLL sketch aggregation: approx_count_distinct beside the exact
+    //      count. No DuckDB oracle — HLL estimates are engine-specific —
+    //      so the driver records the (documented) weaker rows-only check;
+    //      the exact column anchors the row content.
+    "q29_approx_distinct" -> ((s, dir) => {
+      import s.implicits._
+      Tables.load(s, dir, "lineitem")
+        .groupBy($"l_returnflag")
+        .agg(approx_count_distinct($"l_partkey").as("approx_parts"),
+          countDistinct($"l_partkey").as("exact_parts"))
+        .orderBy($"l_returnflag")
+    }),
+
     // ---- UDAF: quantity-weighted average extended price per return flag.
     "q25_weighted_avg" -> ((s, dir) => {
       import s.implicits._
