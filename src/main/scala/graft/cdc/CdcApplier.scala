@@ -59,12 +59,12 @@ object CdcApplier {
       strictPk: Boolean = true,
       numBuckets: Int = 16)
 
-  private val POS = "_graft_pos"
+  private[cdc] val POS = "_graft_pos"
   private val KIND = "_graft_kind"
-  private val DEL = "_graft_deleted"
+  private[cdc] val DEL = "_graft_deleted"
   // Partition-directory column; deliberately NOT underscore-prefixed —
   // Hadoop readers treat _-prefixed paths as hidden.
-  private val BUCKET = "graft_bucket"
+  private[cdc] val BUCKET = "graft_bucket"
 
   private def dataFields(changes: DataFrame): Seq[String] =
     changes.schema("after").dataType.asInstanceOf[StructType].fieldNames.toSeq
@@ -146,8 +146,11 @@ object CdcApplier {
     spark.read.parquet(targetDir).filter(!col(DEL)).drop(DEL, BUCKET)
 
   /** End-to-end incremental batch apply against a bucketed parquet target:
-    * resolve → bucket → merge only touched buckets → per-bucket atomic swap. */
-  def applyBatch(spark: SparkSession, changes: DataFrame, targetDir: String, opts: Options): Unit = {
+    * resolve → bucket → merge only touched buckets → per-bucket atomic swap.
+    * Returns the touched bucket ids so downstream sinks can replicate
+    * incrementally. */
+  def applyBatch(
+      spark: SparkSession, changes: DataFrame, targetDir: String, opts: Options): Seq[Int] = {
     val resolved = resolveBatch(changes, opts)
       .withColumn(BUCKET, pmod(hash(opts.pkCols.map(col): _*), lit(opts.numBuckets)))
       .persist()
@@ -158,7 +161,7 @@ object CdcApplier {
 
       // Small driver-side action: at most numBuckets values.
       val touched = resolved.select(BUCKET).distinct().collect().map(_.getInt(0)).sorted
-      if (touched.isEmpty) return
+      if (touched.isEmpty) return Seq.empty
 
       // Crash recovery BEFORE reading state: restore any bucket whose swap
       // was interrupted (live missing, .bak holding the data), and drop
@@ -192,6 +195,7 @@ object CdcApplier {
           fresh = new Path(tmp, s"$BUCKET=$b"))
       }
       fs.delete(tmp, true)
+      touched.toSeq
     } finally resolved.unpersist()
   }
 
@@ -218,7 +222,7 @@ object CdcApplier {
     * Every rename is checked; a failure after the first rename restores the
     * old directory, and [[recoverBuckets]] replays the same logic after a
     * hard crash — at no point is a bucket's data unreachable. */
-  private def swapDir(fs: FileSystem, live: Path, fresh: Path): Unit = {
+  private[cdc] def swapDir(fs: FileSystem, live: Path, fresh: Path): Unit = {
     val bak = bakPath(live)
     // a leftover .bak here means the PREVIOUS swap published successfully
     // (recoverBuckets would have restored it otherwise) — safe to drop

@@ -1,5 +1,6 @@
 package graft.cdc
 
+import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -44,8 +45,41 @@ object CoercingSink {
 
   /** Project the converged snapshot through the coercions into a secondary
     * directory — the analog of the deprecated MongoDB applier as a second
-    * `foreachBatch` sink. */
+    * `foreachBatch` sink. Full rewrite; use [[replicateBuckets]] on the
+    * streaming path. */
   def replicate(spark: SparkSession, targetDir: String, secondaryDir: String): Unit =
     coerce(CdcApplier.snapshot(spark, targetDir))
       .write.mode("overwrite").parquet(secondaryDir)
+
+  /** Incremental replication: mirror only the buckets the batch touched,
+    * reusing the primary's bucket layout and crash-safe swap — the second
+    * sink's I/O stays proportional to the batch, exactly like the primary
+    * (a full-overwrite replica would be the same O(table)-per-batch
+    * scale-killer the primary sink was redesigned to avoid). Tombstoned
+    * rows are filtered, so deletes propagate via the bucket rewrite. */
+  def replicateBuckets(
+      spark: SparkSession, targetDir: String, secondaryDir: String, buckets: Seq[Int]): Unit = {
+    if (buckets.isEmpty) return
+    import CdcApplier.{BUCKET, DEL, POS}
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val secondary = new Path(secondaryDir)
+    val fs = secondary.getFileSystem(hconf)
+
+    val touched = spark.read.parquet(targetDir)
+      .filter(col(BUCKET).isin(buckets.map(Int.box).toIndexedSeq: _*))
+      .filter(!col(DEL))
+      .drop(DEL, POS)
+    val tmp = new Path(secondaryDir + ".tmp")
+    if (fs.exists(tmp)) fs.delete(tmp, true)
+    coerce(touched).write.partitionBy(BUCKET).mode("overwrite").parquet(tmp.toString)
+
+    fs.mkdirs(secondary)
+    buckets.foreach { b =>
+      val fresh = new Path(tmp, s"$BUCKET=$b")
+      val live = new Path(secondary, s"$BUCKET=$b")
+      if (fs.exists(fresh)) CdcApplier.swapDir(fs, live, fresh)
+      else fs.delete(live, true) // bucket emptied entirely (all rows deleted)
+    }
+    fs.delete(tmp, true)
+  }
 }

@@ -133,11 +133,12 @@ object StreamingPipeline {
 
       var attempt = 0
       var done = envelope.isEmpty
+      var touched: Seq[Int] = Seq.empty
       var lastErr: Throwable = null
       while (!done && attempt <= opts.maxRetries) {
         try {
           opts.preApplyHook()
-          CdcApplier.applyBatch(spark, envelope, targetDir, opts.applier)
+          touched = CdcApplier.applyBatch(spark, envelope, targetDir, opts.applier)
           done = true
         } catch {
           case e: Throwable => lastErr = e; attempt += 1
@@ -147,9 +148,10 @@ object StreamingPipeline {
         throw new IllegalStateException(
           s"CDC batch failed after ${opts.maxRetries + 1} attempts", lastErr)
 
-      // S20 second sink: coerced replica of the converged state.
-      if (!envelope.isEmpty)
-        opts.secondaryDir.foreach(graft.cdc.CoercingSink.replicate(spark, targetDir, _))
+      // S20 second sink: coerced replica of the converged state, mirroring
+      // only the buckets this batch touched.
+      opts.secondaryDir.foreach(
+        graft.cdc.CoercingSink.replicateBuckets(spark, targetDir, _, touched))
 
       // Invariant 5: advance the watermark even when everything was filtered
       // — and monotonically, so replayed batches can't move it backwards.
