@@ -188,15 +188,27 @@ object CdcApplier {
       merge(current, resolved, opts)
         .write.partitionBy(BUCKET).mode("overwrite").parquet(tmp.toString)
 
-      fs.mkdirs(target)
-      touched.foreach { b =>
-        swapDir(fs,
-          live = new Path(target, s"$BUCKET=$b"),
-          fresh = new Path(tmp, s"$BUCKET=$b"))
-      }
-      fs.delete(tmp, true)
+      publishBuckets(fs, target, tmp, touched.toIndexedSeq)
       touched.toSeq
     } finally resolved.unpersist()
+  }
+
+  /** Shared publish discipline for a bucketed directory tree: recover any
+    * interrupted earlier swap, then swap each bucket's fresh dir into place
+    * (deleting the live dir when the bucket came out empty), then drop the
+    * staging dir. Used by the primary sink and the coerced replica so the
+    * crash-safety protocol cannot drift between them. */
+  private[cdc] def publishBuckets(
+      fs: FileSystem, root: Path, tmp: Path, buckets: Seq[Int]): Unit = {
+    fs.mkdirs(root)
+    recoverBuckets(fs, root)
+    buckets.foreach { b =>
+      val fresh = new Path(tmp, s"$BUCKET=$b")
+      val live = new Path(root, s"$BUCKET=$b")
+      if (fs.exists(fresh)) swapDir(fs, live, fresh)
+      else fs.delete(live, true) // bucket has no surviving rows
+    }
+    fs.delete(tmp, true)
   }
 
   private def bakPath(live: Path): Path =

@@ -43,43 +43,50 @@ object CoercingSink {
     df.select(cols.toSeq: _*)
   }
 
-  /** Project the converged snapshot through the coercions into a secondary
-    * directory — the analog of the deprecated MongoDB applier as a second
-    * `foreachBatch` sink. Full rewrite; use [[replicateBuckets]] on the
-    * streaming path. */
-  def replicate(spark: SparkSession, targetDir: String, secondaryDir: String): Unit =
-    coerce(CdcApplier.snapshot(spark, targetDir))
-      .write.mode("overwrite").parquet(secondaryDir)
+  private def bucketIds(fs: org.apache.hadoop.fs.FileSystem, dir: Path): Seq[Int] =
+    if (!fs.exists(dir)) Seq.empty
+    else fs.listStatus(dir).toIndexedSeq
+      .map(_.getPath.getName)
+      .filter(_.startsWith(s"${CdcApplier.BUCKET}="))
+      .map(_.stripPrefix(s"${CdcApplier.BUCKET}=").toInt)
+      .sorted
+
+  /** Full replication: every primary bucket, in the same bucketed layout as
+    * [[replicateBuckets]] (one layout for the replica, whichever entry
+    * point wrote it). */
+  def replicate(spark: SparkSession, targetDir: String, secondaryDir: String): Unit = {
+    val fs = new Path(targetDir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    replicateBuckets(spark, targetDir, secondaryDir, bucketIds(fs, new Path(targetDir)))
+  }
 
   /** Incremental replication: mirror only the buckets the batch touched,
-    * reusing the primary's bucket layout and crash-safe swap — the second
-    * sink's I/O stays proportional to the batch, exactly like the primary
-    * (a full-overwrite replica would be the same O(table)-per-batch
-    * scale-killer the primary sink was redesigned to avoid). Tombstoned
-    * rows are filtered, so deletes propagate via the bucket rewrite. */
+    * reusing the primary's bucket layout and crash-safe publish (shared
+    * [[CdcApplier.publishBuckets]], which also recovers any interrupted
+    * earlier swap) — the second sink's I/O stays proportional to the batch,
+    * exactly like the primary. Tombstoned rows are filtered, so deletes
+    * propagate via the bucket rewrite. A replica with no buckets yet (first
+    * activation over an existing primary) is backfilled in full. */
   def replicateBuckets(
       spark: SparkSession, targetDir: String, secondaryDir: String, buckets: Seq[Int]): Unit = {
-    if (buckets.isEmpty) return
     import CdcApplier.{BUCKET, DEL, POS}
     val hconf = spark.sparkContext.hadoopConfiguration
     val secondary = new Path(secondaryDir)
     val fs = secondary.getFileSystem(hconf)
 
+    // Backfill: an empty replica must start from the whole primary, not
+    // just this batch's buckets — otherwise untouched buckets never arrive.
+    val effective =
+      if (bucketIds(fs, secondary).isEmpty) bucketIds(fs, new Path(targetDir))
+      else buckets
+    if (effective.isEmpty) return
+
     val touched = spark.read.parquet(targetDir)
-      .filter(col(BUCKET).isin(buckets.map(Int.box).toIndexedSeq: _*))
+      .filter(col(BUCKET).isin(effective.map(Int.box).toIndexedSeq: _*))
       .filter(!col(DEL))
       .drop(DEL, POS)
     val tmp = new Path(secondaryDir + ".tmp")
     if (fs.exists(tmp)) fs.delete(tmp, true)
     coerce(touched).write.partitionBy(BUCKET).mode("overwrite").parquet(tmp.toString)
-
-    fs.mkdirs(secondary)
-    buckets.foreach { b =>
-      val fresh = new Path(tmp, s"$BUCKET=$b")
-      val live = new Path(secondary, s"$BUCKET=$b")
-      if (fs.exists(fresh)) CdcApplier.swapDir(fs, live, fresh)
-      else fs.delete(live, true) // bucket emptied entirely (all rows deleted)
-    }
-    fs.delete(tmp, true)
+    CdcApplier.publishBuckets(fs, secondary, tmp, effective)
   }
 }

@@ -37,13 +37,16 @@ object HashUtil {
     new GenericArrayData(java.util.Arrays.copyOf(out, m))
   }
 
-  /** Index-order double dot product (see [[DotProduct]]). */
-  def dot(a: ArrayData, b: ArrayData, aFloat: Boolean, bFloat: Boolean): Double = {
+  /** Index-order double dot product (see [[DotProduct]]). Returns null —
+    * like the `aggregate(zip_with(...))` fold it replaces — when the arrays
+    * differ in length (zip_with pads with null) or any element is null. */
+  def dot(a: ArrayData, b: ArrayData, aFloat: Boolean, bFloat: Boolean): java.lang.Double = {
     val n = a.numElements()
-    require(n == b.numElements(), s"graft_dot: length mismatch $n vs ${b.numElements()}")
+    if (n != b.numElements()) return null
     var acc = 0.0
     var i = 0
     while (i < n) {
+      if (a.isNullAt(i) || b.isNullAt(i)) return null
       val x = if (aFloat) a.getFloat(i).toDouble else a.getDouble(i)
       val y = if (bFloat) b.getFloat(i).toDouble else b.getDouble(i)
       acc += x * y
@@ -146,6 +149,8 @@ case class DotProduct(left: Expression, right: Expression)
   }
   override def dataType: DataType = DoubleType
   override def nullIntolerant: Boolean = true
+  // null even for non-null inputs: length mismatch / null elements
+  override def nullable: Boolean = true
   override def prettyName: String = "graft_dot"
 
   private def leftFloat = elemType(left) == FloatType
@@ -155,8 +160,15 @@ case class DotProduct(left: Expression, right: Expression)
     HashUtil.dot(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData], leftFloat, rightFloat)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    nullSafeCodeGen(ctx, ev, (a, b) =>
-      s"${ev.value} = graft.functions.HashUtil.dot($a, $b, $leftFloat, $rightFloat);")
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val boxed = ctx.freshName("dot")
+      s"""
+        java.lang.Double $boxed =
+          graft.functions.HashUtil.dot($a, $b, $leftFloat, $rightFloat);
+        if ($boxed == null) { ${ev.isNull} = true; }
+        else { ${ev.value} = $boxed.doubleValue(); }
+      """
+    })
 
   override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
     copy(left = l, right = r)

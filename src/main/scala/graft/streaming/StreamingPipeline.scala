@@ -131,27 +131,31 @@ object StreamingPipeline {
         else cached.filter(col("table").isin(opts.mappedTables.toSeq: _*))
       val envelope = mapped.select("op", "next_position", "before", "after")
 
-      var attempt = 0
-      var done = envelope.isEmpty
-      var touched: Seq[Int] = Seq.empty
-      var lastErr: Throwable = null
-      while (!done && attempt <= opts.maxRetries) {
-        try {
-          opts.preApplyHook()
-          touched = CdcApplier.applyBatch(spark, envelope, targetDir, opts.applier)
-          done = true
-        } catch {
-          case e: Throwable => lastErr = e; attempt += 1
+      // S13 bounded retry, applied uniformly to every sink in the batch.
+      def withRetries[T](what: String)(f: => T): T = {
+        var attempt = 0
+        var lastErr: Throwable = null
+        while (attempt <= opts.maxRetries) {
+          try return f
+          catch { case e: Throwable => lastErr = e; attempt += 1 }
         }
-      }
-      if (!done)
         throw new IllegalStateException(
-          s"CDC batch failed after ${opts.maxRetries + 1} attempts", lastErr)
+          s"$what failed after ${opts.maxRetries + 1} attempts", lastErr)
+      }
+
+      val touched: Seq[Int] =
+        if (envelope.isEmpty) Seq.empty
+        else withRetries("CDC batch") {
+          opts.preApplyHook()
+          CdcApplier.applyBatch(spark, envelope, targetDir, opts.applier)
+        }
 
       // S20 second sink: coerced replica of the converged state, mirroring
-      // only the buckets this batch touched.
-      opts.secondaryDir.foreach(
-        graft.cdc.CoercingSink.replicateBuckets(spark, targetDir, _, touched))
+      // only the buckets this batch touched (backfills an empty replica;
+      // no-op when the primary has no state yet).
+      opts.secondaryDir.foreach(dir => withRetries("secondary replication") {
+        graft.cdc.CoercingSink.replicateBuckets(spark, targetDir, dir, touched)
+      })
 
       // Invariant 5: advance the watermark even when everything was filtered
       // — and monotonically, so replayed batches can't move it backwards.

@@ -51,4 +51,25 @@ class CoercingSinkSpec extends AnyFunSuite {
     val back = spark.read.parquet(second).select("k", "v").as[(Int, Int)].collect().toSet
     assert(back == Set((1, 10), (2, 20)))
   }
+
+  test("incremental replication backfills an empty replica on first activation") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // primary already holds rows spread across many buckets BEFORE the
+    // second sink exists
+    val target = java.nio.file.Files.createTempDirectory("graft_cs").toString + "/t"
+    val rows = (1 to 64).map(i => (i, i * 10)).toDF("k", "v")
+    CdcApplier.applyBatch(spark, ChangeFeed.inserts(rows, col("k").cast("long")),
+      target, CdcApplier.Options(Seq("k")))
+
+    // a later batch touches one key; the replica must still arrive complete
+    val second = java.nio.file.Files.createTempDirectory("graft_cs2").toString + "/s"
+    val touched = CdcApplier.applyBatch(spark,
+      ChangeFeed.updates(rows.filter(col("k") === 1), Map("v" -> lit(999)), lit(1000L)),
+      target, CdcApplier.Options(Seq("k")))
+    CoercingSink.replicateBuckets(spark, target, second, touched)
+    val back = spark.read.parquet(second).select("k", "v").as[(Int, Int)].collect().toSet
+    assert(back.size == 64, "first replication must backfill every bucket")
+    assert(back.contains((1, 999)))
+  }
 }

@@ -71,6 +71,14 @@ class PolyHashSpec extends AnyFunSuite {
     val mixed = Seq((Array(2.0f, 3.0f), Array(0.5, -1.0))).toDF("a", "b")
       .select(call_function("graft_dot", $"a", $"b").as("d"))
     assert(mixed.first().getDouble(0) == 2.0 * 0.5 + 3.0 * -1.0)
+
+    // null semantics match the zip_with/aggregate fold it replaced:
+    // length mismatch and null elements yield NULL, not an error or a 0-fill
+    val edge = spark.sql(
+      """SELECT graft_dot(array(1.0D), array(1.0D, 2.0D)) AS mismatch,
+                graft_dot(array(1.0D, CAST(NULL AS DOUBLE)), array(1.0D, 2.0D)) AS nullelem""")
+      .first()
+    assert(edge.isNullAt(0) && edge.isNullAt(1))
   }
 
   test("interpreted (non-codegen) eval agrees with codegen") {
