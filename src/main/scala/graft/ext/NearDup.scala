@@ -2,7 +2,6 @@ package graft.ext
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.expressions.Window
 
 import graft.Tables
 
@@ -31,6 +30,11 @@ object NearDup {
 
   val ShingleK = 5
   val JaccardT = 0.8
+  // JaccardT as an exact rational (TNum/TDen) — the exact-join threshold
+  // arithmetic runs in integers so float rounding can't flip boundary pairs
+  // (J exactly 0.8 occurs: e.g. a 4-shingle subset of a 5-shingle doc).
+  private val TNum = 4L
+  private val TDen = 5L
 
   // -- MinHash parameters (fixed, deterministic). r=6 rows x 21 bands gives a
   // steep S-curve fitted to this corpus' similarity gap (background J~0.2,
@@ -52,6 +56,18 @@ object NearDup {
         call_function("graft_shingle_hashes", col("text"), lit(ShingleK)).as("shh"))
       .withColumn("sz", size(col("shh")))
 
+  // Length-band geometry: J >= t forces min(sz) >= t*max(sz), so with bands
+  // of multiplicative width 1/t' (t' = t - BandSlack, the slack keeping the
+  // qualifying log-ratio strictly below one band width so float rounding in
+  // log() can never split a qualifying pair across non-adjacent bands) every
+  // qualifying pair lands in the same or adjacent bands.
+  private val BandSlack = 0.01
+  // Salt blocks per band: the quadratic within-band pair work is decomposed
+  // into R(R+1)/2 triangle blocks (same band) + R^2 grid blocks (adjacent
+  // bands), each an independent reducer — a hot band parallelizes instead of
+  // serializing one shuffle partition.
+  private val SaltR = 16
+
   /** Exact similarity join, adaptive to the corpus' shingle-dictionary size.
     *
     * This corpus draws from a ~30-word vocabulary, so the GLOBAL distinct
@@ -60,29 +76,35 @@ object NearDup {
     * scheme: PPJoin prefix filtering (each doc's rarest shingles are still
     * shared by hundreds of docs) degenerates to all-pairs with extra work,
     * and an inverted-index count-join explodes into sum(df^2) ~= 500M join
-    * rows through 2k join keys. The winning exact plan instead
-    * dictionary-encodes shingles (driver-sized, like an AQE decision) and
-    * packs each doc's set into W 64-bit bitmap columns; the exact
-    * intersection count is then `sum_i bit_count(a.w_i & b.w_i)` — flat
-    * codegen'd expressions over a broadcast nested-loop pair join that
-    * applies the exact length-ratio bound (J >= t forces
-    * min(sz) >= t*max(sz)) before any bitmap work.
+    * rows through 2k join keys. The exact plan instead dictionary-encodes
+    * shingles (dense ids assigned by a distributed `zipWithIndex` — no
+    * global sort) and packs each doc's set into W 64-bit bitmap columns;
+    * the exact intersection count is then `sum_i bit_count(a.w_i & b.w_i)`
+    * — flat codegen'd expressions.
     *
-    * Scale notes: exact all-pairs similarity is inherently quadratic in the
-    * worst case; at 100 TB the pair join buckets by length-band to
-    * partition the quadratic work, and on natural zipfian text (huge
-    * dictionary, rare shingles) the right exact plan flips to PPJoin prefix
-    * filtering over the inverted index. Both variants keep this function's
-    * contract; the bitmap trick is the fast path whenever the dictionary
-    * fits (char-k-grams over constrained vocabularies — common for code,
-    * logs, DNA). */
+    * Pair generation is scale-shaped: docs are bucketed into multiplicative
+    * length bands (a qualifying pair can only span adjacent bands — see
+    * [[BandSlack]]) and each band is salted into [[SaltR]] blocks, so the
+    * inherently-quadratic exact-similarity work arrives as equi-joins on
+    * (band, i, j) block keys — partitioned, skew-spread, no cross product.
+    * On natural zipfian text (huge dictionary, rare shingles) the right
+    * exact plan flips to PPJoin prefix filtering over the inverted index;
+    * the bitmap-band plan is the fast path whenever the dictionary fits
+    * (char-k-grams over constrained vocabularies — common for code, logs,
+    * DNA). */
   def exactJaccardPairs(docs: DataFrame): DataFrame = {
-    val hashed = withHashedShingles(docs)
+    val spark = docs.sparkSession
+    // materialize once: the shingle-hash kernel would otherwise rerun for
+    // each of its three consumers (dict, bitmap build, sz join)
+    val hashed = withHashedShingles(docs).filter(col("sz") > 0).localCheckpoint()
     val ex = hashed.select(col("doc_id"), explode(col("shh")).as("h"))
-    // Global dictionary: shingle-hash -> dense id. ~2k rows; the single-
-    // partition window is a driver-scale sort, not a data-scale one.
-    val dict = ex.select("h").distinct()
-      .withColumn("id", row_number().over(Window.orderBy("h")) - 1)
+    // Global dictionary: shingle-hash -> dense id, assigned distributed via
+    // zipWithIndex (deterministic given the distinct's hash partitioning;
+    // ids only need to be dense and unique, not ordered).
+    val dict = {
+      import spark.implicits._
+      ex.select("h").distinct().as[Long].rdd.zipWithIndex.toDF("h", "id").localCheckpoint()
+    }
     val dictSize = dict.count() // adaptive W, decided driver-side
     val W = ((dictSize + 63) / 64).toInt
     val bitmaps = ex.join(broadcast(dict), "h")
@@ -94,19 +116,78 @@ object NearDup {
       // one row per doc, W+2 columns — materialize once so the pair
       // self-join below doesn't recompute the whole lineage for each side
       .localCheckpoint()
-    val a = bitmaps.toDF(bitmaps.columns.map(c => if (c == "doc_id" || c == "sz") c else s"w$c").toIndexedSeq: _*)
-    val pairs = a.as("a").join(a.as("b"),
-      col("a.doc_id") < col("b.doc_id") &&
-        least(col("a.sz"), col("b.sz")).cast("double") >=
-          lit(JaccardT) * greatest(col("a.sz"), col("b.sz")))
-    val c = (0 until W).map(i => expr(s"bit_count(a.w$i & b.w$i)")).reduce(_ + _).cast("double")
+    val named = bitmaps.toDF(
+      bitmaps.columns.map(c => if (c == "doc_id" || c == "sz") c else s"w$c").toIndexedSeq: _*)
+    val banded = named
+      .withColumn("band",
+        floor(log(col("sz").cast("double")) / lit(math.log(1.0 / (JaccardT - BandSlack)))).cast("int"))
+      .withColumn("salt", pmod(hash(col("doc_id")), lit(SaltR)))
+
+    // Block keys (role, band, i, j), where role 0 = same-band triangle and
+    // role 1 = adjacent-band grid (left side pre-shifts band by one so both
+    // roles join on plain equality). The left role carries i = own salt and
+    // explodes partner-salts j; the right role carries j = own salt and
+    // explodes partner-salts i. Ranges make each unordered pair match
+    // exactly one block: triangle (i <= j) within a band, full grid across
+    // adjacent bands. Folding both roles into ONE equi-join (vs two joins
+    // unioned) halves the stage count — measured wall-clock win at 32 cores.
+    val lKeys = expr(
+      s"""concat(
+            transform(sequence(salt, ${SaltR - 1}), j -> struct(0 AS role, band AS band, salt AS i, j AS j)),
+            transform(sequence(0, ${SaltR - 1}),    j -> struct(1 AS role, band + 1 AS band, salt AS i, j AS j)))""")
+    val rKeys = expr(
+      s"""concat(
+            transform(sequence(0, salt),            i -> struct(0 AS role, band AS band, i AS i, salt AS j)),
+            transform(sequence(0, ${SaltR - 1}),    i -> struct(1 AS role, band AS band, i AS i, salt AS j)))""")
+    // Explicit co-partitioning of both join sides on the block key: a
+    // user-specified partition count is exempt from AQE coalescing, which
+    // would otherwise see the (small) shuffle BYTES and fold the
+    // (quadratic) pair-evaluation WORK onto one partition. The join reuses
+    // this exact partitioning, so no extra exchange appears.
+    val nPart = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    val wcols = named.columns.filter(_.matches("w\\d+")).toSeq
+    def side(p: String, keys: Column)(df: DataFrame): DataFrame = {
+      val exploded = df
+        .withColumn("k", explode(keys))
+        .select(Seq(col("k.role").as("role"), col("k.band").as("band"),
+          col("k.i").as("i"), col("k.j").as("j"),
+          col("doc_id"), col("sz")) ++ wcols.map(col): _*)
+      val prefd = exploded.toDF(exploded.columns.map(p + _).toIndexedSeq: _*)
+      prefd.repartition(nPart,
+        col(s"${p}role"), col(s"${p}band"), col(s"${p}i"), col(s"${p}j"))
+    }
+    val left = side("l_", lKeys)(banded)
+    val right = side("r_", rKeys)(banded)
+
+    // The whole J >= t decision lives INSIDE the join condition, in exact
+    // integer arithmetic (t = TNum/TDen): c/(sa+sb-c) >= t  <=>
+    // (TDen+TNum)*c >= TNum*(sa+sb). A post-join `filter(jaccard >= t)`
+    // would be pushed back into the join condition by Catalyst with the
+    // 32-term bitmap sum inlined TWICE (numerator + denominator) — measured
+    // 3x the bitmap work. Cheap conjuncts (dedup, length ratio) run first so
+    // most pairs short-circuit before any bitmap word is touched; only
+    // surviving pairs (a tiny set) re-evaluate c for the output column.
+    val cInt = (0 until W).map(i => expr(s"bit_count(l_w$i & r_w$i)")).reduce(_ + _)
+    val ratioInt = least(col("l_sz"), col("r_sz")) * TDen >=
+      greatest(col("l_sz"), col("r_sz")) * TNum
+    val jaccardGE = cInt * (TDen + TNum) >= (col("l_sz") + col("r_sz")) * TNum
+    val keyEq = Seq("role", "band", "i", "j")
+      .map(k => col(s"l_$k") === col(s"r_$k")).reduce(_ && _)
+    val pairs = left.join(right,
+      keyEq &&
+        // same-band diagonal blocks (i = j) see each unordered pair twice —
+        // id order dedups; adjacent-band blocks match each pair once
+        (col("l_role") === 1 || col("l_i") =!= col("l_j") ||
+          col("l_doc_id") < col("r_doc_id")) &&
+        ratioInt && jaccardGE)
+
+    val c = cInt.cast("double")
     pairs
-      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
-        col("a.sz").as("sz_a"), col("b.sz").as("sz_b"), c.as("c"))
-      .withColumn("jaccard", col("c") / (col("sz_a") + col("sz_b") - col("c")))
-      .filter(col("jaccard") >= JaccardT)
-      .select(col("id_a"), col("id_b"), col("jaccard"))
-      .coalesce(1).sortWithinPartitions(col("id_a"), col("id_b")) // see exactJaccardPairs
+      .select(
+        least(col("l_doc_id"), col("r_doc_id")).as("id_a"),
+        greatest(col("l_doc_id"), col("r_doc_id")).as("id_b"),
+        (c / (col("l_sz") + col("r_sz") - c)).as("jaccard"))
+      .coalesce(1).sortWithinPartitions(col("id_a"), col("id_b")) // see spark-perf-traps: orderBy double-eval
   }
 
   /** Join candidate (id_a, id_b) pairs back to shingle-hash arrays and keep

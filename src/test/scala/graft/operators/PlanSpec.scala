@@ -57,6 +57,13 @@ class PlanSpec extends AnyFunSuite {
     assert("HashAggregate".r.findAllIn(p).size >= 2, p)
   }
 
+  test("q41: exact near-dup pairs come from banded equi-joins — no all-pairs, no global window") {
+    val p = plan("q41_neardup_jaccard")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("Window"), p) // dictionary ids come from zipWithIndex, not a 1-partition sort
+  }
+
   test("q42: LSH candidate join is an equi hash/merge join — never a cross product") {
     val p = plan("q42_minhash_lsh")
     assert(!p.contains("CartesianProduct"), p)
