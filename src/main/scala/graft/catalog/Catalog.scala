@@ -70,8 +70,16 @@ class Catalog(spark: SparkSession, storeDir: String) {
     validate(m)
     if (exists(m.qualifiedName))
       throw new IllegalArgumentException(s"mapping ${m.qualifiedName} already exists")
-    val out = fs.create(docPath(m.qualifiedName), false)
+    // tmp + rename, mirroring the bucket-swap discipline: a crash mid-write
+    // must not leave a truncated live doc that FAILFAST-parse would throw
+    // on forever (wedging the name for get/list/re-add alike). The rename
+    // (no overwrite) also keeps duplicate protection under races.
+    val live = docPath(m.qualifiedName)
+    val tmp = new Path(storeDir, s".${norm(m.qualifiedName)}.json.tmp")
+    val out = fs.create(tmp, true)
     try out.write(toJson(spark, m).getBytes("UTF-8")) finally out.close()
+    if (!fs.rename(tmp, live))
+      throw new IllegalArgumentException(s"mapping ${m.qualifiedName} already exists")
     cache.put(norm(m.qualifiedName), m)
     m
   }
@@ -114,12 +122,22 @@ class Catalog(spark: SparkSession, storeDir: String) {
 
   /** The `map` verb: register the mapping's table (backed by a CdcApplier
     * target directory) into the session catalog under `sparkTableName`,
-    * with columns renamed source→sink. */
+    * with columns renamed source→sink.
+    *
+    * The view is created from SQL TEXT, not from a DataFrame: a
+    * `createOrReplaceTempView` over `CdcApplier.snapshot` would capture the
+    * parquet file listing eagerly, and the next `applyBatch` swap would
+    * leave the view reading deleted files. SQL-text temp views re-analyze
+    * per query (fresh relation), and `applyBatch` calls `refreshByPath`
+    * after each publish to drop cached listings — so the mapped name always
+    * serves the latest published state while the pipeline is live. */
   def map(name: String, targetDir: String): Unit = {
     val m = get(name).getOrElse(throw new NoSuchElementException(s"no mapping $name"))
-    val projected = CdcApplier.snapshot(spark, targetDir)
-      .select(m.cols.map(c => col(c.dbColumnName).as(c.hbaseColumnName)): _*)
-    projected.createOrReplaceTempView(m.sparkTableName)
+    val colsSql = m.cols
+      .map(c => s"`${c.dbColumnName}` AS `${c.hbaseColumnName}`").mkString(", ")
+    spark.sql(
+      s"""CREATE OR REPLACE TEMPORARY VIEW `${m.sparkTableName}` AS
+          SELECT $colsSql FROM parquet.`$targetDir` WHERE NOT `${CdcApplier.DEL}`""")
   }
 
   /** The `unmap` verb. */

@@ -61,7 +61,7 @@ object CdcApplier {
 
   private[cdc] val POS = "_graft_pos"
   private val KIND = "_graft_kind"
-  private[cdc] val DEL = "_graft_deleted"
+  private[graft] val DEL = "_graft_deleted"
   // Partition-directory column; deliberately NOT underscore-prefixed —
   // Hadoop readers treat _-prefixed paths as hidden.
   private[cdc] val BUCKET = "graft_bucket"
@@ -69,9 +69,44 @@ object CdcApplier {
   private def dataFields(changes: DataFrame): Seq[String] =
     changes.schema("after").dataType.asInstanceOf[StructType].fieldNames.toSeq
 
-  /** Fail fast on PK schema drift (reference `MySQLExtractor.scala:196-198`):
-    * every PK column must exist in the incoming change schema with the same type. */
-  def checkSchemaDrift(target: StructType, incoming: StructType, pkCols: Seq[String]): Unit =
+  /** Per-target layout metadata, persisted beside the bucket dirs as the
+    * hidden `.graft_meta` file:
+    *  - `numBuckets`: the hash modulus the layout was CREATED with. A later
+    *    run configured with a different modulus would hash keys into
+    *    different bucket dirs than the rows already on disk — the merge
+    *    would read the wrong buckets and silently duplicate state — so
+    *    [[applyBatch]] always adopts the on-disk value.
+    *  - `horizon`: the compaction horizon ([[compact]]). Tombstones at or
+    *    below it may have been dropped, so any replayed event at or below
+    *    it is discarded instead of merged (it is, by the caller's replay
+    *    contract, already applied). */
+  case class TargetMeta(numBuckets: Int, horizon: Long)
+
+  object TargetMeta {
+    private def metaPath(target: Path) = new Path(target, ".graft_meta")
+
+    def read(conf: org.apache.hadoop.conf.Configuration, target: Path): Option[TargetMeta] =
+      graft.util.AtomicFile.read(conf, metaPath(target)).map { s =>
+        val kv = s.linesIterator.map(_.split("=", 2)).collect { case Array(k, v) => k -> v }.toMap
+        TargetMeta(kv("numBuckets").toInt, kv("horizon").toLong)
+      }
+
+    def write(conf: org.apache.hadoop.conf.Configuration, target: Path, m: TargetMeta): Unit =
+      graft.util.AtomicFile.write(conf, metaPath(target),
+        s"numBuckets=${m.numBuckets}\nhorizon=${m.horizon}\n")
+  }
+
+  /** Fail fast on schema drift — the full-column comparison of the
+    * reference's `TableInfo.sameData` (`TableInfo.scala:19-39`), which
+    * re-discovers the schema on ANY table-map change, not just key changes:
+    *  - a PK column missing or retyped in the incoming schema → drift error;
+    *  - a stored non-key column missing (dropped) or retyped → drift error
+    *    naming the column, instead of a confusing union/parquet failure;
+    *  - a column only in the incoming schema → allowed: [[applyBatch]]
+    *    evolves the stored schema additively (new nullable column).
+    * Layout columns are excluded from the comparison. */
+  def checkSchemaDrift(target: StructType, incoming: StructType, pkCols: Seq[String]): Unit = {
+    val layout = Set(POS, DEL, BUCKET, KIND)
     pkCols.foreach { k =>
       val t = target.fields.find(_.name == k)
       val i = incoming.fields.find(_.name == k)
@@ -79,6 +114,18 @@ object CdcApplier {
         throw new IllegalStateException(
           s"PK schema drift on '$k': target=${t.map(_.dataType)} incoming=${i.map(_.dataType)}")
     }
+    target.fields.filterNot(f => layout(f.name) || pkCols.contains(f.name)).foreach { t =>
+      incoming.fields.find(_.name == t.name) match {
+        case None => throw new IllegalStateException(
+          s"schema drift: stored column '${t.name}' (${t.dataType}) is missing from the " +
+            "incoming change schema (dropped upstream?) — migrate or re-bootstrap the target")
+        case Some(i) if i.dataType != t.dataType => throw new IllegalStateException(
+          s"schema drift: column '${t.name}' retyped ${t.dataType} -> ${i.dataType} — " +
+            "migrate or re-bootstrap the target")
+        case _ => ()
+      }
+    }
+  }
 
   /** Resolve a change batch to one winning (kind, image, pos) per key.
     * An update that moves the PK fans out to a delete@before-key and an
@@ -141,9 +188,19 @@ object CdcApplier {
   }
 
   /** Read the live table state: tombstones filtered, layout columns dropped
-    * (`_graft_pos` retained for offset introspection). */
+    * (`_graft_pos` retained for offset introspection). `mergeSchema` keeps
+    * the read robust across an additive-evolution publish interrupted
+    * mid-swap (some buckets already carry the new column, some not yet). */
   def snapshot(spark: SparkSession, targetDir: String): DataFrame =
-    spark.read.parquet(targetDir).filter(!col(DEL)).drop(DEL, BUCKET)
+    spark.read.option("mergeSchema", true).parquet(targetDir).filter(!col(DEL)).drop(DEL, BUCKET)
+
+  private[cdc] def bucketIds(fs: FileSystem, dir: Path): Seq[Int] =
+    if (!fs.exists(dir)) Seq.empty
+    else fs.listStatus(dir).toIndexedSeq
+      .map(_.getPath.getName)
+      .filter(_.startsWith(s"$BUCKET="))
+      .map(_.stripPrefix(s"$BUCKET=").toInt)
+      .sorted
 
   /** End-to-end incremental batch apply against a bucketed parquet target:
     * resolve → bucket → merge only touched buckets → per-bucket atomic swap.
@@ -151,14 +208,26 @@ object CdcApplier {
     * incrementally. */
   def applyBatch(
       spark: SparkSession, changes: DataFrame, targetDir: String, opts: Options): Seq[Int] = {
-    val resolved = resolveBatch(changes, opts)
-      .withColumn(BUCKET, pmod(hash(opts.pkCols.map(col): _*), lit(opts.numBuckets)))
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val target = new Path(targetDir)
+    val fs = target.getFileSystem(hconf)
+
+    // The on-disk modulus is the layout's truth: a run configured with a
+    // different numBuckets would hash keys into bucket dirs the existing
+    // rows are not in (silent duplicates), so the persisted value wins.
+    val meta = TargetMeta.read(hconf, target)
+    val numBuckets = meta.map(_.numBuckets).getOrElse(opts.numBuckets)
+    val horizon = meta.map(_.horizon).getOrElse(Long.MinValue)
+
+    // Events at or below the compaction horizon are already applied and
+    // their tombstones may be gone — discard instead of merging (a stale
+    // upsert below the horizon must not resurrect a compacted delete).
+    val inHorizon = resolveBatch(changes, opts)
+    val resolved = (if (horizon == Long.MinValue) inHorizon
+                    else inHorizon.filter(col(POS) > horizon))
+      .withColumn(BUCKET, pmod(hash(opts.pkCols.map(col): _*), lit(numBuckets)))
       .persist()
     try {
-      val hconf = spark.sparkContext.hadoopConfiguration
-      val target = new Path(targetDir)
-      val fs = target.getFileSystem(hconf)
-
       // Small driver-side action: at most numBuckets values.
       val touched = resolved.select(BUCKET).distinct().collect().map(_.getInt(0)).sorted
       if (touched.isEmpty) return Seq.empty
@@ -172,25 +241,83 @@ object CdcApplier {
         recoverBuckets(fs, target)
         fs.listStatus(target).exists(_.getPath.getName.startsWith(s"$BUCKET="))
       }
-      val current =
-        if (hasState)
-          spark.read.parquet(targetDir).filter(col(BUCKET).isin(touched.map(Int.box).toIndexedSeq: _*))
-        else {
+      val stored =
+        if (hasState) Some(spark.read.option("mergeSchema", true).parquet(targetDir))
+        else None
+      stored.foreach(s => checkSchemaDrift(s.schema, resolved.schema, opts.pkCols))
+
+      // Additive evolution (S4): new non-key incoming columns surface as
+      // NULL on stored rows. Schema changes are table-wide, so ALL buckets
+      // are rewritten in that (rare, DDL-driven) batch — a partial rewrite
+      // would leave mixed per-bucket schemas.
+      val newFields = stored.toSeq.flatMap { s =>
+        val have = s.columns.toSet
+        resolved.schema.fields.filterNot(f => have(f.name) || f.name == KIND)
+      }
+      val rewrite =
+        if (newFields.nonEmpty) (bucketIds(fs, target) ++ touched).distinct.sorted
+        else touched.toIndexedSeq
+      val current = stored match {
+        case Some(s) =>
+          newFields.foldLeft(
+            s.filter(col(BUCKET).isin(rewrite.map(Int.box): _*)))(
+            (df, f) => df.withColumn(f.name, lit(null).cast(f.dataType)))
+        case None =>
           val schema = StructType(
             resolved.schema.fields.filterNot(f => f.name == KIND || f.name == POS || f.name == BUCKET))
             .add(POS, LongType).add(DEL, BooleanType).add(BUCKET, "int")
           spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
-        }
-      checkSchemaDrift(current.schema, resolved.schema, opts.pkCols)
+      }
+
+      // Publish the layout metadata BEFORE the first bucket publish: a
+      // crash in between leaves meta + no buckets, which bootstraps fine.
+      if (meta.isEmpty) TargetMeta.write(hconf, target, TargetMeta(numBuckets, Long.MinValue))
 
       val tmp = new Path(targetDir + ".tmp")
       if (fs.exists(tmp)) fs.delete(tmp, true)
       merge(current, resolved, opts)
         .write.partitionBy(BUCKET).mode("overwrite").parquet(tmp.toString)
 
-      publishBuckets(fs, target, tmp, touched.toIndexedSeq)
-      touched.toSeq
+      publishBuckets(fs, target, tmp, rewrite)
+      // Invalidate cached file listings/plans over this path (mapped views
+      // resolve per query; without this they can see swapped-away files).
+      spark.catalog.refreshByPath(targetDir)
+      rewrite.toSeq
     } finally resolved.unpersist()
+  }
+
+  /** Tombstone compaction: drop tombstones whose position is at or below
+    * `horizonPos` — the caller's replay horizon, a position at or below
+    * which the source can no longer redeliver events — then advance the
+    * persisted horizon so an event somehow replayed from below it is
+    * discarded by [[applyBatch]] instead of resurrecting a compacted key.
+    * The horizon advances FIRST: a crash in between leaves tombstones
+    * intact with the guard already active, never the reverse. Only buckets
+    * actually holding compactable tombstones are rewritten, through the
+    * same crash-safe publish as the merge. */
+  def compact(spark: SparkSession, targetDir: String, horizonPos: Long): Seq[Int] = {
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val target = new Path(targetDir)
+    val fs = target.getFileSystem(hconf)
+    val meta = TargetMeta.read(hconf, target).getOrElse(
+      throw new IllegalStateException(s"no graft target metadata at $targetDir"))
+    TargetMeta.write(hconf, target, meta.copy(horizon = math.max(meta.horizon, horizonPos)))
+
+    recoverBuckets(fs, target)
+    val all = spark.read.option("mergeSchema", true).parquet(targetDir)
+    val compactable = col(DEL) && col(POS) <= horizonPos
+    val touched = all.filter(compactable)
+      .select(BUCKET).distinct().collect().map(_.getInt(0)).sorted.toIndexedSeq
+    if (touched.isEmpty) return Seq.empty
+
+    val tmp = new Path(targetDir + ".compact.tmp")
+    if (fs.exists(tmp)) fs.delete(tmp, true)
+    all.filter(col(BUCKET).isin(touched.map(Int.box): _*))
+      .filter(!compactable)
+      .write.partitionBy(BUCKET).mode("overwrite").parquet(tmp.toString)
+    publishBuckets(fs, target, tmp, touched)
+    spark.catalog.refreshByPath(targetDir)
+    touched
   }
 
   /** Shared publish discipline for a bucketed directory tree: recover any

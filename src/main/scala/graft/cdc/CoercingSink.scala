@@ -44,12 +44,7 @@ object CoercingSink {
   }
 
   private def bucketIds(fs: org.apache.hadoop.fs.FileSystem, dir: Path): Seq[Int] =
-    if (!fs.exists(dir)) Seq.empty
-    else fs.listStatus(dir).toIndexedSeq
-      .map(_.getPath.getName)
-      .filter(_.startsWith(s"${CdcApplier.BUCKET}="))
-      .map(_.stripPrefix(s"${CdcApplier.BUCKET}=").toInt)
-      .sorted
+    CdcApplier.bucketIds(fs, dir)
 
   /** Full replication: every primary bucket, in the same bucketed layout as
     * [[replicateBuckets]] (one layout for the replica, whichever entry
@@ -80,7 +75,7 @@ object CoercingSink {
       else buckets
     if (effective.isEmpty) return
 
-    val touched = spark.read.parquet(targetDir)
+    val touched = spark.read.option("mergeSchema", true).parquet(targetDir)
       .filter(col(BUCKET).isin(effective.map(Int.box).toIndexedSeq: _*))
       .filter(!col(DEL))
       .drop(DEL, POS)
@@ -88,5 +83,6 @@ object CoercingSink {
     if (fs.exists(tmp)) fs.delete(tmp, true)
     coerce(touched).write.partitionBy(BUCKET).mode("overwrite").parquet(tmp.toString)
     CdcApplier.publishBuckets(fs, secondary, tmp, effective)
+    spark.catalog.refreshByPath(secondaryDir)
   }
 }

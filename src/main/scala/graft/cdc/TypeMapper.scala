@@ -33,8 +33,10 @@ object TypeMapper {
   }
 
   private val BitRe = """bit\((\d+)\)""".r
-  private val DecimalRe = """decimal\((\d+)\s*,\s*(\d+)\).*""".r
-  private val DecimalNoScaleRe = """decimal\((\d+)\).*""".r
+  // decimal / numeric / dec are synonymous MySQL spellings; bare forms
+  // (no parens) default to DECIMAL(10,0)
+  private val DecimalRe = """(?:decimal|numeric|dec)\((\d+)\s*,\s*(\d+)\).*""".r
+  private val DecimalNoScaleRe = """(?:decimal|numeric|dec)\((\d+)\).*""".r
 
   /** Full-fidelity mapping for the modern engine. Integer display widths —
     * `tinyint(3) unsigned` — are presentation-only in MySQL and are stripped
@@ -52,6 +54,10 @@ object TypeMapper {
         val base = t.replaceFirst("""\(\d+\)""", "")
         val unsigned = base.contains("unsign")
         base match {
+          case _ if base.startsWith("decimal") ||
+                    base.startsWith("numeric") ||
+                    base == "dec" || base.startsWith("dec ") =>
+            DecimalType(10, 0) // bare spelling: MySQL's default precision
           case _ if base.startsWith("tinyint")   => if (unsigned) ShortType else ByteType
           case _ if base.startsWith("smallint")  => if (unsigned) IntegerType else ShortType
           case _ if base.startsWith("mediumint") => IntegerType // u24 still fits int

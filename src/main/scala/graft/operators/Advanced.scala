@@ -110,14 +110,25 @@ object Advanced {
 
     // ---- HLL sketch aggregation: approx_count_distinct beside the exact
     //      count. No DuckDB oracle — HLL estimates are engine-specific —
-    //      so the driver records the (documented) weaker rows-only check;
-    //      the exact column anchors the row content.
+    //      so the driver records the (documented) weaker rows-only check.
+    //      The check is self-validating instead: rel_err is computed
+    //      in-query and the query FAILS (raise_error) if any group's
+    //      estimate strays beyond 3x the sketch's configured rsd, so a
+    //      broken sketch can't hide behind the rows-only gate.
     "q29_approx_distinct" -> ((s, dir) => {
       import s.implicits._
+      val rsd = 0.05 // approx_count_distinct default relative std deviation
       Tables.load(s, dir, "lineitem")
         .groupBy($"l_returnflag")
-        .agg(approx_count_distinct($"l_partkey").as("approx_parts"),
+        .agg(approx_count_distinct($"l_partkey", rsd).as("approx_parts"),
           countDistinct($"l_partkey").as("exact_parts"))
+        .withColumn("rel_err",
+          abs($"approx_parts" - $"exact_parts").cast("double") / $"exact_parts")
+        .withColumn("rel_err",
+          when($"rel_err" > 3 * rsd, raise_error(concat(
+            lit("HLL estimate out of bound: rel_err="), $"rel_err".cast("string"),
+            lit(" for l_returnflag="), $"l_returnflag")))
+            .otherwise($"rel_err"))
         .orderBy($"l_returnflag")
     }),
 

@@ -4,7 +4,7 @@ import java.nio.charset.StandardCharsets
 
 import scala.collection.concurrent.TrieMap
 
-import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, Dataset, Encoder, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, StreamingQuery}
@@ -46,12 +46,21 @@ object StreamingPipeline {
     * @param secondaryDir  optional second sink (S20): after each merged
     *                      batch the converged snapshot is replicated there
     *                      through the Mongo-path value coercions
+    * @param earliestPos   the earliest position the SOURCE still retains
+    *                      (the binlog's oldest un-purged event). When the
+    *                      stored high-watermark lies below it the gap was
+    *                      purged upstream: the pipeline fails with an
+    *                      explicit rebootstrap-required error — the analog
+    *                      of the reference exiting on MySQL error 1236
+    *                      (`MySQLExtractor.scala:92-103`) — instead of
+    *                      silently skipping the lost events
     * @param preApplyHook  test seam: runs before each apply attempt */
   case class PipelineOptions(
       applier: CdcApplier.Options,
       mappedTables: Set[String] = Set.empty,
       maxRetries: Int = 2,
       secondaryDir: Option[String] = None,
+      earliestPos: Option[Long] = None,
       preApplyHook: () => Unit = () => ())
 
   /** Per-pipeline observability (S17): per-table-per-op counts, batch
@@ -83,6 +92,33 @@ object StreamingPipeline {
       opCounts.keys.filter(_._1 == target).foreach(opCounts.remove)
       batches.remove(target); latencies.remove(target)
     }
+
+    /** JMX surface (S17/S18 parity with the reference's MBean registration,
+      * `Rep.scala:33-38`): expose one `graft.streaming:type=PipelineMetrics`
+      * bean per target on the platform MBeanServer, mirroring what
+      * `/status` serves. Registration is idempotent (re-register on query
+      * restart replaces the bean). */
+    trait PipelineMetricsMBean {
+      def getBatchCount: Long
+      def getRecentLatenciesMs: Array[Long]
+      def getOpCounts: String
+    }
+
+    def registerJmx(target: String): javax.management.ObjectName = {
+      import javax.management.{ObjectName, StandardMBean}
+      val bean = new StandardMBean(new PipelineMetricsMBean {
+        override def getBatchCount: Long = batchCount(target)
+        override def getRecentLatenciesMs: Array[Long] = recentLatenciesMs(target).toArray
+        override def getOpCounts: String = allOpCounts(target).toSeq.sorted
+          .map { case ((t, op), n) => s"$t.$op=$n" }.mkString(",")
+      }, classOf[PipelineMetricsMBean])
+      val name = new ObjectName(
+        "graft.streaming:type=PipelineMetrics,target=" + ObjectName.quote(target))
+      val server = java.lang.management.ManagementFactory.getPlatformMBeanServer
+      if (server.isRegistered(name)) server.unregisterMBean(name)
+      server.registerMBean(bean, name)
+      name
+    }
   }
 
   private def highWaterPath(targetDir: String) = new Path(targetDir, ".graft_highwater")
@@ -100,22 +136,27 @@ object StreamingPipeline {
     }
   }
 
-  private def writeHighWater(fs: FileSystem, targetDir: String, pos: Long): Unit = {
-    val live = highWaterPath(targetDir)
-    fs.mkdirs(new Path(targetDir))
-    val tmp = new Path(targetDir, ".graft_highwater.tmp")
-    val out = fs.create(tmp, true)
-    try out.write(pos.toString.getBytes(StandardCharsets.UTF_8)) finally out.close()
-    if (fs.exists(live)) fs.delete(live, false)
-    if (!fs.rename(tmp, live))
-      throw new java.io.IOException(s"cannot publish high-watermark to $live")
-  }
+  private def writeHighWater(
+      conf: org.apache.hadoop.conf.Configuration, targetDir: String, pos: Long): Unit =
+    // rename-with-OVERWRITE publish: the live watermark file is never
+    // absent mid-publish (a delete-then-rename crash window would reset a
+    // recovering pipeline to Long.MinValue and let a replayed batch move
+    // the watermark BACKWARDS)
+    graft.util.AtomicFile.write(conf, highWaterPath(targetDir), pos.toString)
 
-  /** One micro-batch: count (S17) → high-watermark over the FULL batch →
-    * replication filter (S5) → retried incremental merge (S13 + S9-S11). */
+  /** One micro-batch: purge guard → count (S17) → high-watermark over the
+    * FULL batch → replication filter (S5) → retried incremental merge
+    * (S13 + S9-S11). */
   def applyMicroBatch(
       spark: SparkSession, batch: DataFrame, targetDir: String, opts: PipelineOptions): Unit = {
     val t0 = System.nanoTime()
+    // Rebootstrap guard: positions in (highwater, earliestPos) were purged
+    // at the source — no retry can recover them, fail the query explicitly.
+    for (ea <- opts.earliestPos; hw <- readHighWater(spark, targetDir))
+      if (ea > hw + 1)
+        throw new IllegalStateException(
+          s"rebootstrap required: source retains positions only from $ea but the target's " +
+            s"high-watermark is $hw — events in (${hw + 1}..${ea - 1}) were purged upstream")
     val cached = batch.persist()
     try {
       // one aggregation pass yields both the S17 counters and the position
@@ -159,9 +200,9 @@ object StreamingPipeline {
 
       // Invariant 5: advance the watermark even when everything was filtered
       // — and monotonically, so replayed batches can't move it backwards.
-      val fs = new Path(targetDir).getFileSystem(spark.sparkContext.hadoopConfiguration)
       val prior = readHighWater(spark, targetDir).getOrElse(Long.MinValue)
-      if (newHigh > prior) writeHighWater(fs, targetDir, newHigh)
+      if (newHigh > prior)
+        writeHighWater(spark.sparkContext.hadoopConfiguration, targetDir, newHigh)
 
       Metrics.record(targetDir, stats, (System.nanoTime() - t0) / 1000000)
     } finally cached.unpersist()
@@ -171,13 +212,15 @@ object StreamingPipeline {
     * with columns (op, table, next_position, before, after). */
   def start(
       changes: DataFrame, targetDir: String, checkpointDir: String,
-      opts: PipelineOptions): StreamingQuery =
+      opts: PipelineOptions): StreamingQuery = {
+    Metrics.registerJmx(targetDir)
     changes.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, _: Long) =>
         applyMicroBatch(batch.sparkSession, batch, targetDir, opts)
       }
       .start()
+  }
 
   /** One streaming query per mapped table from a single generic feed —
     * SURVEY §7 hard part (c): the binlog carries dynamic per-table schemas,

@@ -1,8 +1,39 @@
 package graft.util
 
+import java.nio.charset.StandardCharsets
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{FileContext, Options, Path}
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions.sum
 import org.apache.spark.sql.types.DecimalType
+
+/** Crash-safe small-file publication shared by the high-watermark, the
+  * target metadata, and the catalog store: write a dot-prefixed tmp file
+  * (hidden from partition discovery), then rename OVER the live path with
+  * `Options.Rename.OVERWRITE` — a single atomic op on POSIX and HDFS, so at
+  * no point is the live file absent or truncated. (A delete-then-rename
+  * publish has a crash window where the file is simply gone.) */
+object AtomicFile {
+  def write(conf: Configuration, live: Path, content: String): Unit = {
+    val fs = live.getFileSystem(conf)
+    fs.mkdirs(live.getParent)
+    val q = fs.makeQualified(live)
+    val tmp = new Path(q.getParent, "." + q.getName + ".tmp")
+    val out = fs.create(tmp, true)
+    try out.write(content.getBytes(StandardCharsets.UTF_8)) finally out.close()
+    FileContext.getFileContext(q.toUri, conf).rename(tmp, q, Options.Rename.OVERWRITE)
+  }
+
+  def read(conf: Configuration, live: Path): Option[String] = {
+    val fs = live.getFileSystem(conf)
+    if (!fs.exists(live)) None
+    else {
+      val in = fs.open(live)
+      try Some(new String(in.readAllBytes(), StandardCharsets.UTF_8)) finally in.close()
+    }
+  }
+}
 
 /** Minimal JSON string escaping shared by every hand-rolled JSON emitter
   * (Bench output line, Verify's oracle dump, the status server). Escapes

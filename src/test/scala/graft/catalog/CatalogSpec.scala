@@ -119,6 +119,27 @@ class CatalogSpec extends AnyFunSuite {
     intercept[Exception] { spark.sql("SELECT * FROM student2").collect() }
   }
 
+  test("a mapped view stays live across applyBatch swaps (no stale file listing)") {
+    val (cat, _) = newCatalog()
+    val m = cat.add(f1Json)
+    val target = Files.createTempDirectory("graft_catalog_t").toString + "/student"
+    val rows = Seq((1, 1, 90, "ann", "a")).toDF("sn", "id", "score", "name", "rem")
+    CdcApplier.applyBatch(spark, ChangeFeed.inserts(rows, lit(10L)),
+      target, CdcApplier.Options(m.pkCols))
+
+    cat.map("mixfs.student", target)
+    assert(spark.sql("SELECT score FROM student2").as[Int].collect().toSeq == Seq(90))
+
+    // the next batch swaps the bucket files the view's first query read —
+    // WITHOUT re-running map, the view must serve the new state, not throw
+    // FileNotFound or return stale rows
+    CdcApplier.applyBatch(spark,
+      ChangeFeed.updates(rows, Map("score" -> lit(95)), lit(20L)),
+      target, CdcApplier.Options(m.pkCols))
+    assert(spark.sql("SELECT score FROM student2").as[Int].collect().toSeq == Seq(95))
+    cat.unmap("mixfs.student")
+  }
+
   // ---- S3 discovery over the F2 typezoo fixture
   val typezoo: Seq[SourceColumn] = Seq(
     SourceColumn("pk", "bigint", isPrimaryKey = true),

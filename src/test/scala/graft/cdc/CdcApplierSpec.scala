@@ -167,6 +167,74 @@ class CdcApplierSpec extends AnyFunSuite {
     assert(state(target) == Set(s1))
   }
 
+  test("S4 additive drift: a new non-key column evolves the target (NULL on old rows)") {
+    val target = newTarget()
+    CdcApplier.applyBatch(spark, ev("insert", 10, None, Some(s1)), target, opts)
+    // upstream DDL added a column: later change batches carry it
+    val widened = Seq(s2).toDF().withColumn("extra", lit("x"))
+    CdcApplier.applyBatch(spark, ChangeFeed.inserts(widened, lit(20L)), target, opts)
+    val rows = CdcApplier.snapshot(spark, target)
+      .select($"sn", $"extra").as[(Int, Option[String])].collect().toSet
+    assert(rows == Set((1, None), (2, Some("x"))),
+      "old rows must carry NULL in the evolved column, new rows their value")
+  }
+
+  test("S4 dropped / retyped non-key column fails with a named drift error") {
+    val target = newTarget()
+    CdcApplier.applyBatch(spark, ev("insert", 10, None, Some(s1)), target, opts)
+
+    val dropped = Seq(s2).toDF().drop("rem")
+    val e1 = intercept[IllegalStateException] {
+      CdcApplier.applyBatch(spark, ChangeFeed.inserts(dropped, lit(20L)), target, opts)
+    }
+    assert(e1.getMessage.contains("schema drift") && e1.getMessage.contains("rem"))
+
+    val retyped = Seq(s2).toDF().withColumn("score", $"score".cast("string"))
+    val e2 = intercept[IllegalStateException] {
+      CdcApplier.applyBatch(spark, ChangeFeed.inserts(retyped, lit(20L)), target, opts)
+    }
+    assert(e2.getMessage.contains("schema drift") && e2.getMessage.contains("score"))
+  }
+
+  test("layout metadata: a later run with a different numBuckets adopts the on-disk modulus") {
+    import org.apache.hadoop.fs.Path
+    val target = newTarget()
+    val rows = (1 to 64).map(i => Student(i, i, i, s"n$i", "r"))
+    CdcApplier.applyBatch(spark,
+      ChangeFeed.inserts(rows.toDF(), col("sn").cast("long") * 10), target, opts) // 16 buckets
+    // misconfigured second run: 4 buckets would hash keys into a different
+    // layout and silently duplicate — the persisted modulus must win
+    CdcApplier.applyBatch(spark,
+      ev("update", 1000, Some(rows.head), Some(rows.head.copy(score = 999))),
+      target, opts.copy(numBuckets = 4))
+    assert(state(target).size == 64, "no duplicates / lost rows under a modulus change")
+    assert(state(target).contains(rows.head.copy(score = 999)))
+    val hconf = spark.sparkContext.hadoopConfiguration
+    assert(CdcApplier.TargetMeta.read(hconf, new Path(target)).map(_.numBuckets).contains(16))
+  }
+
+  test("compact drops old tombstones, shrinks the snapshot, and below-horizon replays converge") {
+    val target = newTarget()
+    CdcApplier.applyBatch(spark, ev("insert", 10, None, Some(s1)), target, opts)
+    CdcApplier.applyBatch(spark, ev("insert", 11, None, Some(s2)), target, opts)
+    CdcApplier.applyBatch(spark, ev("delete", 30, Some(s1), None), target, opts)
+    assert(spark.read.parquet(target).count() == 2, "tombstone + live row before compaction")
+
+    val touched = CdcApplier.compact(spark, target, horizonPos = 30)
+    assert(touched.nonEmpty)
+    assert(spark.read.parquet(target).count() == 1, "tombstone physically dropped")
+    assert(state(target) == Set(s2))
+
+    // the stale insert of the deleted key replays from below the horizon:
+    // without the horizon guard the dropped tombstone could not win the
+    // position race and the delete would be resurrected
+    CdcApplier.applyBatch(spark, ev("insert", 10, None, Some(s1)), target, opts)
+    assert(state(target) == Set(s2), "below-horizon replay must not resurrect a compacted delete")
+
+    // compacting again is a no-op
+    assert(CdcApplier.compact(spark, target, horizonPos = 30).isEmpty)
+  }
+
   test("F3.8 tombstone survives: stale upsert replayed after a delete stays dead") {
     val target = newTarget()
     CdcApplier.applyBatch(spark, ev("insert", 10, None, Some(s1)), target, opts)

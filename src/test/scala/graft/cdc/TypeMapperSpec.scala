@@ -55,6 +55,12 @@ class TypeMapperSpec extends AnyFunSuite {
     assert(TypeMapper.full("int(11)") == IntegerType)
     assert(TypeMapper.full("varchar(10)") == StringType)
     assert(TypeMapper.full("json") == StringType)
+    // bare / synonym decimal spellings (legal MySQL, default DECIMAL(10,0))
+    assert(TypeMapper.full("decimal") == DecimalType(10, 0))
+    assert(TypeMapper.full("numeric") == DecimalType(10, 0))
+    assert(TypeMapper.full("dec") == DecimalType(10, 0))
+    assert(TypeMapper.full("numeric(12,3)") == DecimalType(12, 3))
+    assert(TypeMapper.full("dec(8,2)") == DecimalType(8, 2))
   }
 
   test("enum decode: 1-based ordinals, 0 encodes NULL (CHANGELOG #9)") {

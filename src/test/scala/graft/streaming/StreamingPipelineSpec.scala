@@ -216,6 +216,54 @@ class StreamingPipelineSpec extends AnyFunSuite {
     assert(replica == Set(r1), "second sink must track the converged primary state")
   }
 
+  test("binlog-purged gap on resume fails with an explicit rebootstrap error") {
+    val target = tmpdir("sp_t") + "/student"
+    Metrics.reset(target)
+    val src = MemoryStream[SEvent]
+    src.addData(ins(10, r1))
+    val q1 = StreamingPipeline.start(src.toDF(), target, tmpdir("sp_c"), opts())
+    q1.processAllAvailable()
+    q1.stop()
+    assert(StreamingPipeline.readHighWater(spark, target).contains(10L))
+
+    // source purged everything below 50: positions 11..49 are gone forever
+    src.addData(ins(50, r2))
+    val q2 = StreamingPipeline.start(src.toDF(), target, tmpdir("sp_c2"),
+      opts().copy(earliestPos = Some(50L)))
+    val e = intercept[Exception] { q2.processAllAvailable() }
+    q2.stop()
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Seq.empty else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(e).exists(_.contains("rebootstrap required")), messages(e).mkString("; "))
+    assert(state(target) == Set(r1), "no partial apply past a purged gap")
+
+    // a source whose retention still covers the watermark resumes fine
+    val q3 = StreamingPipeline.start(src.toDF(), target, tmpdir("sp_c3"),
+      opts().copy(earliestPos = Some(11L)))
+    q3.processAllAvailable()
+    q3.stop()
+    assert(state(target) == Set(r1, r2))
+  }
+
+  test("S17 via JMX: pipeline metrics are readable from the platform MBeanServer") {
+    import java.lang.management.ManagementFactory
+    val target = tmpdir("sp_t") + "/student"
+    Metrics.reset(target)
+    val src = MemoryStream[SEvent]
+    src.addData(ins(10, r1), ins(11, r2))
+    val q = StreamingPipeline.start(src.toDF(), target, tmpdir("sp_c"), opts())
+    q.processAllAvailable()
+    q.stop()
+
+    val name = Metrics.registerJmx(target) // idempotent re-register
+    val server = ManagementFactory.getPlatformMBeanServer
+    assert(server.isRegistered(name))
+    assert(server.getAttribute(name, "BatchCount").asInstanceOf[Long] >= 1L)
+    assert(server.getAttribute(name, "OpCounts").asInstanceOf[String]
+      .contains("student.insert=2"))
+    assert(server.getAttribute(name, "RecentLatenciesMs").asInstanceOf[Array[Long]].nonEmpty)
+  }
+
   test("S18: status server serves metrics JSON over HTTP") {
     val target = tmpdir("sp_t") + "/student"
     Metrics.reset(target)
