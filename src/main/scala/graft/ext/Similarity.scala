@@ -40,6 +40,8 @@ object Similarity {
   val LshBits = 12
   val DedupCos = 0.99
   val DedupTables = 2
+  val IvfCells = 16 // coarse-quantizer cells (q53)
+  val IvfProbes = 4 // cells probed per query
 
   /** Index-order double dot product — bit-identical to the oracle's fold;
     * backed by the native codegen kernel [[graft.functions.DotProduct]]
@@ -105,6 +107,65 @@ object Similarity {
       val tgt = e.filter(col("vec_id") >= NumQueries)
       val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("vec_id"))
       tgt.join(probes, col("probe") === col("code"))
+        .withColumn("cos", cosd(col("qe"), col("qn"), col("embedding"), col("nrm")))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= TopK)
+        .select(col("qid").as("query_id"), col("rank"), col("vec_id").as("neighbor_id"), col("cos"))
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
+    // ---- IVF (inverted-file) ANN: the cell-partitioned scale path beside
+    //      q51's hash-bucketed one. Coarse quantizer = 16 deterministic seed
+    //      centroids (the embeddings of vec_id 10..25, normalized driver-
+    //      side — a K x 64 literal, the same driver-sized decision as q41's
+    //      bitmap width; production would k-means, the Spark plumbing is
+    //      identical). Every corpus vector is assigned to its argmax-cosine
+    //      cell in a PURE PROJECTION over the centroid literals (the
+    //      graft_dot kernel x 16, no join, no shuffle — embarrassingly
+    //      parallel at any scale); each query probes its 4 nearest cells and
+    //      exact-reranks candidates through a (cell) equi-join that touches
+    //      ~nprobe/K of the corpus, never all of it. The oracle mirrors the
+    //      full IVF decision procedure — same centroids, same index-order
+    //      double folds, so assignments and ranks are bit-identical.
+    "q53_ann_ivf" -> ((s, dir) => {
+      graft.functions.GraftFunctions.register(s)
+      val e = t(s, dir, "embeddings")
+        .repartition(col("vec_id"))
+        .withColumn("nrm", sqrt(dotd(col("embedding"), col("embedding"))))
+      // Driver-sized: 16 x 64 doubles, normalized with the SAME index-order
+      // fold the oracle uses (left fold of double products, then sqrt).
+      val centroids: Seq[(Int, Seq[Double])] = e
+        .filter(col("vec_id") >= NumQueries && col("vec_id") < NumQueries + IvfCells)
+        .select(col("vec_id"), col("embedding"))
+        .collect()
+        .map { r =>
+          val v = r.getSeq[Float](1)
+          val nrm = math.sqrt(v.foldLeft(0.0)((acc, x) => acc + x.toDouble * x.toDouble))
+          (r.getLong(0).toInt - NumQueries, v.map(_.toDouble / nrm).toSeq)
+        }.sortBy(_._1).toSeq
+      // argmax cell as a flat expression: greatest() over (dot, -cid)
+      // structs is a lexicographic max -> max dot, ties to the lowest cid
+      // (ties cannot diverge cross-engine anyway: both sides fold in the
+      // same IEEE order, so the dot values are bit-identical).
+      def cellOf(v: Column): Column =
+        greatest(centroids.map { case (cid, c) =>
+          struct(dotd(v, typedLit(c)).as("d"), lit(-cid).as("nc"))
+        }: _*).getField("nc") * -1
+      val tgt = e.filter(col("vec_id") >= NumQueries)
+        .withColumn("cell", cellOf(col("embedding")))
+      // query side: top-nprobe cells by the same (dot desc, cid) order
+      val qcells = e.filter(col("vec_id") < NumQueries)
+        .select(col("vec_id").as("qid"), col("embedding").as("qe"), col("nrm").as("qn"),
+          explode(array(centroids.map { case (cid, c) =>
+            struct(lit(cid).as("cell"), dotd(col("embedding"), typedLit(c)).as("d"))
+          }: _*)).as("cc"))
+        .select(col("qid"), col("qe"), col("qn"),
+          col("cc.cell").as("cell"), col("cc.d").as("d"))
+      val pw = Window.partitionBy(col("qid")).orderBy(col("d").desc, col("cell"))
+      val probes = qcells.withColumn("prank", row_number().over(pw))
+        .filter(col("prank") <= IvfProbes)
+      val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("vec_id"))
+      tgt.join(broadcast(probes), "cell")
         .withColumn("cos", cosd(col("qe"), col("qn"), col("embedding"), col("nrm")))
         .withColumn("rank", row_number().over(w))
         .filter(col("rank") <= TopK)
@@ -180,6 +241,38 @@ object Similarity {
       WHERE rank <= $TopK
       ORDER BY query_id, rank"""
     },
+
+    // Mirrors the full IVF decision procedure — same seed centroids, same
+    // index-order double folds for normalization / assignment / rerank, same
+    // (desc, id) tie orders — so cells, probes, and ranks are bit-identical.
+    "q53_ann_ivf" -> s"""
+      WITH e AS (${codesSql("")}),
+      cent AS (
+        SELECT CAST(vec_id - $NumQueries AS INT) AS cid,
+          list_transform(embedding, x -> x::DOUBLE / nrm) AS cv
+        FROM e WHERE vec_id >= $NumQueries AND vec_id < ${NumQueries + IvfCells}),
+      tassign AS (
+        SELECT t.vec_id, t.embedding, t.nrm, c.cid,
+          ROW_NUMBER() OVER (PARTITION BY t.vec_id
+            ORDER BY ${dotSql("t.embedding", "c.cv")} DESC, c.cid) AS rn
+        FROM e t, cent c WHERE t.vec_id >= $NumQueries),
+      tgt AS (SELECT vec_id, embedding, nrm, cid AS cell FROM tassign WHERE rn = 1),
+      qprobe AS (
+        SELECT q.vec_id AS qid, q.embedding AS qe, q.nrm AS qn, c.cid AS cell,
+          ROW_NUMBER() OVER (PARTITION BY q.vec_id
+            ORDER BY ${dotSql("q.embedding", "c.cv")} DESC, c.cid) AS rn
+        FROM e q, cent c WHERE q.vec_id < $NumQueries),
+      cand AS (
+        SELECT p.qid AS query_id, t.vec_id AS neighbor_id,
+          ${dotSql("p.qe", "t.embedding")} / (p.qn * t.nrm) AS cos
+        FROM (SELECT * FROM qprobe WHERE rn <= $IvfProbes) p
+        JOIN tgt t ON p.cell = t.cell)
+      SELECT query_id, rank, neighbor_id, cos FROM (
+        SELECT query_id, neighbor_id, cos,
+          ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+        FROM cand) x
+      WHERE rank <= $TopK
+      ORDER BY query_id, rank""",
 
     // Exact all-pairs oracle over the same planted feed; DuckDB's native
     // cosine is safe here because no cosine value is emitted and the

@@ -76,6 +76,12 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("BroadcastNestedLoopJoin"), p)
   }
 
+  test("q53: IVF cell assignment is a pure projection; probe join is equi, never all-pairs") {
+    val p = plan("q53_ann_ivf")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
   test("q46: fingerprint runs the native graft_polyhash kernel, not an interpreted fold") {
     val p = plan("q46_fingerprint")
     assert(p.contains("graft_polyhash"), p)
