@@ -94,30 +94,30 @@ object NearDup {
     * DNA). */
   def exactJaccardPairs(docs: DataFrame): DataFrame = {
     val spark = docs.sparkSession
-    // materialize once: the shingle-hash kernel would otherwise rerun for
-    // each of its three consumers (dict, bitmap build, sz join)
-    val hashed = withHashedShingles(docs).filter(col("sz") > 0).localCheckpoint()
-    val ex = hashed.select(col("doc_id"), explode(col("shh")).as("h"))
-    // Global dictionary: shingle-hash -> dense id, assigned distributed via
-    // zipWithIndex (deterministic given the distinct's hash partitioning;
-    // ids only need to be dense and unique, not ordered).
-    val dict = {
+    val hashed = withHashedShingles(docs).filter(col("sz") > 0)
+    // Global dictionary: sorted distinct shingle hashes, collected to the
+    // driver and embedded as a literal into the encode kernel. Driver-sized
+    // by the same argument as W itself (the bitmap plan only applies when
+    // the dictionary is small — constrained vocabularies); on natural
+    // zipfian corpora the exact plan flips to PPJoin (see scaladoc above).
+    val dictArr: Array[Long] = {
       import spark.implicits._
-      ex.select("h").distinct().as[Long].rdd.zipWithIndex.toDF("h", "id").localCheckpoint()
+      hashed.select(explode(col("shh")).as("h")).distinct().as[Long].collect()
     }
-    val dictSize = dict.count() // adaptive W, decided driver-side
-    val W = ((dictSize + 63) / 64).toInt
-    val bitmaps = ex.join(broadcast(dict), "h")
-      .groupBy(col("doc_id"))
-      .pivot((col("id") / 64).cast("int"), 0 until W)
-      .agg(expr("bit_or(shiftleft(1L, CAST(id % 64 AS INT)))"))
+    java.util.Arrays.sort(dictArr)
+    val W = ((dictArr.length + 63) / 64).toInt
+    // One projection: shh -> W bitmap words via the graft_bitmap kernel
+    // (replaces an explode -> broadcast-join -> pivot round-trip: two
+    // shuffles + a pivot). localCheckpoint so the pair join's two sides
+    // and the explode fan-out don't re-run the kernel per reference.
+    val packed = hashed.select(col("doc_id"), col("sz"),
+      call_function("graft_bitmap", col("shh"), typedLit(dictArr.toSeq)).as("bm"))
+    val named = packed.select(Seq(col("doc_id"), col("sz")) ++
+        (0 until W).map(i => element_at(col("bm"), i + 1).as(s"w$i")): _*)
+      // element_at is nullable (out-of-bounds semantics); restore the
+      // non-null w columns the join condition codegen expects
       .na.fill(0L)
-      .join(hashed.select(col("doc_id"), col("sz")), "doc_id")
-      // one row per doc, W+2 columns — materialize once so the pair
-      // self-join below doesn't recompute the whole lineage for each side
       .localCheckpoint()
-    val named = bitmaps.toDF(
-      bitmaps.columns.map(c => if (c == "doc_id" || c == "sz") c else s"w$c").toIndexedSeq: _*)
     val banded = named
       .withColumn("band",
         floor(log(col("sz").cast("double")) / lit(math.log(1.0 / (JaccardT - BandSlack)))).cast("int"))
@@ -173,7 +173,7 @@ object NearDup {
     val jaccardGE = cInt * (TDen + TNum) >= (col("l_sz") + col("r_sz")) * TNum
     val keyEq = Seq("role", "band", "i", "j")
       .map(k => col(s"l_$k") === col(s"r_$k")).reduce(_ && _)
-    val pairs = left.join(right,
+    val pairs = left.join(right.hint("shuffle_hash"),
       keyEq &&
         // same-band diagonal blocks (i = j) see each unordered pair twice —
         // id order dedups; adjacent-band blocks match each pair once
@@ -187,7 +187,7 @@ object NearDup {
         least(col("l_doc_id"), col("r_doc_id")).as("id_a"),
         greatest(col("l_doc_id"), col("r_doc_id")).as("id_b"),
         (c / (col("l_sz") + col("r_sz") - c)).as("jaccard"))
-      .coalesce(1).sortWithinPartitions(col("id_a"), col("id_b")) // see spark-perf-traps: orderBy double-eval
+      .repartition(1).sortWithinPartitions(col("id_a"), col("id_b")) // see scaladoc: tiny-output ordering
   }
 
   /** Join candidate (id_a, id_b) pairs back to shingle-hash arrays and keep
@@ -204,7 +204,7 @@ object NearDup {
       .withColumn("jaccard", col("c") / (size(col("sh_a")) + size(col("sh_b")) - col("c")))
       .filter(col("jaccard") >= JaccardT)
       .select(col("id_a"), col("id_b"), col("jaccard"))
-      .coalesce(1).sortWithinPartitions(col("id_a"), col("id_b")) // see exactJaccardPairs
+      .repartition(1).sortWithinPartitions(col("id_a"), col("id_b")) // see exactJaccardPairs
 
   /** MinHash-LSH candidates + exact verify.
     *
@@ -296,7 +296,7 @@ object NearDup {
       .withColumn("hamming", expr("bit_count(sim_a ^ sim_b)").cast("long"))
       .filter(col("hamming") <= HammingT)
       .select(col("id_a"), col("id_b"), col("hamming"))
-      .coalesce(1).sortWithinPartitions(col("id_a"), col("id_b")) // see exactJaccardPairs
+      .repartition(1).sortWithinPartitions(col("id_a"), col("id_b")) // see exactJaccardPairs
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

@@ -55,6 +55,33 @@ object HashUtil {
     acc
   }
 
+  /** Membership bitmap of `hs` against a SORTED dictionary: bit i of the
+    * output (word i>>6, bit i&63) is set iff dict(i) occurs in `hs`.
+    * Binary search per element — O(n log m) per row, no shuffle, no
+    * explode/pivot round-trip. Elements not in the dictionary are ignored
+    * (the caller builds the dictionary from the same corpus). */
+  def bitmapEncode(hs: ArrayData, dict: ArrayData): ArrayData = {
+    val m = dict.numElements()
+    val out = new Array[Long]((m + 63) >> 6)
+    val n = hs.numElements()
+    var i = 0
+    while (i < n) {
+      val h = hs.getLong(i)
+      var lo = 0
+      var hi = m - 1
+      var done = false
+      while (!done && lo <= hi) {
+        val mid = (lo + hi) >>> 1
+        val v = dict.getLong(mid)
+        if (v < h) lo = mid + 1
+        else if (v > h) hi = mid - 1
+        else { out(mid >> 6) |= 1L << (mid & 63); done = true }
+      }
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
   /** MinHash signature: for permutation p in [0, perms), the minimum of
     * `xxh64(h, seed = p)` over the input hashes. One tight O(n * perms)
     * loop per row — no shuffle, no per-permutation array materialization. */
@@ -128,6 +155,38 @@ case class MinHashSig(left: Expression, right: Expression)
     copy(left = l, right = r)
 }
 
+/** `graft_bitmap(hashes, dict)` — membership bitmap (array<long> of
+  * ceil(|dict|/64) words) of a hash set against a sorted dictionary, as one
+  * codegen'd binary-search loop per row. Replaces an explode → broadcast
+  * dictionary join → pivot(bit_or) round-trip (two shuffles and a
+  * driver-blocking pivot) with a pure projection; the dictionary arrives as
+  * a driver-sized array literal, the same class of decision as the bitmap
+  * width itself. */
+case class BitmapEncode(left: Expression, right: Expression)
+    extends BinaryExpression {
+  private def isLongArray(e: Expression) = e.dataType match {
+    case ArrayType(LongType, _) => true
+    case _ => false
+  }
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (isLongArray(left) && isLongArray(right)) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"graft_bitmap expects (array<bigint>, array<bigint>), got (${left.dataType}, ${right.dataType})")
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "graft_bitmap"
+
+  override protected def nullSafeEval(hs: Any, dict: Any): Any =
+    HashUtil.bitmapEncode(hs.asInstanceOf[ArrayData], dict.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (hs, dict) =>
+      s"${ev.value} = graft.functions.HashUtil.bitmapEncode($hs, $dict);")
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
 /** `graft_dot(a, b)` — dot product of two equal-length float/double arrays
   * as a native codegen expression: double accumulation in INDEX ORDER, the
   * exact IEEE sequence of the `aggregate(zip_with(...))` fold it replaces
@@ -195,6 +254,12 @@ object GraftFunctions {
       { children: Seq[Expression] =>
         require(children.length == 2, "graft_dot(a, b) takes 2 arguments")
         DotProduct(children(0), children(1))
+      }),
+    (FunctionIdentifier("graft_bitmap"),
+      new ExpressionInfo(classOf[BitmapEncode].getName, "graft_bitmap"),
+      { children: Seq[Expression] =>
+        require(children.length == 2, "graft_bitmap(hashes, dict) takes 2 arguments")
+        BitmapEncode(children(0), children(1))
       }))
 
   /** Idempotent imperative registration for an already-built session. */

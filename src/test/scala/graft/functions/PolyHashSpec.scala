@@ -27,7 +27,21 @@ class PolyHashSpec extends AnyFunSuite {
     val ext = new org.apache.spark.sql.SparkSessionExtensions
     new GraftExtensions().apply(ext) // must accept all registry entries
     assert(GraftFunctions.entries.map(_._1.funcName).sorted ==
-      Seq("graft_dot", "graft_minhash_sig", "graft_polyhash", "graft_shingle_hashes"))
+      Seq("graft_bitmap", "graft_dot", "graft_minhash_sig", "graft_polyhash",
+        "graft_shingle_hashes"))
+  }
+
+  test("graft_bitmap: membership bits against a sorted dict; AND-popcount = intersection") {
+    val dict = Seq(5L, 10L, 15L, 20L, 25L)
+    val bms = Seq((1, Seq(5L, 15L, 25L)), (2, Seq(10L, 15L, 99L))) // 99 not in dict -> ignored
+      .toDF("id", "hs")
+      .select($"id", org.apache.spark.sql.functions.call_function(
+        "graft_bitmap", $"hs", org.apache.spark.sql.functions.typedLit(dict)).as("bm"))
+      .orderBy($"id")
+      .collect().map(_.getSeq[Long](1))
+    assert(bms(0) == Seq(1L | (1L << 2) | (1L << 4))) // bits 0,2,4 = {5,15,25}
+    assert(bms(1) == Seq((1L << 1) | (1L << 2)))      // bits 1,2   = {10,15}
+    assert(java.lang.Long.bitCount(bms(0).head & bms(1).head) == 1) // intersection {15}
   }
 
   private def hofFold(s: String, base: Long, mod: Long): Long =
