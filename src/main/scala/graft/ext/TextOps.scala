@@ -114,6 +114,7 @@ object TextOps {
       import s.implicits._
       val stops = array(stopwords.map(lit): _*)
       val enriched = t(s, dir, "documents")
+        .repartition($"doc_id") // spread CPU-heavy narrow work (1-row-group input)
         .withColumn("ws", words($"text"))
         .withColumn("n_words", size($"ws").cast("long"))
         .withColumn("n_stop", size(filter($"ws", w => array_contains(stops, w))).cast("long"))
@@ -134,7 +135,9 @@ object TextOps {
     "q44_lang_id" -> ((s, dir) => {
       import s.implicits._
       val scored = langMarkers.foldLeft(
-        t(s, dir, "documents").withColumn("ws", words($"text"))) {
+        t(s, dir, "documents")
+          .repartition($"doc_id") // spread CPU-heavy narrow work
+          .withColumn("ws", words($"text"))) {
         case (df, (lang, markers)) =>
           val m = array(markers.map(lit): _*)
           df.withColumn(s"s_$lang",
@@ -149,7 +152,7 @@ object TextOps {
             .otherwise("zh"))
         .select($"doc_id", $"pred_lang", $"s_en", $"s_de", $"s_es", $"s_zh",
           ($"pred_lang" === $"lang").as("hit"))
-        .orderBy($"doc_id")
+        .repartition(1).sortWithinPartitions($"doc_id")
     }),
 
     // ---- Token counting: whitespace tokens vs a BPE-ish regex segmentation
@@ -157,13 +160,14 @@ object TextOps {
     "q45_token_count" -> ((s, dir) => {
       import s.implicits._
       t(s, dir, "documents")
+        .repartition($"doc_id") // spread CPU-heavy narrow work
         .select(
           $"doc_id",
           size(regexp_extract_all($"text", lit("[^ ]+"), lit(0))).cast("long").as("n_ws_tokens"),
           size(regexp_extract_all(lower($"text"), lit("[a-z]+|[0-9]+|[^a-z0-9 ]"), lit(0)))
             .cast("long").as("n_bpe_tokens"),
           length($"text").cast("long").as("n_chars_actual"))
-        .orderBy($"doc_id")
+        .repartition(1).sortWithinPartitions($"doc_id")
     }),
 
     // ---- Per-document quality score: bounded blend of length, punctuation
@@ -173,6 +177,7 @@ object TextOps {
     "q49_quality_score" -> ((s, dir) => {
       import s.implicits._
       val d = t(s, dir, "documents")
+        .repartition($"doc_id") // spread CPU-heavy narrow work
         .withColumn("ws", words($"text"))
         .withColumn("n_words", size($"ws").cast("double"))
         .withColumn("n_distinct", size(array_distinct($"ws")).cast("double"))
@@ -185,7 +190,7 @@ object TextOps {
             + (lit(1.0) - least($"n_punct" / length($"text") * 5.0, lit(1.0))) * 0.25
             + least($"n_stop" / $"n_words" * 10.0, lit(1.0)) * 0.25
             + ($"n_distinct" / $"n_words") * 0.25).as("quality"))
-        .orderBy($"doc_id")
+        .repartition(1).sortWithinPartitions($"doc_id")
     }),
 
     // ---- Document fingerprint: min polynomial hash over character
@@ -194,9 +199,14 @@ object TextOps {
       import s.implicits._
       graft.functions.GraftFunctions.register(s)
       t(s, dir, "documents")
+        .repartition($"doc_id") // spread CPU-heavy narrow work
         .select($"doc_id",
-          array_min(transform(shingles($"text", 5), sh => polyHash(sh))).as("fingerprint"))
-        .orderBy($"doc_id")
+          // fused kernel: min polyhash over char 5-shingles in one codegen'd
+          // loop (the transform(shingles) HOF ran interpreted and allocated
+          // a substring per window)
+          call_function("graft_fingerprint",
+            $"text", lit(5), lit(31), lit(HashMod)).as("fingerprint"))
+        .repartition(1).sortWithinPartitions($"doc_id")
     })
   )
 

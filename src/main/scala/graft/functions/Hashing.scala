@@ -82,6 +82,24 @@ object HashUtil {
     new GenericArrayData(out)
   }
 
+  /** Minimum polynomial hash over all character k-shingles of `str`
+    * (see [[graft.functions.ShingleFingerprint]]); null when shorter than k. */
+  def minPolyShingle(str: UTF8String, k: Int, base: Int, mod: Long): java.lang.Long = {
+    val s = str.toString
+    val n = s.length
+    if (n < k) return null
+    var best = Long.MaxValue
+    var i = 0
+    while (i <= n - k) {
+      var acc = 0L
+      var j = i
+      while (j < i + k) { acc = (acc * base + s.charAt(j)) % mod; j += 1 }
+      if (acc < best) best = acc
+      i += 1
+    }
+    best
+  }
+
   /** MinHash signature: for permutation p in [0, perms), the minimum of
     * `xxh64(h, seed = p)` over the input hashes. One tight O(n * perms)
     * loop per row — no shuffle, no per-permutation array materialization. */
@@ -260,6 +278,12 @@ object GraftFunctions {
       { children: Seq[Expression] =>
         require(children.length == 2, "graft_bitmap(hashes, dict) takes 2 arguments")
         BitmapEncode(children(0), children(1))
+      }),
+    (FunctionIdentifier("graft_fingerprint"),
+      new ExpressionInfo(classOf[ShingleFingerprint].getName, "graft_fingerprint"),
+      { children: Seq[Expression] =>
+        require(children.length == 4, "graft_fingerprint(str, k, base, mod) takes 4 arguments")
+        ShingleFingerprint(children(0), children(1), children(2), children(3))
       }))
 
   /** Idempotent imperative registration for an already-built session. */

@@ -68,6 +68,50 @@ case class PolyHash(first: Expression, second: Expression, third: Expression)
     copy(first = newFirst, second = newSecond, third = newThird)
 }
 
+/** `graft_fingerprint(str, k, base, mod)` — minimum polynomial hash over all
+  * character k-shingles (the 1-permutation MinHash / winnowing primitive),
+  * fused into one codegen'd O(n*k) loop. Replaces
+  * `array_min(transform(shingles(text, k), polyhash))`, which materializes a
+  * substring String per window and runs the transform interpreted. Matches
+  * [[PolyHash]] per window exactly (same UTF-16 fold); null for text shorter
+  * than k (the empty-shingle-set case). */
+case class ShingleFingerprint(
+    first: Expression, second: Expression, third: Expression, fourth: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.QuaternaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    val expected = Seq(StringType, IntegerType, IntegerType, LongType)
+    val actual = children.map(_.dataType)
+    if (actual == expected) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"graft_fingerprint expects (string, int, int, bigint), got (${actual.mkString(", ")})")
+  }
+
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+  override def nullable: Boolean = true // text shorter than k
+  override def prettyName: String = "graft_fingerprint"
+
+  override protected def nullSafeEval(str: Any, k: Any, base: Any, mod: Any): Any =
+    HashUtil.minPolyShingle(str.asInstanceOf[UTF8String],
+      k.asInstanceOf[Int], base.asInstanceOf[Int], mod.asInstanceOf[Long])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (str, k, base, mod) => {
+      val boxed = ctx.freshName("fp")
+      s"""
+        java.lang.Long $boxed =
+          graft.functions.HashUtil.minPolyShingle($str, $k, $base, $mod);
+        if ($boxed == null) { ${ev.isNull} = true; }
+        else { ${ev.value} = $boxed.longValue(); }
+      """
+    })
+
+  override protected def withNewChildrenInternal(
+      f: Expression, s: Expression, t: Expression, q: Expression): Expression =
+    copy(first = f, second = s, third = t, fourth = q)
+}
+
 object PolyHash {
   val registryEntry: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
     FunctionIdentifier("graft_polyhash"),

@@ -27,8 +27,8 @@ class PolyHashSpec extends AnyFunSuite {
     val ext = new org.apache.spark.sql.SparkSessionExtensions
     new GraftExtensions().apply(ext) // must accept all registry entries
     assert(GraftFunctions.entries.map(_._1.funcName).sorted ==
-      Seq("graft_bitmap", "graft_dot", "graft_minhash_sig", "graft_polyhash",
-        "graft_shingle_hashes"))
+      Seq("graft_bitmap", "graft_dot", "graft_fingerprint", "graft_minhash_sig",
+        "graft_polyhash", "graft_shingle_hashes"))
   }
 
   test("graft_bitmap: membership bits against a sorted dict; AND-popcount = intersection") {
@@ -42,6 +42,18 @@ class PolyHashSpec extends AnyFunSuite {
     assert(bms(0) == Seq(1L | (1L << 2) | (1L << 4))) // bits 0,2,4 = {5,15,25}
     assert(bms(1) == Seq((1L << 1) | (1L << 2)))      // bits 1,2   = {10,15}
     assert(java.lang.Long.bitCount(bms(0).head & bms(1).head) == 1) // intersection {15}
+  }
+
+  test("graft_fingerprint: fused min-shingle-polyhash equals the compositional form") {
+    val df = Seq("the quick brown fox", "abcd", "abcde").toDF("s")
+    val fused = df.select(org.apache.spark.sql.functions.call_function(
+        "graft_fingerprint", $"s", lit(5), lit(31), lit(1000000007L)).as("fp"))
+      .collect().map(r => if (r.isNullAt(0)) None else Some(r.getLong(0))).toSeq
+    def ph(x: String) = x.foldLeft(0L)((acc, c) => (acc * 31 + c) % 1000000007L)
+    def expect(x: String) =
+      if (x.length < 5) None
+      else Some(x.sliding(5).map(ph).min)
+    assert(fused == Seq("the quick brown fox", "abcd", "abcde").map(expect))
   }
 
   private def hofFold(s: String, base: Long, mod: Long): Long =

@@ -82,10 +82,11 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("BroadcastNestedLoopJoin"), p)
   }
 
-  test("q46: fingerprint runs the native graft_polyhash kernel, not an interpreted fold") {
+  test("q46: fingerprint runs the fused native kernel, not an interpreted fold") {
     val p = plan("q46_fingerprint")
-    assert(p.contains("graft_polyhash"), p)
+    assert(p.contains("graft_fingerprint"), p)
     assert(!p.contains("aggregate(sequence"), p)
+    assert(!p.contains("transform("), p)
   }
 
   test("whole-stage codegen covers the relational hot paths") {
