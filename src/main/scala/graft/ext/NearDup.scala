@@ -255,27 +255,29 @@ object NearDup {
   private def sqlPolyHash(e: String): String = s"graft_polyhash($e, 31, ${P}L)"
   private def sqlPolyHash2(e: String): String = s"graft_polyhash($e, 131, ${P2}L)"
 
-  def withSimhash(docs: DataFrame): DataFrame = {
-    // Single SQL expression with `transform(array(x), v -> ...)[1]` as a
-    // let-binding (see TextOps.bind): the token array and the per-word
-    // (hash, count) structs are each evaluated once per document — HOFs run
-    // interpreted, so an inlined subexpression would be recomputed at every
-    // one of the 60 bit iterations otherwise.
-    val simhash = expr(
-      s"""element_at(transform(array(regexp_extract_all(lower(text), '[a-z0-9]+', 0)), ws ->
-            element_at(transform(array(transform(array_distinct(ws), w ->
-                named_struct(
-                  'h', ${sqlPolyHash("w")} + shiftleft(${sqlPolyHash2("w")}, 30),
-                  'c', CAST(size(filter(ws, x -> x = w)) AS BIGINT)))), whs ->
-              aggregate(sequence(0, ${SimBits - 1}), 0L, (acc, i) -> acc +
-                IF(2 * aggregate(whs, 0L,
-                       (a2, s) -> a2 + IF(shiftright(s.h, i) % 2 = 1, s.c, 0L))
-                     > CAST(size(ws) AS BIGINT),
-                   shiftleft(1L, i), 0L))), 1)), 1)""")
+  def withSimhash(docs: DataFrame): DataFrame =
     docs
       .repartition(col("doc_id")) // spread CPU-heavy narrow work (see withShingles)
-      .select(col("doc_id"), simhash.as("simhash"))
-  }
+      .select(col("doc_id"),
+        // one codegen'd pass (graft.functions.SimHash60); the HOF
+        // formulation it replaces ([[simhashHofExpr]]) ran interpreted and
+        // ~60x over the token structs
+        call_function("graft_simhash", col("text")).as("simhash"))
+
+  /** The original HOF formulation of the same simhash — kept as the
+    * cross-implementation check for the [[graft.functions.SimHash60]]
+    * kernel (NearDupSpec asserts equality on the corpus). */
+  private[graft] def simhashHofExpr: Column = expr(
+    s"""element_at(transform(array(regexp_extract_all(lower(text), '[a-z0-9]+', 0)), ws ->
+          element_at(transform(array(transform(array_distinct(ws), w ->
+              named_struct(
+                'h', ${sqlPolyHash("w")} + shiftleft(${sqlPolyHash2("w")}, 30),
+                'c', CAST(size(filter(ws, x -> x = w)) AS BIGINT)))), whs ->
+            aggregate(sequence(0, ${SimBits - 1}), 0L, (acc, i) -> acc +
+              IF(2 * aggregate(whs, 0L,
+                     (a2, s) -> a2 + IF(shiftright(s.h, i) % 2 = 1, s.c, 0L))
+                   > CAST(size(ws) AS BIGINT),
+                 shiftleft(1L, i), 0L))), 1)), 1)""")
 
   def simhashPairs(docs: DataFrame): DataFrame = {
     val sig = withSimhash(docs)

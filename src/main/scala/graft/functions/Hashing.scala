@@ -100,6 +100,63 @@ object HashUtil {
     best
   }
 
+  /** 60-bit count-weighted SimHash over lowercase-alnum word tokens (the
+    * engine's fixed simhash definition — see [[graft.ext.NearDup]]):
+    * word hash = low 30 bits of polyhash(w, 31, 1e9+7) + polyhash(w, 131,
+    * 998244353) << 30; bit i of the output is set iff the token-count-
+    * weighted vote for bit i exceeds half the total token count. The
+    * tokenizer is exactly `regexp_extract_all(lower(text), '[a-z0-9]+')`
+    * for ASCII (non-ASCII codepoints are separators under both). */
+  def simhash(str: UTF8String): Long = {
+    val s = str.toString
+    val counts = new java.util.HashMap[String, Array[Long]]()
+    var total = 0L
+    val sb = new java.lang.StringBuilder()
+    var i = 0
+    val n = s.length
+    while (i <= n) {
+      val c = if (i < n) Character.toLowerCase(s.charAt(i)) else ' '
+      if ((c >= 'a' && c <= 'z') || (c >= '0' && c <= '9')) sb.append(c)
+      else if (sb.length() > 0) {
+        val w = sb.toString
+        val e = counts.get(w)
+        if (e == null) counts.put(w, Array(1L)) else e(0) += 1
+        total += 1
+        sb.setLength(0)
+      }
+      i += 1
+    }
+    val votes = new Array[Long](60)
+    val it = counts.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      val w = e.getKey
+      var h1 = 0L
+      var h2 = 0L
+      var j = 0
+      while (j < w.length) {
+        val ch = w.charAt(j)
+        h1 = (h1 * 31 + ch) % 1000000007L
+        h2 = (h2 * 131 + ch) % 998244353L
+        j += 1
+      }
+      val h = h1 + (h2 << 30)
+      val c = e.getValue()(0)
+      var b = 0
+      while (b < 60) {
+        if (((h >> b) & 1L) == 1L) votes(b) += c
+        b += 1
+      }
+    }
+    var out = 0L
+    var b = 0
+    while (b < 60) {
+      if (2 * votes(b) > total) out |= 1L << b
+      b += 1
+    }
+    out
+  }
+
   /** MinHash signature: for permutation p in [0, perms), the minimum of
     * `xxh64(h, seed = p)` over the input hashes. One tight O(n * perms)
     * loop per row — no shuffle, no per-permutation array materialization. */
@@ -205,6 +262,31 @@ case class BitmapEncode(left: Expression, right: Expression)
     copy(left = l, right = r)
 }
 
+/** `graft_simhash(text)` — the engine's 60-bit count-weighted SimHash as one
+  * codegen'd pass (tokenize, count, two polynomial hashes, weighted bit
+  * votes). Replaces a ~60-iteration interpreted `aggregate(sequence(...))`
+  * HOF nest that dominated q47. Definition mirrored by the DuckDB oracle in
+  * [[graft.ext.NearDup]]. */
+case class SimHash60(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"graft_simhash expects (string), got (${child.dataType})")
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "graft_simhash"
+
+  override protected def nullSafeEval(str: Any): Any =
+    HashUtil.simhash(str.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, str =>
+      s"${ev.value} = graft.functions.HashUtil.simhash($str);")
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 /** `graft_dot(a, b)` — dot product of two equal-length float/double arrays
   * as a native codegen expression: double accumulation in INDEX ORDER, the
   * exact IEEE sequence of the `aggregate(zip_with(...))` fold it replaces
@@ -284,6 +366,12 @@ object GraftFunctions {
       { children: Seq[Expression] =>
         require(children.length == 4, "graft_fingerprint(str, k, base, mod) takes 4 arguments")
         ShingleFingerprint(children(0), children(1), children(2), children(3))
+      }),
+    (FunctionIdentifier("graft_simhash"),
+      new ExpressionInfo(classOf[SimHash60].getName, "graft_simhash"),
+      { children: Seq[Expression] =>
+        require(children.length == 1, "graft_simhash(text) takes 1 argument")
+        SimHash60(children(0))
       }))
 
   /** Idempotent imperative registration for an already-built session. */

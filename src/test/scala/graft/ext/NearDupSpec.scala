@@ -30,6 +30,18 @@ class NearDupSpec extends AnyFunSuite {
     assert(lsh == exact, s"LSH missed ${exact -- lsh}, invented ${lsh -- exact}")
   }
 
+  test("graft_simhash kernel equals the HOF formulation on the corpus") {
+    val docs = Tables.load(spark, dir, "documents")
+    val both = docs
+      .select(col("doc_id"),
+        call_function("graft_simhash", col("text")).as("fused"),
+        NearDup.simhashHofExpr.as("hof"))
+      .collect()
+    assert(both.nonEmpty)
+    val bad = both.filter(r => r.getLong(1) != r.getLong(2))
+    assert(bad.isEmpty, s"kernel/HOF divergence on doc_ids ${bad.map(_.getLong(0)).toSeq}")
+  }
+
   test("SimHash banding finds exactly the brute-force Hamming<=3 pairs") {
     val docs = Tables.load(spark, dir, "documents")
     val sig = NearDup.withSimhash(docs)
