@@ -73,13 +73,23 @@ class Catalog(spark: SparkSession, storeDir: String) {
     // tmp + rename, mirroring the bucket-swap discipline: a crash mid-write
     // must not leave a truncated live doc that FAILFAST-parse would throw
     // on forever (wedging the name for get/list/re-add alike). The rename
-    // (no overwrite) also keeps duplicate protection under races.
+    // goes through FileContext WITHOUT the OVERWRITE option — FileContext
+    // enforces destination-not-exists on every FS (FileSystem.rename on the
+    // local FS maps to POSIX rename(2), which silently replaces), so two
+    // racing add()s cannot silently clobber each other.
     val live = docPath(m.qualifiedName)
     val tmp = new Path(storeDir, s".${norm(m.qualifiedName)}.json.tmp")
     val out = fs.create(tmp, true)
     try out.write(toJson(spark, m).getBytes("UTF-8")) finally out.close()
-    if (!fs.rename(tmp, live))
-      throw new IllegalArgumentException(s"mapping ${m.qualifiedName} already exists")
+    try org.apache.hadoop.fs.FileContext
+      .getFileContext(fs.makeQualified(live).toUri, spark.sparkContext.hadoopConfiguration)
+      .rename(fs.makeQualified(tmp), fs.makeQualified(live))
+    catch {
+      case _: org.apache.hadoop.fs.FileAlreadyExistsException |
+           _: java.nio.file.FileAlreadyExistsException =>
+        fs.delete(tmp, false)
+        throw new IllegalArgumentException(s"mapping ${m.qualifiedName} already exists")
+    }
     cache.put(norm(m.qualifiedName), m)
     m
   }
@@ -130,7 +140,10 @@ class Catalog(spark: SparkSession, storeDir: String) {
     * leave the view reading deleted files. SQL-text temp views re-analyze
     * per query (fresh relation), and `applyBatch` calls `refreshByPath`
     * after each publish to drop cached listings — so the mapped name always
-    * serves the latest published state while the pipeline is live. */
+    * serves the latest published state while the pipeline is live.
+    * (During the short window of an additive-evolution publish the view's
+    * single-footer schema inference may lag a column behind `snapshot`'s
+    * mergeSchema read; the next completed publish + refresh heals it.) */
   def map(name: String, targetDir: String): Unit = {
     val m = get(name).getOrElse(throw new NoSuchElementException(s"no mapping $name"))
     val colsSql = m.cols

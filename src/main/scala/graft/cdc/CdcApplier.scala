@@ -80,7 +80,7 @@ object CdcApplier {
     *    below it may have been dropped, so any replayed event at or below
     *    it is discarded instead of merged (it is, by the caller's replay
     *    contract, already applied). */
-  case class TargetMeta(numBuckets: Int, horizon: Long)
+  case class TargetMeta(numBuckets: Int, horizon: Long, schemaJson: Option[String] = None)
 
   object TargetMeta {
     private def metaPath(target: Path) = new Path(target, ".graft_meta")
@@ -88,12 +88,13 @@ object CdcApplier {
     def read(conf: org.apache.hadoop.conf.Configuration, target: Path): Option[TargetMeta] =
       graft.util.AtomicFile.read(conf, metaPath(target)).map { s =>
         val kv = s.linesIterator.map(_.split("=", 2)).collect { case Array(k, v) => k -> v }.toMap
-        TargetMeta(kv("numBuckets").toInt, kv("horizon").toLong)
+        TargetMeta(kv("numBuckets").toInt, kv("horizon").toLong, kv.get("schema"))
       }
 
     def write(conf: org.apache.hadoop.conf.Configuration, target: Path, m: TargetMeta): Unit =
       graft.util.AtomicFile.write(conf, metaPath(target),
-        s"numBuckets=${m.numBuckets}\nhorizon=${m.horizon}\n")
+        s"numBuckets=${m.numBuckets}\nhorizon=${m.horizon}\n" +
+          m.schemaJson.map(j => s"schema=$j\n").getOrElse(""))
   }
 
   /** Fail fast on schema drift — the full-column comparison of the
@@ -190,9 +191,24 @@ object CdcApplier {
   /** Read the live table state: tombstones filtered, layout columns dropped
     * (`_graft_pos` retained for offset introspection). `mergeSchema` keeps
     * the read robust across an additive-evolution publish interrupted
-    * mid-swap (some buckets already carry the new column, some not yet). */
-  def snapshot(spark: SparkSession, targetDir: String): DataFrame =
-    spark.read.option("mergeSchema", true).parquet(targetDir).filter(!col(DEL)).drop(DEL, BUCKET)
+    * mid-swap (some buckets already carry the new column, some not yet).
+    * A target whose every row has been deleted AND compacted away has no
+    * bucket dirs left — that is a valid empty table, typed from the schema
+    * persisted in `.graft_meta`, not a read error. */
+  def snapshot(spark: SparkSession, targetDir: String): DataFrame = {
+    val target = new Path(targetDir)
+    val fs = target.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (bucketIds(fs, target).nonEmpty)
+      spark.read.option("mergeSchema", true).parquet(targetDir).filter(!col(DEL)).drop(DEL, BUCKET)
+    else {
+      val schema = TargetMeta.read(spark.sparkContext.hadoopConfiguration, target)
+        .flatMap(_.schemaJson)
+        .map(j => org.apache.spark.sql.types.DataType.fromJson(j).asInstanceOf[StructType])
+        .getOrElse(throw new IllegalStateException(s"no graft table state at $targetDir"))
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+        .drop(DEL, BUCKET)
+    }
+  }
 
   private[cdc] def bucketIds(fs: FileSystem, dir: Path): Seq[Int] =
     if (!fs.exists(dir)) Seq.empty
@@ -269,13 +285,18 @@ object CdcApplier {
           spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
       }
 
-      // Publish the layout metadata BEFORE the first bucket publish: a
-      // crash in between leaves meta + no buckets, which bootstraps fine.
-      if (meta.isEmpty) TargetMeta.write(hconf, target, TargetMeta(numBuckets, Long.MinValue))
+      val merged = merge(current, resolved, opts)
+      // Publish the layout metadata BEFORE the first bucket publish (a
+      // crash in between leaves meta + no buckets, which bootstraps fine),
+      // refreshing the persisted schema on creation and on evolution so a
+      // fully-compacted target can still be read as a typed empty table.
+      if (meta.isEmpty || newFields.nonEmpty || meta.exists(_.schemaJson.isEmpty))
+        TargetMeta.write(hconf, target,
+          TargetMeta(numBuckets, horizon, Some(merged.schema.json)))
 
       val tmp = new Path(targetDir + ".tmp")
       if (fs.exists(tmp)) fs.delete(tmp, true)
-      merge(current, resolved, opts)
+      merged
         .write.partitionBy(BUCKET).mode("overwrite").parquet(tmp.toString)
 
       publishBuckets(fs, target, tmp, rewrite)
@@ -304,6 +325,8 @@ object CdcApplier {
     TargetMeta.write(hconf, target, meta.copy(horizon = math.max(meta.horizon, horizonPos)))
 
     recoverBuckets(fs, target)
+    // a fully-compacted target has no bucket dirs — nothing left to drop
+    if (bucketIds(fs, target).isEmpty) return Seq.empty
     val all = spark.read.option("mergeSchema", true).parquet(targetDir)
     val compactable = col(DEL) && col(POS) <= horizonPos
     val touched = all.filter(compactable)

@@ -77,10 +77,11 @@ object NearDup {
     * shared by hundreds of docs) degenerates to all-pairs with extra work,
     * and an inverted-index count-join explodes into sum(df^2) ~= 500M join
     * rows through 2k join keys. The exact plan instead dictionary-encodes
-    * shingles (dense ids assigned by a distributed `zipWithIndex` — no
-    * global sort) and packs each doc's set into W 64-bit bitmap columns;
-    * the exact intersection count is then `sum_i bit_count(a.w_i & b.w_i)`
-    * — flat codegen'd expressions.
+    * shingles (the sorted distinct hashes, collected driver-side — a
+    * driver-sized decision by the same argument as the bitmap width W)
+    * and packs each doc's set into W 64-bit bitmap columns via the
+    * `graft_bitmap` kernel; the exact intersection count is then
+    * `sum_i bit_count(a.w_i & b.w_i)` — flat codegen'd expressions.
     *
     * Pair generation is scale-shaped: docs are bucketed into multiplicative
     * length bands (a qualifying pair can only span adjacent bands — see

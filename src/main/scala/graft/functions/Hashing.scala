@@ -105,17 +105,20 @@ object HashUtil {
     * word hash = low 30 bits of polyhash(w, 31, 1e9+7) + polyhash(w, 131,
     * 998244353) << 30; bit i of the output is set iff the token-count-
     * weighted vote for bit i exceeds half the total token count. The
-    * tokenizer is exactly `regexp_extract_all(lower(text), '[a-z0-9]+')`
-    * for ASCII (non-ASCII codepoints are separators under both). */
+    * tokenizer is exactly `regexp_extract_all(lower(text), '[a-z0-9]+')`:
+    * the WHOLE string is lowercased first (matching Spark's `lower`,
+    * including 1-to-many Unicode mappings like U+0130 -> "i" + combining
+    * dot, which a per-char Character.toLowerCase would collapse into a
+    * different token), then tokens are the maximal [a-z0-9] runs. */
   def simhash(str: UTF8String): Long = {
-    val s = str.toString
+    val s = str.toString.toLowerCase
     val counts = new java.util.HashMap[String, Array[Long]]()
     var total = 0L
     val sb = new java.lang.StringBuilder()
     var i = 0
     val n = s.length
     while (i <= n) {
-      val c = if (i < n) Character.toLowerCase(s.charAt(i)) else ' '
+      val c = if (i < n) s.charAt(i) else ' '
       if ((c >= 'a' && c <= 'z') || (c >= '0' && c <= '9')) sb.append(c)
       else if (sb.length() > 0) {
         val w = sb.toString

@@ -91,6 +91,7 @@ object StreamingPipeline {
     def reset(target: String): Unit = {
       opCounts.keys.filter(_._1 == target).foreach(opCounts.remove)
       batches.remove(target); latencies.remove(target)
+      unregisterJmx(target)
     }
 
     /** JMX surface (S17/S18 parity with the reference's MBean registration,
@@ -104,20 +105,33 @@ object StreamingPipeline {
       def getOpCounts: String
     }
 
+    private def jmxName(target: String): javax.management.ObjectName =
+      new javax.management.ObjectName(
+        "graft.streaming:type=PipelineMetrics,target=" +
+          javax.management.ObjectName.quote(target))
+
     def registerJmx(target: String): javax.management.ObjectName = {
-      import javax.management.{ObjectName, StandardMBean}
+      import javax.management.StandardMBean
       val bean = new StandardMBean(new PipelineMetricsMBean {
         override def getBatchCount: Long = batchCount(target)
         override def getRecentLatenciesMs: Array[Long] = recentLatenciesMs(target).toArray
         override def getOpCounts: String = allOpCounts(target).toSeq.sorted
           .map { case ((t, op), n) => s"$t.$op=$n" }.mkString(",")
       }, classOf[PipelineMetricsMBean])
-      val name = new ObjectName(
-        "graft.streaming:type=PipelineMetrics,target=" + ObjectName.quote(target))
+      val name = jmxName(target)
       val server = java.lang.management.ManagementFactory.getPlatformMBeanServer
       if (server.isRegistered(name)) server.unregisterMBean(name)
       server.registerMBean(bean, name)
       name
+    }
+
+    /** Drop the target's MBean (and counters, via the existing reset) —
+      * long-lived drivers cycling through many target dirs must not grow
+      * the platform MBeanServer without bound. */
+    def unregisterJmx(target: String): Unit = {
+      val server = java.lang.management.ManagementFactory.getPlatformMBeanServer
+      val name = jmxName(target)
+      if (server.isRegistered(name)) server.unregisterMBean(name)
     }
   }
 

@@ -235,6 +235,19 @@ class CdcApplierSpec extends AnyFunSuite {
     assert(CdcApplier.compact(spark, target, horizonPos = 30).isEmpty)
   }
 
+  test("compacting away every row leaves a readable, appendable empty target") {
+    val target = newTarget()
+    CdcApplier.applyBatch(spark, ev("insert", 10, None, Some(s1)), target, opts)
+    CdcApplier.applyBatch(spark, ev("delete", 20, Some(s1), None), target, opts)
+    CdcApplier.compact(spark, target, horizonPos = 20)
+    // every bucket dir is gone — snapshot must be a typed empty table (from
+    // the schema persisted in .graft_meta), not a parquet read error
+    assert(state(target).isEmpty)
+    assert(CdcApplier.compact(spark, target, horizonPos = 20).isEmpty) // no-op, no crash
+    CdcApplier.applyBatch(spark, ev("insert", 30, None, Some(s2)), target, opts)
+    assert(state(target) == Set(s2), "fully-compacted target must stay appendable")
+  }
+
   test("F3.8 tombstone survives: stale upsert replayed after a delete stays dead") {
     val target = newTarget()
     CdcApplier.applyBatch(spark, ev("insert", 10, None, Some(s1)), target, opts)

@@ -61,7 +61,7 @@ class PlanSpec extends AnyFunSuite {
     val p = plan("q41_neardup_jaccard")
     assert(!p.contains("CartesianProduct"), p)
     assert(!p.contains("BroadcastNestedLoopJoin"), p)
-    assert(!p.contains("Window"), p) // dictionary ids come from zipWithIndex, not a 1-partition sort
+    assert(!p.contains("Window"), p) // no 1-partition global-window dictionary sort
   }
 
   test("q42: LSH candidate join is an equi hash/merge join — never a cross product") {

@@ -262,6 +262,11 @@ class StreamingPipelineSpec extends AnyFunSuite {
     assert(server.getAttribute(name, "OpCounts").asInstanceOf[String]
       .contains("student.insert=2"))
     assert(server.getAttribute(name, "RecentLatenciesMs").asInstanceOf[Array[Long]].nonEmpty)
+
+    // reset() tears the bean down — long-lived drivers cycling through
+    // many targets must not accumulate beans on the platform server
+    Metrics.reset(target)
+    assert(!server.isRegistered(name))
   }
 
   test("S18: status server serves metrics JSON over HTTP") {
