@@ -18,6 +18,10 @@ import graft.cdc.CdcApplier
   *   spark.graft.strictPk            reject NULL-PK upserts (default true)
   *   spark.graft.mappedTables        comma-separated replication filter
   *                                   (default empty = replicate all)
+  *   spark.graft.secondaryDir        optional S20 second-sink directory
+  *   spark.graft.earliestPos         earliest position the source still
+  *                                   retains; enables the binlog-purged
+  *                                   rebootstrap guard
   */
 object GraftConf {
   def pipelineOptions(spark: SparkSession): StreamingPipeline.PipelineOptions = {
@@ -32,6 +36,8 @@ object GraftConf {
         strictPk = get("strictPk", "true").toBoolean,
         numBuckets = get("numBuckets", "16").toInt),
       mappedTables = get("mappedTables", "").split(",").map(_.trim).filter(_.nonEmpty).toSet,
-      maxRetries = get("maxRetries", "2").toInt)
+      maxRetries = get("maxRetries", "2").toInt,
+      secondaryDir = Some(get("secondaryDir", "")).filter(_.nonEmpty),
+      earliestPos = Some(get("earliestPos", "")).filter(_.nonEmpty).map(_.toLong))
   }
 }

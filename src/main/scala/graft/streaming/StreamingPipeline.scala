@@ -269,6 +269,28 @@ object StreamingPipeline {
         (k, mx)
     }
 
+  /** Streaming exact dedup — the streaming form of the q40 batch dedup:
+    * emit only the FIRST-seen row per content hash across all
+    * micro-batches; within a batch the lowest doc_id wins, so output is
+    * deterministic under any partitioning. Keyed state is one boolean per
+    * distinct hash, partitioned by the state store on the hash — the shape
+    * that scales to a 100 TB corpus (a production deployment would bound
+    * the state with a TTL/watermark for re-crawl windows). Input columns:
+    * (doc_id long, text string). */
+  def streamingDedup(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    docs.select(col("doc_id").cast("long"), sha2(col("text"), 256))
+      .as[(Long, String)]
+      .groupByKey(_._2)
+      .flatMapGroupsWithState(
+        org.apache.spark.sql.streaming.OutputMode.Append(), GroupStateTimeout.NoTimeout) {
+        (sha: String, rows: Iterator[(Long, String)], state: GroupState[Boolean]) =>
+          if (state.exists) Iterator.empty
+          else { state.update(true); Iterator(sha -> rows.map(_._1).min) }
+      }
+      .toDF("content_sha", "keep_id")
+  }
+
   /** Event-time tumbling-window aggregation with a watermark — the
     * streaming form of q22 (late data beyond the watermark is dropped). */
   def windowedCounts(events: DataFrame, watermark: String = "2 hours"): DataFrame =

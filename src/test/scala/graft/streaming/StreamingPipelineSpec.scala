@@ -166,6 +166,8 @@ class StreamingPipelineSpec extends AnyFunSuite {
     spark.conf.set("spark.graft.maxRetries", "5")
     spark.conf.set("spark.graft.numBuckets", "8")
     spark.conf.set("spark.graft.mappedTables", "student,course")
+    spark.conf.set("spark.graft.secondaryDir", "/tmp/replica")
+    spark.conf.set("spark.graft.earliestPos", "42")
     try {
       val o = GraftConf.pipelineOptions(spark)
       assert(o.applier.pkCols == Seq("sn", "id"))
@@ -173,8 +175,30 @@ class StreamingPipelineSpec extends AnyFunSuite {
       assert(o.applier.numBuckets == 8)
       assert(o.applier.strictPk)
       assert(o.mappedTables == Set("student", "course"))
-    } finally Seq("pk", "maxRetries", "numBuckets", "mappedTables")
+      assert(o.secondaryDir.contains("/tmp/replica"))
+      assert(o.earliestPos.contains(42L))
+    } finally Seq("pk", "maxRetries", "numBuckets", "mappedTables", "secondaryDir", "earliestPos")
       .foreach(k => spark.conf.unset(s"spark.graft.$k"))
+  }
+
+  test("streaming exact dedup emits only first-seen content across batches") {
+    case class Doc(doc_id: Long, text: String)
+    val sink = s"dedup_${System.nanoTime()}"
+    val src = MemoryStream[(Long, String)]
+    val q = StreamingPipeline.streamingDedup(src.toDF().toDF("doc_id", "text"))
+      .writeStream.format("memory").queryName(sink).outputMode("append").start()
+
+    src.addData((3L, "alpha"), (1L, "alpha"), (2L, "beta"))
+    q.processAllAvailable()
+    val b1 = spark.table(sink).as[(String, Long)].collect().map(_._2).toSet
+    assert(b1 == Set(1L, 2L), "within a batch the lowest doc_id wins per content hash")
+
+    // replays and new dups of already-seen content are suppressed; new wins
+    src.addData((9L, "alpha"), (10L, "gamma"))
+    q.processAllAvailable()
+    val b2 = spark.table(sink).as[(String, Long)].collect().map(_._2).toSet
+    q.stop()
+    assert(b2 == Set(1L, 2L, 10L), "cross-batch duplicate must not re-emit")
   }
 
   test("S12 as explicit state: mapGroupsWithState tracks per-key latest position") {
