@@ -191,6 +191,50 @@ object NearDup {
       .repartition(1).sortWithinPartitions(col("id_a"), col("id_b")) // see scaladoc: tiny-output ordering
   }
 
+  /** PPJoin-style exact similarity join — the scale path for NATURAL
+    * (zipfian) corpora, where the shingle dictionary is data-scale (so the
+    * bitmap plan's driver-sized dictionary assumption breaks) but
+    * per-shingle document frequencies are low. Fully distributed: no
+    * driver-sized collect anywhere.
+    *
+    * Each doc's shingle set is ordered by ascending global document
+    * frequency (rarest first; ties by hash — a total order). Prefix
+    * filtering: J(x,y) >= t forces an overlap o >= ceil(t*|x|), and any
+    * pair with overlap o must share a token within the first |x|-o+1
+    * tokens of BOTH docs' orderings (Chaudhuri/Xiao prefix principle) — so
+    * the inverted index is built over the first |x| - ceil(t*|x|) + 1
+    * (rarest) tokens only, candidates are pairs sharing an indexed token
+    * and passing the exact length-ratio bound, and exact Jaccard
+    * verification runs on the candidates. On zipfian data the prefix
+    * tokens are rare, so the index lists (and the candidate join) stay
+    * small; on THIS test corpus (tiny dictionary, df in the hundreds) it
+    * degenerates to ~all-pairs with extra shuffles — which is exactly why
+    * q41 ships the bitmap-band plan and this variant is cross-validated in
+    * NearDupSpec instead of benchmarked. Same contract and output as
+    * [[exactJaccardPairs]]. */
+  def ppjoinJaccardPairs(docs: DataFrame): DataFrame = {
+    val hashed = withHashedShingles(docs).filter(col("sz") > 0)
+    val ex = hashed.select(col("doc_id"), explode(col("shh")).as("h"))
+    val dfreq = ex.groupBy(col("h")).agg(count(lit(1)).as("df"))
+    // rarest-first total order per doc; ceil(t*sz) in exact integers
+    val ordered = ex.join(dfreq, "h")
+      .groupBy(col("doc_id"))
+      .agg(sort_array(collect_list(struct(col("df"), col("h")))).as("ord"))
+      .withColumn("sz", size(col("ord")))
+      .withColumn("plen",
+        col("sz") - floor((col("sz") * TNum + TDen - 1) / TDen).cast("int") + 1)
+    val pex = ordered
+      .select(col("doc_id"), col("sz"), explode(expr("slice(ord, 1, plen)")).as("tok"))
+      .select(col("doc_id"), col("sz"), col("tok.h").as("h"))
+    val ratio = least(col("a.sz"), col("b.sz")) * TDen >=
+      greatest(col("a.sz"), col("b.sz")) * TNum
+    val cand = pex.as("a").join(pex.as("b"),
+        col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id") && ratio)
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      .distinct()
+    verifyPairs(cand, hashed)
+  }
+
   /** Join candidate (id_a, id_b) pairs back to shingle-hash arrays and keep
     * exact-Jaccard >= t. The intersect runs on xxhash64'd shingles — same
     * distinct counts as the string sets up to a ~2^-47 per-pair collision

@@ -34,6 +34,35 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("bitmapEncode: AND-popcount equals exact set-intersection size") {
+    (1 to Trials).foreach { _ =>
+      val universe = Seq.fill(5 + rnd.nextInt(200))(rnd.nextLong()).distinct
+      val dict = universe.sorted
+      def randSubset() = universe.filter(_ => rnd.nextBoolean())
+      val a = randSubset()
+      val b = randSubset()
+      def bm(s: Seq[Long]) = HashUtil
+        .bitmapEncode(new GenericArrayData(s.toArray), new GenericArrayData(dict.toArray))
+        .toLongArray()
+      val c = bm(a).zip(bm(b)).map { case (x, y) => java.lang.Long.bitCount(x & y) }.sum
+      assert(c == a.toSet.intersect(b.toSet).size)
+      assert(bm(a).map(java.lang.Long.bitCount).sum == a.distinct.length)
+    }
+  }
+
+  test("simhash: invariant under token order; sensitive to token counts") {
+    def sh(s: String) = HashUtil.simhash(UTF8String.fromString(s))
+    (1 to Trials).foreach { _ =>
+      val words = Seq.fill(2 + rnd.nextInt(20))(asciiText(8).trim).filter(_.nonEmpty)
+      if (words.nonEmpty) {
+        val shuffled = rnd.shuffle(words)
+        assert(sh(words.mkString(" ")) == sh(shuffled.mkString(" ")),
+          "simhash is a bag-of-words signature: token order must not matter")
+      }
+    }
+    assert(sh("Hello HELLO hello") == sh("hello hello hello"), "case-insensitive")
+  }
+
   test("minhashSig: signature of a union is the elementwise min (the MinHash axiom)") {
     val perms = 16
     def sig(l: Seq[Long]) =

@@ -30,6 +30,16 @@ class NearDupSpec extends AnyFunSuite {
     assert(lsh == exact, s"LSH missed ${exact -- lsh}, invented ${lsh -- exact}")
   }
 
+  test("PPJoin prefix-filtered exact join equals the bitmap-band exact join") {
+    val docs = Tables.load(spark, dir, "documents")
+    val exact = NearDup.exactJaccardPairs(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val pp = NearDup.ppjoinJaccardPairs(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(exact.nonEmpty)
+    assert(pp == exact, s"PPJoin missed ${exact -- pp}, invented ${pp -- exact}")
+  }
+
   test("graft_simhash kernel equals the HOF formulation on the corpus") {
     val docs = Tables.load(spark, dir, "documents")
     val both = docs
