@@ -132,6 +132,35 @@ object Advanced {
         .orderBy($"l_returnflag")
     }),
 
+    // ---- exact percentiles / median: Spark `percentile` and DuckDB
+    //      `quantile_cont` both implement R-7 linear interpolation over the
+    //      sorted values, so the doubles match bit-for-bit on integer
+    //      quantities. (approx_percentile is the sketch variant; the exact
+    //      form is the oracle-gateable one.)
+    "q34_percentile" -> ((s, dir) => {
+      import s.implicits._
+      Tables.load(s, dir, "lineitem")
+        .groupBy($"l_returnflag")
+        .agg(
+          expr("percentile(l_quantity, 0.5D)").as("p50"),
+          expr("percentile(l_quantity, 0.95D)").as("p95"),
+          expr("percentile(l_extendedprice, 0.25D)").as("price_p25"),
+          count(lit(1)).as("n"))
+        .orderBy($"l_returnflag")
+    }),
+
+    // ---- string-distance surface: Levenshtein edit distance (unit costs),
+    //      identical definition in both engines.
+    "q35_edit_distance" -> ((s, dir) => {
+      import s.implicits._
+      Tables.load(s, dir, "part")
+        .filter($"p_partkey" <= 500)
+        .select($"p_partkey",
+          levenshtein($"p_name", $"p_type").cast("long").as("name_type_dist"),
+          levenshtein($"p_name", $"p_brand").cast("long").as("name_brand_dist"))
+        .orderBy($"p_partkey")
+    }),
+
     // ---- UDAF: quantity-weighted average extended price per return flag.
     "q25_weighted_avg" -> ((s, dir) => {
       import s.implicits._
@@ -165,6 +194,24 @@ object Advanced {
       FROM sess
       GROUP BY user_id, sid
       ORDER BY user_id, ss""",
+
+    "q34_percentile" -> """
+      SELECT l_returnflag,
+        quantile_cont(l_quantity, 0.5) AS p50,
+        quantile_cont(l_quantity, 0.95) AS p95,
+        quantile_cont(l_extendedprice, 0.25) AS price_p25,
+        COUNT(*) AS n
+      FROM lineitem
+      GROUP BY l_returnflag
+      ORDER BY l_returnflag""",
+
+    "q35_edit_distance" -> """
+      SELECT p_partkey,
+        CAST(levenshtein(p_name, p_type) AS BIGINT) AS name_type_dist,
+        CAST(levenshtein(p_name, p_brand) AS BIGINT) AS name_brand_dist
+      FROM part
+      WHERE p_partkey <= 500
+      ORDER BY p_partkey""",
 
     "q25_weighted_avg" -> s"""
       SELECT l_returnflag,
