@@ -161,6 +161,22 @@ object Advanced {
         .orderBy($"p_partkey")
     }),
 
+    // ---- pivot: long -> wide reshaping with explicit pivot values (the
+    //      scale-correct form — value DISCOVERY would need an extra pass
+    //      and a driver collect; explicit values keep it one aggregation).
+    //      Column names follow Spark's {value}_{aggAlias} convention and
+    //      the oracle mirrors them with FILTERed aggregates.
+    "q36_pivot" -> ((s, dir) => {
+      import s.implicits._
+      Tables.load(s, dir, "orders")
+        .groupBy($"o_orderpriority")
+        .pivot("o_orderstatus", Seq("F", "O", "P"))
+        .agg(count(lit(1)).as("n"),
+          sum($"o_totalprice".cast(DecimalType(18, 6))).cast("double").as("tp"))
+        .na.fill(0L, Seq("F_n", "O_n", "P_n"))
+        .orderBy($"o_orderpriority")
+    }),
+
     // ---- UDAF: quantity-weighted average extended price per return flag.
     "q25_weighted_avg" -> ((s, dir) => {
       import s.implicits._
@@ -204,6 +220,19 @@ object Advanced {
       FROM lineitem
       GROUP BY l_returnflag
       ORDER BY l_returnflag""",
+
+    "q36_pivot" -> {
+      def cell(st: String) = s"""
+        COUNT(*) FILTER (WHERE o_orderstatus = '$st') AS "${st}_n",
+        CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6)))
+             FILTER (WHERE o_orderstatus = '$st') AS DOUBLE) AS "${st}_tp""""
+      s"""
+      SELECT o_orderpriority,
+        ${Seq("F", "O", "P").map(cell).mkString(",")}
+      FROM orders
+      GROUP BY o_orderpriority
+      ORDER BY o_orderpriority"""
+    },
 
     "q35_edit_distance" -> """
       SELECT p_partkey,
