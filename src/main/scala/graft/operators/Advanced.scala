@@ -177,6 +177,45 @@ object Advanced {
         .orderBy($"o_orderpriority")
     }),
 
+    // ---- unpivot / melt: wide -> long, the inverse reshaping of q36.
+    //      Pure narrow operator (each row fans out to one row per measure,
+    //      no shuffle); oracle is the equivalent UNION ALL.
+    "q37_unpivot" -> ((s, dir) => {
+      import s.implicits._
+      Tables.load(s, dir, "lineitem")
+        .filter($"l_orderkey" <= 500)
+        .unpivot(
+          ids = Array($"l_orderkey", $"l_linenumber"),
+          values = Array($"l_quantity", $"l_discount", $"l_tax"),
+          variableColumnName = "metric",
+          valueColumnName = "value")
+        .orderBy($"l_orderkey", $"l_linenumber", $"metric")
+    }),
+
+    // ---- time-series gap fill / resample: one row per (user, hour) over
+    //      each user's observed span, zeros where no events fell — the
+    //      `sequence` + explode + left-join idiom. The dense hour axis is
+    //      generated per user (no driver-side calendar), so the plan scales
+    //      with users x span like any other shuffle-keyed op.
+    "q39_gap_fill" -> ((s, dir) => {
+      import s.implicits._
+      val ev = Tables.load(s, dir, "events")
+        .filter($"user_id" <= 50)
+        .withColumn("hr", date_trunc("hour", $"ts"))
+      val hourly = ev.groupBy($"user_id", $"hr")
+        .agg(count(lit(1)).as("n"),
+          sum($"value".cast(DecimalType(18, 6))).cast("double").as("total_value"))
+      val axis = ev.groupBy($"user_id")
+        .agg(min($"hr").as("h0"), max($"hr").as("h1"))
+        .select($"user_id",
+          explode(sequence($"h0", $"h1", expr("INTERVAL 1 HOUR"))).as("hr"))
+      axis.join(hourly, Seq("user_id", "hr"), "left")
+        .select($"user_id", unix_timestamp($"hr").as("hr_ts"),
+          coalesce($"n", lit(0L)).as("n"),
+          coalesce($"total_value", lit(0.0)).as("total_value"))
+        .orderBy($"user_id", $"hr_ts")
+    }),
+
     // ---- UDAF: quantity-weighted average extended price per return flag.
     "q25_weighted_avg" -> ((s, dir) => {
       import s.implicits._
@@ -233,6 +272,32 @@ object Advanced {
       GROUP BY o_orderpriority
       ORDER BY o_orderpriority"""
     },
+
+    "q37_unpivot" -> """
+      SELECT l_orderkey, l_linenumber, m.metric, m.value
+      FROM lineitem,
+        LATERAL (
+          SELECT 'l_quantity' AS metric, l_quantity AS value
+          UNION ALL SELECT 'l_discount', l_discount
+          UNION ALL SELECT 'l_tax', l_tax) m
+      WHERE l_orderkey <= 500
+      ORDER BY l_orderkey, l_linenumber, m.metric""",
+
+    "q39_gap_fill" -> """
+      WITH ev AS (
+        SELECT user_id, date_trunc('hour', ts) AS hr, value
+        FROM events WHERE user_id <= 50),
+      hourly AS (
+        SELECT user_id, hr, COUNT(*) AS n,
+          CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+        FROM ev GROUP BY user_id, hr),
+      axis AS (
+        SELECT user_id, unnest(generate_series(min(hr), max(hr), INTERVAL 1 HOUR)) AS hr
+        FROM ev GROUP BY user_id)
+      SELECT a.user_id, CAST(FLOOR(epoch(a.hr)) AS BIGINT) AS hr_ts,
+        COALESCE(h.n, 0) AS n, COALESCE(h.total_value, 0.0) AS total_value
+      FROM axis a LEFT JOIN hourly h ON a.user_id = h.user_id AND a.hr = h.hr
+      ORDER BY a.user_id, hr_ts""",
 
     "q35_edit_distance" -> """
       SELECT p_partkey,
