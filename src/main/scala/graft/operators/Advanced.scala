@@ -216,6 +216,25 @@ object Advanced {
         .orderBy($"user_id", $"hr_ts")
     }),
 
+    // ---- map-type surface: build a status->count map per priority
+    //      (map_from_entries over a sorted entry list), then explode it
+    //      back to rows. The oracle is the flat two-level aggregate, so the
+    //      gate fails if map construction drops, duplicates, or reorders
+    //      keys' values.
+    "q38_map_ops" -> ((s, dir) => {
+      import s.implicits._
+      Tables.load(s, dir, "orders")
+        .groupBy($"o_orderpriority", $"o_orderstatus")
+        .agg(count(lit(1)).as("cnt"))
+        .groupBy($"o_orderpriority")
+        .agg(map_from_entries(
+          sort_array(collect_list(struct($"o_orderstatus", $"cnt")))).as("m"))
+        .select($"o_orderpriority",
+          explode($"m").as(Seq("o_orderstatus", "cnt")),
+          size($"m").cast("long").as("n_statuses"))
+        .orderBy($"o_orderpriority", $"o_orderstatus")
+    }),
+
     // ---- UDAF: quantity-weighted average extended price per return flag.
     "q25_weighted_avg" -> ((s, dir) => {
       import s.implicits._
@@ -298,6 +317,15 @@ object Advanced {
         COALESCE(h.n, 0) AS n, COALESCE(h.total_value, 0.0) AS total_value
       FROM axis a LEFT JOIN hourly h ON a.user_id = h.user_id AND a.hr = h.hr
       ORDER BY a.user_id, hr_ts""",
+
+    "q38_map_ops" -> """
+      WITH flat AS (
+        SELECT o_orderpriority, o_orderstatus, COUNT(*) AS cnt
+        FROM orders GROUP BY o_orderpriority, o_orderstatus)
+      SELECT o_orderpriority, o_orderstatus, cnt,
+        CAST(COUNT(*) OVER (PARTITION BY o_orderpriority) AS BIGINT) AS n_statuses
+      FROM flat
+      ORDER BY o_orderpriority, o_orderstatus""",
 
     "q35_edit_distance" -> """
       SELECT p_partkey,
