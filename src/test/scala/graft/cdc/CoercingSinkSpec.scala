@@ -72,4 +72,26 @@ class CoercingSinkSpec extends AnyFunSuite {
     assert(back.size == 64, "first replication must backfill every bucket")
     assert(back.contains((1, 999)))
   }
+
+  test("replica follows an additive schema evolution (new column reaches the second sink)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val target = java.nio.file.Files.createTempDirectory("graft_cs").toString + "/t"
+    val second = java.nio.file.Files.createTempDirectory("graft_cs2").toString + "/s"
+    val rows = Seq((1, 10), (2, 20)).toDF("k", "v")
+    val opts = CdcApplier.Options(Seq("k"))
+    val t1 = CdcApplier.applyBatch(spark,
+      ChangeFeed.inserts(rows, col("k").cast("long")), target, opts)
+    CoercingSink.replicateBuckets(spark, target, second, t1)
+
+    // upstream DDL adds a column: the evolution batch rewrites every bucket
+    // and returns them all, so the replica mirrors the widened schema
+    val widened = Seq((3, 30)).toDF("k", "v").withColumn("extra", lit("x"))
+    val t2 = CdcApplier.applyBatch(spark,
+      ChangeFeed.inserts(widened, lit(100L)), target, opts)
+    CoercingSink.replicateBuckets(spark, target, second, t2)
+    val back = spark.read.option("mergeSchema", true).parquet(second)
+      .select($"k", $"v", $"extra").as[(Int, Int, Option[String])].collect().toSet
+    assert(back == Set((1, 10, None), (2, 20, None), (3, 30, Some("x"))))
+  }
 }
