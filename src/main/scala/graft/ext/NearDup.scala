@@ -213,7 +213,9 @@ object NearDup {
     * NearDupSpec instead of benchmarked. Same contract and output as
     * [[exactJaccardPairs]]. */
   def ppjoinJaccardPairs(docs: DataFrame): DataFrame = {
-    val hashed = withHashedShingles(docs).filter(col("sz") > 0)
+    // materialized once: the kernel would otherwise rerun for the df pass,
+    // each candidate-join side, and both verifyPairs sides
+    val hashed = withHashedShingles(docs).filter(col("sz") > 0).localCheckpoint()
     val ex = hashed.select(col("doc_id"), explode(col("shh")).as("h"))
     val dfreq = ex.groupBy(col("h")).agg(count(lit(1)).as("df"))
     // rarest-first total order per doc; ceil(t*sz) in exact integers
@@ -226,6 +228,9 @@ object NearDup {
     val pex = ordered
       .select(col("doc_id"), col("sz"), explode(expr("slice(ord, 1, plen)")).as("tok"))
       .select(col("doc_id"), col("sz"), col("tok.h").as("h"))
+      // one row per prefix token; materialize so the candidate self-join's
+      // two sides don't each recompute the df join + ordering aggregation
+      .localCheckpoint()
     val ratio = least(col("a.sz"), col("b.sz")) * TDen >=
       greatest(col("a.sz"), col("b.sz")) * TNum
     val cand = pex.as("a").join(pex.as("b"),

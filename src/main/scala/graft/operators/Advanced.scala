@@ -302,13 +302,12 @@ object Advanced {
       WHERE l_orderkey <= 500
       ORDER BY l_orderkey, l_linenumber, m.metric""",
 
-    "q39_gap_fill" -> """
+    "q39_gap_fill" -> s"""
       WITH ev AS (
         SELECT user_id, date_trunc('hour', ts) AS hr, value
         FROM events WHERE user_id <= 50),
       hourly AS (
-        SELECT user_id, hr, COUNT(*) AS n,
-          CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+        SELECT user_id, hr, COUNT(*) AS n, ${SUMD("value")} AS total_value
         FROM ev GROUP BY user_id, hr),
       axis AS (
         SELECT user_id, unnest(generate_series(min(hr), max(hr), INTERVAL 1 HOUR)) AS hr

@@ -182,7 +182,6 @@ class StreamingPipelineSpec extends AnyFunSuite {
   }
 
   test("streaming exact dedup emits only first-seen content across batches") {
-    case class Doc(doc_id: Long, text: String)
     val sink = s"dedup_${System.nanoTime()}"
     val src = MemoryStream[(Long, String)]
     val q = StreamingPipeline.streamingDedup(src.toDF().toDF("doc_id", "text"))
