@@ -52,6 +52,84 @@ object Advanced {
       .agg(sum(col("_psum")).cast("double").as("total"), sum(col("_pcnt")).as("n"))
   }
 
+  /** Distributed exact quantiles (R-7 / `quantile_cont` interpolation) with
+    * NO per-group value buffer — the scale-safe replacement for Spark's
+    * `percentile`, whose `OpenHashMap` buffer grows with the group when the
+    * value column is near-unique (each low-cardinality group concentrates on
+    * one final-merge task and OOMs it at 100 TB).
+    *
+    * Plan shape (every step bounded regardless of group size):
+    *  1. `repartitionByRange(group, value)` — a global per-group sort spread
+    *     across `rangeParts` partitions (range boundaries from Spark's
+    *     deterministic reservoir sample).
+    *  2. per-(partition, group) row counts — at most `rangeParts` x |groups|
+    *     rows; a prefix-sum window over them (<= `rangeParts` rows per
+    *     window partition) yields each range-partition's global rank offset.
+    *  3. global 0-based rank = offset + `row_number` over (partition-id,
+    *     group) — each window partition holds ~1/`rangeParts` of a group,
+    *     so no single task ever sorts or buffers a whole group.
+    *  4. per quantile q: position h = (n-1)*q; keep only ranks floor(h) /
+    *     ceil(h) and interpolate with Spark's own Percentile formula
+    *     `lower*(ceil(h)-h) + higher*(h-floor(h))` so results stay
+    *     bit-identical to `percentile(...)` (and to DuckDB
+    *     `quantile_cont`, which q34's oracle-green round 3 proved equal).
+    *
+    * `spark_partition_id()` is stable here because range boundaries are
+    * deterministic for a given input, and both consumers of the ranged
+    * exchange reuse the same shuffle (ReuseExchange).
+    *
+    * Reference parity: exact percentiles over replicated rows are a
+    * downstream-analytics concern the reference serves via HBase scans; this
+    * is the Spark-native form (SURVEY §2.2 aggregations row). */
+  def exactQuantiles(
+      df: DataFrame, grp: String, valueCol: String,
+      specs: Seq[(String, Double)], rangeParts: Int = 32): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val vals = df
+      .select(col(grp).as("_g"), col(valueCol).cast("double").as("_v"))
+      .filter(col("_v").isNotNull) // percentile/quantile_cont ignore NULLs
+    val withPid = vals
+      .repartitionByRange(rangeParts, col("_g"), col("_v"))
+      .withColumn("_pid", spark_partition_id())
+    val counts = withPid.groupBy(col("_pid"), col("_g")).count()
+    val wOff = Window.partitionBy(col("_g")).orderBy(col("_pid"))
+    val offsets = counts
+      .withColumn("_off", coalesce(
+        sum(col("count")).over(wOff.rowsBetween(Window.unboundedPreceding, -1)),
+        lit(0L)))
+      .withColumn("_n", sum(col("count")).over(Window.partitionBy(col("_g"))))
+      .select(col("_pid"), col("_g"), col("_off"), col("_n"))
+    val wLocal = Window.partitionBy(col("_pid"), col("_g")).orderBy(col("_v"))
+    val ranked = withPid
+      .join(broadcast(offsets), Seq("_pid", "_g"))
+      .withColumn("_rank",
+        row_number().over(wLocal).cast("long") + col("_off") - lit(1L))
+    def pos(q: Double) = (col("_n") - lit(1L)).cast("double") * lit(q)
+    val needed = specs.map { case (_, q) =>
+      col("_rank") === floor(pos(q)).cast("long") ||
+        col("_rank") === ceil(pos(q)).cast("long")
+    }.reduce(_ || _)
+    val aggs = specs.flatMap { case (name, q) =>
+      Seq(
+        max(when(col("_rank") === floor(pos(q)).cast("long"), col("_v")))
+          .as(s"_${name}_lo"),
+        max(when(col("_rank") === ceil(pos(q)).cast("long"), col("_v")))
+          .as(s"_${name}_hi"))
+    } :+ max(col("_n")).as("_nn")
+    val picked = ranked.filter(needed).groupBy(col("_g"))
+      .agg(aggs.head, aggs.tail: _*)
+    val outCols = specs.map { case (name, q) =>
+      val h = (col("_nn") - lit(1L)).cast("double") * lit(q)
+      val lo = floor(h)
+      val hi = ceil(h)
+      when(lo === hi, col(s"_${name}_lo"))
+        .otherwise(
+          col(s"_${name}_lo") * (hi - h) + col(s"_${name}_hi") * (h - lo))
+        .as(name)
+    }
+    picked.select(col("_g").as(grp) +: outCols: _*)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- session windows: per-user activity sessions with a 30-minute gap.
     //      Spark merges events whose start < previous session end (strict),
@@ -132,20 +210,22 @@ object Advanced {
         .orderBy($"l_returnflag")
     }),
 
-    // ---- exact percentiles / median: Spark `percentile` and DuckDB
-    //      `quantile_cont` both implement R-7 linear interpolation over the
-    //      sorted values, so the doubles match bit-for-bit on integer
-    //      quantities. (approx_percentile is the sketch variant; the exact
-    //      form is the oracle-gateable one.)
+    // ---- exact percentiles / median via the DISTRIBUTED sort-based
+    //      quantile (see exactQuantiles): same R-7 interpolation as Spark
+    //      `percentile` and DuckDB `quantile_cont` — bit-identical results —
+    //      but with no per-group value buffer, so a near-unique column like
+    //      l_extendedprice can't OOM a final-merge task at 100 TB. One
+    //      ranked pass per value column, joined on the (3-row) group key.
     "q34_percentile" -> ((s, dir) => {
       import s.implicits._
-      Tables.load(s, dir, "lineitem")
-        .groupBy($"l_returnflag")
-        .agg(
-          expr("percentile(l_quantity, 0.5D)").as("p50"),
-          expr("percentile(l_quantity, 0.95D)").as("p95"),
-          expr("percentile(l_extendedprice, 0.25D)").as("price_p25"),
-          count(lit(1)).as("n"))
+      val li = Tables.load(s, dir, "lineitem")
+      val qty = exactQuantiles(li, "l_returnflag", "l_quantity",
+        Seq("p50" -> 0.5, "p95" -> 0.95))
+      val price = exactQuantiles(li, "l_returnflag", "l_extendedprice",
+        Seq("price_p25" -> 0.25))
+      val totals = li.groupBy($"l_returnflag").agg(count(lit(1)).as("n"))
+      qty.join(price, Seq("l_returnflag")).join(totals, Seq("l_returnflag"))
+        .select($"l_returnflag", $"p50", $"p95", $"price_p25", $"n")
         .orderBy($"l_returnflag")
     }),
 
