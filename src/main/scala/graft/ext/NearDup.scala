@@ -68,39 +68,65 @@ object NearDup {
   // serializing one shuffle partition.
   private val SaltR = 16
 
-  /** Exact similarity join, adaptive to the corpus' shingle-dictionary size.
+  /** Conf key bounding the bitmap fast path's shingle dictionary. The bound
+    * protects two things at once: the driver collect of the sorted distinct
+    * hashes (64 K longs = 512 KB — trivial) and, the real constraint, the
+    * per-row bitmap width W = dict/64 longs that every exploded block-join
+    * row carries (64 K dict = 8 KB/row). Above the bound the exact join
+    * dispatches to the fully-distributed PPJoin plan instead. */
+  val MaxDictConf = "spark.graft.neardup.maxDict"
+  val DefaultMaxDict = 65536L
+
+  /** Exact similarity join — ADAPTIVE dispatcher between the two exact
+    * plans, keyed on the corpus' global shingle-dictionary size (estimated
+    * with `approx_count_distinct`, rsd 5% — the bound is a soft safety
+    * limit, so sketch error cannot cause more than a ~5% overshoot of a
+    * limit that already carries orders-of-magnitude headroom):
     *
-    * This corpus draws from a ~30-word vocabulary, so the GLOBAL distinct
-    * 5-shingle count is tiny (~2k) while per-shingle document frequencies
-    * are in the hundreds — which defeats every frequency-based pruning
-    * scheme: PPJoin prefix filtering (each doc's rarest shingles are still
-    * shared by hundreds of docs) degenerates to all-pairs with extra work,
-    * and an inverted-index count-join explodes into sum(df^2) ~= 500M join
-    * rows through 2k join keys. The exact plan instead dictionary-encodes
-    * shingles (the sorted distinct hashes, collected driver-side — a
-    * driver-sized decision by the same argument as the bitmap width W)
-    * and packs each doc's set into W 64-bit bitmap columns via the
-    * `graft_bitmap` kernel; the exact intersection count is then
-    * `sum_i bit_count(a.w_i & b.w_i)` — flat codegen'd expressions.
+    *  - dictionary <= [[MaxDictConf]] (default 64 K): the BITMAP-BAND plan
+    *    ([[bitmapJaccardPairs]]). This corpus draws from a ~30-word
+    *    vocabulary, so the GLOBAL distinct 5-shingle count is tiny (~2k)
+    *    while per-shingle document frequencies are in the hundreds — which
+    *    defeats every frequency-based pruning scheme: PPJoin prefix
+    *    filtering (each doc's rarest shingles are still shared by hundreds
+    *    of docs) degenerates to all-pairs with extra work, and an
+    *    inverted-index count-join explodes into sum(df^2) ~= 500M join rows
+    *    through 2k join keys. The bitmap plan dictionary-encodes shingles
+    *    and intersects via flat codegen'd `bit_count(a.w_i & b.w_i)` sums.
+    *  - dictionary above the bound (natural zipfian text: huge dictionary,
+    *    rare shingles): [[ppjoinJaccardPairs]] — prefix filtering over an
+    *    inverted index, no driver-sized collect anywhere. The dispatch
+    *    happens BEFORE any collect, so a data-scale dictionary can never
+    *    reach the driver.
     *
-    * Pair generation is scale-shaped: docs are bucketed into multiplicative
-    * length bands (a qualifying pair can only span adjacent bands — see
-    * [[BandSlack]]) and each band is salted into [[SaltR]] blocks, so the
-    * inherently-quadratic exact-similarity work arrives as equi-joins on
-    * (band, i, j) block keys — partitioned, skew-spread, no cross product.
-    * On natural zipfian text (huge dictionary, rare shingles) the right
-    * exact plan flips to PPJoin prefix filtering over the inverted index;
-    * the bitmap-band plan is the fast path whenever the dictionary fits
-    * (char-k-grams over constrained vocabularies — common for code, logs,
-    * DNA). */
+    * Both plans are cross-validated equal in NearDupSpec; the estimate adds
+    * one small aggregation job over the already-checkpointed shingle
+    * arrays. */
   def exactJaccardPairs(docs: DataFrame): DataFrame = {
     val spark = docs.sparkSession
-    val hashed = withHashedShingles(docs).filter(col("sz") > 0)
+    // materialized once: shared by the dictionary estimate and whichever
+    // exact plan wins the dispatch (the shingle kernel is the CPU-heavy step)
+    val hashed = withHashedShingles(docs).filter(col("sz") > 0).localCheckpoint()
+    val maxDict = spark.conf.getOption(MaxDictConf).map(_.toLong).getOrElse(DefaultMaxDict)
+    val estDict = hashed.select(explode(col("shh")).as("h"))
+      .agg(approx_count_distinct(col("h")).as("d")).head.getLong(0)
+    if (estDict > maxDict) ppjoinFromHashed(hashed)
+    else bitmapJaccardPairs(hashed)
+  }
+
+  /** The bitmap-band exact plan (see [[exactJaccardPairs]] for when it
+    * applies). Pair generation is scale-shaped: docs are bucketed into
+    * multiplicative length bands (a qualifying pair can only span adjacent
+    * bands — see [[BandSlack]]) and each band is salted into [[SaltR]]
+    * blocks, so the inherently-quadratic exact-similarity work arrives as
+    * equi-joins on (band, i, j) block keys — partitioned, skew-spread, no
+    * cross product. */
+  private def bitmapJaccardPairs(hashed: DataFrame): DataFrame = {
+    val spark = hashed.sparkSession
     // Global dictionary: sorted distinct shingle hashes, collected to the
     // driver and embedded as a literal into the encode kernel. Driver-sized
-    // by the same argument as W itself (the bitmap plan only applies when
-    // the dictionary is small — constrained vocabularies); on natural
-    // zipfian corpora the exact plan flips to PPJoin (see scaladoc above).
+    // BY CONSTRUCTION: the dispatcher above only routes here when the
+    // approx_count_distinct estimate is under the MaxDictConf bound.
     val dictArr: Array[Long] = {
       import spark.implicits._
       hashed.select(explode(col("shh")).as("h")).distinct().as[Long].collect()
@@ -212,10 +238,12 @@ object NearDup {
     * q41 ships the bitmap-band plan and this variant is cross-validated in
     * NearDupSpec instead of benchmarked. Same contract and output as
     * [[exactJaccardPairs]]. */
-  def ppjoinJaccardPairs(docs: DataFrame): DataFrame = {
+  def ppjoinJaccardPairs(docs: DataFrame): DataFrame =
     // materialized once: the kernel would otherwise rerun for the df pass,
     // each candidate-join side, and both verifyPairs sides
-    val hashed = withHashedShingles(docs).filter(col("sz") > 0).localCheckpoint()
+    ppjoinFromHashed(withHashedShingles(docs).filter(col("sz") > 0).localCheckpoint())
+
+  private def ppjoinFromHashed(hashed: DataFrame): DataFrame = {
     val ex = hashed.select(col("doc_id"), explode(col("shh")).as("h"))
     val dfreq = ex.groupBy(col("h")).agg(count(lit(1)).as("df"))
     // rarest-first total order per doc; ceil(t*sz) in exact integers

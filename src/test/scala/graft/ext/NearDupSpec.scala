@@ -40,6 +40,41 @@ class NearDupSpec extends AnyFunSuite {
     assert(pp == exact, s"PPJoin missed ${exact -- pp}, invented ${pp -- exact}")
   }
 
+  test("adaptive dispatch: large dictionary takes the PPJoin path, no driver dictionary") {
+    import spark.implicits._
+    // Deterministic corpus with a data-scale char-5-gram dictionary: 30
+    // pseudo-random 9-digit "words" per doc, so distinct shingles >> the
+    // bound below. Docs 2i and 2i+1 share identical text (planted J=1.0
+    // pairs); cross-doc shingle overlap is negligible.
+    val texts = (0 until 120).map { i =>
+      val words = (0 until 30).map { j =>
+        (((i / 2) * 31L + j) * 2654435761L % 1000000007L).toString
+      }
+      (i.toLong, words.mkString(" "))
+    }
+    val docs = texts.toDF("doc_id", "text")
+    spark.conf.set(NearDup.MaxDictConf, "500")
+    try {
+      val df = NearDup.exactJaccardPairs(docs)
+      val plan = df.queryExecution.optimizedPlan.toString
+      // PPJoin verifies via array_intersect; the bitmap plan's signature is
+      // the bit_count join condition. (The shingle kernel itself is behind a
+      // localCheckpoint, so we assert on the post-checkpoint plan shape.)
+      assert(plan.contains("array_intersect"), plan.take(2000))
+      assert(!plan.contains("bit_count"), plan.take(2000))
+      val got = df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val want = (0 until 60).map(i => (2L * i, 2L * i + 1)).toSet
+      assert(got == want, s"missed ${want -- got}, invented ${got -- want}")
+    } finally spark.conf.unset(NearDup.MaxDictConf)
+  }
+
+  test("adaptive dispatch: small dictionary keeps the bitmap fast path") {
+    val docs = Tables.load(spark, dir, "documents")
+    val plan = NearDup.exactJaccardPairs(docs).queryExecution.optimizedPlan.toString
+    assert(plan.contains("bit_count"), plan.take(2000))
+    assert(!plan.contains("array_intersect"), plan.take(2000))
+  }
+
   test("graft_simhash kernel equals the HOF formulation on the corpus") {
     val docs = Tables.load(spark, dir, "documents")
     val both = docs
