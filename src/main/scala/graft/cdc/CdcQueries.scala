@@ -97,10 +97,17 @@ object CdcQueries {
         src.toDF(), Map("orders" -> (o.schema, target)), s"$root/ckpt",
         _ => graft.streaming.StreamingPipeline.PipelineOptions(
           CdcApplier.Options(Seq("o_orderkey"))))
+      // Chunked addData: each addData block ships to executors as one task
+      // payload, and a whole sf0.1 envelope batch in one block is a ~26 MB
+      // task (TaskSetManager warns above 1000 KiB; envelope rows carry
+      // before+after JSON, ~400 B each, so 1500 rows ~= 600 KiB). Chunks
+      // also give the micro-batch real read parallelism.
+      def feed(rows: Array[EnvelopeRow]): Unit =
+        rows.grouped(1500).foreach(c => src.addData(c.toIndexedSeq))
       try {
-        src.addData(batch1.toIndexedSeq)
+        feed(batch1)
         queries.values.foreach(_.processAllAvailable())
-        src.addData(batch2.toIndexedSeq)
+        feed(batch2)
         queries.values.foreach(_.processAllAvailable())
       } finally queries.values.foreach(_.stop())
       CdcApplier.snapshot(s, target)
