@@ -306,6 +306,9 @@ class StreamingPipelineSpec extends AnyFunSuite {
       def get(path: String): (Int, String) = {
         val url = java.net.URI.create(s"http://localhost:${server.boundPort}$path").toURL
         val conn = url.openConnection().asInstanceOf[java.net.HttpURLConnection]
+        // HttpURLConnection's DEFAULT Accept header leads with text/html;
+        // be explicit, like any real JSON consumer
+        conn.setRequestProperty("Accept", "application/json")
         val code = conn.getResponseCode
         val is = if (code < 400) conn.getInputStream else conn.getErrorStream
         val body = new String(is.readAllBytes(), "UTF-8")
@@ -319,6 +322,58 @@ class StreamingPipelineSpec extends AnyFunSuite {
       assert(body.contains("\"student.insert\":1"))
       assert(get("/status")._1 == 400)
     } finally server.stop()
+  }
+
+  test("S18: /status renders HTML tables when the client prefers text/html; /jmx dumps any platform MBean") {
+    val target = tmpdir("sp_t") + "/student"
+    Metrics.reset(target)
+    val src = MemoryStream[SEvent]
+    src.addData(ins(10, r1))
+    val q = StreamingPipeline.start(src.toDF(), target, tmpdir("sp_c"), opts())
+    q.processAllAvailable()
+    q.stop()
+    val jmxName = Metrics.registerJmx(target)
+
+    val server = new StatusServer(port = 0)
+    try {
+      def get(path: String, accept: String = "application/json"): (Int, String, String) = {
+        val url = java.net.URI.create(s"http://localhost:${server.boundPort}$path").toURL
+        val conn = url.openConnection().asInstanceOf[java.net.HttpURLConnection]
+        conn.setRequestProperty("Accept", accept)
+        val code = conn.getResponseCode
+        val ctype = Option(conn.getContentType).getOrElse("")
+        val is = if (code < 400) conn.getInputStream else conn.getErrorStream
+        val body = new String(is.readAllBytes(), "UTF-8")
+        (code, ctype, body)
+      }
+      val enc = java.net.URLEncoder.encode(target, "UTF-8")
+
+      // content negotiation: same endpoint, both representations
+      // a browser-style Accept leading with text/html gets the HTML page
+      val (hc, hct, html) = get(s"/status?target=$enc",
+        accept = "text/html,application/xhtml+xml,*/*;q=0.8")
+      assert(hc == 200 && hct.startsWith("text/html"), s"$hc $hct")
+      assert(html.contains("<table border=1") && html.contains("student.insert"), html)
+      val (jc, jct, json) = get(s"/status?target=$enc")
+      assert(jc == 200 && jct.startsWith("application/json"), s"$jc $jct")
+      assert(json.contains("\"student.insert\":1"))
+
+      // the generic /jmx surface: a JVM platform bean nobody registered...
+      val (mc, mct, mem) = get("/jmx?qry=" + java.net.URLEncoder.encode("java.lang:type=Memory", "UTF-8"))
+      assert(mc == 200 && mct.startsWith("application/json"), s"$mc $mct")
+      assert(mem.contains("\"HeapMemoryUsage\"") && mem.contains("\"used\":"),
+        mem.take(500)) // CompositeData expanded into a JSON object
+      // ...the graft pipeline bean through the same endpoint...
+      val (_, _, pipe) = get("/jmx?qry=" + java.net.URLEncoder.encode(jmxName.toString, "UTF-8"))
+      assert(pipe.contains("\"BatchCount\":") && pipe.contains("student.insert"), pipe.take(500))
+      // ...the default pattern covers all beans, and bad patterns are a 400
+      val (_, _, all) = get("/jmx")
+      assert(all.contains("java.lang:type=Runtime"), all.take(200))
+      assert(get("/jmx?qry=%3A%3A%3A")._1 == 400)
+    } finally {
+      server.stop()
+      Metrics.reset(target)
+    }
   }
 
   test("watermarked tumbling window emits finalized windows and drops late data") {
