@@ -22,6 +22,8 @@ import graft.cdc.CdcApplier
   *   spark.graft.earliestPos         earliest position the source still
   *                                   retains; enables the binlog-purged
   *                                   rebootstrap guard
+  *   spark.graft.compactEvery        run tombstone compaction every N
+  *                                   applied batches (default 0 = off)
   */
 object GraftConf {
   def pipelineOptions(spark: SparkSession): StreamingPipeline.PipelineOptions = {
@@ -38,6 +40,7 @@ object GraftConf {
       mappedTables = get("mappedTables", "").split(",").map(_.trim).filter(_.nonEmpty).toSet,
       maxRetries = get("maxRetries", "2").toInt,
       secondaryDir = Some(get("secondaryDir", "")).filter(_.nonEmpty),
-      earliestPos = Some(get("earliestPos", "")).filter(_.nonEmpty).map(_.toLong))
+      earliestPos = Some(get("earliestPos", "")).filter(_.nonEmpty).map(_.toLong),
+      compactEvery = get("compactEvery", "0").toInt)
   }
 }

@@ -54,6 +54,11 @@ object StreamingPipeline {
     *                      of the reference exiting on MySQL error 1236
     *                      (`MySQLExtractor.scala:92-103`) — instead of
     *                      silently skipping the lost events
+    * @param compactEvery  steady-state tombstone compaction (S14b): every
+    *                      N applied batches, run [[CdcApplier.compact]] at
+    *                      the published position high-watermark, physically
+    *                      dropping delete tombstones the checkpoint can no
+    *                      longer replay past. 0 (default) disables.
     * @param preApplyHook  test seam: runs before each apply attempt */
   case class PipelineOptions(
       applier: CdcApplier.Options,
@@ -61,6 +66,7 @@ object StreamingPipeline {
       maxRetries: Int = 2,
       secondaryDir: Option[String] = None,
       earliestPos: Option[Long] = None,
+      compactEvery: Int = 0,
       preApplyHook: () => Unit = () => ())
 
   /** Per-pipeline observability (S17): per-table-per-op counts, batch
@@ -219,6 +225,22 @@ object StreamingPipeline {
         writeHighWater(spark.sparkContext.hadoopConfiguration, targetDir, newHigh)
 
       Metrics.record(targetDir, stats, (System.nanoTime() - t0) / 1000000)
+
+      // S14b steady state: periodic tombstone compaction at the published
+      // watermark. Best-effort by design — the batch is already applied and
+      // the watermark published, and compact() is crash-safe (horizon
+      // persisted first, atomic bucket publish), so a failed attempt is
+      // simply retried compactEvery batches later rather than failing an
+      // otherwise-converged query.
+      if (opts.compactEvery > 0 &&
+          Metrics.batchCount(targetDir) % opts.compactEvery == 0) {
+        val horizon = math.max(newHigh, prior)
+        try CdcApplier.compact(spark, targetDir, horizon)
+        catch {
+          case e: Throwable =>
+            Console.err.println(s"[graft] auto-compaction of $targetDir at $horizon failed: $e")
+        }
+      }
     } finally cached.unpersist()
   }
 
@@ -255,6 +277,46 @@ object StreamingPipeline {
           from_json(col("after_json"), schema).as("after"))
       table -> start(typed, targetDir, s"$checkpointRoot/$table", opts(table))
     }
+
+  /** CONSOLIDATED many-table topology: the same fan-out as [[startPerTable]]
+    * but through ONE streaming query (one checkpoint, one scheduler entry) —
+    * at thousands of mapped tables, a query per table is driver/scheduler
+    * pressure the reference's single-process design never had. Each
+    * micro-batch is persisted once, the tables actually present in it are
+    * discovered with one tiny distinct, and each is routed through the same
+    * typed [[applyMicroBatch]] as the per-table mode (same per-target
+    * watermarks, metrics, and retry policy; a table failing all retries
+    * fails the whole query, exactly as a lost per-table query would).
+    * Trade-off vs [[startPerTable]]: tables advance in lock-step per
+    * micro-batch instead of independently — the right shape when table
+    * count, not per-table volume, is the scaling axis. */
+  def startConsolidated(
+      changes: DataFrame,
+      tables: Map[String, (org.apache.spark.sql.types.StructType, String)],
+      checkpointDir: String,
+      opts: String => PipelineOptions): StreamingQuery = {
+    tables.values.foreach { case (_, targetDir) => Metrics.registerJmx(targetDir) }
+    changes.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val cached = batch.persist()
+        try {
+          val present = cached.select(col("table")).distinct()
+            .collect().map(_.getString(0)).toSet
+          tables.toSeq.sortBy(_._1).foreach { case (table, (schema, targetDir)) =>
+            if (present(table)) {
+              val typed = cached
+                .filter(col("table") === table)
+                .select(col("op"), col("table"), col("next_position"),
+                  from_json(col("before_json"), schema).as("before"),
+                  from_json(col("after_json"), schema).as("after"))
+              applyMicroBatch(batch.sparkSession, typed, targetDir, opts(table))
+            }
+          }
+        } finally cached.unpersist()
+      }
+      .start()
+  }
 
   /** Stateful per-key high-watermark via `mapGroupsWithState` — the
     * reference's single-writer total order (S12) re-expressed as explicit

@@ -168,6 +168,7 @@ class StreamingPipelineSpec extends AnyFunSuite {
     spark.conf.set("spark.graft.mappedTables", "student,course")
     spark.conf.set("spark.graft.secondaryDir", "/tmp/replica")
     spark.conf.set("spark.graft.earliestPos", "42")
+    spark.conf.set("spark.graft.compactEvery", "16")
     try {
       val o = GraftConf.pipelineOptions(spark)
       assert(o.applier.pkCols == Seq("sn", "id"))
@@ -177,8 +178,84 @@ class StreamingPipelineSpec extends AnyFunSuite {
       assert(o.mappedTables == Set("student", "course"))
       assert(o.secondaryDir.contains("/tmp/replica"))
       assert(o.earliestPos.contains(42L))
-    } finally Seq("pk", "maxRetries", "numBuckets", "mappedTables", "secondaryDir", "earliestPos")
+      assert(o.compactEvery == 16)
+    } finally Seq("pk", "maxRetries", "numBuckets", "mappedTables", "secondaryDir",
+      "earliestPos", "compactEvery")
       .foreach(k => spark.conf.unset(s"spark.graft.$k"))
+  }
+
+  test("auto-compaction: tombstones drop in steady state, replays still converge") {
+    val target = tmpdir("sp_t") + "/student"
+    Metrics.reset(target)
+    val src = MemoryStream[SEvent]
+    val o = opts().copy(compactEvery = 1)
+    src.addData(ins(10, r1), ins(11, r2))
+    val q1 = StreamingPipeline.start(src.toDF(), target, tmpdir("sp_c"), o)
+    q1.processAllAvailable()
+    src.addData(del(20, r2))
+    q1.processAllAvailable()
+    q1.stop()
+    assert(state(target) == Set(r1))
+    assert(spark.read.parquet(target).count() == 1,
+      "steady-state compaction must physically drop the delete tombstone")
+
+    // a full below-horizon replay (fresh checkpoint, the whole feed again)
+    // must not resurrect the compacted delete's victim
+    val src2 = MemoryStream[SEvent]
+    src2.addData(ins(10, r1), ins(11, r2), del(20, r2))
+    val q2 = StreamingPipeline.start(src2.toDF(), target, tmpdir("sp_c2"), o)
+    q2.processAllAvailable()
+    q2.stop()
+    assert(state(target) == Set(r1),
+      "below-horizon replay after compaction must converge to the same state")
+  }
+
+  test("consolidated topology: 3 tables through ONE streaming query converge identically") {
+    import org.apache.spark.sql.types._
+    val root = tmpdir("sp_consol")
+    val studentSchema = StructType(Seq(
+      StructField("sn", IntegerType), StructField("score", IntegerType)))
+    val courseSchema = StructType(Seq(
+      StructField("cid", LongType), StructField("title", StringType)))
+    val roomSchema = StructType(Seq(
+      StructField("rid", IntegerType), StructField("cap", IntegerType)))
+    Seq("student", "course", "room").foreach(t => Metrics.reset(s"$root/$t"))
+    val src = MemoryStream[JsonEvent]
+    src.addData(
+      JsonEvent("insert", "student", 10, null, """{"sn":1,"score":90}"""),
+      JsonEvent("insert", "course", 11, null, """{"cid":7,"title":"spark"}"""),
+      JsonEvent("insert", "room", 12, null, """{"rid":3,"cap":40}"""),
+      JsonEvent("insert", "other", 13, null, """{"x":1}""")) // no mapping -> ignored
+    val q = StreamingPipeline.startConsolidated(
+      src.toDF(),
+      Map(
+        "student" -> (studentSchema, s"$root/student"),
+        "course" -> (courseSchema, s"$root/course"),
+        "room" -> (roomSchema, s"$root/room")),
+      s"$root/ckpt",
+      table => PipelineOptions(CdcApplier.Options(table match {
+        case "student" => Seq("sn")
+        case "course" => Seq("cid")
+        case _ => Seq("rid")
+      })))
+    q.processAllAvailable()
+    // second micro-batch touches only two of the three tables
+    src.addData(
+      JsonEvent("update", "student", 20, """{"sn":1,"score":90}""", """{"sn":1,"score":95}"""),
+      JsonEvent("delete", "course", 21, """{"cid":7,"title":"spark"}""", null))
+    q.processAllAvailable()
+    q.stop()
+
+    assert(CdcApplier.snapshot(spark, s"$root/student")
+      .select("sn", "score").as[(Int, Int)].collect().toSet == Set((1, 95)))
+    assert(CdcApplier.snapshot(spark, s"$root/course")
+      .select("cid", "title").as[(Long, String)].collect().isEmpty)
+    assert(CdcApplier.snapshot(spark, s"$root/room")
+      .select("rid", "cap").as[(Int, Int)].collect().toSet == Set((3, 40)))
+    // per-target metrics flow through the shared query, counting only the
+    // micro-batches in which each table actually appeared
+    assert(Metrics.batchCount(s"$root/student") == 2)
+    assert(Metrics.batchCount(s"$root/room") == 1)
   }
 
   test("streaming exact dedup emits only first-seen content across batches") {
