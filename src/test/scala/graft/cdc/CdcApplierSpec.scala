@@ -285,4 +285,17 @@ class CdcApplierSpec extends AnyFunSuite {
     assert(state(target).contains(rows.head.copy(score = 999)))
     assert(state(target).size == 64)
   }
+
+  test("MergeSink seam: the bucketed-parquet fallback fulfils the trait contract") {
+    val sink: MergeSink = BucketedParquetSink
+    val target = newTarget()
+    val touched = sink.merge(spark,
+      ev("insert", 10, None, Some(s1)).union(ev("insert", 11, None, Some(s2))),
+      target, opts)
+    assert(touched.nonEmpty, "merge must report the buckets it touched (S20 contract)")
+    // idempotent under replay, through the trait
+    sink.merge(spark, ev("insert", 10, None, Some(s1)), target, opts)
+    assert(sink.snapshot(spark, target).drop("_graft_pos").as[Student].collect().toSet
+      == Set(s1, s2))
+  }
 }
