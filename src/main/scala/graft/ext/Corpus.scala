@@ -1,0 +1,287 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Corpus-construction operators — the second tier of the training-data
+  * pipeline extension (SURVEY §2 ext rows): what a 100 TB pre-training
+  * corpus build runs AFTER near-dup detection and quality scoring.
+  *
+  *  - q54 dedup clustering: connected components over the exact near-dup
+  *    pair set, canonical doc (min id) per cluster — "keep one per cluster"
+  *    is the step that actually shrinks the corpus.
+  *  - q55 deterministic stratified sampling: per-language keep rates, keyed
+  *    on a portable content hash — reproducible corpus mixing with no RNG
+  *    state anywhere.
+  *  - q56 sequence packing: per-language fixed-budget (4096-token) context
+  *    window assignment by running token count.
+  *  - q57 benchmark contamination: documents sharing any char-13-gram with
+  *    a benchmark set (the n-gram-overlap decontamination rule).
+  *  - q58 repetition signals: duplicate-word and top-bigram fractions
+  *    (Gopher-style repetition quality gates).
+  *  - q59 TF-IDF top terms per document (ratio-form idf — exact cross-engine
+  *    arithmetic, no libm log whose last ulp may differ).
+  *
+  * The reference has no corpus operators (it delegates all query capability
+  * to Spark SQL); these extend the documents/embeddings extension surface.
+  */
+object Corpus {
+  private def t(s: SparkSession, dir: String, n: String): DataFrame = Tables.load(s, dir, n)
+
+  /** Tokens per 4096-token context window (q56). */
+  val PackBudget = 4096L
+
+  /** Distributed connected components by iterative min-label propagation:
+    * each round every node adopts the minimum label among itself and its
+    * neighbors (one equi-join + one aggregation per round), until a round
+    * changes nothing. Rounds = graph diameter; near-dup clusters are
+    * near-cliques (diameter 2-3), so the loop is shallow by construction.
+    * At 100 TB scale the same loop holds — each round is shuffle-local on
+    * the node id — with the standard large-star/small-star contraction as
+    * the upgrade path if diameters grow; `localCheckpoint` per round keeps
+    * the plan from growing linearly with iterations. Only the per-round
+    * CHANGED count (one long) ever reaches the driver. */
+  def connectedComponents(pairs: DataFrame, maxIters: Int = 50): DataFrame = {
+    val edges = pairs
+      .select(col("id_a").as("src"), col("id_b").as("dst"))
+      .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+      .localCheckpoint()
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("label", col("id"))
+      .localCheckpoint()
+    var changed = 1L
+    var iter = 0
+    while (changed > 0 && iter < maxIters) {
+      val nbrMin = edges
+        .join(labels.select(col("id").as("dst"), col("label").as("nlabel")), "dst")
+        .groupBy(col("src").as("id"))
+        .agg(min(col("nlabel")).as("nbr"))
+      val stepped = labels.join(nbrMin, Seq("id"), "left")
+        .select(col("id"), col("label"),
+          least(col("label"), coalesce(col("nbr"), col("label"))).as("next"))
+        .localCheckpoint()
+      changed = stepped.filter(col("next") < col("label")).count()
+      labels = stepped.select(col("id"), col("next").as("label"))
+      iter += 1
+    }
+    labels
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- q54: near-dup pairs (the q41 exact join) -> connected components
+    //      -> (doc, canonical=min id in component, cluster size).
+    "q54_dedup_clusters" -> ((s, dir) => {
+      graft.functions.GraftFunctions.register(s)
+      val pairs = NearDup.exactJaccardPairs(t(s, dir, "documents"))
+      val labels = connectedComponents(pairs)
+      val sizes = labels.groupBy(col("label")).agg(count(lit(1)).as("cluster_size"))
+      labels.join(sizes, "label")
+        .select(col("id").as("doc_id"), col("label").as("canonical_id"), col("cluster_size"))
+        .repartition(1).sortWithinPartitions(col("doc_id"))
+    }),
+
+    // ---- q55: reproducible stratified sampling — per-language keep rates
+    //      gated on a portable polynomial content hash (no RNG, no state;
+    //      the same doc always lands on the same side of the gate). Pure
+    //      narrow projection + filter: embarrassingly parallel at any scale.
+    "q55_stratified_sample" -> ((s, dir) => {
+      graft.functions.GraftFunctions.register(s)
+      val rate = when(col("lang") === "en", 50L).when(col("lang") === "de", 30L)
+        .when(col("lang") === "es", 20L).when(col("lang") === "zh", 10L).otherwise(25L)
+      t(s, dir, "documents")
+        .select(col("doc_id"), col("lang"),
+          (call_function("graft_polyhash", col("text"), lit(31), lit(TextOps.HashMod)) % 100)
+            .as("bucket"),
+          rate.as("rate"))
+        .filter(col("bucket") < col("rate"))
+        .select(col("doc_id"), col("lang"), col("bucket"))
+        .repartition(1).sortWithinPartitions(col("doc_id"))
+    }),
+
+    // ---- q56: sequence packing — per-language running token count assigns
+    //      each doc a 4096-token context-window bin and its offset in it.
+    //      One window per language partition; integer arithmetic end-to-end.
+    //      (At scale the partition key is (lang, day)-grained so no single
+    //      window partition holds a whole language.)
+    "q56_token_pack" -> ((s, dir) => {
+      val w = Window.partitionBy(col("lang")).orderBy(col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      t(s, dir, "documents")
+        .select(col("doc_id"), col("lang"),
+          size(regexp_extract_all(col("text"), lit("[^ ]+"), lit(0))).cast("long").as("n_tokens"))
+        .withColumn("start", sum(col("n_tokens")).over(w) - col("n_tokens"))
+        .select(col("doc_id"), col("lang"), col("n_tokens"),
+          expr(s"start DIV $PackBudget").as("bin"),
+          (col("start") % PackBudget).as("bin_offset"))
+        .repartition(1).sortWithinPartitions(col("doc_id"))
+    }),
+
+    // ---- q57: benchmark contamination — docs sharing any char-13-gram
+    //      with the benchmark set (doc_id % 50 = 0 stands in for it).
+    //      Shingle hashes are per-doc distinct (graft_shingle_hashes), the
+    //      benchmark side is dictionary-sized by nature -> broadcast
+    //      equi-join on the hash; counts equal the string-set counts up to
+    //      a ~2^-47 per-pair xxh64 collision (same argument as q41).
+    "q57_contamination" -> ((s, dir) => {
+      graft.functions.GraftFunctions.register(s)
+      val sh = t(s, dir, "documents")
+        .repartition(col("doc_id")) // spread CPU-heavy narrow work
+        .select(col("doc_id"),
+          explode(call_function("graft_shingle_hashes", col("text"), lit(13))).as("h"))
+      val bench = sh.filter(col("doc_id") % 50 === 0).select(col("h")).distinct()
+      sh.filter(col("doc_id") % 50 =!= 0)
+        .join(broadcast(bench), "h")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_shared"))
+        .repartition(1).sortWithinPartitions(col("doc_id"))
+    }),
+
+    // ---- q58: repetition signals — duplicate-word fraction and top-bigram
+    //      fraction per doc. Narrow per-row HOFs over the token list (the
+    //      token lists are short; the quadratic distinct-x-filter scan is
+    //      bounded by doc length, not data size), then exact single-division
+    //      doubles so the oracle matches bit-for-bit.
+    "q58_repetition" -> ((s, dir) => {
+      val ws = TextOps.words(col("text"))
+      val bg = expr(
+        "transform(sequence(1, size(ws) - 1), i -> concat_ws(' ', element_at(ws, i), element_at(ws, i + 1)))")
+      t(s, dir, "documents")
+        .repartition(col("doc_id")) // spread CPU-heavy narrow work
+        .select(col("doc_id"), ws.as("ws"))
+        .withColumn("n", size(col("ws")).cast("long"))
+        .withColumn("bg", when(col("n") >= 2, bg).otherwise(array().cast("array<string>")))
+        .select(col("doc_id"), col("n"),
+          (lit(1.0) - size(array_distinct(col("ws"))).cast("double") / col("n").cast("double"))
+            .as("dup_word_frac"),
+          when(col("n") < 2, lit(0.0)).otherwise(
+            expr("array_max(transform(array_distinct(bg), b -> size(filter(bg, x -> x = b))))")
+              .cast("double") / (col("n") - 1).cast("double"))
+            .as("top_bigram_frac"))
+        .repartition(1).sortWithinPartitions(col("doc_id"))
+    }),
+
+    // ---- q59: TF-IDF top-3 terms per doc. Ratio idf (tf * N/df) instead
+    //      of log-idf: rank-equivalent per doc and exactly reproducible
+    //      across engines (one multiply + one divide, both correctly
+    //      rounded IEEE ops — a libm log may differ in the last ulp).
+    //      Plan: two hash aggregations + an equi-join on term (the natural
+    //      shuffle key) + a per-doc window.
+    "q59_tfidf" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val tf = docs
+        .select(col("doc_id"), explode(TextOps.words(col("text"))).as("term"))
+        .groupBy(col("doc_id"), col("term"))
+        .agg(count(lit(1)).as("tf"))
+      val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+      val n = docs.agg(count(lit(1)).as("n"))
+      val w = Window.partitionBy(col("doc_id"))
+        .orderBy(col("score").desc, col("tf").desc, col("term").asc)
+      tf.join(dfreq, "term")
+        .crossJoin(broadcast(n))
+        .withColumn("score",
+          col("tf").cast("double") * (col("n").cast("double") / col("df").cast("double")))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 3)
+        .select(col("doc_id"), col("rank"), col("term"), col("tf"), col("df"), col("score"))
+        .repartition(1).sortWithinPartitions(col("doc_id"), col("rank"))
+    })
+  )
+
+  // Exact all-pairs / list-comprehension oracles (fine at sf0.01; the Spark
+  // side carries the scalable plan).
+  val oracles: Map[String, String] = Map(
+    "q54_dedup_clusters" -> s"""
+      WITH RECURSIVE sh AS (
+        SELECT doc_id, ${TextOps.shinglesSql("text", NearDup.ShingleK)} AS sh FROM documents),
+      pairs AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        WHERE len(list_intersect(a.sh, b.sh))::DOUBLE
+            / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= ${NearDup.JaccardT}),
+      edges AS (
+        SELECT id_a AS src, id_b AS dst FROM pairs
+        UNION ALL SELECT id_b, id_a FROM pairs),
+      nodes AS (SELECT DISTINCT src AS id FROM edges),
+      cc(id, label) AS (
+        SELECT id, id FROM nodes
+        UNION
+        SELECT e.dst, cc.label FROM cc JOIN edges e ON e.src = cc.id
+        WHERE cc.label < e.dst),
+      lab AS (SELECT id, min(label) AS canonical_id FROM cc GROUP BY id),
+      siz AS (SELECT canonical_id, CAST(count(*) AS BIGINT) AS cluster_size FROM lab GROUP BY 1)
+      SELECT l.id AS doc_id, l.canonical_id, s.cluster_size
+      FROM lab l JOIN siz s USING (canonical_id)
+      ORDER BY doc_id""",
+
+    "q55_stratified_sample" -> s"""
+      SELECT doc_id, lang, bucket FROM (
+        SELECT doc_id, lang,
+          (${TextOps.polyHashSql("text")}) % 100 AS bucket,
+          CASE lang WHEN 'en' THEN 50 WHEN 'de' THEN 30 WHEN 'es' THEN 20
+                    WHEN 'zh' THEN 10 ELSE 25 END AS rate
+        FROM documents)
+      WHERE bucket < rate
+      ORDER BY doc_id""",
+
+    "q56_token_pack" -> s"""
+      SELECT doc_id, lang, n_tokens,
+        start // $PackBudget AS bin,
+        start % $PackBudget AS bin_offset
+      FROM (
+        SELECT doc_id, lang, n_tokens,
+          CAST(sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) - n_tokens AS start
+        FROM (
+          SELECT doc_id, lang,
+            len(regexp_extract_all(text, '[^ ]+'))::BIGINT AS n_tokens
+          FROM documents))
+      ORDER BY doc_id""",
+
+    "q57_contamination" -> s"""
+      WITH sh AS (
+        SELECT doc_id, unnest(${TextOps.shinglesSql("text", 13)}) AS g FROM documents),
+      bench AS (SELECT DISTINCT g FROM sh WHERE doc_id % 50 = 0)
+      SELECT s.doc_id, CAST(count(*) AS BIGINT) AS n_shared
+      FROM sh s JOIN bench USING (g)
+      WHERE s.doc_id % 50 <> 0
+      GROUP BY s.doc_id
+      ORDER BY s.doc_id""",
+
+    "q58_repetition" -> """
+      SELECT doc_id, n,
+        1.0 - len(list_distinct(ws))::DOUBLE / n::DOUBLE AS dup_word_frac,
+        CASE WHEN n < 2 THEN 0.0 ELSE
+          list_max(list_transform(list_distinct(bg),
+            b -> len(list_filter(bg, x -> x = b))))::DOUBLE / (n - 1)::DOUBLE
+        END AS top_bigram_frac
+      FROM (
+        SELECT doc_id, ws, len(ws)::BIGINT AS n,
+          CASE WHEN len(ws) >= 2 THEN
+            list_transform(range(1, len(ws)), i -> ws[i] || ' ' || ws[i + 1])
+          ELSE [] END AS bg
+        FROM (
+          SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS ws
+          FROM documents))
+      ORDER BY doc_id""",
+
+    "q59_tfidf" -> """
+      WITH w AS (
+        SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term
+        FROM documents),
+      tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf FROM w GROUP BY 1, 2),
+      df AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+      n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents)
+      SELECT doc_id, rank, term, tf, df, score FROM (
+        SELECT t.doc_id, t.term, t.tf, d.df,
+          t.tf::DOUBLE * (n.n::DOUBLE / d.df::DOUBLE) AS score,
+          row_number() OVER (PARTITION BY t.doc_id
+            ORDER BY t.tf::DOUBLE * (n.n::DOUBLE / d.df::DOUBLE) DESC,
+                     t.tf DESC, t.term ASC) AS rank
+        FROM tf t JOIN df d USING (term) CROSS JOIN n)
+      WHERE rank <= 3
+      ORDER BY doc_id, rank"""
+  )
+}

@@ -1,0 +1,45 @@
+package graft.ext
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The distributed min-label connected-components loop behind q54 (the
+  * dedup-clustering operator) on synthetic graphs whose components are
+  * known exactly. */
+class CorpusSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private def cc(pairs: Seq[(Long, Long)]): Map[Long, Long] = {
+    import spark.implicits._
+    Corpus.connectedComponents(pairs.toDF("id_a", "id_b"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+  }
+
+  test("chain, clique, and isolated pair each converge to the component min") {
+    val pairs = Seq(
+      (1L, 2L), (2L, 3L), (3L, 4L),          // chain
+      (10L, 11L), (10L, 12L), (11L, 12L),    // triangle
+      (21L, 20L))                            // pair, reversed order
+    val got = cc(pairs)
+    assert(got == Map(
+      1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L,
+      20L -> 20L, 21L -> 20L))
+  }
+
+  test("a 30-node chain (worst-case diameter) still converges") {
+    val pairs = (1L until 30L).map(i => (i, i + 1))
+    val got = cc(pairs)
+    assert(got.values.toSet == Set(1L), s"all labels must collapse to 1, got $got")
+    assert(got.size == 30)
+  }
+
+  test("docs in no pair are absent; singletons are not fabricated") {
+    val got = cc(Seq((5L, 6L)))
+    assert(got.keySet == Set(5L, 6L))
+  }
+}
