@@ -45,26 +45,40 @@ object Corpus {
     * the plan from growing linearly with iterations. Only the per-round
     * CHANGED count (one long) ever reaches the driver. */
   def connectedComponents(pairs: DataFrame, maxIters: Int = 50): DataFrame = {
+    // The pair set is orders of magnitude smaller than the corpus (it IS
+    // the near-dup fraction), so the loop runs on deliberately few
+    // partitions — per-round scheduling overhead would otherwise dwarf the
+    // per-round work. At a larger pair scale, raise loopParts (the plan
+    // shape is partition-count-agnostic: every round is an equi-join on the
+    // node id + a min-aggregation).
+    val loopParts = 4
     val edges = pairs
       .select(col("id_a").as("src"), col("id_b").as("dst"))
       .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+      .repartition(loopParts, col("src"))
       .localCheckpoint()
     var labels = edges.select(col("src").as("id")).distinct()
       .withColumn("label", col("id"))
       .localCheckpoint()
-    var changed = 1L
+    // Per-node labels only ever DECREASE, so the label sum is a strictly
+    // decreasing convergence witness: one tiny agg per round replaces a
+    // separate changed-rows count, and each round is exactly one equi-join
+    // (message passing along edges) + one min-aggregation.
+    def labelSum(): Long =
+      labels.agg(coalesce(sum(col("label")), lit(0L))).head.getLong(0)
+    var prevSum = labelSum()
     var iter = 0
-    while (changed > 0 && iter < maxIters) {
-      val nbrMin = edges
-        .join(labels.select(col("id").as("dst"), col("label").as("nlabel")), "dst")
-        .groupBy(col("src").as("id"))
-        .agg(min(col("nlabel")).as("nbr"))
-      val stepped = labels.join(nbrMin, Seq("id"), "left")
-        .select(col("id"), col("label"),
-          least(col("label"), coalesce(col("nbr"), col("label"))).as("next"))
+    var converged = labels.isEmpty
+    while (!converged && iter < maxIters) {
+      val msgs = edges
+        .join(labels.select(col("id").as("src"), col("label")), "src")
+        .select(col("dst").as("id"), col("label"))
+      labels = msgs.union(labels)
+        .groupBy(col("id")).agg(min(col("label")).as("label"))
         .localCheckpoint()
-      changed = stepped.filter(col("next") < col("label")).count()
-      labels = stepped.select(col("id"), col("next").as("label"))
+      val s = labelSum()
+      converged = s == prevSum
+      prevSum = s
       iter += 1
     }
     labels
