@@ -73,6 +73,31 @@ object Similarity {
       when(dotd(v, typedLit(plane(base + b))) > 0, lit(1L << b)).otherwise(0L)
     }.reduce(_ + _)
 
+  /** IVF coarse quantizer: 16 deterministic seed centroids (the embeddings
+    * of vec_id 10..25, normalized driver-side — a K x 64 literal, the same
+    * driver-sized decision as q41's bitmap width; production would k-means,
+    * and q62 below IS the k-means update step). Normalization uses the SAME
+    * index-order fold the oracle uses. */
+  private def ivfCentroids(e: DataFrame): Seq[(Int, Seq[Double])] = e
+    .filter(col("vec_id") >= NumQueries && col("vec_id") < NumQueries + IvfCells)
+    .select(col("vec_id"), col("embedding"))
+    .collect()
+    .map { r =>
+      val v = r.getSeq[Float](1)
+      val nrm = math.sqrt(v.foldLeft(0.0)((acc, x) => acc + x.toDouble * x.toDouble))
+      (r.getLong(0).toInt - NumQueries, v.map(_.toDouble / nrm).toSeq)
+    }.sortBy(_._1).toSeq
+
+  /** Argmax-cosine cell as a flat PURE-PROJECTION expression (the graft_dot
+    * kernel x K, no join, no shuffle): greatest() over (dot, -cid) structs
+    * is a lexicographic max -> max dot, ties to the lowest cid (ties cannot
+    * diverge cross-engine anyway: both sides fold in the same IEEE order,
+    * so the dot values are bit-identical). */
+  private def cellOf(v: Column, centroids: Seq[(Int, Seq[Double])]): Column =
+    greatest(centroids.map { case (cid, c) =>
+      struct(dotd(v, typedLit(c)).as("d"), lit(-cid).as("nc"))
+    }: _*).getField("nc") * -1
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- exact brute-force cosine top-k: 10 broadcast queries x corpus.
     "q50_ann_brute" -> ((s, dir) => {
@@ -132,27 +157,11 @@ object Similarity {
       val e = t(s, dir, "embeddings")
         .repartition(col("vec_id"))
         .withColumn("nrm", sqrt(dotd(col("embedding"), col("embedding"))))
-      // Driver-sized: 16 x 64 doubles, normalized with the SAME index-order
-      // fold the oracle uses (left fold of double products, then sqrt).
-      val centroids: Seq[(Int, Seq[Double])] = e
-        .filter(col("vec_id") >= NumQueries && col("vec_id") < NumQueries + IvfCells)
-        .select(col("vec_id"), col("embedding"))
-        .collect()
-        .map { r =>
-          val v = r.getSeq[Float](1)
-          val nrm = math.sqrt(v.foldLeft(0.0)((acc, x) => acc + x.toDouble * x.toDouble))
-          (r.getLong(0).toInt - NumQueries, v.map(_.toDouble / nrm).toSeq)
-        }.sortBy(_._1).toSeq
-      // argmax cell as a flat expression: greatest() over (dot, -cid)
-      // structs is a lexicographic max -> max dot, ties to the lowest cid
-      // (ties cannot diverge cross-engine anyway: both sides fold in the
-      // same IEEE order, so the dot values are bit-identical).
-      def cellOf(v: Column): Column =
-        greatest(centroids.map { case (cid, c) =>
-          struct(dotd(v, typedLit(c)).as("d"), lit(-cid).as("nc"))
-        }: _*).getField("nc") * -1
+      // Driver-sized centroid literal + projection-only cell assignment
+      // (see ivfCentroids / cellOf).
+      val centroids = ivfCentroids(e)
       val tgt = e.filter(col("vec_id") >= NumQueries)
-        .withColumn("cell", cellOf(col("embedding")))
+        .withColumn("cell", cellOf(col("embedding"), centroids))
       // query side: top-nprobe cells by the same (dot desc, cid) order
       val qcells = e.filter(col("vec_id") < NumQueries)
         .select(col("vec_id").as("qid"), col("embedding").as("qe"), col("nrm").as("qn"),
@@ -171,6 +180,30 @@ object Similarity {
         .filter(col("rank") <= TopK)
         .select(col("qid").as("query_id"), col("rank"), col("vec_id").as("neighbor_id"), col("cos"))
         .orderBy(col("query_id"), col("rank"))
+    }),
+
+    // ---- k-means Lloyd UPDATE step over the IVF cells: assign every
+    //      corpus vector to its argmax-cosine cell (the same projection-only
+    //      assignment as q53 — no join, no shuffle), then the new centroid
+    //      is the per-(cell, dimension) mean. posexplode turns the 64-dim
+    //      mean into a long-form aggregation on (cell, pos) — one shuffle,
+    //      1024 output rows, decimal-exact sums (the SUMD convention) so
+    //      the oracle matches bit-for-bit. Iterating this step IS
+    //      distributed k-means; one step is the oracle-gateable unit.
+    "q62_kmeans_step" -> ((s, dir) => {
+      graft.functions.GraftFunctions.register(s)
+      import graft.util.Sumd.sumd
+      val e = t(s, dir, "embeddings")
+        .repartition(col("vec_id")) // spread the fold work (single-file input)
+      val centroids = ivfCentroids(e)
+      e.filter(col("vec_id") >= NumQueries)
+        .withColumn("cell", cellOf(col("embedding"), centroids))
+        .select(col("cell"), posexplode(col("embedding")).as(Seq("pos", "x")))
+        .groupBy(col("cell"), col("pos").cast("long").as("pos"))
+        .agg(
+          count(lit(1)).as("n"),
+          (sumd(col("x").cast("double")) / count(lit(1))).as("c_new"))
+        .repartition(1).sortWithinPartitions(col("cell"), col("pos"))
     }),
 
     // ---- embedding near-dup: self-union with rescaled copies, LSH-bucketed
@@ -273,6 +306,31 @@ object Similarity {
         FROM cand) x
       WHERE rank <= $TopK
       ORDER BY query_id, rank""",
+
+    // Mirrors q62's full decision procedure: same centroids, same
+    // index-order assignment fold, then per-(cell, dimension) means with
+    // the SUMD decimal-exact convention.
+    "q62_kmeans_step" -> s"""
+      WITH e AS (${codesSql("")}),
+      cent AS (
+        SELECT CAST(vec_id - $NumQueries AS INT) AS cid,
+          list_transform(embedding, x -> x::DOUBLE / nrm) AS cv
+        FROM e WHERE vec_id >= $NumQueries AND vec_id < ${NumQueries + IvfCells}),
+      tassign AS (
+        SELECT t.vec_id, t.embedding, c.cid,
+          ROW_NUMBER() OVER (PARTITION BY t.vec_id
+            ORDER BY ${dotSql("t.embedding", "c.cv")} DESC, c.cid) AS rn
+        FROM e t, cent c WHERE t.vec_id >= $NumQueries),
+      tgt AS (SELECT vec_id, embedding, cid AS cell FROM tassign WHERE rn = 1),
+      ex AS (
+        SELECT cell,
+          unnest(list_transform(range(1, len(embedding) + 1),
+            i -> struct_pack(pos := i - 1, x := embedding[i]))) AS u
+        FROM tgt)
+      SELECT cell, u.pos AS pos, CAST(count(*) AS BIGINT) AS n,
+        ${graft.util.Sumd.SUMD("u.x::DOUBLE")} / count(*) AS c_new
+      FROM ex GROUP BY cell, u.pos
+      ORDER BY cell, pos""",
 
     // Exact all-pairs oracle over the same planted feed; DuckDB's native
     // cosine is safe here because no cosine value is emitted and the
