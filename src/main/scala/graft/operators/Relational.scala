@@ -295,8 +295,33 @@ object Relational {
         .agg(count(lit(1)).as("n"), sumd($"value").as("total_value"))
         .select(unix_timestamp($"window.start").as("ws"), $"event_type", $"n", $"total_value")
         .orderBy($"ws", $"event_type")
+    }),
+
+    // ---- SQL-TEXT entry point (SURVEY §3 EP3: SQL over replicated data —
+    //      the reference delegates exactly this to Spark SQL). The ONE
+    //      shared ANSI string below runs verbatim through `spark.sql` here
+    //      and through DuckDB as its own oracle, proving the dialect-common
+    //      surface end-to-end: 3-table join, filter, aggregation with the
+    //      decimal-exact SUMD casts. Catalyst plans it identically to the
+    //      DataFrame form (same pushdown/broadcast/partial-agg).
+    "q63_sql_surface" -> ((s, dir) => {
+      Seq("customer", "orders", "lineitem")
+        .foreach(tn => Tables.load(s, dir, tn).createOrReplaceTempView(tn))
+      s.sql(SqlSurfaceText)
     })
   )
+
+  /** One SQL text, two engines (q63): Spark executes it, DuckDB oracles it. */
+  val SqlSurfaceText: String = s"""
+    SELECT c_mktsegment, o_orderpriority,
+      CAST(COUNT(*) AS BIGINT) AS n_orders,
+      ${SUMD("l_extendedprice * (1.0 - l_discount)")} AS revenue
+    FROM customer
+    JOIN orders ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE o_orderstatus <> 'F'
+    GROUP BY c_mktsegment, o_orderpriority
+    ORDER BY c_mktsegment, o_orderpriority"""
 
   val oracles: Map[String, String] = Map(
     "q01_agg_summary" -> s"""
@@ -497,6 +522,9 @@ object Relational {
         COUNT(*) AS n, ${SUMD("value")} AS total_value
       FROM events
       GROUP BY 1, 2
-      ORDER BY ws, event_type"""
+      ORDER BY ws, event_type""",
+
+    // the SAME string Spark executes — the whole point of q63
+    "q63_sql_surface" -> SqlSurfaceText
   )
 }
