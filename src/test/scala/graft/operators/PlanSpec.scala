@@ -95,4 +95,38 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("*(1) "), p)
     assert(p.linesIterator.exists(l => l.contains("*(") && l.contains("HashAggregate")), p)
   }
+
+  test("q57: contamination joins benchmark shingles by equality with a broadcast — never all-pairs") {
+    val p = plan("q57_contamination")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("q59: tf-idf aggregations are partial+final; df join is equi on term") {
+    val p = plan("q59_tfidf")
+    assert("HashAggregate".r.findAllIn(p).size >= 2, p)
+    assert(!p.contains("CartesianProduct"), p)
+    // the only nested-loop is the 1-row corpus-count broadcast, which is fine:
+    // a BNLJ against a single-row build side is a constant, not a blowup
+    assert(!p.contains("Window") || p.contains("windowspecdefinition(doc_id"),
+      "the rank window must be per-doc, never global: " + p)
+  }
+
+  test("q62: k-means assignment is a pure projection (no join before the posexplode agg)") {
+    val p = plan("q62_kmeans_step")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("SortMergeJoin") && !p.contains("BroadcastHashJoin"),
+      "cell assignment must not join: " + p)
+    assert(p.contains("graft_dot"), p) // the codegen kernel, not an interpreted fold
+  }
+
+  test("q63: the shared SQL text plans with pushdown, broadcast, and partial aggregation") {
+    val p = plan("q63_sql_surface")
+    assert(p.contains("PushedFilters: ["), p)
+    assert(p.contains("IsNotNull(o_custkey)") || p.contains("Not(EqualTo(o_orderstatus,F))"), p)
+    assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin"), p)
+    assert("HashAggregate".r.findAllIn(p).size >= 2, p)
+  }
 }
