@@ -84,6 +84,24 @@ object Corpus {
     labels
   }
 
+  /** The interpreted-HOF formulation of q58's statistics — kept as the
+    * cross-implementation check for the `graft_rep_stats` kernel
+    * (CorpusSpec asserts equality on the corpus). Columns:
+    * (doc_id, n, n_distinct, top_bigram). */
+  private[graft] def repetitionHof(docs: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"), TextOps.words(col("text")).as("ws"))
+      .withColumn("n", size(col("ws")).cast("long"))
+      .withColumn("bg",
+        when(col("n") >= 2, expr(
+          "transform(sequence(1, size(ws) - 1), i -> concat_ws(' ', element_at(ws, i), element_at(ws, i + 1)))"))
+          .otherwise(array().cast("array<string>")))
+      .select(col("doc_id"), col("n"),
+        size(array_distinct(col("ws"))).cast("long").as("n_distinct"),
+        when(col("n") < 2, 0L).otherwise(
+          expr("array_max(transform(array_distinct(bg), b -> size(filter(bg, x -> x = b))))")
+            .cast("long")).as("top_bigram"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- q54: near-dup pairs (the q41 exact join) -> connected components
     //      -> (doc, canonical=min id in component, cluster size).
@@ -154,26 +172,24 @@ object Corpus {
     }),
 
     // ---- q58: repetition signals — duplicate-word fraction and top-bigram
-    //      fraction per doc. Narrow per-row HOFs over the token list (the
-    //      token lists are short; the quadratic distinct-x-filter scan is
-    //      bounded by doc length, not data size), then exact single-division
-    //      doubles so the oracle matches bit-for-bit.
+    //      fraction per doc, via the one-pass `graft_rep_stats` kernel
+    //      ([n, n_distinct, top_bigram] in a single codegen'd scan; the
+    //      interpreted HOF formulation it replaces — kept as
+    //      [[repetitionHof]] for the CorpusSpec cross-check — scanned
+    //      distinct-x-all twice per doc). The final divisions are exact
+    //      single IEEE ops so the oracle matches bit-for-bit.
     "q58_repetition" -> ((s, dir) => {
-      val ws = TextOps.words(col("text"))
-      val bg = expr(
-        "transform(sequence(1, size(ws) - 1), i -> concat_ws(' ', element_at(ws, i), element_at(ws, i + 1)))")
+      graft.functions.GraftFunctions.register(s)
       t(s, dir, "documents")
         .repartition(col("doc_id")) // spread CPU-heavy narrow work
-        .select(col("doc_id"), ws.as("ws"))
-        .withColumn("n", size(col("ws")).cast("long"))
-        .withColumn("bg", when(col("n") >= 2, bg).otherwise(array().cast("array<string>")))
-        .select(col("doc_id"), col("n"),
-          (lit(1.0) - size(array_distinct(col("ws"))).cast("double") / col("n").cast("double"))
-            .as("dup_word_frac"),
-          when(col("n") < 2, lit(0.0)).otherwise(
-            expr("array_max(transform(array_distinct(bg), b -> size(filter(bg, x -> x = b))))")
-              .cast("double") / (col("n") - 1).cast("double"))
-            .as("top_bigram_frac"))
+        .select(col("doc_id"), call_function("graft_rep_stats", col("text")).as("rs"))
+        .select(col("doc_id"),
+          element_at(col("rs"), 1).as("n"),
+          (lit(1.0) - element_at(col("rs"), 2).cast("double")
+            / element_at(col("rs"), 1).cast("double")).as("dup_word_frac"),
+          when(element_at(col("rs"), 1) < 2, lit(0.0)).otherwise(
+            element_at(col("rs"), 3).cast("double")
+              / (element_at(col("rs"), 1) - 1).cast("double")).as("top_bigram_frac"))
         .repartition(1).sortWithinPartitions(col("doc_id"))
     }),
 

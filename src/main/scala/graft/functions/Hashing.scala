@@ -179,6 +179,46 @@ object HashUtil {
     }
     new GenericArrayData(sig)
   }
+
+  /** Repetition statistics in ONE pass over the text (q58): returns
+    * `[n_words, n_distinct_words, top_bigram_count]` for the same lowercase
+    * `[a-z0-9]+` tokenizer as `regexp_extract_all(lower(text), '[a-z0-9]+')`
+    * (whole-string toLowerCase first — Unicode parity with `lower()`, same
+    * discipline as [[simhash]]). Replaces the interpreted HOF formulation
+    * that scanned distinct-x-all for words AND bigrams (O(doc^2)); this is
+    * O(doc) with two hash maps. */
+  def repStats(str: UTF8String): ArrayData = {
+    val s = str.toString.toLowerCase
+    val words = new java.util.HashMap[String, Array[Long]]()
+    val bigrams = new java.util.HashMap[String, Array[Long]]()
+    var nWords = 0L
+    var topBigram = 0L
+    var prev: String = null
+    val sb = new java.lang.StringBuilder()
+    var i = 0
+    val n = s.length
+    while (i <= n) {
+      val c = if (i < n) s.charAt(i) else ' '
+      if ((c >= 'a' && c <= 'z') || (c >= '0' && c <= '9')) sb.append(c)
+      else if (sb.length() > 0) {
+        val w = sb.toString
+        val e = words.get(w)
+        if (e == null) words.put(w, Array(1L)) else e(0) += 1
+        nWords += 1
+        if (prev != null) {
+          val bg = prev + " " + w
+          val b = bigrams.get(bg)
+          val cnt = if (b == null) { bigrams.put(bg, Array(1L)); 1L }
+                    else { b(0) += 1; b(0) }
+          if (cnt > topBigram) topBigram = cnt
+        }
+        prev = w
+        sb.setLength(0)
+      }
+      i += 1
+    }
+    new GenericArrayData(Array(nWords, words.size.toLong, topBigram))
+  }
 }
 
 /** `graft_shingle_hashes(text, k)` — distinct sorted xxh64 hashes of the
@@ -290,6 +330,29 @@ case class SimHash60(child: Expression)
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/** `graft_rep_stats(text)` — one-pass repetition statistics
+  * `[n_words, n_distinct_words, top_bigram_count]` (see
+  * [[HashUtil.repStats]]). */
+case class RepStats(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"graft_rep_stats expects (string), got (${child.dataType})")
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "graft_rep_stats"
+
+  override protected def nullSafeEval(str: Any): Any =
+    HashUtil.repStats(str.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, str =>
+      s"${ev.value} = graft.functions.HashUtil.repStats($str);")
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 /** `graft_dot(a, b)` — dot product of two equal-length float/double arrays
   * as a native codegen expression: double accumulation in INDEX ORDER, the
   * exact IEEE sequence of the `aggregate(zip_with(...))` fold it replaces
@@ -369,6 +432,12 @@ object GraftFunctions {
       { children: Seq[Expression] =>
         require(children.length == 4, "graft_fingerprint(str, k, base, mod) takes 4 arguments")
         ShingleFingerprint(children(0), children(1), children(2), children(3))
+      }),
+    (FunctionIdentifier("graft_rep_stats"),
+      new ExpressionInfo(classOf[RepStats].getName, "graft_rep_stats"),
+      { children: Seq[Expression] =>
+        require(children.length == 1, "graft_rep_stats(text) takes 1 argument")
+        RepStats(children(0))
       }),
     (FunctionIdentifier("graft_simhash"),
       new ExpressionInfo(classOf[SimHash60].getName, "graft_simhash"),

@@ -42,4 +42,19 @@ class CorpusSpec extends AnyFunSuite {
     val got = cc(Seq((5L, 6L)))
     assert(got.keySet == Set(5L, 6L))
   }
+
+  test("graft_rep_stats kernel equals the HOF formulation on the corpus") {
+    import org.apache.spark.sql.functions._
+    graft.functions.GraftFunctions.register(spark)
+    val docs = graft.Tables.load(spark, "/root/testdata/sf0.001", "documents")
+    val kernel = docs.select(col("doc_id"),
+        call_function("graft_rep_stats", col("text")).as("rs"))
+      .select(col("doc_id"), element_at(col("rs"), 1), element_at(col("rs"), 2),
+        element_at(col("rs"), 3))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    val hof = Corpus.repetitionHof(docs)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(kernel.nonEmpty && kernel == hof,
+      s"kernel/HOF divergence: ${kernel.toSet.diff(hof.toSet).take(3)}")
+  }
 }

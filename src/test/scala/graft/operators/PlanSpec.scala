@@ -122,6 +122,15 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("graft_dot"), p) // the codegen kernel, not an interpreted fold
   }
 
+  test("rank<=k filters push a partial per-partition top-k below the shuffle (WindowGroupLimit)") {
+    // row_number().over(w) <= k plans as WindowGroupLimit: each partition
+    // keeps at most k rows per key BEFORE the exchange, so the window never
+    // sorts a whole group's data through one task — the property that lets
+    // the top-k queries survive 100x. Locked for every rank-filter family.
+    for (q <- Seq("q07_window_topk", "q50_ann_brute", "q53_ann_ivf", "q59_tfidf"))
+      assert(plan(q).contains("WindowGroupLimit"), s"$q lost rank-limit pushdown")
+  }
+
   test("q63: the shared SQL text plans with pushdown, broadcast, and partial aggregation") {
     val p = plan("q63_sql_surface")
     assert(p.contains("PushedFilters: ["), p)
