@@ -138,7 +138,26 @@ object Multimodal {
     // per-frame checksums the oracle can mirror.
     "q61_frame_sample" -> ((s, dir) =>
       frameSample(syntheticCorpus(s, dir), frameBytes = 64, stride = 2)
-        .toDF().orderBy(col("media_id"), col("frame_idx")))
+        .toDF().orderBy(col("media_id"), col("frame_idx"))),
+
+    // Perceptual media dedup — the multimodal analog of q40's exact text
+    // dedup: a re-crawl feed (every media object delivered again under a
+    // new id/uri) is deduped on the checksum of the DECODED+RESIZED content
+    // (the perceptual-hash shape: survives container-level byte changes,
+    // here modeled by the differing uri), keeping the lowest id per group.
+    // decode -> hash is the mapPartitions pipeline; dedup is one shuffle on
+    // the checksum.
+    "q64_media_dedup" -> ((s, dir) => {
+      import s.implicits._
+      val m = syntheticCorpus(s, dir)
+      val feed = m.union(m.map(x => x.copy(media_id = x.media_id + 10000,
+        uri = s"synthetic://recrawl/${x.media_id + 10000}")))
+      extractFeatures(feed)
+        .groupBy(col("kind"), col("resized_checksum"))
+        .agg(min(col("media_id")).as("keep_id"), count(lit(1)).as("n_copies"))
+        .select(col("keep_id"), col("kind"), col("n_copies"), col("resized_checksum"))
+        .repartition(1).sortWithinPartitions(col("keep_id"))
+    })
   )
 
   val oracles: Map[String, String] = {
@@ -182,6 +201,27 @@ object Multimodal {
           (acc, v) -> (acc * 31 + v) % ${TextOps.HashMod}) AS resized_checksum,
         ${feat(0)} AS f0, ${feat(1)} AS f1, ${feat(2)} AS f2, ${feat(3)} AS f3
       FROM m
-      ORDER BY media_id""")
+      ORDER BY media_id""",
+
+      "q64_media_dedup" -> s"""
+      WITH d2 AS (
+        SELECT doc_id, text, n_chars FROM documents
+        UNION ALL
+        SELECT doc_id + 10000, text, n_chars FROM documents),
+      m AS (
+        SELECT doc_id AS media_id,
+          CASE WHEN doc_id % 2 = 0 THEN 'image' ELSE 'audio' END AS kind,
+          $resized AS rs
+        FROM d2),
+      mm AS (
+        SELECT media_id, kind,
+          list_reduce(list_prepend(0::BIGINT, rs),
+            (acc, v) -> (acc * 31 + v) % ${TextOps.HashMod}) AS resized_checksum
+        FROM m)
+      SELECT min(media_id) AS keep_id, kind,
+        CAST(count(*) AS BIGINT) AS n_copies, resized_checksum
+      FROM mm
+      GROUP BY kind, resized_checksum
+      ORDER BY keep_id""")
   }
 }
