@@ -160,19 +160,28 @@ object HashUtil {
     out
   }
 
-  /** MinHash signature: for permutation p in [0, perms), the minimum of
-    * `xxh64(h, seed = p)` over the input hashes. One tight O(n * perms)
-    * loop per row — no shuffle, no per-permutation array materialization. */
+  /** MinHash signature via Kirsch-Mitzenmacher double hashing: per shingle
+    * two independent xxh64 values a, b; permutation p's hash is a + p*b
+    * (unsigned 64-bit wrap). Published minhash practice — the p-th
+    * permutation family stays pairwise well-mixed while the inner loop is
+    * one multiply-add instead of a full xxh64 per permutation (~10x fewer
+    * hash evaluations per row). The comparison is UNSIGNED (compareUnsigned)
+    * so the "minimum" is over the same uniform [0, 2^64) order a per-perm
+    * hash would give. One tight O(n * perms) loop, no shuffle, no
+    * per-permutation array materialization. */
   def minhashSig(hs: ArrayData, perms: Int): ArrayData = {
     val n = hs.numElements()
-    val sig = Array.fill(perms)(Long.MaxValue)
+    val sig = Array.fill(perms)(-1L) // unsigned max
     var i = 0
     while (i < n) {
       val h = hs.getLong(i)
+      val a = XXH64.hashLong(h, 0x9E3779B97F4A7C15L)
+      val b = XXH64.hashLong(h, 0xC2B2AE3D27D4EB4FL) | 1L // odd => bijective step
+      var v = a
       var p = 0
       while (p < perms) {
-        val v = XXH64.hashLong(h, p)
-        if (v < sig(p)) sig(p) = v
+        if (java.lang.Long.compareUnsigned(v, sig(p)) < 0) sig(p) = v
+        v += b
         p += 1
       }
       i += 1

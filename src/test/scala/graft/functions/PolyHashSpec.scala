@@ -28,7 +28,7 @@ class PolyHashSpec extends AnyFunSuite {
     new GraftExtensions().apply(ext) // must accept all registry entries
     assert(GraftFunctions.entries.map(_._1.funcName).sorted ==
       Seq("graft_bitmap", "graft_dot", "graft_fingerprint", "graft_minhash_sig",
-        "graft_polyhash", "graft_shingle_hashes", "graft_simhash"))
+        "graft_polyhash", "graft_rep_stats", "graft_shingle_hashes", "graft_simhash"))
   }
 
   test("graft_bitmap: membership bits against a sorted dict; AND-popcount = intersection") {
