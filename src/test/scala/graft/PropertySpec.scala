@@ -70,7 +70,11 @@ class PropertySpec extends AnyFunSuite {
     (1 to Trials).foreach { _ =>
       val a = Seq.fill(1 + rnd.nextInt(40))(rnd.nextLong())
       val b = Seq.fill(1 + rnd.nextInt(40))(rnd.nextLong())
-      val expected = sig(a).zip(sig(b)).map { case (x, y) => math.min(x, y) }
+      // the kernel's permutation hashes are compared UNSIGNED (see
+      // HashUtil.minhashSig) — the axiom holds in that same order
+      val expected = sig(a).zip(sig(b)).map { case (x, y) =>
+        if (java.lang.Long.compareUnsigned(x, y) <= 0) x else y
+      }
       assert(sig(a ++ b) == expected)
     }
   }
