@@ -66,21 +66,38 @@ object Corpus {
     // (message passing along edges) + one min-aggregation.
     def labelSum(): Long =
       labels.agg(coalesce(sum(col("label")), lit(0L))).head.getLong(0)
+    // Release the PREVIOUS round's localCheckpoint blocks once the new one
+    // is materialized — otherwise every round pins another full copy of
+    // the labels RDD in executor storage for the life of the job.
+    def freeCheckpoint(df: DataFrame): Unit =
+      df.queryExecution.analyzed.collect {
+        case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd
+      }.foreach(_.unpersist(false))
     var prevSum = labelSum()
     var iter = 0
     var converged = labels.isEmpty
     while (!converged && iter < maxIters) {
+      val prev = labels
       val msgs = edges
         .join(labels.select(col("id").as("src"), col("label")), "src")
         .select(col("dst").as("id"), col("label"))
       labels = msgs.union(labels)
         .groupBy(col("id")).agg(min(col("label")).as("label"))
-        .localCheckpoint()
+        .localCheckpoint() // eager: materialized before prev is released
+      freeCheckpoint(prev)
       val s = labelSum()
       converged = s == prevSum
       prevSum = s
       iter += 1
     }
+    // Partially-propagated labels are SILENT data corruption for a dedup
+    // pipeline (one real cluster reported as several "canonical" docs) —
+    // never return them. maxIters bounds pathological diameters; real
+    // near-dup components are near-cliques and converge in a handful.
+    if (!converged)
+      throw new IllegalStateException(
+        s"connectedComponents did not converge within $maxIters rounds — " +
+          "the pair graph has a longer path diameter than expected; raise maxIters")
     labels
   }
 
@@ -159,10 +176,17 @@ object Corpus {
     //      a ~2^-47 per-pair xxh64 collision (same argument as q41).
     "q57_contamination" -> ((s, dir) => {
       graft.functions.GraftFunctions.register(s)
-      val sh = t(s, dir, "documents")
+      // kernel ONCE: materialize the per-doc shingle arrays before the
+      // explode — the bench side and the probe side are two independent
+      // consumers and would otherwise each re-run the CPU-heavy kernel
+      // over the full corpus (checkpointing the compact arrays, not the
+      // exploded rows, keeps the materialization small)
+      val hashed = t(s, dir, "documents")
         .repartition(col("doc_id")) // spread CPU-heavy narrow work
         .select(col("doc_id"),
-          explode(call_function("graft_shingle_hashes", col("text"), lit(13))).as("h"))
+          call_function("graft_shingle_hashes", col("text"), lit(13)).as("shh"))
+        .localCheckpoint()
+      val sh = hashed.select(col("doc_id"), explode(col("shh")).as("h"))
       val bench = sh.filter(col("doc_id") % 50 === 0).select(col("h")).distinct()
       sh.filter(col("doc_id") % 50 =!= 0)
         .join(broadcast(bench), "h")

@@ -106,12 +106,15 @@ object HashUtil {
     * 998244353) << 30; bit i of the output is set iff the token-count-
     * weighted vote for bit i exceeds half the total token count. The
     * tokenizer is exactly `regexp_extract_all(lower(text), '[a-z0-9]+')`:
-    * the WHOLE string is lowercased first (matching Spark's `lower`,
-    * including 1-to-many Unicode mappings like U+0130 -> "i" + combining
-    * dot, which a per-char Character.toLowerCase would collapse into a
-    * different token), then tokens are the maximal [a-z0-9] runs. */
+    * the WHOLE string is lowercased first with Locale.ROOT (matching
+    * Spark's `lower` ASCII fast path even under a Turkish/Azeri default
+    * JVM locale, where bare toLowerCase maps 'I' to dotless U+0131 and
+    * breaks the [a-z0-9] token test; ROOT also keeps 1-to-many Unicode
+    * mappings like U+0130 -> "i" + combining dot, which a per-char
+    * Character.toLowerCase would collapse into a different token), then
+    * tokens are the maximal [a-z0-9] runs. */
   def simhash(str: UTF8String): Long = {
-    val s = str.toString.toLowerCase
+    val s = str.toString.toLowerCase(java.util.Locale.ROOT)
     val counts = new java.util.HashMap[String, Array[Long]]()
     var total = 0L
     val sb = new java.lang.StringBuilder()
@@ -192,12 +195,13 @@ object HashUtil {
   /** Repetition statistics in ONE pass over the text (q58): returns
     * `[n_words, n_distinct_words, top_bigram_count]` for the same lowercase
     * `[a-z0-9]+` tokenizer as `regexp_extract_all(lower(text), '[a-z0-9]+')`
-    * (whole-string toLowerCase first — Unicode parity with `lower()`, same
-    * discipline as [[simhash]]). Replaces the interpreted HOF formulation
+    * (whole-string Locale.ROOT toLowerCase first — Unicode and
+    * locale-independence parity with `lower()`, same discipline as
+    * [[simhash]]). Replaces the interpreted HOF formulation
     * that scanned distinct-x-all for words AND bigrams (O(doc^2)); this is
     * O(doc) with two hash maps. */
   def repStats(str: UTF8String): ArrayData = {
-    val s = str.toString.toLowerCase
+    val s = str.toString.toLowerCase(java.util.Locale.ROOT)
     val words = new java.util.HashMap[String, Array[Long]]()
     val bigrams = new java.util.HashMap[String, Array[Long]]()
     var nWords = 0L

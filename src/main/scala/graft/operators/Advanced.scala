@@ -74,9 +74,17 @@ object Advanced {
     *     bit-identical to `percentile(...)` (and to DuckDB
     *     `quantile_cont`, which q34's oracle-green round 3 proved equal).
     *
-    * `spark_partition_id()` is stable here because range boundaries are
-    * deterministic for a given input, and both consumers of the ranged
-    * exchange reuse the same shuffle (ReuseExchange).
+    * The pid-stamped frame is materialized ONCE (localCheckpoint) before
+    * fan-out: the offsets subplan and the ranked subplan both read the same
+    * physical partitioning, so correctness never depends on ReuseExchange
+    * deduplicating the ranged shuffle (RangePartitioner's sample seed
+    * derives from the RDD id — two independent exchanges could draw
+    * different range boundaries and silently misalign `_pid`).
+    *
+    * Groups whose value column is entirely NULL are ABSENT from the output
+    * (every row is filtered before ranking); callers that need
+    * `percentile()`'s keep-the-group-with-NULL semantics join from a totals
+    * frame, as q34 does.
     *
     * Reference parity: exact percentiles over replicated rows are a
     * downstream-analytics concern the reference serves via HBase scans; this
@@ -91,6 +99,7 @@ object Advanced {
     val withPid = vals
       .repartitionByRange(rangeParts, col("_g"), col("_v"))
       .withColumn("_pid", spark_partition_id())
+      .localCheckpoint() // one physical partitioning for BOTH consumers
     val counts = withPid.groupBy(col("_pid"), col("_g")).count()
     val wOff = Window.partitionBy(col("_g")).orderBy(col("_pid"))
     val offsets = counts
@@ -223,8 +232,12 @@ object Advanced {
         Seq("p50" -> 0.5, "p95" -> 0.95))
       val price = exactQuantiles(li, "l_returnflag", "l_extendedprice",
         Seq("price_p25" -> 0.25))
+      // join FROM totals (which has every group) so a group whose value
+      // column is all-NULL keeps its row with NULL quantiles — the same
+      // semantics as percentile() / DuckDB quantile_cont
       val totals = li.groupBy($"l_returnflag").agg(count(lit(1)).as("n"))
-      qty.join(price, Seq("l_returnflag")).join(totals, Seq("l_returnflag"))
+      totals.join(qty, Seq("l_returnflag"), "left")
+        .join(price, Seq("l_returnflag"), "left")
         .select($"l_returnflag", $"p50", $"p95", $"price_p25", $"n")
         .orderBy($"l_returnflag")
     }),

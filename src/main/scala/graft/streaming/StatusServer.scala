@@ -35,11 +35,7 @@ class StatusServer(port: Int = 31081) {
   server.createContext("/health", (ex: HttpExchange) => respond(ex, 200, "ok", "text/plain"))
   server.createContext("/status", (ex: HttpExchange) => {
     val target = param(ex, "target")
-    // Negotiate on the FIRST media range only: browsers lead with
-    // text/html, curl with */* (-> JSON), and programmatic clients that
-    // want JSON either send no Accept or lead with application/json.
-    val wantsHtml = Option(ex.getRequestHeaders.getFirst("Accept"))
-      .exists(_.split(",")(0).split(";")(0).trim.equalsIgnoreCase("text/html"))
+    val wantsHtml = Option(ex.getRequestHeaders.getFirst("Accept")).exists(prefersHtml)
     target match {
       case None if wantsHtml => respond(ex, 400, "<html><body>missing ?target=</body></html>", "text/html")
       case None => respond(ex, 400, """{"error":"missing ?target="}""", "application/json")
@@ -64,6 +60,38 @@ class StatusServer(port: Int = 31081) {
   def boundPort: Int = server.getAddress.getPort
 
   def stop(): Unit = server.stop(0)
+
+  /** RFC-7231-style negotiation between the two /status representations:
+    * each candidate's quality is the q-value of its MOST SPECIFIC matching
+    * range (exact > type/\* > \*&#47;\* — Java's default header also sends a
+    * bare `*`); HTML is served only when strictly preferred, so ties, a
+    * missing header, and malformed parts all fall back to JSON. Browsers
+    * (text/html leading, q=1) get HTML; curl (`*&#47;*`) and JSON API
+    * clients get JSON; `text/html;q=0.1, application/json` gets JSON. */
+  private[streaming] def prefersHtml(header: String): Boolean = {
+    def quality(cType: String, cSub: String): (Int, Double) = {
+      var best = (-1, 0.0) // (specificity, q)
+      header.split(",").foreach { part =>
+        val segs = part.trim.split(";")
+        val range = segs(0).trim.toLowerCase(java.util.Locale.ROOT)
+        val q = segs.drop(1).map(_.trim.toLowerCase(java.util.Locale.ROOT))
+          .collectFirst { case p if p.startsWith("q=") =>
+            try p.substring(2).toDouble catch { case _: NumberFormatException => 0.0 }
+          }.getOrElse(1.0)
+        val spec = range match {
+          case r if r == s"$cType/$cSub" => 2
+          case r if r == s"$cType/*" => 1
+          case "*/*" | "*" => 0
+          case _ => -1
+        }
+        if (spec > best._1 || (spec == best._1 && q > best._2)) {
+          if (spec >= 0) best = (spec, q)
+        }
+      }
+      best
+    }
+    quality("text", "html")._2 > quality("application", "json")._2
+  }
 
   private def param(ex: HttpExchange, name: String): Option[String] =
     Option(ex.getRequestURI.getQuery)

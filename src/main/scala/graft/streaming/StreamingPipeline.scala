@@ -168,7 +168,8 @@ object StreamingPipeline {
     * FULL batch → replication filter (S5) → retried incremental merge
     * (S13 + S9-S11). */
   def applyMicroBatch(
-      spark: SparkSession, batch: DataFrame, targetDir: String, opts: PipelineOptions): Unit = {
+      spark: SparkSession, batch: DataFrame, targetDir: String, opts: PipelineOptions,
+      batchId: Long = -1L): Unit = {
     val t0 = System.nanoTime()
     // Rebootstrap guard: positions in (highwater, earliestPos) were purged
     // at the source — no retry can recover them, fail the query explicitly.
@@ -231,9 +232,14 @@ object StreamingPipeline {
       // the watermark published, and compact() is crash-safe (horizon
       // persisted first, atomic bucket publish), so a failed attempt is
       // simply retried compactEvery batches later rather than failing an
-      // otherwise-converged query.
-      if (opts.compactEvery > 0 &&
-          Metrics.batchCount(targetDir) % opts.compactEvery == 0) {
+      // otherwise-converged query. The cadence keys on the CHECKPOINTED
+      // streaming batchId when available — the in-memory batch counter
+      // resets on driver restart, which would indefinitely postpone
+      // compaction on frequently-redeployed pipelines.
+      def cadence =
+        if (batchId >= 0L) (batchId + 1) % opts.compactEvery == 0
+        else Metrics.batchCount(targetDir) % opts.compactEvery == 0
+      if (opts.compactEvery > 0 && cadence) {
         val horizon = math.max(newHigh, prior)
         try CdcApplier.compact(spark, targetDir, horizon)
         catch {
@@ -252,8 +258,8 @@ object StreamingPipeline {
     Metrics.registerJmx(targetDir)
     changes.writeStream
       .option("checkpointLocation", checkpointDir)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        applyMicroBatch(batch.sparkSession, batch, targetDir, opts)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        applyMicroBatch(batch.sparkSession, batch, targetDir, opts, batchId)
       }
       .start()
   }
@@ -298,7 +304,7 @@ object StreamingPipeline {
     tables.values.foreach { case (_, targetDir) => Metrics.registerJmx(targetDir) }
     changes.writeStream
       .option("checkpointLocation", checkpointDir)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val cached = batch.persist()
         try {
           val present = cached.select(col("table")).distinct()
@@ -310,7 +316,7 @@ object StreamingPipeline {
                 .select(col("op"), col("table"), col("next_position"),
                   from_json(col("before_json"), schema).as("before"),
                   from_json(col("after_json"), schema).as("after"))
-              applyMicroBatch(batch.sparkSession, typed, targetDir, opts(table))
+              applyMicroBatch(batch.sparkSession, typed, targetDir, opts(table), batchId)
             }
           }
         } finally cached.unpersist()

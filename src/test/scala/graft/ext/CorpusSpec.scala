@@ -43,6 +43,14 @@ class CorpusSpec extends AnyFunSuite {
     assert(got.keySet == Set(5L, 6L))
   }
 
+  test("non-convergence raises instead of returning partial clusters") {
+    import spark.implicits._
+    val pairs = (1L until 60L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val e = intercept[IllegalStateException](
+      Corpus.connectedComponents(pairs, maxIters = 5))
+    assert(e.getMessage.contains("did not converge"))
+  }
+
   test("graft_rep_stats kernel equals the HOF formulation on the corpus") {
     import org.apache.spark.sql.functions._
     graft.functions.GraftFunctions.register(spark)

@@ -60,6 +60,15 @@ class QuantileSpec extends AnyFunSuite {
     compare(rows, "g", "v", Seq(0.0, 0.1, 0.5, 0.75, 1.0))
   }
 
+  test("all-NULL group is absent (callers restore it by joining from totals, as q34 does)") {
+    import spark.implicits._
+    val rows = Seq(("e", Option.empty[Double]), ("e", None), ("f", Some(1.0)))
+      .toDF("g", "v")
+    val got = Advanced.exactQuantiles(rows, "g", "v", Seq("p50" -> 0.5))
+      .collect().map(_.getString(0)).toSet
+    assert(got == Set("f"), s"all-NULL group must be absent, got $got")
+  }
+
   test("many range partitions on tiny data still correct") {
     import spark.implicits._
     val rows = (1 to 100).map(i => ("g" + (i % 3), i.toDouble))
@@ -78,9 +87,12 @@ class QuantileSpec extends AnyFunSuite {
       Seq("p25" -> 0.25))
     val p = df.queryExecution.executedPlan.toString
     assert(!p.contains("percentile("), p)         // no buffering aggregate
-    assert(p.contains("rangepartitioning"), p)    // distributed per-group sort
-    // the rank window is keyed by (_pid, _g) — bounded per range partition,
-    // never a whole group on one task
+    // the ranged exchange itself sits behind the pid-stamp localCheckpoint
+    // (one physical partitioning for both consumers), so downstream the
+    // plan starts from the checkpointed scan; what must hold here is that
+    // the rank window is keyed by (_pid, _g) — bounded per range
+    // partition, never a whole group on one task
     assert(p.contains("windowspecdefinition(_pid"), p)
+    assert(p.contains("Scan ExistingRDD"), p)     // the checkpointed ranged frame
   }
 }

@@ -435,6 +435,14 @@ class StreamingPipelineSpec extends AnyFunSuite {
       assert(jc == 200 && jct.startsWith("application/json"), s"$jc $jct")
       assert(json.contains("\"student.insert\":1"))
 
+      // q-value negotiation: an explicit JSON preference wins even when
+      // text/html appears first, and ties fall back to JSON
+      val (qc, qct, _) = get(s"/status?target=$enc",
+        accept = "text/html;q=0.1, application/json")
+      assert(qc == 200 && qct.startsWith("application/json"), s"$qc $qct")
+      assert(get(s"/status?target=$enc", accept = "*/*")._2
+        .startsWith("application/json"))
+
       // the generic /jmx surface: a JVM platform bean nobody registered...
       val (mc, mct, mem) = get("/jmx?qry=" + java.net.URLEncoder.encode("java.lang:type=Memory", "UTF-8"))
       assert(mc == 200 && mct.startsWith("application/json"), s"$mc $mct")
