@@ -24,6 +24,14 @@ import graft.Tables
   *    (Gopher-style repetition quality gates).
   *  - q59 TF-IDF top terms per document (ratio-form idf — exact cross-engine
   *    arithmetic, no libm log whose last ulp may differ).
+  *  - q65 domain-mixture sampling: each source (domain) gets a token
+  *    budget; docs are admitted in deterministic content-hash order until
+  *    the budget fills — the "mix domains to target token counts" step of
+  *    a pre-training data recipe.
+  *  - q67 incremental admission: a new crawl batch is near-dup-gated
+  *    against the existing corpus (and first-wins within the batch) — the
+  *    daily operation of a living 100 TB corpus, as an anti-join over the
+  *    q41 banded pair set.
   *
   * The reference has no corpus operators (it delegates all query capability
   * to Spark SQL); these extend the documents/embeddings extension surface.
@@ -33,6 +41,16 @@ object Corpus {
 
   /** Tokens per 4096-token context window (q56). */
   val PackBudget = 4096L
+
+  /** Per-source token budgets for q65's mixture (whitespace tokens; the
+    * CASE is the recipe's mixing-weights table). */
+  private def mixBudget: Column =
+    when(col("source") === "src0", 1500L)
+      .when(col("source") === "src1", 900L)
+      .when(col("source") === "src2", 600L)
+      .otherwise(500L)
+  private val mixBudgetSql =
+    "CASE source WHEN 'src0' THEN 1500 WHEN 'src1' THEN 900 WHEN 'src2' THEN 600 ELSE 500 END"
 
   /** Distributed connected components by iterative min-label propagation:
     * each round every node adopts the minimum label among itself and its
@@ -241,6 +259,55 @@ object Corpus {
         .filter(col("rank") <= 3)
         .select(col("doc_id"), col("rank"), col("term"), col("tf"), col("df"), col("score"))
         .repartition(1).sortWithinPartitions(col("doc_id"), col("rank"))
+    }),
+
+    // ---- q65: domain-mixture sampling — admit docs per source in
+    //      deterministic content-hash order while the exclusive running
+    //      token count is under the source's budget (the doc that crosses
+    //      the boundary is kept: its start is still inside). No RNG — the
+    //      polyhash order IS the reproducible shuffle. One window per
+    //      source partition, integer arithmetic end-to-end; at scale the
+    //      partition key is (source, shard) with the budget split
+    //      proportionally across shards, so no single window partition
+    //      holds a whole domain (same note as q56).
+    "q65_mixture_sample" -> ((s, dir) => {
+      graft.functions.GraftFunctions.register(s)
+      val w = Window.partitionBy(col("source")).orderBy(col("ohash"), col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      t(s, dir, "documents")
+        .select(col("doc_id"), col("source"),
+          size(regexp_extract_all(col("text"), lit("[^ ]+"), lit(0))).cast("long").as("n_tokens"),
+          call_function("graft_polyhash", col("text"), lit(31), lit(TextOps.HashMod)).as("ohash"),
+          mixBudget.as("budget"))
+        .withColumn("start", sum(col("n_tokens")).over(w) - col("n_tokens"))
+        .filter(col("start") < col("budget"))
+        .select(col("doc_id"), col("source"), col("n_tokens"), col("start"))
+        .repartition(1).sortWithinPartitions(col("doc_id"))
+    }),
+
+    // ---- q67: incremental admission — the daily update of a living
+    //      corpus. The "new crawl batch" (doc_id % 10 = 7 stands in for
+    //      it) is near-dup-gated against the EXISTING corpus and
+    //      first-wins-deduped within itself: a new doc is rejected when
+    //      the q41 exact banded pair set (proven lossless) links it to any
+    //      existing doc or to an earlier new doc, regardless of that
+    //      doc's own fate (the standard static one-pass rule — a chained
+    //      greedy admission would need q54's component view). Admission is
+    //      one left-anti join; the candidate work is exactly q41's
+    //      equi-join plans, never new-batch x corpus all-pairs.
+    "q67_incremental_admit" -> ((s, dir) => {
+      graft.functions.GraftFunctions.register(s)
+      val docs = t(s, dir, "documents")
+      val pairs = NearDup.exactJaccardPairs(docs) // id_a < id_b, J >= 0.8
+      def isNew(c: Column): Column = c % 10 === 7
+      val rejected = pairs.filter(isNew(col("id_b"))).select(col("id_b").as("doc_id"))
+        .union(pairs.filter(isNew(col("id_a")) && !isNew(col("id_b")))
+          .select(col("id_a").as("doc_id")))
+        .distinct()
+      docs.filter(isNew(col("doc_id")))
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+        .join(rejected, Seq("doc_id"), "left_anti")
+        .repartition(1).sortWithinPartitions(col("doc_id"))
     })
   )
 
@@ -336,6 +403,36 @@ object Corpus {
                      t.tf DESC, t.term ASC) AS rank
         FROM tf t JOIN df d USING (term) CROSS JOIN n)
       WHERE rank <= 3
-      ORDER BY doc_id, rank"""
+      ORDER BY doc_id, rank""",
+
+    "q65_mixture_sample" -> s"""
+      SELECT doc_id, source, n_tokens, start FROM (
+        SELECT doc_id, source, n_tokens, budget,
+          CAST(sum(n_tokens) OVER (PARTITION BY source ORDER BY ohash, doc_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) - n_tokens AS start
+        FROM (
+          SELECT doc_id, source,
+            len(regexp_extract_all(text, '[^ ]+'))::BIGINT AS n_tokens,
+            ${TextOps.polyHashSql("text")} AS ohash,
+            $mixBudgetSql AS budget
+          FROM documents))
+      WHERE start < budget
+      ORDER BY doc_id""",
+
+    "q67_incremental_admit" -> s"""
+      WITH sh AS (
+        SELECT doc_id, ${TextOps.shinglesSql("text", NearDup.ShingleK)} AS sh FROM documents),
+      pairs AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        WHERE len(list_intersect(a.sh, b.sh))::DOUBLE
+            / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= ${NearDup.JaccardT}),
+      rejected AS (
+        SELECT id_b AS doc_id FROM pairs WHERE id_b % 10 = 7
+        UNION
+        SELECT id_a FROM pairs WHERE id_a % 10 = 7 AND id_b % 10 <> 7)
+      SELECT doc_id, lang, n_chars FROM documents
+      WHERE doc_id % 10 = 7 AND doc_id NOT IN (SELECT doc_id FROM rejected)
+      ORDER BY doc_id"""
   )
 }

@@ -206,6 +206,40 @@ object Similarity {
         .repartition(1).sortWithinPartitions(col("cell"), col("pos"))
     }),
 
+    // ---- q66: int8-quantized ANN — the memory-compression scale path.
+    //      Every vector is symmetric-int8 quantized ONCE (graft_i8quant:
+    //      codes packed one signed byte per component — genuinely 4x
+    //      smaller than float32, the representation a 100 TB vector store
+    //      keeps resident; the scale factor maxabs/127 rides along as one
+    //      double). Scoring is the pure-INTEGER code dot (graft_qdot —
+    //      exact in any engine, no float fold-order concerns at all)
+    //      dequantized by the two scales only at the end; the three
+    //      dequantization ops are single IEEE multiplies/divides, so the
+    //      oracle reproduces scores (and hence ranks) bit-identically.
+    //      Shape matches q50 (broadcast query set x streamed corpus);
+    //      the quantized corpus composes with q51/q53's candidate
+    //      generation unchanged.
+    "q66_ann_quantized" -> ((s, dir) => {
+      graft.functions.GraftFunctions.register(s)
+      val e = t(s, dir, "embeddings")
+        .repartition(col("vec_id")) // spread the kernel work (single-file input)
+        .withColumn("maxabs", call_function("graft_maxabs", col("embedding")))
+        .withColumn("codes", call_function("graft_i8quant", col("embedding")))
+      val q = e.filter(col("vec_id") < NumQueries)
+        .select(col("vec_id").as("qid"), col("codes").as("qc"), col("maxabs").as("qm"))
+      val tgt = e.filter(col("vec_id") >= NumQueries)
+      val w = Window.partitionBy(col("qid")).orderBy(col("score").desc, col("vec_id"))
+      tgt.crossJoin(broadcast(q))
+        .withColumn("qdot", call_function("graft_qdot", col("qc"), col("codes")))
+        .withColumn("score",
+          col("qdot").cast("double") * (col("qm") * col("maxabs")) / lit(16129.0))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= TopK)
+        .select(col("qid").as("query_id"), col("rank"), col("vec_id").as("neighbor_id"),
+          col("qdot"), col("score"))
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
     // ---- embedding near-dup: self-union with rescaled copies, LSH-bucketed
     //      candidates, exact cosine verify.
     "q52_embed_neardup" -> ((s, dir) => {
@@ -331,6 +365,36 @@ object Similarity {
         ${graft.util.Sumd.SUMD("u.x::DOUBLE")} / count(*) AS c_new
       FROM ex GROUP BY cell, u.pos
       ORDER BY cell, pos""",
+
+    // Mirrors the full quantization procedure: same maxabs (abs/max over
+    // exact float→double widenings), same three-IEEE-op code formula, the
+    // integer code dot (order-independent — exact), and the same
+    // dequantization op order, so scores and ranks are bit-identical.
+    "q66_ann_quantized" -> s"""
+      WITH c AS (
+        SELECT vec_id, maxabs,
+          CASE WHEN maxabs = 0 THEN list_transform(embedding, x -> 0::BIGINT)
+          ELSE list_transform(embedding,
+            x -> CAST(floor(x::DOUBLE * 127.0 / maxabs + 0.5) AS BIGINT)) END AS codes
+        FROM (
+          SELECT vec_id, embedding,
+            list_max(list_transform(embedding, x -> abs(x::DOUBLE))) AS maxabs
+          FROM embeddings)),
+      scored AS (
+        SELECT q.vec_id AS query_id, t.vec_id AS neighbor_id,
+          list_reduce(list_prepend(0::BIGINT,
+            list_transform(range(1, len(q.codes) + 1), i -> q.codes[i] * t.codes[i])),
+            (acc, v) -> acc + v) AS qdot,
+          q.maxabs AS qm, t.maxabs AS tm
+        FROM c q JOIN c t ON q.vec_id < $NumQueries AND t.vec_id >= $NumQueries)
+      SELECT query_id, rank, neighbor_id, qdot, score FROM (
+        SELECT query_id, neighbor_id, qdot,
+          qdot::DOUBLE * (qm * tm) / 16129.0 AS score,
+          ROW_NUMBER() OVER (PARTITION BY query_id
+            ORDER BY qdot::DOUBLE * (qm * tm) / 16129.0 DESC, neighbor_id) AS rank
+        FROM scored) x
+      WHERE rank <= $TopK
+      ORDER BY query_id, rank""",
 
     // Exact all-pairs oracle over the same planted feed; DuckDB's native
     // cosine is safe here because no cosine value is emitted and the

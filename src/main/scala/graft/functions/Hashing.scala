@@ -192,6 +192,58 @@ object HashUtil {
     new GenericArrayData(sig)
   }
 
+  /** Largest |component| of a float vector, in double (q66's quantization
+    * scale). Exact: float→double widening and abs are both value-preserving,
+    * max is a comparison — so any engine computing the same definition gets
+    * the same double bit pattern. */
+  def maxAbs(v: ArrayData): Double = {
+    val n = v.numElements()
+    var m = 0.0
+    var i = 0
+    while (i < n) {
+      val x = math.abs(v.getFloat(i).toDouble)
+      if (x > m) m = x
+      i += 1
+    }
+    m
+  }
+
+  /** Symmetric int8 scalar quantization of a float vector (q66): code_i =
+    * floor(x_i * 127.0 / maxabs + 0.5), packed one SIGNED BYTE per
+    * component — the genuinely-4x-smaller representation a 100 TB vector
+    * store would hold (array<long> codes would be 8x LARGER than the
+    * float input). Codes are exact integers in [-127, 127] reachable by
+    * any engine running the same three IEEE ops (multiply, divide, add)
+    * plus floor, so the oracle reproduces them from SQL. The all-zero
+    * vector quantizes to all-zero codes (maxabs = 0 guard). */
+  def i8Quant(v: ArrayData): Array[Byte] = {
+    val n = v.numElements()
+    val m = maxAbs(v)
+    val out = new Array[Byte](n)
+    if (m == 0.0) return out
+    var i = 0
+    while (i < n) {
+      out(i) = math.floor(v.getFloat(i).toDouble * 127.0 / m + 0.5).toByte
+      i += 1
+    }
+    out
+  }
+
+  /** Integer dot product of two packed int8 code vectors (q66): pure
+    * integer arithmetic — exact in any engine, no fold-order concerns at
+    * all (unlike the double fold in [[dot]]). Null on length mismatch,
+    * mirroring [[dot]]'s convention. */
+  def qdot(a: Array[Byte], b: Array[Byte]): java.lang.Long = {
+    if (a.length != b.length) return null
+    var acc = 0L
+    var i = 0
+    while (i < a.length) {
+      acc += a(i).toLong * b(i).toLong
+      i += 1
+    }
+    acc
+  }
+
   /** Repetition statistics in ONE pass over the text (q58): returns
     * `[n_words, n_distinct_words, top_bigram_count]` for the same lowercase
     * `[a-z0-9]+` tokenizer as `regexp_extract_all(lower(text), '[a-z0-9]+')`
@@ -412,6 +464,86 @@ case class DotProduct(left: Expression, right: Expression)
     copy(left = l, right = r)
 }
 
+/** `graft_maxabs(vec)` — largest |component| of a float vector as a double
+  * (the symmetric-quantization scale of q66; see [[HashUtil.maxAbs]]). */
+case class MaxAbs(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(s"graft_maxabs expects array<float>, got $t")
+  }
+  override def dataType: DataType = DoubleType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "graft_maxabs"
+
+  override protected def nullSafeEval(v: Any): Any =
+    HashUtil.maxAbs(v.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, v =>
+      s"${ev.value} = graft.functions.HashUtil.maxAbs($v);")
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** `graft_i8quant(vec)` — symmetric int8 scalar quantization of a float
+  * vector, packed one signed byte per component (see [[HashUtil.i8Quant]]).
+  * BinaryType on purpose: the quantized corpus is what a 100 TB vector
+  * store keeps resident, and bytes are the only Spark type that is
+  * actually 4x smaller than the float32 input. */
+case class I8Quant(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(s"graft_i8quant expects array<float>, got $t")
+  }
+  override def dataType: DataType = org.apache.spark.sql.types.BinaryType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "graft_i8quant"
+
+  override protected def nullSafeEval(v: Any): Any =
+    HashUtil.i8Quant(v.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, v =>
+      s"${ev.value} = graft.functions.HashUtil.i8Quant($v);")
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** `graft_qdot(a, b)` — integer dot product of two packed int8 code
+  * vectors (see [[HashUtil.qdot]]); null on length mismatch, like
+  * [[DotProduct]]. */
+case class QDot(left: Expression, right: Expression) extends BinaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (left.dataType == org.apache.spark.sql.types.BinaryType &&
+      right.dataType == org.apache.spark.sql.types.BinaryType)
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"graft_qdot expects (binary, binary), got (${left.dataType}, ${right.dataType})")
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+  // null even for non-null inputs: length mismatch
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_qdot"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    HashUtil.qdot(a.asInstanceOf[Array[Byte]], b.asInstanceOf[Array[Byte]])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val boxed = ctx.freshName("qdot")
+      s"""
+        java.lang.Long $boxed = graft.functions.HashUtil.qdot($a, $b);
+        if ($boxed == null) { ${ev.isNull} = true; }
+        else { ${ev.value} = $boxed.longValue(); }
+      """
+    })
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
 /** All native functions of the engine, for registry injection. */
 object GraftFunctions {
   val entries: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
@@ -457,6 +589,24 @@ object GraftFunctions {
       { children: Seq[Expression] =>
         require(children.length == 1, "graft_simhash(text) takes 1 argument")
         SimHash60(children(0))
+      }),
+    (FunctionIdentifier("graft_maxabs"),
+      new ExpressionInfo(classOf[MaxAbs].getName, "graft_maxabs"),
+      { children: Seq[Expression] =>
+        require(children.length == 1, "graft_maxabs(vec) takes 1 argument")
+        MaxAbs(children(0))
+      }),
+    (FunctionIdentifier("graft_i8quant"),
+      new ExpressionInfo(classOf[I8Quant].getName, "graft_i8quant"),
+      { children: Seq[Expression] =>
+        require(children.length == 1, "graft_i8quant(vec) takes 1 argument")
+        I8Quant(children(0))
+      }),
+    (FunctionIdentifier("graft_qdot"),
+      new ExpressionInfo(classOf[QDot].getName, "graft_qdot"),
+      { children: Seq[Expression] =>
+        require(children.length == 2, "graft_qdot(a, b) takes 2 arguments")
+        QDot(children(0), children(1))
       }))
 
   /** Idempotent imperative registration for an already-built session. */

@@ -27,8 +27,36 @@ class PolyHashSpec extends AnyFunSuite {
     val ext = new org.apache.spark.sql.SparkSessionExtensions
     new GraftExtensions().apply(ext) // must accept all registry entries
     assert(GraftFunctions.entries.map(_._1.funcName).sorted ==
-      Seq("graft_bitmap", "graft_dot", "graft_fingerprint", "graft_minhash_sig",
-        "graft_polyhash", "graft_rep_stats", "graft_shingle_hashes", "graft_simhash"))
+      Seq("graft_bitmap", "graft_dot", "graft_fingerprint", "graft_i8quant",
+        "graft_maxabs", "graft_minhash_sig", "graft_polyhash", "graft_qdot",
+        "graft_rep_stats", "graft_shingle_hashes", "graft_simhash"))
+  }
+
+  test("graft_maxabs / graft_i8quant / graft_qdot: int8 quantization kernels (q66)") {
+    // codes = floor(x * 127 / maxabs + 0.5) as signed bytes; extremes hit +-127
+    val df = Seq((1, Array(0.5f, -1.0f, 0.25f, 0.0f)), (2, Array(0.0f, 0.0f, 0.0f, 0.0f)))
+      .toDF("id", "v")
+      .select($"id",
+        call_function("graft_maxabs", $"v").as("m"),
+        call_function("graft_i8quant", $"v").as("c"))
+      .orderBy($"id").collect()
+    assert(df(0).getDouble(1) == 1.0)
+    val codes = df(0).getAs[Array[Byte]](2)
+    def q(x: Float, m: Double): Byte = math.floor(x.toDouble * 127.0 / m + 0.5).toByte
+    assert(codes.toSeq == Seq(q(0.5f, 1.0), q(-1.0f, 1.0), q(0.25f, 1.0), q(0.0f, 1.0)))
+    assert(codes(1) == -127) // the -maxabs component maps to exactly -127
+    // the all-zero vector quantizes to all-zero codes, not a NaN division
+    assert(df(1).getDouble(1) == 0.0)
+    assert(df(1).getAs[Array[Byte]](2).toSeq == Seq[Byte](0, 0, 0, 0))
+
+    // integer code dot: exact, order-independent; null on length mismatch
+    val d = Seq((Array[Byte](1, -2, 3), Array[Byte](4, 5, -6)))
+      .toDF("a", "b")
+      .select(call_function("graft_qdot", $"a", $"b").as("d")).first()
+    assert(d.getLong(0) == (1 * 4 + -2 * 5 + 3 * -6).toLong)
+    val mm = Seq((Array[Byte](1), Array[Byte](1, 2))).toDF("a", "b")
+      .select(call_function("graft_qdot", $"a", $"b").as("d")).first()
+    assert(mm.isNullAt(0))
   }
 
   test("graft_bitmap: membership bits against a sorted dict; AND-popcount = intersection") {

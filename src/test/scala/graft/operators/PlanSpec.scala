@@ -131,6 +131,31 @@ class PlanSpec extends AnyFunSuite {
       assert(plan(q).contains("WindowGroupLimit"), s"$q lost rank-limit pushdown")
   }
 
+  test("q65: mixture sampling windows per source — no join, no global window") {
+    val p = plan("q65_mixture_sample")
+    assert(!p.contains("Join"), p) // pure projection + one windowed pass
+    assert(p.contains("windowspecdefinition(source"),
+      "the running-count window must be per-source, never global: " + p)
+  }
+
+  test("q66: quantized ANN runs the int8 kernels with a broadcast query side") {
+    val p = plan("q66_ann_quantized")
+    // the codegen kernels, not interpreted HOFs, carry the hot path
+    assert(p.contains("graft_i8quant") && p.contains("graft_qdot"), p)
+    assert(!p.contains("transform("), p)
+    // q50's deliberate shape: tiny query set broadcast against the streamed
+    // corpus (a BNLJ against a broadcast-sized build side is the plan)
+    assert(p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("WindowGroupLimit"), "q66 lost rank-limit pushdown: " + p)
+  }
+
+  test("q67: incremental admission is equi-join candidates + a left-anti gate — no all-pairs") {
+    val p = plan("q67_incremental_admit")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("LeftAnti"), p)
+  }
+
   test("q63: the shared SQL text plans with pushdown, broadcast, and partial aggregation") {
     val p = plan("q63_sql_surface")
     assert(p.contains("PushedFilters: ["), p)
