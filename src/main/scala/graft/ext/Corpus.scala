@@ -32,6 +32,14 @@ import graft.Tables
   *    against the existing corpus (and first-wins within the batch) — the
   *    daily operation of a living 100 TB corpus, as an anti-join over the
   *    q41 banded pair set.
+  *  - q68 quality-filter audit: C4/Gopher-style priority rule chain
+  *    (length, alphabetic ratio, word repetition) with per-rule rejection
+  *    counts — the "why did the corpus shrink" report every filtering run
+  *    ships with. All thresholds are integer cross-multiplications, so no
+  *    engine ever divides.
+  *  - q69 vocabulary build: top-K corpus terms with cumulative coverage —
+  *    the seed-vocabulary step of tokenizer training. Top-K is a
+  *    distributed TakeOrdered, never a global sort.
   *
   * The reference has no corpus operators (it delegates all query capability
   * to Spark SQL); these extend the documents/embeddings extension surface.
@@ -51,6 +59,9 @@ object Corpus {
       .otherwise(500L)
   private val mixBudgetSql =
     "CASE source WHEN 'src0' THEN 1500 WHEN 'src1' THEN 900 WHEN 'src2' THEN 600 ELSE 500 END"
+
+  /** Top-K vocabulary size for q69. */
+  val VocabK = 100
 
   /** Distributed connected components by iterative min-label propagation:
     * each round every node adopts the minimum label among itself and its
@@ -308,6 +319,62 @@ object Corpus {
         .select(col("doc_id"), col("lang"), col("n_chars"))
         .join(rejected, Seq("doc_id"), "left_anti")
         .repartition(1).sortWithinPartitions(col("doc_id"))
+    }),
+
+    // ---- q68: quality-filter audit — each doc is labeled by the FIRST
+    //      failing rule of a priority chain (the C4/Gopher filtering
+    //      idiom), then one tiny aggregate reports docs and tokens per
+    //      bucket. Ratio thresholds are integer cross-multiplications
+    //      (alpha/n < 0.81 becomes alpha*100 < n*81; dup-frac > 0.5
+    //      becomes (nw-nd)*2 > nw) — exact in any engine, and the whole
+    //      audit is one narrow kernel-bearing projection + a 4-row agg:
+    //      linear, shuffle = 4 rows.
+    "q68_quality_audit" -> ((s, dir) => {
+      graft.functions.GraftFunctions.register(s)
+      val labeled = t(s, dir, "documents")
+        .repartition(col("doc_id")) // spread CPU-heavy narrow work
+        .select(col("doc_id"),
+          length(col("text")).cast("long").as("n"),
+          length(regexp_replace(col("text"), "[^a-zA-Z]", "")).cast("long").as("alpha"),
+          call_function("graft_rep_stats", col("text")).as("rs"))
+        .select(col("doc_id"), col("n"), col("alpha"),
+          element_at(col("rs"), 1).as("nw"),
+          element_at(col("rs"), 2).as("nd"))
+        .withColumn("rule",
+          when(col("n") < 150, "too_short")
+            .when(col("alpha") * 100 < col("n") * 81, "low_alpha")
+            .when((col("nw") - col("nd")) * 2 > col("nw"), "repetitive")
+            .otherwise("pass"))
+      labeled.groupBy(col("rule"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("nw")).as("n_tokens"))
+        .repartition(1).sortWithinPartitions(col("rule"))
+    }),
+
+    // ---- q69: vocabulary build — top-K terms by corpus frequency with
+    //      cumulative coverage (the tokenizer-training seed vocabulary).
+    //      The full term-count aggregate is partial+final on the term key;
+    //      top-K is TakeOrderedAndProject (each partition keeps K, never a
+    //      global sort); only the K survivors enter the cumsum window,
+    //      which is partitioned by a constant — bounded at K rows by
+    //      construction, so no unbounded single-task window exists at any
+    //      corpus size. Coverage is one exact division after integer sums.
+    "q69_vocab_coverage" -> ((s, dir) => {
+      val tf = t(s, dir, "documents")
+        .select(explode(TextOps.words(col("text"))).as("term"))
+        .groupBy(col("term")).agg(count(lit(1)).as("cnt"))
+      val total = tf.agg(sum(col("cnt")).as("total"))
+      val top = tf.orderBy(col("cnt").desc, col("term")).limit(VocabK)
+      // partition the K-row cumsum window by `total` — single-valued, so
+      // still one group, but NOT constant-foldable (a lit() partition key
+      // folds away and leaves the unpartitioned-window shape)
+      val w = Window.partitionBy(col("total")).orderBy(col("cnt").desc, col("term"))
+      val cw = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      top.crossJoin(broadcast(total))
+        .withColumn("rank", row_number().over(w))
+        .withColumn("cum", sum(col("cnt")).over(cw))
+        .withColumn("coverage", col("cum").cast("double") / col("total").cast("double"))
+        .select(col("rank"), col("term"), col("cnt"), col("cum"), col("coverage"))
+        .repartition(1).sortWithinPartitions(col("rank"))
     })
   )
 
@@ -433,6 +500,37 @@ object Corpus {
         SELECT id_a FROM pairs WHERE id_a % 10 = 7 AND id_b % 10 <> 7)
       SELECT doc_id, lang, n_chars FROM documents
       WHERE doc_id % 10 = 7 AND doc_id NOT IN (SELECT doc_id FROM rejected)
-      ORDER BY doc_id"""
+      ORDER BY doc_id""",
+
+    "q68_quality_audit" -> """
+      WITH s AS (
+        SELECT doc_id, length(text)::BIGINT AS n,
+          length(regexp_replace(text, '[^a-zA-Z]', '', 'g'))::BIGINT AS alpha,
+          len(regexp_extract_all(lower(text), '[a-z0-9]+'))::BIGINT AS nw,
+          len(list_distinct(regexp_extract_all(lower(text), '[a-z0-9]+')))::BIGINT AS nd
+        FROM documents),
+      labeled AS (
+        SELECT CASE WHEN n < 150 THEN 'too_short'
+                    WHEN alpha * 100 < n * 81 THEN 'low_alpha'
+                    WHEN (nw - nd) * 2 > nw THEN 'repetitive'
+                    ELSE 'pass' END AS rule, nw
+        FROM s)
+      SELECT rule, CAST(count(*) AS BIGINT) AS n_docs, CAST(sum(nw) AS BIGINT) AS n_tokens
+      FROM labeled GROUP BY rule
+      ORDER BY rule""",
+
+    "q69_vocab_coverage" -> s"""
+      WITH w AS (
+        SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term FROM documents),
+      tf AS (SELECT term, CAST(count(*) AS BIGINT) AS cnt FROM w GROUP BY 1),
+      tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS total FROM tf),
+      top AS (SELECT term, cnt FROM tf ORDER BY cnt DESC, term LIMIT $VocabK)
+      SELECT rank, term, cnt, cum, cum::DOUBLE / total::DOUBLE AS coverage FROM (
+        SELECT term, cnt, total,
+          ROW_NUMBER() OVER (ORDER BY cnt DESC, term) AS rank,
+          CAST(sum(cnt) OVER (ORDER BY cnt DESC, term
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+        FROM top CROSS JOIN tot) x
+      ORDER BY rank"""
   )
 }

@@ -156,6 +156,21 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("LeftAnti"), p)
   }
 
+  test("q68: quality audit is one kernel projection + a tiny aggregate — no join") {
+    val p = plan("q68_quality_audit")
+    assert(p.contains("graft_rep_stats"), p)
+    assert(!p.contains("Join"), p)
+    assert("HashAggregate".r.findAllIn(p).size >= 2, p) // partial + final
+  }
+
+  test("q69: vocab top-K is TakeOrderedAndProject; the cumsum window is bounded and partitioned") {
+    val p = plan("q69_vocab_coverage")
+    assert(p.contains("TakeOrderedAndProject"), "top-K must never be a global sort: " + p)
+    // the K-row cumsum window is keyed by the (single-valued) total column,
+    // so it never plans as the unpartitioned-window shape Spark warns about
+    assert(p.contains("windowspecdefinition(total"), p)
+  }
+
   test("q63: the shared SQL text plans with pushdown, broadcast, and partial aggregation") {
     val p = plan("q63_sql_surface")
     assert(p.contains("PushedFilters: ["), p)
