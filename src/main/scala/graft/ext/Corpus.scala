@@ -63,6 +63,13 @@ object Corpus {
   /** Top-K vocabulary size for q69. */
   val VocabK = 100
 
+  /** Whitespace token count — the ONE definition q56's packing budget and
+    * q65's mixing budget both meter against (the two must never drift). */
+  private def wsTokenCount(c: Column): Column =
+    size(regexp_extract_all(c, lit("[^ ]+"), lit(0))).cast("long")
+  private def wsTokenCountSql(e: String): String =
+    s"len(regexp_extract_all($e, '[^ ]+'))::BIGINT"
+
   /** Distributed connected components by iterative min-label propagation:
     * each round every node adopts the minimum label among itself and its
     * neighbors (one equi-join + one aggregation per round), until a round
@@ -188,8 +195,7 @@ object Corpus {
       val w = Window.partitionBy(col("lang")).orderBy(col("doc_id"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       t(s, dir, "documents")
-        .select(col("doc_id"), col("lang"),
-          size(regexp_extract_all(col("text"), lit("[^ ]+"), lit(0))).cast("long").as("n_tokens"))
+        .select(col("doc_id"), col("lang"), wsTokenCount(col("text")).as("n_tokens"))
         .withColumn("start", sum(col("n_tokens")).over(w) - col("n_tokens"))
         .select(col("doc_id"), col("lang"), col("n_tokens"),
           expr(s"start DIV $PackBudget").as("bin"),
@@ -286,8 +292,7 @@ object Corpus {
       val w = Window.partitionBy(col("source")).orderBy(col("ohash"), col("doc_id"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       t(s, dir, "documents")
-        .select(col("doc_id"), col("source"),
-          size(regexp_extract_all(col("text"), lit("[^ ]+"), lit(0))).cast("long").as("n_tokens"),
+        .select(col("doc_id"), col("source"), wsTokenCount(col("text")).as("n_tokens"),
           call_function("graft_polyhash", col("text"), lit(31), lit(TextOps.HashMod)).as("ohash"),
           mixBudget.as("budget"))
         .withColumn("start", sum(col("n_tokens")).over(w) - col("n_tokens"))
@@ -311,9 +316,14 @@ object Corpus {
       val docs = t(s, dir, "documents")
       val pairs = NearDup.exactJaccardPairs(docs) // id_a < id_b, J >= 0.8
       def isNew(c: Column): Column = c % 10 === 7
-      val rejected = pairs.filter(isNew(col("id_b"))).select(col("id_b").as("doc_id"))
-        .union(pairs.filter(isNew(col("id_a")) && !isNew(col("id_b")))
-          .select(col("id_a").as("doc_id")))
+      // each pair rejects at most ONE doc (id_b if new — a corpus doc or an
+      // earlier new doc beat it; else id_a if new and id_b is corpus), so
+      // the rejected set is a single projection over the expensive pair
+      // plan, not a two-legged union scanning it twice
+      val rejected = pairs
+        .select(when(isNew(col("id_b")), col("id_b"))
+          .when(isNew(col("id_a")), col("id_a")).as("doc_id"))
+        .filter(col("doc_id").isNotNull)
         .distinct()
       docs.filter(isNew(col("doc_id")))
         .select(col("doc_id"), col("lang"), col("n_chars"))
@@ -359,9 +369,15 @@ object Corpus {
     //      construction, so no unbounded single-task window exists at any
     //      corpus size. Coverage is one exact division after integer sums.
     "q69_vocab_coverage" -> ((s, dir) => {
+      // materialized once: the (term, cnt) frame is vocabulary-sized (tiny
+      // relative to the corpus) but its lineage holds the full-corpus
+      // explode + aggregation, and BOTH the total and the top-K consume it
+      // — same discipline as NearDup's checkpointed shingle frames rather
+      // than a bet on ReuseExchange
       val tf = t(s, dir, "documents")
         .select(explode(TextOps.words(col("text"))).as("term"))
         .groupBy(col("term")).agg(count(lit(1)).as("cnt"))
+        .localCheckpoint()
       val total = tf.agg(sum(col("cnt")).as("total"))
       val top = tf.orderBy(col("cnt").desc, col("term")).limit(VocabK)
       // partition the K-row cumsum window by `total` — single-valued, so
@@ -424,7 +440,7 @@ object Corpus {
             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) - n_tokens AS start
         FROM (
           SELECT doc_id, lang,
-            len(regexp_extract_all(text, '[^ ]+'))::BIGINT AS n_tokens
+            ${wsTokenCountSql("text")} AS n_tokens
           FROM documents))
       ORDER BY doc_id""",
 
@@ -479,7 +495,7 @@ object Corpus {
             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) - n_tokens AS start
         FROM (
           SELECT doc_id, source,
-            len(regexp_extract_all(text, '[^ ]+'))::BIGINT AS n_tokens,
+            ${wsTokenCountSql("text")} AS n_tokens,
             ${TextOps.polyHashSql("text")} AS ohash,
             $mixBudgetSql AS budget
           FROM documents))

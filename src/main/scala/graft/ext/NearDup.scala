@@ -214,7 +214,6 @@ object NearDup {
         least(col("l_doc_id"), col("r_doc_id")).as("id_a"),
         greatest(col("l_doc_id"), col("r_doc_id")).as("id_b"),
         (c / (col("l_sz") + col("r_sz") - c)).as("jaccard"))
-      .repartition(1).sortWithinPartitions(col("id_a"), col("id_b")) // see scaladoc: tiny-output ordering
   }
 
   /** PPJoin-style exact similarity join — the scale path for NATURAL
@@ -282,7 +281,6 @@ object NearDup {
       .withColumn("jaccard", col("c") / (size(col("sh_a")) + size(col("sh_b")) - col("c")))
       .filter(col("jaccard") >= JaccardT)
       .select(col("id_a"), col("id_b"), col("jaccard"))
-      .repartition(1).sortWithinPartitions(col("id_a"), col("id_b")) // see exactJaccardPairs
 
   /** MinHash-LSH candidates + exact verify.
     *
@@ -376,21 +374,28 @@ object NearDup {
       .withColumn("hamming", expr("bit_count(sim_a ^ sim_b)").cast("long"))
       .filter(col("hamming") <= HammingT)
       .select(col("id_a"), col("id_b"), col("hamming"))
-      .repartition(1).sortWithinPartitions(col("id_a"), col("id_b")) // see exactJaccardPairs
   }
+
+  /** Presentation ordering for a pair output (tiny by nature: the near-dup
+    * fraction). Applied by the QUERY ENTRIES, never by the pair engines —
+    * downstream pipeline consumers (q54 clustering, q67 admission) would
+    * otherwise inherit a one-partition funnel between the pair join and
+    * their own shuffles. */
+  def sortedPairs(pairs: DataFrame): DataFrame =
+    pairs.repartition(1).sortWithinPartitions(col("id_a"), col("id_b"))
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q41_neardup_jaccard" -> ((s, dir) => {
       graft.functions.GraftFunctions.register(s)
-      exactJaccardPairs(t(s, dir, "documents"))
+      sortedPairs(exactJaccardPairs(t(s, dir, "documents")))
     }),
     "q42_minhash_lsh" -> ((s, dir) => {
       graft.functions.GraftFunctions.register(s)
-      minhashLshPairs(t(s, dir, "documents"))
+      sortedPairs(minhashLshPairs(t(s, dir, "documents")))
     }),
     "q47_simhash" -> ((s, dir) => {
       graft.functions.GraftFunctions.register(s)
-      simhashPairs(t(s, dir, "documents"))
+      sortedPairs(simhashPairs(t(s, dir, "documents")))
     })
   )
 

@@ -195,14 +195,24 @@ object HashUtil {
   /** Largest |component| of a float vector, in double (q66's quantization
     * scale). Exact: float→double widening and abs are both value-preserving,
     * max is a comparison — so any engine computing the same definition gets
-    * the same double bit pattern. */
-  def maxAbs(v: ArrayData): Double = {
+    * the same double bit pattern. Edge contract, kept in lockstep with the
+    * DuckDB oracle: the EMPTY vector yields null (list_max of an empty list
+    * is NULL); a non-finite component fails loudly with a named error — a
+    * NaN would otherwise quantize to a silent garbage code here while
+    * aborting the oracle's CAST, and an ANN index built over NaN embeddings
+    * is corrupt by definition. */
+  def maxAbs(v: ArrayData): java.lang.Double = {
     val n = v.numElements()
+    if (n == 0) return null
     var m = 0.0
     var i = 0
     while (i < n) {
-      val x = math.abs(v.getFloat(i).toDouble)
-      if (x > m) m = x
+      val x = v.getFloat(i)
+      if (java.lang.Float.isNaN(x) || java.lang.Float.isInfinite(x))
+        throw new IllegalArgumentException(
+          s"graft_maxabs/graft_i8quant: non-finite embedding component $x at index $i")
+      val a = math.abs(x.toDouble)
+      if (a > m) m = a
       i += 1
     }
     m
@@ -215,10 +225,14 @@ object HashUtil {
     * float input). Codes are exact integers in [-127, 127] reachable by
     * any engine running the same three IEEE ops (multiply, divide, add)
     * plus floor, so the oracle reproduces them from SQL. The all-zero
-    * vector quantizes to all-zero codes (maxabs = 0 guard). */
+    * vector quantizes to all-zero codes (maxabs = 0 guard); the empty
+    * vector yields null and non-finite components throw, both via
+    * [[maxAbs]]'s edge contract. */
   def i8Quant(v: ArrayData): Array[Byte] = {
+    val boxed = maxAbs(v)
+    if (boxed == null) return null
+    val m = boxed.doubleValue()
     val n = v.numElements()
-    val m = maxAbs(v)
     val out = new Array[Byte](n)
     if (m == 0.0) return out
     var i = 0
@@ -474,14 +488,22 @@ case class MaxAbs(child: Expression)
   }
   override def dataType: DataType = DoubleType
   override def nullIntolerant: Boolean = true
+  // null even for non-null input: the empty vector
+  override def nullable: Boolean = true
   override def prettyName: String = "graft_maxabs"
 
   override protected def nullSafeEval(v: Any): Any =
     HashUtil.maxAbs(v.asInstanceOf[ArrayData])
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    nullSafeCodeGen(ctx, ev, v =>
-      s"${ev.value} = graft.functions.HashUtil.maxAbs($v);")
+    nullSafeCodeGen(ctx, ev, v => {
+      val boxed = ctx.freshName("maxabs")
+      s"""
+        java.lang.Double $boxed = graft.functions.HashUtil.maxAbs($v);
+        if ($boxed == null) { ${ev.isNull} = true; }
+        else { ${ev.value} = $boxed.doubleValue(); }
+      """
+    })
 
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
@@ -499,14 +521,22 @@ case class I8Quant(child: Expression)
   }
   override def dataType: DataType = org.apache.spark.sql.types.BinaryType
   override def nullIntolerant: Boolean = true
+  // null even for non-null input: the empty vector
+  override def nullable: Boolean = true
   override def prettyName: String = "graft_i8quant"
 
   override protected def nullSafeEval(v: Any): Any =
     HashUtil.i8Quant(v.asInstanceOf[ArrayData])
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    nullSafeCodeGen(ctx, ev, v =>
-      s"${ev.value} = graft.functions.HashUtil.i8Quant($v);")
+    nullSafeCodeGen(ctx, ev, v => {
+      val codes = ctx.freshName("codes")
+      s"""
+        byte[] $codes = graft.functions.HashUtil.i8Quant($v);
+        if ($codes == null) { ${ev.isNull} = true; }
+        else { ${ev.value} = $codes; }
+      """
+    })
 
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }

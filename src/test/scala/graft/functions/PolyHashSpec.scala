@@ -57,6 +57,21 @@ class PolyHashSpec extends AnyFunSuite {
     val mm = Seq((Array[Byte](1), Array[Byte](1, 2))).toDF("a", "b")
       .select(call_function("graft_qdot", $"a", $"b").as("d")).first()
     assert(mm.isNullAt(0))
+
+    // edge contract in lockstep with the DuckDB oracle: the empty vector
+    // yields null (list_max of [] is NULL), a non-finite component fails
+    // loudly (the oracle's CAST(floor(NaN)) would abort there too)
+    val empty = Seq(Tuple1(Array.empty[Float])).toDF("v")
+      .select(call_function("graft_maxabs", $"v").as("m"),
+        call_function("graft_i8quant", $"v").as("c")).first()
+    assert(empty.isNullAt(0) && empty.isNullAt(1))
+    // the error may surface raw (driver-side eval) or SparkException-wrapped
+    val nan = intercept[Exception] {
+      Seq(Tuple1(Array(1.0f, Float.NaN))).toDF("v")
+        .select(call_function("graft_i8quant", $"v")).collect()
+    }
+    assert(Iterator.iterate[Throwable](nan)(_.getCause).takeWhile(_ != null).take(5)
+      .exists(t => Option(t.getMessage).exists(_.contains("non-finite"))), nan.toString)
   }
 
   test("graft_bitmap: membership bits against a sorted dict; AND-popcount = intersection") {
