@@ -43,12 +43,41 @@ class CorpusSpec extends AnyFunSuite {
     assert(got.keySet == Set(5L, 6L))
   }
 
-  test("non-convergence raises instead of returning partial clusters") {
+  test("loop non-convergence raises instead of returning partial clusters") {
     import spark.implicits._
     val pairs = (1L until 60L).map(i => (i, i + 1)).toDF("id_a", "id_b")
     val e = intercept[IllegalStateException](
-      Corpus.connectedComponents(pairs, maxIters = 5))
+      Corpus.connectedComponentsLoop(pairs, maxIters = 5))
     assert(e.getMessage.contains("did not converge"))
+  }
+
+  test("driver union-find and the distributed loop label identically") {
+    import spark.implicits._
+    // chains, a clique, cross-links, isolated pairs — reversed orders mixed in
+    val pairs = Seq(
+      (1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L),
+      (10L, 11L), (12L, 10L), (11L, 12L),
+      (21L, 20L), (30L, 31L), (31L, 32L), (33L, 32L),
+      (40L, 41L)).toDF("id_a", "id_b")
+    val uf = Corpus.unionFindLabels(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val loop = Corpus.connectedComponentsLoop(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(uf.nonEmpty && uf == loop, s"uf=$uf loop=$loop")
+  }
+
+  test("dispatch: above the driver bound the distributed loop runs") {
+    import spark.implicits._
+    spark.conf.set(Corpus.CcMaxDriverPairsConf, "3")
+    try {
+      // 5 pairs > bound 3 -> loop path; result must still be correct
+      val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L), (11L, 12L), (20L, 21L))
+        .toDF("id_a", "id_b")
+      val got = Corpus.connectedComponents(pairs)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L,
+        10L -> 10L, 11L -> 10L, 12L -> 10L, 20L -> 20L, 21L -> 20L))
+    } finally spark.conf.unset(Corpus.CcMaxDriverPairsConf)
   }
 
   test("graft_rep_stats kernel equals the HOF formulation on the corpus") {
