@@ -359,6 +359,36 @@ object StreamingPipeline {
       .toDF("content_sha", "keep_id")
   }
 
+  /** Streaming domain-mixture admission — the streaming form of q65's
+    * budgeted sampling: each source keeps its running admitted-token count
+    * as keyed state (ONE long per source, partitioned by the state store);
+    * a doc is admitted while the count is still under the source's budget,
+    * and the doc that crosses the boundary is kept — exactly q65's rule.
+    * Within a micro-batch docs are processed in doc_id order so output is
+    * deterministic under any partitioning; across batches arrival order IS
+    * the ordering (a stream has no global content-hash sort — that is the
+    * batch operator's job). Input columns: (doc_id long, source string,
+    * n_tokens long). */
+  def streamingBudgetAdmit(docs: DataFrame, budget: String => Long): DataFrame = {
+    import docs.sparkSession.implicits._
+    docs.select(col("doc_id").cast("long"), col("source"), col("n_tokens").cast("long"))
+      .as[(Long, String, Long)]
+      .groupByKey(_._2)
+      .flatMapGroupsWithState(
+        org.apache.spark.sql.streaming.OutputMode.Append(), GroupStateTimeout.NoTimeout) {
+        (src: String, rows: Iterator[(Long, String, Long)], state: GroupState[Long]) =>
+          val cap = budget(src)
+          var used = state.getOption.getOrElse(0L)
+          val out = Seq.newBuilder[(Long, String, Long, Long)]
+          rows.toSeq.sortBy(_._1).foreach { case (id, _, n) =>
+            if (used < cap) { out += ((id, src, n, used)); used += n }
+          }
+          state.update(used)
+          out.result().iterator
+      }
+      .toDF("doc_id", "source", "n_tokens", "start")
+  }
+
   /** Event-time tumbling-window aggregation with a watermark — the
     * streaming form of q22 (late data beyond the watermark is dropped). */
   def windowedCounts(events: DataFrame, watermark: String = "2 hours"): DataFrame =

@@ -277,6 +277,33 @@ class StreamingPipelineSpec extends AnyFunSuite {
     assert(b2 == Set(1L, 2L, 10L), "cross-batch duplicate must not re-emit")
   }
 
+  test("streaming budget admission meters per-source token budgets across batches") {
+    val sink = s"budget_${System.nanoTime()}"
+    val src = MemoryStream[(Long, String, Long)]
+    val q = StreamingPipeline.streamingBudgetAdmit(
+        src.toDF().toDF("doc_id", "source", "n_tokens"),
+        s => if (s == "a") 100L else 50L)
+      .writeStream.format("memory").queryName(sink).outputMode("append").start()
+
+    // batch 1: a consumes 40+50=90 (both admitted, still < 100); the 30 in b
+    // lands, then b is at 30 < 50 so the 40 crosses the boundary and is KEPT
+    src.addData((2L, "a", 40L), (1L, "a", 50L), (3L, "b", 30L), (4L, "b", 40L))
+    q.processAllAvailable()
+    val b1 = spark.table(sink).as[(Long, String, Long, Long)].collect().toSet
+    assert(b1 == Set((1L, "a", 50L, 0L), (2L, "a", 40L, 50L),
+      (3L, "b", 30L, 0L), (4L, "b", 40L, 30L)),
+      s"doc_id order within batch + crossing doc kept: $b1")
+
+    // batch 2: a is at 90 < 100 so doc 5 crosses and is kept, then a is
+    // full (doc 6 dropped); b is at 70 >= 50, everything dropped
+    src.addData((5L, "a", 25L), (6L, "a", 1L), (7L, "b", 1L))
+    q.processAllAvailable()
+    val b2 = spark.table(sink).as[(Long, String, Long, Long)].collect().toSet
+    q.stop()
+    assert(b2 == b1 + ((5L, "a", 25L, 90L)),
+      s"state must carry the running count across batches: $b2")
+  }
+
   test("S12 as explicit state: mapGroupsWithState tracks per-key latest position") {
     val sink = s"lpk_${System.nanoTime()}"
     val src = MemoryStream[SEvent]
