@@ -389,6 +389,76 @@ object StreamingPipeline {
       .toDF("doc_id", "source", "n_tokens", "start")
   }
 
+  /** Streaming NEAR-dup admission — the streaming form of q47's exact
+    * SimHash gate: admit a document only if no previously-arrived document
+    * is within Hamming distance 3 of its 60-bit simhash. Two chained
+    * append-mode stateful stages:
+    *
+    *  1. keyed by pigeonhole block (4 x 15-bit — d<=3 forces >=1 equal
+    *     block, so recall is exact BY CONSTRUCTION, same argument as q47):
+    *     state is the block's registry of (doc_id, simhash); each arrival
+    *     is compared against the registry (then registered — even docs
+    *     that another block will reject stay registered, the same static
+    *     one-pass rule as q67) and emits a per-block verdict.
+    *  2. keyed by doc_id: the 4 verdicts of a doc always land in the same
+    *     micro-batch (stage 1 processes the whole batch), so the group
+    *     iterator has all of them — admit iff no block matched.
+    *
+    * Within a batch, doc_id order inside each block group makes verdicts
+    * deterministic; a doc never matches itself or same-batch LATER docs.
+    * State is partitioned by the state store on the block key — the hot
+    * 100 TB shape (per-block registries, never a global structure); a
+    * production deployment bounds registries with a TTL/eviction policy.
+    * Input columns: (doc_id long, text string); output (doc_id, admitted).
+    */
+  def streamingNearDupAdmit(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    import graft.ext.NearDup.{HammingT, SimBits, SimBlocks}
+    val blockBits = SimBits / SimBlocks
+    graft.functions.GraftFunctions.register(docs.sparkSession)
+    val sigs = docs.select(col("doc_id").cast("long"),
+      call_function("graft_simhash", col("text")).as("simhash"))
+    val blocks = sigs.select(col("doc_id"), col("simhash"),
+        explode(array((0 until SimBlocks).map(b =>
+          struct(lit(b).as("blk"),
+            pmod(shiftright(col("simhash"), b * blockBits), lit(1L << blockBits)).as("key"))): _*)).as("bk"))
+      .select(col("doc_id"), col("simhash"),
+        concat_ws(":", col("bk.blk"), col("bk.key")).as("block"))
+      .as[(Long, Long, String)]
+    val verdicts = blocks
+      .groupByKey(_._3)
+      .flatMapGroupsWithState(
+        org.apache.spark.sql.streaming.OutputMode.Append(), GroupStateTimeout.NoTimeout) {
+        (_: String, rows: Iterator[(Long, Long, String)],
+         state: GroupState[List[(Long, Long)]]) =>
+          var registry = state.getOption.getOrElse(Nil)
+          val out = Seq.newBuilder[(Long, Boolean)]
+          rows.toSeq.sortBy(_._1).foreach { case (id, sig, _) =>
+            val matched = registry.exists { case (_, other) =>
+              java.lang.Long.bitCount(sig ^ other) <= HammingT
+            }
+            out += ((id, matched))
+            registry = (id, sig) :: registry
+          }
+          state.update(registry)
+          out.result().iterator
+      }
+    verdicts
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(
+        org.apache.spark.sql.streaming.OutputMode.Append(), GroupStateTimeout.NoTimeout) {
+        (id: Long, vs: Iterator[(Long, Boolean)], state: GroupState[Boolean]) =>
+          // all SimBlocks verdicts arrive in one batch; the state guards
+          // against a replayed doc_id re-emitting
+          if (state.exists) Iterator.empty
+          else {
+            state.update(true)
+            Iterator((id, !vs.exists(_._2)))
+          }
+      }
+      .toDF("doc_id", "admitted")
+  }
+
   /** Event-time tumbling-window aggregation with a watermark — the
     * streaming form of q22 (late data beyond the watermark is dropped). */
   def windowedCounts(events: DataFrame, watermark: String = "2 hours"): DataFrame =

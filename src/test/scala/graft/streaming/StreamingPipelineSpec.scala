@@ -304,6 +304,37 @@ class StreamingPipelineSpec extends AnyFunSuite {
       s"state must carry the running count across batches: $b2")
   }
 
+  test("streaming near-dup admission rejects Hamming<=3 simhash matches across batches") {
+    import org.apache.spark.unsafe.types.UTF8String
+    val tA = "spark window shuffle join aggregate partition"
+    val tB = "completely different words appear here entirely unrelated"
+    val tC = "third vocabulary cluster with novel distinct tokens everywhere"
+    // fixture preconditions, asserted via the SAME kernel the operator uses:
+    // distinct texts must be far apart, so only true dups are rejected
+    def sh(t: String) = graft.functions.HashUtil.simhash(UTF8String.fromString(t))
+    for (Seq(x, y) <- Seq(tA, tB, tC).combinations(2))
+      assert(java.lang.Long.bitCount(sh(x) ^ sh(y)) > 3, s"fixture too close: '$x' vs '$y'")
+
+    val sink = s"nd_admit_${System.nanoTime()}"
+    val src = MemoryStream[(Long, String)]
+    val q = StreamingPipeline.streamingNearDupAdmit(src.toDF().toDF("doc_id", "text"))
+      .writeStream.format("memory").queryName(sink).outputMode("append").start()
+
+    // batch 1: doc 2 is an exact dup of doc 1 (hamming 0 -> all blocks match)
+    src.addData((1L, tA), (2L, tA), (3L, tB))
+    q.processAllAvailable()
+    val b1 = spark.table(sink).as[(Long, Boolean)].collect().toMap
+    assert(b1 == Map(1L -> true, 2L -> false, 3L -> true), s"$b1")
+
+    // batch 2: doc 9 duplicates batch-1 content (state must remember it);
+    // doc 10 is novel and admitted
+    src.addData((9L, tB), (10L, tC))
+    q.processAllAvailable()
+    val b2 = spark.table(sink).as[(Long, Boolean)].collect().toMap
+    q.stop()
+    assert(b2 == b1 ++ Map(9L -> false, 10L -> true), s"$b2")
+  }
+
   test("S12 as explicit state: mapGroupsWithState tracks per-key latest position") {
     val sink = s"lpk_${System.nanoTime()}"
     val src = MemoryStream[SEvent]
