@@ -84,19 +84,36 @@ object Corpus {
     * distributed loop runs. Both paths produce identical labels
     * (CorpusSpec cross-validates). */
   def connectedComponents(pairs: DataFrame, maxIters: Int = 50): DataFrame = {
-    val maxDriver = pairs.sparkSession.conf
-      .getOption(CcMaxDriverPairsConf).map(_.toLong).getOrElse(CcDefaultMaxDriverPairs)
+    val maxDriver = math.max(0L, pairs.sparkSession.conf
+      .getOption(CcMaxDriverPairsConf).map(_.toLong).getOrElse(CcDefaultMaxDriverPairs))
     // The pair plan is typically the EXPENSIVE part (q54 feeds the q41
     // banded join in here) — materialize it exactly once, so the dispatch
     // probe and whichever path wins both read the checkpointed rows
     // instead of re-running the join. Bounded: the pair set IS the
-    // near-dup fraction.
+    // near-dup fraction. Freed below once the winning path no longer
+    // needs the blocks (union-find is done after its collect; the loop's
+    // result is itself checkpointed, lineage truncated).
     val p = pairs.localCheckpoint()
-    // limit+count (not a full count): at scale this stops after maxDriver+1
-    val probe = math.min(maxDriver + 1, Int.MaxValue.toLong).toInt
-    if (p.limit(probe).count() <= maxDriver) unionFindLabels(p)
-    else connectedComponentsLoop(p, maxIters)
+    // limit+count (not a full count): at scale this stops after
+    // maxDriver+1 rows. A bound at/above Int.MaxValue cannot be probed
+    // with limit — a driver collect that size is a misconfiguration, so
+    // pay one full count rather than silently routing everything to the
+    // driver.
+    val small =
+      if (maxDriver + 1 <= Int.MaxValue.toLong) p.limit((maxDriver + 1).toInt).count() <= maxDriver
+      else p.count() <= maxDriver
+    try {
+      if (small) unionFindLabels(p)
+      else connectedComponentsLoop(p, maxIters)
+    } finally freeCheckpoint(p)
   }
+
+  /** Release a localCheckpoint'ed frame's executor storage blocks (no-op
+    * for frames that are not checkpointed). */
+  private def freeCheckpoint(df: DataFrame): Unit =
+    df.queryExecution.analyzed.collect {
+      case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd
+    }.foreach(_.unpersist(false))
 
   /** Driver union-find over a driver-sized pair set (path-halving, union
     * by min label so the canonical id is the component minimum — the same
@@ -163,13 +180,10 @@ object Corpus {
     // (message passing along edges) + one min-aggregation.
     def labelSum(): Long =
       labels.agg(coalesce(sum(col("label")), lit(0L))).head.getLong(0)
-    // Release the PREVIOUS round's localCheckpoint blocks once the new one
-    // is materialized — otherwise every round pins another full copy of
-    // the labels RDD in executor storage for the life of the job.
-    def freeCheckpoint(df: DataFrame): Unit =
-      df.queryExecution.analyzed.collect {
-        case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd
-      }.foreach(_.unpersist(false))
+    // The PREVIOUS round's localCheckpoint blocks are released (shared
+    // freeCheckpoint helper) once the new round's are materialized —
+    // otherwise every round pins another full copy of the labels RDD in
+    // executor storage for the life of the job.
     var prevSum = labelSum()
     var iter = 0
     var converged = labels.isEmpty
@@ -195,6 +209,8 @@ object Corpus {
       throw new IllegalStateException(
         s"connectedComponents did not converge within $maxIters rounds — " +
           "the pair graph has a longer path diameter than expected; raise maxIters")
+    // the result is the final labels checkpoint; the edges copy is done
+    freeCheckpoint(edges)
     labels
   }
 

@@ -355,15 +355,24 @@ object NearDup {
                    > CAST(size(ws) AS BIGINT),
                  shiftleft(1L, i), 0L))), 1)), 1)""")
 
+  /** The pigeonhole block keys of a 60-bit simhash — 4 blocks of 15 bits;
+    * a Hamming-distance<=3 pair shares at least one equal block. ONE
+    * definition on purpose: the streaming admission gate
+    * ([[graft.streaming.StreamingPipeline.streamingNearDupAdmit]]) and the
+    * batch q47 join must partition identically or the streaming gate's
+    * exact-recall argument silently breaks. Returns
+    * array<struct<blk:int, key:bigint>> for explode. */
+  def simhashBlockKeys(sim: Column): Column = {
+    val blockBits = SimBits / SimBlocks
+    array((0 until SimBlocks).map(b =>
+      struct(lit(b).as("blk"),
+        pmod(shiftright(sim, b * blockBits), lit(1L << blockBits)).as("key"))): _*)
+  }
+
   def simhashPairs(docs: DataFrame): DataFrame = {
     val sig = withSimhash(docs)
-    // Pigeonhole banding: 4 blocks of 15 bits; distance<=3 pairs share >=1.
-    val blockBits = SimBits / SimBlocks
-    val blockStructs = (0 until SimBlocks).map(b =>
-      struct(lit(b).as("blk"),
-        pmod(shiftright(col("simhash"), b * blockBits), lit(1L << blockBits)).as("key")))
     val blocks = sig
-      .select(col("doc_id"), col("simhash"), explode(array(blockStructs: _*)).as("bk"))
+      .select(col("doc_id"), col("simhash"), explode(simhashBlockKeys(col("simhash"))).as("bk"))
       .select(col("doc_id"), col("simhash"), col("bk.blk").as("blk"), col("bk.key").as("key"))
     blocks.as("a").join(blocks.as("b"),
         col("a.blk") === col("b.blk") && col("a.key") === col("b.key") &&

@@ -413,15 +413,14 @@ object StreamingPipeline {
     */
   def streamingNearDupAdmit(docs: DataFrame): DataFrame = {
     import docs.sparkSession.implicits._
-    import graft.ext.NearDup.{HammingT, SimBits, SimBlocks}
-    val blockBits = SimBits / SimBlocks
+    import graft.ext.NearDup.HammingT
     graft.functions.GraftFunctions.register(docs.sparkSession)
     val sigs = docs.select(col("doc_id").cast("long"),
       call_function("graft_simhash", col("text")).as("simhash"))
+    // the SAME block partition as batch q47 (see NearDup.simhashBlockKeys —
+    // sharing the definition is what keeps the exact-recall argument valid)
     val blocks = sigs.select(col("doc_id"), col("simhash"),
-        explode(array((0 until SimBlocks).map(b =>
-          struct(lit(b).as("blk"),
-            pmod(shiftright(col("simhash"), b * blockBits), lit(1L << blockBits)).as("key"))): _*)).as("bk"))
+        explode(graft.ext.NearDup.simhashBlockKeys(col("simhash"))).as("bk"))
       .select(col("doc_id"), col("simhash"),
         concat_ws(":", col("bk.blk"), col("bk.key")).as("block"))
       .as[(Long, Long, String)]
@@ -433,7 +432,10 @@ object StreamingPipeline {
          state: GroupState[List[(Long, Long)]]) =>
           var registry = state.getOption.getOrElse(Nil)
           val out = Seq.newBuilder[(Long, Boolean)]
-          rows.toSeq.sortBy(_._1).foreach { case (id, sig, _) =>
+          // distinctBy: an at-least-once source can redeliver a doc within
+          // ONE micro-batch — the copy must not self-match and veto the
+          // original in stage 2 (cross-batch redelivery is handled there)
+          rows.toSeq.sortBy(_._1).distinctBy(_._1).foreach { case (id, sig, _) =>
             val matched = registry.exists { case (_, other) =>
               java.lang.Long.bitCount(sig ^ other) <= HammingT
             }

@@ -327,8 +327,9 @@ class StreamingPipelineSpec extends AnyFunSuite {
     assert(b1 == Map(1L -> true, 2L -> false, 3L -> true), s"$b1")
 
     // batch 2: doc 9 duplicates batch-1 content (state must remember it);
-    // doc 10 is novel and admitted
-    src.addData((9L, tB), (10L, tC))
+    // doc 10 is novel, admitted, AND redelivered within the same batch —
+    // the at-least-once copy must not self-match and veto the original
+    src.addData((9L, tB), (10L, tC), (10L, tC))
     q.processAllAvailable()
     val b2 = spark.table(sink).as[(Long, Boolean)].collect().toMap
     q.stop()
