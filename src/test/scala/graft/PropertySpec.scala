@@ -79,6 +79,40 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("i8Quant: codes bounded by +-127, reconstruction within half a step, qdot exact") {
+    (1 to Trials).foreach { _ =>
+      val n = 1 + rnd.nextInt(128)
+      def vec() = Array.fill(n)((rnd.nextFloat() - 0.5f) * rnd.nextInt(100))
+      val (a, b) = (vec(), vec())
+      def arr(v: Array[Float]) = new GenericArrayData(v.map(x => x: Any))
+      val (ma, mb) = (HashUtil.maxAbs(arr(a)).doubleValue(), HashUtil.maxAbs(arr(b)).doubleValue())
+      val (ca, cb) = (HashUtil.i8Quant(arr(a)), HashUtil.i8Quant(arr(b)))
+      // codes live in [-127, 127]; the symmetric grid never emits -128
+      assert(ca.forall(c => c >= -127 && c <= 127))
+      // per-component reconstruction error is at most half a quantization
+      // step (m/254 <= |err| bound from round-to-nearest): the guarantee
+      // the whole int8 path rests on
+      if (ma > 0) a.zip(ca).foreach { case (x, c) =>
+        val err = math.abs(c.toDouble * ma / 127.0 - x.toDouble)
+        assert(err <= ma / 254.0 + 1e-12, s"err $err vs step ${ma / 254.0}")
+      }
+      // integer code dot is exactly the sum of code products
+      val qd = HashUtil.qdot(ca, cb).longValue()
+      assert(qd == ca.zip(cb).map { case (x, y) => x.toLong * y.toLong }.sum)
+      // and the dequantized score approximates the true dot within the
+      // summed per-component bounds (loose triangle-inequality bound)
+      if (ma > 0 && mb > 0) {
+        val score = qd.toDouble * (ma * mb) / 16129.0
+        val truth = a.zip(b).map { case (x, y) => x.toDouble * y.toDouble }.sum
+        val bound = a.zip(b).map { case (x, y) =>
+          ma / 254.0 * math.abs(y) + mb / 254.0 * math.abs(x) + ma / 254.0 * mb / 254.0
+        }.sum
+        assert(math.abs(score - truth) <= bound + 1e-9,
+          s"score $score truth $truth bound $bound")
+      }
+    }
+  }
+
   test("shingles column fn: empty array (not garbage) for text shorter than k") {
     val spark = SparkSession.builder()
       .master("local[2]").config("spark.ui.enabled", "false").getOrCreate()
