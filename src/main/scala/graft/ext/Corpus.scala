@@ -94,15 +94,15 @@ object Corpus {
     // needs the blocks (union-find is done after its collect; the loop's
     // result is itself checkpointed, lineage truncated).
     val p = pairs.localCheckpoint()
-    // limit+count (not a full count): at scale this stops after
-    // maxDriver+1 rows. A bound at/above Int.MaxValue cannot be probed
-    // with limit — a driver collect that size is a misconfiguration, so
-    // pay one full count rather than silently routing everything to the
-    // driver.
-    val small =
-      if (maxDriver + 1 <= Int.MaxValue.toLong) p.limit((maxDriver + 1).toInt).count() <= maxDriver
-      else p.count() <= maxDriver
     try {
+      // limit+count (not a full count): at scale this stops after
+      // maxDriver+1 rows. A bound at/above Int.MaxValue cannot be probed
+      // with limit (and maxDriver+1 would overflow at Long.MaxValue) — a
+      // driver collect that size is a misconfiguration, so pay one full
+      // count rather than silently routing everything to the driver.
+      val small =
+        if (maxDriver < Int.MaxValue.toLong) p.limit((maxDriver + 1).toInt).count() <= maxDriver
+        else p.count() <= maxDriver
       if (small) unionFindLabels(p)
       else connectedComponentsLoop(p, maxIters)
     } finally freeCheckpoint(p)
@@ -205,10 +205,15 @@ object Corpus {
     // pipeline (one real cluster reported as several "canonical" docs) —
     // never return them. maxIters bounds pathological diameters; real
     // near-dup components are near-cliques and converge in a handful.
-    if (!converged)
+    if (!converged) {
+      // release BOTH working checkpoints before failing: "raise maxIters
+      // and retry" must not leak one edges + labels copy per attempt
+      freeCheckpoint(edges)
+      freeCheckpoint(labels)
       throw new IllegalStateException(
         s"connectedComponents did not converge within $maxIters rounds — " +
           "the pair graph has a longer path diameter than expected; raise maxIters")
+    }
     // the result is the final labels checkpoint; the edges copy is done
     freeCheckpoint(edges)
     labels

@@ -440,7 +440,11 @@ object StreamingPipeline {
               java.lang.Long.bitCount(sig ^ other) <= HammingT
             }
             out += ((id, matched))
-            registry = (id, sig) :: registry
+            // register each id once: a CROSS-batch redelivery self-matches
+            // above (stage 2 suppresses its verdict) but must not append a
+            // duplicate registry entry on every redelivery — never-expiring
+            // state would grow without bound
+            if (!registry.exists(_._1 == id)) registry = (id, sig) :: registry
           }
           state.update(registry)
           out.result().iterator
