@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.operators.{Advanced, Relational}
 import graft.cdc.CdcQueries
-import graft.ext.{Corpus, Multimodal, NearDup, Similarity, TextOps}
+import graft.ext.{Corpus, Multimodal, NearDup, Retrieval, Similarity, TextOps}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
 object SparkEntry {
@@ -15,11 +15,13 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Relational.queries ++ Advanced.queries ++ CdcQueries.queries ++ TextOps.queries ++
-      NearDup.queries ++ Similarity.queries ++ Multimodal.queries ++ Corpus.queries
+      NearDup.queries ++ Similarity.queries ++ Multimodal.queries ++ Corpus.queries ++
+      Retrieval.queries ++ graft.streaming.StreamQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     Relational.oracles ++ Advanced.oracles ++ CdcQueries.oracles ++ TextOps.oracles ++
-      NearDup.oracles ++ Similarity.oracles ++ Multimodal.oracles ++ Corpus.oracles
+      NearDup.oracles ++ Similarity.oracles ++ Multimodal.oracles ++ Corpus.oracles ++
+      Retrieval.oracles ++ graft.streaming.StreamQueries.oracles
 }

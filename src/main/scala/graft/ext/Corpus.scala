@@ -63,12 +63,42 @@ object Corpus {
   /** Top-K vocabulary size for q69. */
   val VocabK = 100
 
+  /** q73 chunking geometry: window of [[ChunkSize]] word tokens advancing by
+    * [[ChunkStride]] (so consecutive chunks overlap by Size-Stride tokens —
+    * the standard RAG/pre-training context-window slicing). Production
+    * values are 512/384 or 2048/1536; the gate uses 32/24 because the
+    * corpus docs top out near 100 tokens and a larger window would leave
+    * the multi-chunk + overlap path untested. */
+  val ChunkSize = 32L
+  val ChunkStride = 24L
+
   /** Whitespace token count — the ONE definition q56's packing budget and
     * q65's mixing budget both meter against (the two must never drift). */
   private def wsTokenCount(c: Column): Column =
     size(regexp_extract_all(c, lit("[^ ]+"), lit(0))).cast("long")
   private def wsTokenCountSql(e: String): String =
     s"len(regexp_extract_all($e, '[^ ]+'))::BIGINT"
+
+  /** q73's core: slice each doc's word tokens into [[ChunkSize]]-token
+    * windows advancing by [[ChunkStride]] (zero-token docs are dropped —
+    * there is nothing to slice). Output: (doc_id, ci, chunk) with the
+    * chunk token array retained so callers (and tests) can inspect the
+    * exact slicing. Narrow end-to-end: tokenize → integer chunk count →
+    * explode a per-doc index sequence → slice; no shuffle at any size. */
+  def chunkOverlap(docs: DataFrame): DataFrame = {
+    val (cs, st) = (ChunkSize, ChunkStride)
+    docs
+      .select(col("doc_id"), TextOps.words(col("text")).as("ws"))
+      .withColumn("n", size(col("ws")).cast("long"))
+      .filter(col("n") > 0)
+      .withColumn("n_chunks",
+        when(col("n") <= cs, 1L)
+          .otherwise(lit(1L) + expr(s"(n - $cs + $st - 1) DIV $st")))
+      .select(col("doc_id"), col("ws"), col("n"),
+        explode(sequence(lit(0L), col("n_chunks") - 1)).as("ci"))
+      .select(col("doc_id"), col("ci"),
+        slice(col("ws"), (col("ci") * st + 1).cast("int"), lit(cs.toInt)).as("chunk"))
+  }
 
   /** Conf key: pair count at or under which [[connectedComponents]] runs
     * the driver union-find instead of the iterative distributed loop. */
@@ -473,6 +503,61 @@ object Corpus {
         .withColumn("coverage", col("cum").cast("double") / col("total").cast("double"))
         .select(col("rank"), col("term"), col("cnt"), col("cum"), col("coverage"))
         .repartition(1).sortWithinPartitions(col("rank"))
+    }),
+
+    // ---- q70: substring-level duplication report — for every doc, how
+    //      many of its distinct char-13-grams occur in at least one OTHER
+    //      doc (the Lee-et-al-style "duplicated span" signal at shingle
+    //      granularity; q41/q54 are doc-level, q57 gates against a small
+    //      benchmark set — this is the corpus-vs-itself form). Plan: the
+    //      kernel's distinct per-doc hashes explode once; document
+    //      frequency is a partial+final hash aggregate on the hash key
+    //      (map-side combine absorbs hot shingles), then ONE equi-join
+    //      back on the hash — never doc x doc. The df side is
+    //      corpus-vocabulary-sized so it is NOT broadcast; a hot shingle
+    //      has many left rows but exactly one right row, the shape AQE's
+    //      skew-join split handles. dup_frac is a single exact IEEE
+    //      division.
+    "q70_substring_dedup" -> ((s, dir) => {
+      graft.functions.GraftFunctions.register(s)
+      // kernel ONCE (same discipline as q57): both the df aggregate and
+      // the join probe consume the exploded rows; checkpoint the compact
+      // per-doc arrays, not the exploded rows
+      val hashed = t(s, dir, "documents")
+        .repartition(col("doc_id")) // spread CPU-heavy narrow work
+        .select(col("doc_id"),
+          call_function("graft_shingle_hashes", col("text"), lit(13)).as("shh"))
+        .localCheckpoint()
+      val sh = hashed.select(col("doc_id"), explode(col("shh")).as("h"))
+      // (doc_id, h) pairs are distinct by kernel construction, so count(*)
+      // per h IS the number of docs containing the shingle
+      val dfreq = sh.groupBy(col("h")).agg(count(lit(1)).as("df"))
+      sh.join(dfreq, "h")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_shingles"),
+          sum(when(col("df") >= 2, 1L).otherwise(0L)).as("n_dup"))
+        .withColumn("dup_frac",
+          col("n_dup").cast("double") / col("n_shingles").cast("double"))
+        .repartition(1).sortWithinPartitions(col("doc_id"))
+    }),
+
+    // ---- q73: context-window chunking — each doc's word tokens sliced
+    //      into ChunkSize-token windows advancing by ChunkStride (8-token
+    //      overlap at the gate's 32/24 geometry), the slicing step every
+    //      RAG/pre-training ingest runs after cleaning.
+    //      Pure narrow work: tokenize, compute the chunk count with integer
+    //      arithmetic, explode a per-doc index sequence, slice — no shuffle
+    //      anywhere (the trailing repartition(1) is the driver-compare
+    //      convention, not part of the operator). Chunk identity is the
+    //      portable polyhash of the joined chunk text so the gate fails if
+    //      slicing is off by one token anywhere.
+    "q73_chunk_overlap" -> ((s, dir) => {
+      graft.functions.GraftFunctions.register(s)
+      chunkOverlap(t(s, dir, "documents"))
+        .select(col("doc_id"), col("ci"),
+          size(col("chunk")).cast("long").as("chunk_tokens"),
+          TextOps.polyHash(array_join(col("chunk"), " ")).as("chash"))
+        .repartition(1).sortWithinPartitions(col("doc_id"), col("ci"))
     })
   )
 
@@ -629,6 +714,39 @@ object Corpus {
           CAST(sum(cnt) OVER (ORDER BY cnt DESC, term
             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
         FROM top CROSS JOIN tot) x
-      ORDER BY rank"""
+      ORDER BY rank""",
+
+    "q70_substring_dedup" -> s"""
+      WITH sh AS (
+        SELECT doc_id, unnest(${TextOps.shinglesSql("text", 13)}) AS g FROM documents),
+      dfreq AS (SELECT g, count(*) AS df FROM sh GROUP BY g)
+      SELECT s.doc_id,
+        CAST(count(*) AS BIGINT) AS n_shingles,
+        CAST(count(*) FILTER (WHERE dfreq.df >= 2) AS BIGINT) AS n_dup,
+        count(*) FILTER (WHERE dfreq.df >= 2)::DOUBLE / count(*)::DOUBLE AS dup_frac
+      FROM sh s JOIN dfreq USING (g)
+      GROUP BY s.doc_id
+      ORDER BY s.doc_id""",
+
+    "q73_chunk_overlap" -> {
+      val (cs, st) = (ChunkSize, ChunkStride)
+      s"""
+      WITH d AS (
+        SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS ws,
+          len(regexp_extract_all(lower(text), '[a-z0-9]+'))::BIGINT AS n
+        FROM documents),
+      c AS (
+        SELECT doc_id, ws, n,
+          unnest(range(0, CASE WHEN n <= $cs THEN 1
+                               ELSE 1 + (n - $cs + $st - 1) // $st END)) AS ci
+        FROM d WHERE n > 0),
+      sliced AS (
+        SELECT doc_id, ci, ws[ci*$st+1 : ci*$st+$cs] AS chunk FROM c)
+      SELECT doc_id, ci,
+        len(chunk)::BIGINT AS chunk_tokens,
+        ${TextOps.polyHashSql("array_to_string(chunk, ' ')")} AS chash
+      FROM sliced
+      ORDER BY doc_id, ci"""
+    }
   )
 }

@@ -1,0 +1,182 @@
+package graft.ext
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Retrieval / index-construction operators over the documents corpus —
+  * the "build the serving artifacts" tier of the training-data pipeline
+  * (a corpus this engine curates is also the corpus a retrieval system
+  * indexes):
+  *
+  *  - q72 heavy hitters: the exact most-frequent terms above an n/k
+  *    frequency threshold via the TWO-PASS bounded-memory idiom — pass 1
+  *    generates a candidate superset with per-partition Misra-Gries
+  *    summaries (O(k) memory per task, provably lossless for the
+  *    threshold), pass 2 recounts ONLY the candidates exactly. The naive
+  *    alternative (full groupBy term) shuffles the whole vocabulary;
+  *    this shuffles k rows per partition plus the candidate counts.
+  *  - q74 BM25: Okapi BM25 scores for a fixed query-term set, composed
+  *    from the classic tf / df / dl / avgdl statistics — the scoring step
+  *    of lexical retrieval, with every float op ordered identically in
+  *    both engines so the oracle matches bit-for-bit.
+  *
+  * The reference (chenm11/mysql-hbase-replicator) has no retrieval
+  * operators (it delegates all query capability to Spark SQL, see SURVEY
+  * §0); these extend the documents-table surface like ext/Corpus.
+  */
+object Retrieval {
+  private def t(s: SparkSession, dir: String, n: String): DataFrame = Tables.load(s, dir, n)
+  private def SUMD(e: String): String = graft.util.Sumd.SUMD(e)
+
+  /** Misra-Gries summary capacity (pass-1 memory bound per partition) and
+    * the reported frequency threshold: terms with count*K > total. */
+  val HhK = 200
+
+  /** BM25 constants (Okapi defaults) and the fixed query-term set. The
+    * (k1+1) numerator constant is written as the literal 2.2 in BOTH
+    * engines so no engine ever computes 1.2+1. */
+  val Bm25K1 = 1.2
+  val Bm25B = 0.75
+  val Bm25Query: Seq[String] = Seq("data", "query", "spark")
+
+  /** One Misra-Gries pass over a partition's terms with `k` counters:
+    * a hit increments; a miss inserts while capacity remains, else
+    * decrements every counter and drops zeros (the arriving item is
+    * consumed by that decrement round). Classic guarantee: any term with
+    * partition frequency > n_p/(k+1) survives. Combined with pigeonhole
+    * across partitions (global freq > n/k implies SOME partition has
+    * local freq > n_p/k > n_p/(k+1)), the union of per-partition
+    * summaries is a SUPERSET of every term with global count*k > n —
+    * which is exactly what pass 2 recounts. */
+  def misraGries(it: Iterator[String], k: Int): Iterator[String] = {
+    val m = scala.collection.mutable.HashMap.empty[String, Long]
+    while (it.hasNext) {
+      val term = it.next()
+      m.get(term) match {
+        case Some(c) => m.update(term, c + 1)
+        case None if m.size < k => m.update(term, 1L)
+        case None =>
+          m.mapValuesInPlace((_, c) => c - 1)
+          m.filterInPlace((_, c) => c > 0)
+      }
+    }
+    m.keysIterator
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- q72: exact heavy hitters (count*K > corpus token total). Three
+    //      corpus scans, each with bounded state: candidate generation
+    //      (mapPartitions Misra-Gries, k counters per task, k rows
+    //      emitted per task), the total count, and the candidate recount
+    //      (broadcast semi-join on the <= k*partitions candidate set,
+    //      then a partial+final aggregate over candidate rows only). No
+    //      full-vocabulary shuffle ever happens, which at 100 TB is the
+    //      difference between shuffling billions of (term, n) rows and
+    //      shuffling thousands. The token stream is re-scanned rather
+    //      than checkpointed: re-reading pruned parquet is cheaper than
+    //      materializing the exploded token column at scale.
+    "q72_heavy_hitters" -> ((s, dir) => {
+      import s.implicits._
+      def toks = t(s, dir, "documents")
+        .select(explode(TextOps.words(col("text"))).as("term"))
+      val cand = toks.select(col("term")).as[String]
+        .mapPartitions(it => misraGries(it, HhK))
+        .toDF("term").distinct()
+      val total = toks.agg(count(lit(1)).as("n_total"))
+      toks.join(broadcast(cand), "term")
+        .groupBy(col("term")).agg(count(lit(1)).as("cnt"))
+        .crossJoin(broadcast(total))
+        .filter(col("cnt") * HhK > col("n_total"))
+        .select(col("term"), col("cnt"), col("n_total"))
+        .repartition(1).sortWithinPartitions(col("term"))
+    }),
+
+    // ---- q74: BM25 scoring of the fixed 3-term query over every doc
+    //      containing at least one query term. Statistics plans: dl is a
+    //      narrow projection; avgdl/N one tiny aggregate (broadcast); tf
+    //      touches only query-term rows (the isin filter prunes before
+    //      the aggregate); df is a 3-row aggregate over tf (broadcast).
+    //      One equi-join on doc_id (tf x dl) carries the scoring; every
+    //      IEEE op is ordered identically in the oracle, and the final
+    //      per-doc sum over the <= 3 term scores goes through the
+    //      engine-wide SUMD decimal convention so addend order cannot
+    //      produce a last-ulp drift.
+    "q74_bm25" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val dl = docs.select(col("doc_id"),
+        size(TextOps.words(col("text"))).cast("long").as("dl"))
+      val stats = dl.agg(
+        (sum(col("dl")).cast("double") / count(lit(1)).cast("double")).as("avgdl"),
+        count(lit(1)).as("n_docs"))
+      val tf = docs
+        .select(col("doc_id"), explode(TextOps.words(col("text"))).as("term"))
+        .filter(col("term").isin(Bm25Query: _*))
+        .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+      val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+      val scored = tf
+        .join(broadcast(dfreq), "term")
+        .join(dl, "doc_id")
+        .crossJoin(broadcast(stats))
+        .withColumn("idf",
+          ((col("n_docs") - col("df")).cast("double") + lit(0.5))
+            / (col("df").cast("double") + lit(0.5)))
+        .withColumn("sc",
+          col("idf") * ((col("tf").cast("double") * lit(Bm25K1 + 1.0)) /
+            (col("tf").cast("double") + lit(Bm25K1) *
+              (lit(1.0 - Bm25B) + lit(Bm25B) *
+                (col("dl").cast("double") / col("avgdl"))))))
+      scored.groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_hit"), graft.util.Sumd.sumd(col("sc")).as("score"))
+        .repartition(1).sortWithinPartitions(col("doc_id"))
+    })
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q72_heavy_hitters" -> s"""
+      WITH w AS (
+        SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term
+        FROM documents),
+      tot AS (SELECT CAST(count(*) AS BIGINT) AS n_total FROM w)
+      SELECT term, CAST(count(*) AS BIGINT) AS cnt, (SELECT n_total FROM tot) AS n_total
+      FROM w
+      GROUP BY term
+      HAVING count(*) * $HhK > (SELECT n_total FROM tot)
+      ORDER BY term""",
+
+    "q74_bm25" -> {
+      val terms = Bm25Query.map(q => s"'$q'").mkString(", ")
+      s"""
+      WITH d AS (
+        SELECT doc_id,
+          len(regexp_extract_all(lower(text), '[a-z0-9]+'))::BIGINT AS dl
+        FROM documents),
+      stats AS (
+        SELECT CAST(sum(dl) AS BIGINT)::DOUBLE / count(*)::DOUBLE AS avgdl,
+          CAST(count(*) AS BIGINT) AS n_docs
+        FROM d),
+      w AS (
+        SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term
+        FROM documents),
+      tf AS (
+        SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+        FROM w WHERE term IN ($terms) GROUP BY doc_id, term),
+      dfreq AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY term),
+      scored AS (
+        SELECT t.doc_id,
+          (((s.n_docs - f.df)::DOUBLE + 0.5) / (f.df::DOUBLE + 0.5))
+            * ((t.tf::DOUBLE * ${Bm25K1 + 1.0}) /
+               (t.tf::DOUBLE + $Bm25K1 * (${1.0 - Bm25B} + $Bm25B *
+                 (d.dl::DOUBLE / s.avgdl)))) AS sc
+        FROM tf t
+        JOIN dfreq f USING (term)
+        JOIN d USING (doc_id)
+        CROSS JOIN stats s)
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS n_hit, ${SUMD("sc")} AS score
+      FROM scored
+      GROUP BY doc_id
+      ORDER BY doc_id"""
+    }
+  )
+}

@@ -1,0 +1,87 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SQLContext, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Typed feed row for the q71 event streams (MemoryStream needs a
+  * product encoder). */
+case class EventRow(event_id: Long, user_id: Long, event_type: String,
+    ts: java.sql.Timestamp, value: Double)
+
+/** Driver-gated STREAMING analytics queries (beyond the CDC merge gates in
+  * [[graft.cdc.CdcQueries]]): real `writeStream` runs whose final output is
+  * compared against the equivalent batch SQL in DuckDB — proving the
+  * streaming plan computes the same relation, not just that it runs.
+  */
+object StreamQueries {
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- q71: watermarked stream-stream interval join. The click and
+    //      purchase halves of the events table are replayed in event-time
+    //      order as two MemoryStreams; the attribution join emits every
+    //      (click, purchase-within-30-min) pair for the same user. The
+    //      batch oracle is the identical interval join in DuckDB — an
+    //      append-mode inner join with in-order feeds emits EXACTLY the
+    //      batch answer (the watermark only bounds state, it drops
+    //      nothing that can still match). Covers SURVEY §2.2's streaming
+    //      row beyond aggregation: two-sided join state, watermark-driven
+    //      eviction.
+    "q71_stream_join" -> ((s, dir) => {
+      import s.implicits._
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      implicit val sqlCtx: SQLContext = s.sqlContext
+
+      // Driver feed synthesis, same note as q33: MemoryStream data must
+      // originate on the driver; a deployment reads Kafka/binlog and no
+      // pipeline step below touches the driver with row data.
+      val rows = Tables.load(s, dir, "events")
+        .filter($"event_type".isin("click", "purchase"))
+        .select($"event_id", $"user_id", $"event_type", $"ts", $"value")
+        .orderBy($"ts", $"event_id")
+        .as[EventRow].collect()
+
+      val srcC = MemoryStream[EventRow]
+      val srcP = MemoryStream[EventRow]
+      val clicks = srcC.toDF().select($"event_id".as("click_id"),
+        $"user_id".as("c_user_id"), $"ts".as("click_ts"))
+      val purchases = srcP.toDF().select($"event_id".as("conv_id"),
+        $"user_id".as("p_user_id"), $"ts".as("conv_ts"), $"value".as("conv_value"))
+      val joined = StreamingPipeline.attributionJoin(clicks, purchases)
+        .select($"click_id", $"conv_id", $"c_user_id".as("user_id"),
+          unix_timestamp($"click_ts").as("click_s"),
+          unix_timestamp($"conv_ts").as("conv_s"),
+          $"conv_value")
+
+      val qname = "q71_out_" + java.util.UUID.randomUUID.toString.replace("-", "")
+      val query = joined.writeStream
+        .format("memory").queryName(qname).outputMode("append").start()
+      try {
+        // chunked in global event-time order: several micro-batches, so
+        // both join state *and* watermark eviction actually cycle (one
+        // giant batch would never evict anything mid-run)
+        rows.grouped(4000).foreach { chunk =>
+          val cs = chunk.filter(_.event_type == "click")
+          val ps = chunk.filter(_.event_type == "purchase")
+          if (cs.nonEmpty) srcC.addData(cs.toIndexedSeq)
+          if (ps.nonEmpty) srcP.addData(ps.toIndexedSeq)
+          query.processAllAvailable()
+        }
+      } finally query.stop()
+      s.table(qname).orderBy($"click_id", $"conv_id")
+    })
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q71_stream_join" -> """
+      SELECT c.event_id AS click_id, p.event_id AS conv_id, c.user_id,
+        CAST(FLOOR(epoch(c.ts)) AS BIGINT) AS click_s,
+        CAST(FLOOR(epoch(p.ts)) AS BIGINT) AS conv_s,
+        p.value AS conv_value
+      FROM events c JOIN events p ON c.user_id = p.user_id
+        AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 30 MINUTE
+      WHERE c.event_type = 'click' AND p.event_type = 'purchase'
+      ORDER BY click_id, conv_id"""
+  )
+}

@@ -465,6 +465,28 @@ object StreamingPipeline {
       .toDF("doc_id", "admitted")
   }
 
+  /** Watermarked stream-stream interval join — click→conversion
+    * attribution: each conversion matches the clicks of the same user
+    * whose event time is within `window` BEFORE it. Column contract:
+    * `clicks(click_id, c_user_id, click_ts)`,
+    * `conversions(conv_id, p_user_id, conv_ts, ...)` — distinct names on
+    * purpose, so the join condition is unambiguous without aliases.
+    *
+    * Scale shape: both sides shuffle on the equality key (user), so join
+    * state is partitioned like any other keyed stream; the time-range
+    * condition plus the two watermarks BOUND the state — a click row is
+    * evicted as soon as the conversion-side watermark passes
+    * `click_ts + window`, so steady-state memory is (events within the
+    * watermark horizon), not the whole history. Inner join ⇒ the emitted
+    * rows equal the batch join exactly provided no input arrives later
+    * than `delay` after its stream's max event time. */
+  def attributionJoin(clicks: DataFrame, conversions: DataFrame,
+      delay: String = "1 hour", window: String = "INTERVAL 30 MINUTES"): DataFrame =
+    clicks.withWatermark("click_ts", delay)
+      .join(conversions.withWatermark("conv_ts", delay),
+        expr(s"c_user_id = p_user_id AND conv_ts >= click_ts" +
+          s" AND conv_ts <= click_ts + $window"))
+
   /** Event-time tumbling-window aggregation with a watermark — the
     * streaming form of q22 (late data beyond the watermark is dropped). */
   def windowedCounts(events: DataFrame, watermark: String = "2 hours"): DataFrame =

@@ -94,4 +94,46 @@ class CorpusSpec extends AnyFunSuite {
     assert(kernel.nonEmpty && kernel == hof,
       s"kernel/HOF divergence: ${kernel.toSet.diff(hof.toSet).take(3)}")
   }
+
+  test("chunkOverlap: stride reconstruction recovers every doc exactly (long docs)") {
+    import spark.implicits._
+    val (cs, st) = (Corpus.ChunkSize.toInt, Corpus.ChunkStride.toInt)
+    // lengths around every boundary: sub-window, exact window, one over,
+    // exact second stride boundary, far beyond — plus a 1-token doc
+    val lens = Seq(1, st, cs - 1, cs, cs + 1, cs + st, cs + st + 1, 5 * cs)
+    val docs = lens.zipWithIndex.map { case (n, id) =>
+      (id.toLong, (0 until n).map(i => s"w${id}x$i").mkString(" "))
+    }.toDF("doc_id", "text")
+    val chunks = Corpus.chunkOverlap(docs)
+      .select($"doc_id", $"ci", $"chunk")
+      .as[(Long, Long, Seq[String])].collect()
+      .groupBy(_._1).view.mapValues(_.sortBy(_._2).map(_._3)).toMap
+    for (((n, id)) <- lens.zipWithIndex) {
+      val expected = (0 until n).map(i => s"w${id}x$i")
+      val cks = chunks(id.toLong)
+      // stride reconstruction: chunk 0 + the tail past the overlap of each
+      // following chunk = the original token sequence, exactly
+      val rebuilt = cks.head ++ cks.tail.flatMap(_.drop(cs - st))
+      assert(rebuilt == expected, s"doc $id (n=$n): bad reconstruction")
+      // every chunk is full except possibly the last; the last is non-empty
+      assert(cks.init.forall(_.size == cs), s"doc $id: short non-final chunk")
+      assert(cks.last.nonEmpty, s"doc $id: empty final chunk")
+      // chunk count matches the closed-form geometry
+      val expChunks = if (n <= cs) 1 else 1 + (n - cs + st - 1) / st
+      assert(cks.size == expChunks, s"doc $id: ${cks.size} chunks, want $expChunks")
+    }
+  }
+
+  test("chunkOverlap: consecutive chunks overlap by exactly size-stride tokens") {
+    import spark.implicits._
+    val (cs, st) = (Corpus.ChunkSize.toInt, Corpus.ChunkStride.toInt)
+    val docs = Seq((1L, (0 until 3 * cs).map(i => s"t$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    val cks = Corpus.chunkOverlap(docs)
+      .select($"ci", $"chunk").as[(Long, Seq[String])]
+      .collect().sortBy(_._1).map(_._2)
+    cks.sliding(2).foreach { case Array(a, b) =>
+      assert(a.takeRight(cs - st) == b.take(cs - st), "overlap region mismatch")
+    }
+  }
 }

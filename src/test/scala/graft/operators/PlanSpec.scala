@@ -171,6 +171,39 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("windowspecdefinition(total"), p)
   }
 
+  test("q70: substring dedup is hash-keyed aggregate + equi-join — never doc x doc") {
+    val p = plan("q70_substring_dedup")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    // document frequency must be partial+final on the hash key (map-side
+    // combine is what absorbs hot shingles at 100 TB)
+    assert("HashAggregate".r.findAllIn(p).size >= 2, p)
+    assert(!p.contains("Window"), "df must be an aggregate, not a global window: " + p)
+  }
+
+  test("q72: heavy-hitter recount joins the bounded candidate set by broadcast") {
+    val p = plan("q72_heavy_hitters")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("SortMergeJoin"),
+      "no vocabulary-wide shuffle join may exist: " + p)
+  }
+
+  test("q73: chunking is narrow — no join, no aggregate, no shuffle before the output convention") {
+    val p = plan("q73_chunk_overlap")
+    assert(!p.contains("Join"), p)
+    assert(!p.contains("HashAggregate"), p)
+    assert(p.contains("Generate explode"), p) // the per-doc index fan-out
+    assert(p.contains("graft_polyhash"), "chunk identity must use the codegen kernel: " + p)
+  }
+
+  test("q74: BM25 statistics are broadcast; scoring join is equi on doc_id — no all-pairs") {
+    val p = plan("q74_bm25")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert("HashAggregate".r.findAllIn(p).size >= 2, p)
+  }
+
   test("q63: the shared SQL text plans with pushdown, broadcast, and partial aggregation") {
     val p = plan("q63_sql_surface")
     assert(p.contains("PushedFilters: ["), p)

@@ -542,4 +542,36 @@ class StreamingPipelineSpec extends AnyFunSuite {
     q.stop()
     assert(after3 == after2, "late data beyond the watermark must be dropped")
   }
+
+  test("stream-stream attribution join matches across batches, both arrival orders") {
+    val sink = s"attr_${System.nanoTime()}"
+    val srcC = MemoryStream[(Long, Long, Timestamp)]
+    val srcP = MemoryStream[(Long, Long, Timestamp, Double)]
+    def ts(h: Int, m: Int) = Timestamp.valueOf(f"2024-01-01 $h%02d:$m%02d:00")
+    val q = StreamingPipeline.attributionJoin(
+        srcC.toDF().toDF("click_id", "c_user_id", "click_ts"),
+        srcP.toDF().toDF("conv_id", "p_user_id", "conv_ts", "conv_value"))
+      .select($"click_id", $"conv_id")
+      .writeStream.format("memory").queryName(sink).outputMode("append").start()
+
+    // batch 1: two clicks, no conversions yet
+    srcC.addData((1L, 1L, ts(10, 0)), (2L, 2L, ts(10, 5)))
+    q.processAllAvailable()
+    // batch 2: in-window conv (u1), out-of-window conv (u1, +45min),
+    // in-window conv (u2), and a conv whose CLICK has not arrived yet (u3)
+    srcP.addData((101L, 1L, ts(10, 20), 5.0), (102L, 1L, ts(10, 45), 6.0),
+      (103L, 2L, ts(10, 25), 7.0), (105L, 3L, ts(11, 10), 8.0))
+    q.processAllAvailable()
+    // batch 3: an out-of-order conv for u1 (earlier event time than batch
+    // 2's rows, but within the 1h delay -> must still match), plus the
+    // late-arriving click that completes conv 105
+    srcP.addData((104L, 1L, ts(10, 29), 9.0))
+    srcC.addData((3L, 3L, ts(11, 0)))
+    q.processAllAvailable()
+
+    val got = spark.table(sink).as[(Long, Long)].collect().toSet
+    q.stop()
+    assert(got == Set((1L, 101L), (2L, 103L), (1L, 104L), (3L, 105L)),
+      s"attribution pairs wrong: $got")
+  }
 }
