@@ -55,20 +55,32 @@ object StreamQueries {
           $"conv_value")
 
       val qname = "q71_out_" + java.util.UUID.randomUUID.toString.replace("-", "")
+      // Stream-stream join state costs scale with micro-batch count x
+      // shuffle partitions x the join's 4 state stores — for this bounded
+      // test harness, run the streaming query at a small partition count
+      // (state is tiny here) and restore the session conf after. A real
+      // deployment sizes this to the key cardinality, not the default.
+      val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "8")
       val query = joined.writeStream
         .format("memory").queryName(qname).outputMode("append").start()
       try {
-        // chunked in global event-time order: several micro-batches, so
-        // both join state *and* watermark eviction actually cycle (one
-        // giant batch would never evict anything mid-run)
-        rows.grouped(4000).foreach { chunk =>
+        // FOUR micro-batches in global event-time order at any scale, so
+        // both join state and watermark eviction actually cycle (one giant
+        // batch would never evict anything mid-run; per-fixed-size chunks
+        // would make the batch count — and the harness cost — grow with SF)
+        val chunkSize = math.max(1000, (rows.length + 3) / 4)
+        rows.grouped(chunkSize).foreach { chunk =>
           val cs = chunk.filter(_.event_type == "click")
           val ps = chunk.filter(_.event_type == "purchase")
           if (cs.nonEmpty) srcC.addData(cs.toIndexedSeq)
           if (ps.nonEmpty) srcP.addData(ps.toIndexedSeq)
           query.processAllAvailable()
         }
-      } finally query.stop()
+      } finally {
+        query.stop()
+        s.conf.set("spark.sql.shuffle.partitions", prevParts)
+      }
       s.table(qname).orderBy($"click_id", $"conv_id")
     })
   )
