@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.operators.{Advanced, Relational}
+import graft.operators.{Advanced, Analytics, Relational}
 import graft.cdc.CdcQueries
 import graft.ext.{Corpus, Multimodal, NearDup, Retrieval, Similarity, TextOps}
 
@@ -16,12 +16,12 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Relational.queries ++ Advanced.queries ++ CdcQueries.queries ++ TextOps.queries ++
       NearDup.queries ++ Similarity.queries ++ Multimodal.queries ++ Corpus.queries ++
-      Retrieval.queries ++ graft.streaming.StreamQueries.queries
+      Retrieval.queries ++ graft.streaming.StreamQueries.queries ++ Analytics.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     Relational.oracles ++ Advanced.oracles ++ CdcQueries.oracles ++ TextOps.oracles ++
       NearDup.oracles ++ Similarity.oracles ++ Multimodal.oracles ++ Corpus.oracles ++
-      Retrieval.oracles ++ graft.streaming.StreamQueries.oracles
+      Retrieval.oracles ++ graft.streaming.StreamQueries.oracles ++ Analytics.oracles
 }

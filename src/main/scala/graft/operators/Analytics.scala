@@ -1,0 +1,198 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Event-analytics operators over the `events` stream table — the funnel /
+  * cohort / rolling-window / anomaly family every analytics engine built on
+  * replicated operational data ends up serving (the reference delegates its
+  * whole query surface to Spark SQL, SURVEY §0; these lock the idioms in as
+  * first-class gated operators).
+  *
+  * Cross-engine determinism notes, shared by all four:
+  *  - event times are compared as native timestamps and OUTPUT as unix
+  *    seconds (`unix_timestamp` ≡ DuckDB `FLOOR(epoch(..))`);
+  *  - double sums follow the engine-wide SUMD decimal convention;
+  *  - variance uses the sum-of-squares identity with every IEEE op ordered
+  *    identically in the oracle — no libm beyond correctly-rounded sqrt.
+  */
+object Analytics {
+  private def SUMD(e: String): String = graft.util.Sumd.SUMD(e)
+  private def sumd(c: org.apache.spark.sql.Column) = graft.util.Sumd.sumd(c)
+
+  /** q77's trailing window length in seconds (inclusive frame: the current
+    * event plus everything up to 3599 s before it). */
+  val RollSecs = 3599L
+
+  /** q78's flag threshold: |value - mean| > ZThresh * stddev. */
+  val ZThresh = 2.0
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- q75: conversion funnel signup -> click -> purchase. Each stage
+    //      is the user's FIRST qualifying event at-or-after the previous
+    //      stage's time (the standard ordered-funnel definition). Three
+    //      conditional aggregations on the user key with two user-key
+    //      equi-joins between them — every pass shuffles on user_id and
+    //      nothing buffers a user's history (min() is a running agg), so
+    //      the plan holds at any event volume.
+    "q75_funnel" -> ((s, dir) => {
+      import s.implicits._
+      val ev = Tables.load(s, dir, "events")
+        .select($"user_id", $"event_type", $"ts")
+      val s1 = ev.groupBy($"user_id")
+        .agg(min(when($"event_type" === "signup", $"ts")).as("s_ts"))
+      val s2 = ev.join(s1, "user_id")
+        .groupBy($"user_id")
+        .agg(max($"s_ts").as("s_ts"),
+          min(when($"event_type" === "click" && $"ts" >= $"s_ts", $"ts")).as("c_ts"))
+      val s3 = ev.join(s2, "user_id")
+        .groupBy($"user_id")
+        .agg(max($"s_ts").as("s_ts"), max($"c_ts").as("c_ts"),
+          min(when($"event_type" === "purchase" && $"ts" >= $"c_ts", $"ts")).as("p_ts"))
+      s3.select($"user_id",
+          unix_timestamp($"s_ts").as("s_s"),
+          unix_timestamp($"c_ts").as("c_s"),
+          unix_timestamp($"p_ts").as("p_s"))
+        .withColumn("stage",
+          when($"p_s".isNotNull, 3L).when($"c_s".isNotNull, 2L)
+            .when($"s_s".isNotNull, 1L).otherwise(0L))
+        .orderBy($"user_id")
+    }),
+
+    // ---- q76: weekly cohort retention. Cohort = ISO week of the user's
+    //      first event; a (cohort, k) cell counts users active k weeks
+    //      later (k 0..3). First-event and per-week activity are both
+    //      user-keyed aggregates; the cell aggregate is cohort-keyed —
+    //      weeks are UTC Monday-truncated in both engines so the k
+    //      arithmetic is exact integer division of aligned epochs.
+    "q76_retention" -> ((s, dir) => {
+      import s.implicits._
+      val ev = Tables.load(s, dir, "events").select($"user_id", $"ts")
+      val cohort = ev.groupBy($"user_id")
+        .agg(date_trunc("week", min($"ts")).as("cw"))
+      val active = ev
+        .select($"user_id", date_trunc("week", $"ts").as("aw")).distinct()
+      active.join(cohort, "user_id")
+        .withColumn("k",
+          (unix_timestamp($"aw") - unix_timestamp($"cw")) / lit(604800L))
+        .filter($"k" >= 0 && $"k" <= 3)
+        .groupBy(unix_timestamp($"cw").as("cohort_s"), $"k".cast("long").as("k"))
+        .agg(count(lit(1)).as("n_users")) // (user, week) is distinct already
+        .orderBy($"cohort_s", $"k")
+    }),
+
+    // ---- q77: trailing 1-hour rolling aggregates per user at every
+    //      event — a RANGE window frame over event-time seconds (peers at
+    //      the same second included, exactly as in the oracle). The window
+    //      is partitioned by user; at 100 TB the key becomes (user, day)
+    //      with boundary stitching, same note as q56's packing window —
+    //      never an unpartitioned global frame.
+    "q77_rolling_window" -> ((s, dir) => {
+      import s.implicits._
+      val w = Window.partitionBy($"user_id").orderBy($"ts_s")
+        .rangeBetween(-RollSecs, Window.currentRow)
+      Tables.load(s, dir, "events")
+        .select($"user_id", $"event_id", unix_timestamp($"ts").as("ts_s"), $"value")
+        .withColumn("n_1h", count(lit(1)).over(w))
+        .withColumn("sum_1h", sum(graft.util.Sumd.dec($"value")).over(w).cast("double"))
+        .select($"user_id", $"event_id", $"ts_s", $"n_1h", $"sum_1h")
+        .orderBy($"user_id", $"ts_s", $"event_id")
+    }),
+
+    // ---- q78: z-score anomaly flags per event type. Mean and stddev come
+    //      from ONE tiny decimal-exact aggregate (n, sum, sum-of-squares
+    //      — each x*x is a single IEEE multiply, summed under SUMD);
+    //      variance is the textbook (ss - s*s/n)/(n-1) identity with the
+    //      exact same op order in the oracle, sqrt is correctly rounded,
+    //      so the flag set cannot drift between engines. The stats frame
+    //      (one row per event type) broadcasts back onto the stream —
+    //      linear, two scans, no wide shuffle.
+    "q78_zscore" -> ((s, dir) => {
+      import s.implicits._
+      val ev = Tables.load(s, dir, "events")
+        .select($"event_id", $"event_type", $"value")
+      val stats = ev.groupBy($"event_type").agg(
+        count(lit(1)).as("n"),
+        sumd($"value").as("sv"),
+        sumd($"value" * $"value").as("svv"))
+      ev.join(broadcast(stats), "event_type")
+        .withColumn("mean", $"sv" / $"n".cast("double"))
+        .withColumn("std",
+          sqrt(($"svv" - $"sv" * $"sv" / $"n".cast("double"))
+            / ($"n" - 1).cast("double")))
+        .withColumn("z", ($"value" - $"mean") / $"std")
+        .filter(abs($"z") > ZThresh)
+        .select($"event_id", $"event_type", $"value", $"z")
+        .orderBy($"event_id")
+    })
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q75_funnel" -> """
+      WITH s1 AS (
+        SELECT user_id,
+          min(CASE WHEN event_type = 'signup' THEN ts END) AS s_ts
+        FROM events GROUP BY user_id),
+      s2 AS (
+        SELECT e.user_id, max(s1.s_ts) AS s_ts,
+          min(CASE WHEN e.event_type = 'click' AND e.ts >= s1.s_ts
+              THEN e.ts END) AS c_ts
+        FROM events e JOIN s1 USING (user_id) GROUP BY e.user_id),
+      s3 AS (
+        SELECT e.user_id, max(s2.s_ts) AS s_ts, max(s2.c_ts) AS c_ts,
+          min(CASE WHEN e.event_type = 'purchase' AND e.ts >= s2.c_ts
+              THEN e.ts END) AS p_ts
+        FROM events e JOIN s2 USING (user_id) GROUP BY e.user_id)
+      SELECT user_id,
+        CAST(FLOOR(epoch(s_ts)) AS BIGINT) AS s_s,
+        CAST(FLOOR(epoch(c_ts)) AS BIGINT) AS c_s,
+        CAST(FLOOR(epoch(p_ts)) AS BIGINT) AS p_s,
+        CASE WHEN p_ts IS NOT NULL THEN 3
+             WHEN c_ts IS NOT NULL THEN 2
+             WHEN s_ts IS NOT NULL THEN 1 ELSE 0 END::BIGINT AS stage
+      FROM s3
+      ORDER BY user_id""",
+
+    "q76_retention" -> """
+      WITH cohort AS (
+        SELECT user_id, date_trunc('week', min(ts)) AS cw
+        FROM events GROUP BY user_id),
+      active AS (
+        SELECT DISTINCT user_id, date_trunc('week', ts) AS aw FROM events)
+      SELECT CAST(FLOOR(epoch(c.cw)) AS BIGINT) AS cohort_s,
+        CAST((FLOOR(epoch(a.aw)) - FLOOR(epoch(c.cw))) / 604800 AS BIGINT) AS k,
+        CAST(count(*) AS BIGINT) AS n_users
+      FROM active a JOIN cohort c USING (user_id)
+      WHERE FLOOR(epoch(a.aw)) - FLOOR(epoch(c.cw)) BETWEEN 0 AND 1814400
+      GROUP BY 1, 2
+      ORDER BY cohort_s, k""",
+
+    "q77_rolling_window" -> s"""
+      SELECT user_id, event_id,
+        CAST(FLOOR(epoch(ts)) AS BIGINT) AS ts_s,
+        CAST(count(*) OVER w AS BIGINT) AS n_1h,
+        CAST(SUM(CAST(value AS DECIMAL(18,6))) OVER w AS DOUBLE) AS sum_1h
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY CAST(FLOOR(epoch(ts)) AS BIGINT)
+                   RANGE BETWEEN $RollSecs PRECEDING AND CURRENT ROW)
+      ORDER BY user_id, ts_s, event_id""",
+
+    "q78_zscore" -> s"""
+      WITH stats AS (
+        SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+          ${SUMD("value")} AS sv, ${SUMD("value * value")} AS svv
+        FROM events GROUP BY event_type),
+      scored AS (
+        SELECT e.event_id, e.event_type, e.value,
+          (e.value - s.sv / s.n::DOUBLE)
+            / sqrt((s.svv - s.sv * s.sv / s.n::DOUBLE) / (s.n - 1)::DOUBLE) AS z
+        FROM events e JOIN stats s USING (event_type))
+      SELECT event_id, event_type, value, z
+      FROM scored
+      WHERE abs(z) > $ZThresh
+      ORDER BY event_id"""
+  )
+}

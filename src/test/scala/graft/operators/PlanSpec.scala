@@ -204,6 +204,29 @@ class PlanSpec extends AnyFunSuite {
     assert("HashAggregate".r.findAllIn(p).size >= 2, p)
   }
 
+  test("q75/q76: funnel and retention are user-key equi-joins + partial aggs — no all-pairs") {
+    for (q <- Seq("q75_funnel", "q76_retention")) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), s"$q: $p")
+      assert(!p.contains("BroadcastNestedLoopJoin"), s"$q: $p")
+      assert("HashAggregate".r.findAllIn(p).size >= 2, s"$q: $p")
+    }
+  }
+
+  test("q77: the rolling frame is a per-user range window, never global") {
+    val p = plan("q77_rolling_window")
+    assert(p.contains("windowspecdefinition(user_id"),
+      "rolling window must be partitioned by user: " + p)
+    assert(!p.contains("Join"), p)
+  }
+
+  test("q78: z-score stats broadcast back onto the stream; no wide join") {
+    val p = plan("q78_zscore")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
   test("q63: the shared SQL text plans with pushdown, broadcast, and partial aggregation") {
     val p = plan("q63_sql_surface")
     assert(p.contains("PushedFilters: ["), p)
