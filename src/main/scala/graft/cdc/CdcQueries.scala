@@ -126,6 +126,37 @@ object CdcQueries {
         .filter($"rn" === 1)
         .select($"user_id", $"event_id", $"event_type", $"value")
         .orderBy($"user_id")
+    }),
+
+    // Incremental aggregate-view maintenance (IncrementalView): a
+    // SUM/COUNT-per-priority view folded batch-by-batch from the change
+    // feed — inserts of every row, then updates that BOTH reprice (%7,
+    // x1.2) and MOVE rows between groups (%13 repriorities to 1-URGENT),
+    // then deletes (%11) whose before-images carry the post-update state.
+    // The oracle re-aggregates the equivalent final table from scratch, so
+    // the gate fails if any contribution sign, group move, or decimal
+    // cancellation is wrong.
+    "q79_incremental_agg" -> ((s, dir) => {
+      import s.implicits._
+      val o = Tables.load(s, dir, "orders")
+      def repriced(c: org.apache.spark.sql.Column) =
+        when($"o_orderkey" % 7 === 0, c * 1.2).otherwise(c)
+      def moved(c: org.apache.spark.sql.Column) =
+        when($"o_orderkey" % 13 === 0, lit("1-URGENT")).otherwise(c)
+      val cur = o
+        .withColumn("o_totalprice", repriced($"o_totalprice"))
+        .withColumn("o_orderpriority", moved($"o_orderpriority"))
+      val batches = Seq(
+        ChangeFeed.inserts(o, $"o_orderkey" * 10),
+        ChangeFeed.updates(
+          o.filter($"o_orderkey" % 7 === 0 || $"o_orderkey" % 13 === 0),
+          Map("o_totalprice" -> repriced($"o_totalprice"),
+            "o_orderpriority" -> moved($"o_orderpriority")),
+          $"o_orderkey" * 10 + 5),
+        ChangeFeed.deletes(cur.filter($"o_orderkey" % 11 === 0), $"o_orderkey" * 10 + 7))
+      IncrementalView.maintain(batches, "o_orderpriority", "o_totalprice")
+        .select($"o_orderpriority", $"cnt", $"sum".cast("double").as("total"))
+        .orderBy($"o_orderpriority")
     })
   )
 
@@ -160,6 +191,19 @@ object CdcQueries {
           ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
         FROM events) x
       WHERE rn = 1
-      ORDER BY user_id"""
+      ORDER BY user_id""",
+
+    "q79_incremental_agg" -> s"""
+      WITH cur AS (
+        SELECT
+          CASE WHEN o_orderkey % 13 = 0 THEN '1-URGENT'
+               ELSE o_orderpriority END AS o_orderpriority,
+          CASE WHEN o_orderkey % 7 = 0 THEN o_totalprice * 1.2
+               ELSE o_totalprice END AS price
+        FROM orders WHERE o_orderkey % 11 <> 0)
+      SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS cnt,
+        ${graft.util.Sumd.SUMD("price")} AS total
+      FROM cur GROUP BY o_orderpriority
+      ORDER BY o_orderpriority"""
   )
 }

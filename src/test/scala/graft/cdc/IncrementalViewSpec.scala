@@ -1,0 +1,66 @@
+package graft.cdc
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The IVM algebra behind q79 on hand-built feeds: contribution signs,
+  * group-moving updates, exact decimal cancellation, merge associativity. */
+class IncrementalViewSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+  import spark.implicits._
+
+  private def base: DataFrame =
+    Seq((1L, "a", 10.5), (2L, "a", 20.25), (3L, "b", 5.0))
+      .toDF("id", "grp", "v")
+
+  private def view(batches: Seq[DataFrame]): Map[String, (Long, Double)] =
+    IncrementalView.maintain(batches, "grp", "v")
+      .select($"grp", $"cnt", $"sum".cast("double"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+
+  test("inserts then a group-moving update relocate the row exactly") {
+    val b1 = ChangeFeed.inserts(base, $"id")
+    // row 2 moves a -> b and is repriced
+    val b2 = ChangeFeed.updates(base.filter($"id" === 2),
+      Map("grp" -> lit("b"), "v" -> lit(7.75)), $"id" + 10)
+    assert(view(Seq(b1, b2)) ==
+      Map("a" -> (1L, 10.5), "b" -> (2L, 12.75)))
+  }
+
+  test("insert + delete cancel exactly; emptied groups disappear") {
+    val b1 = ChangeFeed.inserts(base, $"id")
+    val b2 = ChangeFeed.deletes(base.filter($"grp" === "b"), $"id" + 10)
+    val got = view(Seq(b1, b2))
+    assert(got == Map("a" -> (2L, 30.75)), s"b must vanish: $got")
+  }
+
+  test("merge is associative: pairwise grouping equals sequential fold") {
+    val b1 = ChangeFeed.inserts(base, $"id")
+    val b2 = ChangeFeed.updates(base.filter($"id" === 1),
+      Map("v" -> ($"v" * 1.2)), $"id" + 10)
+    val b3 = ChangeFeed.deletes(base.filter($"id" === 3), $"id" + 20)
+    val ds = Seq(b1, b2, b3).map(IncrementalView.delta(_, "grp", "v"))
+    def fin(df: DataFrame) = df.filter($"cnt" > 0)
+      .select($"grp", $"cnt", $"sum".cast("double"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+    val leftFold = fin(IncrementalView.merge(
+      IncrementalView.merge(ds(0), ds(1), "grp"), ds(2), "grp"))
+    val rightFold = fin(IncrementalView.merge(
+      ds(0), IncrementalView.merge(ds(1), ds(2), "grp"), "grp"))
+    assert(leftFold == rightFold && leftFold.nonEmpty)
+  }
+
+  test("update repricing accumulates as the exact decimal of the new price") {
+    val b1 = ChangeFeed.inserts(base, $"id")
+    val b2 = ChangeFeed.updates(base.filter($"id" === 1),
+      Map("v" -> ($"v" * 3.0)), $"id" + 10)
+    val got = view(Seq(b1, b2))
+    // dec(10.5) + (dec(31.5) - dec(10.5)) == dec(31.5) exactly
+    assert(got("a") == (2L, 31.5 + 20.25), got.toString)
+  }
+}

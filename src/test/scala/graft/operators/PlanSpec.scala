@@ -227,6 +227,14 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("SortMergeJoin"), p)
   }
 
+  test("q79: IVM deltas are partial+final aggs; merges are key-equi full-outer joins") {
+    val p = plan("q79_incremental_agg")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("FullOuter"), "view merge must be a full-outer equi join: " + p)
+    assert("HashAggregate".r.findAllIn(p).size >= 2, p)
+  }
+
   test("q63: the shared SQL text plans with pushdown, broadcast, and partial aggregation") {
     val p = plan("q63_sql_surface")
     assert(p.contains("PushedFilters: ["), p)
