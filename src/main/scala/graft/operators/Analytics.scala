@@ -114,16 +114,25 @@ object Analytics {
       import s.implicits._
       val ev = Tables.load(s, dir, "events")
         .select($"event_id", $"event_type", $"value")
+      // degenerate groups are EXCLUDED before any division/sqrt, with the
+      // identical guard in the oracle: n = 1 (variance undefined) and
+      // zero/negative variance (all-equal values; decimal rounding can
+      // also push a tiny true variance fractionally below 0). Without the
+      // guard the engines disagree — Spark yields NaN (and NaN > t is
+      // true under its ordering), DuckDB yields NULL on 0/0 and ERRORS on
+      // sqrt(negative).
       val stats = ev.groupBy($"event_type").agg(
-        count(lit(1)).as("n"),
-        sumd($"value").as("sv"),
-        sumd($"value" * $"value").as("svv"))
+          count(lit(1)).as("n"),
+          sumd($"value").as("sv"),
+          sumd($"value" * $"value").as("svv"))
+        .filter($"n" > 1)
+        .withColumn("varr",
+          ($"svv" - $"sv" * $"sv" / $"n".cast("double"))
+            / ($"n" - 1).cast("double"))
+        .filter($"varr" > 0)
       ev.join(broadcast(stats), "event_type")
         .withColumn("mean", $"sv" / $"n".cast("double"))
-        .withColumn("std",
-          sqrt(($"svv" - $"sv" * $"sv" / $"n".cast("double"))
-            / ($"n" - 1).cast("double")))
-        .withColumn("z", ($"value" - $"mean") / $"std")
+        .withColumn("z", ($"value" - $"mean") / sqrt($"varr"))
         .filter(abs($"z") > ZThresh)
         .select($"event_id", $"event_type", $"value", $"z")
         .orderBy($"event_id")
@@ -185,11 +194,15 @@ object Analytics {
         SELECT event_type, CAST(count(*) AS BIGINT) AS n,
           ${SUMD("value")} AS sv, ${SUMD("value * value")} AS svv
         FROM events GROUP BY event_type),
+      gstats AS (
+        SELECT event_type, n, sv,
+          (svv - sv * sv / n::DOUBLE) / (n - 1)::DOUBLE AS varr
+        FROM stats WHERE n > 1),
       scored AS (
         SELECT e.event_id, e.event_type, e.value,
-          (e.value - s.sv / s.n::DOUBLE)
-            / sqrt((s.svv - s.sv * s.sv / s.n::DOUBLE) / (s.n - 1)::DOUBLE) AS z
-        FROM events e JOIN stats s USING (event_type))
+          (e.value - s.sv / s.n::DOUBLE) / sqrt(s.varr) AS z
+        FROM events e JOIN gstats s USING (event_type)
+        WHERE s.varr > 0)
       SELECT event_id, event_type, value, z
       FROM scored
       WHERE abs(z) > $ZThresh

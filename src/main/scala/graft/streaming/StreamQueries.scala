@@ -60,28 +60,36 @@ object StreamQueries {
       // test harness, run the streaming query at a small partition count
       // (state is tiny here) and restore the session conf after. A real
       // deployment sizes this to the key cardinality, not the default.
+      // The conf set AND the query start both live inside the try: a throw
+      // from start() must not leave the shared session at 8 partitions.
       val prevParts = s.conf.get("spark.sql.shuffle.partitions")
-      s.conf.set("spark.sql.shuffle.partitions", "8")
-      val query = joined.writeStream
-        .format("memory").queryName(qname).outputMode("append").start()
       try {
-        // FOUR micro-batches in global event-time order at any scale, so
-        // both join state and watermark eviction actually cycle (one giant
-        // batch would never evict anything mid-run; per-fixed-size chunks
-        // would make the batch count — and the harness cost — grow with SF)
-        val chunkSize = math.max(1000, (rows.length + 3) / 4)
-        rows.grouped(chunkSize).foreach { chunk =>
-          val cs = chunk.filter(_.event_type == "click")
-          val ps = chunk.filter(_.event_type == "purchase")
-          if (cs.nonEmpty) srcC.addData(cs.toIndexedSeq)
-          if (ps.nonEmpty) srcP.addData(ps.toIndexedSeq)
-          query.processAllAvailable()
-        }
-      } finally {
-        query.stop()
-        s.conf.set("spark.sql.shuffle.partitions", prevParts)
-      }
-      s.table(qname).orderBy($"click_id", $"conv_id")
+        s.conf.set("spark.sql.shuffle.partitions", "8")
+        val query = joined.writeStream
+          .format("memory").queryName(qname).outputMode("append").start()
+        try {
+          // FOUR micro-batches in global event-time order at any scale, so
+          // both join state and watermark eviction actually cycle (one giant
+          // batch would never evict anything mid-run; per-fixed-size chunks
+          // would make the batch count — and the harness cost — grow with SF)
+          val chunkSize = math.max(1000, (rows.length + 3) / 4)
+          rows.grouped(chunkSize).foreach { chunk =>
+            val cs = chunk.filter(_.event_type == "click")
+            val ps = chunk.filter(_.event_type == "purchase")
+            if (cs.nonEmpty) srcC.addData(cs.toIndexedSeq)
+            if (ps.nonEmpty) srcP.addData(ps.toIndexedSeq)
+            query.processAllAvailable()
+          }
+        } finally query.stop()
+      } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+      // Detach the (small) result from the memory sink and DROP the sink
+      // table — each invocation would otherwise pin a full copy of the
+      // join output in the driver for the session's lifetime.
+      val sunk = s.table(qname).orderBy($"click_id", $"conv_id")
+      val out = s.createDataFrame(
+        java.util.Arrays.asList(sunk.collect(): _*), sunk.schema)
+      s.catalog.dropTempView(qname)
+      out
     })
   )
 

@@ -436,15 +436,19 @@ object StreamingPipeline {
           // ONE micro-batch — the copy must not self-match and veto the
           // original in stage 2 (cross-batch redelivery is handled there)
           rows.toSeq.sortBy(_._1).distinctBy(_._1).foreach { case (id, sig, _) =>
-            val matched = registry.exists { case (_, other) =>
-              java.lang.Long.bitCount(sig ^ other) <= HammingT
+            // ONE registry walk answers both questions: any Hamming match,
+            // and is this id already registered (a CROSS-batch redelivery
+            // self-matches — stage 2 suppresses its verdict — but must not
+            // append a duplicate entry on every redelivery, or the
+            // never-expiring state would grow without bound)
+            var matched = false
+            var seen = false
+            registry.foreach { case (rid, other) =>
+              matched ||= java.lang.Long.bitCount(sig ^ other) <= HammingT
+              seen ||= rid == id
             }
             out += ((id, matched))
-            // register each id once: a CROSS-batch redelivery self-matches
-            // above (stage 2 suppresses its verdict) but must not append a
-            // duplicate registry entry on every redelivery — never-expiring
-            // state would grow without bound
-            if (!registry.exists(_._1 == id)) registry = (id, sig) :: registry
+            if (!seen) registry = (id, sig) :: registry
           }
           state.update(registry)
           out.result().iterator
