@@ -359,6 +359,22 @@ object StreamingPipeline {
       .toDF("content_sha", "keep_id")
   }
 
+  /** Streaming exact dedup with BOUNDED state — the production form of
+    * [[streamingDedup]], whose first-seen registry never expires. State
+    * here is `dropDuplicatesWithinWatermark` on the content hash: a
+    * hash's entry is dropped once the watermark passes its event time
+    * plus `delay`, so steady-state memory is the watermark horizon's
+    * traffic at any corpus size. The trade-off is explicit: a duplicate
+    * arriving AFTER the horizon re-emits (exactly-once-per-horizon, not
+    * per-history — the periodic batch dedup passes catch the stragglers).
+    * Input columns: (doc_id long, ts timestamp, text string). */
+  def streamingDedupBounded(docs: DataFrame, delay: String = "1 hour"): DataFrame =
+    docs.select(col("doc_id").cast("long"), col("ts"),
+        sha2(col("text"), 256).as("content_sha"))
+      .withWatermark("ts", delay)
+      .dropDuplicatesWithinWatermark("content_sha")
+      .select(col("content_sha"), col("doc_id").as("keep_id"))
+
   /** Streaming domain-mixture admission — the streaming form of q65's
     * budgeted sampling: each source keeps its running admitted-token count
     * as keyed state (ONE long per source, partitioned by the state store);

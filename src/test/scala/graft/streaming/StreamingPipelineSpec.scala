@@ -543,6 +543,36 @@ class StreamingPipelineSpec extends AnyFunSuite {
     assert(after3 == after2, "late data beyond the watermark must be dropped")
   }
 
+  test("bounded streaming dedup suppresses within the horizon, re-admits after it") {
+    val sink = s"bdedup_${System.nanoTime()}"
+    val src = MemoryStream[(Long, Timestamp, String)]
+    def ts(h: Int, m: Int) = Timestamp.valueOf(f"2024-01-01 $h%02d:$m%02d:00")
+    val q = StreamingPipeline.streamingDedupBounded(
+        src.toDF().toDF("doc_id", "ts", "text"), delay = "1 hour")
+      .writeStream.format("memory").queryName(sink).outputMode("append").start()
+
+    // same content twice in one batch: one survivor
+    src.addData((1L, ts(10, 0), "alpha"), (2L, ts(10, 1), "alpha"), (3L, ts(10, 2), "beta"))
+    q.processAllAvailable()
+    // duplicate inside the watermark horizon: suppressed
+    src.addData((4L, ts(10, 30), "alpha"))
+    q.processAllAvailable()
+    val inside = spark.table(sink).as[(String, Long)].collect().map(_._2).toSet
+    assert(inside.intersect(Set(1L, 2L)).size == 1 && inside.contains(3L) &&
+      !inside.contains(4L), s"within-horizon dup must be suppressed: $inside")
+
+    // advance the watermark far past alpha's entry (+delay), then replay
+    // the content: state was dropped, so it re-emits — the documented
+    // bounded-state trade-off
+    src.addData((5L, ts(13, 0), "gamma"))
+    q.processAllAvailable()
+    src.addData((6L, ts(13, 1), "alpha"))
+    q.processAllAvailable()
+    val after = spark.table(sink).as[(String, Long)].collect().map(_._2).toSet
+    q.stop()
+    assert(after.contains(6L), s"post-horizon duplicate must re-admit: $after")
+  }
+
   test("stream-stream attribution join matches across batches, both arrival orders") {
     val sink = s"attr_${System.nanoTime()}"
     val srcC = MemoryStream[(Long, Long, Timestamp)]
