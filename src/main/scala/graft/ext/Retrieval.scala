@@ -41,6 +41,11 @@ object Retrieval {
   val Bm25B = 0.75
   val Bm25Query: Seq[String] = Seq("data", "query", "spark")
 
+  /** q80 collocation thresholds: a bigram needs [[CollocMinCount]]
+    * occurrences to be scored; the top [[CollocTopK]] by lift are kept. */
+  val CollocMinCount = 5
+  val CollocTopK = 20
+
   /** One Misra-Gries pass over a partition's terms with `k` counters:
     * a hit increments; a miss inserts while capacity remains, else
     * decrements every counter and drops zeros (the arriving item is
@@ -130,6 +135,47 @@ object Retrieval {
       scored.groupBy(col("doc_id"))
         .agg(count(lit(1)).as("n_hit"), graft.util.Sumd.sumd(col("sc")).as("score"))
         .repartition(1).sortWithinPartitions(col("doc_id"))
+    }),
+
+    // ---- q80: collocations — adjacent word pairs ranked by PMI lift
+    //      p(ab)/(p(a)p(b)), the phrase-mining step of vocabulary /
+    //      tokenizer construction (a high-lift bigram is a candidate
+    //      multi-word token). Bigrams come from a codegen'd zip_with over
+    //      each doc's token array (narrow); unigram and bigram counts are
+    //      partial+final aggregates on their term keys; the two unigram
+    //      lookups are plain equi-joins (the vocabulary frame is NOT
+    //      assumed broadcast-sized). Lift is computed in double with the
+    //      exact operand order mirrored in the oracle — the all-integer
+    //      form cab*nu^2/(ca*cb*nbg) would overflow int64 at real corpus
+    //      sizes. Top-K is TakeOrderedAndProject on a fully deterministic
+    //      (lift, bigram) key — never a global sort.
+    "q80_collocations" -> ((s, dir) => {
+      val docsW = t(s, dir, "documents")
+        .select(TextOps.words(col("text")).as("ws"))
+      val uni = docsW.select(explode(col("ws")).as("t"))
+      val uc = uni.groupBy(col("t")).agg(count(lit(1)).as("c"))
+      val nu = uni.agg(count(lit(1)).as("nu"))
+      val bg = docsW.filter(size(col("ws")) >= 2)
+        .select(explode(zip_with(
+          slice(col("ws"), lit(1), size(col("ws")) - 1),
+          slice(col("ws"), lit(2), size(col("ws")) - 1),
+          (a, b) => concat(a, lit(" "), b))).as("g"))
+      val nbg = bg.agg(count(lit(1)).as("nbg"))
+      val bc = bg.groupBy(col("g")).agg(count(lit(1)).as("cab"))
+        .filter(col("cab") >= CollocMinCount)
+      bc.withColumn("a", split(col("g"), " ").getItem(0))
+        .withColumn("b", split(col("g"), " ").getItem(1))
+        .join(uc.withColumnRenamed("t", "a").withColumnRenamed("c", "ca"), "a")
+        .join(uc.withColumnRenamed("t", "b").withColumnRenamed("c", "cb"), "b")
+        .crossJoin(broadcast(nu))
+        .crossJoin(broadcast(nbg))
+        .withColumn("lift",
+          ((col("cab").cast("double") * col("nu").cast("double"))
+            / (col("ca").cast("double") * col("cb").cast("double")))
+            * (col("nu").cast("double") / col("nbg").cast("double")))
+        .select(col("g").as("bigram"), col("cab"), col("ca"), col("cb"), col("lift"))
+        .orderBy(col("lift").desc, col("bigram"))
+        .limit(CollocTopK)
     })
   )
 
@@ -177,6 +223,30 @@ object Retrieval {
       FROM scored
       GROUP BY doc_id
       ORDER BY doc_id"""
-    }
+    },
+
+    "q80_collocations" -> s"""
+      WITH d AS (
+        SELECT regexp_extract_all(lower(text), '[a-z0-9]+') AS ws FROM documents),
+      uni AS (SELECT unnest(ws) AS t FROM d),
+      uc AS (SELECT t, CAST(count(*) AS BIGINT) AS c FROM uni GROUP BY t),
+      nu AS (SELECT CAST(count(*) AS BIGINT) AS nu FROM uni),
+      bg AS (
+        SELECT unnest(list_transform(range(1, len(ws)),
+          i -> ws[i] || ' ' || ws[i + 1])) AS g
+        FROM d WHERE len(ws) >= 2),
+      nbg AS (SELECT CAST(count(*) AS BIGINT) AS nbg FROM bg),
+      bc AS (
+        SELECT g, CAST(count(*) AS BIGINT) AS cab FROM bg GROUP BY g
+        HAVING count(*) >= $CollocMinCount)
+      SELECT bc.g AS bigram, bc.cab, ua.c AS ca, ub.c AS cb,
+        ((bc.cab::DOUBLE * nu.nu::DOUBLE) / (ua.c::DOUBLE * ub.c::DOUBLE))
+          * (nu.nu::DOUBLE / nbg.nbg::DOUBLE) AS lift
+      FROM bc
+      JOIN uc ua ON ua.t = split_part(bc.g, ' ', 1)
+      JOIN uc ub ON ub.t = split_part(bc.g, ' ', 2)
+      CROSS JOIN nu CROSS JOIN nbg
+      ORDER BY lift DESC, bigram
+      LIMIT $CollocTopK"""
   )
 }

@@ -227,6 +227,13 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("SortMergeJoin"), p)
   }
 
+  test("q80: collocation top-K is TakeOrderedAndProject over equi-joined counts") {
+    val p = plan("q80_collocations")
+    assert(p.contains("TakeOrderedAndProject"), "top-K must never be a global sort: " + p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert("HashAggregate".r.findAllIn(p).size >= 2, p)
+  }
+
   test("q79: IVM deltas are partial+final aggs; merges are key-equi full-outer joins") {
     val p = plan("q79_incremental_agg")
     assert(!p.contains("CartesianProduct"), p)
