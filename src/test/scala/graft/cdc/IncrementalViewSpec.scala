@@ -4,6 +4,10 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
+/** Row image for the randomized IVM feed (file-scoped: product encoders
+  * need a stable, TypeTag-visible type). */
+case class VRow(id: Long, grp: String, v: Double)
+
 /** The IVM algebra behind q79 on hand-built feeds: contribution signs,
   * group-moving updates, exact decimal cancellation, merge associativity. */
 class IncrementalViewSpec extends AnyFunSuite {
@@ -53,6 +57,49 @@ class IncrementalViewSpec extends AnyFunSuite {
     val rightFold = fin(IncrementalView.merge(
       ds(0), IncrementalView.merge(ds(1), ds(2), "grp"), "grp"))
     assert(leftFold == rightFold && leftFold.nonEmpty)
+  }
+
+  test("random feeds: the maintained view equals a fresh aggregation, exactly") {
+    for (seed <- 1 to 3) {
+      val rng = new scala.util.Random(seed)
+      // live table simulated driver-side so update/delete before-images
+      // are always the CURRENT row (as a real binlog guarantees)
+      val table = scala.collection.mutable.Map.empty[Long, VRow]
+      var nextId = 0L
+      def cents() = rng.nextInt(100000) / 100.0 // exact under DECIMAL(18,6)
+      def grp() = s"g${rng.nextInt(4)}"
+      val batches = (1 to 3).map { _ =>
+        val evs = (1 to 40).map { _ =>
+          val roll = rng.nextInt(10)
+          if (roll < 5 || table.isEmpty) {
+            val r = VRow({ nextId += 1; nextId }, grp(), cents())
+            table(r.id) = r
+            ("insert", None, Some(r))
+          } else {
+            val id = table.keys.toSeq(rng.nextInt(table.size))
+            val before = table(id)
+            if (roll < 8) { // update: reprice, sometimes move groups
+              val after = before.copy(grp = grp(), v = cents())
+              table(id) = after
+              ("update", Some(before), Some(after))
+            } else {
+              table.remove(id)
+              ("delete", Some(before), None)
+            }
+          }
+        }
+        evs.toDF("op", "before", "after")
+      }
+      val got = IncrementalView.maintain(batches, "grp", "v")
+        .select($"grp", $"cnt", $"sum".cast("double"))
+        .collect().map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+      val want = table.values.groupBy(_.grp).map { case (g, rs) =>
+        g -> (rs.size.toLong,
+          rs.map(r => BigDecimal(r.v).setScale(6, BigDecimal.RoundingMode.HALF_UP))
+            .sum.toDouble)
+      }
+      assert(got == want, s"seed=$seed view=$got fresh=$want")
+    }
   }
 
   test("update repricing accumulates as the exact decimal of the new price") {
