@@ -152,17 +152,23 @@ object Retrieval {
     "q80_collocations" -> ((s, dir) => {
       val docsW = t(s, dir, "documents")
         .select(TextOps.words(col("text")).as("ws"))
-      val uni = docsW.select(explode(col("ws")).as("t"))
-      val uc = uni.groupBy(col("t")).agg(count(lit(1)).as("c"))
-      val nu = uni.agg(count(lit(1)).as("nu"))
-      val bg = docsW.filter(size(col("ws")) >= 2)
+      // both count frames are checkpointed because each feeds TWO
+      // consumers (the joins/filter AND its own total) — re-deriving the
+      // totals from the aggregates costs a vocabulary-sized scan instead
+      // of a second full corpus tokenize+explode (q69's discipline)
+      val uc = docsW.select(explode(col("ws")).as("t"))
+        .groupBy(col("t")).agg(count(lit(1)).as("c"))
+        .localCheckpoint()
+      val nu = uc.agg(sum(col("c")).as("nu"))
+      val bcAll = docsW.filter(size(col("ws")) >= 2)
         .select(explode(zip_with(
           slice(col("ws"), lit(1), size(col("ws")) - 1),
           slice(col("ws"), lit(2), size(col("ws")) - 1),
           (a, b) => concat(a, lit(" "), b))).as("g"))
-      val nbg = bg.agg(count(lit(1)).as("nbg"))
-      val bc = bg.groupBy(col("g")).agg(count(lit(1)).as("cab"))
-        .filter(col("cab") >= CollocMinCount)
+        .groupBy(col("g")).agg(count(lit(1)).as("cab"))
+        .localCheckpoint()
+      val nbg = bcAll.agg(sum(col("cab")).as("nbg"))
+      val bc = bcAll.filter(col("cab") >= CollocMinCount)
       bc.withColumn("a", split(col("g"), " ").getItem(0))
         .withColumn("b", split(col("g"), " ").getItem(1))
         .join(uc.withColumnRenamed("t", "a").withColumnRenamed("c", "ca"), "a")

@@ -364,10 +364,13 @@ object StreamingPipeline {
     * here is `dropDuplicatesWithinWatermark` on the content hash: a
     * hash's entry is dropped once the watermark passes its event time
     * plus `delay`, so steady-state memory is the watermark horizon's
-    * traffic at any corpus size. The trade-off is explicit: a duplicate
+    * traffic at any corpus size. The trade-offs are explicit: a duplicate
     * arriving AFTER the horizon re-emits (exactly-once-per-horizon, not
-    * per-history — the periodic batch dedup passes catch the stragglers).
-    * Input columns: (doc_id long, ts timestamp, text string). */
+    * per-history — the periodic batch dedup passes catch the stragglers),
+    * and unlike [[streamingDedup]]'s lowest-doc_id rule the SURVIVOR among
+    * same-batch duplicates is arbitrary (whichever row the state store
+    * sees first): content identity is the contract here, `keep_id` is
+    * only a representative. Input: (doc_id long, ts timestamp, text). */
   def streamingDedupBounded(docs: DataFrame, delay: String = "1 hour"): DataFrame =
     docs.select(col("doc_id").cast("long"), col("ts"),
         sha2(col("text"), 256).as("content_sha"))
