@@ -541,6 +541,31 @@ object Corpus {
         .repartition(1).sortWithinPartitions(col("doc_id"))
     }),
 
+    // ---- q81: decile histogram of document length per language. The
+    //      naive form — ntile(10) over a per-language window — sorts a
+    //      whole language through ONE task at scale; instead the nine
+    //      decile BOUNDARIES come from the distributed sort-based
+    //      exactQuantiles (q34's engine, no per-group buffer), broadcast
+    //      back, and bucket assignment is a narrow branchless comparison
+    //      sum. DuckDB mirrors with quantile_cont (bit-identical R-7
+    //      interpolation, proven by q34) and the same CASE chain, so
+    //      boundary ties bucket identically.
+    "q81_decile_histogram" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val specs = (1 to 9).map(i => s"d$i" -> i / 10.0)
+      val bounds = graft.operators.Advanced.exactQuantiles(
+        docs, "lang", "n_chars", specs)
+      val decile = specs.map { case (name, _) =>
+        when(col("n_chars").cast("double") > col(name), 1).otherwise(0)
+      }.foldLeft(lit(1))(_ + _)
+      docs.join(broadcast(bounds), "lang")
+        .withColumn("decile", decile.cast("long"))
+        .groupBy(col("lang"), col("decile"))
+        .agg(count(lit(1)).as("n"),
+          min(col("n_chars")).as("lo"), max(col("n_chars")).as("hi"))
+        .repartition(1).sortWithinPartitions(col("lang"), col("decile"))
+    }),
+
     // ---- q73: context-window chunking — each doc's word tokens sliced
     //      into ChunkSize-token windows advancing by ChunkStride (8-token
     //      overlap at the gate's 32/24 geometry), the slicing step every
@@ -715,6 +740,24 @@ object Corpus {
             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
         FROM top CROSS JOIN tot) x
       ORDER BY rank""",
+
+    "q81_decile_histogram" -> {
+      val bounds = (1 to 9)
+        .map(i => s"quantile_cont(n_chars, ${i / 10.0}) AS d$i").mkString(", ")
+      val chain = (1 to 9)
+        .map(i => s"(CASE WHEN d.n_chars::DOUBLE > b.d$i THEN 1 ELSE 0 END)")
+        .mkString(" + ")
+      s"""
+      WITH b AS (
+        SELECT lang, $bounds FROM documents GROUP BY lang)
+      SELECT d.lang, CAST(1 + $chain AS BIGINT) AS decile,
+        CAST(count(*) AS BIGINT) AS n,
+        CAST(min(d.n_chars) AS BIGINT) AS lo,
+        CAST(max(d.n_chars) AS BIGINT) AS hi
+      FROM documents d JOIN b USING (lang)
+      GROUP BY 1, 2
+      ORDER BY d.lang, decile"""
+    },
 
     "q70_substring_dedup" -> s"""
       WITH sh AS (

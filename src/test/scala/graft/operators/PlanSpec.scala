@@ -234,6 +234,13 @@ class PlanSpec extends AnyFunSuite {
     assert("HashAggregate".r.findAllIn(p).size >= 2, p)
   }
 
+  test("q81: decile assignment broadcasts quantile bounds — no per-language sort window") {
+    val p = plan("q81_decile_histogram")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("ntile"), "assignment must not be a windowed ntile: " + p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("q79: IVM deltas are partial+final aggs; merges are key-equi full-outer joins") {
     val p = plan("q79_incremental_agg")
     assert(!p.contains("CartesianProduct"), p)
