@@ -16,12 +16,14 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Relational.queries ++ Advanced.queries ++ CdcQueries.queries ++ TextOps.queries ++
       NearDup.queries ++ Similarity.queries ++ Multimodal.queries ++ Corpus.queries ++
-      Retrieval.queries ++ graft.streaming.StreamQueries.queries ++ Analytics.queries
+      Retrieval.queries ++ graft.streaming.StreamQueries.queries ++ Analytics.queries ++
+      graft.sources.SourceQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     Relational.oracles ++ Advanced.oracles ++ CdcQueries.oracles ++ TextOps.oracles ++
       NearDup.oracles ++ Similarity.oracles ++ Multimodal.oracles ++ Corpus.oracles ++
-      Retrieval.oracles ++ graft.streaming.StreamQueries.oracles ++ Analytics.oracles
+      Retrieval.oracles ++ graft.streaming.StreamQueries.oracles ++ Analytics.oracles ++
+      graft.sources.SourceQueries.oracles
 }

@@ -541,6 +541,19 @@ object Corpus {
         .repartition(1).sortWithinPartitions(col("doc_id"))
     }),
 
+    // ---- q82: near-dup cluster-size histogram — how many clusters of
+    //      each size the corpus holds (the shrinkage report a dedup run
+    //      ships with: sum over sizes>1 of (size-1) is exactly the rows
+    //      dedup removes). Pure composition: q54's component labels, then
+    //      one two-level aggregate; count(DISTINCT canonical) per size is
+    //      the standard two-shuffle distinct-agg, never a driver pass.
+    "q82_cluster_histogram" -> ((s, dir) => {
+      queries("q54_dedup_clusters")(s, dir)
+        .groupBy(col("cluster_size"))
+        .agg(countDistinct(col("canonical_id")).as("n_clusters"))
+        .repartition(1).sortWithinPartitions(col("cluster_size"))
+    }),
+
     // ---- q81: decile histogram of document length per language. The
     //      naive form — ntile(10) over a per-language window — sorts a
     //      whole language through ONE task at scale; instead the nine
@@ -588,8 +601,10 @@ object Corpus {
 
   // Exact all-pairs / list-comprehension oracles (fine at sf0.01; the Spark
   // side carries the scalable plan).
-  val oracles: Map[String, String] = Map(
-    "q54_dedup_clusters" -> s"""
+
+  /** q54's oracle, shared: q82's histogram gate wraps the SAME
+    * independently-derived cluster labels as a subquery. */
+  private val q54OracleSql: String = s"""
       WITH RECURSIVE sh AS (
         SELECT doc_id, ${TextOps.shinglesSql("text", NearDup.ShingleK)} AS sh FROM documents),
       pairs AS (
@@ -610,7 +625,10 @@ object Corpus {
       siz AS (SELECT canonical_id, CAST(count(*) AS BIGINT) AS cluster_size FROM lab GROUP BY 1)
       SELECT l.id AS doc_id, l.canonical_id, s.cluster_size
       FROM lab l JOIN siz s USING (canonical_id)
-      ORDER BY doc_id""",
+      ORDER BY doc_id"""
+
+  val oracles: Map[String, String] = Map(
+    "q54_dedup_clusters" -> q54OracleSql,
 
     "q55_stratified_sample" -> s"""
       SELECT doc_id, lang, bucket FROM (
@@ -740,6 +758,15 @@ object Corpus {
             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
         FROM top CROSS JOIN tot) x
       ORDER BY rank""",
+
+    // q54's oracle re-used verbatim as a subquery: the histogram gate must
+    // stand on the same independently-derived cluster labels
+    "q82_cluster_histogram" -> s"""
+      SELECT cluster_size,
+        CAST(count(DISTINCT canonical_id) AS BIGINT) AS n_clusters
+      FROM ($q54OracleSql) base
+      GROUP BY cluster_size
+      ORDER BY cluster_size""",
 
     "q81_decile_histogram" -> {
       val bounds = (1 to 9)

@@ -1,0 +1,70 @@
+package graft.sources
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{StringType, StructType}
+
+import graft.Tables
+
+/** Newline-delimited JSON ingest — the raw-crawl-dump entry point of the
+  * training-data pipeline (everything upstream of the `documents` table).
+  * Contract: a malformed line lands in `_corrupt_record` (PERMISSIVE
+  * capture) — it must neither fail the scan nor silently vanish, because
+  * a dropped line is unaccountable corpus loss and a failed scan blocks
+  * the whole ingest on one bad shard. A type-mismatched field corrupts
+  * its whole record (nulls + capture), never a partial row.
+  *
+  * Scale shape: the JSON reader is a plain distributed file scan —
+  * per-file splits, schema enforced (no inference pass over 100 TB), and
+  * the corrupt column prunes away for readers that do not select it.
+  *
+  * Reference parity: the reference stores its catalog AND its change
+  * payloads as JSON strings (`HbaseTableInfo.scala:14-17`, the Mongo
+  * path's documents); this is the file-level form of the same contract.
+  */
+object JsonLines {
+  val CorruptCol = "_corrupt_record"
+
+  def read(spark: SparkSession, path: String, schema: StructType): DataFrame =
+    spark.read
+      .schema(schema.add(CorruptCol, StringType))
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", CorruptCol)
+      .json(path)
+}
+
+/** Driver-gated source queries: prove the file-ingest path round-trips
+  * the documents table exactly while capturing injected garbage. */
+object SourceQueries {
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- q83: JSONL round-trip — documents encoded to newline JSON
+    //      (distributed toJSON projection), two malformed lines injected
+    //      (syntactic garbage + a type-mismatched doc_id), read back via
+    //      the permissive ingest. Valid rows must equal the source table
+    //      bit-for-bit (unicode escapes, longs, every column) — the gate
+    //      fails if encode/decode mangles anything or if corrupt capture
+    //      leaks a bad row into the output.
+    "q83_jsonl_roundtrip" -> ((s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      val root = Files.createTempDirectory("graft_jsonl").toString
+      val path = s"$root/docs_jsonl"
+      docs.toJSON.write.mode("overwrite").text(path)
+      Files.write(Paths.get(path, "corrupt.txt"),
+        java.util.List.of("{this is not json", """{"doc_id": "not-a-long"}"""))
+      JsonLines.read(s, path, docs.schema)
+        .filter(col(JsonLines.CorruptCol).isNull)
+        .select(docs.columns.map(col).toIndexedSeq: _*)
+        .repartition(1).sortWithinPartitions(col("doc_id"))
+    })
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q83_jsonl_roundtrip" -> """
+      SELECT doc_id, text, lang, source, n_chars
+      FROM documents
+      ORDER BY doc_id"""
+  )
+}

@@ -1,0 +1,42 @@
+package graft.sources
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The permissive-ingest contract: malformed lines are CAPTURED (exact
+  * count, original text), never dropped or fatal; type mismatches corrupt
+  * the whole record, never a partial row. */
+class JsonLinesSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+  import spark.implicits._
+
+  test("corrupt lines are captured with their text; valid rows parse fully") {
+    val root = Files.createTempDirectory("jsonl_spec").toString
+    Files.write(Paths.get(root, "part.jsonl"), java.util.List.of(
+      """{"id": 1, "name": "ok"}""",
+      """{"id": oops""",
+      """{"id": "not-a-long", "name": "half"}""",
+      """{"id": 2, "name": "also ok"}"""))
+    val schema = new org.apache.spark.sql.types.StructType()
+      .add("id", "long").add("name", "string")
+    val df = JsonLines.read(spark, root, schema).cache()
+    try {
+      val corrupt = df.filter(col(JsonLines.CorruptCol).isNotNull)
+        .select(col(JsonLines.CorruptCol)).as[String].collect().sorted
+      assert(corrupt.length == 2, s"exactly the two bad lines: ${corrupt.toSeq}")
+      assert(corrupt.exists(_.contains("oops")) &&
+        corrupt.exists(_.contains("not-a-long")))
+      // the type-mismatched record must NOT contribute a partial row
+      val valid = df.filter(col(JsonLines.CorruptCol).isNull)
+        .select($"id", $"name").as[(Long, String)].collect().toSet
+      assert(valid == Set((1L, "ok"), (2L, "also ok")), valid.toString)
+    } finally df.unpersist()
+  }
+}
