@@ -510,6 +510,24 @@ object StreamingPipeline {
         expr(s"c_user_id = p_user_id AND conv_ts >= click_ts" +
           s" AND conv_ts <= click_ts + $window"))
 
+  /** Streaming session windows — the streaming form of q24's batch
+    * sessionization: per-user activity sessions with a `gap` inactivity
+    * break, as a watermarked `session_window` aggregation. In append mode
+    * a session emits only once the watermark passes its end (sessions are
+    * the one window type that can GROW as events arrive — two sessions
+    * merge when a bridging event lands — so nothing can be emitted while
+    * still mergeable). State is keyed by (user, session) in the state
+    * store; the watermark bounds how long a session can stay open. */
+  def sessionizedCounts(events: DataFrame, gap: String = "30 minutes",
+      watermark: String = "1 hour"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(session_window(col("ts"), gap), col("user_id"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast(DecimalType(18, 6))).cast("double").as("total_value"))
+      .select(col("session_window.start").as("ss"),
+        col("session_window.end").as("se"), col("user_id"), col("n"), col("total_value"))
+
   /** Event-time tumbling-window aggregation with a watermark — the
     * streaming form of q22 (late data beyond the watermark is dropped). */
   def windowedCounts(events: DataFrame, watermark: String = "2 hours"): DataFrame =

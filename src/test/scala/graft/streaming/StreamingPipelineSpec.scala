@@ -543,6 +543,39 @@ class StreamingPipelineSpec extends AnyFunSuite {
     assert(after3 == after2, "late data beyond the watermark must be dropped")
   }
 
+  test("streaming session windows merge across batches and emit once closed") {
+    val sink = s"sess_${System.nanoTime()}"
+    val src = MemoryStream[(Long, Timestamp, Double)]
+    def ts(h: Int, m: Int) = Timestamp.valueOf(f"2024-01-01 $h%02d:$m%02d:00")
+    val q = StreamingPipeline.sessionizedCounts(
+        src.toDF().toDF("user_id", "ts", "value"))
+      .writeStream.format("memory").queryName(sink).outputMode("append").start()
+
+    // u1: one tight session + a separate later one; u2: two sessions 50min
+    // apart that only a later bridging event will merge
+    src.addData((1L, ts(10, 0), 1.0), (1L, ts(10, 10), 2.0),
+      (2L, ts(10, 0), 1.0), (2L, ts(10, 50), 1.0))
+    q.processAllAvailable()
+    assert(spark.table(sink).isEmpty, "append mode: nothing closes before the watermark")
+    // the bridge is out-of-order (10:25 after 10:50 was seen) but inside
+    // the 1h delay -> u2's two sessions must MERGE into one
+    src.addData((2L, ts(10, 25), 1.0), (1L, ts(11, 30), 5.0))
+    q.processAllAvailable()
+    // advance event time so every session's end is behind the watermark
+    src.addData((9L, ts(15, 0), 0.0))
+    q.processAllAvailable()
+
+    val got = spark.table(sink)
+      .as[(Timestamp, Timestamp, Long, Long, Double)].collect().toSet
+    q.stop()
+    assert(got.contains((ts(10, 0), ts(10, 40), 1L, 2L, 3.0)), s"u1 first session: $got")
+    assert(got.contains((ts(11, 30), ts(12, 0), 1L, 1L, 5.0)), s"u1 second session: $got")
+    assert(got.contains((ts(10, 0), ts(11, 20), 2L, 3L, 3.0)),
+      s"u2 sessions must merge through the bridge: $got")
+    assert(!got.exists(r => r._3 == 2L && r._1 == ts(10, 50)),
+      s"no unmerged u2 fragment may emit: $got")
+  }
+
   test("bounded streaming dedup suppresses within the horizon, re-admits after it") {
     val sink = s"bdedup_${System.nanoTime()}"
     val src = MemoryStream[(Long, Timestamp, String)]
