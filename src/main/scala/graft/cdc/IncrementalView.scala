@@ -1,8 +1,11 @@
 package graft.cdc
 
-import org.apache.spark.sql.DataFrame
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
+
+import graft.util.AtomicFile
 
 /** Incremental aggregate-view maintenance (IVM) over the CDC envelope —
   * the natural composition of the replication pipeline (SURVEY §2.1) with
@@ -65,4 +68,66 @@ object IncrementalView {
   def maintain(batches: Seq[DataFrame], key: String, value: String): DataFrame =
     batches.map(delta(_, key, value)).reduce(merge(_, _, key))
       .filter(col("cnt") > 0)
+
+  // ---- streaming form: exactly-once view maintenance under the
+  //      at-least-once micro-batch contract. Deltas are NOT idempotent
+  //      (re-applying one double-counts), so unlike the row applier's
+  //      per-key `_graft_pos` guard the replay guard here is the batch id:
+  //      the view is published as a versioned snapshot dir named by the
+  //      last applied batch id plus a crash-safe pointer file (write new
+  //      version, rename-OVERWRITE the pointer, delete the old version —
+  //      at no point is the live view absent), and a replayed batch id at
+  //      or below the pointer is a no-op. The view is aggregate-sized, so
+  //      a full snapshot rewrite per batch is the RIGHT trade at any
+  //      corpus size: its cost scales with the key cardinality, not the
+  //      stream volume.
+
+  private def pointerPath(viewDir: String) = new Path(viewDir, ".graft_view")
+
+  private def appliedBatch(spark: SparkSession, viewDir: String): Option[Long] =
+    AtomicFile.read(spark.sparkContext.hadoopConfiguration, pointerPath(viewDir))
+      .map(_.trim.toLong)
+
+  /** Current view contents (empty-on-missing); groups at cnt 0 pruned at
+    * read like [[maintain]]. */
+  def snapshotView(spark: SparkSession, viewDir: String): Option[DataFrame] =
+    appliedBatch(spark, viewDir).map(v =>
+      spark.read.parquet(s"$viewDir/v$v").filter(col("cnt") > 0))
+
+  /** Apply one change micro-batch to the persisted view, exactly once:
+    * a `batchId` at or below the published pointer is skipped (streaming
+    * replay after a crash re-delivers the same id). */
+  def applyViewBatch(spark: SparkSession, batch: DataFrame, batchId: Long,
+      viewDir: String, key: String, value: String): Unit = {
+    val applied = appliedBatch(spark, viewDir)
+    if (applied.exists(batchId <= _)) return
+    val d = delta(batch, key, value)
+    val merged = applied match {
+      case Some(v) => merge(spark.read.parquet(s"$viewDir/v$v"), d, key)
+        // cnt 0 rows are exact zeros under a consistent feed; a NEGATIVE
+        // cnt would mean the feed itself is inconsistent — kept visible
+        // rather than silently dropped (snapshotView prunes only cnt 0)
+        .filter(col("cnt") =!= 0)
+      case None => d
+    }
+    merged.write.mode("overwrite").parquet(s"$viewDir/v$batchId")
+    AtomicFile.write(spark.sparkContext.hadoopConfiguration,
+      pointerPath(viewDir), batchId.toString)
+    applied.foreach { v =>
+      val p = new Path(s"$viewDir/v$v")
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+    }
+  }
+
+  /** Streaming aggregate-view topology: a change envelope stream (op,
+    * before, after — the CdcApplier batch shape) maintained into a
+    * persisted per-key view, checkpointed, replay-safe. */
+  def startAggView(changes: DataFrame, viewDir: String, checkpointDir: String,
+      key: String, value: String): org.apache.spark.sql.streaming.StreamingQuery =
+    changes.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        applyViewBatch(batch.sparkSession, batch, batchId, viewDir, key, value)
+      }
+      .start()
 }

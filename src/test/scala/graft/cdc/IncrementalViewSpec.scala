@@ -102,6 +102,46 @@ class IncrementalViewSpec extends AnyFunSuite {
     }
   }
 
+  test("streaming view: maintained across micro-batches, replay-safe, restartable") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val root = java.nio.file.Files.createTempDirectory("graft_view").toString
+    val (viewDir, ckpt) = (s"$root/view", s"$root/ckpt")
+
+    def snap(): Map[String, (Long, Double)] =
+      IncrementalView.snapshotView(spark, viewDir).get
+        .select($"grp", $"cnt", $"sum".cast("double"))
+        .collect().map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+
+    // batches arrive as the (op, before, after) envelope
+    def env(op: String, before: Option[VRow], after: Option[VRow]) = (op, before, after)
+    val src = MemoryStream[(String, Option[VRow], Option[VRow])]
+    val changes = src.toDF().toDF("op", "before", "after")
+    val q1 = IncrementalView.startAggView(changes, viewDir, ckpt, "grp", "v")
+    src.addData(env("insert", None, Some(VRow(1, "a", 10.5))),
+      env("insert", None, Some(VRow(2, "b", 4.25))))
+    q1.processAllAvailable()
+    assert(snap() == Map("a" -> (1L, 10.5), "b" -> (1L, 4.25)))
+    src.addData(env("update", Some(VRow(1, "a", 10.5)), Some(VRow(1, "b", 3.0))))
+    q1.processAllAvailable()
+    q1.stop()
+    assert(snap() == Map("b" -> (2L, 7.25)), "group move must relocate the row")
+
+    // replayed batch id (the at-least-once crash case): exact no-op
+    val replay = Seq(env("insert", None, Some(VRow(9, "b", 100.0))))
+      .toDF("op", "before", "after")
+    IncrementalView.applyViewBatch(spark, replay, batchId = 0L, viewDir, "grp", "v")
+    assert(snap() == Map("b" -> (2L, 7.25)), "batch 0 was already applied")
+
+    // restart against the same checkpoint (same source, as a resumed
+    // deployment would): the stream continues, only NEW ids apply
+    src.addData(env("delete", Some(VRow(2, "b", 4.25)), None))
+    val q2 = IncrementalView.startAggView(changes, viewDir, ckpt, "grp", "v")
+    q2.processAllAvailable()
+    q2.stop()
+    assert(snap() == Map("b" -> (1L, 3.0)), "post-restart batch must apply once")
+  }
+
   test("update repricing accumulates as the exact decimal of the new price") {
     val b1 = ChangeFeed.inserts(base, $"id")
     val b2 = ChangeFeed.updates(base.filter($"id" === 1),
