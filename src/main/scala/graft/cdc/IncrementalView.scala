@@ -88,34 +88,57 @@ object IncrementalView {
     AtomicFile.read(spark.sparkContext.hadoopConfiguration, pointerPath(viewDir))
       .map(_.trim.toLong)
 
-  /** Current view contents (empty-on-missing); groups at cnt 0 pruned at
-    * read like [[maintain]]. */
+  /** Current view contents (empty-on-missing). Groups at EXACTLY cnt 0
+    * are pruned (their sums are exact decimal zeros under a consistent
+    * feed, matching [[maintain]]); a NEGATIVE cnt — a delete for a row
+    * the view never saw inserted — stays VISIBLE: it is the
+    * feed-inconsistency signal, and hiding it would let the divergence
+    * go unnoticed. */
   def snapshotView(spark: SparkSession, viewDir: String): Option[DataFrame] =
     appliedBatch(spark, viewDir).map(v =>
-      spark.read.parquet(s"$viewDir/v$v").filter(col("cnt") > 0))
+      spark.read.parquet(s"$viewDir/v$v").filter(col("cnt") =!= 0))
 
-  /** Apply one change micro-batch to the persisted view, exactly once:
-    * a `batchId` at or below the published pointer is skipped (streaming
-    * replay after a crash re-delivers the same id). */
+  /** Apply one change micro-batch to the persisted view, exactly once.
+    * Replay handling is STRICT: Structured Streaming's at-least-once
+    * contract can only re-deliver the last uncommitted batch, so an id
+    * EQUAL to the pointer is the legal crash-replay no-op, while an id
+    * BELOW it means the stream and the view have diverged (typically a
+    * fresh checkpoint pointed at an existing viewDir — batch ids
+    * restarted at 0) and silently skipping would discard real change
+    * data, so it fails loudly instead.
+    *
+    * Version retention is grace-of-one: the PREVIOUS snapshot survives
+    * the publish, so a reader that resolved the pointer just before the
+    * switch still scans live files; only strictly older versions are
+    * scavenged (the scan also reclaims dirs orphaned by a crash between
+    * publish and cleanup). */
   def applyViewBatch(spark: SparkSession, batch: DataFrame, batchId: Long,
       viewDir: String, key: String, value: String): Unit = {
     val applied = appliedBatch(spark, viewDir)
-    if (applied.exists(batchId <= _)) return
+    if (applied.contains(batchId)) return // crash replay of the last batch
+    applied.filter(batchId < _).foreach { v =>
+      throw new IllegalStateException(
+        s"view at $viewDir has applied batch $v but the stream delivered " +
+          s"batch $batchId - checkpoint/view mismatch (fresh checkpoint " +
+          "against an existing view?); refusing to silently drop batches")
+    }
     val d = delta(batch, key, value)
     val merged = applied match {
       case Some(v) => merge(spark.read.parquet(s"$viewDir/v$v"), d, key)
-        // cnt 0 rows are exact zeros under a consistent feed; a NEGATIVE
-        // cnt would mean the feed itself is inconsistent — kept visible
-        // rather than silently dropped (snapshotView prunes only cnt 0)
-        .filter(col("cnt") =!= 0)
+        .filter(col("cnt") =!= 0) // exact zeros leave; negatives stay visible
       case None => d
     }
     merged.write.mode("overwrite").parquet(s"$viewDir/v$batchId")
     AtomicFile.write(spark.sparkContext.hadoopConfiguration,
       pointerPath(viewDir), batchId.toString)
-    applied.foreach { v =>
-      val p = new Path(s"$viewDir/v$v")
-      p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+    applied.foreach { prev =>
+      val dir = new Path(viewDir)
+      val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.listStatus(dir).foreach { st =>
+        val n = st.getPath.getName
+        if (n.startsWith("v") && n.drop(1).forall(_.isDigit) &&
+          n.drop(1).toLong < prev) fs.delete(st.getPath, true)
+      }
     }
   }
 

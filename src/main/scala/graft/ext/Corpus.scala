@@ -100,6 +100,18 @@ object Corpus {
         slice(col("ws"), (col("ci") * st + 1).cast("int"), lit(cs.toInt)).as("chunk"))
   }
 
+  /** q54's core, presentation-free (q82 aggregates it directly): exact
+    * near-dup pairs → connected components → per-cluster canonical (min
+    * id) and size. */
+  def dedupClusters(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    val pairs = NearDup.exactJaccardPairs(t(s, dir, "documents"))
+    val labels = connectedComponents(pairs)
+    val sizes = labels.groupBy(col("label")).agg(count(lit(1)).as("cluster_size"))
+    labels.join(sizes, "label")
+      .select(col("id").as("doc_id"), col("label").as("canonical_id"), col("cluster_size"))
+  }
+
   /** Conf key: pair count at or under which [[connectedComponents]] runs
     * the driver union-find instead of the iterative distributed loop. */
   val CcMaxDriverPairsConf = "spark.graft.cc.maxDriverPairs"
@@ -270,15 +282,8 @@ object Corpus {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- q54: near-dup pairs (the q41 exact join) -> connected components
     //      -> (doc, canonical=min id in component, cluster size).
-    "q54_dedup_clusters" -> ((s, dir) => {
-      graft.functions.GraftFunctions.register(s)
-      val pairs = NearDup.exactJaccardPairs(t(s, dir, "documents"))
-      val labels = connectedComponents(pairs)
-      val sizes = labels.groupBy(col("label")).agg(count(lit(1)).as("cluster_size"))
-      labels.join(sizes, "label")
-        .select(col("id").as("doc_id"), col("label").as("canonical_id"), col("cluster_size"))
-        .repartition(1).sortWithinPartitions(col("doc_id"))
-    }),
+    "q54_dedup_clusters" -> ((s, dir) =>
+      dedupClusters(s, dir).repartition(1).sortWithinPartitions(col("doc_id"))),
 
     // ---- q55: reproducible stratified sampling — per-language keep rates
     //      gated on a portable polynomial content hash (no RNG, no state;
@@ -548,7 +553,9 @@ object Corpus {
     //      one two-level aggregate; count(DISTINCT canonical) per size is
     //      the standard two-shuffle distinct-agg, never a driver pass.
     "q82_cluster_histogram" -> ((s, dir) => {
-      queries("q54_dedup_clusters")(s, dir)
+      dedupClusters(s, dir) // NOT the q54 query: that tail repartition(1)
+        // is the driver-compare presentation step, and aggregating behind
+        // it would funnel the whole labeled corpus through one task
         .groupBy(col("cluster_size"))
         .agg(countDistinct(col("canonical_id")).as("n_clusters"))
         .repartition(1).sortWithinPartitions(col("cluster_size"))

@@ -49,8 +49,12 @@ object SourceQueries {
     //      leaks a bad row into the output.
     "q83_jsonl_roundtrip" -> ((s, dir) => {
       val docs = Tables.load(s, dir, "documents")
-      val root = Files.createTempDirectory("graft_jsonl").toString
-      val path = s"$root/docs_jsonl"
+      // ONE fixed scratch dir per process, overwritten each run — a fresh
+      // createTempDirectory per invocation would leak a full-table JSONL
+      // copy every time the harness re-runs the query (Bench runs each
+      // entry several times)
+      val path = Paths.get(System.getProperty("java.io.tmpdir"),
+        "graft_q83_jsonl").toString
       docs.toJSON.write.mode("overwrite").text(path)
       Files.write(Paths.get(path, "corrupt.txt"),
         java.util.List.of("{this is not json", """{"doc_id": "not-a-long"}"""))

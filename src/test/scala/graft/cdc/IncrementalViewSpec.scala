@@ -127,11 +127,16 @@ class IncrementalViewSpec extends AnyFunSuite {
     q1.stop()
     assert(snap() == Map("b" -> (2L, 7.25)), "group move must relocate the row")
 
-    // replayed batch id (the at-least-once crash case): exact no-op
+    // replayed LAST batch id (the at-least-once crash case): exact no-op
     val replay = Seq(env("insert", None, Some(VRow(9, "b", 100.0))))
       .toDF("op", "before", "after")
-    IncrementalView.applyViewBatch(spark, replay, batchId = 0L, viewDir, "grp", "v")
-    assert(snap() == Map("b" -> (2L, 7.25)), "batch 0 was already applied")
+    IncrementalView.applyViewBatch(spark, replay, batchId = 1L, viewDir, "grp", "v")
+    assert(snap() == Map("b" -> (2L, 7.25)), "batch 1 was already applied")
+    // an id BELOW the pointer is not a legal replay — it means a fresh
+    // checkpoint was pointed at this view; must fail, not silently skip
+    val e = intercept[IllegalStateException](
+      IncrementalView.applyViewBatch(spark, replay, batchId = 0L, viewDir, "grp", "v"))
+    assert(e.getMessage.contains("checkpoint/view mismatch"))
 
     // restart against the same checkpoint (same source, as a resumed
     // deployment would): the stream continues, only NEW ids apply
