@@ -10,6 +10,9 @@ import graft.Tables
 case class EventRow(event_id: Long, user_id: Long, event_type: String,
     ts: java.sql.Timestamp, value: Double)
 
+/** Typed feed row for q84's windowed-aggregation stream. */
+case class WindowEventRow(ts: java.sql.Timestamp, event_type: String, value: Double)
+
 /** Driver-gated STREAMING analytics queries (beyond the CDC merge gates in
   * [[graft.cdc.CdcQueries]]): real `writeStream` runs whose final output is
   * compared against the equivalent batch SQL in DuckDB — proving the
@@ -90,6 +93,51 @@ object StreamQueries {
         java.util.Arrays.asList(sunk.collect(): _*), sunk.schema)
       s.catalog.dropTempView(qname)
       out
+    }),
+
+    // ---- q84: watermarked tumbling-window aggregation as a REAL
+    //      streaming run vs the batch oracle (windowedCounts is q22's
+    //      streaming form; this gate proves the streaming plan computes
+    //      the same relation, the way q33 gates the CDC applier and q71
+    //      the interval join). Append mode emits a window only once the
+    //      watermark closes it, so after the in-order feed a far-future
+    //      sentinel event pushes the watermark past every real window;
+    //      the sentinel's own rows are filtered from the result.
+    "q84_stream_window" -> ((s, dir) => {
+      import s.implicits._
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      implicit val sqlCtx: SQLContext = s.sqlContext
+      val rows = Tables.load(s, dir, "events")
+        .select($"ts", $"event_type", $"value")
+        .orderBy($"ts")
+        .as[WindowEventRow].collect()
+      val sentinel = WindowEventRow(
+        new java.sql.Timestamp(rows.last.ts.getTime + 10L * 3600 * 1000),
+        "zzz_sentinel", 0.0)
+      val src = MemoryStream[WindowEventRow]
+      val qname = "q84_out_" + java.util.UUID.randomUUID.toString.replace("-", "")
+      val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+      try {
+        s.conf.set("spark.sql.shuffle.partitions", "8")
+        val query = StreamingPipeline.windowedCounts(src.toDF())
+          .writeStream.format("memory").queryName(qname).outputMode("append").start()
+        try {
+          val chunkSize = math.max(1000, (rows.length + 3) / 4)
+          rows.grouped(chunkSize).foreach { c =>
+            src.addData(c.toIndexedSeq); query.processAllAvailable()
+          }
+          src.addData(sentinel)
+          query.processAllAvailable()
+        } finally query.stop()
+      } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+      val sunk = s.table(qname)
+        .filter($"event_type" =!= "zzz_sentinel")
+        .select(unix_timestamp($"ws").as("ws"), $"event_type", $"n", $"total_value")
+        .orderBy($"ws", $"event_type")
+      val out = s.createDataFrame(
+        java.util.Arrays.asList(sunk.collect(): _*), sunk.schema)
+      s.catalog.dropTempView(qname)
+      out
     })
   )
 
@@ -102,6 +150,14 @@ object StreamQueries {
       FROM events c JOIN events p ON c.user_id = p.user_id
         AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 30 MINUTE
       WHERE c.event_type = 'click' AND p.event_type = 'purchase'
-      ORDER BY click_id, conv_id"""
+      ORDER BY click_id, conv_id""",
+
+    "q84_stream_window" -> s"""
+      SELECT CAST(FLOOR(epoch(date_trunc('hour', ts))) AS BIGINT) AS ws,
+        event_type, COUNT(*) AS n,
+        ${graft.util.Sumd.SUMD("value")} AS total_value
+      FROM events
+      GROUP BY 1, 2
+      ORDER BY ws, event_type"""
   )
 }
