@@ -138,6 +138,46 @@ object StreamQueries {
         java.util.Arrays.asList(sunk.collect(): _*), sunk.schema)
       s.catalog.dropTempView(qname)
       out
+    }),
+
+    // ---- q85: streaming exact dedup vs the batch oracle — q40's
+    //      recrawl scenario (every doc re-arrives at doc_id+10000) fed
+    //      in doc_id order through the stateful first-seen gate. With an
+    //      ordered feed, first-seen IS min(doc_id), so the emitted
+    //      survivors must equal the batch dedup exactly — across chunk
+    //      boundaries (keyed state) and within a chunk (the operator's
+    //      lowest-id-wins batch rule).
+    "q85_stream_dedup" -> ((s, dir) => {
+      import s.implicits._
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      implicit val sqlCtx: SQLContext = s.sqlContext
+      val docs = Tables.load(s, dir, "documents").select($"doc_id", $"text")
+      val rows = docs
+        .union(docs.select(($"doc_id" + 10000).as("doc_id"), $"text"))
+        .orderBy($"doc_id")
+        .as[(Long, String)].collect()
+      val src = MemoryStream[(Long, String)]
+      val qname = "q85_out_" + java.util.UUID.randomUUID.toString.replace("-", "")
+      val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+      try {
+        s.conf.set("spark.sql.shuffle.partitions", "8")
+        val query = StreamingPipeline.streamingDedup(
+            src.toDF().toDF("doc_id", "text"))
+          .writeStream.format("memory").queryName(qname).outputMode("append").start()
+        try {
+          val chunkSize = math.max(1000, (rows.length + 3) / 4)
+          rows.grouped(chunkSize).foreach { c =>
+            src.addData(c.toIndexedSeq); query.processAllAvailable()
+          }
+        } finally query.stop()
+      } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+      val sunk = s.table(qname)
+        .select($"keep_id", substring($"content_sha", 1, 16).as("sha_prefix"))
+        .orderBy($"keep_id")
+      val out = s.createDataFrame(
+        java.util.Arrays.asList(sunk.collect(): _*), sunk.schema)
+      s.catalog.dropTempView(qname)
+      out
     })
   )
 
@@ -158,6 +198,14 @@ object StreamQueries {
         ${graft.util.Sumd.SUMD("value")} AS total_value
       FROM events
       GROUP BY 1, 2
-      ORDER BY ws, event_type"""
+      ORDER BY ws, event_type""",
+
+    "q85_stream_dedup" -> """
+      SELECT MIN(doc_id) AS keep_id,
+        SUBSTRING(sha256(text), 1, 16) AS sha_prefix
+      FROM (SELECT doc_id, text FROM documents
+            UNION ALL SELECT doc_id + 10000, text FROM documents)
+      GROUP BY sha256(text)
+      ORDER BY keep_id"""
   )
 }
