@@ -50,15 +50,23 @@ object Corpus {
   /** Tokens per 4096-token context window (q56). */
   val PackBudget = 4096L
 
-  /** Per-source token budgets for q65's mixture (whitespace tokens; the
-    * CASE is the recipe's mixing-weights table). */
+  /** Per-source token budgets for the q65/q86 mixture (whitespace tokens;
+    * the table is the recipe's mixing weights — ONE definition for the
+    * batch CASE, its SQL mirror, and the streaming budget function). */
+  val MixBudgets: Map[String, Long] =
+    Map("src0" -> 1500L, "src1" -> 900L, "src2" -> 600L)
+  val MixDefaultBudget = 500L
+  def mixBudgetFor(source: String): Long =
+    MixBudgets.getOrElse(source, MixDefaultBudget)
   private def mixBudget: Column =
-    when(col("source") === "src0", 1500L)
-      .when(col("source") === "src1", 900L)
-      .when(col("source") === "src2", 600L)
-      .otherwise(500L)
-  private val mixBudgetSql =
-    "CASE source WHEN 'src0' THEN 1500 WHEN 'src1' THEN 900 WHEN 'src2' THEN 600 ELSE 500 END"
+    MixBudgets.foldLeft(null: Column) { case (acc, (src, b)) =>
+      if (acc == null) when(col("source") === src, b)
+      else acc.when(col("source") === src, b)
+    }.otherwise(MixDefaultBudget)
+  private[graft] val mixBudgetSql =
+    "CASE source " + MixBudgets.toSeq.sortBy(_._1)
+      .map { case (s, b) => s"WHEN '$s' THEN $b" }.mkString(" ") +
+      s" ELSE $MixDefaultBudget END"
 
   /** Top-K vocabulary size for q69. */
   val VocabK = 100
@@ -73,10 +81,11 @@ object Corpus {
   val ChunkStride = 24L
 
   /** Whitespace token count — the ONE definition q56's packing budget and
-    * q65's mixing budget both meter against (the two must never drift). */
-  private def wsTokenCount(c: Column): Column =
+    * the q65/q86 mixing budgets all meter against (they must never
+    * drift). */
+  def wsTokenCount(c: Column): Column =
     size(regexp_extract_all(c, lit("[^ ]+"), lit(0))).cast("long")
-  private def wsTokenCountSql(e: String): String =
+  private[graft] def wsTokenCountSql(e: String): String =
     s"len(regexp_extract_all($e, '[^ ]+'))::BIGINT"
 
   /** q73's core: slice each doc's word tokens into [[ChunkSize]]-token

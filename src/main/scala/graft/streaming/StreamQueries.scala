@@ -178,6 +178,45 @@ object StreamQueries {
         java.util.Arrays.asList(sunk.collect(): _*), sunk.schema)
       s.catalog.dropTempView(qname)
       out
+    }),
+
+    // ---- q86: streaming budget admission vs the batch oracle. The
+    //      streaming form admits in ARRIVAL order (a stream has no global
+    //      content-hash sort — q65's ohash ordering is the batch
+    //      operator's job), so the feed is doc_id-ordered and the oracle
+    //      is the same budget-window rule over doc_id order. Gates the
+    //      keyed running-token state across batches and the
+    //      crossing-doc-kept boundary rule.
+    "q86_stream_admission" -> ((s, dir) => {
+      import s.implicits._
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      implicit val sqlCtx: SQLContext = s.sqlContext
+      val rows = Tables.load(s, dir, "documents")
+        .select($"doc_id", $"source",
+          graft.ext.Corpus.wsTokenCount($"text").as("n_tokens"))
+        .orderBy($"doc_id")
+        .as[(Long, String, Long)].collect()
+      val src = MemoryStream[(Long, String, Long)]
+      val qname = "q86_out_" + java.util.UUID.randomUUID.toString.replace("-", "")
+      val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+      try {
+        s.conf.set("spark.sql.shuffle.partitions", "8")
+        val query = StreamingPipeline.streamingBudgetAdmit(
+            src.toDF().toDF("doc_id", "source", "n_tokens"),
+            graft.ext.Corpus.mixBudgetFor)
+          .writeStream.format("memory").queryName(qname).outputMode("append").start()
+        try {
+          val chunkSize = math.max(100, (rows.length + 3) / 4)
+          rows.grouped(chunkSize).foreach { c =>
+            src.addData(c.toIndexedSeq); query.processAllAvailable()
+          }
+        } finally query.stop()
+      } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+      val sunk = s.table(qname).orderBy($"doc_id")
+      val out = s.createDataFrame(
+        java.util.Arrays.asList(sunk.collect(): _*), sunk.schema)
+      s.catalog.dropTempView(qname)
+      out
     })
   )
 
@@ -206,6 +245,20 @@ object StreamQueries {
       FROM (SELECT doc_id, text FROM documents
             UNION ALL SELECT doc_id + 10000, text FROM documents)
       GROUP BY sha256(text)
-      ORDER BY keep_id"""
+      ORDER BY keep_id""",
+
+    "q86_stream_admission" -> s"""
+      SELECT doc_id, source, n_tokens, start FROM (
+        SELECT doc_id, source, n_tokens, budget,
+          CAST(sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+            - n_tokens AS start
+        FROM (
+          SELECT doc_id, source,
+            ${graft.ext.Corpus.wsTokenCountSql("text")} AS n_tokens,
+            ${graft.ext.Corpus.mixBudgetSql} AS budget
+          FROM documents))
+      WHERE start < budget
+      ORDER BY doc_id"""
   )
 }
