@@ -65,8 +65,16 @@ object Bench {
     val qs = times.map { case (k, v) => s"${jstr(k)}:$v" }.mkString("{", ",", "}")
     val es = errors.map { case (k, v) => s"${jstr(k)}:${jstr(v)}" }.mkString("{", ",", "}")
     val total = times.map(_._2).sum
-    println(
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$es,"sf":"$sfDir"}""")
+    val json =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$es,"sf":"$sfDir"}"""
+    println(json)
+    // Also persist to a file: stdout passes through the driver's tail capture,
+    // which has twice head-truncated the artifact (BENCH_r04/r05 parsed:null).
+    val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_out.json")
+    try java.nio.file.Files.write(
+      java.nio.file.Paths.get(out),
+      (json + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    catch { case e: Throwable => System.err.println(s"bench: could not write $out: $e") }
     spark.stop()
   }
 }

@@ -421,8 +421,11 @@ object NearDup {
         / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= $JaccardT
     ORDER BY id_a, id_b"""
 
-  private def simhashOracle: String = s"""
-    WITH sig AS (
+  /** DuckDB SQL computing (doc_id, simhash) over any relation with
+    * (doc_id, text) — the oracle-side mirror of [[withSimhash]], shared by
+    * the q47 batch oracle and the q87 bounded-streaming-admission oracle so
+    * both gates provably check the SAME signature definition. */
+  def simhashSigSql(rel: String): String = s"""
       SELECT doc_id,
         list_reduce(list_prepend(0::BIGINT, range(0, $SimBits)), (acc, i) -> acc +
           CASE WHEN 2 * list_sum(list_transform(whs,
@@ -434,7 +437,10 @@ object NearDup {
             w -> {'h': ${TextOps.polyHashSql("w")} + ((${polyHash2Sql("w")}) << 30),
                   'c': len(list_filter(ws, x -> x = w))::BIGINT}) AS whs
         FROM (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS ws
-              FROM documents)))
+              FROM $rel))"""
+
+  private def simhashOracle: String = s"""
+    WITH sig AS (${simhashSigSql("documents")})
     SELECT a.doc_id AS id_a, b.doc_id AS id_b,
       bit_count(xor(a.simhash, b.simhash))::BIGINT AS hamming
     FROM sig a JOIN sig b ON a.doc_id < b.doc_id

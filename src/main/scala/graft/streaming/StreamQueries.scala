@@ -217,6 +217,63 @@ object StreamQueries {
         java.util.Arrays.asList(sunk.collect(): _*), sunk.schema)
       s.catalog.dropTempView(qname)
       out
+    }),
+
+    // ---- q87: BOUNDED streaming near-dup admission vs the batch oracle.
+    //      The recrawl scenario (every doc re-arrives at doc_id+10000) is
+    //      fed in doc_id order with a synthetic 1-second-per-rank event
+    //      time; the horizon is 1.5 chunks, so registry entries from more
+    //      than ~1.5 batches back have genuinely EXPIRED when later docs
+    //      (including the recrawl copies of early docs) are judged —
+    //      expired originals no longer veto their copies. The oracle
+    //      replays the exact watermark arithmetic in SQL: a prior doc j
+    //      vetoes doc i iff hamming<=3 AND j's rank is within i's batch
+    //      watermark cut (rank >= k*C - 1 - delay). This gates BOTH the
+    //      admission verdicts and the eviction semantics — a NoTimeout
+    //      registry would fail it (copies of expired docs would read
+    //      admitted=0 where the oracle says 1).
+    "q87_stream_admit_bounded" -> ((s, dir) => {
+      import s.implicits._
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      implicit val sqlCtx: SQLContext = s.sqlContext
+      val docs = Tables.load(s, dir, "documents").select($"doc_id", $"text")
+      val both = docs
+        .union(docs.select(($"doc_id" + 10000).as("doc_id"), $"text"))
+        .orderBy($"doc_id")
+        .as[(Long, String)].collect()
+      val n = both.length
+      val chunkSize = math.max(100, (n + 3) / 4)
+      val delaySec = 3 * chunkSize / 2 // horizon = 1.5 chunks (see oracle)
+      val baseMs = 1735689600000L // 2025-01-01T00:00:00Z; cancels out of the rank math
+      val rows = both.zipWithIndex.map { case ((id, text), r) =>
+        (id, new java.sql.Timestamp(baseMs + r * 1000L), text)
+      }
+      val src = MemoryStream[(Long, java.sql.Timestamp, String)]
+      val qname = "q87_out_" + java.util.UUID.randomUUID.toString.replace("-", "")
+      val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+      // chained stateful stages; see streamingNearDupAdmitBounded's scaladoc
+      // for why the global-watermark pattern check is a false positive here
+      val chk = "spark.sql.streaming.statefulOperator.checkCorrectness.enabled"
+      try {
+        s.conf.set("spark.sql.shuffle.partitions", "8")
+        s.conf.set(chk, "false")
+        val query = try StreamingPipeline.streamingNearDupAdmitBounded(
+            src.toDF().toDF("doc_id", "ts", "text"), s"$delaySec seconds")
+          .writeStream.format("memory").queryName(qname).outputMode("append").start()
+        finally s.conf.set(chk, "true")
+        try {
+          rows.grouped(chunkSize).foreach { c =>
+            src.addData(c.toIndexedSeq); query.processAllAvailable()
+          }
+        } finally query.stop()
+      } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+      val sunk = s.table(qname)
+        .select($"doc_id", $"admitted".cast("int").as("admitted"))
+        .orderBy($"doc_id")
+      val out = s.createDataFrame(
+        java.util.Arrays.asList(sunk.collect(): _*), sunk.schema)
+      s.catalog.dropTempView(qname)
+      out
     })
   )
 
@@ -259,6 +316,30 @@ object StreamQueries {
             ${graft.ext.Corpus.mixBudgetSql} AS budget
           FROM documents))
       WHERE start < budget
-      ORDER BY doc_id"""
+      ORDER BY doc_id""",
+
+    // Watermark arithmetic mirrored from the q87 feed: rank r = arrival
+    // order (doc_id order), batch k = r // C with C = GREATEST(100,(n+3)//4)
+    // (the feed's chunk size), and the watermark when batch k is processed
+    // is maxEventTime(batches < k) - delay = (k*C - 1 - (3*C)//2) seconds
+    // past base — so a prior doc's registry entry is visible iff its rank
+    // clears that cut. Same-batch earlier docs always clear it (r >= k*C).
+    "q87_stream_admit_bounded" -> s"""
+      WITH sig AS (${graft.ext.NearDup.simhashSigSql(
+        "(SELECT doc_id, text FROM documents UNION ALL SELECT doc_id + 10000, text FROM documents)")}),
+      ranked AS (
+        SELECT doc_id, simhash,
+          row_number() OVER (ORDER BY doc_id) - 1 AS r,
+          GREATEST(100, (COUNT(*) OVER () + 3) // 4) AS c
+        FROM sig)
+      SELECT a.doc_id,
+        CASE WHEN EXISTS (
+          SELECT 1 FROM ranked b
+          WHERE b.r < a.r
+            AND bit_count(xor(a.simhash, b.simhash)) <= ${graft.ext.NearDup.HammingT}
+            AND b.r >= (a.r // a.c) * a.c - 1 - (3 * a.c) // 2
+        ) THEN 0 ELSE 1 END AS admitted
+      FROM ranked a
+      ORDER BY a.doc_id"""
   )
 }

@@ -426,9 +426,12 @@ object StreamingPipeline {
     * Within a batch, doc_id order inside each block group makes verdicts
     * deterministic; a doc never matches itself or same-batch LATER docs.
     * State is partitioned by the state store on the block key — the hot
-    * 100 TB shape (per-block registries, never a global structure); a
-    * production deployment bounds registries with a TTL/eviction policy.
-    * Input columns: (doc_id long, text string); output (doc_id, admitted).
+    * 100 TB shape (per-block registries, never a global structure). This
+    * variant keeps state FOREVER (exact-over-history semantics, usable for
+    * bounded corpora); the production 100 TB form is
+    * [[streamingNearDupAdmitBounded]], whose registries expire at the
+    * watermark horizon. Input columns: (doc_id long, text string); output
+    * (doc_id, admitted).
     */
   def streamingNearDupAdmit(docs: DataFrame): DataFrame = {
     import docs.sparkSession.implicits._
@@ -486,6 +489,148 @@ object StreamingPipeline {
           }
       }
       .toDF("doc_id", "admitted")
+  }
+
+  /** Streaming NEAR-dup admission with BOUNDED state — the production form
+    * of [[streamingNearDupAdmit]], whose registries never expire. Same
+    * two-stage pigeonhole design and the SAME block partition as batch q47,
+    * but every piece of state lives only within a re-crawl horizon:
+    *
+    *  - stage 1 prunes each block registry against the CURRENT event-time
+    *    watermark on every invocation (an entry whose event time has fallen
+    *    behind `watermark = max event time - delay` no longer vetoes
+    *    anything), and sets an event-time timeout at the newest entry's
+    *    expiry so a block that stops receiving traffic is REMOVED from the
+    *    state store entirely — state never lingers just because no new doc
+    *    happens to probe it.
+    *  - stage 2's per-doc replay guard carries the doc's event time and
+    *    expires on the same horizon.
+    *
+    * Steady-state memory is therefore (docs within the horizon) x 4 block
+    * entries, independent of stream history — the shape that survives an
+    * unbounded 100 TB crawl. The semantic trade-off is explicit and
+    * intentional: a near-duplicate arriving AFTER its match has aged out of
+    * the horizon is re-admitted (exactly-once-per-horizon, like
+    * [[streamingDedupBounded]]); the periodic batch near-dup passes (q47)
+    * catch cross-horizon stragglers. Input columns: (doc_id long,
+    * ts timestamp, text string); output (doc_id, admitted).
+    *
+    * Starting a query over this plan requires
+    * `spark.sql.streaming.statefulOperator.checkCorrectness.enabled=false`:
+    * the checker pattern-matches ANY stateful-after-stateful chain on the
+    * possibility of stage 1 emitting late rows into stage 2. Here that
+    * cannot happen — a verdict carries its doc's OWN event time and is
+    * emitted in the doc's arrival micro-batch, and the stage-2 watermark
+    * (like the global one) lags one batch behind the data that advanced it,
+    * so every verdict arrives at stage 2 with event time >= the watermark
+    * stage 2 evaluates it against. */
+  def streamingNearDupAdmitBounded(docs: DataFrame, delay: String = "1 hour"): DataFrame = {
+    import docs.sparkSession.implicits._
+    import graft.ext.NearDup.HammingT
+    graft.functions.GraftFunctions.register(docs.sparkSession)
+    val sigs = docs.select(col("doc_id").cast("long"), col("ts"),
+      call_function("graft_simhash", col("text")).as("simhash"))
+    val blocks = sigs.select(col("doc_id"), col("ts"), col("simhash"),
+        explode(graft.ext.NearDup.simhashBlockKeys(col("simhash"))).as("bk"))
+      .select(col("doc_id"), col("ts"), col("simhash"),
+        concat_ws(":", col("bk.blk"), col("bk.key")).as("block"))
+      .withWatermark("ts", delay)
+      .as[(Long, java.sql.Timestamp, Long, String)]
+    // stage-1 state entry: (doc_id, simhash, event-time millis)
+    val verdicts = blocks
+      .groupByKey(_._4)
+      .flatMapGroupsWithState(
+        org.apache.spark.sql.streaming.OutputMode.Append(),
+        GroupStateTimeout.EventTimeTimeout) {
+        (_: String, rows: Iterator[(Long, java.sql.Timestamp, Long, String)],
+         state: GroupState[List[(Long, Long, Long)]]) =>
+          if (state.hasTimedOut) {
+            // watermark passed the NEWEST entry's expiry => every entry is
+            // past the horizon; drop the whole registry from the store
+            state.remove(); Iterator.empty
+          } else {
+            val wm = state.getCurrentWatermarkMs()
+            var registry = state.getOption.getOrElse(Nil).filter(_._3 >= wm)
+            val out = Seq.newBuilder[(Long, Boolean, java.sql.Timestamp)]
+            rows.toSeq.sortBy(_._1).distinctBy(_._1).foreach { case (id, ts, sig, _) =>
+              var matched = false
+              var seen = false
+              registry.foreach { case (rid, other, _) =>
+                matched ||= java.lang.Long.bitCount(sig ^ other) <= HammingT
+                seen ||= rid == id
+              }
+              out += ((id, matched, ts))
+              if (!seen) registry = (id, sig, ts.getTime) :: registry
+            }
+            // rows is non-empty here (data invocation) and every unseen row
+            // registers, so the registry cannot be empty at this point
+            state.update(registry)
+            state.setTimeoutTimestamp(registry.map(_._3).max, delay)
+            out.result().iterator
+          }
+      }
+    // the watermark TAG does not survive serialization through stage 1's
+    // typed state function, so re-declare it on the verdict stream (the
+    // verdicts carry each doc's own event time, emitted in the batch it
+    // arrives, so this watermark tracks the source watermark exactly)
+    verdicts.toDF("doc_id", "matched", "vts")
+      .withWatermark("vts", delay)
+      .as[(Long, Boolean, java.sql.Timestamp)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(
+        org.apache.spark.sql.streaming.OutputMode.Append(),
+        GroupStateTimeout.EventTimeTimeout) {
+        (id: Long, vs: Iterator[(Long, Boolean, java.sql.Timestamp)],
+         state: GroupState[Long]) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else if (state.exists) Iterator.empty // replay within the horizon
+          else {
+            val rows = vs.toSeq
+            state.update(rows.head._3.getTime)
+            state.setTimeoutTimestamp(rows.head._3.getTime, delay)
+            Iterator((id, !rows.exists(_._2)))
+          }
+      }
+      .toDF("doc_id", "admitted")
+  }
+
+  /** Streaming budget admission with BOUNDED state — the production form of
+    * [[streamingBudgetAdmit]] for sources that come and go: a source's
+    * running-token counter expires once it has been idle past `delay` (the
+    * event-time watermark horizon), so the state store holds one long per
+    * RECENTLY ACTIVE source, not per source ever seen. Semantics change
+    * accordingly: the budget is per activity window — a source idle longer
+    * than the horizon starts a fresh window (re-crawl semantics, documented
+    * like [[streamingDedupBounded]]). Input columns: (doc_id long,
+    * source string, n_tokens long, ts timestamp). */
+  def streamingBudgetAdmitBounded(docs: DataFrame, budget: String => Long,
+      delay: String = "1 hour"): DataFrame = {
+    import docs.sparkSession.implicits._
+    docs.select(col("doc_id").cast("long"), col("source"),
+        col("n_tokens").cast("long"), col("ts"))
+      .withWatermark("ts", delay)
+      .as[(Long, String, Long, java.sql.Timestamp)]
+      .groupByKey(_._2)
+      .flatMapGroupsWithState(
+        org.apache.spark.sql.streaming.OutputMode.Append(),
+        GroupStateTimeout.EventTimeTimeout) {
+        (src: String, rows: Iterator[(Long, String, Long, java.sql.Timestamp)],
+         state: GroupState[Long]) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            val cap = budget(src)
+            var used = state.getOption.getOrElse(0L)
+            val rs = rows.toSeq
+            val out = Seq.newBuilder[(Long, String, Long, Long)]
+            rs.sortBy(_._1).foreach { case (id, _, n, _) =>
+              if (used < cap) { out += ((id, src, n, used)); used += n }
+            }
+            state.update(used)
+            state.setTimeoutTimestamp(rs.map(_._4.getTime).max, delay)
+            out.result().iterator
+          }
+      }
+      .toDF("doc_id", "source", "n_tokens", "start")
   }
 
   /** Watermarked stream-stream interval join — click→conversion

@@ -336,6 +336,91 @@ class StreamingPipelineSpec extends AnyFunSuite {
     assert(b2 == b1 ++ Map(9L -> false, 10L -> true), s"$b2")
   }
 
+  test("bounded near-dup admission evicts registry state past the watermark horizon") {
+    import org.apache.spark.unsafe.types.UTF8String
+    val tA = "spark window shuffle join aggregate partition"
+    val tB = "completely different words appear here entirely unrelated"
+    def sh(t: String) = graft.functions.HashUtil.simhash(UTF8String.fromString(t))
+    assert(java.lang.Long.bitCount(sh(tA) ^ sh(tB)) > 3, "fixture too close")
+
+    def ts(min: Long) = new Timestamp(1735689600000L + min * 60000L)
+    val sink = s"nd_bounded_${System.nanoTime()}"
+    val src = MemoryStream[(Long, Timestamp, String)]
+    // chained stateful stages; see the operator's scaladoc for why the
+    // global-watermark pattern check is a false positive here
+    val chk = "spark.sql.streaming.statefulOperator.checkCorrectness.enabled"
+    spark.conf.set(chk, "false")
+    val q = try StreamingPipeline.streamingNearDupAdmitBounded(
+        src.toDF().toDF("doc_id", "ts", "text"), "1 hour")
+      .writeStream.format("memory").queryName(sink).outputMode("append").start()
+    finally spark.conf.set(chk, "true")
+
+    // batch 1: doc 1 admitted; doc 2 (same text, 1 min later) rejected —
+    // the registry entry is alive well inside the horizon
+    src.addData((1L, ts(0), tA), (2L, ts(1), tA))
+    q.processAllAvailable()
+    val b1 = spark.table(sink).as[(Long, Boolean)].collect().toMap
+    assert(b1 == Map(1L -> true, 2L -> false), s"$b1")
+
+    // batch 2: an unrelated doc 2h later advances the watermark past every
+    // batch-1 entry's expiry (ts + 1h < 120min - 60min delay... wm = 60min)
+    src.addData((3L, ts(120), tB))
+    q.processAllAvailable()
+    // batch 3: the same advance again so stage-1 timeouts FIRE (timeouts
+    // are evaluated against the watermark set by the PREVIOUS batch)
+    src.addData((4L, ts(121), tB))
+    q.processAllAvailable()
+
+    // batch 4: doc 9 repeats doc 1's text at minute 122. Doc 1/2's entries
+    // carry ts 0-1min; the watermark is now ~61min, far past them — both
+    // pruned, so doc 9 must be ADMITTED (the unbounded variant would veto)
+    src.addData((9L, ts(122), tA))
+    q.processAllAvailable()
+    val b4 = spark.table(sink).as[(Long, Boolean)].collect().toMap
+    assert(b4(9L), s"expired registry entries must not veto: $b4")
+    // doc 4 duplicates doc 3 WITHIN the horizon: still rejected
+    assert(!b4(4L) && b4(3L), s"in-horizon dups must still be rejected: $b4")
+
+    // physical eviction: the state store must have REMOVED rows (stage-1
+    // registries + stage-2 replay guards whose event time timed out)
+    val totalRemoved = q.recentProgress
+      .flatMap(_.stateOperators).map(_.numRowsRemoved).sum
+    q.stop()
+    assert(totalRemoved > 0, s"expected state rows physically removed, got $totalRemoved")
+  }
+
+  test("bounded budget admission resets an idle source's window past the horizon") {
+    def ts(min: Long) = new Timestamp(1735689600000L + min * 60000L)
+    val sink = s"budget_bounded_${System.nanoTime()}"
+    val src = MemoryStream[(Long, String, Long, Timestamp)]
+    val q = StreamingPipeline.streamingBudgetAdmitBounded(
+        src.toDF().toDF("doc_id", "source", "n_tokens", "ts"),
+        _ => 100L, "1 hour")
+      .writeStream.format("memory").queryName(sink).outputMode("append").start()
+
+    // window 1: source a fills its 100-token budget (110 crosses, kept)
+    src.addData((1L, "a", 60L, ts(0)), (2L, "a", 50L, ts(1)), (3L, "a", 5L, ts(2)))
+    q.processAllAvailable()
+    val b1 = spark.table(sink).as[(Long, String, Long, Long)].collect().map(_._1).toSet
+    assert(b1 == Set(1L, 2L), s"budget window 1 must cap at 100 tokens: $b1")
+
+    // push the watermark far past window 1, then fire the timeout
+    src.addData((4L, "zz_other", 1L, ts(180)))
+    q.processAllAvailable()
+    src.addData((5L, "zz_other", 1L, ts(181)))
+    q.processAllAvailable()
+
+    // window 2: source a returns after >1h idle — its counter expired, so
+    // the budget RESTARTS (the unbounded variant would admit nothing)
+    src.addData((6L, "a", 80L, ts(185)))
+    q.processAllAvailable()
+    val b2 = spark.table(sink).as[(Long, String, Long, Long)].collect()
+      .filter(_._1 == 6L)
+    q.stop()
+    assert(b2.map(r => (r._1, r._4)).toSeq == Seq((6L, 0L)),
+      s"idle source must restart at start=0 after horizon expiry: ${b2.toSeq}")
+  }
+
   test("S12 as explicit state: mapGroupsWithState tracks per-key latest position") {
     val sink = s"lpk_${System.nanoTime()}"
     val src = MemoryStream[SEvent]
