@@ -151,11 +151,15 @@ object Corpus {
       // with limit (and maxDriver+1 would overflow at Long.MaxValue) — a
       // driver collect that size is a misconfiguration, so pay one full
       // count rather than silently routing everything to the driver.
-      val small =
-        if (maxDriver < Int.MaxValue.toLong) p.limit((maxDriver + 1).toInt).count() <= maxDriver
-        else p.count() <= maxDriver
-      if (small) unionFindLabels(p)
-      else connectedComponentsLoop(p, maxIters)
+      val probed =
+        if (maxDriver < Int.MaxValue.toLong) p.limit((maxDriver + 1).toInt).count()
+        else p.count()
+      if (probed <= maxDriver) unionFindLabels(p)
+      else {
+        // the probe stopped at maxDriver+1; the loop sizes its partitioning
+        // from the REAL pair count (cheap: p is checkpointed)
+        connectedComponentsLoop(p, maxIters, pairCount = p.count())
+      }
     } finally freeCheckpoint(p)
   }
 
@@ -198,76 +202,111 @@ object Corpus {
     rows.toSeq.toDF("id", "label")
   }
 
-  /** The fully distributed scale path of [[connectedComponents]]:
-    * iterative min-label propagation — each round every node adopts the
-    * minimum label among itself and its neighbors (one equi-join + one
-    * aggregation per round), until a round changes nothing. Rounds = graph
-    * diameter; near-dup clusters are near-cliques (diameter 2-3), so the
-    * loop is shallow by construction. At 100 TB scale the same loop holds —
-    * each round is shuffle-local on the node id — with the standard
-    * large-star/small-star contraction as the upgrade path if diameters
-    * grow; `localCheckpoint` per round keeps the plan from growing linearly
-    * with iterations. Only the per-round CHANGED count (one long) ever
-    * reaches the driver. */
-  private[graft] def connectedComponentsLoop(pairs: DataFrame, maxIters: Int = 50): DataFrame = {
-    // The pair set is orders of magnitude smaller than the corpus (it IS
-    // the near-dup fraction), so the loop runs on deliberately few
-    // partitions — per-round scheduling overhead would otherwise dwarf the
-    // per-round work. At a larger pair scale, raise loopParts (the plan
-    // shape is partition-count-agnostic: every round is an equi-join on the
-    // node id + a min-aggregation).
-    val loopParts = 4
-    val edges = pairs
-      .select(col("id_a").as("src"), col("id_b").as("dst"))
-      .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
-      .repartition(loopParts, col("src"))
+  /** Directed loop edges per partition — the target that sizes the star
+    * loop's partitioning from the dispatcher's pair-count probe. */
+  val CcEdgesPerLoopPartition = 2000000L
+
+  /** The fully distributed scale path of [[connectedComponents]]: the
+    * alternating large-star/small-star contraction (Kiveris et al.,
+    * "Connected Components in MapReduce and Beyond", SoCC'14 — public
+    * algorithm). Each round every node re-attaches its neighbors to the
+    * minimum of its neighborhood:
+    *
+    *  - large-star: for each node u, every STRICTLY LARGER neighbor is
+    *    re-pointed at m = min(neighborhood(u) ∪ {u});
+    *  - small-star: for each node u, its smaller-or-equal neighbors (and u
+    *    itself) are re-pointed at the minimum among them.
+    *
+    * Unlike plain min-label propagation (whose round count is the graph
+    * DIAMETER — a 2000-link chain needs 2000 rounds), the contraction
+    * converges in O(log^2 n) rounds on ANY topology, so one iteration
+    * budget covers near-clique dup clusters and pathological chains alike.
+    * Each phase is one aggregation + one equi-join on the node id —
+    * shuffle-local, no driver data path; the convergence witness (edge
+    * count + an order-independent xxhash64 checksum) is two longs per
+    * round. At the fixed point every component is a star centered at its
+    * minimum node, which is exactly the label relation. `localCheckpoint`
+    * per round keeps the plan from growing with iterations; the partition
+    * count is derived from the dispatcher's pair-count probe
+    * ([[CcEdgesPerLoopPartition]]), clamped to the session's shuffle
+    * parallelism — the near-dup fraction is usually tiny, but a 100 TB
+    * crawl's pair set sizes up automatically. */
+  private[graft] def connectedComponentsLoop(pairs: DataFrame, maxIters: Int = 50,
+      pairCount: Long = -1L): DataFrame = {
+    val spark = pairs.sparkSession
+    val shuffleParts = math.max(1,
+      spark.conf.getOption("spark.sql.shuffle.partitions").map(_.toInt).getOrElse(32))
+    val nPairs = if (pairCount >= 0L) pairCount else pairs.count()
+    val loopParts = math.max(4L, math.min(shuffleParts.toLong,
+      2L * nPairs / CcEdgesPerLoopPartition + 1L)).toInt
+
+    // canonical undirected edges (lo < hi), deduped; self-pairs dropped
+    var edges = pairs
+      .select(least(col("id_a"), col("id_b")).cast("long").as("lo"),
+        greatest(col("id_a"), col("id_b")).cast("long").as("hi"))
+      .filter(col("lo") =!= col("hi"))
+      .distinct()
+      .repartition(loopParts, col("lo"))
       .localCheckpoint()
-    var labels = edges.select(col("src").as("id")).distinct()
-      .withColumn("label", col("id"))
-      .localCheckpoint()
-    // Per-node labels only ever DECREASE, so the label sum is a strictly
-    // decreasing convergence witness: one tiny agg per round replaces a
-    // separate changed-rows count, and each round is exactly one equi-join
-    // (message passing along edges) + one min-aggregation.
-    def labelSum(): Long =
-      labels.agg(coalesce(sum(col("label")), lit(0L))).head.getLong(0)
-    // The PREVIOUS round's localCheckpoint blocks are released (shared
-    // freeCheckpoint helper) once the new round's are materialized —
-    // otherwise every round pins another full copy of the labels RDD in
-    // executor storage for the life of the job.
-    var prevSum = labelSum()
+
+    // large-star: symmetrize, m(u) = min(u, min neighbor), re-point every
+    // neighbor v > u at m — emitted (m, v) keeps the lo<hi canonical form
+    def largeStar(e: DataFrame): DataFrame = {
+      val sym = e.select(col("lo").as("u"), col("hi").as("v"))
+        .union(e.select(col("hi").as("u"), col("lo").as("v")))
+      val mins = sym.groupBy(col("u")).agg(min(col("v")).as("mv"))
+        .select(col("u"), least(col("u"), col("mv")).as("m"))
+      sym.join(mins, "u")
+        .filter(col("v") > col("u"))
+        .select(col("m").as("lo"), col("v").as("hi"))
+        .distinct()
+    }
+    // small-star: per node u (the hi side), m = min of its smaller
+    // neighbors; re-point those neighbors AND u itself at m
+    def smallStar(e: DataFrame): DataFrame = {
+      val mins = e.groupBy(col("hi")).agg(min(col("lo")).as("m"))
+      val nbrs = e.select(col("hi"), col("lo").as("v"))
+        .union(mins.select(col("hi"), col("hi").as("v")))
+      nbrs.join(mins, "hi")
+        .filter(col("v") =!= col("m"))
+        .select(col("m").as("lo"), col("v").as("hi"))
+        .distinct()
+    }
+    // Order-independent witness of the edge SET: count + sum of per-edge
+    // xxhash64 (summed as DECIMAL(38,0) — a long sum overflows under ANSI).
+    // Two scalars cross the driver per round; a changed edge set collides
+    // only with ~2^-64 probability, and maxIters still backstops.
+    def witness(e: DataFrame): (Long, String) = {
+      val r = e.agg(count(lit(1)),
+        coalesce(sum(xxhash64(col("lo"), col("hi"))
+          .cast(org.apache.spark.sql.types.DecimalType(38, 0))), lit(0))).head
+      (r.getLong(0), String.valueOf(r.get(1)))
+    }
+    var prev = witness(edges)
     var iter = 0
-    var converged = labels.isEmpty
+    var converged = prev._1 == 0L
     while (!converged && iter < maxIters) {
-      val prev = labels
-      val msgs = edges
-        .join(labels.select(col("id").as("src"), col("label")), "src")
-        .select(col("dst").as("id"), col("label"))
-      labels = msgs.union(labels)
-        .groupBy(col("id")).agg(min(col("label")).as("label"))
-        .localCheckpoint() // eager: materialized before prev is released
-      freeCheckpoint(prev)
-      val s = labelSum()
-      converged = s == prevSum
-      prevSum = s
+      val old = edges
+      edges = smallStar(largeStar(old)).localCheckpoint() // eager, then free old
+      freeCheckpoint(old)
+      val w = witness(edges)
+      converged = w == prev
+      prev = w
       iter += 1
     }
-    // Partially-propagated labels are SILENT data corruption for a dedup
+    // Partially-contracted edges are SILENT data corruption for a dedup
     // pipeline (one real cluster reported as several "canonical" docs) —
-    // never return them. maxIters bounds pathological diameters; real
-    // near-dup components are near-cliques and converge in a handful.
+    // never return them.
     if (!converged) {
-      // release BOTH working checkpoints before failing: "raise maxIters
-      // and retry" must not leak one edges + labels copy per attempt
       freeCheckpoint(edges)
-      freeCheckpoint(labels)
       throw new IllegalStateException(
         s"connectedComponents did not converge within $maxIters rounds — " +
-          "the pair graph has a longer path diameter than expected; raise maxIters")
+          "raise maxIters (the star contraction needs O(log^2 n) rounds)")
     }
-    // the result is the final labels checkpoint; the edges copy is done
-    freeCheckpoint(edges)
-    labels
+    // fixed point: every component is a star (componentMin, member) — the
+    // label relation is the edges themselves plus the centers' self-labels
+    edges.select(col("hi").as("id"), col("lo").as("label"))
+      .union(edges.select(col("lo").as("id"), col("lo").as("label")).distinct())
   }
 
   /** The interpreted-HOF formulation of q58's statistics — kept as the

@@ -45,10 +45,22 @@ class CorpusSpec extends AnyFunSuite {
 
   test("loop non-convergence raises instead of returning partial clusters") {
     import spark.implicits._
-    val pairs = (1L until 60L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    // a 20-link chain needs >2 contraction rounds; the loop must fail loud
+    val pairs = (1L until 20L).map(i => (i, i + 1)).toDF("id_a", "id_b")
     val e = intercept[IllegalStateException](
-      Corpus.connectedComponentsLoop(pairs, maxIters = 5))
+      Corpus.connectedComponentsLoop(pairs, maxIters = 2))
     assert(e.getMessage.contains("did not converge"))
+  }
+
+  test("a 2000-node chain (diameter >> iteration budget) converges via star contraction") {
+    import spark.implicits._
+    // plain min-label propagation would need 2000 rounds here — the
+    // large-star/small-star loop must finish within the DEFAULT budget
+    val pairs = (1L until 2000L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val got = Corpus.connectedComponentsLoop(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.size == 2000 && got.values.toSet == Set(1L),
+      s"all 2000 chain nodes must collapse to label 1 (got ${got.values.toSet.take(5)}...)")
   }
 
   test("driver union-find and the distributed loop label identically") {
