@@ -98,6 +98,66 @@ object Similarity {
       struct(dotd(v, typedLit(c)).as("d"), lit(-cid).as("nc"))
     }: _*).getField("nc") * -1
 
+  /** Recall@k lower bounds for the self-validating ANN gates (q29's
+    * in-query-error-bound idiom): the gated query FAILS via raise_error if
+    * recall vs the exact float-cosine top-k drops below the bound, so
+    * approximation QUALITY is graded in-query, not just plan determinism.
+    *
+    * Calibration honesty: the synthetic embeddings are ISOTROPIC — the
+    * exact top-5 of a query is barely above noise, so no sublinear method
+    * can beat "recall ≈ corpus fraction touched" by much (measured means:
+    * q51 0.02-0.06 vs 13/4096 = 0.3% touched; q53 0.30-0.48 vs 4/16 = 25%
+    * probed). The MEAN-recall bounds below are therefore anchored at
+    * multiples of the touch fraction: they catch the real bug class — a
+    * probe/code mismatch between query and corpus side collapses recall to
+    * the touch fraction itself (pure chance) — while staying truthful
+    * about what isotropic data permits. Clustered production embeddings
+    * score far higher with the same plans; `recall_k` is exported
+    * per-query for observability either way. Quantized brute force (q66)
+    * is rank-preserving by design, so it gets a strict PER-QUERY bound. */
+  val LshRecallBound = 0.01  // mean bound: >= 3x the 0.3% chance level
+  val IvfRecallBound = 0.2   // mean bound: below observed 0.30-0.48, above worst-case chance
+  val QuantRecallBound = 0.8 // per-query bound: int8 keeps ranks nearly intact
+
+  /** The exact float-cosine top-k membership set (q50's relation) — the
+    * baseline every ANN variant's recall is measured against. */
+  private def bruteTopKSet(e: DataFrame): DataFrame = {
+    val q = e.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("bq0"), col("embedding").as("qe0"), col("nrm").as("qn0"))
+    val w = Window.partitionBy(col("bq0")).orderBy(col("bcos").desc, col("vec_id"))
+    e.filter(col("vec_id") >= NumQueries)
+      .crossJoin(broadcast(q))
+      .withColumn("bcos", cosd(col("qe0"), col("qn0"), col("embedding"), col("nrm")))
+      .withColumn("brank", row_number().over(w))
+      .filter(col("brank") <= TopK)
+      .select(col("bq0").as("bq"), col("vec_id").as("bn"))
+  }
+
+  /** Attach a per-query `recall_k` column (|approx ∩ exact| / k vs
+    * [[bruteTopKSet]]) and fail the query in-flight if recall falls below
+    * `thr` — per-query when `perQuery`, else on the mean across the query
+    * set (the right unit on isotropic data, where single-query recall is
+    * legitimately 0 sometimes). The exact baseline costs one q50-shaped
+    * pass — the price of a self-validating gate (a production pipeline
+    * would audit a query SAMPLE with the same plan). */
+  private def withRecall(topk: DataFrame, e: DataFrame, thr: Double,
+      perQuery: Boolean = false): DataFrame = {
+    val rec0 = topk.select(col("query_id"), col("neighbor_id"))
+      .join(bruteTopKSet(e),
+        col("query_id") === col("bq") && col("neighbor_id") === col("bn"), "left")
+      .groupBy(col("query_id"))
+      .agg((count(col("bq")) / lit(TopK.toDouble)).as("recall_k"))
+    val audited = if (perQuery) col("recall_k")
+      else avg(col("recall_k")).over(Window.partitionBy())
+    val rec = rec0
+      .withColumn("recall_k", when(audited < thr, raise_error(concat(
+          lit(s"ANN ${if (perQuery) "per-query" else "mean"} recall@$TopK " +
+            s"out of bound (< $thr) at query "),
+          col("query_id").cast("string"))))
+        .otherwise(col("recall_k")))
+    topk.join(broadcast(rec), "query_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- exact brute-force cosine top-k: 10 broadcast queries x corpus.
     "q50_ann_brute" -> ((s, dir) => {
@@ -131,12 +191,12 @@ object Similarity {
           explode(probeArr).as("probe"))
       val tgt = e.filter(col("vec_id") >= NumQueries)
       val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("vec_id"))
-      tgt.join(probes, col("probe") === col("code"))
+      val topk = tgt.join(probes, col("probe") === col("code"))
         .withColumn("cos", cosd(col("qe"), col("qn"), col("embedding"), col("nrm")))
         .withColumn("rank", row_number().over(w))
         .filter(col("rank") <= TopK)
         .select(col("qid").as("query_id"), col("rank"), col("vec_id").as("neighbor_id"), col("cos"))
-        .orderBy(col("query_id"), col("rank"))
+      withRecall(topk, e, LshRecallBound).orderBy(col("query_id"), col("rank"))
     }),
 
     // ---- IVF (inverted-file) ANN: the cell-partitioned scale path beside
@@ -174,12 +234,12 @@ object Similarity {
       val probes = qcells.withColumn("prank", row_number().over(pw))
         .filter(col("prank") <= IvfProbes)
       val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("vec_id"))
-      tgt.join(broadcast(probes), "cell")
+      val topk = tgt.join(broadcast(probes), "cell")
         .withColumn("cos", cosd(col("qe"), col("qn"), col("embedding"), col("nrm")))
         .withColumn("rank", row_number().over(w))
         .filter(col("rank") <= TopK)
         .select(col("qid").as("query_id"), col("rank"), col("vec_id").as("neighbor_id"), col("cos"))
-        .orderBy(col("query_id"), col("rank"))
+      withRecall(topk, e, IvfRecallBound).orderBy(col("query_id"), col("rank"))
     }),
 
     // ---- k-means Lloyd UPDATE step over the IVF cells: assign every
@@ -223,13 +283,14 @@ object Similarity {
       graft.functions.GraftFunctions.register(s)
       val e = t(s, dir, "embeddings")
         .repartition(col("vec_id")) // spread the kernel work (single-file input)
+        .withColumn("nrm", sqrt(dotd(col("embedding"), col("embedding"))))
         .withColumn("maxabs", call_function("graft_maxabs", col("embedding")))
         .withColumn("codes", call_function("graft_i8quant", col("embedding")))
       val q = e.filter(col("vec_id") < NumQueries)
         .select(col("vec_id").as("qid"), col("codes").as("qc"), col("maxabs").as("qm"))
       val tgt = e.filter(col("vec_id") >= NumQueries)
       val w = Window.partitionBy(col("qid")).orderBy(col("score").desc, col("vec_id"))
-      tgt.crossJoin(broadcast(q))
+      val topk = tgt.crossJoin(broadcast(q))
         .withColumn("qdot", call_function("graft_qdot", col("qc"), col("codes")))
         .withColumn("score",
           col("qdot").cast("double") * (col("qm") * col("maxabs")) / lit(16129.0))
@@ -237,6 +298,7 @@ object Similarity {
         .filter(col("rank") <= TopK)
         .select(col("qid").as("query_id"), col("rank"), col("vec_id").as("neighbor_id"),
           col("qdot"), col("score"))
+      withRecall(topk, e, QuantRecallBound, perQuery = true)
         .orderBy(col("query_id"), col("rank"))
     }),
 
@@ -273,6 +335,27 @@ object Similarity {
       sqrt(${dotSql("embedding", "embedding")}) AS nrm $extra
     FROM embeddings"""
 
+  /** Oracle-side mirrors of [[bruteTopKSet]] / [[withRecall]] — the same
+    * exact baseline and matches/k arithmetic, so `recall_k` hash-matches.
+    * (The oracle needs no raise_error: the bound is the SPARK plan's
+    * self-check; the oracle just reproduces the audited value.) */
+  private def bruteTopKSqlCte: String = s"""
+      brute AS (
+        SELECT query_id, neighbor_id FROM (
+          SELECT q.vec_id AS query_id, t.vec_id AS neighbor_id,
+            ROW_NUMBER() OVER (PARTITION BY q.vec_id
+              ORDER BY ${dotSql("q.embedding", "t.embedding")} / (q.nrm * t.nrm) DESC,
+                t.vec_id) AS rank
+          FROM e q JOIN e t ON q.vec_id < $NumQueries AND t.vec_id >= $NumQueries) bx
+        WHERE rank <= $TopK)"""
+
+  private def recallSqlCte: String = s"""
+      rec AS (
+        SELECT a.query_id, count(b.neighbor_id) / $TopK.0 AS recall_k
+        FROM topk a LEFT JOIN brute b
+          ON a.query_id = b.query_id AND a.neighbor_id = b.neighbor_id
+        GROUP BY a.query_id)"""
+
   val oracles: Map[String, String] = Map(
     "q50_ann_brute" -> s"""
       WITH e AS (${codesSql("")}),
@@ -300,13 +383,18 @@ object Similarity {
       cand AS (
         SELECT p.qid AS query_id, t.vec_id AS neighbor_id,
           ${dotSql("p.qe", "t.embedding")} / (p.qn * t.nrm) AS cos
-        FROM probes p JOIN e t ON p.probe = t.code AND t.vec_id >= $NumQueries)
-      SELECT query_id, rank, neighbor_id, cos FROM (
-        SELECT query_id, neighbor_id, cos,
-          ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
-        FROM cand) x
-      WHERE rank <= $TopK
-      ORDER BY query_id, rank"""
+        FROM probes p JOIN e t ON p.probe = t.code AND t.vec_id >= $NumQueries),
+      topk AS (
+        SELECT query_id, rank, neighbor_id, cos FROM (
+          SELECT query_id, neighbor_id, cos,
+            ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+          FROM cand) x
+        WHERE rank <= $TopK),
+      $bruteTopKSqlCte,
+      $recallSqlCte
+      SELECT t.query_id, t.rank, t.neighbor_id, t.cos, r.recall_k
+      FROM topk t JOIN rec r ON t.query_id = r.query_id
+      ORDER BY t.query_id, t.rank"""
     },
 
     // Mirrors the full IVF decision procedure — same seed centroids, same
@@ -333,13 +421,18 @@ object Similarity {
         SELECT p.qid AS query_id, t.vec_id AS neighbor_id,
           ${dotSql("p.qe", "t.embedding")} / (p.qn * t.nrm) AS cos
         FROM (SELECT * FROM qprobe WHERE rn <= $IvfProbes) p
-        JOIN tgt t ON p.cell = t.cell)
-      SELECT query_id, rank, neighbor_id, cos FROM (
-        SELECT query_id, neighbor_id, cos,
-          ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
-        FROM cand) x
-      WHERE rank <= $TopK
-      ORDER BY query_id, rank""",
+        JOIN tgt t ON p.cell = t.cell),
+      topk AS (
+        SELECT query_id, rank, neighbor_id, cos FROM (
+          SELECT query_id, neighbor_id, cos,
+            ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+          FROM cand) x
+        WHERE rank <= $TopK),
+      $bruteTopKSqlCte,
+      $recallSqlCte
+      SELECT t.query_id, t.rank, t.neighbor_id, t.cos, r.recall_k
+      FROM topk t JOIN rec r ON t.query_id = r.query_id
+      ORDER BY t.query_id, t.rank""",
 
     // Mirrors q62's full decision procedure: same centroids, same
     // index-order assignment fold, then per-(cell, dimension) means with
@@ -371,7 +464,8 @@ object Similarity {
     // integer code dot (order-independent — exact), and the same
     // dequantization op order, so scores and ranks are bit-identical.
     "q66_ann_quantized" -> s"""
-      WITH c AS (
+      WITH e AS (${codesSql("")}),
+      c AS (
         SELECT vec_id, maxabs,
           CASE WHEN maxabs = 0 THEN list_transform(embedding, x -> 0::BIGINT)
           ELSE list_transform(embedding,
@@ -386,15 +480,20 @@ object Similarity {
             list_transform(range(1, len(q.codes) + 1), i -> q.codes[i] * t.codes[i])),
             (acc, v) -> acc + v) AS qdot,
           q.maxabs AS qm, t.maxabs AS tm
-        FROM c q JOIN c t ON q.vec_id < $NumQueries AND t.vec_id >= $NumQueries)
-      SELECT query_id, rank, neighbor_id, qdot, score FROM (
-        SELECT query_id, neighbor_id, qdot,
-          qdot::DOUBLE * (qm * tm) / 16129.0 AS score,
-          ROW_NUMBER() OVER (PARTITION BY query_id
-            ORDER BY qdot::DOUBLE * (qm * tm) / 16129.0 DESC, neighbor_id) AS rank
-        FROM scored) x
-      WHERE rank <= $TopK
-      ORDER BY query_id, rank""",
+        FROM c q JOIN c t ON q.vec_id < $NumQueries AND t.vec_id >= $NumQueries),
+      topk AS (
+        SELECT query_id, rank, neighbor_id, qdot, score FROM (
+          SELECT query_id, neighbor_id, qdot,
+            qdot::DOUBLE * (qm * tm) / 16129.0 AS score,
+            ROW_NUMBER() OVER (PARTITION BY query_id
+              ORDER BY qdot::DOUBLE * (qm * tm) / 16129.0 DESC, neighbor_id) AS rank
+          FROM scored) x
+        WHERE rank <= $TopK),
+      $bruteTopKSqlCte,
+      $recallSqlCte
+      SELECT t.query_id, t.rank, t.neighbor_id, t.qdot, t.score, r.recall_k
+      FROM topk t JOIN rec r ON t.query_id = r.query_id
+      ORDER BY t.query_id, t.rank""",
 
     // Exact all-pairs oracle over the same planted feed; DuckDB's native
     // cosine is safe here because no cosine value is emitted and the

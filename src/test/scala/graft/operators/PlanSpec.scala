@@ -70,16 +70,30 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("BroadcastNestedLoopJoin"), p)
   }
 
-  test("q51: ANN probes join target codes by equality — never all-pairs") {
-    val p = plan("q51_ann_lsh")
+  // The recall audit inside q51/q53 runs ONE exact-baseline pass: a
+  // broadcast nested-loop of the 10-row query set against the corpus —
+  // q50's intentional shape, not an accident. Candidate generation itself
+  // must still be an equi hash join, and nothing may be a cartesian.
+  // Calibrate against q50, whose ONE broadcast-NL join (10-row query set x
+  // corpus) is the exact-baseline shape the audit embeds: an ANN plan with
+  // MORE BNLJ mentions than q50 has grown a second non-equi join.
+  private lazy val bnljMentionsInBrute =
+    "BroadcastNestedLoopJoin".r.findAllIn(plan("q50_ann_brute")).size
+
+  private def assertAnnShape(p: String): Unit = {
     assert(!p.contains("CartesianProduct"), p)
-    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert("BroadcastNestedLoopJoin".r.findAllIn(p).size <= bnljMentionsInBrute,
+      s"only the recall audit may broadcast-NL the query set:\n$p")
+    assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin") ||
+      p.contains("ShuffledHashJoin"), s"candidate join must be equi:\n$p")
+  }
+
+  test("q51: ANN probes join target codes by equality — never all-pairs") {
+    assertAnnShape(plan("q51_ann_lsh"))
   }
 
   test("q53: IVF cell assignment is a pure projection; probe join is equi, never all-pairs") {
-    val p = plan("q53_ann_ivf")
-    assert(!p.contains("CartesianProduct"), p)
-    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assertAnnShape(plan("q53_ann_ivf"))
   }
 
   test("q46: fingerprint runs the fused native kernel, not an interpreted fold") {
