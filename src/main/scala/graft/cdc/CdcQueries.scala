@@ -157,6 +157,46 @@ object CdcQueries {
       IncrementalView.maintain(batches, "o_orderpriority", "o_totalprice")
         .select($"o_orderpriority", $"cnt", $"sum".cast("double").as("total"))
         .orderBy($"o_orderpriority")
+    }),
+
+    // IVM beyond SUM/COUNT (IncrementalView.maintainMinMax): AVG derives
+    // from the decimal-exact (sum, cnt); MIN/MAX maintain optimistically
+    // from inserted extremes and RESCAN only affected keys under deletes.
+    // The feed forces the rescan path hard: after q79's reprice/move/%11
+    // lifecycle, a fourth batch deletes EVERY group's current minimum row
+    // (argmin by (price, key)), so each group's stored minimum is
+    // invalidated and must be recovered from the base — an interior-only
+    // delete would sail through without touching the base. The oracle
+    // re-aggregates the equivalent final table from scratch.
+    "q89_incremental_minmax" -> ((s, dir) => {
+      import s.implicits._
+      val o = Tables.load(s, dir, "orders")
+      def repriced(c: org.apache.spark.sql.Column) =
+        when($"o_orderkey" % 7 === 0, c * 1.2).otherwise(c)
+      def moved(c: org.apache.spark.sql.Column) =
+        when($"o_orderkey" % 13 === 0, lit("1-URGENT")).otherwise(c)
+      val cur = o
+        .withColumn("o_totalprice", repriced($"o_totalprice"))
+        .withColumn("o_orderpriority", moved($"o_orderpriority"))
+      val afterDel = cur.filter($"o_orderkey" % 11 =!= 0)
+      val w = Window.partitionBy($"o_orderpriority")
+        .orderBy($"o_totalprice", $"o_orderkey")
+      val minRows = afterDel.withColumn("rn", row_number().over(w))
+        .filter($"rn" === 1).drop("rn")
+      val base = afterDel.join(minRows.select($"o_orderkey"), Seq("o_orderkey"), "left_anti")
+      val batches = Seq(
+        ChangeFeed.inserts(o, $"o_orderkey" * 10),
+        ChangeFeed.updates(
+          o.filter($"o_orderkey" % 7 === 0 || $"o_orderkey" % 13 === 0),
+          Map("o_totalprice" -> repriced($"o_totalprice"),
+            "o_orderpriority" -> moved($"o_orderpriority")),
+          $"o_orderkey" * 10 + 5),
+        ChangeFeed.deletes(cur.filter($"o_orderkey" % 11 === 0), $"o_orderkey" * 10 + 7),
+        ChangeFeed.deletes(minRows, $"o_orderkey" * 10 + 9))
+      IncrementalView.maintainMinMax(batches, base, "o_orderpriority", "o_totalprice")
+        .select($"o_orderpriority", $"cnt", $"sum".cast("double").as("total"),
+          $"avg", $"mn", $"mx")
+        .orderBy($"o_orderpriority")
     })
   )
 
@@ -204,6 +244,27 @@ object CdcQueries {
       SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS cnt,
         ${graft.util.Sumd.SUMD("price")} AS total
       FROM cur GROUP BY o_orderpriority
+      ORDER BY o_orderpriority""",
+
+    "q89_incremental_minmax" -> s"""
+      WITH cur AS (
+        SELECT o_orderkey,
+          CASE WHEN o_orderkey % 13 = 0 THEN '1-URGENT'
+               ELSE o_orderpriority END AS o_orderpriority,
+          CASE WHEN o_orderkey % 7 = 0 THEN o_totalprice * 1.2
+               ELSE o_totalprice END AS price
+        FROM orders WHERE o_orderkey % 11 <> 0),
+      ranked AS (
+        SELECT o_orderpriority, price,
+          ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+            ORDER BY price, o_orderkey) AS rn
+        FROM cur),
+      base AS (SELECT o_orderpriority, price FROM ranked WHERE rn > 1)
+      SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS cnt,
+        ${graft.util.Sumd.SUMD("price")} AS total,
+        ${graft.util.Sumd.SUMD("price")} / CAST(count(*) AS DOUBLE) AS avg,
+        min(price) AS mn, max(price) AS mx
+      FROM base GROUP BY o_orderpriority
       ORDER BY o_orderpriority"""
   )
 }

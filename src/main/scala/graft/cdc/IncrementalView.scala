@@ -69,6 +69,85 @@ object IncrementalView {
     batches.map(delta(_, key, value)).reduce(merge(_, _, key))
       .filter(col("cnt") > 0)
 
+  // ---- MIN/MAX (+ AVG) maintenance. AVG is free: it derives from the
+  //      self-maintainable (sum, cnt) at read time. MIN/MAX are NOT
+  //      self-maintainable under deletes (removing the current extreme
+  //      reveals an unknown runner-up), so the algebra tracks per-key
+  //      inserted and deleted extremes and RESCANS only the AFFECTED keys
+  //      — those where some deleted value ties-or-beats the optimistic
+  //      extreme — from the base table, as a semi-join-pruned scan that
+  //      touches only those groups' rows. Interior deletes never rescan.
+
+  /** One change batch's per-key contribution, extended with the MIN/MAX
+    * maintenance inputs: inserted extremes (the optimistic candidates) and
+    * deleted extremes (the rescan triggers). */
+  def deltaMinMax(batch: DataFrame, key: String, value: String): DataFrame = {
+    def c(img: String, sgn: Int) = struct(
+      col(s"$img.$key").as("k"), lit(sgn).as("sgn"), col(s"$img.$value").as("v"))
+    batch.select(explode(
+        when(col("op") === "insert", array(c("after", 1)))
+          .when(col("op") === "delete", array(c("before", -1)))
+          .otherwise(array(c("before", -1), c("after", 1)))).as("ct"))
+      .select(col("ct.k").as(key), col("ct.sgn").as("sgn"),
+        graft.util.Sumd.dec(col("ct.v")).as("v"), col("ct.v").cast("double").as("vd"))
+      .groupBy(col(key))
+      .agg(sum(col("sgn")).cast("long").as("cnt"),
+        sum(col("sgn") * col("v")).cast(DecimalType(28, 6)).as("sum"),
+        min(when(col("sgn") > 0, col("vd"))).as("ins_mn"),
+        max(when(col("sgn") > 0, col("vd"))).as("ins_mx"),
+        min(when(col("sgn") < 0, col("vd"))).as("del_mn"),
+        max(when(col("sgn") < 0, col("vd"))).as("del_mx"))
+  }
+
+  /** Merge two extended frames — associative like [[merge]] (mins/maxes of
+    * mins/maxes; `least`/`greatest` skip nulls). */
+  def mergeMinMax(a: DataFrame, b: DataFrame, key: String): DataFrame = {
+    val cols = Seq("cnt", "sum", "ins_mn", "ins_mx", "del_mn", "del_mx")
+    val ar = cols.foldLeft(a)((d, n) => d.withColumnRenamed(n, s"${n}_a"))
+    val br = cols.foldLeft(b)((d, n) => d.withColumnRenamed(n, s"${n}_b"))
+    val zero = lit(0).cast(DecimalType(28, 6))
+    ar.join(br, Seq(key), "full_outer")
+      .select(col(key),
+        (coalesce(col("cnt_a"), lit(0L)) + coalesce(col("cnt_b"), lit(0L))).as("cnt"),
+        (coalesce(col("sum_a"), zero) + coalesce(col("sum_b"), zero))
+          .cast(DecimalType(28, 6)).as("sum"),
+        least(col("ins_mn_a"), col("ins_mn_b")).as("ins_mn"),
+        greatest(col("ins_mx_a"), col("ins_mx_b")).as("ins_mx"),
+        least(col("del_mn_a"), col("del_mn_b")).as("del_mn"),
+        greatest(col("del_mx_a"), col("del_mx_b")).as("del_mx"))
+  }
+
+  /** Fold change batches into a (key, cnt, sum, avg, mn, mx) view
+    * maintained FROM EMPTY (every surviving row arrived through an insert
+    * contribution, so the inserted extremes are complete candidates).
+    * `base` is the final base-table state — consulted ONLY for the
+    * affected keys: a key rescans iff some deleted value ties-or-beats its
+    * optimistic extreme (a delete strictly inside the range cannot change
+    * MIN/MAX). The rescan is a broadcast-semi-pruned scan + per-key
+    * min/max — cost scales with the affected groups' rows, not the table.
+    * AVG divides the decimal-exact sum by the count in ONE double
+    * division, reproducible cross-engine. */
+  def maintainMinMax(batches: Seq[DataFrame], base: DataFrame,
+      key: String, value: String): DataFrame = {
+    val folded = batches.map(deltaMinMax(_, key, value))
+      .reduce(mergeMinMax(_, _, key))
+      .filter(col("cnt") > 0)
+    val flagged = folded.withColumn("rescan",
+      (col("del_mn").isNotNull && col("del_mn") <= col("ins_mn")) ||
+        (col("del_mx").isNotNull && col("del_mx") >= col("ins_mx")))
+    val ok = flagged.filter(!col("rescan"))
+      .select(col(key), col("cnt"), col("sum"),
+        col("ins_mn").as("mn"), col("ins_mx").as("mx"))
+    val affected = flagged.filter(col("rescan")).select(col(key), col("cnt"), col("sum"))
+    val rescanned = base
+      .join(broadcast(affected.select(col(key))), Seq(key), "left_semi")
+      .groupBy(col(key))
+      .agg(min(col(value).cast("double")).as("mn"), max(col(value).cast("double")).as("mx"))
+    ok.union(affected.join(rescanned, Seq(key))
+        .select(col(key), col("cnt"), col("sum"), col("mn"), col("mx")))
+      .withColumn("avg", col("sum").cast("double") / col("cnt").cast("double"))
+  }
+
   // ---- streaming form: exactly-once view maintenance under the
   //      at-least-once micro-batch contract. Deltas are NOT idempotent
   //      (re-applying one double-counts), so unlike the row applier's

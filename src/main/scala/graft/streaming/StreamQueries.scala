@@ -219,6 +219,54 @@ object StreamQueries {
       out
     }),
 
+    // ---- q88: streaming SESSION windows vs the batch oracle (q24's
+    //      streaming form). Sessions are the one window type that can MERGE
+    //      as events arrive, so append mode emits a session only once the
+    //      watermark proves no bridging event can still extend it; the
+    //      far-future sentinel (distinct user, filtered from the result)
+    //      pushes the watermark past every real session's close. With the
+    //      in-order feed nothing is late, so the emitted sessions must
+    //      equal the batch gaps-and-islands oracle exactly — across chunk
+    //      boundaries (keyed session state, cross-batch merges) and within
+    //      them.
+    "q88_stream_sessions" -> ((s, dir) => {
+      import s.implicits._
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      implicit val sqlCtx: SQLContext = s.sqlContext
+      val rows = Tables.load(s, dir, "events")
+        .select($"ts", $"user_id", $"value")
+        .orderBy($"ts", $"user_id")
+        .as[(java.sql.Timestamp, Long, Double)].collect()
+      val sentinel = (new java.sql.Timestamp(rows.last._1.getTime + 10L * 3600 * 1000),
+        -1L, 0.0)
+      val src = MemoryStream[(java.sql.Timestamp, Long, Double)]
+      val qname = "q88_out_" + java.util.UUID.randomUUID.toString.replace("-", "")
+      val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+      try {
+        s.conf.set("spark.sql.shuffle.partitions", "8")
+        val query = StreamingPipeline.sessionizedCounts(
+            src.toDF().toDF("ts", "user_id", "value"))
+          .writeStream.format("memory").queryName(qname).outputMode("append").start()
+        try {
+          val chunkSize = math.max(1000, (rows.length + 3) / 4)
+          rows.grouped(chunkSize).foreach { c =>
+            src.addData(c.toIndexedSeq); query.processAllAvailable()
+          }
+          src.addData(sentinel)
+          query.processAllAvailable()
+        } finally query.stop()
+      } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+      val sunk = s.table(qname)
+        .filter($"user_id" >= 0)
+        .select($"user_id", unix_timestamp($"ss").as("ss"),
+          unix_timestamp($"se").as("se"), $"n", $"total_value")
+        .orderBy($"user_id", $"ss")
+      val out = s.createDataFrame(
+        java.util.Arrays.asList(sunk.collect(): _*), sunk.schema)
+      s.catalog.dropTempView(qname)
+      out
+    }),
+
     // ---- q87: BOUNDED streaming near-dup admission vs the batch oracle.
     //      The recrawl scenario (every doc re-arrives at doc_id+10000) is
     //      fed in doc_id order with a synthetic 1-second-per-rank event
@@ -317,6 +365,10 @@ object StreamQueries {
           FROM documents))
       WHERE start < budget
       ORDER BY doc_id""",
+
+    // q24's gaps-and-islands oracle verbatim: the streaming session plan
+    // must compute the same relation the batch sessionizer does.
+    "q88_stream_sessions" -> graft.operators.Advanced.oracles("q24_session_window"),
 
     // Watermark arithmetic mirrored from the q87 feed: rank r = arrival
     // order (doc_id order), batch k = r // C with C = GREATEST(100,(n+3)//4)

@@ -300,7 +300,8 @@ object StreamingPipeline {
       changes: DataFrame,
       tables: Map[String, (org.apache.spark.sql.types.StructType, String)],
       checkpointDir: String,
-      opts: String => PipelineOptions): StreamingQuery = {
+      opts: String => PipelineOptions,
+      epochDir: Option[String] = None): StreamingQuery = {
     tables.values.foreach { case (_, targetDir) => Metrics.registerJmx(targetDir) }
     changes.writeStream
       .option("checkpointLocation", checkpointDir)
@@ -319,9 +320,81 @@ object StreamingPipeline {
               applyMicroBatch(batch.sparkSession, typed, targetDir, opts(table), batchId)
             }
           }
+          // Cross-table snapshot consistency: tables publish SEQUENTIALLY
+          // above, so a reader between two publishes sees table A advanced
+          // and table B not. The epoch marker — written LAST, atomically —
+          // records every table's published position for this batch;
+          // [[consistentSnapshot]] pins reads to it (all-or-none).
+          epochDir.foreach { dir =>
+            val positions = tables.toSeq.sortBy(_._1).map { case (t, (_, targetDir)) =>
+              t -> readHighWater(batch.sparkSession, targetDir).getOrElse(Long.MinValue)
+            }
+            Epoch.write(batch.sparkSession.sparkContext.hadoopConfiguration,
+              dir, batchId, positions)
+          }
         } finally cached.unpersist()
       }
       .start()
+  }
+
+  /** The consolidated topology's cross-table consistency marker (see
+    * [[startConsolidated]]): one tiny file, rewritten atomically AFTER every
+    * table of a micro-batch has published, recording the batch id and each
+    * table's position high-watermark at that point. */
+  object Epoch {
+    private def path(epochDir: String) = new Path(epochDir, ".graft_epoch")
+
+    def write(conf: org.apache.hadoop.conf.Configuration, epochDir: String,
+        batchId: Long, positions: Seq[(String, Long)]): Unit =
+      graft.util.AtomicFile.write(conf, path(epochDir),
+        (batchId.toString +: positions.map { case (t, p) => s"$t\t$p" }).mkString("\n"))
+
+    def read(conf: org.apache.hadoop.conf.Configuration,
+        epochDir: String): Option[(Long, Map[String, Long])] =
+      graft.util.AtomicFile.read(conf, path(epochDir)).map { s =>
+        val lines = s.split("\n").toSeq
+        (lines.head.trim.toLong,
+          lines.tail.filter(_.nonEmpty).map { l =>
+            val Array(t, p) = l.split("\t"); t -> p.toLong
+          }.toMap)
+      }
+
+    /** Pin a cross-table read to a complete batch: read the marker, take
+      * every table's snapshot, then VERIFY no table's published position
+      * moved past the pinned epoch (and the marker itself is unchanged) —
+      * a reader that lands between two of a batch's sequential publishes
+      * sees the mismatch and retries instead of returning a torn view.
+      * Returns (batchId, table -> snapshot). The snapshots are lazy plans
+      * over the verified-published files; materialize (or re-verify) before
+      * trusting them across further publishes. Bounded retry: a pipeline
+      * publishing continuously faster than the reader can verify is a
+      * misconfiguration surfaced as the timeout error, not a silent torn
+      * read. */
+    def consistentSnapshot(spark: SparkSession, epochDir: String,
+        tables: Map[String, String], maxRetries: Int = 10,
+        retrySleepMs: Long = 200L): (Long, Map[String, DataFrame]) = {
+      val conf = spark.sparkContext.hadoopConfiguration
+      var attempt = 0
+      while (attempt <= maxRetries) {
+        read(conf, epochDir) match {
+          case None => // no batch has completed yet: empty state is consistent
+            return (-1L, tables.map { case (t, _) => t -> spark.emptyDataFrame })
+          case Some((batchId, positions)) =>
+            val snaps = tables.map { case (t, dir) => t -> CdcApplier.snapshot(spark, dir) }
+            val pinned = tables.forall { case (t, dir) =>
+              readHighWater(spark, dir).getOrElse(Long.MinValue) ==
+                positions.getOrElse(t, Long.MinValue)
+            } && read(conf, epochDir).exists(_._1 == batchId)
+            if (pinned) return (batchId, snaps)
+        }
+        attempt += 1
+        if (attempt <= maxRetries) Thread.sleep(retrySleepMs)
+      }
+      throw new IllegalStateException(
+        s"no consistent cross-table epoch after ${maxRetries + 1} attempts — " +
+          "a table advanced past the marker on every try (mid-batch reader under " +
+          "continuous publishing); raise maxRetries or read between batches")
+    }
   }
 
   /** Stateful per-key high-watermark via `mapGroupsWithState` — the

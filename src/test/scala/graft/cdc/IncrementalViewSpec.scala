@@ -102,6 +102,63 @@ class IncrementalViewSpec extends AnyFunSuite {
     }
   }
 
+  test("min/max: deleting a group's extreme rescans it; interior deletes do not lie") {
+    val rows = Seq((1L, "a", 1.0), (2L, "a", 5.0), (3L, "a", 9.0), (4L, "b", 2.0))
+      .toDF("id", "grp", "v")
+    val b1 = ChangeFeed.inserts(rows, $"id")
+    // delete a's MIN (forces base rescan) and an interior insert for b
+    val b2 = ChangeFeed.deletes(rows.filter($"id" === 1), $"id" + 10)
+    val finalBase = rows.filter($"id" =!= 1)
+    val got = IncrementalView.maintainMinMax(Seq(b1, b2), finalBase, "grp", "v")
+      .select($"grp", $"cnt", $"mn", $"mx", $"avg")
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2),
+        r.getDouble(3), r.getDouble(4))).toMap
+    assert(got("a") == ((2L, 5.0, 9.0, 7.0)),
+      s"deleted minimum must be recovered from the base: $got")
+    assert(got("b") == ((1L, 2.0, 2.0, 2.0)))
+  }
+
+  test("random feeds: min/max/avg view equals a fresh aggregation, exactly") {
+    for (seed <- 11 to 13) {
+      val rng = new scala.util.Random(seed)
+      val table = scala.collection.mutable.Map.empty[Long, VRow]
+      var nextId = 0L
+      def cents() = rng.nextInt(100000) / 100.0
+      def grp() = s"g${rng.nextInt(4)}"
+      val batches = (1 to 3).map { _ =>
+        val evs = (1 to 40).map { _ =>
+          val roll = rng.nextInt(10)
+          if (roll < 5 || table.isEmpty) {
+            val r = VRow({ nextId += 1; nextId }, grp(), cents())
+            table(r.id) = r
+            ("insert", None, Some(r))
+          } else {
+            val id = table.keys.toSeq(rng.nextInt(table.size))
+            val before = table(id)
+            if (roll < 8) {
+              val after = before.copy(grp = grp(), v = cents())
+              table(id) = after
+              ("update", Some(before), Some(after))
+            } else {
+              table.remove(id)
+              ("delete", Some(before), None)
+            }
+          }
+        }
+        evs.toDF("op", "before", "after")
+      }
+      val finalBase = table.values.toSeq.toDF()
+      val got = IncrementalView.maintainMinMax(batches, finalBase, "grp", "v")
+        .select($"grp", $"cnt", $"mn", $"mx")
+        .collect().map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2),
+          r.getDouble(3))).toMap
+      val want = table.values.groupBy(_.grp).map { case (g, rs) =>
+        g -> (rs.size.toLong, rs.map(_.v).min, rs.map(_.v).max)
+      }
+      assert(got == want, s"seed=$seed view=$got fresh=$want")
+    }
+  }
+
   test("streaming view: maintained across micro-batches, replay-safe, restartable") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext

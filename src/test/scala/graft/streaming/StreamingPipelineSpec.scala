@@ -336,6 +336,65 @@ class StreamingPipelineSpec extends AnyFunSuite {
     assert(b2 == b1 ++ Map(9L -> false, 10L -> true), s"$b2")
   }
 
+  test("consolidated epoch marker: a mid-batch reader sees all-or-none") {
+    import org.apache.spark.sql.types._
+    val root = tmpdir("sp_epoch")
+    val studentSchema = StructType(Seq(
+      StructField("sn", IntegerType), StructField("score", IntegerType)))
+    val roomSchema = StructType(Seq(
+      StructField("rid", IntegerType), StructField("cap", IntegerType)))
+    Seq("student", "room").foreach(t => Metrics.reset(s"$root/$t"))
+    val targets = Map("student" -> s"$root/student", "room" -> s"$root/room")
+    def pipeOpts(table: String) = PipelineOptions(CdcApplier.Options(
+      if (table == "student") Seq("sn") else Seq("rid")))
+
+    val src = MemoryStream[JsonEvent]
+    src.addData(
+      JsonEvent("insert", "student", 10, null, """{"sn":1,"score":90}"""),
+      JsonEvent("insert", "room", 11, null, """{"rid":3,"cap":40}"""))
+    val q = StreamingPipeline.startConsolidated(
+      src.toDF(),
+      Map("student" -> (studentSchema, s"$root/student"),
+        "room" -> (roomSchema, s"$root/room")),
+      s"$root/ckpt", pipeOpts, epochDir = Some(root))
+    q.processAllAvailable()
+
+    // a reader BETWEEN batches pins cleanly: both tables at the epoch
+    val (b1, snaps1) = StreamingPipeline.Epoch.consistentSnapshot(spark, root, targets)
+    assert(b1 == 0L)
+    assert(snaps1("student").select("sn", "score").as[(Int, Int)].collect().toSet
+      == Set((1, 90)))
+
+    // simulate a reader landing MID-batch: student publishes (out-of-band
+    // applyMicroBatch advances its high-watermark) but the batch's epoch
+    // marker is not yet written — the pinned read must refuse a torn view
+    val oob = Seq(SEvent("update", "student", 20,
+        Some(SRow(1, 0, 90, null, null)), Some(SRow(1, 0, 95, null, null))))
+      .toDS().toDF()
+      .select($"op", $"table", $"next_position",
+        struct($"after.sn".as("sn"), $"after.score".as("score")).as("after"),
+        struct($"before.sn".as("sn"), $"before.score".as("score")).as("before"))
+    StreamingPipeline.applyMicroBatch(spark, oob, s"$root/student", pipeOpts("student"))
+    val e = intercept[IllegalStateException](
+      StreamingPipeline.Epoch.consistentSnapshot(spark, root, targets,
+        maxRetries = 2, retrySleepMs = 10L))
+    assert(e.getMessage.contains("no consistent cross-table epoch"))
+
+    // the next streaming batch completes the epoch; the pinned read returns
+    // the all-tables state including the out-of-band advance
+    src.addData(
+      JsonEvent("update", "student", 20, """{"sn":1,"score":90}""", """{"sn":1,"score":95}"""),
+      JsonEvent("update", "room", 21, """{"rid":3,"cap":40}""", """{"rid":3,"cap":45}"""))
+    q.processAllAvailable()
+    q.stop()
+    val (b2, snaps2) = StreamingPipeline.Epoch.consistentSnapshot(spark, root, targets)
+    assert(b2 == 1L)
+    assert(snaps2("student").select("sn", "score").as[(Int, Int)].collect().toSet
+      == Set((1, 95)))
+    assert(snaps2("room").select("rid", "cap").as[(Int, Int)].collect().toSet
+      == Set((3, 45)))
+  }
+
   test("bounded near-dup admission evicts registry state past the watermark horizon") {
     import org.apache.spark.unsafe.types.UTF8String
     val tA = "spark window shuffle join aggregate partition"
