@@ -81,6 +81,36 @@ object CatalogCli {
     }
   }
 
+  /** The interactive form of [[run]] — a readline REPL (the reference's
+    * jline shell, `Mysql2HbaseCliDriver.scala:15-129`) over the SAME verb
+    * dispatch: line editing, in-session history, and tab completion of the
+    * verb set, via the jline Spark already ships. Takes a prebuilt
+    * [[org.jline.terminal.Terminal]] so the spec can drive the REAL reader
+    * over piped streams (jline's stream terminals run a pty pump whose
+    * close races a draining reader, so test feeds keep the input open and
+    * end with an explicit ctrl-D — exactly what a user sends). */
+  def runJline(cat: Catalog, spark: SparkSession,
+      terminal: org.jline.terminal.Terminal): Unit = {
+    import org.jline.reader.{EndOfFileException, LineReaderBuilder, UserInterruptException}
+    import org.jline.reader.impl.completer.StringsCompleter
+    val reader = LineReaderBuilder.builder()
+      .terminal(terminal)
+      .completer(new StringsCompleter(
+        "add", "list", "delete", "map", "unmap", "help", "quit", "exit"))
+      .build()
+    val out = new PrintStream(terminal.output(), true)
+    var continue = true
+    while (continue) {
+      val line =
+        try reader.readLine("graft> ")
+        catch {
+          case _: EndOfFileException => null    // ctrl-D: leave
+          case _: UserInterruptException => ""  // ctrl-C: clear the line
+        }
+      continue = line != null && processLine(cat, spark, line, out)
+    }
+  }
+
   def main(args: Array[String]): Unit = {
     require(args.length == 1, "usage: CatalogCli <storeDir>")
     val spark = SparkSession.builder()
@@ -89,7 +119,13 @@ object CatalogCli {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    run(new Catalog(spark, args(0)), spark,
+    val cat = new Catalog(spark, args(0))
+    // a real terminal gets the readline REPL; piped stdin (scripting)
+    // keeps the plain loop so `echo 'list' | CatalogCli` stays exact
+    if (System.console() != null) {
+      val terminal = org.jline.terminal.TerminalBuilder.builder().system(true).build()
+      try runJline(cat, spark, terminal) finally terminal.close()
+    } else run(cat, spark,
       new BufferedReader(new java.io.InputStreamReader(System.in)), System.out)
     spark.stop()
   }

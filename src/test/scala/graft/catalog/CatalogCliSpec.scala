@@ -55,6 +55,54 @@ class CatalogCliSpec extends AnyFunSuite {
     assert(out.contains("unknown command 'bogus'"))
   }
 
+  /** jline's stream terminal runs a pty pump whose close races the
+    * draining reader, so the feed blocks briefly at EOF instead of closing
+    * (the REPL leaves via its own verbs or the ctrl-D byte, like a user). */
+  private def keptOpen(data: Array[Byte]): java.io.InputStream = {
+    val inner = new java.io.ByteArrayInputStream(data)
+    new java.io.InputStream {
+      override def read(): Int = {
+        val r = inner.read()
+        if (r >= 0) r
+        else { try Thread.sleep(15000) catch { case _: InterruptedException => }; -1 }
+      }
+    }
+  }
+
+  private def replSession(store: String, scriptBytes: Array[Byte]): String = {
+    val outBuf = new ByteArrayOutputStream()
+    val terminal = org.jline.terminal.TerminalBuilder.builder()
+      .system(false).streams(keptOpen(scriptBytes), outBuf).build()
+    terminal.setSize(new org.jline.terminal.Size(80, 24))
+    try CatalogCli.runJline(new Catalog(spark, store), spark, terminal)
+    finally terminal.close()
+    outBuf.toString("UTF-8")
+  }
+
+  test("jline REPL: piped session drives the same verb dispatch through the real reader") {
+    val store = Files.createTempDirectory("graft_cli").toString
+    val script = Seq(
+      "help",
+      s"add $f1",
+      "list",
+      "delete mixfs.student",
+      "list",
+      "exit").mkString("\n") + "\n"
+    val out = replSession(store, script.getBytes("UTF-8"))
+    assert(out.contains("graft> "), "REPL must prompt")
+    assert(out.contains("added mixfs.student (spark table student2)"))
+    assert(out.contains("mixfs.student -> student2 [pk: sn,id; 5 cols]"))
+    assert(out.contains("deleted mixfs.student"))
+    assert(out.contains("(no mappings)"))
+  }
+
+  test("jline REPL: ctrl-D leaves cleanly") {
+    val store = Files.createTempDirectory("graft_cli").toString
+    // no quit/exit: the EOT byte (what a user's ctrl-D sends) must end the loop
+    val out = replSession(store, "list\n".getBytes("UTF-8") :+ 4.toByte)
+    assert(out.contains("(no mappings)"))
+  }
+
   test("errors are reported, not fatal") {
     val store = Files.createTempDirectory("graft_cli").toString
     val outBuf = new ByteArrayOutputStream()
