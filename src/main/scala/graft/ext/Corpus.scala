@@ -333,6 +333,27 @@ object Corpus {
     "q54_dedup_clusters" -> ((s, dir) =>
       dedupClusters(s, dir).repartition(1).sortWithinPartitions(col("doc_id"))),
 
+    // ---- q91: quality-based survivor selection — the retention policy a
+    //      real dedup pipeline runs on top of q54's clusters: within each
+    //      near-dup cluster keep the HIGHEST-quality member (q49's exact
+    //      score; ties to the lowest doc_id), not the arbitrary minimum
+    //      id. Cluster labels and quality are both already-gated operators
+    //      (q54, q49) shared by construction; the composition is one
+    //      doc_id equi-join + a per-cluster window over the near-dup
+    //      FRACTION — never corpus-wide. Quality doubles are bit-identical
+    //      cross-engine, so the survivor ranking is too.
+    "q91_dedup_survivors" -> ((s, dir) => {
+      val clusters = dedupClusters(s, dir)
+      val quality = TextOps.qualityScore(t(s, dir, "documents"))
+      val w = Window.partitionBy(col("canonical_id"))
+        .orderBy(col("quality").desc, col("doc_id"))
+      clusters.join(quality, "doc_id")
+        .withColumn("is_survivor",
+          when(row_number().over(w) === 1, 1L).otherwise(0L))
+        .select(col("doc_id"), col("canonical_id"), col("quality"), col("is_survivor"))
+        .repartition(1).sortWithinPartitions(col("doc_id"))
+    }),
+
     // ---- q55: reproducible stratified sampling — per-language keep rates
     //      gated on a portable polynomial content hash (no RNG, no state;
     //      the same doc always lands on the same side of the gate). Pure
@@ -684,6 +705,22 @@ object Corpus {
 
   val oracles: Map[String, String] = Map(
     "q54_dedup_clusters" -> q54OracleSql,
+
+    // q54's independently-derived labels (recursive CTE) joined with q49's
+    // exact quality definition; survivor = per-cluster argmax.
+    "q91_dedup_survivors" -> s"""
+      WITH lab AS (SELECT doc_id, canonical_id FROM ($q54OracleSql) x),
+      q AS (${TextOps.qualitySql("documents")}),
+      joined AS (
+        SELECT lab.doc_id, lab.canonical_id, q.quality
+        FROM lab JOIN q USING (doc_id)),
+      r AS (
+        SELECT joined.*, ROW_NUMBER() OVER (PARTITION BY canonical_id
+          ORDER BY quality DESC, doc_id) AS rn
+        FROM joined)
+      SELECT doc_id, canonical_id, quality,
+        CAST(CASE WHEN rn = 1 THEN 1 ELSE 0 END AS BIGINT) AS is_survivor
+      FROM r ORDER BY doc_id""",
 
     "q55_stratified_sample" -> s"""
       SELECT doc_id, lang, bucket FROM (

@@ -79,6 +79,74 @@ object TextOps {
 
   private val stopwords = Seq("the", "a", "of", "and", "to", "in")
 
+  /** Per-document quality score (q49's blend), factored so pipeline
+    * compositions (q91's quality-based survivor selection) provably rank
+    * by the SAME score the quality gate exports. Returns (doc_id,
+    * quality); narrow projection, embarrassingly parallel. */
+  def qualityScore(docs: DataFrame): DataFrame = {
+    val d = docs
+      .repartition(col("doc_id")) // spread CPU-heavy narrow work
+      .withColumn("ws", words(col("text")))
+      .withColumn("n_words", size(col("ws")).cast("double"))
+      .withColumn("n_distinct", size(array_distinct(col("ws"))).cast("double"))
+      .withColumn("n_stop",
+        size(filter(col("ws"), w => array_contains(array(stopwords.map(lit): _*), w)))
+          .cast("double"))
+      .withColumn("n_punct",
+        length(regexp_replace(col("text"), "[a-z0-9 ]", "")).cast("double"))
+    d.select(col("doc_id"),
+      (least(col("n_words") / 100.0, lit(1.0)) * 0.25
+        + (lit(1.0) - least(col("n_punct") / length(col("text")) * 5.0, lit(1.0))) * 0.25
+        + least(col("n_stop") / col("n_words") * 10.0, lit(1.0)) * 0.25
+        + (col("n_distinct") / col("n_words")) * 0.25).as("quality"))
+  }
+
+  /** The oracle-side mirror of [[qualityScore]] — one definition feeding
+    * both the q49 gate and q91's survivor ranking. */
+  def qualitySql(rel: String): String = s"""
+      SELECT doc_id,
+        least(n_words / 100.0, 1.0) * 0.25
+          + (1.0 - least(n_punct / length(text) * 5.0, 1.0)) * 0.25
+          + least(n_stop / n_words * 10.0, 1.0) * 0.25
+          + (n_distinct / n_words) * 0.25 AS quality
+      FROM (
+        SELECT doc_id, text,
+          len(regexp_extract_all(lower(text), '[a-z0-9]+'))::DOUBLE AS n_words,
+          len(list_distinct(regexp_extract_all(lower(text), '[a-z0-9]+')))::DOUBLE AS n_distinct,
+          len(list_filter(regexp_extract_all(lower(text), '[a-z0-9]+'),
+              w -> list_contains(['the','a','of','and','to','in'], w)))::DOUBLE AS n_stop,
+          length(regexp_replace(text, '[a-z0-9 ]', '', 'g'))::DOUBLE AS n_punct
+        FROM $rel)"""
+
+  // ---- q90 PII scrubbing: patterns shared between the Spark plan and the
+  //      oracle (simple enough that Java regex and DuckDB's RE2 agree).
+  //      The corpus is synthetic word soup, so PII is PLANTED
+  //      deterministically (every 3rd doc gains an email + phone suffix
+  //      derived from doc_id) — the gate then checks real redactions, real
+  //      counts, and ZERO false positives on the untouched docs.
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val PhoneRe = "\\b555-[0-9]{4}\\b"
+  val IpRe = "\\b[0-9]{1,3}(\\.[0-9]{1,3}){3}\\b"
+
+  /** Redact emails / phone numbers / IPv4s from `text` (narrow, no
+    * shuffle): columns (doc_id, n_emails, n_phones, n_ips, scrub_len,
+    * scrub_sha). */
+  def piiScrub(docs: DataFrame): DataFrame = {
+    val scrubbed = regexp_replace(
+      regexp_replace(
+        regexp_replace(col("text"), EmailRe, "<EMAIL>"),
+        PhoneRe, "<PHONE>"),
+      IpRe, "<IP>")
+    docs
+      .repartition(col("doc_id")) // spread CPU-heavy narrow work
+      .select(col("doc_id"),
+        size(regexp_extract_all(col("text"), lit(EmailRe), lit(0))).cast("long").as("n_emails"),
+        size(regexp_extract_all(col("text"), lit(PhoneRe), lit(0))).cast("long").as("n_phones"),
+        size(regexp_extract_all(col("text"), lit(IpRe), lit(0))).cast("long").as("n_ips"),
+        length(scrubbed).cast("long").as("scrub_len"),
+        substring(sha2(scrubbed, 256), 1, 16).as("scrub_sha"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- JSON extraction over the events.props JSON column (the reference
     //      stores its entire catalog as JSON; Spark-side: get_json_object).
@@ -174,23 +242,26 @@ object TextOps {
     //      cleanliness, stopword naturalness, and type-token ratio — the
     //      pre-training corpus-filtering heuristic. Pure double arithmetic
     //      in a fixed operation order, so the oracle matches bit-for-bit.
-    "q49_quality_score" -> ((s, dir) => {
+    "q49_quality_score" -> ((s, dir) =>
+      qualityScore(t(s, dir, "documents"))
+        .repartition(1).sortWithinPartitions(col("doc_id"))),
+
+    // ---- q90 PII scrubbing: redact emails / phones / IPv4s before a
+    //      corpus ships to training — the compliance step of the pipeline.
+    //      PII is PLANTED deterministically (the word-soup corpus has
+    //      none), so the gate checks real redactions and real counts;
+    //      untouched docs double as the false-positive control. Narrow
+    //      projection end-to-end: no shuffle at any corpus size.
+    "q90_pii_scrub" -> ((s, dir) => {
       import s.implicits._
-      val d = t(s, dir, "documents")
-        .repartition($"doc_id") // spread CPU-heavy narrow work
-        .withColumn("ws", words($"text"))
-        .withColumn("n_words", size($"ws").cast("double"))
-        .withColumn("n_distinct", size(array_distinct($"ws")).cast("double"))
-        .withColumn("n_stop",
-          size(filter($"ws", w => array_contains(array(stopwords.map(lit): _*), w))).cast("double"))
-        .withColumn("n_punct",
-          length(regexp_replace($"text", "[a-z0-9 ]", "")).cast("double"))
-      d.select($"doc_id",
-          (least($"n_words" / 100.0, lit(1.0)) * 0.25
-            + (lit(1.0) - least($"n_punct" / length($"text") * 5.0, lit(1.0))) * 0.25
-            + least($"n_stop" / $"n_words" * 10.0, lit(1.0)) * 0.25
-            + ($"n_distinct" / $"n_words") * 0.25).as("quality"))
-        .repartition(1).sortWithinPartitions($"doc_id")
+      val planted = t(s, dir, "documents").select($"doc_id",
+        when($"doc_id" % 3 === 0, concat($"text",
+            lit(" contact user"), $"doc_id".cast("string"),
+            lit("@example.com or 555-"),
+            lpad(($"doc_id" % 10000).cast("string"), 4, "0"),
+            lit(" from 10.0."), ($"doc_id" % 256).cast("string"), lit(".7")))
+          .otherwise($"text").as("text"))
+      piiScrub(planted).repartition(1).sortWithinPartitions($"doc_id")
     }),
 
     // ---- Document fingerprint: min polynomial hash over character
@@ -281,20 +352,32 @@ object TextOps {
       ORDER BY doc_id""",
 
     "q49_quality_score" -> s"""
-      WITH d AS (
+      SELECT doc_id, quality FROM (${qualitySql("documents")})
+      ORDER BY doc_id""",
+
+    "q90_pii_scrub" -> s"""
+      WITH planted AS (
+        SELECT doc_id,
+          CASE WHEN doc_id % 3 = 0 THEN
+            text || ' contact user' || CAST(doc_id AS VARCHAR)
+              || '@example.com or 555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+              || ' from 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.7'
+          ELSE text END AS text
+        FROM documents),
+      scrubbed AS (
         SELECT doc_id, text,
-          len(regexp_extract_all(lower(text), '[a-z0-9]+'))::DOUBLE AS n_words,
-          len(list_distinct(regexp_extract_all(lower(text), '[a-z0-9]+')))::DOUBLE AS n_distinct,
-          len(list_filter(regexp_extract_all(lower(text), '[a-z0-9]+'),
-              w -> list_contains(['the','a','of','and','to','in'], w)))::DOUBLE AS n_stop,
-          length(regexp_replace(text, '[a-z0-9 ]', '', 'g'))::DOUBLE AS n_punct
-        FROM documents)
+          regexp_replace(regexp_replace(regexp_replace(text,
+            '$EmailRe', '<EMAIL>', 'g'),
+            '$PhoneRe', '<PHONE>', 'g'),
+            '$IpRe', '<IP>', 'g') AS clean
+        FROM planted)
       SELECT doc_id,
-        least(n_words / 100.0, 1.0) * 0.25
-          + (1.0 - least(n_punct / length(text) * 5.0, 1.0)) * 0.25
-          + least(n_stop / n_words * 10.0, 1.0) * 0.25
-          + (n_distinct / n_words) * 0.25 AS quality
-      FROM d
+        len(regexp_extract_all(text, '$EmailRe'))::BIGINT AS n_emails,
+        len(regexp_extract_all(text, '$PhoneRe'))::BIGINT AS n_phones,
+        len(regexp_extract_all(text, '$IpRe'))::BIGINT AS n_ips,
+        length(clean)::BIGINT AS scrub_len,
+        substring(sha256(clean), 1, 16) AS scrub_sha
+      FROM scrubbed
       ORDER BY doc_id""",
 
     "q46_fingerprint" -> s"""

@@ -96,6 +96,20 @@ class PlanSpec extends AnyFunSuite {
     assertAnnShape(plan("q53_ann_ivf"))
   }
 
+  test("q90: PII scrub is narrow — no join, no aggregate before the output convention") {
+    val p = plan("q90_pii_scrub")
+    assert(!p.contains("Join"), p)
+    assert(!p.contains("HashAggregate"), p)
+  }
+
+  test("q91: survivor selection is an equi join + per-cluster window, never global") {
+    val p = plan("q91_dedup_survivors")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("windowspecdefinition(canonical_id"),
+      s"survivor rank must window per cluster, not globally:\n$p")
+  }
+
   test("q46: fingerprint runs the fused native kernel, not an interpreted fold") {
     val p = plan("q46_fingerprint")
     assert(p.contains("graft_fingerprint"), p)
