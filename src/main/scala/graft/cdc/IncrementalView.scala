@@ -192,7 +192,21 @@ object IncrementalView {
     * scavenged (the scan also reclaims dirs orphaned by a crash between
     * publish and cleanup). */
   def applyViewBatch(spark: SparkSession, batch: DataFrame, batchId: Long,
-      viewDir: String, key: String, value: String): Unit = {
+      viewDir: String, key: String, value: String): Unit =
+    applyGeneric(spark, batchId, viewDir) { applied =>
+      val d = delta(batch, key, value)
+      applied match {
+        case Some(v) => merge(spark.read.parquet(s"$viewDir/v$v"), d, key)
+          .filter(col("cnt") =!= 0) // exact zeros leave; negatives stay visible
+        case None => d
+      }
+    }
+
+  /** The replay-guard + versioned-publish discipline shared by the
+    * SUM/COUNT and MIN/MAX streaming views; `mergeFn` receives the applied
+    * version (if any) and returns the new view contents. */
+  private def applyGeneric(spark: SparkSession, batchId: Long, viewDir: String)(
+      mergeFn: Option[Long] => DataFrame): Unit = {
     val applied = appliedBatch(spark, viewDir)
     if (applied.contains(batchId)) return // crash replay of the last batch
     applied.filter(batchId < _).foreach { v =>
@@ -201,13 +215,7 @@ object IncrementalView {
           s"batch $batchId - checkpoint/view mismatch (fresh checkpoint " +
           "against an existing view?); refusing to silently drop batches")
     }
-    val d = delta(batch, key, value)
-    val merged = applied match {
-      case Some(v) => merge(spark.read.parquet(s"$viewDir/v$v"), d, key)
-        .filter(col("cnt") =!= 0) // exact zeros leave; negatives stay visible
-      case None => d
-    }
-    merged.write.mode("overwrite").parquet(s"$viewDir/v$batchId")
+    mergeFn(applied).write.mode("overwrite").parquet(s"$viewDir/v$batchId")
     AtomicFile.write(spark.sparkContext.hadoopConfiguration,
       pointerPath(viewDir), batchId.toString)
     applied.foreach { prev =>
@@ -220,6 +228,69 @@ object IncrementalView {
       }
     }
   }
+
+  /** The MIN/MAX streaming form: [[applyViewBatch]]'s exactly-once
+    * discipline over the [[maintainMinMax]] algebra, applied per
+    * micro-batch. The stored view rows are (key, cnt, sum, mn, mx) with
+    * VALIDATED extremes; each batch folds its [[deltaMinMax]] in, and only
+    * the keys whose deletes tie-or-beat the stored extreme re-aggregate
+    * from `base` — which must be the PRIMARY TABLE'S state after this
+    * batch applied (in the CDC topology the row applier runs first in the
+    * same foreachBatch, so `CdcApplier.snapshot` is exactly that). */
+  def applyViewBatchMinMax(spark: SparkSession, batch: DataFrame, batchId: Long,
+      viewDir: String, key: String, value: String, base: => DataFrame): Unit =
+    applyGeneric(spark, batchId, viewDir) { applied =>
+      val d = deltaMinMax(batch, key, value)
+      val merged = applied match {
+        case None =>
+          d.select(col(key), col("cnt"), col("sum"),
+            col("ins_mn").as("mn_c"), col("ins_mx").as("mx_c"),
+            col("del_mn"), col("del_mx"))
+        case Some(v) =>
+          val zero = lit(0).cast(DecimalType(28, 6))
+          spark.read.parquet(s"$viewDir/v$v")
+            .select(col(key), col("cnt").as("cnt_a"), col("sum").as("sum_a"),
+              col("mn").as("mn_a"), col("mx").as("mx_a"))
+            .join(d, Seq(key), "full_outer")
+            .select(col(key),
+              (coalesce(col("cnt_a"), lit(0L)) + coalesce(col("cnt"), lit(0L))).as("cnt"),
+              (coalesce(col("sum_a"), zero) + coalesce(col("sum"), zero))
+                .cast(DecimalType(28, 6)).as("sum"),
+              least(col("mn_a"), col("ins_mn")).as("mn_c"),
+              greatest(col("mx_a"), col("ins_mx")).as("mx_c"),
+              col("del_mn"), col("del_mx"))
+      }
+      val flagged = merged.filter(col("cnt") > 0).withColumn("rescan",
+        (col("del_mn").isNotNull && col("del_mn") <= col("mn_c")) ||
+          (col("del_mx").isNotNull && col("del_mx") >= col("mx_c")))
+      val ok = flagged.filter(!col("rescan"))
+        .select(col(key), col("cnt"), col("sum"),
+          col("mn_c").as("mn"), col("mx_c").as("mx"))
+      val affected = flagged.filter(col("rescan")).select(col(key), col("cnt"), col("sum"))
+      if (affected.isEmpty) ok
+      else {
+        val rescanned = base
+          .join(broadcast(affected.select(col(key))), Seq(key), "left_semi")
+          .groupBy(col(key))
+          .agg(min(col(value).cast("double")).as("mn"),
+            max(col(value).cast("double")).as("mx"))
+        ok.union(affected.join(rescanned, Seq(key))
+          .select(col(key), col("cnt"), col("sum"), col("mn"), col("mx")))
+      }
+    }
+
+  /** Streaming MIN/MAX (+SUM/COUNT) aggregate-view topology over the CDC
+    * envelope, rescanning affected keys against `base` per batch. */
+  def startAggViewMinMax(changes: DataFrame, viewDir: String, checkpointDir: String,
+      key: String, value: String, base: SparkSession => DataFrame)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    changes.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        applyViewBatchMinMax(batch.sparkSession, batch, batchId, viewDir, key, value,
+          base(batch.sparkSession))
+      }
+      .start()
 
   /** Streaming aggregate-view topology: a change envelope stream (op,
     * before, after — the CdcApplier batch shape) maintained into a

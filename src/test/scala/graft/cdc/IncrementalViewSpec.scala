@@ -204,6 +204,57 @@ class IncrementalViewSpec extends AnyFunSuite {
     assert(snap() == Map("b" -> (1L, 3.0)), "post-restart batch must apply once")
   }
 
+  test("streaming min/max view: extreme-delete rescans against the live target, replay-safe") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val root = java.nio.file.Files.createTempDirectory("graft_vmm").toString
+    val (target, viewDir, ckpt) = (s"$root/tbl", s"$root/view", s"$root/ckpt")
+    val opts = CdcApplier.Options(Seq("id"))
+
+    def snap(): Map[String, (Long, Double, Double)] =
+      IncrementalView.snapshotView(spark, viewDir).get
+        .select($"grp", $"cnt", $"mn", $"mx")
+        .collect().map(r => r.getString(0) ->
+          ((r.getLong(1), r.getDouble(2), r.getDouble(3)))).toMap
+
+    def env(op: String, pos: Long, before: Option[VRow], after: Option[VRow]) =
+      (op, pos, before, after)
+    val src = MemoryStream[(String, Long, Option[VRow], Option[VRow])]
+    // the CDC composition: the row applier keeps the primary current, and
+    // the min/max view rescans AFFECTED keys against that same primary —
+    // base is evaluated after the applier ran, inside one foreachBatch
+    val q1 = src.toDF().toDF("op", "next_position", "before", "after")
+      .writeStream.option("checkpointLocation", ckpt)
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, id: Long) =>
+        CdcApplier.applyBatch(spark,
+          b.select($"op", $"next_position", $"before", $"after"), target, opts)
+        IncrementalView.applyViewBatchMinMax(spark, b, id, viewDir, "grp", "v",
+          CdcApplier.snapshot(spark, target))
+      }.start()
+
+    src.addData(env("insert", 10L, None, Some(VRow(1, "a", 90.0))),
+      env("insert", 11L, None, Some(VRow(2, "a", 80.0))),
+      env("insert", 12L, None, Some(VRow(3, "b", 70.0))))
+    q1.processAllAvailable()
+    assert(snap() == Map("a" -> ((2L, 80.0, 90.0)), "b" -> ((1L, 70.0, 70.0))))
+
+    // delete a's MINIMUM: the optimistic extreme is invalidated, so the
+    // view must recover a.mn from the live primary (90 is the survivor)
+    src.addData(env("delete", 20L, Some(VRow(2, "a", 80.0)), None))
+    q1.processAllAvailable()
+    q1.stop()
+    assert(snap() == Map("a" -> ((1L, 90.0, 90.0)), "b" -> ((1L, 70.0, 70.0))),
+      "deleted extreme must rescan from the primary")
+
+    // replayed LAST batch id: exact no-op (the at-least-once crash case)
+    val replay = Seq(env("delete", 30L, Some(VRow(3, "b", 70.0)), None))
+      .toDF("op", "next_position", "before", "after")
+    IncrementalView.applyViewBatchMinMax(spark, replay, 1L, viewDir, "grp", "v",
+      spark.read.parquet(target))
+    assert(snap() == Map("a" -> ((1L, 90.0, 90.0)), "b" -> ((1L, 70.0, 70.0))),
+      "batch 1 was already applied")
+  }
+
   test("update repricing accumulates as the exact decimal of the new price") {
     val b1 = ChangeFeed.inserts(base, $"id")
     val b2 = ChangeFeed.updates(base.filter($"id" === 1),

@@ -448,6 +448,46 @@ class StreamingPipelineSpec extends AnyFunSuite {
     assert(totalRemoved > 0, s"expected state rows physically removed, got $totalRemoved")
   }
 
+  test("bounded admission runs unchanged on the RocksDB state store (production backend)") {
+    import org.apache.spark.unsafe.types.UTF8String
+    val tA = "spark window shuffle join aggregate partition"
+    val tB = "completely different words appear here entirely unrelated"
+    def sh(t: String) = graft.functions.HashUtil.simhash(UTF8String.fromString(t))
+    assert(java.lang.Long.bitCount(sh(tA) ^ sh(tB)) > 3, "fixture too close")
+    def ts(min: Long) = new Timestamp(1735689600000L + min * 60000L)
+
+    // the 100 TB state backend: same operator, same verdicts, state spilled
+    // to RocksDB instead of the executor heap. provider conf is read at
+    // query START, so set + restore around it.
+    val provKey = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(provKey)
+    val chk = "spark.sql.streaming.statefulOperator.checkCorrectness.enabled"
+    val sink = s"nd_rocks_${System.nanoTime()}"
+    val src = MemoryStream[(Long, Timestamp, String)]
+    spark.conf.set(provKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    spark.conf.set(chk, "false")
+    val q = try StreamingPipeline.streamingNearDupAdmitBounded(
+        src.toDF().toDF("doc_id", "ts", "text"), "1 hour")
+      .writeStream.format("memory").queryName(sink).outputMode("append").start()
+    finally {
+      spark.conf.set(chk, "true")
+      prev match { case Some(v) => spark.conf.set(provKey, v)
+                   case None => spark.conf.unset(provKey) }
+    }
+    src.addData((1L, ts(0), tA), (2L, ts(1), tA), (3L, ts(2), tB))
+    q.processAllAvailable()
+    val got = spark.table(sink).as[(Long, Boolean)].collect().toMap
+    // RocksDB actually backed the state stores of this run
+    val providers = q.lastProgress.stateOperators
+      .flatMap(op => Option(op.customMetrics).toSeq)
+      .flatMap(m => { import scala.jdk.CollectionConverters._; m.keySet().asScala })
+    q.stop()
+    assert(got == Map(1L -> true, 2L -> false, 3L -> true), s"$got")
+    assert(providers.exists(_.toLowerCase.contains("rocksdb")),
+      s"expected rocksdb state-store metrics, got: ${providers.toSeq.sorted.take(10)}")
+  }
+
   test("bounded budget admission resets an idle source's window past the horizon") {
     def ts(min: Long) = new Timestamp(1735689600000L + min * 60000L)
     val sink = s"budget_bounded_${System.nanoTime()}"
