@@ -157,6 +157,51 @@ object Advanced {
         .orderBy($"user_id", $"ss")
     }),
 
+    // ---- q92: the approx-percentile SKETCH under a self-validated rank
+    //      bound (q29's idiom, extended to quantiles the way the recall
+    //      audits extend it to ANN). The emitted p50/p95 are the EXACT
+    //      distributed quantiles (reproducible, hash-gated vs
+    //      quantile_cont); the GK sketch's answers are engine-specific and
+    //      never emitted — instead the query recomputes each answer's true
+    //      RANK and fails via raise_error unless it sits within the
+    //      sketch's contract (rank error <= n/accuracy, +1 interpolation
+    //      slack). sketch_ok=1 in the output is therefore a proof the
+    //      audit ran and held, not a constant.
+    "q92_approx_percentile_bound" -> ((s, dir) => {
+      import s.implicits._
+      val acc = 1000
+      val li = Tables.load(s, dir, "lineitem")
+      val exact = exactQuantiles(li, "l_returnflag", "l_quantity",
+        Seq("p50" -> 0.5, "p95" -> 0.95))
+      val approx = li.groupBy($"l_returnflag")
+        .agg(percentile_approx($"l_quantity", array(lit(0.5), lit(0.95)), lit(acc)).as("ap"),
+          count($"l_quantity").as("n"))
+        .select($"l_returnflag", $"ap" (0).as("a50"), $"ap" (1).as("a95"), $"n")
+      // a heavily-duplicated value occupies a rank INTERVAL
+      // [count(<v), count(<=v)]; the sketch contract is that the target
+      // rank q*n falls within tol of that interval
+      val ranks = li.join(broadcast(approx), "l_returnflag")
+        .groupBy($"l_returnflag")
+        .agg(max($"n").as("n"),
+          count(when($"l_quantity" < $"a50", 1)).as("r50_lt"),
+          count(when($"l_quantity" <= $"a50", 1)).as("r50_le"),
+          count(when($"l_quantity" < $"a95", 1)).as("r95_lt"),
+          count(when($"l_quantity" <= $"a95", 1)).as("r95_le"))
+      def ok(rLt: org.apache.spark.sql.Column, rLe: org.apache.spark.sql.Column, q: Double) = {
+        val target = lit(q) * $"n".cast("double")
+        val tol = $"n".cast("double") / acc + 1.0
+        (rLt.cast("double") - tol <= target) && (target <= rLe.cast("double") + tol)
+      }
+      val audited = ranks.withColumn("sketch_ok",
+        when(ok($"r50_lt", $"r50_le", 0.5) && ok($"r95_lt", $"r95_le", 0.95), lit(1L))
+          .otherwise(raise_error(concat(
+            lit(s"approx_percentile rank error beyond n/$acc for "), $"l_returnflag"))))
+        .select($"l_returnflag", $"sketch_ok")
+      exact.join(audited, "l_returnflag")
+        .select($"l_returnflag", $"p50", $"p95", $"sketch_ok")
+        .orderBy($"l_returnflag")
+    }),
+
     // ---- array construction + functions: collect_set/sort/size/element_at.
     //      (the array is stringified in the final projection — the driver's
     //      hash compare can't digest array-typed output columns)
@@ -361,6 +406,17 @@ object Advanced {
       FROM sess
       GROUP BY user_id, sid
       ORDER BY user_id, ss""",
+
+    // The audit itself is Spark-side (the sketch is engine-specific); the
+    // oracle checks the exact quantiles and the audit's passed marker.
+    "q92_approx_percentile_bound" -> """
+      SELECT l_returnflag,
+        quantile_cont(l_quantity, 0.5) AS p50,
+        quantile_cont(l_quantity, 0.95) AS p95,
+        CAST(1 AS BIGINT) AS sketch_ok
+      FROM lineitem
+      GROUP BY l_returnflag
+      ORDER BY l_returnflag""",
 
     "q34_percentile" -> """
       SELECT l_returnflag,
