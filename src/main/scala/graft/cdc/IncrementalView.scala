@@ -129,12 +129,15 @@ object IncrementalView {
     * division, reproducible cross-engine. */
   def maintainMinMax(batches: Seq[DataFrame], base: DataFrame,
       key: String, value: String): DataFrame = {
-    val folded = batches.map(deltaMinMax(_, key, value))
+    // materialize the fold ONCE (aggregate-sized): ok/affected/rescan all
+    // branch off it, and without this each branch re-runs every delta
+    val flagged = batches.map(deltaMinMax(_, key, value))
       .reduce(mergeMinMax(_, _, key))
       .filter(col("cnt") > 0)
-    val flagged = folded.withColumn("rescan",
-      (col("del_mn").isNotNull && col("del_mn") <= col("ins_mn")) ||
-        (col("del_mx").isNotNull && col("del_mx") >= col("ins_mx")))
+      .withColumn("rescan",
+        (col("del_mn").isNotNull && col("del_mn") <= col("ins_mn")) ||
+          (col("del_mx").isNotNull && col("del_mx") >= col("ins_mx")))
+      .localCheckpoint()
     val ok = flagged.filter(!col("rescan"))
       .select(col(key), col("cnt"), col("sum"),
         col("ins_mn").as("mn"), col("ins_mx").as("mx"))
@@ -260,9 +263,18 @@ object IncrementalView {
               greatest(col("mx_a"), col("ins_mx")).as("mx_c"),
               col("del_mn"), col("del_mx"))
       }
-      val flagged = merged.filter(col("cnt") > 0).withColumn("rescan",
-        (col("del_mn").isNotNull && col("del_mn") <= col("mn_c")) ||
-          (col("del_mx").isNotNull && col("del_mx") >= col("mx_c")))
+      // exact zeros leave; NEGATIVE cnt stays visible (the same
+      // feed-inconsistency signal applyViewBatch keeps) — it flows through
+      // the no-rescan branch (possibly with null extremes): the base has
+      // nothing to rescan for a row the view never saw inserted. The
+      // aggregate-sized frame is materialized ONCE (localCheckpoint) —
+      // the ok/affected branches and the final write would otherwise
+      // re-run the whole delta fold + stored-view read each.
+      val flagged = merged.filter(col("cnt") =!= 0).withColumn("rescan",
+        col("cnt") > 0 && (
+          (col("del_mn").isNotNull && col("del_mn") <= col("mn_c")) ||
+            (col("del_mx").isNotNull && col("del_mx") >= col("mx_c"))))
+        .localCheckpoint()
       val ok = flagged.filter(!col("rescan"))
         .select(col(key), col("cnt"), col("sum"),
           col("mn_c").as("mn"), col("mx_c").as("mx"))

@@ -187,13 +187,18 @@ object Corpus {
       }
       r
     }
+    // self-pairs are malformed input (upstream pair joins emit id_a <
+    // id_b); skip them so both dispatch paths agree (the distributed loop
+    // canonicalizes them away)
     edges.foreach { case (a, b) =>
-      parent.putIfAbsent(a, a)
-      parent.putIfAbsent(b, b)
-      val ra = find(a)
-      val rb = find(b)
-      if (ra != rb) { // union by MIN root: canonical = component minimum
-        if (ra < rb) parent.put(rb, ra) else parent.put(ra, rb)
+      if (a != b) {
+        parent.putIfAbsent(a, a)
+        parent.putIfAbsent(b, b)
+        val ra = find(a)
+        val rb = find(b)
+        if (ra != rb) { // union by MIN root: canonical = component minimum
+          if (ra < rb) parent.put(rb, ra) else parent.put(ra, rb)
+        }
       }
     }
     val out = parent.keySet().iterator()
@@ -287,7 +292,13 @@ object Corpus {
     var converged = prev._1 == 0L
     while (!converged && iter < maxIters) {
       val old = edges
-      edges = smallStar(largeStar(old)).localCheckpoint() // eager, then free old
+      // re-pin each round's output to loopParts: the phases' groupBy /
+      // join / distinct otherwise shuffle at the session default, which is
+      // exactly the per-round scheduling overhead the adaptive partition
+      // count exists to avoid on small pair sets
+      edges = smallStar(largeStar(old))
+        .repartition(loopParts, col("lo"))
+        .localCheckpoint() // eager, then free old
       freeCheckpoint(old)
       val w = witness(edges)
       converged = w == prev

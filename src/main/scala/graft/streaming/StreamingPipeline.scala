@@ -364,7 +364,9 @@ object StreamingPipeline {
       * moved past the pinned epoch (and the marker itself is unchanged) —
       * a reader that lands between two of a batch's sequential publishes
       * sees the mismatch and retries instead of returning a torn view.
-      * Returns (batchId, table -> snapshot). The snapshots are lazy plans
+      * Returns (batchId, table -> snapshot); tables with no published
+      * state yet (no batch, or filtered-only traffic) are ABSENT from the
+      * map — consistently empty, not torn. The snapshots are lazy plans
       * over the verified-published files; materialize (or re-verify) before
       * trusting them across further publishes. Bounded retry: a pipeline
       * publishing continuously faster than the reader can verify is a
@@ -377,10 +379,19 @@ object StreamingPipeline {
       var attempt = 0
       while (attempt <= maxRetries) {
         read(conf, epochDir) match {
-          case None => // no batch has completed yet: empty state is consistent
-            return (-1L, tables.map { case (t, _) => t -> spark.emptyDataFrame })
+          case None =>
+            // no batch has completed yet: the empty view is the consistent
+            // one (no table key — a not-yet-bootstrapped target has no
+            // schema to build an empty frame from)
+            return (-1L, Map.empty)
           case Some((batchId, positions)) =>
-            val snaps = tables.map { case (t, dir) => t -> CdcApplier.snapshot(spark, dir) }
+            // a mapped table that has never received an applied event has
+            // no published state (a filtered-only table can even have a
+            // high-watermark but no buckets) — it is consistently ABSENT,
+            // not a torn view
+            val snaps = tables.flatMap { case (t, dir) =>
+              scala.util.Try(CdcApplier.snapshot(spark, dir)).toOption.map(t -> _)
+            }
             val pinned = tables.forall { case (t, dir) =>
               readHighWater(spark, dir).getOrElse(Long.MinValue) ==
                 positions.getOrElse(t, Long.MinValue)
@@ -638,7 +649,12 @@ object StreamingPipeline {
             // rows is non-empty here (data invocation) and every unseen row
             // registers, so the registry cannot be empty at this point
             state.update(registry)
-            state.setTimeoutTimestamp(registry.map(_._3).max, delay)
+            // fire as soon as the watermark passes the NEWEST entry — at
+            // that point every entry is older than the watermark and would
+            // be pruned anyway, so the whole registry can go. (+1 ms: the
+            // timeout must be strictly above the current watermark, and a
+            // just-pruned registry can have max ts == watermark exactly)
+            state.setTimeoutTimestamp(registry.map(_._3).max + 1L)
             out.result().iterator
           }
       }
@@ -660,7 +676,9 @@ object StreamingPipeline {
           else {
             val rows = vs.toSeq
             state.update(rows.head._3.getTime)
-            state.setTimeoutTimestamp(rows.head._3.getTime, delay)
+            // expire once the watermark passes the doc's own event time —
+            // the same horizon its stage-1 registry entries live under
+            state.setTimeoutTimestamp(rows.head._3.getTime + 1L)
             Iterator((id, !rows.exists(_._2)))
           }
       }
@@ -699,7 +717,9 @@ object StreamingPipeline {
               if (used < cap) { out += ((id, src, n, used)); used += n }
             }
             state.update(used)
-            state.setTimeoutTimestamp(rs.map(_._4.getTime).max, delay)
+            // reset once the watermark passes the source's last event —
+            // i.e. the source has been idle for one full horizon
+            state.setTimeoutTimestamp(rs.map(_._4.getTime).max + 1L)
             out.result().iterator
           }
       }

@@ -43,6 +43,17 @@ class CorpusSpec extends AnyFunSuite {
     assert(got.keySet == Set(5L, 6L))
   }
 
+  test("malformed self-pairs are dropped identically by both dispatch paths") {
+    import spark.implicits._
+    val pairs = Seq((7L, 7L), (1L, 2L)).toDF("id_a", "id_b")
+    val uf = Corpus.unionFindLabels(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val loop = Corpus.connectedComponentsLoop(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(uf == Map(1L -> 1L, 2L -> 1L) && uf == loop,
+      s"self-pair handling must not depend on the dispatch path: uf=$uf loop=$loop")
+  }
+
   test("loop non-convergence raises instead of returning partial clusters") {
     import spark.implicits._
     // a 20-link chain needs >2 contraction rounds; the loop must fail loud
