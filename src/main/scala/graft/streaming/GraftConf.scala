@@ -43,4 +43,30 @@ object GraftConf {
       earliestPos = Some(get("earliestPos", "")).filter(_.nonEmpty).map(_.toLong),
       compactEvery = get("compactEvery", "0").toInt)
   }
+
+  /** Apply the production streaming profile for unbounded corpora:
+    *  - RocksDB state store (state spills to local SSD instead of the
+    *    executor heap — the deployment setting at 100 TB; parity with the
+    *    default provider is spec-verified in StreamingPipelineSpec), with
+    *    changelog checkpointing so commits ship deltas, not full SSTs;
+    *  - the chained-stateful-operator check off, required by the two-stage
+    *    bounded admission (see streamingNearDupAdmitBounded's scaladoc for
+    *    the proof the pattern warning is a false positive there).
+    * Returns the previous values so callers can restore. */
+  def applyProductionStreamingProfile(spark: SparkSession): Map[String, Option[String]] = {
+    val keys = Map(
+      "spark.sql.streaming.stateStore.providerClass" ->
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+      "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled" -> "true",
+      "spark.sql.streaming.statefulOperator.checkCorrectness.enabled" -> "false")
+    val prev = keys.map { case (k, _) => k -> spark.conf.getOption(k) }
+    keys.foreach { case (k, v) => spark.conf.set(k, v) }
+    prev
+  }
+
+  def restoreConf(spark: SparkSession, prev: Map[String, Option[String]]): Unit =
+    prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
 }

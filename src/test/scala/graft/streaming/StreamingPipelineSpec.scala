@@ -457,24 +457,19 @@ class StreamingPipelineSpec extends AnyFunSuite {
     def ts(min: Long) = new Timestamp(1735689600000L + min * 60000L)
 
     // the 100 TB state backend: same operator, same verdicts, state spilled
-    // to RocksDB instead of the executor heap. provider conf is read at
-    // query START, so set + restore around it.
-    val provKey = "spark.sql.streaming.stateStore.providerClass"
-    val prev = spark.conf.getOption(provKey)
-    val chk = "spark.sql.streaming.statefulOperator.checkCorrectness.enabled"
+    // to RocksDB instead of the executor heap. conf is read at query
+    // START, so apply the production profile + restore around it.
     val sink = s"nd_rocks_${System.nanoTime()}"
     val src = MemoryStream[(Long, Timestamp, String)]
-    spark.conf.set(provKey,
-      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
-    spark.conf.set(chk, "false")
+    val provKey = "spark.sql.streaming.stateStore.providerClass"
+    val before = spark.conf.getOption(provKey) // getOption surfaces the built-in default
+    val prev = GraftConf.applyProductionStreamingProfile(spark)
     val q = try StreamingPipeline.streamingNearDupAdmitBounded(
         src.toDF().toDF("doc_id", "ts", "text"), "1 hour")
       .writeStream.format("memory").queryName(sink).outputMode("append").start()
-    finally {
-      spark.conf.set(chk, "true")
-      prev match { case Some(v) => spark.conf.set(provKey, v)
-                   case None => spark.conf.unset(provKey) }
-    }
+    finally GraftConf.restoreConf(spark, prev)
+    assert(spark.conf.getOption(provKey) == before,
+      "restoreConf must return the session to its prior state")
     src.addData((1L, ts(0), tA), (2L, ts(1), tA), (3L, ts(2), tB))
     q.processAllAvailable()
     val got = spark.table(sink).as[(Long, Boolean)].collect().toMap
