@@ -233,6 +233,9 @@ object StreamQueries {
       import s.implicits._
       import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
       implicit val sqlCtx: SQLContext = s.sqlContext
+      // Driver feed synthesis, same note as q71: MemoryStream data must
+      // originate on the driver; a deployment reads Kafka and nothing
+      // below touches the driver with row data.
       val rows = Tables.load(s, dir, "events")
         .select($"ts", $"user_id", $"value")
         .orderBy($"ts", $"user_id")
@@ -284,6 +287,8 @@ object StreamQueries {
       import s.implicits._
       import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
       implicit val sqlCtx: SQLContext = s.sqlContext
+      // Driver feed synthesis, same note as q71: MemoryStream data must
+      // originate on the driver; the admission operator itself never does.
       val docs = Tables.load(s, dir, "documents").select($"doc_id", $"text")
       val both = docs
         .union(docs.select(($"doc_id" + 10000).as("doc_id"), $"text"))
