@@ -38,8 +38,15 @@ object Bench {
     // The CDC/streaming entries do full end-to-end work (tmp-dir writes,
     // streaming-query startup) on EVERY run, so a single sample absorbs
     // whatever else the machine is doing. Median-of-3 keeps one noisy
-    // sample from reading as a plan regression.
-    val medianOf3 = Set("q30_cdc_merge", "q32_incremental_merge", "q33_streaming_merge")
+    // sample from reading as a plan regression. The set covers every
+    // harness-heavy query: the CDC merges, all streaming-vs-batch gates
+    // (q71, q84–q88, q93, q94), and the CC probe (q54) — the round-6
+    // false regressions all sat in the single-sample set.
+    val medianOf3 = Set(
+      "q30_cdc_merge", "q32_incremental_merge", "q33_streaming_merge",
+      "q54_dedup_clusters", "q71_stream_join", "q84_stream_window",
+      "q85_stream_dedup", "q86_stream_admission", "q87_stream_admit_bounded",
+      "q88_stream_sessions", "q93_epoch_snapshot", "q94_stream_minmax_view")
     selected.foreach { case (name, fn) =>
       try {
         // Run twice, report the second: the first run absorbs positional

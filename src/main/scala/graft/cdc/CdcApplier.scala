@@ -210,6 +210,21 @@ object CdcApplier {
     }
   }
 
+  /** [[snapshot]] for callers that must distinguish "this target was never
+    * bootstrapped" (no bucket dirs AND no persisted `.graft_meta` schema —
+    * a valid, consistently-absent table) from a real read failure. Only the
+    * no-state condition maps to None; IO errors, corrupt buckets, and every
+    * other exception PROPAGATE — conflating them would let a reader treat
+    * a failing table as an absent one (see Epoch.consistentSnapshot). */
+  def snapshotIfBootstrapped(spark: SparkSession, targetDir: String): Option[DataFrame] = {
+    val target = new Path(targetDir)
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val fs = target.getFileSystem(hconf)
+    val hasState = bucketIds(fs, target).nonEmpty ||
+      TargetMeta.read(hconf, target).exists(_.schemaJson.isDefined)
+    if (hasState) Some(snapshot(spark, targetDir)) else None
+  }
+
   private[cdc] def bucketIds(fs: FileSystem, dir: Path): Seq[Int] =
     if (!fs.exists(dir)) Seq.empty
     else fs.listStatus(dir).toIndexedSeq

@@ -146,7 +146,11 @@ object IncrementalView {
       .join(broadcast(affected.select(col(key))), Seq(key), "left_semi")
       .groupBy(col(key))
       .agg(min(col(value).cast("double")).as("mn"), max(col(value).cast("double")).as("mx"))
-    ok.union(affected.join(rescanned, Seq(key))
+    // LEFT join: an affected key with cnt>0 but NO base rows is an
+    // inconsistent feed (the deltas and the base disagree) — null mn/mx
+    // keeps it visible, consistent with the negative-cnt signal; an inner
+    // join would silently drop the key from the view.
+    ok.union(affected.join(rescanned, Seq(key), "left")
         .select(col(key), col("cnt"), col("sum"), col("mn"), col("mx")))
       .withColumn("avg", col("sum").cast("double") / col("cnt").cast("double"))
   }
@@ -286,7 +290,10 @@ object IncrementalView {
           .groupBy(col(key))
           .agg(min(col(value).cast("double")).as("mn"),
             max(col(value).cast("double")).as("mx"))
-        ok.union(affected.join(rescanned, Seq(key))
+        // LEFT join, same rationale as maintainMinMax: a cnt>0 key absent
+        // from the base is the feed-inconsistency signal — keep it (null
+        // extremes) rather than dropping it from the published view
+        ok.union(affected.join(rescanned, Seq(key), "left")
           .select(col(key), col("cnt"), col("sum"), col("mn"), col("mx")))
       }
     }

@@ -69,3 +69,34 @@ object BucketedParquetSink extends MergeSink {
   override def snapshot(spark: SparkSession, targetDir: String): DataFrame =
     CdcApplier.snapshot(spark, targetDir)
 }
+
+/** Lake-format availability probe + sink resolution.
+  *
+  * Probe record (so the seam's status is evidence, not assumption):
+  * 2026-08-13, this build environment — `ls /opt/spark/jars | grep -iE
+  * 'delta|iceberg|hudi'` matched NOTHING (Spark 4.1.2 distribution jars
+  * only; the image has zero network egress, so no artifact can be
+  * resolved either). [[resolve]] re-runs the equivalent classpath probe
+  * at runtime, and MergeSinkSpec asserts the probe result and the chosen
+  * sink agree — a future image that DOES ship a lake jar turns that spec
+  * red with an explicit "implement the lake MergeSink" message instead of
+  * silently keeping the fallback. */
+object MergeSink {
+  /** Marker classes that ship with each format's runtime jar. */
+  val lakeFormatMarkers: Seq[(String, String)] = Seq(
+    "delta" -> "io.delta.tables.DeltaTable",
+    "iceberg" -> "org.apache.iceberg.catalog.Catalog",
+    "hudi" -> "org.apache.hudi.DataSourceWriteOptions")
+
+  /** Which lake formats are on the classpath right now. */
+  def probeLakeFormats(): Map[String, Boolean] =
+    lakeFormatMarkers.map { case (name, cls) =>
+      name -> scala.util.Try(Class.forName(cls)).isSuccess
+    }.toMap
+
+  /** The merge sink this build supports, with the probe evidence. The
+    * scaladoc's MERGE INTO sketch is the implementation recipe for the
+    * day a probe returns true. */
+  def resolve(): (MergeSink, Map[String, Boolean]) =
+    (BucketedParquetSink, probeLakeFormats())
+}

@@ -44,21 +44,22 @@ object GraftConf {
       compactEvery = get("compactEvery", "0").toInt)
   }
 
-  /** Apply the production streaming profile for unbounded corpora:
-    *  - RocksDB state store (state spills to local SSD instead of the
-    *    executor heap — the deployment setting at 100 TB; parity with the
-    *    default provider is spec-verified in StreamingPipelineSpec), with
-    *    changelog checkpointing so commits ship deltas, not full SSTs;
-    *  - the chained-stateful-operator check off, required by the two-stage
-    *    bounded admission (see streamingNearDupAdmitBounded's scaladoc for
-    *    the proof the pattern warning is a false positive there).
+  /** Apply the production streaming profile for unbounded corpora: the
+    * RocksDB state store (state spills to local SSD instead of the
+    * executor heap — the deployment setting at 100 TB; parity with the
+    * default provider is spec-verified in StreamingPipelineSpec), with
+    * changelog checkpointing so commits ship deltas, not full SSTs.
+    * The profile deliberately does NOT touch
+    * `statefulOperator.checkCorrectness` — that check is a real safety
+    * net for every other stateful query on the session, and the one
+    * operator that needs it off (the two-stage bounded admission) scopes
+    * the disable to its own `start()` via [[withChainedStatefulStart]].
     * Returns the previous values so callers can restore. */
   def applyProductionStreamingProfile(spark: SparkSession): Map[String, Option[String]] = {
     val keys = Map(
       "spark.sql.streaming.stateStore.providerClass" ->
         "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
-      "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled" -> "true",
-      "spark.sql.streaming.statefulOperator.checkCorrectness.enabled" -> "false")
+      "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled" -> "true")
     val prev = keys.map { case (k, _) => k -> spark.conf.getOption(k) }
     keys.foreach { case (k, v) => spark.conf.set(k, v) }
     prev
@@ -69,4 +70,23 @@ object GraftConf {
       case (k, Some(v)) => spark.conf.set(k, v)
       case (k, None) => spark.conf.unset(k)
     }
+
+  /** Run `startFn` (typically a `writeStream...start()` call) with
+    * `spark.sql.streaming.statefulOperator.checkCorrectness.enabled=false`,
+    * restoring the CAPTURED prior value — not a literal — afterwards. The
+    * conf is read at query START, so the disable only affects queries
+    * started inside `startFn`; every other query on the session keeps the
+    * safety check. Required by plans that chain stateful operators where
+    * the global-watermark pattern warning is a proven false positive (see
+    * StreamingPipeline.streamingNearDupAdmitBounded's scaladoc). */
+  def withChainedStatefulStart[T](spark: SparkSession)(startFn: => T): T = {
+    val chk = "spark.sql.streaming.statefulOperator.checkCorrectness.enabled"
+    val prev = spark.conf.getOption(chk)
+    spark.conf.set(chk, "false")
+    try startFn
+    finally prev match {
+      case Some(v) => spark.conf.set(chk, v)
+      case None => spark.conf.unset(chk)
+    }
+  }
 }

@@ -304,16 +304,16 @@ object StreamQueries {
       val src = MemoryStream[(Long, java.sql.Timestamp, String)]
       val qname = "q87_out_" + java.util.UUID.randomUUID.toString.replace("-", "")
       val prevParts = s.conf.get("spark.sql.shuffle.partitions")
-      // chained stateful stages; see streamingNearDupAdmitBounded's scaladoc
-      // for why the global-watermark pattern check is a false positive here
-      val chk = "spark.sql.streaming.statefulOperator.checkCorrectness.enabled"
       try {
         s.conf.set("spark.sql.shuffle.partitions", "8")
-        s.conf.set(chk, "false")
-        val query = try StreamingPipeline.streamingNearDupAdmitBounded(
+        // chained stateful stages; see streamingNearDupAdmitBounded's
+        // scaladoc for why the global-watermark pattern check is a false
+        // positive here — scoped to this start(), prior value restored
+        val query = GraftConf.withChainedStatefulStart(s) {
+          StreamingPipeline.streamingNearDupAdmitBounded(
             src.toDF().toDF("doc_id", "ts", "text"), s"$delaySec seconds")
           .writeStream.format("memory").queryName(qname).outputMode("append").start()
-        finally s.conf.set(chk, "true")
+        }
         try {
           rows.grouped(chunkSize).foreach { c =>
             src.addData(c.toIndexedSeq); query.processAllAvailable()

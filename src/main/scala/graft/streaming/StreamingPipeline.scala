@@ -388,9 +388,13 @@ object StreamingPipeline {
             // a mapped table that has never received an applied event has
             // no published state (a filtered-only table can even have a
             // high-watermark but no buckets) — it is consistently ABSENT,
-            // not a torn view
+            // not a torn view. Only that specific no-state condition maps
+            // to absence: an IO error or corrupt bucket on a PUBLISHED
+            // table propagates instead of silently dropping the table from
+            // a "consistent" result (which would defeat the all-or-none
+            // contract).
             val snaps = tables.flatMap { case (t, dir) =>
-              scala.util.Try(CdcApplier.snapshot(spark, dir)).toOption.map(t -> _)
+              CdcApplier.snapshotIfBootstrapped(spark, dir).map(t -> _)
             }
             val pinned = tables.forall { case (t, dir) =>
               readHighWater(spark, dir).getOrElse(Long.MinValue) ==
@@ -600,7 +604,10 @@ object StreamingPipeline {
     * ts timestamp, text string); output (doc_id, admitted).
     *
     * Starting a query over this plan requires
-    * `spark.sql.streaming.statefulOperator.checkCorrectness.enabled=false`:
+    * `spark.sql.streaming.statefulOperator.checkCorrectness.enabled=false`
+    * — scope it to the `start()` call via
+    * [[GraftConf.withChainedStatefulStart]] so the session-global safety
+    * check stays on for every other query:
     * the checker pattern-matches ANY stateful-after-stateful chain on the
     * possibility of stage 1 emitting late rows into stage 2. Here that
     * cannot happen — a verdict carries its doc's OWN event time and is

@@ -298,4 +298,18 @@ class CdcApplierSpec extends AnyFunSuite {
     assert(sink.snapshot(spark, target).drop("_graft_pos").as[Student].collect().toSet
       == Set(s1, s2))
   }
+
+  test("MergeSink.resolve: probe evidence and chosen sink agree") {
+    val (sink, probe) = MergeSink.resolve()
+    val present = probe.filter(_._2).keys.toSeq.sorted
+    // This build's probe record (MergeSink scaladoc): no lake jar ships in
+    // /opt/spark/jars. If a future environment adds one, this assertion is
+    // the loud signal to implement the lake MergeSink (the MERGE INTO
+    // recipe in the trait scaladoc) instead of silently using the fallback.
+    assert(present.isEmpty,
+      s"lake format(s) ${present.mkString(",")} are now on the classpath - " +
+        "implement MergeSink on them (see MergeSink scaladoc) and extend the " +
+        "parity suite; the bucketed-parquet fallback should no longer be the default")
+    assert(sink == BucketedParquetSink)
+  }
 }

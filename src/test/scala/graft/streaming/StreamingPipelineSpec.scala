@@ -407,12 +407,11 @@ class StreamingPipelineSpec extends AnyFunSuite {
     val src = MemoryStream[(Long, Timestamp, String)]
     // chained stateful stages; see the operator's scaladoc for why the
     // global-watermark pattern check is a false positive here
-    val chk = "spark.sql.streaming.statefulOperator.checkCorrectness.enabled"
-    spark.conf.set(chk, "false")
-    val q = try StreamingPipeline.streamingNearDupAdmitBounded(
+    val q = GraftConf.withChainedStatefulStart(spark) {
+      StreamingPipeline.streamingNearDupAdmitBounded(
         src.toDF().toDF("doc_id", "ts", "text"), "1 hour")
       .writeStream.format("memory").queryName(sink).outputMode("append").start()
-    finally spark.conf.set(chk, "true")
+    }
 
     // batch 1: doc 1 admitted; doc 2 (same text, 1 min later) rejected —
     // the registry entry is alive well inside the horizon
@@ -463,11 +462,18 @@ class StreamingPipelineSpec extends AnyFunSuite {
     val src = MemoryStream[(Long, Timestamp, String)]
     val provKey = "spark.sql.streaming.stateStore.providerClass"
     val before = spark.conf.getOption(provKey) // getOption surfaces the built-in default
+    val chk = "spark.sql.streaming.statefulOperator.checkCorrectness.enabled"
+    val chkBefore = spark.conf.getOption(chk)
     val prev = GraftConf.applyProductionStreamingProfile(spark)
-    val q = try StreamingPipeline.streamingNearDupAdmitBounded(
+    // the profile sets ONLY state-store keys; the chained-stateful disable
+    // is scoped per-start (the session-global safety check stays on)
+    assert(spark.conf.getOption(chk) == chkBefore,
+      "production profile must not touch the session-global correctness check")
+    val q = try GraftConf.withChainedStatefulStart(spark) {
+      StreamingPipeline.streamingNearDupAdmitBounded(
         src.toDF().toDF("doc_id", "ts", "text"), "1 hour")
       .writeStream.format("memory").queryName(sink).outputMode("append").start()
-    finally GraftConf.restoreConf(spark, prev)
+    } finally GraftConf.restoreConf(spark, prev)
     assert(spark.conf.getOption(provKey) == before,
       "restoreConf must return the session to its prior state")
     src.addData((1L, ts(0), tA), (2L, ts(1), tA), (3L, ts(2), tB))
