@@ -197,6 +197,213 @@ object CdcQueries {
         .select($"o_orderpriority", $"cnt", $"sum".cast("double").as("total"),
           $"avg", $"mn", $"mx")
         .orderBy($"o_orderpriority")
+    }),
+
+    // The STREAMING form of q79 (SUM/COUNT view via startAggView),
+    // oracle-gated with the replay case: the q79 three-batch lifecycle
+    // (inserts; %7 reprice + %13 group-move; %11 delete) as three
+    // micro-batches through the checkpointed versioned-snapshot topology,
+    // then the LAST micro-batch re-delivered under its applied id — the
+    // batch-id replay guard must make it an exact no-op or the doubled
+    // deltas fail the shared fresh-aggregation oracle.
+    "q97_stream_agg_view" -> ((s, dir) => {
+      import s.implicits._
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+      val o = Tables.load(s, dir, "orders")
+      def repriced(c: org.apache.spark.sql.Column) =
+        when($"o_orderkey" % 7 === 0, c * 1.2).otherwise(c)
+      def moved(c: org.apache.spark.sql.Column) =
+        when($"o_orderkey" % 13 === 0, lit("1-URGENT")).otherwise(c)
+      val cur = o
+        .withColumn("o_totalprice", repriced($"o_totalprice"))
+        .withColumn("o_orderpriority", moved($"o_orderpriority"))
+      val batches = Seq(
+        ChangeFeed.inserts(o, $"o_orderkey" * 10),
+        ChangeFeed.updates(
+          o.filter($"o_orderkey" % 7 === 0 || $"o_orderkey" % 13 === 0),
+          Map("o_totalprice" -> repriced($"o_totalprice"),
+            "o_orderpriority" -> moved($"o_orderpriority")),
+          $"o_orderkey" * 10 + 5),
+        ChangeFeed.deletes(cur.filter($"o_orderkey" % 11 === 0), $"o_orderkey" * 10 + 7))
+
+      // Driver-feed synthesis, as in q33: MemoryStream data must originate
+      // on the driver; the pipeline itself never collects row data.
+      def toEnvelope(changes: DataFrame): Array[EnvelopeRow] =
+        changes.select($"op", lit("orders").as("table"), $"next_position",
+            to_json($"before").as("before_json"), to_json($"after").as("after_json"))
+          .as[EnvelopeRow].collect()
+
+      val root = Files.createTempDirectory("graft_vagg").toString
+      val viewDir = s"$root/view"
+      val src = MemoryStream[EnvelopeRow]
+      def parse(df: DataFrame): DataFrame =
+        df.select($"op", $"next_position",
+          from_json($"before_json", o.schema).as("before"),
+          from_json($"after_json", o.schema).as("after"))
+      val q = IncrementalView.startAggView(parse(src.toDF()), viewDir,
+        s"$root/ckpt", "o_orderpriority", "o_totalprice")
+      val envBatches = batches.map(toEnvelope)
+      try envBatches.foreach { rows =>
+        rows.grouped(1500).foreach(ch => src.addData(ch.toIndexedSeq))
+        q.processAllAvailable() // one micro-batch per lifecycle batch
+      } finally q.stop()
+
+      val lastId = IncrementalView.lastApplied(s, viewDir)
+        .getOrElse(sys.error("view never published"))
+      IncrementalView.applyViewBatch(s,
+        parse(s.createDataset(envBatches.last.toIndexedSeq).toDF()),
+        lastId, viewDir, "o_orderpriority", "o_totalprice")
+
+      IncrementalView.snapshotView(s, viewDir)
+        .getOrElse(sys.error("view absent after publish"))
+        .select($"o_orderpriority", $"cnt", $"sum".cast("double").as("total"))
+        .orderBy($"o_orderpriority")
+    }),
+
+    // The STREAMING form of q89, oracle-gated end-to-end: the same
+    // four-batch lifecycle (inserts; %7 reprice + %13 group-move; %11
+    // delete; delete EVERY group's current minimum) driven through
+    // IncrementalView.startTableAggViewMinMax — the one-foreachBatch CDC
+    // composition where the row applier keeps the primary current and the
+    // min/max view rescans affected keys against that post-batch primary —
+    // then the LAST micro-batch is re-delivered (the at-least-once crash
+    // replay) straight into applyViewBatchMinMax: a broken replay guard
+    // would double the deltas and break the hash. The oracle re-aggregates
+    // the equivalent final table from scratch (same SQL as q89).
+    "q94_stream_minmax_view" -> ((s, dir) => {
+      import s.implicits._
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+      val o = Tables.load(s, dir, "orders")
+      def repriced(c: org.apache.spark.sql.Column) =
+        when($"o_orderkey" % 7 === 0, c * 1.2).otherwise(c)
+      def moved(c: org.apache.spark.sql.Column) =
+        when($"o_orderkey" % 13 === 0, lit("1-URGENT")).otherwise(c)
+      val cur = o
+        .withColumn("o_totalprice", repriced($"o_totalprice"))
+        .withColumn("o_orderpriority", moved($"o_orderpriority"))
+      val afterDel = cur.filter($"o_orderkey" % 11 =!= 0)
+      val w = Window.partitionBy($"o_orderpriority")
+        .orderBy($"o_totalprice", $"o_orderkey")
+      val minRows = afterDel.withColumn("rn", row_number().over(w))
+        .filter($"rn" === 1).drop("rn")
+      val batches = Seq(
+        ChangeFeed.inserts(o, $"o_orderkey" * 10),
+        ChangeFeed.updates(
+          o.filter($"o_orderkey" % 7 === 0 || $"o_orderkey" % 13 === 0),
+          Map("o_totalprice" -> repriced($"o_totalprice"),
+            "o_orderpriority" -> moved($"o_orderpriority")),
+          $"o_orderkey" * 10 + 5),
+        ChangeFeed.deletes(cur.filter($"o_orderkey" % 11 === 0), $"o_orderkey" * 10 + 7),
+        ChangeFeed.deletes(minRows, $"o_orderkey" * 10 + 9))
+
+      // Driver-feed synthesis, as in q33: MemoryStream data must originate
+      // on the driver; the pipeline itself never collects row data.
+      def toEnvelope(changes: DataFrame): Array[EnvelopeRow] =
+        changes.select($"op", lit("orders").as("table"), $"next_position",
+            to_json($"before").as("before_json"), to_json($"after").as("after_json"))
+          .as[EnvelopeRow].collect()
+
+      val root = Files.createTempDirectory("graft_vmm").toString
+      val (target, viewDir) = (s"$root/orders", s"$root/view")
+      val src = MemoryStream[EnvelopeRow]
+      def parse(df: DataFrame): DataFrame =
+        df.select($"op", $"next_position",
+          from_json($"before_json", o.schema).as("before"),
+          from_json($"after_json", o.schema).as("after"))
+      val q = IncrementalView.startTableAggViewMinMax(parse(src.toDF()),
+        target, viewDir, s"$root/ckpt", CdcApplier.Options(Seq("o_orderkey")),
+        "o_orderpriority", "o_totalprice")
+      val envBatches = batches.map(toEnvelope)
+      try envBatches.foreach { rows =>
+        rows.grouped(1500).foreach(ch => src.addData(ch.toIndexedSeq))
+        q.processAllAvailable() // one micro-batch per lifecycle batch
+      } finally q.stop()
+
+      // Re-deliver the LAST micro-batch under its applied id — the legal
+      // at-least-once crash replay. Exactly-once means exact no-op; a
+      // guard that re-applied would double the deltas and fail the oracle.
+      val lastId = IncrementalView.lastApplied(s, viewDir)
+        .getOrElse(sys.error("view never published"))
+      IncrementalView.applyViewBatchMinMax(s,
+        parse(s.createDataset(envBatches.last.toIndexedSeq).toDF()),
+        lastId, viewDir, "o_orderpriority", "o_totalprice",
+        CdcApplier.snapshot(s, target))
+
+      IncrementalView.snapshotView(s, viewDir)
+        .getOrElse(sys.error("view absent after publish"))
+        .select($"o_orderpriority", $"cnt", $"sum".cast("double").as("total"),
+          ($"sum".cast("double") / $"cnt".cast("double")).as("avg"),
+          $"mn", $"mx")
+        .orderBy($"o_orderpriority")
+    }),
+
+    // The consolidated topology's cross-table consistency contract, gated
+    // end-to-end: TWO tables (orders + customer) through ONE streaming query
+    // with the epoch marker on, each with its own CDC lifecycle (orders: %3
+    // reprice x1.1, %5 delete; customer: %4 acctbal+100, %6 delete), read
+    // back ONLY via Epoch.consistentSnapshot — the pinned all-or-none read —
+    // then cross-table joined and aggregated. The oracle replays both
+    // lifecycles declaratively and joins fresh tables, so the gate fails if
+    // either table's state at the epoch is stale, torn, or misapplied.
+    "q93_epoch_snapshot" -> ((s, dir) => {
+      import s.implicits._
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+      val o = Tables.load(s, dir, "orders")
+      val c = Tables.load(s, dir, "customer")
+
+      // Driver-feed synthesis, as in q33: MemoryStream data must originate
+      // on the driver; the pipeline itself never collects row data.
+      def toEnvelope(table: String, changes: DataFrame): Array[EnvelopeRow] =
+        changes.select($"op", lit(table).as("table"), $"next_position",
+            to_json($"before").as("before_json"), to_json($"after").as("after_json"))
+          .as[EnvelopeRow].collect()
+
+      val batch1 =
+        toEnvelope("orders", ChangeFeed.inserts(o, $"o_orderkey" * 10)) ++
+        toEnvelope("customer", ChangeFeed.inserts(c, $"c_custkey" * 10))
+      val batch2 =
+        toEnvelope("orders",
+          ChangeFeed.updates(o.filter($"o_orderkey" % 3 === 0),
+            Map("o_totalprice" -> $"o_totalprice" * 1.1), $"o_orderkey" * 10 + 5)
+          .union(ChangeFeed.deletes(o.filter($"o_orderkey" % 5 === 0),
+            $"o_orderkey" * 10 + 7))) ++
+        toEnvelope("customer",
+          ChangeFeed.updates(c.filter($"c_custkey" % 4 === 0),
+            Map("c_acctbal" -> ($"c_acctbal" + 100.0)), $"c_custkey" * 10 + 5)
+          .union(ChangeFeed.deletes(c.filter($"c_custkey" % 6 === 0),
+            $"c_custkey" * 10 + 7)))
+
+      val root = Files.createTempDirectory("graft_epoch").toString
+      val targets = Map("orders" -> s"$root/orders", "customer" -> s"$root/customer")
+      val src = MemoryStream[EnvelopeRow]
+      val q = graft.streaming.StreamingPipeline.startConsolidated(
+        src.toDF(),
+        Map("orders" -> (o.schema, targets("orders")),
+          "customer" -> (c.schema, targets("customer"))),
+        s"$root/ckpt",
+        t => graft.streaming.StreamingPipeline.PipelineOptions(CdcApplier.Options(
+          if (t == "orders") Seq("o_orderkey") else Seq("c_custkey"))),
+        epochDir = Some(root))
+      try {
+        def feed(rows: Array[EnvelopeRow]): Unit =
+          rows.grouped(1500).foreach(ch => src.addData(ch.toIndexedSeq))
+        feed(batch1); q.processAllAvailable()
+        feed(batch2); q.processAllAvailable()
+      } finally q.stop()
+
+      val (epochBatch, snaps) =
+        graft.streaming.StreamingPipeline.Epoch.consistentSnapshot(s, root, targets)
+      require(epochBatch >= 0 && snaps.keySet == Set("orders", "customer"),
+        s"epoch read must pin both tables (batch=$epochBatch, tables=${snaps.keySet})")
+      snaps("orders").join(snaps("customer"), $"o_custkey" === $"c_custkey")
+        .groupBy($"c_mktsegment")
+        .agg(count(lit(1)).as("cnt"),
+          graft.util.Sumd.sumd($"o_totalprice").as("total"),
+          graft.util.Sumd.sumd($"c_acctbal").as("bal"))
+        .orderBy($"c_mktsegment")
     })
   )
 
@@ -246,6 +453,21 @@ object CdcQueries {
       FROM cur GROUP BY o_orderpriority
       ORDER BY o_orderpriority""",
 
+    // The streaming SUM/COUNT view must converge to q79's fresh
+    // aggregation — one shared oracle text.
+    "q97_stream_agg_view" -> s"""
+      WITH cur AS (
+        SELECT
+          CASE WHEN o_orderkey % 13 = 0 THEN '1-URGENT'
+               ELSE o_orderpriority END AS o_orderpriority,
+          CASE WHEN o_orderkey % 7 = 0 THEN o_totalprice * 1.2
+               ELSE o_totalprice END AS price
+        FROM orders WHERE o_orderkey % 11 <> 0)
+      SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS cnt,
+        ${graft.util.Sumd.SUMD("price")} AS total
+      FROM cur GROUP BY o_orderpriority
+      ORDER BY o_orderpriority""",
+
     "q89_incremental_minmax" -> s"""
       WITH cur AS (
         SELECT o_orderkey,
@@ -265,6 +487,49 @@ object CdcQueries {
         ${graft.util.Sumd.SUMD("price")} / CAST(count(*) AS DOUBLE) AS avg,
         min(price) AS mn, max(price) AS mx
       FROM base GROUP BY o_orderpriority
-      ORDER BY o_orderpriority"""
+      ORDER BY o_orderpriority""",
+
+    // The streaming view must converge to the same fresh aggregation the
+    // batch algebra (q89) is gated against — one shared oracle text.
+    "q94_stream_minmax_view" -> s"""
+      WITH cur AS (
+        SELECT o_orderkey,
+          CASE WHEN o_orderkey % 13 = 0 THEN '1-URGENT'
+               ELSE o_orderpriority END AS o_orderpriority,
+          CASE WHEN o_orderkey % 7 = 0 THEN o_totalprice * 1.2
+               ELSE o_totalprice END AS price
+        FROM orders WHERE o_orderkey % 11 <> 0),
+      ranked AS (
+        SELECT o_orderpriority, price,
+          ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+            ORDER BY price, o_orderkey) AS rn
+        FROM cur),
+      base AS (SELECT o_orderpriority, price FROM ranked WHERE rn > 1)
+      SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS cnt,
+        ${graft.util.Sumd.SUMD("price")} AS total,
+        ${graft.util.Sumd.SUMD("price")} / CAST(count(*) AS DOUBLE) AS avg,
+        min(price) AS mn, max(price) AS mx
+      FROM base GROUP BY o_orderpriority
+      ORDER BY o_orderpriority""",
+
+    // Replays BOTH tables' lifecycles declaratively and joins fresh state:
+    // any torn/stale/misapplied table at the epoch breaks the hash.
+    "q93_epoch_snapshot" -> s"""
+      WITH o2 AS (
+        SELECT o_custkey,
+          CASE WHEN o_orderkey % 3 = 0 THEN o_totalprice * 1.1
+               ELSE o_totalprice END AS price
+        FROM orders WHERE o_orderkey % 5 <> 0),
+      c2 AS (
+        SELECT c_custkey, c_mktsegment,
+          CASE WHEN c_custkey % 4 = 0 THEN c_acctbal + 100.0
+               ELSE c_acctbal END AS acct
+        FROM customer WHERE c_custkey % 6 <> 0)
+      SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS cnt,
+        ${graft.util.Sumd.SUMD("price")} AS total,
+        ${graft.util.Sumd.SUMD("acct")} AS bal
+      FROM o2 JOIN c2 ON o_custkey = c_custkey
+      GROUP BY c_mktsegment
+      ORDER BY c_mktsegment"""
   )
 }

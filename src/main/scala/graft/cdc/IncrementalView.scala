@@ -174,6 +174,12 @@ object IncrementalView {
     AtomicFile.read(spark.sparkContext.hadoopConfiguration, pointerPath(viewDir))
       .map(_.trim.toLong)
 
+  /** The view's last applied micro-batch id (None before any publish) —
+    * what a replayed delivery must present to be treated as the legal
+    * crash no-op. */
+  def lastApplied(spark: SparkSession, viewDir: String): Option[Long] =
+    appliedBatch(spark, viewDir)
+
   /** Current view contents (empty-on-missing). Groups at EXACTLY cnt 0
     * are pruned (their sums are exact decimal zeros under a consistent
     * feed, matching [[maintain]]); a NEGATIVE cnt — a delete for a row
@@ -308,6 +314,26 @@ object IncrementalView {
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         applyViewBatchMinMax(batch.sparkSession, batch, batchId, viewDir, key, value,
           base(batch.sparkSession))
+      }
+      .start()
+
+  /** The full CDC composition [[startAggViewMinMax]]'s base contract
+    * assumes: ONE foreachBatch first keeps the primary table current (the
+    * row applier) and then folds the SAME batch into the MIN/MAX view, so
+    * an extreme-delete rescan reads exactly the post-batch primary — not a
+    * stale or future state. This is the topology a deployment runs; the
+    * bare [[startAggViewMinMax]] stays for callers whose base is
+    * maintained elsewhere. */
+  def startTableAggViewMinMax(changes: DataFrame, targetDir: String,
+      viewDir: String, checkpointDir: String, opts: CdcApplier.Options,
+      key: String, value: String): org.apache.spark.sql.streaming.StreamingQuery =
+    changes.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val s = batch.sparkSession
+        CdcApplier.applyBatch(s, batch, targetDir, opts)
+        applyViewBatchMinMax(s, batch, batchId, viewDir, key, value,
+          CdcApplier.snapshot(s, targetDir))
       }
       .start()
 

@@ -71,6 +71,10 @@ object Corpus {
   /** Top-K vocabulary size for q69. */
   val VocabK = 100
 
+  /** Per-canonical-host whitespace-token budget for q96's admission
+    * (q65's start-below-budget rule, keyed by canonical host). */
+  val HostBudget = 1200L
+
   /** q73 chunking geometry: window of [[ChunkSize]] word tokens advancing by
     * [[ChunkStride]] (so consecutive chunks overlap by Size-Stride tokens —
     * the standard RAG/pre-training context-window slicing). Production
@@ -683,6 +687,84 @@ object Corpus {
           size(col("chunk")).cast("long").as("chunk_tokens"),
           TextOps.polyHash(array_join(col("chunk"), " ")).as("chash"))
         .repartition(1).sortWithinPartitions(col("doc_id"), col("ci"))
+    }),
+
+    // ---- q95: ONE byte-pair-merge iteration (Sennrich et al. 2016,
+    //      arXiv:1508.07909) — the tokenizer-training primitive the vocab
+    //      surface (q69 top-K, q80 PMI) stops short of. The corpus pass is
+    //      a single partial+final word-frequency aggregate; everything
+    //      after runs on the VOCABULARY (tiny relative to the corpus):
+    //      count adjacent symbol pairs weighted by word frequency, pick
+    //      the argmax pair (deterministic tie-break), apply the merge to
+    //      every word's symbol segmentation, and emit the NEXT iteration's
+    //      pair counts — so the gate fails if the count weighting, the
+    //      argmax, or the greedy merge application is off anywhere.
+    //      The merge applies as a literal left-to-right non-overlapping
+    //      replace of "a b"→"ab" over the space-joined segmentation —
+    //      exactly BPE's greedy order ("aaa" under merge (a,a) → [aa, a]).
+    "q95_bpe_merge_step" -> ((s, dir) => {
+      // vocabulary-sized but carries the full-corpus explode in its
+      // lineage; pass-1 pairs AND the merge both consume it (q69's
+      // materialize-once discipline)
+      val vocab = t(s, dir, "documents")
+        .select(explode(TextOps.words(col("text"))).as("w"))
+        .groupBy(col("w")).agg(count(lit(1)).as("f"))
+        .filter(length(col("w")) >= 2) // single-symbol words have no pairs
+        .localCheckpoint()
+      val p1 = vocab
+        .select(col("f"), explode(expr(
+          "transform(sequence(1, length(w)-1), i -> substring(w, i, 2))")).as("pair"))
+        .groupBy(col("pair")).agg(sum(col("f")).as("cnt"))
+      val best = p1.orderBy(col("cnt").desc, col("pair")).limit(1)
+        .select(col("pair").as("bp"))
+      vocab.crossJoin(broadcast(best))
+        .withColumn("s", split(expr(
+          "replace(trim(regexp_replace(w, '(.)', '$1 ')), " +
+            "concat(substring(bp, 1, 1), ' ', substring(bp, 2, 1)), bp)"), " "))
+        .filter(size(col("s")) >= 2)
+        .select(col("f"), explode(expr(
+          "transform(sequence(1, size(s)-1), " +
+            "i -> concat(element_at(s, i), element_at(s, i+1)))")).as("pair"))
+        .groupBy(col("pair")).agg(sum(col("f")).cast("long").as("cnt"))
+        .repartition(1).sortWithinPartitions(col("cnt").desc, col("pair"))
+    }),
+
+    // ---- q96: host canonicalization + per-host token budgets — crawl
+    //      curation's first step. The corpus has no URL column, so both
+    //      engines synthesize the IDENTICAL deterministic messy URL
+    //      (mixed-case scheme/host, optional www, default :443 port,
+    //      query string) from doc_id/source; the OPERATOR under test is
+    //      the canonicalization (authority extract → lowercase → strip
+    //      default port → strip www) and the q65-style budget admission
+    //      over the canonical host. Plan: narrow string ops, ONE shuffle
+    //      on host for the cumulative-token window, and the final
+    //      per-host aggregate reuses that partitioning (no second
+    //      exchange).
+    "q96_host_budget" -> ((s, dir) => {
+      val url = concat(lit("HTTPS://"),
+        when(col("doc_id") % 3 === 0, lit("WWW.")).otherwise(lit("")),
+        col("source"), lit("-"), (col("doc_id") % 7).cast("string"),
+        lit(".Example.COM"),
+        when(col("doc_id") % 2 === 0, lit(":443")).otherwise(lit("")),
+        lit("/p/"), col("doc_id").cast("string"),
+        when(col("doc_id") % 5 === 0, lit("?ref=feed")).otherwise(lit("")))
+      val host = regexp_replace(
+        regexp_replace(
+          lower(substring_index(substring_index(url, "://", -1), "/", 1)),
+          ":(443|80)$", ""),
+        "^www\\.", "")
+      val w = Window.partitionBy(col("host")).orderBy(col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      t(s, dir, "documents")
+        .select(col("doc_id"), host.as("host"), wsTokenCount(col("text")).as("n_tokens"))
+        .withColumn("start", sum(col("n_tokens")).over(w) - col("n_tokens"))
+        .withColumn("admit", col("start") < HostBudget)
+        .groupBy(col("host"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tokens")).as("tok_total"),
+          sum(when(col("admit"), 1L).otherwise(0L)).as("n_admitted"),
+          sum(when(col("admit"), col("n_tokens")).otherwise(0L)).as("tok_admitted"))
+        .repartition(1).sortWithinPartitions(col("host"))
     })
   )
 
@@ -920,6 +1002,65 @@ object Corpus {
         ${TextOps.polyHashSql("array_to_string(chunk, ' ')")} AS chash
       FROM sliced
       ORDER BY doc_id, ci"""
-    }
+    },
+
+    // Replays the full iteration: weighted pair counts, argmax with the
+    // same tie-break, the same greedy left-to-right merge application
+    // (string replace shares that order), next-iteration pair counts.
+    "q95_bpe_merge_step" -> """
+      WITH ws AS (
+        SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS w
+        FROM documents),
+      vocab AS (
+        SELECT w, CAST(count(*) AS BIGINT) AS f FROM ws
+        WHERE length(w) >= 2 GROUP BY w),
+      p1 AS (
+        SELECT substr(w, CAST(i AS INT), 2) AS pair, sum(f) AS cnt FROM (
+          SELECT w, f, unnest(range(1, CAST(length(w) AS BIGINT))) AS i
+          FROM vocab) x
+        GROUP BY 1),
+      best AS (SELECT pair AS bp FROM p1 ORDER BY cnt DESC, pair LIMIT 1),
+      seg AS (
+        SELECT f, string_split(
+          replace(trim(regexp_replace(w, '(.)', '\1 ', 'g')),
+            substr(bp, 1, 1) || ' ' || substr(bp, 2, 1), bp), ' ') AS s
+        FROM vocab, best),
+      p2 AS (
+        SELECT s[CAST(i AS INT)] || s[CAST(i AS INT) + 1] AS pair,
+          CAST(sum(f) AS BIGINT) AS cnt FROM (
+          SELECT s, f, unnest(range(1, CAST(len(s) AS BIGINT))) AS i
+          FROM seg) y
+        GROUP BY 1)
+      SELECT pair, cnt FROM p2 ORDER BY cnt DESC, pair""",
+
+    // The identical URL synthesis, then the canonicalization and the
+    // budget window replayed declaratively.
+    "q96_host_budget" -> s"""
+      WITH u AS (
+        SELECT doc_id,
+          'HTTPS://' || CASE WHEN doc_id % 3 = 0 THEN 'WWW.' ELSE '' END ||
+          source || '-' || CAST(doc_id % 7 AS VARCHAR) || '.Example.COM' ||
+          CASE WHEN doc_id % 2 = 0 THEN ':443' ELSE '' END ||
+          '/p/' || CAST(doc_id AS VARCHAR) ||
+          CASE WHEN doc_id % 5 = 0 THEN '?ref=feed' ELSE '' END AS url,
+          ${wsTokenCountSql("text")} AS n_tokens
+        FROM documents),
+      h AS (
+        SELECT doc_id, n_tokens,
+          regexp_replace(regexp_replace(
+            lower(split_part(split_part(url, '://', 2), '/', 1)),
+            ':(443|80)$$', ''), '^www\\.', '') AS host
+        FROM u),
+      adm AS (
+        SELECT host, n_tokens,
+          sum(n_tokens) OVER (PARTITION BY host ORDER BY doc_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens AS strt
+        FROM h)
+      SELECT host, CAST(count(*) AS BIGINT) AS n_docs,
+        CAST(sum(n_tokens) AS BIGINT) AS tok_total,
+        CAST(count(*) FILTER (WHERE strt < $HostBudget) AS BIGINT) AS n_admitted,
+        CAST(coalesce(sum(n_tokens) FILTER (WHERE strt < $HostBudget), 0) AS BIGINT)
+          AS tok_admitted
+      FROM adm GROUP BY host ORDER BY host"""
   )
 }

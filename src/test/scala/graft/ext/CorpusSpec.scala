@@ -103,6 +103,63 @@ class CorpusSpec extends AnyFunSuite {
     } finally spark.conf.unset(Corpus.CcMaxDriverPairsConf)
   }
 
+  test("bridged cliques collapse to one component across the bridges") {
+    import spark.implicits._
+    // three 8-cliques on disjoint id ranges, chained by single bridge
+    // edges — contraction must merge THROUGH the bridges, not just
+    // within the dense blocks (a star step that only looks at dense
+    // neighborhoods stalls here)
+    def clique(base: Long): Seq[(Long, Long)] =
+      (for (i <- 0L until 8L; j <- (i + 1) until 8L) yield (base + i, base + j))
+    val pairs = (clique(100L) ++ clique(200L) ++ clique(300L) ++
+      Seq((107L, 200L), (207L, 300L))).toDF("id_a", "id_b")
+    val got = Corpus.connectedComponentsLoop(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.size == 24 && got.values.toSet == Set(100L),
+      s"all three cliques must share label 100 (got ${got.values.toSet})")
+  }
+
+  test("star-of-stars with a MAX-id root converges to the global min leaf") {
+    import spark.implicits._
+    // hub 9000 links sub-hubs 8001..8008, each with 10 leaves BELOW it;
+    // the global minimum (1) sits at a leaf two hops from the root, and
+    // every hub id EXCEEDS its leaves — the adversarial direction for a
+    // min-propagating star step (edges all point "downhill" in id order)
+    val subHubs = (1L to 8L).map(8000L + _)
+    val pairs = (subHubs.map(h => (9000L, h)) ++
+      subHubs.zipWithIndex.flatMap { case (h, i) =>
+        (1L to 10L).map(l => (h, i * 10L + l))
+      }).toDF("id_a", "id_b")
+    val got = Corpus.connectedComponentsLoop(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.size == 89 && got.values.toSet == Set(1L),
+      s"star-of-stars must collapse to the min leaf 1 (got ${got.values.toSet.take(5)})")
+  }
+
+  test("property: random graphs label identically to driver union-find (seeded)") {
+    import spark.implicits._
+    // the IncrementalViewSpec randomized idiom: N seeded shapes, each
+    // cross-validated against the independent union-find implementation —
+    // pins the witness-based convergence against topology surprises
+    for (seed <- 1 to 5) {
+      val rnd = new scala.util.Random(seed)
+      val n = 60 + rnd.nextInt(140)          // nodes in play
+      val m = n / 2 + rnd.nextInt(2 * n)     // edges: sparse to ~2x nodes
+      val edges = Seq.fill(m) {
+        val a = rnd.nextInt(n).toLong
+        val b = rnd.nextInt(n).toLong
+        (a, b) // self-pairs and duplicates included on purpose
+      }
+      val pairs = edges.toDF("id_a", "id_b")
+      val uf = Corpus.unionFindLabels(pairs)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val loop = Corpus.connectedComponentsLoop(pairs)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(uf == loop, s"seed=$seed n=$n m=$m: uf and loop diverge " +
+        s"(${(uf.toSet diff loop.toSet).take(3)} vs ${(loop.toSet diff uf.toSet).take(3)})")
+    }
+  }
+
   test("graft_rep_stats kernel equals the HOF formulation on the corpus") {
     import org.apache.spark.sql.functions._
     graft.functions.GraftFunctions.register(spark)

@@ -110,6 +110,33 @@ class PlanSpec extends AnyFunSuite {
       s"survivor rank must window per cluster, not globally:\n$p")
   }
 
+  test("q95: corpus pass is ONE partial+final agg; the merge is vocab-sized") {
+    val p = plan("q95_bpe_merge_step")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("SortMergeJoin"),
+      s"nothing in the BPE step may shuffle-join row-level frames:\n$p")
+    // the only non-equi join is the ONE-row argmax pair broadcast into the
+    // vocabulary — calibrated against q50's exactly-one-BNLJ plan, like
+    // the ANN shape checks; everything downstream of the corpus
+    // tokenize+count runs on the vocabulary
+    assert("BroadcastNestedLoopJoin".r.findAllIn(p).size <= bnljMentionsInBrute,
+      s"only the single-row best-pair broadcast may nested-loop:\n$p")
+    assert(p.contains("HashAggregate"), p)
+  }
+
+  test("q96: ONE exchange on host — the window's; the per-host agg reuses it") {
+    val p = plan("q96_host_budget")
+    assert(!p.contains("CartesianProduct") && !p.contains("Join"), p)
+    assert(p.contains("windowspecdefinition(host"),
+      s"budget cumsum must window per host:\n$p")
+    val hostExchanges = p.linesIterator
+      .filter(l => l.contains("Exchange hashpartitioning(host"))
+      .size
+    // executedPlan + formatted explain each print the single exchange once
+    assert(hostExchanges <= 2,
+      s"per-host agg must reuse the window's partitioning, found $hostExchanges host exchanges:\n$p")
+  }
+
   test("q46: fingerprint runs the fused native kernel, not an interpreted fold") {
     val p = plan("q46_fingerprint")
     assert(p.contains("graft_fingerprint"), p)
