@@ -46,7 +46,8 @@ object Bench {
       "q30_cdc_merge", "q32_incremental_merge", "q33_streaming_merge",
       "q54_dedup_clusters", "q71_stream_join", "q84_stream_window",
       "q85_stream_dedup", "q86_stream_admission", "q87_stream_admit_bounded",
-      "q88_stream_sessions", "q93_epoch_snapshot", "q94_stream_minmax_view")
+      "q88_stream_sessions", "q93_epoch_snapshot", "q94_stream_minmax_view",
+      "q97_stream_agg_view")
     selected.foreach { case (name, fn) =>
       try {
         // Run twice, report the second: the first run absorbs positional

@@ -75,6 +75,13 @@ object Corpus {
     * (q65's start-below-budget rule, keyed by canonical host). */
   val HostBudget = 1200L
 
+  /** q98 line-dedup geometry: content "lines" are [[LineWords]]-word groups
+    * (the corpus has no newlines — both engines synthesize the identical
+    * segmentation), and a line recurring across at least [[BoilerDf]]
+    * distinct documents is boilerplate. */
+  val LineWords = 8L
+  val BoilerDf = 5L
+
   /** q73 chunking geometry: window of [[ChunkSize]] word tokens advancing by
     * [[ChunkStride]] (so consecutive chunks overlap by Size-Stride tokens —
     * the standard RAG/pre-training context-window slicing). Production
@@ -111,6 +118,39 @@ object Corpus {
         explode(sequence(lit(0L), col("n_chunks") - 1)).as("ci"))
       .select(col("doc_id"), col("ci"),
         slice(col("ws"), (col("ci") * st + 1).cast("int"), lit(cs.toInt)).as("chunk"))
+  }
+
+  /** q98's core: RefinedWeb-style line-level boilerplate removal (Penedo et
+    * al. 2023 drop duplicated lines; C4, Raffel et al. 2020, drops site
+    * chrome) — a line whose exact text recurs across >= `minDf` DISTINCT
+    * documents (headers, footers, cookie banners: df ~ the site's doc
+    * count) is dropped from EVERY document; content lines (essentially
+    * unique) pass through. Input: (doc_id, li, line); output: one row per
+    * doc with the line totals and a [[TextOps.polyHash]] of the cleaned
+    * text reassembled in line order (emitting a hash, not the rebuilt
+    * document, keeps the gate row narrow — q73's chash discipline).
+    *
+    * Scale shape: the document-frequency pass is a partial+final agg keyed
+    * by `md5(line)` (128-bit, collision-free in practice — the key you
+    * shuffle at 100 TB instead of raw line strings); the boilerplate set
+    * joins back by ONE equi-join (its size ~ sites, not docs — AQE
+    * broadcasts it); the reassembly is one per-doc aggregate. Never
+    * doc×doc, no driver collect. */
+  def removeBoilerplateLines(lines: DataFrame, minDf: Long = BoilerDf): DataFrame = {
+    val keyed = lines.withColumn("lkey", md5(col("line").cast("binary")))
+    val boiler = keyed.groupBy(col("lkey"))
+      .agg(countDistinct(col("doc_id")).as("dfc"))
+      .filter(col("dfc") >= minDf)
+      .select(col("lkey"), lit(true).as("is_boiler"))
+    keyed.join(boiler, Seq("lkey"), "left")
+      .withColumn("keep", col("is_boiler").isNull)
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("lines_total"),
+        sum(when(col("keep"), 1L).otherwise(0L)).as("lines_kept"),
+        TextOps.polyHash(
+          expr("array_join(transform(sort_array(collect_list(" +
+            "CASE WHEN keep THEN struct(li, line) END)), x -> x.line), ' | ')"))
+          .as("clean_hash"))
   }
 
   /** q54's core, presentation-free (q82 aggregates it directly): exact
@@ -765,6 +805,38 @@ object Corpus {
           sum(when(col("admit"), 1L).otherwise(0L)).as("n_admitted"),
           sum(when(col("admit"), col("n_tokens")).otherwise(0L)).as("tok_admitted"))
         .repartition(1).sortWithinPartitions(col("host"))
+    }),
+
+    // ---- q98: line-level boilerplate removal (RefinedWeb / C4) — the
+    //      corpus has no newlines, so both engines synthesize the
+    //      IDENTICAL line structure (q96's shared-synthesis discipline):
+    //      a per-source header + footer line around LineWords-word content
+    //      lines. The OPERATOR does not know which lines were injected: it
+    //      finds boilerplate purely by document frequency (a source's
+    //      header recurs in every one of its docs, so df >> BoilerDf,
+    //      while 8-word content lines over this vocabulary are essentially
+    //      unique — and any that DO recur across >= BoilerDf docs are
+    //      legitimately boilerplate in both engines). The gate hashes the
+    //      cleaned reassembled text per doc, so a wrong df, a dropped
+    //      content line, or a misordered reassembly all break it.
+    "q98_line_dedup" -> ((s, dir) => {
+      graft.functions.GraftFunctions.register(s)
+      val lw = LineWords
+      val contentLines = when(size(col("ws")) === 0,
+          expr("cast(array() as array<string>)"))
+        .otherwise(expr(
+          s"transform(sequence(1, cast((size(ws)+${lw - 1}) div $lw as int)), " +
+            s"i -> array_join(slice(ws, cast((i-1)*$lw+1 as int), $lw), ' '))"))
+      val lines = t(s, dir, "documents")
+        .select(col("doc_id"), col("source"), TextOps.words(col("text")).as("ws"))
+        .select(col("doc_id"),
+          posexplode(concat(
+            array(concat(lit("hdr "), col("source"), lit(" subscribe now"))),
+            contentLines,
+            array(concat(lit("foot "), col("source"), lit(" all rights reserved"))))))
+        .select(col("doc_id"), col("pos").cast("long").as("li"), col("col").as("line"))
+      removeBoilerplateLines(lines)
+        .repartition(1).sortWithinPartitions(col("doc_id"))
     })
   )
 
@@ -1061,6 +1133,41 @@ object Corpus {
         CAST(count(*) FILTER (WHERE strt < $HostBudget) AS BIGINT) AS n_admitted,
         CAST(coalesce(sum(n_tokens) FILTER (WHERE strt < $HostBudget), 0) AS BIGINT)
           AS tok_admitted
-      FROM adm GROUP BY host ORDER BY host"""
+      FROM adm GROUP BY host ORDER BY host""",
+
+    // Replays the shared line synthesis (header + LineWords-word groups +
+    // footer), the per-line document frequency, the >= BoilerDf cut, and
+    // the in-order reassembly hash.
+    "q98_line_dedup" -> s"""
+      WITH d AS (
+        SELECT doc_id, source,
+          regexp_extract_all(lower(text), '[a-z0-9]+') AS ws,
+          len(regexp_extract_all(lower(text), '[a-z0-9]+'))::BIGINT AS n
+        FROM documents),
+      c AS (
+        SELECT doc_id, ws,
+          unnest(range(0, CASE WHEN n = 0 THEN 0
+                               ELSE (n + ${LineWords - 1}) // $LineWords END)) AS ci
+        FROM d),
+      content AS (
+        SELECT doc_id, ci + 1 AS li,
+          array_to_string(ws[ci*$LineWords+1 : ci*$LineWords+$LineWords], ' ') AS line
+        FROM c),
+      hdr AS (SELECT doc_id, 0 AS li, 'hdr ' || source || ' subscribe now' AS line FROM d),
+      foot AS (SELECT doc_id, 1000000 AS li,
+        'foot ' || source || ' all rights reserved' AS line FROM d),
+      lines AS (
+        SELECT * FROM hdr UNION ALL SELECT * FROM content UNION ALL SELECT * FROM foot),
+      boiler AS (
+        SELECT line FROM lines GROUP BY line HAVING count(DISTINCT doc_id) >= $BoilerDf),
+      f AS (
+        SELECT l.doc_id, l.li, l.line, (b.line IS NOT NULL) AS is_boiler
+        FROM lines l LEFT JOIN boiler b USING (line))
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS lines_total,
+        CAST(count(*) FILTER (WHERE NOT is_boiler) AS BIGINT) AS lines_kept,
+        ${TextOps.polyHashSql(
+          "coalesce(string_agg(CASE WHEN NOT is_boiler THEN line END, ' | ' ORDER BY li), '')")}
+          AS clean_hash
+      FROM f GROUP BY doc_id ORDER BY doc_id"""
   )
 }

@@ -103,6 +103,33 @@ class CorpusSpec extends AnyFunSuite {
     } finally spark.conf.unset(Corpus.CcMaxDriverPairsConf)
   }
 
+  test("removeBoilerplateLines drops high-df lines, keeps order and uniques") {
+    import spark.implicits._
+    graft.functions.GraftFunctions.register(spark)
+    // 6 docs share the header "promo banner" (df=6 >= BoilerDf=5); each has
+    // a unique content line; doc 0 also repeats a line seen in only 2 docs
+    // (df=2 < 5 -> kept)
+    val lines = (0L until 6L).flatMap { d =>
+      Seq((d, 0L, "promo banner"), (d, 1L, s"content line $d")) ++
+        (if (d < 2) Seq((d, 2L, "semi rare line")) else Nil)
+    }.toDF("doc_id", "li", "line")
+    val got = Corpus.removeBoilerplateLines(lines)
+      .orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // expected clean_hash = polyHash of the kept lines joined in li order
+    def ph(s: String): Long =
+      s.foldLeft(0L)((a, c) => (a * 31 + c.toLong) % TextOps.HashMod)
+    assert(got.length == 6)
+    got.foreach { case (d, total, kept, hash) =>
+      val expTotal = if (d < 2) 3L else 2L
+      val expKeptText =
+        if (d < 2) s"content line $d | semi rare line" else s"content line $d"
+      assert(total == expTotal, s"doc $d total")
+      assert(kept == expTotal - 1, s"doc $d kept (header must be dropped)")
+      assert(hash == ph(expKeptText), s"doc $d clean hash")
+    }
+  }
+
   test("bridged cliques collapse to one component across the bridges") {
     import spark.implicits._
     // three 8-cliques on disjoint id ranges, chained by single bridge

@@ -137,6 +137,16 @@ class PlanSpec extends AnyFunSuite {
       s"per-host agg must reuse the window's partitioning, found $hostExchanges host exchanges:\n$p")
   }
 
+  test("q98: line df keys on md5, boilerplate joins back as an equi-join") {
+    val p = plan("q98_line_dedup")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"line dedup must never pair lines all-vs-all:\n$p")
+    assert(p.contains("md5("),
+      s"the df/join key must be the 128-bit digest, not raw line strings:\n$p")
+    assert(p.contains("lkey"), s"boilerplate must join back on the digest key:\n$p")
+    assert(p.contains("HashAggregate") || p.contains("SortAggregate"), p)
+  }
+
   test("q46: fingerprint runs the fused native kernel, not an interpreted fold") {
     val p = plan("q46_fingerprint")
     assert(p.contains("graft_fingerprint"), p)
