@@ -82,6 +82,12 @@ object Corpus {
   val LineWords = 8L
   val BoilerDf = 5L
 
+  /** q99 BPE training length: merge iterations to run. Production
+    * tokenizers run 30k-100k merges; the gate runs 4 because each
+    * iteration exercises the identical argmax/merge step and the oracle
+    * replays every one of them in SQL. */
+  val BpeTrainIters = 4
+
   /** q73 chunking geometry: window of [[ChunkSize]] word tokens advancing by
     * [[ChunkStride]] (so consecutive chunks overlap by Size-Stride tokens —
     * the standard RAG/pre-training context-window slicing). Production
@@ -151,6 +157,35 @@ object Corpus {
           expr("array_join(transform(sort_array(collect_list(" +
             "CASE WHEN keep THEN struct(li, line) END)), x -> x.line), ' | ')"))
           .as("clean_hash"))
+  }
+
+  /** q99's core: ONE BPE merge iteration over a segmented vocabulary
+    * (f: word frequency, s: current symbol array). Returns (best, merged):
+    * the argmax pair as a one-row frame (pair as "L R", its weighted
+    * count) and the vocabulary with that merge applied. The merge encodes
+    * the segmentation with symbols double-space separated and single-space
+    * fenced (' a  b  c '), so the literal replace ' L  R ' -> ' LR ' is
+    * boundary-safe for MULTI-character symbols (pair (b,c) cannot match
+    * inside [ab, c]) and keeps BPE's greedy left-to-right non-overlapping
+    * order ([a,a,a] -> [aa,a], [a,a,a,a] -> [aa,aa]) — Sennrich et al.
+    * 2016's reference semantics. Everything runs on the vocabulary: pair
+    * counts are partial+final aggs; the argmax joins back as a one-row
+    * broadcast, never a collect. */
+  def bpeStep(vocab: DataFrame): (DataFrame, DataFrame) = {
+    val pairs = vocab.filter(size(col("s")) >= 2)
+      .select(col("f"), explode(expr(
+        "transform(sequence(1, size(s)-1), " +
+          "j -> concat(element_at(s, j), ' ', element_at(s, j+1)))")).as("pair"))
+      .groupBy(col("pair")).agg(sum(col("f")).as("cnt"))
+    val best = pairs.orderBy(col("cnt").desc, col("pair")).limit(1)
+    val merged = vocab.crossJoin(broadcast(best))
+      .withColumn("seg", concat(lit(" "), array_join(col("s"), "  "), lit(" ")))
+      .withColumn("s", expr(
+        "split(trim(replace(seg, " +
+          "concat(' ', replace(pair, ' ', '  '), ' '), " +
+          "concat(' ', replace(pair, ' ', ''), ' '))), '  ')"))
+      .select(col("f"), col("s"))
+    (best, merged)
   }
 
   /** q54's core, presentation-free (q82 aggregates it directly): exact
@@ -837,6 +872,47 @@ object Corpus {
         .select(col("doc_id"), col("pos").cast("long").as("li"), col("col").as("line"))
       removeBoilerplateLines(lines)
         .repartition(1).sortWithinPartitions(col("doc_id"))
+    }),
+
+    // ---- q99: BPE TRAINING loop — BpeTrainIters full merge iterations
+    //      (q95 gates ONE step; this gates the training trajectory: each
+    //      rank's chosen pair, its weighted count, and the corpus token
+    //      count after applying it — the compression curve tokenizer
+    //      training monitors). Iterations 2+ merge MULTI-character
+    //      symbols, where a naive substring replace would false-match
+    //      across symbol boundaries (pair (b,c) inside segmentation
+    //      [ab, c]); both engines therefore encode the segmentation with
+    //      symbols double-space separated and single-space fenced
+    //      (' a  b  c '), so the literal replace ' L  R ' -> ' LR ' is
+    //      boundary-safe AND keeps BPE's greedy left-to-right
+    //      non-overlapping order ('a a a a' merges to [aa, aa], 'a a a'
+    //      to [aa, a] — Sennrich et al. 2016's reference semantics).
+    //      Scale shape: ONE corpus pass builds the word-frequency vocab;
+    //      every iteration runs on the VOCABULARY — pair counts as
+    //      partial+final aggs, the argmax joined back as a one-row
+    //      broadcast (never a collect), the vocab localCheckpointed per
+    //      iteration so plan depth stays constant across ranks.
+    "q99_bpe_train" -> ((s, dir) => {
+      val vocab0 = t(s, dir, "documents")
+        .select(explode(TextOps.words(col("text"))).as("w"))
+        .groupBy(col("w")).agg(count(lit(1)).as("f"))
+        .withColumn("s", expr(
+          "transform(sequence(1, length(w)), i -> substring(w, i, 1))"))
+        .select(col("f"), col("s"))
+        .localCheckpoint()
+      var vocab = vocab0
+      val ranks = (1 to BpeTrainIters).map { i =>
+        val (best, mergedRaw) = bpeStep(vocab)
+        val merged = mergedRaw.localCheckpoint()
+        vocab = merged
+        val toks = merged
+          .agg(sum(col("f") * size(col("s"))).cast("long").as("corpus_tokens"))
+        best.select(lit(i.toLong).as("merge_rank"), col("pair"),
+            col("cnt").cast("long").as("cnt"))
+          .crossJoin(broadcast(toks))
+      }
+      ranks.reduce(_ union _)
+        .repartition(1).sortWithinPartitions(col("merge_rank"))
     })
   )
 
@@ -1168,6 +1244,48 @@ object Corpus {
         ${TextOps.polyHashSql(
           "coalesce(string_agg(CASE WHEN NOT is_boiler THEN line END, ' | ' ORDER BY li), '')")}
           AS clean_hash
-      FROM f GROUP BY doc_id ORDER BY doc_id"""
+      FROM f GROUP BY doc_id ORDER BY doc_id""",
+
+    // Replays every training iteration: weighted pair counts over the
+    // double-space segmentation, the argmax with the same tie-break, the
+    // boundary-safe merge, and the post-merge corpus token count. The
+    // iteration blocks are generated by the same loop bound the Spark
+    // side runs, so the two sides can never disagree on length.
+    "q99_bpe_train" -> {
+      val iterBlocks = (1 to BpeTrainIters).map { i =>
+        s"""
+      p$i AS (
+        SELECT s[CAST(j AS INT)] || ' ' || s[CAST(j AS INT) + 1] AS pair,
+          CAST(sum(f) AS BIGINT) AS cnt
+        FROM (SELECT s, f, unnest(range(1, CAST(len(s) AS BIGINT))) AS j
+              FROM v${i - 1} WHERE len(s) >= 2) x$i
+        GROUP BY 1),
+      b$i AS (SELECT pair, cnt FROM p$i ORDER BY cnt DESC, pair LIMIT 1),
+      v$i AS (
+        SELECT f, string_split(trim(replace(
+            ' ' || array_to_string(s, '  ') || ' ',
+            ' ' || replace(b.pair, ' ', '  ') || ' ',
+            ' ' || replace(b.pair, ' ', '') || ' ')), '  ') AS s
+        FROM v${i - 1}, b$i b),
+      t$i AS (
+        SELECT CAST($i AS BIGINT) AS merge_rank, b.pair, b.cnt,
+          (SELECT CAST(sum(f * len(s)) AS BIGINT) FROM v$i) AS corpus_tokens
+        FROM b$i b)"""
+      }.mkString(",")
+      val unions = (1 to BpeTrainIters)
+        .map(i => s"SELECT merge_rank, pair, cnt, corpus_tokens FROM t$i")
+        .mkString(" UNION ALL ")
+      s"""
+      WITH ws AS (
+        SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS w
+        FROM documents),
+      vocab AS (
+        SELECT w, CAST(count(*) AS BIGINT) AS f FROM ws GROUP BY w),
+      v0 AS (
+        SELECT f, list_transform(range(1, length(w) + 1),
+          i -> substring(w, CAST(i AS INT), 1)) AS s
+        FROM vocab),$iterBlocks
+      $unions ORDER BY merge_rank"""
+    }
   )
 }

@@ -130,6 +130,36 @@ class CorpusSpec extends AnyFunSuite {
     }
   }
 
+  test("bpeStep merges greedily left-to-right, never relapping in one pass") {
+    import spark.implicits._
+    // best pair is (a,a) [cnt 10*3+3*2=36]; greedy order: [a,a,a,a] ->
+    // [aa,aa] (second pair starts AFTER the first merge), [a,a,a] -> [aa,a]
+    val vocab = Seq((10L, Seq("a", "a", "a", "a")), (3L, Seq("a", "a", "a")))
+      .toDF("f", "s")
+    val (best, merged) = Corpus.bpeStep(vocab)
+    val b = best.collect().head
+    assert(b.getString(0) == "a a" && b.getLong(1) == 36L)
+    val got = merged.collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    assert(got(10L) == Seq("aa", "aa"), s"got ${got(10L)}")
+    assert(got(3L) == Seq("aa", "a"), s"got ${got(3L)}")
+  }
+
+  test("bpeStep merge is boundary-safe for multi-character symbols") {
+    import spark.implicits._
+    // best pair is (b,c) [cnt 5]; the segmentation [ab, c] CONTAINS the
+    // character sequence "b c" but must NOT merge — (ab,c) is a different
+    // pair (cnt 2). A naive substring replace over a single-space join
+    // would corrupt [ab, c] into [abc].
+    val vocab = Seq((2L, Seq("ab", "c")), (5L, Seq("b", "c"))).toDF("f", "s")
+    val (best, merged) = Corpus.bpeStep(vocab)
+    val b = best.collect().head
+    assert(b.getString(0) == "b c" && b.getLong(1) == 5L)
+    val got = merged.collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    assert(got(5L) == Seq("bc"), s"got ${got(5L)}")
+    assert(got(2L) == Seq("ab", "c"),
+      s"cross-boundary false match: ${got(2L)}")
+  }
+
   test("bridged cliques collapse to one component across the bridges") {
     import spark.implicits._
     // three 8-cliques on disjoint id ranges, chained by single bridge

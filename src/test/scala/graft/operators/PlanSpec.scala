@@ -147,6 +147,19 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("HashAggregate") || p.contains("SortAggregate"), p)
   }
 
+  test("q99: every training iteration stays vocab-sized, argmax broadcast only") {
+    val p = plan("q99_bpe_train")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("SortMergeJoin"),
+      s"nothing in BPE training may shuffle-join row-level frames:\n$p")
+    // one single-row corpus_tokens broadcast per rank row survives the
+    // per-iteration localCheckpoint truncation; calibrate against q50's
+    // exactly-one-BNLJ plan like the ANN checks
+    assert("BroadcastNestedLoopJoin".r.findAllIn(p).size
+        <= graft.ext.Corpus.BpeTrainIters * bnljMentionsInBrute,
+      s"only one-row stat broadcasts may nested-loop:\n$p")
+  }
+
   test("q46: fingerprint runs the fused native kernel, not an interpreted fold") {
     val p = plan("q46_fingerprint")
     assert(p.contains("graft_fingerprint"), p)
