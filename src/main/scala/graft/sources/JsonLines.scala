@@ -35,6 +35,40 @@ object JsonLines {
       .json(path)
 }
 
+/** CSV ingest — the other raw entry format crawl metadata and curation
+  * manifests arrive in. Same permissive contract as [[JsonLines]]: a
+  * malformed row (type mismatch, token-count drift) lands in
+  * `_corrupt_record`, never fails the scan, never silently vanishes.
+  *
+  * Scale shape: `multiLine` stays FALSE — a quoted embedded newline would
+  * force whole-file parsing, losing per-file split parallelism; at 100 TB
+  * the ingest contract is "one record per line" and writers must escape
+  * newlines. Schema is enforced (no inference pass), header off (a header
+  * per 100k-file shard set is a per-file skip cost and a corruption risk
+  * when shards are concatenated). Quoting is RFC 4180 (`escape = '"'`,
+  * i.e. a quote inside a quoted field is doubled) — Spark's backslash
+  * default only round-trips with itself and rejects the CSV every other
+  * tool emits. */
+object CsvSource {
+  val CorruptCol = "_corrupt_record"
+
+  def read(spark: SparkSession, path: String, schema: StructType): DataFrame =
+    spark.read
+      .schema(schema.add(CorruptCol, StringType))
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", CorruptCol)
+      .option("header", "false")
+      .option("multiLine", "false")
+      .option("escape", "\"")
+      .csv(path)
+
+  def write(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite")
+      .option("header", "false")
+      .option("escape", "\"")
+      .csv(path)
+}
+
 /** Driver-gated source queries: prove the file-ingest path round-trips
   * the documents table exactly while capturing injected garbage. */
 object SourceQueries {
@@ -62,12 +96,46 @@ object SourceQueries {
         .filter(col(JsonLines.CorruptCol).isNull)
         .select(docs.columns.map(col).toIndexedSeq: _*)
         .repartition(1).sortWithinPartitions(col("doc_id"))
+    }),
+
+    // ---- q100: CSV round-trip — documents plus a synthesized `csv_note`
+    //      column that CONTAINS the delimiter and double quotes (so the
+    //      writer must quote/escape and the reader must undo it exactly;
+    //      the word-soup text alone would leave the quoting path
+    //      untested), written as headerless single-line CSV, two
+    //      malformed rows injected (a type-mismatched doc_id and a
+    //      truncated row), read back permissively. Valid rows must equal
+    //      the source projection bit-for-bit; both corrupt rows must be
+    //      captured, not dropped and not leaked.
+    "q100_csv_roundtrip" -> ((s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+        .withColumn("csv_note",
+          concat(lit("q=\""), col("source"), lit("\", id="),
+            col("doc_id").cast("string")))
+      // fixed scratch dir, overwritten each run (q83's no-leak rule)
+      val path = Paths.get(System.getProperty("java.io.tmpdir"),
+        "graft_q100_csv").toString
+      CsvSource.write(docs, path)
+      Files.write(Paths.get(path, "corrupt.csv"),
+        java.util.List.of("not-a-long,words,en,web,12,note", "7,truncated"))
+      CsvSource.read(s, path, docs.schema)
+        .filter(col(CsvSource.CorruptCol).isNull)
+        .select(docs.columns.map(col).toIndexedSeq: _*)
+        .repartition(1).sortWithinPartitions(col("doc_id"))
     })
   )
 
   val oracles: Map[String, String] = Map(
     "q83_jsonl_roundtrip" -> """
       SELECT doc_id, text, lang, source, n_chars
+      FROM documents
+      ORDER BY doc_id""",
+
+    // The logical value of csv_note, independent of any quoting: the gate
+    // proves the CSV writer/reader pair is an exact inverse.
+    "q100_csv_roundtrip" -> """
+      SELECT doc_id, text, lang, source, n_chars,
+        'q="' || source || '", id=' || CAST(doc_id AS VARCHAR) AS csv_note
       FROM documents
       ORDER BY doc_id"""
   )

@@ -39,4 +39,25 @@ class JsonLinesSpec extends AnyFunSuite {
       assert(valid == Set((1L, "ok"), (2L, "also ok")), valid.toString)
     } finally df.unpersist()
   }
+
+  test("CSV: corrupt rows are captured; quoted delimiter/quote round-trip") {
+    val root = Files.createTempDirectory("csv_spec").toString
+    Files.write(Paths.get(root, "part.csv"), java.util.List.of(
+      """1,"a, ""quoted"" value"""",  // delimiter + escaped quotes inside
+      """not-a-long,half""",          // type mismatch -> corrupt
+      """2,plain"""))
+    val schema = new org.apache.spark.sql.types.StructType()
+      .add("id", "long").add("name", "string")
+    val df = CsvSource.read(spark, root, schema).cache()
+    try {
+      val corrupt = df.filter(col(CsvSource.CorruptCol).isNotNull)
+        .select(col(CsvSource.CorruptCol)).as[String].collect()
+      assert(corrupt.length == 1 && corrupt.head.contains("not-a-long"),
+        s"the type-mismatched row must be captured: ${corrupt.toSeq}")
+      val valid = df.filter(col(CsvSource.CorruptCol).isNull)
+        .select($"id", $"name").as[(Long, String)].collect().toSet
+      assert(valid == Set((1L, """a, "quoted" value"""), (2L, "plain")),
+        valid.toString)
+    } finally df.unpersist()
+  }
 }
