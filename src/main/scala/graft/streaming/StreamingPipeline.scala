@@ -749,11 +749,26 @@ object StreamingPipeline {
     * rows equal the batch join exactly provided no input arrives later
     * than `delay` after its stream's max event time. */
   def attributionJoin(clicks: DataFrame, conversions: DataFrame,
-      delay: String = "1 hour", window: String = "INTERVAL 30 MINUTES"): DataFrame =
+      delay: String = "1 hour", window: String = "INTERVAL 30 MINUTES",
+      joinType: String = "inner"): DataFrame =
     clicks.withWatermark("click_ts", delay)
       .join(conversions.withWatermark("conv_ts", delay),
         expr(s"c_user_id = p_user_id AND conv_ts >= click_ts" +
-          s" AND conv_ts <= click_ts + $window"))
+          s" AND conv_ts <= click_ts + $window"),
+        joinType)
+
+  /** Left-outer form of [[attributionJoin]]: every click emits — matched
+    * pairs as they arrive, and an unmatched click with a NULL conversion
+    * side once the watermark passes `click_ts + window` (the moment a
+    * match becomes impossible; emitting earlier could contradict a
+    * late-but-in-watermark purchase). State is evicted on the same
+    * schedule, so the outer join holds no more state than the inner one —
+    * the null-row emission IS the eviction. At 100 TB this is the
+    * "un-attributed spend" half of attribution, which an inner join
+    * silently drops. */
+  def attributionJoinOuter(clicks: DataFrame, conversions: DataFrame,
+      delay: String = "1 hour", window: String = "INTERVAL 30 MINUTES"): DataFrame =
+    attributionJoin(clicks, conversions, delay, window, "leftOuter")
 
   /** Streaming session windows — the streaming form of q24's batch
     * sessionization: per-user activity sessions with a `gap` inactivity

@@ -822,4 +822,36 @@ class StreamingPipelineSpec extends AnyFunSuite {
     assert(got == Set((1L, 101L), (2L, 103L), (1L, 104L), (3L, 105L)),
       s"attribution pairs wrong: $got")
   }
+
+  test("outer attribution join emits NULL row only after the match horizon closes") {
+    val sink = s"attro_${System.nanoTime()}"
+    val srcC = MemoryStream[(Long, Long, Timestamp)]
+    val srcP = MemoryStream[(Long, Long, Timestamp, Double)]
+    def ts(h: Int, m: Int) = Timestamp.valueOf(f"2024-01-01 $h%02d:$m%02d:00")
+    val q = StreamingPipeline.attributionJoinOuter(
+        srcC.toDF().toDF("click_id", "c_user_id", "click_ts"),
+        srcP.toDF().toDF("conv_id", "p_user_id", "conv_ts", "conv_value"))
+      .select($"click_id", $"conv_id")
+      .writeStream.format("memory").queryName(sink).outputMode("append").start()
+
+    // u1 converts in-window; u2 never converts
+    srcC.addData((1L, 1L, ts(10, 0)), (2L, 2L, ts(10, 5)))
+    srcP.addData((101L, 1L, ts(10, 20), 5.0))
+    q.processAllAvailable()
+    // horizon for click 2 is 10:35 + 1h delay; watermark is still at the
+    // feed's max - delay, so the NULL row must NOT have emitted yet
+    val early = spark.table(sink).as[(Long, Option[Long])].collect().toSet
+    assert(!early.contains((2L, None)),
+      s"null row emitted before the horizon closed: $early")
+    // sentinel on BOTH streams (watermark = min across inputs) pushes the
+    // watermark past click 2's horizon -> exactly one NULL row appears
+    srcC.addData((-1L, -1L, ts(23, 0)))
+    srcP.addData((-2L, -1L, ts(23, 0), 0.0))
+    q.processAllAvailable()
+    val got = spark.table(sink).as[(Long, Option[Long])].collect().toSet
+      .filter(_._1 >= 0)
+    q.stop()
+    assert(got == Set((1L, Some(101L)), (2L, None)),
+      s"outer attribution rows wrong: $got")
+  }
 }
