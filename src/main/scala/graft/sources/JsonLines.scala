@@ -122,6 +122,43 @@ object SourceQueries {
         .filter(col(CsvSource.CorruptCol).isNull)
         .select(docs.columns.map(col).toIndexedSeq: _*)
         .repartition(1).sortWithinPartitions(col("doc_id"))
+    }),
+
+    // ---- q102: bucketed co-located join — the storage-layout answer to
+    //      the biggest recurring shuffle at 100 TB. Both sides are
+    //      written bucketed (and bucket-sorted) on the join key; a join
+    //      that would otherwise exchange BOTH relations every run reads
+    //      the co-located buckets shuffle-free (PlanSpec locks the
+    //      absence of an exchange on either key). Pay the layout cost
+    //      once at write time, amortize it over every downstream join —
+    //      the fact-table discipline for a table joined daily. The gate
+    //      proves co-location changes NOTHING semantically: the result
+    //      hashes against the plain DuckDB join.
+    "q102_bucketed_join" -> ((s, dir) => {
+      val o = Tables.load(s, dir, "orders")
+      val c = Tables.load(s, dir, "customer")
+      // external-table scratch (fixed dir, overwritten — q83's no-leak
+      // rule); the in-memory session catalog holds the bucket metadata
+      val scratch = Paths.get(System.getProperty("java.io.tmpdir"),
+        "graft_q102_buckets").toString
+      s.sql("DROP TABLE IF EXISTS graft_q102_orders")
+      s.sql("DROP TABLE IF EXISTS graft_q102_customer")
+      o.write.mode("overwrite").option("path", s"$scratch/orders")
+        .bucketBy(8, "o_custkey").sortBy("o_custkey")
+        .saveAsTable("graft_q102_orders")
+      c.write.mode("overwrite").option("path", s"$scratch/customer")
+        .bucketBy(8, "c_custkey").sortBy("c_custkey")
+        .saveAsTable("graft_q102_customer")
+      // hint("merge") keeps the small side from broadcasting at this sf —
+      // at the target scale BOTH sides are too big to broadcast, which is
+      // the regime bucketing exists for
+      s.table("graft_q102_orders").hint("merge")
+        .join(s.table("graft_q102_customer").hint("merge"),
+          col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n"),
+          graft.util.Sumd.sumd(col("o_totalprice")).as("total"))
+        .repartition(1).sortWithinPartitions(col("c_mktsegment"))
     })
   )
 
@@ -137,6 +174,15 @@ object SourceQueries {
       SELECT doc_id, text, lang, source, n_chars,
         'q="' || source || '", id=' || CAST(doc_id AS VARCHAR) AS csv_note
       FROM documents
-      ORDER BY doc_id"""
+      ORDER BY doc_id""",
+
+    // The same join+agg over the unbucketed tables: the layout must be
+    // semantically invisible.
+    "q102_bucketed_join" -> s"""
+      SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n,
+        ${graft.util.Sumd.SUMD("o_totalprice")} AS total
+      FROM orders JOIN customer ON o_custkey = c_custkey
+      GROUP BY c_mktsegment
+      ORDER BY c_mktsegment"""
   )
 }

@@ -160,6 +160,14 @@ class PlanSpec extends AnyFunSuite {
       s"only one-row stat broadcasts may nested-loop:\n$p")
   }
 
+  test("q102: bucketed co-located join is shuffle-free on the join key") {
+    val p = plan("q102_bucketed_join")
+    assert(p.contains("SortMergeJoin"), p)
+    assert(!p.contains("Exchange hashpartitioning(o_custkey") &&
+      !p.contains("Exchange hashpartitioning(c_custkey"),
+      s"bucketed co-located join must not shuffle either side:\n$p")
+  }
+
   test("q46: fingerprint runs the fused native kernel, not an interpreted fold") {
     val p = plan("q46_fingerprint")
     assert(p.contains("graft_fingerprint"), p)
