@@ -404,6 +404,39 @@ object CdcQueries {
           graft.util.Sumd.sumd($"o_totalprice").as("total"),
           graft.util.Sumd.sumd($"c_acctbal").as("bal"))
         .orderBy($"c_mktsegment")
+    }),
+
+    // SCD Type 2 history over the q79 lifecycle (inserts; %7 reprice +
+    // %13 group-move; %11 delete of the post-update state): every
+    // insert/update image becomes a version row with its
+    // [valid_from, valid_to) interval in position time; a delete closes
+    // the last interval without emitting a row. The oracle replays the
+    // same event set with the same window — a version bridged across a
+    // delete, a wrong interval edge, or a leaked delete row all break
+    // the hash.
+    "q103_scd2_history" -> ((s, dir) => {
+      import s.implicits._
+      val o = Tables.load(s, dir, "orders")
+      def repriced(c: org.apache.spark.sql.Column) =
+        when($"o_orderkey" % 7 === 0, c * 1.2).otherwise(c)
+      def moved(c: org.apache.spark.sql.Column) =
+        when($"o_orderkey" % 13 === 0, lit("1-URGENT")).otherwise(c)
+      val cur = o
+        .withColumn("o_totalprice", repriced($"o_totalprice"))
+        .withColumn("o_orderpriority", moved($"o_orderpriority"))
+      val changes = Seq(
+        ChangeFeed.inserts(o, $"o_orderkey" * 10),
+        ChangeFeed.updates(
+          o.filter($"o_orderkey" % 7 === 0 || $"o_orderkey" % 13 === 0),
+          Map("o_totalprice" -> repriced($"o_totalprice"),
+            "o_orderpriority" -> moved($"o_orderpriority")),
+          $"o_orderkey" * 10 + 5),
+        ChangeFeed.deletes(cur.filter($"o_orderkey" % 11 === 0), $"o_orderkey" * 10 + 7))
+        .reduce(_ unionByName _)
+      Scd2.history(changes, "o_orderkey", Seq("o_totalprice", "o_orderpriority"))
+        .select($"o_orderkey", $"valid_from", $"valid_to",
+          $"o_totalprice", $"o_orderpriority", $"is_current")
+        .repartition(1).sortWithinPartitions($"o_orderkey", $"valid_from")
     })
   )
 
@@ -530,6 +563,34 @@ object CdcQueries {
         ${graft.util.Sumd.SUMD("acct")} AS bal
       FROM o2 JOIN c2 ON o_custkey = c_custkey
       GROUP BY c_mktsegment
-      ORDER BY c_mktsegment"""
+      ORDER BY c_mktsegment""",
+
+    // Replays the q79 lifecycle as an event set and derives the same
+    // intervals: a version closes at the key's next event of ANY kind
+    // (newer version or delete); only versions emit rows.
+    "q103_scd2_history" -> """
+      WITH ev AS (
+        SELECT o_orderkey, o_orderkey * 10 AS valid_from, 'v' AS kind,
+          o_totalprice, o_orderpriority
+        FROM orders
+        UNION ALL
+        SELECT o_orderkey, o_orderkey * 10 + 5, 'v',
+          CASE WHEN o_orderkey % 7 = 0 THEN o_totalprice * 1.2
+               ELSE o_totalprice END,
+          CASE WHEN o_orderkey % 13 = 0 THEN '1-URGENT'
+               ELSE o_orderpriority END
+        FROM orders WHERE o_orderkey % 7 = 0 OR o_orderkey % 13 = 0
+        UNION ALL
+        SELECT o_orderkey, o_orderkey * 10 + 7, 'd', NULL, NULL
+        FROM orders WHERE o_orderkey % 11 = 0),
+      w AS (
+        SELECT o_orderkey, valid_from, kind, o_totalprice, o_orderpriority,
+          lead(valid_from) OVER (PARTITION BY o_orderkey ORDER BY valid_from)
+            AS valid_to
+        FROM ev)
+      SELECT o_orderkey, valid_from, valid_to, o_totalprice, o_orderpriority,
+        (valid_to IS NULL) AS is_current
+      FROM w WHERE kind = 'v'
+      ORDER BY o_orderkey, valid_from"""
   )
 }

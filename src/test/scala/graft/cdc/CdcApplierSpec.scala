@@ -312,4 +312,29 @@ class CdcApplierSpec extends AnyFunSuite {
         "parity suite; the bucketed-parquet fallback should no longer be the default")
     assert(sink == BucketedParquetSink)
   }
+
+  test("Scd2: delete closes the interval; re-insert opens a NEW one (no bridge)") {
+    // key 1: insert@10 -> update@20 -> delete@30 -> re-insert@40 (current)
+    // key 2: insert@15, never touched again (current, open interval)
+    def one(id: Long, v: String) = Seq((id, v)).toDF("id", "v")
+    val changes = Seq(
+      ChangeFeed.inserts(one(1L, "a"), lit(10L)),
+      ChangeFeed.inserts(one(2L, "x"), lit(15L)),
+      ChangeFeed.updates(one(1L, "a"), Map("v" -> lit("b")), lit(20L)),
+      ChangeFeed.deletes(one(1L, "b"), lit(30L)),
+      ChangeFeed.inserts(one(1L, "c"), lit(40L))
+    ).reduce(_ unionByName _)
+    val got = Scd2.history(changes, "id", Seq("v"))
+      .select($"id", $"valid_from", $"valid_to", $"v", $"is_current")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        if (r.isNullAt(2)) -1L else r.getLong(2), r.getString(3), r.getBoolean(4)))
+      .toSet
+    assert(got == Set(
+      (1L, 10L, 20L, "a", false),   // v1 closed by the update
+      (1L, 20L, 30L, "b", false),   // v2 closed by the DELETE, not by v3
+      (1L, 40L, -1L, "c", true),    // re-insert opens fresh: [40, null)
+      (2L, 15L, -1L, "x", true)
+    ), s"history intervals wrong: $got")
+  }
 }

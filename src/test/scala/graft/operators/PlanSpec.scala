@@ -168,6 +168,13 @@ class PlanSpec extends AnyFunSuite {
       s"bucketed co-located join must not shuffle either side:\n$p")
   }
 
+  test("q103: SCD2 history is one per-key window pass, no join") {
+    val p = plan("q103_scd2_history")
+    assert(!p.contains("Join"), s"history derives from the ordered feed alone:\n$p")
+    assert(p.contains("windowspecdefinition(o_orderkey"),
+      s"interval close must window per key:\n$p")
+  }
+
   test("q46: fingerprint runs the fused native kernel, not an interpreted fold") {
     val p = plan("q46_fingerprint")
     assert(p.contains("graft_fingerprint"), p)
