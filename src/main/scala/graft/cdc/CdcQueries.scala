@@ -437,6 +437,39 @@ object CdcQueries {
         .select($"o_orderkey", $"valid_from", $"valid_to",
           $"o_totalprice", $"o_orderpriority", $"is_current")
         .repartition(1).sortWithinPartitions($"o_orderkey", $"valid_from")
+    }),
+
+    // Time-travel over the q103 history: the orders table AS OF position
+    // 300000 — a cut that lands MID-lifecycle (keys < 30000 show their
+    // updated state or are already deleted; key 30000 shows its original
+    // version because its update at 300005 hasn't happened yet; larger
+    // keys don't exist). A wrong interval edge (<= vs <) moves boundary
+    // keys across regimes and breaks the hash.
+    "q104_scd2_asof" -> ((s, dir) => {
+      import s.implicits._
+      val o = Tables.load(s, dir, "orders")
+      def repriced(c: org.apache.spark.sql.Column) =
+        when($"o_orderkey" % 7 === 0, c * 1.2).otherwise(c)
+      def moved(c: org.apache.spark.sql.Column) =
+        when($"o_orderkey" % 13 === 0, lit("1-URGENT")).otherwise(c)
+      val cur = o
+        .withColumn("o_totalprice", repriced($"o_totalprice"))
+        .withColumn("o_orderpriority", moved($"o_orderpriority"))
+      val changes = Seq(
+        ChangeFeed.inserts(o, $"o_orderkey" * 10),
+        ChangeFeed.updates(
+          o.filter($"o_orderkey" % 7 === 0 || $"o_orderkey" % 13 === 0),
+          Map("o_totalprice" -> repriced($"o_totalprice"),
+            "o_orderpriority" -> moved($"o_orderpriority")),
+          $"o_orderkey" * 10 + 5),
+        ChangeFeed.deletes(cur.filter($"o_orderkey" % 11 === 0), $"o_orderkey" * 10 + 7))
+        .reduce(_ unionByName _)
+      val hist = Scd2.history(changes, "o_orderkey",
+        Seq("o_totalprice", "o_orderpriority"))
+      Scd2.asOf(hist, 300000L)
+        .select($"o_orderkey", $"valid_from",
+          $"o_totalprice", $"o_orderpriority")
+        .repartition(1).sortWithinPartitions($"o_orderkey")
     })
   )
 
@@ -591,6 +624,34 @@ object CdcQueries {
       SELECT o_orderkey, valid_from, valid_to, o_totalprice, o_orderpriority,
         (valid_to IS NULL) AS is_current
       FROM w WHERE kind = 'v'
-      ORDER BY o_orderkey, valid_from"""
+      ORDER BY o_orderkey, valid_from""",
+
+    // The q103 history filtered to the interval containing position
+    // 300000 (valid_from <= pos < valid_to).
+    "q104_scd2_asof" -> """
+      WITH ev AS (
+        SELECT o_orderkey, o_orderkey * 10 AS valid_from, 'v' AS kind,
+          o_totalprice, o_orderpriority
+        FROM orders
+        UNION ALL
+        SELECT o_orderkey, o_orderkey * 10 + 5, 'v',
+          CASE WHEN o_orderkey % 7 = 0 THEN o_totalprice * 1.2
+               ELSE o_totalprice END,
+          CASE WHEN o_orderkey % 13 = 0 THEN '1-URGENT'
+               ELSE o_orderpriority END
+        FROM orders WHERE o_orderkey % 7 = 0 OR o_orderkey % 13 = 0
+        UNION ALL
+        SELECT o_orderkey, o_orderkey * 10 + 7, 'd', NULL, NULL
+        FROM orders WHERE o_orderkey % 11 = 0),
+      w AS (
+        SELECT o_orderkey, valid_from, kind, o_totalprice, o_orderpriority,
+          lead(valid_from) OVER (PARTITION BY o_orderkey ORDER BY valid_from)
+            AS valid_to
+        FROM ev)
+      SELECT o_orderkey, valid_from, o_totalprice, o_orderpriority
+      FROM w
+      WHERE kind = 'v' AND valid_from <= 300000
+        AND (valid_to IS NULL OR valid_to > 300000)
+      ORDER BY o_orderkey"""
   )
 }

@@ -46,4 +46,15 @@ object Scd2 {
       .withColumn("is_current", col("valid_to").isNull)
       .drop("kind")
   }
+
+  /** Time-travel read: the table AS OF replication position `pos` — each
+    * key's version whose interval contains `pos` (`valid_from <= pos <
+    * valid_to`); keys deleted at or before `pos`, or not yet inserted,
+    * are absent. A pure filter over the history — on a history table
+    * partitioned/sorted by key this prunes to one interval probe per key,
+    * and ANY past state of a 100 TB table is a scan away with zero extra
+    * storage beyond the versions themselves. */
+  def asOf(history: DataFrame, pos: Long): DataFrame =
+    history.filter(col("valid_from") <= pos &&
+      (col("valid_to").isNull || col("valid_to") > pos))
 }
