@@ -47,7 +47,7 @@ object Bench {
       "q54_dedup_clusters", "q71_stream_join", "q84_stream_window",
       "q85_stream_dedup", "q86_stream_admission", "q87_stream_admit_bounded",
       "q88_stream_sessions", "q93_epoch_snapshot", "q94_stream_minmax_view",
-      "q97_stream_agg_view", "q101_stream_outer_join")
+      "q97_stream_agg_view", "q101_stream_outer_join", "q105_stream_scd2")
     selected.foreach { case (name, fn) =>
       try {
         // Run twice, report the second: the first run absorbs positional

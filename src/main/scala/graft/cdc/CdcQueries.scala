@@ -470,8 +470,98 @@ object CdcQueries {
         .select($"o_orderkey", $"valid_from",
           $"o_totalprice", $"o_orderpriority")
         .repartition(1).sortWithinPartitions($"o_orderkey")
+    }),
+
+    // The STREAMING form of q103: the same lifecycle as three
+    // micro-batches through Scd2.startHistory (checkpointed foreachBatch,
+    // versioned publish, batch-id replay guard), then the LAST
+    // micro-batch re-delivered under its applied id — a broken guard
+    // would re-chain the open intervals against their own versions and
+    // break the hash. Shares q103's fresh-derivation oracle: the
+    // incremental fold must land on the identical final history.
+    "q105_stream_scd2" -> ((s, dir) => {
+      import s.implicits._
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+      val o = Tables.load(s, dir, "orders")
+      def repriced(c: org.apache.spark.sql.Column) =
+        when($"o_orderkey" % 7 === 0, c * 1.2).otherwise(c)
+      def moved(c: org.apache.spark.sql.Column) =
+        when($"o_orderkey" % 13 === 0, lit("1-URGENT")).otherwise(c)
+      val cur = o
+        .withColumn("o_totalprice", repriced($"o_totalprice"))
+        .withColumn("o_orderpriority", moved($"o_orderpriority"))
+      val batches = Seq(
+        ChangeFeed.inserts(o, $"o_orderkey" * 10),
+        ChangeFeed.updates(
+          o.filter($"o_orderkey" % 7 === 0 || $"o_orderkey" % 13 === 0),
+          Map("o_totalprice" -> repriced($"o_totalprice"),
+            "o_orderpriority" -> moved($"o_orderpriority")),
+          $"o_orderkey" * 10 + 5),
+        ChangeFeed.deletes(cur.filter($"o_orderkey" % 11 === 0), $"o_orderkey" * 10 + 7))
+
+      // Driver-feed synthesis, as in q33/q97: MemoryStream data must
+      // originate on the driver; the pipeline never collects row data.
+      def toEnvelope(changes: DataFrame): Array[EnvelopeRow] =
+        changes.select($"op", lit("orders").as("table"), $"next_position",
+            to_json($"before").as("before_json"), to_json($"after").as("after_json"))
+          .as[EnvelopeRow].collect()
+
+      val root = Files.createTempDirectory("graft_scd2").toString
+      val viewDir = s"$root/hist"
+      val src = MemoryStream[EnvelopeRow]
+      def parse(df: DataFrame): DataFrame =
+        df.select($"op", $"next_position",
+          from_json($"before_json", o.schema).as("before"),
+          from_json($"after_json", o.schema).as("after"))
+      val attrs = Seq("o_totalprice", "o_orderpriority")
+      val q = Scd2.startHistory(parse(src.toDF()), viewDir, s"$root/ckpt",
+        "o_orderkey", attrs)
+      val envBatches = batches.map(toEnvelope)
+      try envBatches.foreach { rows =>
+        rows.grouped(1500).foreach(ch => src.addData(ch.toIndexedSeq))
+        q.processAllAvailable() // one micro-batch per lifecycle batch
+      } finally q.stop()
+
+      val lastId = IncrementalView.lastApplied(s, viewDir)
+        .getOrElse(sys.error("history never published"))
+      Scd2.applyHistoryBatch(s,
+        parse(s.createDataset(envBatches.last.toIndexedSeq).toDF()),
+        lastId, viewDir, "o_orderkey", attrs)
+
+      s.read.parquet(s"$viewDir/v$lastId")
+        .select($"o_orderkey", $"valid_from", $"valid_to",
+          $"o_totalprice", $"o_orderpriority", $"is_current")
+        .repartition(1).sortWithinPartitions($"o_orderkey", $"valid_from")
     })
   )
+
+  /** q103's oracle, shared with q105: the streaming incremental fold must
+    * land on the identical final history a fresh derivation produces. */
+  private val scd2OracleSql: String = """
+      WITH ev AS (
+        SELECT o_orderkey, o_orderkey * 10 AS valid_from, 'v' AS kind,
+          o_totalprice, o_orderpriority
+        FROM orders
+        UNION ALL
+        SELECT o_orderkey, o_orderkey * 10 + 5, 'v',
+          CASE WHEN o_orderkey % 7 = 0 THEN o_totalprice * 1.2
+               ELSE o_totalprice END,
+          CASE WHEN o_orderkey % 13 = 0 THEN '1-URGENT'
+               ELSE o_orderpriority END
+        FROM orders WHERE o_orderkey % 7 = 0 OR o_orderkey % 13 = 0
+        UNION ALL
+        SELECT o_orderkey, o_orderkey * 10 + 7, 'd', NULL, NULL
+        FROM orders WHERE o_orderkey % 11 = 0),
+      w AS (
+        SELECT o_orderkey, valid_from, kind, o_totalprice, o_orderpriority,
+          lead(valid_from) OVER (PARTITION BY o_orderkey ORDER BY valid_from)
+            AS valid_to
+        FROM ev)
+      SELECT o_orderkey, valid_from, valid_to, o_totalprice, o_orderpriority,
+        (valid_to IS NULL) AS is_current
+      FROM w WHERE kind = 'v'
+      ORDER BY o_orderkey, valid_from"""
 
   val oracles: Map[String, String] = Map(
     "q30_cdc_merge" -> """
@@ -601,30 +691,10 @@ object CdcQueries {
     // Replays the q79 lifecycle as an event set and derives the same
     // intervals: a version closes at the key's next event of ANY kind
     // (newer version or delete); only versions emit rows.
-    "q103_scd2_history" -> """
-      WITH ev AS (
-        SELECT o_orderkey, o_orderkey * 10 AS valid_from, 'v' AS kind,
-          o_totalprice, o_orderpriority
-        FROM orders
-        UNION ALL
-        SELECT o_orderkey, o_orderkey * 10 + 5, 'v',
-          CASE WHEN o_orderkey % 7 = 0 THEN o_totalprice * 1.2
-               ELSE o_totalprice END,
-          CASE WHEN o_orderkey % 13 = 0 THEN '1-URGENT'
-               ELSE o_orderpriority END
-        FROM orders WHERE o_orderkey % 7 = 0 OR o_orderkey % 13 = 0
-        UNION ALL
-        SELECT o_orderkey, o_orderkey * 10 + 7, 'd', NULL, NULL
-        FROM orders WHERE o_orderkey % 11 = 0),
-      w AS (
-        SELECT o_orderkey, valid_from, kind, o_totalprice, o_orderpriority,
-          lead(valid_from) OVER (PARTITION BY o_orderkey ORDER BY valid_from)
-            AS valid_to
-        FROM ev)
-      SELECT o_orderkey, valid_from, valid_to, o_totalprice, o_orderpriority,
-        (valid_to IS NULL) AS is_current
-      FROM w WHERE kind = 'v'
-      ORDER BY o_orderkey, valid_from""",
+    "q103_scd2_history" -> scd2OracleSql,
+
+    // The streaming fold must land on the IDENTICAL final history.
+    "q105_stream_scd2" -> scd2OracleSql,
 
     // The q103 history filtered to the interval containing position
     // 300000 (valid_from <= pos < valid_to).

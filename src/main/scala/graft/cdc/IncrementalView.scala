@@ -218,7 +218,7 @@ object IncrementalView {
   /** The replay-guard + versioned-publish discipline shared by the
     * SUM/COUNT and MIN/MAX streaming views; `mergeFn` receives the applied
     * version (if any) and returns the new view contents. */
-  private def applyGeneric(spark: SparkSession, batchId: Long, viewDir: String)(
+  private[cdc] def applyGeneric(spark: SparkSession, batchId: Long, viewDir: String)(
       mergeFn: Option[Long] => DataFrame): Unit = {
     val applied = appliedBatch(spark, viewDir)
     if (applied.contains(batchId)) return // crash replay of the last batch

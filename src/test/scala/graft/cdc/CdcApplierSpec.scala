@@ -337,4 +337,35 @@ class CdcApplierSpec extends AnyFunSuite {
       (2L, 15L, -1L, "x", true)
     ), s"history intervals wrong: $got")
   }
+
+  test("Scd2.applyBatch folds incrementally to the same history as a fresh derivation") {
+    def one(id: Long, v: String) = Seq((id, v)).toDF("id", "v")
+    // batch 1: two inserts + an update; batch 2: update, delete+re-insert
+    // WITHIN one batch (k1), and a brand-new key (k3)
+    val b1 = Seq(
+      ChangeFeed.inserts(one(1L, "a"), lit(10L)),
+      ChangeFeed.inserts(one(2L, "x"), lit(15L)),
+      ChangeFeed.updates(one(1L, "a"), Map("v" -> lit("b")), lit(20L))
+    ).reduce(_ unionByName _)
+    val b2 = Seq(
+      ChangeFeed.updates(one(2L, "x"), Map("v" -> lit("y")), lit(25L)),
+      ChangeFeed.deletes(one(1L, "b"), lit(30L)),
+      ChangeFeed.inserts(one(1L, "c"), lit(40L)),
+      ChangeFeed.inserts(one(3L, "z"), lit(35L))
+    ).reduce(_ unionByName _)
+    def norm(df: org.apache.spark.sql.DataFrame) = df
+      .select($"id", $"valid_from", $"valid_to", $"v", $"is_current")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        if (r.isNullAt(2)) -1L else r.getLong(2), r.getString(3), r.getBoolean(4)))
+      .toSet
+    val incremental = norm(Scd2.applyBatch(
+      Scd2.history(b1, "id", Seq("v")), b2, "id", Seq("v")))
+    val fresh = norm(Scd2.history(b1.unionByName(b2), "id", Seq("v")))
+    assert(incremental == fresh, s"fold diverged:\n$incremental\nvs\n$fresh")
+    // the batch-1 open row for k1 must have closed at batch 2's update? no —
+    // at its key's first batch-2 event (the delete at 30)
+    assert(incremental.contains((1L, 20L, 30L, "b", false)), incremental.toString)
+    assert(incremental.contains((1L, 40L, -1L, "c", true)), incremental.toString)
+  }
 }
