@@ -46,6 +46,12 @@ object Retrieval {
   val CollocMinCount = 5
   val CollocTopK = 20
 
+  /** q106's fixed phrase (adjacent words, in order). Two terms keep the
+    * hit count robust across scale factors (a longer phrase over this
+    * synthetic vocabulary would match ~0 docs); the operator itself
+    * chains one positional equi-join per additional term. */
+  val PhraseQuery: Seq[String] = Seq("table", "value")
+
   /** One Misra-Gries pass over a partition's terms with `k` counters:
     * a hit increments; a miss inserts while capacity remains, else
     * decrements every counter and drops zeros (the arriving item is
@@ -182,6 +188,35 @@ object Retrieval {
         .select(col("g").as("bigram"), col("cab"), col("ca"), col("cb"), col("lift"))
         .orderBy(col("lift").desc, col("bigram"))
         .limit(CollocTopK)
+    }),
+
+    // ---- q106: exact phrase search over positional postings — the
+    //      retrieval op BM25's bag-of-words scoring cannot express
+    //      ("table value" as ADJACENT words in order, not co-occurrence).
+    //      The postings projection (doc_id, pos, word) is the inverted
+    //      index's logical form; each phrase term prunes it to that
+    //      term's postings (at scale the index is partitioned by term, so
+    //      these are index lookups, never corpus scans), and followers
+    //      join by shifting their positions back i places — a pure
+    //      equi-join on (doc_id, pos) per term, chainable to any phrase
+    //      length, never a cartesian. Output: per-doc occurrence count
+    //      and first match position.
+    "q106_phrase_search" -> ((s, dir) => {
+      val post = t(s, dir, "documents")
+        .select(col("doc_id"), posexplode(TextOps.words(col("text"))))
+        .select(col("doc_id"), (col("pos") + 1).cast("long").as("pos"),
+          col("col").as("w"))
+      val start = post.filter(col("w") === PhraseQuery.head)
+        .select(col("doc_id"), col("pos"))
+      val matched = PhraseQuery.zipWithIndex.tail.foldLeft(start) {
+        case (acc, (term, i)) =>
+          acc.join(post.filter(col("w") === term)
+              .select(col("doc_id"), (col("pos") - i).as("pos")),
+            Seq("doc_id", "pos"))
+      }
+      matched.groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_hits"), min(col("pos")).as("first_pos"))
+        .repartition(1).sortWithinPartitions(col("doc_id"))
     })
   )
 
@@ -253,6 +288,24 @@ object Retrieval {
       JOIN uc ub ON ub.t = split_part(bc.g, ' ', 2)
       CROSS JOIN nu CROSS JOIN nbg
       ORDER BY lift DESC, bigram
-      LIMIT $CollocTopK"""
+      LIMIT $CollocTopK""",
+
+    // Positional postings, follower joined one place ahead.
+    "q106_phrase_search" -> s"""
+      WITH d AS (
+        SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS ws
+        FROM documents),
+      p AS (
+        SELECT doc_id, ws, unnest(range(1, CAST(len(ws) AS BIGINT) + 1)) AS i
+        FROM d),
+      post AS (
+        SELECT doc_id, i AS pos, ws[CAST(i AS INT)] AS w FROM p)
+      SELECT a.doc_id, CAST(count(*) AS BIGINT) AS n_hits,
+        CAST(min(a.pos) AS BIGINT) AS first_pos
+      FROM post a JOIN post b
+        ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+      WHERE a.w = '${PhraseQuery.head}' AND b.w = '${PhraseQuery(1)}'
+      GROUP BY a.doc_id
+      ORDER BY a.doc_id"""
   )
 }

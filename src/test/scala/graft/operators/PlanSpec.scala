@@ -175,6 +175,14 @@ class PlanSpec extends AnyFunSuite {
       s"interval close must window per key:\n$p")
   }
 
+  test("q106: phrase search is positional equi-joins, term filters prune postings") {
+    val p = plan("q106_phrase_search")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"phrase matching must join on (doc_id, pos), never pair postings all-vs-all:\n$p")
+    assert(p.contains("= table") || p.contains("table)"),
+      s"the leading term filter must prune the postings before the join:\n$p")
+  }
+
   test("q46: fingerprint runs the fused native kernel, not an interpreted fold") {
     val p = plan("q46_fingerprint")
     assert(p.contains("graft_fingerprint"), p)
