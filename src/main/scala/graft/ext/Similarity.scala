@@ -67,6 +67,17 @@ object Similarity {
   private def plane(p: Int): Seq[Double] = (0 until 64).map(j => planeVal(p, j))
   private def planeSql(p: Int): String = plane(p).mkString("[", ",", "]")
 
+  /** q107 power-iteration start vector: plane(0) normalized DRIVER-side,
+    * so the identical 64 double literals bake into both the Spark plan and
+    * the oracle SQL (shortest-round-trip printing parses back to the same
+    * double in DuckDB — the planeSql discipline). */
+  private val pcaV0: Seq[Double] = {
+    val r = plane(0)
+    val n = math.sqrt(r.map(x => x * x).sum)
+    r.map(_ / n)
+  }
+  private def pcaV0Sql: String = pcaV0.mkString("[", ",", "]")
+
   /** Sign code over `bits` hyperplanes starting at plane index `base`. */
   private def signCode(v: Column, base: Int, bits: Int): Column =
     (0 until bits).map { b =>
@@ -327,6 +338,37 @@ object Similarity {
         .filter(cosd(col("ea"), col("na"), col("eb"), col("nb")) >= DedupCos)
         .select(col("id_a"), col("id_b"))
         .orderBy(col("id_a"), col("id_b"))
+    }),
+
+    // ---- q107: ONE PCA power-iteration step over the corpus embeddings —
+    //      the spectral sibling of q62's k-means step (top principal
+    //      direction = the axis embedding-space analyses whiten/project
+    //      against). v1 = normalize(X^T X v0) computed WITHOUT forming the
+    //      64x64 Gram matrix: per row one fused dot d = x.v0 (the q50
+    //      codegen kernel), then x*d accumulated per DIMENSION as a
+    //      partial+final SUMD aggregate (order-independent decimal, so
+    //      Spark's partial-agg order cannot drift from the oracle's);
+    //      the 64-row result normalizes via the same SUMD of squares.
+    //      One corpus pass, one 64-group shuffle, 64-row broadcasts —
+    //      at 100 TB the pass is bandwidth-bound and the driver never
+    //      sees a vector. lambda (the Rayleigh estimate ||X^T X v0||)
+    //      rides along for convergence monitoring.
+    "q107_pca_step" -> ((s, dir) => {
+      graft.functions.GraftFunctions.register(s)
+      import graft.util.Sumd.sumd
+      val e = t(s, dir, "embeddings")
+        .repartition(col("vec_id")) // spread the kernel work (single-file input)
+        .filter(col("vec_id") >= NumQueries)
+        .withColumn("d", dotd(col("embedding"), typedLit(pcaV0)))
+      val sums = e
+        .select(col("d"), posexplode(col("embedding")).as(Seq("pos", "x")))
+        .groupBy(col("pos").cast("long").as("pos"))
+        .agg(sumd(col("x").cast("double") * col("d")).as("s"))
+        .localCheckpoint() // feeds BOTH the norm aggregate and the projection
+      val nrm = sums.agg(sqrt(sumd(col("s") * col("s"))).as("lambda"))
+      sums.crossJoin(broadcast(nrm))
+        .select(col("pos"), (col("s") / col("lambda")).as("loading"), col("lambda"))
+        .repartition(1).sortWithinPartitions(col("pos"))
     })
   )
 
@@ -507,5 +549,25 @@ object Similarity {
       FROM feed a JOIN feed b ON a.vec_id < b.vec_id
       WHERE list_cosine_similarity(a.embedding, b.embedding) >= $DedupCos
       ORDER BY id_a, id_b"""
+  ) ++ Map(
+    // Same fold order per row (dotSql), same order-independent decimal
+    // accumulation per dimension, same normalization op order.
+    "q107_pca_step" -> s"""
+      WITH e AS (
+        SELECT vec_id, embedding FROM embeddings WHERE vec_id >= $NumQueries),
+      d AS (
+        SELECT vec_id, embedding,
+          ${dotSql("embedding", pcaV0Sql)} AS dd
+        FROM e),
+      ex AS (
+        SELECT unnest(list_transform(range(1, len(embedding) + 1),
+          i -> struct_pack(pos := i - 1, y := embedding[i]::DOUBLE * dd))) AS u
+        FROM d),
+      s AS (
+        SELECT u.pos AS pos, ${graft.util.Sumd.SUMD("u.y")} AS s
+        FROM ex GROUP BY u.pos),
+      n AS (SELECT sqrt(${graft.util.Sumd.SUMD("s * s")}) AS lambda FROM s)
+      SELECT s.pos, s.s / n.lambda AS loading, n.lambda
+      FROM s, n ORDER BY pos"""
   )
 }

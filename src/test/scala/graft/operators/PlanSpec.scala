@@ -183,6 +183,20 @@ class PlanSpec extends AnyFunSuite {
       s"the leading term filter must prune the postings before the join:\n$p")
   }
 
+  test("q107: PCA step is one corpus pass, no Gram matrix, no row-level join") {
+    // the graft_dot corpus pass sits above the localCheckpoint and is
+    // exercised by the correctness gate; this locks the post-checkpoint
+    // normalization shape
+    val p = plan("q107_pca_step")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+      s"nothing may join row-level frames:\n$p")
+    // the only non-equi join is the one-row norm broadcast (localCheckpoint
+    // hides the upstream); calibrate against q50's exactly-one-BNLJ plan
+    assert("BroadcastNestedLoopJoin".r.findAllIn(p).size <= bnljMentionsInBrute,
+      s"only the one-row norm broadcast may nested-loop:\n$p")
+    assert(p.contains("HashAggregate") || p.contains("SortAggregate"), p)
+  }
+
   test("q46: fingerprint runs the fused native kernel, not an interpreted fold") {
     val p = plan("q46_fingerprint")
     assert(p.contains("graft_fingerprint"), p)
