@@ -18,6 +18,55 @@ case class EnvelopeRow(op: String, table: String, next_position: Long,
   */
 object CdcQueries {
 
+  /** The SHARED q79 CDC lifecycle — inserts of every row (pos k*10), one
+    * update batch that BOTH reprices (%7, x1.2) and group-moves (%13 →
+    * 1-URGENT) at pos k*10+5, one delete batch (%11, post-update
+    * before-images) at pos k*10+7. ONE definition feeds q79/q89 and the
+    * q94/q97/q103/q104/q105 gates, so a lifecycle tweak cannot
+    * desynchronize some Spark feeds from the oracles that replay the
+    * same arithmetic. */
+  private case class Lifecycle(orders: DataFrame, cur: DataFrame,
+      batches: Seq[DataFrame])
+
+  private def lifecycle(s: SparkSession, dir: String): Lifecycle = {
+    import s.implicits._
+    val o = Tables.load(s, dir, "orders")
+    def repriced(c: org.apache.spark.sql.Column) =
+      when($"o_orderkey" % 7 === 0, c * 1.2).otherwise(c)
+    def moved(c: org.apache.spark.sql.Column) =
+      when($"o_orderkey" % 13 === 0, lit("1-URGENT")).otherwise(c)
+    val cur = o
+      .withColumn("o_totalprice", repriced($"o_totalprice"))
+      .withColumn("o_orderpriority", moved($"o_orderpriority"))
+    Lifecycle(o, cur, Seq(
+      ChangeFeed.inserts(o, $"o_orderkey" * 10),
+      ChangeFeed.updates(
+        o.filter($"o_orderkey" % 7 === 0 || $"o_orderkey" % 13 === 0),
+        Map("o_totalprice" -> repriced($"o_totalprice"),
+          "o_orderpriority" -> moved($"o_orderpriority")),
+        $"o_orderkey" * 10 + 5),
+      ChangeFeed.deletes(cur.filter($"o_orderkey" % 11 === 0),
+        $"o_orderkey" * 10 + 7)))
+  }
+
+  /** q89/q94's extension: a FOURTH batch deletes each group's current
+    * minimum row (pos k*10+9) to force the min/max rescan path; `base` is
+    * the final table state the rescan must recover from. */
+  private def minmaxLifecycle(s: SparkSession, dir: String)
+      : (Lifecycle, DataFrame) = {
+    import s.implicits._
+    val lc = lifecycle(s, dir)
+    val afterDel = lc.cur.filter($"o_orderkey" % 11 =!= 0)
+    val w = Window.partitionBy($"o_orderpriority")
+      .orderBy($"o_totalprice", $"o_orderkey")
+    val minRows = afterDel.withColumn("rn", row_number().over(w))
+      .filter($"rn" === 1).drop("rn")
+    val base = afterDel.join(minRows.select($"o_orderkey"),
+      Seq("o_orderkey"), "left_anti")
+    (lc.copy(batches = lc.batches :+
+      ChangeFeed.deletes(minRows, $"o_orderkey" * 10 + 9)), base)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Full CDC lifecycle over the orders table: insert everything, update
     // every 3rd key (+10% price), delete every 5th key, then REPLAY the whole
@@ -138,23 +187,8 @@ object CdcQueries {
     // cancellation is wrong.
     "q79_incremental_agg" -> ((s, dir) => {
       import s.implicits._
-      val o = Tables.load(s, dir, "orders")
-      def repriced(c: org.apache.spark.sql.Column) =
-        when($"o_orderkey" % 7 === 0, c * 1.2).otherwise(c)
-      def moved(c: org.apache.spark.sql.Column) =
-        when($"o_orderkey" % 13 === 0, lit("1-URGENT")).otherwise(c)
-      val cur = o
-        .withColumn("o_totalprice", repriced($"o_totalprice"))
-        .withColumn("o_orderpriority", moved($"o_orderpriority"))
-      val batches = Seq(
-        ChangeFeed.inserts(o, $"o_orderkey" * 10),
-        ChangeFeed.updates(
-          o.filter($"o_orderkey" % 7 === 0 || $"o_orderkey" % 13 === 0),
-          Map("o_totalprice" -> repriced($"o_totalprice"),
-            "o_orderpriority" -> moved($"o_orderpriority")),
-          $"o_orderkey" * 10 + 5),
-        ChangeFeed.deletes(cur.filter($"o_orderkey" % 11 === 0), $"o_orderkey" * 10 + 7))
-      IncrementalView.maintain(batches, "o_orderpriority", "o_totalprice")
+      IncrementalView.maintain(lifecycle(s, dir).batches,
+          "o_orderpriority", "o_totalprice")
         .select($"o_orderpriority", $"cnt", $"sum".cast("double").as("total"))
         .orderBy($"o_orderpriority")
     }),
@@ -170,30 +204,9 @@ object CdcQueries {
     // re-aggregates the equivalent final table from scratch.
     "q89_incremental_minmax" -> ((s, dir) => {
       import s.implicits._
-      val o = Tables.load(s, dir, "orders")
-      def repriced(c: org.apache.spark.sql.Column) =
-        when($"o_orderkey" % 7 === 0, c * 1.2).otherwise(c)
-      def moved(c: org.apache.spark.sql.Column) =
-        when($"o_orderkey" % 13 === 0, lit("1-URGENT")).otherwise(c)
-      val cur = o
-        .withColumn("o_totalprice", repriced($"o_totalprice"))
-        .withColumn("o_orderpriority", moved($"o_orderpriority"))
-      val afterDel = cur.filter($"o_orderkey" % 11 =!= 0)
-      val w = Window.partitionBy($"o_orderpriority")
-        .orderBy($"o_totalprice", $"o_orderkey")
-      val minRows = afterDel.withColumn("rn", row_number().over(w))
-        .filter($"rn" === 1).drop("rn")
-      val base = afterDel.join(minRows.select($"o_orderkey"), Seq("o_orderkey"), "left_anti")
-      val batches = Seq(
-        ChangeFeed.inserts(o, $"o_orderkey" * 10),
-        ChangeFeed.updates(
-          o.filter($"o_orderkey" % 7 === 0 || $"o_orderkey" % 13 === 0),
-          Map("o_totalprice" -> repriced($"o_totalprice"),
-            "o_orderpriority" -> moved($"o_orderpriority")),
-          $"o_orderkey" * 10 + 5),
-        ChangeFeed.deletes(cur.filter($"o_orderkey" % 11 === 0), $"o_orderkey" * 10 + 7),
-        ChangeFeed.deletes(minRows, $"o_orderkey" * 10 + 9))
-      IncrementalView.maintainMinMax(batches, base, "o_orderpriority", "o_totalprice")
+      val (lc, base) = minmaxLifecycle(s, dir)
+      IncrementalView.maintainMinMax(lc.batches, base,
+          "o_orderpriority", "o_totalprice")
         .select($"o_orderpriority", $"cnt", $"sum".cast("double").as("total"),
           $"avg", $"mn", $"mx")
         .orderBy($"o_orderpriority")
@@ -210,22 +223,8 @@ object CdcQueries {
       import s.implicits._
       import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
       implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
-      val o = Tables.load(s, dir, "orders")
-      def repriced(c: org.apache.spark.sql.Column) =
-        when($"o_orderkey" % 7 === 0, c * 1.2).otherwise(c)
-      def moved(c: org.apache.spark.sql.Column) =
-        when($"o_orderkey" % 13 === 0, lit("1-URGENT")).otherwise(c)
-      val cur = o
-        .withColumn("o_totalprice", repriced($"o_totalprice"))
-        .withColumn("o_orderpriority", moved($"o_orderpriority"))
-      val batches = Seq(
-        ChangeFeed.inserts(o, $"o_orderkey" * 10),
-        ChangeFeed.updates(
-          o.filter($"o_orderkey" % 7 === 0 || $"o_orderkey" % 13 === 0),
-          Map("o_totalprice" -> repriced($"o_totalprice"),
-            "o_orderpriority" -> moved($"o_orderpriority")),
-          $"o_orderkey" * 10 + 5),
-        ChangeFeed.deletes(cur.filter($"o_orderkey" % 11 === 0), $"o_orderkey" * 10 + 7))
+      val lc = lifecycle(s, dir)
+      val (o, batches) = (lc.orders, lc.batches)
 
       // Driver-feed synthesis, as in q33: MemoryStream data must originate
       // on the driver; the pipeline itself never collects row data.
@@ -275,28 +274,8 @@ object CdcQueries {
       import s.implicits._
       import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
       implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
-      val o = Tables.load(s, dir, "orders")
-      def repriced(c: org.apache.spark.sql.Column) =
-        when($"o_orderkey" % 7 === 0, c * 1.2).otherwise(c)
-      def moved(c: org.apache.spark.sql.Column) =
-        when($"o_orderkey" % 13 === 0, lit("1-URGENT")).otherwise(c)
-      val cur = o
-        .withColumn("o_totalprice", repriced($"o_totalprice"))
-        .withColumn("o_orderpriority", moved($"o_orderpriority"))
-      val afterDel = cur.filter($"o_orderkey" % 11 =!= 0)
-      val w = Window.partitionBy($"o_orderpriority")
-        .orderBy($"o_totalprice", $"o_orderkey")
-      val minRows = afterDel.withColumn("rn", row_number().over(w))
-        .filter($"rn" === 1).drop("rn")
-      val batches = Seq(
-        ChangeFeed.inserts(o, $"o_orderkey" * 10),
-        ChangeFeed.updates(
-          o.filter($"o_orderkey" % 7 === 0 || $"o_orderkey" % 13 === 0),
-          Map("o_totalprice" -> repriced($"o_totalprice"),
-            "o_orderpriority" -> moved($"o_orderpriority")),
-          $"o_orderkey" * 10 + 5),
-        ChangeFeed.deletes(cur.filter($"o_orderkey" % 11 === 0), $"o_orderkey" * 10 + 7),
-        ChangeFeed.deletes(minRows, $"o_orderkey" * 10 + 9))
+      val (lc, _) = minmaxLifecycle(s, dir)
+      val (o, batches) = (lc.orders, lc.batches)
 
       // Driver-feed synthesis, as in q33: MemoryStream data must originate
       // on the driver; the pipeline itself never collects row data.
@@ -416,23 +395,7 @@ object CdcQueries {
     // the hash.
     "q103_scd2_history" -> ((s, dir) => {
       import s.implicits._
-      val o = Tables.load(s, dir, "orders")
-      def repriced(c: org.apache.spark.sql.Column) =
-        when($"o_orderkey" % 7 === 0, c * 1.2).otherwise(c)
-      def moved(c: org.apache.spark.sql.Column) =
-        when($"o_orderkey" % 13 === 0, lit("1-URGENT")).otherwise(c)
-      val cur = o
-        .withColumn("o_totalprice", repriced($"o_totalprice"))
-        .withColumn("o_orderpriority", moved($"o_orderpriority"))
-      val changes = Seq(
-        ChangeFeed.inserts(o, $"o_orderkey" * 10),
-        ChangeFeed.updates(
-          o.filter($"o_orderkey" % 7 === 0 || $"o_orderkey" % 13 === 0),
-          Map("o_totalprice" -> repriced($"o_totalprice"),
-            "o_orderpriority" -> moved($"o_orderpriority")),
-          $"o_orderkey" * 10 + 5),
-        ChangeFeed.deletes(cur.filter($"o_orderkey" % 11 === 0), $"o_orderkey" * 10 + 7))
-        .reduce(_ unionByName _)
+      val changes = lifecycle(s, dir).batches.reduce(_ unionByName _)
       Scd2.history(changes, "o_orderkey", Seq("o_totalprice", "o_orderpriority"))
         .select($"o_orderkey", $"valid_from", $"valid_to",
           $"o_totalprice", $"o_orderpriority", $"is_current")
@@ -447,23 +410,7 @@ object CdcQueries {
     // keys across regimes and breaks the hash.
     "q104_scd2_asof" -> ((s, dir) => {
       import s.implicits._
-      val o = Tables.load(s, dir, "orders")
-      def repriced(c: org.apache.spark.sql.Column) =
-        when($"o_orderkey" % 7 === 0, c * 1.2).otherwise(c)
-      def moved(c: org.apache.spark.sql.Column) =
-        when($"o_orderkey" % 13 === 0, lit("1-URGENT")).otherwise(c)
-      val cur = o
-        .withColumn("o_totalprice", repriced($"o_totalprice"))
-        .withColumn("o_orderpriority", moved($"o_orderpriority"))
-      val changes = Seq(
-        ChangeFeed.inserts(o, $"o_orderkey" * 10),
-        ChangeFeed.updates(
-          o.filter($"o_orderkey" % 7 === 0 || $"o_orderkey" % 13 === 0),
-          Map("o_totalprice" -> repriced($"o_totalprice"),
-            "o_orderpriority" -> moved($"o_orderpriority")),
-          $"o_orderkey" * 10 + 5),
-        ChangeFeed.deletes(cur.filter($"o_orderkey" % 11 === 0), $"o_orderkey" * 10 + 7))
-        .reduce(_ unionByName _)
+      val changes = lifecycle(s, dir).batches.reduce(_ unionByName _)
       val hist = Scd2.history(changes, "o_orderkey",
         Seq("o_totalprice", "o_orderpriority"))
       Scd2.asOf(hist, 300000L)
@@ -483,22 +430,8 @@ object CdcQueries {
       import s.implicits._
       import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
       implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
-      val o = Tables.load(s, dir, "orders")
-      def repriced(c: org.apache.spark.sql.Column) =
-        when($"o_orderkey" % 7 === 0, c * 1.2).otherwise(c)
-      def moved(c: org.apache.spark.sql.Column) =
-        when($"o_orderkey" % 13 === 0, lit("1-URGENT")).otherwise(c)
-      val cur = o
-        .withColumn("o_totalprice", repriced($"o_totalprice"))
-        .withColumn("o_orderpriority", moved($"o_orderpriority"))
-      val batches = Seq(
-        ChangeFeed.inserts(o, $"o_orderkey" * 10),
-        ChangeFeed.updates(
-          o.filter($"o_orderkey" % 7 === 0 || $"o_orderkey" % 13 === 0),
-          Map("o_totalprice" -> repriced($"o_totalprice"),
-            "o_orderpriority" -> moved($"o_orderpriority")),
-          $"o_orderkey" * 10 + 5),
-        ChangeFeed.deletes(cur.filter($"o_orderkey" % 11 === 0), $"o_orderkey" * 10 + 7))
+      val lc = lifecycle(s, dir)
+      val (o, batches) = (lc.orders, lc.batches)
 
       // Driver-feed synthesis, as in q33/q97: MemoryStream data must
       // originate on the driver; the pipeline never collects row data.
@@ -536,9 +469,9 @@ object CdcQueries {
     })
   )
 
-  /** q103's oracle, shared with q105: the streaming incremental fold must
-    * land on the identical final history a fresh derivation produces. */
-  private val scd2OracleSql: String = """
+  /** The q103/q104/q105 oracles' shared CTE block: the lifecycle replayed
+    * as an event set, chained into intervals — mirrors [[lifecycle]]. */
+  private val scd2CtesSql: String = """
       WITH ev AS (
         SELECT o_orderkey, o_orderkey * 10 AS valid_from, 'v' AS kind,
           o_totalprice, o_orderpriority
@@ -557,7 +490,11 @@ object CdcQueries {
         SELECT o_orderkey, valid_from, kind, o_totalprice, o_orderpriority,
           lead(valid_from) OVER (PARTITION BY o_orderkey ORDER BY valid_from)
             AS valid_to
-        FROM ev)
+        FROM ev)"""
+
+  /** q103's oracle, shared with q105: the streaming incremental fold must
+    * land on the identical final history a fresh derivation produces. */
+  private val scd2OracleSql: String = s"""$scd2CtesSql
       SELECT o_orderkey, valid_from, valid_to, o_totalprice, o_orderpriority,
         (valid_to IS NULL) AS is_current
       FROM w WHERE kind = 'v'
@@ -698,26 +635,7 @@ object CdcQueries {
 
     // The q103 history filtered to the interval containing position
     // 300000 (valid_from <= pos < valid_to).
-    "q104_scd2_asof" -> """
-      WITH ev AS (
-        SELECT o_orderkey, o_orderkey * 10 AS valid_from, 'v' AS kind,
-          o_totalprice, o_orderpriority
-        FROM orders
-        UNION ALL
-        SELECT o_orderkey, o_orderkey * 10 + 5, 'v',
-          CASE WHEN o_orderkey % 7 = 0 THEN o_totalprice * 1.2
-               ELSE o_totalprice END,
-          CASE WHEN o_orderkey % 13 = 0 THEN '1-URGENT'
-               ELSE o_orderpriority END
-        FROM orders WHERE o_orderkey % 7 = 0 OR o_orderkey % 13 = 0
-        UNION ALL
-        SELECT o_orderkey, o_orderkey * 10 + 7, 'd', NULL, NULL
-        FROM orders WHERE o_orderkey % 11 = 0),
-      w AS (
-        SELECT o_orderkey, valid_from, kind, o_totalprice, o_orderpriority,
-          lead(valid_from) OVER (PARTITION BY o_orderkey ORDER BY valid_from)
-            AS valid_to
-        FROM ev)
+    "q104_scd2_asof" -> s"""$scd2CtesSql
       SELECT o_orderkey, valid_from, o_totalprice, o_orderpriority
       FROM w
       WHERE kind = 'v' AND valid_from <= 300000

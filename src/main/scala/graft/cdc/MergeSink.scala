@@ -91,7 +91,11 @@ object MergeSink {
   /** Which lake formats are on the classpath right now. */
   def probeLakeFormats(): Map[String, Boolean] =
     lakeFormatMarkers.map { case (name, cls) =>
-      name -> scala.util.Try(Class.forName(cls)).isSuccess
+      // initialize=false: presence is the question — running static init
+      // would report a jar whose transitive deps are missing as ABSENT,
+      // which is exactly the silent state this probe exists to prevent
+      name -> scala.util.Try(
+        Class.forName(cls, false, getClass.getClassLoader)).isSuccess
     }.toMap
 
   /** The merge sink this build supports, with the probe evidence. The

@@ -60,12 +60,22 @@ object CsvSource {
       .option("header", "false")
       .option("multiLine", "false")
       .option("escape", "\"")
+      .option("ignoreLeadingWhiteSpace", "false")
+      .option("ignoreTrailingWhiteSpace", "false")
       .csv(path)
 
+  /** Whitespace is DATA: Spark's CSV writer trims leading/trailing field
+    * whitespace by default (the reader does not), which silently breaks
+    * the round-trip on any corpus with edge whitespace — both toggles off
+    * so write∘read is the identity on field text. (Null vs empty-string
+    * remains CSV's classic ambiguity; this library's ingest contract is
+    * non-null text fields, and a null column round-trips as empty.) */
   def write(df: DataFrame, path: String): Unit =
     df.write.mode("overwrite")
       .option("header", "false")
       .option("escape", "\"")
+      .option("ignoreLeadingWhiteSpace", "false")
+      .option("ignoreTrailingWhiteSpace", "false")
       .csv(path)
 }
 
@@ -92,7 +102,19 @@ object SourceQueries {
       docs.toJSON.write.mode("overwrite").text(path)
       Files.write(Paths.get(path, "corrupt.txt"),
         java.util.List.of("{this is not json", """{"doc_id": "not-a-long"}"""))
-      JsonLines.read(s, path, docs.schema)
+      val back = JsonLines.read(s, path, docs.schema)
+      // Gate plumbing (sf-sized): the oracle sees only valid rows, so
+      // capture must be asserted here or a silent-drop regression stays
+      // green. Spark disallows corrupt-column-only queries over a raw
+      // scan (pruning reduces any count to exactly that), so use the
+      // sanctioned form: cache, count, unpersist before returning (the
+      // returned plan re-reads raw files and references real columns).
+      back.cache()
+      val corrupt = back.filter(col(JsonLines.CorruptCol).isNotNull).count()
+      back.unpersist()
+      require(corrupt == 2,
+        s"expected both injected corrupt lines captured, found $corrupt")
+      back
         .filter(col(JsonLines.CorruptCol).isNull)
         .select(docs.columns.map(col).toIndexedSeq: _*)
         .repartition(1).sortWithinPartitions(col("doc_id"))
@@ -118,7 +140,18 @@ object SourceQueries {
       CsvSource.write(docs, path)
       Files.write(Paths.get(path, "corrupt.csv"),
         java.util.List.of("not-a-long,words,en,web,12,note", "7,truncated"))
-      CsvSource.read(s, path, docs.schema)
+      val back = CsvSource.read(s, path, docs.schema)
+      // Gate plumbing (sf-sized): the oracle compares only VALID rows, so
+      // without this check a regression that silently DROPS malformed
+      // rows — the exact failure the permissive contract forbids — would
+      // stay green. Cache/count/unpersist: see q83's note on the
+      // corrupt-column-only restriction.
+      back.cache()
+      val corrupt = back.filter(col(CsvSource.CorruptCol).isNotNull).count()
+      back.unpersist()
+      require(corrupt == 2,
+        s"expected both injected corrupt rows captured, found $corrupt")
+      back
         .filter(col(CsvSource.CorruptCol).isNull)
         .select(docs.columns.map(col).toIndexedSeq: _*)
         .repartition(1).sortWithinPartitions(col("doc_id"))

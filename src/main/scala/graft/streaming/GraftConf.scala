@@ -78,15 +78,24 @@ object GraftConf {
     * started inside `startFn`; every other query on the session keeps the
     * safety check. Required by plans that chain stateful operators where
     * the global-watermark pattern warning is a proven false positive (see
-    * StreamingPipeline.streamingNearDupAdmitBounded's scaladoc). */
-  def withChainedStatefulStart[T](spark: SparkSession)(startFn: => T): T = {
-    val chk = "spark.sql.streaming.statefulOperator.checkCorrectness.enabled"
-    val prev = spark.conf.getOption(chk)
-    spark.conf.set(chk, "false")
-    try startFn
-    finally prev match {
-      case Some(v) => spark.conf.set(chk, v)
-      case None => spark.conf.unset(chk)
+    * StreamingPipeline.streamingNearDupAdmitBounded's scaladoc).
+    *
+    * Concurrency blast radius: the flag is SESSION-scoped, so an
+    * UNRELATED `start()` racing on the same session during this window
+    * would also skip the check. Invocations of this helper serialize on
+    * the session object (so two helper users cannot interleave a stale
+    * restore), but callers that start stateful queries on a shared
+    * session from other threads must coordinate those starts themselves —
+    * Spark offers no per-query form of this conf. */
+  def withChainedStatefulStart[T](spark: SparkSession)(startFn: => T): T =
+    spark.synchronized {
+      val chk = "spark.sql.streaming.statefulOperator.checkCorrectness.enabled"
+      val prev = spark.conf.getOption(chk)
+      spark.conf.set(chk, "false")
+      try startFn
+      finally prev match {
+        case Some(v) => spark.conf.set(chk, v)
+        case None => spark.conf.unset(chk)
+      }
     }
-  }
 }

@@ -393,14 +393,26 @@ object StreamingPipeline {
             // table propagates instead of silently dropping the table from
             // a "consistent" result (which would defeat the all-or-none
             // contract).
-            val snaps = tables.flatMap { case (t, dir) =>
-              CdcApplier.snapshotIfBootstrapped(spark, dir).map(t -> _)
+            // A transient failure here (file-listing race against a
+            // concurrent bucket-dir swap) is exactly what the retry loop
+            // exists for — re-enter it rather than aborting the
+            // all-or-none read; persistent corruption still propagates
+            // once the retry budget is exhausted.
+            scala.util.Try {
+              val snaps = tables.flatMap { case (t, dir) =>
+                CdcApplier.snapshotIfBootstrapped(spark, dir).map(t -> _)
+              }
+              val pinned = tables.forall { case (t, dir) =>
+                readHighWater(spark, dir).getOrElse(Long.MinValue) ==
+                  positions.getOrElse(t, Long.MinValue)
+              } && read(conf, epochDir).exists(_._1 == batchId)
+              (pinned, snaps)
+            } match {
+              case scala.util.Success((true, snaps)) => return (batchId, snaps)
+              case scala.util.Success((false, _)) => () // torn: retry below
+              case scala.util.Failure(e) if attempt < maxRetries => ()
+              case scala.util.Failure(e) => throw e
             }
-            val pinned = tables.forall { case (t, dir) =>
-              readHighWater(spark, dir).getOrElse(Long.MinValue) ==
-                positions.getOrElse(t, Long.MinValue)
-            } && read(conf, epochDir).exists(_._1 == batchId)
-            if (pinned) return (batchId, snaps)
         }
         attempt += 1
         if (attempt <= maxRetries) Thread.sleep(retrySleepMs)

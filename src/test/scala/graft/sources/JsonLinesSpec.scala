@@ -60,4 +60,18 @@ class JsonLinesSpec extends AnyFunSuite {
         valid.toString)
     } finally df.unpersist()
   }
+
+  test("CSV: write-then-read is the identity on edge whitespace") {
+    val root = Files.createTempDirectory("csv_ws_spec").toString
+    val in = Seq((1L, "trailing "), (2L, "  leading"), (3L, " both "))
+      .toDF("id", "name")
+    CsvSource.write(in, root)
+    val schema = new org.apache.spark.sql.types.StructType()
+      .add("id", "long").add("name", "string")
+    val back = CsvSource.read(spark, root, schema)
+      .filter(col(CsvSource.CorruptCol).isNull)
+      .select($"id", $"name").as[(Long, String)].collect().toSet
+    assert(back == Set((1L, "trailing "), (2L, "  leading"), (3L, " both ")),
+      s"whitespace must survive the round-trip: $back")
+  }
 }
