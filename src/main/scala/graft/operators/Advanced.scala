@@ -240,6 +240,35 @@ object Advanced {
         .orderBy($"l_returnflag")
     }),
 
+    // ---- q108: skew-safe JOIN — q28's salting applied where a hot key
+    //      bottlenecks a shuffle join: 150 users × thousands of events
+    //      each IS the skew regime (every user is a hot key relative to
+    //      the dim side's one row). The dim side REPLICATES each row over
+    //      `salts` salt values; the fact side tags each row with a
+    //      deterministic salt, so every (key, salt) shuffle partition
+    //      carries ~1/salts of a hot key's rows and no single reducer
+    //      owns a whole key. hint("merge") pins the shuffle join at test
+    //      sf — a broadcastable dim would not need salting; this is the
+    //      both-sides-too-big regime's recipe. The gate proves salting is
+    //      semantically invisible vs the plain join.
+    "q108_salted_join" -> ((s, dir) => {
+      import s.implicits._
+      val salts = 8
+      val ev = Tables.load(s, dir, "events")
+        .filter($"event_type" === "purchase")
+        .withColumn("salt",
+          pmod(xxhash64($"event_id"), lit(salts.toLong)).cast("int"))
+      val dim = Tables.load(s, dir, "customer")
+        .select($"c_custkey", $"c_mktsegment")
+        .withColumn("salt", explode(array((0 until salts).map(lit): _*)))
+      ev.hint("merge")
+        .join(dim.hint("merge"),
+          ev("user_id") === dim("c_custkey") && ev("salt") === dim("salt"))
+        .groupBy($"c_mktsegment")
+        .agg(count(lit(1)).as("n"), graft.util.Sumd.sumd($"value").as("total"))
+        .repartition(1).sortWithinPartitions($"c_mktsegment")
+    }),
+
     // ---- HLL sketch aggregation: approx_count_distinct beside the exact
     //      count. No DuckDB oracle — HLL estimates are engine-specific —
     //      so the driver records the (documented) weaker rows-only check.
@@ -507,6 +536,16 @@ object Advanced {
       FROM lineitem
       GROUP BY l_returnflag
       ORDER BY l_returnflag""",
+
+    // The plain join the salt-replicated plan must be indistinguishable
+    // from.
+    "q108_salted_join" -> s"""
+      SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n,
+        ${SUMD("value")} AS total
+      FROM events e JOIN customer c ON e.user_id = c.c_custkey
+      WHERE e.event_type = 'purchase'
+      GROUP BY c_mktsegment
+      ORDER BY c_mktsegment""",
 
     "q27_posexplode" -> """
       SELECT p_partkey, CAST(g.i - 1 AS BIGINT) AS pos, w.word AS word,

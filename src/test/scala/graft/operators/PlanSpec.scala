@@ -197,6 +197,17 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("HashAggregate") || p.contains("SortAggregate"), p)
   }
 
+  test("q108: skew join shuffles on (key, salt), dim side replicated") {
+    val p = plan("q108_salted_join")
+    assert(p.contains("SortMergeJoin"),
+      s"salting targets the shuffle-join regime (broadcast would not need it):\n$p")
+    assert(p.contains("Generate explode") || p.contains("explode("),
+      s"the dim side must replicate over the salt values:\n$p")
+    assert(p.linesIterator.exists(l =>
+        l.contains("SortMergeJoin") && l.contains("salt")),
+      s"the join keys must include the salt so hot keys split across reducers:\n$p")
+  }
+
   test("q46: fingerprint runs the fused native kernel, not an interpreted fold") {
     val p = plan("q46_fingerprint")
     assert(p.contains("graft_fingerprint"), p)
