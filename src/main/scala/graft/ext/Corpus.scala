@@ -874,6 +874,36 @@ object Corpus {
         .repartition(1).sortWithinPartitions(col("doc_id"))
     }),
 
+    // ---- q109: INCREMENTAL connected components — the daily re-cluster
+    //      of a living corpus (q67 admits the new docs; this folds their
+    //      edges in). The existing clustering compresses to its STAR
+    //      graph — one (id, label) edge per clustered node, |V| edges no
+    //      matter how many pairs built it — and CC runs over star ∪ new
+    //      edges: pair DISCOVERY touches only the delta (q67's banded
+    //      join), the fold's edge count is |V_clustered| + |new| instead
+    //      of the accumulated |E|, and the star side has diameter 2 so
+    //      contraction converges in O(1) extra rounds. The gate is the
+    //      compression theorem itself: the oracle computes CC(P ∪ N)
+    //      from scratch; the incremental CC(star(CC(P)) ∪ N) must hash
+    //      identical — any connectivity lost or invented by the
+    //      compression breaks it.
+    "q109_incremental_cc" -> ((s, dir) => {
+      graft.functions.GraftFunctions.register(s)
+      val oldPairs = NearDup.exactJaccardPairs(t(s, dir, "documents"))
+      val labels = connectedComponents(oldPairs) // the EXISTING clustering
+      val d = t(s, dir, "documents").select(col("doc_id"))
+      // mirrors q109NewEdgesSql exactly
+      val newEdges = d.filter(col("doc_id") % 100 === 0)
+          .select(col("doc_id").as("id_a"), (col("doc_id") + 1000000L).as("id_b"))
+        .unionByName(d.filter(col("doc_id") % 97 === 0)
+          .select(col("doc_id").as("id_a"), (col("doc_id") + 37L).as("id_b")))
+      val starEdges = labels.filter(col("id") =!= col("label"))
+        .select(col("id").as("id_a"), col("label").as("id_b"))
+      connectedComponents(starEdges.unionByName(newEdges))
+        .select(col("id").as("doc_id"), col("label").as("canonical_id"))
+        .repartition(1).sortWithinPartitions(col("doc_id"))
+    }),
+
     // ---- q99: BPE TRAINING loop — BpeTrainIters full merge iterations
     //      (q95 gates ONE step; this gates the training trajectory: each
     //      rank's chosen pair, its weighted count, and the corpus token
@@ -921,7 +951,10 @@ object Corpus {
 
   /** q54's oracle, shared: q82's histogram gate wraps the SAME
     * independently-derived cluster labels as a subquery. */
-  private val q54OracleSql: String = s"""
+  /** The q54/q109 oracles' shared CTE chain up to per-node labels:
+    * exact-Jaccard pairs, optionally UNION ALL'd with `extraEdges` rows
+    * (id_a, id_b), then min-label connected components. */
+  private def ccLabCtes(extraEdges: String): String = s"""
       WITH RECURSIVE sh AS (
         SELECT doc_id, ${TextOps.shinglesSql("text", NearDup.ShingleK)} AS sh FROM documents),
       pairs AS (
@@ -929,23 +962,39 @@ object Corpus {
         FROM sh a JOIN sh b ON a.doc_id < b.doc_id
         WHERE len(list_intersect(a.sh, b.sh))::DOUBLE
             / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= ${NearDup.JaccardT}),
+      allp AS (SELECT id_a, id_b FROM pairs$extraEdges),
       edges AS (
-        SELECT id_a AS src, id_b AS dst FROM pairs
-        UNION ALL SELECT id_b, id_a FROM pairs),
+        SELECT id_a AS src, id_b AS dst FROM allp
+        UNION ALL SELECT id_b, id_a FROM allp),
       nodes AS (SELECT DISTINCT src AS id FROM edges),
       cc(id, label) AS (
         SELECT id, id FROM nodes
         UNION
         SELECT e.dst, cc.label FROM cc JOIN edges e ON e.src = cc.id
         WHERE cc.label < e.dst),
-      lab AS (SELECT id, min(label) AS canonical_id FROM cc GROUP BY id),
+      lab AS (SELECT id, min(label) AS canonical_id FROM cc GROUP BY id)"""
+
+  private val q54OracleSql: String = s"""${ccLabCtes("")},
       siz AS (SELECT canonical_id, CAST(count(*) AS BIGINT) AS cluster_size FROM lab GROUP BY 1)
       SELECT l.id AS doc_id, l.canonical_id, s.cluster_size
       FROM lab l JOIN siz s USING (canonical_id)
       ORDER BY doc_id"""
 
+  /** q109's synthetic "new day" edges, shared between the Spark feed and
+    * the oracle: every %100 doc links a brand-new doc id (+1000000), and
+    * every %97 doc gains an arbitrary bridge (+37) that can merge
+    * existing clusters or mint new ones. */
+  private val q109NewEdgesSql: String = """
+        UNION ALL SELECT doc_id, doc_id + 1000000 FROM documents WHERE doc_id % 100 = 0
+        UNION ALL SELECT doc_id, doc_id + 37 FROM documents WHERE doc_id % 97 = 0"""
+
   val oracles: Map[String, String] = Map(
     "q54_dedup_clusters" -> q54OracleSql,
+
+    // CC(P ∪ N) from scratch — what the star-compressed incremental fold
+    // must reproduce exactly.
+    "q109_incremental_cc" -> s"""${ccLabCtes(q109NewEdgesSql)}
+      SELECT id AS doc_id, canonical_id FROM lab ORDER BY doc_id""",
 
     // q54's independently-derived labels (recursive CTE) joined with q49's
     // exact quality definition; survivor = per-cluster argmax.

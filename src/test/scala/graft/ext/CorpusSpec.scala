@@ -217,6 +217,62 @@ class CorpusSpec extends AnyFunSuite {
     }
   }
 
+  // ---- q109's star-compression theorem: CC(star(CC(P)) ∪ N) == CC(P ∪ N).
+  //      The incremental fold replaces the accumulated edge set with one
+  //      (id → label) star edge per clustered node; these tests pin that
+  //      the compression neither loses nor invents connectivity under the
+  //      adversarial deltas a daily fold actually sees.
+
+  private def starOf(labels: Map[Long, Long]): Seq[(Long, Long)] =
+    labels.toSeq.collect { case (id, lab) if id != lab => (id, lab) }
+
+  private def incrementalMatchesScratch(old: Seq[(Long, Long)],
+                                        delta: Seq[(Long, Long)],
+                                        clue: String): Unit = {
+    val scratch = cc(old ++ delta)
+    val inc = cc(starOf(cc(old)) ++ delta)
+    assert(inc == scratch, s"$clue: incremental=$inc scratch=$scratch")
+  }
+
+  test("q109: a delta edge BELOW an old canonical relabels the whole old cluster") {
+    // old cluster {10,11,12} canonical 10; delta bridges 11 to new min 1 —
+    // every old member must re-label to 1 even though only 11 was touched
+    incrementalMatchesScratch(
+      old = Seq((10L, 11L), (11L, 12L)),
+      delta = Seq((1L, 11L)),
+      clue = "lower-id bridge")
+  }
+
+  test("q109: a delta edge merging two old clusters unifies both stars") {
+    incrementalMatchesScratch(
+      old = Seq((10L, 11L), (20L, 21L), (21L, 22L)),
+      delta = Seq((22L, 11L)),
+      clue = "cluster merge")
+  }
+
+  test("q109: deltas attaching brand-new nodes and untouched clusters coexist") {
+    incrementalMatchesScratch(
+      old = Seq((10L, 11L), (30L, 31L)),
+      delta = Seq((11L, 1000011L), (40L, 41L)), // growth + a new cluster
+      clue = "new nodes")
+  }
+
+  test("q109: property — random old graph + random delta folds exactly (seeded)") {
+    for (seed <- 11 to 15) {
+      val rnd = new scala.util.Random(seed)
+      val n = 40 + rnd.nextInt(80)
+      def randEdges(m: Int, lo: Long, hi: Long): Seq[(Long, Long)] =
+        Seq.fill(m)((lo + rnd.nextInt((hi - lo).toInt).toLong,
+                     lo + rnd.nextInt((hi - lo).toInt).toLong))
+      // delta ids overlap the old range AND extend below/above it, so
+      // canonical minima can move in both directions
+      incrementalMatchesScratch(
+        old = randEdges(n, 100, 100 + n),
+        delta = randEdges(n / 3, 100 - n / 4, 100 + n + n / 4),
+        clue = s"seed=$seed n=$n")
+    }
+  }
+
   test("graft_rep_stats kernel equals the HOF formulation on the corpus") {
     import org.apache.spark.sql.functions._
     graft.functions.GraftFunctions.register(spark)
