@@ -79,8 +79,14 @@ object CdcApplier {
     *  - `horizon`: the compaction horizon ([[compact]]). Tombstones at or
     *    below it may have been dropped, so any replayed event at or below
     *    it is discarded instead of merged (it is, by the caller's replay
-    *    contract, already applied). */
-  case class TargetMeta(numBuckets: Int, horizon: Long, schemaJson: Option[String] = None)
+    *    contract, already applied).
+    *  - `pkCols`: the PK columns IN THE ORDER the layout's bucket hash was
+    *    computed with. `hash(a, b) != hash(b, a)`, so a later writer or a
+    *    [[pointLookup]] hashing a different order would target the wrong
+    *    bucket dirs silently — both adopt the persisted order (absent only
+    *    in pre-upgrade metas, which the next apply backfills). */
+  case class TargetMeta(numBuckets: Int, horizon: Long,
+      schemaJson: Option[String] = None, pkCols: Option[Seq[String]] = None)
 
   object TargetMeta {
     private def metaPath(target: Path) = new Path(target, ".graft_meta")
@@ -88,12 +94,14 @@ object CdcApplier {
     def read(conf: org.apache.hadoop.conf.Configuration, target: Path): Option[TargetMeta] =
       graft.util.AtomicFile.read(conf, metaPath(target)).map { s =>
         val kv = s.linesIterator.map(_.split("=", 2)).collect { case Array(k, v) => k -> v }.toMap
-        TargetMeta(kv("numBuckets").toInt, kv("horizon").toLong, kv.get("schema"))
+        TargetMeta(kv("numBuckets").toInt, kv("horizon").toLong, kv.get("schema"),
+          kv.get("pkCols").map(_.split(",").toSeq.filter(_.nonEmpty)))
       }
 
     def write(conf: org.apache.hadoop.conf.Configuration, target: Path, m: TargetMeta): Unit =
       graft.util.AtomicFile.write(conf, metaPath(target),
         s"numBuckets=${m.numBuckets}\nhorizon=${m.horizon}\n" +
+          m.pkCols.map(p => s"pkCols=${p.mkString(",")}\n").getOrElse("") +
           m.schemaJson.map(j => s"schema=$j\n").getOrElse(""))
   }
 
@@ -210,6 +218,53 @@ object CdcApplier {
     }
   }
 
+  /** Point lookup against the bucketed snapshot — the replica's analog of
+    * the key-value store `Get` the reference replicates INTO HBase for
+    * (HbaseApplier serves row-key gets; here the PK-hash layout serves the
+    * same read). The lookup keys' buckets are computed with the layout's
+    * own hash (same `pmod(hash(pk), numBuckets)` the writer used, modulus
+    * from the persisted `.graft_meta` truth) and turned into a LITERAL
+    * `graft_bucket IN (...)` predicate, so Spark's partition pruning reads
+    * ONLY those bucket directories — at 100 TB with thousands of buckets a
+    * k-key lookup touches ≤k directories, never the table. Within the
+    * pruned buckets a single-column PK additionally pushes a literal
+    * `pk IN (...)` into the parquet scan (row-group stats pruning); the
+    * authoritative key match is a broadcast semi-join for any PK arity.
+    *
+    * `keys` carries one row per lookup key (the PK columns, writer-typed).
+    * Point-lookup batches are driver-bounded BY CONTRACT (a `Get` batch is
+    * a handful of keys, not a table — for table-sized probes use a join
+    * against [[snapshot]]); the two collects here are that bounded key set,
+    * mirroring the `touched`-buckets collect in [[applyBatch]]. */
+  def pointLookup(spark: SparkSession, targetDir: String, keys: DataFrame): DataFrame = {
+    val target = new Path(targetDir)
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val meta = TargetMeta.read(hconf, target).getOrElse(
+      throw new IllegalStateException(s"no graft table state at $targetDir"))
+    val numBuckets = meta.numBuckets
+    // Hash in the layout's persisted column order — the caller's key-frame
+    // column order must not change which bucket a key lands in.
+    val pkCols = meta.pkCols.getOrElse(keys.columns.toSeq)
+    if (pkCols.toSet != keys.columns.toSet)
+      throw new IllegalArgumentException(
+        s"lookup keys (${keys.columns.mkString(",")}) != target PK (${pkCols.mkString(",")})")
+    val buckets = keys
+      .select(pmod(hash(pkCols.map(col): _*), lit(numBuckets)).as(BUCKET))
+      .distinct().collect().map(_.getInt(0)).sorted
+    if (buckets.isEmpty) return snapshot(spark, targetDir).limit(0)
+    val pruned = spark.read.option("mergeSchema", true).parquet(targetDir)
+      .filter(col(BUCKET).isin(buckets.map(Int.box): _*))
+    val rowGroupPruned = pkCols match {
+      case Seq(pk) =>
+        val vals = keys.select(col(pk)).distinct().collect().map(_.get(0))
+        pruned.filter(col(pk).isin(vals: _*))
+      case _ => pruned
+    }
+    rowGroupPruned
+      .join(broadcast(keys), pkCols, "left_semi")
+      .filter(!col(DEL)).drop(DEL, BUCKET)
+  }
+
   /** [[snapshot]] for callers that must distinguish "this target was never
     * bootstrapped" (no bucket dirs AND no persisted `.graft_meta` schema —
     * a valid, consistently-absent table) from a real read failure. Only the
@@ -249,6 +304,14 @@ object CdcApplier {
     val meta = TargetMeta.read(hconf, target)
     val numBuckets = meta.map(_.numBuckets).getOrElse(opts.numBuckets)
     val horizon = meta.map(_.horizon).getOrElse(Long.MinValue)
+    // Like numBuckets, the persisted PK hash ORDER is the layout's truth —
+    // hash(a,b) != hash(b,a), so a run configured with the same columns in
+    // a different order would bucket keys away from their existing rows.
+    val pkOrder = meta.flatMap(_.pkCols).getOrElse(opts.pkCols)
+    if (pkOrder.toSet != opts.pkCols.toSet)
+      throw new IllegalStateException(
+        s"PK drift: target layout is keyed by ${pkOrder.mkString(",")}, " +
+          s"caller configured ${opts.pkCols.mkString(",")}")
 
     // Events at or below the compaction horizon are already applied and
     // their tombstones may be gone — discard instead of merging (a stale
@@ -256,7 +319,7 @@ object CdcApplier {
     val inHorizon = resolveBatch(changes, opts)
     val resolved = (if (horizon == Long.MinValue) inHorizon
                     else inHorizon.filter(col(POS) > horizon))
-      .withColumn(BUCKET, pmod(hash(opts.pkCols.map(col): _*), lit(numBuckets)))
+      .withColumn(BUCKET, pmod(hash(pkOrder.map(col): _*), lit(numBuckets)))
       .persist()
     try {
       // Small driver-side action: at most numBuckets values.
@@ -305,9 +368,10 @@ object CdcApplier {
       // crash in between leaves meta + no buckets, which bootstraps fine),
       // refreshing the persisted schema on creation and on evolution so a
       // fully-compacted target can still be read as a typed empty table.
-      if (meta.isEmpty || newFields.nonEmpty || meta.exists(_.schemaJson.isEmpty))
+      if (meta.isEmpty || newFields.nonEmpty ||
+          meta.exists(m => m.schemaJson.isEmpty || m.pkCols.isEmpty))
         TargetMeta.write(hconf, target,
-          TargetMeta(numBuckets, horizon, Some(merged.schema.json)))
+          TargetMeta(numBuckets, horizon, Some(merged.schema.json), Some(pkOrder)))
 
       val tmp = new Path(targetDir + ".tmp")
       if (fs.exists(tmp)) fs.delete(tmp, true)

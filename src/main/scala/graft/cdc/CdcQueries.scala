@@ -111,6 +111,34 @@ object CdcQueries {
         .orderBy($"o_orderkey")
     }),
 
+    // Point lookup over the bucketed replica — the `Get` read pattern the
+    // reference replicates into HBase FOR, served by partition pruning:
+    // q32's lifecycle builds the target, then a bounded key batch (every
+    // %250 key — the set deliberately spans updated %7 keys, deleted %11
+    // keys, and one never-inserted key) is fetched via
+    // CdcApplier.pointLookup. The gate proves lookups see exactly the
+    // merged state (updates applied, tombstones and missing keys absent);
+    // PlanSpec q110 locks that the scan prunes to the keys' bucket
+    // directories instead of reading the table.
+    "q110_point_lookup" -> ((s, dir) => {
+      import s.implicits._
+      val o = Tables.load(s, dir, "orders")
+      val target = Files.createTempDirectory("graft_cdc").toString + "/orders_pl"
+      val opts = CdcApplier.Options(Seq("o_orderkey"))
+      CdcApplier.applyBatch(s, ChangeFeed.inserts(o, $"o_orderkey" * 10), target, opts)
+      val second = ChangeFeed.updates(
+          o.filter($"o_orderkey" % 7 === 0),
+          Map("o_totalprice" -> $"o_totalprice" * 1.2),
+          $"o_orderkey" * 10 + 3)
+        .union(ChangeFeed.deletes(o.filter($"o_orderkey" % 11 === 0), $"o_orderkey" * 10 + 5))
+      CdcApplier.applyBatch(s, second, target, opts)
+      val keys = o.filter($"o_orderkey" % 250 === 0).select($"o_orderkey")
+        .unionByName(s.range(1).select(lit(-1L).as("o_orderkey")))
+      CdcApplier.pointLookup(s, target, keys)
+        .select(o.columns.map(col).toIndexedSeq: _*)
+        .orderBy($"o_orderkey")
+    }),
+
     // The REAL Structured Streaming path, gated by the DuckDB oracle: the
     // orders change feed is JSON-encoded into the generic envelope, fed
     // through MemoryStream in two micro-batches (bootstrap, then
@@ -515,6 +543,16 @@ object CdcQueries {
         o_orderdate, o_orderpriority
       FROM orders
       WHERE o_orderkey % 11 <> 0
+      ORDER BY o_orderkey""",
+
+    // q32's merged state restricted to the lookup keys: deleted (%11) and
+    // never-inserted keys are simply absent.
+    "q110_point_lookup" -> """
+      SELECT o_orderkey, o_custkey, o_orderstatus,
+        CASE WHEN o_orderkey % 7 = 0 THEN o_totalprice * 1.2 ELSE o_totalprice END AS o_totalprice,
+        o_orderdate, o_orderpriority
+      FROM orders
+      WHERE o_orderkey % 11 <> 0 AND o_orderkey % 250 = 0
       ORDER BY o_orderkey""",
 
     "q33_streaming_merge" -> """

@@ -286,6 +286,56 @@ class CdcApplierSpec extends AnyFunSuite {
     assert(state(target).size == 64)
   }
 
+  test("pointLookup: composite PK, key-frame column order irrelevant, tombstones absent") {
+    val target = newTarget()
+    val rows = (1 to 32).map(i => Student(i, i * 7, i * 10, s"n$i", "r"))
+    CdcApplier.applyBatch(spark,
+      ChangeFeed.inserts(rows.toDF(), col("sn").cast("long") * 10), target, opts)
+    CdcApplier.applyBatch(spark, ev("delete", 1000, Some(rows(1)), None), target, opts)
+
+    // keys: one live, one deleted, one never inserted — pk is (sn, id)
+    val keys = Seq((1, 7), (2, 14), (99, 99)).toDF("sn", "id")
+    val got = CdcApplier.pointLookup(spark, target, keys)
+      .drop("_graft_pos").as[Student].collect().toSet
+    assert(got == Set(rows.head), s"got $got")
+
+    // the caller's column ORDER must not change bucket targeting — the
+    // persisted pk order governs the hash (a wrong order would silently
+    // prune the wrong dirs and return nothing)
+    val reordered = Seq((7, 1)).toDF("id", "sn")
+    val got2 = CdcApplier.pointLookup(spark, target, reordered)
+      .drop("_graft_pos").as[Student].collect().toSet
+    assert(got2 == Set(rows.head), s"reordered key frame must still hit: $got2")
+
+    // an empty key batch returns an empty, correctly-typed frame
+    val none = CdcApplier.pointLookup(spark, target, keys.limit(0))
+    assert(none.count() == 0 && none.columns.contains("score"))
+
+    // a key set that is not the target's PK is an error, not a wrong answer
+    val e = intercept[IllegalArgumentException](
+      CdcApplier.pointLookup(spark, target, Seq(1).toDF("sn")))
+    assert(e.getMessage.contains("target PK"))
+  }
+
+  test("applyBatch: a later run with the PK columns in a different order adopts the layout's") {
+    val target = newTarget()
+    CdcApplier.applyBatch(spark, ev("insert", 10, None, Some(s1)), target, opts)
+    // same column SET, reversed order: must merge into the same buckets
+    CdcApplier.applyBatch(spark, ev("insert", 20, None, Some(s2)), target,
+      CdcApplier.Options(pk.reverse))
+    assert(state(target) == Set(s1, s2))
+    // re-apply s1 under the reversed-order options: must find and keep the
+    // one existing row, not duplicate it into a differently-hashed bucket
+    CdcApplier.applyBatch(spark,
+      ev("update", 30, Some(s1), Some(s1v2)), target, CdcApplier.Options(pk.reverse))
+    assert(state(target) == Set(s1v2, s2))
+    // a genuinely different key SET fails loudly
+    val e = intercept[IllegalStateException](
+      CdcApplier.applyBatch(spark, ev("insert", 40, None, Some(s2)), target,
+        CdcApplier.Options(Seq("sn"))))
+    assert(e.getMessage.contains("PK drift"))
+  }
+
   test("MergeSink seam: the bucketed-parquet fallback fulfils the trait contract") {
     val sink: MergeSink = BucketedParquetSink
     val target = newTarget()

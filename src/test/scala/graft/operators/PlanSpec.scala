@@ -208,6 +208,25 @@ class PlanSpec extends AnyFunSuite {
       s"the join keys must include the salt so hot keys split across reducers:\n$p")
   }
 
+  test("q110: point lookup prunes to the keys' bucket partitions, pushes the key set") {
+    val p = plan("q110_point_lookup")
+    // partition pruning: the literal bucket IN-list reaches the scan's
+    // PartitionFilters — the read touches only the keys' bucket dirs
+    assert(p.linesIterator.exists(l =>
+        l.contains("PartitionFilters") && l.contains("graft_bucket") && l.contains("IN")),
+      s"the bucket IN-list must prune partitions at the scan:\n$p")
+    // row-group pruning: the single-column PK's literal IN-list is pushed
+    // into the parquet scan (min/max stats skip row groups inside a bucket)
+    assert(p.linesIterator.exists(l =>
+        l.contains("PushedFilters") && l.contains("In(o_orderkey")),
+      s"the pk IN-list must reach PushedFilters:\n$p")
+    // the authoritative key match broadcasts the bounded key set — a
+    // point lookup must never shuffle the table
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftSemi"),
+      s"key match must be a broadcast semi join:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"no shuffle join in a point lookup:\n$p")
+  }
+
   test("q46: fingerprint runs the fused native kernel, not an interpreted fold") {
     val p = plan("q46_fingerprint")
     assert(p.contains("graft_fingerprint"), p)
