@@ -242,6 +242,46 @@ object Corpus {
     } finally freeCheckpoint(p)
   }
 
+  /** One PageRank power-iteration step over a link graph (Page et al.
+    * 1999, public algorithm) — the link-analysis quality signal of a
+    * web-scale corpus build: crawl prioritization and page-quality
+    * weighting rank pages/hosts by incoming-link mass, the graph sibling
+    * of q107's embedding power iteration.
+    *
+    * `edges(src, dst)`, `ranks(id, rank)` — the caller's complete node set
+    * with current mass (the q111 gate feeds the uniform start). One step:
+    * r'(v) = (1-d)/N + d·Σ_{u→v} r(u)/outdeg(u) + d·dangling/N, the
+    * dangling mass (nodes with no out-links) redistributed uniformly so
+    * total mass is conserved.
+    *
+    * Scale shape: outdeg is a partial+final agg on src; contributions are
+    * ONE equi-join of edges with the per-src rate (shuffle on src — both
+    * frames are graph-sized, neither broadcastable at 100 TB) then a
+    * partial+final agg on dst; N and the dangling mass ride in one
+    * broadcast row. Sums run at DECIMAL(38,18) ([[graft.util.Sumd.sumdHi]]
+    * — probability-scale terms, far below DECIMAL(18,6)'s resolution) so
+    * partial-agg order cannot drift from the oracle. Every IEEE op is
+    * ordered identically in the q111 oracle SQL. */
+  def pageRankStep(edges: DataFrame, ranks: DataFrame, damping: Double = 0.85): DataFrame = {
+    val d = lit(damping)
+    val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
+    val withDeg = ranks.join(deg, col("id") === col("src"), "left").drop("src")
+    val totals = withDeg.agg(
+      count(lit(1)).as("n"),
+      graft.util.Sumd.sumdHi(
+        when(col("outdeg").isNull, col("rank")).otherwise(lit(0.0))).as("dangling"))
+    val rate = withDeg.filter(col("outdeg").isNotNull)
+      .select(col("id").as("src_id"), (col("rank") / col("outdeg")).as("c"))
+    val inSum = edges.join(rate, col("src") === col("src_id"))
+      .groupBy(col("dst")).agg(graft.util.Sumd.sumdHi(col("c")).as("in_sum"))
+    ranks.select(col("id")).join(inSum, col("id") === col("dst"), "left").drop("dst")
+      .crossJoin(broadcast(totals))
+      .select(col("id"),
+        ((lit(1.0) - d) / col("n")
+          + d * coalesce(col("in_sum"), lit(0.0))
+          + d * col("dangling") / col("n")).as("rank"))
+  }
+
   /** Release a localCheckpoint'ed frame's executor storage blocks (no-op
     * for frames that are not checkpointed). */
   private def freeCheckpoint(df: DataFrame): Unit =
@@ -904,6 +944,33 @@ object Corpus {
         .repartition(1).sortWithinPartitions(col("doc_id"))
     }),
 
+    // ---- q111: PageRank step over a synthetic link graph — hub links
+    //      (doc_id % 97: 97 hubs absorbing everything, heavy in-skew)
+    //      plus tree links (doc_id div 2: a binary ancestry chain), the
+    //      deterministic stand-in for a crawl's host graph (q96 extracts
+    //      the real one; parquet has no link column to join them on).
+    //      Uniform start, one step; the gate pins the full arithmetic —
+    //      damping, per-edge contribution, dangling-mass redistribution —
+    //      at DECIMAL(38,18) against the oracle's identical op tree.
+    "q111_pagerank_step" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select(col("doc_id"))
+      val edges = docs.select(col("doc_id").as("src"), (col("doc_id") % 97L).as("dst"))
+        .unionByName(docs.select(col("doc_id").as("src"), expr("doc_id DIV 2").as("dst")))
+        .distinct()
+        .filter(col("src") =!= col("dst"))
+      // a real iteration reads MATERIALIZED edge/rank tables (each PageRank
+      // sweep persists its output); checkpointing the feed mirrors that and
+      // keeps PlanSpec's lock on the operator's own plan
+      val edgesM = edges.localCheckpoint()
+      val nodes = edgesM.select(col("src").as("id"))
+        .unionByName(edgesM.select(col("dst").as("id"))).distinct()
+      val r0 = nodes.crossJoin(broadcast(nodes.agg(count(lit(1)).as("n0"))))
+        .select(col("id"), (lit(1.0) / col("n0")).as("rank"))
+        .localCheckpoint()
+      pageRankStep(edgesM, r0)
+        .repartition(1).sortWithinPartitions(col("id"))
+    }),
+
     // ---- q99: BPE TRAINING loop — BpeTrainIters full merge iterations
     //      (q95 gates ONE step; this gates the training trajectory: each
     //      rank's chosen pair, its weighted count, and the corpus token
@@ -993,6 +1060,35 @@ object Corpus {
 
     // CC(P ∪ N) from scratch — what the star-compressed incremental fold
     // must reproduce exactly.
+    // The identical op tree to pageRankStep: same edge synthesis, same
+    // uniform start, same left-assoc (1-d)/N + d·in + d·dangling/N, sums
+    // at DECIMAL(38,18).
+    "q111_pagerank_step" -> s"""
+      WITH edges AS (
+        SELECT src, dst FROM (
+          SELECT doc_id AS src, doc_id % 97 AS dst FROM documents
+          UNION
+          SELECT doc_id AS src, doc_id // 2 AS dst FROM documents) e
+        WHERE src <> dst),
+      nodes AS (SELECT src AS id FROM edges UNION SELECT dst AS id FROM edges),
+      nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n0 FROM nodes),
+      r0 AS (SELECT id, CAST(1.0 AS DOUBLE) / (SELECT n0 FROM nn) AS rank FROM nodes),
+      deg AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS outdeg FROM edges GROUP BY src),
+      wd AS (SELECT r0.id, r0.rank, deg.outdeg FROM r0 LEFT JOIN deg ON r0.id = deg.src),
+      tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                     ${graft.util.Sumd.SUMDHI(
+                       "CASE WHEN outdeg IS NULL THEN rank ELSE CAST(0.0 AS DOUBLE) END")} AS dangling
+              FROM wd),
+      rate AS (SELECT id AS src_id, rank / outdeg AS c FROM wd WHERE outdeg IS NOT NULL),
+      insum AS (SELECT e.dst, ${graft.util.Sumd.SUMDHI("c")} AS in_sum
+                FROM edges e JOIN rate r ON e.src = r.src_id GROUP BY e.dst)
+      SELECT n.id,
+        (CAST(1.0 AS DOUBLE) - CAST(0.85 AS DOUBLE)) / t.n
+          + CAST(0.85 AS DOUBLE) * COALESCE(i.in_sum, CAST(0.0 AS DOUBLE))
+          + CAST(0.85 AS DOUBLE) * t.dangling / t.n AS rank
+      FROM nodes n LEFT JOIN insum i ON n.id = i.dst CROSS JOIN tot t
+      ORDER BY n.id""",
+
     "q109_incremental_cc" -> s"""${ccLabCtes(q109NewEdgesSql)}
       SELECT id AS doc_id, canonical_id FROM lab ORDER BY doc_id""",
 

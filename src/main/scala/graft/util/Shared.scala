@@ -66,4 +66,15 @@ object Sumd {
 
   /** SQL fragment mirroring [[sumd]] in both Spark SQL and DuckDB. */
   def SUMD(e: String): String = s"CAST(SUM(CAST($e AS DECIMAL(18,6))) AS DOUBLE)"
+
+  /** [[sumd]] at DECIMAL(38,18) — for probability-scale terms (PageRank
+    * contributions ~1/N/outdeg) where scale 6 would truncate the value
+    * away. Ties at the 18th decimal digit of a double's exact expansion
+    * (where the engines' rounding modes could differ) require the
+    * expansion to terminate exactly there — not reachable from the
+    * divisions producing these terms. */
+  def sumdHi(c: Column): Column = sum(c.cast(DecimalType(38, 18))).cast("double")
+
+  /** SQL fragment mirroring [[sumdHi]]. */
+  def SUMDHI(e: String): String = s"CAST(SUM(CAST($e AS DECIMAL(38,18))) AS DOUBLE)"
 }

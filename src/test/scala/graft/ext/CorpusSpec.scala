@@ -273,6 +273,23 @@ class CorpusSpec extends AnyFunSuite {
     }
   }
 
+  test("pageRankStep: hand-computed graph, dangling mass conserved") {
+    import spark.implicits._
+    // 1→{2,3}, 2→3; node 3 dangles, node 4 is isolated (rank, no edges)
+    val edges = Seq((1L, 2L), (1L, 3L), (2L, 3L)).toDF("src", "dst")
+    val ranks = Seq((1L, 0.25), (2L, 0.25), (3L, 0.25), (4L, 0.25)).toDF("id", "rank")
+    val got = Corpus.pageRankStep(edges, ranks)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    // the exact op order of the implementation; every intermediate here
+    // (0.125, 0.375, 0.5) is DECIMAL(38,18)-exact, so doubles reproduce it
+    def expect(in: Double) = (1.0 - 0.85) / 4 + 0.85 * in + 0.85 * 0.5 / 4
+    assert(got == Map(
+      1L -> expect(0.0), 2L -> expect(0.25 / 2),
+      3L -> expect(0.25 / 2 + 0.25 / 1), 4L -> expect(0.0)), s"got $got")
+    // one step must conserve total probability mass
+    assert(math.abs(got.values.sum - 1.0) < 1e-12)
+  }
+
   test("graft_rep_stats kernel equals the HOF formulation on the corpus") {
     import org.apache.spark.sql.functions._
     graft.functions.GraftFunctions.register(spark)

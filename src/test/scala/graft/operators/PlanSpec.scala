@@ -227,6 +227,23 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("SortMergeJoin"), s"no shuffle join in a point lookup:\n$p")
   }
 
+  test("q111: PageRank step is equi-joins + partial/final aggs, one scalar broadcast") {
+    val p = plan("q111_pagerank_step")
+    assert(!p.contains("CartesianProduct"),
+      s"no cartesian anywhere in a graph step:\n$p")
+    // the only nested-loop is the one-row N+dangling totals broadcast —
+    // count the FINAL plan section only (the explain output re-lists
+    // nodes in the initial/formatted sections); the feed frames are
+    // checkpointed like a real iteration's materialized tables
+    val bnlj = p.split("== Initial Plan ==")(0)
+      .linesIterator.filter(_.contains("BroadcastNestedLoopJoin")).toSeq
+    assert(bnlj.size <= 1, s"only the scalar totals frame may nested-loop:\n$p")
+    assert(bnlj.forall(_.contains("Cross")),
+      s"scalar broadcasts must be Cross builds, not row-level fallbacks:\n$p")
+    // outdeg and in-mass both aggregate with map-side partials
+    assert("HashAggregate".r.findAllIn(p).size >= 4, p)
+  }
+
   test("q46: fingerprint runs the fused native kernel, not an interpreted fold") {
     val p = plan("q46_fingerprint")
     assert(p.contains("graft_fingerprint"), p)
