@@ -170,7 +170,8 @@ object Corpus {
     * order ([a,a,a] -> [aa,a], [a,a,a,a] -> [aa,aa]) — Sennrich et al.
     * 2016's reference semantics. Everything runs on the vocabulary: pair
     * counts are partial+final aggs; the argmax joins back as a one-row
-    * broadcast, never a collect. */
+    * broadcast, never a collect. Columns beyond (f, s) — q112 carries the
+    * word itself — pass through untouched. */
   def bpeStep(vocab: DataFrame): (DataFrame, DataFrame) = {
     val pairs = vocab.filter(size(col("s")) >= 2)
       .select(col("f"), explode(expr(
@@ -184,7 +185,7 @@ object Corpus {
         "split(trim(replace(seg, " +
           "concat(' ', replace(pair, ' ', '  '), ' '), " +
           "concat(' ', replace(pair, ' ', ''), ' '))), '  ')"))
-      .select(col("f"), col("s"))
+      .drop("seg", "pair", "cnt")
     (best, merged)
   }
 
@@ -1010,6 +1011,36 @@ object Corpus {
       }
       ranks.reduce(_ union _)
         .repartition(1).sortWithinPartitions(col("merge_rank"))
+    }),
+
+    // ---- q112: tokenize the corpus with the TRAINED tokenizer (q99
+    //      learns the merges; this applies them) — the step that actually
+    //      runs over all 100 TB, so its shape matters most: merges are
+    //      applied to the VOCABULARY (distinct words, carrying the word
+    //      through the same fenced replace chain), then one equi-join
+    //      brings per-word token counts back to the exploded corpus —
+    //      encode each distinct word ONCE, never re-run the merge chain
+    //      per token occurrence (the vocab is Zipf-small relative to the
+    //      corpus but NOT broadcast-assumed). Gate: per-doc word and
+    //      BPE-token counts under the learned merges, oracle replaying
+    //      the identical training + application chain.
+    "q112_bpe_encode" -> ((s, dir) => {
+      val words = t(s, dir, "documents")
+        .select(col("doc_id"), explode(TextOps.words(col("text"))).as("w"))
+      var vocab = words.groupBy(col("w")).agg(count(lit(1)).as("f"))
+        .withColumn("s", expr(
+          "transform(sequence(1, length(w)), i -> substring(w, i, 1))"))
+        .select(col("w"), col("f"), col("s"))
+        .localCheckpoint()
+      (1 to BpeTrainIters).foreach { _ =>
+        vocab = bpeStep(vocab)._2.localCheckpoint()
+      }
+      val encoded = vocab.select(col("w"), size(col("s")).cast("long").as("n_sym"))
+      words.join(encoded, "w")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).cast("long").as("n_words"),
+          sum(col("n_sym")).cast("long").as("bpe_tokens"))
+        .repartition(1).sortWithinPartitions(col("doc_id"))
     })
   )
 
@@ -1397,8 +1428,40 @@ object Corpus {
     // iteration blocks are generated by the same loop bound the Spark
     // side runs, so the two sides can never disagree on length.
     "q99_bpe_train" -> {
-      val iterBlocks = (1 to BpeTrainIters).map { i =>
-        s"""
+      val trajectoryBlocks = (1 to BpeTrainIters).map { i =>
+        s""",
+      t$i AS (
+        SELECT CAST($i AS BIGINT) AS merge_rank, b.pair, b.cnt,
+          (SELECT CAST(sum(f * len(s)) AS BIGINT) FROM v$i) AS corpus_tokens
+        FROM b$i b)"""
+      }.mkString
+      val unions = (1 to BpeTrainIters)
+        .map(i => s"SELECT merge_rank, pair, cnt, corpus_tokens FROM t$i")
+        .mkString(" UNION ALL ")
+      s"""
+      WITH ${bpeTrainCtes(carry = "")}$trajectoryBlocks
+      $unions ORDER BY merge_rank"""
+    },
+
+    // The same training chain carrying the word, then per-word token
+    // counts joined back to the exploded corpus — replays q112 exactly.
+    "q112_bpe_encode" -> s"""
+      WITH ${bpeTrainCtes(carry = "w, ")},
+      enc AS (SELECT w, CAST(len(s) AS BIGINT) AS n_sym FROM v$BpeTrainIters)
+      SELECT ws.doc_id, CAST(count(*) AS BIGINT) AS n_words,
+        CAST(sum(e.n_sym) AS BIGINT) AS bpe_tokens
+      FROM ws JOIN enc e ON ws.w = e.w
+      GROUP BY ws.doc_id
+      ORDER BY ws.doc_id"""
+  )
+
+  /** The q99/q112 shared oracle chain: word split → frequency vocab →
+    * char segmentation → [[BpeTrainIters]] (pair-count, argmax, fenced
+    * merge) rounds. `carry` prefixes extra vocab columns ("w, " keeps the
+    * word through the chain for q112's per-word application). */
+  private def bpeTrainCtes(carry: String): String = {
+    val iterBlocks = (1 to BpeTrainIters).map { i =>
+      s""",
       p$i AS (
         SELECT s[CAST(j AS INT)] || ' ' || s[CAST(j AS INT) + 1] AS pair,
           CAST(sum(f) AS BIGINT) AS cnt
@@ -1407,30 +1470,20 @@ object Corpus {
         GROUP BY 1),
       b$i AS (SELECT pair, cnt FROM p$i ORDER BY cnt DESC, pair LIMIT 1),
       v$i AS (
-        SELECT f, string_split(trim(replace(
+        SELECT ${carry}f, string_split(trim(replace(
             ' ' || array_to_string(s, '  ') || ' ',
             ' ' || replace(b.pair, ' ', '  ') || ' ',
             ' ' || replace(b.pair, ' ', '') || ' ')), '  ') AS s
-        FROM v${i - 1}, b$i b),
-      t$i AS (
-        SELECT CAST($i AS BIGINT) AS merge_rank, b.pair, b.cnt,
-          (SELECT CAST(sum(f * len(s)) AS BIGINT) FROM v$i) AS corpus_tokens
-        FROM b$i b)"""
-      }.mkString(",")
-      val unions = (1 to BpeTrainIters)
-        .map(i => s"SELECT merge_rank, pair, cnt, corpus_tokens FROM t$i")
-        .mkString(" UNION ALL ")
-      s"""
-      WITH ws AS (
-        SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS w
+        FROM v${i - 1}, b$i b)"""
+    }.mkString
+    s"""ws AS (
+        SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS w
         FROM documents),
       vocab AS (
         SELECT w, CAST(count(*) AS BIGINT) AS f FROM ws GROUP BY w),
       v0 AS (
-        SELECT f, list_transform(range(1, length(w) + 1),
+        SELECT ${carry}f, list_transform(range(1, length(w) + 1),
           i -> substring(w, CAST(i AS INT), 1)) AS s
-        FROM vocab),$iterBlocks
-      $unions ORDER BY merge_rank"""
-    }
-  )
+        FROM vocab)$iterBlocks"""
+  }
 }

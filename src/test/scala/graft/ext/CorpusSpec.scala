@@ -144,6 +144,17 @@ class CorpusSpec extends AnyFunSuite {
     assert(got(3L) == Seq("aa", "a"), s"got ${got(3L)}")
   }
 
+  test("bpeStep passes extra vocab columns (the word) through the merge untouched") {
+    import spark.implicits._
+    val vocab = Seq(("ab", 3L, Seq("a", "b")), ("cd", 1L, Seq("c", "d")))
+      .toDF("w", "f", "s")
+    val (best, merged) = Corpus.bpeStep(vocab)
+    assert(best.collect().head.getString(0) == "a b")
+    val got = merged.collect().map(r =>
+      (r.getString(0), r.getLong(1), r.getSeq[String](2))).toSet
+    assert(got == Set(("ab", 3L, Seq("ab")), ("cd", 1L, Seq("c", "d"))), s"got $got")
+  }
+
   test("bpeStep merge is boundary-safe for multi-character symbols") {
     import spark.implicits._
     // best pair is (b,c) [cnt 5]; the segmentation [ab, c] CONTAINS the

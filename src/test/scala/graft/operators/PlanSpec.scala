@@ -244,6 +244,16 @@ class PlanSpec extends AnyFunSuite {
     assert("HashAggregate".r.findAllIn(p).size >= 4, p)
   }
 
+  test("q112: corpus encode is one vocab equi-join + partial/final agg, no nested loop") {
+    // the merge chain runs on the checkpointed VOCAB; the corpus-side plan
+    // is explode -> equi-join on the word -> per-doc agg
+    val p = plan("q112_bpe_encode")
+    val fin = p.split("== Initial Plan ==")(0)
+    assert(!fin.contains("CartesianProduct") && !fin.contains("BroadcastNestedLoopJoin"),
+      s"tokenizing the corpus must never nested-loop:\n$p")
+    assert(p.contains("HashAggregate") || p.contains("SortAggregate"), p)
+  }
+
   test("q46: fingerprint runs the fused native kernel, not an interpreted fold") {
     val p = plan("q46_fingerprint")
     assert(p.contains("graft_fingerprint"), p)
