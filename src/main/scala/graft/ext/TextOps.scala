@@ -147,6 +147,71 @@ object TextOps {
         substring(sha2(scrubbed, 256), 1, 16).as("scrub_sha"))
   }
 
+  /** Bigram-LM quality scoring — the CCNet-style language-model quality
+    * filter (Wenzek et al. 2020, public recipe: score every document with
+    * an n-gram LM trained on a trusted corpus, then bucket the corpus into
+    * head/middle/tail by score terciles). `train` fits an add-one-smoothed
+    * bigram model; `score` documents get the arithmetic mean of their
+    * token-level smoothed bigram probabilities
+    * P(w2|w1) = (c(w1,w2)+1) / (c(w1)+V), computed uniformly for seen AND
+    * unseen grams (an OOV pair degrades to 1/(c(w1)+V), an OOV context to
+    * 1/V — add-one's own backoff, no special-casing). The canonical
+    * presentation is geometric (perplexity = exp of the mean NEGATIVE log
+    * prob); the arithmetic mean is used here because it needs no
+    * transcendental (log/exp) whose last-ulp rounding is not guaranteed
+    * identical across engines — the ranking signal (high = fluent
+    * in-domain text, low = OOV-heavy/disfluent) is the same direction, and
+    * every op used (integer-count double division, decimal-exact sum) is
+    * bit-reproducible cross-engine, so the gate can hash-compare.
+    *
+    * The per-term sum runs at the engine-wide DECIMAL(18,6) convention
+    * ([[graft.util.Sumd.sumd]]), NOT sumdHi's scale 18: DuckDB evaluates
+    * both double<->decimal casts through double arithmetic (round(p*10^s)
+    * on the way in, int128/10^s on the way out), so cast agreement with
+    * Spark's string-based path needs the scaled integers to stay well
+    * inside double's 2^53 exactness — true at scale 6 for probability
+    * sums, violated at scale 18 (observed: +-1-ulp score drift on 24% of
+    * docs). Scale 6 keeps ~5 significant digits of a ~0.03-magnitude
+    * score — far beyond what a corpus-bucketing signal needs.
+    *
+    * Scale shape: the model is VOCABULARY-scale (bigram/context types, not
+    * corpus tokens), built as partial+final aggs; scoring is TWO left
+    * equi-joins of corpus bigram occurrences against the type tables
+    * (AQE-broadcastable when the vocab is small; plain shuffle joins
+    * otherwise — never all-pairs), V rides in one broadcast row, and the
+    * per-doc reduce is a partial+final agg. Columns:
+    * (doc_id, n_bigrams, lm_score) — lm_score NULL for sub-2-token docs. */
+  def lmScore(train: DataFrame, score: DataFrame): DataFrame = {
+    def bigrams(docs: DataFrame): DataFrame = docs
+      .select(col("doc_id"), words(col("text")).as("ws"))
+      .filter(size(col("ws")) >= 2)
+      .select(col("doc_id"), explode(expr(
+        """transform(sequence(1, size(ws) - 1),
+             i -> struct(element_at(ws, i) AS w1, element_at(ws, i + 1) AS w2))"""))
+        .as("b"))
+      .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+    val tbg = bigrams(train)
+    val c2 = tbg.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c2"))
+    val c1 = tbg.groupBy(col("w1")).agg(count(lit(1)).as("c1"))
+    val vv = train
+      .select(explode(words(col("text"))).as("w"))
+      .agg(countDistinct(col("w")).as("v"))
+    val p = (coalesce(col("c2"), lit(0L)) + lit(1L)).cast("double") /
+      (coalesce(col("c1"), lit(0L)) + col("v")).cast("double")
+    val perDoc = bigrams(score)
+      .join(c2, Seq("w1", "w2"), "left")
+      .join(c1, Seq("w1"), "left")
+      .crossJoin(broadcast(vv))
+      .select(col("doc_id"), p.as("p"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"), sumd(col("p")).as("sp"))
+      .select(col("doc_id"), col("n_bigrams"),
+        (col("sp") / col("n_bigrams").cast("double")).as("lm_score"))
+    score.select(col("doc_id")).join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"), col("lm_score"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- JSON extraction over the events.props JSON column (the reference
     //      stores its entire catalog as JSON; Spark-side: get_json_object).
@@ -278,6 +343,30 @@ object TextOps {
           call_function("graft_fingerprint",
             $"text", lit(5), lit(31), lit(HashMod)).as("fingerprint"))
         .repartition(1).sortWithinPartitions($"doc_id")
+    }),
+
+    // ---- q113: CCNet-style LM quality filter — self-scored bigram model
+    //      (the bootstrap form: when no trusted LM exists yet, the corpus
+    //      scores itself and the tails are pruned), bucketed head/middle/
+    //      tail at the score TERCILES. The tercile boundaries come from
+    //      the distributed sort-based exactQuantiles (q34/q81's engine —
+    //      never a global one-task window), broadcast back as one row;
+    //      DuckDB mirrors with quantile_cont (bit-identical R-7
+    //      interpolation, proven by q34) and the same strict-> CASE chain
+    //      so boundary ties bucket identically.
+    "q113_lm_quality" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val scored = lmScore(docs, docs)
+      val bounds = graft.operators.Advanced.exactQuantiles(
+        scored.withColumn("_all", lit(1)), "_all", "lm_score",
+        Seq("b1" -> 1.0 / 3, "b2" -> 2.0 / 3))
+      scored.crossJoin(broadcast(bounds.drop("_all")))
+        .select(col("doc_id"), col("n_bigrams"), col("lm_score"),
+          when(col("lm_score").isNull, lit(null).cast("string"))
+            .when(col("lm_score") > col("b2"), lit("head"))
+            .when(col("lm_score") > col("b1"), lit("middle"))
+            .otherwise(lit("tail")).as("bucket"))
+        .repartition(1).sortWithinPartitions(col("doc_id"))
     })
   )
 
@@ -384,6 +473,48 @@ object TextOps {
       SELECT doc_id,
         list_min(list_transform(${shinglesSql("text", 5)}, sh -> ${polyHashSql("sh")})) AS fingerprint
       FROM documents
-      ORDER BY doc_id"""
+      ORDER BY doc_id""",
+
+    // The identical op tree to lmScore + the tercile CASE: integer type
+    // counts, (c2+1)/(c1+V) as double division, DECIMAL(18,6) sum (see
+    // lmScore's scaladoc for why NOT scale 18), score terciles via
+    // quantile_cont (R-7, bit-identical to exactQuantiles — proven by
+    // q34), strict-> bucketing.
+    "q113_lm_quality" -> s"""
+      WITH d AS (
+        SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS ws
+        FROM documents),
+      bg AS (
+        SELECT doc_id, ws[i] AS w1, ws[i + 1] AS w2
+        FROM (SELECT doc_id, ws, unnest(range(1, len(ws))) AS i
+              FROM d WHERE len(ws) >= 2)),
+      c2 AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c2 FROM bg GROUP BY w1, w2),
+      c1 AS (SELECT w1, CAST(count(*) AS BIGINT) AS c1 FROM bg GROUP BY w1),
+      vv AS (SELECT CAST(count(DISTINCT w) AS BIGINT) AS v
+             FROM (SELECT unnest(ws) AS w FROM d)),
+      scored AS (
+        SELECT bg.doc_id,
+          (COALESCE(c2.c2, 0) + 1)::DOUBLE / (COALESCE(c1.c1, 0) + vv.v)::DOUBLE AS p
+        FROM bg
+        LEFT JOIN c2 USING (w1, w2)
+        LEFT JOIN c1 USING (w1)
+        CROSS JOIN vv),
+      per AS (
+        SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+          ${SUMD("p")} AS sp
+        FROM scored GROUP BY doc_id),
+      sc AS (
+        SELECT d.doc_id, COALESCE(per.n_bigrams, 0) AS n_bigrams,
+          per.sp / CAST(per.n_bigrams AS DOUBLE) AS lm_score
+        FROM d LEFT JOIN per USING (doc_id)),
+      b AS (SELECT quantile_cont(lm_score, ${1.0 / 3}) AS b1,
+                   quantile_cont(lm_score, ${2.0 / 3}) AS b2 FROM sc)
+      SELECT sc.doc_id, sc.n_bigrams, sc.lm_score,
+        CASE WHEN sc.lm_score IS NULL THEN NULL
+             WHEN sc.lm_score > b.b2 THEN 'head'
+             WHEN sc.lm_score > b.b1 THEN 'middle'
+             ELSE 'tail' END AS bucket
+      FROM sc CROSS JOIN b
+      ORDER BY sc.doc_id"""
   )
 }

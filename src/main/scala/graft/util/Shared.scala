@@ -69,10 +69,16 @@ object Sumd {
 
   /** [[sumd]] at DECIMAL(38,18) — for probability-scale terms (PageRank
     * contributions ~1/N/outdeg) where scale 6 would truncate the value
-    * away. Ties at the 18th decimal digit of a double's exact expansion
-    * (where the engines' rounding modes could differ) require the
-    * expansion to terminate exactly there — not reachable from the
-    * divisions producing these terms. */
+    * away. CAUTION — scale 18 is fragile cross-engine: DuckDB evaluates
+    * double->decimal as round(x*10^18) and decimal->double as int128/10^18
+    * IN DOUBLE ARITHMETIC, while Spark goes through the shortest string
+    * repr (BigDecimal(Double.toString(x))); the two paths agree only while
+    * the scaled integers stay well inside double's 2^53 exactness, which
+    * scale 18 exceeds for any value >= 1e-2 with a long expansion (q113
+    * observed +-1-ulp drift on 24% of docs before moving to [[sumd]]).
+    * Use ONLY for short sums of few terms whose gate has been verified at
+    * the driver's sf (q111's per-node in-mass sums — a handful of terms —
+    * hold; new queries should prefer [[sumd]] and rescale the terms). */
   def sumdHi(c: Column): Column = sum(c.cast(DecimalType(38, 18))).cast("double")
 
   /** SQL fragment mirroring [[sumdHi]]. */

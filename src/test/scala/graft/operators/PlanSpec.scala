@@ -254,6 +254,19 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("HashAggregate") || p.contains("SortAggregate"), p)
   }
 
+  test("q113: LM scoring is vocab equi-joins + partial/final aggs; only scalar broadcasts nested-loop") {
+    val p = plan("q113_lm_quality")
+    val fin = p.split("== Initial Plan ==")(0)
+    assert(!fin.contains("CartesianProduct"),
+      s"no cartesian anywhere in LM scoring:\n$p")
+    // the only nested-loops are one-row frames: V and the tercile bounds
+    val bnlj = fin.linesIterator.filter(_.contains("BroadcastNestedLoopJoin")).toSeq
+    assert(bnlj.forall(_.contains("Cross")),
+      s"scalar broadcasts must be Cross builds, not row-level fallbacks:\n$p")
+    // bigram/context/V model aggs + the per-doc reduce all combine map-side
+    assert("HashAggregate".r.findAllIn(fin).size >= 4, p)
+  }
+
   test("q46: fingerprint runs the fused native kernel, not an interpreted fold") {
     val p = plan("q46_fingerprint")
     assert(p.contains("graft_fingerprint"), p)
