@@ -390,6 +390,49 @@ object NearDup {
     * downstream pipeline consumers (q54 clustering, q67 admission) would
     * otherwise inherit a one-partition funnel between the pair join and
     * their own shuffles. */
+  /** SymSpell-style fuzzy vocabulary linkage (Garbe's deletion-neighborhood
+    * blocking, public algorithm): every pair of corpus words within
+    * Levenshtein distance 1, found WITHOUT an all-pairs scan, plus the
+    * higher-frequency side as the suggested canonical form — the
+    * typo/OCR-variant normalization step of corpus cleaning, and the
+    * word-level sibling of the document near-dup family above.
+    *
+    * Blocking is exact, not heuristic: two words are within edit distance
+    * 1 iff they share a key in {word} ∪ {word with one char deleted}
+    * (equal → same word; insertion/deletion → one IS the other's deletion;
+    * substitution → same-position deletions collide). So the equi-join on
+    * the key has GUARANTEED recall, and the `levenshtein <= 1` filter only
+    * removes false candidates (e.g. "ab"/"ba" share deletion keys but are
+    * distance 2). First-char or length blocking — the tempting simple
+    * schemes — would MISS first-char substitutions; this one cannot.
+    *
+    * Scale shape: everything is VOCABULARY-sized (Zipf-small vs the
+    * corpus). Keys explode to |w|+1 rows per word; candidates come from ONE
+    * self-equi-join on the key (shuffle on md5-like short strings, hot
+    * short-word keys are bounded by the alphabet); the distance check and
+    * count joins are vocab-scale. Never doc×doc, never word×word. */
+  def fuzzyVocabLinkage(docs: DataFrame): DataFrame = {
+    val vocab = docs
+      .select(explode(TextOps.words(col("text"))).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("c"))
+    val keys = vocab.select(col("w"), explode(expr(
+      """array_union(
+           array(w),
+           transform(sequence(1, length(w)),
+             i -> concat(substring(w, 1, i - 1), substring(w, i + 1))))"""))
+      .as("key"))
+    val cands = keys.as("a").join(keys.as("b"), col("a.key") === col("b.key"))
+      .filter(col("a.w") < col("b.w"))
+      .select(col("a.w").as("w1"), col("b.w").as("w2"))
+      .distinct()
+      .filter(levenshtein(col("w1"), col("w2")) <= 1)
+    cands
+      .join(vocab.select(col("w").as("w1"), col("c").as("c1")), "w1")
+      .join(vocab.select(col("w").as("w2"), col("c").as("c2")), "w2")
+      .select(col("w1"), col("w2"), col("c1"), col("c2"),
+        when(col("c2") > col("c1"), col("w2")).otherwise(col("w1")).as("canonical"))
+  }
+
   def sortedPairs(pairs: DataFrame): DataFrame =
     pairs.repartition(1).sortWithinPartitions(col("id_a"), col("id_b"))
 
@@ -405,6 +448,25 @@ object NearDup {
     "q47_simhash" -> ((s, dir) => {
       graft.functions.GraftFunctions.register(s)
       sortedPairs(simhashPairs(t(s, dir, "documents")))
+    }),
+
+    // ---- q114: word-level fuzzy linkage. The corpus vocabulary is
+    //      synthetic word soup with no real typos, so variants are PLANTED
+    //      deterministically (every 7th doc appends a one-char-mangled
+    //      copy of its own first word — substitution/deletion/insertion
+    //      rotating by doc_id) and the operator must link each variant
+    //      back to its source word by edit distance alone.
+    "q114_fuzzy_vocab" -> ((s, dir) => {
+      val planted = t(s, dir, "documents").withColumn("text",
+        when(col("doc_id") % 7 === 0, concat(col("text"), lit(" "),
+          expr("""CASE doc_id % 21
+                    WHEN 0 THEN concat('q', substring(element_at(split(lower(text), ' '), 1), 2))
+                    WHEN 7 THEN substring(element_at(split(lower(text), ' '), 1), 2)
+                    ELSE concat('q', element_at(split(lower(text), ' '), 1))
+                  END""")))
+          .otherwise(col("text")))
+      fuzzyVocabLinkage(planted)
+        .repartition(1).sortWithinPartitions(col("w1"), col("w2"))
     })
   )
 
@@ -456,6 +518,35 @@ object NearDup {
   val oracles: Map[String, String] = Map(
     "q41_neardup_jaccard" -> jaccardOracle,
     "q42_minhash_lsh" -> jaccardOracle,
-    "q47_simhash" -> simhashOracle
+    "q47_simhash" -> simhashOracle,
+
+    // All-pairs ground truth over the (vocab-sized) word set: every word
+    // pair at levenshtein <= 1 — the set the deletion-key blocking must
+    // reproduce exactly. Same planted-variant synthesis.
+    "q114_fuzzy_vocab" -> """
+      WITH planted AS (
+        SELECT doc_id,
+          CASE WHEN doc_id % 7 = 0 THEN
+            text || ' ' ||
+            CASE doc_id % 21
+              WHEN 0 THEN 'q' || substring(string_split(lower(text), ' ')[1], 2)
+              WHEN 7 THEN substring(string_split(lower(text), ' ')[1], 2)
+              ELSE 'q' || string_split(lower(text), ' ')[1]
+            END
+          ELSE text END AS text
+        FROM documents),
+      v AS (
+        SELECT w, CAST(count(*) AS BIGINT) AS c
+        FROM (SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS w
+              FROM planted)
+        GROUP BY w),
+      p AS (
+        SELECT a.w AS w1, b.w AS w2, a.c AS c1, b.c AS c2
+        FROM v a JOIN v b ON a.w < b.w
+        WHERE levenshtein(a.w, b.w) <= 1)
+      SELECT w1, w2, c1, c2,
+        CASE WHEN c2 > c1 THEN w2 ELSE w1 END AS canonical
+      FROM p
+      ORDER BY w1, w2"""
   )
 }

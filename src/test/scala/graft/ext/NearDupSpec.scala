@@ -100,4 +100,37 @@ class NearDupSpec extends AnyFunSuite {
     assert(banded == brute,
       s"pigeonhole banding must be exact: missed ${brute -- banded}, invented ${banded -- brute}")
   }
+
+  test("fuzzy vocab linkage: deletion-key blocking finds every edit-distance-1 pair") {
+    import spark.implicits._
+    // every edit class incl. the FIRST-char substitution that naive
+    // first-letter blocking would miss; "spade" is distance 2 from "spark"
+    // and must be absent; canonical = higher-count side ("spark" x3)
+    val docs = Seq(
+      (1L, "spark spark spark"),
+      (2L, "spork"), // substitution (interior)
+      (3L, "zpark"), // substitution (first char)
+      (4L, "sprk"),  // deletion
+      (5L, "sparkk"), // insertion
+      (6L, "spade"), // distance 2 — excluded
+      (7L, "a b")    // 1-char words: substitution via empty deletion key
+    ).toDF("doc_id", "text")
+    val got = NearDup.fuzzyVocabLinkage(docs).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(4))).toSet
+    val expect = Set(
+      ("spark", "spork", "spark"),
+      ("spark", "zpark", "spark"),
+      ("spark", "sparkk", "spark"),
+      ("spark", "sprk", "spark"),
+      ("spork", "sprk", "spork"), // spork vs sprk: deletion of o — also dist 1
+      ("a", "b", "a"))
+    // compare on the pair set the algorithm must find; count ties break to w1
+    val gotPairs = got.map(t => (t._1, t._2))
+    val expPairs = expect.map(t => (t._1, t._2))
+    assert(gotPairs == expPairs,
+      s"missed ${expPairs -- gotPairs}, invented ${gotPairs -- expPairs}")
+    // canonical must be the higher-frequency side everywhere spark appears
+    got.filter(t => t._1 == "spark" || t._2 == "spark")
+      .foreach(t => assert(t._3 == "spark", t.toString))
+  }
 }

@@ -267,6 +267,14 @@ class PlanSpec extends AnyFunSuite {
     assert("HashAggregate".r.findAllIn(fin).size >= 4, p)
   }
 
+  test("q114: fuzzy linkage joins deletion keys by equality — no all-pairs, no cartesian") {
+    val p = plan("q114_fuzzy_vocab")
+    val fin = p.split("== Initial Plan ==")(0)
+    assert(!fin.contains("CartesianProduct") && !fin.contains("BroadcastNestedLoopJoin"),
+      s"candidate generation must be an equi-join on the deletion key:\n$p")
+    assert(fin.contains("HashAggregate"), p)
+  }
+
   test("q46: fingerprint runs the fused native kernel, not an interpreted fold") {
     val p = plan("q46_fingerprint")
     assert(p.contains("graft_fingerprint"), p)
