@@ -19,11 +19,17 @@ object Bench {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
-      // events.parquet stores TIMESTAMP(NANOS); see Tables.load.
+      // events.parquet's ts encoding drifts across driver regens (NANOS vs
+      // MICROS); Tables.load adapts to either, this conf covers the NANOS case.
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+
+    // Schema-drift canary (see Tables.expectedSchema): a testdata regen shows
+    // up here as named stderr lines, not as opaque per-query errors.
+    Tables.schemaDrift(spark, sfDir)
+      .foreach(w => System.err.println(s"[schema-canary] $w"))
 
     // Warm up the session (codegen, file-index, scheduler) so the first
     // measured query doesn't absorb ~2s of one-time JVM/session cost.
@@ -41,10 +47,13 @@ object Bench {
     // sample from reading as a plan regression. The set covers every
     // harness-heavy query: the CDC merges, all streaming-vs-batch gates
     // (q71, q84–q88, q93, q94), and the CC probe (q54) — the round-6
-    // false regressions all sat in the single-sample set.
+    // false regressions all sat in the single-sample set. q41/q63/q67 are
+    // join-heavy/probe-dependent and read as false regressions in r7's
+    // single samples, so they get the median treatment too.
     val medianOf3 = Set(
       "q30_cdc_merge", "q32_incremental_merge", "q33_streaming_merge",
-      "q54_dedup_clusters", "q71_stream_join", "q84_stream_window",
+      "q41_neardup_jaccard", "q54_dedup_clusters", "q63_sql_surface",
+      "q67_incremental_admit", "q71_stream_join", "q84_stream_window",
       "q85_stream_dedup", "q86_stream_admission", "q87_stream_admit_bounded",
       "q88_stream_sessions", "q93_epoch_snapshot", "q94_stream_minmax_view",
       "q97_stream_agg_view", "q101_stream_outer_join", "q105_stream_scd2")

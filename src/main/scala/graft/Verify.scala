@@ -20,6 +20,11 @@ object Verify {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Schema-drift canary: the driver has regenerated the testdata mid-round
+    // before (see Tables.expectedSchema) — name the drift up front instead of
+    // letting it surface as N opaque per-query failures.
+    Tables.schemaDrift(spark, sfDir)
+      .foreach(w => System.err.println(s"[schema-canary] $w"))
     new java.io.File(outDir).mkdirs()
     selected.foreach { case (name, fn) =>
       // repartition(1), not coalesce(1): coalesce would narrow the query's

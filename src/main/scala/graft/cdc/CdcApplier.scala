@@ -227,9 +227,12 @@ object CdcApplier {
     * `graft_bucket IN (...)` predicate, so Spark's partition pruning reads
     * ONLY those bucket directories — at 100 TB with thousands of buckets a
     * k-key lookup touches ≤k directories, never the table. Within the
-    * pruned buckets a single-column PK additionally pushes a literal
-    * `pk IN (...)` into the parquet scan (row-group stats pruning); the
-    * authoritative key match is a broadcast semi-join for any PK arity.
+    * pruned buckets every PK column additionally pushes a literal
+    * `pk IN (...)` into the parquet scan (row-group stats pruning). For a
+    * composite PK the conjunction of per-column IN-lists is a SUPERSET of
+    * the key tuples (the cross product), so it is safe to push — the
+    * authoritative exact tuple match is the broadcast semi-join below,
+    * which holds for any PK arity.
     *
     * `keys` carries one row per lookup key (the PK columns, writer-typed).
     * Point-lookup batches are driver-bounded BY CONTRACT (a `Get` batch is
@@ -254,11 +257,13 @@ object CdcApplier {
     if (buckets.isEmpty) return snapshot(spark, targetDir).limit(0)
     val pruned = spark.read.option("mergeSchema", true).parquet(targetDir)
       .filter(col(BUCKET).isin(buckets.map(Int.box): _*))
-    val rowGroupPruned = pkCols match {
-      case Seq(pk) =>
-        val vals = keys.select(col(pk)).distinct().collect().map(_.get(0))
-        pruned.filter(col(pk).isin(vals: _*))
-      case _ => pruned
+    // One bounded collect of the distinct key tuples feeds every column's
+    // IN-list (contract-bounded like the bucket collect above).
+    val keyRows = keys.select(pkCols.map(col): _*).distinct().collect()
+    val rowGroupPruned = pkCols.zipWithIndex.foldLeft(pruned) {
+      case (df, (pk, i)) =>
+        val vals = keyRows.map(_.get(i)).distinct
+        df.filter(col(pk).isin(vals: _*))
     }
     rowGroupPruned
       .join(broadcast(keys), pkCols, "left_semi")

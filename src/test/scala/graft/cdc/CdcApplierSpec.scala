@@ -317,6 +317,26 @@ class CdcApplierSpec extends AnyFunSuite {
     assert(e.getMessage.contains("target PK"))
   }
 
+  test("pointLookup: composite PK pushes per-column IN-lists into the scan") {
+    val target = newTarget()
+    val rows = (1 to 32).map(i => Student(i, i * 7, i * 10, s"n$i", "r"))
+    CdcApplier.applyBatch(spark,
+      ChangeFeed.inserts(rows.toDF(), col("sn").cast("long") * 10), target, opts)
+    val keys = Seq((1, 7), (3, 21)).toDF("sn", "id")
+    val df = CdcApplier.pointLookup(spark, target, keys)
+    val p = df.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    // row-group pruning must engage on EVERY pk column: the conjunction of
+    // per-column IN-lists is a superset of the key tuples (exactness is the
+    // broadcast semi-join's job), so both columns reach PushedFilters
+    assert(p.linesIterator.exists(l =>
+        l.contains("PushedFilters") && l.contains("In(sn") && l.contains("In(id")),
+      s"both PK columns' IN-lists must reach PushedFilters:\n$p")
+    // and the superset filter must not change the answer
+    assert(df.drop("_graft_pos").as[Student].collect().toSet ==
+      Set(rows.head, rows(2)))
+  }
+
   test("applyBatch: a later run with the PK columns in a different order adopts the layout's") {
     val target = newTarget()
     CdcApplier.applyBatch(spark, ev("insert", 10, None, Some(s1)), target, opts)
