@@ -64,7 +64,7 @@ object CdcApplier {
   private[graft] val DEL = "_graft_deleted"
   // Partition-directory column; deliberately NOT underscore-prefixed —
   // Hadoop readers treat _-prefixed paths as hidden.
-  private[cdc] val BUCKET = "graft_bucket"
+  private[graft] val BUCKET = "graft_bucket"
 
   private def dataFields(changes: DataFrame): Seq[String] =
     changes.schema("after").dataType.asInstanceOf[StructType].fieldNames.toSeq

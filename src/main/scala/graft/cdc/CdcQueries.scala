@@ -448,12 +448,14 @@ object CdcQueries {
     }),
 
     // The STREAMING form of q103: the same lifecycle as three
-    // micro-batches through Scd2.startHistory (checkpointed foreachBatch,
-    // versioned publish, batch-id replay guard), then the LAST
-    // micro-batch re-delivered under its applied id — a broken guard
-    // would re-chain the open intervals against their own versions and
-    // break the hash. Shares q103's fresh-derivation oracle: the
-    // incremental fold must land on the identical final history.
+    // micro-batches through Scd2.startHistoryBucketed — the 100 TB layout
+    // (checkpointed foreachBatch, CdcApplier's per-bucket atomic swap,
+    // per-bucket batch-id replay guard; only touched buckets rewritten,
+    // asserted byte-identical for untouched ones by Scd2BucketedSpec) —
+    // then the LAST micro-batch re-delivered under its applied id — a
+    // broken guard would re-chain the open intervals against their own
+    // versions and break the hash. Shares q103's fresh-derivation oracle:
+    // the incremental fold must land on the identical final history.
     "q105_stream_scd2" -> ((s, dir) => {
       import s.implicits._
       import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
@@ -476,7 +478,7 @@ object CdcQueries {
           from_json($"before_json", o.schema).as("before"),
           from_json($"after_json", o.schema).as("after"))
       val attrs = Seq("o_totalprice", "o_orderpriority")
-      val q = Scd2.startHistory(parse(src.toDF()), viewDir, s"$root/ckpt",
+      val q = Scd2.startHistoryBucketed(parse(src.toDF()), viewDir, s"$root/ckpt",
         "o_orderkey", attrs)
       val envBatches = batches.map(toEnvelope)
       try envBatches.foreach { rows =>
@@ -484,16 +486,179 @@ object CdcQueries {
         q.processAllAvailable() // one micro-batch per lifecycle batch
       } finally q.stop()
 
-      val lastId = IncrementalView.lastApplied(s, viewDir)
+      val lastId = Scd2.lastAppliedBucketed(s, viewDir)
         .getOrElse(sys.error("history never published"))
-      Scd2.applyHistoryBatch(s,
+      // Re-delivery under the applied id must be an exact no-op: the
+      // per-bucket markers all carry lastId, so nothing may rewrite.
+      val rewritten = Scd2.applyHistoryBatchBucketed(s,
         parse(s.createDataset(envBatches.last.toIndexedSeq).toDF()),
         lastId, viewDir, "o_orderkey", attrs)
+      require(rewritten.isEmpty,
+        s"replayed batch $lastId rewrote buckets $rewritten")
 
-      s.read.parquet(s"$viewDir/v$lastId")
+      Scd2.snapshotBucketed(s, viewDir)
         .select($"o_orderkey", $"valid_from", $"valid_to",
           $"o_totalprice", $"o_orderpriority", $"is_current")
         .repartition(1).sortWithinPartitions($"o_orderkey", $"valid_from")
+    }),
+
+    // q93's torn-read claim under FIRE: the same consolidated two-table
+    // topology driven through FOUR batches while a CONCURRENT reader
+    // thread hammers Epoch.consistentSnapshot throughout. Every sample the
+    // reader lands (snapshot aggregates whose epoch marker AND per-table
+    // high-watermarks are unchanged after materialization — the documented
+    // re-verify discipline) must equal the per-epoch oracle computed by
+    // replaying the lifecycle up to that batch; a reader that ever saw
+    // table A at batch k and table B at batch k-1 fails the in-query
+    // require. The FINAL state is the DuckDB-gated output.
+    "q115_epoch_concurrent" -> ((s, dir) => {
+      import s.implicits._
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+      import graft.streaming.StreamingPipeline
+      val o = Tables.load(s, dir, "orders")
+      val c = Tables.load(s, dir, "customer")
+
+      // Lifecycle state after batch k (0-based), shared by feed + oracle.
+      def ordersState(k: Long): DataFrame = {
+        var df = o
+        if (k >= 1) df = df.withColumn("o_totalprice",
+          when($"o_orderkey" % 3 === 0, $"o_totalprice" * 1.1).otherwise($"o_totalprice"))
+        if (k >= 2) df = df.filter($"o_orderkey" % 5 =!= 0)
+        if (k >= 3) df = df.withColumn("o_totalprice",
+          when($"o_orderkey" % 7 === 0, $"o_totalprice" * 0.9).otherwise($"o_totalprice"))
+        df
+      }
+      def customerState(k: Long): DataFrame = {
+        var df = c
+        if (k >= 1) df = df.withColumn("c_acctbal",
+          when($"c_custkey" % 4 === 0, $"c_acctbal" + 100.0).otherwise($"c_acctbal"))
+        if (k >= 2) df = df.filter($"c_custkey" % 6 =!= 0)
+        if (k >= 3) df = df.withColumn("c_acctbal",
+          when($"c_custkey" % 8 === 0, $"c_acctbal" - 50.0).otherwise($"c_acctbal"))
+        df
+      }
+
+      def toEnvelope(table: String, changes: DataFrame): Array[EnvelopeRow] =
+        changes.select($"op", lit(table).as("table"), $"next_position",
+            to_json($"before").as("before_json"), to_json($"after").as("after_json"))
+          .as[EnvelopeRow].collect()
+      val batches: Seq[Array[EnvelopeRow]] = Seq(
+        toEnvelope("orders", ChangeFeed.inserts(o, $"o_orderkey" * 10)) ++
+          toEnvelope("customer", ChangeFeed.inserts(c, $"c_custkey" * 10)),
+        toEnvelope("orders", ChangeFeed.updates(o.filter($"o_orderkey" % 3 === 0),
+            Map("o_totalprice" -> $"o_totalprice" * 1.1), $"o_orderkey" * 10 + 3)) ++
+          toEnvelope("customer", ChangeFeed.updates(c.filter($"c_custkey" % 4 === 0),
+            Map("c_acctbal" -> ($"c_acctbal" + 100.0)), $"c_custkey" * 10 + 3)),
+        toEnvelope("orders", ChangeFeed.deletes(
+            ordersState(1).filter($"o_orderkey" % 5 === 0), $"o_orderkey" * 10 + 5)) ++
+          toEnvelope("customer", ChangeFeed.deletes(
+            customerState(1).filter($"c_custkey" % 6 === 0), $"c_custkey" * 10 + 5)),
+        toEnvelope("orders", ChangeFeed.updates(
+            ordersState(2).filter($"o_orderkey" % 7 === 0),
+            Map("o_totalprice" -> $"o_totalprice" * 0.9), $"o_orderkey" * 10 + 7)) ++
+          toEnvelope("customer", ChangeFeed.updates(
+            customerState(2).filter($"c_custkey" % 8 === 0),
+            Map("c_acctbal" -> ($"c_acctbal" - 50.0)), $"c_custkey" * 10 + 7)))
+
+      val root = Files.createTempDirectory("graft_epochc").toString
+      val targets = Map("orders" -> s"$root/orders", "customer" -> s"$root/customer")
+      val hconf = s.sparkContext.hadoopConfiguration
+      val src = MemoryStream[EnvelopeRow]
+      val q = StreamingPipeline.startConsolidated(
+        src.toDF(),
+        Map("orders" -> (o.schema, targets("orders")),
+          "customer" -> (c.schema, targets("customer"))),
+        s"$root/ckpt",
+        _ match {
+          case "orders" => StreamingPipeline.PipelineOptions(CdcApplier.Options(Seq("o_orderkey")))
+          case _ => StreamingPipeline.PipelineOptions(CdcApplier.Options(Seq("c_custkey")))
+        },
+        epochDir = Some(root))
+
+      // (epoch, ordersCnt, ordersTotal, custCnt, custBal) samples the reader
+      // landed with the epoch still pinned after materialization.
+      val samples = new java.util.concurrent.ConcurrentLinkedQueue[(Long, Long, Double, Long, Double)]
+      @volatile var readerStop = false
+      @volatile var readerErr: Option[Throwable] = None
+      def sampleOnce(): Unit = {
+        val (k, snaps) = StreamingPipeline.Epoch.consistentSnapshot(s, root, targets)
+        if (k >= 0 && snaps.keySet == targets.keySet) {
+          val or = snaps("orders")
+            .agg(count(lit(1)), graft.util.Sumd.sumd($"o_totalprice")).collect()(0)
+          val cr = snaps("customer")
+            .agg(count(lit(1)), graft.util.Sumd.sumd($"c_acctbal")).collect()(0)
+          // re-verify (the lazy snapshots materialized ABOVE may have raced
+          // the next publish): marker unchanged AND each snapshot's planned
+          // file set still hashes to the marker's recorded signature — the
+          // file pin is what a mid-collect swap (data moves before the
+          // high-water advances) cannot slip through. Only then is the
+          // sample a pinned read.
+          val pinned = StreamingPipeline.Epoch.read(hconf, root).exists {
+            case (k2, pos2) => k2 == k && targets.forall { case (t, _) =>
+              pos2.get(t).map(_._2).contains(StreamingPipeline.Epoch.fileSig(
+                snaps(t).inputFiles
+                  .map(f => new org.apache.hadoop.fs.Path(f).toUri.getPath).toSet))
+            }
+          }
+          if (pinned)
+            samples.add((k, or.getLong(0), or.getDouble(1), cr.getLong(0), cr.getDouble(1)))
+        }
+      }
+      val reader = new Thread(() =>
+        try while (!readerStop) {
+          // A sample attempt may die transiently mid-materialization (the
+          // next publish swaps a bucket dir away under the lazy scan) or on
+          // retry-budget exhaustion under continuous publishing — both are
+          // "no sample this attempt", not failures: correctness rides ONLY
+          // on samples that re-verified as pinned. The quiescent
+          // sampleOnce() after the run propagates real errors.
+          try sampleOnce()
+          catch { case scala.util.control.NonFatal(_) => () }
+          Thread.sleep(10)
+        } catch { case e: Throwable => readerErr = Some(e) })
+      reader.setDaemon(true)
+      reader.start()
+      // ONE addData per lifecycle batch: the per-epoch oracle below keys on
+      // batchId == lifecycle index, and a chunked feed lets the running
+      // trigger split one lifecycle batch across micro-batches (observed:
+      // marker 1 = "rest of the inserts", which is lifecycle state 0).
+      try batches.foreach { rows =>
+        src.addData(rows.toIndexedSeq)
+        q.processAllAvailable() // exactly one micro-batch per lifecycle batch
+      } finally {
+        readerStop = true
+        reader.join(30000)
+        q.stop()
+      }
+      readerErr.foreach(throw _)
+      sampleOnce() // quiescent: guarantees at least the final epoch sampled
+      require(!samples.isEmpty, "reader landed no pinned sample")
+
+      // Per-epoch oracle: every pinned sample must equal the lifecycle
+      // replayed to ITS batch — identical Sumd decimal path, so equality
+      // is exact. A torn read (tables at different batches) cannot match.
+      import scala.jdk.CollectionConverters._
+      val observed = samples.asScala.toSeq
+      observed.map(_._1).distinct.foreach { k =>
+        val eo = ordersState(k)
+          .agg(count(lit(1)), graft.util.Sumd.sumd($"o_totalprice")).collect()(0)
+        val ec = customerState(k)
+          .agg(count(lit(1)), graft.util.Sumd.sumd($"c_acctbal")).collect()(0)
+        val expect = (k, eo.getLong(0), eo.getDouble(1), ec.getLong(0), ec.getDouble(1))
+        observed.filter(_._1 == k).foreach(got =>
+          require(got == expect, s"torn/stale epoch read: got $got expected $expect"))
+      }
+
+      val (ek, snaps) = StreamingPipeline.Epoch.consistentSnapshot(s, root, targets)
+      require(ek == batches.size - 1 && snaps.keySet == targets.keySet,
+        s"final epoch must pin both tables at batch ${batches.size - 1}, got $ek")
+      snaps("orders").join(snaps("customer"), $"o_custkey" === $"c_custkey")
+        .groupBy($"c_mktsegment")
+        .agg(count(lit(1)).as("cnt"),
+          graft.util.Sumd.sumd($"o_totalprice").as("total"),
+          graft.util.Sumd.sumd($"c_acctbal").as("bal"))
+        .orderBy($"c_mktsegment")
     })
   )
 
@@ -678,6 +843,35 @@ object CdcQueries {
       FROM w
       WHERE kind = 'v' AND valid_from <= 300000
         AND (valid_to IS NULL OR valid_to > 300000)
-      ORDER BY o_orderkey"""
+      ORDER BY o_orderkey""",
+
+    // q115's FINAL state (batch 3 of its 4-batch lifecycle), replayed
+    // declaratively — the concurrent-reader per-epoch checks are in-query
+    // requires; this hash gates the end state both tables converged to.
+    "q115_epoch_concurrent" -> s"""
+      WITH o1 AS (
+        SELECT o_custkey, o_orderkey,
+          CASE WHEN o_orderkey % 3 = 0 THEN o_totalprice * 1.1
+               ELSE o_totalprice END AS price
+        FROM orders WHERE o_orderkey % 5 <> 0),
+      o2 AS (
+        SELECT o_custkey,
+          CASE WHEN o_orderkey % 7 = 0 THEN price * 0.9 ELSE price END AS price
+        FROM o1),
+      c1 AS (
+        SELECT c_custkey, c_mktsegment,
+          CASE WHEN c_custkey % 4 = 0 THEN c_acctbal + 100.0
+               ELSE c_acctbal END AS acct
+        FROM customer WHERE c_custkey % 6 <> 0),
+      c2 AS (
+        SELECT c_custkey, c_mktsegment,
+          CASE WHEN c_custkey % 8 = 0 THEN acct - 50.0 ELSE acct END AS acct
+        FROM c1)
+      SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS cnt,
+        ${graft.util.Sumd.SUMD("price")} AS total,
+        ${graft.util.Sumd.SUMD("acct")} AS bal
+      FROM o2 JOIN c2 ON o_custkey = c_custkey
+      GROUP BY c_mktsegment
+      ORDER BY c_mktsegment"""
   )
 }

@@ -1,6 +1,7 @@
 package graft.cdc
 
-import org.apache.spark.sql.DataFrame
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -86,11 +87,8 @@ object Scd2 {
     *
     * Scale note: unlike the aggregate views, history is ROW-sized, so the
     * full-snapshot rewrite this discipline performs is the right trade
-    * only up to medium tables. The algebra is already bucket-local —
-    * closed rows never change and only touched keys' open rows re-chain —
-    * so the 100 TB deployment keys the history files by bucket
-    * (CdcApplier's hash-bucket swap discipline) and rewrites only the
-    * buckets whose keys the batch touched; the fold itself is unchanged. */
+    * only up to medium tables; [[applyHistoryBatchBucketed]] is the 100 TB
+    * form that rewrites only touched buckets. */
   def applyHistoryBatch(spark: org.apache.spark.sql.SparkSession,
       changes: DataFrame, batchId: Long, viewDir: String, keyCol: String,
       attrCols: Seq[String]): Unit =
@@ -99,6 +97,130 @@ object Scd2 {
         applyBatch(spark.read.parquet(s"$viewDir/v$v"), changes, keyCol, attrCols)
       case None => history(changes, keyCol, attrCols)
     }
+
+  // ---------------------------------------------------------------------
+  // Bucketed history: CdcApplier's hash-bucket layout + crash-safe swap
+  // applied to the SCD2 fold, so a micro-batch rewrites ONLY the buckets
+  // whose keys it touches. The algebra is already bucket-local (closed
+  // rows never change; only touched keys' open rows re-chain), so at
+  // 100 TB the per-batch IO is proportional to the touched buckets, not
+  // the accumulated history.
+  // ---------------------------------------------------------------------
+
+  private val BUCKET = CdcApplier.BUCKET
+  // Underscore-prefixed => invisible to parquet partition discovery, so the
+  // marker can live INSIDE its bucket dir and ride the atomic dir swap.
+  private val APPLIED = "_graft_applied"
+
+  private def appliedMarker(
+      hconf: org.apache.hadoop.conf.Configuration, bucketDir: Path): Option[Long] =
+    graft.util.AtomicFile.read(hconf, new Path(bucketDir, APPLIED)).map(_.trim.toLong)
+
+  /** Highest batch id any bucket has applied — the bucketed layout's analog
+    * of [[IncrementalView.lastApplied]] (buckets untouched by recent batches
+    * legitimately carry older markers). */
+  def lastAppliedBucketed(spark: SparkSession, viewDir: String): Option[Long] = {
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val root = new Path(viewDir)
+    val fs = root.getFileSystem(hconf)
+    if (!fs.exists(root)) return None
+    CdcApplier.bucketIds(fs, root)
+      .flatMap(b => appliedMarker(hconf, new Path(root, s"$BUCKET=$b")))
+      .maxOption
+  }
+
+  /** The bucketed history's current contents (layout column dropped). */
+  def snapshotBucketed(spark: SparkSession, viewDir: String): DataFrame =
+    spark.read.parquet(viewDir).drop(BUCKET)
+
+  /** One micro-batch folded into the BUCKETED persisted history; returns
+    * the bucket ids rewritten. Exactly-once is per-bucket: each bucket dir
+    * carries an `_graft_applied` marker that swaps atomically WITH the
+    * bucket, so a crash mid-publish re-delivers the batch (the streaming
+    * contract) and the fold re-runs only on the buckets whose marker still
+    * lags — already-swapped buckets are exact no-ops, double-folds are
+    * impossible. A marker ABOVE the delivered id means a fresh checkpoint
+    * was pointed at an existing history: fail loudly (the same divergence
+    * contract as [[IncrementalView.applyGeneric]]). */
+  def applyHistoryBatchBucketed(spark: SparkSession, changes: DataFrame,
+      batchId: Long, viewDir: String, keyCol: String, attrCols: Seq[String],
+      numBuckets: Int = 16): Seq[Int] = {
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val root = new Path(viewDir)
+    val fs = root.getFileSystem(hconf)
+    val meta = CdcApplier.TargetMeta.read(hconf, root)
+    // The on-disk modulus is the layout's truth, as in CdcApplier.applyBatch.
+    val buckets = meta.map(_.numBuckets).getOrElse(numBuckets)
+    val keyed = changes.withColumn(BUCKET,
+      pmod(hash(coalesce(col(s"after.$keyCol"), col(s"before.$keyCol"))), lit(buckets)))
+    // Driver-side action bounded by the modulus, like applyBatch's `touched`.
+    val touched = keyed.select(BUCKET).distinct().collect().map(_.getInt(0)).sorted
+    if (touched.isEmpty) return Seq.empty
+
+    val existing = if (fs.exists(root)) {
+      CdcApplier.recoverBuckets(fs, root)
+      CdcApplier.bucketIds(fs, root).toSet
+    } else Set.empty[Int]
+
+    // Per-bucket replay guard: fold only the buckets whose marker lags.
+    val lagging = touched.filter { b =>
+      val m = if (existing(b)) appliedMarker(hconf, new Path(root, s"$BUCKET=$b")) else None
+      m match {
+        case Some(v) if v == batchId => false // crash replay: already swapped
+        case Some(v) if v > batchId =>
+          throw new IllegalStateException(
+            s"bucket $BUCKET=$b at $viewDir has applied batch $v but the " +
+              s"stream delivered batch $batchId - checkpoint/view mismatch; " +
+              "refusing to silently drop batches")
+        case _ => true
+      }
+    }.toIndexedSeq
+    if (lagging.isEmpty) return Seq.empty
+
+    val laggingChanges = keyed.filter(col(BUCKET).isin(lagging.map(Int.box): _*)).drop(BUCKET)
+    val laggingWithState = lagging.filter(existing)
+    val folded =
+      if (laggingWithState.isEmpty) history(laggingChanges, keyCol, attrCols)
+      else {
+        // Partition-pruned read: only the lagging buckets' dirs are scanned.
+        val old = spark.read.parquet(viewDir)
+          .filter(col(BUCKET).isin(laggingWithState.map(Int.box): _*))
+          .drop(BUCKET)
+        applyBatch(old, laggingChanges, keyCol, attrCols)
+      }
+
+    if (meta.isEmpty)
+      CdcApplier.TargetMeta.write(hconf, root,
+        CdcApplier.TargetMeta(buckets, Long.MinValue, None, Some(Seq(keyCol))))
+    val tmp = new Path(viewDir + ".tmp")
+    if (fs.exists(tmp)) fs.delete(tmp, true)
+    folded.withColumn(BUCKET, pmod(hash(col(keyCol)), lit(buckets)))
+      .write.partitionBy(BUCKET).mode("overwrite").parquet(tmp.toString)
+    // Stamp each fresh bucket dir BEFORE the swap: marker and data publish
+    // as one atomic rename. (A lagging bucket always re-emerges from the
+    // fold — closed rows are never dropped — but stamp only what exists.)
+    lagging.foreach { b =>
+      val dir = new Path(tmp, s"$BUCKET=$b")
+      if (fs.exists(dir))
+        graft.util.AtomicFile.write(hconf, new Path(dir, APPLIED), batchId.toString)
+    }
+    CdcApplier.publishBuckets(fs, root, tmp, lagging)
+    spark.catalog.refreshByPath(viewDir)
+    lagging
+  }
+
+  /** [[startHistory]] on the bucketed layout — the 100 TB topology. */
+  def startHistoryBucketed(changes: DataFrame, viewDir: String,
+      checkpointDir: String, keyCol: String, attrCols: Seq[String],
+      numBuckets: Int = 16): org.apache.spark.sql.streaming.StreamingQuery =
+    changes.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        applyHistoryBatchBucketed(batch.sparkSession, batch, batchId, viewDir,
+          keyCol, attrCols, numBuckets)
+        ()
+      }
+      .start()
 
   /** Streaming SCD2 topology: the change envelope stream maintained into
     * a persisted, checkpointed, replay-safe history table. */

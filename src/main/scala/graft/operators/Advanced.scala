@@ -270,12 +270,15 @@ object Advanced {
     }),
 
     // ---- HLL sketch aggregation: approx_count_distinct beside the exact
-    //      count. No DuckDB oracle — HLL estimates are engine-specific —
-    //      so the driver records the (documented) weaker rows-only check.
-    //      The check is self-validating instead: rel_err is computed
-    //      in-query and the query FAILS (raise_error) if any group's
-    //      estimate strays beyond 3x the sketch's configured rsd, so a
-    //      broken sketch can't hide behind the rows-only gate.
+    //      count. The HLL ESTIMATE itself is engine-specific (no DuckDB
+    //      value to compare), so the OUTPUT carries the exact count plus a
+    //      `within_bound` flag whose computation forces the sketch: the
+    //      query FAILS (raise_error) if any group's estimate strays beyond
+    //      3x the sketch's configured rsd, and otherwise emits `true` —
+    //      which the oracle reproduces as a literal. That makes q29 fully
+    //      hash-gated (rows+schema+values) while the sketch stays
+    //      self-validated in-query; a broken sketch turns the whole query
+    //      into a runtime failure, not a silent pass.
     "q29_approx_distinct" -> ((s, dir) => {
       import s.implicits._
       val rsd = 0.05 // approx_count_distinct default relative std deviation
@@ -285,11 +288,11 @@ object Advanced {
           countDistinct($"l_partkey").as("exact_parts"))
         .withColumn("rel_err",
           abs($"approx_parts" - $"exact_parts").cast("double") / $"exact_parts")
-        .withColumn("rel_err",
+        .select($"l_returnflag", $"exact_parts",
           when($"rel_err" > 3 * rsd, raise_error(concat(
             lit("HLL estimate out of bound: rel_err="), $"rel_err".cast("string"),
-            lit(" for l_returnflag="), $"l_returnflag")))
-            .otherwise($"rel_err"))
+            lit(" for l_returnflag="), $"l_returnflag")).cast("boolean"))
+            .otherwise(lit(true)).as("within_bound"))
         .orderBy($"l_returnflag")
     }),
 
@@ -533,6 +536,17 @@ object Advanced {
       SELECT l_returnflag,
         ${SUMD("l_extendedprice * (1.0 - l_discount)")} AS total,
         COUNT(*) AS n
+      FROM lineitem
+      GROUP BY l_returnflag
+      ORDER BY l_returnflag""",
+
+    // q29: the estimate is engine-specific, but the exact count and the
+    // in-query bound flag are deterministic — `within_bound` is literally
+    // true on the oracle side because the Spark side raise_errors otherwise.
+    "q29_approx_distinct" -> """
+      SELECT l_returnflag,
+        COUNT(DISTINCT l_partkey) AS exact_parts,
+        true AS within_bound
       FROM lineitem
       GROUP BY l_returnflag
       ORDER BY l_returnflag""",

@@ -323,11 +323,19 @@ object StreamingPipeline {
           // Cross-table snapshot consistency: tables publish SEQUENTIALLY
           // above, so a reader between two publishes sees table A advanced
           // and table B not. The epoch marker — written LAST, atomically —
-          // records every table's published position for this batch;
-          // [[consistentSnapshot]] pins reads to it (all-or-none).
+          // records every table's published position AND the signature of
+          // its live file set for this batch; [[consistentSnapshot]] pins
+          // reads to it (all-or-none). The file signature is what makes
+          // the pin exact: parquet publishes always mint fresh file names,
+          // so the signature uniquely identifies a table's data version —
+          // a position check alone cannot (data swaps BEFORE the
+          // high-water file advances, leaving a window where table A reads
+          // new and table B old under a clean position check).
           epochDir.foreach { dir =>
             val positions = tables.toSeq.sortBy(_._1).map { case (t, (_, targetDir)) =>
-              t -> readHighWater(batch.sparkSession, targetDir).getOrElse(Long.MinValue)
+              (t,
+                readHighWater(batch.sparkSession, targetDir).getOrElse(Long.MinValue),
+                Epoch.fileSig(Epoch.liveDataFiles(batch.sparkSession, targetDir)))
             }
             Epoch.write(batch.sparkSession.sparkContext.hadoopConfiguration,
               dir, batchId, positions)
@@ -344,18 +352,52 @@ object StreamingPipeline {
   object Epoch {
     private def path(epochDir: String) = new Path(epochDir, ".graft_epoch")
 
-    def write(conf: org.apache.hadoop.conf.Configuration, epochDir: String,
-        batchId: Long, positions: Seq[(String, Long)]): Unit =
-      graft.util.AtomicFile.write(conf, path(epochDir),
-        (batchId.toString +: positions.map { case (t, p) => s"$t\t$p" }).mkString("\n"))
+    /** Direct-FS listing of a bucketed target's live data files — the part
+      * files under non-hidden `graft_bucket=*` dirs, scheme-stripped. No
+      * Spark file-index/status cache is involved, so this is the ground
+      * truth a pinned snapshot's `inputFiles` must match (and the fence
+      * callers re-check after materializing — see q115). */
+    private[graft] def liveDataFiles(spark: SparkSession, targetDir: String): Set[String] = {
+      val dir = new Path(targetDir)
+      val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (!fs.exists(dir)) Set.empty
+      else fs.listStatus(dir).iterator
+        .filter(d => d.isDirectory &&
+          d.getPath.getName.startsWith(CdcApplier.BUCKET + "="))
+        .flatMap(d => fs.listStatus(d.getPath).iterator)
+        .map(_.getPath.toUri.getPath)
+        .filterNot { p =>
+          val n = p.substring(p.lastIndexOf('/') + 1)
+          n.startsWith("_") || n.startsWith(".")
+        }
+        .toSet
+    }
 
+    /** Order-independent signature of a live file set — the marker-sized
+      * stand-in for "which data version is published". Fresh parquet file
+      * names are minted on every publish, so equal signatures ⇒ identical
+      * published data. */
+    private[graft] def fileSig(files: Set[String]): String = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      files.toSeq.sorted.foreach(f =>
+        md.update((f + "\n").getBytes(StandardCharsets.UTF_8)))
+      md.digest().map("%02x".format(_)).mkString
+    }
+
+    def write(conf: org.apache.hadoop.conf.Configuration, epochDir: String,
+        batchId: Long, positions: Seq[(String, Long, String)]): Unit =
+      graft.util.AtomicFile.write(conf, path(epochDir),
+        (batchId.toString +: positions.map { case (t, p, sig) => s"$t\t$p\t$sig" })
+          .mkString("\n"))
+
+    /** (batchId, table -> (position, fileSig)). */
     def read(conf: org.apache.hadoop.conf.Configuration,
-        epochDir: String): Option[(Long, Map[String, Long])] =
+        epochDir: String): Option[(Long, Map[String, (Long, String)])] =
       graft.util.AtomicFile.read(conf, path(epochDir)).map { s =>
         val lines = s.split("\n").toSeq
         (lines.head.trim.toLong,
           lines.tail.filter(_.nonEmpty).map { l =>
-            val Array(t, p) = l.split("\t"); t -> p.toLong
+            val Array(t, p, sig) = l.split("\t"); t -> (p.toLong, sig)
           }.toMap)
       }
 
@@ -364,6 +406,21 @@ object StreamingPipeline {
       * moved past the pinned epoch (and the marker itself is unchanged) —
       * a reader that lands between two of a batch's sequential publishes
       * sees the mismatch and retries instead of returning a torn view.
+      *
+      * The pin is on FILE SIGNATURES, not positions: each snapshot's
+      * planned `inputFiles` must hash to the signature the marker recorded
+      * for its table. Position/marker checks alone are not airtight — two
+      * q115-hunted races get through them: (1) data swaps BEFORE the
+      * high-water file advances, so a reader can see table A's new data
+      * and table B's old under clean position checks; (2) Spark's
+      * session-global FileStatusCache can serve a reader a PRE-publish
+      * listing repopulated after the applier's refreshByPath. Equal
+      * signatures close both: parquet publishes mint fresh file names, so
+      * the signature uniquely identifies each table's data version, and a
+      * stale or mid-swap plan cannot match the marker's. Each attempt also
+      * refreshes the table paths first so a single reader converges
+      * without burning retries on its own cache.
+      *
       * Returns (batchId, table -> snapshot); tables with no published
       * state yet (no batch, or filtered-only traffic) are ABSENT from the
       * map — consistently empty, not torn. The snapshots are lazy plans
@@ -400,11 +457,24 @@ object StreamingPipeline {
             // once the retry budget is exhausted.
             scala.util.Try {
               val snaps = tables.flatMap { case (t, dir) =>
+                // drop any stale shared file-listing before planning
+                spark.catalog.refreshByPath(dir)
                 CdcApplier.snapshotIfBootstrapped(spark, dir).map(t -> _)
               }
-              val pinned = tables.forall { case (t, dir) =>
+              // each snapshot's planned file set must hash to the marker's
+              // recorded signature (a never-published table is the empty
+              // set — consistently absent, and still signature-checked)
+              val filesPinned = tables.forall { case (t, dir) =>
+                val sig = fileSig(snaps.get(t) match {
+                  case Some(df) =>
+                    df.inputFiles.map(f => new Path(f).toUri.getPath).toSet
+                  case None => Set.empty[String]
+                })
+                positions.get(t).forall { case (_, expected) => sig == expected }
+              }
+              val pinned = filesPinned && tables.forall { case (t, dir) =>
                 readHighWater(spark, dir).getOrElse(Long.MinValue) ==
-                  positions.getOrElse(t, Long.MinValue)
+                  positions.get(t).map(_._1).getOrElse(Long.MinValue)
               } && read(conf, epochDir).exists(_._1 == batchId)
               (pinned, snaps)
             } match {
