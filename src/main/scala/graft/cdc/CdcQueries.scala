@@ -659,6 +659,60 @@ object CdcQueries {
           graft.util.Sumd.sumd($"o_totalprice").as("total"),
           graft.util.Sumd.sumd($"c_acctbal").as("bal"))
         .orderBy($"c_mktsegment")
+    }),
+
+    // TypeMapper's COMPAT mode (the reference's narrow lattice with the
+    // StringType catch-all, HbaseTableInfo.scala:158-182) driven through
+    // the full q32 merge lifecycle: the orders table arrives as a MySQL
+    // schema whose decimal/datetime columns compat-map to STRINGS (MySQL
+    // text conventions), the update batch reprices INSIDE the string
+    // domain (decimal cast → *1.2 → rescale → back to text, mirrored
+    // exactly by the oracle), and the final bucketed state must both
+    // hash-match and retain the compat lattice end-to-end (in-query
+    // schema requires). Closes the §1.2 gap between the spec-tested
+    // mapping table and the oracle-gated pipeline.
+    "q116_compat_merge" -> ((s, dir) => {
+      import s.implicits._
+      import org.apache.spark.sql.types.{LongType, StringType}
+      val o = Tables.load(s, dir, "orders")
+      // the MySQL DDL schema discovery would report for this table
+      val mysqlTypes = Seq(
+        "o_orderkey" -> "bigint(20)", "o_custkey" -> "bigint(20)",
+        "o_orderstatus" -> "char(1)", "o_totalprice" -> "decimal(12,2)",
+        "o_orderdate" -> "datetime", "o_orderpriority" -> "varchar(15)")
+      val compat = mysqlTypes.map { case (n, t) => n -> TypeMapper.compat(t) }.toMap
+      require(compat("o_totalprice") == StringType &&
+        compat("o_orderdate") == StringType &&
+        compat("o_orderkey") == LongType,
+        s"compat lattice drifted: $compat")
+      // the compat-typed source: MySQL text conventions for the
+      // catch-all columns, then every column cast through the mapping
+      val src = o
+        .withColumn("o_totalprice",
+          $"o_totalprice".cast("decimal(12,2)").cast("string"))
+        .withColumn("o_orderdate",
+          date_format($"o_orderdate", "yyyy-MM-dd HH:mm:ss"))
+        .select(mysqlTypes.map { case (n, _) => col(n).cast(compat(n)).as(n) }: _*)
+      val target = Files.createTempDirectory("graft_cdc").toString + "/orders_compat"
+      val opts = CdcApplier.Options(Seq("o_orderkey"))
+      CdcApplier.applyBatch(s, ChangeFeed.inserts(src, $"o_orderkey" * 10), target, opts)
+      val second = ChangeFeed.updates(
+          src.filter($"o_orderkey" % 7 === 0),
+          // string-domain reprice; 1.2 is DECIMAL(2,1) in both engines and
+          // the product stays at scale 3 — EXACT, so no rescale happens
+          // (Spark rounds a decimal downscale HALF_UP, DuckDB truncates;
+          // an explicit (12,2) rescale here diverged on 789/13636 rows)
+          Map("o_totalprice" -> expr(
+            "CAST(CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 1.2 AS DECIMAL(15,3)) AS STRING)")),
+          $"o_orderkey" * 10 + 3)
+        .union(ChangeFeed.deletes(src.filter($"o_orderkey" % 11 === 0), $"o_orderkey" * 10 + 5))
+      CdcApplier.applyBatch(s, second, target, opts)
+      val snap = CdcApplier.snapshot(s, target)
+      mysqlTypes.foreach { case (n, _) =>
+        require(snap.schema(n).dataType == compat(n),
+          s"compat type for $n drifted through the merge: ${snap.schema(n).dataType}") }
+      snap.select(mysqlTypes.map(t => col(t._1)).toIndexedSeq: _*)
+        .orderBy($"o_orderkey")
     })
   )
 
@@ -872,6 +926,23 @@ object CdcQueries {
         ${graft.util.Sumd.SUMD("acct")} AS bal
       FROM o2 JOIN c2 ON o_custkey = c_custkey
       GROUP BY c_mktsegment
-      ORDER BY c_mktsegment"""
+      ORDER BY c_mktsegment""",
+
+    // q116: the compat-projected table (decimal/datetime as MySQL text),
+    // repriced inside the same decimal-text round-trip, %11 deleted.
+    "q116_compat_merge" -> """
+      WITH src AS (
+        SELECT o_orderkey, o_custkey, o_orderstatus,
+          CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS VARCHAR) AS o_totalprice,
+          strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') AS o_orderdate,
+          o_orderpriority
+        FROM orders)
+      SELECT o_orderkey, o_custkey, o_orderstatus,
+        CASE WHEN o_orderkey % 7 = 0 THEN
+          CAST(CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 1.2 AS DECIMAL(15,3)) AS VARCHAR)
+        ELSE o_totalprice END AS o_totalprice,
+        o_orderdate, o_orderpriority
+      FROM src WHERE o_orderkey % 11 <> 0
+      ORDER BY o_orderkey"""
   )
 }
