@@ -39,6 +39,7 @@ object Similarity {
   val NumQueries = 10 // query set = vec_id < 10
   val LshBits = 12
   val DedupCos = 0.99
+  val SemCos = 0.9 // q118 semantic-dup threshold (scaled copies sit at ~1.0)
   val DedupTables = 2
   val IvfCells = 16 // coarse-quantizer cells (q53)
   val IvfProbes = 4 // cells probed per query
@@ -340,6 +341,39 @@ object Similarity {
         .orderBy(col("id_a"), col("id_b"))
     }),
 
+    // ---- q118: SemDeDup (Abbas et al. 2023) — SEMANTIC dedup by
+    //      cluster-scoped exact cosine: every vector (and its synthetic
+    //      re-crawl copy, q52's duplicate model — positive scaling is
+    //      cosine-invariant and preserves the cell argmax) is assigned to
+    //      its IVF cell with the projection-only cellOf (no join, no
+    //      shuffle), candidate pairs are generated ONLY within a cell (one
+    //      self-equi-join on cell: O(sum nc^2) work instead of the O(n^2)
+    //      all-pairs — at 100 TB the cell count scales with the corpus so
+    //      cells stay bounded), and retention is the deterministic
+    //      lowest-id-wins policy: drop any member with a >=SemCos edge to
+    //      a lower id (one distinct + one anti-join). Output is the
+    //      surviving corpus (vec_id, cell) — the dedupped dataset, not
+    //      just the pair list.
+    "q118_semantic_dedup" -> ((s, dir) => {
+      graft.functions.GraftFunctions.register(s)
+      val e = t(s, dir, "embeddings").repartition(col("vec_id"))
+        .select(col("vec_id"), col("embedding"))
+      val centroids = ivfCentroids(e)
+      val base = e.filter(col("vec_id") >= NumQueries)
+      val feed = base.union(base.select((col("vec_id") + 10000).as("vec_id"),
+          transform(col("embedding"), x => x * lit(1.05f)).as("embedding")))
+        .withColumn("nrm", sqrt(dotd(col("embedding"), col("embedding"))))
+        .withColumn("cell", cellOf(col("embedding"), centroids))
+      val dominated = feed.as("a").join(feed.as("b"),
+          col("a.cell") === col("b.cell") && col("a.vec_id") < col("b.vec_id"))
+        .filter(cosd(col("a.embedding"), col("a.nrm"),
+          col("b.embedding"), col("b.nrm")) >= SemCos)
+        .select(col("b.vec_id").as("vec_id")).distinct()
+      feed.join(dominated, Seq("vec_id"), "left_anti")
+        .select(col("vec_id"), col("cell"))
+        .repartition(1).sortWithinPartitions(col("vec_id"))
+    }),
+
     // ---- q107: ONE PCA power-iteration step over the corpus embeddings —
     //      the spectral sibling of q62's k-means step (top principal
     //      direction = the axis embedding-space analyses whiten/project
@@ -548,7 +582,42 @@ object Similarity {
       SELECT a.vec_id AS id_a, b.vec_id AS id_b
       FROM feed a JOIN feed b ON a.vec_id < b.vec_id
       WHERE list_cosine_similarity(a.embedding, b.embedding) >= $DedupCos
-      ORDER BY id_a, id_b"""
+      ORDER BY id_a, id_b""",
+
+    // q118: same cell argmax (identical dot fold + (desc, cid) order as
+    // q62's tassign), same cosine op order, same lowest-id-wins retention.
+    // The scaled copy mirrors Spark's FLOAT multiply exactly: a float
+    // product is exactly representable in double (48 <= 53 mantissa bits),
+    // so the double-then-REAL rounding equals the direct float multiply.
+    "q118_semantic_dedup" -> s"""
+      WITH base AS (
+        SELECT vec_id, embedding FROM embeddings WHERE vec_id >= $NumQueries),
+      feed AS (
+        SELECT vec_id, embedding FROM base
+        UNION ALL
+        SELECT vec_id + 10000,
+          list_transform(embedding, x -> CAST(x * CAST(1.05 AS REAL) AS REAL))
+        FROM base),
+      cent AS (
+        SELECT CAST(vec_id - $NumQueries AS INT) AS cid,
+          list_transform(embedding, x -> x::DOUBLE /
+            sqrt(${dotSql("embedding", "embedding")})) AS cv
+        FROM embeddings
+        WHERE vec_id >= $NumQueries AND vec_id < ${NumQueries + IvfCells}),
+      assign AS (
+        SELECT f.vec_id, f.embedding,
+          sqrt(${dotSql("f.embedding", "f.embedding")}) AS nrm, c.cid,
+          ROW_NUMBER() OVER (PARTITION BY f.vec_id
+            ORDER BY ${dotSql("f.embedding", "c.cv")} DESC, c.cid) AS rn
+        FROM feed f, cent c),
+      a2 AS (SELECT vec_id, embedding, nrm, cid AS cell FROM assign WHERE rn = 1),
+      dom AS (
+        SELECT DISTINCT b.vec_id
+        FROM a2 a JOIN a2 b ON a.cell = b.cell AND a.vec_id < b.vec_id
+        WHERE ${dotSql("a.embedding", "b.embedding")} / (a.nrm * b.nrm) >= $SemCos)
+      SELECT vec_id, CAST(cell AS INT) AS cell FROM a2
+      WHERE vec_id NOT IN (SELECT vec_id FROM dom)
+      ORDER BY vec_id"""
   ) ++ Map(
     // Same fold order per row (dotSql), same order-independent decimal
     // accumulation per dimension, same normalization op order.

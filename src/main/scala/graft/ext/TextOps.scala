@@ -212,6 +212,63 @@ object TextOps {
         coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"), col("lm_score"))
   }
 
+  /** Supervised two-class token-likelihood classifier — the TRAINABLE
+    * quality/domain filter beside the hard-coded heuristics (q44's marker
+    * vocab, q49's rules): Laplace-smoothed per-class unigram likelihoods
+    * (the Naive Bayes model family; McCallum & Nigam 1998) trained on a
+    * labeled split, scored by LINEAR POOLING (each class's prior times the
+    * doc's MEAN smoothed token probability) rather than the log-sum — the
+    * arithmetic stays inside the engine-wide decimal-exact sum convention
+    * ([[graft.util.Sumd]]): a libm `ln` may differ in the last ulp across
+    * engines (q59's scaladoc), while per-term division, decimal sum, and
+    * the final two multiplies are all correctly-rounded IEEE ops both
+    * engines reproduce bit-identically.
+    *
+    * Scale shape: the MODEL is vocab-sized (per-class token counts via
+    * partial+final aggs); scoring is one explode + two left equi-joins on
+    * the token (AQE-broadcastable for bounded vocabs, plain shuffle joins
+    * otherwise — never all-pairs) + a per-doc partial+final agg; priors,
+    * totals and V ride in one broadcast row. Docs with no tokens score
+    * NULL (consistently absent evidence, not a silent class). */
+  def tokenClassifier(train: DataFrame, test: DataFrame,
+      labelCol: Column): DataFrame = {
+    val tokTrain = train
+      .select(col("doc_id"), labelCol.as("cls"), explode(words(col("text"))).as("w"))
+    val counts = tokTrain.groupBy(col("w"), col("cls")).agg(count(lit(1)).as("c"))
+    val cPos = counts.filter(col("cls")).select(col("w"), col("c").as("c_pos"))
+    val cNeg = counts.filter(!col("cls")).select(col("w"), col("c").as("c_neg"))
+    val consts = tokTrain.agg(
+        count(when(col("cls"), 1)).as("n_pos"),
+        count(when(!col("cls"), 1)).as("n_neg"),
+        countDistinct(col("w")).as("v"))
+      .crossJoin(train.agg(
+        count(when(labelCol, 1)).as("d_pos"), count(lit(1)).as("nd")))
+    val perTok = test
+      .select(col("doc_id"), explode(words(col("text"))).as("w"))
+      .join(cPos, Seq("w"), "left")
+      .join(cNeg, Seq("w"), "left")
+      .crossJoin(broadcast(consts))
+      .select(col("doc_id"),
+        ((coalesce(col("c_pos"), lit(0L)) + lit(1L)).cast("double") /
+          (col("n_pos") + col("v")).cast("double")).as("p_pos"),
+        ((coalesce(col("c_neg"), lit(0L)) + lit(1L)).cast("double") /
+          (col("n_neg") + col("v")).cast("double")).as("p_neg"))
+    val perDoc = perTok.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        sumd(col("p_pos")).as("sp_pos"), sumd(col("p_neg")).as("sp_neg"))
+    test.select(col("doc_id"), labelCol.as("is_pos"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .crossJoin(broadcast(consts.select(col("d_pos"), col("nd"))))
+      .select(col("doc_id"),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        (col("d_pos").cast("double") / col("nd").cast("double") *
+          (col("sp_pos") / col("n_tokens").cast("double"))).as("score_pos"),
+        ((col("nd") - col("d_pos")).cast("double") / col("nd").cast("double") *
+          (col("sp_neg") / col("n_tokens").cast("double"))).as("score_neg"),
+        col("is_pos"))
+      .withColumn("pred_pos", col("score_pos") > col("score_neg"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- JSON extraction over the events.props JSON column (the reference
     //      stores its entire catalog as JSON; Spark-side: get_json_object).
@@ -367,6 +424,21 @@ object TextOps {
             .when(col("lm_score") > col("b1"), lit("middle"))
             .otherwise(lit("tail")).as("bucket"))
         .repartition(1).sortWithinPartitions(col("doc_id"))
+    }),
+
+    // ---- q117: TRAINED quality/domain classifier (tokenClassifier): NB
+    //      family, Laplace-smoothed per-class unigram likelihoods learned
+    //      on the even-doc_id half (a contamination-safe train/test
+    //      split), linear-pooled scores on the odd half. The oracle
+    //      retrains the identical model in SQL — wrong counts, smoothing,
+    //      priors, split, or pooling all break the hash.
+    "q117_token_classifier" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      tokenClassifier(
+        docs.filter(col("doc_id") % 2 === 0),
+        docs.filter(col("doc_id") % 2 === 1),
+        col("lang") === "en")
+        .repartition(1).sortWithinPartitions(col("doc_id"))
     })
   )
 
@@ -515,6 +587,51 @@ object TextOps {
              WHEN sc.lm_score > b.b1 THEN 'middle'
              ELSE 'tail' END AS bucket
       FROM sc CROSS JOIN b
-      ORDER BY sc.doc_id"""
+      ORDER BY sc.doc_id""",
+
+    // q117: the oracle RETRAINS the classifier — same split, same Laplace
+    // smoothing, same decimal-exact linear pooling, same priors.
+    "q117_token_classifier" -> s"""
+      WITH train AS (
+        SELECT doc_id, (lang = 'en') AS cls, text FROM documents WHERE doc_id % 2 = 0),
+      test AS (
+        SELECT doc_id, (lang = 'en') AS is_pos, text FROM documents WHERE doc_id % 2 = 1),
+      tok_train AS (
+        SELECT cls, unnest(${wordsSql("text")}) AS w FROM train),
+      counts AS (SELECT w, cls, COUNT(*) AS c FROM tok_train GROUP BY w, cls),
+      consts AS (
+        SELECT
+          (SELECT COUNT(*) FROM tok_train WHERE cls) AS n_pos,
+          (SELECT COUNT(*) FROM tok_train WHERE NOT cls) AS n_neg,
+          (SELECT COUNT(DISTINCT w) FROM tok_train) AS v,
+          (SELECT COUNT(*) FROM train WHERE cls) AS d_pos,
+          (SELECT COUNT(*) FROM train) AS nd),
+      tok_test AS (
+        SELECT doc_id, unnest(${wordsSql("text")}) AS w FROM test),
+      per_tok AS (
+        SELECT tt.doc_id,
+          CAST(COALESCE(cp.c, 0) + 1 AS DOUBLE) / CAST(k.n_pos + k.v AS DOUBLE) AS p_pos,
+          CAST(COALESCE(cn.c, 0) + 1 AS DOUBLE) / CAST(k.n_neg + k.v AS DOUBLE) AS p_neg
+        FROM tok_test tt
+        CROSS JOIN consts k
+        LEFT JOIN counts cp ON cp.w = tt.w AND cp.cls
+        LEFT JOIN counts cn ON cn.w = tt.w AND NOT cn.cls),
+      per_doc AS (
+        SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+          ${SUMD("p_pos")} AS sp_pos, ${SUMD("p_neg")} AS sp_neg
+        FROM per_tok GROUP BY doc_id)
+      SELECT t.doc_id,
+        COALESCE(d.n_tokens, 0) AS n_tokens,
+        CAST(k.d_pos AS DOUBLE) / CAST(k.nd AS DOUBLE) *
+          (d.sp_pos / CAST(d.n_tokens AS DOUBLE)) AS score_pos,
+        CAST(k.nd - k.d_pos AS DOUBLE) / CAST(k.nd AS DOUBLE) *
+          (d.sp_neg / CAST(d.n_tokens AS DOUBLE)) AS score_neg,
+        t.is_pos,
+        (CAST(k.d_pos AS DOUBLE) / CAST(k.nd AS DOUBLE) *
+          (d.sp_pos / CAST(d.n_tokens AS DOUBLE))) >
+        (CAST(k.nd - k.d_pos AS DOUBLE) / CAST(k.nd AS DOUBLE) *
+          (d.sp_neg / CAST(d.n_tokens AS DOUBLE))) AS pred_pos
+      FROM test t CROSS JOIN consts k LEFT JOIN per_doc d USING (doc_id)
+      ORDER BY t.doc_id"""
   )
 }
