@@ -275,6 +275,32 @@ class PlanSpec extends AnyFunSuite {
     assert(fin.contains("HashAggregate"), p)
   }
 
+  test("q117: classifier model is equi-joins + partial/final aggs; only scalar broadcasts nested-loop") {
+    val p = plan("q117_token_classifier")
+    val fin = p.split("== Initial Plan ==")(0)
+    assert(!fin.contains("CartesianProduct"),
+      s"no cartesian in classifier scoring:\n$p")
+    // the only nested-loops are the one-row consts frames (priors/totals/V)
+    val bnlj = fin.linesIterator.filter(_.contains("BroadcastNestedLoopJoin")).toSeq
+    assert(bnlj.forall(_.contains("Cross")),
+      s"scalar broadcasts must be Cross builds, not row-level fallbacks:\n$p")
+    // per-class counts + consts + per-doc reduce all combine map-side
+    assert("HashAggregate".r.findAllIn(fin).size >= 4, p)
+  }
+
+  test("q118: semantic-dedup pairs come from a cell equi-join; retention is an anti-join") {
+    val p = plan("q118_semantic_dedup")
+    val fin = p.split("== Initial Plan ==")(0)
+    assert(!fin.contains("CartesianProduct") && !fin.contains("BroadcastNestedLoopJoin"),
+      s"candidates must be scoped by the cell equi-join, never all-pairs:\n$p")
+    assert(fin.contains("LeftAnti"),
+      s"lowest-id-wins retention is an anti-join from the dominated set:\n$p")
+    assert(fin.linesIterator.exists(l =>
+        (l.contains("SortMergeJoin") || l.contains("BroadcastHashJoin") ||
+          l.contains("ShuffledHashJoin")) && l.contains("cell")),
+      s"the pair join must key on cell:\n$p")
+  }
+
   test("q46: fingerprint runs the fused native kernel, not an interpreted fold") {
     val p = plan("q46_fingerprint")
     assert(p.contains("graft_fingerprint"), p)
