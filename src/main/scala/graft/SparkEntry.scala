@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.operators.{Advanced, Analytics, Relational}
 import graft.cdc.CdcQueries
-import graft.ext.{Corpus, Multimodal, NearDup, Retrieval, Similarity, TextOps}
+import graft.ext.{Corpus, Curation, Multimodal, NearDup, Retrieval, Similarity, TextOps}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
 object SparkEntry {
@@ -17,7 +17,7 @@ object SparkEntry {
     Relational.queries ++ Advanced.queries ++ CdcQueries.queries ++ TextOps.queries ++
       NearDup.queries ++ Similarity.queries ++ Multimodal.queries ++ Corpus.queries ++
       Retrieval.queries ++ graft.streaming.StreamQueries.queries ++ Analytics.queries ++
-      graft.sources.SourceQueries.queries
+      graft.sources.SourceQueries.queries ++ Curation.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -25,5 +25,5 @@ object SparkEntry {
     Relational.oracles ++ Advanced.oracles ++ CdcQueries.oracles ++ TextOps.oracles ++
       NearDup.oracles ++ Similarity.oracles ++ Multimodal.oracles ++ Corpus.oracles ++
       Retrieval.oracles ++ graft.streaming.StreamQueries.oracles ++ Analytics.oracles ++
-      graft.sources.SourceQueries.oracles
+      graft.sources.SourceQueries.oracles ++ Curation.oracles
 }

@@ -1,0 +1,245 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Corpus-curation operators — the data-layout / lifecycle tier of the
+  * training-data pipeline extension (SURVEY §2 ext rows): the operations a
+  * living 100 TB corpus runs BETWEEN builds.
+  *
+  *  - q119 Z-order layout: Morton-interleave two scan dimensions into one
+  *    clustering key, then audit per-cell min/max spans — the property that
+  *    makes parquet row-group / file skipping work on BOTH dimensions at
+  *    once. (The reference delegates all layout to HBase's single rowkey
+  *    order; a columnar lake needs multi-dimensional clustering instead.)
+  *  - q120 corpus snapshot diff: full-outer join of two corpus versions on
+  *    doc_id with content-hash compare → added/removed/changed rows. The
+  *    "what changed since the last crawl" report, one shuffle.
+  *  - q121 train/test split leakage: deterministic hash split, then an
+  *    equi-join on the exact content fingerprint across the split boundary
+  *    — the contamination audit every training run needs (test docs whose
+  *    text also sits in train). Near-dup leakage is the q41 pair set with
+  *    this same split predicate; this operator gates the exact tier.
+  *  - q122 training-order shuffle: a reproducible global permutation of the
+  *    corpus (md5 keying) WITHOUT a single-partition global sort: bucket by
+  *    the key's first hex digit, rank within buckets, add broadcast
+  *    cumulative bucket offsets. At 100 TB the bucket prefix widens (2-3
+  *    hex digits → 256-4096 buckets); the shape is unchanged.
+  *
+  * The reference has no curation operators (it delegates all query
+  * capability to Spark SQL; `Hbase2CataLog.scala:19-27` just registers
+  * tables); these extend the documents/lineitem extension surface.
+  */
+object Curation {
+  private def t(s: SparkSession, dir: String, n: String): DataFrame = Tables.load(s, dir, n)
+
+  /** Bits per dimension in the Morton code (8 → 16-bit z-values). */
+  val ZBits = 8
+  /** Low z-bits dropped to form a cell: 12 → 16 cells of 4096 codes; a cell
+    * pins each dimension's top `(16-12)/2 = 2` bits, so per-cell spans are
+    * at most 2^6 = 64 codes wide — the file-skipping guarantee. */
+  val ZCellShift = 12
+
+  /** Morton interleave of two [[ZBits]]-bit bucketed dimensions: bit i of
+    * `px` lands at 2i, bit i of `py` at 2i+1. Pure integer arithmetic
+    * (shift/and/sum), fully codegen'd — no UDF, no lookup table. */
+  def zOrder(px: Column, py: Column): Column =
+    (0 until ZBits).map { i =>
+      shiftleft(shiftright(px, i).bitwiseAND(lit(1L)), 2 * i) +
+        shiftleft(shiftright(py, i).bitwiseAND(lit(1L)), 2 * i + 1)
+    }.reduce(_ + _)
+
+  /** The same interleave as a DuckDB SQL fragment over expressions. */
+  def zOrderSql(px: String, py: String): String =
+    (0 until ZBits).map { i =>
+      s"(((($px) >> $i) & 1) << ${2 * i}) + (((($py) >> $i) & 1) << ${2 * i + 1})"
+    }.mkString(" + ")
+
+  /** Deterministic corpus "version 2" used by q120: docs `%7=0` deleted,
+    * `%5=0` re-crawled with edited text, `%11=0` spawning a brand-new doc at
+    * `doc_id+`[[DiffAddBase]]. All three predicates are pure doc_id
+    * arithmetic so the DuckDB oracle regenerates the identical snapshot. */
+  val DiffAddBase = 1000000L
+
+  /** Planted re-crawl copies for q121: every `doc_id % 9 = 4` doc is
+    * re-ingested verbatim at `doc_id+`[[LeakCopyBase]] — the id-level dedup
+    * miss that turns into split leakage when the copy's hash lands in the
+    * other split. */
+  val LeakCopyBase = 100000L
+
+  /** Train fraction (out of 10) for the q121 hash split. */
+  val TrainBuckets = 8L
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // ---- q119: Z-order layout audit — bucket (l_partkey, l_suppkey) to 8
+    //      bits each, Morton-interleave, group by the 16-cell prefix and
+    //      report each cell's per-dimension min/max span. Fixing a z-cell
+    //      fixes the top bits of BOTH dimensions, so spans stay <= 64 — the
+    //      min/max-stat tightness parquet skipping needs on a predicate
+    //      over EITHER column. One narrow projection + one 16-group agg;
+    //      at 100 TB the same zval is the sort key handed to the writer
+    //      (repartitionByRange(zval) + sortWithinPartitions), and the cell
+    //      prefix widens with the file count.
+    "q119_zorder_layout" -> ((s, dir) => {
+      val z = t(s, dir, "lineitem")
+        .select((col("l_partkey") % 256).as("px"), (col("l_suppkey") % 256).as("py"))
+        .withColumn("zval", zOrder(col("px"), col("py")))
+      z.groupBy(expr(s"zval DIV ${1L << ZCellShift}").as("zcell"))
+        .agg(count(lit(1)).as("n"),
+          min(col("px")).as("min_px"), max(col("px")).as("max_px"),
+          min(col("py")).as("min_py"), max(col("py")).as("max_py"))
+        .repartition(1).sortWithinPartitions(col("zcell"))
+    }),
+
+    // ---- q120: corpus snapshot diff — v2 is the deterministic mutation of
+    //      the documents table (see [[DiffAddBase]]); one full-outer join on
+    //      doc_id, md5 content compare, emit only the changed surface.
+    //      Both sides shuffle once on doc_id (hashes computed map-side, so
+    //      the join carries 16-byte digests, never text); at 100 TB this is
+    //      the incremental-crawl reconciliation pass.
+    "q120_corpus_diff" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val v1 = docs.select(col("doc_id"), md5(col("text").cast("binary")).as("h1"))
+      val v2kept = docs.filter(col("doc_id") % 7 =!= 0)
+        .select(col("doc_id"),
+          md5(when(col("doc_id") % 5 === 0, concat(col("text"), lit(" [rev2]")))
+            .otherwise(col("text")).cast("binary")).as("h2"))
+      val v2added = docs.filter(col("doc_id") % 11 === 0)
+        .select((col("doc_id") + DiffAddBase).as("doc_id"),
+          md5(concat(lit("added doc "), col("doc_id").cast("string")).cast("binary")).as("h2"))
+      v1.join(v2kept.union(v2added), Seq("doc_id"), "full_outer")
+        .withColumn("status",
+          when(col("h1").isNull, "added")
+            .when(col("h2").isNull, "removed")
+            .when(col("h1") =!= col("h2"), "changed")
+            .otherwise("unchanged"))
+        .filter(col("status") =!= "unchanged")
+        .select(col("doc_id"), col("status"))
+        .repartition(1).sortWithinPartitions(col("doc_id"))
+    }),
+
+    // ---- q121: train/test split-leakage audit — the corpus (plus its
+    //      [[LeakCopyBase]] planted re-crawl copies) is hash-split 80/20 on
+    //      doc_id, then test docs are equi-joined to train docs on the
+    //      exact content fingerprint (md5 — 16 bytes shuffled, never text).
+    //      Output: each leaked test doc with its smallest matching train
+    //      doc. The split gate is the q55 portable polyhash, so the oracle
+    //      reproduces membership exactly; at 100 TB both sides are narrow
+    //      (id, digest) projections and the join is a standard shuffled
+    //      equi-join on a high-cardinality key — no skew, no broadcast
+    //      needed, and the same fingerprint column feeds the q41 near-dup
+    //      tier for the fuzzy version of this audit.
+    "q121_split_leakage" -> ((s, dir) => {
+      graft.functions.GraftFunctions.register(s)
+      val docs = t(s, dir, "documents")
+      val feed = docs.select(col("doc_id"), col("text"))
+        .union(docs.filter(col("doc_id") % 9 === 4)
+          .select((col("doc_id") + LeakCopyBase).as("doc_id"), col("text")))
+      val keyed = feed.select(col("doc_id"),
+          md5(col("text").cast("binary")).as("ckey"),
+          (TextOps.polyHash(col("doc_id").cast("string")) % 10 < TrainBuckets)
+            .as("is_train"))
+      val train = keyed.filter(col("is_train")).select(col("doc_id").as("train_doc"), col("ckey"))
+      val test = keyed.filter(!col("is_train")).select(col("doc_id").as("test_doc"), col("ckey"))
+      test.join(train, "ckey")
+        .groupBy(col("test_doc"))
+        .agg(min(col("train_doc")).as("train_doc"))
+        .repartition(1).sortWithinPartitions(col("test_doc"))
+    }),
+
+    // ---- q122: reproducible training-order shuffle — pos = the corpus
+    //      permutation ordered by md5('ep1:'||doc_id), computed WITHOUT a
+    //      single-partition global sort: rank within first-hex-digit
+    //      buckets (16 balanced window partitions), then add each bucket's
+    //      cumulative start offset (a 16-row aggregate, broadcast back).
+    //      Changing the epoch salt re-deals the whole corpus; same salt =
+    //      same order on any cluster. At 100 TB widen the prefix to 2-3
+    //      digits; the 3 stages (hash, rank, offset-join) are unchanged.
+    "q122_train_order" -> ((s, dir) => {
+      val keyed = t(s, dir, "documents")
+        .select(col("doc_id"),
+          md5(concat(lit("ep1:"), col("doc_id").cast("string")).cast("binary")).as("okey"))
+        .withColumn("bucket", substring(col("okey"), 1, 1))
+      val offsets = keyed.groupBy(col("bucket")).agg(count(lit(1)).as("bn"))
+        .withColumn("boff",
+          coalesce(sum(col("bn")).over(
+            Window.orderBy(col("bucket")).rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+        .select(col("bucket"), col("boff"))
+      val w = Window.partitionBy(col("bucket")).orderBy(col("okey"))
+      keyed.withColumn("rn", row_number().over(w).cast("long"))
+        .join(broadcast(offsets), "bucket")
+        .select((col("boff") + col("rn") - 1).as("pos"), col("doc_id"), col("okey"))
+        .repartition(1).sortWithinPartitions(col("pos"))
+    })
+  )
+
+  def oracles: Map[String, String] = Map(
+
+    "q119_zorder_layout" -> s"""
+      WITH z AS (
+        SELECT CAST(l_partkey % 256 AS BIGINT) AS px,
+               CAST(l_suppkey % 256 AS BIGINT) AS py
+        FROM lineitem),
+      zz AS (SELECT px, py, ${zOrderSql("px", "py")} AS zval FROM z)
+      SELECT zval // ${1L << ZCellShift} AS zcell, count(*) AS n,
+        min(px) AS min_px, max(px) AS max_px,
+        min(py) AS min_py, max(py) AS max_py
+      FROM zz GROUP BY 1 ORDER BY zcell""",
+
+    "q120_corpus_diff" -> s"""
+      WITH v1 AS (SELECT doc_id, md5(text) AS h1 FROM documents),
+      v2 AS (
+        SELECT doc_id,
+          md5(CASE WHEN doc_id % 5 = 0 THEN text || ' [rev2]' ELSE text END) AS h2
+        FROM documents WHERE doc_id % 7 <> 0
+        UNION ALL
+        SELECT doc_id + $DiffAddBase AS doc_id,
+          md5('added doc ' || CAST(doc_id AS VARCHAR)) AS h2
+        FROM documents WHERE doc_id % 11 = 0)
+      SELECT COALESCE(v1.doc_id, v2.doc_id) AS doc_id,
+        CASE WHEN v1.doc_id IS NULL THEN 'added'
+             WHEN v2.doc_id IS NULL THEN 'removed'
+             WHEN h1 <> h2 THEN 'changed'
+             ELSE 'unchanged' END AS status
+      FROM v1 FULL OUTER JOIN v2 ON v1.doc_id = v2.doc_id
+      WHERE (CASE WHEN v1.doc_id IS NULL THEN 'added'
+             WHEN v2.doc_id IS NULL THEN 'removed'
+             WHEN h1 <> h2 THEN 'changed'
+             ELSE 'unchanged' END) <> 'unchanged'
+      ORDER BY doc_id""",
+
+    "q121_split_leakage" -> s"""
+      WITH feed AS (
+        SELECT doc_id, text FROM documents
+        UNION ALL
+        SELECT doc_id + $LeakCopyBase AS doc_id, text
+        FROM documents WHERE doc_id % 9 = 4),
+      keyed AS (
+        SELECT doc_id, md5(text) AS ckey,
+          (${TextOps.polyHashSql("CAST(doc_id AS VARCHAR)")}) % 10 < $TrainBuckets AS is_train
+        FROM feed)
+      SELECT test.doc_id AS test_doc, min(train.doc_id) AS train_doc
+      FROM keyed test JOIN keyed train USING (ckey)
+      WHERE NOT test.is_train AND train.is_train
+      GROUP BY 1 ORDER BY test_doc""",
+
+    "q122_train_order" -> s"""
+      WITH keyed AS (
+        SELECT doc_id, md5('ep1:' || CAST(doc_id AS VARCHAR)) AS okey,
+          substring(md5('ep1:' || CAST(doc_id AS VARCHAR)), 1, 1) AS bucket
+        FROM documents),
+      offs AS (
+        SELECT bucket,
+          CAST(COALESCE(sum(bn) OVER (ORDER BY bucket
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS boff
+        FROM (SELECT bucket, count(*) AS bn FROM keyed GROUP BY 1))
+      SELECT boff + CAST(ROW_NUMBER() OVER (PARTITION BY keyed.bucket ORDER BY okey) AS BIGINT) - 1
+          AS pos, doc_id, okey
+      FROM keyed JOIN offs ON keyed.bucket = offs.bucket
+      ORDER BY pos"""
+  )
+}
