@@ -52,12 +52,24 @@ object CdcApplier {
     *                        (`HbaseApplier.scala:206-208`).
     * @param numBuckets      PK-hash buckets in the snapshot layout. Sized so
     *                        a bucket fits executor memory at the target
-    *                        scale (thousands at 100 TB; small here). */
+    *                        scale (thousands at 100 TB; small here).
+    * @param bucketCols      columns the bucket hash is computed over; must
+    *                        be a subset of `pkCols`. Defaults to the full
+    *                        PK. Setting a LEADING subset gives the layout
+    *                        HBase's rowkey-prefix-scan property (the
+    *                        reference's composite row keys are ordinal-
+    *                        ordered for exactly this, S7
+    *                        `HbaseApplier.scala:210-217`): a [[pointLookup]]
+    *                        by just those columns still bucket-prunes —
+    *                        the shape a secondary index needs, where the
+    *                        lookup key (indexed value) is a prefix of the
+    *                        index table's PK (value, pk). */
   case class Options(
       pkCols: Seq[String],
       compatPkChange: Boolean = false,
       strictPk: Boolean = true,
-      numBuckets: Int = 16)
+      numBuckets: Int = 16,
+      bucketCols: Option[Seq[String]] = None)
 
   private[cdc] val POS = "_graft_pos"
   private val KIND = "_graft_kind"
@@ -84,9 +96,13 @@ object CdcApplier {
     *    computed with. `hash(a, b) != hash(b, a)`, so a later writer or a
     *    [[pointLookup]] hashing a different order would target the wrong
     *    bucket dirs silently — both adopt the persisted order (absent only
-    *    in pre-upgrade metas, which the next apply backfills). */
+    *    in pre-upgrade metas, which the next apply backfills).
+    *  - `bucketCols`: the subset of `pkCols` the bucket hash runs over
+    *    (prefix-lookup layouts, [[Options.bucketCols]]). Absent = full PK,
+    *    which keeps every pre-upgrade meta readable unchanged. */
   case class TargetMeta(numBuckets: Int, horizon: Long,
-      schemaJson: Option[String] = None, pkCols: Option[Seq[String]] = None)
+      schemaJson: Option[String] = None, pkCols: Option[Seq[String]] = None,
+      bucketCols: Option[Seq[String]] = None)
 
   object TargetMeta {
     private def metaPath(target: Path) = new Path(target, ".graft_meta")
@@ -95,13 +111,15 @@ object CdcApplier {
       graft.util.AtomicFile.read(conf, metaPath(target)).map { s =>
         val kv = s.linesIterator.map(_.split("=", 2)).collect { case Array(k, v) => k -> v }.toMap
         TargetMeta(kv("numBuckets").toInt, kv("horizon").toLong, kv.get("schema"),
-          kv.get("pkCols").map(_.split(",").toSeq.filter(_.nonEmpty)))
+          kv.get("pkCols").map(_.split(",").toSeq.filter(_.nonEmpty)),
+          kv.get("bucketCols").map(_.split(",").toSeq.filter(_.nonEmpty)))
       }
 
     def write(conf: org.apache.hadoop.conf.Configuration, target: Path, m: TargetMeta): Unit =
       graft.util.AtomicFile.write(conf, metaPath(target),
         s"numBuckets=${m.numBuckets}\nhorizon=${m.horizon}\n" +
           m.pkCols.map(p => s"pkCols=${p.mkString(",")}\n").getOrElse("") +
+          m.bucketCols.map(p => s"bucketCols=${p.mkString(",")}\n").getOrElse("") +
           m.schemaJson.map(j => s"schema=$j\n").getOrElse(""))
   }
 
@@ -248,25 +266,32 @@ object CdcApplier {
     // Hash in the layout's persisted column order — the caller's key-frame
     // column order must not change which bucket a key lands in.
     val pkCols = meta.pkCols.getOrElse(keys.columns.toSeq)
-    if (pkCols.toSet != keys.columns.toSet)
-      throw new IllegalArgumentException(
-        s"lookup keys (${keys.columns.mkString(",")}) != target PK (${pkCols.mkString(",")})")
+    val bucketCols = meta.bucketCols.getOrElse(pkCols)
+    // Full-key lookup (the `Get`) or bucket-prefix lookup (the rowkey
+    // prefix SCAN — only for layouts bucketed on a PK prefix, where the
+    // prefix alone still determines the bucket).
+    val lookupCols =
+      if (pkCols.toSet == keys.columns.toSet) pkCols
+      else if (bucketCols.toSet == keys.columns.toSet) bucketCols
+      else throw new IllegalArgumentException(
+        s"lookup keys (${keys.columns.mkString(",")}) must be the target PK " +
+          s"(${pkCols.mkString(",")}) or its bucket prefix (${bucketCols.mkString(",")})")
     val buckets = keys
-      .select(pmod(hash(pkCols.map(col): _*), lit(numBuckets)).as(BUCKET))
+      .select(pmod(hash(bucketCols.map(col): _*), lit(numBuckets)).as(BUCKET))
       .distinct().collect().map(_.getInt(0)).sorted
     if (buckets.isEmpty) return snapshot(spark, targetDir).limit(0)
     val pruned = spark.read.option("mergeSchema", true).parquet(targetDir)
       .filter(col(BUCKET).isin(buckets.map(Int.box): _*))
     // One bounded collect of the distinct key tuples feeds every column's
     // IN-list (contract-bounded like the bucket collect above).
-    val keyRows = keys.select(pkCols.map(col): _*).distinct().collect()
-    val rowGroupPruned = pkCols.zipWithIndex.foldLeft(pruned) {
+    val keyRows = keys.select(lookupCols.map(col): _*).distinct().collect()
+    val rowGroupPruned = lookupCols.zipWithIndex.foldLeft(pruned) {
       case (df, (pk, i)) =>
         val vals = keyRows.map(_.get(i)).distinct
         df.filter(col(pk).isin(vals: _*))
     }
     rowGroupPruned
-      .join(broadcast(keys), pkCols, "left_semi")
+      .join(broadcast(keys), lookupCols, "left_semi")
       .filter(!col(DEL)).drop(DEL, BUCKET)
   }
 
@@ -317,6 +342,22 @@ object CdcApplier {
       throw new IllegalStateException(
         s"PK drift: target layout is keyed by ${pkOrder.mkString(",")}, " +
           s"caller configured ${opts.pkCols.mkString(",")}")
+    // Same adopt-the-layout rule for the bucket-hash columns: a target
+    // created with prefix bucketing must keep it (and vice versa), or new
+    // rows land in buckets the existing rows are not in.
+    val bucketOrder = meta match {
+      case Some(m) => m.bucketCols.getOrElse(pkOrder)
+      case None    => opts.bucketCols.getOrElse(pkOrder)
+    }
+    if (meta.isEmpty) {
+      if (!bucketOrder.toSet.subsetOf(pkOrder.toSet))
+        throw new IllegalArgumentException(
+          s"bucketCols (${bucketOrder.mkString(",")}) must be a subset of the PK " +
+            s"(${pkOrder.mkString(",")})")
+    } else if (opts.bucketCols.exists(_ != bucketOrder))
+      throw new IllegalStateException(
+        s"bucket-layout drift: target is bucketed by ${bucketOrder.mkString(",")}, " +
+          s"caller configured ${opts.bucketCols.get.mkString(",")}")
 
     // Events at or below the compaction horizon are already applied and
     // their tombstones may be gone — discard instead of merging (a stale
@@ -324,7 +365,7 @@ object CdcApplier {
     val inHorizon = resolveBatch(changes, opts)
     val resolved = (if (horizon == Long.MinValue) inHorizon
                     else inHorizon.filter(col(POS) > horizon))
-      .withColumn(BUCKET, pmod(hash(pkOrder.map(col): _*), lit(numBuckets)))
+      .withColumn(BUCKET, pmod(hash(bucketOrder.map(col): _*), lit(numBuckets)))
       .persist()
     try {
       // Small driver-side action: at most numBuckets values.
@@ -376,7 +417,8 @@ object CdcApplier {
       if (meta.isEmpty || newFields.nonEmpty ||
           meta.exists(m => m.schemaJson.isEmpty || m.pkCols.isEmpty))
         TargetMeta.write(hconf, target,
-          TargetMeta(numBuckets, horizon, Some(merged.schema.json), Some(pkOrder)))
+          TargetMeta(numBuckets, horizon, Some(merged.schema.json), Some(pkOrder),
+            if (bucketOrder == pkOrder) None else Some(bucketOrder)))
 
       val tmp = new Path(targetDir + ".tmp")
       if (fs.exists(tmp)) fs.delete(tmp, true)

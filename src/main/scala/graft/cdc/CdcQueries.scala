@@ -139,6 +139,54 @@ object CdcQueries {
         .orderBy($"o_orderkey")
     }),
 
+    // Secondary index over the replicated store — the HBase-ecosystem read
+    // path the reference's composite row keys exist to serve (S7 encodes
+    // (value, pk) exactly so prefix scans find rows by a non-key value;
+    // Astro exposed the same via its catalog). The index is ITSELF a graft
+    // bucketed table: PK (o_custkey, o_orderkey), bucketed by the
+    // o_custkey PREFIX (Options.bucketCols), and maintained INCREMENTALLY
+    // from the SAME change envelope as the base store, just projected to
+    // the two index columns — a custkey-changing update is, from the
+    // index's perspective, a PK-moving update, so resolveBatch's S10
+    // fan-out (delete@before-key + insert@after-key) retires the stale
+    // entry with no index-specific code. Reads are two chained bucket-
+    // pruned pointLookups (index prefix-scan -> base-store Get); neither
+    // touches a full table, so at 100 TB a k-custkey query reads ≤k index
+    // buckets + the matching store buckets. The oracle replays the
+    // lifecycle declaratively — a stale index entry (extra or missing
+    // orderkey) surfaces as a wrong final row set and breaks the hash.
+    "q123_secondary_index" -> ((s, dir) => {
+      import s.implicits._
+      val o = Tables.load(s, dir, "orders")
+      val base = Files.createTempDirectory("graft_cdc").toString
+      val store = base + "/orders_si"
+      val index = base + "/orders_si_idx"
+      val sopts = CdcApplier.Options(Seq("o_orderkey"))
+      val iopts = CdcApplier.Options(Seq("o_custkey", "o_orderkey"),
+        bucketCols = Some(Seq("o_custkey")))
+      def indexFeed(changes: DataFrame): DataFrame =
+        changes.select(col("op"), col("next_position"),
+          when(col("before").isNotNull, struct(
+            col("before.o_custkey").as("o_custkey"),
+            col("before.o_orderkey").as("o_orderkey"))).as("before"),
+          when(col("after").isNotNull, struct(
+            col("after.o_custkey").as("o_custkey"),
+            col("after.o_orderkey").as("o_orderkey"))).as("after"))
+      val b1 = ChangeFeed.inserts(o, $"o_orderkey" * 10)
+      val b2 = ChangeFeed.updates(o.filter($"o_orderkey" % 6 === 2),
+          Map("o_custkey" -> ($"o_custkey" + 1)), $"o_orderkey" * 10 + 3)
+        .union(ChangeFeed.deletes(o.filter($"o_orderkey" % 9 === 1), $"o_orderkey" * 10 + 5))
+      Seq(b1, b2).foreach { b =>
+        CdcApplier.applyBatch(s, b, store, sopts)
+        CdcApplier.applyBatch(s, indexFeed(b), index, iopts)
+      }
+      val custkeys = Seq(3L, 7L, 11L, 19L, 42L).toDF("o_custkey")
+      val orderKeys = CdcApplier.pointLookup(s, index, custkeys).select($"o_orderkey")
+      CdcApplier.pointLookup(s, store, orderKeys)
+        .select(o.columns.map(col).toIndexedSeq: _*)
+        .orderBy($"o_orderkey")
+    }),
+
     // The REAL Structured Streaming path, gated by the DuckDB oracle: the
     // orders change feed is JSON-encoded into the generic envelope, fed
     // through MemoryStream in two micro-batches (bootstrap, then
@@ -772,6 +820,16 @@ object CdcQueries {
         o_orderdate, o_orderpriority
       FROM orders
       WHERE o_orderkey % 11 <> 0 AND o_orderkey % 250 = 0
+      ORDER BY o_orderkey""",
+
+    "q123_secondary_index" -> """
+      SELECT o_orderkey,
+        CASE WHEN o_orderkey % 6 = 2 THEN o_custkey + 1 ELSE o_custkey END AS o_custkey,
+        o_orderstatus, o_totalprice, o_orderdate, o_orderpriority
+      FROM orders
+      WHERE o_orderkey % 9 <> 1
+        AND (CASE WHEN o_orderkey % 6 = 2 THEN o_custkey + 1 ELSE o_custkey END)
+            IN (3, 7, 11, 19, 42)
       ORDER BY o_orderkey""",
 
     "q33_streaming_merge" -> """

@@ -337,6 +337,62 @@ class CdcApplierSpec extends AnyFunSuite {
       Set(rows.head, rows(2)))
   }
 
+  test("prefix-bucketed layout (Options.bucketCols): prefix scan, Get, drift guard, PK-move retire") {
+    val target = newTarget()
+    val popts = CdcApplier.Options(pk, bucketCols = Some(Seq("sn")))
+    // several rows per sn — the index shape: bucket key is a PK prefix
+    val rows = for (sn <- 1 to 8; j <- 1 to 3) yield Student(sn, sn * 100 + j, j, s"n$sn-$j", "r")
+    CdcApplier.applyBatch(spark,
+      ChangeFeed.inserts(rows.toDF(), (col("sn") * 100 + col("id")).cast("long")), target, popts)
+
+    // prefix lookup by sn alone returns ALL rows under the prefix
+    val scan = CdcApplier.pointLookup(spark, target, Seq(3).toDF("sn"))
+    assert(scan.drop("_graft_pos").as[Student].collect().toSet ==
+      rows.filter(_.sn == 3).toSet)
+    // ...and is bucket-pruned + row-group-pruned on the prefix column
+    val p = scan.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    // one lookup key → the literal bucket predicate may render as IN or =
+    assert(p.linesIterator.exists(l =>
+        l.contains("PartitionFilters") && l.contains("graft_bucket")),
+      s"prefix lookup must prune bucket dirs:\n$p")
+    assert(p.linesIterator.exists(l => l.contains("PushedFilters") &&
+        (l.contains("In(sn") || l.contains("EqualTo(sn"))),
+      s"prefix column literal filter must reach PushedFilters:\n$p")
+
+    // full-key Get still works on the prefix-bucketed layout
+    val got = CdcApplier.pointLookup(spark, target, Seq((3, 302)).toDF("sn", "id"))
+      .drop("_graft_pos").as[Student].collect().toSet
+    assert(got == Set(Student(3, 302, 2, "n3-2", "r")))
+
+    // meta persists the bucket layout; a later writer configured without it
+    // (defaulting to full-PK hashing) ADOPTS the persisted prefix layout
+    val meta = CdcApplier.TargetMeta.read(
+      spark.sparkContext.hadoopConfiguration, new org.apache.hadoop.fs.Path(target))
+    assert(meta.flatMap(_.bucketCols).contains(Seq("sn")))
+    // ...but an explicitly CONTRADICTORY bucket layout is drift, not adoption
+    val e = intercept[IllegalStateException](CdcApplier.applyBatch(spark,
+      ev("insert", 5000, None, Some(Student(9, 901, 1, "x", "r"))), target,
+      CdcApplier.Options(pk, bucketCols = Some(Seq("id")))))
+    assert(e.getMessage.contains("bucket-layout drift"))
+
+    // a bucket-prefix-moving update (sn changes) retires the old entry —
+    // the S10 fan-out serving the secondary-index maintenance path
+    CdcApplier.applyBatch(spark,
+      ev("update", 6000, Some(Student(3, 302, 2, "n3-2", "r")),
+        Some(Student(7, 302, 2, "n3-2", "r"))), target, popts)
+    assert(CdcApplier.pointLookup(spark, target, Seq(3).toDF("sn"))
+      .as[Student].collect().forall(_.id != 302), "old prefix entry must be retired")
+    assert(CdcApplier.pointLookup(spark, target, Seq(7).toDF("sn"))
+      .as[Student].collect().exists(_.id == 302), "moved entry must appear under the new prefix")
+
+    // bucketCols not a subset of the PK is rejected at creation
+    val e2 = intercept[IllegalArgumentException](CdcApplier.applyBatch(spark,
+      ev("insert", 1, None, Some(s1)), newTarget(),
+      CdcApplier.Options(pk, bucketCols = Some(Seq("score")))))
+    assert(e2.getMessage.contains("subset"))
+  }
+
   test("applyBatch: a later run with the PK columns in a different order adopts the layout's") {
     val target = newTarget()
     CdcApplier.applyBatch(spark, ev("insert", 10, None, Some(s1)), target, opts)

@@ -227,6 +227,31 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("SortMergeJoin"), s"no shuffle join in a point lookup:\n$p")
   }
 
+  test("q123: index-assisted read is two bucket-pruned lookups, never a table scan or shuffle join") {
+    val p = plan("q123_secondary_index")
+    // BOTH hops (index prefix scan, then base-store Get) bucket-prune: the
+    // final plan holds two scans, each with a literal graft_bucket
+    // partition filter
+    val prunedScans = p.linesIterator.count(l =>
+      l.contains("PartitionFilters") && l.contains("graft_bucket"))
+    assert(prunedScans >= 2,
+      s"both the index and the store scan must bucket-prune (got $prunedScans):\n$p")
+    // row-group pruning engages on the store's PK and the index's prefix
+    assert(p.linesIterator.exists(l =>
+        l.contains("PushedFilters") &&
+          (l.contains("In(o_orderkey") || l.contains("EqualTo(o_orderkey"))),
+      s"store-hop keys must reach PushedFilters:\n$p")
+    assert(p.linesIterator.exists(l =>
+        l.contains("PushedFilters") &&
+          (l.contains("In(o_custkey") || l.contains("EqualTo(o_custkey"))),
+      s"index-hop prefix keys must reach PushedFilters:\n$p")
+    // key matches broadcast the bounded key sets; a secondary-index read
+    // must never shuffle either table
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftSemi"),
+      s"key match must be a broadcast semi join:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"no shuffle join in an index read:\n$p")
+  }
+
   test("q111: PageRank step is equi-joins + partial/final aggs, one scalar broadcast") {
     val p = plan("q111_pagerank_step")
     assert(!p.contains("CartesianProduct"),
