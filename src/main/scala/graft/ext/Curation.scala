@@ -64,6 +64,31 @@ object Curation {
     * arithmetic so the DuckDB oracle regenerates the identical snapshot. */
   val DiffAddBase = 1000000L
 
+  /** The deterministic v2 corpus (q120's mutation, reused by q124): docs
+    * `%7=0` deleted, `%5=0` re-crawled with edited text, `%11=0` spawning a
+    * new doc at `doc_id+`[[DiffAddBase]]. */
+  private[ext] def corpusV2(docs: DataFrame): DataFrame =
+    docs.filter(col("doc_id") % 7 =!= 0)
+      .select(col("doc_id"),
+        when(col("doc_id") % 5 === 0, concat(col("text"), lit(" [rev2]")))
+          .otherwise(col("text")).as("text"))
+      .union(docs.filter(col("doc_id") % 11 === 0)
+        .select((col("doc_id") + DiffAddBase).as("doc_id"),
+          concat(lit("added doc "), col("doc_id").cast("string")).as("text")))
+
+  /** [[corpusV2]] as a DuckDB CTE body. */
+  private[ext] val corpusV2Sql: String = s"""
+        SELECT doc_id,
+          CASE WHEN doc_id % 5 = 0 THEN text || ' [rev2]' ELSE text END AS text
+        FROM documents WHERE doc_id % 7 <> 0
+        UNION ALL
+        SELECT doc_id + $DiffAddBase AS doc_id,
+          'added doc ' || CAST(doc_id AS VARCHAR) AS text
+        FROM documents WHERE doc_id % 11 = 0"""
+
+  /** Top terms reported by the q124 drift audit. */
+  val DriftK = 40
+
   /** Planted re-crawl copies for q121: every `doc_id % 9 = 4` doc is
     * re-ingested verbatim at `doc_id+`[[LeakCopyBase]] — the id-level dedup
     * miss that turns into split leakage when the copy's hash lands in the
@@ -104,14 +129,8 @@ object Curation {
     "q120_corpus_diff" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
       val v1 = docs.select(col("doc_id"), md5(col("text").cast("binary")).as("h1"))
-      val v2kept = docs.filter(col("doc_id") % 7 =!= 0)
-        .select(col("doc_id"),
-          md5(when(col("doc_id") % 5 === 0, concat(col("text"), lit(" [rev2]")))
-            .otherwise(col("text")).cast("binary")).as("h2"))
-      val v2added = docs.filter(col("doc_id") % 11 === 0)
-        .select((col("doc_id") + DiffAddBase).as("doc_id"),
-          md5(concat(lit("added doc "), col("doc_id").cast("string")).cast("binary")).as("h2"))
-      v1.join(v2kept.union(v2added), Seq("doc_id"), "full_outer")
+      val v2 = corpusV2(docs).select(col("doc_id"), md5(col("text").cast("binary")).as("h2"))
+      v1.join(v2, Seq("doc_id"), "full_outer")
         .withColumn("status",
           when(col("h1").isNull, "added")
             .when(col("h2").isNull, "removed")
@@ -149,6 +168,39 @@ object Curation {
         .groupBy(col("test_doc"))
         .agg(min(col("train_doc")).as("train_doc"))
         .repartition(1).sortWithinPartitions(col("test_doc"))
+    }),
+
+    // ---- q124: unigram-distribution drift between corpus versions — the
+    //      "did this crawl shift the token mix" audit run on every corpus
+    //      release. Per-term drift is the cross-multiplied |p1 - p2|
+    //      (|c1*T2 - c2*T1| — exact 64-bit integers end-to-end, no engine
+    //      ever divides), top-K by drift. Two corpus passes (explode +
+    //      partial/final agg to vocab-sized term frames), one vocab-sized
+    //      full-outer join, a 1-row totals broadcast, distributed
+    //      TakeOrdered — nothing driver-sized but the K-row report.
+    "q124_token_drift" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      def tf(c: DataFrame, as: String) =
+        c.select(explode(TextOps.words(col("text"))).as("term"))
+          .groupBy(col("term")).agg(count(lit(1)).as(as))
+      // materialized once: each term frame feeds BOTH its total and the
+      // join (the q69 double-consumer discipline)
+      val tf1 = tf(docs, "c1").localCheckpoint()
+      val tf2 = tf(corpusV2(docs), "c2").localCheckpoint()
+      val totals = tf1.agg(sum(col("c1")).as("t1"))
+        .crossJoin(tf2.agg(sum(col("c2")).as("t2")))
+      val top = tf1.join(tf2, Seq("term"), "full_outer")
+        .select(col("term"),
+          coalesce(col("c1"), lit(0L)).as("c1"), coalesce(col("c2"), lit(0L)).as("c2"))
+        .crossJoin(broadcast(totals))
+        .withColumn("drift", abs(col("c1") * col("t2") - col("c2") * col("t1")))
+        .orderBy(col("drift").desc, col("term")).limit(DriftK)
+      // K-row ranking window partitioned by the single-valued t1 (not a
+      // lit(), which would constant-fold into the unpartitioned shape)
+      val w = Window.partitionBy(col("t1")).orderBy(col("drift").desc, col("term"))
+      top.withColumn("rank", row_number().over(w).cast("long"))
+        .select(col("rank"), col("term"), col("c1"), col("c2"), col("drift"))
+        .repartition(1).sortWithinPartitions(col("rank"))
     }),
 
     // ---- q122: reproducible training-order shuffle — pos = the corpus
@@ -192,14 +244,8 @@ object Curation {
 
     "q120_corpus_diff" -> s"""
       WITH v1 AS (SELECT doc_id, md5(text) AS h1 FROM documents),
-      v2 AS (
-        SELECT doc_id,
-          md5(CASE WHEN doc_id % 5 = 0 THEN text || ' [rev2]' ELSE text END) AS h2
-        FROM documents WHERE doc_id % 7 <> 0
-        UNION ALL
-        SELECT doc_id + $DiffAddBase AS doc_id,
-          md5('added doc ' || CAST(doc_id AS VARCHAR)) AS h2
-        FROM documents WHERE doc_id % 11 = 0)
+      v2raw AS ($corpusV2Sql),
+      v2 AS (SELECT doc_id, md5(text) AS h2 FROM v2raw)
       SELECT COALESCE(v1.doc_id, v2.doc_id) AS doc_id,
         CASE WHEN v1.doc_id IS NULL THEN 'added'
              WHEN v2.doc_id IS NULL THEN 'removed'
@@ -226,6 +272,23 @@ object Curation {
       FROM keyed test JOIN keyed train USING (ckey)
       WHERE NOT test.is_train AND train.is_train
       GROUP BY 1 ORDER BY test_doc""",
+
+    "q124_token_drift" -> s"""
+      WITH v2 AS ($corpusV2Sql),
+      w1 AS (SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term FROM documents),
+      w2 AS (SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term FROM v2),
+      tf1 AS (SELECT term, CAST(count(*) AS BIGINT) AS c1 FROM w1 GROUP BY 1),
+      tf2 AS (SELECT term, CAST(count(*) AS BIGINT) AS c2 FROM w2 GROUP BY 1),
+      tot AS (SELECT (SELECT CAST(sum(c1) AS BIGINT) FROM tf1) AS t1,
+                     (SELECT CAST(sum(c2) AS BIGINT) FROM tf2) AS t2),
+      j AS (SELECT COALESCE(tf1.term, tf2.term) AS term,
+              COALESCE(c1, 0) AS c1, COALESCE(c2, 0) AS c2
+            FROM tf1 FULL OUTER JOIN tf2 ON tf1.term = tf2.term),
+      top AS (SELECT term, c1, c2, abs(c1*t2 - c2*t1) AS drift
+              FROM j CROSS JOIN tot ORDER BY drift DESC, term LIMIT $DriftK)
+      SELECT CAST(ROW_NUMBER() OVER (ORDER BY drift DESC, term) AS BIGINT) AS rank,
+        term, c1, c2, drift
+      FROM top ORDER BY rank""",
 
     "q122_train_order" -> s"""
       WITH keyed AS (
