@@ -41,7 +41,9 @@ object Similarity {
   val DedupCos = 0.99
   val SemCos = 0.9 // q118 semantic-dup threshold (scaled copies sit at ~1.0)
   val DedupTables = 2
-  val IvfCells = 16 // coarse-quantizer cells (q53)
+  val IvfCells = 16 // coarse-quantizer cells (q53); also the PQ codebook size (q125)
+  val PqM = 8       // product-quantization subspaces (q125)
+  val PqSub = 8     // dims per subspace (64 / PqM)
   val IvfProbes = 4 // cells probed per query
 
   /** Index-order double dot product — bit-identical to the oracle's fold;
@@ -374,6 +376,48 @@ object Similarity {
         .repartition(1).sortWithinPartitions(col("vec_id"))
     }),
 
+    // ---- q125: product-quantization encode (Jégou et al. 2011) — the
+    //      compression step that makes billion-vector ANN feasible: the
+    //      64-dim embedding splits into PqM=8 subvectors, each assigned to
+    //      its nearest of PqK=16 per-subspace centroids, so a vector
+    //      becomes 8 nibbles (4 bytes) instead of 256. Codebook = the q53
+    //      IVF seed vectors' own slices (deterministic, data-derived, no
+    //      RNG — the oracle re-reads the same rows). Assignment is a PURE
+    //      PROJECTION: 8x16 fused subvector-L2 kernels + lexicographic
+    //      least() per subspace (min d2, ties to the lowest code), then one
+    //      explode to (vec_id, sub, code, d2) rows — no join, no shuffle;
+    //      at 100 TB this is one bandwidth-bound corpus pass, the codebook
+    //      rides in the closure. d2 folds left in IEEE order on both
+    //      engines, so even ties cannot diverge.
+    "q125_pq_encode" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings").repartition(col("vec_id"))
+        .filter(col("vec_id") >= NumQueries)
+        .select(col("vec_id"), col("embedding"))
+      // 16 codebook rows, driver-bounded by construction (= IvfCells)
+      val seeds: Seq[Seq[Double]] = t(s, dir, "embeddings")
+        .filter(col("vec_id") >= NumQueries && col("vec_id") < NumQueries + IvfCells)
+        .select(col("vec_id"), col("embedding")).collect()
+        .sortBy(_.getLong(0))
+        .map(_.getSeq[Float](1).map(_.toDouble).toSeq).toSeq
+      def subD2(v: Column, m: Int, c: Seq[Double]): Column =
+        aggregate(
+          zip_with(slice(v, m * PqSub + 1, PqSub),
+            typedLit(c.slice(m * PqSub, (m + 1) * PqSub)),
+            (x, y) => (x.cast("double") - y) * (x.cast("double") - y)),
+          lit(0.0), (acc, x) => acc + x)
+      val codes = (0 until PqM).map { m =>
+        val best = least((0 until IvfCells).map { k =>
+          struct(subD2(col("embedding"), m, seeds(k)).as("d"), lit(k).as("k"))
+        }: _*)
+        struct(lit(m.toLong).as("sub"), best.getField("k").cast("long").as("code"),
+          best.getField("d").as("d2"))
+      }
+      e.select(col("vec_id"), explode(array(codes: _*)).as("pq"))
+        .select(col("vec_id"), col("pq.sub").as("sub"),
+          col("pq.code").as("code"), col("pq.d2").as("d2"))
+        .repartition(1).sortWithinPartitions(col("vec_id"), col("sub"))
+    }),
+
     // ---- q107: ONE PCA power-iteration step over the corpus embeddings —
     //      the spectral sibling of q62's k-means step (top principal
     //      direction = the axis embedding-space analyses whiten/project
@@ -589,6 +633,29 @@ object Similarity {
     // The scaled copy mirrors Spark's FLOAT multiply exactly: a float
     // product is exactly representable in double (48 <= 53 mantissa bits),
     // so the double-then-REAL rounding equals the direct float multiply.
+    "q125_pq_encode" -> s"""
+      WITH corpus AS (
+        SELECT vec_id, embedding FROM embeddings WHERE vec_id >= $NumQueries),
+      seeds AS (
+        SELECT vec_id - $NumQueries AS k, embedding AS ce FROM embeddings
+        WHERE vec_id >= $NumQueries AND vec_id < ${NumQueries + IvfCells}),
+      pairs AS (
+        SELECT c.vec_id, m.m AS sub, s.k,
+          list_reduce(list_prepend(0.0::DOUBLE, list_transform(range(1, ${PqSub + 1}),
+            i -> (CAST(c.embedding[m.m*$PqSub + i] AS DOUBLE) - CAST(s.ce[m.m*$PqSub + i] AS DOUBLE))
+               * (CAST(c.embedding[m.m*$PqSub + i] AS DOUBLE) - CAST(s.ce[m.m*$PqSub + i] AS DOUBLE)))),
+            (acc, x) -> acc + x) AS d2
+        FROM corpus c
+        CROSS JOIN (SELECT unnest(range(0, $PqM)) AS m) m
+        CROSS JOIN seeds s),
+      ranked AS (
+        SELECT vec_id, sub, k, d2,
+          ROW_NUMBER() OVER (PARTITION BY vec_id, sub ORDER BY d2, k) AS rn
+        FROM pairs)
+      SELECT vec_id, CAST(sub AS BIGINT) AS sub, CAST(k AS BIGINT) AS code, d2
+      FROM ranked WHERE rn = 1
+      ORDER BY vec_id, sub""",
+
     "q118_semantic_dedup" -> s"""
       WITH base AS (
         SELECT vec_id, embedding FROM embeddings WHERE vec_id >= $NumQueries),
