@@ -102,6 +102,32 @@ object Similarity {
       (r.getLong(0).toInt - NumQueries, v.map(_.toDouble / nrm).toSeq)
     }.sortBy(_._1).toSeq
 
+  /** The q125/q126 PQ codebook: the IVF seed rows' RAW values (no
+    * normalization — PQ quantizes L2 space), driver-bounded by construction
+    * (= [[IvfCells]] rows). The oracle re-reads the same rows. */
+  private def pqCodebook(emb: DataFrame): Seq[Seq[Double]] = emb
+    .filter(col("vec_id") >= NumQueries && col("vec_id") < NumQueries + IvfCells)
+    .select(col("vec_id"), col("embedding")).collect()
+    .sortBy(_.getLong(0))
+    .map(_.getSeq[Float](1).map(_.toDouble).toSeq).toSeq
+
+  /** Subvector-m L2 distance to a codebook row: left IEEE fold over the
+    * [[PqSub]] squared differences — the oracle replays the identical op
+    * order, so the doubles are bit-identical cross-engine. */
+  private def subD2(v: Column, m: Int, c: Seq[Double]): Column =
+    aggregate(
+      zip_with(slice(v, m * PqSub + 1, PqSub),
+        typedLit(c.slice(m * PqSub, (m + 1) * PqSub)),
+        (x, y) => (x.cast("double") - y) * (x.cast("double") - y)),
+      lit(0.0), (acc, x) => acc + x)
+
+  /** Argmin subspace centroid as a lexicographic least() over
+    * (d2, code) structs: min distance, ties to the lowest code. */
+  private def pqBest(v: Column, m: Int, seeds: Seq[Seq[Double]]): Column =
+    least((0 until IvfCells).map { k =>
+      struct(subD2(v, m, seeds(k)).as("d"), lit(k).as("k"))
+    }: _*)
+
   /** Argmax-cosine cell as a flat PURE-PROJECTION expression (the graft_dot
     * kernel x K, no join, no shuffle): greatest() over (dot, -cid) structs
     * is a lexicographic max -> max dot, ties to the lowest cid (ties cannot
@@ -393,22 +419,9 @@ object Similarity {
       val e = t(s, dir, "embeddings").repartition(col("vec_id"))
         .filter(col("vec_id") >= NumQueries)
         .select(col("vec_id"), col("embedding"))
-      // 16 codebook rows, driver-bounded by construction (= IvfCells)
-      val seeds: Seq[Seq[Double]] = t(s, dir, "embeddings")
-        .filter(col("vec_id") >= NumQueries && col("vec_id") < NumQueries + IvfCells)
-        .select(col("vec_id"), col("embedding")).collect()
-        .sortBy(_.getLong(0))
-        .map(_.getSeq[Float](1).map(_.toDouble).toSeq).toSeq
-      def subD2(v: Column, m: Int, c: Seq[Double]): Column =
-        aggregate(
-          zip_with(slice(v, m * PqSub + 1, PqSub),
-            typedLit(c.slice(m * PqSub, (m + 1) * PqSub)),
-            (x, y) => (x.cast("double") - y) * (x.cast("double") - y)),
-          lit(0.0), (acc, x) => acc + x)
+      val seeds = pqCodebook(t(s, dir, "embeddings"))
       val codes = (0 until PqM).map { m =>
-        val best = least((0 until IvfCells).map { k =>
-          struct(subD2(col("embedding"), m, seeds(k)).as("d"), lit(k).as("k"))
-        }: _*)
+        val best = pqBest(col("embedding"), m, seeds)
         struct(lit(m.toLong).as("sub"), best.getField("k").cast("long").as("code"),
           best.getField("d").as("d2"))
       }
@@ -416,6 +429,60 @@ object Similarity {
         .select(col("vec_id"), col("pq.sub").as("sub"),
           col("pq.code").as("code"), col("pq.d2").as("d2"))
         .repartition(1).sortWithinPartitions(col("vec_id"), col("sub"))
+    }),
+
+    // ---- q126: IVFPQ search — the production billion-vector ANN layout
+    //      (Faiss IndexIVFPQ with by_residual=false): the coarse IVF
+    //      quantizer prunes to the probed cells (q53's machinery) and
+    //      candidates are ranked by ASYMMETRIC DISTANCE (ADC, Jégou et al.
+    //      2011): each query precomputes its 8x16 subspace-distance table
+    //      (projection-only, rides through the probe explode), and a
+    //      candidate's distance is 8 table lookups by its PQ codes + an
+    //      in-row left fold — the corpus side touches only (cell, codes):
+    //      4 BYTES per vector instead of 256, which is the entire point at
+    //      100 TB (the full-precision vectors never leave the scan that
+    //      encodes them). One cell equi-join against the broadcast probe
+    //      set, per-query top-k window. Quality on these ISOTROPIC
+    //      synthetic embeddings is chance-dominated (see the recall-bound
+    //      honesty note above), so the gate is the EXACT DuckDB replay of
+    //      the full decision procedure — cells, codes, ADC folds, ranks —
+    //      rather than a recall floor that would only measure noise.
+    "q126_ivfpq_search" -> ((s, dir) => {
+      graft.functions.GraftFunctions.register(s)
+      val e = t(s, dir, "embeddings").repartition(col("vec_id"))
+        .withColumn("nrm", sqrt(dotd(col("embedding"), col("embedding"))))
+      val centroids = ivfCentroids(e)
+      val seeds = pqCodebook(t(s, dir, "embeddings"))
+      val tgt = e.filter(col("vec_id") >= NumQueries)
+        .withColumn("cell", cellOf(col("embedding"), centroids))
+        .withColumn("codes", array((0 until PqM).map(m =>
+          pqBest(col("embedding"), m, seeds).getField("k")): _*))
+        .select(col("vec_id"), col("cell"), col("codes"))
+      // query side: ADC table (8x16 doubles) + top-nprobe cells, q53's order
+      val adc = array((0 until PqM).map(m =>
+        array((0 until IvfCells).map(k => subD2(col("embedding"), m, seeds(k))): _*)): _*)
+      val qcells = e.filter(col("vec_id") < NumQueries)
+        .select(col("vec_id").as("qid"), adc.as("adc"),
+          explode(array(centroids.map { case (cid, c) =>
+            struct(lit(cid).as("cell"), dotd(col("embedding"), typedLit(c)).as("d"))
+          }: _*)).as("cc"))
+        .select(col("qid"), col("adc"), col("cc.cell").as("cell"), col("cc.d").as("d"))
+      val pw = Window.partitionBy(col("qid")).orderBy(col("d").desc, col("cell"))
+      val probes = qcells.withColumn("prank", row_number().over(pw))
+        .filter(col("prank") <= IvfProbes)
+        .select(col("qid"), col("adc"), col("cell"))
+      // ADC: left fold over the 8 subspace lookups, in subspace order
+      val adist = (0 until PqM).map(m =>
+        element_at(element_at(col("adc"), m + 1), element_at(col("codes"), m + 1) + 1))
+        .reduce(_ + _)
+      val w = Window.partitionBy(col("qid")).orderBy(col("adist").asc, col("vec_id"))
+      tgt.join(broadcast(probes), "cell")
+        .withColumn("adist", adist)
+        .withColumn("rank", row_number().over(w).cast("long"))
+        .filter(col("rank") <= TopK)
+        .select(col("qid").as("query_id"), col("rank"),
+          col("vec_id").as("neighbor_id"), col("adist"))
+        .repartition(1).sortWithinPartitions(col("query_id"), col("rank"))
     }),
 
     // ---- q107: ONE PCA power-iteration step over the corpus embeddings —
@@ -449,6 +516,15 @@ object Similarity {
         .repartition(1).sortWithinPartitions(col("pos"))
     })
   )
+
+  /** [[subD2]]'s DuckDB mirror over a sub-index EXPRESSION (column or
+    * literal): identical per-element ops and fold order, so the doubles are
+    * bit-identical. `v`/`c` are float-list expressions, `sub` 0-based. */
+  private def subD2Sql(v: String, c: String, sub: String): String =
+    s"""list_reduce(list_prepend(0.0::DOUBLE, list_transform(range(1, ${PqSub + 1}),
+          i -> (CAST($v[($sub)*$PqSub + i] AS DOUBLE) - CAST($c[($sub)*$PqSub + i] AS DOUBLE))
+             * (CAST($v[($sub)*$PqSub + i] AS DOUBLE) - CAST($c[($sub)*$PqSub + i] AS DOUBLE)))),
+        (acc, x) -> acc + x)"""
 
   private def codesSql(extra: String): String = s"""
     SELECT vec_id, embedding,
@@ -641,10 +717,7 @@ object Similarity {
         WHERE vec_id >= $NumQueries AND vec_id < ${NumQueries + IvfCells}),
       pairs AS (
         SELECT c.vec_id, m.m AS sub, s.k,
-          list_reduce(list_prepend(0.0::DOUBLE, list_transform(range(1, ${PqSub + 1}),
-            i -> (CAST(c.embedding[m.m*$PqSub + i] AS DOUBLE) - CAST(s.ce[m.m*$PqSub + i] AS DOUBLE))
-               * (CAST(c.embedding[m.m*$PqSub + i] AS DOUBLE) - CAST(s.ce[m.m*$PqSub + i] AS DOUBLE)))),
-            (acc, x) -> acc + x) AS d2
+          ${subD2Sql("c.embedding", "s.ce", "m.m")} AS d2
         FROM corpus c
         CROSS JOIN (SELECT unnest(range(0, $PqM)) AS m) m
         CROSS JOIN seeds s),
@@ -655,6 +728,66 @@ object Similarity {
       SELECT vec_id, CAST(sub AS BIGINT) AS sub, CAST(k AS BIGINT) AS code, d2
       FROM ranked WHERE rn = 1
       ORDER BY vec_id, sub""",
+
+    // Replays q126's FULL decision procedure: same normalized-centroid cell
+    // argmax, same probe order, same PQ code argmin, same ADC lookups
+    // folded in subspace order (list aggregate with ORDER BY sub = the
+    // plan's in-row left fold; 0.0+x is exact, so the prepend changes
+    // nothing).
+    "q126_ivfpq_search" -> s"""
+      WITH e AS (${codesSql("")}),
+      cent AS (
+        SELECT CAST(vec_id - $NumQueries AS INT) AS cid,
+          list_transform(embedding, x -> x::DOUBLE / nrm) AS cv
+        FROM e WHERE vec_id >= $NumQueries AND vec_id < ${NumQueries + IvfCells}),
+      seeds AS (
+        SELECT vec_id - $NumQueries AS k, embedding AS ce FROM e
+        WHERE vec_id >= $NumQueries AND vec_id < ${NumQueries + IvfCells}),
+      subs AS (SELECT unnest(range(0, $PqM)) AS sub),
+      tassign AS (
+        SELECT t.vec_id, t.embedding, c.cid,
+          ROW_NUMBER() OVER (PARTITION BY t.vec_id
+            ORDER BY ${dotSql("t.embedding", "c.cv")} DESC, c.cid) AS rn
+        FROM e t, cent c WHERE t.vec_id >= $NumQueries),
+      tgt AS (SELECT vec_id, embedding, cid AS cell FROM tassign WHERE rn = 1),
+      tpairs AS (
+        SELECT t.vec_id, m.sub, s.k,
+          ${subD2Sql("t.embedding", "s.ce", "m.sub")} AS d2
+        FROM tgt t CROSS JOIN subs m CROSS JOIN seeds s),
+      tcode AS (
+        SELECT vec_id, sub, k AS code FROM (
+          SELECT vec_id, sub, k,
+            ROW_NUMBER() OVER (PARTITION BY vec_id, sub ORDER BY d2, k) AS rn
+          FROM tpairs) x WHERE rn = 1),
+      qprobe AS (
+        SELECT q.vec_id AS qid, c.cid AS cell,
+          ROW_NUMBER() OVER (PARTITION BY q.vec_id
+            ORDER BY ${dotSql("q.embedding", "c.cv")} DESC, c.cid) AS rn
+        FROM e q, cent c WHERE q.vec_id < $NumQueries),
+      qadc AS (
+        SELECT q.vec_id AS qid, m.sub, s.k,
+          ${subD2Sql("q.embedding", "s.ce", "m.sub")} AS qd2
+        FROM e q CROSS JOIN subs m CROSS JOIN seeds s WHERE q.vec_id < $NumQueries),
+      cand AS (
+        SELECT p.qid, t.vec_id
+        FROM (SELECT qid, cell FROM qprobe WHERE rn <= $IvfProbes) p
+        JOIN tgt t ON p.cell = t.cell),
+      cdist AS (
+        SELECT c.qid, c.vec_id,
+          list_reduce(list_prepend(0.0::DOUBLE, list(a.qd2 ORDER BY tc.sub)),
+            (acc, x) -> acc + x) AS adist
+        FROM cand c
+        JOIN tcode tc ON tc.vec_id = c.vec_id
+        JOIN qadc a ON a.qid = c.qid AND a.sub = tc.sub AND a.k = tc.code
+        GROUP BY c.qid, c.vec_id)
+      SELECT qid AS query_id, CAST(rank AS BIGINT) AS rank,
+        vec_id AS neighbor_id, adist
+      FROM (
+        SELECT qid, vec_id, adist,
+          ROW_NUMBER() OVER (PARTITION BY qid ORDER BY adist, vec_id) AS rank
+        FROM cdist) x
+      WHERE rank <= $TopK
+      ORDER BY query_id, rank""",
 
     "q118_semantic_dedup" -> s"""
       WITH base AS (

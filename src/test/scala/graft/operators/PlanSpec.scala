@@ -326,6 +326,25 @@ class PlanSpec extends AnyFunSuite {
       s"the pair join must key on cell:\n$p")
   }
 
+  test("q125: PQ encode is a pure projection — no join, no mid-plan shuffle") {
+    val p = plan("q125_pq_encode")
+    val fin = p.split("== Initial Plan ==")(0)
+    assert(!fin.contains("Join"), s"PQ assignment must not join:\n$p")
+    // the only exchanges are the input spread and the 1-slot result sink;
+    // the encode itself never shuffles
+    assert("Exchange".r.findAllIn(fin).size <= 2,
+      s"no mid-plan shuffle in a projection-only encode:\n$p")
+  }
+
+  test("q126: IVFPQ candidates come from a broadcast cell join, never a shuffle join") {
+    val p = plan("q126_ivfpq_search")
+    val fin = p.split("== Initial Plan ==")(0)
+    assert(!fin.contains("CartesianProduct"), s"no all-pairs scan:\n$p")
+    assert(!fin.contains("SortMergeJoin") && !fin.contains("ShuffledHashJoin"),
+      s"the probe set is query-sized — it must broadcast:\n$p")
+    assert(fin.contains("BroadcastHashJoin"), s"cell equi-join must broadcast:\n$p")
+  }
+
   test("q46: fingerprint runs the fused native kernel, not an interpreted fold") {
     val p = plan("q46_fingerprint")
     assert(p.contains("graft_fingerprint"), p)
