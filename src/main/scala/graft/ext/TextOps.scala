@@ -35,15 +35,21 @@ object TextOps {
     * native codegen expression [[graft.functions.PolyHash]] (the session
     * must have it registered — query entry points call
     * `PolyHash.register`). */
-  def polyHash(s: Column): Column =
-    call_function("graft_polyhash", s, lit(31), lit(HashMod))
+  def polyHash(s: Column): Column = polyHash(s, 31)
+
+  /** [[polyHash]] with an explicit multiplier — the q127 count-min rows use
+    * distinct prime bases as their pairwise-independent-ish hash family. */
+  def polyHash(s: Column, base: Int): Column =
+    call_function("graft_polyhash", s, lit(base), lit(HashMod))
 
   /** Same fold, as a DuckDB SQL fragment over string expression `e`. */
-  def polyHashSql(e: String): String =
+  def polyHashSql(e: String): String = polyHashSql(e, 31)
+
+  def polyHashSql(e: String, base: Int): String =
     s"""list_reduce(
           list_prepend(0::BIGINT,
             list_transform(range(1, length($e)+1), i -> ord(substring($e, i, 1))::BIGINT)),
-          (acc, c) -> (acc*31 + c) % ${HashMod})"""
+          (acc, c) -> (acc*$base + c) % ${HashMod})"""
 
   /** Poor-man's let-binding: evaluate `value` once per row, reference it many
     * times in `body`. Higher-order-function lambda variables are bound by

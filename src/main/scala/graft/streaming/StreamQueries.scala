@@ -20,7 +20,84 @@ case class WindowEventRow(ts: java.sql.Timestamp, event_type: String, value: Dou
   */
 object StreamQueries {
 
+  /** q127 count-min geometry: d rows x w columns = the ENTIRE streaming
+    * state, regardless of vocabulary size. Bases are distinct primes
+    * feeding the portable polyhash as the row-hash family. */
+  val CmsD = 4
+  val CmsW = 512
+  val CmsBases = Seq(31, 37, 41, 43)
+  /** Probe set = the distinct terms of this fixed doc prefix (driver-
+    * bounded by construction — a fixed number of docs at every SF). */
+  val CmsProbeDocs = 40
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- q127: STREAMING count-min sketch — frequency estimation whose
+    //      state is a fixed d x w counter grid (2048 cells here) no matter
+    //      how large the vocabulary grows: the bounded-memory answer to
+    //      "how often does any term occur" that per-term state (q94's
+    //      family) cannot give at 100 TB. CMS updates are pure additions,
+    //      so the sketch is ORDER-INDEPENDENT: micro-batch boundaries,
+    //      shuffle placement, and retry replays cannot change the final
+    //      counters — which is what makes an EXACT oracle possible (DuckDB
+    //      rebuilds the identical grid declaratively; estimates = min over
+    //      the d probed cells, deterministic, no probabilistic assertion
+    //      anywhere). The streaming plan is one explode (d rows per token)
+    //      into a complete-mode groupBy((r, c)) — Spark's partial aggs do
+    //      the map-side combine, the shuffle carries at most d*w rows per
+    //      batch. Estimates for the probe terms then read the final grid
+    //      with d broadcast lookups + a per-term min; `cnt` (the exact
+    //      batch count) rides along so the report exposes estimate vs
+    //      truth — the CMS >= -truth guarantee is structural, the oracle
+    //      equality is the gate. (Cormode & Muthukrishnan 2005.)
+    "q127_stream_cms" -> ((s, dir) => {
+      import s.implicits._
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      implicit val sqlCtx: SQLContext = s.sqlContext
+      graft.functions.GraftFunctions.register(s)
+      import graft.ext.TextOps
+      def cells(term: org.apache.spark.sql.Column) =
+        explode(array((0 until CmsD).map(r =>
+          struct(lit(r).as("r"),
+            (TextOps.polyHash(term, CmsBases(r)) % CmsW).as("c"))): _*)).as("rc")
+      // Driver feed synthesis, same note as q71/q87.
+      val docs = Tables.load(s, dir, "documents").select($"doc_id", $"text")
+        .orderBy($"doc_id").as[(Long, String)].collect()
+      val src = MemoryStream[(Long, String)]
+      val counters = src.toDF().toDF("doc_id", "text")
+        .select(explode(TextOps.words($"text")).as("term"))
+        .select(cells($"term"))
+        .groupBy($"rc.r".as("r"), $"rc.c".as("c")).agg(count(lit(1)).as("n"))
+      val qname = "q127_out_" + java.util.UUID.randomUUID.toString.replace("-", "")
+      val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+      try {
+        s.conf.set("spark.sql.shuffle.partitions", "8")
+        val query = counters.writeStream.format("memory").queryName(qname)
+          .outputMode("complete").start()
+        try {
+          docs.grouped(math.max(100, (docs.length + 3) / 4)).foreach { ch =>
+            src.addData(ch.toIndexedSeq); query.processAllAvailable()
+          }
+        } finally query.stop()
+      } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+      // The final grid is d*w rows — bounded by construction, like the
+      // other memory-sink drains in this file.
+      val sk0 = s.table(qname).select($"r", $"c", $"n")
+      val sk = s.createDataFrame(
+        java.util.Arrays.asList(sk0.collect(): _*), sk0.schema)
+      s.catalog.dropTempView(qname)
+      val corpus = Tables.load(s, dir, "documents")
+      val probes = corpus.filter($"doc_id" < CmsProbeDocs)
+        .select(explode(TextOps.words($"text")).as("term")).distinct()
+      val exact = corpus.select(explode(TextOps.words($"text")).as("term"))
+        .join(broadcast(probes), "term")
+        .groupBy($"term").agg(count(lit(1)).as("cnt"))
+      val est = probes.select($"term", cells($"term"))
+        .join(broadcast(sk), col("rc.r") === sk("r") && col("rc.c") === sk("c"))
+        .groupBy($"term").agg(min($"n").as("est"))
+      exact.join(est, "term")
+        .select($"term", $"cnt", $"est")
+        .repartition(1).sortWithinPartitions($"term")
+    }),
     // ---- q71: watermarked stream-stream interval join. The click and
     //      purchase halves of the events table are replayed in event-time
     //      order as two MemoryStreams; the attribution join emits every
@@ -396,6 +473,40 @@ object StreamQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    // Rebuilds the identical d x w grid declaratively (one arm per row-
+    // hash base), probes the same cells, takes the same min — CMS is
+    // order-independent, so the streamed sketch must equal this exactly.
+    "q127_stream_cms" -> {
+      import graft.ext.TextOps
+      val counterArms = CmsBases.zipWithIndex.map { case (b, r) =>
+        s"""SELECT $r AS r, (${TextOps.polyHashSql("term", b)}) % $CmsW AS c,
+              CAST(count(*) AS BIGINT) AS n
+            FROM toks GROUP BY 2"""
+      }.mkString("\n            UNION ALL\n            ")
+      val probeArms = CmsBases.zipWithIndex.map { case (b, r) =>
+        s"""SELECT p.term, k.n FROM probes p JOIN counters k
+              ON k.r = $r AND k.c = (${TextOps.polyHashSql("p.term", b)}) % $CmsW"""
+      }.mkString("\n            UNION ALL\n            ")
+      s"""
+      WITH toks AS (
+        SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term
+        FROM documents),
+      counters AS (
+            $counterArms),
+      probes AS (
+        SELECT DISTINCT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term
+        FROM documents WHERE doc_id < $CmsProbeDocs),
+      exact AS (
+        SELECT t.term, CAST(count(*) AS BIGINT) AS cnt
+        FROM toks t JOIN probes p ON t.term = p.term GROUP BY 1),
+      est AS (
+        SELECT term, CAST(min(n) AS BIGINT) AS est FROM (
+            $probeArms) x
+        GROUP BY term)
+      SELECT e.term, e.cnt, s.est
+      FROM exact e JOIN est s ON e.term = s.term
+      ORDER BY e.term"""
+    },
     "q71_stream_join" -> """
       SELECT c.event_id AS click_id, p.event_id AS conv_id, c.user_id,
         CAST(FLOOR(epoch(c.ts)) AS BIGINT) AS click_s,
