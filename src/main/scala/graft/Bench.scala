@@ -56,7 +56,9 @@ object Bench {
       "q67_incremental_admit", "q71_stream_join", "q84_stream_window",
       "q85_stream_dedup", "q86_stream_admission", "q87_stream_admit_bounded",
       "q88_stream_sessions", "q93_epoch_snapshot", "q94_stream_minmax_view",
-      "q97_stream_agg_view", "q101_stream_outer_join", "q105_stream_scd2")
+      "q97_stream_agg_view", "q101_stream_outer_join", "q105_stream_scd2",
+      "q115_epoch_concurrent", "q116_compat_merge", "q123_secondary_index",
+      "q127_stream_cms")
     selected.foreach { case (name, fn) =>
       try {
         // Run twice, report the second: the first run absorbs positional

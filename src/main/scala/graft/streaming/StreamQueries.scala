@@ -30,7 +30,95 @@ object StreamQueries {
     * bounded by construction — a fixed number of docs at every SF). */
   val CmsProbeDocs = 40
 
+  /** q128 HyperLogLog geometry: m registers per group; rho is the
+    * trailing-zeros+1 of the post-register hash bits (a geometric variable,
+    * Flajolet et al. 2007), capped where the portable hash runs out of
+    * bits. 2^-rho is materialized from EXACT decimal literals (generated
+    * once here), never a runtime pow() whose libm could differ. */
+  val HllM = 256
+  val HllMaxRho = 23
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- q128: STREAMING HyperLogLog — distinct-count estimation whose
+    //      per-group state is m=256 registers however many distinct users
+    //      exist: the cardinality sibling of q127's count-min (the two
+    //      classic bounded sketches, both streaming-stateful here).
+    //      Register updates are MAX operations — commutative and
+    //      idempotent — so the final registers are independent of
+    //      micro-batch boundaries, shuffle placement, and replays, and the
+    //      gate is an EXACT DuckDB replay of registers AND estimate (same
+    //      portable hash, same trailing-zero rho, same exact 2^-rho
+    //      literals, same register-ordered fold, same alpha arithmetic) —
+    //      stronger than q29's self-validated error bound, which this
+    //      complements. Streaming plan: project to (type, reg, rho),
+    //      complete-mode groupBy max — partial aggs combine map-side, the
+    //      shuffle carries at most groups x m rows per batch.
+    "q128_stream_hll" -> ((s, dir) => {
+      import s.implicits._
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      implicit val sqlCtx: SQLContext = s.sqlContext
+      graft.functions.GraftFunctions.register(s)
+      import graft.ext.TextOps
+      // rho from the post-register bits: trailing zeros + 1, capped
+      def rhoOf(h2: org.apache.spark.sql.Column) = {
+        val arms = (0 until HllMaxRho - 1).foldLeft(
+          when(h2 === 0, HllMaxRho)) { (acc, k) =>
+          acc.when(h2 % (1L << (k + 1)) === (1L << k), k + 1)
+        }
+        arms.otherwise(HllMaxRho)
+      }
+      val rows = Tables.load(s, dir, "events")
+        .filter($"event_type".isin("click", "purchase"))
+        .select($"user_id", $"event_type")
+        .orderBy($"user_id").as[(Long, String)].collect()
+      val src = MemoryStream[(Long, String)]
+      val regs = src.toDF().toDF("user_id", "event_type")
+        .select($"event_type",
+          TextOps.polyHash($"user_id".cast("string"), 31).as("h"))
+        .select($"event_type", ($"h" % HllM).cast("int").as("reg"),
+          expr(s"h DIV $HllM").as("h2"))
+        .select($"event_type", $"reg", rhoOf($"h2").as("rho"))
+        .groupBy($"event_type", $"reg")
+        .agg(max($"rho").as("mr"))
+      val qname = "q128_out_" + java.util.UUID.randomUUID.toString.replace("-", "")
+      val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+      try {
+        s.conf.set("spark.sql.shuffle.partitions", "8")
+        val query = regs.writeStream.format("memory").queryName(qname)
+          .outputMode("complete").start()
+        try {
+          rows.grouped(math.max(500, (rows.length + 3) / 4)).foreach { ch =>
+            src.addData(ch.toIndexedSeq); query.processAllAvailable()
+          }
+        } finally query.stop()
+      } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+      val sk0 = s.table(qname).select($"event_type", $"reg", $"mr")
+      val sk = s.createDataFrame(
+        java.util.Arrays.asList(sk0.collect(): _*), sk0.schema)
+      s.catalog.dropTempView(qname)
+      // exact 2^-rho literals (generated once; no runtime pow)
+      val inv = (1 to HllMaxRho).foldLeft(when(lit(false), 0.0)) { (acc, k) =>
+        acc.when($"mr" === k, lit(1.0 / (1L << k)))
+      }.otherwise(0.0)
+      // per-type register-ordered fold + untouched registers at 2^0 = 1
+      val folded = sk
+        .select($"event_type", struct($"reg", inv.as("inv")).as("ri"))
+        .groupBy($"event_type")
+        .agg(count(lit(1)).as("touched"),
+          aggregate(sort_array(collect_list($"ri")), lit(0.0),
+            (acc, x) => acc + x.getField("inv")).as("s"))
+        .select($"event_type", (lit(HllM) - $"touched").cast("long").as("zero_regs"),
+          ($"s" + (lit(HllM) - $"touched").cast("double")).as("total"))
+      val exact = Tables.load(s, dir, "events")
+        .filter($"event_type".isin("click", "purchase"))
+        .groupBy($"event_type").agg(countDistinct($"user_id").as("n_exact"))
+      exact.join(folded, "event_type")
+        .withColumn("est",
+          lit(0.7213) / (lit(1.0) + lit(1.079) / lit(256.0)) * lit(65536.0) / $"total")
+        .select($"event_type", $"n_exact", $"zero_regs", $"est")
+        .repartition(1).sortWithinPartitions($"event_type")
+    }),
+
     // ---- q127: STREAMING count-min sketch — frequency estimation whose
     //      state is a fixed d x w counter grid (2048 cells here) no matter
     //      how large the vocabulary grows: the bounded-memory answer to
@@ -473,6 +561,48 @@ object StreamQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    // Rebuilds the identical registers declaratively: same portable hash,
+    // same trailing-zero rho arms, same exact 2^-rho decimal literals,
+    // same register-ordered fold, same alpha arithmetic.
+    "q128_stream_hll" -> {
+      import graft.ext.TextOps
+      val rhoCase = (s"CASE WHEN h2 = 0 THEN $HllMaxRho" +:
+        (0 until HllMaxRho - 1).map(k =>
+          s"WHEN h2 % ${1L << (k + 1)} = ${1L << k} THEN ${k + 1}"))
+        .mkString(" ") + s" ELSE $HllMaxRho END"
+      // ::DOUBLE everywhere: a bare DuckDB decimal literal is DECIMAL-typed
+      // and would leave IEEE arithmetic
+      val invCase = ("CASE mr " +
+        (1 to HllMaxRho).map(k => s"WHEN $k THEN ${1.0 / (1L << k)}::DOUBLE").mkString(" ") +
+        " ELSE 0.0::DOUBLE END")
+      s"""
+      WITH ev AS (
+        SELECT user_id, event_type FROM events
+        WHERE event_type IN ('click', 'purchase')),
+      hashed AS (
+        SELECT event_type,
+          ${TextOps.polyHashSql("CAST(user_id AS VARCHAR)", 31)} AS h
+        FROM ev),
+      hr AS (SELECT event_type, CAST(h % $HllM AS INT) AS reg, h // $HllM AS h2
+             FROM hashed),
+      rr AS (SELECT event_type, reg, $rhoCase AS rho FROM hr),
+      regs AS (SELECT event_type, reg, max(rho) AS mr FROM rr GROUP BY 1, 2),
+      folded AS (
+        SELECT event_type, CAST($HllM - count(*) AS BIGINT) AS zero_regs,
+          list_reduce(list_prepend(0.0::DOUBLE, list($invCase ORDER BY reg)),
+            (acc, x) -> acc + x)
+            + CAST($HllM - count(*) AS DOUBLE) AS total
+        FROM regs GROUP BY 1),
+      exact AS (
+        SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS n_exact
+        FROM ev GROUP BY 1)
+      SELECT e.event_type, e.n_exact, f.zero_regs,
+        0.7213::DOUBLE / (1.0::DOUBLE + 1.079::DOUBLE / 256.0::DOUBLE)
+          * 65536.0::DOUBLE / f.total AS est
+      FROM exact e JOIN folded f ON e.event_type = f.event_type
+      ORDER BY e.event_type"""
+    },
+
     // Rebuilds the identical d x w grid declaratively (one arm per row-
     // hash base), probes the same cells, takes the same min — CMS is
     // order-independent, so the streamed sketch must equal this exactly.
