@@ -99,10 +99,15 @@ object CdcApplier {
     *    in pre-upgrade metas, which the next apply backfills).
     *  - `bucketCols`: the subset of `pkCols` the bucket hash runs over
     *    (prefix-lookup layouts, [[Options.bucketCols]]). Absent = full PK,
-    *    which keeps every pre-upgrade meta readable unchanged. */
+    *    which keeps every pre-upgrade meta readable unchanged.
+    *  - `storage`: `Some("mor")` marks a merge-on-read layout
+    *    ([[applyBatchMor]]) whose buckets hold APPENDED delta files — every
+    *    reader must resolve latest-per-key on read. Absent = copy-on-write
+    *    (the [[applyBatch]] swap layout), so pre-upgrade metas read
+    *    unchanged. */
   case class TargetMeta(numBuckets: Int, horizon: Long,
       schemaJson: Option[String] = None, pkCols: Option[Seq[String]] = None,
-      bucketCols: Option[Seq[String]] = None)
+      bucketCols: Option[Seq[String]] = None, storage: Option[String] = None)
 
   object TargetMeta {
     private def metaPath(target: Path) = new Path(target, ".graft_meta")
@@ -112,7 +117,8 @@ object CdcApplier {
         val kv = s.linesIterator.map(_.split("=", 2)).collect { case Array(k, v) => k -> v }.toMap
         TargetMeta(kv("numBuckets").toInt, kv("horizon").toLong, kv.get("schema"),
           kv.get("pkCols").map(_.split(",").toSeq.filter(_.nonEmpty)),
-          kv.get("bucketCols").map(_.split(",").toSeq.filter(_.nonEmpty)))
+          kv.get("bucketCols").map(_.split(",").toSeq.filter(_.nonEmpty)),
+          kv.get("storage"))
       }
 
     def write(conf: org.apache.hadoop.conf.Configuration, target: Path, m: TargetMeta): Unit =
@@ -120,6 +126,7 @@ object CdcApplier {
         s"numBuckets=${m.numBuckets}\nhorizon=${m.horizon}\n" +
           m.pkCols.map(p => s"pkCols=${p.mkString(",")}\n").getOrElse("") +
           m.bucketCols.map(p => s"bucketCols=${p.mkString(",")}\n").getOrElse("") +
+          m.storage.map(v => s"storage=$v\n").getOrElse("") +
           m.schemaJson.map(j => s"schema=$j\n").getOrElse(""))
   }
 
@@ -223,10 +230,18 @@ object CdcApplier {
     * persisted in `.graft_meta`, not a read error. */
   def snapshot(spark: SparkSession, targetDir: String): DataFrame = {
     val target = new Path(targetDir)
-    val fs = target.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (bucketIds(fs, target).nonEmpty)
-      spark.read.option("mergeSchema", true).parquet(targetDir).filter(!col(DEL)).drop(DEL, BUCKET)
-    else {
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val fs = target.getFileSystem(hconf)
+    if (bucketIds(fs, target).nonEmpty) {
+      val raw = spark.read.option("mergeSchema", true).parquet(targetDir)
+      val meta = TargetMeta.read(hconf, target)
+      val resolved =
+        if (meta.exists(_.storage.contains("mor")))
+          resolveOnRead(raw, meta.flatMap(_.pkCols).getOrElse(
+            throw new IllegalStateException(s"mor layout at $targetDir has no persisted PK")))
+        else raw
+      resolved.filter(!col(DEL)).drop(DEL, BUCKET)
+    } else {
       val schema = TargetMeta.read(spark.sparkContext.hadoopConfiguration, target)
         .flatMap(_.schemaJson)
         .map(j => org.apache.spark.sql.types.DataType.fromJson(j).asInstanceOf[StructType])
@@ -234,6 +249,127 @@ object CdcApplier {
       spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
         .drop(DEL, BUCKET)
     }
+  }
+
+  /** Latest-per-key resolution for merge-on-read layouts: within each PK,
+    * the newest `_graft_pos` wins. Replayed batches append value-identical
+    * (key, pos) duplicates; any of them is the same winner, so the
+    * row_number tie is harmless. Runs AFTER bucket pruning on lookups, so
+    * the window only sorts the touched buckets' rows. */
+  private def resolveOnRead(df: DataFrame, pkCols: Seq[String]): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(pkCols.map(col): _*).orderBy(col(POS).desc)
+    df.withColumn("_graft_rn", row_number().over(w))
+      .filter(col("_graft_rn") === 1).drop("_graft_rn")
+  }
+
+  /** Merge-on-read apply: the write-amplification complement of
+    * [[applyBatch]] (public design point: Hudi's MOR tables / Iceberg v2
+    * delete files). The resolved batch is APPENDED as per-bucket delta
+    * files — the existing bucket data is never read or rewritten, so a
+    * batch's write I/O is exactly the batch, not the touched buckets. The
+    * cost moves to readers ([[resolveOnRead]]'s latest-per-key window) and
+    * is reclaimed by [[compactMor]] on whatever cadence the deployment
+    * picks — at 100 TB hot high-churn tables run MOR between compactions,
+    * cold tables stay copy-on-write. Same envelope, same resolve, same
+    * horizon guard and layout-adoption rules as [[applyBatch]]; schema
+    * evolution is deliberately NOT supported on the delta path (evolve at
+    * a compaction, where the whole bucket rewrites anyway).
+    *
+    * Crash safety: deltas land in a tmp dir, then move file-by-file
+    * (atomic renames) into the live bucket dirs. A crash mid-move followed
+    * by a replay re-appends value-identical (key, pos) rows, which
+    * [[resolveOnRead]] collapses — convergence holds. */
+  def applyBatchMor(
+      spark: SparkSession, changes: DataFrame, targetDir: String, opts: Options): Seq[Int] = {
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val target = new Path(targetDir)
+    val fs = target.getFileSystem(hconf)
+
+    val meta = TargetMeta.read(hconf, target)
+    meta.foreach { m =>
+      if (!m.storage.contains("mor"))
+        throw new IllegalStateException(
+          s"$targetDir is a copy-on-write layout; use applyBatch (or re-bootstrap as mor)")
+    }
+    val numBuckets = meta.map(_.numBuckets).getOrElse(opts.numBuckets)
+    val horizon = meta.map(_.horizon).getOrElse(Long.MinValue)
+    val pkOrder = meta.flatMap(_.pkCols).getOrElse(opts.pkCols)
+    if (pkOrder.toSet != opts.pkCols.toSet)
+      throw new IllegalStateException(
+        s"PK drift: target layout is keyed by ${pkOrder.mkString(",")}, " +
+          s"caller configured ${opts.pkCols.mkString(",")}")
+    val bucketOrder = meta match {
+      case Some(m) => m.bucketCols.getOrElse(pkOrder)
+      case None    => opts.bucketCols.getOrElse(pkOrder)
+    }
+
+    val inHorizon = resolveBatch(changes, opts)
+    val resolved = (if (horizon == Long.MinValue) inHorizon
+                    else inHorizon.filter(col(POS) > horizon))
+      .withColumn(DEL, col(KIND) === "delete").drop(KIND)
+      .withColumn(BUCKET, pmod(hash(bucketOrder.map(col): _*), lit(numBuckets)))
+    // Meta BEFORE the first delta lands (a crash in between leaves meta +
+    // no data — a valid empty mor table); also guards the schema.
+    if (meta.isEmpty)
+      TargetMeta.write(hconf, target,
+        TargetMeta(numBuckets, horizon, Some(resolved.schema.json), Some(pkOrder),
+          if (bucketOrder == pkOrder) None else Some(bucketOrder), Some("mor")))
+    else meta.foreach { m =>
+      m.schemaJson.foreach(j =>
+        checkSchemaDrift(
+          org.apache.spark.sql.types.DataType.fromJson(j).asInstanceOf[StructType],
+          resolved.schema, pkOrder))
+    }
+
+    val token = java.util.UUID.randomUUID.toString.replace("-", "").take(12)
+    val tmp = new Path(targetDir + s".delta-$token")
+    if (fs.exists(tmp)) fs.delete(tmp, true)
+    resolved.write.partitionBy(BUCKET).mode("overwrite").parquet(tmp.toString)
+
+    val touched = scala.collection.mutable.ArrayBuffer.empty[Int]
+    bucketIds(fs, tmp).foreach { b =>
+      val from = new Path(tmp, s"$BUCKET=$b")
+      val to = new Path(target, s"$BUCKET=$b")
+      fs.mkdirs(to)
+      fs.listStatus(from).filterNot(_.getPath.getName.startsWith("_")).foreach { f =>
+        val dest = new Path(to, s"delta-$token-${f.getPath.getName}")
+        if (!fs.rename(f.getPath, dest))
+          throw new IOException(s"cannot publish delta file ${f.getPath} -> $dest")
+      }
+      touched += b
+    }
+    fs.delete(tmp, true)
+    spark.catalog.refreshByPath(targetDir)
+    touched.toSeq.sorted
+  }
+
+  /** Compact a merge-on-read target: every bucket collapses to its
+    * latest-per-key resolution (tombstones KEPT — they are the replay
+    * guard until [[compact]]'s horizon advances past them), published
+    * through the same crash-safe per-bucket swap as the copy-on-write
+    * path. Readers before/after see identical state; the delta files and
+    * their window cost are gone. */
+  def compactMor(spark: SparkSession, targetDir: String): Seq[Int] = {
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val target = new Path(targetDir)
+    val fs = target.getFileSystem(hconf)
+    val meta = TargetMeta.read(hconf, target).getOrElse(
+      throw new IllegalStateException(s"no graft table state at $targetDir"))
+    if (!meta.storage.contains("mor"))
+      throw new IllegalStateException(s"$targetDir is not a mor layout")
+    val pkCols = meta.pkCols.getOrElse(
+      throw new IllegalStateException(s"mor layout at $targetDir has no persisted PK"))
+    val buckets = bucketIds(fs, target)
+    if (buckets.isEmpty) return Seq.empty
+    val resolved = resolveOnRead(
+      spark.read.option("mergeSchema", true).parquet(targetDir), pkCols)
+    val tmp = new Path(targetDir + ".tmp")
+    if (fs.exists(tmp)) fs.delete(tmp, true)
+    resolved.write.partitionBy(BUCKET).mode("overwrite").parquet(tmp.toString)
+    publishBuckets(fs, target, tmp, buckets)
+    spark.catalog.refreshByPath(targetDir)
+    buckets
   }
 
   /** Point lookup against the bucketed snapshot — the replica's analog of
@@ -290,9 +426,16 @@ object CdcApplier {
         val vals = keyRows.map(_.get(i)).distinct
         df.filter(col(pk).isin(vals: _*))
     }
-    rowGroupPruned
+    val matched = rowGroupPruned
       .join(broadcast(keys), lookupCols, "left_semi")
-      .filter(!col(DEL)).drop(DEL, BUCKET)
+    // mor layouts resolve latest-per-key AFTER pruning (all versions of a
+    // key share its bucket and key values, so pruning keeps them together;
+    // the window sorts only the matched rows) — a stale upsert must not
+    // outlive its newer tombstone.
+    val resolved =
+      if (meta.storage.contains("mor")) resolveOnRead(matched, pkCols)
+      else matched
+    resolved.filter(!col(DEL)).drop(DEL, BUCKET)
   }
 
   /** [[snapshot]] for callers that must distinguish "this target was never
@@ -332,6 +475,14 @@ object CdcApplier {
     // different numBuckets would hash keys into bucket dirs the existing
     // rows are not in (silent duplicates), so the persisted value wins.
     val meta = TargetMeta.read(hconf, target)
+    // A mor layout holds MULTIPLE versions per key; the copy-on-write merge
+    // joins "current" assuming one — run compactMor + re-bootstrap, or keep
+    // applying through applyBatchMor.
+    meta.foreach { m =>
+      if (m.storage.contains("mor"))
+        throw new IllegalStateException(
+          s"$targetDir is a merge-on-read layout; use applyBatchMor")
+    }
     val numBuckets = meta.map(_.numBuckets).getOrElse(opts.numBuckets)
     val horizon = meta.map(_.horizon).getOrElse(Long.MinValue)
     // Like numBuckets, the persisted PK hash ORDER is the layout's truth —
@@ -448,6 +599,10 @@ object CdcApplier {
     val fs = target.getFileSystem(hconf)
     val meta = TargetMeta.read(hconf, target).getOrElse(
       throw new IllegalStateException(s"no graft target metadata at $targetDir"))
+    // A mor layout must collapse to one version per key FIRST: dropping a
+    // tombstone while an older superseded upsert still sits in a delta
+    // file would let resolve-on-read resurrect the dead row.
+    if (meta.storage.contains("mor")) compactMor(spark, targetDir)
     TargetMeta.write(hconf, target, meta.copy(horizon = math.max(meta.horizon, horizonPos)))
 
     recoverBuckets(fs, target)

@@ -187,6 +187,40 @@ object CdcQueries {
         .orderBy($"o_orderkey")
     }),
 
+    // Merge-on-read lifecycle — the write-amplification complement of the
+    // q30/q32 copy-on-write gates: three delta applies (appends only, the
+    // existing bucket files are never rewritten) with a compaction in the
+    // MIDDLE, read through resolve-on-read. Late updates after the
+    // compaction, a delete landing on a compacted key, and the repriced
+    // rows all must survive the storage-mode transitions — the oracle
+    // replays the whole lifecycle declaratively.
+    "q129_mor_merge" -> ((s, dir) => {
+      import s.implicits._
+      val o = Tables.load(s, dir, "orders")
+      val target = Files.createTempDirectory("graft_cdc").toString + "/orders_mor"
+      val opts = CdcApplier.Options(Seq("o_orderkey"))
+      CdcApplier.applyBatchMor(s,
+        ChangeFeed.inserts(o, $"o_orderkey" * 10), target, opts)
+      CdcApplier.applyBatchMor(s,
+        ChangeFeed.updates(o.filter($"o_orderkey" % 4 === 1),
+          Map("o_totalprice" -> ($"o_totalprice" * 1.3)), $"o_orderkey" * 10 + 2),
+        target, opts)
+      CdcApplier.compactMor(s, target)
+      // batch 3's images reflect the CURRENT state (binlog updates carry
+      // full row images, so the repricing must not be reverted)
+      val cur = o.withColumn("o_totalprice",
+        when($"o_orderkey" % 4 === 1, $"o_totalprice" * 1.3).otherwise($"o_totalprice"))
+      CdcApplier.applyBatchMor(s,
+        ChangeFeed.updates(cur.filter($"o_orderkey" % 10 === 3),
+          Map("o_orderpriority" -> lit("2-HIGH")), $"o_orderkey" * 10 + 4)
+          .union(ChangeFeed.deletes(cur.filter($"o_orderkey" % 8 === 6),
+            $"o_orderkey" * 10 + 6)),
+        target, opts)
+      CdcApplier.snapshot(s, target)
+        .select(o.columns.map(col).toIndexedSeq: _*)
+        .orderBy($"o_orderkey")
+    }),
+
     // The REAL Structured Streaming path, gated by the DuckDB oracle: the
     // orders change feed is JSON-encoded into the generic envelope, fed
     // through MemoryStream in two micro-batches (bootstrap, then
@@ -830,6 +864,17 @@ object CdcQueries {
       WHERE o_orderkey % 9 <> 1
         AND (CASE WHEN o_orderkey % 6 = 2 THEN o_custkey + 1 ELSE o_custkey END)
             IN (3, 7, 11, 19, 42)
+      ORDER BY o_orderkey""",
+
+    "q129_mor_merge" -> """
+      SELECT o_orderkey, o_custkey, o_orderstatus,
+        CASE WHEN o_orderkey % 4 = 1 THEN o_totalprice * 1.3 ELSE o_totalprice END
+          AS o_totalprice,
+        o_orderdate,
+        CASE WHEN o_orderkey % 10 = 3 THEN '2-HIGH' ELSE o_orderpriority END
+          AS o_orderpriority
+      FROM orders
+      WHERE o_orderkey % 8 <> 6
       ORDER BY o_orderkey""",
 
     "q33_streaming_merge" -> """

@@ -393,6 +393,68 @@ class CdcApplierSpec extends AnyFunSuite {
     assert(e2.getMessage.contains("subset"))
   }
 
+  test("merge-on-read: deltas append-only, resolve-on-read, compaction, mode guards") {
+    import org.apache.hadoop.fs.Path
+    val target = newTarget()
+    val fs = new Path(target).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def files(): Set[String] =
+      if (!fs.exists(new Path(target))) Set.empty
+      else fs.listStatus(new Path(target)).filter(_.isDirectory)
+        .flatMap(d => fs.listStatus(d.getPath).map(_.getPath.toString)).toSet
+
+    val rows = (1 to 24).map(i => Student(i, i * 7, i * 10, s"n$i", "r"))
+    CdcApplier.applyBatchMor(spark,
+      ChangeFeed.inserts(rows.toDF(), col("sn").cast("long") * 10), target, opts)
+    val afterB1 = files()
+    assert(afterB1.nonEmpty)
+
+    // batch 2: update one row, delete another — APPEND-ONLY: every batch-1
+    // file must still be present, byte-identical by name
+    CdcApplier.applyBatchMor(spark,
+      ev("update", 500, Some(rows(0)), Some(rows(0).copy(score = 99))), target, opts)
+    CdcApplier.applyBatchMor(spark,
+      ev("delete", 600, Some(rows(1)), None), target, opts)
+    val afterB3 = files()
+    assert(afterB1.subsetOf(afterB3), "mor applies must never rewrite existing files")
+    assert(afterB3.size > afterB1.size)
+
+    // resolve-on-read: latest update wins, tombstoned key gone
+    val st = state(target)
+    assert(st.contains(rows(0).copy(score = 99)) && !st.exists(_.sn == 2))
+    assert(st.size == 23)
+
+    // point lookup resolves too: stale upsert must not outlive the tombstone
+    assert(CdcApplier.pointLookup(spark, target, Seq((2, 14)).toDF("sn", "id"))
+      .count() == 0)
+    assert(CdcApplier.pointLookup(spark, target, Seq((1, 7)).toDF("sn", "id"))
+      .drop("_graft_pos").as[Student].collect().toSet == Set(rows(0).copy(score = 99)))
+
+    // compaction: same visible state, fewer or equal files, then another
+    // delta on top still resolves
+    CdcApplier.compactMor(spark, target)
+    assert(state(target) == st, "compaction must not change the visible state")
+    assert(files().size <= afterB3.size)
+    CdcApplier.applyBatchMor(spark,
+      ev("update", 700, Some(rows(2)), Some(rows(2).copy(name = "zz"))), target, opts)
+    assert(state(target).contains(rows(2).copy(name = "zz")))
+
+    // mode guards, both directions
+    val e1 = intercept[IllegalStateException](CdcApplier.applyBatch(spark,
+      ev("insert", 900, None, Some(s1)), target, opts))
+    assert(e1.getMessage.contains("merge-on-read"))
+    val cow = newTarget()
+    CdcApplier.applyBatch(spark, ev("insert", 1, None, Some(s1)), cow, opts)
+    val e2 = intercept[IllegalStateException](CdcApplier.applyBatchMor(spark,
+      ev("insert", 2, None, Some(s2)), cow, opts))
+    assert(e2.getMessage.contains("copy-on-write"))
+
+    // tombstone compaction on mor first collapses versions (no resurrection):
+    // drop the sn=2 tombstone; the key must STAY deleted
+    CdcApplier.compact(spark, target, 650)
+    assert(!state(target).exists(_.sn == 2),
+      "horizon compaction must not resurrect a deleted key from stale deltas")
+  }
+
   test("applyBatch: a later run with the PK columns in a different order adopts the layout's") {
     val target = newTarget()
     CdcApplier.applyBatch(spark, ev("insert", 10, None, Some(s1)), target, opts)
