@@ -256,7 +256,7 @@ object CdcApplier {
     * (key, pos) duplicates; any of them is the same winner, so the
     * row_number tie is harmless. Runs AFTER bucket pruning on lookups, so
     * the window only sorts the touched buckets' rows. */
-  private def resolveOnRead(df: DataFrame, pkCols: Seq[String]): DataFrame = {
+  private[cdc] def resolveOnRead(df: DataFrame, pkCols: Seq[String]): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(pkCols.map(col): _*).orderBy(col(POS).desc)
     df.withColumn("_graft_rn", row_number().over(w))

@@ -274,6 +274,55 @@ object CdcQueries {
         .orderBy($"o_orderkey")
     }),
 
+    // The q33 streaming topology with the MERGE-ON-READ sink: same
+    // from_json -> startPerTable pipeline, but every micro-batch lands as
+    // appended delta files (applyBatchMor) and compactEvery=1 runs the
+    // cadence compaction after each batch — exercising the mor-aware
+    // compact path (version collapse BEFORE tombstone horizon) under the
+    // real checkpointed streaming lifecycle. Final state must equal the
+    // same declarative oracle shape as the cow run.
+    "q130_stream_mor" -> ((s, dir) => {
+      import s.implicits._
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+      val o = Tables.load(s, dir, "orders")
+      def toEnvelope(changes: org.apache.spark.sql.DataFrame): Array[EnvelopeRow] =
+        changes.select($"op", lit("orders").as("table"), $"next_position",
+            to_json($"before").as("before_json"), to_json($"after").as("after_json"))
+          .as[EnvelopeRow].collect()
+      // Positions are globally monotone ACROSS batches (the binlog
+      // contract the horizon guard relies on): compactEvery=1 advances the
+      // horizon to batch 1's high-watermark, so batch 2's positions must
+      // all lie above it — unlike q33's interleaved per-key positions,
+      // which are fine only because that query never compacts.
+      val batch1 = toEnvelope(ChangeFeed.inserts(o, $"o_orderkey" * 10))
+      val b2base = 10000000L
+      val batch2 = toEnvelope(
+        ChangeFeed.updates(o.filter($"o_orderkey" % 4 === 0),
+          Map("o_totalprice" -> ($"o_totalprice" * 1.25)),
+          $"o_orderkey" * 10 + 5 + b2base)
+          .union(ChangeFeed.deletes(o.filter($"o_orderkey" % 6 === 0),
+            $"o_orderkey" * 10 + 7 + b2base)))
+      val root = Files.createTempDirectory("graft_stream").toString
+      val target = s"$root/orders_mor_state"
+      val src = MemoryStream[EnvelopeRow]
+      val queries = graft.streaming.StreamingPipeline.startPerTable(
+        src.toDF(), Map("orders" -> (o.schema, target)), s"$root/ckpt",
+        _ => graft.streaming.StreamingPipeline.PipelineOptions(
+          CdcApplier.Options(Seq("o_orderkey")), morSink = true, compactEvery = 1))
+      def feed(rows: Array[EnvelopeRow]): Unit =
+        rows.grouped(1500).foreach(c => src.addData(c.toIndexedSeq))
+      try {
+        feed(batch1)
+        queries.values.foreach(_.processAllAvailable())
+        feed(batch2)
+        queries.values.foreach(_.processAllAvailable())
+      } finally queries.values.foreach(_.stop())
+      CdcApplier.snapshot(s, target)
+        .select(o.columns.map(col).toIndexedSeq: _*)
+        .orderBy($"o_orderkey")
+    }),
+
     // Per-key last-change dedup — the micro-batch ordering primitive that
     // replaces the reference's single-thread total order (SURVEY §2.3
     // invariant 1): latest event per user.
@@ -864,6 +913,15 @@ object CdcQueries {
       WHERE o_orderkey % 9 <> 1
         AND (CASE WHEN o_orderkey % 6 = 2 THEN o_custkey + 1 ELSE o_custkey END)
             IN (3, 7, 11, 19, 42)
+      ORDER BY o_orderkey""",
+
+    "q130_stream_mor" -> """
+      SELECT o_orderkey, o_custkey, o_orderstatus,
+        CASE WHEN o_orderkey % 4 = 0 THEN o_totalprice * 1.25 ELSE o_totalprice END
+          AS o_totalprice,
+        o_orderdate, o_orderpriority
+      FROM orders
+      WHERE o_orderkey % 6 <> 0
       ORDER BY o_orderkey""",
 
     "q129_mor_merge" -> """

@@ -75,8 +75,18 @@ object CoercingSink {
       else buckets
     if (effective.isEmpty) return
 
-    val touched = spark.read.option("mergeSchema", true).parquet(targetDir)
+    val raw = spark.read.option("mergeSchema", true).parquet(targetDir)
       .filter(col(BUCKET).isin(effective.map(Int.box).toIndexedSeq: _*))
+    // A merge-on-read primary holds multiple versions per key in its
+    // deltas — resolve latest-per-key first, or the replica would carry
+    // superseded images and rows whose tombstone is newer.
+    val meta = CdcApplier.TargetMeta.read(hconf, new Path(targetDir))
+    val resolved =
+      if (meta.exists(_.storage.contains("mor")))
+        CdcApplier.resolveOnRead(raw, meta.flatMap(_.pkCols).getOrElse(
+          throw new IllegalStateException(s"mor layout at $targetDir has no persisted PK")))
+      else raw
+    val touched = resolved
       .filter(!col(DEL))
       .drop(DEL, POS)
     val tmp = new Path(secondaryDir + ".tmp")

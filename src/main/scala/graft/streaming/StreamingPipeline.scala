@@ -59,7 +59,15 @@ object StreamingPipeline {
     *                      the published position high-watermark, physically
     *                      dropping delete tombstones the checkpoint can no
     *                      longer replay past. 0 (default) disables.
-    * @param preApplyHook  test seam: runs before each apply attempt */
+    * @param preApplyHook  test seam: runs before each apply attempt
+    * @param morSink       apply through the merge-on-read delta path
+    *                      ([[CdcApplier.applyBatchMor]]) instead of the
+    *                      copy-on-write bucket swap — the hot-table setting
+    *                      where per-batch write I/O must be the batch, not
+    *                      the touched buckets. Pair with `compactEvery`:
+    *                      the cadence compaction collapses delta versions
+    *                      first (tombstone horizon safety), bounding the
+    *                      readers' resolve cost in steady state. */
   case class PipelineOptions(
       applier: CdcApplier.Options,
       mappedTables: Set[String] = Set.empty,
@@ -67,7 +75,8 @@ object StreamingPipeline {
       secondaryDir: Option[String] = None,
       earliestPos: Option[Long] = None,
       compactEvery: Int = 0,
-      preApplyHook: () => Unit = () => ())
+      preApplyHook: () => Unit = () => (),
+      morSink: Boolean = false)
 
   /** Per-pipeline observability (S17): per-table-per-op counts, batch
     * counter, last-10 batch latencies. Thread-safe; keyed by target dir. */
@@ -209,7 +218,10 @@ object StreamingPipeline {
         if (envelope.isEmpty) Seq.empty
         else withRetries("CDC batch") {
           opts.preApplyHook()
-          CdcApplier.applyBatch(spark, envelope, targetDir, opts.applier)
+          if (opts.morSink)
+            CdcApplier.applyBatchMor(spark, envelope, targetDir, opts.applier)
+          else
+            CdcApplier.applyBatch(spark, envelope, targetDir, opts.applier)
         }
 
       // S20 second sink: coerced replica of the converged state, mirroring
