@@ -104,10 +104,15 @@ object CdcApplier {
     *    ([[applyBatchMor]]) whose buckets hold APPENDED delta files — every
     *    reader must resolve latest-per-key on read. Absent = copy-on-write
     *    (the [[applyBatch]] swap layout), so pre-upgrade metas read
-    *    unchanged. */
+    *    unchanged.
+    *  - `collapsed`: the highest position whose version history a
+    *    [[compactMor]] has collapsed — [[snapshotAsOf]] refuses positions
+    *    at or below it (an intermediate image may be gone, so the answer
+    *    could silently be the later state). */
   case class TargetMeta(numBuckets: Int, horizon: Long,
       schemaJson: Option[String] = None, pkCols: Option[Seq[String]] = None,
-      bucketCols: Option[Seq[String]] = None, storage: Option[String] = None)
+      bucketCols: Option[Seq[String]] = None, storage: Option[String] = None,
+      collapsed: Option[Long] = None)
 
   object TargetMeta {
     private def metaPath(target: Path) = new Path(target, ".graft_meta")
@@ -118,7 +123,7 @@ object CdcApplier {
         TargetMeta(kv("numBuckets").toInt, kv("horizon").toLong, kv.get("schema"),
           kv.get("pkCols").map(_.split(",").toSeq.filter(_.nonEmpty)),
           kv.get("bucketCols").map(_.split(",").toSeq.filter(_.nonEmpty)),
-          kv.get("storage"))
+          kv.get("storage"), kv.get("collapsed").map(_.toLong))
       }
 
     def write(conf: org.apache.hadoop.conf.Configuration, target: Path, m: TargetMeta): Unit =
@@ -127,6 +132,7 @@ object CdcApplier {
           m.pkCols.map(p => s"pkCols=${p.mkString(",")}\n").getOrElse("") +
           m.bucketCols.map(p => s"bucketCols=${p.mkString(",")}\n").getOrElse("") +
           m.storage.map(v => s"storage=$v\n").getOrElse("") +
+          m.collapsed.map(v => s"collapsed=$v\n").getOrElse("") +
           m.schemaJson.map(j => s"schema=$j\n").getOrElse(""))
   }
 
@@ -344,6 +350,39 @@ object CdcApplier {
     touched.toSeq.sorted
   }
 
+  /** Position time travel on a merge-on-read target: the state AS OF
+    * `pos` — resolve latest-per-key over only the delta rows at or below
+    * it. History retention is exactly the un-compacted delta window
+    * ([[compactMor]] collapses versions), so a deployment sizes its
+    * compaction cadence to its audit horizon — the MOR analog of a lake
+    * format's VERSION AS OF, and a capability the reference's HBase
+    * target gets from cell timestamps. Reads below the compaction point
+    * see the COMPACTED (current) image of keys whose history is gone;
+    * `pos` below the persisted horizon is therefore rejected rather than
+    * answered wrong. */
+  def snapshotAsOf(spark: SparkSession, targetDir: String, pos: Long): DataFrame = {
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val target = new Path(targetDir)
+    val meta = TargetMeta.read(hconf, target).getOrElse(
+      throw new IllegalStateException(s"no graft table state at $targetDir"))
+    if (!meta.storage.contains("mor"))
+      throw new IllegalStateException(
+        s"$targetDir is copy-on-write — superseded versions are rewritten away; " +
+          "time travel needs the mor layout (or a lake format's version log)")
+    val floor = math.max(meta.horizon, meta.collapsed.getOrElse(Long.MinValue))
+    if (pos < floor)
+      throw new IllegalArgumentException(
+        s"as-of position $pos predates the retained history (floor $floor) — " +
+          "those versions have been collapsed; size the compaction cadence " +
+          "to the audit horizon")
+    val pkCols = meta.pkCols.getOrElse(
+      throw new IllegalStateException(s"mor layout at $targetDir has no persisted PK"))
+    resolveOnRead(
+      spark.read.option("mergeSchema", true).parquet(targetDir).filter(col(POS) <= pos),
+      pkCols)
+      .filter(!col(DEL)).drop(DEL, BUCKET)
+  }
+
   /** Compact a merge-on-read target: every bucket collapses to its
     * latest-per-key resolution (tombstones KEPT — they are the replay
     * guard until [[compact]]'s horizon advances past them), published
@@ -362,12 +401,16 @@ object CdcApplier {
       throw new IllegalStateException(s"mor layout at $targetDir has no persisted PK"))
     val buckets = bucketIds(fs, target)
     if (buckets.isEmpty) return Seq.empty
-    val resolved = resolveOnRead(
-      spark.read.option("mergeSchema", true).parquet(targetDir), pkCols)
+    val raw = spark.read.option("mergeSchema", true).parquet(targetDir)
+    // the as-of floor: every position at or below this loses its history
+    val maxPos = raw.agg(max(col(POS))).collect()(0).getLong(0)
+    val resolved = resolveOnRead(raw, pkCols)
     val tmp = new Path(targetDir + ".tmp")
     if (fs.exists(tmp)) fs.delete(tmp, true)
     resolved.write.partitionBy(BUCKET).mode("overwrite").parquet(tmp.toString)
     publishBuckets(fs, target, tmp, buckets)
+    TargetMeta.write(hconf, target, meta.copy(
+      collapsed = Some(math.max(maxPos, meta.collapsed.getOrElse(Long.MinValue)))))
     spark.catalog.refreshByPath(targetDir)
     buckets
   }
@@ -603,7 +646,11 @@ object CdcApplier {
     // tombstone while an older superseded upsert still sits in a delta
     // file would let resolve-on-read resurrect the dead row.
     if (meta.storage.contains("mor")) compactMor(spark, targetDir)
-    TargetMeta.write(hconf, target, meta.copy(horizon = math.max(meta.horizon, horizonPos)))
+    // re-read: compactMor may have advanced the collapsed watermark, which
+    // a write from the stale copy would silently revert
+    val metaNow = TargetMeta.read(hconf, target).getOrElse(meta)
+    TargetMeta.write(hconf, target,
+      metaNow.copy(horizon = math.max(metaNow.horizon, horizonPos)))
 
     recoverBuckets(fs, target)
     // a fully-compacted target has no bucket dirs — nothing left to drop

@@ -274,6 +274,33 @@ object CdcQueries {
         .orderBy($"o_orderkey")
     }),
 
+    // Position time travel on the MOR store: after a second batch of
+    // updates AND deletes has landed, snapshotAsOf at a position between
+    // the batches must reconstruct the batch-1 state exactly — the
+    // capability the reference's HBase target gets from cell timestamps,
+    // recovered here from the un-compacted delta window. Any leak of
+    // batch-2 images (a repriced row, a missing deleted row) breaks the
+    // hash against the insert-only oracle.
+    "q131_mor_time_travel" -> ((s, dir) => {
+      import s.implicits._
+      val o = Tables.load(s, dir, "orders")
+      val target = Files.createTempDirectory("graft_cdc").toString + "/orders_tt"
+      val opts = CdcApplier.Options(Seq("o_orderkey"))
+      val b2base = 10000000L
+      CdcApplier.applyBatchMor(s,
+        ChangeFeed.inserts(o, $"o_orderkey" * 10), target, opts)
+      CdcApplier.applyBatchMor(s,
+        ChangeFeed.updates(o.filter($"o_orderkey" % 3 === 0),
+          Map("o_totalprice" -> ($"o_totalprice" * 1.15)),
+          $"o_orderkey" * 10 + 1 + b2base)
+          .union(ChangeFeed.deletes(o.filter($"o_orderkey" % 7 === 2),
+            $"o_orderkey" * 10 + 3 + b2base)),
+        target, opts)
+      CdcApplier.snapshotAsOf(s, target, b2base - 1)
+        .select(o.columns.map(col).toIndexedSeq: _*)
+        .orderBy($"o_orderkey")
+    }),
+
     // The q33 streaming topology with the MERGE-ON-READ sink: same
     // from_json -> startPerTable pipeline, but every micro-batch lands as
     // appended delta files (applyBatchMor) and compactEvery=1 runs the
@@ -913,6 +940,12 @@ object CdcQueries {
       WHERE o_orderkey % 9 <> 1
         AND (CASE WHEN o_orderkey % 6 = 2 THEN o_custkey + 1 ELSE o_custkey END)
             IN (3, 7, 11, 19, 42)
+      ORDER BY o_orderkey""",
+
+    "q131_mor_time_travel" -> """
+      SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+        o_orderdate, o_orderpriority
+      FROM orders
       ORDER BY o_orderkey""",
 
     "q130_stream_mor" -> """

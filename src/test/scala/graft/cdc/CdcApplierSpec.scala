@@ -455,6 +455,45 @@ class CdcApplierSpec extends AnyFunSuite {
       "horizon compaction must not resurrect a deleted key from stale deltas")
   }
 
+  test("snapshotAsOf: mid-history reconstruction, collapse floor, cow rejection") {
+    val target = newTarget()
+    val rows = (1 to 12).map(i => Student(i, i * 7, i * 10, s"n$i", "r"))
+    CdcApplier.applyBatchMor(spark,
+      ChangeFeed.inserts(rows.toDF(), col("sn").cast("long") * 10), target, opts)
+    CdcApplier.applyBatchMor(spark,
+      ev("update", 1000, Some(rows(0)), Some(rows(0).copy(score = 77))), target, opts)
+    CdcApplier.applyBatchMor(spark,
+      ev("delete", 1100, Some(rows(2)), None), target, opts)
+
+    // as of the end of batch 1: original score, deleted key still present
+    val asOf = CdcApplier.snapshotAsOf(spark, target, 500)
+      .drop("_graft_pos").as[Student].collect().toSet
+    assert(asOf == rows.toSet, s"as-of must reconstruct batch-1 state: $asOf")
+    // as of mid-batch-2 history: update visible, delete not yet
+    val asOf2 = CdcApplier.snapshotAsOf(spark, target, 1050)
+      .drop("_graft_pos").as[Student].collect().toSet
+    assert(asOf2 == (rows.toSet - rows(0)) + rows(0).copy(score = 77))
+    // current == snapshot
+    assert(CdcApplier.snapshotAsOf(spark, target, Long.MaxValue)
+      .drop("_graft_pos").as[Student].collect().toSet == state(target))
+
+    // compaction collapses history: positions at/below the floor are
+    // refused, positions above still answer
+    CdcApplier.compactMor(spark, target)
+    val e = intercept[IllegalArgumentException](
+      CdcApplier.snapshotAsOf(spark, target, 500))
+    assert(e.getMessage.contains("collapsed"))
+    assert(CdcApplier.snapshotAsOf(spark, target, Long.MaxValue)
+      .drop("_graft_pos").as[Student].collect().toSet == state(target))
+
+    // copy-on-write stores refuse time travel instead of answering wrong
+    val cow = newTarget()
+    CdcApplier.applyBatch(spark, ev("insert", 1, None, Some(s1)), cow, opts)
+    val e2 = intercept[IllegalStateException](
+      CdcApplier.snapshotAsOf(spark, cow, 1))
+    assert(e2.getMessage.contains("copy-on-write"))
+  }
+
   test("applyBatch: a later run with the PK columns in a different order adopts the layout's") {
     val target = newTarget()
     CdcApplier.applyBatch(spark, ev("insert", 10, None, Some(s1)), target, opts)
