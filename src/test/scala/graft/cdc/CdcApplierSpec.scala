@@ -494,6 +494,55 @@ class CdcApplierSpec extends AnyFunSuite {
     assert(e2.getMessage.contains("copy-on-write"))
   }
 
+  test("differential: random lifecycles converge identically through cow and mor") {
+    // Seeded random op sequences (deterministic across runs): the two
+    // storage modes are different physical encodings of ONE logical merge
+    // semantics, so every sequence — inserts, updates, PK moves, deletes,
+    // interleaved compactions — must land both stores on the same state.
+    val rnd = new scala.util.Random(4242)
+    (1 to 3).foreach { trial =>
+      val cow = newTarget(); val mor = newTarget()
+      var pos = 0L
+      var live = Map.empty[(Int, Int), Student]
+      val batches = (1 to 5).map { _ =>
+        val events = (1 to 8 + rnd.nextInt(8)).map { _ =>
+          pos += 10
+          val roll = rnd.nextInt(10)
+          if (live.isEmpty || roll < 4) { // insert (possibly over an existing key)
+            val st = Student(rnd.nextInt(6), rnd.nextInt(6), rnd.nextInt(100), s"n$pos", "r")
+            live += (st.sn, st.id) -> st
+            ("insert", pos, None: Option[Student], Some(st))
+          } else if (roll < 7) { // update, sometimes a PK move
+            val before = live(live.keys.toSeq(rnd.nextInt(live.size)))
+            val after =
+              if (rnd.nextInt(4) == 0)
+                before.copy(sn = rnd.nextInt(6), id = rnd.nextInt(6), score = rnd.nextInt(100))
+              else before.copy(score = rnd.nextInt(100))
+            live -= ((before.sn, before.id))
+            live += (after.sn, after.id) -> after
+            ("update", pos, Some(before), Some(after))
+          } else { // delete
+            val before = live(live.keys.toSeq(rnd.nextInt(live.size)))
+            live -= ((before.sn, before.id))
+            ("delete", pos, Some(before), None)
+          }
+        }
+        events
+      }
+      batches.zipWithIndex.foreach { case (events, bi) =>
+        val dfs = events.map { case (op, p, b, a) => ev(op, p, b, a) }
+        val batch = dfs.reduce(_ union _)
+        CdcApplier.applyBatch(spark, batch, cow, opts)
+        CdcApplier.applyBatchMor(spark, batch, mor, opts)
+        if (bi == 2) CdcApplier.compactMor(spark, mor) // mid-lifecycle collapse
+      }
+      assert(state(cow) == state(mor),
+        s"trial $trial: cow/mor divergence — cow=${state(cow)} mor=${state(mor)}")
+      assert(state(cow) == live.values.toSet,
+        s"trial $trial: both stores must equal the reference fold")
+    }
+  }
+
   test("applyBatch: a later run with the PK columns in a different order adopts the layout's") {
     val target = newTarget()
     CdcApplier.applyBatch(spark, ev("insert", 10, None, Some(s1)), target, opts)
