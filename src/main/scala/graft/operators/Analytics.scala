@@ -30,7 +30,36 @@ object Analytics {
   /** q78's flag threshold: |value - mean| > ZThresh * stddev. */
   val ZThresh = 2.0
 
+  /** Columns profiled by q132 — one shared definition for the Spark plan
+    * and the oracle's UNION arms. */
+  val StatsCols = Seq("o_orderkey", "o_custkey", "o_orderstatus",
+    "o_totalprice", "o_orderdate", "o_orderpriority")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- q132: ANALYZE-style column statistics — the stats-collection
+    //      pass that feeds a catalog/CBO (row count, per-column null count
+    //      and EXACT NDV, long-form). ONE table pass: all aggregates in a
+    //      single agg (Spark plans the multi-distinct via expand — an
+    //      explicit, bounded blowup of StatsCols rows per input row), then
+    //      a stack() to long form; no join, no second scan. At 100 TB the
+    //      same shape runs with approx_count_distinct swapped in per
+    //      column (HLL registers merge tree-wise) — the exact NDV here is
+    //      what makes the DuckDB gate exact.
+    "q132_table_stats" -> ((s, dir) => {
+      val o = Tables.load(s, dir, "orders")
+      val aggs = count(lit(1)).as("n") +:
+        StatsCols.flatMap(c => Seq(
+          count(col(c)).as(s"cnt_$c"),
+          countDistinct(col(c)).as(s"ndv_$c")))
+      val one = o.agg(aggs.head, aggs.tail: _*)
+      val stackArgs = StatsCols.map(c =>
+        s"'$c', n - cnt_$c, ndv_$c").mkString(", ")
+      one.select(expr(
+          s"stack(${StatsCols.size}, $stackArgs) AS (col_name, nulls, ndv)"),
+          col("n"))
+        .select(col("col_name"), col("n"), col("nulls"), col("ndv"))
+        .repartition(1).sortWithinPartitions(col("col_name"))
+    }),
     // ---- q75: conversion funnel signup -> click -> purchase. Each stage
     //      is the user's FIRST qualifying event at-or-after the previous
     //      stage's time (the standard ordered-funnel definition). Three
@@ -140,6 +169,11 @@ object Analytics {
   )
 
   val oracles: Map[String, String] = Map(
+    "q132_table_stats" -> (StatsCols.map(c => s"""
+      SELECT '$c' AS col_name, CAST(count(*) AS BIGINT) AS n,
+        CAST(count(*) - count($c) AS BIGINT) AS nulls,
+        CAST(count(DISTINCT $c) AS BIGINT) AS ndv
+      FROM orders""").mkString(" UNION ALL ") + " ORDER BY col_name"),
     "q75_funnel" -> """
       WITH s1 AS (
         SELECT user_id,
