@@ -345,6 +345,27 @@ class PlanSpec extends AnyFunSuite {
     assert(fin.contains("BroadcastHashJoin"), s"cell equi-join must broadcast:\n$p")
   }
 
+  test("q132: stats collection is one scan — no join, no self-union of the table") {
+    val p = plan("q132_table_stats")
+    val fin = p.split("== Initial Plan ==")(0)
+    assert(!fin.contains("Join"), s"one-pass stats must not join:\n$p")
+    // one parquet scan only: the multi-distinct goes through expand, not
+    // through per-column re-scans
+    assert(fin.linesIterator.count(_.contains("Scan parquet")) == 1,
+      s"stats must read the table once:\n$p")
+    assert(fin.contains("Expand"), s"multi-distinct plans via expand:\n$p")
+  }
+
+  test("q124: drift joins stay vocab-sized; totals broadcast, top-K is a TakeOrdered") {
+    val p = plan("q124_token_drift")
+    val fin = p.split("== Initial Plan ==")(0)
+    assert(!fin.contains("CartesianProduct"), p)
+    assert(fin.contains("BroadcastNestedLoopJoin") || fin.contains("BroadcastHashJoin"),
+      s"the 1-row totals frame must broadcast:\n$p")
+    assert(fin.contains("TakeOrderedAndProject"),
+      s"top-K must be a distributed TakeOrdered, not a global sort:\n$p")
+  }
+
   test("q46: fingerprint runs the fused native kernel, not an interpreted fold") {
     val p = plan("q46_fingerprint")
     assert(p.contains("graft_fingerprint"), p)
