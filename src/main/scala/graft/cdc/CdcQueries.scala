@@ -274,6 +274,55 @@ object CdcQueries {
         .orderBy($"o_orderkey")
     }),
 
+    // COVERING index — q123's space-for-hops trade: the index entry
+    // carries the queried payload column, so the read is ONE bucket-pruned
+    // prefix lookup with no second hop into the base store (HBase-world:
+    // a covered query served entirely from the index table). Maintenance
+    // is still just the envelope projected to (value, pk, payload): a
+    // payload-only update is a same-key upsert, a custkey move is a
+    // PK-moving update (S10 fan-out retires the stale entry), a delete
+    // tombstones. The oracle replays the lifecycle; a stale payload or
+    // un-retired entry breaks the hash.
+    "q133_covering_index" -> ((s, dir) => {
+      import s.implicits._
+      val o = Tables.load(s, dir, "orders")
+      val index = Files.createTempDirectory("graft_cdc").toString + "/orders_cov_idx"
+      val iopts = CdcApplier.Options(Seq("o_custkey", "o_orderkey"),
+        bucketCols = Some(Seq("o_custkey")))
+      def indexFeed(changes: DataFrame): DataFrame =
+        changes.select(col("op"), col("next_position"),
+          when(col("before").isNotNull, struct(
+            col("before.o_custkey").as("o_custkey"),
+            col("before.o_orderkey").as("o_orderkey"),
+            col("before.o_totalprice").as("o_totalprice"))).as("before"),
+          when(col("after").isNotNull, struct(
+            col("after.o_custkey").as("o_custkey"),
+            col("after.o_orderkey").as("o_orderkey"),
+            col("after.o_totalprice").as("o_totalprice"))).as("after"))
+      val b1 = ChangeFeed.inserts(o, $"o_orderkey" * 10)
+      // reprices (%5), custkey moves (%6=2), deletes (%9=4) — all three
+      // index-maintenance classes in one batch. Each sub-batch's row
+      // images reflect the PRIOR sub-batches (binlog images are full
+      // current rows, the same contract as q129's batch 3).
+      val b2base = 10000000L
+      val cur1 = o.withColumn("o_totalprice",
+        when($"o_orderkey" % 5 === 0, $"o_totalprice" * 1.4).otherwise($"o_totalprice"))
+      val cur2 = cur1.withColumn("o_custkey",
+        when($"o_orderkey" % 6 === 2, $"o_custkey" + 1).otherwise($"o_custkey"))
+      val b2 = ChangeFeed.updates(o.filter($"o_orderkey" % 5 === 0),
+          Map("o_totalprice" -> ($"o_totalprice" * 1.4)),
+          $"o_orderkey" * 10 + 1 + b2base)
+        .union(ChangeFeed.updates(cur1.filter($"o_orderkey" % 6 === 2),
+          Map("o_custkey" -> ($"o_custkey" + 1)), $"o_orderkey" * 10 + 3 + b2base))
+        .union(ChangeFeed.deletes(cur2.filter($"o_orderkey" % 9 === 4),
+          $"o_orderkey" * 10 + 5 + b2base))
+      Seq(b1, b2).foreach(b => CdcApplier.applyBatch(s, indexFeed(b), index, iopts))
+      val custkeys = Seq(3L, 7L, 11L, 19L, 42L).toDF("o_custkey")
+      CdcApplier.pointLookup(s, index, custkeys)
+        .select($"o_custkey", $"o_orderkey", $"o_totalprice")
+        .orderBy($"o_orderkey")
+    }),
+
     // Position time travel on the MOR store: after a second batch of
     // updates AND deletes has landed, snapshotAsOf at a position between
     // the batches must reconstruct the batch-1 state exactly — the
@@ -940,6 +989,16 @@ object CdcQueries {
       WHERE o_orderkey % 9 <> 1
         AND (CASE WHEN o_orderkey % 6 = 2 THEN o_custkey + 1 ELSE o_custkey END)
             IN (3, 7, 11, 19, 42)
+      ORDER BY o_orderkey""",
+
+    "q133_covering_index" -> """
+      SELECT ck AS o_custkey, o_orderkey, tp AS o_totalprice FROM (
+        SELECT o_orderkey,
+          CASE WHEN o_orderkey % 6 = 2 THEN o_custkey + 1 ELSE o_custkey END AS ck,
+          CASE WHEN o_orderkey % 5 = 0 THEN o_totalprice * 1.4 ELSE o_totalprice END AS tp
+        FROM orders
+        WHERE o_orderkey % 9 <> 4) x
+      WHERE ck IN (3, 7, 11, 19, 42)
       ORDER BY o_orderkey""",
 
     "q131_mor_time_travel" -> """
