@@ -63,13 +63,24 @@ object CdcApplier {
     *                        by just those columns still bucket-prunes —
     *                        the shape a secondary index needs, where the
     *                        lookup key (indexed value) is a prefix of the
-    *                        index table's PK (value, pk). */
+    *                        index table's PK (value, pk).
+    * @param rangeBounds     sorted split points turning the layout into a
+    *                        RANGE-bucketed table (bucket i holds keys in
+    *                        [bound_i-1, bound_i)) over a single numeric
+    *                        bucket column — the reference target's actual
+    *                        layout (HBase regions are rowkey ranges;
+    *                        S7's ordinal-ordered composite keys exist so
+    *                        range/prefix scans hit contiguous regions).
+    *                        Enables [[rangeLookup]]: a BETWEEN touches
+    *                        only the covering buckets. None (default) =
+    *                        hash bucketing. */
   case class Options(
       pkCols: Seq[String],
       compatPkChange: Boolean = false,
       strictPk: Boolean = true,
       numBuckets: Int = 16,
-      bucketCols: Option[Seq[String]] = None)
+      bucketCols: Option[Seq[String]] = None,
+      rangeBounds: Option[Seq[Long]] = None)
 
   private[cdc] val POS = "_graft_pos"
   private val KIND = "_graft_kind"
@@ -112,7 +123,7 @@ object CdcApplier {
   case class TargetMeta(numBuckets: Int, horizon: Long,
       schemaJson: Option[String] = None, pkCols: Option[Seq[String]] = None,
       bucketCols: Option[Seq[String]] = None, storage: Option[String] = None,
-      collapsed: Option[Long] = None)
+      collapsed: Option[Long] = None, rangeBounds: Option[Seq[Long]] = None)
 
   object TargetMeta {
     private def metaPath(target: Path) = new Path(target, ".graft_meta")
@@ -123,7 +134,8 @@ object CdcApplier {
         TargetMeta(kv("numBuckets").toInt, kv("horizon").toLong, kv.get("schema"),
           kv.get("pkCols").map(_.split(",").toSeq.filter(_.nonEmpty)),
           kv.get("bucketCols").map(_.split(",").toSeq.filter(_.nonEmpty)),
-          kv.get("storage"), kv.get("collapsed").map(_.toLong))
+          kv.get("storage"), kv.get("collapsed").map(_.toLong),
+          kv.get("rangeBounds").map(_.split(",").toSeq.filter(_.nonEmpty).map(_.toLong)))
       }
 
     def write(conf: org.apache.hadoop.conf.Configuration, target: Path, m: TargetMeta): Unit =
@@ -133,6 +145,7 @@ object CdcApplier {
           m.bucketCols.map(p => s"bucketCols=${p.mkString(",")}\n").getOrElse("") +
           m.storage.map(v => s"storage=$v\n").getOrElse("") +
           m.collapsed.map(v => s"collapsed=$v\n").getOrElse("") +
+          m.rangeBounds.map(b => s"rangeBounds=${b.mkString(",")}\n").getOrElse("") +
           m.schemaJson.map(j => s"schema=$j\n").getOrElse(""))
   }
 
@@ -262,6 +275,56 @@ object CdcApplier {
     * (key, pos) duplicates; any of them is the same winner, so the
     * row_number tie is harmless. Runs AFTER bucket pruning on lookups, so
     * the window only sorts the touched buckets' rows. */
+  /** The layout's bucket-assignment expression: hash (default) or the
+    * range-split count-of-bounds-below (a codegen'd sum of comparisons —
+    * monotone in the key, so bucket ids follow key order and a range scan
+    * covers CONTIGUOUS buckets). One definition for both apply paths and
+    * every lookup, so writer and readers cannot disagree. */
+  private def bucketExpr(
+      bucketOrder: Seq[String], numBuckets: Int, rangeBounds: Option[Seq[Long]]): Column =
+    rangeBounds match {
+      case Some(bs) =>
+        require(bucketOrder.size == 1,
+          s"range bucketing needs a single bucket column, got ${bucketOrder.mkString(",")}")
+        bs.foldLeft(lit(0))((acc, b) =>
+          acc + when(col(bucketOrder.head) >= b, 1).otherwise(0))
+      case None => pmod(hash(bucketOrder.map(col): _*), lit(numBuckets))
+    }
+
+  /** Resolve the (bucketCols, rangeBounds, numBuckets) triple against the
+    * persisted layout, with the same adopt-or-drift discipline as pkCols. */
+  private def resolveLayout(
+      meta: Option[TargetMeta], opts: Options, pkOrder: Seq[String])
+      : (Seq[String], Option[Seq[Long]], Int) = {
+    val bucketOrder = meta match {
+      case Some(m) => m.bucketCols.getOrElse(pkOrder)
+      case None    => opts.bucketCols.getOrElse(pkOrder)
+    }
+    if (meta.isEmpty) {
+      if (!bucketOrder.toSet.subsetOf(pkOrder.toSet))
+        throw new IllegalArgumentException(
+          s"bucketCols (${bucketOrder.mkString(",")}) must be a subset of the PK " +
+            s"(${pkOrder.mkString(",")})")
+    } else if (opts.bucketCols.exists(_ != bucketOrder))
+      throw new IllegalStateException(
+        s"bucket-layout drift: target is bucketed by ${bucketOrder.mkString(",")}, " +
+          s"caller configured ${opts.bucketCols.get.mkString(",")}")
+    val rangeBounds = meta match {
+      case Some(m) => m.rangeBounds
+      case None    => opts.rangeBounds.map { bs =>
+        require(bs == bs.sorted && bs.distinct == bs, "rangeBounds must be sorted, distinct")
+        bs
+      }
+    }
+    if (meta.nonEmpty && opts.rangeBounds.exists(b => !rangeBounds.contains(b)))
+      throw new IllegalStateException(
+        s"bucket-layout drift: target range bounds ${rangeBounds.getOrElse(Nil).mkString(",")} " +
+          s"!= caller's ${opts.rangeBounds.get.mkString(",")}")
+    val numBuckets = rangeBounds.map(_.size + 1)
+      .getOrElse(meta.map(_.numBuckets).getOrElse(opts.numBuckets))
+    (bucketOrder, rangeBounds, numBuckets)
+  }
+
   private[cdc] def resolveOnRead(df: DataFrame, pkCols: Seq[String]): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(pkCols.map(col): _*).orderBy(col(POS).desc)
@@ -298,29 +361,26 @@ object CdcApplier {
         throw new IllegalStateException(
           s"$targetDir is a copy-on-write layout; use applyBatch (or re-bootstrap as mor)")
     }
-    val numBuckets = meta.map(_.numBuckets).getOrElse(opts.numBuckets)
     val horizon = meta.map(_.horizon).getOrElse(Long.MinValue)
     val pkOrder = meta.flatMap(_.pkCols).getOrElse(opts.pkCols)
     if (pkOrder.toSet != opts.pkCols.toSet)
       throw new IllegalStateException(
         s"PK drift: target layout is keyed by ${pkOrder.mkString(",")}, " +
           s"caller configured ${opts.pkCols.mkString(",")}")
-    val bucketOrder = meta match {
-      case Some(m) => m.bucketCols.getOrElse(pkOrder)
-      case None    => opts.bucketCols.getOrElse(pkOrder)
-    }
+    val (bucketOrder, rangeBounds, numBuckets) = resolveLayout(meta, opts, pkOrder)
 
     val inHorizon = resolveBatch(changes, opts)
     val resolved = (if (horizon == Long.MinValue) inHorizon
                     else inHorizon.filter(col(POS) > horizon))
       .withColumn(DEL, col(KIND) === "delete").drop(KIND)
-      .withColumn(BUCKET, pmod(hash(bucketOrder.map(col): _*), lit(numBuckets)))
+      .withColumn(BUCKET, bucketExpr(bucketOrder, numBuckets, rangeBounds))
     // Meta BEFORE the first delta lands (a crash in between leaves meta +
     // no data — a valid empty mor table); also guards the schema.
     if (meta.isEmpty)
       TargetMeta.write(hconf, target,
         TargetMeta(numBuckets, horizon, Some(resolved.schema.json), Some(pkOrder),
-          if (bucketOrder == pkOrder) None else Some(bucketOrder), Some("mor")))
+          if (bucketOrder == pkOrder) None else Some(bucketOrder), Some("mor"),
+          rangeBounds = rangeBounds))
     else meta.foreach { m =>
       m.schemaJson.foreach(j =>
         checkSchemaDrift(
@@ -381,6 +441,37 @@ object CdcApplier {
       spark.read.option("mergeSchema", true).parquet(targetDir).filter(col(POS) <= pos),
       pkCols)
       .filter(!col(DEL)).drop(DEL, BUCKET)
+  }
+
+  /** Range scan against a RANGE-bucketed snapshot — the reference target's
+    * native access path (an HBase scan over a rowkey interval touches only
+    * the covering regions; `Options.rangeBounds` recreates that property
+    * on parquet). The covering bucket ids are pure driver arithmetic over
+    * the persisted split points — no probe job — and the BETWEEN predicate
+    * pushes into the pruned scan for row-group skipping. Works on both
+    * storage modes (mor resolves after pruning: a key's versions share its
+    * bucket). */
+  def rangeLookup(spark: SparkSession, targetDir: String, lo: Long, hi: Long): DataFrame = {
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val target = new Path(targetDir)
+    val meta = TargetMeta.read(hconf, target).getOrElse(
+      throw new IllegalStateException(s"no graft table state at $targetDir"))
+    val bounds = meta.rangeBounds.getOrElse(
+      throw new IllegalStateException(
+        s"$targetDir is hash-bucketed — range scans need a rangeBounds layout"))
+    val pkCols = meta.pkCols.getOrElse(
+      throw new IllegalStateException(s"no persisted key columns at $targetDir"))
+    val keyCol = meta.bucketCols.getOrElse(pkCols).head
+    if (hi < lo) return snapshot(spark, targetDir).limit(0)
+    // covering buckets: pure arithmetic over the persisted split points
+    val buckets = (bounds.count(_ <= lo) to bounds.count(_ <= hi)).map(Int.box)
+    val pruned = spark.read.option("mergeSchema", true).parquet(targetDir)
+      .filter(col(BUCKET).isin(buckets: _*))
+      .filter(col(keyCol) >= lo && col(keyCol) <= hi)
+    val resolved =
+      if (meta.storage.contains("mor")) resolveOnRead(pruned, pkCols)
+      else pruned
+    resolved.filter(!col(DEL)).drop(DEL, BUCKET)
   }
 
   /** Compact a merge-on-read target: every bucket collapses to its
@@ -456,7 +547,7 @@ object CdcApplier {
         s"lookup keys (${keys.columns.mkString(",")}) must be the target PK " +
           s"(${pkCols.mkString(",")}) or its bucket prefix (${bucketCols.mkString(",")})")
     val buckets = keys
-      .select(pmod(hash(bucketCols.map(col): _*), lit(numBuckets)).as(BUCKET))
+      .select(bucketExpr(bucketCols, numBuckets, meta.rangeBounds).as(BUCKET))
       .distinct().collect().map(_.getInt(0)).sorted
     if (buckets.isEmpty) return snapshot(spark, targetDir).limit(0)
     val pruned = spark.read.option("mergeSchema", true).parquet(targetDir)
@@ -526,7 +617,6 @@ object CdcApplier {
         throw new IllegalStateException(
           s"$targetDir is a merge-on-read layout; use applyBatchMor")
     }
-    val numBuckets = meta.map(_.numBuckets).getOrElse(opts.numBuckets)
     val horizon = meta.map(_.horizon).getOrElse(Long.MinValue)
     // Like numBuckets, the persisted PK hash ORDER is the layout's truth —
     // hash(a,b) != hash(b,a), so a run configured with the same columns in
@@ -536,22 +626,8 @@ object CdcApplier {
       throw new IllegalStateException(
         s"PK drift: target layout is keyed by ${pkOrder.mkString(",")}, " +
           s"caller configured ${opts.pkCols.mkString(",")}")
-    // Same adopt-the-layout rule for the bucket-hash columns: a target
-    // created with prefix bucketing must keep it (and vice versa), or new
-    // rows land in buckets the existing rows are not in.
-    val bucketOrder = meta match {
-      case Some(m) => m.bucketCols.getOrElse(pkOrder)
-      case None    => opts.bucketCols.getOrElse(pkOrder)
-    }
-    if (meta.isEmpty) {
-      if (!bucketOrder.toSet.subsetOf(pkOrder.toSet))
-        throw new IllegalArgumentException(
-          s"bucketCols (${bucketOrder.mkString(",")}) must be a subset of the PK " +
-            s"(${pkOrder.mkString(",")})")
-    } else if (opts.bucketCols.exists(_ != bucketOrder))
-      throw new IllegalStateException(
-        s"bucket-layout drift: target is bucketed by ${bucketOrder.mkString(",")}, " +
-          s"caller configured ${opts.bucketCols.get.mkString(",")}")
+    // Same adopt-the-layout rule for the bucket columns / range bounds.
+    val (bucketOrder, rangeBounds, numBuckets) = resolveLayout(meta, opts, pkOrder)
 
     // Events at or below the compaction horizon are already applied and
     // their tombstones may be gone — discard instead of merging (a stale
@@ -559,7 +635,7 @@ object CdcApplier {
     val inHorizon = resolveBatch(changes, opts)
     val resolved = (if (horizon == Long.MinValue) inHorizon
                     else inHorizon.filter(col(POS) > horizon))
-      .withColumn(BUCKET, pmod(hash(bucketOrder.map(col): _*), lit(numBuckets)))
+      .withColumn(BUCKET, bucketExpr(bucketOrder, numBuckets, rangeBounds))
       .persist()
     try {
       // Small driver-side action: at most numBuckets values.
@@ -612,7 +688,8 @@ object CdcApplier {
           meta.exists(m => m.schemaJson.isEmpty || m.pkCols.isEmpty))
         TargetMeta.write(hconf, target,
           TargetMeta(numBuckets, horizon, Some(merged.schema.json), Some(pkOrder),
-            if (bucketOrder == pkOrder) None else Some(bucketOrder)))
+            if (bucketOrder == pkOrder) None else Some(bucketOrder),
+            rangeBounds = rangeBounds))
 
       val tmp = new Path(targetDir + ".tmp")
       if (fs.exists(tmp)) fs.delete(tmp, true)

@@ -274,6 +274,36 @@ object CdcQueries {
         .orderBy($"o_orderkey")
     }),
 
+    // RANGE-bucketed layout + range scan — the reference target's native
+    // access path (HBase regions ARE rowkey ranges; S7 ordinal-orders
+    // composite keys so scans hit contiguous regions). The store is
+    // bootstrapped with split points; a BETWEEN query computes its
+    // covering buckets by driver arithmetic over the persisted bounds and
+    // reads ONLY those dirs, with the range predicate pushed for
+    // row-group skipping. The lifecycle's updates and deletes land
+    // through the same range-bucket assignment, so a writer/reader split
+    // computation mismatch breaks the hash.
+    "q134_range_scan" -> ((s, dir) => {
+      import s.implicits._
+      val o = Tables.load(s, dir, "orders")
+      val target = Files.createTempDirectory("graft_cdc").toString + "/orders_range"
+      // split points scale with the key domain (quantile-ish); correctness
+      // is independent of where the splits fall
+      val maxKey = o.agg(max($"o_orderkey")).first.getLong(0)
+      val bounds = (1 to 15).map(i => maxKey * i / 16)
+      val opts = CdcApplier.Options(Seq("o_orderkey"), rangeBounds = Some(bounds))
+      CdcApplier.applyBatch(s, ChangeFeed.inserts(o, $"o_orderkey" * 10), target, opts)
+      CdcApplier.applyBatch(s,
+        ChangeFeed.updates(o.filter($"o_orderkey" % 5 === 1),
+          Map("o_totalprice" -> ($"o_totalprice" * 1.35)), $"o_orderkey" * 10 + 3)
+          .union(ChangeFeed.deletes(o.filter($"o_orderkey" % 12 === 7),
+            $"o_orderkey" * 10 + 5)),
+        target, opts)
+      CdcApplier.rangeLookup(s, target, 1000L, 3000L)
+        .select(o.columns.map(col).toIndexedSeq: _*)
+        .orderBy($"o_orderkey")
+    }),
+
     // COVERING index — q123's space-for-hops trade: the index entry
     // carries the queried payload column, so the read is ONE bucket-pruned
     // prefix lookup with no second hop into the base store (HBase-world:
@@ -989,6 +1019,15 @@ object CdcQueries {
       WHERE o_orderkey % 9 <> 1
         AND (CASE WHEN o_orderkey % 6 = 2 THEN o_custkey + 1 ELSE o_custkey END)
             IN (3, 7, 11, 19, 42)
+      ORDER BY o_orderkey""",
+
+    "q134_range_scan" -> """
+      SELECT o_orderkey, o_custkey, o_orderstatus,
+        CASE WHEN o_orderkey % 5 = 1 THEN o_totalprice * 1.35 ELSE o_totalprice END
+          AS o_totalprice,
+        o_orderdate, o_orderpriority
+      FROM orders
+      WHERE o_orderkey % 12 <> 7 AND o_orderkey BETWEEN 1000 AND 3000
       ORDER BY o_orderkey""",
 
     "q133_covering_index" -> """

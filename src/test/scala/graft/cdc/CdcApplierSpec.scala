@@ -543,6 +543,55 @@ class CdcApplierSpec extends AnyFunSuite {
     }
   }
 
+  test("range-bucketed layout: key-ordered buckets, covering-bucket scans, drift guard, mor combo") {
+    val target = newTarget()
+    val ropts = CdcApplier.Options(pk, bucketCols = Some(Seq("sn")),
+      rangeBounds = Some(Seq(10L, 20L, 30L)))
+    val rows = (1 to 40).map(i => Student(i, i, i, s"n$i", "r"))
+    CdcApplier.applyBatch(spark,
+      ChangeFeed.inserts(rows.toDF(), col("sn").cast("long") * 10), target, ropts)
+
+    // bucket ids follow key order (monotone assignment → contiguous scans)
+    import org.apache.hadoop.fs.Path
+    val fs = new Path(target).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(CdcApplier.bucketIds(fs, new Path(target)) == Seq(0, 1, 2, 3))
+    val perBucket = spark.read.parquet(target)
+      .groupBy(col("graft_bucket")).agg(min(col("sn")).as("lo"), max(col("sn")).as("hi"))
+      .collect().map(r => r.getInt(0) -> (r.getInt(1), r.getInt(2))).toMap
+    assert(perBucket(0) == (1, 9) && perBucket(1) == (10, 19) &&
+      perBucket(2) == (20, 29) && perBucket(3) == (30, 40))
+
+    // range scan: covering buckets only, range pushed, exact answer
+    val scan = CdcApplier.rangeLookup(spark, target, 15L, 25L)
+    val p = scan.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(p.linesIterator.exists(l =>
+        l.contains("PartitionFilters") && l.contains("graft_bucket")), p)
+    assert(p.linesIterator.exists(l => l.contains("PushedFilters") &&
+        l.contains("GreaterThanOrEqual(sn") && l.contains("LessThanOrEqual(sn")), p)
+    assert(scan.drop("_graft_pos").as[Student].collect().toSet ==
+      rows.filter(s => s.sn >= 15 && s.sn <= 25).toSet)
+
+    // contradictory bounds on an existing layout is drift
+    val e = intercept[IllegalStateException](CdcApplier.applyBatch(spark,
+      ev("insert", 9999, None, Some(Student(41, 41, 1, "x", "r"))), target,
+      CdcApplier.Options(pk, bucketCols = Some(Seq("sn")), rangeBounds = Some(Seq(5L, 15L)))))
+    assert(e.getMessage.contains("drift"))
+    // ...but an unconfigured writer adopts the persisted bounds
+    CdcApplier.applyBatch(spark,
+      ev("insert", 10000, None, Some(Student(35, 99, 1, "y", "r"))), target, opts)
+    assert(CdcApplier.rangeLookup(spark, target, 35L, 35L).count() == 2)
+
+    // range + mor compose: deltas land by range, lookup resolves versions
+    val morT = newTarget()
+    CdcApplier.applyBatchMor(spark,
+      ChangeFeed.inserts(rows.toDF(), col("sn").cast("long") * 10), morT, ropts)
+    CdcApplier.applyBatchMor(spark,
+      ev("delete", 5000, Some(rows(14)), None), morT, ropts)
+    assert(CdcApplier.rangeLookup(spark, morT, 15L, 16L)
+      .drop("_graft_pos").as[Student].collect().toSet == Set(rows(15)))
+  }
+
   test("applyBatch: a later run with the PK columns in a different order adopts the layout's") {
     val target = newTarget()
     CdcApplier.applyBatch(spark, ev("insert", 10, None, Some(s1)), target, opts)

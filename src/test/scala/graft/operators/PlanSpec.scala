@@ -366,6 +366,19 @@ class PlanSpec extends AnyFunSuite {
       s"top-K must be a distributed TakeOrdered, not a global sort:\n$p")
   }
 
+  test("q134: range scan prunes to covering buckets and pushes the range predicate") {
+    val p = plan("q134_range_scan")
+    assert(p.linesIterator.exists(l =>
+        l.contains("PartitionFilters") && l.contains("graft_bucket")),
+      s"covering-bucket pruning must reach the scan:\n$p")
+    assert(p.linesIterator.exists(l => l.contains("PushedFilters") &&
+        l.contains("GreaterThanOrEqual(o_orderkey") &&
+        l.contains("LessThanOrEqual(o_orderkey")),
+      s"the BETWEEN must push for row-group skipping:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+      s"a range scan joins nothing:\n$p")
+  }
+
   test("q46: fingerprint runs the fused native kernel, not an interpreted fold") {
     val p = plan("q46_fingerprint")
     assert(p.contains("graft_fingerprint"), p)
