@@ -58,7 +58,9 @@ object Bench {
       "q88_stream_sessions", "q93_epoch_snapshot", "q94_stream_minmax_view",
       "q97_stream_agg_view", "q101_stream_outer_join", "q105_stream_scd2",
       "q115_epoch_concurrent", "q116_compat_merge", "q123_secondary_index",
-      "q127_stream_cms")
+      "q127_stream_cms", "q128_stream_hll", "q129_mor_merge",
+      "q130_stream_mor", "q131_mor_time_travel", "q133_covering_index",
+      "q134_range_scan")
     selected.foreach { case (name, fn) =>
       try {
         // Run twice, report the second: the first run absorbs positional

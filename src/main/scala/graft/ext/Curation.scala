@@ -216,10 +216,14 @@ object Curation {
         .select(col("doc_id"),
           md5(concat(lit("ep1:"), col("doc_id").cast("string")).cast("binary")).as("okey"))
         .withColumn("bucket", substring(col("okey"), 1, 1))
+      // 16-row cumsum; partitioned by a single-valued NON-FOLDABLE key
+      // (bn*0 — q69's trick) so the tiny window doesn't trip the global
+      // unpartitioned-window warning path
       val offsets = keyed.groupBy(col("bucket")).agg(count(lit(1)).as("bn"))
         .withColumn("boff",
           coalesce(sum(col("bn")).over(
-            Window.orderBy(col("bucket")).rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+            Window.partitionBy(col("bn") * 0)
+              .orderBy(col("bucket")).rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
         .select(col("bucket"), col("boff"))
       val w = Window.partitionBy(col("bucket")).orderBy(col("okey"))
       keyed.withColumn("rn", row_number().over(w).cast("long"))
