@@ -274,6 +274,51 @@ object CdcQueries {
         .orderBy($"o_orderkey")
     }),
 
+    // Index-assisted targeted deletion — the right-to-be-forgotten pass a
+    // training-data store must serve: erase EVERY row of a set of users
+    // from a store keyed by event_id, without scanning the table. The
+    // user_id secondary index (q123's machinery) turns each user into its
+    // bounded event_id set; the delete feed is synthesized from the
+    // affected rows and applied through the normal CDC path to BOTH the
+    // store and the index (tombstones, touched-bucket rewrites only — at
+    // 100 TB the erasure cost is the users' data, not the table). The
+    // oracle replays declaratively; a surviving row or an over-delete
+    // breaks the hash.
+    "q135_forget" -> ((s, dir) => {
+      import s.implicits._
+      val e = Tables.load(s, dir, "events")
+      val base = Files.createTempDirectory("graft_cdc").toString
+      val store = base + "/events_f"
+      val index = base + "/events_f_idx"
+      val sopts = CdcApplier.Options(Seq("event_id"))
+      val iopts = CdcApplier.Options(Seq("user_id", "event_id"),
+        bucketCols = Some(Seq("user_id")))
+      def indexFeed(changes: DataFrame): DataFrame =
+        changes.select(col("op"), col("next_position"),
+          when(col("before").isNotNull, struct(
+            col("before.user_id").as("user_id"),
+            col("before.event_id").as("event_id"))).as("before"),
+          when(col("after").isNotNull, struct(
+            col("after.user_id").as("user_id"),
+            col("after.event_id").as("event_id"))).as("after"))
+      val b1 = ChangeFeed.inserts(e, $"event_id" * 10)
+      CdcApplier.applyBatch(s, b1, store, sopts)
+      CdcApplier.applyBatch(s, indexFeed(b1), index, iopts)
+      // forget these users: index prefix lookup -> their event ids ->
+      // delete feed from the affected rows (no table scan anywhere)
+      val users = Seq(7L, 13L, 42L).toDF("user_id")
+      val ids = CdcApplier.pointLookup(s, index, users).select($"event_id")
+      val affected = CdcApplier.snapshot(s, store)
+        .join(broadcast(ids), Seq("event_id"), "left_semi")
+        .select(e.columns.map(col).toIndexedSeq: _*)
+      val del = ChangeFeed.deletes(affected, $"event_id" * 10 + lit(10000000L))
+      CdcApplier.applyBatch(s, del, store, sopts)
+      CdcApplier.applyBatch(s, indexFeed(del), index, iopts)
+      CdcApplier.snapshot(s, store)
+        .select(e.columns.map(col).toIndexedSeq: _*)
+        .orderBy($"event_id")
+    }),
+
     // RANGE-bucketed layout + range scan — the reference target's native
     // access path (HBase regions ARE rowkey ranges; S7 ordinal-orders
     // composite keys so scans hit contiguous regions). The store is
@@ -1020,6 +1065,12 @@ object CdcQueries {
         AND (CASE WHEN o_orderkey % 6 = 2 THEN o_custkey + 1 ELSE o_custkey END)
             IN (3, 7, 11, 19, 42)
       ORDER BY o_orderkey""",
+
+    "q135_forget" -> """
+      SELECT event_id, ts, user_id, event_type, value, props
+      FROM events
+      WHERE user_id NOT IN (7, 13, 42)
+      ORDER BY event_id""",
 
     "q134_range_scan" -> """
       SELECT o_orderkey, o_custkey, o_orderstatus,
