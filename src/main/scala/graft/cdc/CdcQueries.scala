@@ -274,6 +274,34 @@ object CdcQueries {
         .orderBy($"o_orderkey")
     }),
 
+    // Temporal fact-to-SCD2 join — the warehouse pattern the history
+    // exists FOR: each fact row (lineitem, at position key*10+line+1)
+    // joins the dimension VERSION valid at its position, so facts
+    // straddling the lifecycle's update (+5) and delete (+7) edges land
+    // on different versions of the same key, and facts after the delete
+    // drop out entirely. Plan: equi-join on the key with the interval
+    // predicate as a residual — versions-per-key is bounded (≤3 here; the
+    // update cadence at 100 TB), so the fan-out is a small constant, never
+    // a range-join blowup. The oracle re-derives the interval decision
+    // from the lifecycle arithmetic INDEPENDENTLY of Scd2.history — a
+    // wrong interval edge in either place breaks the hash.
+    "q136_temporal_join" -> ((s, dir) => {
+      import s.implicits._
+      val changes = lifecycle(s, dir).batches.reduce(_ unionByName _)
+      val hist = Scd2.history(changes, "o_orderkey",
+        Seq("o_totalprice", "o_orderpriority"))
+      val facts = Tables.load(s, dir, "lineitem")
+        .select($"l_orderkey", $"l_linenumber",
+          ($"l_orderkey" * 10 + $"l_linenumber" + 1).as("fact_pos"))
+      facts.join(hist,
+          facts("l_orderkey") === hist("o_orderkey") &&
+            hist("valid_from") <= facts("fact_pos") &&
+            (hist("valid_to").isNull || facts("fact_pos") < hist("valid_to")))
+        .select($"l_orderkey", $"l_linenumber", $"fact_pos",
+          $"o_totalprice", $"o_orderpriority")
+        .repartition(1).sortWithinPartitions($"l_orderkey", $"l_linenumber")
+    }),
+
     // Index-assisted targeted deletion — the right-to-be-forgotten pass a
     // training-data store must serve: erase EVERY row of a set of users
     // from a store keyed by event_id, without scanning the table. The
@@ -1065,6 +1093,29 @@ object CdcQueries {
         AND (CASE WHEN o_orderkey % 6 = 2 THEN o_custkey + 1 ELSE o_custkey END)
             IN (3, 7, 11, 19, 42)
       ORDER BY o_orderkey""",
+
+    "q136_temporal_join" -> """
+      WITH f AS (
+        SELECT l_orderkey, l_linenumber,
+          l_orderkey * 10 + l_linenumber + 1 AS fact_pos
+        FROM lineitem),
+      j AS (
+        SELECT f.l_orderkey, f.l_linenumber, f.fact_pos,
+          CASE WHEN (o.o_orderkey % 7 = 0 OR o.o_orderkey % 13 = 0)
+                    AND f.fact_pos >= o.o_orderkey * 10 + 5
+               THEN CASE WHEN o.o_orderkey % 7 = 0
+                         THEN o.o_totalprice * 1.2 ELSE o.o_totalprice END
+               ELSE o.o_totalprice END AS o_totalprice,
+          CASE WHEN (o.o_orderkey % 7 = 0 OR o.o_orderkey % 13 = 0)
+                    AND f.fact_pos >= o.o_orderkey * 10 + 5
+               THEN CASE WHEN o.o_orderkey % 13 = 0
+                         THEN '1-URGENT' ELSE o.o_orderpriority END
+               ELSE o.o_orderpriority END AS o_orderpriority,
+          (o.o_orderkey % 11 = 0 AND f.fact_pos >= o.o_orderkey * 10 + 7) AS deleted
+        FROM f JOIN orders o ON f.l_orderkey = o.o_orderkey)
+      SELECT l_orderkey, l_linenumber, fact_pos, o_totalprice, o_orderpriority
+      FROM j WHERE NOT deleted
+      ORDER BY l_orderkey, l_linenumber""",
 
     "q135_forget" -> """
       SELECT event_id, ts, user_id, event_type, value, props
