@@ -302,6 +302,51 @@ object CdcQueries {
         .repartition(1).sortWithinPartitions($"l_orderkey", $"l_linenumber")
     }),
 
+    // q136 executed as a REAL streaming query — facts arrive as a stream
+    // and enrich against the SCD2 history via a stream-static inner join
+    // (the static side re-resolves per micro-batch; here it is fixed, so
+    // the result is exactly q136's relation and the SAME oracle gates
+    // both). This is the deployment shape: the dimension history lives in
+    // the lake, facts tail a feed, and each micro-batch joins key-equi
+    // with the bounded per-key version fan-out — no streaming state at
+    // all on the dimension side.
+    "q137_stream_enrich" -> ((s, dir) => {
+      import s.implicits._
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+      val changes = lifecycle(s, dir).batches.reduce(_ unionByName _)
+      val hist = Scd2.history(changes, "o_orderkey",
+          Seq("o_totalprice", "o_orderpriority"))
+        .localCheckpoint() // fixed static side: one resolution, every batch
+      val facts = Tables.load(s, dir, "lineitem")
+        .select($"l_orderkey", $"l_linenumber")
+        .orderBy($"l_orderkey", $"l_linenumber")
+        .as[(Long, Int)].collect()
+      val src = MemoryStream[(Long, Int)]
+      val streamed = src.toDF().toDF("l_orderkey", "l_linenumber")
+        .withColumn("fact_pos", $"l_orderkey" * 10 + $"l_linenumber" + 1)
+      val enriched = streamed.join(hist,
+        streamed("l_orderkey") === hist("o_orderkey") &&
+          hist("valid_from") <= streamed("fact_pos") &&
+          (hist("valid_to").isNull || streamed("fact_pos") < hist("valid_to")))
+      val qname = "q137_out_" + java.util.UUID.randomUUID.toString.replace("-", "")
+      val query = enriched
+        .select($"l_orderkey", $"l_linenumber", $"fact_pos",
+          $"o_totalprice", $"o_orderpriority")
+        .writeStream.format("memory").queryName(qname).outputMode("append").start()
+      try {
+        facts.grouped(math.max(2000, (facts.length + 3) / 4)).foreach { c =>
+          src.addData(c.toIndexedSeq); query.processAllAvailable()
+        }
+      } finally query.stop()
+      val sunk = s.table(qname)
+      val out = s.createDataFrame(
+        java.util.Arrays.asList(sunk.collect(): _*), sunk.schema)
+      s.catalog.dropTempView(qname)
+      out.repartition(1)
+        .sortWithinPartitions($"l_orderkey", $"l_linenumber")
+    }),
+
     // Index-assisted targeted deletion — the right-to-be-forgotten pass a
     // training-data store must serve: erase EVERY row of a set of users
     // from a store keyed by event_id, without scanning the table. The
@@ -1057,6 +1102,31 @@ object CdcQueries {
       FROM w WHERE kind = 'v'
       ORDER BY o_orderkey, valid_from"""
 
+  /** The q136/q137 decision procedure: interval membership re-derived from
+    * the lifecycle arithmetic, independent of Scd2.history. */
+  private val temporalJoinOracle: String = """
+      WITH f AS (
+        SELECT l_orderkey, l_linenumber,
+          l_orderkey * 10 + l_linenumber + 1 AS fact_pos
+        FROM lineitem),
+      j AS (
+        SELECT f.l_orderkey, f.l_linenumber, f.fact_pos,
+          CASE WHEN (o.o_orderkey % 7 = 0 OR o.o_orderkey % 13 = 0)
+                    AND f.fact_pos >= o.o_orderkey * 10 + 5
+               THEN CASE WHEN o.o_orderkey % 7 = 0
+                         THEN o.o_totalprice * 1.2 ELSE o.o_totalprice END
+               ELSE o.o_totalprice END AS o_totalprice,
+          CASE WHEN (o.o_orderkey % 7 = 0 OR o.o_orderkey % 13 = 0)
+                    AND f.fact_pos >= o.o_orderkey * 10 + 5
+               THEN CASE WHEN o.o_orderkey % 13 = 0
+                         THEN '1-URGENT' ELSE o.o_orderpriority END
+               ELSE o.o_orderpriority END AS o_orderpriority,
+          (o.o_orderkey % 11 = 0 AND f.fact_pos >= o.o_orderkey * 10 + 7) AS deleted
+        FROM f JOIN orders o ON f.l_orderkey = o.o_orderkey)
+      SELECT l_orderkey, l_linenumber, fact_pos, o_totalprice, o_orderpriority
+      FROM j WHERE NOT deleted
+      ORDER BY l_orderkey, l_linenumber"""
+
   val oracles: Map[String, String] = Map(
     "q30_cdc_merge" -> """
       SELECT o_orderkey, o_custkey, o_orderstatus,
@@ -1094,28 +1164,10 @@ object CdcQueries {
             IN (3, 7, 11, 19, 42)
       ORDER BY o_orderkey""",
 
-    "q136_temporal_join" -> """
-      WITH f AS (
-        SELECT l_orderkey, l_linenumber,
-          l_orderkey * 10 + l_linenumber + 1 AS fact_pos
-        FROM lineitem),
-      j AS (
-        SELECT f.l_orderkey, f.l_linenumber, f.fact_pos,
-          CASE WHEN (o.o_orderkey % 7 = 0 OR o.o_orderkey % 13 = 0)
-                    AND f.fact_pos >= o.o_orderkey * 10 + 5
-               THEN CASE WHEN o.o_orderkey % 7 = 0
-                         THEN o.o_totalprice * 1.2 ELSE o.o_totalprice END
-               ELSE o.o_totalprice END AS o_totalprice,
-          CASE WHEN (o.o_orderkey % 7 = 0 OR o.o_orderkey % 13 = 0)
-                    AND f.fact_pos >= o.o_orderkey * 10 + 5
-               THEN CASE WHEN o.o_orderkey % 13 = 0
-                         THEN '1-URGENT' ELSE o.o_orderpriority END
-               ELSE o.o_orderpriority END AS o_orderpriority,
-          (o.o_orderkey % 11 = 0 AND f.fact_pos >= o.o_orderkey * 10 + 7) AS deleted
-        FROM f JOIN orders o ON f.l_orderkey = o.o_orderkey)
-      SELECT l_orderkey, l_linenumber, fact_pos, o_totalprice, o_orderpriority
-      FROM j WHERE NOT deleted
-      ORDER BY l_orderkey, l_linenumber""",
+    // shared by q136 (batch) and q137 (stream-static): ONE decision
+    // procedure, two execution modes
+    "q136_temporal_join" -> temporalJoinOracle,
+    "q137_stream_enrich" -> temporalJoinOracle,
 
     "q135_forget" -> """
       SELECT event_id, ts, user_id, event_type, value, props
