@@ -474,6 +474,56 @@ object CdcApplier {
     resolved.filter(!col(DEL)).drop(DEL, BUCKET)
   }
 
+  /** Change-data feed FROM a merge-on-read target: reconstruct the CDC
+    * envelope (op, next_position, before, after) for every change with
+    * position > `fromPos`, straight from the delta files — a MOR table IS
+    * its own binlog between compactions (public design point: Delta Lake's
+    * Change Data Feed / Hudi incremental queries). Before-images come from
+    * each key's previous version via a per-key lag over the version chain;
+    * only the touched keys' versions are read (semi-join), so the feed's
+    * cost is the changed data. Downstream consumers replay it through
+    * [[applyBatch]] like any source feed — replication without tapping the
+    * original source. `fromPos` at or below the collapsed watermark is
+    * refused: those transitions' before-images are gone. */
+  def changeFeed(spark: SparkSession, targetDir: String, fromPos: Long): DataFrame = {
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val target = new Path(targetDir)
+    val meta = TargetMeta.read(hconf, target).getOrElse(
+      throw new IllegalStateException(s"no graft table state at $targetDir"))
+    if (!meta.storage.contains("mor"))
+      throw new IllegalStateException(
+        s"$targetDir is copy-on-write — superseded versions are rewritten away; " +
+          "the change feed needs the mor layout")
+    val floor = math.max(meta.horizon, meta.collapsed.getOrElse(Long.MinValue))
+    if (fromPos < floor)
+      throw new IllegalArgumentException(
+        s"change feed from $fromPos predates the retained history (floor $floor)")
+    val pkCols = meta.pkCols.getOrElse(
+      throw new IllegalStateException(s"mor layout at $targetDir has no persisted PK"))
+    val raw = spark.read.option("mergeSchema", true).parquet(targetDir)
+    val dataCols = raw.columns.filterNot(c => c == POS || c == DEL || c == BUCKET).toSeq
+    val touched = raw.filter(col(POS) > fromPos)
+      .select(pkCols.map(col): _*).distinct()
+    val versions = raw.join(touched, pkCols, "left_semi")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(pkCols.map(col): _*).orderBy(col(POS))
+    val img = struct(dataCols.map(col): _*)
+    versions
+      .withColumn("_prev", lag(struct(img.as("img"), col(DEL).as("del")), 1).over(w))
+      .filter(col(POS) > fromPos)
+      .select(
+        when(col(DEL), "delete")
+          .when(col("_prev").isNull || col("_prev.del"), "insert")
+          .otherwise("update").as("op"),
+        col(POS).as("next_position"),
+        // deletes always carry a before (the tombstone row itself holds the
+        // key when no prior version is retained); inserts carry none
+        when(col(DEL), coalesce(col("_prev.img"), img))
+          .otherwise(when(col("_prev").isNotNull && !col("_prev.del"), col("_prev.img")))
+          .as("before"),
+        when(!col(DEL), img).as("after"))
+  }
+
   /** Compact a merge-on-read target: every bucket collapses to its
     * latest-per-key resolution (tombstones KEPT — they are the replay
     * guard until [[compact]]'s horizon advances past them), published

@@ -274,6 +274,46 @@ object CdcQueries {
         .orderBy($"o_orderkey")
     }),
 
+    // MOR as its own binlog — a downstream replica fed EXCLUSIVELY by
+    // CdcApplier.changeFeed increments reconstructed from the primary's
+    // delta files (op inferred from the version chain, before-images from
+    // each key's previous version): replication WITHOUT tapping the
+    // original source, the Delta-CDF/Hudi-incremental capability. Three
+    // batches (inserts, reprice+delete, image-consistent repriority) flow
+    // primary -> feed -> replica; the replica's final state must equal
+    // the declarative oracle — a wrong op class, missing before-image, or
+    // positional slip anywhere in the reconstruction breaks the hash.
+    "q138_mor_changefeed" -> ((s, dir) => {
+      import s.implicits._
+      val o = Tables.load(s, dir, "orders")
+      val base = Files.createTempDirectory("graft_cdc").toString
+      val src = base + "/orders_cf_src"
+      val dst = base + "/orders_cf_dst"
+      val opts = CdcApplier.Options(Seq("o_orderkey"))
+      val b2base = 10000000L
+      val b3base = 20000000L
+      val cur1 = o.withColumn("o_totalprice",
+        when($"o_orderkey" % 4 === 1, $"o_totalprice" * 1.3).otherwise($"o_totalprice"))
+      val cur2 = cur1.filter($"o_orderkey" % 9 =!= 5)
+      val batches = Seq(
+        ChangeFeed.inserts(o, $"o_orderkey" * 10),
+        ChangeFeed.updates(o.filter($"o_orderkey" % 4 === 1),
+          Map("o_totalprice" -> ($"o_totalprice" * 1.3)),
+          $"o_orderkey" * 10 + 2 + b2base)
+          .union(ChangeFeed.deletes(o.filter($"o_orderkey" % 9 === 5),
+            $"o_orderkey" * 10 + 4 + b2base)),
+        ChangeFeed.updates(cur2.filter($"o_orderkey" % 10 === 6),
+          Map("o_orderpriority" -> lit("3-LOW")), $"o_orderkey" * 10 + 6 + b3base))
+      val cursors = Seq(Long.MinValue, b2base - 1, b3base - 1)
+      batches.zip(cursors).foreach { case (b, from) =>
+        CdcApplier.applyBatchMor(s, b, src, opts)
+        CdcApplier.applyBatch(s, CdcApplier.changeFeed(s, src, from), dst, opts)
+      }
+      CdcApplier.snapshot(s, dst)
+        .select(o.columns.map(col).toIndexedSeq: _*)
+        .orderBy($"o_orderkey")
+    }),
+
     // Temporal fact-to-SCD2 join — the warehouse pattern the history
     // exists FOR: each fact row (lineitem, at position key*10+line+1)
     // joins the dimension VERSION valid at its position, so facts
@@ -1168,6 +1208,17 @@ object CdcQueries {
     // procedure, two execution modes
     "q136_temporal_join" -> temporalJoinOracle,
     "q137_stream_enrich" -> temporalJoinOracle,
+
+    "q138_mor_changefeed" -> """
+      SELECT o_orderkey, o_custkey, o_orderstatus,
+        CASE WHEN o_orderkey % 4 = 1 THEN o_totalprice * 1.3 ELSE o_totalprice END
+          AS o_totalprice,
+        o_orderdate,
+        CASE WHEN o_orderkey % 10 = 6 THEN '3-LOW' ELSE o_orderpriority END
+          AS o_orderpriority
+      FROM orders
+      WHERE o_orderkey % 9 <> 5
+      ORDER BY o_orderkey""",
 
     "q135_forget" -> """
       SELECT event_id, ts, user_id, event_type, value, props

@@ -592,6 +592,52 @@ class CdcApplierSpec extends AnyFunSuite {
       .drop("_graft_pos").as[Student].collect().toSet == Set(rows(15)))
   }
 
+  test("changeFeed: op classification, PK-move chain, floor and cow guards") {
+    val target = newTarget()
+    CdcApplier.applyBatchMor(spark, ev("insert", 10, None, Some(s1)), target, opts)
+    CdcApplier.applyBatchMor(spark, ev("update", 20, Some(s1), Some(s1v2)), target, opts)
+    // PK move: (1,1) -> (3,3); then delete the moved row
+    val moved = s1v2.copy(sn = 3, id = 3)
+    CdcApplier.applyBatchMor(spark, ev("update", 30, Some(s1v2), Some(moved)), target, opts)
+    CdcApplier.applyBatchMor(spark, ev("delete", 40, Some(moved), None), target, opts)
+
+    def feed(from: Long) = CdcApplier.changeFeed(spark, target, from)
+      .collect().map(r => (r.getAs[String]("op"), r.getAs[Long]("next_position"),
+        Option(r.getAs[org.apache.spark.sql.Row]("before")).map(_.getAs[Int]("sn")),
+        Option(r.getAs[org.apache.spark.sql.Row]("after")).map(_.getAs[Int]("sn"))))
+      .sortBy(_._2).toSeq
+
+    // full feed: insert(1), update(1), [move: delete(1) + insert(3)], delete(3)
+    val all = feed(Long.MinValue)
+    assert(all.map(e => (e._1, e._2)) ==
+      Seq(("insert", 10L), ("update", 20L), ("delete", 30L), ("insert", 30L), ("delete", 40L)),
+      s"got $all")
+    // the update carries the previous version as before
+    assert(all(1)._3.contains(1) && all(1)._4.contains(1))
+    // the final delete has a before even though it targets the moved key
+    assert(all(4)._3.contains(3) && all(4)._4.isEmpty)
+
+    // incremental cursor: only events past it
+    assert(feed(25).map(_._2) == Seq(30L, 30L, 40L))
+
+    // replaying the full feed into a fresh store reproduces the state
+    val replica = newTarget()
+    CdcApplier.applyBatch(spark,
+      CdcApplier.changeFeed(spark, target, Long.MinValue), replica, opts)
+    assert(state(replica) == state(target))
+
+    // compaction collapses history -> stale cursors refused
+    CdcApplier.compactMor(spark, target)
+    val e = intercept[IllegalArgumentException](feed(25))
+    assert(e.getMessage.contains("retained history"))
+    // cow stores refuse entirely
+    val cow = newTarget()
+    CdcApplier.applyBatch(spark, ev("insert", 1, None, Some(s1)), cow, opts)
+    val e2 = intercept[IllegalStateException](
+      CdcApplier.changeFeed(spark, cow, Long.MinValue))
+    assert(e2.getMessage.contains("copy-on-write"))
+  }
+
   test("applyBatch: a later run with the PK columns in a different order adopts the layout's") {
     val target = newTarget()
     CdcApplier.applyBatch(spark, ev("insert", 10, None, Some(s1)), target, opts)
