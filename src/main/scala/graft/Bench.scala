@@ -60,7 +60,8 @@ object Bench {
       "q115_epoch_concurrent", "q116_compat_merge", "q123_secondary_index",
       "q127_stream_cms", "q128_stream_hll", "q129_mor_merge",
       "q130_stream_mor", "q131_mor_time_travel", "q133_covering_index",
-      "q134_range_scan", "q135_forget", "q137_stream_enrich")
+      "q134_range_scan", "q135_forget", "q137_stream_enrich",
+      "q138_mor_changefeed")
     selected.foreach { case (name, fn) =>
       try {
         // Run twice, report the second: the first run absorbs positional
