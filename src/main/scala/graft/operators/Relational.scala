@@ -163,6 +163,39 @@ object Relational {
         .limit(50)
     }),
 
+    // ---- q139: parquet FOOTER aggregation — count/min/max answered from
+    //      row-group statistics alone (spark.sql.parquet.aggregatePushdown;
+    //      the plan's scan shows PushedAggregation and reads NO data
+    //      pages). At 100 TB this is the difference between a metadata
+    //      pass and a table scan for the stats queries every catalog runs;
+    //      the conf is scoped to this query because pushed aggregates
+    //      bypass the usual row pipeline.
+    "q139_footer_agg" -> ((s, dir) => {
+      import s.implicits._
+      // Footer aggregation needs the V2 parquet source (the V1 reader has
+      // no aggregate pushdown) — both confs scoped to this query; the
+      // aggregate sticks to count + min/max over plain numeric columns,
+      // the class the pushdown supports.
+      val prevAgg = s.conf.getOption("spark.sql.parquet.aggregatePushdown")
+      val prevV1 = s.conf.getOption("spark.sql.sources.useV1SourceList")
+      s.conf.set("spark.sql.parquet.aggregatePushdown", "true")
+      s.conf.set("spark.sql.sources.useV1SourceList", "")
+      try {
+        val df = s.read.parquet(s"$dir/lineitem.parquet")
+          .agg(count(lit(1)).as("n"),
+            min($"l_orderkey").as("min_ok"), max($"l_orderkey").as("max_ok"),
+            min($"l_extendedprice").as("min_px"), max($"l_extendedprice").as("max_px"))
+        // materialize the 1-row answer NOW, inside the conf scope
+        val row = df.collect()
+        s.createDataFrame(java.util.Arrays.asList(row: _*), df.schema)
+      } finally {
+        def restore(k: String, v: Option[String]): Unit =
+          v match { case Some(x) => s.conf.set(k, x); case None => s.conf.unset(k) }
+        restore("spark.sql.parquet.aggregatePushdown", prevAgg)
+        restore("spark.sql.sources.useV1SourceList", prevV1)
+      }
+    }),
+
     // ---- scalar functions: string / math
     "q13_scalar_string" -> ((s, dir) => {
       import s.implicits._
@@ -423,6 +456,12 @@ object Relational {
       UNION ALL
       SELECT 'except' AS op, k FROM (SELECT k FROM a EXCEPT SELECT k FROM b)
       ORDER BY op, k""",
+
+    "q139_footer_agg" -> """
+      SELECT CAST(count(*) AS BIGINT) AS n,
+        min(l_orderkey) AS min_ok, max(l_orderkey) AS max_ok,
+        min(l_extendedprice) AS min_px, max(l_extendedprice) AS max_px
+      FROM lineitem""",
 
     "q12_sort_limit" -> """
       SELECT l_orderkey, l_linenumber, l_extendedprice

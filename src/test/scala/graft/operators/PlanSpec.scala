@@ -379,6 +379,30 @@ class PlanSpec extends AnyFunSuite {
       s"a range scan joins nothing:\n$p")
   }
 
+  test("q139: the stats aggregate pushes into the parquet footer scan") {
+    // q139's entry collects inside its conf scope (the returned frame is
+    // already local rows), so the lock rebuilds the scan here
+    import org.apache.spark.sql.functions._
+    val prevAgg = spark.conf.getOption("spark.sql.parquet.aggregatePushdown")
+    val prevV1 = spark.conf.getOption("spark.sql.sources.useV1SourceList")
+    spark.conf.set("spark.sql.parquet.aggregatePushdown", "true")
+    spark.conf.set("spark.sql.sources.useV1SourceList", "")
+    try {
+      val df = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+        .agg(count(lit(1)).as("n"),
+          min(col("l_orderkey")).as("min_ok"), max(col("l_orderkey")).as("max_ok"))
+      val p = df.queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+      assert(p.contains("PushedAggregation"),
+        s"count/min/max must answer from row-group statistics:\n$p")
+    } finally {
+      def restore(k: String, v: Option[String]): Unit =
+        v match { case Some(x) => spark.conf.set(k, x); case None => spark.conf.unset(k) }
+      restore("spark.sql.parquet.aggregatePushdown", prevAgg)
+      restore("spark.sql.sources.useV1SourceList", prevV1)
+    }
+  }
+
   test("q46: fingerprint runs the fused native kernel, not an interpreted fold") {
     val p = plan("q46_fingerprint")
     assert(p.contains("graft_fingerprint"), p)
