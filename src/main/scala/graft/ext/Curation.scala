@@ -203,6 +203,34 @@ object Curation {
         .repartition(1).sortWithinPartitions(col("rank"))
     }),
 
+    // ---- q140: training shards — the data-loader layout step: slice the
+    //      q122 permutation into contiguous [[ShardBudget]]-token shards
+    //      (each doc's shard = where its tokens START, q56's convention).
+    //      The global token cumsum uses q122's two-phase shape — the
+    //      bucket prefix segments the permutation, so bucket-level token
+    //      offsets (a 16-row broadcast) + within-bucket running sums give
+    //      the exact global prefix sum with NO single-partition window.
+    "q140_train_shards" -> ((s, dir) => {
+      val keyed = t(s, dir, "documents")
+        .select(col("doc_id"), Corpus.wsTokenCount(col("text")).as("n_tokens"),
+          md5(concat(lit("ep1:"), col("doc_id").cast("string")).cast("binary")).as("okey"))
+        .withColumn("bucket", substring(col("okey"), 1, 1))
+      val offs = keyed.groupBy(col("bucket")).agg(sum(col("n_tokens")).as("bt"))
+        .withColumn("toff",
+          coalesce(sum(col("bt")).over(
+            Window.partitionBy(col("bt") * 0)
+              .orderBy(col("bucket")).rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+        .select(col("bucket"), col("toff"))
+      val w = Window.partitionBy(col("bucket")).orderBy(col("okey"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      keyed.join(broadcast(offs), "bucket")
+        .withColumn("tok_start", col("toff") + coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+        .select(col("doc_id"), col("n_tokens"), col("tok_start"),
+          expr(s"tok_start DIV $ShardBudget").as("shard"),
+          (col("tok_start") % ShardBudget).as("shard_offset"))
+        .repartition(1).sortWithinPartitions(col("tok_start"))
+    }),
+
     // ---- q122: reproducible training-order shuffle — pos = the corpus
     //      permutation ordered by md5('ep1:'||doc_id), computed WITHOUT a
     //      single-partition global sort: rank within first-hex-digit
@@ -233,7 +261,34 @@ object Curation {
     })
   )
 
+  /** Token budget per training shard (q140). */
+  val ShardBudget = 8192L
+
   def oracles: Map[String, String] = Map(
+
+    "q140_train_shards" -> s"""
+      WITH keyed AS (
+        SELECT doc_id, md5('ep1:' || CAST(doc_id AS VARCHAR)) AS okey,
+          substring(md5('ep1:' || CAST(doc_id AS VARCHAR)), 1, 1) AS bucket,
+          ${Corpus.wsTokenCountSql("text")} AS n_tokens
+        FROM documents),
+      offs AS (
+        SELECT bucket,
+          CAST(COALESCE(sum(bt) OVER (ORDER BY bucket
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS toff
+        FROM (SELECT bucket, CAST(sum(n_tokens) AS BIGINT) AS bt
+              FROM keyed GROUP BY 1)),
+      ranked AS (
+        SELECT keyed.doc_id, keyed.n_tokens,
+          offs.toff + CAST(COALESCE(sum(keyed.n_tokens) OVER (
+            PARTITION BY keyed.bucket ORDER BY okey
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS tok_start
+        FROM keyed JOIN offs ON keyed.bucket = offs.bucket)
+      SELECT doc_id, n_tokens, tok_start,
+        tok_start // $ShardBudget AS shard,
+        tok_start % $ShardBudget AS shard_offset
+      FROM ranked
+      ORDER BY tok_start""",
 
     "q119_zorder_layout" -> s"""
       WITH z AS (
