@@ -529,17 +529,27 @@ class CdcApplierSpec extends AnyFunSuite {
         }
         events
       }
+      // third party: a replica fed ONLY by change feeds reconstructed from
+      // the mor deltas (cursor = the previous batch's max position)
+      val replica = newTarget()
+      var cursor = Long.MinValue
       batches.zipWithIndex.foreach { case (events, bi) =>
         val dfs = events.map { case (op, p, b, a) => ev(op, p, b, a) }
         val batch = dfs.reduce(_ union _)
         CdcApplier.applyBatch(spark, batch, cow, opts)
         CdcApplier.applyBatchMor(spark, batch, mor, opts)
+        CdcApplier.applyBatch(spark,
+          CdcApplier.changeFeed(spark, mor, cursor), replica, opts)
+        cursor = events.map(_._2).max
         if (bi == 2) CdcApplier.compactMor(spark, mor) // mid-lifecycle collapse
       }
       assert(state(cow) == state(mor),
         s"trial $trial: cow/mor divergence — cow=${state(cow)} mor=${state(mor)}")
+      assert(state(replica) == state(mor),
+        s"trial $trial: the feed-built replica diverged — " +
+          s"replica=${state(replica)} mor=${state(mor)}")
       assert(state(cow) == live.values.toSet,
-        s"trial $trial: both stores must equal the reference fold")
+        s"trial $trial: all stores must equal the reference fold")
     }
   }
 
