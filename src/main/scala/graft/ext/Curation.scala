@@ -215,10 +215,14 @@ object Curation {
         .select(col("doc_id"), Corpus.wsTokenCount(col("text")).as("n_tokens"),
           md5(concat(lit("ep1:"), col("doc_id").cast("string")).cast("binary")).as("okey"))
         .withColumn("bucket", substring(col("okey"), 1, 1))
-      val offs = keyed.groupBy(col("bucket")).agg(sum(col("n_tokens")).as("bt"))
+      // same single-valued partition key discipline as q122's offsets
+      val toks = keyed.groupBy(col("bucket")).agg(sum(col("n_tokens")).as("bt"))
+        .localCheckpoint()
+      val offs = toks
+        .crossJoin(broadcast(toks.agg(sum(col("bt")).as("tall"))))
         .withColumn("toff",
           coalesce(sum(col("bt")).over(
-            Window.partitionBy(col("bt") * 0)
+            Window.partitionBy(col("tall"))
               .orderBy(col("bucket")).rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
         .select(col("bucket"), col("toff"))
       val w = Window.partitionBy(col("bucket")).orderBy(col("okey"))
@@ -244,13 +248,17 @@ object Curation {
         .select(col("doc_id"),
           md5(concat(lit("ep1:"), col("doc_id").cast("string")).cast("binary")).as("okey"))
         .withColumn("bucket", substring(col("okey"), 1, 1))
-      // 16-row cumsum; partitioned by a single-valued NON-FOLDABLE key
-      // (bn*0 — q69's trick) so the tiny window doesn't trip the global
-      // unpartitioned-window warning path
-      val offsets = keyed.groupBy(col("bucket")).agg(count(lit(1)).as("bn"))
+      // 16-row cumsum; partitioned by the (single-valued, non-foldable)
+      // grand total — q69's trick, which an arithmetic zero would NOT
+      // survive (count() is non-nullable, so bn*0 constant-folds and the
+      // window degenerates to the warned unpartitioned path)
+      val counts = keyed.groupBy(col("bucket")).agg(count(lit(1)).as("bn"))
+        .localCheckpoint() // feeds both the total and the cumsum
+      val offsets = counts
+        .crossJoin(broadcast(counts.agg(sum(col("bn")).as("nall"))))
         .withColumn("boff",
           coalesce(sum(col("bn")).over(
-            Window.partitionBy(col("bn") * 0)
+            Window.partitionBy(col("nall"))
               .orderBy(col("bucket")).rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
         .select(col("bucket"), col("boff"))
       val w = Window.partitionBy(col("bucket")).orderBy(col("okey"))

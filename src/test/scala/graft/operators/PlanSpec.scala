@@ -403,6 +403,39 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("q119: z-order audit is one scan into one aggregation — no join, no extra shuffle") {
+    val p = plan("q119_zorder_layout")
+    val fin = p.split("== Initial Plan ==")(0)
+    assert(!fin.contains("Join"), s"the layout audit joins nothing:\n$p")
+    assert(fin.linesIterator.count(_.contains("Scan parquet")) == 1, p)
+  }
+
+  test("q121: leakage is a shuffled equi-join on the content digest — no cartesian, no broadcast of the corpus") {
+    val p = plan("q121_split_leakage")
+    val fin = p.split("== Initial Plan ==")(0)
+    assert(!fin.contains("CartesianProduct") && !fin.contains("BroadcastNestedLoopJoin"),
+      s"cross-split matching must be an equi-join on ckey:\n$p")
+    assert(fin.contains("SortMergeJoin") || fin.contains("ShuffledHashJoin") ||
+      fin.contains("BroadcastHashJoin"), p)
+  }
+
+  test("q122/q140: the permutation avoids a single-partition global sort; offsets broadcast") {
+    Seq("q122_train_order", "q140_train_shards").foreach { q =>
+      val p = plan(q)
+      val fin = p.split("== Initial Plan ==")(0)
+      // the 16-row offsets frame joins back as a broadcast
+      assert(fin.contains("BroadcastHashJoin"), s"$q offsets must broadcast:\n$p")
+      // every window over corpus rows partitions by bucket (16-way); an
+      // empty windowspec partition list would be the single-partition
+      // global sort this shape exists to avoid
+      val specs = fin.linesIterator.filter(_.contains("windowspecdefinition")).toSeq
+      assert(specs.nonEmpty && specs.forall(s =>
+          s.contains("windowspecdefinition(bucket") || s.contains("windowspecdefinition(nall") ||
+            s.contains("windowspecdefinition(tall")),
+        s"$q windows must partition by bucket (or the 16-row offsets key):\n$p")
+    }
+  }
+
   test("q46: fingerprint runs the fused native kernel, not an interpreted fold") {
     val p = plan("q46_fingerprint")
     assert(p.contains("graft_fingerprint"), p)
