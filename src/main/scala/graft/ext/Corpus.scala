@@ -82,6 +82,20 @@ object Corpus {
   val LineWords = 8L
   val BoilerDf = 5L
 
+  /** q141 paragraph-dedup geometry: "paragraphs" are [[ParaWords]]-word
+    * groups (q98's no-newline synthesis discipline, coarser granularity),
+    * and dedup keeps each distinct paragraph's FIRST global occurrence —
+    * the Dolma-style paragraph-level exact dedup between q40's document
+    * granularity and q70's substring granularity. */
+  val ParaWords = 12L
+
+  /** q142 temperature-mixture geometry: sampling temperature alpha = 0.5
+    * realized as sqrt (correctly-rounded IEEE in BOTH engines — a general
+    * pow would go through exp/ln whose last ulp is libm-specific), and the
+    * global admitted-token budget is total corpus tokens div
+    * [[TempBudgetDiv]]. */
+  val TempBudgetDiv = 4L
+
   /** q99 BPE training length: merge iterations to run. Production
     * tokenizers run 30k-100k merges; the gate runs 4 because each
     * iteration exercises the identical argmax/merge step and the oracle
@@ -157,6 +171,63 @@ object Corpus {
           expr("array_join(transform(sort_array(collect_list(" +
             "CASE WHEN keep THEN struct(li, line) END)), x -> x.line), ' | ')"))
           .as("clean_hash"))
+  }
+
+  /** q141's core: paragraph-level exact dedup (the Dolma pipeline's
+    * paragraph granularity, Soldaini et al. 2024; C4 dedups at the
+    * three-sentence span) — each DISTINCT paragraph keeps its FIRST global
+    * occurrence (lowest (doc_id, pi)) and every later copy is dropped from
+    * its document; documents are reassembled in paragraph order. The rule
+    * q98's boilerplate removal deliberately is not: df-thresholding drops
+    * ALL copies of site chrome, dedup keeps exactly ONE copy of shared
+    * content. Input: (doc_id, pi, para); output: one row per doc with
+    * paragraph totals and the [[TextOps.polyHash]] of the cleaned text
+    * (q73's chash discipline).
+    *
+    * Scale shape: occurrences are keyed by `md5(para)`, so the winner
+    * election shuffles 16-byte digests + (doc_id, pi) — never paragraph
+    * text; the winner per digest is ONE partial+final `min(struct)`
+    * aggregate; keepers are marked by ONE digest-equi-join (the text rides
+    * the probe side, already co-partitioned by the digest); reassembly is
+    * one per-doc aggregate. Never paragraph×paragraph, no driver collect. */
+  def dedupParagraphs(paras: DataFrame): DataFrame = {
+    val keyed = paras.withColumn("pkey", md5(col("para").cast("binary")))
+    val firsts = keyed.groupBy(col("pkey"))
+      .agg(min(struct(col("doc_id"), col("pi"))).as("first"))
+    keyed.join(firsts, Seq("pkey"))
+      .withColumn("keep",
+        col("doc_id") === col("first.doc_id") && col("pi") === col("first.pi"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("paras_total"),
+        sum(when(col("keep"), 1L).otherwise(0L)).as("paras_kept"),
+        TextOps.polyHash(
+          expr("array_join(transform(sort_array(collect_list(" +
+            "CASE WHEN keep THEN struct(pi, para) END)), x -> x.para), ' | ')"))
+          .as("clean_hash"))
+  }
+
+  /** q142's core: per-source token targets under temperature sampling
+    * (alpha-weighted mixture, the multilingual/multi-domain re-balancing
+    * rule of XLM-R / GPT-3 style recipes: weight ∝ tokens^alpha flattens
+    * the head and boosts the tail). alpha = 0.5 via `sqrt` so every
+    * arithmetic step is correctly-rounded IEEE on both engines; the weight
+    * normalizer is a [[graft.util.Sumd.sumd]] decimal-exact sum (source
+    * count is small, but partial-agg ORDER must still not drift). Input:
+    * (source, src_tokens); output adds (w, target) where
+    * target = floor(budget·w / Σw), budget = Σ tokens div [[TempBudgetDiv]].
+    * Everything is source-cardinality-sized: one tiny agg + one 1-row
+    * broadcast — the corpus is touched only by the caller's admission
+    * window (q65's machinery). */
+  def temperatureTargets(bySource: DataFrame): DataFrame = {
+    val w = bySource.withColumn("w", sqrt(col("src_tokens").cast("double")))
+    val totals = w.agg(
+      graft.util.Sumd.sumd(col("w")).as("sumw"),
+      sum(col("src_tokens")).as("total_tokens"))
+    w.crossJoin(broadcast(totals))
+      .withColumn("budget", expr(s"total_tokens div $TempBudgetDiv"))
+      .withColumn("target",
+        floor(col("budget").cast("double") * col("w") / col("sumw")).cast("long"))
+      .drop("sumw", "total_tokens")
   }
 
   /** q99's core: ONE BPE merge iteration over a segmented vocabulary
@@ -1041,6 +1112,69 @@ object Corpus {
         .agg(count(lit(1)).cast("long").as("n_words"),
           sum(col("n_sym")).cast("long").as("bpe_tokens"))
         .repartition(1).sortWithinPartitions(col("doc_id"))
+    }),
+
+    // ---- q141: paragraph-level exact dedup — the Dolma-granularity
+    //      middle tier between q40 (whole-doc) and q70 (substring). The
+    //      corpus has no newlines, so both engines synthesize the
+    //      IDENTICAL paragraph structure (q98's shared-synthesis
+    //      discipline): a per-source promo paragraph (recurring across
+    //      every doc of its source — the shared-content case dedup must
+    //      keep ONCE, where q98's df rule would drop it everywhere) +
+    //      ParaWords-word content groups. The operator knows nothing of
+    //      the synthesis: it keeps each distinct paragraph's first global
+    //      occurrence purely by (doc_id, pi) order. The gate hashes each
+    //      doc's reassembled text, so a wrong winner, a dropped unique
+    //      paragraph, or misordered reassembly all break it.
+    "q141_para_dedup" -> ((s, dir) => {
+      graft.functions.GraftFunctions.register(s)
+      val pw = ParaWords
+      val contentParas = when(size(col("ws")) === 0,
+          expr("cast(array() as array<string>)"))
+        .otherwise(expr(
+          s"transform(sequence(1, cast((size(ws)+${pw - 1}) div $pw as int)), " +
+            s"i -> array_join(slice(ws, cast((i-1)*$pw+1 as int), $pw), ' '))"))
+      val paras = t(s, dir, "documents")
+        .select(col("doc_id"), col("source"), TextOps.words(col("text")).as("ws"))
+        .select(col("doc_id"),
+          posexplode(concat(
+            array(concat(lit("promo "), col("source"), lit(" visit our network today"))),
+            contentParas)))
+        .select(col("doc_id"), col("pos").cast("long").as("pi"), col("col").as("para"))
+      dedupParagraphs(paras)
+        .repartition(1).sortWithinPartitions(col("doc_id"))
+    }),
+
+    // ---- q142: temperature-based domain mixture — per-source token
+    //      targets ∝ sqrt(source tokens) (alpha = 0.5 sampling: flattens
+    //      the source-size head, boosts the tail — the standard
+    //      multi-domain re-balancing rule), then q65's deterministic
+    //      start-below-budget admission in content-hash order against the
+    //      COMPUTED target. q65 is the fixed-budget recipe; this derives
+    //      the budgets from the corpus itself. One source-sized agg + one
+    //      1-row broadcast + one admission window per source + a final
+    //      source-sized agg; integer/IEEE arithmetic mirrored op-for-op.
+    "q142_temp_mixture" -> ((s, dir) => {
+      graft.functions.GraftFunctions.register(s)
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"), col("source"), wsTokenCount(col("text")).as("n_tokens"),
+          call_function("graft_polyhash",
+            col("text"), lit(31), lit(TextOps.HashMod)).as("ohash"))
+      val targets = temperatureTargets(
+        docs.groupBy(col("source")).agg(sum(col("n_tokens")).as("src_tokens")))
+        .select(col("source"), col("target"))
+      val w = Window.partitionBy(col("source")).orderBy(col("ohash"), col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      docs.join(broadcast(targets), Seq("source"))
+        .withColumn("start", sum(col("n_tokens")).over(w) - col("n_tokens"))
+        .withColumn("admit", col("start") < col("target"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tokens")).as("tok_total"),
+          max(col("target")).as("target"),
+          sum(when(col("admit"), 1L).otherwise(0L)).as("n_admitted"),
+          sum(when(col("admit"), col("n_tokens")).otherwise(0L)).as("tok_admitted"))
+        .repartition(1).sortWithinPartitions(col("source"))
     })
   )
 
@@ -1452,7 +1586,74 @@ object Corpus {
         CAST(sum(e.n_sym) AS BIGINT) AS bpe_tokens
       FROM ws JOIN enc e ON ws.w = e.w
       GROUP BY ws.doc_id
-      ORDER BY ws.doc_id"""
+      ORDER BY ws.doc_id""",
+
+    // Replays the shared paragraph synthesis (promo + ParaWords-word
+    // groups), the first-global-occurrence election by (doc_id, pi), and
+    // the in-order reassembly hash.
+    "q141_para_dedup" -> s"""
+      WITH d AS (
+        SELECT doc_id, source,
+          regexp_extract_all(lower(text), '[a-z0-9]+') AS ws,
+          len(regexp_extract_all(lower(text), '[a-z0-9]+'))::BIGINT AS n
+        FROM documents),
+      c AS (
+        SELECT doc_id, ws,
+          unnest(range(0, CASE WHEN n = 0 THEN 0
+                               ELSE (n + ${ParaWords - 1}) // $ParaWords END)) AS ci
+        FROM d),
+      content AS (
+        SELECT doc_id, ci + 1 AS pi,
+          array_to_string(ws[ci*$ParaWords+1 : ci*$ParaWords+$ParaWords], ' ') AS para
+        FROM c),
+      promo AS (SELECT doc_id, 0 AS pi,
+        'promo ' || source || ' visit our network today' AS para FROM d),
+      paras AS (
+        SELECT * FROM promo UNION ALL SELECT * FROM content),
+      r AS (
+        SELECT doc_id, pi, para,
+          row_number() OVER (PARTITION BY para ORDER BY doc_id, pi) AS rn
+        FROM paras)
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS paras_total,
+        CAST(count(*) FILTER (WHERE rn = 1) AS BIGINT) AS paras_kept,
+        ${TextOps.polyHashSql(
+          "coalesce(string_agg(CASE WHEN rn = 1 THEN para END, ' | ' ORDER BY pi), '')")}
+          AS clean_hash
+      FROM r GROUP BY doc_id ORDER BY doc_id""",
+
+    // Replays the alpha=0.5 weights (sqrt — correctly-rounded IEEE in both
+    // engines), the decimal-exact weight normalizer, the floor'd targets,
+    // and the content-hash-order admission, op-for-op.
+    "q142_temp_mixture" -> s"""
+      WITH d AS (
+        SELECT doc_id, source, ${wsTokenCountSql("text")} AS n_tokens,
+          ${TextOps.polyHashSql("text")} AS ohash
+        FROM documents),
+      s AS (
+        SELECT source, CAST(sum(n_tokens) AS BIGINT) AS src_tokens
+        FROM d GROUP BY source),
+      w AS (SELECT source, src_tokens, sqrt(src_tokens::DOUBLE) AS w FROM s),
+      tot AS (
+        SELECT ${graft.util.Sumd.SUMD("w")} AS sumw,
+          CAST(sum(src_tokens) AS BIGINT) AS total_tokens
+        FROM w),
+      tgt AS (
+        SELECT source,
+          CAST(floor((total_tokens // $TempBudgetDiv)::DOUBLE * w / sumw) AS BIGINT)
+            AS target
+        FROM w, tot),
+      adm AS (
+        SELECT d.doc_id, d.source, d.n_tokens, t.target,
+          sum(d.n_tokens) OVER (PARTITION BY d.source ORDER BY d.ohash, d.doc_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - d.n_tokens AS strt
+        FROM d JOIN tgt t USING (source))
+      SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        CAST(sum(n_tokens) AS BIGINT) AS tok_total,
+        max(target) AS target,
+        CAST(count(*) FILTER (WHERE strt < target) AS BIGINT) AS n_admitted,
+        CAST(coalesce(sum(n_tokens) FILTER (WHERE strt < target), 0) AS BIGINT)
+          AS tok_admitted
+      FROM adm GROUP BY source ORDER BY source"""
   )
 
   /** The q99/q112 shared oracle chain: word split → frequency vocab →

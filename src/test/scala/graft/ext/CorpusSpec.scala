@@ -357,4 +357,50 @@ class CorpusSpec extends AnyFunSuite {
       assert(a.takeRight(cs - st) == b.take(cs - st), "overlap region mismatch")
     }
   }
+
+  test("dedupParagraphs: first global occurrence wins, within and across docs") {
+    import spark.implicits._
+    graft.functions.GraftFunctions.register(spark)
+    // doc 1: [shared, unique1, twice] — "twice" repeats at pi 3 within doc 1
+    // doc 2: [shared, unique2]        — "shared" already seen in doc 1
+    val paras = Seq(
+      (1L, 0L, "shared promo"), (1L, 1L, "unique one"),
+      (1L, 2L, "twice"), (1L, 3L, "twice"),
+      (2L, 0L, "shared promo"), (2L, 1L, "unique two"))
+      .toDF("doc_id", "pi", "para")
+    val got = Corpus.dedupParagraphs(paras)
+      .select($"doc_id", $"paras_total", $"paras_kept")
+      .as[(Long, Long, Long)].collect().sortBy(_._1)
+    assert(got.toSeq == Seq((1L, 4L, 3L), (2L, 2L, 1L)),
+      s"doc 1 keeps shared+unique+first 'twice'; doc 2 keeps only unique: $got")
+    // the kept text reassembles in pi order: hash must equal the hash of
+    // the expected cleaned strings (computed through the same kernel)
+    val expClean = Seq(
+      (1L, "shared promo | unique one | twice"),
+      (2L, "unique two"))
+      .toDF("doc_id", "clean")
+      .select($"doc_id", TextOps.polyHash($"clean").as("h"))
+      .as[(Long, Long)].collect().toMap
+    val gotHash = Corpus.dedupParagraphs(paras)
+      .select($"doc_id", $"clean_hash").as[(Long, Long)].collect().toMap
+    assert(gotHash == expClean)
+  }
+
+  test("temperatureTargets: sqrt weights, floor'd shares, budget never exceeded") {
+    import spark.implicits._
+    val got = Corpus.temperatureTargets(
+        Seq(("a", 900L), ("b", 100L), ("c", 400L)).toDF("source", "src_tokens"))
+      .select($"source", $"src_tokens", $"w", $"budget", $"target")
+      .as[(String, Long, Double, Long, Long)].collect().sortBy(_._1)
+    val budget = 1400L / Corpus.TempBudgetDiv // 350
+    assert(got.forall(_._4 == budget))
+    // weights are exact sqrt; Σw = 30+10+20 = 60 exactly representable,
+    // so targets are floor(350 * w / 60)
+    assert(got.map(_._3).toSeq == Seq(30.0, 10.0, 20.0))
+    assert(got.map(_._5).toSeq ==
+      Seq(math.floor(350.0 * 30 / 60).toLong, math.floor(350.0 * 10 / 60).toLong,
+        math.floor(350.0 * 20 / 60).toLong))
+    // temperature flattening: the 9x-larger source gets only 3x the target
+    assert(got.map(_._5).sum <= budget, "targets must never exceed the budget")
+  }
 }
