@@ -44,6 +44,15 @@ object NearDup {
   val BandRows = 6 // 21 bands
   private val P = TextOps.HashMod
 
+  // -- Winnowing parameters (q144): k-gram size, window width, df-prune
+  // bound, and the shared-fingerprint report threshold. The MOSS guarantee:
+  // any shared substring of >= WinnowK + WinnowW - 1 = 20 chars contributes
+  // at least one shared fingerprint.
+  val WinnowK = 13
+  val WinnowW = 8
+  val WinnowMaxDf = 20L
+  val WinnowMinShared = 10L
+
 
   /** documents -> (doc_id, shh: array<long> distinct sorted xxh64 5-shingle
     * hashes, sz) via the native [[graft.functions.ShingleHashes]] kernel —
@@ -411,6 +420,40 @@ object NearDup {
     * self-equi-join on the key (shuffle on md5-like short strings, hot
     * short-word keys are bounded by the alphabet); the distance check and
     * count joins are vocab-scale. Never doc×doc, never word×word. */
+  /** q144's core: MOSS-style overlap detection via winnowing fingerprints
+    * (Schleimer et al. SIGMOD 2003, the local-fingerprinting refinement of
+    * q46's single global minimum) — each doc keeps the min k-gram hash of
+    * every [[WinnowW]]-wide window ([[graft.functions.Winnow]], one fused
+    * codegen pass), fingerprints recurring across more than [[WinnowMaxDf]]
+    * docs are pruned (corpus-wide boilerplate grams — MOSS's shared-code
+    * exclusion), and doc pairs sharing at least [[WinnowMinShared]]
+    * survivors are reported with their overlap count. The 4th member of
+    * the near-dup family: Jaccard (q41) measures SET similarity, MinHash
+    * (q42) approximates it, SimHash (q47) measures angular similarity —
+    * winnowing localizes CONTIGUOUS overlap (any shared run of
+    * k+w-1 = 20 chars is guaranteed a shared fingerprint).
+    *
+    * Scale shape: fingerprints are ~2/(w+1) of the gram count per doc
+    * (the winnowing density bound), candidate generation is one
+    * fingerprint-equi self-join whose bucket sizes the df-prune caps at
+    * [[WinnowMaxDf]] — output <= df·|fps| — and the pair count is one
+    * partial+final agg. Never doc×doc. */
+  def winnowPairs(docs: DataFrame): DataFrame = {
+    val fps = docs.repartition(col("doc_id")) // spread CPU-heavy narrow work
+      .select(col("doc_id"), explode(call_function("graft_winnow",
+        col("text"), lit(WinnowK), lit(WinnowW), lit(31), lit(P))).as("fp"))
+    val rare = fps.groupBy(col("fp")).agg(count(lit(1)).as("dfc"))
+      .filter(col("dfc") <= WinnowMaxDf)
+      .select(col("fp"))
+    val pruned = fps.join(rare, Seq("fp"))
+    pruned.as("a").join(pruned.as("b"),
+        col("a.fp") === col("b.fp") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(count(lit(1)).as("shared"))
+      .filter(col("shared") >= WinnowMinShared)
+  }
+
   def fuzzyVocabLinkage(docs: DataFrame): DataFrame = {
     val vocab = docs
       .select(explode(TextOps.words(col("text"))).as("w"))
@@ -467,6 +510,16 @@ object NearDup {
           .otherwise(col("text")))
       fuzzyVocabLinkage(planted)
         .repartition(1).sortWithinPartitions(col("w1"), col("w2"))
+    }),
+
+    // ---- q144: winnowing fingerprint overlap — contiguous-substring
+    //      near-dup detection over the corpus' natural re-crawl copies
+    //      (the same planted duplicates q41/q42/q47 find by other
+    //      metrics), plus whatever genuinely shares >= 20-char runs.
+    "q144_winnow_overlap" -> ((s, dir) => {
+      graft.functions.GraftFunctions.register(s)
+      winnowPairs(t(s, dir, "documents"))
+        .repartition(1).sortWithinPartitions(col("id_a"), col("id_b"))
     })
   )
 
@@ -547,6 +600,31 @@ object NearDup {
       SELECT w1, w2, c1, c2,
         CASE WHEN c2 > c1 THEN w2 ELSE w1 END AS canonical
       FROM p
-      ORDER BY w1, w2"""
+      ORDER BY w1, w2""",
+
+    // Replays winnowing declaratively: per-position k-gram polyhashes in
+    // document order, window minima, distinct per doc, df prune, pair
+    // counts — the kernel's exact contract.
+    "q144_winnow_overlap" -> s"""
+      WITH hs AS (
+        SELECT doc_id,
+          CASE WHEN length(text) < $WinnowK THEN CAST([] AS BIGINT[])
+            ELSE list_transform(range(1, length(text) - ${WinnowK - 2}),
+              gi -> ${TextOps.polyHashSql(s"substring(text, CAST(gi AS INT), $WinnowK)")})
+          END AS hs
+        FROM documents),
+      fp AS (
+        SELECT DISTINCT doc_id, fp FROM (
+          SELECT doc_id,
+            unnest(list_transform(
+              range(1, greatest(len(hs) - ${WinnowW - 1}, 1) + 1),
+              i -> list_min(hs[CAST(i AS INT) : CAST(i + ${WinnowW - 1} AS INT)]))) AS fp
+          FROM hs WHERE len(hs) > 0)),
+      rare AS (SELECT fp FROM fp GROUP BY fp HAVING count(*) <= $WinnowMaxDf),
+      pf AS (SELECT f.doc_id, f.fp FROM fp f JOIN rare USING (fp))
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(count(*) AS BIGINT) AS shared
+      FROM pf a JOIN pf b ON a.fp = b.fp AND a.doc_id < b.doc_id
+      GROUP BY 1, 2 HAVING count(*) >= $WinnowMinShared
+      ORDER BY id_a, id_b"""
   )
 }

@@ -100,6 +100,47 @@ object HashUtil {
     best
   }
 
+  /** Winnowing fingerprint set (Schleimer et al. SIGMOD 2003, the MOSS
+    * algorithm; see [[graft.functions.Winnow]]): polynomial hash of every
+    * character k-gram in document order, minimum of each sliding window of
+    * `w` consecutive gram hashes, distinct + sorted. Guarantee: any shared
+    * substring of length >= k+w-1 contributes at least one shared
+    * fingerprint. Fewer than w grams -> one window over all grams; shorter
+    * than k -> empty set. The per-window min (not the rightmost-min
+    * density refinement) keeps the definition exactly replayable in
+    * declarative SQL. */
+  def winnow(str: UTF8String, k: Int, w: Int, base: Int, mod: Long): ArrayData = {
+    val s = str.toString
+    val n = s.length
+    if (n < k) return new GenericArrayData(Array.emptyLongArray)
+    val g = n - k + 1
+    val hs = new Array[Long](g)
+    var i = 0
+    while (i < g) {
+      var acc = 0L
+      var j = i
+      while (j < i + k) { acc = (acc * base + s.charAt(j)) % mod; j += 1 }
+      hs(i) = acc
+      i += 1
+    }
+    val nw = math.max(g - w + 1, 1)
+    val set = new java.util.TreeSet[java.lang.Long]()
+    i = 0
+    while (i < nw) {
+      var m = Long.MaxValue
+      var j = i
+      val end = math.min(i + w, g)
+      while (j < end) { if (hs(j) < m) m = hs(j); j += 1 }
+      set.add(m)
+      i += 1
+    }
+    val out = new Array[Long](set.size)
+    val it = set.iterator()
+    i = 0
+    while (it.hasNext) { out(i) = it.next(); i += 1 }
+    new GenericArrayData(out)
+  }
+
   /** 60-bit count-weighted SimHash over lowercase-alnum word tokens (the
     * engine's fixed simhash definition — see [[graft.ext.NearDup]]):
     * word hash = low 30 bits of polyhash(w, 31, 1e9+7) + polyhash(w, 131,
@@ -324,6 +365,42 @@ case class ShingleHashes(left: Expression, right: Expression)
 
   override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
     copy(left = l, right = r)
+}
+
+/** `graft_winnow(text, k, w, base, mod)` — winnowing fingerprint set
+  * (Schleimer et al. SIGMOD 2003): min polynomial hash of each sliding
+  * window of `w` consecutive k-gram hashes, distinct sorted. The local
+  * document-fingerprinting primitive behind MOSS-style overlap detection —
+  * [[ShingleFingerprint]] is its global-minimum special case (one window
+  * spanning the whole document). One codegen'd O(n·(k+w)) loop per row;
+  * mirrored declaratively by the DuckDB oracle (window minima over the
+  * per-position polyhash list). */
+case class Winnow(children: Seq[Expression])
+    extends org.apache.spark.sql.catalyst.expressions.QuinaryExpression {
+  require(children.length == 5)
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    val expected = Seq(StringType, IntegerType, IntegerType, IntegerType, LongType)
+    val actual = children.map(_.dataType)
+    if (actual == expected) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"graft_winnow expects (string, int, int, int, bigint), got (${actual.mkString(", ")})")
+  }
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "graft_winnow"
+
+  override def nullSafeEval(str: Any, k: Any, w: Any, base: Any, mod: Any): Any =
+    HashUtil.winnow(str.asInstanceOf[UTF8String], k.asInstanceOf[Int],
+      w.asInstanceOf[Int], base.asInstanceOf[Int], mod.asInstanceOf[Long])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (str, k, w, base, mod) =>
+      s"${ev.value} = graft.functions.HashUtil.winnow($str, $k, $w, $base, $mod);")
+
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): Expression = copy(children = newChildren)
 }
 
 /** `graft_minhash_sig(hashes, perms)` — MinHash signature over an
@@ -589,6 +666,13 @@ object GraftFunctions {
       { children: Seq[Expression] =>
         require(children.length == 2, "graft_minhash_sig(hashes, perms) takes 2 arguments")
         MinHashSig(children(0), children(1))
+      }),
+    (FunctionIdentifier("graft_winnow"),
+      new ExpressionInfo(classOf[Winnow].getName, "graft_winnow"),
+      { children: Seq[Expression] =>
+        require(children.length == 5,
+          "graft_winnow(text, k, w, base, mod) takes 5 arguments")
+        Winnow(children)
       }),
     (FunctionIdentifier("graft_dot"),
       new ExpressionInfo(classOf[DotProduct].getName, "graft_dot"),

@@ -36,6 +36,54 @@ object Analytics {
     "o_totalprice", "o_orderdate", "o_orderpriority")
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- q143: declarative data-quality expectations (the Deequ/Great-
+    //      Expectations audit every ingestion pipeline gates a publish on;
+    //      Schelter et al. VLDB 2018 is the public design) — one row per
+    //      declared constraint with checked/violations/pass. Scale shape:
+    //      the five column constraints fold into ONE single-pass agg per
+    //      table (violation counters are conditional sums riding the same
+    //      scan — adding a constraint adds a counter, never a pass);
+    //      the two referential constraints are key-equi anti-joins (the
+    //      orders probe side AQE-broadcastable when small, plain shuffle
+    //      joins at 100 TB); everything reduces to 1-row frames before the
+    //      union, so the report is constraint-cardinality-sized.
+    "q143_expectations" -> ((s, dir) => {
+      val li = Tables.load(s, dir, "lineitem")
+      val o = Tables.load(s, dir, "orders")
+      val c = Tables.load(s, dir, "customer")
+      val liStats = li.agg(
+          count(lit(1)).as("n"),
+          sum(when(col("l_discount").isNull ||
+            col("l_discount") < 0 || col("l_discount") > 1, 1L).otherwise(0L)).as("v_disc"),
+          sum(when(col("l_quantity").isNull || col("l_quantity") <= 0, 1L)
+            .otherwise(0L)).as("v_qty"))
+        .select(expr("stack(2, " +
+          "'range_l_discount_0_1', n, v_disc, " +
+          "'positive_l_quantity', n, v_qty) AS (rule, checked, violations)"))
+      val oStats = o.agg(
+          count(lit(1)).as("n"),
+          countDistinct(col("o_orderkey")).as("ndv"),
+          count(col("o_orderdate")).as("cnt_date"),
+          sum(when(col("o_totalprice").isNull || col("o_totalprice") <= 0, 1L)
+            .otherwise(0L)).as("v_price"))
+        .select(expr("stack(3, " +
+          "'unique_o_orderkey', n, n - ndv, " +
+          "'notnull_o_orderdate', n, n - cnt_date, " +
+          "'positive_o_totalprice', n, v_price) AS (rule, checked, violations)"))
+      def fk(name: String, child: DataFrame, key: String,
+             parent: DataFrame, pkey: String): DataFrame =
+        child.select(col(key))
+          .join(parent.select(col(pkey)), col(key) === col(pkey), "left_anti")
+          .agg(count(lit(1)).as("violations"))
+          .crossJoin(broadcast(child.agg(count(lit(1)).as("checked"))))
+          .select(lit(name).as("rule"), col("checked"), col("violations"))
+      liStats
+        .unionByName(oStats)
+        .unionByName(fk("fk_lineitem_orders", li, "l_orderkey", o, "o_orderkey"))
+        .unionByName(fk("fk_orders_customer", o, "o_custkey", c, "c_custkey"))
+        .withColumn("pass", col("violations") === 0L)
+        .repartition(1).sortWithinPartitions(col("rule"))
+    }),
     // ---- q132: ANALYZE-style column statistics — the stats-collection
     //      pass that feeds a catalog/CBO (row count, per-column null count
     //      and EXACT NDV, long-form). ONE table pass: all aggregates in a
@@ -169,6 +217,41 @@ object Analytics {
   )
 
   val oracles: Map[String, String] = Map(
+    "q143_expectations" -> """
+      WITH rows_ AS (
+        SELECT 'range_l_discount_0_1' AS rule,
+          CAST(count(*) AS BIGINT) AS checked,
+          CAST(count(*) FILTER (WHERE l_discount IS NULL
+            OR l_discount < 0 OR l_discount > 1) AS BIGINT) AS violations
+        FROM lineitem
+        UNION ALL
+        SELECT 'positive_l_quantity', CAST(count(*) AS BIGINT),
+          CAST(count(*) FILTER (WHERE l_quantity IS NULL OR l_quantity <= 0) AS BIGINT)
+        FROM lineitem
+        UNION ALL
+        SELECT 'unique_o_orderkey', CAST(count(*) AS BIGINT),
+          CAST(count(*) - count(DISTINCT o_orderkey) AS BIGINT)
+        FROM orders
+        UNION ALL
+        SELECT 'notnull_o_orderdate', CAST(count(*) AS BIGINT),
+          CAST(count(*) - count(o_orderdate) AS BIGINT)
+        FROM orders
+        UNION ALL
+        SELECT 'positive_o_totalprice', CAST(count(*) AS BIGINT),
+          CAST(count(*) FILTER (WHERE o_totalprice IS NULL OR o_totalprice <= 0) AS BIGINT)
+        FROM orders
+        UNION ALL
+        SELECT 'fk_lineitem_orders',
+          (SELECT CAST(count(*) AS BIGINT) FROM lineitem),
+          (SELECT CAST(count(*) AS BIGINT) FROM lineitem
+           WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders))
+        UNION ALL
+        SELECT 'fk_orders_customer',
+          (SELECT CAST(count(*) AS BIGINT) FROM orders),
+          (SELECT CAST(count(*) AS BIGINT) FROM orders
+           WHERE o_custkey NOT IN (SELECT c_custkey FROM customer)))
+      SELECT rule, checked, violations, violations = 0 AS pass
+      FROM rows_ ORDER BY rule""",
     "q132_table_stats" -> (StatsCols.map(c => s"""
       SELECT '$c' AS col_name, CAST(count(*) AS BIGINT) AS n,
         CAST(count(*) - count($c) AS BIGINT) AS nulls,

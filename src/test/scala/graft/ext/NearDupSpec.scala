@@ -133,4 +133,26 @@ class NearDupSpec extends AnyFunSuite {
     got.filter(t => t._1 == "spark" || t._2 == "spark")
       .foreach(t => assert(t._3 == "spark", t.toString))
   }
+
+  test("winnowPairs: contiguous overlap pairs found, boilerplate df-pruned") {
+    import spark.implicits._
+    val rng = new scala.util.Random(7)
+    def noise(n: Int) = Seq.fill(n)(('a' + rng.nextInt(26)).toChar).mkString
+    // docs 1 and 2 share a 160-char run embedded in unrelated noise;
+    // doc 3 is pure noise. Docs 100..130 all carry the SAME boilerplate
+    // run — its fingerprints exceed WinnowMaxDf (20) and must be pruned,
+    // so the 31 boilerplate docs produce NO pairs.
+    val sharedRun = noise(160)
+    val boiler = noise(160)
+    val docs = (Seq(
+      (1L, noise(200) + sharedRun + noise(200)),
+      (2L, noise(180) + sharedRun + noise(220)),
+      (3L, noise(500))) ++
+      (100L to 130L).map(i => (i, noise(40) + boiler + noise(40))))
+      .toDF("doc_id", "text")
+    val got = NearDup.winnowPairs(docs)
+      .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+    assert(got == Set((1L, 2L)),
+      s"want exactly the planted overlap pair, got $got")
+  }
 }

@@ -29,7 +29,35 @@ class PolyHashSpec extends AnyFunSuite {
     assert(GraftFunctions.entries.map(_._1.funcName).sorted ==
       Seq("graft_bitmap", "graft_dot", "graft_fingerprint", "graft_i8quant",
         "graft_maxabs", "graft_minhash_sig", "graft_polyhash", "graft_qdot",
-        "graft_rep_stats", "graft_shingle_hashes", "graft_simhash"))
+        "graft_rep_stats", "graft_shingle_hashes", "graft_simhash",
+        "graft_winnow"))
+  }
+
+  test("graft_winnow: window minima, distinct sorted, short-text edges, MOSS guarantee") {
+    def ph(x: String) = x.foldLeft(0L)((acc, c) => (acc * 31 + c) % 1000000007L)
+    def reference(s: String, k: Int, w: Int): Seq[Long] = {
+      if (s.length < k) return Seq.empty
+      val hs = s.sliding(k).map(ph).toVector
+      val nw = math.max(hs.length - w + 1, 1)
+      (0 until nw).map(i => hs.slice(i, math.min(i + w, hs.length)).min)
+        .distinct.sorted
+    }
+    val texts = Seq("the quick brown fox jumps over the lazy dog",
+      "aaaaaaaaaaaa",      // constant text: all gram hashes equal, 1 fp
+      "abcd",              // shorter than k -> empty
+      "abcdef",            // exactly one gram -> one window over it
+      "")
+    val (k, w) = (5, 4)
+    val got = texts.toDF("s")
+      .select(call_function("graft_winnow", $"s", lit(k), lit(w),
+        lit(31), lit(1000000007L)).as("fps"))
+      .collect().map(_.getSeq[Long](0).toSeq).toSeq
+    assert(got == texts.map(reference(_, k, w)))
+    // MOSS guarantee: two texts sharing a >= k+w-1 char run share a fp
+    val shared = "zqxwvutsrqponm" // 14 chars >= 5+4-1
+    val a = reference("prefix " + shared + " suffixone", k, w).toSet
+    val b = reference("other lead " + shared + " trail", k, w).toSet
+    assert((a intersect b).nonEmpty, "guaranteed shared fingerprint missing")
   }
 
   test("graft_maxabs / graft_i8quant / graft_qdot: int8 quantization kernels (q66)") {
