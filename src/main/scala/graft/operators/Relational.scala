@@ -341,8 +341,38 @@ object Relational {
       Seq("customer", "orders", "lineitem")
         .foreach(tn => Tables.load(s, dir, tn).createOrReplaceTempView(tn))
       s.sql(SqlSurfaceText)
+    }),
+
+    // ---- q145: LATERAL correlated subquery (SQL:1999, the per-row
+    //      dependent join Spark added in 3.2) — per-customer top-2 orders
+    //      by price, the dependent-top-k idiom ORDER BY/LIMIT inside a
+    //      plain join cannot express. One SQL text, two engines (q63's
+    //      discipline). Catalyst decorrelates the lateral into a
+    //      window-rank over the orders side — per-key state, never a
+    //      per-customer re-scan — which is what makes the construct safe
+    //      at 100 TB (the naive reading is one subquery execution per
+    //      outer row).
+    "q145_lateral_topk" -> ((s, dir) => {
+      Seq("customer", "orders")
+        .foreach(tn => Tables.load(s, dir, tn).createOrReplaceTempView(tn))
+      s.sql(LateralTopkText)
     })
   )
+
+  /** q145's shared text: Spark executes it verbatim, DuckDB oracles it. */
+  val LateralTopkText: String = s"""
+    SELECT c.c_custkey, c.c_name, o.o_orderkey, o.o_totalprice
+    FROM customer c
+    JOIN LATERAL (
+      SELECT o_orderkey, o_totalprice
+      FROM orders
+      WHERE o_custkey = c.c_custkey
+      ORDER BY o_totalprice DESC, o_orderkey
+      LIMIT 2
+    ) o
+    ON true
+    WHERE c.c_custkey % 10 = 0
+    ORDER BY c.c_custkey, o.o_orderkey"""
 
   /** One SQL text, two engines (q63): Spark executes it, DuckDB oracles it. */
   val SqlSurfaceText: String = s"""
@@ -564,6 +594,7 @@ object Relational {
       ORDER BY ws, event_type""",
 
     // the SAME string Spark executes — the whole point of q63
-    "q63_sql_surface" -> SqlSurfaceText
+    "q63_sql_surface" -> SqlSurfaceText,
+    "q145_lateral_topk" -> LateralTopkText
   )
 }

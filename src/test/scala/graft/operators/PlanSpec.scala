@@ -610,4 +610,57 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin"), p)
     assert("HashAggregate".r.findAllIn(p).size >= 2, p)
   }
+
+  test("q141: paragraph dedup is digest-keyed agg + equi-join — never para x para") {
+    val p = plan("q141_para_dedup")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    // winner election must be a partial+final min(struct) agg on the md5
+    // key, not a window over paragraph partitions
+    assert("HashAggregate".r.findAllIn(p).size >= 2, p)
+    assert(!p.contains("Window"), "winner election must not be a window: " + p)
+    assert(p.contains("md5"), "occurrences must be keyed by digest: " + p)
+  }
+
+  test("q142: mixture targets are source-sized aggs broadcast back; one admission window") {
+    val p = plan("q142_temp_mixture")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"), p)
+    assert("HashAggregate".r.findAllIn(p).size >= 2, p)
+    // the ONLY window is the per-source admission window — no global or
+    // second-pass window anywhere in the plan
+    assert("windowspecdefinition\\(".r.findAllIn(p).size ==
+      "windowspecdefinition\\(source".r.findAllIn(p).size, p)
+    assert(p.contains("windowspecdefinition(source"), p)
+  }
+
+  test("q143: expectations fold into single-pass aggs + anti-joins — no cartesian") {
+    val p = plan("q143_expectations")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("LeftAnti"), "referential checks must be anti-joins: " + p)
+    assert("HashAggregate".r.findAllIn(p).size >= 2, p)
+  }
+
+  test("q145: the LATERAL decorrelates to a map-side-limited window + equi join") {
+    val p = plan("q145_lateral_topk")
+    // Catalyst must rewrite the per-row dependent subquery into a rank
+    // window with WindowGroupLimit (partial top-k BEFORE the shuffle) and
+    // an equi join — never a per-outer-row re-execution or cartesian
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("WindowGroupLimit"), p)
+    assert(p.contains("Partial"), "map-side group limit must precede the shuffle: " + p)
+    assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin"), p)
+    // the outer filter must also prune the inner side (predicate pushdown
+    // through the decorrelation)
+    assert(p.contains("(o_custkey") && p.contains("% 10)"), p)
+  }
+
+  test("q144: winnow candidates come from a fingerprint equi-join — no all-pairs") {
+    val p = plan("q144_winnow_overlap")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("graft_winnow"), "fingerprints must use the codegen kernel: " + p)
+    assert("HashAggregate".r.findAllIn(p).size >= 2, p)
+  }
 }
