@@ -218,13 +218,14 @@ object Corpus {
     * Everything is source-cardinality-sized: one tiny agg + one 1-row
     * broadcast — the corpus is touched only by the caller's admission
     * window (q65's machinery). */
-  def temperatureTargets(bySource: DataFrame): DataFrame = {
+  def temperatureTargets(bySource: DataFrame,
+      budgetDiv: Long = TempBudgetDiv): DataFrame = {
     val w = bySource.withColumn("w", sqrt(col("src_tokens").cast("double")))
     val totals = w.agg(
       graft.util.Sumd.sumd(col("w")).as("sumw"),
       sum(col("src_tokens")).as("total_tokens"))
     w.crossJoin(broadcast(totals))
-      .withColumn("budget", expr(s"total_tokens div $TempBudgetDiv"))
+      .withColumn("budget", expr(s"total_tokens div $budgetDiv"))
       .withColumn("target",
         floor(col("budget").cast("double") * col("w") / col("sumw")).cast("long"))
       .drop("sumw", "total_tokens")
@@ -1175,6 +1176,45 @@ object Corpus {
           sum(when(col("admit"), 1L).otherwise(0L)).as("n_admitted"),
           sum(when(col("admit"), col("n_tokens")).otherwise(0L)).as("tok_admitted"))
         .repartition(1).sortWithinPartitions(col("source"))
+    }),
+
+    // ---- q146: epoched temperature mixture — q142 with the FULL corpus
+    //      budget (div 1), which is the real recipe's shape: sources whose
+    //      alpha-target exceeds their token count REPLICATE across epochs
+    //      (sampling with replacement — the "seen ~N epochs" column of a
+    //      pre-training data table), head sources downsample to an
+    //      epoch-0 prefix. Deterministic: each doc's copies are (epoch,
+    //      content-hash) ordered, admission is q65's start-below-budget
+    //      rule over the replicated stream. Scale: the explode factor is
+    //      per-source epochs (bounded by the mixture's flattening — a
+    //      source is never replicated more than target/tokens ≈
+    //      sqrt-rebalance times), the admission window is the one exchange.
+    "q146_epoch_mixture" -> ((s, dir) => {
+      graft.functions.GraftFunctions.register(s)
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"), col("source"), wsTokenCount(col("text")).as("n_tokens"),
+          call_function("graft_polyhash",
+            col("text"), lit(31), lit(TextOps.HashMod)).as("ohash"))
+      val targets = temperatureTargets(
+          docs.groupBy(col("source")).agg(sum(col("n_tokens")).as("src_tokens")),
+          budgetDiv = 1L)
+        .withColumn("epochs",
+          greatest(expr("(target + src_tokens - 1) div src_tokens"), lit(1L)))
+        .select(col("source"), col("target"), col("epochs"))
+      val w = Window.partitionBy(col("source"))
+        .orderBy(col("epoch"), col("ohash"), col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      docs.join(broadcast(targets), Seq("source"))
+        .select(col("doc_id"), col("source"), col("n_tokens"), col("ohash"),
+          col("target"), explode(expr("sequence(0L, epochs - 1)")).as("epoch"))
+        .withColumn("start", sum(col("n_tokens")).over(w) - col("n_tokens"))
+        .filter(col("start") < col("target"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_copies"),
+          countDistinct(col("doc_id")).as("n_docs"),
+          sum(col("n_tokens")).as("tok_admitted"),
+          max(col("epoch")).as("max_epoch"))
+        .repartition(1).sortWithinPartitions(col("source"))
     })
   )
 
@@ -1653,7 +1693,46 @@ object Corpus {
         CAST(count(*) FILTER (WHERE strt < target) AS BIGINT) AS n_admitted,
         CAST(coalesce(sum(n_tokens) FILTER (WHERE strt < target), 0) AS BIGINT)
           AS tok_admitted
-      FROM adm GROUP BY source ORDER BY source"""
+      FROM adm GROUP BY source ORDER BY source""",
+
+    // q142's arithmetic at full budget, plus the epoch replication and the
+    // admission over the (epoch, ohash, doc_id)-ordered replicated stream.
+    "q146_epoch_mixture" -> s"""
+      WITH d AS (
+        SELECT doc_id, source, ${wsTokenCountSql("text")} AS n_tokens,
+          ${TextOps.polyHashSql("text")} AS ohash
+        FROM documents),
+      s AS (
+        SELECT source, CAST(sum(n_tokens) AS BIGINT) AS src_tokens
+        FROM d GROUP BY source),
+      w AS (SELECT source, src_tokens, sqrt(src_tokens::DOUBLE) AS w FROM s),
+      tot AS (
+        SELECT ${graft.util.Sumd.SUMD("w")} AS sumw,
+          CAST(sum(src_tokens) AS BIGINT) AS total_tokens
+        FROM w),
+      tgt AS (
+        SELECT source, src_tokens,
+          CAST(floor((total_tokens // 1)::DOUBLE * w / sumw) AS BIGINT) AS target
+        FROM w, tot),
+      e AS (
+        SELECT source, target,
+          greatest((target + src_tokens - 1) // src_tokens, 1) AS epochs
+        FROM tgt),
+      x AS (
+        SELECT d.doc_id, d.source, d.n_tokens, d.ohash, e.target,
+          unnest(range(0, e.epochs)) AS epoch
+        FROM d JOIN e USING (source)),
+      adm AS (
+        SELECT *,
+          sum(n_tokens) OVER (PARTITION BY source ORDER BY epoch, ohash, doc_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens AS strt
+        FROM x)
+      SELECT source, CAST(count(*) AS BIGINT) AS n_copies,
+        CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+        CAST(sum(n_tokens) AS BIGINT) AS tok_admitted,
+        CAST(max(epoch) AS BIGINT) AS max_epoch
+      FROM adm WHERE strt < target
+      GROUP BY source ORDER BY source"""
   )
 
   /** The q99/q112 shared oracle chain: word split → frequency vocab →

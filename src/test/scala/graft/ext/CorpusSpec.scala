@@ -403,4 +403,21 @@ class CorpusSpec extends AnyFunSuite {
     // temperature flattening: the 9x-larger source gets only 3x the target
     assert(got.map(_._5).sum <= budget, "targets must never exceed the budget")
   }
+
+  test("temperatureTargets at full budget: tail sources upsample past their size") {
+    import spark.implicits._
+    // 10000 vs 100 tokens: sqrt weights 100 vs 10 → tail target ≈
+    // 10100·(10/110) ≈ 918 > 100 → replication (q146's epoch regime);
+    // head target ≈ 9181 < 10000 → downsample
+    val got = Corpus.temperatureTargets(
+        Seq(("head", 10000L), ("tail", 100L)).toDF("source", "src_tokens"),
+        budgetDiv = 1L)
+      .select($"source", $"src_tokens", $"target")
+      .as[(String, Long, Long)].collect().sortBy(_._1)
+    val Seq(h, t) = got.toSeq
+    assert(h._3 < h._2, s"head must downsample: $h")
+    assert(t._3 > t._2, s"tail must upsample (target beyond its tokens): $t")
+    val epochs = (t._3 + t._2 - 1) / t._2
+    assert(epochs >= 2, s"tail must replicate across >= 2 epochs, got $epochs")
+  }
 }
