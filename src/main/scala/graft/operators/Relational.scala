@@ -356,8 +356,66 @@ object Relational {
       Seq("customer", "orders")
         .foreach(tn => Tables.load(s, dir, tn).createOrReplaceTempView(tn))
       s.sql(LateralTopkText)
+    }),
+
+    // ---- q147: runtime bloom-filter join pruning — the selective-dim
+    //      shuffle join with Spark's runtime filter active (the
+    //      application-side scan threshold is 10 GB by default, so the
+    //      test-scale query lowers it, scoped; at 100 TB the default
+    //      engages by itself). The gate proves the pruning is semantically
+    //      invisible: same plain-join oracle. Materialized inside the conf
+    //      scope (q139's discipline) because injection happens at
+    //      optimization time.
+    "q147_bloom_join" -> ((s, dir) => {
+      val df = withBloomConfs(s) {
+        val df = bloomJoinPlan(s, dir).orderBy(col("o_orderpriority"))
+        val rows = df.collect()
+        s.createDataFrame(java.util.Arrays.asList(rows: _*), df.schema)
+      }
+      df
     })
   )
+
+  /** q147's conf scope: the injection rule refuses when either join side is
+    * broadcast-able by size (`isProbablyShuffleJoin`) or the fact scan is
+    * under the 10 GB application threshold — both true at test scale and
+    * both false in the 100 TB regime the filter exists for. Pin that
+    * regime, scoped, and restore. */
+  private[graft] def withBloomConfs[T](s: SparkSession)(body: => T): T = {
+    val confs = Seq(
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val prev = confs.map { case (k, _) => k -> s.conf.getOption(k) }
+    confs.foreach { case (k, v) => s.conf.set(k, v) }
+    try body
+    finally prev.foreach {
+      case (k, Some(x)) => s.conf.set(k, x)
+      case (k, None) => s.conf.unset(k)
+    }
+  }
+
+  /** q147's core plan, conf-independent: a shuffle join whose dimension
+    * side carries a selective predicate — the shape Spark's runtime
+    * bloom-filter injection (SPARK-32268) prunes by building a bloom
+    * filter over the filtered dim keys and applying `might_contain` to the
+    * fact scan BEFORE the shuffle. At 100 TB this is the difference
+    * between shuffling the whole fact table and shuffling the ~priority
+    * fraction of it. The merge hint pins the shuffle-join regime (a
+    * broadcast join would prune via its own hash table; runtime filters
+    * exist for the both-sides-too-big case). Factored so the PlanSpec can
+    * rebuild the plan inside its own conf scope. */
+  private[graft] def bloomJoinPlan(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val o = Tables.load(s, dir, "orders")
+      .filter($"o_orderpriority".isin("1-URGENT", "2-HIGH"))
+      .select($"o_orderkey", $"o_orderpriority")
+    val li = Tables.load(s, dir, "lineitem")
+      .select($"l_orderkey", $"l_extendedprice", $"l_discount")
+    li.hint("merge").join(o, $"l_orderkey" === $"o_orderkey")
+      .groupBy($"o_orderpriority")
+      .agg(count(lit(1)).as("n_rows"),
+        sumd($"l_extendedprice" * (lit(1.0) - $"l_discount")).as("revenue"))
+  }
 
   /** q145's shared text: Spark executes it verbatim, DuckDB oracles it. */
   val LateralTopkText: String = s"""
@@ -595,6 +653,15 @@ object Relational {
 
     // the SAME string Spark executes — the whole point of q63
     "q63_sql_surface" -> SqlSurfaceText,
-    "q145_lateral_topk" -> LateralTopkText
+    "q145_lateral_topk" -> LateralTopkText,
+
+    // The plain join the bloom-pruned plan must be indistinguishable from.
+    "q147_bloom_join" -> s"""
+      SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_rows,
+        ${SUMD("l_extendedprice * (1.0 - l_discount)")} AS revenue
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')
+      GROUP BY o_orderpriority
+      ORDER BY o_orderpriority"""
   )
 }

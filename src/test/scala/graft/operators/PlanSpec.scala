@@ -656,6 +656,22 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("(o_custkey") && p.contains("% 10)"), p)
   }
 
+  test("q147: the runtime bloom filter prunes the fact scan before the shuffle") {
+    // q147's entry collects inside its conf scope, so the lock rebuilds
+    // the plan here under the same scoped threshold
+    Relational.withBloomConfs(spark) {
+      val df = Relational.bloomJoinPlan(spark, dir)
+      df.queryExecution.toRdd.foreach(_ => ())
+      val p = df.queryExecution.executedPlan.toString
+      assert(p.contains("might_contain"),
+        s"the fact side must be pruned by the injected bloom filter:\n$p")
+      assert(p.contains("SortMergeJoin"), "merge hint must pin the shuffle-join regime: " + p)
+      assert(p.contains("bloom_filter_agg") || p.contains("BloomFilterAggregate") ||
+        p.contains("ObjectHashAggregate"),
+        s"the filter must be built from the dim side's keys:\n$p")
+    }
+  }
+
   test("q144: winnow candidates come from a fingerprint equi-join — no all-pairs") {
     val p = plan("q144_winnow_overlap")
     assert(!p.contains("CartesianProduct"), p)
