@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, Encoders, SparkSession}
+import org.apache.spark.sql.{DataFrame, Encoder, Encoders, SparkSession}
 import org.apache.spark.sql.expressions.Aggregator
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
@@ -23,6 +23,35 @@ object WeightedAvgAgg extends Aggregator[(String, Double, Double), (BigDecimal, 
   override def finish(b: (BigDecimal, BigDecimal)): Double = b._1.toDouble / b._2.toDouble
   override def bufferEncoder = Encoders.product[(BigDecimal, BigDecimal)]
   override def outputEncoder = Encoders.scalaDouble
+}
+
+/** KMV — k minimum values — distinct sketch (Bar-Yossef et al. RANDOM 2002;
+  * unbiased estimator per Beyer et al. SIGMOD 2007): the k smallest
+  * DISTINCT hash values of the input. The sketch family's DETERMINISTIC
+  * member: unlike HLL registers (engine-specific, q29/q128), the k
+  * smallest distinct values of a fixed hash are a pure SET function —
+  * independent of partitioning, merge order, batch boundaries, and
+  * replays — so a DuckDB oracle can replay the sketch bit-for-bit
+  * (ORDER BY hash LIMIT k). And unlike HLL, KMV sketches support SET
+  * OPERATIONS: the k smallest of a union is computable from the two
+  * sketches alone, and the intersection estimate falls out of the
+  * Jaccard fraction within the merged sketch. State is at most k longs;
+  * merge is union-trim (associative, commutative, idempotent) — the
+  * mergeable-summary contract that makes it a partial+final aggregate. */
+class KmvAgg(k: Int) extends Aggregator[Long, Seq[Long], Seq[Long]] {
+  override def zero: Seq[Long] = Vector.empty
+  // buffer invariant: sorted ascending, distinct, length <= k
+  override def reduce(b: Seq[Long], h: Long): Seq[Long] =
+    if (b.length == k && h >= b.last) b // steady-state O(1) fast path
+    else if (b.contains(h)) b
+    else ((b :+ h).sorted: Seq[Long]).take(k)
+  override def merge(x: Seq[Long], y: Seq[Long]): Seq[Long] =
+    ((x ++ y).distinct.sorted: Seq[Long]).take(k)
+  override def finish(b: Seq[Long]): Seq[Long] = b
+  override def bufferEncoder: Encoder[Seq[Long]] =
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Long]]()
+  override def outputEncoder: Encoder[Seq[Long]] =
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Long]]()
 }
 
 /** Operators beyond the round-1 relational surface: session windows, a
@@ -415,8 +444,76 @@ object Advanced {
         .agg(WeightedAvgAgg.toColumn.name("wavg"))
         .toDF("l_returnflag", "wavg")
         .orderBy($"l_returnflag")
+    }),
+
+    // ---- q148: KMV distinct sketch + sketch-level set operations — the
+    //      deterministic member of the sketch family (q29 self-validates
+    //      HLL, q128 exact-replays streaming HLL; KMV's k smallest
+    //      distinct hashes are a pure set function, so the WHOLE sketch
+    //      hash-gates). Distinct audiences of two event types, their
+    //      UNION estimated from the merged sketch, their INTERSECTION from
+    //      the Jaccard fraction within it — the set algebra HLL cannot do
+    //      without inclusion-exclusion error blowup. Exact counts ride
+    //      along (at 100 TB they are the expensive side: three
+    //      countDistincts vs two k-long sketches). The sketch itself is a
+    //      bounded-state typed Aggregator (partial+final, merge =
+    //      union-trim), the set ops are array arithmetic on one 1-row
+    //      frame.
+    "q148_kmv_sketch" -> ((s, dir) => {
+      import s.implicits._
+      graft.functions.GraftFunctions.register(s)
+      val k = KmvK
+      // audiences that genuinely differ: high-value clickers vs high-value
+      // purchasers (every user has every event TYPE, so the type alone
+      // would make all three sets equal). The hash input is suffix-padded:
+      // a bare small-int string folds to a value far below the modulus
+      // (no wrap), which would put ALL ids in the sketch's low tail and
+      // wreck the uniformity the estimator assumes.
+      val hashed = Tables.load(s, dir, "events")
+        .filter($"event_type".isin("click", "purchase") && $"value" > 80)
+        .select($"event_type", $"user_id",
+          call_function("graft_polyhash",
+            concat($"user_id".cast("string"), lit("/kmv-pad")),
+            lit(31), lit(graft.ext.TextOps.HashMod)).as("h"))
+      val kmv = new KmvAgg(k)
+      val sketches = hashed.select($"event_type", $"h").as[(String, Long)]
+        .groupByKey(_._1).mapValues(_._2)
+        .agg(kmv.toColumn.name("kmv"))
+        .toDF("event_type", "kmv")
+      val ka = sketches.filter($"event_type" === "click").select($"kmv".as("ka"))
+      val kb = sketches.filter($"event_type" === "purchase").select($"kmv".as("kb"))
+      val exacts = hashed.groupBy($"user_id")
+        .agg(countDistinct($"event_type").as("nt"))
+        .agg(count(lit(1)).as("exact_union"),
+          sum(when($"nt" === 2, 1L).otherwise(0L)).as("exact_inter"))
+      val exactPer = hashed.groupBy($"event_type")
+        .agg(countDistinct($"user_id").as("nd"))
+        .groupBy()
+        .agg(max(when($"event_type" === "click", $"nd")).as("exact_click"),
+          max(when($"event_type" === "purchase", $"nd")).as("exact_purchase"))
+      def est(c: org.apache.spark.sql.Column) =
+        when(size(c) < k, size(c).cast("double"))
+          .otherwise(lit((k - 1).toDouble) /
+            (element_at(c, k).cast("double") / lit(graft.ext.TextOps.HashMod.toDouble)))
+      ka.crossJoin(broadcast(kb))
+        .crossJoin(broadcast(exacts)).crossJoin(broadcast(exactPer))
+        .withColumn("uk", expr(s"slice(array_sort(array_distinct(concat(ka, kb))), 1, $k)"))
+        .withColumn("shared", expr(
+          "size(filter(uk, x -> array_contains(ka, x) AND array_contains(kb, x)))").cast("long"))
+        .withColumn("union_est", est($"uk"))
+        .select(
+          lit(k.toLong).as("k"),
+          est($"ka").as("est_click"), $"exact_click",
+          est($"kb").as("est_purchase"), $"exact_purchase",
+          $"union_est", $"exact_union",
+          (($"shared".cast("double") * $"union_est") / lit(k.toDouble)).as("inter_est"),
+          $"exact_inter")
     })
   )
+
+  /** q148 sketch size. 1/sqrt(64) ~ 12% standard error — small enough to
+    * be meaningful, small enough that the per-row fast path dominates. */
+  val KmvK = 64
 
   val oracles: Map[String, String] = Map(
     "q24_session_window" -> s"""
@@ -521,6 +618,50 @@ object Advanced {
       FROM lineitem
       GROUP BY l_returnflag
       ORDER BY l_returnflag""",
+
+    // Replays the KMV sketches declaratively (DISTINCT hash ORDER BY
+    // LIMIT k — the set-function definition the Aggregator computes
+    // incrementally), then the identical union/intersection arithmetic.
+    "q148_kmv_sketch" -> {
+      val k = KmvK
+      val mod = graft.ext.TextOps.HashMod
+      def estSql(c: String) =
+        s"""CASE WHEN len($c) < $k THEN len($c)::DOUBLE
+             ELSE ${k - 1}::DOUBLE / ($c[$k]::DOUBLE / $mod::DOUBLE) END"""
+      s"""
+      WITH h AS (
+        SELECT event_type, user_id,
+          ${graft.ext.TextOps.polyHashSql("(CAST(user_id AS VARCHAR) || '/kmv-pad')")} AS hv
+        FROM events WHERE event_type IN ('click', 'purchase') AND value > 80),
+      ka_ AS (SELECT list(hv ORDER BY hv) AS ka FROM
+        (SELECT DISTINCT hv FROM h WHERE event_type = 'click' ORDER BY hv LIMIT $k)),
+      kb_ AS (SELECT list(hv ORDER BY hv) AS kb FROM
+        (SELECT DISTINCT hv FROM h WHERE event_type = 'purchase' ORDER BY hv LIMIT $k)),
+      ex AS (
+        SELECT CAST(count(*) AS BIGINT) AS exact_union,
+          CAST(count(*) FILTER (WHERE nt = 2) AS BIGINT) AS exact_inter
+        FROM (SELECT user_id, count(DISTINCT event_type) AS nt FROM h GROUP BY user_id)),
+      ep AS (SELECT
+        (SELECT CAST(count(DISTINCT user_id) AS BIGINT) FROM h
+          WHERE event_type = 'click') AS exact_click,
+        (SELECT CAST(count(DISTINCT user_id) AS BIGINT) FROM h
+          WHERE event_type = 'purchase') AS exact_purchase),
+      u AS (SELECT ka, kb,
+          list_sort(list_distinct(list_concat(ka, kb)))[1:$k] AS uk
+        FROM ka_, kb_),
+      c AS (SELECT *,
+          len(list_filter(uk, x -> list_contains(ka, x) AND list_contains(kb, x)))::BIGINT
+            AS shared,
+          ${estSql("uk")} AS union_est
+        FROM u)
+      SELECT CAST($k AS BIGINT) AS k,
+        ${estSql("ka")} AS est_click, exact_click,
+        ${estSql("kb")} AS est_purchase, exact_purchase,
+        union_est, exact_union,
+        (CAST(shared AS DOUBLE) * union_est) / CAST($k AS DOUBLE) AS inter_est,
+        exact_inter
+      FROM c, ex, ep"""
+    },
 
     "q26_array_agg" -> """
       SELECT o_orderpriority,

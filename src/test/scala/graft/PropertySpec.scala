@@ -113,6 +113,45 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("KmvAgg: order/partition-independent, idempotent, equals true k-smallest; winnow props") {
+    val agg = new graft.operators.KmvAgg(16)
+    (1 to 50).foreach { _ =>
+      val xs = Seq.fill(1 + rnd.nextInt(200))(rnd.nextLong(10000))
+      val truth = xs.distinct.sorted.take(16)
+      // sequential reduce
+      val seq = xs.foldLeft(agg.zero)(agg.reduce)
+      assert(seq == truth)
+      // arbitrary partitioning + merge in shuffled order
+      val parts = xs.grouped(1 + rnd.nextInt(7)).toSeq
+      val merged = rnd.shuffle(parts.map(_.foldLeft(agg.zero)(agg.reduce)))
+        .foldLeft(agg.zero)(agg.merge)
+      assert(merged == truth, "merge must be order-independent")
+      // idempotence: re-merging a sketch with itself changes nothing
+      assert(agg.merge(merged, merged) == truth)
+      assert(merged.length <= 16)
+    }
+  }
+
+  test("winnow: density bound and subset-of-gram-hashes over random text") {
+    (1 to Trials).foreach { _ =>
+      val s = asciiText(80)
+      val (k, w) = (1 + rnd.nextInt(6), 1 + rnd.nextInt(6))
+      val got = HashUtil.winnow(UTF8String.fromString(s), k, w, 31, 1000000007L)
+        .toLongArray().toSeq
+      def ph(x: String) = x.foldLeft(0L)((acc, c) => (acc * 31 + c) % 1000000007L)
+      if (s.length < k) assert(got.isEmpty)
+      else {
+        val grams = s.sliding(k).map(ph).toSeq
+        assert(got.toSet.subsetOf(grams.toSet), "fps must be gram hashes")
+        assert(got == got.distinct.sorted, "sorted distinct contract")
+        val nw = math.max(grams.length - w + 1, 1)
+        assert(got.nonEmpty && got.length <= nw)
+        // the global minimum is always selected (it wins its window)
+        assert(got.head == grams.min)
+      }
+    }
+  }
+
   test("shingles column fn: empty array (not garbage) for text shorter than k") {
     val spark = SparkSession.builder()
       .master("local[2]").config("spark.ui.enabled", "false").getOrCreate()
