@@ -462,26 +462,46 @@ object Advanced {
     "q148_kmv_sketch" -> ((s, dir) => {
       import s.implicits._
       graft.functions.GraftFunctions.register(s)
-      val k = KmvK
-      // audiences that genuinely differ: high-value clickers vs high-value
-      // purchasers (every user has every event TYPE, so the type alone
-      // would make all three sets equal). The hash input is suffix-padded:
-      // a bare small-int string folds to a value far below the modulus
-      // (no wrap), which would put ALL ids in the sketch's low tail and
-      // wreck the uniformity the estimator assumes.
-      val hashed = Tables.load(s, dir, "events")
-        .filter($"event_type".isin("click", "purchase") && $"value" > 80)
-        .select($"event_type", $"user_id",
-          call_function("graft_polyhash",
-            concat($"user_id".cast("string"), lit("/kmv-pad")),
-            lit(31), lit(graft.ext.TextOps.HashMod)).as("h"))
-      val kmv = new KmvAgg(k)
-      val sketches = hashed.select($"event_type", $"h").as[(String, Long)]
+      val kmv = new KmvAgg(KmvK)
+      val sketches = kmvHashed(s, dir).select($"event_type", $"h").as[(String, Long)]
         .groupByKey(_._1).mapValues(_._2)
         .agg(kmv.toColumn.name("kmv"))
         .toDF("event_type", "kmv")
-      val ka = sketches.filter($"event_type" === "click").select($"kmv".as("ka"))
-      val kb = sketches.filter($"event_type" === "purchase").select($"kmv".as("kb"))
+      kmvReport(s, dir, sketches)
+    })
+  )
+
+  /** q148/q149's shared input: the two audiences (high-value clickers vs
+    * high-value purchasers — every user has every event TYPE, so the type
+    * alone would make all three sets equal) with the portable sketch hash.
+    * The hash input is suffix-padded: a bare small-int string folds to a
+    * value far below the modulus (no wrap), which would put ALL ids in
+    * the sketch's low tail and wreck the uniformity the estimator
+    * assumes. */
+  private[graft] def kmvHashed(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    graft.functions.GraftFunctions.register(s)
+    Tables.load(s, dir, "events")
+      .filter($"event_type".isin("click", "purchase") && $"value" > 80)
+      .select($"event_type", $"user_id",
+        call_function("graft_polyhash",
+          concat($"user_id".cast("string"), lit("/kmv-pad")),
+          lit(31), lit(graft.ext.TextOps.HashMod)).as("h"))
+  }
+
+  /** q148's post-sketch report — estimates + sketch set ops + exact
+    * ride-alongs — shared verbatim with the STREAMING sketch (q149), which
+    * is what makes one oracle gate both execution modes (q137's
+    * discipline; sound here because KMV is a pure set function, so the
+    * streaming and batch sketches are bit-identical BY THEOREM, and the
+    * gate enforces it). `sketches`: (event_type, kmv array<long>). */
+  private[graft] def kmvReport(s: SparkSession, dir: String,
+      sketches: DataFrame): DataFrame = {
+    import s.implicits._
+    val k = KmvK
+    val hashed = kmvHashed(s, dir)
+    val ka = sketches.filter($"event_type" === "click").select($"kmv".as("ka"))
+    val kb = sketches.filter($"event_type" === "purchase").select($"kmv".as("kb"))
       val exacts = hashed.groupBy($"user_id")
         .agg(countDistinct($"event_type").as("nt"))
         .agg(count(lit(1)).as("exact_union"),
@@ -508,8 +528,7 @@ object Advanced {
           $"union_est", $"exact_union",
           (($"shared".cast("double") * $"union_est") / lit(k.toDouble)).as("inter_est"),
           $"exact_inter")
-    })
-  )
+  }
 
   /** q148 sketch size. 1/sqrt(64) ~ 12% standard error — small enough to
     * be meaningful, small enough that the per-row fast path dominates. */

@@ -39,6 +39,48 @@ object StreamQueries {
   val HllMaxRho = 23
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- q149: STREAMING KMV sketch — the deterministic member of the
+    //      commuting-sketch family (q127 CMS: counters add; q128 HLL:
+    //      registers max; KMV: k-smallest-distinct, a union-trim that is
+    //      associative, commutative AND idempotent — so batch boundaries,
+    //      shuffle placement, and replays provably cannot change the
+    //      final sketch). The SAME typed Aggregator as batch q148 runs in
+    //      complete mode; the run shares q148's report arithmetic and
+    //      ORACLE verbatim (q137's one-decision-procedure discipline —
+    //      sound because the streaming and batch sketches are equal by
+    //      the set-function theorem, and the shared gate enforces it).
+    "q149_stream_kmv" -> ((s, dir) => {
+      import s.implicits._
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      implicit val sqlCtx: SQLContext = s.sqlContext
+      val rows = graft.operators.Advanced.kmvHashed(s, dir)
+        .select($"event_type", $"h")
+        .orderBy($"event_type", $"h").as[(String, Long)].collect()
+      val src = MemoryStream[(String, Long)]
+      val kmv = new graft.operators.KmvAgg(graft.operators.Advanced.KmvK)
+      val sketchStream = src.toDS()
+        .groupByKey(_._1).mapValues(_._2)
+        .agg(kmv.toColumn.name("kmv"))
+        .toDF("event_type", "kmv")
+      val qname = "q149_out_" + java.util.UUID.randomUUID.toString.replace("-", "")
+      val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+      try {
+        s.conf.set("spark.sql.shuffle.partitions", "8")
+        val query = sketchStream.writeStream.format("memory").queryName(qname)
+          .outputMode("complete").start()
+        try {
+          rows.grouped(math.max(500, (rows.length + 3) / 4)).foreach { ch =>
+            src.addData(ch.toIndexedSeq); query.processAllAvailable()
+          }
+        } finally query.stop()
+      } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+      val sk0 = s.table(qname)
+      val sketches = s.createDataFrame(
+        java.util.Arrays.asList(sk0.collect(): _*), sk0.schema)
+      s.catalog.dropTempView(qname)
+      graft.operators.Advanced.kmvReport(s, dir, sketches)
+    }),
+
     // ---- q128: STREAMING HyperLogLog — distinct-count estimation whose
     //      per-group state is m=256 registers however many distinct users
     //      exist: the cardinality sibling of q127's count-min (the two
@@ -561,6 +603,9 @@ object StreamQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    // q148's oracle verbatim: the streaming sketch must equal the batch
+    // sketch bit-for-bit (KMV is a pure set function of the input).
+    "q149_stream_kmv" -> graft.operators.Advanced.oracles("q148_kmv_sketch"),
     // Rebuilds the identical registers declaratively: same portable hash,
     // same trailing-zero rho arms, same exact 2^-rho decimal literals,
     // same register-ordered fold, same alpha arithmetic.
