@@ -231,6 +231,90 @@ object Corpus {
       .drop("sumw", "total_tokens")
   }
 
+  /** q150's core: exact duplicated-substring REMOVAL (Lee et al. ACL 2022
+    * — "Deduplicating Training Data Makes Language Models Better" removes
+    * repeated spans, not just repeated documents; q70 is the detection
+    * report, this is the surgery). Rule, replayed verbatim by the oracle:
+    * every k-char gram occurring more than once in the corpus keeps its
+    * FIRST occurrence (min (doc_id, pos)) and every other occurrence
+    * becomes a removal seed covering chars [pos, pos+k-1]; per doc the
+    * seed intervals merge (strict gaps-and-islands: a new island starts
+    * when s > max prior end) and the covered chars are cut out, the
+    * remainder splicing back together in order.
+    *
+    * Input: (doc_id, text). Output: (doc_id, chars_total, chars_removed,
+    * clean_hash of the spliced text).
+    *
+    * Scale shape: occurrences come off ONE kernel pass (positional gram
+    * hashes, posexploded); the duplicated-gram winner election is q141's
+    * partial+final min(struct) + count agg ON THE HASH (the shuffle
+    * carries (hash, doc, pos), never text); seeds join back by ONE hash
+    * equi-join; interval merge, complement segments, and splicing are
+    * per-DOC windows and one per-doc aggregate — bounded by document
+    * length, never corpus-wide. No driver collect, never doc×doc. */
+  def removeDuplicateSubstrings(docs: DataFrame, k: Int = SubRemK): DataFrame = {
+    val occ = docs.repartition(col("doc_id")) // spread CPU-heavy narrow work
+      .select(col("doc_id"), col("text"),
+        posexplode(call_function("graft_gram_hashes",
+          col("text"), lit(k), lit(31), lit(TextOps.HashMod))))
+      .select(col("doc_id"), (col("pos") + 1).cast("long").as("p"), col("col").as("h"))
+    val dup = occ.groupBy(col("h"))
+      .agg(count(lit(1)).as("cnt"), min(struct(col("doc_id"), col("p"))).as("first"))
+      .filter(col("cnt") >= 2)
+    val seeds = occ.join(dup, Seq("h"))
+      .filter(!(col("doc_id") === col("first.doc_id") && col("p") === col("first.p")))
+      .select(col("doc_id"), col("p").as("s"), (col("p") + (k - 1)).as("e"))
+    // strict gaps-and-islands merge of the seed intervals, per doc
+    val wDoc = Window.partitionBy(col("doc_id")).orderBy(col("s"), col("e"))
+    val prevMax = max(col("e")).over(wDoc.rowsBetween(Window.unboundedPreceding, -1))
+    val islands = seeds
+      .withColumn("newisl", when(prevMax.isNull || col("s") > prevMax, 1L).otherwise(0L))
+      .withColumn("isl", sum(col("newisl")).over(wDoc))
+      .groupBy(col("doc_id"), col("isl"))
+      .agg(min(col("s")).as("is"), max(col("e")).as("ie"))
+    // complement segments: before each island (from prior island end + 1)
+    // plus the tail after the last island
+    val wIsl = Window.partitionBy(col("doc_id")).orderBy(col("is"))
+    val before = islands
+      .withColumn("from", coalesce(lag(col("ie"), 1).over(wIsl) + 1, lit(1L)))
+      .select(col("doc_id"), col("from"), (col("is") - 1).as("to"))
+    val lens = docs.select(col("doc_id"), length(col("text")).cast("long").as("len"))
+    val tails = islands.groupBy(col("doc_id"))
+      .agg(max(col("ie")).as("lastie"), sum(col("ie") - col("is") + 1).as("removed"))
+      .join(lens, Seq("doc_id"))
+      .select(col("doc_id"), (col("lastie") + 1).as("from"), col("len").as("to"),
+        col("removed"))
+    val segs = before.unionByName(tails.drop("removed"))
+      .filter(col("from") <= col("to")) // empty segments (adjacent islands,
+        // island ending at the doc's last char) drop out; what remains has
+        // 1 <= from <= to <= len, so every substring below is well-formed
+    docs.select(col("doc_id"), col("text"))
+      .join(segs, Seq("doc_id"), "left")
+      .join(tails.select(col("doc_id"), col("removed")), Seq("doc_id"), "left")
+      .groupBy(col("doc_id"), col("text"), col("removed"))
+      .agg(collect_list(when(col("from").isNotNull, struct(col("from"), col("to"))))
+        .as("rawsegs"))
+      .select(col("doc_id"),
+        length(col("text")).cast("long").as("chars_total"),
+        coalesce(col("removed"), lit(0L)).as("chars_removed"),
+        TextOps.polyHash(
+          when(col("removed").isNull, col("text")) // no removals: whole doc
+            .otherwise(expr(
+              "array_join(transform(sort_array(rawsegs), x -> " +
+                "substring(text, cast(x.from as int), " +
+                "cast(x.to - x.from + 1 as int))), '')")))
+          .as("clean_hash"))
+  }
+
+  /** q150 removal-span size. DELIBERATELY coarser than q70's 13-char
+    * detection grams: removal follows Lee et al.'s long-span threshold
+    * (they remove 50+-token repeats; fine grams are for SIGNALS, not
+    * surgery). On this corpus the chance-collision rate falls off a cliff
+    * between 30 and 40 chars (13-char grams over the small synthetic
+    * vocabulary recur by chance and would cut 90% of the corpus; 40-char
+    * spans hit exactly the planted re-crawl runs — 24 docs at sf0.01). */
+  val SubRemK = 40
+
   /** q99's core: ONE BPE merge iteration over a segmented vocabulary
     * (f: word frequency, s: current symbol array). Returns (best, merged):
     * the argmax pair as a one-row frame (pair as "L R", its weighted
@@ -1215,6 +1299,20 @@ object Corpus {
           sum(col("n_tokens")).as("tok_admitted"),
           max(col("epoch")).as("max_epoch"))
         .repartition(1).sortWithinPartitions(col("source"))
+    }),
+
+    // ---- q150: exact duplicated-substring REMOVAL (Lee et al. ACL 2022)
+    //      — q70 detects repeated 13-char grams, this cuts every
+    //      non-first occurrence's span out and splices the documents back
+    //      together. The corpus' planted near-dups guarantee the removal
+    //      path is heavily exercised; the gate hashes every spliced doc,
+    //      so a wrong winner, a mis-merged island, or an off-by-one span
+    //      boundary all break it.
+    "q150_substring_removal" -> ((s, dir) => {
+      graft.functions.GraftFunctions.register(s)
+      removeDuplicateSubstrings(
+          t(s, dir, "documents").select(col("doc_id"), col("text")))
+        .repartition(1).sortWithinPartitions(col("doc_id"))
     })
   )
 
@@ -1732,7 +1830,68 @@ object Corpus {
         CAST(sum(n_tokens) AS BIGINT) AS tok_admitted,
         CAST(max(epoch) AS BIGINT) AS max_epoch
       FROM adm WHERE strt < target
-      GROUP BY source ORDER BY source"""
+      GROUP BY source ORDER BY source""",
+
+    // Replays the full surgery: positional gram hashes (lateral unnest —
+    // no lambda, so no variable-capture hazard with the polyhash fold),
+    // first-occurrence election, seed intervals, strict island merge,
+    // complement segments, ordered splice, hash.
+    "q150_substring_removal" -> s"""
+      WITH occ AS (
+        SELECT doc_id, CAST(gi AS BIGINT) AS p,
+          ${TextOps.polyHashSql(s"substring(text, CAST(gi AS INT), $SubRemK)")} AS h
+        FROM documents,
+          unnest(range(1, greatest(length(text) - ${SubRemK - 2}, 1))) AS u(gi)),
+      r AS (
+        SELECT doc_id, p,
+          row_number() OVER (PARTITION BY h ORDER BY doc_id, p) AS rn,
+          count(*) OVER (PARTITION BY h) AS cnt
+        FROM occ),
+      seeds AS (
+        SELECT doc_id, p AS s, p + ${SubRemK - 1} AS e
+        FROM r WHERE cnt >= 2 AND rn > 1),
+      isl0 AS (
+        SELECT doc_id, s, e,
+          max(e) OVER (PARTITION BY doc_id ORDER BY s, e
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prevmax
+        FROM seeds),
+      isl1 AS (
+        SELECT doc_id, s, e,
+          CASE WHEN prevmax IS NULL OR s > prevmax THEN 1 ELSE 0 END AS newisl
+        FROM isl0),
+      isl2 AS (
+        SELECT doc_id, s, e,
+          sum(newisl) OVER (PARTITION BY doc_id ORDER BY s, e
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS isl
+        FROM isl1),
+      islands AS (
+        SELECT doc_id, isl, min(s) AS i_s, max(e) AS i_e
+        FROM isl2 GROUP BY 1, 2),
+      before_ AS (
+        SELECT doc_id,
+          coalesce(lag(i_e) OVER (PARTITION BY doc_id ORDER BY i_s) + 1, 1) AS f,
+          i_s - 1 AS t
+        FROM islands),
+      tails AS (
+        SELECT i.doc_id, max(i.i_e) + 1 AS f, length(any_value(d.text))::BIGINT AS t,
+          CAST(sum(i.i_e - i.i_s + 1) AS BIGINT) AS removed
+        FROM islands i JOIN documents d USING (doc_id)
+        GROUP BY i.doc_id),
+      segs AS (
+        SELECT doc_id, f, t FROM before_ WHERE f <= t
+        UNION ALL SELECT doc_id, f, t FROM tails WHERE f <= t)
+      SELECT d.doc_id, length(d.text)::BIGINT AS chars_total,
+        CAST(coalesce(any_value(tl.removed), 0) AS BIGINT) AS chars_removed,
+        ${TextOps.polyHashSql(
+          """CASE WHEN any_value(tl.removed) IS NULL THEN d.text
+               ELSE coalesce(string_agg(substring(d.text, CAST(s.f AS INT),
+                 CAST(s.t - s.f + 1 AS INT)), '' ORDER BY s.f), '') END""")}
+          AS clean_hash
+      FROM documents d
+      LEFT JOIN segs s USING (doc_id)
+      LEFT JOIN tails tl USING (doc_id)
+      GROUP BY d.doc_id, d.text
+      ORDER BY d.doc_id"""
   )
 
   /** The q99/q112 shared oracle chain: word split → frequency vocab →

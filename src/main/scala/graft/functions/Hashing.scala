@@ -100,6 +100,29 @@ object HashUtil {
     best
   }
 
+  /** Polynomial hash of every character k-gram of `str` in DOCUMENT ORDER,
+    * duplicates preserved (position i-1 holds the hash of the gram starting
+    * at char i; see [[graft.functions.GramHashes]]). The positional variant
+    * of [[shingleHashes]] — [[winnow]] and the q150 duplicated-substring
+    * removal need positions, which the distinct-sorted form discards.
+    * Empty array for text shorter than k. */
+  def gramHashes(str: UTF8String, k: Int, base: Int, mod: Long): ArrayData = {
+    val s = str.toString
+    val n = s.length
+    if (n < k) return new GenericArrayData(Array.emptyLongArray)
+    val g = n - k + 1
+    val out = new Array[Long](g)
+    var i = 0
+    while (i < g) {
+      var acc = 0L
+      var j = i
+      while (j < i + k) { acc = (acc * base + s.charAt(j)) % mod; j += 1 }
+      out(i) = acc
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
   /** Winnowing fingerprint set (Schleimer et al. SIGMOD 2003, the MOSS
     * algorithm; see [[graft.functions.Winnow]]): polynomial hash of every
     * character k-gram in document order, minimum of each sliding window of
@@ -365,6 +388,40 @@ case class ShingleHashes(left: Expression, right: Expression)
 
   override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
     copy(left = l, right = r)
+}
+
+/** `graft_gram_hashes(text, k, base, mod)` — positional k-gram polyhash
+  * array (document order, duplicates preserved): the positional sibling of
+  * [[ShingleHashes]], for operators that need to know WHERE a gram sits
+  * (q150's duplicated-substring removal: posexplode of this array is the
+  * (pos, hash) occurrence stream). One codegen'd O(n·k) loop per row. */
+case class GramHashes(
+    first: Expression, second: Expression, third: Expression, fourth: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.QuaternaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    val expected = Seq(StringType, IntegerType, IntegerType, LongType)
+    val actual = children.map(_.dataType)
+    if (actual == expected) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"graft_gram_hashes expects (string, int, int, bigint), got (${actual.mkString(", ")})")
+  }
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "graft_gram_hashes"
+
+  override protected def nullSafeEval(str: Any, k: Any, base: Any, mod: Any): Any =
+    HashUtil.gramHashes(str.asInstanceOf[UTF8String], k.asInstanceOf[Int],
+      base.asInstanceOf[Int], mod.asInstanceOf[Long])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (str, k, base, mod) =>
+      s"${ev.value} = graft.functions.HashUtil.gramHashes($str, $k, $base, $mod);")
+
+  override protected def withNewChildrenInternal(
+      f: Expression, s: Expression, t: Expression, q: Expression): Expression =
+    copy(first = f, second = s, third = t, fourth = q)
 }
 
 /** `graft_winnow(text, k, w, base, mod)` — winnowing fingerprint set
@@ -673,6 +730,13 @@ object GraftFunctions {
         require(children.length == 5,
           "graft_winnow(text, k, w, base, mod) takes 5 arguments")
         Winnow(children)
+      }),
+    (FunctionIdentifier("graft_gram_hashes"),
+      new ExpressionInfo(classOf[GramHashes].getName, "graft_gram_hashes"),
+      { children: Seq[Expression] =>
+        require(children.length == 4,
+          "graft_gram_hashes(text, k, base, mod) takes 4 arguments")
+        GramHashes(children(0), children(1), children(2), children(3))
       }),
     (FunctionIdentifier("graft_dot"),
       new ExpressionInfo(classOf[DotProduct].getName, "graft_dot"),

@@ -404,6 +404,42 @@ class CorpusSpec extends AnyFunSuite {
     assert(got.map(_._5).sum <= budget, "targets must never exceed the budget")
   }
 
+  test("removeDuplicateSubstrings: first kept, later cut, islands merge, full dup empties") {
+    import spark.implicits._
+    graft.functions.GraftFunctions.register(spark)
+    val k = 8
+    val run = "ABCDEFGHIJKL" // 12 chars: grams at 5 positions when k=8
+    // doc 1 owns the run; doc 2 embeds the same run (later → cut);
+    // doc 3 repeats a run twice INTERNALLY (2nd occurrence cut);
+    // doc 4 is a verbatim copy of doc 1's text (fully duplicated → empty);
+    // doc 5 shares nothing
+    val d1 = "xx" + run + "yy"
+    val d3run = "MNOPQRSTUVWX"
+    val docs = Seq(
+      (1L, d1),
+      (2L, "aaaa" + run + "bbbb"),
+      (3L, d3run + "----" + d3run),
+      (4L, d1),
+      (5L, "zzzzzzzzzzzzzzzzzz"))
+      .toDF("doc_id", "text")
+    val got = Corpus.removeDuplicateSubstrings(docs, k)
+      .select($"doc_id", $"chars_total", $"chars_removed", $"clean_hash")
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._1)
+    def ph(x: String) = x.foldLeft(0L)((acc, c) => (acc * 31 + c) % 1000000007L)
+    // doc 1: every gram's first occurrence (vs docs 2 and 4) → untouched
+    assert(got(0) == (1L, 16L, 0L, ph(d1)), got(0).toString)
+    // doc 2: the run's grams occupy positions 5..9, spans cover [5, 16] →
+    // 12 chars cut, 'aaaa' + 'bbbb' remain
+    assert(got(1) == (2L, 20L, 12L, ph("aaaabbbb")), got(1).toString)
+    // doc 3: second internal occurrence cut (positions 17..28)
+    assert(got(2) == (3L, 28L, 12L, ph(d3run + "----")), got(2).toString)
+    // doc 4: every gram already seen in doc 1 → everything cut
+    assert(got(3) == (4L, 16L, 16L, ph("")), got(3).toString)
+    // doc 5: 18 distinct z-grams... all identical 'zzzzzzzz' grams repeat
+    // internally: first kept at pos 1, positions 2..11 cut → span [2, 18]
+    assert(got(4) == (5L, 18L, 17L, ph("z")), got(4).toString)
+  }
+
   test("temperatureTargets at full budget: tail sources upsample past their size") {
     import spark.implicits._
     // 10000 vs 100 tokens: sqrt weights 100 vs 10 → tail target ≈

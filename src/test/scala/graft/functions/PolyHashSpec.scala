@@ -27,9 +27,9 @@ class PolyHashSpec extends AnyFunSuite {
     val ext = new org.apache.spark.sql.SparkSessionExtensions
     new GraftExtensions().apply(ext) // must accept all registry entries
     assert(GraftFunctions.entries.map(_._1.funcName).sorted ==
-      Seq("graft_bitmap", "graft_dot", "graft_fingerprint", "graft_i8quant",
-        "graft_maxabs", "graft_minhash_sig", "graft_polyhash", "graft_qdot",
-        "graft_rep_stats", "graft_shingle_hashes", "graft_simhash",
+      Seq("graft_bitmap", "graft_dot", "graft_fingerprint", "graft_gram_hashes",
+        "graft_i8quant", "graft_maxabs", "graft_minhash_sig", "graft_polyhash",
+        "graft_qdot", "graft_rep_stats", "graft_shingle_hashes", "graft_simhash",
         "graft_winnow"))
   }
 

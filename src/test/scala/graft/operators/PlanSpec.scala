@@ -672,6 +672,22 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("q150: substring removal is hash-keyed election + per-doc windows — no all-pairs") {
+    val p = plan("q150_substring_removal")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("graft_gram_hashes"),
+      "occurrences must come from the positional kernel: " + p)
+    // winner election is a partial+final agg on the gram hash
+    assert("HashAggregate".r.findAllIn(p).size >= 2, p)
+    // every window partitions by doc_id (interval merge / segments) —
+    // nothing windows over a corpus-wide key
+    val winDefs = "windowspecdefinition\\(doc_id".r.findAllIn(p).size
+    val allWins = "windowspecdefinition\\(".r.findAllIn(p).size
+    assert(allWins > 0 && winDefs == allWins,
+      s"all $allWins windows must be per-doc, only $winDefs are: $p")
+  }
+
   test("q144: winnow candidates come from a fingerprint equi-join — no all-pairs") {
     val p = plan("q144_winnow_overlap")
     assert(!p.contains("CartesianProduct"), p)
