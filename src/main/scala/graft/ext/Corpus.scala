@@ -306,6 +306,41 @@ object Corpus {
           .as("clean_hash"))
   }
 
+  /** q151's core: exact triangle count with degree orientation (Suri &
+    * Vassilvitskii WWW 2011). Input: raw (a, b) pairs in any order /
+    * multiplicity / with self-loops — canonicalized here. Output: one row
+    * (n_nodes, n_edges, n_triangles). Each edge orients from its
+    * lower-(degree, id) endpoint; each triangle is counted exactly once
+    * at its lowest vertex, and wedge generation per vertex is bounded by
+    * the oriented out-degree — O(sqrt(m)) even at a raw-degree hub. */
+  def triangleCount(raw: DataFrame): DataFrame = {
+    val edges = raw
+      .select(least(col("a"), col("b")).as("a"), greatest(col("a"), col("b")).as("b"))
+      .filter(col("a") =!= col("b")).distinct()
+      .localCheckpoint() // materialized edge table, like q111's feed
+    val deg = edges.select(col("a").as("id"))
+      .unionByName(edges.select(col("b").as("id")))
+      .groupBy(col("id")).agg(count(lit(1)).as("dg"))
+    val withDeg = edges
+      .join(deg.select(col("id").as("a"), col("dg").as("da")), Seq("a"))
+      .join(deg.select(col("id").as("b"), col("dg").as("db")), Seq("b"))
+    val oriented = withDeg.select(
+        when(col("da") < col("db") ||
+             (col("da") === col("db") && col("a") < col("b")),
+          struct(col("a").as("u"), col("b").as("v")))
+        .otherwise(struct(col("b").as("u"), col("a").as("v"))).as("e"))
+      .select(col("e.u").as("u"), col("e.v").as("v"))
+    val wedges = oriented.as("x").join(oriented.as("y"),
+        col("x.u") === col("y.u") && col("x.v") < col("y.v"))
+      .select(col("x.v").as("p"), col("y.v").as("q")) // p < q by construction
+    val tri = wedges.join(
+        edges.select(col("a").as("p"), col("b").as("q")), Seq("p", "q"))
+      .agg(count(lit(1)).as("n_triangles"))
+    val nn = deg.agg(count(lit(1)).as("n_nodes"))
+    val ne = edges.agg(count(lit(1)).as("n_edges"))
+    nn.crossJoin(broadcast(ne)).crossJoin(broadcast(tri))
+  }
+
   /** q150 removal-span size. DELIBERATELY coarser than q70's 13-char
     * detection grams: removal follows Lee et al.'s long-span threshold
     * (they remove 50+-token repeats; fine grams are for SIGNALS, not
@@ -1301,6 +1336,31 @@ object Corpus {
         .repartition(1).sortWithinPartitions(col("source"))
     }),
 
+    // ---- q151: triangle counting with degree orientation (Suri &
+    //      Vassilvitskii WWW 2011) — the clustering-coefficient primitive
+    //      of link-graph quality analysis, third member of the graph
+    //      family (q54/q109 connectivity, q111 centrality). Each
+    //      undirected edge orients from its lower-(degree, id) endpoint,
+    //      so every triangle is counted exactly ONCE at its lowest vertex
+    //      and — the scale point — wedge generation per vertex is bounded
+    //      by the oriented OUT-degree, O(sqrt(m)) even at a hub whose raw
+    //      degree is huge (the %97 hub edges plant exactly that skew; a
+    //      naive wedge join would square it). Plan: two degree joins, one
+    //      self-equi wedge join on the pivot, one closing equi-join
+    //      against the canonical edge set; everything partial+final aggs.
+    //      Oracle counts the same triangles by the naive three-way join.
+    "q151_triangles" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select(col("doc_id").as("d"))
+      // synthetic link graph: a path (d, d+1), chords (d, d+2) on even d
+      // (every even d closes a triangle), hub edges d -> d%97 for skew
+      val raw = docs.select(col("d").as("a"), (col("d") + 1).as("b"))
+        .unionByName(docs.filter(col("d") % 2 === 0)
+          .select(col("d").as("a"), (col("d") + 2).as("b")))
+        .unionByName(docs.filter(col("d") >= 97)
+          .select((col("d") % 97).as("a"), col("d").as("b")))
+      triangleCount(raw)
+    }),
+
     // ---- q150: exact duplicated-substring REMOVAL (Lee et al. ACL 2022)
     //      — q70 detects repeated 13-char grams, this cuts every
     //      non-first occurrence's span out and splices the documents back
@@ -1831,6 +1891,26 @@ object Corpus {
         CAST(max(epoch) AS BIGINT) AS max_epoch
       FROM adm WHERE strt < target
       GROUP BY source ORDER BY source""",
+
+    // Ground truth by the naive three-way join over the shared synthetic
+    // edge list — the degree-oriented plan must count the same triangles.
+    "q151_triangles" -> """
+      WITH d AS (SELECT doc_id AS dd FROM documents),
+      raw AS (
+        SELECT dd AS a, dd + 1 AS b FROM d
+        UNION ALL SELECT dd, dd + 2 FROM d WHERE dd % 2 = 0
+        UNION ALL SELECT dd % 97, dd FROM d WHERE dd >= 97),
+      e AS (
+        SELECT DISTINCT least(a, b) AS a, greatest(a, b) AS b
+        FROM raw WHERE least(a, b) <> greatest(a, b)),
+      n AS (SELECT CAST(count(*) AS BIGINT) AS n_nodes FROM
+        (SELECT a AS id FROM e UNION SELECT b FROM e)),
+      m AS (SELECT CAST(count(*) AS BIGINT) AS n_edges FROM e),
+      t AS (SELECT CAST(count(*) AS BIGINT) AS n_triangles
+        FROM e e1
+        JOIN e e2 ON e2.a = e1.a AND e2.b > e1.b
+        JOIN e e3 ON e3.a = e1.b AND e3.b = e2.b)
+      SELECT n_nodes, n_edges, n_triangles FROM n, m, t""",
 
     // Replays the full surgery: positional gram hashes (lateral unnest —
     // no lambda, so no variable-capture hazard with the polyhash fold),

@@ -440,6 +440,22 @@ class CorpusSpec extends AnyFunSuite {
     assert(got(4) == (5L, 18L, 17L, ph("z")), got(4).toString)
   }
 
+  test("triangleCount: K4, path, star, duplicate/reversed/self edges") {
+    import spark.implicits._
+    def count(edges: Seq[(Long, Long)]): (Long, Long, Long) =
+      Corpus.triangleCount(edges.toDF("a", "b"))
+        .as[(Long, Long, Long)].collect().head
+    // K4: 4 triangles; edges given in mixed orientation with a duplicate
+    // and a self-loop (must canonicalize away)
+    assert(count(Seq((1L, 2L), (2L, 1L), (1L, 3L), (1L, 4L), (3L, 2L),
+      (2L, 4L), (3L, 4L), (3L, 3L))) == (4L, 6L, 4L))
+    // path: none
+    assert(count(Seq((1L, 2L), (2L, 3L), (3L, 4L))) == (4L, 3L, 0L))
+    // star + one closing edge: exactly one triangle at the hub
+    assert(count(Seq((0L, 1L), (0L, 2L), (0L, 3L), (0L, 4L), (0L, 5L),
+      (1L, 2L))) == (6L, 6L, 1L))
+  }
+
   test("temperatureTargets at full budget: tail sources upsample past their size") {
     import spark.implicits._
     // 10000 vs 100 tokens: sqrt weights 100 vs 10 → tail target ≈
