@@ -217,6 +217,36 @@ object Similarity {
         .orderBy(col("query_id"), col("rank"))
     }),
 
+    // ---- q152: hard-negative mining — the contrastive-training data
+    //      prep (per query: top-k SAME-label neighbors as positives,
+    //      top-k DIFFERENT-label as hard negatives; the "hard" is
+    //      highest-cosine-wrong-label, the examples a contrastive loss
+    //      learns most from). Same broadcast-queries x corpus shape as
+    //      q50 with a (query, polarity) rank window; the 100 TB path
+    //      swaps the exact scan for q53's IVF candidate generation with
+    //      the identical polarity split (composition, not new machinery).
+    "q152_hard_negatives" -> ((s, dir) => {
+      graft.functions.GraftFunctions.register(s)
+      val e = t(s, dir, "embeddings")
+        .repartition(col("vec_id")) // spread the fold work (single-file input)
+        .withColumn("nrm", sqrt(dotd(col("embedding"), col("embedding"))))
+      val q = e.filter(col("vec_id") < NumQueries)
+        .select(col("vec_id").as("qid"), col("embedding").as("qe"),
+          col("nrm").as("qn"), col("label").as("qlab"))
+      val w = Window.partitionBy(col("qid"), col("polarity"))
+        .orderBy(col("cos").desc, col("vec_id"))
+      e.filter(col("vec_id") >= NumQueries)
+        .crossJoin(broadcast(q))
+        .withColumn("cos", cosd(col("qe"), col("qn"), col("embedding"), col("nrm")))
+        .withColumn("polarity",
+          when(col("label") === col("qlab"), "pos").otherwise("neg"))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= TopK)
+        .select(col("qid").as("query_id"), col("polarity"), col("rank"),
+          col("vec_id").as("neighbor_id"), col("cos"))
+        .orderBy(col("query_id"), col("polarity"), col("rank"))
+    }),
+
     // ---- sign-LSH bucketed ANN with Hamming-1 multi-probe + exact rerank.
     "q51_ann_lsh" -> ((s, dir) => {
       graft.functions.GraftFunctions.register(s)
@@ -565,6 +595,25 @@ object Similarity {
         FROM scored) x
       WHERE rank <= $TopK
       ORDER BY query_id, rank""",
+
+    // q50's shape with a label-polarity partition in the rank window.
+    "q152_hard_negatives" -> s"""
+      WITH e AS (
+        SELECT vec_id, embedding, label,
+          sqrt(${dotSql("embedding", "embedding")}) AS nrm
+        FROM embeddings),
+      scored AS (
+        SELECT q.vec_id AS query_id, t.vec_id AS neighbor_id,
+          CASE WHEN t.label = q.label THEN 'pos' ELSE 'neg' END AS polarity,
+          ${dotSql("q.embedding", "t.embedding")} / (q.nrm * t.nrm) AS cos
+        FROM e q JOIN e t ON q.vec_id < $NumQueries AND t.vec_id >= $NumQueries)
+      SELECT query_id, polarity, rank, neighbor_id, cos FROM (
+        SELECT query_id, polarity, neighbor_id, cos,
+          ROW_NUMBER() OVER (PARTITION BY query_id, polarity
+            ORDER BY cos DESC, neighbor_id) AS rank
+        FROM scored) x
+      WHERE rank <= $TopK
+      ORDER BY query_id, polarity, rank""",
 
     "q51_ann_lsh" -> {
       val codeExpr = (0 until LshBits).map(b =>
