@@ -251,6 +251,7 @@ object CdcApplier {
     val target = new Path(targetDir)
     val hconf = spark.sparkContext.hadoopConfiguration
     val fs = target.getFileSystem(hconf)
+    recoverTarget(fs, target) // a crashed rebucket's .bak may hold the data
     if (bucketIds(fs, target).nonEmpty) {
       val raw = spark.read.option("mergeSchema", true).parquet(targetDir)
       val meta = TargetMeta.read(hconf, target)
@@ -654,6 +655,7 @@ object CdcApplier {
     val hconf = spark.sparkContext.hadoopConfiguration
     val target = new Path(targetDir)
     val fs = target.getFileSystem(hconf)
+    recoverTarget(fs, target) // a crashed rebucket's .bak may hold the data
 
     // The on-disk modulus is the layout's truth: a run configured with a
     // different numBuckets would hash keys into bucket dirs the existing
@@ -814,6 +816,78 @@ object CdcApplier {
       else fs.delete(live, true) // bucket has no surviving rows
     }
     fs.delete(tmp, true)
+  }
+
+  /** Re-bucketing migration — change the layout's hash modulus in place
+    * (the operation a growing table eventually needs: a modulus sized for
+    * bootstrap volume makes oversized buckets at 100x the data, and the
+    * adopt-the-layout discipline rightly refuses a differently-configured
+    * writer — this is the sanctioned path). Every row moves to its
+    * re-hashed bucket, so the rewrite is total by construction and the
+    * publish unit is the WHOLE target: the fresh tree (re-hashed buckets
+    * plus every carried-over root file, with `.graft_meta` rewritten to
+    * the new modulus) swaps in via the same crash-safe rename protocol as
+    * a bucket publish — [[swapDir]] at the target level, recovered by
+    * [[recoverTarget]] — so readers never observe a mixed-modulus layout
+    * and a crash at any point leaves the old layout, the new layout, or a
+    * recoverable `.bak`. Tombstones, positions, horizon, pk order, and
+    * the stored schema carry over unchanged; later appliers and lookups
+    * adopt the new modulus from `.graft_meta` with ZERO other changes.
+    * Refused for range-bucketed layouts (the bucket count IS the bounds
+    * list — change `rangeBounds` instead) and for MOR (a delta chain must
+    * [[compactMor]] to one version per key first; re-hashing per-bucket
+    * version chains across buckets would reorder resolve-on-read input).
+    * Returns the new modulus (0 = no-op). */
+  def rebucket(spark: SparkSession, targetDir: String, newNumBuckets: Int): Int = {
+    require(newNumBuckets > 0, s"newNumBuckets must be positive, got $newNumBuckets")
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val target = new Path(targetDir)
+    val fs = target.getFileSystem(hconf)
+    recoverTarget(fs, target)
+    val meta = TargetMeta.read(hconf, target).getOrElse(
+      throw new IllegalStateException(s"no graft target metadata at $targetDir"))
+    if (meta.storage.contains("mor"))
+      throw new IllegalStateException(
+        s"$targetDir is merge-on-read: compactMor before rebucket")
+    if (meta.rangeBounds.nonEmpty)
+      throw new IllegalStateException(
+        s"$targetDir is range-bucketed: its bucket count is the bounds list")
+    if (meta.numBuckets == newNumBuckets) return 0
+    val pkOrder = meta.pkCols.getOrElse(throw new IllegalStateException(
+      s"$targetDir has a pre-upgrade meta without pkCols; run one applyBatch first"))
+    val bucketOrder = meta.bucketCols.getOrElse(pkOrder)
+    recoverBuckets(fs, target)
+
+    val fresh = new Path(targetDir + ".rebucket.tmp")
+    if (fs.exists(fresh)) fs.delete(fresh, true)
+    spark.read.option("mergeSchema", true).parquet(targetDir)
+      .drop(BUCKET)
+      .withColumn(BUCKET, bucketExpr(bucketOrder, newNumBuckets, None))
+      .write.partitionBy(BUCKET).parquet(fresh.toString)
+    // carry every root FILE (high-watermark, meta, any future sidecar) into
+    // the fresh tree, then overwrite the meta with the new modulus
+    fs.listStatus(target).filter(_.isFile).foreach { f =>
+      org.apache.hadoop.fs.FileUtil.copy(
+        fs, f.getPath, fs, new Path(fresh, f.getPath.getName), false, hconf)
+    }
+    TargetMeta.write(hconf, fresh, meta.copy(numBuckets = newNumBuckets))
+    swapDir(fs, target, fresh)
+    spark.catalog.refreshByPath(targetDir)
+    newNumBuckets
+  }
+
+  /** Target-level twin of [[recoverBuckets]] for whole-target swaps
+    * ([[rebucket]]): a `.bak` of the target WITHOUT a live target means
+    * the crash hit between the two renames — restore it; with a live
+    * target, the publish completed — drop it. */
+  private[cdc] def recoverTarget(fs: FileSystem, target: Path): Unit = {
+    val bak = bakPath(target)
+    if (fs.exists(bak)) {
+      if (!fs.exists(target)) {
+        if (!fs.rename(bak, target))
+          throw new IOException(s"cannot restore interrupted target swap from $bak")
+      } else fs.delete(bak, true)
+    }
   }
 
   private def bakPath(live: Path): Path =

@@ -1108,6 +1108,44 @@ object CdcQueries {
           s"compat type for $n drifted through the merge: ${snap.schema(n).dataType}") }
       snap.select(mysqlTypes.map(t => col(t._1)).toIndexedSeq: _*)
         .orderBy($"o_orderkey")
+    }),
+
+    // ---- q153: re-bucketing migration MID-LIFECYCLE — the modulus-change
+    //      operation a growing table eventually needs (a modulus sized at
+    //      bootstrap makes oversized buckets at 100x the data, and the
+    //      adopt-the-layout guard rightly refuses a reconfigured writer —
+    //      rebucket is the sanctioned path). q32's two batches run on the
+    //      16-bucket layout, the store re-hashes to 5 buckets via the
+    //      whole-target crash-safe swap, and a THIRD batch (update %13,
+    //      delete %17) applies AFTER the migration — proving the next
+    //      applier adopts the new modulus from `.graft_meta` and merges
+    //      against the re-hashed buckets (a modulus mismatch would
+    //      silently duplicate keys and break the hash). Point lookups
+    //      compose untouched: the final read goes through snapshot, and
+    //      CdcApplierSpec drives pointLookup across the same migration.
+    "q153_rebucket" -> ((s, dir) => {
+      import s.implicits._
+      val o = Tables.load(s, dir, "orders")
+      val target = Files.createTempDirectory("graft_cdc").toString + "/orders_rb"
+      val opts = CdcApplier.Options(Seq("o_orderkey"))
+      CdcApplier.applyBatch(s, ChangeFeed.inserts(o, $"o_orderkey" * 10), target, opts)
+      val second = ChangeFeed.updates(
+          o.filter($"o_orderkey" % 7 === 0),
+          Map("o_totalprice" -> $"o_totalprice" * 1.2),
+          $"o_orderkey" * 10 + 3)
+        .union(ChangeFeed.deletes(o.filter($"o_orderkey" % 11 === 0), $"o_orderkey" * 10 + 5))
+      CdcApplier.applyBatch(s, second, target, opts)
+      val got = CdcApplier.rebucket(s, target, 5)
+      require(got == 5, s"rebucket must report the new modulus, got $got")
+      val third = ChangeFeed.updates(
+          o.filter($"o_orderkey" % 13 === 0),
+          Map("o_totalprice" -> $"o_totalprice" * 0.5),
+          $"o_orderkey" * 10 + 7)
+        .union(ChangeFeed.deletes(o.filter($"o_orderkey" % 17 === 0), $"o_orderkey" * 10 + 9))
+      CdcApplier.applyBatch(s, third, target, opts)
+      CdcApplier.snapshot(s, target)
+        .select(o.columns.map(col).toIndexedSeq: _*)
+        .orderBy($"o_orderkey")
     })
   )
 
@@ -1202,6 +1240,23 @@ object CdcQueries {
       WHERE o_orderkey % 9 <> 1
         AND (CASE WHEN o_orderkey % 6 = 2 THEN o_custkey + 1 ELSE o_custkey END)
             IN (3, 7, 11, 19, 42)
+      ORDER BY o_orderkey""",
+
+    // q32's replay extended by the post-migration third batch. The change
+    // feed's after-images are built from the BASE table, so a %13 update
+    // REPLACES the row (orig*0.5, no composition with the earlier %7
+    // reprice) and — upsert semantics — RESURRECTS a %11-deleted key
+    // (the %143 keys exercise exactly that through the migrated layout);
+    // %17 keys are tombstoned last and stay gone.
+    "q153_rebucket" -> """
+      SELECT o_orderkey, o_custkey, o_orderstatus,
+        CASE WHEN o_orderkey % 13 = 0 THEN o_totalprice * 0.5
+             WHEN o_orderkey % 7 = 0 THEN o_totalprice * 1.2
+             ELSE o_totalprice END AS o_totalprice,
+        o_orderdate, o_orderpriority
+      FROM orders
+      WHERE o_orderkey % 17 <> 0
+        AND (o_orderkey % 13 = 0 OR o_orderkey % 11 <> 0)
       ORDER BY o_orderkey""",
 
     // shared by q136 (batch) and q137 (stream-static): ONE decision

@@ -749,4 +749,56 @@ class CdcApplierSpec extends AnyFunSuite {
     assert(incremental.contains((1L, 20L, 30L, "b", false)), incremental.toString)
     assert(incremental.contains((1L, 40L, -1L, "c", true)), incremental.toString)
   }
+
+  test("rebucket: state identical, modulus adopted, lookups prune new layout, guards") {
+    import org.apache.hadoop.fs.Path
+    val target = newTarget()
+    val feed = ev("insert", 10, None, Some(s1))
+      .union(ev("insert", 11, None, Some(s2)))
+      .union(ev("insert", 12, None, Some(Student(3, 5, 70, "cid", "c"))))
+      .union(ev("delete", 20, Some(s2), None))
+    CdcApplier.applyBatch(spark, feed, target, opts) // 16-bucket layout
+    val before = state(target)
+    assert(CdcApplier.rebucket(spark, target, 3) == 3)
+    // layout physically re-hashed: meta + at most 3 bucket dirs
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val meta = CdcApplier.TargetMeta.read(hconf, new Path(target)).get
+    assert(meta.numBuckets == 3)
+    val fs = new Path(target).getFileSystem(hconf)
+    val ids = CdcApplier.bucketIds(fs, new Path(target))
+    assert(ids.nonEmpty && ids.forall(b => b >= 0 && b < 3), ids.toString)
+    // state unchanged through the migration (tombstone for s2 carried)
+    assert(state(target) == before)
+    // a later applier adopts the new modulus and merges correctly
+    CdcApplier.applyBatch(spark,
+      ev("update", 30, Some(s1), Some(s1v2)), target, opts)
+    assert(state(target) == before - s1 + s1v2)
+    // point lookup prunes to the NEW bucket of the key
+    val keys = Seq((1, 1)).toDF("sn", "id")
+    val got = CdcApplier.pointLookup(spark, target, keys)
+    assert(got.drop("_graft_pos").as[Student].collect().toSet == Set(s1v2))
+    // the scan prunes on the re-hashed bucket (single key → the IN-list
+    // collapses to an equality literal)
+    val scans = got.queryExecution.executedPlan.toString
+    assert(scans.contains("PartitionFilters: [isnotnull(graft_bucket"), scans)
+    // no-op and guard paths
+    assert(CdcApplier.rebucket(spark, target, 3) == 0)
+    intercept[IllegalArgumentException](CdcApplier.rebucket(spark, target, 0))
+  }
+
+  test("rebucket: crash between the two target renames recovers at next read") {
+    import org.apache.hadoop.fs.Path
+    val target = newTarget()
+    CdcApplier.applyBatch(spark, ev("insert", 10, None, Some(s1)), target, opts)
+    val before = state(target)
+    // simulate the crash window: live renamed to .bak, fresh never arrived
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val live = new Path(target)
+    val fs = live.getFileSystem(hconf)
+    val bak = new Path(live.getParent, "." + live.getName + ".bak")
+    assert(fs.rename(live, bak))
+    // snapshot's entry recovery restores the backup
+    assert(state(target) == before)
+    assert(!fs.exists(bak))
+  }
 }
