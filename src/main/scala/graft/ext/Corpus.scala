@@ -231,6 +231,26 @@ object Corpus {
       .drop("sumw", "total_tokens")
   }
 
+  /** q141/q154's shared paragraph synthesis: the per-source promo
+    * paragraph + [[ParaWords]]-word content groups, as (doc_id, pi, para)
+    * — one definition for the batch dedup, the streaming dedup's feed,
+    * and (mirrored in SQL) their SHARED oracle. */
+  private[graft] def paragraphs(s: SparkSession, dir: String): DataFrame = {
+    val pw = ParaWords
+    val contentParas = when(size(col("ws")) === 0,
+        expr("cast(array() as array<string>)"))
+      .otherwise(expr(
+        s"transform(sequence(1, cast((size(ws)+${pw - 1}) div $pw as int)), " +
+          s"i -> array_join(slice(ws, cast((i-1)*$pw+1 as int), $pw), ' '))"))
+    t(s, dir, "documents")
+      .select(col("doc_id"), col("source"), TextOps.words(col("text")).as("ws"))
+      .select(col("doc_id"),
+        posexplode(concat(
+          array(concat(lit("promo "), col("source"), lit(" visit our network today"))),
+          contentParas)))
+      .select(col("doc_id"), col("pos").cast("long").as("pi"), col("col").as("para"))
+  }
+
   /** q150's core: exact duplicated-substring REMOVAL (Lee et al. ACL 2022
     * — "Deduplicating Training Data Makes Language Models Better" removes
     * repeated spans, not just repeated documents; q70 is the detection
@@ -1248,20 +1268,7 @@ object Corpus {
     //      paragraph, or misordered reassembly all break it.
     "q141_para_dedup" -> ((s, dir) => {
       graft.functions.GraftFunctions.register(s)
-      val pw = ParaWords
-      val contentParas = when(size(col("ws")) === 0,
-          expr("cast(array() as array<string>)"))
-        .otherwise(expr(
-          s"transform(sequence(1, cast((size(ws)+${pw - 1}) div $pw as int)), " +
-            s"i -> array_join(slice(ws, cast((i-1)*$pw+1 as int), $pw), ' '))"))
-      val paras = t(s, dir, "documents")
-        .select(col("doc_id"), col("source"), TextOps.words(col("text")).as("ws"))
-        .select(col("doc_id"),
-          posexplode(concat(
-            array(concat(lit("promo "), col("source"), lit(" visit our network today"))),
-            contentParas)))
-        .select(col("doc_id"), col("pos").cast("long").as("pi"), col("col").as("para"))
-      dedupParagraphs(paras)
+      dedupParagraphs(paragraphs(s, dir))
         .repartition(1).sortWithinPartitions(col("doc_id"))
     }),
 

@@ -81,6 +81,56 @@ object StreamQueries {
       graft.operators.Advanced.kmvReport(s, dir, sketches)
     }),
 
+    // ---- q154: STREAMING paragraph-level dedup — q141 as a live
+    //      pipeline (two chained append-mode stateful stages: first-seen
+    //      registry on the paragraph digest, then watermark-closed
+    //      per-doc reassembly). The feed is (doc_id, pi)-ordered and
+    //      chunked at DOC boundaries (a doc split across micro-batches
+    //      would lose its tail as late data once the watermark passed it
+    //      — the streaming contract this gate therefore exercises), so
+    //      arrival order equals q141's global first-occurrence order and
+    //      q141's oracle gates both execution modes verbatim.
+    "q154_stream_para_dedup" -> ((s, dir) => {
+      import s.implicits._
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      implicit val sqlCtx: SQLContext = s.sqlContext
+      graft.functions.GraftFunctions.register(s)
+      val paras = graft.ext.Corpus.paragraphs(s, dir)
+        .orderBy($"doc_id", $"pi")
+        .as[(Long, Long, String)].collect()
+      val sentinel = 10000000L
+      // chunk at doc boundaries, 4 chunks; sentinel doc closes the tail
+      val docs = paras.map(_._1).distinct.sorted
+      val docChunk = docs.zipWithIndex
+        .map { case (d, i) => d -> i * 4 / docs.length }.toMap
+      val chunks = paras.groupBy(r => docChunk(r._1)).toSeq.sortBy(_._1).map(_._2)
+      val src = MemoryStream[(Long, Long, String)]
+      val qname = "q154_out_" + java.util.UUID.randomUUID.toString.replace("-", "")
+      val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+      try {
+        s.conf.set("spark.sql.shuffle.partitions", "8")
+        val query = GraftConf.withChainedStatefulStart(s) {
+          StreamingPipeline.streamingParaDedup(
+              src.toDF().toDF("doc_id", "pi", "para"))
+            .writeStream.format("memory").queryName(qname)
+            .outputMode("append").start()
+        }
+        try {
+          chunks.foreach { c =>
+            src.addData(c.toIndexedSeq); query.processAllAvailable()
+          }
+          src.addData((sentinel, 0L, "sentinel")); query.processAllAvailable()
+        } finally query.stop()
+      } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+      val sunk = s.table(qname).filter($"doc_id" < sentinel)
+        .select($"doc_id", $"paras_total", $"paras_kept", $"clean_hash")
+        .orderBy($"doc_id")
+      val out = s.createDataFrame(
+        java.util.Arrays.asList(sunk.collect(): _*), sunk.schema)
+      s.catalog.dropTempView(qname)
+      out
+    }),
+
     // ---- q128: STREAMING HyperLogLog — distinct-count estimation whose
     //      per-group state is m=256 registers however many distinct users
     //      exist: the cardinality sibling of q127's count-min (the two
@@ -606,6 +656,9 @@ object StreamQueries {
     // q148's oracle verbatim: the streaming sketch must equal the batch
     // sketch bit-for-bit (KMV is a pure set function of the input).
     "q149_stream_kmv" -> graft.operators.Advanced.oracles("q148_kmv_sketch"),
+    // q141's oracle verbatim: with the (doc_id, pi)-ordered feed, streaming
+    // first-arrival IS the batch first-occurrence rule.
+    "q154_stream_para_dedup" -> graft.ext.Corpus.oracles("q141_para_dedup"),
     // Rebuilds the identical registers declaratively: same portable hash,
     // same trailing-zero rho arms, same exact 2^-rho decimal literals,
     // same register-ordered fold, same alpha arithmetic.

@@ -541,6 +541,58 @@ object StreamingPipeline {
       .toDF("content_sha", "keep_id")
   }
 
+  /** Streaming paragraph-level dedup — the streaming form of q141's
+    * [[graft.ext.Corpus.dedupParagraphs]], extending the streaming-dedup
+    * family a granularity down (doc-level [[streamingDedup]]/q85, bounded
+    * near-dup q87). Two chained append-mode stateful stages (q87's
+    * topology — start under [[GraftConf.withChainedStatefulStart]]):
+    *  1. a first-seen registry keyed by the paragraph digest
+    *     (flatMapGroupsWithState, state = one Boolean per digest; within
+    *     a micro-batch the winner is the min (doc_id, pi) occurrence,
+    *     across batches first-arrival wins — with a (doc_id, pi)-ordered
+    *     feed that IS q141's global first-occurrence rule, which is what
+    *     lets ONE oracle gate both execution modes);
+    *  2. per-doc reassembly as a watermark-closed windowed aggregation
+    *     (event time = doc_id seconds; each doc lives entirely inside its
+    *     1-second window, so the window closes exactly when the
+    *     watermark passes the doc) emitting q141's exact output row —
+    *     counts + the polyhash of the kept paragraphs spliced in pi
+    *     order.
+    * Like [[streamingDedup]], the registry is unbounded by design (q87's
+    * watermark-pruned registry is the bounded production form); state is
+    * 16 bytes per DISTINCT paragraph, partitioned by digest. Input:
+    * (doc_id, pi, para). */
+  def streamingParaDedup(paras: DataFrame): DataFrame = {
+    import paras.sparkSession.implicits._
+    val flagged = paras
+      .select(col("doc_id").cast("long"), col("pi").cast("long"), col("para"),
+        md5(col("para").cast("binary")).as("pkey"))
+      .as[(Long, Long, String, String)]
+      .groupByKey(_._4)
+      .flatMapGroupsWithState(
+        org.apache.spark.sql.streaming.OutputMode.Append(), GroupStateTimeout.NoTimeout) {
+        (_: String, rows: Iterator[(Long, Long, String, String)],
+            state: GroupState[Boolean]) =>
+          val rs = rows.toVector
+          val winner = if (state.exists) None
+            else Some(rs.map(r => (r._1, r._2)).min)
+          if (!state.exists) state.update(true)
+          rs.iterator.map(r => (r._1, r._2, r._3, winner.contains((r._1, r._2))))
+      }
+      .toDF("doc_id", "pi", "para", "keep")
+    flagged
+      .withColumn("ts", timestamp_seconds(col("doc_id")))
+      .withWatermark("ts", "0 seconds")
+      .groupBy(window(col("ts"), "1 second"), col("doc_id"))
+      .agg(count(lit(1)).as("paras_total"),
+        sum(when(col("keep"), 1L).otherwise(0L)).as("paras_kept"),
+        graft.ext.TextOps.polyHash(
+          expr("array_join(transform(sort_array(collect_list(" +
+            "CASE WHEN keep THEN struct(pi, para) END)), x -> x.para), ' | ')"))
+          .as("clean_hash"))
+      .select(col("doc_id"), col("paras_total"), col("paras_kept"), col("clean_hash"))
+  }
+
   /** Streaming exact dedup with BOUNDED state — the production form of
     * [[streamingDedup]], whose first-seen registry never expires. State
     * here is `dropDuplicatesWithinWatermark` on the content hash: a
