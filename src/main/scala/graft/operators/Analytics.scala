@@ -30,6 +30,12 @@ object Analytics {
   /** q78's flag threshold: |value - mean| > ZThresh * stddev. */
   val ZThresh = 2.0
 
+  /** q155's robust cut: 3 sigma-equivalents under the MAD→sigma
+    * consistency constant for the normal distribution (3 × 1.4826),
+    * pre-multiplied into ONE literal so both engines do a single
+    * IEEE multiply against the MAD. */
+  val RobustCut = 4.4478
+
   /** Columns profiled by q132 — one shared definition for the Spark plan
     * and the oracle's UNION arms. */
   val StatsCols = Seq("o_orderkey", "o_custkey", "o_orderstatus",
@@ -84,6 +90,33 @@ object Analytics {
         .withColumn("pass", col("violations") === 0L)
         .repartition(1).sortWithinPartitions(col("rule"))
     }),
+    // ---- q155: robust outlier detection (median/MAD) — the
+    //      anomaly-flagging rule that survives what breaks q78's
+    //      mean/stddev z-score: outliers CONTAMINATE the mean and inflate
+    //      the stddev (masking), while the median and the median absolute
+    //      deviation have 50% breakdown. Both medians come from the
+    //      DISTRIBUTED exactQuantiles engine (q34's — range partitioning
+    //      + per-partition rank offsets, bit-identical to quantile_cont,
+    //      never a per-group sort through one task), broadcast back;
+    //      the flag is one IEEE multiply + compare per row. Two corpus
+    //      passes (median, then MAD over deviations) — the irreducible
+    //      cost of the two-level statistic.
+    "q155_robust_outliers" -> ((s, dir) => {
+      import s.implicits._
+      val ev = Tables.load(s, dir, "events").select($"event_type", $"value")
+      val med = Advanced.exactQuantiles(ev, "event_type", "value", Seq(("med", 0.5)))
+      val dev = ev.join(broadcast(med), Seq("event_type"))
+        .withColumn("absdev", abs($"value" - $"med"))
+      val mad = Advanced.exactQuantiles(dev, "event_type", "absdev", Seq(("mad", 0.5)))
+      dev.join(broadcast(mad), Seq("event_type"))
+        .groupBy($"event_type")
+        .agg(max($"med").as("med"), max($"mad").as("mad"),
+          count(lit(1)).as("n"),
+          sum(when($"absdev" > lit(RobustCut) * $"mad", 1L).otherwise(0L))
+            .as("n_outliers"))
+        .repartition(1).sortWithinPartitions($"event_type")
+    }),
+
     // ---- q132: ANALYZE-style column statistics — the stats-collection
     //      pass that feeds a catalog/CBO (row count, per-column null count
     //      and EXACT NDV, long-form). ONE table pass: all aggregates in a
@@ -217,6 +250,25 @@ object Analytics {
   )
 
   val oracles: Map[String, String] = Map(
+    // Replays median -> deviations -> MAD -> cut, with quantile_cont (the
+    // proven bit-equal of the distributed exactQuantiles engine).
+    "q155_robust_outliers" -> s"""
+      WITH med AS (
+        SELECT event_type, quantile_cont(value, 0.5) AS med
+        FROM events GROUP BY event_type),
+      dev AS (
+        SELECT e.event_type, e.value, m.med, abs(e.value - m.med) AS absdev
+        FROM events e JOIN med m USING (event_type)),
+      mad AS (
+        SELECT event_type, quantile_cont(absdev, 0.5) AS mad
+        FROM dev GROUP BY event_type)
+      SELECT d.event_type, max(d.med) AS med, max(m.mad) AS mad,
+        CAST(count(*) AS BIGINT) AS n,
+        CAST(count(*) FILTER (WHERE d.absdev > $RobustCut * m.mad) AS BIGINT)
+          AS n_outliers
+      FROM dev d JOIN mad m USING (event_type)
+      GROUP BY d.event_type ORDER BY d.event_type""",
+
     "q143_expectations" -> """
       WITH rows_ AS (
         SELECT 'range_l_discount_0_1' AS rule,

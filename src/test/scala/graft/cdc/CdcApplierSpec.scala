@@ -542,6 +542,10 @@ class CdcApplierSpec extends AnyFunSuite {
           CdcApplier.changeFeed(spark, mor, cursor), replica, opts)
         cursor = events.map(_._2).max
         if (bi == 2) CdcApplier.compactMor(spark, mor) // mid-lifecycle collapse
+        // random-point re-bucketing on the cow store: a modulus migration
+        // anywhere in the lifecycle must be invisible to the fold
+        if (rnd.nextInt(3) == 0)
+          CdcApplier.rebucket(spark, cow, 1 + rnd.nextInt(7))
       }
       assert(state(cow) == state(mor),
         s"trial $trial: cow/mor divergence — cow=${state(cow)} mor=${state(mor)}")
