@@ -211,28 +211,53 @@ object Curation {
     //      offsets (a 16-row broadcast) + within-bucket running sums give
     //      the exact global prefix sum with NO single-partition window.
     "q140_train_shards" -> ((s, dir) => {
-      val keyed = t(s, dir, "documents")
-        .select(col("doc_id"), Corpus.wsTokenCount(col("text")).as("n_tokens"),
-          md5(concat(lit("ep1:"), col("doc_id").cast("string")).cast("binary")).as("okey"))
-        .withColumn("bucket", substring(col("okey"), 1, 1))
-      // same single-valued partition key discipline as q122's offsets
-      val toks = keyed.groupBy(col("bucket")).agg(sum(col("n_tokens")).as("bt"))
-        .localCheckpoint()
-      val offs = toks
-        .crossJoin(broadcast(toks.agg(sum(col("bt")).as("tall"))))
-        .withColumn("toff",
-          coalesce(sum(col("bt")).over(
-            Window.partitionBy(col("tall"))
-              .orderBy(col("bucket")).rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
-        .select(col("bucket"), col("toff"))
-      val w = Window.partitionBy(col("bucket")).orderBy(col("okey"))
-        .rowsBetween(Window.unboundedPreceding, -1)
-      keyed.join(broadcast(offs), "bucket")
-        .withColumn("tok_start", col("toff") + coalesce(sum(col("n_tokens")).over(w), lit(0L)))
-        .select(col("doc_id"), col("n_tokens"), col("tok_start"),
-          expr(s"tok_start DIV $ShardBudget").as("shard"),
-          (col("tok_start") % ShardBudget).as("shard_offset"))
+      trainShards(s, dir)
         .repartition(1).sortWithinPartitions(col("tok_start"))
+    }),
+
+    // ---- q156: release manifest — the integrity record a corpus release
+    //      ships beside its shards: per shard, the doc/token counts and
+    //      an ORDER-INDEPENDENT content digest (bit_xor of each member
+    //      doc's polyhash — any changed, dropped, or duplicated doc flips
+    //      the digest, and partial-agg order cannot matter, so the value
+    //      is reproducible on any cluster). Consumers re-derive the
+    //      manifest after download and diff — the release-engineering
+    //      step between q140's layout and the training run. One equi-join
+    //      of the shard assignment with the digest projection + one
+    //      partial+final agg.
+    "q156_release_manifest" -> ((s, dir) => {
+      graft.functions.GraftFunctions.register(s)
+      val digs = t(s, dir, "documents")
+        .select(col("doc_id"), TextOps.polyHash(col("text")).as("dh"))
+      trainShards(s, dir)
+        .join(digs, Seq("doc_id"))
+        .groupBy(col("shard"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("n_tokens"),
+          expr("bit_xor(dh)").as("digest"))
+        .repartition(1).sortWithinPartitions(col("shard"))
+    }),
+
+    // ---- q157: dataset card composition — the per-(source, language)
+    //      breakdown every corpus release documents (docs, tokens, chars,
+    //      and each cell's share of the whole): the "what is in this
+    //      data" table of a model card. ONE corpus pass to a
+    //      cell-cardinality frame + a 1-row totals broadcast; shares are
+    //      single pinned IEEE divisions. Pairs with q156 (integrity) as
+    //      the release's two manifest artifacts.
+    "q157_data_card" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+        .select(col("source"), col("lang"),
+          Corpus.wsTokenCount(col("text")).as("n_tokens"), col("n_chars"))
+      val per = d.groupBy(col("source"), col("lang"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("n_tokens"),
+          sum(col("n_chars")).as("n_chars"))
+      val tot = per.agg(sum(col("n_docs")).as("td"), sum(col("n_tokens")).as("tt"))
+      per.crossJoin(broadcast(tot))
+        .select(col("source"), col("lang"), col("n_docs"), col("n_tokens"),
+          col("n_chars"),
+          (col("n_docs").cast("double") / col("td").cast("double")).as("doc_share"),
+          (col("n_tokens").cast("double") / col("tt").cast("double")).as("token_share"))
+        .repartition(1).sortWithinPartitions(col("source"), col("lang"))
     }),
 
     // ---- q122: reproducible training-order shuffle — pos = the corpus
@@ -272,10 +297,36 @@ object Curation {
   /** Token budget per training shard (q140). */
   val ShardBudget = 8192L
 
-  def oracles: Map[String, String] = Map(
+  /** q140/q156's shared core: the shard assignment (doc_id, n_tokens,
+    * tok_start, shard, shard_offset) — the q122 two-phase prefix sum over
+    * the training permutation, no single-partition window at any size. */
+  private[graft] def trainShards(s: SparkSession, dir: String): DataFrame = {
+    val keyed = t(s, dir, "documents")
+      .select(col("doc_id"), Corpus.wsTokenCount(col("text")).as("n_tokens"),
+        md5(concat(lit("ep1:"), col("doc_id").cast("string")).cast("binary")).as("okey"))
+      .withColumn("bucket", substring(col("okey"), 1, 1))
+    // same single-valued partition key discipline as q122's offsets
+    val toks = keyed.groupBy(col("bucket")).agg(sum(col("n_tokens")).as("bt"))
+      .localCheckpoint()
+    val offs = toks
+      .crossJoin(broadcast(toks.agg(sum(col("bt")).as("tall"))))
+      .withColumn("toff",
+        coalesce(sum(col("bt")).over(
+          Window.partitionBy(col("tall"))
+            .orderBy(col("bucket")).rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("bucket"), col("toff"))
+    val w = Window.partitionBy(col("bucket")).orderBy(col("okey"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    keyed.join(broadcast(offs), "bucket")
+      .withColumn("tok_start", col("toff") + coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+      .select(col("doc_id"), col("n_tokens"), col("tok_start"),
+        expr(s"tok_start DIV $ShardBudget").as("shard"),
+        (col("tok_start") % ShardBudget).as("shard_offset"))
+  }
 
-    "q140_train_shards" -> s"""
-      WITH keyed AS (
+  /** q140/q156's shared oracle chain ending in a `shards` CTE — the SQL
+    * mirror of [[trainShards]]. */
+  private def trainShardsSqlCtes: String = s"""keyed AS (
         SELECT doc_id, md5('ep1:' || CAST(doc_id AS VARCHAR)) AS okey,
           substring(md5('ep1:' || CAST(doc_id AS VARCHAR)), 1, 1) AS bucket,
           ${Corpus.wsTokenCountSql("text")} AS n_tokens
@@ -291,12 +342,50 @@ object Curation {
           offs.toff + CAST(COALESCE(sum(keyed.n_tokens) OVER (
             PARTITION BY keyed.bucket ORDER BY okey
             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS tok_start
-        FROM keyed JOIN offs ON keyed.bucket = offs.bucket)
-      SELECT doc_id, n_tokens, tok_start,
-        tok_start // $ShardBudget AS shard,
-        tok_start % $ShardBudget AS shard_offset
-      FROM ranked
+        FROM keyed JOIN offs ON keyed.bucket = offs.bucket),
+      shards AS (
+        SELECT doc_id, n_tokens, tok_start,
+          tok_start // $ShardBudget AS shard,
+          tok_start % $ShardBudget AS shard_offset
+        FROM ranked)"""
+
+  def oracles: Map[String, String] = Map(
+
+    "q140_train_shards" -> s"""
+      WITH $trainShardsSqlCtes
+      SELECT doc_id, n_tokens, tok_start, shard, shard_offset
+      FROM shards
       ORDER BY tok_start""",
+
+    "q157_data_card" -> s"""
+      WITH d AS (
+        SELECT source, lang, ${Corpus.wsTokenCountSql("text")} AS n_tokens, n_chars
+        FROM documents),
+      per AS (
+        SELECT source, lang, CAST(count(*) AS BIGINT) AS n_docs,
+          CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+          CAST(sum(n_chars) AS BIGINT) AS n_chars
+        FROM d GROUP BY source, lang),
+      tot AS (
+        SELECT CAST(sum(n_docs) AS BIGINT) AS td,
+          CAST(sum(n_tokens) AS BIGINT) AS tt
+        FROM per)
+      SELECT source, lang, n_docs, per.n_tokens, n_chars,
+        n_docs::DOUBLE / td::DOUBLE AS doc_share,
+        per.n_tokens::DOUBLE / tt::DOUBLE AS token_share
+      FROM per, tot
+      ORDER BY source, lang""",
+
+    // The shared shard assignment joined with per-doc polyhashes, xor'd
+    // per shard — any content mutation flips the digest.
+    "q156_release_manifest" -> s"""
+      WITH $trainShardsSqlCtes
+      SELECT s.shard, CAST(count(*) AS BIGINT) AS n_docs,
+        CAST(sum(s.n_tokens) AS BIGINT) AS n_tokens,
+        bit_xor(${TextOps.polyHashSql("d.text")}) AS digest
+      FROM shards s JOIN documents d USING (doc_id)
+      GROUP BY s.shard
+      ORDER BY s.shard""",
 
     "q119_zorder_layout" -> s"""
       WITH z AS (
