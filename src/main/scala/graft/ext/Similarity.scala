@@ -247,6 +247,48 @@ object Similarity {
         .orderBy(col("query_id"), col("polarity"), col("rank"))
     }),
 
+    // ---- q158: hard-negative mining on the IVF scale path — q152's
+    //      polarity split run over q53's coarse-quantized candidate
+    //      generation instead of the exact scan: projection-only cell
+    //      assignment, top-nprobe cells per query, ONE broadcast cell
+    //      equi-join, then the (query, polarity) rank window. This is the
+    //      billion-vector form of the contrastive-pairs prep (candidates
+    //      cost nprobe/K of the corpus). Gate: the EXACT DuckDB replay of
+    //      cells/probes/polarity/ranks (q126's isotropic-data honesty —
+    //      a recall floor vs q152 would measure noise, the decision
+    //      procedure is what must match).
+    "q158_hard_negatives_ivf" -> ((s, dir) => {
+      graft.functions.GraftFunctions.register(s)
+      val e = t(s, dir, "embeddings")
+        .repartition(col("vec_id"))
+        .withColumn("nrm", sqrt(dotd(col("embedding"), col("embedding"))))
+      val centroids = ivfCentroids(e)
+      val tgt = e.filter(col("vec_id") >= NumQueries)
+        .withColumn("cell", cellOf(col("embedding"), centroids))
+      val qcells = e.filter(col("vec_id") < NumQueries)
+        .select(col("vec_id").as("qid"), col("embedding").as("qe"),
+          col("nrm").as("qn"), col("label").as("qlab"),
+          explode(array(centroids.map { case (cid, c) =>
+            struct(lit(cid).as("cell"), dotd(col("embedding"), typedLit(c)).as("d"))
+          }: _*)).as("cc"))
+        .select(col("qid"), col("qe"), col("qn"), col("qlab"),
+          col("cc.cell").as("cell"), col("cc.d").as("d"))
+      val pw = Window.partitionBy(col("qid")).orderBy(col("d").desc, col("cell"))
+      val probes = qcells.withColumn("prank", row_number().over(pw))
+        .filter(col("prank") <= IvfProbes)
+      val w = Window.partitionBy(col("qid"), col("polarity"))
+        .orderBy(col("cos").desc, col("vec_id"))
+      tgt.join(broadcast(probes), "cell")
+        .withColumn("cos", cosd(col("qe"), col("qn"), col("embedding"), col("nrm")))
+        .withColumn("polarity",
+          when(col("label") === col("qlab"), "pos").otherwise("neg"))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= TopK)
+        .select(col("qid").as("query_id"), col("polarity"), col("rank"),
+          col("vec_id").as("neighbor_id"), col("cos"))
+        .orderBy(col("query_id"), col("polarity"), col("rank"))
+    }),
+
     // ---- sign-LSH bucketed ANN with Hamming-1 multi-probe + exact rerank.
     "q51_ann_lsh" -> ((s, dir) => {
       graft.functions.GraftFunctions.register(s)
@@ -612,6 +654,42 @@ object Similarity {
           ROW_NUMBER() OVER (PARTITION BY query_id, polarity
             ORDER BY cos DESC, neighbor_id) AS rank
         FROM scored) x
+      WHERE rank <= $TopK
+      ORDER BY query_id, polarity, rank""",
+
+    // q53's exact cell/probe replay with the label carried through and the
+    // polarity partition in the rank window (no recall CTEs: the decision
+    // procedure is the gate).
+    "q158_hard_negatives_ivf" -> s"""
+      WITH e AS (${codesSql(", label")}),
+      cent AS (
+        SELECT CAST(vec_id - $NumQueries AS INT) AS cid,
+          list_transform(embedding, x -> x::DOUBLE / nrm) AS cv
+        FROM e WHERE vec_id >= $NumQueries AND vec_id < ${NumQueries + IvfCells}),
+      tassign AS (
+        SELECT t.vec_id, t.embedding, t.nrm, t.label, c.cid,
+          ROW_NUMBER() OVER (PARTITION BY t.vec_id
+            ORDER BY ${dotSql("t.embedding", "c.cv")} DESC, c.cid) AS rn
+        FROM e t, cent c WHERE t.vec_id >= $NumQueries),
+      tgt AS (SELECT vec_id, embedding, nrm, label, cid AS cell
+        FROM tassign WHERE rn = 1),
+      qprobe AS (
+        SELECT q.vec_id AS qid, q.embedding AS qe, q.nrm AS qn,
+          q.label AS qlab, c.cid AS cell,
+          ROW_NUMBER() OVER (PARTITION BY q.vec_id
+            ORDER BY ${dotSql("q.embedding", "c.cv")} DESC, c.cid) AS rn
+        FROM e q, cent c WHERE q.vec_id < $NumQueries),
+      cand AS (
+        SELECT p.qid AS query_id, t.vec_id AS neighbor_id,
+          CASE WHEN t.label = p.qlab THEN 'pos' ELSE 'neg' END AS polarity,
+          ${dotSql("p.qe", "t.embedding")} / (p.qn * t.nrm) AS cos
+        FROM (SELECT * FROM qprobe WHERE rn <= $IvfProbes) p
+        JOIN tgt t ON p.cell = t.cell)
+      SELECT query_id, polarity, rank, neighbor_id, cos FROM (
+        SELECT query_id, polarity, neighbor_id, cos,
+          ROW_NUMBER() OVER (PARTITION BY query_id, polarity
+            ORDER BY cos DESC, neighbor_id) AS rank
+        FROM cand) x
       WHERE rank <= $TopK
       ORDER BY query_id, polarity, rank""",
 
