@@ -1146,6 +1146,35 @@ object CdcQueries {
       CdcApplier.snapshot(s, target)
         .select(o.columns.map(col).toIndexedSeq: _*)
         .orderBy($"o_orderkey")
+    }),
+
+    // ---- q160: ADDITIVE SCHEMA EVOLUTION through the merge — the S4
+    //      path the guard allows (a column only in the incoming schema
+    //      evolves the store; dropped/retyped fail fast). Batch 1 inserts
+    //      the original schema; batch 2 re-inserts the %3 keys with a NEW
+    //      o_channel column (and a reprice proving the upsert replaced
+    //      the row, not merely patched it): after the merge every %3 row
+    //      carries its channel, every other row carries NULL in the
+    //      evolved column — the additive contract. The oracle replays the
+    //      lifecycle declaratively; a dropped evolved column, a non-NULL
+    //      backfill, or a lost reprice all break the hash. Spec-tested
+    //      since round 2 (CdcApplierSpec S4) — this closes the last
+    //      spec-vs-gate gap on the schema-change guard, like q116 did for
+    //      compat typing.
+    "q160_schema_evolution" -> ((s, dir) => {
+      import s.implicits._
+      val o = Tables.load(s, dir, "orders")
+      val target = Files.createTempDirectory("graft_cdc").toString + "/orders_evo"
+      val opts = CdcApplier.Options(Seq("o_orderkey"))
+      CdcApplier.applyBatch(s, ChangeFeed.inserts(o, $"o_orderkey" * 10), target, opts)
+      val evolved = o.filter($"o_orderkey" % 3 === 0)
+        .withColumn("o_totalprice", $"o_totalprice" * 2.0)
+        .withColumn("o_channel", concat(lit("ch-"), ($"o_orderkey" % 7).cast("string")))
+      CdcApplier.applyBatch(s,
+        ChangeFeed.inserts(evolved, $"o_orderkey" * 10 + 3), target, opts)
+      CdcApplier.snapshot(s, target)
+        .select((o.columns :+ "o_channel").map(col).toIndexedSeq: _*)
+        .orderBy($"o_orderkey")
     })
   )
 
@@ -1257,6 +1286,18 @@ object CdcQueries {
       FROM orders
       WHERE o_orderkey % 17 <> 0
         AND (o_orderkey % 13 = 0 OR o_orderkey % 11 <> 0)
+      ORDER BY o_orderkey""",
+
+    // the evolved column is NULL exactly where batch 2 never touched;
+    // the %3 rows carry the doubled price and their channel
+    "q160_schema_evolution" -> """
+      SELECT o_orderkey, o_custkey, o_orderstatus,
+        CASE WHEN o_orderkey % 3 = 0 THEN o_totalprice * 2.0
+             ELSE o_totalprice END AS o_totalprice,
+        o_orderdate, o_orderpriority,
+        CASE WHEN o_orderkey % 3 = 0
+             THEN 'ch-' || CAST(o_orderkey % 7 AS VARCHAR) END AS o_channel
+      FROM orders
       ORDER BY o_orderkey""",
 
     // shared by q136 (batch) and q137 (stream-static): ONE decision

@@ -67,7 +67,27 @@ object Multimodal {
 
     def checksum(resized: Array[Int]): Long =
       resized.foldLeft(0L)((acc, v) => (acc * 31 + v) % TextOps.HashMod)
+
+    /** 60-bit average hash (aHash, the classic perceptual hash): bit i set
+      * iff pixel i is above the mean of the resized tile, cross-multiplied
+      * (64·p > Σ) so no engine divides. 60 bits (of the 64 pixels) keeps
+      * every shift inside a non-negative BIGINT in BOTH engines — q47's
+      * 60-bit SimHash convention; the mean still uses all 64 pixels. */
+    def ahash(resized: Array[Int]): Long = {
+      val sum = resized.foldLeft(0L)(_ + _)
+      var acc = 0L
+      var i = 0
+      while (i < PHashBits) { if (64L * resized(i) > sum) acc |= (1L << i); i += 1 }
+      acc
+    }
   }
+
+  /** q159 perceptual-Hamming geometry: 60-bit aHash, Hamming threshold 3,
+    * blocked into 4 fifteen-bit bands (pigeonhole: ≤3 flipped bits leave
+    * at least one band intact, so the candidate equi-join is EXACT). */
+  val PHashBits = 60
+  val PHamT = 3
+  val PHashBlocks = 4
 
   /** Synthetic media corpus derived from `documents`: payload = UTF-8 text
     * bytes (any bytes would do — they are opaque), metadata derived
@@ -157,6 +177,58 @@ object Multimodal {
         .agg(min(col("media_id")).as("keep_id"), count(lit(1)).as("n_copies"))
         .select(col("keep_id"), col("kind"), col("n_copies"), col("resized_checksum"))
         .repartition(1).sortWithinPartitions(col("keep_id"))
+    }),
+
+    // ---- q159: perceptual NEAR-dup — q64 catches exact re-encodes (same
+    //      decoded checksum); this catches PERTURBED re-crawls (every %5
+    //      doc re-arrives with its first payload byte changed — a few
+    //      resized pixels move, a few aHash bits flip) by Hamming
+    //      distance over the 60-bit average hash, the q47 machinery
+    //      applied to the decoded-pixel domain. Candidates come from the
+    //      4-band pigeonhole equi-join (EXACT for Hamming ≤ 3 — never
+    //      media × media), verified by one bit_count. The decode/resize
+    //      pipeline stays executor-side mapPartitions; the oracle replays
+    //      decode → resize → aHash → all-pairs ground truth, so a missed
+    //      candidate (broken banding) or a wrong bit breaks the gate.
+    "q159_media_neardup" -> ((s, dir) => {
+      import s.implicits._
+      val base = Tables.load(s, dir, "documents")
+        .select(col("doc_id"), col("text"), col("n_chars"))
+      val feed = base.unionByName(
+        base.filter(col("doc_id") % 5 === 0)
+          .select((col("doc_id") + 100000).as("doc_id"),
+            concat(lit("z"), expr("substring(text, 2)")).as("text"), col("n_chars")))
+      val media = feed.select(col("doc_id").as("media_id"),
+        encode(col("text"), "UTF-8").as("payload"),
+        (lit(16) + col("n_chars") % 32).cast("int").as("width"),
+        (lit(8) + col("n_chars") % 16).cast("int").as("height"))
+      val sig = media.as[(Long, Array[Byte], Int, Int)]
+        .repartition(col("media_id"))
+        .mapPartitions { it =>
+          val codec = FakeCodec
+          it.map { case (id, payload, w, h) =>
+            val resized = codec.resize(codec.decode(payload, w, h), w, h, ResizedDim)
+            (id, codec.ahash(resized))
+          }
+        }.toDF("media_id", "phash")
+      val blockWidth = PHashBits / PHashBlocks
+      val blocks = sig.select(col("media_id"), col("phash"),
+          explode(array((0 until PHashBlocks).map(b =>
+            struct(lit(b).as("bi"),
+              shiftright(col("phash"), b * blockWidth)
+                .bitwiseAND(lit((1L << blockWidth) - 1)).as("bv"))): _*)).as("blk"))
+        .select(col("media_id"), col("phash"),
+          col("blk.bi").as("bi"), col("blk.bv").as("bv"))
+      blocks.as("a").join(blocks.as("b"),
+          col("a.bi") === col("b.bi") && col("a.bv") === col("b.bv") &&
+            col("a.media_id") < col("b.media_id"))
+        .select(col("a.media_id").as("id_a"), col("b.media_id").as("id_b"),
+          col("a.phash").as("pa"), col("b.phash").as("pb"))
+        .distinct()
+        .withColumn("hamming", expr("bit_count(pa ^ pb)").cast("long"))
+        .filter(col("hamming") <= PHamT)
+        .select(col("id_a"), col("id_b"), col("hamming"))
+        .repartition(1).sortWithinPartitions(col("id_a"), col("id_b"))
     })
   )
 
@@ -202,6 +274,25 @@ object Multimodal {
         ${feat(0)} AS f0, ${feat(1)} AS f1, ${feat(2)} AS f2, ${feat(3)} AS f3
       FROM m
       ORDER BY media_id""",
+
+      "q159_media_neardup" -> s"""
+      WITH d2 AS (
+        SELECT doc_id, text, n_chars FROM documents
+        UNION ALL
+        SELECT doc_id + 100000, 'z' || substring(text, 2), n_chars
+        FROM documents WHERE doc_id % 5 = 0),
+      m AS (SELECT doc_id AS media_id, $resized AS rs FROM d2),
+      ah AS (
+        SELECT media_id,
+          CAST(list_sum(list_transform(range(0, $PHashBits),
+            i -> CASE WHEN 64 * rs[CAST(i AS INT) + 1] > list_sum(rs)
+                 THEN (1::BIGINT << CAST(i AS INT)) ELSE 0::BIGINT END)) AS BIGINT) AS ph
+        FROM m)
+      SELECT a.media_id AS id_a, b.media_id AS id_b,
+        bit_count(xor(a.ph, b.ph))::BIGINT AS hamming
+      FROM ah a JOIN ah b ON a.media_id < b.media_id
+      WHERE bit_count(xor(a.ph, b.ph)) <= $PHamT
+      ORDER BY id_a, id_b""",
 
       "q64_media_dedup" -> s"""
       WITH d2 AS (
