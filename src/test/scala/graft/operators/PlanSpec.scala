@@ -688,6 +688,33 @@ class PlanSpec extends AnyFunSuite {
       s"all $allWins windows must be per-doc, only $winDefs are: $p")
   }
 
+  test("q146: epoch replication explodes per-source factors; one admission window") {
+    val p = plan("q146_epoch_mixture")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("Generate explode"), "epoch fan-out must be a generator: " + p)
+    // only the per-source admission window — same invariant as q142
+    assert("windowspecdefinition\\(".r.findAllIn(p).size ==
+      "windowspecdefinition\\(source".r.findAllIn(p).size, p)
+  }
+
+  test("q155: both medians broadcast back; no global sort window") {
+    val p = plan("q155_robust_outliers")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("BroadcastHashJoin"), "quantile frames must broadcast: " + p)
+    // the quantile engine's windows partition by (_pid, _g) or _g — never
+    // an unpartitioned global window
+    assert(!p.contains("windowspecdefinition(specifiedwindowframe"),
+      "no unpartitioned window: " + p)
+  }
+
+  test("q159: perceptual candidates come from the band equi-join — never media x media") {
+    val p = plan("q159_media_neardup")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin"),
+      "candidates must come from the band equi-join: " + p)
+  }
+
   test("q144: winnow candidates come from a fingerprint equi-join — no all-pairs") {
     val p = plan("q144_winnow_overlap")
     assert(!p.contains("CartesianProduct"), p)
