@@ -62,7 +62,8 @@ object Bench {
       "q130_stream_mor", "q131_mor_time_travel", "q133_covering_index",
       "q134_range_scan", "q135_forget", "q137_stream_enrich",
       "q138_mor_changefeed", "q147_bloom_join", "q149_stream_kmv",
-      "q153_rebucket", "q154_stream_para_dedup")
+      "q153_rebucket", "q154_stream_para_dedup", "q160_schema_evolution",
+      "q161_stream_schema_evolution")
     selected.foreach { case (name, fn) =>
       try {
         // Run twice, report the second: the first run absorbs positional

@@ -1148,6 +1148,61 @@ object CdcQueries {
         .orderBy($"o_orderkey")
     }),
 
+    // ---- q161: schema evolution arriving MID-STREAM — the production
+    //      answer to a DDL on a replicated table is RESTART-ON-DDL (a
+    //      running query's from_json schema is fixed at plan time; the
+    //      reference likewise re-discovers schemas on table-map changes,
+    //      S3/S4): phase 1 streams the original schema and stops; phase 2
+    //      is a NEW query instance over the SAME target with the evolved
+    //      envelope schema, feeding only the post-DDL positions (a fresh
+    //      cursor past the high-watermark — exactly a binlog reconnect).
+    //      The applier's additive-evolution path (q160's) upgrades the
+    //      store under the restarted stream. One oracle gates the batch
+    //      (q160) and streaming (q161) executions of the same DDL story.
+    "q161_stream_schema_evolution" -> ((s, dir) => {
+      import s.implicits._
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+      val o = Tables.load(s, dir, "orders")
+      def toEnvelope(changes: org.apache.spark.sql.DataFrame): Array[EnvelopeRow] =
+        changes.select($"op", lit("orders").as("table"), $"next_position",
+            to_json($"before").as("before_json"), to_json($"after").as("after_json"))
+          .as[EnvelopeRow].collect()
+      val root = Files.createTempDirectory("graft_stream").toString
+      val target = s"$root/orders_evo"
+      def feed(src: MemoryStream[EnvelopeRow], rows: Array[EnvelopeRow]): Unit =
+        rows.grouped(1500).foreach(c => src.addData(c.toIndexedSeq))
+      // phase 1: original schema
+      val batch1 = toEnvelope(ChangeFeed.inserts(o, $"o_orderkey" * 10))
+      val src1 = MemoryStream[EnvelopeRow]
+      val q1 = graft.streaming.StreamingPipeline.startPerTable(
+        src1.toDF(), Map("orders" -> (o.schema, target)), s"$root/ckpt1",
+        _ => graft.streaming.StreamingPipeline.PipelineOptions(
+          CdcApplier.Options(Seq("o_orderkey"))))
+      try {
+        feed(src1, batch1); q1.values.foreach(_.processAllAvailable())
+      } finally q1.values.foreach(_.stop())
+      // the DDL: restart with the evolved schema, cursor past the watermark
+      val evolved = o.filter($"o_orderkey" % 3 === 0)
+        .withColumn("o_totalprice", $"o_totalprice" * 2.0)
+        .withColumn("o_channel", concat(lit("ch-"), ($"o_orderkey" % 7).cast("string")))
+      val batch2 = toEnvelope(ChangeFeed.inserts(evolved, $"o_orderkey" * 10 + 3))
+      val evolvedSchema = org.apache.spark.sql.types.StructType(
+        o.schema.fields :+ org.apache.spark.sql.types.StructField(
+          "o_channel", org.apache.spark.sql.types.StringType))
+      val src2 = MemoryStream[EnvelopeRow]
+      val q2 = graft.streaming.StreamingPipeline.startPerTable(
+        src2.toDF(), Map("orders" -> (evolvedSchema, target)), s"$root/ckpt2",
+        _ => graft.streaming.StreamingPipeline.PipelineOptions(
+          CdcApplier.Options(Seq("o_orderkey"))))
+      try {
+        feed(src2, batch2); q2.values.foreach(_.processAllAvailable())
+      } finally q2.values.foreach(_.stop())
+      CdcApplier.snapshot(s, target)
+        .select((o.columns :+ "o_channel").map(col).toIndexedSeq: _*)
+        .orderBy($"o_orderkey")
+    }),
+
     // ---- q160: ADDITIVE SCHEMA EVOLUTION through the merge — the S4
     //      path the guard allows (a column only in the incoming schema
     //      evolves the store; dropped/retyped fail fast). Batch 1 inserts
@@ -1286,6 +1341,17 @@ object CdcQueries {
       FROM orders
       WHERE o_orderkey % 17 <> 0
         AND (o_orderkey % 13 = 0 OR o_orderkey % 11 <> 0)
+      ORDER BY o_orderkey""",
+
+    // one DDL story, two execution modes (q136/q137's discipline)
+    "q161_stream_schema_evolution" -> """
+      SELECT o_orderkey, o_custkey, o_orderstatus,
+        CASE WHEN o_orderkey % 3 = 0 THEN o_totalprice * 2.0
+             ELSE o_totalprice END AS o_totalprice,
+        o_orderdate, o_orderpriority,
+        CASE WHEN o_orderkey % 3 = 0
+             THEN 'ch-' || CAST(o_orderkey % 7 AS VARCHAR) END AS o_channel
+      FROM orders
       ORDER BY o_orderkey""",
 
     // the evolved column is NULL exactly where batch 2 never touched;
