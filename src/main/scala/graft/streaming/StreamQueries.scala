@@ -462,6 +462,50 @@ object StreamQueries {
       out
     }),
 
+    // ---- q162: streaming SLIDING windows — q84 gates tumbling; this
+    //      gates the overlapping form (2-hour windows sliding by 1 hour:
+    //      every event contributes to exactly TWO windows — the rolling-
+    //      dashboard shape). The oracle replays the double assignment
+    //      declaratively (each event exploded to its two window starts),
+    //      so a missed overlap, wrong window edge, or premature emission
+    //      breaks the hash.
+    "q162_stream_sliding" -> ((s, dir) => {
+      import s.implicits._
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      implicit val sqlCtx: SQLContext = s.sqlContext
+      val rows = Tables.load(s, dir, "events")
+        .select($"ts", $"event_type", $"value")
+        .orderBy($"ts")
+        .as[WindowEventRow].collect()
+      val sentinel = WindowEventRow(
+        new java.sql.Timestamp(rows.last.ts.getTime + 10L * 3600 * 1000),
+        "zzz_sentinel", 0.0)
+      val src = MemoryStream[WindowEventRow]
+      val qname = "q162_out_" + java.util.UUID.randomUUID.toString.replace("-", "")
+      val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+      try {
+        s.conf.set("spark.sql.shuffle.partitions", "8")
+        val query = StreamingPipeline.slidingWindowedCounts(src.toDF())
+          .writeStream.format("memory").queryName(qname).outputMode("append").start()
+        try {
+          val chunkSize = math.max(1000, (rows.length + 3) / 4)
+          rows.grouped(chunkSize).foreach { c =>
+            src.addData(c.toIndexedSeq); query.processAllAvailable()
+          }
+          src.addData(sentinel)
+          query.processAllAvailable()
+        } finally query.stop()
+      } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+      val sunk = s.table(qname)
+        .filter($"event_type" =!= "zzz_sentinel")
+        .select(unix_timestamp($"ws").as("ws"), $"event_type", $"n", $"total_value")
+        .orderBy($"ws", $"event_type")
+      val out = s.createDataFrame(
+        java.util.Arrays.asList(sunk.collect(): _*), sunk.schema)
+      s.catalog.dropTempView(qname)
+      out
+    }),
+
     // ---- q85: streaming exact dedup vs the batch oracle — q40's
     //      recrawl scenario (every doc re-arrives at doc_id+10000) fed
     //      in doc_id order through the stateful first-seen gate. With an
@@ -761,6 +805,20 @@ object StreamQueries {
         event_type, COUNT(*) AS n,
         ${graft.util.Sumd.SUMD("value")} AS total_value
       FROM events
+      GROUP BY 1, 2
+      ORDER BY ws, event_type""",
+
+    // each event exploded to its TWO sliding-window starts (the hour it
+    // falls in and the hour before — both always cover it at size 2h)
+    "q162_stream_sliding" -> s"""
+      SELECT CAST(FLOOR(epoch(wstart)) AS BIGINT) AS ws,
+        event_type, COUNT(*) AS n,
+        ${graft.util.Sumd.SUMD("value")} AS total_value
+      FROM (
+        SELECT event_type, value,
+          unnest([date_trunc('hour', ts) - INTERVAL 1 HOUR,
+                  date_trunc('hour', ts)]) AS wstart
+        FROM events)
       GROUP BY 1, 2
       ORDER BY ws, event_type""",
 

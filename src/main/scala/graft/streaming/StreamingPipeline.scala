@@ -943,4 +943,18 @@ object StreamingPipeline {
       .agg(count(lit(1)).as("n"),
         sum(col("value").cast(DecimalType(18, 6))).cast("double").as("total_value"))
       .select(col("window.start").as("ws"), col("event_type"), col("n"), col("total_value"))
+
+  /** [[windowedCounts]] with OVERLAPPING windows (2-hour size, 1-hour
+    * slide — q162's engine): every event lands in exactly two windows, so
+    * state is 2x the tumbling form's but still watermark-bounded; append
+    * mode emits each window once its end passes the watermark. The
+    * sliding form is what rolling dashboards actually query (each hour's
+    * row covers the trailing two hours). */
+  def slidingWindowedCounts(events: DataFrame, watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), "2 hours", "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast(DecimalType(18, 6))).cast("double").as("total_value"))
+      .select(col("window.start").as("ws"), col("event_type"), col("n"), col("total_value"))
 }
