@@ -854,4 +854,24 @@ class StreamingPipelineSpec extends AnyFunSuite {
     assert(got == Set((1L, Some(101L)), (2L, None)),
       s"outer attribution rows wrong: $got")
   }
+
+  test("slidingWindowedCounts: every event lands in exactly two windows") {
+    // batch execution of the same plan (window() is mode-agnostic;
+    // withWatermark is a no-op on batch) — the q162 gate covers the
+    // streaming run, this pins the double-assignment algebra directly
+    val events = Seq(
+      TsEvent(Timestamp.valueOf("2026-01-01 10:15:00"), "click", 1.0),
+      TsEvent(Timestamp.valueOf("2026-01-01 10:45:00"), "click", 2.0),
+      TsEvent(Timestamp.valueOf("2026-01-01 11:05:00"), "view", 4.0)).toDF()
+    val got = StreamingPipeline.slidingWindowedCounts(events)
+      .select(unix_timestamp($"ws").as("ws"), $"event_type", $"n", $"total_value")
+      .as[(Long, String, Long, Double)].collect().toSet
+    def h(hh: Int) = Timestamp.valueOf(f"2026-01-01 $hh%02d:00:00").getTime / 1000
+    assert(got == Set(
+      (h(9), "click", 2L, 3.0), (h(10), "click", 2L, 3.0),   // both 10:xx clicks
+      (h(10), "view", 1L, 4.0), (h(11), "view", 1L, 4.0)),   // the 11:05 view
+      got.toString)
+    // conservation: Σn over all windows = 2 x events
+    assert(got.toSeq.map(_._3).sum == 2L * events.count())
+  }
 }
