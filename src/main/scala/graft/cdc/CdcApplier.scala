@@ -251,7 +251,7 @@ object CdcApplier {
     val target = new Path(targetDir)
     val hconf = spark.sparkContext.hadoopConfiguration
     val fs = target.getFileSystem(hconf)
-    recoverTarget(fs, target) // a crashed rebucket's .bak may hold the data
+    openTarget(fs, target) // a crashed rebucket's .bak may hold the data
     if (bucketIds(fs, target).nonEmpty) {
       val raw = spark.read.option("mergeSchema", true).parquet(targetDir)
       val meta = TargetMeta.read(hconf, target)
@@ -355,6 +355,7 @@ object CdcApplier {
     val hconf = spark.sparkContext.hadoopConfiguration
     val target = new Path(targetDir)
     val fs = target.getFileSystem(hconf)
+    openTarget(fs, target)
 
     val meta = TargetMeta.read(hconf, target)
     meta.foreach { m =>
@@ -424,6 +425,7 @@ object CdcApplier {
   def snapshotAsOf(spark: SparkSession, targetDir: String, pos: Long): DataFrame = {
     val hconf = spark.sparkContext.hadoopConfiguration
     val target = new Path(targetDir)
+    openTarget(target.getFileSystem(hconf), target)
     val meta = TargetMeta.read(hconf, target).getOrElse(
       throw new IllegalStateException(s"no graft table state at $targetDir"))
     if (!meta.storage.contains("mor"))
@@ -455,6 +457,7 @@ object CdcApplier {
   def rangeLookup(spark: SparkSession, targetDir: String, lo: Long, hi: Long): DataFrame = {
     val hconf = spark.sparkContext.hadoopConfiguration
     val target = new Path(targetDir)
+    openTarget(target.getFileSystem(hconf), target)
     val meta = TargetMeta.read(hconf, target).getOrElse(
       throw new IllegalStateException(s"no graft table state at $targetDir"))
     val bounds = meta.rangeBounds.getOrElse(
@@ -489,6 +492,7 @@ object CdcApplier {
   def changeFeed(spark: SparkSession, targetDir: String, fromPos: Long): DataFrame = {
     val hconf = spark.sparkContext.hadoopConfiguration
     val target = new Path(targetDir)
+    openTarget(target.getFileSystem(hconf), target)
     val meta = TargetMeta.read(hconf, target).getOrElse(
       throw new IllegalStateException(s"no graft table state at $targetDir"))
     if (!meta.storage.contains("mor"))
@@ -535,6 +539,7 @@ object CdcApplier {
     val hconf = spark.sparkContext.hadoopConfiguration
     val target = new Path(targetDir)
     val fs = target.getFileSystem(hconf)
+    openTarget(fs, target)
     val meta = TargetMeta.read(hconf, target).getOrElse(
       throw new IllegalStateException(s"no graft table state at $targetDir"))
     if (!meta.storage.contains("mor"))
@@ -581,6 +586,7 @@ object CdcApplier {
   def pointLookup(spark: SparkSession, targetDir: String, keys: DataFrame): DataFrame = {
     val target = new Path(targetDir)
     val hconf = spark.sparkContext.hadoopConfiguration
+    openTarget(target.getFileSystem(hconf), target)
     val meta = TargetMeta.read(hconf, target).getOrElse(
       throw new IllegalStateException(s"no graft table state at $targetDir"))
     val numBuckets = meta.numBuckets
@@ -633,6 +639,7 @@ object CdcApplier {
     val target = new Path(targetDir)
     val hconf = spark.sparkContext.hadoopConfiguration
     val fs = target.getFileSystem(hconf)
+    openTarget(fs, target)
     val hasState = bucketIds(fs, target).nonEmpty ||
       TargetMeta.read(hconf, target).exists(_.schemaJson.isDefined)
     if (hasState) Some(snapshot(spark, targetDir)) else None
@@ -655,7 +662,7 @@ object CdcApplier {
     val hconf = spark.sparkContext.hadoopConfiguration
     val target = new Path(targetDir)
     val fs = target.getFileSystem(hconf)
-    recoverTarget(fs, target) // a crashed rebucket's .bak may hold the data
+    openTarget(fs, target) // a crashed rebucket's .bak may hold the data
 
     // The on-disk modulus is the layout's truth: a run configured with a
     // different numBuckets would hash keys into bucket dirs the existing
@@ -769,6 +776,7 @@ object CdcApplier {
     val hconf = spark.sparkContext.hadoopConfiguration
     val target = new Path(targetDir)
     val fs = target.getFileSystem(hconf)
+    openTarget(fs, target)
     val meta = TargetMeta.read(hconf, target).getOrElse(
       throw new IllegalStateException(s"no graft target metadata at $targetDir"))
     // A mor layout must collapse to one version per key FIRST: dropping a
@@ -843,7 +851,7 @@ object CdcApplier {
     val hconf = spark.sparkContext.hadoopConfiguration
     val target = new Path(targetDir)
     val fs = target.getFileSystem(hconf)
-    recoverTarget(fs, target)
+    openTarget(fs, target)
     val meta = TargetMeta.read(hconf, target).getOrElse(
       throw new IllegalStateException(s"no graft target metadata at $targetDir"))
     if (meta.storage.contains("mor"))
@@ -874,6 +882,24 @@ object CdcApplier {
     swapDir(fs, target, fresh)
     spark.catalog.refreshByPath(targetDir)
     newNumBuckets
+  }
+
+  /** Open-target discipline shared by EVERY public entry point that reads
+    * `.graft_meta` or bucket dirs (snapshot, lookups, feeds, compactions,
+    * appliers, rebucket): first heal an interrupted whole-target swap via
+    * [[recoverTarget]] — so a reader arriving after a crash mid-[[rebucket]]
+    * restores the `.bak` instead of mis-reporting an existing table as
+    * never-bootstrapped or throwing "no graft table state" — then reclaim a
+    * stale `<target>.rebucket.tmp` staging tree: once recovery has run, no
+    * rebucket is in progress (single-writer discipline, same assumption as
+    * the swap protocol itself), so a leftover staging copy is an orphaned
+    * full-table duplicate from a crash after the fresh tree was written but
+    * before its swap — garbage that would otherwise leak indefinitely under
+    * applyBatch/compact-only lifecycles. */
+  private[cdc] def openTarget(fs: FileSystem, target: Path): Unit = {
+    recoverTarget(fs, target)
+    val staging = new Path(target.getParent, target.getName + ".rebucket.tmp")
+    if (fs.exists(staging)) fs.delete(staging, true)
   }
 
   /** Target-level twin of [[recoverBuckets]] for whole-target swaps

@@ -805,4 +805,50 @@ class CdcApplierSpec extends AnyFunSuite {
     assert(state(target) == before)
     assert(!fs.exists(bak))
   }
+
+  test("openTarget: EVERY reader heals a crashed rebucket; stale staging reclaimed") {
+    import org.apache.hadoop.fs.Path
+    val hconf = spark.sparkContext.hadoopConfiguration
+
+    // (a) crash BETWEEN rebucket's two renames: live gone, .bak holds the
+    // data, .rebucket.tmp holds the orphaned fresh tree. Previously only
+    // snapshot/applyBatch/rebucket recovered; snapshotIfBootstrapped
+    // reported the table as never-bootstrapped and pointLookup threw.
+    val target = newTarget()
+    CdcApplier.applyBatch(spark, ev("insert", 10, None, Some(s1)), target, opts)
+    val before = state(target)
+    val live = new Path(target)
+    val fs = live.getFileSystem(hconf)
+    val staging = new Path(target + ".rebucket.tmp")
+    fs.mkdirs(staging) // stand-in for the fully-written fresh tree
+    val bak = new Path(live.getParent, "." + live.getName + ".bak")
+    assert(fs.rename(live, bak))
+    // snapshotIfBootstrapped must distinguish crash from absence: recover
+    assert(CdcApplier.snapshotIfBootstrapped(spark, target).isDefined)
+    assert(state(target) == before)
+    assert(!fs.exists(bak))
+    // ... and the orphaned staging copy is gone (no rebucket in progress)
+    assert(!fs.exists(staging))
+
+    // (b) crash AFTER the fresh tree was fully written but BEFORE swapDir:
+    // live intact, .rebucket.tmp a full-table copy. An applyBatch-only
+    // lifecycle must reclaim it instead of leaking it forever.
+    val t2 = newTarget()
+    CdcApplier.applyBatch(spark, ev("insert", 10, None, Some(s2)), t2, opts)
+    val staging2 = new Path(t2 + ".rebucket.tmp")
+    fs.mkdirs(staging2)
+    CdcApplier.applyBatch(spark, ev("insert", 20, None, Some(s1)), t2, opts)
+    assert(!fs.exists(staging2))
+    assert(state(t2) == Set(s1, s2))
+
+    // (c) pointLookup recovers a crashed swap too (was: "no graft table
+    // state"): simulate the crash window again on t2 and look up directly.
+    val live2 = new Path(t2)
+    val bak2 = new Path(live2.getParent, "." + live2.getName + ".bak")
+    assert(fs.rename(live2, bak2))
+    import spark.implicits._
+    val got = CdcApplier.pointLookup(spark, t2, Seq((1, 1)).toDF("sn", "id"))
+    assert(got.drop("_graft_pos").as[Student].collect().toSet == Set(s1))
+    assert(!fs.exists(bak2))
+  }
 }
