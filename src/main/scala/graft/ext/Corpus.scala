@@ -1325,7 +1325,11 @@ object Corpus {
           docs.groupBy(col("source")).agg(sum(col("n_tokens")).as("src_tokens")),
           budgetDiv = 1L)
         .withColumn("epochs",
-          greatest(expr("(target + src_tokens - 1) div src_tokens"), lit(1L)))
+          // greatest(src_tokens, 1) in the divisor: a source whose docs
+          // all tokenize to zero would otherwise divide by zero (error in
+          // DuckDB, NULL here — a silent engine divergence); the clamp
+          // keeps both engines on the same arithmetic (epochs = 1).
+          greatest(expr("(target + src_tokens - 1) div greatest(src_tokens, 1L)"), lit(1L)))
         .select(col("source"), col("target"), col("epochs"))
       val w = Window.partitionBy(col("source"))
         .orderBy(col("epoch"), col("ohash"), col("doc_id"))
@@ -1881,7 +1885,7 @@ object Corpus {
         FROM w, tot),
       e AS (
         SELECT source, target,
-          greatest((target + src_tokens - 1) // src_tokens, 1) AS epochs
+          greatest((target + src_tokens - 1) // greatest(src_tokens, 1), 1) AS epochs
         FROM tgt),
       x AS (
         SELECT d.doc_id, d.source, d.n_tokens, d.ohash, e.target,

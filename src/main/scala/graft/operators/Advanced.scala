@@ -500,8 +500,16 @@ object Advanced {
     import s.implicits._
     val k = KmvK
     val hashed = kmvHashed(s, dir)
-    val ka = sketches.filter($"event_type" === "click").select($"kmv".as("ka"))
-    val kb = sketches.filter($"event_type" === "purchase").select($"kmv".as("kb"))
+    // Each audience collapses through a global agg (exactly one output row
+    // even when the filter matches nothing) and coalesces to an EMPTY
+    // sketch, so a zero-qualifying-row audience yields the one-row report
+    // with 0-estimates that the oracle's CTEs emit — not an empty frame
+    // (the crossJoin chain would otherwise swallow the whole report).
+    def audience(t: String, name: String) = sketches
+      .agg(coalesce(max(when($"event_type" === t, $"kmv")),
+        expr("CAST(array() AS array<bigint>)")).as(name))
+    val ka = audience("click", "ka")
+    val kb = audience("purchase", "kb")
       val exacts = hashed.groupBy($"user_id")
         .agg(countDistinct($"event_type").as("nt"))
         .agg(count(lit(1)).as("exact_union"),
@@ -652,9 +660,9 @@ object Advanced {
         SELECT event_type, user_id,
           ${graft.ext.TextOps.polyHashSql("(CAST(user_id AS VARCHAR) || '/kmv-pad')")} AS hv
         FROM events WHERE event_type IN ('click', 'purchase') AND value > 80),
-      ka_ AS (SELECT list(hv ORDER BY hv) AS ka FROM
+      ka_ AS (SELECT coalesce(list(hv ORDER BY hv), []::BIGINT[]) AS ka FROM
         (SELECT DISTINCT hv FROM h WHERE event_type = 'click' ORDER BY hv LIMIT $k)),
-      kb_ AS (SELECT list(hv ORDER BY hv) AS kb FROM
+      kb_ AS (SELECT coalesce(list(hv ORDER BY hv), []::BIGINT[]) AS kb FROM
         (SELECT DISTINCT hv FROM h WHERE event_type = 'purchase' ORDER BY hv LIMIT $k)),
       ex AS (
         SELECT CAST(count(*) AS BIGINT) AS exact_union,

@@ -295,13 +295,18 @@ object Analytics {
         UNION ALL
         SELECT 'fk_lineitem_orders',
           (SELECT CAST(count(*) AS BIGINT) FROM lineitem),
-          (SELECT CAST(count(*) AS BIGINT) FROM lineitem
-           WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders))
+          -- NOT EXISTS with a correlated equality, NOT 'NOT IN': the Spark
+          -- side counts violations via a left_anti join, under which a NULL
+          -- child key IS a violation (no parent row can equal it), while
+          -- NOT IN would silently skip NULL keys (three-valued logic) — an
+          -- engine divergence if the key ever carried NULLs.
+          (SELECT CAST(count(*) AS BIGINT) FROM lineitem l
+           WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey))
         UNION ALL
         SELECT 'fk_orders_customer',
           (SELECT CAST(count(*) AS BIGINT) FROM orders),
-          (SELECT CAST(count(*) AS BIGINT) FROM orders
-           WHERE o_custkey NOT IN (SELECT c_custkey FROM customer)))
+          (SELECT CAST(count(*) AS BIGINT) FROM orders od
+           WHERE NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = od.o_custkey)))
       SELECT rule, checked, violations, violations = 0 AS pass
       FROM rows_ ORDER BY rule""",
     "q132_table_stats" -> (StatsCols.map(c => s"""
