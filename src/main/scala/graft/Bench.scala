@@ -63,7 +63,8 @@ object Bench {
       "q134_range_scan", "q135_forget", "q137_stream_enrich",
       "q138_mor_changefeed", "q147_bloom_join", "q149_stream_kmv",
       "q153_rebucket", "q154_stream_para_dedup", "q160_schema_evolution",
-      "q161_stream_schema_evolution", "q162_stream_sliding")
+      "q161_stream_schema_evolution", "q162_stream_sliding",
+      "q163_bootstrap", "q165_stream_full_outer")
     selected.foreach { case (name, fn) =>
       try {
         // Run twice, report the second: the first run absorbs positional

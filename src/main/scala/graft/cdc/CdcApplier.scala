@@ -884,6 +884,95 @@ object CdcApplier {
     newNumBuckets
   }
 
+  /** The stream-cursor file name, shared with StreamingPipeline's
+    * high-watermark read/write so [[bootstrap]] and the pipeline cannot
+    * disagree on where the cursor lives. */
+  private[graft] val HIGHWATER = ".graft_highwater"
+
+  /** Snapshot-then-tail bootstrap — the RECOVERY operation the purged-binlog
+    * guard demands. The guard (StreamingPipeline.applyMicroBatch; reference
+    * MySQL error-1236 semantics, `MySQLExtractor.scala:92-103`) fails the
+    * query with "rebootstrap required" when positions between the target's
+    * cursor and the source's retention were purged upstream; this is the
+    * other half: re-seed the target from a FULL source read stamped at one
+    * consistent position `atPos` (the position the read is transactionally
+    * consistent with — the binlog coordinate a `--single-transaction` dump
+    * reports), and hand the restarted stream a fresh cursor.
+    *
+    * Atomicity: the seeded bucket tree, the `.graft_meta` whose horizon is
+    * `atPos` (the replay guard — a stale event at or below it is discarded
+    * by [[applyBatch]] instead of double-applying over the seed), and the
+    * `.graft_highwater` stream cursor are ALL written into a staging tree
+    * first, then published by the single whole-target [[swapDir]] — so
+    * state, guard, and cursor can never be observed torn. A crash before
+    * the swap leaves the old target plus a staging dir [[openTarget]]
+    * reclaims; a crash between the two renames leaves a `.bak` that
+    * [[recoverTarget]] restores from ANY entry point. Re-bootstrap over a
+    * NON-EMPTY target preserves the persisted layout (modulus, pk order,
+    * bucket columns, range bounds, storage mode) under the same
+    * adopt-the-layout discipline as [[applyBatch]], and refuses an `atPos`
+    * below the existing horizon (a seed older than the compaction horizon
+    * could resurrect compacted deletes). Scale shape: ONE full source scan,
+    * one bucket-partition write — no join, no window; the 100 TB cost is
+    * the unavoidable re-copy, with nothing super-linear on top. Returns the
+    * layout's bucket modulus. */
+  def bootstrap(
+      spark: SparkSession, source: DataFrame, targetDir: String, atPos: Long,
+      opts: Options): Int = {
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val target = new Path(targetDir)
+    val fs = target.getFileSystem(hconf)
+    openTarget(fs, target)
+    val meta = TargetMeta.read(hconf, target)
+    meta.foreach { m =>
+      if (atPos < m.horizon)
+        throw new IllegalArgumentException(
+          s"bootstrap position $atPos predates the target's replay horizon ${m.horizon} — " +
+            "a seed older than the horizon could resurrect compacted deletes; " +
+            "read the source at or after it")
+    }
+    val pkOrder = meta.flatMap(_.pkCols).getOrElse(opts.pkCols)
+    if (pkOrder.toSet != opts.pkCols.toSet)
+      throw new IllegalStateException(
+        s"PK drift: target layout is keyed by ${pkOrder.mkString(",")}, " +
+          s"caller configured ${opts.pkCols.mkString(",")}")
+    val (bucketOrder, rangeBounds, numBuckets) = resolveLayout(meta, opts, pkOrder)
+    val missing = pkOrder.filterNot(source.columns.contains)
+    if (missing.nonEmpty)
+      throw new IllegalArgumentException(
+        s"bootstrap source read lacks PK column(s) ${missing.mkString(",")}")
+    // S6 PK completeness on the seed itself — distributed raise_error,
+    // same discipline as resolveBatch's upsert guard.
+    val guarded =
+      if (!opts.strictPk) source
+      else pkOrder.foldLeft(source) { (df, k) =>
+        df.withColumn(k,
+          when(col(k).isNull,
+            raise_error(lit(s"bootstrap source row missing PK column '$k'")))
+            .otherwise(col(k)))
+      }
+    val rows = guarded
+      .withColumn(POS, lit(atPos))
+      .withColumn(DEL, lit(false))
+      .withColumn(BUCKET, bucketExpr(bucketOrder, numBuckets, rangeBounds))
+    val fresh = new Path(targetDir + ".bootstrap.tmp")
+    if (fs.exists(fresh)) fs.delete(fresh, true)
+    rows.write.partitionBy(BUCKET).parquet(fresh.toString)
+    TargetMeta.write(hconf, fresh, TargetMeta(
+      numBuckets, horizon = atPos, schemaJson = Some(rows.schema.json),
+      pkCols = Some(pkOrder),
+      bucketCols = if (bucketOrder == pkOrder) None else Some(bucketOrder),
+      storage = meta.flatMap(_.storage),
+      // a re-seeded mor target has exactly one version per key: every
+      // intermediate image at or below the seed position is gone
+      collapsed = meta.flatMap(_.storage).map(_ => atPos),
+      rangeBounds = rangeBounds))
+    graft.util.AtomicFile.write(hconf, new Path(fresh, HIGHWATER), atPos.toString)
+    swapDir(fs, target, fresh)
+    spark.catalog.refreshByPath(targetDir)
+    numBuckets
+  }
+
   /** Open-target discipline shared by EVERY public entry point that reads
     * `.graft_meta` or bucket dirs (snapshot, lookups, feeds, compactions,
     * appliers, rebucket): first heal an interrupted whole-target swap via
@@ -898,8 +987,10 @@ object CdcApplier {
     * applyBatch/compact-only lifecycles. */
   private[cdc] def openTarget(fs: FileSystem, target: Path): Unit = {
     recoverTarget(fs, target)
-    val staging = new Path(target.getParent, target.getName + ".rebucket.tmp")
-    if (fs.exists(staging)) fs.delete(staging, true)
+    Seq(".rebucket.tmp", ".bootstrap.tmp").foreach { suffix =>
+      val staging = new Path(target.getParent, target.getName + suffix)
+      if (fs.exists(staging)) fs.delete(staging, true)
+    }
   }
 
   /** Target-level twin of [[recoverBuckets]] for whole-target swaps

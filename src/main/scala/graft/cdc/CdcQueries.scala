@@ -274,6 +274,103 @@ object CdcQueries {
         .orderBy($"o_orderkey")
     }),
 
+    // ---- q163: snapshot-then-tail BOOTSTRAP — the recovery half of the
+    //      purged-binlog guard (reference error-1236 semantics). Lifecycle:
+    //      (1) stream the insert feed into the target; (2) while the
+    //      pipeline is down the source moves on (reprice %3, delete %5) and
+    //      PURGES that span of its log — the restarted pipeline must FAIL
+    //      with the explicit rebootstrap-required error, asserted in-gate
+    //      (a silent pass is a wrong result); (3) CdcApplier.bootstrap
+    //      re-seeds the target from a consistent source read at position M,
+    //      publishing seed + replay horizon + stream cursor in ONE
+    //      whole-target swap (the cursor assertion below reads the
+    //      atomically-published high-watermark); (4) the restarted stream
+    //      (earliestPos = M+1 now satisfies the guard) tails events AFTER M
+    //      (repriority %13, delete %17) PLUS a maliciously replayed
+    //      pre-purge insert of the deleted %5 keys, which the seeded
+    //      horizon discards instead of resurrecting. Final state must equal
+    //      the oracle's declarative replay of the same algebra.
+    "q163_bootstrap" -> ((s, dir) => {
+      import s.implicits._
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+      val o = Tables.load(s, dir, "orders")
+      def toEnvelope(changes: DataFrame): Array[EnvelopeRow] =
+        changes.select($"op", lit("orders").as("table"), $"next_position",
+            to_json($"before").as("before_json"), to_json($"after").as("after_json"))
+          .as[EnvelopeRow].collect()
+      def feed(src: MemoryStream[EnvelopeRow], rows: Array[EnvelopeRow]): Unit =
+        rows.grouped(1500).foreach(c => src.addData(c.toIndexedSeq))
+
+      val root = Files.createTempDirectory("graft_boot").toString
+      val target = s"$root/orders_state"
+      val applierOpts = CdcApplier.Options(Seq("o_orderkey"))
+      def startTail(src: MemoryStream[EnvelopeRow], ckpt: String,
+          earliest: Option[Long]) =
+        graft.streaming.StreamingPipeline.startPerTable(
+          src.toDF(), Map("orders" -> (o.schema, target)), ckpt,
+          _ => graft.streaming.StreamingPipeline.PipelineOptions(
+            applierOpts, earliestPos = earliest))
+
+      // (1) initial tail: inserts land, cursor = max(o_orderkey)*10
+      val src1 = MemoryStream[EnvelopeRow]
+      val q1 = startTail(src1, s"$root/ckpt1", None)
+      try {
+        feed(src1, toEnvelope(ChangeFeed.inserts(o, $"o_orderkey" * 10)))
+        q1.values.foreach(_.processAllAvailable())
+      } finally q1.values.foreach(_.stop())
+
+      // (2) downtime drift, then the purge: the source now retains only
+      // positions >= M, and the missed reprice/delete span is gone.
+      val M = 100000000L
+      val repriced = o.withColumn("o_totalprice",
+        when($"o_orderkey" % 3 === 0, $"o_totalprice" * 1.1)
+          .otherwise($"o_totalprice"))
+      val sourceNow = repriced.filter($"o_orderkey" % 5 =!= 0)
+      val src2 = MemoryStream[EnvelopeRow]
+      val q2 = startTail(src2, s"$root/ckpt2", Some(M))
+      val failedAsRequired =
+        try {
+          feed(src2, toEnvelope(ChangeFeed.updates(
+            sourceNow.filter($"o_orderkey" % 13 === 0),
+            Map("o_orderpriority" -> lit("1-URGENT")),
+            $"o_orderkey" * 10 + 1 + M)))
+          q2.values.foreach(_.processAllAvailable())
+          false
+        } catch {
+          case e: Throwable =>
+            Iterator.iterate(e: Throwable)(_.getCause).takeWhile(_ != null)
+              .exists(c => Option(c.getMessage).exists(_.contains("rebootstrap required")))
+        } finally q2.values.foreach(_.stop())
+      require(failedAsRequired,
+        "purged-gap restart did not fail with the rebootstrap-required error")
+
+      // (3) the recovery op: consistent source read stamped at M
+      CdcApplier.bootstrap(s, sourceNow, target, M, applierOpts)
+      require(graft.streaming.StreamingPipeline.readHighWater(s, target).contains(M),
+        "bootstrap did not publish the stream cursor with the seed")
+
+      // (4) fresh tail from the new cursor; the stale pre-purge replay of
+      // the %5 inserts (positions below M) must be discarded by the horizon
+      val cur2 = sourceNow.withColumn("o_orderpriority",
+        when($"o_orderkey" % 13 === 0, lit("1-URGENT")).otherwise($"o_orderpriority"))
+      val src3 = MemoryStream[EnvelopeRow]
+      val q3 = startTail(src3, s"$root/ckpt3", Some(M + 1))
+      try {
+        feed(src3, toEnvelope(
+          ChangeFeed.updates(sourceNow.filter($"o_orderkey" % 13 === 0),
+            Map("o_orderpriority" -> lit("1-URGENT")), $"o_orderkey" * 10 + 1 + M)
+          .union(ChangeFeed.deletes(cur2.filter($"o_orderkey" % 17 === 0),
+            $"o_orderkey" * 10 + 3 + M))
+          .union(ChangeFeed.inserts(o.filter($"o_orderkey" % 5 === 0),
+            $"o_orderkey" * 10))))
+        q3.values.foreach(_.processAllAvailable())
+      } finally q3.values.foreach(_.stop())
+      CdcApplier.snapshot(s, target)
+        .select(o.columns.map(col).toIndexedSeq: _*)
+        .orderBy($"o_orderkey")
+    }),
+
     // MOR as its own binlog — a downstream replica fed EXCLUSIVELY by
     // CdcApplier.changeFeed increments reconstructed from the primary's
     // delta files (op inferred from the version chain, before-images from
@@ -1439,6 +1536,20 @@ object CdcQueries {
         o_orderdate, o_orderpriority
       FROM orders
       WHERE o_orderkey % 5 <> 0
+      ORDER BY o_orderkey""",
+
+    // Declarative replay of q163's full lifecycle: the purged span's
+    // effects (%3 reprice, %5 delete) arrive via the bootstrap seed, the
+    // tail applies %13 repriority and %17 delete, and the maliciously
+    // replayed pre-purge %5 inserts are discarded by the seeded horizon —
+    // so they simply never appear.
+    "q163_bootstrap" -> """
+      SELECT o_orderkey, o_custkey, o_orderstatus,
+        CASE WHEN o_orderkey % 3 = 0 THEN o_totalprice * 1.1 ELSE o_totalprice END AS o_totalprice,
+        o_orderdate,
+        CASE WHEN o_orderkey % 13 = 0 THEN '1-URGENT' ELSE o_orderpriority END AS o_orderpriority
+      FROM orders
+      WHERE o_orderkey % 5 <> 0 AND o_orderkey % 17 <> 0
       ORDER BY o_orderkey""",
 
     "q31_latest_per_key" -> """

@@ -150,7 +150,8 @@ object StreamingPipeline {
     }
   }
 
-  private def highWaterPath(targetDir: String) = new Path(targetDir, ".graft_highwater")
+  private def highWaterPath(targetDir: String) =
+    new Path(targetDir, graft.cdc.CdcApplier.HIGHWATER)
 
   /** Last published position high-watermark (advances even for filtered
     * tables — invariant 5). */

@@ -806,6 +806,63 @@ class CdcApplierSpec extends AnyFunSuite {
     assert(!fs.exists(bak))
   }
 
+  test("bootstrap: seeds at one position, guards replay, preserves layout, recovers crashes") {
+    import org.apache.hadoop.fs.Path
+    val hconf = spark.sparkContext.hadoopConfiguration
+
+    // Fresh-target bootstrap with a custom layout; tail events compose.
+    val target = newTarget()
+    val seed = Seq(s1, s2).toDF()
+    val customOpts = opts.copy(numBuckets = 5)
+    assert(CdcApplier.bootstrap(spark, seed, target, 100L, customOpts) == 5)
+    assert(state(target) == Set(s1, s2))
+    // the stream cursor published atomically with the seed
+    assert(graft.streaming.StreamingPipeline.readHighWater(spark, target).contains(100L))
+    // a stale pre-bootstrap event (pos <= atPos) is discarded by the seeded
+    // horizon; a tail event (pos > atPos) applies
+    CdcApplier.applyBatch(spark,
+      ev("delete", 50, Some(s1), None)          // pre-purge replay: discarded
+        .union(ev("update", 150, Some(s1), Some(s1v2))), target, customOpts)
+    assert(state(target) == Set(s1v2, s2))
+
+    // RE-bootstrap over the non-empty target: state REPLACED, layout
+    // (modulus 5) preserved under the adopt-the-layout rule even when the
+    // caller passes the default options.
+    val seed2 = Seq(s1v2).toDF()
+    assert(CdcApplier.bootstrap(spark, seed2, target, 200L, opts) == 5)
+    assert(state(target) == Set(s1v2))
+    val meta = CdcApplier.TargetMeta.read(hconf, new Path(target)).get
+    assert(meta.numBuckets == 5 && meta.horizon == 200L)
+
+    // A bootstrap position below the existing horizon is refused (the seed
+    // could resurrect compacted deletes).
+    intercept[IllegalArgumentException](
+      CdcApplier.bootstrap(spark, seed, target, 150L, opts))
+
+    // Crash window A: fresh tree fully written, swap never started — the
+    // old state stays live and the staging tree is reclaimed by any reader.
+    val live = new Path(target)
+    val fs = live.getFileSystem(hconf)
+    val staging = new Path(target + ".bootstrap.tmp")
+    fs.mkdirs(staging)
+    assert(state(target) == Set(s1v2))
+    assert(!fs.exists(staging))
+
+    // Crash window B: between the two swap renames — live gone, .bak holds
+    // the pre-bootstrap state; the next reader restores it.
+    val bak = new Path(live.getParent, "." + live.getName + ".bak")
+    assert(fs.rename(live, bak))
+    assert(state(target) == Set(s1v2))
+    assert(!fs.exists(bak))
+
+    // PK completeness on the seed itself (S6): a NULL key row fails the
+    // bootstrap distributed-guard-style rather than seeding a corrupt state.
+    val badSeed = Seq(s1).toDF()
+      .withColumn("sn", when(lit(true), lit(null).cast("int")))
+    intercept[Exception](
+      CdcApplier.bootstrap(spark, badSeed, newTarget(), 10L, opts))
+  }
+
   test("openTarget: EVERY reader heals a crashed rebucket; stale staging reclaimed") {
     import org.apache.hadoop.fs.Path
     val hconf = spark.sparkContext.hadoopConfiguration
