@@ -417,6 +417,74 @@ object StreamQueries {
       out
     }),
 
+    // ---- q165: FULL-outer watermarked stream-stream interval join —
+    //      the last join mode after q71 (inner) and q101 (left-outer):
+    //      un-attributed clicks AND orphan conversions both emit with a
+    //      NULL other side once the watermark proves their match window
+    //      closed, exercising state eviction on BOTH inputs. q101's
+    //      sentinel discipline: one far-future event on each stream (the
+    //      watermark is the min across inputs) pushes the watermark past
+    //      every real row's horizon so both unmatched halves resolve; the
+    //      sentinels match each other and are filtered by id. The oracle
+    //      is the identical batch FULL JOIN.
+    "q165_stream_full_outer" -> ((s, dir) => {
+      import s.implicits._
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      implicit val sqlCtx: SQLContext = s.sqlContext
+
+      // Driver feed synthesis, same note as q33/q71.
+      val rows = Tables.load(s, dir, "events")
+        .filter($"event_type".isin("click", "purchase"))
+        .select($"event_id", $"user_id", $"event_type", $"ts", $"value")
+        .orderBy($"ts", $"event_id")
+        .as[EventRow].collect()
+      val sentinelTs = new java.sql.Timestamp(
+        rows.last.ts.getTime + 10L * 3600 * 1000)
+
+      val srcC = MemoryStream[EventRow]
+      val srcP = MemoryStream[EventRow]
+      val clicks = srcC.toDF().select($"event_id".as("click_id"),
+        $"user_id".as("c_user_id"), $"ts".as("click_ts"))
+      val purchases = srcP.toDF().select($"event_id".as("conv_id"),
+        $"user_id".as("p_user_id"), $"ts".as("conv_ts"), $"value".as("conv_value"))
+      val joined = StreamingPipeline.attributionJoinFull(clicks, purchases)
+        .select($"click_id", $"conv_id", $"c_user_id".as("user_id"),
+          unix_timestamp($"click_ts").as("click_s"),
+          unix_timestamp($"conv_ts").as("conv_s"),
+          $"conv_value")
+
+      val qname = "q165_out_" + java.util.UUID.randomUUID.toString.replace("-", "")
+      val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+      try {
+        s.conf.set("spark.sql.shuffle.partitions", "8")
+        val query = joined.writeStream
+          .format("memory").queryName(qname).outputMode("append").start()
+        try {
+          val chunkSize = math.max(1000, (rows.length + 3) / 4)
+          rows.grouped(chunkSize).foreach { chunk =>
+            val cs = chunk.filter(_.event_type == "click")
+            val ps = chunk.filter(_.event_type == "purchase")
+            if (cs.nonEmpty) srcC.addData(cs.toIndexedSeq)
+            if (ps.nonEmpty) srcP.addData(ps.toIndexedSeq)
+            query.processAllAvailable()
+          }
+          srcC.addData(EventRow(-1L, -1L, "click", sentinelTs, 0.0))
+          srcP.addData(EventRow(-2L, -1L, "purchase", sentinelTs, 0.0))
+          query.processAllAvailable()
+        } finally query.stop()
+      } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+      // both sentinel halves are filtered: the matched (-1,-2) pair, and
+      // (defensively) any unmatched sentinel emission
+      val sunk = s.table(qname)
+        .filter(coalesce($"click_id", lit(0L)) >= 0 &&
+          coalesce($"conv_id", lit(0L)) >= 0)
+        .orderBy($"click_id", $"conv_id")
+      val out = s.createDataFrame(
+        java.util.Arrays.asList(sunk.collect(): _*), sunk.schema)
+      s.catalog.dropTempView(qname)
+      out
+    }),
+
     // ---- q84: watermarked tumbling-window aggregation as a REAL
     //      streaming run vs the batch oracle (windowedCounts is q22's
     //      streaming form; this gate proves the streaming plan computes
@@ -796,6 +864,17 @@ object StreamQueries {
         p.value AS conv_value
       FROM (SELECT * FROM events WHERE event_type = 'click') c
       LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+        ON c.user_id = p.user_id
+        AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 30 MINUTE
+      ORDER BY click_id, conv_id""",
+
+    "q165_stream_full_outer" -> """
+      SELECT c.event_id AS click_id, p.event_id AS conv_id, c.user_id,
+        CAST(FLOOR(epoch(c.ts)) AS BIGINT) AS click_s,
+        CAST(FLOOR(epoch(p.ts)) AS BIGINT) AS conv_s,
+        p.value AS conv_value
+      FROM (SELECT * FROM events WHERE event_type = 'click') c
+      FULL JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
         ON c.user_id = p.user_id
         AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 30 MINUTE
       ORDER BY click_id, conv_id""",

@@ -917,6 +917,21 @@ object StreamingPipeline {
       delay: String = "1 hour", window: String = "INTERVAL 30 MINUTES"): DataFrame =
     attributionJoin(clicks, conversions, delay, window, "leftOuter")
 
+  /** FULL-outer form of [[attributionJoin]] — BOTH unmatched halves kept:
+    * un-attributed clicks (NULL conversion side, q101's left-outer rows)
+    * AND orphan conversions (NULL click side — a purchase with no click in
+    * the preceding 30 minutes: broken tracking, cross-device journeys,
+    * direct traffic). Each side's null-row emits once the watermark proves
+    * its match window closed — for a click when the watermark passes
+    * `click_ts + window`, for a conversion when it passes the latest
+    * click_ts that could still match it — and that emission IS the state
+    * eviction on that side, so full-outer state is bounded exactly like
+    * the inner join's; the outer modes differ only in what is emitted at
+    * eviction, never in what is retained. */
+  def attributionJoinFull(clicks: DataFrame, conversions: DataFrame,
+      delay: String = "1 hour", window: String = "INTERVAL 30 MINUTES"): DataFrame =
+    attributionJoin(clicks, conversions, delay, window, "fullOuter")
+
   /** Streaming session windows — the streaming form of q24's batch
     * sessionization: per-user activity sessions with a `gap` inactivity
     * break, as a watermarked `session_window` aggregation. In append mode
