@@ -120,7 +120,8 @@ object Advanced {
     * is the Spark-native form (SURVEY §2.2 aggregations row). */
   def exactQuantiles(
       df: DataFrame, grp: String, valueCol: String,
-      specs: Seq[(String, Double)], rangeParts: Int = 32): DataFrame = {
+      specs: Seq[(String, Double)], rangeParts: Int = 32,
+      countAs: Option[String] = None): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val vals = df
       .select(col(grp).as("_g"), col(valueCol).cast("double").as("_v"))
@@ -165,7 +166,11 @@ object Advanced {
           col(s"_${name}_lo") * (hi - h) + col(s"_${name}_hi") * (h - lo))
         .as(name)
     }
-    picked.select(col("_g").as(grp) +: outCols: _*)
+    // the per-group non-null count is already computed for the rank
+    // positions (_nn); callers that need it (q167) get it for free instead
+    // of paying a second scan of the input
+    val countCol = countAs.map(n => col("_nn").cast("long").as(n)).toSeq
+    picked.select(col("_g").as(grp) +: (outCols ++ countCol): _*)
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

@@ -41,7 +41,44 @@ object Analytics {
   val StatsCols = Seq("o_orderkey", "o_custkey", "o_orderstatus",
     "o_totalprice", "o_orderdate", "o_orderpriority")
 
+  /** q167's histogram surface: the lineitem measures profiled, and the
+    * k=8 equi-height bucket bounds (quantiles i/8, i=0..8 — every q is an
+    * exact binary fraction). One definition feeds the Spark plan AND the
+    * oracle's quantile_cont list, so they cannot desynchronize. */
+  val HistCols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+  val HistBounds: Seq[(String, Double)] = (0 to 8).map(i => (s"b$i", i / 8.0))
+
+  /** q167's single-pass unpivot: one stack() turns all profiled measures
+    * into (col_name, v) long form off ONE table scan (PlanSpec-locked —
+    * the quantile engine consumes a localCheckpoint of this frame, so this
+    * is the only place a per-column re-scan could creep in). */
+  private[graft] def histUnpivot(li: DataFrame): DataFrame =
+    li.select(expr(
+      s"stack(${HistCols.size}, " +
+        HistCols.map(c => s"'$c', CAST($c AS DOUBLE)").mkString(", ") +
+        ") AS (col_name, v)"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- q167: equi-height per-column histograms — the CBO-grade stats
+    //      companion to q132's count/nulls/NDV (a cost model needs value
+    //      DISTRIBUTIONS, not just cardinalities, to estimate selectivity).
+    //      k=8 equi-height bucket bounds for every profiled lineitem
+    //      measure. Scale shape: ONE stack() unpivots all measures to
+    //      (col_name, v) long form in a single table pass — no per-column
+    //      re-scan (PlanSpec-locked: exactly one lineitem scan) — then the
+    //      distributed exactQuantiles engine (q34/q81/q155's: range
+    //      partitioning + per-partition rank offsets, bit-identical to
+    //      quantile_cont, never a per-group sort through one task)
+    //      computes all nine bounds per column in one grouped pass. The
+    //      non-null count rides along (each bucket holds ~n/8 rows by
+    //      construction — the property that makes the histogram
+    //      equi-height).
+    "q167_histograms" -> ((s, dir) => {
+      Advanced.exactQuantiles(histUnpivot(Tables.load(s, dir, "lineitem")),
+          "col_name", "v", HistBounds, countAs = Some("n"))
+        .repartition(1).sortWithinPartitions(col("col_name"))
+    }),
+
     // ---- q143: declarative data-quality expectations (the Deequ/Great-
     //      Expectations audit every ingestion pipeline gates a publish on;
     //      Schelter et al. VLDB 2018 is the public design) — one row per
@@ -250,6 +287,18 @@ object Analytics {
   )
 
   val oracles: Map[String, String] = Map(
+    "q167_histograms" -> {
+      val arms = HistCols.map(c =>
+        s"SELECT '$c' AS col_name, CAST($c AS DOUBLE) AS v FROM lineitem")
+        .mkString(" UNION ALL ")
+      val qs = HistBounds.map { case (name, q) =>
+        s"quantile_cont(v, $q) AS $name" }.mkString(", ")
+      s"""
+      WITH u AS ($arms)
+      SELECT col_name, CAST(count(v) AS BIGINT) AS n, $qs
+      FROM u GROUP BY col_name ORDER BY col_name"""
+    },
+
     // Replays median -> deviations -> MAD -> cut, with quantile_cont (the
     // proven bit-equal of the distributed exactQuantiles engine).
     "q155_robust_outliers" -> s"""

@@ -715,6 +715,20 @@ class PlanSpec extends AnyFunSuite {
       "candidates must come from the band equi-join: " + p)
   }
 
+  test("q167: all histogram columns come from ONE stack pass — no per-column re-scan") {
+    // The quantile engine consumes a localCheckpoint of the unpivot, so
+    // the unpivot itself is the only place a per-column re-scan could
+    // exist: exactly one lineitem file scan feeding one stack generator.
+    val up = Analytics.histUnpivot(graft.Tables.load(spark, dir, "lineitem"))
+    val p = up.queryExecution.executedPlan.toString
+    assert("Scan parquet".r.findAllIn(p).size == 1, "one table pass: " + p)
+    assert(p.contains("Generate stack"), "stack generator: " + p)
+    // and the full query stays join-sane (offsets broadcast, no cartesian)
+    val full = plan("q167_histograms")
+    assert(!full.contains("CartesianProduct"), full)
+    assert(full.contains("BroadcastHashJoin"), "rank offsets must broadcast: " + full)
+  }
+
   test("q144: winnow candidates come from a fingerprint equi-join — no all-pairs") {
     val p = plan("q144_winnow_overlap")
     assert(!p.contains("CartesianProduct"), p)
