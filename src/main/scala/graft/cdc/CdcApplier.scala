@@ -808,6 +808,67 @@ object CdcApplier {
     touched
   }
 
+  /** Small-file bin-packing compaction (the lake formats' OPTIMIZE;
+    * public design point: Delta Lake OPTIMIZE / Hudi clustering) — bound
+    * file-count growth in a long-running target WITHOUT touching state.
+    * Copy-on-write buckets are rewritten whole per batch but by however
+    * many shuffle tasks held their rows (a bucket can carry one file per
+    * task); merge-on-read buckets definitely accumulate one delta file
+    * set per batch between [[compactMor]] runs. Either way readers pay
+    * per-file open/footer costs that grow without bound at 100 TB.
+    *
+    * For each bucket whose file count exceeds its bin-packed target
+    * (ceil(bytes / targetFileBytes)), the bucket is rewritten into that
+    * many files and published through the same crash-safe per-bucket swap
+    * as every other maintainer. State is IDENTICAL before and after —
+    * every row, version, and tombstone is carried verbatim (collapsing
+    * versions is [[compactMor]]'s job, dropping tombstones is
+    * [[compact]]'s; this op only re-bins bytes, so it is safe at ANY
+    * point in either storage mode's lifecycle). File-count targets are
+    * driver arithmetic over one bounded listing (buckets x files);
+    * the rewrite reads ONLY the oversized buckets, salts rows into their
+    * per-bucket bin count (`pmod(hash(_graft_pos), bins)` — POS exists in
+    * every layout), and one repartition by (bucket, salt) writes each
+    * bucket in ~its target file count. Returns the optimized bucket ids. */
+  def optimize(spark: SparkSession, targetDir: String,
+      targetFileBytes: Long = 128L << 20): Seq[Int] = {
+    require(targetFileBytes > 0, s"targetFileBytes must be positive")
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val target = new Path(targetDir)
+    val fs = target.getFileSystem(hconf)
+    openTarget(fs, target)
+    recoverBuckets(fs, target)
+    val buckets = bucketIds(fs, target)
+    if (buckets.isEmpty) return Seq.empty
+    // bounded driver listing: (bucket, fileCount, bytes) per bucket dir
+    val stats = buckets.map { b =>
+      val files = fs.listStatus(new Path(target, s"$BUCKET=$b"))
+        .filterNot(f => f.getPath.getName.startsWith("_") ||
+          f.getPath.getName.startsWith("."))
+      (b, files.length, files.map(_.getLen).sum)
+    }
+    val plan = stats.flatMap { case (b, nFiles, bytes) =>
+      val bins = math.max(1L, (bytes + targetFileBytes - 1) / targetFileBytes).toInt
+      if (nFiles > bins) Some(b -> bins) else None
+    }.toMap
+    if (plan.isEmpty) return Seq.empty
+    val touched = plan.keys.toSeq.sorted
+    val binOf = element_at(
+      map(plan.toSeq.flatMap { case (b, n) => Seq(lit(b), lit(n)) }: _*),
+      col(BUCKET))
+    val tmp = new Path(targetDir + ".optimize.tmp")
+    if (fs.exists(tmp)) fs.delete(tmp, true)
+    spark.read.option("mergeSchema", true).parquet(targetDir)
+      .filter(col(BUCKET).isin(touched.map(Int.box): _*))
+      .withColumn("_graft_bin", pmod(hash(col(POS)), binOf))
+      .repartition(math.max(1, plan.values.sum), col(BUCKET), col("_graft_bin"))
+      .drop("_graft_bin")
+      .write.partitionBy(BUCKET).mode("overwrite").parquet(tmp.toString)
+    publishBuckets(fs, target, tmp, touched)
+    spark.catalog.refreshByPath(targetDir)
+    touched
+  }
+
   /** Shared publish discipline for a bucketed directory tree: recover any
     * interrupted earlier swap, then swap each bucket's fresh dir into place
     * (deleting the live dir when the bucket came out empty), then drop the
@@ -987,6 +1048,10 @@ object CdcApplier {
     * applyBatch/compact-only lifecycles. */
   private[cdc] def openTarget(fs: FileSystem, target: Path): Unit = {
     recoverTarget(fs, target)
+    // bucket-level heal too: a reader arriving after a crashed PER-BUCKET
+    // swap (applyBatch/compact/optimize publish) must see the .bak'd
+    // bucket's data, not a hole where the bucket was
+    if (fs.exists(target)) recoverBuckets(fs, target)
     Seq(".rebucket.tmp", ".bootstrap.tmp").foreach { suffix =>
       val staging = new Path(target.getParent, target.getName + suffix)
       if (fs.exists(staging)) fs.delete(staging, true)

@@ -216,6 +216,11 @@ object CdcQueries {
           .union(ChangeFeed.deletes(cur.filter($"o_orderkey" % 8 === 6),
             $"o_orderkey" * 10 + 6)),
         target, opts)
+      // OPTIMIZE rides the same oracle: the bin-packing pass coalesces the
+      // accumulated delta files (state must be bit-identical through it —
+      // versions and tombstones carried verbatim), so the gate fails if
+      // the file rewrite ever loses or collapses a row.
+      CdcApplier.optimize(s, target)
       CdcApplier.snapshot(s, target)
         .select(o.columns.map(col).toIndexedSeq: _*)
         .orderBy($"o_orderkey")

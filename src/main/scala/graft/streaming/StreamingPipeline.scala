@@ -59,6 +59,16 @@ object StreamingPipeline {
     *                      the published position high-watermark, physically
     *                      dropping delete tombstones the checkpoint can no
     *                      longer replay past. 0 (default) disables.
+    * @param optimizeEvery small-file bin-packing cadence ([[CdcApplier
+    *                      .optimize]]): every N applied batches, coalesce
+    *                      any bucket whose file count exceeds its
+    *                      bin-packed target — the knob that bounds
+    *                      file-count growth in a long-running pipeline
+    *                      (MOR deltas accumulate per batch; COW buckets
+    *                      carry one file per writing task). Same
+    *                      best-effort discipline as `compactEvery`.
+    *                      0 (default) disables.
+    * @param optimizeTargetBytes per-file size target for `optimizeEvery`
     * @param preApplyHook  test seam: runs before each apply attempt
     * @param morSink       apply through the merge-on-read delta path
     *                      ([[CdcApplier.applyBatchMor]]) instead of the
@@ -75,6 +85,8 @@ object StreamingPipeline {
       secondaryDir: Option[String] = None,
       earliestPos: Option[Long] = None,
       compactEvery: Int = 0,
+      optimizeEvery: Int = 0,
+      optimizeTargetBytes: Long = 128L << 20,
       preApplyHook: () => Unit = () => (),
       morSink: Boolean = false)
 
@@ -249,15 +261,25 @@ object StreamingPipeline {
       // streaming batchId when available — the in-memory batch counter
       // resets on driver restart, which would indefinitely postpone
       // compaction on frequently-redeployed pipelines.
-      def cadence =
-        if (batchId >= 0L) (batchId + 1) % opts.compactEvery == 0
-        else Metrics.batchCount(targetDir) % opts.compactEvery == 0
-      if (opts.compactEvery > 0 && cadence) {
+      def cadence(every: Int) =
+        if (batchId >= 0L) (batchId + 1) % every == 0
+        else Metrics.batchCount(targetDir) % every == 0
+      if (opts.compactEvery > 0 && cadence(opts.compactEvery)) {
         val horizon = math.max(newHigh, prior)
         try CdcApplier.compact(spark, targetDir, horizon)
         catch {
           case e: Throwable =>
             Console.err.println(s"[graft] auto-compaction of $targetDir at $horizon failed: $e")
+        }
+      }
+      // Small-file bin packing on its own cadence, same best-effort
+      // discipline: state is identical before/after, the publish is
+      // crash-safe, so a failed attempt simply retries next cadence.
+      if (opts.optimizeEvery > 0 && cadence(opts.optimizeEvery)) {
+        try CdcApplier.optimize(spark, targetDir, opts.optimizeTargetBytes)
+        catch {
+          case e: Throwable =>
+            Console.err.println(s"[graft] auto-optimize of $targetDir failed: $e")
         }
       }
     } finally cached.unpersist()

@@ -494,6 +494,70 @@ class CdcApplierSpec extends AnyFunSuite {
     assert(e2.getMessage.contains("copy-on-write"))
   }
 
+  test("optimize: file count drops, state identical, cadence knob fires, crash-safe") {
+    import org.apache.hadoop.fs.Path
+    val hconf = spark.sparkContext.hadoopConfiguration
+    def dataFiles(target: String): Map[Int, Int] = {
+      val t = new Path(target)
+      val fs = t.getFileSystem(hconf)
+      CdcApplier.bucketIds(fs, t).map { b =>
+        b -> fs.listStatus(new Path(t, s"graft_bucket=$b"))
+          .count(f => !f.getPath.getName.startsWith("_") &&
+            !f.getPath.getName.startsWith("."))
+      }.toMap
+    }
+
+    // MOR: three delta applies accumulate >=3 file sets per touched bucket
+    val mor = newTarget()
+    val mopts = opts.copy(numBuckets = 2)
+    val all = (1 to 12).map(i => Student(i, i, i, s"n$i", "r"))
+    CdcApplier.applyBatchMor(spark,
+      ChangeFeed.inserts(all.toDF(), col("sn").cast("long") * 10), mor,
+      mopts)
+    CdcApplier.applyBatchMor(spark,
+      ChangeFeed.updates(all.toDF().filter(col("sn") % 2 === 0),
+        Map("score" -> (col("score") + 100)), col("sn").cast("long") * 10 + 1),
+      mor, mopts)
+    CdcApplier.applyBatchMor(spark,
+      ChangeFeed.deletes(all.toDF().filter(col("sn") % 5 === 0),
+        col("sn").cast("long") * 10 + 2),
+      mor, mopts)
+    val before = state(mor)
+    val filesBefore = dataFiles(mor)
+    assert(filesBefore.values.exists(_ > 1), s"harness: deltas must accumulate: $filesBefore")
+    val touched = CdcApplier.optimize(spark, mor) // default target: 1 bin/bucket here
+    assert(touched.nonEmpty)
+    val filesAfter = dataFiles(mor)
+    assert(filesAfter.values.forall(_ == 1), s"bin-packed to one file: $filesAfter")
+    assert(filesAfter.values.sum < filesBefore.values.sum)
+    // state identity: versions and tombstones carried verbatim — the
+    // as-of read below the latest position still resolves history
+    assert(state(mor) == before)
+    // at pos 105: inserts sn<=10 (pos sn*10), even-sn updates (sn*10+1),
+    // and the %5 deletes at 52/102 all apply -> 8 live rows
+    assert(CdcApplier.snapshotAsOf(spark, mor, 105L).count() ==
+      all.count(s => s.sn <= 10 && s.sn % 5 != 0))
+    // idempotent: already-packed buckets are not rewritten
+    assert(CdcApplier.optimize(spark, mor).isEmpty)
+
+    // crash window: .bak left between an optimize publish's renames heals
+    val t = new Path(mor)
+    val fs = t.getFileSystem(hconf)
+    val b0 = new Path(mor, "graft_bucket=0")
+    assert(fs.rename(b0, new Path(mor, ".graft_bucket=0.bak")))
+    assert(state(mor) == before) // snapshot's recoverBuckets restores
+
+    // cadence knob: a pipeline with optimizeEvery=1 packs after each batch
+    val cow = newTarget()
+    val popts = graft.streaming.StreamingPipeline.PipelineOptions(
+      mopts, optimizeEvery = 1)
+    val env = ChangeFeed.inserts(all.toDF(), col("sn").cast("long") * 10)
+      .withColumn("table", lit("student"))
+    graft.streaming.StreamingPipeline.applyMicroBatch(spark, env, cow, popts, batchId = 0L)
+    assert(dataFiles(cow).values.forall(_ == 1), dataFiles(cow).toString)
+    assert(state(cow) == all.toSet)
+  }
+
   test("differential: random lifecycles converge identically through cow and mor") {
     // Seeded random op sequences (deterministic across runs): the two
     // storage modes are different physical encodings of ONE logical merge
@@ -546,6 +610,11 @@ class CdcApplierSpec extends AnyFunSuite {
         // anywhere in the lifecycle must be invisible to the fold
         if (rnd.nextInt(3) == 0)
           CdcApplier.rebucket(spark, cow, 1 + rnd.nextInt(7))
+        // random-point OPTIMIZE on either store: bin packing anywhere in
+        // the lifecycle must also be invisible (versions/tombstones
+        // carried verbatim — mor deltas mid-chain included)
+        if (rnd.nextInt(3) == 0)
+          CdcApplier.optimize(spark, if (rnd.nextBoolean()) cow else mor)
       }
       assert(state(cow) == state(mor),
         s"trial $trial: cow/mor divergence — cow=${state(cow)} mor=${state(mor)}")
