@@ -102,6 +102,71 @@ object Corpus {
     * replays every one of them in SQL. */
   val BpeTrainIters = 4
 
+  /** q164 lattice bounds: words longer than `UniMaxWordLen` are excluded
+    * from the unigram-LM step (SentencePiece caps sentence/word length for
+    * the same reason — the lattice is exponential in length), and seed
+    * pieces are capped at `UniMaxPieceLen` chars. 2^(8-1) = 128 masks per
+    * word keeps the vocabulary-sized E-step explode bounded. Shared by the
+    * Spark plan and the oracle. */
+  val UniMaxWordLen = 8
+  val UniMaxPieceLen = 4
+
+  /** One hard-EM unigram-LM tokenizer iteration (q164's engine; see the
+    * q164 entry's scaladoc for the full algorithm/scale narrative). Takes
+    * any frame with a `text` column; returns (piece, cnt, prob). */
+  def unigramStep(docs: DataFrame): DataFrame = {
+    val wf = docs
+      .select(explode(TextOps.words(col("text"))).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("f"))
+      .filter(length(col("w")).between(1, UniMaxWordLen))
+      .localCheckpoint() // one corpus pass feeds seed AND lattice
+    val seed = wf.select(col("f"), explode(expr(
+        s"""flatten(transform(sequence(1, length(w)),
+           st -> transform(sequence(1, least($UniMaxPieceLen, length(w) - st + 1)),
+           ln -> substring(w, st, ln))))""")).as("piece"))
+      .groupBy(col("piece")).agg(sum(col("f")).as("c0"))
+    val probs = seed
+      .crossJoin(broadcast(seed.agg(sum(col("c0")).as("t0"))))
+      .select(col("piece"), (col("c0").cast("double") / col("t0").cast("double")).as("p"))
+    // the lattice: every boundary mask of every distinct word; pieces
+    // longer than the seed cap are invalid (their mask is pruned BEFORE
+    // the probability join — every surviving piece is in the seed by
+    // construction, so no segmentation can half-match)
+    val lat = wf
+      .select(col("w"), col("f"),
+        explode(expr("sequence(0L, shiftleft(1L, length(w) - 1) - 1)")).as("m"))
+      .withColumn("bounds", expr(
+        "concat(array(0), " +
+          "filter(sequence(1, length(w)), i -> i < length(w) " +
+          "AND (shiftright(m, i - 1) & 1) = 1), array(length(w)))"))
+      .withColumn("pieces", expr(
+        "transform(sequence(1, size(bounds) - 1), " +
+          "k -> substring(w, element_at(bounds, k) + 1, " +
+          "element_at(bounds, k + 1) - element_at(bounds, k)))"))
+      .filter(expr(s"forall(pieces, pp -> length(pp) <= $UniMaxPieceLen)"))
+    val scored = lat
+      .selectExpr("w", "f", "m", "posexplode(pieces) AS (pos, piece)")
+      .join(probs, Seq("piece"))
+      .groupBy(col("w"), col("f"), col("m"))
+      .agg(
+        expr("aggregate(array_sort(collect_list(struct(pos, p))), " +
+          "cast(1.0 AS double), (acc, x) -> acc * x.p)").as("score"),
+        count(lit(1)).as("np"),
+        expr("array_join(transform(array_sort(collect_list(struct(pos, piece))), " +
+          "x -> x.piece), '|')").as("seg"))
+    val wBest = Window.partitionBy(col("w"))
+      .orderBy(col("score").desc, col("np").asc, col("seg").asc)
+    val counts = scored
+      .withColumn("rn", row_number().over(wBest)).filter(col("rn") === 1)
+      .select(col("f"), explode(split(col("seg"), "\\|")).as("piece"))
+      .groupBy(col("piece")).agg(sum(col("f")).cast("long").as("cnt"))
+    counts
+      .crossJoin(broadcast(counts.agg(sum(col("cnt")).as("tot"))))
+      .select(col("piece"), col("cnt"),
+        (col("cnt").cast("double") / col("tot").cast("double")).as("prob"))
+      .repartition(1).sortWithinPartitions(col("piece"))
+  }
+
   /** q73 chunking geometry: window of [[ChunkSize]] word tokens advancing by
     * [[ChunkStride]] (so consecutive chunks overlap by Size-Stride tokens —
     * the standard RAG/pre-training context-window slicing). Production
@@ -1016,6 +1081,31 @@ object Corpus {
         .repartition(1).sortWithinPartitions(col("doc_id"), col("ci"))
     }),
 
+    // ---- q164: unigram-LM tokenizer step (SentencePiece, Kudo 2018 —
+    //      public) — the subword-tokenizer family's OTHER training
+    //      algorithm beside BPE (q95/q99/q112): one hard-EM iteration
+    //      over a seed vocabulary. Seed = every substring of length <=
+    //      MaxPieceLen of the (length-capped) corpus words, counted with
+    //      word-frequency x in-word multiplicity; seed probabilities
+    //      c/total in LINEAR double space (one exact IEEE division each —
+    //      the q113/q117 discipline, no log/exp whose libm rounding
+    //      diverges across engines). E-step: Viterbi over each word's
+    //      full segmentation lattice, enumerated EXPLICITLY as the
+    //      2^(n-1) boundary masks (the length cap bounds the lattice, so
+    //      a word costs <= 2^(MaxWordLen-1) rows REGARDLESS of corpus
+    //      size); a segmentation's score is the piece-probability product
+    //      folded in piece order — the same left-to-right IEEE multiply
+    //      chain in both engines, so scores are bit-identical and the
+    //      argmax (ties broken by fewer pieces, then the lexicographic
+    //      segmentation string) agrees. M-step: piece counts over the
+    //      winning segmentations (exact BIGINTs), re-normalized to the
+    //      updated probabilities (again one division). Scale shape: ONE
+    //      corpus pass (the word-frequency groupBy); everything after is
+    //      VOCABULARY-sized — the lattice explode, the broadcast
+    //      probability join, and the per-word argmax window all run over
+    //      distinct words, so the E-step cost is corpus-size-independent.
+    "q164_unigram_lm" -> ((s, dir) => unigramStep(t(s, dir, "documents"))),
+
     // ---- q95: ONE byte-pair-merge iteration (Sennrich et al. 2016,
     //      arXiv:1508.07909) — the tokenizer-training primitive the vocab
     //      surface (q69 top-K, q80 PMI) stops short of. The corpus pass is
@@ -1699,6 +1789,70 @@ object Corpus {
           FROM seg) y
         GROUP BY 1)
       SELECT pair, cnt FROM p2 ORDER BY cnt DESC, pair""",
+
+    // Declarative replay of q164's hard-EM step: same seed substrings,
+    // same explicit boundary-mask lattice, same left-to-right probability
+    // fold (list_reduce over the k-ordered list == Spark's aggregate fold:
+    // both multiply left-to-right from the first piece, and 1.0*p == p in
+    // IEEE, so scores are bit-identical), same (score DESC, np ASC, seg
+    // ASC) argmax, same renormalization.
+    "q164_unigram_lm" -> s"""
+      WITH wf AS (
+        SELECT w, CAST(count(*) AS BIGINT) AS f FROM (
+          SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS w
+          FROM documents) x
+        WHERE length(w) BETWEEN 1 AND $UniMaxWordLen GROUP BY w),
+      st1 AS (SELECT w, f, unnest(range(1, length(w) + 1)) AS st FROM wf),
+      seed AS (
+        SELECT substr(w, CAST(st AS INT), CAST(ln AS INT)) AS piece,
+          CAST(sum(f) AS BIGINT) AS c0
+        FROM (SELECT w, f, st,
+            unnest(range(1, least($UniMaxPieceLen, length(w) - st + 1) + 1)) AS ln
+          FROM st1) z
+        GROUP BY 1),
+      tot0 AS (SELECT CAST(sum(c0) AS BIGINT) AS t0 FROM seed),
+      probs AS (SELECT piece, c0::DOUBLE / t0::DOUBLE AS p FROM seed, tot0),
+      masks AS (
+        SELECT w, f, unnest(range(0, (1::BIGINT << (length(w) - 1)))) AS m
+        FROM wf),
+      bnd AS (
+        SELECT w, f, m,
+          list_concat(list_concat([0::BIGINT],
+            list_filter(range(1, length(w)), bi -> ((m >> (bi - 1)) & 1) = 1)),
+            [length(w)::BIGINT]) AS bounds
+        FROM masks),
+      seg AS (
+        SELECT w, f, m,
+          list_transform(range(1, len(bounds)), sk ->
+            substr(w, CAST(bounds[CAST(sk AS INT)] + 1 AS INT),
+              CAST(bounds[CAST(sk AS INT) + 1] - bounds[CAST(sk AS INT)] AS INT))) AS ps
+        FROM bnd),
+      valid AS (
+        SELECT * FROM seg
+        WHERE len(list_filter(ps, pp -> length(pp) > $UniMaxPieceLen)) = 0),
+      expl AS (
+        SELECT w, f, m, k, ps[CAST(k AS INT)] AS pc
+        FROM (SELECT w, f, m, ps, unnest(range(1, len(ps) + 1)) AS k FROM valid) v),
+      scored AS (
+        SELECT e.w, e.f, e.m,
+          list_reduce(list(p.p ORDER BY e.k), (a, b) -> a * b) AS score,
+          CAST(count(*) AS BIGINT) AS np,
+          string_agg(e.pc, '|' ORDER BY e.k) AS seg
+        FROM expl e JOIN probs p ON p.piece = e.pc
+        GROUP BY e.w, e.f, e.m),
+      best AS (
+        SELECT w, f, seg FROM (
+          SELECT w, f, seg, row_number() OVER (
+            PARTITION BY w ORDER BY score DESC, np ASC, seg ASC) AS rn
+          FROM scored) b
+        WHERE rn = 1),
+      cnts AS (
+        SELECT piece, CAST(sum(f) AS BIGINT) AS cnt FROM (
+          SELECT f, unnest(string_split(seg, '|')) AS piece FROM best) c
+        GROUP BY 1),
+      tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS t FROM cnts)
+      SELECT piece, cnt, cnt::DOUBLE / t::DOUBLE AS prob
+      FROM cnts, tot ORDER BY piece""",
 
     // The identical URL synthesis, then the canonicalization and the
     // budget window replayed declaratively.

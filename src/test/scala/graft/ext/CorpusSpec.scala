@@ -456,6 +456,26 @@ class CorpusSpec extends AnyFunSuite {
       (1L, 2L))) == (6L, 6L, 1L))
   }
 
+  test("unigramStep: hand-computed lattice — seed probs, Viterbi argmax, M-step") {
+    import spark.implicits._
+    // corpus "ab ab b": words ab(f=2), b(f=1).
+    // seed: a: 2 (from ab x2), b: 2+1=3, ab: 2; t0 = 7.
+    // p(a)=2/7, p(b)=3/7, p(ab)=2/7.
+    // lattice "ab": [ab] -> 2/7 ~ .2857  vs  [a,b] -> 6/49 ~ .1224 -> [ab].
+    // lattice "b": [b].
+    // M-step: cnt(ab)=2, cnt(b)=1, tot=3.
+    val out = Corpus.unigramStep(Seq("ab ab b").toDF("text"))
+      .as[(String, Long, Double)].collect().toList
+    assert(out == List(("ab", 2L, 2.0 / 3.0), ("b", 1L, 1.0 / 3.0)), out)
+
+    // corpus "aa": seed a=2, aa=1, t0=3; [a,a] -> 4/9 beats [aa] -> 1/3,
+    // so the SPLIT wins — the argmax really compares lattice paths, not
+    // just "whole word first".
+    val out2 = Corpus.unigramStep(Seq("aa").toDF("text"))
+      .as[(String, Long, Double)].collect().toList
+    assert(out2 == List(("a", 2L, 1.0)), out2)
+  }
+
   test("temperatureTargets at full budget: tail sources upsample past their size") {
     import spark.implicits._
     // 10000 vs 100 tokens: sqrt weights 100 vs 10 → tail target ≈
