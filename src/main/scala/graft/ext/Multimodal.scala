@@ -1,6 +1,7 @@
 package graft.ext
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -229,6 +230,93 @@ object Multimodal {
         .filter(col("hamming") <= PHamT)
         .select(col("id_a"), col("id_b"), col("hamming"))
         .repartition(1).sortWithinPartitions(col("id_a"), col("id_b"))
+    }),
+
+    // ---- q166: cross-modal PAIR curation (LAION-style composition —
+    //      Schuhmann et al. 2021's public pipeline shape) — the gate that
+    //      composes the pieces a multimodal corpus actually ships through:
+    //      image-text pairs flow in crawl order, and a pair survives iff
+    //      (a) NO earlier pair's image is a perceptual near-dup (q159's
+    //      aHash + 4-band pigeonhole equi-join, exact for Hamming <= 3 —
+    //      candidates NEVER media x media, PlanSpec-locked) and (b) NO
+    //      earlier pair has the same canonicalized caption (lower + strip
+    //      punctuation + collapse whitespace — canonical equality covers
+    //      exact duplicates AND the case/punct near-dup variants, one
+    //      digest groupBy, q141's election shape). Survivors carry their
+    //      q96-canonicalized host (lowercase authority, www/default-port
+    //      stripped) and a per-source kept-count. The synthetic feed
+    //      plants all three drop classes (perturbed image re-crawls %5,
+    //      verbatim-caption re-posts %7, shouting-caption re-posts %11)
+    //      over a shared algebra the oracle replays. Scale shape: the
+    //      decode/hash pipeline is executor-side mapPartitions; drops are
+    //      a banded self-equi-join + a digest groupBy, both linear in
+    //      pairs; the "earlier pair wins" rule is deterministic greedy
+    //      (crawl-order id), never a connected-components pass.
+    "q166_pair_curation" -> ((s, dir) => {
+      import s.implicits._
+      val base = Tables.load(s, dir, "documents")
+        .select(col("doc_id"), col("text"), col("n_chars"), col("source"))
+      def arm(idOff: Long, modK: Int, img: Column, caption: Column) =
+        (if (modK == 0) base else base.filter(col("doc_id") % modK === 0))
+          .select((col("doc_id") + idOff).as("pair_id"), col("source"),
+            img.as("img"), caption.as("caption"), col("n_chars"))
+      val cap0 = expr("substring(text, 1, 60)")
+      val pairs = arm(0L, 0, col("text"), cap0)
+        // perturbed image re-crawl: near-dup IMAGE, fresh caption
+        .unionByName(arm(100000L, 5,
+          concat(lit("z"), expr("substring(text, 2)")),
+          concat(lit("copy: "), cap0)))
+        // verbatim caption re-post under a genuinely different image
+        .unionByName(arm(200000L, 7, reverse(col("text")), cap0))
+        // shouting re-post: caption differs only by case/punctuation
+        .unionByName(arm(300000L, 11, concat(lit("Q"), col("text")),
+          concat(upper(cap0), lit("!!"))))
+        .localCheckpoint() // one synthesis feeds hashes, captions, output
+      val sig = pairs
+        .select(col("pair_id"), encode(col("img"), "UTF-8").as("payload"),
+          (lit(16) + col("n_chars") % 32).cast("int").as("w"),
+          (lit(8) + col("n_chars") % 16).cast("int").as("h"))
+        .as[(Long, Array[Byte], Int, Int)]
+        .repartition(col("pair_id"))
+        .mapPartitions { it =>
+          val codec = FakeCodec
+          it.map { case (id, payload, w, h) =>
+            (id, codec.ahash(codec.resize(codec.decode(payload, w, h), w, h, ResizedDim)))
+          }
+        }.toDF("pair_id", "phash")
+      val blockWidth = PHashBits / PHashBlocks
+      val blocks = sig.select(col("pair_id"), col("phash"),
+          explode(array((0 until PHashBlocks).map(b =>
+            struct(lit(b).as("bi"),
+              shiftright(col("phash"), b * blockWidth)
+                .bitwiseAND(lit((1L << blockWidth) - 1)).as("bv"))): _*)).as("blk"))
+        .select(col("pair_id"), col("phash"),
+          col("blk.bi").as("bi"), col("blk.bv").as("bv"))
+      val imgDrop = blocks.as("a").join(blocks.as("b"),
+          col("a.bi") === col("b.bi") && col("a.bv") === col("b.bv") &&
+            col("a.pair_id") < col("b.pair_id"))
+        .filter(expr("bit_count(a.phash ^ b.phash)") <= PHamT)
+        .select(col("b.pair_id").as("pair_id")).distinct()
+      val canon = pairs.select(col("pair_id"),
+        trim(regexp_replace(lower(col("caption")), "[^a-z0-9]+", " ")).as("c"))
+      val capDrop = canon
+        .join(canon.groupBy(col("c")).agg(min(col("pair_id")).as("keep")), Seq("c"))
+        .filter(col("pair_id") > col("keep"))
+        .select(col("pair_id"))
+      val host = regexp_replace(
+        regexp_extract(lower(concat(lit("HTTPS://"),
+          when(col("pair_id") % 3 === 0, lit("WWW.")).otherwise(lit("")),
+          col("source"), lit(".Example.COM"),
+          when(col("pair_id") % 2 === 0, lit(":443")).otherwise(lit("")),
+          lit("/i/"), col("pair_id"))), "://([^/:]+)", 1),
+        "^www\\.", "")
+      pairs
+        .join(imgDrop, Seq("pair_id"), "left_anti")
+        .join(capDrop, Seq("pair_id"), "left_anti")
+        .select(col("pair_id"), col("source"), host.as("host"))
+        .withColumn("n_src_kept",
+          count(lit(1)).over(Window.partitionBy(col("source"))))
+        .repartition(1).sortWithinPartitions(col("pair_id"))
     })
   )
 
@@ -293,6 +381,64 @@ object Multimodal {
       FROM ah a JOIN ah b ON a.media_id < b.media_id
       WHERE bit_count(xor(a.ph, b.ph)) <= $PHamT
       ORDER BY id_a, id_b""",
+
+      // Declarative replay of the composed curation decision: the same
+      // four-arm synthesis, the same aHash (ground-truth all-pairs here —
+      // the banding is exact for Hamming <= PHamT, q159's theorem), the
+      // same canonical-caption election, the same host canonicalization.
+      "q166_pair_curation" -> s"""
+      WITH pairs AS (
+        SELECT doc_id AS pair_id, source, text AS img,
+          substring(text, 1, 60) AS caption, n_chars FROM documents
+        UNION ALL
+        SELECT doc_id + 100000, source, 'z' || substring(text, 2),
+          'copy: ' || substring(text, 1, 60), n_chars
+        FROM documents WHERE doc_id % 5 = 0
+        UNION ALL
+        SELECT doc_id + 200000, source, reverse(text),
+          substring(text, 1, 60), n_chars
+        FROM documents WHERE doc_id % 7 = 0
+        UNION ALL
+        SELECT doc_id + 300000, source, 'Q' || text,
+          upper(substring(text, 1, 60)) || '!!', n_chars
+        FROM documents WHERE doc_id % 11 = 0),
+      m AS (
+        SELECT pair_id, source, img AS text, n_chars FROM pairs),
+      r AS (SELECT pair_id, $resized AS rs FROM m),
+      ah AS (
+        SELECT pair_id,
+          CAST(list_sum(list_transform(range(0, $PHashBits),
+            i -> CASE WHEN 64 * rs[CAST(i AS INT) + 1] > list_sum(rs)
+                 THEN (1::BIGINT << CAST(i AS INT)) ELSE 0::BIGINT END)) AS BIGINT) AS ph
+        FROM r),
+      imgdrop AS (
+        SELECT DISTINCT b.pair_id FROM ah a JOIN ah b ON a.pair_id < b.pair_id
+        WHERE bit_count(xor(a.ph, b.ph)) <= $PHamT),
+      canon AS (
+        SELECT pair_id,
+          trim(regexp_replace(lower(caption), '[^a-z0-9]+', ' ', 'g')) AS c
+        FROM pairs),
+      capdrop AS (
+        SELECT pair_id FROM canon
+        JOIN (SELECT c, min(pair_id) AS keep FROM canon GROUP BY c) k USING (c)
+        WHERE pair_id > keep),
+      kept AS (
+        SELECT p.pair_id, p.source,
+          regexp_replace(
+            regexp_extract(
+              lower('HTTPS://' ||
+                CASE WHEN p.pair_id % 3 = 0 THEN 'WWW.' ELSE '' END ||
+                p.source || '.Example.COM' ||
+                CASE WHEN p.pair_id % 2 = 0 THEN ':443' ELSE '' END ||
+                '/i/' || CAST(p.pair_id AS VARCHAR)),
+              '://([^/:]+)', 1),
+            '^www\\.', '') AS host
+        FROM pairs p
+        WHERE NOT EXISTS (SELECT 1 FROM imgdrop d WHERE d.pair_id = p.pair_id)
+          AND NOT EXISTS (SELECT 1 FROM capdrop d WHERE d.pair_id = p.pair_id))
+      SELECT pair_id, source, host,
+        count(*) OVER (PARTITION BY source) AS n_src_kept
+      FROM kept ORDER BY pair_id""",
 
       "q64_media_dedup" -> s"""
       WITH d2 AS (

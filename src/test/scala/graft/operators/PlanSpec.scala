@@ -729,6 +729,16 @@ class PlanSpec extends AnyFunSuite {
     assert(full.contains("BroadcastHashJoin"), "rank offsets must broadcast: " + full)
   }
 
+  test("q166: pair curation joins are equi/banded — never media x media") {
+    val p = plan("q166_pair_curation")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    // image drops from the band equi-join, caption drops from the digest
+    // election join, survivors via anti-joins
+    assert(p.contains("LeftAnti"), "survivor filter must be anti-joins: " + p)
+    assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin"), p)
+  }
+
   test("q144: winnow candidates come from a fingerprint equi-join — no all-pairs") {
     val p = plan("q144_winnow_overlap")
     assert(!p.contains("CartesianProduct"), p)
