@@ -376,6 +376,62 @@ object CdcQueries {
         .orderBy($"o_orderkey")
     }),
 
+    // ---- q170: STREAMING secondary-index maintenance — q123's exact
+    //      lifecycle (inserts, %6 custkey MOVES, %9 deletes; index keyed
+    //      (o_custkey, o_orderkey) bucketed on the custkey prefix) run
+    //      through StreamingPipeline.IndexSpec: the index applies in the
+    //      SAME micro-batch as the primary from the same envelope with
+    //      before/after projected — a moved custkey is a PK-moving update
+    //      on the index and resolves to delete@old + upsert@new, so the
+    //      post-stream two-step lookup (index pointLookup by custkey →
+    //      store pointLookup by the resolved orderkeys) must see moves
+    //      under their NEW custkey only. Shares q123's oracle verbatim
+    //      (equal by construction — same envelope, same projection, same
+    //      merges).
+    "q170_stream_index" -> ((s, dir) => {
+      import s.implicits._
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+      val o = Tables.load(s, dir, "orders")
+      def toEnvelope(changes: DataFrame): Array[EnvelopeRow] =
+        changes.select($"op", lit("orders").as("table"), $"next_position",
+            to_json($"before").as("before_json"), to_json($"after").as("after_json"))
+          .as[EnvelopeRow].collect()
+
+      val root = Files.createTempDirectory("graft_sidx").toString
+      val store = s"$root/orders_si"
+      val index = s"$root/orders_si_idx"
+      val sopts = CdcApplier.Options(Seq("o_orderkey"))
+      val iopts = CdcApplier.Options(Seq("o_custkey", "o_orderkey"),
+        bucketCols = Some(Seq("o_custkey")))
+      val b1 = toEnvelope(ChangeFeed.inserts(o, $"o_orderkey" * 10))
+      val b2 = toEnvelope(ChangeFeed.updates(o.filter($"o_orderkey" % 6 === 2),
+          Map("o_custkey" -> ($"o_custkey" + 1)), $"o_orderkey" * 10 + 3)
+        .union(ChangeFeed.deletes(o.filter($"o_orderkey" % 9 === 1),
+          $"o_orderkey" * 10 + 5)))
+
+      val src = MemoryStream[EnvelopeRow]
+      val queries = graft.streaming.StreamingPipeline.startPerTable(
+        src.toDF(), Map("orders" -> (o.schema, store)), s"$root/ckpt",
+        _ => graft.streaming.StreamingPipeline.PipelineOptions(sopts,
+          indexes = Seq(graft.streaming.StreamingPipeline.IndexSpec(
+            index, Seq("o_custkey", "o_orderkey"), iopts))))
+      def feed(rows: Array[EnvelopeRow]): Unit =
+        rows.grouped(1500).foreach(c => src.addData(c.toIndexedSeq))
+      try {
+        feed(b1)
+        queries.values.foreach(_.processAllAvailable())
+        feed(b2)
+        queries.values.foreach(_.processAllAvailable())
+      } finally queries.values.foreach(_.stop())
+
+      val custkeys = Seq(3L, 7L, 11L, 19L, 42L).toDF("o_custkey")
+      val orderKeys = CdcApplier.pointLookup(s, index, custkeys).select($"o_orderkey")
+      CdcApplier.pointLookup(s, store, orderKeys)
+        .select(o.columns.map(col).toIndexedSeq: _*)
+        .orderBy($"o_orderkey")
+    }),
+
     // MOR as its own binlog — a downstream replica fed EXCLUSIVELY by
     // CdcApplier.changeFeed increments reconstructed from the primary's
     // delta files (op inferred from the version chain, before-images from
@@ -1391,6 +1447,20 @@ object CdcQueries {
       FROM j WHERE NOT deleted
       ORDER BY l_orderkey, l_linenumber"""
 
+  /** The q123/q170 shared oracle: the merged-store state restricted to
+    * the custkeys the index lookup resolves (deleted %9 keys and
+    * never-matching keys simply absent; %6 moves land under their NEW
+    * custkey — a stale index row would surface them under the old one). */
+  private val q123OracleSql: String = """
+      SELECT o_orderkey,
+        CASE WHEN o_orderkey % 6 = 2 THEN o_custkey + 1 ELSE o_custkey END AS o_custkey,
+        o_orderstatus, o_totalprice, o_orderdate, o_orderpriority
+      FROM orders
+      WHERE o_orderkey % 9 <> 1
+        AND (CASE WHEN o_orderkey % 6 = 2 THEN o_custkey + 1 ELSE o_custkey END)
+            IN (3, 7, 11, 19, 42)
+      ORDER BY o_orderkey"""
+
   val oracles: Map[String, String] = Map(
     "q30_cdc_merge" -> """
       SELECT o_orderkey, o_custkey, o_orderstatus,
@@ -1418,15 +1488,12 @@ object CdcQueries {
       WHERE o_orderkey % 11 <> 0 AND o_orderkey % 250 = 0
       ORDER BY o_orderkey""",
 
-    "q123_secondary_index" -> """
-      SELECT o_orderkey,
-        CASE WHEN o_orderkey % 6 = 2 THEN o_custkey + 1 ELSE o_custkey END AS o_custkey,
-        o_orderstatus, o_totalprice, o_orderdate, o_orderpriority
-      FROM orders
-      WHERE o_orderkey % 9 <> 1
-        AND (CASE WHEN o_orderkey % 6 = 2 THEN o_custkey + 1 ELSE o_custkey END)
-            IN (3, 7, 11, 19, 42)
-      ORDER BY o_orderkey""",
+    "q123_secondary_index" -> q123OracleSql,
+    // q170 is q123's EXACT lifecycle executed through the streaming
+    // pipeline's in-batch index maintenance — equal by construction
+    // (same envelope, same projected index feed, same merges), so one
+    // oracle gates both execution modes (q137/q149/q154's discipline).
+    "q170_stream_index" -> q123OracleSql,
 
     // q32's replay extended by the post-migration third batch. The change
     // feed's after-images are built from the BASE table, so a %13 update

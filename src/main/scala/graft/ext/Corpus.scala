@@ -111,10 +111,12 @@ object Corpus {
   val UniMaxWordLen = 8
   val UniMaxPieceLen = 4
 
-  /** One hard-EM unigram-LM tokenizer iteration (q164's engine; see the
-    * q164 entry's scaladoc for the full algorithm/scale narrative). Takes
-    * any frame with a `text` column; returns (piece, cnt, prob). */
-  def unigramStep(docs: DataFrame): DataFrame = {
+  /** Per-word Viterbi winner under the seed unigram LM — (w, f, seg) with
+    * `seg` the '|'-joined best segmentation. Shared by the EM M-step
+    * (q164) and corpus encoding (q168), so the training-time and
+    * apply-time segmentations cannot disagree. See the q164 entry's
+    * scaladoc for the algorithm/scale narrative. */
+  def unigramSegment(docs: DataFrame): DataFrame = {
     val wf = docs
       .select(explode(TextOps.words(col("text"))).as("w"))
       .groupBy(col("w")).agg(count(lit(1)).as("f"))
@@ -156,8 +158,16 @@ object Corpus {
           "x -> x.piece), '|')").as("seg"))
     val wBest = Window.partitionBy(col("w"))
       .orderBy(col("score").desc, col("np").asc, col("seg").asc)
-    val counts = scored
+    scored
       .withColumn("rn", row_number().over(wBest)).filter(col("rn") === 1)
+      .select(col("w"), col("f"), col("seg"))
+  }
+
+  /** One hard-EM unigram-LM tokenizer iteration (q164): M-step piece
+    * counts + renormalized probabilities over [[unigramSegment]]'s
+    * winners. Returns (piece, cnt, prob). */
+  def unigramStep(docs: DataFrame): DataFrame = {
+    val counts = unigramSegment(docs)
       .select(col("f"), explode(split(col("seg"), "\\|")).as("piece"))
       .groupBy(col("piece")).agg(sum(col("f")).cast("long").as("cnt"))
     counts
@@ -1106,6 +1116,30 @@ object Corpus {
     //      distinct words, so the E-step cost is corpus-size-independent.
     "q164_unigram_lm" -> ((s, dir) => unigramStep(t(s, dir, "documents"))),
 
+    // ---- q168: tokenize the corpus with the TRAINED unigram LM — the
+    //      q112 complement (BPE learns merges, q112 applies them; q164
+    //      learns piece probabilities, this applies the Viterbi
+    //      segmentation). Same 100 TB shape as q112: each DISTINCT word
+    //      is segmented ONCE (unigramSegment is vocabulary-sized), then
+    //      one equi-join brings per-word token counts back to the
+    //      exploded corpus. Words beyond the lattice length cap fall back
+    //      to character tokens — a DETERMINISTIC rule both engines apply
+    //      (the left join's null side), never a silent drop. Gate: per-doc
+    //      word and unigram-token counts, oracle replaying the identical
+    //      lattice + fallback.
+    "q168_unigram_encode" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val words = docs.select(col("doc_id"), explode(TextOps.words(col("text"))).as("w"))
+      val seg = unigramSegment(docs)
+        .select(col("w"), size(split(col("seg"), "\\|")).cast("long").as("n_pieces"))
+      words.join(seg, Seq("w"), "left")
+        .withColumn("n_tok", coalesce(col("n_pieces"), length(col("w")).cast("long")))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).cast("long").as("n_words"),
+          sum(col("n_tok")).cast("long").as("uni_tokens"))
+        .repartition(1).sortWithinPartitions(col("doc_id"))
+    }),
+
     // ---- q95: ONE byte-pair-merge iteration (Sennrich et al. 2016,
     //      arXiv:1508.07909) — the tokenizer-training primitive the vocab
     //      surface (q69 top-K, q80 PMI) stops short of. The corpus pass is
@@ -1519,6 +1553,60 @@ object Corpus {
         UNION ALL SELECT doc_id, doc_id + 1000000 FROM documents WHERE doc_id % 100 = 0
         UNION ALL SELECT doc_id, doc_id + 37 FROM documents WHERE doc_id % 97 = 0"""
 
+  /** The q164/q168 shared oracle lattice: word frequencies → capped
+    * substring seed → probabilities → boundary-mask segmentations →
+    * left-to-right score fold → per-word `best` winner. One string, two
+    * gates — the SQL twin of the shared [[unigramSegment]]. */
+  private val uniLatticeCtes: String = s"""wf AS (
+        SELECT w, CAST(count(*) AS BIGINT) AS f FROM (
+          SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS w
+          FROM documents) x
+        WHERE length(w) BETWEEN 1 AND $UniMaxWordLen GROUP BY w),
+      st1 AS (SELECT w, f, unnest(range(1, length(w) + 1)) AS st FROM wf),
+      seed AS (
+        SELECT substr(w, CAST(st AS INT), CAST(ln AS INT)) AS piece,
+          CAST(sum(f) AS BIGINT) AS c0
+        FROM (SELECT w, f, st,
+            unnest(range(1, least($UniMaxPieceLen, length(w) - st + 1) + 1)) AS ln
+          FROM st1) z
+        GROUP BY 1),
+      tot0 AS (SELECT CAST(sum(c0) AS BIGINT) AS t0 FROM seed),
+      probs AS (SELECT piece, c0::DOUBLE / t0::DOUBLE AS p FROM seed, tot0),
+      masks AS (
+        SELECT w, f, unnest(range(0, (1::BIGINT << (length(w) - 1)))) AS m
+        FROM wf),
+      bnd AS (
+        SELECT w, f, m,
+          list_concat(list_concat([0::BIGINT],
+            list_filter(range(1, length(w)), bi -> ((m >> (bi - 1)) & 1) = 1)),
+            [length(w)::BIGINT]) AS bounds
+        FROM masks),
+      seg AS (
+        SELECT w, f, m,
+          list_transform(range(1, len(bounds)), sk ->
+            substr(w, CAST(bounds[CAST(sk AS INT)] + 1 AS INT),
+              CAST(bounds[CAST(sk AS INT) + 1] - bounds[CAST(sk AS INT)] AS INT))) AS ps
+        FROM bnd),
+      valid AS (
+        SELECT * FROM seg
+        WHERE len(list_filter(ps, pp -> length(pp) > $UniMaxPieceLen)) = 0),
+      expl AS (
+        SELECT w, f, m, k, ps[CAST(k AS INT)] AS pc
+        FROM (SELECT w, f, m, ps, unnest(range(1, len(ps) + 1)) AS k FROM valid) v),
+      scored AS (
+        SELECT e.w, e.f, e.m,
+          list_reduce(list(p.p ORDER BY e.k), (a, b) -> a * b) AS score,
+          CAST(count(*) AS BIGINT) AS np,
+          string_agg(e.pc, '|' ORDER BY e.k) AS seg
+        FROM expl e JOIN probs p ON p.piece = e.pc
+        GROUP BY e.w, e.f, e.m),
+      best AS (
+        SELECT w, f, seg FROM (
+          SELECT w, f, seg, row_number() OVER (
+            PARTITION BY w ORDER BY score DESC, np ASC, seg ASC) AS rn
+          FROM scored) b
+        WHERE rn = 1)"""
+
   val oracles: Map[String, String] = Map(
     "q54_dedup_clusters" -> q54OracleSql,
 
@@ -1795,57 +1883,11 @@ object Corpus {
     // fold (list_reduce over the k-ordered list == Spark's aggregate fold:
     // both multiply left-to-right from the first piece, and 1.0*p == p in
     // IEEE, so scores are bit-identical), same (score DESC, np ASC, seg
-    // ASC) argmax, same renormalization.
+    // ASC) argmax, same renormalization. The chain through `best` is ONE
+    // string shared with q168's oracle (uniLatticeCtes), mirroring the
+    // shared unigramSegment on the Spark side.
     "q164_unigram_lm" -> s"""
-      WITH wf AS (
-        SELECT w, CAST(count(*) AS BIGINT) AS f FROM (
-          SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS w
-          FROM documents) x
-        WHERE length(w) BETWEEN 1 AND $UniMaxWordLen GROUP BY w),
-      st1 AS (SELECT w, f, unnest(range(1, length(w) + 1)) AS st FROM wf),
-      seed AS (
-        SELECT substr(w, CAST(st AS INT), CAST(ln AS INT)) AS piece,
-          CAST(sum(f) AS BIGINT) AS c0
-        FROM (SELECT w, f, st,
-            unnest(range(1, least($UniMaxPieceLen, length(w) - st + 1) + 1)) AS ln
-          FROM st1) z
-        GROUP BY 1),
-      tot0 AS (SELECT CAST(sum(c0) AS BIGINT) AS t0 FROM seed),
-      probs AS (SELECT piece, c0::DOUBLE / t0::DOUBLE AS p FROM seed, tot0),
-      masks AS (
-        SELECT w, f, unnest(range(0, (1::BIGINT << (length(w) - 1)))) AS m
-        FROM wf),
-      bnd AS (
-        SELECT w, f, m,
-          list_concat(list_concat([0::BIGINT],
-            list_filter(range(1, length(w)), bi -> ((m >> (bi - 1)) & 1) = 1)),
-            [length(w)::BIGINT]) AS bounds
-        FROM masks),
-      seg AS (
-        SELECT w, f, m,
-          list_transform(range(1, len(bounds)), sk ->
-            substr(w, CAST(bounds[CAST(sk AS INT)] + 1 AS INT),
-              CAST(bounds[CAST(sk AS INT) + 1] - bounds[CAST(sk AS INT)] AS INT))) AS ps
-        FROM bnd),
-      valid AS (
-        SELECT * FROM seg
-        WHERE len(list_filter(ps, pp -> length(pp) > $UniMaxPieceLen)) = 0),
-      expl AS (
-        SELECT w, f, m, k, ps[CAST(k AS INT)] AS pc
-        FROM (SELECT w, f, m, ps, unnest(range(1, len(ps) + 1)) AS k FROM valid) v),
-      scored AS (
-        SELECT e.w, e.f, e.m,
-          list_reduce(list(p.p ORDER BY e.k), (a, b) -> a * b) AS score,
-          CAST(count(*) AS BIGINT) AS np,
-          string_agg(e.pc, '|' ORDER BY e.k) AS seg
-        FROM expl e JOIN probs p ON p.piece = e.pc
-        GROUP BY e.w, e.f, e.m),
-      best AS (
-        SELECT w, f, seg FROM (
-          SELECT w, f, seg, row_number() OVER (
-            PARTITION BY w ORDER BY score DESC, np ASC, seg ASC) AS rn
-          FROM scored) b
-        WHERE rn = 1),
+      WITH $uniLatticeCtes,
       cnts AS (
         SELECT piece, CAST(sum(f) AS BIGINT) AS cnt FROM (
           SELECT f, unnest(string_split(seg, '|')) AS piece FROM best) c
@@ -1853,6 +1895,20 @@ object Corpus {
       tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS t FROM cnts)
       SELECT piece, cnt, cnt::DOUBLE / t::DOUBLE AS prob
       FROM cnts, tot ORDER BY piece""",
+
+    // q168 = the shared lattice's winners applied to the corpus: one
+    // per-word join, char-count fallback past the length cap.
+    "q168_unigram_encode" -> s"""
+      WITH $uniLatticeCtes,
+      wd AS (
+        SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS w
+        FROM documents)
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
+        CAST(sum(coalesce(len(string_split(b.seg, '|')), length(wd.w))) AS BIGINT)
+          AS uni_tokens
+      FROM wd LEFT JOIN best b ON b.w = wd.w
+      GROUP BY doc_id ORDER BY doc_id""",
+
 
     // The identical URL synthesis, then the canonicalization and the
     // budget window replayed declaratively.

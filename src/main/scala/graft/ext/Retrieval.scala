@@ -41,6 +41,47 @@ object Retrieval {
   val Bm25B = 0.75
   val Bm25Query: Seq[String] = Seq("data", "query", "spark")
 
+  /** q169 reciprocal-rank-fusion geometry: standard k=60 damping, each
+    * arm contributes its top-[[RrfPool]] candidates (RRF fuses BOUNDED
+    * retrieved lists — the pool limit is what keeps the fusion top-k
+    * shaped instead of a global corpus sort), final report top
+    * [[RrfTopK]]. The dense arm's query is the embedding of vec_id
+    * [[RrfQueryVec]]. */
+  val RrfK = 60
+  val RrfPool = 100
+  val RrfTopK = 20
+  val RrfQueryVec = 0L
+
+  /** q74's BM25 scorer — (doc_id, n_hit, score) for [[Bm25Query]]; shared
+    * with the q169 sparse arm so the lexical scoring cannot drift between
+    * the standalone gate and the fusion. */
+  private[graft] def bm25Scores(docs: DataFrame): DataFrame = {
+    val dl = docs.select(col("doc_id"),
+      size(TextOps.words(col("text"))).cast("long").as("dl"))
+    val stats = dl.agg(
+      (sum(col("dl")).cast("double") / count(lit(1)).cast("double")).as("avgdl"),
+      count(lit(1)).as("n_docs"))
+    val tf = docs
+      .select(col("doc_id"), explode(TextOps.words(col("text"))).as("term"))
+      .filter(col("term").isin(Bm25Query: _*))
+      .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val scored = tf
+      .join(broadcast(dfreq), "term")
+      .join(dl, "doc_id")
+      .crossJoin(broadcast(stats))
+      .withColumn("idf",
+        ((col("n_docs") - col("df")).cast("double") + lit(0.5))
+          / (col("df").cast("double") + lit(0.5)))
+      .withColumn("sc",
+        col("idf") * ((col("tf").cast("double") * lit(Bm25K1 + 1.0)) /
+          (col("tf").cast("double") + lit(Bm25K1) *
+            (lit(1.0 - Bm25B) + lit(Bm25B) *
+              (col("dl").cast("double") / col("avgdl"))))))
+    scored.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_hit"), graft.util.Sumd.sumd(col("sc")).as("score"))
+  }
+
   /** q80 collocation thresholds: a bigram needs [[CollocMinCount]]
     * occurrences to be scored; the top [[CollocTopK]] by lift are kept. */
   val CollocMinCount = 5
@@ -114,33 +155,50 @@ object Retrieval {
     //      per-doc sum over the <= 3 term scores goes through the
     //      engine-wide SUMD decimal convention so addend order cannot
     //      produce a last-ulp drift.
-    "q74_bm25" -> ((s, dir) => {
-      val docs = t(s, dir, "documents")
-      val dl = docs.select(col("doc_id"),
-        size(TextOps.words(col("text"))).cast("long").as("dl"))
-      val stats = dl.agg(
-        (sum(col("dl")).cast("double") / count(lit(1)).cast("double")).as("avgdl"),
-        count(lit(1)).as("n_docs"))
-      val tf = docs
-        .select(col("doc_id"), explode(TextOps.words(col("text"))).as("term"))
-        .filter(col("term").isin(Bm25Query: _*))
-        .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
-      val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
-      val scored = tf
-        .join(broadcast(dfreq), "term")
-        .join(dl, "doc_id")
-        .crossJoin(broadcast(stats))
-        .withColumn("idf",
-          ((col("n_docs") - col("df")).cast("double") + lit(0.5))
-            / (col("df").cast("double") + lit(0.5)))
-        .withColumn("sc",
-          col("idf") * ((col("tf").cast("double") * lit(Bm25K1 + 1.0)) /
-            (col("tf").cast("double") + lit(Bm25K1) *
-              (lit(1.0 - Bm25B) + lit(Bm25B) *
-                (col("dl").cast("double") / col("avgdl"))))))
-      scored.groupBy(col("doc_id"))
-        .agg(count(lit(1)).as("n_hit"), graft.util.Sumd.sumd(col("sc")).as("score"))
-        .repartition(1).sortWithinPartitions(col("doc_id"))
+    "q74_bm25" -> ((s, dir) =>
+      bm25Scores(t(s, dir, "documents"))
+        .repartition(1).sortWithinPartitions(col("doc_id"))),
+
+    // ---- q169: hybrid retrieval via reciprocal-rank fusion (Cormack,
+    //      Clarke & Buettcher SIGIR 2009 — public) — the lexical+dense
+    //      composition every modern retrieval stack ships: the BM25 arm
+    //      (q74's scorer, shared verbatim) and the embedding-cosine arm
+    //      (q50's graft_dot kernel against one query vector) each
+    //      contribute their top-RrfPool candidates; fusion score =
+    //      sum over arms of 1/(60 + rank), a rank-only combination that
+    //      needs NO score calibration across arms (the reason RRF is the
+    //      production default) and is engine-exact (one IEEE division per
+    //      arm + one addition — no calibration floats). Scale shape: each
+    //      arm pools via TakeOrderedAndProject (top-RrfPool per arm, no
+    //      global sort); ranks are windows over the POOLED (bounded)
+    //      frames; the fusion is a full-outer equi-join of two <= RrfPool
+    //      row frames. An arm can rank docs the other never retrieves —
+    //      the outer join with coalesce-to-0 is the semantics under test.
+    "q169_hybrid_rrf" -> ((s, dir) => {
+      graft.functions.GraftFunctions.register(s)
+      def pool(df: DataFrame, scoreCol: String, rankName: String) = df
+        .orderBy(col(scoreCol).desc, col("doc_id")).limit(RrfPool)
+        .withColumn(rankName, row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .orderBy(col(scoreCol).desc, col("doc_id"))).cast("long"))
+        .select(col("doc_id"), col(rankName))
+      val sparse = pool(bm25Scores(t(s, dir, "documents")), "score", "r_sparse")
+      val e = t(s, dir, "embeddings")
+        .withColumn("nrm", sqrt(Similarity.dotd(col("embedding"), col("embedding"))))
+      val qv = e.filter(col("vec_id") === RrfQueryVec)
+        .select(col("embedding").as("qe"), col("nrm").as("qn"))
+      val dense = pool(
+        e.crossJoin(broadcast(qv))
+          .withColumn("cos", Similarity.cosd(col("qe"), col("qn"),
+            col("embedding"), col("nrm")))
+          .select(col("vec_id").as("doc_id"), col("cos")),
+        "cos", "r_dense")
+      sparse.join(dense, Seq("doc_id"), "full_outer")
+        .withColumn("rrf",
+          coalesce(lit(1.0) / (lit(RrfK) + col("r_sparse")), lit(0.0)) +
+            coalesce(lit(1.0) / (lit(RrfK) + col("r_dense")), lit(0.0)))
+        .orderBy(col("rrf").desc, col("doc_id")).limit(RrfTopK)
+        .select(col("doc_id"), col("r_sparse"), col("r_dense"), col("rrf"))
     }),
 
     // ---- q80: collocations — adjacent word pairs ranked by PMI lift
@@ -220,22 +278,11 @@ object Retrieval {
     })
   )
 
-  val oracles: Map[String, String] = Map(
-    "q72_heavy_hitters" -> s"""
-      WITH w AS (
-        SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term
-        FROM documents),
-      tot AS (SELECT CAST(count(*) AS BIGINT) AS n_total FROM w)
-      SELECT term, CAST(count(*) AS BIGINT) AS cnt, (SELECT n_total FROM tot) AS n_total
-      FROM w
-      GROUP BY term
-      HAVING count(*) * $HhK > (SELECT n_total FROM tot)
-      ORDER BY term""",
-
-    "q74_bm25" -> {
-      val terms = Bm25Query.map(q => s"'$q'").mkString(", ")
-      s"""
-      WITH d AS (
+  /** The q74/q169 shared BM25 oracle chain ending in
+    * `bm(doc_id, n_hit, score)` — the SQL twin of [[bm25Scores]]. */
+  private val bm25Ctes: String = {
+    val terms = Bm25Query.map(q => s"'$q'").mkString(", ")
+    s"""d AS (
         SELECT doc_id,
           len(regexp_extract_all(lower(text), '[a-z0-9]+'))::BIGINT AS dl
         FROM documents),
@@ -259,12 +306,57 @@ object Retrieval {
         FROM tf t
         JOIN dfreq f USING (term)
         JOIN d USING (doc_id)
-        CROSS JOIN stats s)
-      SELECT doc_id, CAST(count(*) AS BIGINT) AS n_hit, ${SUMD("sc")} AS score
-      FROM scored
-      GROUP BY doc_id
-      ORDER BY doc_id"""
-    },
+        CROSS JOIN stats s),
+      bm AS (
+        SELECT doc_id, CAST(count(*) AS BIGINT) AS n_hit, ${SUMD("sc")} AS score
+        FROM scored GROUP BY doc_id)"""
+  }
+
+  val oracles: Map[String, String] = Map(
+    "q72_heavy_hitters" -> s"""
+      WITH w AS (
+        SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term
+        FROM documents),
+      tot AS (SELECT CAST(count(*) AS BIGINT) AS n_total FROM w)
+      SELECT term, CAST(count(*) AS BIGINT) AS cnt, (SELECT n_total FROM tot) AS n_total
+      FROM w
+      GROUP BY term
+      HAVING count(*) * $HhK > (SELECT n_total FROM tot)
+      ORDER BY term""",
+
+    "q74_bm25" -> s"""
+      WITH $bm25Ctes
+      SELECT doc_id, n_hit, score FROM bm ORDER BY doc_id""",
+
+    // q169: the shared BM25 chain's scores pooled to top-RrfPool, the
+    // q50-fold cosine arm likewise, RRF = 1/(60+rank) summed over a FULL
+    // JOIN of the pools (an arm can retrieve docs the other never saw).
+    "q169_hybrid_rrf" -> s"""
+      WITH $bm25Ctes,
+      spool AS (
+        SELECT doc_id, ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS r_sparse
+        FROM (SELECT doc_id, score FROM bm ORDER BY score DESC, doc_id
+              LIMIT $RrfPool) sp),
+      e AS (
+        SELECT vec_id, embedding,
+          sqrt(${Similarity.dotSql("embedding", "embedding")}) AS nrm
+        FROM embeddings),
+      qv AS (SELECT embedding AS qe, nrm AS qn FROM e WHERE vec_id = $RrfQueryVec),
+      dn AS (
+        SELECT vec_id AS doc_id,
+          ${Similarity.dotSql("qe", "embedding")} / (qn * nrm) AS cos
+        FROM e, qv),
+      dpool AS (
+        SELECT doc_id, ROW_NUMBER() OVER (ORDER BY cos DESC, doc_id) AS r_dense
+        FROM (SELECT doc_id, cos FROM dn ORDER BY cos DESC, doc_id
+              LIMIT $RrfPool) dp),
+      fused AS (
+        SELECT coalesce(s.doc_id, d.doc_id) AS doc_id, s.r_sparse, d.r_dense,
+          coalesce(1.0::DOUBLE / (($RrfK + s.r_sparse)::DOUBLE), 0.0::DOUBLE) +
+          coalesce(1.0::DOUBLE / (($RrfK + d.r_dense)::DOUBLE), 0.0::DOUBLE) AS rrf
+        FROM spool s FULL JOIN dpool d ON s.doc_id = d.doc_id)
+      SELECT doc_id, r_sparse, r_dense, rrf
+      FROM fused ORDER BY rrf DESC, doc_id LIMIT $RrfTopK""",
 
     "q80_collocations" -> s"""
       WITH d AS (

@@ -49,14 +49,14 @@ object Similarity {
   /** Index-order double dot product — bit-identical to the oracle's fold;
     * backed by the native codegen kernel [[graft.functions.DotProduct]]
     * (query entry points register it). */
-  private def dotd(a: Column, b: Column): Column =
+  private[graft] def dotd(a: Column, b: Column): Column =
     call_function("graft_dot", a, b)
 
-  private def cosd(a: Column, na: Column, b: Column, nb: Column): Column =
+  private[graft] def cosd(a: Column, na: Column, b: Column, nb: Column): Column =
     dotd(a, b) / (na * nb)
 
   /** DuckDB fragment: same fold. */
-  private def dotSql(a: String, b: String): String =
+  private[graft] def dotSql(a: String, b: String): String =
     s"""list_reduce(list_prepend(0.0::DOUBLE,
           list_transform(range(1, len($a)+1), i -> $a[i]::DOUBLE * $b[i]::DOUBLE)),
         (acc, v) -> acc + v)"""

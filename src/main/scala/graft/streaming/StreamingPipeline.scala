@@ -88,7 +88,23 @@ object StreamingPipeline {
       optimizeEvery: Int = 0,
       optimizeTargetBytes: Long = 128L << 20,
       preApplyHook: () => Unit = () => (),
-      morSink: Boolean = false)
+      morSink: Boolean = false,
+      indexes: Seq[IndexSpec] = Nil)
+
+  /** A secondary index maintained in the SAME micro-batch as the primary
+    * (the reference's HBase deployments keep index tables beside the data
+    * table; q123/q133 build them in batch — this is the streaming form).
+    * The index is an ordinary bucketed graft table keyed by the indexed
+    * column(s) ++ the primary key, fed the primary's envelope with
+    * before/after PROJECTED to `cols`: an update that MOVES the indexed
+    * value is a PK-moving update on the index table, which the ordinary
+    * resolve fans out to delete@old-value + upsert@new-value — index rows
+    * can never go stale. Applied under the same bounded-retry policy;
+    * the index lags the primary by at most the in-flight batch (same
+    * batch, later apply — the standard async-index contract, here
+    * actually synchronous per micro-batch). */
+  case class IndexSpec(targetDir: String, cols: Seq[String],
+      opts: CdcApplier.Options)
 
   /** Per-pipeline observability (S17): per-table-per-op counts, batch
     * counter, last-10 batch latencies. Thread-safe; keyed by target dir. */
@@ -243,6 +259,21 @@ object StreamingPipeline {
       opts.secondaryDir.foreach(dir => withRetries("secondary replication") {
         graft.cdc.CoercingSink.replicateBuckets(spark, targetDir, dir, touched)
       })
+
+      // Secondary indexes: the same envelope with before/after projected
+      // to each index's columns, applied through the ordinary incremental
+      // merge (see IndexSpec — an indexed-value change is a PK move on
+      // the index table and resolves to delete@old + upsert@new).
+      if (touched.nonEmpty) opts.indexes.foreach { ix =>
+        withRetries(s"index ${ix.targetDir}") {
+          def proj(side: String) = when(col(side).isNotNull,
+            struct(ix.cols.map(c => col(s"$side.$c").as(c)): _*))
+          CdcApplier.applyBatch(spark,
+            envelope.select(col("op"), col("next_position"),
+              proj("before").as("before"), proj("after").as("after")),
+            ix.targetDir, ix.opts)
+        }
+      }
 
       // Invariant 5: advance the watermark even when everything was filtered
       // — and monotonically, so replayed batches can't move it backwards.
