@@ -869,6 +869,97 @@ object CdcApplier {
     touched
   }
 
+  /** Resumable column backfill — the UPDATE-analog of additive schema
+    * evolution (S4 adds the column as NULL on stored rows; this populates
+    * it from an expression over the existing columns — the lake formats'
+    * `UPDATE table SET col = expr` restricted to a deterministic
+    * row-local expression). At 100 TB a backfill CANNOT be one job: it
+    * proceeds BUCKET BY BUCKET through the same crash-safe per-bucket
+    * swap as every maintainer, recording completed buckets in a
+    * `.graft_backfill` progress marker (atomic rewrite per bucket) so a
+    * crash — or a deliberate `maxBuckets` slice, the incremental API —
+    * resumes where it left off instead of restarting. Re-processing a
+    * bucket is idempotent (the expression recomputes over rows that may
+    * already carry the column). Readers mid-backfill see mixed state
+    * (filled buckets + mergeSchema NULLs) — the standard incremental-
+    * UPDATE visibility contract. On completion the persisted schema
+    * evolves and the marker is removed; a marker naming a DIFFERENT
+    * column refuses (finish one backfill before starting another).
+    * Returns the bucket ids processed in THIS call. */
+  def backfill(spark: SparkSession, targetDir: String, colName: String,
+      colExpr: Column, maxBuckets: Int = Int.MaxValue): Seq[Int] = {
+    require(maxBuckets > 0, "maxBuckets must be positive")
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val target = new Path(targetDir)
+    val fs = target.getFileSystem(hconf)
+    openTarget(fs, target)
+    val meta = TargetMeta.read(hconf, target).getOrElse(
+      throw new IllegalStateException(s"no graft table state at $targetDir"))
+    val marker = new Path(target, ".graft_backfill")
+    val done: Set[Int] = graft.util.AtomicFile.read(hconf, marker) match {
+      case Some(s) =>
+        val lines = s.linesIterator.toSeq
+        val prior = lines.headOption.getOrElse("")
+        if (prior != colName)
+          throw new IllegalStateException(
+            s"unfinished backfill of '$prior' at $targetDir — finish or clear it first")
+        lines.drop(1).filter(_.nonEmpty).map(_.toInt).toSet
+      case None =>
+        // starting fresh: refuse a column that already exists (backfill
+        // CREATES the column; recomputing an existing one should be an
+        // explicit new operation, not an accident)
+        val have = meta.schemaJson
+          .map(j => org.apache.spark.sql.types.DataType.fromJson(j)
+            .asInstanceOf[StructType].fieldNames.toSet)
+          .getOrElse(Set.empty)
+        if (have(colName))
+          throw new IllegalArgumentException(
+            s"column '$colName' already exists at $targetDir")
+        Set.empty
+    }
+    val todo = bucketIds(fs, target).filterNot(done).take(maxBuckets)
+    var outType: Option[org.apache.spark.sql.types.StructField] = None
+    todo.foreach { b =>
+      val live = new Path(target, s"$BUCKET=$b")
+      val rows = spark.read.parquet(live.toString)
+        .withColumn(colName, colExpr)
+      outType = Some(rows.schema(colName))
+      val tmp = new Path(targetDir + s".backfill.tmp/$BUCKET=$b")
+      if (fs.exists(tmp)) fs.delete(tmp, true)
+      rows.write.parquet(tmp.toString)
+      swapDir(fs, live, tmp)
+      // marker AFTER the swap: a crash in between re-processes this
+      // bucket, which is idempotent
+      graft.util.AtomicFile.write(hconf, marker,
+        (colName +: (done ++ todo.takeWhile(_ <= b)).toSeq.sorted.map(_.toString))
+          .mkString("\n"))
+    }
+    fs.delete(new Path(targetDir + ".backfill.tmp"), true)
+    val remaining = bucketIds(fs, target).filterNot(done ++ todo)
+    if (remaining.isEmpty) {
+      // complete: evolve the persisted schema, drop the marker
+      val evolved = (meta.schemaJson, outType) match {
+        case (Some(j), Some(f)) =>
+          val st = org.apache.spark.sql.types.DataType.fromJson(j).asInstanceOf[StructType]
+          if (st.fieldNames.contains(colName)) st
+          else StructType(st.fields :+ f.copy(nullable = true))
+        case (Some(j), None) if done.nonEmpty =>
+          // crash landed after the last bucket but before the schema
+          // evolve: recover the evolved shape from the data itself
+          StructType(spark.read.option("mergeSchema", true).parquet(targetDir)
+            .schema.fields.filterNot(_.name == BUCKET))
+        case (Some(j), None) =>
+          org.apache.spark.sql.types.DataType.fromJson(j).asInstanceOf[StructType]
+        case _ => null
+      }
+      if (evolved != null)
+        TargetMeta.write(hconf, target, meta.copy(schemaJson = Some(evolved.json)))
+      fs.delete(marker, false)
+    }
+    spark.catalog.refreshByPath(targetDir)
+    todo
+  }
+
   /** Shared publish discipline for a bucketed directory tree: recover any
     * interrupted earlier swap, then swap each bucket's fresh dir into place
     * (deleting the live dir when the bucket came out empty), then drop the
@@ -1052,7 +1143,7 @@ object CdcApplier {
     // swap (applyBatch/compact/optimize publish) must see the .bak'd
     // bucket's data, not a hole where the bucket was
     if (fs.exists(target)) recoverBuckets(fs, target)
-    Seq(".rebucket.tmp", ".bootstrap.tmp").foreach { suffix =>
+    Seq(".rebucket.tmp", ".bootstrap.tmp", ".backfill.tmp").foreach { suffix =>
       val staging = new Path(target.getParent, target.getName + suffix)
       if (fs.exists(staging)) fs.delete(staging, true)
     }

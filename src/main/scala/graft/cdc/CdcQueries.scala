@@ -432,6 +432,30 @@ object CdcQueries {
         .orderBy($"o_orderkey")
     }),
 
+    // ---- q171: resumable column BACKFILL — the UPDATE-analog of
+    //      additive evolution (q160 adds the column as NULL; this
+    //      populates it from an expression over existing columns, the
+    //      lake formats' UPDATE SET col = expr). The gate itself
+    //      exercises the incremental API: a bounded first slice
+    //      (maxBuckets = 3) leaves the progress marker + mixed state,
+    //      the second call resumes from the marker and completes —
+    //      exactly the crash-resume path, driven deliberately. Oracle:
+    //      the declarative projection over the base table.
+    "q171_backfill" -> ((s, dir) => {
+      import s.implicits._
+      val o = Tables.load(s, dir, "orders")
+      val target = Files.createTempDirectory("graft_cdc").toString + "/orders_bf"
+      val opts = CdcApplier.Options(Seq("o_orderkey"))
+      CdcApplier.applyBatch(s, ChangeFeed.inserts(o, $"o_orderkey" * 10), target, opts)
+      val first = CdcApplier.backfill(s, target, "o_fee",
+        $"o_totalprice" * 0.05, maxBuckets = 3)
+      require(first.size == 3, s"bounded slice must process 3 buckets, got $first")
+      CdcApplier.backfill(s, target, "o_fee", $"o_totalprice" * 0.05)
+      CdcApplier.snapshot(s, target)
+        .select((o.columns :+ "o_fee").map(col).toIndexedSeq: _*)
+        .orderBy($"o_orderkey")
+    }),
+
     // MOR as its own binlog — a downstream replica fed EXCLUSIVELY by
     // CdcApplier.changeFeed increments reconstructed from the primary's
     // delta files (op inferred from the version chain, before-images from
@@ -1489,6 +1513,11 @@ object CdcQueries {
       ORDER BY o_orderkey""",
 
     "q123_secondary_index" -> q123OracleSql,
+    "q171_backfill" -> """
+      SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+        o_orderdate, o_orderpriority,
+        o_totalprice * 0.05::DOUBLE AS o_fee
+      FROM orders ORDER BY o_orderkey""",
     // q170 is q123's EXACT lifecycle executed through the streaming
     // pipeline's in-batch index maintenance — equal by construction
     // (same envelope, same projected index feed, same merges), so one

@@ -37,6 +37,15 @@ object Similarity {
 
   val TopK = 5
   val NumQueries = 10 // query set = vec_id < 10
+
+  /** q172 matryoshka geometry: truncate embeddings to their first
+    * [[MrlDims]] components and renormalize (Kusupati et al. NeurIPS
+    * 2022's MRL inference trick — serve a cheap prefix, escalate to full
+    * dims only when needed); report the top-[[MrlTopK]] under the
+    * TRUNCATED metric with their full-dim cosines and full-top-k
+    * membership, the fidelity surface an MRL deployment monitors. */
+  val MrlDims = 16
+  val MrlTopK = 20
   val LshBits = 12
   val DedupCos = 0.99
   val SemCos = 0.9 // q118 semantic-dup threshold (scaled copies sit at ~1.0)
@@ -200,6 +209,44 @@ object Similarity {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- exact brute-force cosine top-k: 10 broadcast queries x corpus.
+    // ---- q172: matryoshka (MRL) truncation fidelity — truncate every
+    //      embedding to its MrlDims-prefix, renormalize, and rank against
+    //      the truncated query; report the truncated top-k with each
+    //      hit's FULL-dim cosine and whether it also makes the full-dim
+    //      top-k (the overlap an MRL serving tier monitors before
+    //      trusting the cheap prefix). Scale shape: the truncation is a
+    //      narrow slice + one extra fold per row (no shuffle); both
+    //      pools are TakeOrderedAndProject (never a global rank window
+    //      over the corpus); the rank window runs on the POOLED <=
+    //      MrlTopK rows; membership is one broadcast semi-ish left join
+    //      of two k-row frames. Every float op (dot folds, sqrt,
+    //      divisions) is the q50 engine-exact arithmetic.
+    "q172_matryoshka" -> ((s, dir) => {
+      graft.functions.GraftFunctions.register(s)
+      val e = t(s, dir, "embeddings")
+        .repartition(col("vec_id"))
+        .withColumn("nrm", sqrt(dotd(col("embedding"), col("embedding"))))
+        .withColumn("tr", slice(col("embedding"), 1, MrlDims))
+        .withColumn("tnrm", sqrt(dotd(col("tr"), col("tr"))))
+      val q = e.filter(col("vec_id") === 0)
+        .select(col("embedding").as("qe"), col("nrm").as("qn"),
+          col("tr").as("qt"), col("tnrm").as("qtn"))
+      val scored = e.filter(col("vec_id") > 0).crossJoin(broadcast(q))
+        .withColumn("cos_full", cosd(col("qe"), col("qn"), col("embedding"), col("nrm")))
+        .withColumn("cos_trunc", dotd(col("qt"), col("tr")) / (col("qtn") * col("tnrm")))
+        .select(col("vec_id"), col("cos_trunc"), col("cos_full"))
+      val tpool = scored.orderBy(col("cos_trunc").desc, col("vec_id")).limit(MrlTopK)
+        .withColumn("rank_trunc", row_number().over(
+          Window.orderBy(col("cos_trunc").desc, col("vec_id"))).cast("long"))
+      val fpool = scored.orderBy(col("cos_full").desc, col("vec_id")).limit(MrlTopK)
+        .select(col("vec_id"), lit(true).as("in_full"))
+      tpool.join(fpool, Seq("vec_id"), "left")
+        .withColumn("in_full_topk", coalesce(col("in_full"), lit(false)))
+        .select(col("vec_id"), col("rank_trunc"), col("cos_trunc"),
+          col("cos_full"), col("in_full_topk"))
+        .repartition(1).sortWithinPartitions(col("rank_trunc"))
+    }),
+
     "q50_ann_brute" -> ((s, dir) => {
       graft.functions.GraftFunctions.register(s)
       val e = t(s, dir, "embeddings")
@@ -625,6 +672,34 @@ object Similarity {
         GROUP BY a.query_id)"""
 
   val oracles: Map[String, String] = Map(
+    // q172: same slices, same dot folds, same pools, same membership join.
+    "q172_matryoshka" -> s"""
+      WITH e AS (
+        SELECT vec_id, embedding,
+          sqrt(${dotSql("embedding", "embedding")}) AS nrm,
+          embedding[1:$MrlDims] AS tr,
+          sqrt(${dotSql(s"embedding[1:$MrlDims]", s"embedding[1:$MrlDims]")}) AS tnrm
+        FROM embeddings),
+      q AS (SELECT embedding AS qe, nrm AS qn, tr AS qt, tnrm AS qtn
+            FROM e WHERE vec_id = 0),
+      scored AS (
+        SELECT e.vec_id,
+          ${dotSql("q.qt", "e.tr")} / (q.qtn * e.tnrm) AS cos_trunc,
+          ${dotSql("q.qe", "e.embedding")} / (q.qn * e.nrm) AS cos_full
+        FROM e, q WHERE e.vec_id > 0),
+      tpool AS (
+        SELECT vec_id, cos_trunc, cos_full,
+          ROW_NUMBER() OVER (ORDER BY cos_trunc DESC, vec_id) AS rank_trunc
+        FROM (SELECT * FROM scored ORDER BY cos_trunc DESC, vec_id
+              LIMIT $MrlTopK) tp),
+      fpool AS (
+        SELECT vec_id FROM scored ORDER BY cos_full DESC, vec_id
+        LIMIT $MrlTopK)
+      SELECT t.vec_id, t.rank_trunc, t.cos_trunc, t.cos_full,
+        (f.vec_id IS NOT NULL) AS in_full_topk
+      FROM tpool t LEFT JOIN fpool f ON t.vec_id = f.vec_id
+      ORDER BY t.rank_trunc""",
+
     "q50_ann_brute" -> s"""
       WITH e AS (${codesSql("")}),
       scored AS (
