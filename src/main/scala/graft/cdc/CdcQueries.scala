@@ -456,6 +456,61 @@ object CdcQueries {
         .orderBy($"o_orderkey")
     }),
 
+    // ---- q174: incremental JOIN-view maintenance — the join member of
+    //      the IVM family (q79 SUM/COUNT fold, q89 MIN/MAX rescan): a
+    //      materialized orders ⋈ customer view maintained by affected-key
+    //      recompute under CDC batches to BOTH tables. The lifecycle
+    //      plants every hazard class: fact value updates (%7 reprice —
+    //      view row updates), join-column MOVES (%13 custkey+1 — the view
+    //      row switches partner, or DROPS when +1 lands past the last
+    //      customer), dim value updates (%5 acctbal — ALL that customer's
+    //      order rows update), dim deletes (%17 — all their order rows
+    //      vanish). Cost per batch ∝ affected keys × join, never |view|.
+    //      Oracle: the declarative final-state join.
+    "q174_ivm_join" -> ((s, dir) => {
+      import s.implicits._
+      val o = Tables.load(s, dir, "orders")
+      val c = Tables.load(s, dir, "customer")
+      val root = Files.createTempDirectory("graft_cdc").toString
+      val fact = root + "/o"; val dim = root + "/c"; val view = root + "/v"
+      val fopts = CdcApplier.Options(Seq("o_orderkey"))
+      val dopts = CdcApplier.Options(Seq("c_custkey"))
+
+      CdcApplier.applyBatch(s, ChangeFeed.inserts(o, $"o_orderkey" * 10), fact, fopts)
+      CdcApplier.applyBatch(s, ChangeFeed.inserts(c, $"c_custkey" * 10), dim, dopts)
+      IncrementalView.maintainJoinView(s, fact, dim, view, 1000000L,
+        o.select($"o_orderkey"), c.select($"c_custkey"),
+        "o_orderkey", "o_custkey", "c_custkey")
+
+      // one combined image per touched fact key (q79's discipline: a key
+      // hit by BOTH rules carries both changes in one winning image)
+      val fcond = $"o_orderkey" % 7 === 0 || $"o_orderkey" % 13 === 0
+      val fb = ChangeFeed.updates(o.filter(fcond),
+        Map(
+          "o_totalprice" -> when($"o_orderkey" % 7 === 0, $"o_totalprice" * 1.2)
+            .otherwise($"o_totalprice"),
+          "o_custkey" -> when($"o_orderkey" % 13 === 0, $"o_custkey" + 1)
+            .otherwise($"o_custkey")),
+        $"o_orderkey" * 10 + 5)
+      val db = ChangeFeed.updates(
+          c.filter($"c_custkey" % 5 === 0 && $"c_custkey" % 17 =!= 0),
+          Map("c_acctbal" -> ($"c_acctbal" + 100.0)), $"c_custkey" * 10 + 5)
+        .union(ChangeFeed.deletes(c.filter($"c_custkey" % 17 === 0),
+          $"c_custkey" * 10 + 7))
+      CdcApplier.applyBatch(s, fb, fact, fopts)
+      CdcApplier.applyBatch(s, db, dim, dopts)
+      IncrementalView.maintainJoinView(s, fact, dim, view, 2000000L,
+        o.filter(fcond).select($"o_orderkey"),
+        c.filter($"c_custkey" % 5 === 0 || $"c_custkey" % 17 === 0)
+          .select($"c_custkey"),
+        "o_orderkey", "o_custkey", "c_custkey")
+
+      CdcApplier.snapshot(s, view).drop("_graft_pos")
+        .select((o.columns ++ c.columns.filterNot(_ == "c_custkey"))
+          .map(col).toIndexedSeq: _*)
+        .orderBy($"o_orderkey")
+    }),
+
     // MOR as its own binlog — a downstream replica fed EXCLUSIVELY by
     // CdcApplier.changeFeed increments reconstructed from the primary's
     // delta files (op inferred from the version chain, before-images from
@@ -1513,6 +1568,28 @@ object CdcQueries {
       ORDER BY o_orderkey""",
 
     "q123_secondary_index" -> q123OracleSql,
+    // q174: declarative replay — mutated orders joined to surviving
+    // mutated customers; a %13 move past the last custkey simply finds
+    // no partner and the row is absent.
+    "q174_ivm_join" -> """
+      WITH o2 AS (
+        SELECT o_orderkey,
+          CASE WHEN o_orderkey % 13 = 0 THEN o_custkey + 1 ELSE o_custkey END AS o_custkey,
+          o_orderstatus,
+          CASE WHEN o_orderkey % 7 = 0 THEN o_totalprice * 1.2 ELSE o_totalprice END AS o_totalprice,
+          o_orderdate, o_orderpriority
+        FROM orders),
+      c2 AS (
+        SELECT c_custkey, c_name, c_nationkey,
+          CASE WHEN c_custkey % 5 = 0 THEN c_acctbal + 100.0 ELSE c_acctbal END AS c_acctbal,
+          c_mktsegment
+        FROM customer WHERE c_custkey % 17 <> 0)
+      SELECT o2.o_orderkey, o2.o_custkey, o2.o_orderstatus, o2.o_totalprice,
+        o2.o_orderdate, o2.o_orderpriority,
+        c2.c_name, c2.c_nationkey, c2.c_acctbal, c2.c_mktsegment
+      FROM o2 JOIN c2 ON o2.o_custkey = c2.c_custkey
+      ORDER BY o_orderkey""",
+
     "q171_backfill" -> """
       SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
         o_orderdate, o_orderpriority,

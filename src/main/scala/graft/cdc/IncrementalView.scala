@@ -69,6 +69,55 @@ object IncrementalView {
     batches.map(delta(_, key, value)).reduce(merge(_, _, key))
       .filter(col("cnt") > 0)
 
+  /** Incremental equi-JOIN view maintenance — the join member of the IVM
+    * family (SUM/COUNT fold above, MIN/MAX rescan below; this maintains a
+    * materialized `fact ⋈ dim` keyed by the fact PK). Affected-key
+    * recompute, the same discipline as the MIN/MAX rescan: a batch's
+    * affected fact keys are its OWN changed keys PLUS the fact keys whose
+    * join column hits a changed dim key (one semi-join against the fact
+    * store — at scale served by a `bucketCols = joinCol` secondary layout
+    * or q147's bloom pruning; never a view rebuild). Those keys are
+    * re-joined against the CURRENT stores and merged into the bucketed
+    * view through the ordinary applier: fresh join rows upsert, affected
+    * keys whose join row disappeared (fact deleted, partner dim deleted,
+    * or the join column MOVED to a nonexistent partner) delete. Cost per
+    * batch ∝ affected keys × join, never |view|; replay converges by the
+    * applier's position guard.
+    *
+    * `factKeys` / `dimKeys`: one column each (`factKey` / `dimKey`) with
+    * the batch's changed keys — exactly what a CDC batch's before+after
+    * key projection yields. */
+  def maintainJoinView(spark: SparkSession, factDir: String, dimDir: String,
+      viewDir: String, pos: Long, factKeys: DataFrame, dimKeys: DataFrame,
+      factKey: String, joinCol: String, dimKey: String): Unit = {
+    val fact = CdcApplier.snapshot(spark, factDir).drop(CdcApplier.POS)
+    val dim = CdcApplier.snapshot(spark, dimDir).drop(CdcApplier.POS)
+    val affected = factKeys.select(col(factKey))
+      .unionByName(
+        fact.join(dimKeys, col(joinCol) === col(dimKey), "left_semi")
+          .select(col(factKey)))
+      .distinct()
+    val recomputed = fact
+      .join(affected.withColumnRenamed(factKey, "_aff"),
+        col(factKey) === col("_aff"), "left_semi")
+      .join(dim, col(joinCol) === col(dimKey))
+      .drop(dimKey)
+    val upserts = ChangeFeed.inserts(recomputed, lit(pos))
+    val gone = CdcApplier.snapshotIfBootstrapped(spark, viewDir) match {
+      case Some(v) =>
+        val cur = v.drop(CdcApplier.POS)
+          .select(recomputed.columns.map(col).toIndexedSeq: _*)
+        ChangeFeed.deletes(
+          cur.join(affected, Seq(factKey), "left_semi")
+            .join(recomputed.select(col(factKey)), Seq(factKey), "left_anti"),
+          lit(pos))
+      case None => upserts.limit(0)
+    }
+    CdcApplier.applyBatch(spark, upserts.unionByName(gone), viewDir,
+      CdcApplier.Options(Seq(factKey)))
+    ()
+  }
+
   // ---- MIN/MAX (+ AVG) maintenance. AVG is free: it derives from the
   //      self-maintainable (sum, cnt) at read time. MIN/MAX are NOT
   //      self-maintainable under deletes (removing the current extreme

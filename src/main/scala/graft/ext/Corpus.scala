@@ -111,6 +111,10 @@ object Corpus {
   val UniMaxWordLen = 8
   val UniMaxPieceLen = 4
 
+  /** q173 training-sequence length (tokens per packed block, EOS
+    * included). Shared by the Spark plan and the oracle. */
+  val SeqLen = 512L
+
   /** Per-word Viterbi winner under the seed unigram LM — (w, f, seg) with
     * `seg` the '|'-joined best segmentation. Shared by the EM M-step
     * (q164) and corpus encoding (q168), so the training-time and
@@ -1116,6 +1120,39 @@ object Corpus {
     //      distinct words, so the E-step cost is corpus-size-independent.
     "q164_unigram_lm" -> ((s, dir) => unigramStep(t(s, dir, "documents"))),
 
+    // ---- q173: concat-and-chunk SEQUENCE packing — the GPT-style
+    //      pretraining layout q56's budget packing stops short of: all of
+    //      a source's documents are concatenated in doc_id order (one EOS
+    //      token after each doc) and the token stream is cut into fixed
+    //      SeqLen blocks; a document can SPAN blocks and a block can hold
+    //      many documents. Per block: how many documents intersect it,
+    //      its token fill (SeqLen everywhere except each source's last
+    //      block), and the first document — the provenance a data loader
+    //      needs. Scale shape: the global offset is a per-SOURCE running
+    //      sum (one exchange on source, the shard a packer actually works
+    //      in — never a corpus-global single-partition window); the
+    //      block-span explode is ceil(n/SeqLen) rows per doc; the final
+    //      agg is partial+final on (source, block).
+    "q173_sequence_pack" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"), col("source"),
+          (wsTokenCount(col("text")) + lit(1L)).as("n")) // +1 = the EOS
+      val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val spans = docs.withColumn("endc", sum(col("n")).over(w))
+        .withColumn("strt", col("endc") - col("n"))
+        .select(col("source"), col("doc_id"), col("strt"),
+          (col("endc") - 1).as("e"),
+          explode(expr(s"sequence(strt div $SeqLen, (endc - 1) div $SeqLen)"))
+            .as("seq_id"))
+      spans.groupBy(col("source"), col("seq_id"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(least(col("e"), (col("seq_id") + 1) * SeqLen - 1) -
+            greatest(col("strt"), col("seq_id") * SeqLen) + 1).as("n_tokens"),
+          min(col("doc_id")).as("first_doc"))
+        .repartition(1).sortWithinPartitions(col("source"), col("seq_id"))
+    }),
+
     // ---- q168: tokenize the corpus with the TRAINED unigram LM — the
     //      q112 complement (BPE learns merges, q112 applies them; q164
     //      learns piece probabilities, this applies the Viterbi
@@ -1877,6 +1914,30 @@ object Corpus {
           FROM seg) y
         GROUP BY 1)
       SELECT pair, cnt FROM p2 ORDER BY cnt DESC, pair""",
+
+    // q173: the same per-source running sum, block-span explode, and
+    // overlap arithmetic, replayed declaratively.
+    "q173_sequence_pack" -> s"""
+      WITH d AS (
+        SELECT doc_id, source, ${wsTokenCountSql("text")} + 1 AS n
+        FROM documents),
+      s AS (
+        SELECT doc_id, source, n,
+          sum(n) OVER (PARTITION BY source ORDER BY doc_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS endc
+        FROM d),
+      sp AS (
+        SELECT source, doc_id, CAST(endc - n AS BIGINT) AS strt,
+          CAST(endc - 1 AS BIGINT) AS e,
+          unnest(range(CAST((endc - n) // $SeqLen AS BIGINT),
+            CAST((endc - 1) // $SeqLen + 1 AS BIGINT))) AS seq_id
+        FROM s)
+      SELECT source, seq_id, CAST(count(*) AS BIGINT) AS n_docs,
+        CAST(sum(least(e, (seq_id + 1) * $SeqLen - 1)
+          - greatest(strt, seq_id * $SeqLen) + 1) AS BIGINT) AS n_tokens,
+        CAST(min(doc_id) AS BIGINT) AS first_doc
+      FROM sp GROUP BY source, seq_id
+      ORDER BY source, seq_id""",
 
     // Declarative replay of q164's hard-EM step: same seed substrings,
     // same explicit boundary-mask lattice, same left-to-right probability
