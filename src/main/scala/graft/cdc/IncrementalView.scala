@@ -90,6 +90,19 @@ object IncrementalView {
   def maintainJoinView(spark: SparkSession, factDir: String, dimDir: String,
       viewDir: String, pos: Long, factKeys: DataFrame, dimKeys: DataFrame,
       factKey: String, joinCol: String, dimKey: String): Unit = {
+    val env = joinViewDelta(spark, factDir, dimDir, viewDir, pos,
+      factKeys, dimKeys, factKey, joinCol, dimKey)
+    CdcApplier.applyBatch(spark, env, viewDir, CdcApplier.Options(Seq(factKey)))
+    ()
+  }
+
+  /** [[maintainJoinView]]'s delta stage, exposed so its plan shape (semi
+    * joins for affected-key pruning, equi joins only) can be asserted
+    * directly — the applier underneath is the ordinary q30 path. */
+  private[graft] def joinViewDelta(spark: SparkSession, factDir: String,
+      dimDir: String, viewDir: String, pos: Long, factKeys: DataFrame,
+      dimKeys: DataFrame, factKey: String, joinCol: String, dimKey: String)
+      : DataFrame = {
     val fact = CdcApplier.snapshot(spark, factDir).drop(CdcApplier.POS)
     val dim = CdcApplier.snapshot(spark, dimDir).drop(CdcApplier.POS)
     val affected = factKeys.select(col(factKey))
@@ -113,9 +126,7 @@ object IncrementalView {
           lit(pos))
       case None => upserts.limit(0)
     }
-    CdcApplier.applyBatch(spark, upserts.unionByName(gone), viewDir,
-      CdcApplier.Options(Seq(factKey)))
-    ()
+    upserts.unionByName(gone)
   }
 
   // ---- MIN/MAX (+ AVG) maintenance. AVG is free: it derives from the

@@ -739,6 +739,49 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin"), p)
   }
 
+  test("q169: RRF arms pool via TakeOrdered — no global rank over the corpus") {
+    val p = plan("q169_hybrid_rrf")
+    assert(!p.contains("CartesianProduct"), p)
+    // both arms bound their candidates with a limit-pushed sort, and the
+    // corpus-sized frames never flow through an unpartitioned rank window
+    // (the only windows run on the <= RrfPool pooled rows)
+    assert(p.contains("TakeOrderedAndProject"), "arm pools must be top-k: " + p)
+  }
+
+  test("q173: packing offsets are per-source windows — never corpus-global") {
+    val p = plan("q173_sequence_pack")
+    assert(!p.contains("CartesianProduct"), p)
+    // the running sum partitions by source; an unpartitioned window spec
+    // (single-task prefix sum over the corpus) must not appear
+    assert(p.contains("windowspecdefinition(source"), "per-source window: " + p)
+  }
+
+  test("q174: join-view delta is semi/equi joins — cost tracks affected keys") {
+    // the gate's returned frame is the view READ (the joins ran inside
+    // maintenance), so lock the delta stage's own plan: build the two
+    // stores and plan one maintenance batch
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft_plan").toString
+    val o = graft.Tables.load(spark, dir, "orders")
+    val c = graft.Tables.load(spark, dir, "customer")
+    graft.cdc.CdcApplier.applyBatch(spark,
+      graft.cdc.ChangeFeed.inserts(o, $"o_orderkey" * 10), s"$root/o",
+      graft.cdc.CdcApplier.Options(Seq("o_orderkey")))
+    graft.cdc.CdcApplier.applyBatch(spark,
+      graft.cdc.ChangeFeed.inserts(c, $"c_custkey" * 10), s"$root/c",
+      graft.cdc.CdcApplier.Options(Seq("c_custkey")))
+    val env = graft.cdc.IncrementalView.joinViewDelta(spark, s"$root/o",
+      s"$root/c", s"$root/v", 100L,
+      o.filter($"o_orderkey" % 7 === 0).select($"o_orderkey"),
+      c.filter($"c_custkey" % 5 === 0).select($"c_custkey"),
+      "o_orderkey", "o_custkey", "c_custkey")
+    env.queryExecution.toRdd.foreach(_ => ())
+    val p = env.queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("LeftSemi"), "affected-key pruning must be semi joins: " + p)
+  }
+
   test("q144: winnow candidates come from a fingerprint equi-join — no all-pairs") {
     val p = plan("q144_winnow_overlap")
     assert(!p.contains("CartesianProduct"), p)
