@@ -85,6 +85,11 @@ object TextOps {
 
   private val stopwords = Seq("the", "a", "of", "and", "to", "in")
 
+  /** q175 admission cut: a doc survives when its within-source quality
+    * percent_rank is at or above this (every source contributes its best
+    * 30%). Shared by the Spark plan and the oracle. */
+  val CalibAdmit = 0.7
+
   /** Per-document quality score (q49's blend), factored so pipeline
     * compositions (q91's quality-based survivor selection) provably rank
     * by the SAME score the quality gate exports. Returns (doc_id,
@@ -374,6 +379,31 @@ object TextOps {
       qualityScore(t(s, dir, "documents"))
         .repartition(1).sortWithinPartitions(col("doc_id"))),
 
+    // ---- q175: cross-domain score CALIBRATION — raw quality scores are
+    //      not comparable across sources (each domain has its own score
+    //      distribution; a global threshold would starve hard domains and
+    //      flood easy ones), so production filters rank-normalize per
+    //      source first: percent_rank of the SHARED q49 quality score
+    //      within each source, then one global admission cut — every
+    //      domain contributes its best (1 - CalibAdmit) fraction
+    //      regardless of absolute score level (the CCNet/quality-filter
+    //      bucketing discipline, q113's tercile cousin with a continuous
+    //      rank). Scale: one exchange on source, the rank window runs
+    //      per-source partition, admission is a per-row compare;
+    //      percent_rank's (rank-1)/(n-1) is the same exact division in
+    //      both engines (ties share a rank on both sides).
+    "q175_score_calibration" -> ((s, dir) => {
+      import s.implicits._
+      val docs = t(s, dir, "documents")
+      val q = qualityScore(docs).join(docs.select($"doc_id", $"source"), "doc_id")
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy($"source").orderBy($"quality")
+      q.withColumn("pct", percent_rank().over(w))
+        .withColumn("admitted", $"pct" >= lit(CalibAdmit))
+        .select($"doc_id", $"source", $"quality", $"pct", $"admitted")
+        .repartition(1).sortWithinPartitions($"doc_id")
+    }),
+
     // ---- q90 PII scrubbing: redact emails / phones / IPv4s before a
     //      corpus ships to training — the compliance step of the pipeline.
     //      PII is PLANTED deterministically (the word-soup corpus has
@@ -521,6 +551,19 @@ object TextOps {
     "q49_quality_score" -> s"""
       SELECT doc_id, quality FROM (${qualitySql("documents")})
       ORDER BY doc_id""",
+
+    "q175_score_calibration" -> s"""
+      WITH q AS (${qualitySql("documents")}),
+      j AS (
+        SELECT q.doc_id, d.source, q.quality
+        FROM q JOIN documents d ON d.doc_id = q.doc_id),
+      r AS (
+        SELECT doc_id, source, quality,
+          percent_rank() OVER (PARTITION BY source ORDER BY quality) AS pct
+        FROM j)
+      SELECT doc_id, source, quality, pct,
+        pct >= $CalibAdmit::DOUBLE AS admitted
+      FROM r ORDER BY doc_id""",
 
     "q90_pii_scrub" -> s"""
       WITH planted AS (

@@ -975,6 +975,20 @@ class CdcApplierSpec extends AnyFunSuite {
       .withColumn("sn", when(lit(true), lit(null).cast("int")))
     intercept[Exception](
       CdcApplier.bootstrap(spark, badSeed, newTarget(), 10L, opts))
+
+    // Re-bootstrap over a MOR target preserves the storage mode and sets
+    // the collapsed watermark (all pre-seed version history is gone, so
+    // as-of reads below the seed position must refuse).
+    val morT = newTarget()
+    CdcApplier.applyBatchMor(spark, ev("insert", 10, None, Some(s1)), morT, opts)
+    CdcApplier.bootstrap(spark, Seq(s1v2).toDF(), morT, 500L, opts)
+    val morMeta = CdcApplier.TargetMeta.read(hconf, new Path(morT)).get
+    assert(morMeta.storage.contains("mor") && morMeta.collapsed.contains(500L))
+    assert(state(morT) == Set(s1v2))
+    intercept[IllegalArgumentException](CdcApplier.snapshotAsOf(spark, morT, 400L))
+    // and the delta path still applies on top of the seed
+    CdcApplier.applyBatchMor(spark, ev("insert", 600, None, Some(s2)), morT, opts)
+    assert(state(morT) == Set(s1v2, s2))
   }
 
   test("openTarget: EVERY reader heals a crashed rebucket; stale staging reclaimed") {
