@@ -64,7 +64,8 @@ object Bench {
       "q138_mor_changefeed", "q147_bloom_join", "q149_stream_kmv",
       "q153_rebucket", "q154_stream_para_dedup", "q160_schema_evolution",
       "q161_stream_schema_evolution", "q162_stream_sliding",
-      "q163_bootstrap", "q165_stream_full_outer", "q170_stream_index")
+      "q163_bootstrap", "q165_stream_full_outer", "q170_stream_index",
+      "q171_backfill", "q174_ivm_join")
     selected.foreach { case (name, fn) =>
       try {
         // Run twice, report the second: the first run absorbs positional

@@ -858,9 +858,15 @@ object CdcApplier {
       col(BUCKET))
     val tmp = new Path(targetDir + ".optimize.tmp")
     if (fs.exists(tmp)) fs.delete(tmp, true)
+    // bin salt hashes the PK columns (when persisted) plus POS: a
+    // freshly-bootstrapped bucket has ONE position for every row, and a
+    // POS-only salt would collapse an oversized bucket into a single
+    // oversized file instead of its bin-packed target
+    val meta = TargetMeta.read(hconf, target)
+    val saltCols = meta.flatMap(_.pkCols).getOrElse(Seq.empty).map(col) :+ col(POS)
     spark.read.option("mergeSchema", true).parquet(targetDir)
       .filter(col(BUCKET).isin(touched.map(Int.box): _*))
-      .withColumn("_graft_bin", pmod(hash(col(POS)), binOf))
+      .withColumn("_graft_bin", pmod(hash(saltCols: _*), binOf))
       .repartition(math.max(1, plan.values.sum), col(BUCKET), col("_graft_bin"))
       .drop("_graft_bin")
       .write.partitionBy(BUCKET).mode("overwrite").parquet(tmp.toString)
