@@ -511,6 +511,53 @@ object CdcQueries {
         .orderBy($"o_orderkey")
     }),
 
+    // ---- q176: incremental TOP-K view maintenance — the rank-slot
+    //      member of the IVM family (q79 fold, q89 min/max = top-1
+    //      rescan, q174 join): a per-priority top-3-by-price view keyed
+    //      (priority, rank), maintained by affected-group rescan. The
+    //      lifecycle plants the promotion hazard (deleting %11 keys —
+    //      some of them current top rows — must promote rank-4 from
+    //      below), group moves (%13 repriority touches BOTH groups), and
+    //      in-group reorders (%7 reprice). Oracle: the final-state rank
+    //      window.
+    "q176_ivm_topk" -> ((s, dir) => {
+      import s.implicits._
+      val o = Tables.load(s, dir, "orders")
+      val root = Files.createTempDirectory("graft_cdc").toString
+      val fact = root + "/o"; val view = root + "/v"
+      val fopts = CdcApplier.Options(Seq("o_orderkey"))
+
+      CdcApplier.applyBatch(s, ChangeFeed.inserts(o, $"o_orderkey" * 10), fact, fopts)
+      IncrementalView.maintainTopKView(s, fact, view, 1000000L,
+        o.select($"o_orderpriority"), "o_orderpriority", "o_totalprice",
+        "o_orderkey", 3)
+
+      val fcond = $"o_orderkey" % 7 === 0 || $"o_orderkey" % 13 === 0
+      val fb = ChangeFeed.updates(o.filter(fcond),
+          Map(
+            "o_totalprice" -> when($"o_orderkey" % 7 === 0, $"o_totalprice" * 1.2)
+              .otherwise($"o_totalprice"),
+            "o_orderpriority" -> when($"o_orderkey" % 13 === 0, lit("5-LOW"))
+              .otherwise($"o_orderpriority")),
+          $"o_orderkey" * 10 + 5)
+        .union(ChangeFeed.deletes(
+          o.filter($"o_orderkey" % 11 === 0 && !($"o_orderkey" % 7 === 0
+            || $"o_orderkey" % 13 === 0)),
+          $"o_orderkey" * 10 + 7))
+      CdcApplier.applyBatch(s, fb, fact, fopts)
+      // affected groups: old priorities of every touched key, plus the
+      // move target — exactly what a CDC batch's before+after yields
+      val touched = o.filter(fcond ||
+          ($"o_orderkey" % 11 === 0)).select($"o_orderpriority")
+        .unionByName(Seq("5-LOW").toDF("o_orderpriority"))
+      IncrementalView.maintainTopKView(s, fact, view, 2000000L,
+        touched, "o_orderpriority", "o_totalprice", "o_orderkey", 3)
+
+      CdcApplier.snapshot(s, view).drop("_graft_pos")
+        .select($"o_orderpriority", $"rnk", $"o_orderkey", $"o_totalprice")
+        .orderBy($"o_orderpriority", $"rnk")
+    }),
+
     // MOR as its own binlog — a downstream replica fed EXCLUSIVELY by
     // CdcApplier.changeFeed increments reconstructed from the primary's
     // delta files (op inferred from the version chain, before-images from
@@ -1589,6 +1636,28 @@ object CdcQueries {
         c2.c_name, c2.c_nationkey, c2.c_acctbal, c2.c_mktsegment
       FROM o2 JOIN c2 ON o2.o_custkey = c2.c_custkey
       ORDER BY o_orderkey""",
+
+    // q176: final-state rank window — %11 keys delete only when not
+    // also update-touched (one op per key per batch), %13 moves rank in
+    // their NEW group, %7 reprices reorder in place.
+    "q176_ivm_topk" -> """
+      WITH o2 AS (
+        SELECT o_orderkey,
+          CASE WHEN o_orderkey % 13 = 0 THEN '5-LOW' ELSE o_orderpriority END
+            AS o_orderpriority,
+          CASE WHEN o_orderkey % 7 = 0 THEN o_totalprice * 1.2 ELSE o_totalprice END
+            AS o_totalprice
+        FROM orders
+        WHERE NOT (o_orderkey % 11 = 0 AND o_orderkey % 7 <> 0
+          AND o_orderkey % 13 <> 0)),
+      r AS (
+        SELECT o_orderpriority, o_orderkey, o_totalprice,
+          ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+            ORDER BY o_totalprice DESC, o_orderkey) AS rnk
+        FROM o2)
+      SELECT o_orderpriority, rnk, o_orderkey, o_totalprice
+      FROM r WHERE rnk <= 3
+      ORDER BY o_orderpriority, rnk""",
 
     "q171_backfill" -> """
       SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,

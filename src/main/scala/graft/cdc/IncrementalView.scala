@@ -96,6 +96,44 @@ object IncrementalView {
     ()
   }
 
+  /** Incremental TOP-K view maintenance — generalizes the q89 MIN/MAX
+    * rescan (top-1) to rank slots: a materialized per-group top-k (rank
+    * window over `ord` DESC, `key` tiebreak) keyed by (group, rank).
+    * Affected-GROUP rescan: only the groups a batch touched (its
+    * before+after group keys) re-rank — each costs its own group's rows,
+    * bucket-pruned by the (grp, rnk) layout's hash on real deployments —
+    * and merge through the ordinary applier: fresh slots upsert, slots a
+    * shrunken group no longer fills delete. Deletes of current top rows
+    * therefore PROMOTE from below (the hazard a naive monotone view gets
+    * wrong), and group-moving updates touch both the old and new group.
+    * Cost ∝ affected groups × group size, never |fact|. */
+  def maintainTopKView(spark: SparkSession, factDir: String, viewDir: String,
+      pos: Long, groups: DataFrame, grp: String, ord: String, key: String,
+      k: Int): Unit = {
+    import org.apache.spark.sql.expressions.Window
+    val fact = CdcApplier.snapshot(spark, factDir).drop(CdcApplier.POS)
+    val affected = groups.select(col(grp)).distinct()
+    val w = Window.partitionBy(col(grp)).orderBy(col(ord).desc, col(key))
+    val recomputed = fact.join(affected, Seq(grp), "left_semi")
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= k)
+    val upserts = ChangeFeed.inserts(recomputed, lit(pos))
+    val gone = CdcApplier.snapshotIfBootstrapped(spark, viewDir) match {
+      case Some(v) =>
+        val cur = v.drop(CdcApplier.POS)
+          .select(recomputed.columns.map(col).toIndexedSeq: _*)
+        ChangeFeed.deletes(
+          cur.join(affected, Seq(grp), "left_semi")
+            .join(recomputed.select(col(grp), col("rnk")),
+              Seq(grp, "rnk"), "left_anti"),
+          lit(pos))
+      case None => upserts.limit(0)
+    }
+    CdcApplier.applyBatch(spark, upserts.unionByName(gone), viewDir,
+      CdcApplier.Options(Seq(grp, "rnk")))
+    ()
+  }
+
   /** [[maintainJoinView]]'s delta stage, exposed so its plan shape (semi
     * joins for affected-key pruning, equi joins only) can be asserted
     * directly — the applier underneath is the ordinary q30 path. */
