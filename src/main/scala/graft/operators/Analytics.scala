@@ -79,6 +79,49 @@ object Analytics {
         .repartition(1).sortWithinPartitions(col("col_name"))
     }),
 
+    // ---- q177: chi-square distribution drift — the numeric complement
+    //      of q124's token drift: does the value distribution of the
+    //      SECOND half of the event stream differ from the first
+    //      (feature drift between a training snapshot and fresh data)?
+    //      Chi-square instead of PSI deliberately: PSI's log rides libm
+    //      whose last ulp differs across engines, while (o-e)²/e is
+    //      mul/div-only — every step correctly-rounded IEEE, the summed
+    //      terms SUMD'd (order-independent). The time split is the
+    //      integer midpoint of the epoch range (driver arithmetic both
+    //      engines replay); values bucket into 10 fixed-width bins;
+    //      buckets unseen in the baseline can't contribute a finite term
+    //      (e = 0) and are reported as n_novel instead. Scale: ONE table
+    //      pass into a (type, bucket, period) partial+final agg (30-cell
+    //      frames per type), then per-type arithmetic on the tiny pivot.
+    "q177_chi2_drift" -> ((s, dir) => {
+      val ev = Tables.load(s, dir, "events")
+        .select(col("event_type"), unix_timestamp(col("ts")).as("tsec"),
+          least(greatest(floor(col("value") / 10.0), lit(0.0)), lit(9.0))
+            .cast("long").as("bkt"))
+      // integer floor-division midpoint: both engines' `div`/`//` floor,
+      // while double-divide-then-cast would trunc in Spark and round in
+      // DuckDB on odd sums
+      val mid = ev.agg(expr("(min(tsec) + max(tsec)) div 2").as("mid"))
+      val cells = ev.crossJoin(broadcast(mid))
+        .groupBy(col("event_type"), col("bkt"))
+        .agg(sum(when(col("tsec") < col("mid"), 1L).otherwise(0L)).as("b"),
+          sum(when(col("tsec") >= col("mid"), 1L).otherwise(0L)).as("o"))
+      val totals = cells.groupBy(col("event_type"))
+        .agg(sum(col("b")).as("nb"), sum(col("o")).as("no"))
+      cells.join(totals, "event_type")
+        .withColumn("e", col("no").cast("double") *
+          (col("b").cast("double") / col("nb").cast("double")))
+        .groupBy(col("event_type"))
+        .agg(max(col("nb")).as("n_base"), max(col("no")).as("n_cur"),
+          graft.util.Sumd.sumd(
+            when(col("b") > 0,
+              (col("o").cast("double") - col("e")) *
+                (col("o").cast("double") - col("e")) / col("e"))
+              .otherwise(lit(0.0))).as("chi2"),
+          sum(when(col("b") === 0, col("o")).otherwise(0L)).as("n_novel"))
+        .repartition(1).sortWithinPartitions(col("event_type"))
+    }),
+
     // ---- q143: declarative data-quality expectations (the Deequ/Great-
     //      Expectations audit every ingestion pipeline gates a publish on;
     //      Schelter et al. VLDB 2018 is the public design) — one row per
@@ -287,6 +330,32 @@ object Analytics {
   )
 
   val oracles: Map[String, String] = Map(
+    "q177_chi2_drift" -> s"""
+      WITH ev AS (
+        SELECT event_type, CAST(FLOOR(epoch(ts)) AS BIGINT) AS tsec,
+          CAST(least(greatest(floor(value / 10.0), 0.0), 9.0) AS BIGINT) AS bkt
+        FROM events),
+      m AS (SELECT (min(tsec) + max(tsec)) // 2 AS mid FROM ev),
+      cells AS (
+        SELECT event_type, bkt,
+          CAST(count(*) FILTER (WHERE tsec < mid) AS BIGINT) AS b,
+          CAST(count(*) FILTER (WHERE tsec >= mid) AS BIGINT) AS o
+        FROM ev, m GROUP BY event_type, bkt),
+      t AS (
+        SELECT event_type, CAST(sum(b) AS BIGINT) AS nb,
+          CAST(sum(o) AS BIGINT) AS no
+        FROM cells GROUP BY event_type),
+      x AS (
+        SELECT c.event_type, c.b, c.o, t.nb, t.no,
+          t.no::DOUBLE * (c.b::DOUBLE / t.nb::DOUBLE) AS e
+        FROM cells c JOIN t USING (event_type))
+      SELECT event_type, max(nb) AS n_base, max(no) AS n_cur,
+        ${graft.util.Sumd.SUMD(
+          "CASE WHEN b > 0 THEN (o::DOUBLE - e) * (o::DOUBLE - e) / e ELSE 0.0 END")}
+          AS chi2,
+        CAST(sum(CASE WHEN b = 0 THEN o ELSE 0 END) AS BIGINT) AS n_novel
+      FROM x GROUP BY event_type ORDER BY event_type""",
+
     "q167_histograms" -> {
       val arms = HistCols.map(c =>
         s"SELECT '$c' AS col_name, CAST($c AS DOUBLE) AS v FROM lineitem")
