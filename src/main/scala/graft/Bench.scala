@@ -65,7 +65,8 @@ object Bench {
       "q153_rebucket", "q154_stream_para_dedup", "q160_schema_evolution",
       "q161_stream_schema_evolution", "q162_stream_sliding",
       "q163_bootstrap", "q165_stream_full_outer", "q170_stream_index",
-      "q171_backfill", "q174_ivm_join")
+      "q171_backfill", "q174_ivm_join", "q181_mor_vacuum",
+      "q182_stream_chi2_drift")
     selected.foreach { case (name, fn) =>
       try {
         // Run twice, report the second: the first run absorbs positional

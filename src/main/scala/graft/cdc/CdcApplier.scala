@@ -562,6 +562,49 @@ object CdcApplier {
     buckets
   }
 
+  /** VACUUM with a retention window — the partial-history form of
+    * [[compactMor]] (public design point: Delta's VACUUM + log retention,
+    * Iceberg's `expire_snapshots`): versions strictly below
+    * `retainFromPos` collapse to ONE latest-per-key image (tombstones
+    * kept — the [[compactMor]] replay-guard rule), versions at/above it
+    * survive as deltas, so [[snapshotAsOf]] stays answerable for every
+    * position inside the retention window while the pre-window history's
+    * storage and read-side window cost are reclaimed. [[compactMor]] is
+    * the retainFromPos = +inf special case. The new as-of floor is the
+    * max collapsed position; current-state reads are bit-identical
+    * before/after (the collapsed image keeps each winner's own pos/del).
+    * Rides the same crash-safe per-bucket swap; a no-op (nothing below
+    * the window) touches nothing. */
+  def vacuumMor(spark: SparkSession, targetDir: String, retainFromPos: Long): Seq[Int] = {
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val target = new Path(targetDir)
+    val fs = target.getFileSystem(hconf)
+    openTarget(fs, target)
+    val meta = TargetMeta.read(hconf, target).getOrElse(
+      throw new IllegalStateException(s"no graft table state at $targetDir"))
+    if (!meta.storage.contains("mor"))
+      throw new IllegalStateException(s"$targetDir is not a mor layout")
+    val pkCols = meta.pkCols.getOrElse(
+      throw new IllegalStateException(s"mor layout at $targetDir has no persisted PK"))
+    val buckets = bucketIds(fs, target)
+    if (buckets.isEmpty) return Seq.empty
+    val raw = spark.read.option("mergeSchema", true).parquet(targetDir)
+    val old = raw.filter(col(POS) < retainFromPos)
+    val oldMaxRow = old.agg(max(col(POS))).collect()(0)
+    if (oldMaxRow.isNullAt(0)) return Seq.empty // nothing below the window
+    val oldMax = oldMaxRow.getLong(0)
+    val merged = resolveOnRead(old, pkCols)
+      .unionByName(raw.filter(col(POS) >= retainFromPos))
+    val tmp = new Path(targetDir + ".tmp")
+    if (fs.exists(tmp)) fs.delete(tmp, true)
+    merged.write.partitionBy(BUCKET).mode("overwrite").parquet(tmp.toString)
+    publishBuckets(fs, target, tmp, buckets)
+    TargetMeta.write(hconf, target, meta.copy(
+      collapsed = Some(math.max(oldMax, meta.collapsed.getOrElse(Long.MinValue)))))
+    spark.catalog.refreshByPath(targetDir)
+    buckets
+  }
+
   /** Point lookup against the bucketed snapshot — the replica's analog of
     * the key-value store `Get` the reference replicates INTO HBase for
     * (HbaseApplier serves row-key gets; here the PK-hash layout serves the

@@ -802,6 +802,55 @@ object CdcQueries {
     // recovered here from the un-compacted delta window. Any leak of
     // batch-2 images (a repriced row, a missing deleted row) breaks the
     // hash against the insert-only oracle.
+    // ---- q181: VACUUM with a retention window (CdcApplier.vacuumMor) —
+    //      the partial-history compaction between applyBatchMor's
+    //      keep-everything and compactMor's collapse-everything: three
+    //      MOR batches land (insert; %3 reprice + %7==2 delete; %13
+    //      repriority + %11==5 delete), then vacuumMor(retain=batch 3)
+    //      collapses batches 1-2 to one image per key while batch 3's
+    //      deltas survive. The gate reads BOTH the retained as-of point
+    //      (state after batch 2 — still answerable post-vacuum) and the
+    //      current snapshot, tagged; the oracle replays both states
+    //      declaratively, including the resurrection hazard (%13 updates
+    //      rebuild after-images from the base table, so a %13 key
+    //      deleted in batch 2 comes back with its BASE price — the q153
+    //      upsert-semantics discipline) and the in-batch-3 order where
+    //      the %11==5 delete outranks the %13 update. Scale: vacuum cost
+    //      is one resolve of the sub-window versions + the bucket swap;
+    //      the retained window's read cost is untouched.
+    "q181_mor_vacuum" -> ((s, dir) => {
+      import s.implicits._
+      val o = Tables.load(s, dir, "orders")
+      val target = Files.createTempDirectory("graft_cdc").toString + "/orders_vac"
+      val opts = CdcApplier.Options(Seq("o_orderkey"))
+      val b2base = 10000000L
+      val b3base = 20000000L
+      CdcApplier.applyBatchMor(s,
+        ChangeFeed.inserts(o, $"o_orderkey" * 10), target, opts)
+      CdcApplier.applyBatchMor(s,
+        ChangeFeed.updates(o.filter($"o_orderkey" % 3 === 0),
+          Map("o_totalprice" -> ($"o_totalprice" * 1.15)),
+          $"o_orderkey" * 10 + 1 + b2base)
+          .union(ChangeFeed.deletes(o.filter($"o_orderkey" % 7 === 2),
+            $"o_orderkey" * 10 + 3 + b2base)),
+        target, opts)
+      CdcApplier.applyBatchMor(s,
+        ChangeFeed.updates(o.filter($"o_orderkey" % 13 === 0),
+          Map("o_orderpriority" -> lit("1-URGENT")),
+          $"o_orderkey" * 10 + 5 + b3base)
+          .union(ChangeFeed.deletes(o.filter($"o_orderkey" % 11 === 5),
+            $"o_orderkey" * 10 + 7 + b3base)),
+        target, opts)
+      CdcApplier.vacuumMor(s, target, b3base)
+      val cols = o.columns.toSeq
+      CdcApplier.snapshotAsOf(s, target, b3base - 1)
+        .select(cols.map(col): _*).withColumn("state", lit("after_b2"))
+        .unionByName(CdcApplier.snapshot(s, target)
+          .select(cols.map(col): _*).withColumn("state", lit("current")))
+        .select(("state" +: cols).map(col): _*)
+        .orderBy($"state", $"o_orderkey")
+    }),
+
     "q131_mor_time_travel" -> ((s, dir) => {
       import s.implicits._
       val o = Tables.load(s, dir, "orders")
@@ -1756,6 +1805,33 @@ object CdcQueries {
         o_orderdate, o_orderpriority
       FROM orders
       ORDER BY o_orderkey""",
+
+    // Both tagged states replayed declaratively. current: the %13
+    // after-images are rebuilt from the BASE table (upsert resurrection —
+    // a %13 key deleted by batch 2 returns at its base price, and a %13
+    // key that was %3-repriced loses the reprice), the batch-3 %11==5
+    // delete outranks the %13 update by position, and non-%13 keys keep
+    // batch 2's effects. after_b2: batches 1-2 only.
+    "q181_mor_vacuum" -> """
+      WITH b2 AS (
+        SELECT 'after_b2' AS state, o_orderkey, o_custkey, o_orderstatus,
+          CASE WHEN o_orderkey % 3 = 0 THEN o_totalprice * 1.15
+               ELSE o_totalprice END AS o_totalprice,
+          o_orderdate, o_orderpriority
+        FROM orders WHERE o_orderkey % 7 <> 2),
+      cur AS (
+        SELECT 'current' AS state, o_orderkey, o_custkey, o_orderstatus,
+          CASE WHEN o_orderkey % 13 = 0 THEN o_totalprice
+               WHEN o_orderkey % 3 = 0 THEN o_totalprice * 1.15
+               ELSE o_totalprice END AS o_totalprice,
+          o_orderdate,
+          CASE WHEN o_orderkey % 13 = 0 THEN '1-URGENT'
+               ELSE o_orderpriority END AS o_orderpriority
+        FROM orders
+        WHERE o_orderkey % 11 <> 5
+          AND (o_orderkey % 13 = 0 OR o_orderkey % 7 <> 2))
+      SELECT * FROM b2 UNION ALL SELECT * FROM cur
+      ORDER BY state, o_orderkey""",
 
     "q130_stream_mor" -> """
       SELECT o_orderkey, o_custkey, o_orderstatus,

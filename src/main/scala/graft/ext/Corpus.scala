@@ -89,6 +89,48 @@ object Corpus {
     * granularity and q70's substring granularity. */
   val ParaWords = 12L
 
+  /** q178 Gopher rule constants (Rae et al. 2021, Table A1 — public):
+    * word-count bounds, mean-word-length bounds, the ≥2-distinct-stopword
+    * requirement, and the top-repeated-2-gram character-fraction cap.
+    * The stop list is adapted to this corpus's 30-word vocabulary (only
+    * `the`/`a` of Gopher's list occur at all — the paper's own list would
+    * make the rule constant-false); the 2-gram rule is made deterministic
+    * by scoring the most CHARACTER-COVERING repeated bigram (max over
+    * bigrams of count x chars — no "most frequent" tie to break). One
+    * definition feeds the Spark plan and the oracle. */
+  val GopherMinWords = 50L
+  val GopherMaxWords = 100000L
+  val GopherMinWlen = 3.0
+  val GopherMaxWlen = 10.0
+  val GopherMinStop = 2L
+  val Gopher2gCap = 0.20
+  val GopherStops: Seq[String] = Seq("the", "a", "of", "to", "and", "in", "is", "for")
+
+  /** q179 DSIR geometry (Xie et al. NeurIPS 2023 — public): the target
+    * domain whose distribution raw docs are scored against, and the
+    * selection budget (the paper resamples a fixed-size subset; the
+    * deterministic variant takes the top-[[DsirK]] by importance weight,
+    * doc_id tie-break). */
+  val DsirTarget = "src0"
+  val DsirK = 100
+
+  /** q183 length-bucketed batching geometry: docs bucket by token-count
+    * range ([[LenBucketWidth]] tokens per bucket), batches of
+    * [[BatchDocs]] docs form WITHIN a bucket in (len desc, doc_id) order —
+    * the fairseq/HF `group_by_length` idiom that bounds padding waste
+    * without any global sort. */
+  val LenBucketWidth = 16L
+  val BatchDocs = 8L
+
+  /** q184 seed-label coarseness: initial community labels are id mod
+    * this (label propagation needs colliding seeds for the neighbor MODE
+    * to be meaningful — with all-distinct init labels one step degenerates
+    * to the CC min rule q54 already covers). */
+  val LabelPropMod = 7L
+
+  /** q186 diversity orders: distinct-n ratios reported for n = 1..3. */
+  val DiversityMaxN = 3
+
   /** q142 temperature-mixture geometry: sampling temperature alpha = 0.5
     * realized as sqrt (correctly-rounded IEEE in BOTH engines — a general
     * pow would go through exp/ln whose last ulp is libm-specific), and the
@@ -748,7 +790,240 @@ object Corpus {
           expr("array_max(transform(array_distinct(bg), b -> size(filter(bg, x -> x = b))))")
             .cast("long")).as("top_bigram"))
 
+  /** q178's per-doc Gopher rule matrix over a (doc_id, text) frame. Two
+    * doc_id-keyed aggregates off one words-array projection (per-word
+    * stats, adjacent-bigram cover) joined on doc_id; ratios are single
+    * IEEE divisions of exact integer sums. */
+  def gopherMatrix(docs: DataFrame): DataFrame = {
+    val d = docs.select(col("doc_id"), TextOps.words(col("text")).as("ws"))
+    val perWord = d.select(col("doc_id"), explode(col("ws")).as("wd"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("nw"),
+        sum(length(col("wd"))).cast("long").as("sumlen"),
+        countDistinct(when(col("wd").isInCollection(GopherStops), col("wd")))
+          .as("n_stop"))
+    // adjacent bigrams via two shifted slices zipped — no self-join
+    val cover = d
+      .select(col("doc_id"), explode(expr(
+        "arrays_zip(slice(ws, 1, size(ws) - 1), slice(ws, 2, size(ws) - 1))"))
+        .as("bg"))
+      .select(col("doc_id"), col("bg").getField("0").as("w1"),
+        col("bg").getField("1").as("w2"))
+      .groupBy(col("doc_id"), col("w1"), col("w2"))
+      .agg(count(lit(1)).as("cnt"))
+      .groupBy(col("doc_id"))
+      .agg(max(col("cnt") * (length(col("w1")) + length(col("w2"))))
+        .cast("long").as("cover"))
+    perWord.join(cover, Seq("doc_id"))
+      .withColumn("mean_wlen",
+        col("sumlen").cast("double") / col("nw").cast("double"))
+      .withColumn("top2g_frac",
+        col("cover").cast("double") / col("sumlen").cast("double"))
+      .withColumn("r_words",
+        col("nw") >= GopherMinWords && col("nw") <= GopherMaxWords)
+      .withColumn("r_wlen",
+        col("mean_wlen") >= GopherMinWlen && col("mean_wlen") <= GopherMaxWlen)
+      .withColumn("r_stop", col("n_stop") >= GopherMinStop)
+      .withColumn("r_2gram", col("top2g_frac") < Gopher2gCap)
+      .withColumn("keep",
+        col("r_words") && col("r_wlen") && col("r_stop") && col("r_2gram"))
+      .select(col("doc_id"), col("nw"), col("mean_wlen"), col("n_stop"),
+        col("top2g_frac"), col("r_words"), col("r_wlen"), col("r_stop"),
+        col("r_2gram"), col("keep"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- q178: Gopher quality rule MATRIX (Rae et al. 2021) — the
+    //      per-rule boolean audit that complements q68's first-fail
+    //      chain: every doc gets every rule's verdict (word-count bounds,
+    //      mean-word-length bounds, >=2 distinct stopwords, repeated-
+    //      2-gram character fraction < 0.20) plus the conjunction `keep`,
+    //      so a corpus owner can see WHICH rules overlap and tune
+    //      thresholds — the report behind a MassiveText-style filter
+    //      sweep. Scale shape: two doc_id-keyed aggregates off one
+    //      words-array projection (the per-word pass and the adjacent-
+    //      bigram pass), joined on doc_id — all shuffles on the doc key,
+    //      no corpus-wide window, stop list a broadcast literal. Ratios
+    //      are single IEEE divisions of exact integer sums, so the flag
+    //      set cannot drift cross-engine.
+    "q178_gopher_rules" -> ((s, dir) =>
+      gopherMatrix(t(s, dir, "documents"))
+        .repartition(1).sortWithinPartitions(col("doc_id"))),
+
+    // ---- q184: label propagation step (Raghavan et al. 2007) — the
+    //      community-detection member of the graph family (q54 CC min-
+    //      label, q111 PageRank, q151 triangles): one SYNCHRONOUS update
+    //      where every node adopts the MODE of its neighbors' labels
+    //      (ties to the smallest label — the deterministic variant).
+    //      Seed labels are id mod LabelPropMod so the vote actually
+    //      aggregates (all-distinct seeds would degenerate to q54's min
+    //      rule). Graph = q111's synthetic edge set, undirected, self-
+    //      loops dropped. Scale shape: edge synthesis + both-direction
+    //      union are linear; the vote is a (node, label)-keyed
+    //      partial+final agg; the argmax is a per-NODE rank window —
+    //      cost tracks edges, never nodes x labels.
+    "q184_label_prop" -> ((s, dir) => {
+      val d = t(s, dir, "documents").select(col("doc_id"))
+      val e0 = d.select(col("doc_id").as("src"), (col("doc_id") % 97).as("dst"))
+        .unionByName(d.select(col("doc_id").as("src"), expr("doc_id div 2").as("dst")))
+        .distinct()
+        .filter(col("src") =!= col("dst"))
+      val und = e0.select(col("src").as("v"), col("dst").as("u"))
+        .unionByName(e0.select(col("dst").as("v"), col("src").as("u")))
+        .distinct()
+      val votes = und.select(col("v"), (col("u") % LabelPropMod).as("nl"))
+        .groupBy(col("v"), col("nl")).agg(count(lit(1)).as("votes"))
+      val w = Window.partitionBy(col("v")).orderBy(col("votes").desc, col("nl"))
+      votes.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+        .select(col("v").as("node"), (col("v") % LabelPropMod).as("old_label"),
+          col("nl").as("new_label"), col("votes"))
+        .repartition(1).sortWithinPartitions(col("node"))
+    }),
+
+    // ---- q186: n-gram diversity report (the distinct-1/distinct-2
+    //      metric of Li et al. NAACL 2016) — per source, the ratio of
+    //      DISTINCT word n-grams to total n-grams for n = 1..3: the
+    //      template-detection / mode-collapse surface a corpus owner
+    //      reads next to q58's per-doc repetition (this is the corpus-
+    //      level complement: a source of boilerplate shows a cratered
+    //      distinct-2 ratio even when each doc looks fine). Scale shape:
+    //      ONE corpus pass builds all three gram orders via per-doc lead
+    //      windows (partitioned by doc — never global), then a (source,
+    //      n)-keyed agg; the distinct count is Spark's expand-based
+    //      multi-distinct, partial+final. Ratios are single IEEE
+    //      divisions of exact counts.
+    "q186_ngram_diversity" -> ((s, dir) => {
+      val tok = t(s, dir, "documents")
+        .select(col("doc_id"), col("source"), TextOps.words(col("text")).as("ws"))
+        .selectExpr("doc_id", "source", "posexplode(ws) AS (pos, wd)")
+      val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+      tok
+        .withColumn("w2", lead(col("wd"), 1).over(w))
+        .withColumn("w3", lead(col("wd"), 2).over(w))
+        .select(col("source"), expr(
+          "stack(3, CAST(1 AS BIGINT), wd, " +
+            "CAST(2 AS BIGINT), concat(wd, ' ', w2), " +
+            "CAST(3 AS BIGINT), concat(wd, ' ', w2, ' ', w3)) AS (n, gram)"))
+        .filter(col("gram").isNotNull)
+        .groupBy(col("source"), col("n"))
+        .agg(count(lit(1)).as("total"), countDistinct(col("gram")).as("n_distinct"))
+        .withColumn("ratio",
+          col("n_distinct").cast("double") / col("total").cast("double"))
+        .repartition(1).sortWithinPartitions(col("source"), col("n"))
+    }),
+
+    // ---- q185: fine-grained decontamination (span masking) — q57 flags
+    //      WHOLE docs sharing any benchmark n-gram; the surgical form a
+    //      modern pipeline actually ships (mask only the contaminated
+    //      spans, keep the rest of the doc) needs the matched-span
+    //      algebra: positional 40-gram hashes (q150's SubRemK rationale —
+    //      the corpus's small vocabulary makes short grams collide
+    //      corpus-wide by chance) of PROBE docs joined against the
+    //      benchmark docs' hash set (q57's %50 split), seed intervals
+    //      merged per doc by the q150 gaps-and-islands discipline, then a
+    //      per-doc mask report. Scale shape: the kernel runs ONCE over
+    //      the corpus (checkpointed compact arrays); the benchmark hash
+    //      set is eval-suite-sized and broadcasts; islands merge in
+    //      per-DOC windows only; the report is a doc-keyed agg + one
+    //      left join — linear end to end, never doc x doc.
+    "q185_decontam_spans" -> ((s, dir) => {
+      graft.functions.GraftFunctions.register(s)
+      val docs = t(s, dir, "documents")
+      val occ = docs.repartition(col("doc_id")) // spread CPU-heavy narrow work
+        .select(col("doc_id"), posexplode(call_function("graft_gram_hashes",
+          col("text"), lit(SubRemK), lit(31), lit(TextOps.HashMod))))
+        .select(col("doc_id"), (col("pos") + 1).cast("long").as("p"), col("col").as("h"))
+        .localCheckpoint() // kernel once; feeds the bench set AND the probe side
+      val bench = occ.filter(col("doc_id") % 50 === 0).select(col("h")).distinct()
+      val seeds = occ.filter(col("doc_id") % 50 =!= 0)
+        .join(broadcast(bench), Seq("h"))
+        .select(col("doc_id"), col("p").as("s"), (col("p") + (SubRemK - 1)).as("e"))
+      val wDoc = Window.partitionBy(col("doc_id")).orderBy(col("s"), col("e"))
+      val prevMax = max(col("e")).over(wDoc.rowsBetween(Window.unboundedPreceding, -1))
+      val spans = seeds
+        .withColumn("newisl", when(prevMax.isNull || col("s") > prevMax, 1L).otherwise(0L))
+        .withColumn("isl", sum(col("newisl")).over(wDoc))
+        .groupBy(col("doc_id"), col("isl"))
+        .agg(min(col("s")).as("is"), max(col("e")).as("ie"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_spans"),
+          sum(col("ie") - col("is") + 1).cast("long").as("chars_masked"))
+      docs.filter(col("doc_id") % 50 =!= 0)
+        .select(col("doc_id"), length(col("text")).cast("long").as("chars_total"))
+        .join(spans, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("chars_total"),
+          coalesce(col("n_spans"), lit(0L)).as("n_spans"),
+          coalesce(col("chars_masked"), lit(0L)).as("chars_masked"))
+        .repartition(1).sortWithinPartitions(col("doc_id"))
+    }),
+
+    // ---- q183: length-bucketed dynamic batching — the padding-waste
+    //      report for fairseq/HF-style `group_by_length` training
+    //      batches: docs bucket by token-count range (LenBucketWidth),
+    //      batches of BatchDocs docs form within each bucket in
+    //      (len desc, doc_id) order, and each batch reports its padded
+    //      size (max_len x n_docs), real token count, and the waste the
+    //      bucketing exists to bound. Scale shape: ONE exchange on the
+    //      length bucket; the rank window partitions BY BUCKET (never a
+    //      corpus-global row_number — the q56/q173 discipline), then a
+    //      (bucket, batch)-keyed partial+final agg. Waste fractions are
+    //      single IEEE divisions of exact integer products.
+    "q183_length_batching" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+        .select(col("doc_id"), size(TextOps.words(col("text"))).cast("long").as("nw"))
+        .withColumn("bucket", expr(s"nw div $LenBucketWidth"))
+      val w = Window.partitionBy(col("bucket")).orderBy(col("nw").desc, col("doc_id"))
+      d.withColumn("rn", row_number().over(w))
+        .withColumn("batch", expr(s"cast((rn - 1) div $BatchDocs AS BIGINT)"))
+        .groupBy(col("bucket"), col("batch"))
+        .agg(count(lit(1)).as("n_docs"), max(col("nw")).as("max_len"),
+          sum(col("nw")).cast("long").as("sum_len"))
+        .withColumn("waste", col("max_len") * col("n_docs") - col("sum_len"))
+        .withColumn("pad_frac", col("waste").cast("double") /
+          (col("max_len") * col("n_docs")).cast("double"))
+        .repartition(1).sortWithinPartitions(col("bucket"), col("batch"))
+    }),
+
+    // ---- q179: DSIR importance resampling (Xie et al. NeurIPS 2023) —
+    //      select raw docs whose unigram distribution looks most like a
+    //      target domain: per-word importance ratio r(w) =
+    //      p_target(w)/p_raw(w) under Laplace smoothing, per-doc weight =
+    //      the product of r over the doc's words, keep the top-K. The
+    //      per-word ratio is computed as exact BIGINT cross-products with
+    //      ONE double division ((ct+1)(Nr+V)) / ((cr+1)(Nt+V)), and the
+    //      per-doc product is the index-ordered fold that is bit-identical
+    //      cross-engine (the q164 lattice-score discipline) — no libm log,
+    //      no order-dependent sum. Scale shape: both count frames are
+    //      vocabulary-sized and broadcast back onto ONE corpus pass; the
+    //      per-doc weight is a doc_id-keyed aggregate; top-K is
+    //      TakeOrderedAndProject (each partition keeps K — never a global
+    //      sort). The paper's production form hashes n-grams into a fixed
+    //      feature space — same shape, the vocab frame becomes the hash
+    //      bucket frame.
+    "q179_dsir" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+        .select(col("doc_id"), col("source"), TextOps.words(col("text")).as("ws"))
+      val w = d.selectExpr("doc_id", "source", "posexplode(ws) AS (pos, wd)")
+      val raw = w.groupBy(col("wd")).agg(count(lit(1)).as("cr"))
+      val tgt = w.filter(col("source") === DsirTarget)
+        .groupBy(col("wd")).agg(count(lit(1)).as("ct"))
+      val tot = raw.agg(sum(col("cr")).as("nr"), count(lit(1)).as("v"))
+        .crossJoin(tgt.agg(sum(col("ct")).as("nt")))
+      val ratio = raw.join(tgt, Seq("wd"), "left")
+        .na.fill(0L, Seq("ct"))
+        .crossJoin(broadcast(tot))
+        .select(col("wd"),
+          (((col("ct") + 1L) * (col("nr") + col("v"))).cast("double") /
+            ((col("cr") + 1L) * (col("nt") + col("v"))).cast("double")).as("r"))
+      w.join(broadcast(ratio), Seq("wd"))
+        .groupBy(col("doc_id"))
+        .agg(max(col("source")).as("source"), count(lit(1)).as("nw"),
+          expr("aggregate(array_sort(collect_list(struct(pos, r))), " +
+            "cast(1.0 AS double), (acc, x) -> acc * x.r)").as("weight"))
+        .orderBy(col("weight").desc, col("doc_id")).limit(DsirK)
+        .repartition(1).sortWithinPartitions(col("doc_id"))
+    }),
+
     // ---- q54: near-dup pairs (the q41 exact join) -> connected components
     //      -> (doc, canonical=min id in component, cluster size).
     "q54_dedup_clusters" -> ((s, dir) =>
@@ -1645,6 +1920,176 @@ object Corpus {
         WHERE rn = 1)"""
 
   val oracles: Map[String, String] = Map(
+    // Same two doc-keyed aggregates; the bigram arm indexes the words
+    // array laterally (W[i], W[i+1]) — identical adjacency to the Spark
+    // side's shifted-slice zip.
+    "q178_gopher_rules" -> s"""
+      WITH d AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS W
+                 FROM documents),
+      w AS (SELECT doc_id, unnest(W) AS wd FROM d),
+      ws AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS nw,
+               CAST(sum(len(wd)) AS BIGINT) AS sumlen,
+               CAST(count(DISTINCT CASE WHEN wd IN (${GopherStops.map(x => s"'$x'").mkString(",")})
+                 THEN wd END) AS BIGINT) AS n_stop
+             FROM w GROUP BY doc_id),
+      bg AS (SELECT doc_id, W[i] AS w1, W[i+1] AS w2
+             FROM d, unnest(range(1, len(W))) AS u(i)),
+      bc AS (SELECT doc_id, w1, w2, count(*) AS cnt FROM bg GROUP BY 1, 2, 3),
+      cov AS (SELECT doc_id, CAST(max(cnt * (len(w1) + len(w2))) AS BIGINT) AS cover
+              FROM bc GROUP BY doc_id)
+      SELECT ws.doc_id, ws.nw,
+        ws.sumlen::DOUBLE / ws.nw::DOUBLE AS mean_wlen, ws.n_stop,
+        cov.cover::DOUBLE / ws.sumlen::DOUBLE AS top2g_frac,
+        (ws.nw >= $GopherMinWords AND ws.nw <= $GopherMaxWords) AS r_words,
+        (ws.sumlen::DOUBLE / ws.nw::DOUBLE >= $GopherMinWlen
+          AND ws.sumlen::DOUBLE / ws.nw::DOUBLE <= $GopherMaxWlen) AS r_wlen,
+        (ws.n_stop >= $GopherMinStop) AS r_stop,
+        (cov.cover::DOUBLE / ws.sumlen::DOUBLE < $Gopher2gCap) AS r_2gram,
+        ((ws.nw >= $GopherMinWords AND ws.nw <= $GopherMaxWords)
+          AND (ws.sumlen::DOUBLE / ws.nw::DOUBLE >= $GopherMinWlen
+            AND ws.sumlen::DOUBLE / ws.nw::DOUBLE <= $GopherMaxWlen)
+          AND ws.n_stop >= $GopherMinStop
+          AND cov.cover::DOUBLE / ws.sumlen::DOUBLE < $Gopher2gCap) AS keep
+      FROM ws JOIN cov USING (doc_id) ORDER BY ws.doc_id""",
+
+    // Same edge synthesis/undirection (UNION set semantics both sides),
+    // same mod-seeded labels, same (votes desc, label) argmax.
+    "q184_label_prop" -> s"""
+      WITH e0 AS (
+        SELECT doc_id AS src, doc_id % 97 AS dst FROM documents
+        UNION
+        SELECT doc_id, doc_id // 2 FROM documents),
+      e1 AS (SELECT src, dst FROM e0 WHERE src <> dst),
+      und AS (
+        SELECT src AS v, dst AS u FROM e1
+        UNION
+        SELECT dst AS v, src AS u FROM e1),
+      votes AS (
+        SELECT v, u % $LabelPropMod AS nl, CAST(count(*) AS BIGINT) AS votes
+        FROM und GROUP BY 1, 2),
+      pick AS (
+        SELECT v, nl, votes,
+          ROW_NUMBER() OVER (PARTITION BY v ORDER BY votes DESC, nl) AS rn
+        FROM votes)
+      SELECT v AS node, v % $LabelPropMod AS old_label, nl AS new_label, votes
+      FROM pick WHERE rn = 1 ORDER BY node""",
+
+    // Same lead-window gram synthesis (null-propagating concat ≡ the
+    // IS NOT NULL guards) and the same exact-count ratio.
+    "q186_ngram_diversity" -> s"""
+      WITH d AS (SELECT doc_id, source,
+                   regexp_extract_all(lower(text), '[a-z0-9]+') AS W
+                 FROM documents),
+      tok AS (SELECT doc_id, source, u.i AS pos, W[u.i] AS wd
+              FROM d, unnest(range(1, len(W) + 1)) AS u(i)),
+      g AS (
+        SELECT doc_id, source, wd,
+          lead(wd, 1) OVER (PARTITION BY doc_id ORDER BY pos) AS w2,
+          lead(wd, 2) OVER (PARTITION BY doc_id ORDER BY pos) AS w3
+        FROM tok),
+      grams AS (
+        SELECT source, CAST(1 AS BIGINT) AS n, wd AS gram FROM g
+        UNION ALL
+        SELECT source, CAST(2 AS BIGINT), wd || ' ' || w2 FROM g
+        WHERE w2 IS NOT NULL
+        UNION ALL
+        SELECT source, CAST(3 AS BIGINT), wd || ' ' || w2 || ' ' || w3 FROM g
+        WHERE w3 IS NOT NULL)
+      SELECT source, n, CAST(count(*) AS BIGINT) AS total,
+        CAST(count(DISTINCT gram) AS BIGINT) AS n_distinct,
+        count(DISTINCT gram)::DOUBLE / count(*)::DOUBLE AS ratio
+      FROM grams GROUP BY source, n ORDER BY source, n""",
+
+    // q150's positional-gram + gaps-and-islands SQL with the seed rule
+    // swapped: seeds are probe grams present in the benchmark docs' hash
+    // set, and the output is the per-doc mask report.
+    "q185_decontam_spans" -> s"""
+      WITH occ AS (
+        SELECT doc_id, CAST(gi AS BIGINT) AS p,
+          ${TextOps.polyHashSql(s"substring(text, CAST(gi AS INT), $SubRemK)")} AS h
+        FROM documents,
+          unnest(range(1, greatest(length(text) - ${SubRemK - 2}, 1))) AS u(gi)),
+      bench AS (SELECT DISTINCT h FROM occ WHERE doc_id % 50 = 0),
+      seeds AS (
+        SELECT o.doc_id, o.p AS s, o.p + ${SubRemK - 1} AS e
+        FROM occ o JOIN bench b USING (h)
+        WHERE o.doc_id % 50 <> 0),
+      isl0 AS (
+        SELECT doc_id, s, e,
+          max(e) OVER (PARTITION BY doc_id ORDER BY s, e
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prevmax
+        FROM seeds),
+      isl1 AS (
+        SELECT doc_id, s, e,
+          CASE WHEN prevmax IS NULL OR s > prevmax THEN 1 ELSE 0 END AS newisl
+        FROM isl0),
+      isl2 AS (
+        SELECT doc_id, s, e,
+          sum(newisl) OVER (PARTITION BY doc_id ORDER BY s, e
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS isl
+        FROM isl1),
+      islands AS (
+        SELECT doc_id, isl, min(s) AS i_s, max(e) AS i_e
+        FROM isl2 GROUP BY 1, 2),
+      spans AS (
+        SELECT doc_id, CAST(count(*) AS BIGINT) AS n_spans,
+          CAST(sum(i_e - i_s + 1) AS BIGINT) AS chars_masked
+        FROM islands GROUP BY doc_id)
+      SELECT d.doc_id, length(d.text)::BIGINT AS chars_total,
+        coalesce(s.n_spans, 0) AS n_spans,
+        coalesce(s.chars_masked, 0) AS chars_masked
+      FROM documents d LEFT JOIN spans s USING (doc_id)
+      WHERE d.doc_id % 50 <> 0
+      ORDER BY d.doc_id""",
+
+    // Same bucket/rank/batch assignment; integer floor-div via // and the
+    // identical (len desc, doc_id) rank order.
+    "q183_length_batching" -> s"""
+      WITH d AS (
+        SELECT doc_id,
+          CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS BIGINT) AS nw
+        FROM documents),
+      b AS (SELECT doc_id, nw, nw // $LenBucketWidth AS bucket FROM d),
+      r AS (SELECT doc_id, nw, bucket,
+              ROW_NUMBER() OVER (PARTITION BY bucket ORDER BY nw DESC, doc_id) AS rn
+            FROM b),
+      g AS (SELECT bucket, CAST((rn - 1) // $BatchDocs AS BIGINT) AS batch,
+              CAST(count(*) AS BIGINT) AS n_docs,
+              CAST(max(nw) AS BIGINT) AS max_len,
+              CAST(sum(nw) AS BIGINT) AS sum_len
+            FROM r GROUP BY 1, 2)
+      SELECT bucket, batch, n_docs, max_len, sum_len,
+        max_len * n_docs - sum_len AS waste,
+        (max_len * n_docs - sum_len)::DOUBLE / (max_len * n_docs)::DOUBLE AS pad_frac
+      FROM g ORDER BY bucket, batch""",
+
+    // Same smoothed cross-product ratio and the index-ordered product fold
+    // (list_prepend(1.0) ≡ the Spark fold's 1.0 init — 1.0*x == x in IEEE).
+    "q179_dsir" -> s"""
+      WITH d AS (SELECT doc_id, source,
+                   regexp_extract_all(lower(text), '[a-z0-9]+') AS W
+                 FROM documents),
+      w AS (SELECT doc_id, source, u.i AS pos, W[u.i] AS wd
+            FROM d, unnest(range(1, len(W) + 1)) AS u(i)),
+      raw AS (SELECT wd, CAST(count(*) AS BIGINT) AS cr FROM w GROUP BY wd),
+      tgt AS (SELECT wd, CAST(count(*) AS BIGINT) AS ct FROM w
+              WHERE source = '$DsirTarget' GROUP BY wd),
+      tot AS (SELECT CAST(sum(cr) AS BIGINT) AS nr,
+                CAST(count(*) AS BIGINT) AS v FROM raw),
+      tt AS (SELECT CAST(sum(ct) AS BIGINT) AS nt FROM tgt),
+      ratio AS (
+        SELECT r.wd,
+          ((coalesce(t.ct, 0) + 1) * (tot.nr + tot.v))::DOUBLE /
+            ((r.cr + 1) * (tt.nt + tot.v))::DOUBLE AS rr
+        FROM raw r LEFT JOIN tgt t USING (wd), tot, tt)
+      SELECT w.doc_id, max(w.source) AS source,
+        CAST(count(*) AS BIGINT) AS nw,
+        list_reduce(list_prepend(1.0::DOUBLE, list(rr ORDER BY pos)),
+          (a, b) -> a * b) AS weight
+      FROM w JOIN ratio USING (wd)
+      GROUP BY w.doc_id
+      ORDER BY weight DESC, w.doc_id LIMIT $DsirK""",
+
     "q54_dedup_clusters" -> q54OracleSql,
 
     // CC(P ∪ N) from scratch — what the star-compressed incremental fold

@@ -46,6 +46,15 @@ object Similarity {
     * membership, the fidelity surface an MRL deployment monitors. */
   val MrlDims = 16
   val MrlTopK = 20
+  /** q180 MMR geometry: candidate pool per query, greedy picks, and the
+    * relevance/diversity mix (lam + mu = 1; BOTH are explicit constants —
+    * `1 - 0.7` in IEEE is 0.30000000000000004, NOT the 0.3 a SQL literal
+    * parses to, so deriving mu would silently desynchronize the engines). */
+  val MmrPool = 16
+  val MmrK = 5
+  val MmrLam = 0.7
+  val MmrMu = 0.3
+
   val LshBits = 12
   val DedupCos = 0.99
   val SemCos = 0.9 // q118 semantic-dup threshold (scaled copies sit at ~1.0)
@@ -207,7 +216,77 @@ object Similarity {
     topk.join(broadcast(rec), "query_id")
   }
 
+  /** One q180 greedy round: among candidates not yet selected, pick the
+    * per-query argmax of lam*rel - mu*max_sim-to-selected. Anti-join
+    * excludes prior picks, a (qid, va)-keyed max-agg computes the penalty,
+    * and the rank window partitions by qid — every frame pool-sized.
+    * (PlanSpec locks this round's shape; the query loop checkpoints the
+    * accumulated picks, so the returned frame's own plan is a scan.) */
+  private[graft] def mmrRound(cand: DataFrame, sims: DataFrame,
+      selected: DataFrame, step: Int): DataFrame = {
+    val wSel = Window.partitionBy(col("qid")).orderBy(col("score").desc, col("vec_id"))
+    val msim = sims
+      .join(selected.select(col("qid"), col("vec_id").as("vb")), Seq("qid", "vb"))
+      .groupBy(col("qid"), col("va")).agg(max(col("sim")).as("msim"))
+      .withColumnRenamed("va", "vec_id")
+    cand
+      .join(selected.select(col("qid"), col("vec_id")), Seq("qid", "vec_id"), "left_anti")
+      .join(msim, Seq("qid", "vec_id"), "left")
+      .withColumn("score",
+        lit(MmrLam) * col("rel") - lit(MmrMu) * coalesce(col("msim"), lit(0.0)))
+      .withColumn("rn", row_number().over(wSel)).filter(col("rn") === 1)
+      .select(col("qid"), lit(step.toLong).as("step"), col("vec_id"), col("score"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- q180: MMR diversity re-ranking (Carbonell & Goldstein SIGIR
+    //      1998) — the retrieval-time answer to redundant top-k lists:
+    //      per query, greedily pick MmrK results maximizing
+    //      lam*rel(d) - mu*max_{s in selected} sim(d, s) (first pick's
+    //      penalty term is 0). Scale shape: the candidate pool is the
+    //      q50 brute top-MmrPool per query (broadcast-queries x corpus +
+    //      rank window — the 100 TB path swaps in q53's IVF candidates);
+    //      everything AFTER pooling is pool-sized: the pairwise sim
+    //      frame is a qid equi-join of pool x pool rows, and each of the
+    //      MmrK greedy rounds is an anti-join + max-agg + rank window
+    //      over <= pool rows per query — never corpus-sized, fully
+    //      distributed (no driver-side selection loop). Scores are
+    //      engine-exact: rel/sim ride the q50 fold, lam/mu are shared
+    //      shortest-round-trip literals, coalesce(msim, 0.0) unifies the
+    //      first round.
+    "q180_mmr_diversity" -> ((s, dir) => {
+      graft.functions.GraftFunctions.register(s)
+      val e = t(s, dir, "embeddings")
+        .repartition(col("vec_id")) // spread the fold work (single-file input)
+        .withColumn("nrm", sqrt(dotd(col("embedding"), col("embedding"))))
+      val q = e.filter(col("vec_id") < NumQueries)
+        .select(col("vec_id").as("qid"), col("embedding").as("qe"), col("nrm").as("qn"))
+      val wRel = Window.partitionBy(col("qid")).orderBy(col("rel").desc, col("vec_id"))
+      val cand = e.filter(col("vec_id") >= NumQueries)
+        .crossJoin(broadcast(q))
+        .withColumn("rel", cosd(col("qe"), col("qn"), col("embedding"), col("nrm")))
+        .withColumn("rk", row_number().over(wRel))
+        .filter(col("rk") <= MmrPool)
+        .select(col("qid"), col("vec_id"), col("rel"), col("embedding"), col("nrm"))
+        .localCheckpoint() // pool-sized; feeds the sim matrix and every round
+      val sims = cand.select(col("qid"), col("vec_id").as("va"),
+          col("embedding").as("ea"), col("nrm").as("na"))
+        .join(cand.select(col("qid"), col("vec_id").as("vb"),
+          col("embedding").as("eb"), col("nrm").as("nb")), Seq("qid"))
+        .filter(col("va") =!= col("vb"))
+        .select(col("qid"), col("va"), col("vb"),
+          cosd(col("ea"), col("na"), col("eb"), col("nb")).as("sim"))
+        .localCheckpoint()
+      var selected = cand.select(col("qid"), lit(0L).as("step"),
+        col("vec_id"), lit(0.0).as("score")).filter(lit(false))
+      for (step <- 1 to MmrK)
+        selected = selected.unionByName(mmrRound(cand, sims, selected, step))
+          .localCheckpoint()
+      selected.select(col("qid").as("query_id"), col("step"),
+          col("vec_id").as("neighbor_id"), col("score"))
+        .repartition(1).sortWithinPartitions(col("query_id"), col("step"))
+    }),
+
     // ---- exact brute-force cosine top-k: 10 broadcast queries x corpus.
     // ---- q172: matryoshka (MRL) truncation fidelity — truncate every
     //      embedding to its MrlDims-prefix, renormalize, and rank against
@@ -671,7 +750,59 @@ object Similarity {
           ON a.query_id = b.query_id AND a.neighbor_id = b.neighbor_id
         GROUP BY a.query_id)"""
 
+  /** q180's oracle: the greedy MMR loop unrolled into MmrK chained CTEs —
+    * each round re-derives the identical score expression (shared lam/mu
+    * literals), excludes prior picks with NOT EXISTS (the anti-join
+    * mirror), and takes the (score desc, vec_id) rank-1 row per query. */
+  private def mmrOracleSql: String = {
+    val head = s"""
+      WITH e AS (${codesSql("")}),
+      scored AS (
+        SELECT q.vec_id AS qid, t.vec_id, t.embedding, t.nrm,
+          ${dotSql("q.embedding", "t.embedding")} / (q.nrm * t.nrm) AS rel
+        FROM e q JOIN e t ON q.vec_id < $NumQueries AND t.vec_id >= $NumQueries),
+      cand AS (
+        SELECT qid, vec_id, rel, embedding, nrm FROM (
+          SELECT qid, vec_id, rel, embedding, nrm,
+            ROW_NUMBER() OVER (PARTITION BY qid ORDER BY rel DESC, vec_id) AS rk
+          FROM scored) x WHERE rk <= $MmrPool),
+      sim AS (
+        SELECT a.qid, a.vec_id AS va, b.vec_id AS vb,
+          ${dotSql("a.embedding", "b.embedding")} / (a.nrm * b.nrm) AS sim
+        FROM cand a JOIN cand b ON a.qid = b.qid AND a.vec_id <> b.vec_id),
+      sel1 AS (
+        SELECT qid, CAST(1 AS BIGINT) AS step, vec_id, score FROM (
+          SELECT qid, vec_id, $MmrLam * rel - $MmrMu * 0.0 AS score,
+            ROW_NUMBER() OVER (PARTITION BY qid
+              ORDER BY $MmrLam * rel - $MmrMu * 0.0 DESC, vec_id) AS rn
+          FROM cand) x WHERE rn = 1),
+      pre1 AS (SELECT * FROM sel1)"""
+    val steps = (2 to MmrK).map { i =>
+      s""",
+      sel$i AS (
+        SELECT qid, CAST($i AS BIGINT) AS step, vec_id, score FROM (
+          SELECT c.qid, c.vec_id,
+            $MmrLam * c.rel - $MmrMu * coalesce(m.msim, 0.0) AS score,
+            ROW_NUMBER() OVER (PARTITION BY c.qid
+              ORDER BY $MmrLam * c.rel - $MmrMu * coalesce(m.msim, 0.0) DESC,
+                c.vec_id) AS rn
+          FROM cand c
+          LEFT JOIN (
+            SELECT s.qid, s.va, max(s.sim) AS msim
+            FROM sim s JOIN pre${i - 1} p ON s.qid = p.qid AND s.vb = p.vec_id
+            GROUP BY s.qid, s.va) m
+            ON m.qid = c.qid AND m.va = c.vec_id
+          WHERE NOT EXISTS (SELECT 1 FROM pre${i - 1} p
+            WHERE p.qid = c.qid AND p.vec_id = c.vec_id)) x WHERE rn = 1),
+      pre$i AS (SELECT * FROM pre${i - 1} UNION ALL SELECT * FROM sel$i)"""
+    }.mkString
+    head + steps + s"""
+      SELECT qid AS query_id, step, vec_id AS neighbor_id, score
+      FROM pre$MmrK ORDER BY query_id, step"""
+  }
+
   val oracles: Map[String, String] = Map(
+    "q180_mmr_diversity" -> mmrOracleSql,
     // q172: same slices, same dot folds, same pools, same membership join.
     "q172_matryoshka" -> s"""
       WITH e AS (

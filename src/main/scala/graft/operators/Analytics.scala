@@ -58,6 +58,35 @@ object Analytics {
         HistCols.map(c => s"'$c', CAST($c AS DOUBLE)").mkString(", ") +
         ") AS (col_name, v)"))
 
+  /** q177's event projection: (event_type, tsec, bkt) with the 10
+    * fixed-width value buckets — ONE definition for the batch scan and the
+    * q182 streaming feed, so the cell space cannot drift. */
+  def chi2Projected(events: DataFrame): DataFrame = events
+    .select(col("event_type"), unix_timestamp(col("ts")).as("tsec"),
+      least(greatest(floor(col("value") / 10.0), lit(0.0)), lit(9.0))
+        .cast("long").as("bkt"))
+
+  /** (event_type, bkt, b, o) cells -> the per-type chi-square drift
+    * report. Shared by q177 (batch) and q182 (streaming): the b/o
+    * counters are commuting sums, so the cell frame is identical however
+    * it was accumulated — one report definition gates both modes. */
+  def chi2FromCells(cells: DataFrame): DataFrame = {
+    val totals = cells.groupBy(col("event_type"))
+      .agg(sum(col("b")).as("nb"), sum(col("o")).as("no"))
+    cells.join(totals, "event_type")
+      .withColumn("e", col("no").cast("double") *
+        (col("b").cast("double") / col("nb").cast("double")))
+      .groupBy(col("event_type"))
+      .agg(max(col("nb")).as("n_base"), max(col("no")).as("n_cur"),
+        graft.util.Sumd.sumd(
+          when(col("b") > 0,
+            (col("o").cast("double") - col("e")) *
+              (col("o").cast("double") - col("e")) / col("e"))
+            .otherwise(lit(0.0))).as("chi2"),
+        sum(when(col("b") === 0, col("o")).otherwise(0L)).as("n_novel"))
+      .repartition(1).sortWithinPartitions(col("event_type"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- q167: equi-height per-column histograms — the CBO-grade stats
     //      companion to q132's count/nulls/NDV (a cost model needs value
@@ -94,10 +123,7 @@ object Analytics {
     //      pass into a (type, bucket, period) partial+final agg (30-cell
     //      frames per type), then per-type arithmetic on the tiny pivot.
     "q177_chi2_drift" -> ((s, dir) => {
-      val ev = Tables.load(s, dir, "events")
-        .select(col("event_type"), unix_timestamp(col("ts")).as("tsec"),
-          least(greatest(floor(col("value") / 10.0), lit(0.0)), lit(9.0))
-            .cast("long").as("bkt"))
+      val ev = chi2Projected(Tables.load(s, dir, "events"))
       // integer floor-division midpoint: both engines' `div`/`//` floor,
       // while double-divide-then-cast would trunc in Spark and round in
       // DuckDB on odd sums
@@ -106,20 +132,7 @@ object Analytics {
         .groupBy(col("event_type"), col("bkt"))
         .agg(sum(when(col("tsec") < col("mid"), 1L).otherwise(0L)).as("b"),
           sum(when(col("tsec") >= col("mid"), 1L).otherwise(0L)).as("o"))
-      val totals = cells.groupBy(col("event_type"))
-        .agg(sum(col("b")).as("nb"), sum(col("o")).as("no"))
-      cells.join(totals, "event_type")
-        .withColumn("e", col("no").cast("double") *
-          (col("b").cast("double") / col("nb").cast("double")))
-        .groupBy(col("event_type"))
-        .agg(max(col("nb")).as("n_base"), max(col("no")).as("n_cur"),
-          graft.util.Sumd.sumd(
-            when(col("b") > 0,
-              (col("o").cast("double") - col("e")) *
-                (col("o").cast("double") - col("e")) / col("e"))
-              .otherwise(lit(0.0))).as("chi2"),
-          sum(when(col("b") === 0, col("o")).otherwise(0L)).as("n_novel"))
-        .repartition(1).sortWithinPartitions(col("event_type"))
+      chi2FromCells(cells)
     }),
 
     // ---- q143: declarative data-quality expectations (the Deequ/Great-

@@ -39,6 +39,53 @@ object StreamQueries {
   val HllMaxRho = 23
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- q182: STREAMING chi-square drift — q177 as a live monitor: the
+    //      (event_type, bucket) baseline/current counters accumulate in a
+    //      complete-mode stateful agg as events arrive, and the chi2
+    //      report is computed from the final cell frame by the SAME
+    //      chi2FromCells the batch gate uses. The split point (the
+    //      training-snapshot boundary — known in a real deployment) is
+    //      resolved batch-side with q177's exact integer-midpoint rule
+    //      and baked into the streaming projection as a literal. The b/o
+    //      counters are commuting sums, so micro-batch boundaries,
+    //      shuffle placement, and replays cannot change the final cells —
+    //      which is exactly why q177's batch oracle gates this run
+    //      verbatim (the q137/q149 one-decision-procedure discipline).
+    //      State is bounded at types x 10 buckets x 2 counters regardless
+    //      of stream length.
+    "q182_stream_chi2_drift" -> ((s, dir) => {
+      import s.implicits._
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      implicit val sqlCtx: SQLContext = s.sqlContext
+      val ev = graft.operators.Analytics.chi2Projected(Tables.load(s, dir, "events"))
+      val mid = ev.agg(expr("(min(tsec) + max(tsec)) div 2").as("mid"))
+        .collect()(0).getLong(0)
+      val rows = ev.select($"event_type", $"tsec", $"bkt")
+        .as[(String, Long, Long)].collect()
+      val src = MemoryStream[(String, Long, Long)]
+      val cellStream = src.toDF().toDF("event_type", "tsec", "bkt")
+        .groupBy($"event_type", $"bkt")
+        .agg(sum(when($"tsec" < mid, 1L).otherwise(0L)).as("b"),
+          sum(when($"tsec" >= mid, 1L).otherwise(0L)).as("o"))
+      val qname = "q182_out_" + java.util.UUID.randomUUID.toString.replace("-", "")
+      val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+      try {
+        s.conf.set("spark.sql.shuffle.partitions", "8")
+        val query = cellStream.writeStream.format("memory").queryName(qname)
+          .outputMode("complete").start()
+        try {
+          rows.grouped(math.max(500, (rows.length + 3) / 4)).foreach { ch =>
+            src.addData(ch.toIndexedSeq); query.processAllAvailable()
+          }
+        } finally query.stop()
+      } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+      val cells0 = s.table(qname)
+      val cells = s.createDataFrame(
+        java.util.Arrays.asList(cells0.collect(): _*), cells0.schema)
+      s.catalog.dropTempView(qname)
+      graft.operators.Analytics.chi2FromCells(cells)
+    }),
+
     // ---- q149: STREAMING KMV sketch — the deterministic member of the
     //      commuting-sketch family (q127 CMS: counters add; q128 HLL:
     //      registers max; KMV: k-smallest-distinct, a union-trim that is
@@ -765,6 +812,10 @@ object StreamQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    // q177's oracle verbatim: the cell counters are commuting sums, so the
+    // streaming accumulation equals the batch cells by construction and
+    // one report definition (chi2FromCells) serves both modes.
+    "q182_stream_chi2_drift" -> graft.operators.Analytics.oracles("q177_chi2_drift"),
     // q148's oracle verbatim: the streaming sketch must equal the batch
     // sketch bit-for-bit (KMV is a pure set function of the input).
     "q149_stream_kmv" -> graft.operators.Advanced.oracles("q148_kmv_sketch"),

@@ -603,6 +603,37 @@ class CdcApplierSpec extends AnyFunSuite {
     assert(snapBefore.size == 20)
   }
 
+  test("vacuumMor: window collapses, current state identical, as-of floor moves") {
+    val target = newTarget()
+    val s2v2 = Student(2, 7, 85, "bob", "y")
+    CdcApplier.applyBatchMor(spark, ev("insert", 10, None, Some(s1)), target, opts)
+    CdcApplier.applyBatchMor(spark, ev("insert", 20, None, Some(s2)), target, opts)
+    CdcApplier.applyBatchMor(spark, ev("update", 30, Some(s1), Some(s1v2)), target, opts)
+    CdcApplier.applyBatchMor(spark, ev("update", 100, Some(s2), Some(s2v2)), target, opts)
+    def rawRows = spark.read.parquet(target).count()
+    val before = state(target)
+    assert(rawRows == 4) // s1@10, s2@20, s1v2@30, s2v2@100
+    CdcApplier.vacuumMor(spark, target, 100L)
+    // the sub-window collapsed (s1's two versions became one image row)
+    assert(rawRows == 3, s"expected 3 version rows post-vacuum, got $rawRows")
+    // current state is bit-identical
+    assert(state(target) == before)
+    assert(before == Set(s1v2, s2v2))
+    // as-of inside the retained window still answers (floor = 30)
+    val asOf30 = CdcApplier.snapshotAsOf(spark, target, 30)
+      .drop("_graft_pos").as[Student].collect().toSet
+    assert(asOf30 == Set(s1v2, s2))
+    // below the new floor is rejected, not answered wrong
+    intercept[IllegalArgumentException](CdcApplier.snapshotAsOf(spark, target, 29))
+    // vacuum again with nothing below the window: clean no-op
+    assert(CdcApplier.vacuumMor(spark, target, 100L).isEmpty ||
+      rawRows == 3)
+    // and the table keeps working: one more delta + full compact converge
+    CdcApplier.applyBatchMor(spark, ev("delete", 200, Some(s1v2), None), target, opts)
+    CdcApplier.compactMor(spark, target)
+    assert(state(target) == Set(s2v2))
+  }
+
   test("differential: random lifecycles converge identically through cow and mor") {
     // Seeded random op sequences (deterministic across runs): the two
     // storage modes are different physical encodings of ONE logical merge

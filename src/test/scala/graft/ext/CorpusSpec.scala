@@ -492,4 +492,25 @@ class CorpusSpec extends AnyFunSuite {
     val epochs = (t._3 + t._2 - 1) / t._2
     assert(epochs >= 2, s"tail must replicate across >= 2 epochs, got $epochs")
   }
+
+  test("gopherMatrix: hand-computed rule verdicts (q178)") {
+    import spark.implicits._
+    // doc 1: "the a xx yy zz" — nw=5 (< 50 fails r_words), stops {the,a}
+    //   passes r_stop, mean len 10/5=2.0 fails r_wlen, cover = max bigram
+    //   cnt*chars = 1*(3+1)=4? bigrams: (the,a)=4,(a,xx)=3,(xx,yy)=4,
+    //   (yy,zz)=4 → cover 4, frac 4/10=0.4 fails r_2gram.
+    // doc 2: 60 words "w1..w50 the a the a ..." — engineered to pass all.
+    val pass = ((1 to 52).map(i => s"word$i") ++ Seq(
+      "the", "a", "brick", "stone", "cloud", "river", "maple", "frost"))
+      .mkString(" ")
+    val got = Corpus.gopherMatrix(Seq(
+        (1L, "the a xx yy zz"), (2L, pass)).toDF("doc_id", "text"))
+      .orderBy($"doc_id")
+      .select($"doc_id", $"nw", $"n_stop", $"r_words", $"r_wlen", $"r_stop",
+        $"r_2gram", $"keep")
+      .as[(Long, Long, Long, Boolean, Boolean, Boolean, Boolean, Boolean)]
+      .collect().toList
+    assert(got(0) == (1L, 5L, 2L, false, false, true, false, false), got(0))
+    assert(got(1) == (2L, 60L, 2L, true, true, true, true, true), got(1))
+  }
 }

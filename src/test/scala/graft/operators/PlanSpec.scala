@@ -789,4 +789,75 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("graft_winnow"), "fingerprints must use the codegen kernel: " + p)
     assert("HashAggregate".r.findAllIn(p).size >= 2, p)
   }
+
+  test("q178: gopher matrix is doc-keyed aggs — no window, no cartesian") {
+    val p = plan("q178_gopher_rules")
+    assert(!p.contains("CartesianProduct"), p)
+    // both rule arms reduce to doc_id-keyed partial+final aggregates
+    // joined on the doc key; a corpus-wide window must never appear
+    assert(!p.contains("windowspecdefinition"), "no window at any scope: " + p)
+    assert("HashAggregate".r.findAllIn(p).size >= 4, p)
+  }
+
+  test("q179: DSIR ratio broadcasts onto one corpus pass; top-K is TakeOrdered") {
+    val p = plan("q179_dsir")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("TakeOrderedAndProject"), "budget selection must be top-k: " + p)
+    // the vocab-sized ratio frame must come back as a broadcast, not a
+    // corpus-sized shuffle join
+    assert(p.contains("BroadcastHashJoin"), "ratio join must broadcast: " + p)
+  }
+
+  test("q180: each MMR round is anti-join + max-agg + per-qid window — no cartesian") {
+    // the query's returned frame is a checkpoint scan (the greedy loop
+    // materializes each round), so lock the ROUND plan itself
+    import spark.implicits._
+    val cand = Seq((1L, 10L, 0.9), (1L, 11L, 0.8)).toDF("qid", "vec_id", "rel")
+    val sims = Seq((1L, 10L, 11L, 0.5)).toDF("qid", "va", "vb", "sim")
+    val sel = Seq((1L, 1L, 10L, 0.63)).toDF("qid", "step", "vec_id", "score")
+    val round = graft.ext.Similarity.mmrRound(cand, sims, sel, 2)
+    round.queryExecution.toRdd.foreach(_ => ())
+    val p = round.queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct"), p)
+    // prior picks are excluded by anti-join (the greedy state lives in a
+    // DataFrame, not a collected driver set)
+    assert(p.contains("LeftAnti"), "round exclusion must be an anti-join: " + p)
+    // the only rank window runs per-query (qid partition), never global
+    assert(p.contains("windowspecdefinition(qid"), "per-query windows: " + p)
+    // and the full query still plans/executes sanely end-to-end
+    assert(!plan("q180_mmr_diversity").contains("CartesianProduct"))
+  }
+
+  test("q183: batching rank windows partition by length bucket — never corpus-global") {
+    val p = plan("q183_length_batching")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("windowspecdefinition(bucket"), "per-bucket window: " + p)
+  }
+
+  test("q184: label-prop vote is a keyed agg + per-node window — no cartesian") {
+    val p = plan("q184_label_prop")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("windowspecdefinition(v#"), "per-node argmax window: " + p)
+    assert("HashAggregate".r.findAllIn(p).size >= 2, "partial+final vote agg: " + p)
+  }
+
+  test("q185: decontam seeds come from the broadcast bench-set equi-join; islands per-doc") {
+    val p = plan("q185_decontam_spans")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("BroadcastHashJoin"), "bench hash set must broadcast: " + p)
+    // the islands merge windows partition by doc — never corpus-wide
+    assert(p.contains("windowspecdefinition(doc_id"), "per-doc windows: " + p)
+  }
+
+  test("q186: gram synthesis windows partition by doc; one corpus pass") {
+    val p = plan("q186_ngram_diversity")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("windowspecdefinition(doc_id"), "per-doc lead windows: " + p)
+    // one documents scan: count in the FINAL adaptive plan only (the AQE
+    // toString appends an "== Initial Plan ==" section that repeats it)
+    val df = SparkEntry.queries("q186_ngram_diversity")(spark, dir)
+    df.queryExecution.toRdd.foreach(_ => ())
+    val exec = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    assert("Scan parquet".r.findAllIn(exec).size == 1, "one documents scan: " + exec)
+  }
 }
