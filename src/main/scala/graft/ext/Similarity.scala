@@ -63,6 +63,10 @@ object Similarity {
   val PqM = 8       // product-quantization subspaces (q125)
   val PqSub = 8     // dims per subspace (64 / PqM)
   val IvfProbes = 4 // cells probed per query
+  /** q190's tuning sweep: nprobe values whose recall/cost curve the gate
+    * reports (IvfProbes = 4 sits inside it — the sweep is how that knob
+    * gets picked in the first place). */
+  val IvfSweep = Seq(1, 2, 4, 8)
 
   /** Index-order double dot product — bit-identical to the oracle's fold;
     * backed by the native codegen kernel [[graft.functions.DotProduct]]
@@ -478,6 +482,59 @@ object Similarity {
         .filter(col("rank") <= TopK)
         .select(col("qid").as("query_id"), col("rank"), col("vec_id").as("neighbor_id"), col("cos"))
       withRecall(topk, e, IvfRecallBound).orderBy(col("query_id"), col("rank"))
+    }),
+
+    // ---- q190: IVF nprobe recall/cost sweep — the tuning curve behind
+    //      q53's fixed IvfProbes knob: per (nprobe in IvfSweep, query),
+    //      recall@k against the exact baseline AND the candidate count
+    //      actually scanned — the two axes a deployment trades when it
+    //      picks nprobe. Scale shape: cell assignment, probe ranking, and
+    //      the candidate join run ONCE at max(nprobe) (checkpointed);
+    //      each sweep arm is a filter on the probe rank — never a
+    //      re-scan, never a re-join; rank windows partition by
+    //      (nprobe, query). The exact baseline is the one q50-shaped
+    //      pass every self-validating recall gate already pays.
+    "q190_ivf_recall_sweep" -> ((s, dir) => {
+      graft.functions.GraftFunctions.register(s)
+      val e = t(s, dir, "embeddings")
+        .repartition(col("vec_id"))
+        .withColumn("nrm", sqrt(dotd(col("embedding"), col("embedding"))))
+      val centroids = ivfCentroids(e)
+      val tgt = e.filter(col("vec_id") >= NumQueries)
+        .withColumn("cell", cellOf(col("embedding"), centroids))
+      val qcells = e.filter(col("vec_id") < NumQueries)
+        .select(col("vec_id").as("qid"), col("embedding").as("qe"), col("nrm").as("qn"),
+          explode(array(centroids.map { case (cid, c) =>
+            struct(lit(cid).as("cell"), dotd(col("embedding"), typedLit(c)).as("d"))
+          }: _*)).as("cc"))
+        .select(col("qid"), col("qe"), col("qn"),
+          col("cc.cell").as("cell"), col("cc.d").as("d"))
+      val pw = Window.partitionBy(col("qid")).orderBy(col("d").desc, col("cell"))
+      val probes = qcells.withColumn("prank", row_number().over(pw))
+        .filter(col("prank") <= IvfSweep.max)
+      val cands = tgt.join(broadcast(probes), "cell")
+        .withColumn("cos", cosd(col("qe"), col("qn"), col("embedding"), col("nrm")))
+        .select(col("qid"), col("prank"), col("vec_id"), col("cos"))
+        .localCheckpoint() // one candidate join feeds every sweep arm
+      val swept = cands
+        .withColumn("nprobe", explode(typedLit(IvfSweep)))
+        .filter(col("prank") <= col("nprobe"))
+      val w = Window.partitionBy(col("nprobe"), col("qid"))
+        .orderBy(col("cos").desc, col("vec_id"))
+      val ncand = swept.groupBy(col("nprobe"), col("qid"))
+        .agg(count(lit(1)).as("n_cand"))
+      val topk = swept.withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= TopK)
+        .select(col("nprobe"), col("qid").as("query_id"), col("vec_id").as("neighbor_id"))
+      topk
+        .join(bruteTopKSet(e),
+          col("query_id") === col("bq") && col("neighbor_id") === col("bn"), "left")
+        .groupBy(col("nprobe"), col("query_id"))
+        .agg((count(col("bq")) / lit(TopK.toDouble)).as("recall_k"))
+        .join(ncand.withColumnRenamed("qid", "query_id"), Seq("nprobe", "query_id"))
+        .select(col("nprobe").cast("long").as("nprobe"), col("query_id"),
+          col("recall_k"), col("n_cand"))
+        .repartition(1).sortWithinPartitions(col("nprobe"), col("query_id"))
     }),
 
     // ---- k-means Lloyd UPDATE step over the IVF cells: assign every
@@ -962,6 +1019,51 @@ object Similarity {
       SELECT t.query_id, t.rank, t.neighbor_id, t.cos, r.recall_k
       FROM topk t JOIN rec r ON t.query_id = r.query_id
       ORDER BY t.query_id, t.rank""",
+
+    // q53's cell/probe replay with the probe-rank cut generalized over the
+    // sweep arms (a lateral over the nprobe list); recall joined per
+    // (nprobe, query) against the same brute CTE.
+    "q190_ivf_recall_sweep" -> s"""
+      WITH e AS (${codesSql("")}),
+      cent AS (
+        SELECT CAST(vec_id - $NumQueries AS INT) AS cid,
+          list_transform(embedding, x -> x::DOUBLE / nrm) AS cv
+        FROM e WHERE vec_id >= $NumQueries AND vec_id < ${NumQueries + IvfCells}),
+      tassign AS (
+        SELECT t.vec_id, t.embedding, t.nrm, c.cid,
+          ROW_NUMBER() OVER (PARTITION BY t.vec_id
+            ORDER BY ${dotSql("t.embedding", "c.cv")} DESC, c.cid) AS rn
+        FROM e t, cent c WHERE t.vec_id >= $NumQueries),
+      tgt AS (SELECT vec_id, embedding, nrm, cid AS cell FROM tassign WHERE rn = 1),
+      qprobe AS (
+        SELECT q.vec_id AS qid, q.embedding AS qe, q.nrm AS qn, c.cid AS cell,
+          ROW_NUMBER() OVER (PARTITION BY q.vec_id
+            ORDER BY ${dotSql("q.embedding", "c.cv")} DESC, c.cid) AS rn
+        FROM e q, cent c WHERE q.vec_id < $NumQueries),
+      np AS (SELECT unnest([${IvfSweep.mkString(", ")}]) AS nprobe),
+      cand AS (
+        SELECT np.nprobe, p.qid, t.vec_id,
+          ${dotSql("p.qe", "t.embedding")} / (p.qn * t.nrm) AS cos
+        FROM qprobe p JOIN tgt t ON p.cell = t.cell
+        CROSS JOIN np WHERE p.rn <= np.nprobe),
+      topk AS (
+        SELECT nprobe, qid AS query_id, vec_id AS neighbor_id FROM (
+          SELECT nprobe, qid, vec_id,
+            ROW_NUMBER() OVER (PARTITION BY nprobe, qid
+              ORDER BY cos DESC, vec_id) AS rank
+          FROM cand) x WHERE rank <= $TopK),
+      ncand AS (
+        SELECT nprobe, qid AS query_id, CAST(count(*) AS BIGINT) AS n_cand
+        FROM cand GROUP BY 1, 2),
+      $bruteTopKSqlCte
+      SELECT CAST(t.nprobe AS BIGINT) AS nprobe, t.query_id,
+        count(b.neighbor_id) / $TopK.0 AS recall_k, max(n.n_cand) AS n_cand
+      FROM topk t
+      LEFT JOIN brute b
+        ON t.query_id = b.query_id AND t.neighbor_id = b.neighbor_id
+      JOIN ncand n ON t.nprobe = n.nprobe AND t.query_id = n.query_id
+      GROUP BY t.nprobe, t.query_id
+      ORDER BY nprobe, t.query_id""",
 
     // Mirrors q62's full decision procedure: same centroids, same
     // index-order assignment fold, then per-(cell, dimension) means with

@@ -41,6 +41,19 @@ object Analytics {
   val StatsCols = Seq("o_orderkey", "o_custkey", "o_orderstatus",
     "o_totalprice", "o_orderdate", "o_orderpriority")
 
+  /** q188 attribution geometry: a purchase credits the same user's clicks
+    * in the trailing [[AttrWindow]] seconds (inclusive of the purchase
+    * instant). Two standard models share one pair frame: last-touch (the
+    * latest qualifying click takes credit 1.0; ties to the larger
+    * event_id) and linear (each qualifying click takes 1/n). */
+  val AttrWindow = 604800L
+
+  /** q189 winsorization cut points: clamp at the p05/p95 quantiles (exact
+    * binary-fraction-free probabilities are NOT needed — quantile_cont and
+    * the distributed engine are bit-equal at any p, proven r3). */
+  val WinsorLo = 0.05
+  val WinsorHi = 0.95
+
   /** q167's histogram surface: the lineitem measures profiled, and the
     * k=8 equi-height bucket bounds (quantiles i/8, i=0..8 — every q is an
     * exact binary fraction). One definition feeds the Spark plan AND the
@@ -133,6 +146,69 @@ object Analytics {
         .agg(sum(when(col("tsec") < col("mid"), 1L).otherwise(0L)).as("b"),
           sum(when(col("tsec") >= col("mid"), 1L).otherwise(0L)).as("o"))
       chi2FromCells(cells)
+    }),
+
+    // ---- q188: marketing attribution (last-touch + linear) — the
+    //      credit-assignment query every event pipeline serves on top of
+    //      q75's funnel: for each purchase, the same user's clicks in the
+    //      trailing window share the conversion credit — last-touch gives
+    //      the final click everything, linear splits 1/n. Scale shape:
+    //      ONE user-keyed equi-join builds the (purchase, click) pair
+    //      frame (the time window is a residual predicate on the join —
+    //      pairs bounded by per-user activity, never user x user);
+    //      last-touch is a per-PURCHASE rank window; both models fold to
+    //      a (model, click)-keyed SUMD agg. 1/n is a single exact IEEE
+    //      division (n is an exact integer count).
+    "q188_attribution" -> ((s, dir) => {
+      import s.implicits._
+      val ev = Tables.load(s, dir, "events")
+        .select($"user_id", $"event_id", $"event_type",
+          unix_timestamp($"ts").as("tsec"))
+      val purch = ev.filter($"event_type" === "purchase")
+        .select($"user_id", $"event_id".as("pid"), $"tsec".as("ptsec"))
+      val clicks = ev.filter($"event_type" === "click")
+        .select($"user_id", $"event_id".as("cid"), $"tsec".as("ctsec"))
+      val pairs = purch.join(clicks, Seq("user_id"))
+        .filter($"ctsec" <= $"ptsec" && $"ctsec" > $"ptsec" - AttrWindow)
+        .localCheckpoint() // one pair frame feeds both models
+      val wLast = Window.partitionBy($"pid").orderBy($"ctsec".desc, $"cid".desc)
+      val last = pairs.withColumn("rn", row_number().over(wLast))
+        .filter($"rn" === 1)
+        .select(lit("last_touch").as("model"), $"cid", lit(1.0).as("credit"))
+      val linear = pairs
+        .withColumn("n", count(lit(1)).over(Window.partitionBy($"pid")))
+        .select(lit("linear").as("model"), $"cid",
+          (lit(1.0) / $"n".cast("double")).as("credit"))
+      last.unionByName(linear)
+        .groupBy($"model", $"cid")
+        .agg(sumd($"credit").as("credit"), count(lit(1)).as("n_purchases"))
+        .repartition(1).sortWithinPartitions($"model", $"cid")
+    }),
+
+    // ---- q189: winsorized means — the clamp-the-tails robust statistic
+    //      next to q155's flag-the-tails (a metrics pipeline usually
+    //      wants both: q155 names the outliers, this reports the
+    //      outlier-resistant aggregate). Cut points p05/p95 per event
+    //      type come from the distributed exactQuantiles engine
+    //      (bit-equal to quantile_cont), broadcast back; the clamp is
+    //      greatest/least — pure comparisons, no arithmetic to drift;
+    //      raw and winsorized means are SUMD sums over one scan divided
+    //      once. Two corpus passes total (quantiles, then the clamped
+    //      agg) — the irreducible cost of a quantile-defined statistic.
+    "q189_winsorize" -> ((s, dir) => {
+      import s.implicits._
+      val ev = Tables.load(s, dir, "events").select($"event_type", $"value")
+      val cuts = Advanced.exactQuantiles(ev, "event_type", "value",
+        Seq(("p05", WinsorLo), ("p95", WinsorHi)))
+      ev.join(broadcast(cuts), Seq("event_type"))
+        .withColumn("wv", greatest(least($"value", $"p95"), $"p05"))
+        .groupBy($"event_type")
+        .agg(count(lit(1)).as("n"), max($"p05").as("p05"), max($"p95").as("p95"),
+          sum(when($"value" < $"p05", 1L).otherwise(0L)).as("n_clip_low"),
+          sum(when($"value" > $"p95", 1L).otherwise(0L)).as("n_clip_high"),
+          (sumd($"value") / count(lit(1)).cast("double")).as("mean_raw"),
+          (sumd($"wv") / count(lit(1)).cast("double")).as("mean_winsor"))
+        .repartition(1).sortWithinPartitions($"event_type")
     }),
 
     // ---- q143: declarative data-quality expectations (the Deequ/Great-
@@ -368,6 +444,50 @@ object Analytics {
           AS chi2,
         CAST(sum(CASE WHEN b = 0 THEN o ELSE 0 END) AS BIGINT) AS n_novel
       FROM x GROUP BY event_type ORDER BY event_type""",
+
+    // Same pair frame (user equi-join + trailing-window residual), same
+    // (ctsec desc, cid desc) last-touch rank, same exact 1/n split, SUMD
+    // credit sums.
+    "q188_attribution" -> s"""
+      WITH ev AS (
+        SELECT user_id, event_id, event_type,
+          CAST(FLOOR(epoch(ts)) AS BIGINT) AS tsec
+        FROM events),
+      pairs AS (
+        SELECT p.event_id AS pid, c.event_id AS cid, c.tsec AS ctsec
+        FROM ev p JOIN ev c ON p.user_id = c.user_id
+        WHERE p.event_type = 'purchase' AND c.event_type = 'click'
+          AND c.tsec <= p.tsec AND c.tsec > p.tsec - $AttrWindow),
+      last_ AS (
+        SELECT 'last_touch' AS model, cid, 1.0::DOUBLE AS credit FROM (
+          SELECT cid,
+            ROW_NUMBER() OVER (PARTITION BY pid ORDER BY ctsec DESC, cid DESC) AS rn
+          FROM pairs) x WHERE rn = 1),
+      linear_ AS (
+        SELECT 'linear' AS model, cid,
+          1.0::DOUBLE / (count(*) OVER (PARTITION BY pid))::DOUBLE AS credit
+        FROM pairs),
+      un AS (SELECT * FROM last_ UNION ALL SELECT * FROM linear_)
+      SELECT model, cid, ${SUMD("credit")} AS credit,
+        CAST(count(*) AS BIGINT) AS n_purchases
+      FROM un GROUP BY model, cid ORDER BY model, cid""",
+
+    // Same quantile engine (quantile_cont bit-equal), same greatest/least
+    // clamp, same SUMD-over-one-scan means.
+    "q189_winsorize" -> s"""
+      WITH cuts AS (
+        SELECT event_type, quantile_cont(value, $WinsorLo) AS p05,
+          quantile_cont(value, $WinsorHi) AS p95
+        FROM events GROUP BY event_type)
+      SELECT e.event_type, CAST(count(*) AS BIGINT) AS n,
+        max(c.p05) AS p05, max(c.p95) AS p95,
+        CAST(count(*) FILTER (WHERE e.value < c.p05) AS BIGINT) AS n_clip_low,
+        CAST(count(*) FILTER (WHERE e.value > c.p95) AS BIGINT) AS n_clip_high,
+        ${SUMD("e.value")} / count(*)::DOUBLE AS mean_raw,
+        ${SUMD("greatest(least(e.value, c.p95), c.p05)")} / count(*)::DOUBLE
+          AS mean_winsor
+      FROM events e JOIN cuts c USING (event_type)
+      GROUP BY e.event_type ORDER BY e.event_type""",
 
     "q167_histograms" -> {
       val arms = HistCols.map(c =>

@@ -343,6 +343,19 @@ object Relational {
       s.sql(SqlSurfaceText)
     }),
 
+    // ---- q187: WITH RECURSIVE (SQL:1999 recursive CTE, Spark 4's
+    //      UnionLoop) — the hierarchy-walk member of the SQL-text surface
+    //      next to q63's joins/aggs and q145's LATERAL: every doc's
+    //      ancestor chain under parent(n) = n div 2, reporting chain
+    //      depth and path sum. One shared text modulo the integer-
+    //      division token (see [[RecursiveCteText]]); iteration state is
+    //      only the recursing frontier and the loop runs log2(max id)
+    //      steps — linear total work, no joins at all.
+    "q187_recursive_cte" -> ((s, dir) => {
+      Tables.load(s, dir, "documents").createOrReplaceTempView("documents")
+      s.sql(RecursiveCteText("div"))
+    }),
+
     // ---- q145: LATERAL correlated subquery (SQL:1999, the per-row
     //      dependent join Spark added in 3.2) — per-customer top-2 orders
     //      by price, the dependent-top-k idiom ORDER BY/LIMIT inside a
@@ -432,6 +445,23 @@ object Relational {
     WHERE c.c_custkey % 10 = 0
     ORDER BY c.c_custkey, o.o_orderkey"""
 
+  /** q187's shared text, parameterized ONLY by the integer-division
+    * spelling (Spark `div`, DuckDB `//` — there is no common token): the
+    * ancestor chain of every doc under the halving hierarchy parent(n) =
+    * n/2, linearly recursed to the root. Spark 4's WITH RECURSIVE plans
+    * this as UnionLoop — each iteration is one distributed step over the
+    * frontier (rows still recursing), state never exceeds the frontier,
+    * and the loop depth is log2(max id) — the transitive-closure /
+    * hierarchy-walk member of the SQL-text surface (q63, q145). */
+  def RecursiveCteText(intDiv: String): String = s"""
+    WITH RECURSIVE anc(node, cur, depth) AS (
+      SELECT doc_id, doc_id, CAST(0 AS BIGINT) FROM documents
+      UNION ALL
+      SELECT node, cur $intDiv 2, depth + 1 FROM anc WHERE cur > 0)
+    SELECT node, CAST(max(depth) AS BIGINT) AS depth,
+      CAST(sum(cur) AS BIGINT) AS path_sum
+    FROM anc GROUP BY node ORDER BY node"""
+
   /** One SQL text, two engines (q63): Spark executes it, DuckDB oracles it. */
   val SqlSurfaceText: String = s"""
     SELECT c_mktsegment, o_orderpriority,
@@ -445,6 +475,9 @@ object Relational {
     ORDER BY c_mktsegment, o_orderpriority"""
 
   val oracles: Map[String, String] = Map(
+    // the SAME text with DuckDB's // integer division
+    "q187_recursive_cte" -> RecursiveCteText("//"),
+
     "q01_agg_summary" -> s"""
       SELECT l_returnflag, l_linestatus,
         ${SUMD("l_quantity")} AS sum_qty,

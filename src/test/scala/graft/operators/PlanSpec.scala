@@ -834,6 +834,33 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("windowspecdefinition(bucket"), "per-bucket window: " + p)
   }
 
+  test("q187: WITH RECURSIVE plans as a union loop, not a cartesian/self-join blowup") {
+    val p = plan("q187_recursive_cte")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.toLowerCase.contains("unionloop") || p.contains("CTERelation"),
+      "recursive CTE must plan as Spark's UnionLoop: " + p)
+  }
+
+  test("q188: attribution pairs are a user equi-join; last-touch per-purchase window") {
+    val p = plan("q188_attribution")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      "window predicate must ride the user equi-join as a residual: " + p)
+    assert(p.contains("windowspecdefinition(pid"), "per-purchase windows: " + p)
+  }
+
+  test("q189: winsorize cut points broadcast back onto the stream") {
+    val p = plan("q189_winsorize")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("BroadcastHashJoin"), "cuts frame must broadcast: " + p)
+  }
+
+  test("q190: sweep arms filter one candidate join; windows per (nprobe, query)") {
+    val p = plan("q190_ivf_recall_sweep")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("windowspecdefinition(nprobe"), "per-arm rank windows: " + p)
+  }
+
   test("q184: label-prop vote is a keyed agg + per-node window — no cartesian") {
     val p = plan("q184_label_prop")
     assert(!p.contains("CartesianProduct"), p)
