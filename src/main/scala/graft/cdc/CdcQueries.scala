@@ -949,6 +949,21 @@ object CdcQueries {
         .orderBy($"o_orderpriority")
     }),
 
+    // IVM COUNT(DISTINCT) (IncrementalView.maintainDistinct): the
+    // duplicate-sensitive aggregate the q79 contribution fold cannot
+    // express — maintained as Gupta-Mumick refcounts on (group, value)
+    // pairs over the SAME lifecycle (the %13 group-moves exercise the
+    // hazard: a custkey moving priority groups must only drop from the
+    // old group's distinct set if that was its last order there). The
+    // oracle re-derives COUNT(DISTINCT o_custkey) from the equivalent
+    // final table.
+    "q193_ivm_distinct" -> ((s, dir) => {
+      import s.implicits._
+      IncrementalView.maintainDistinct(lifecycle(s, dir).batches,
+          "o_orderpriority", "o_custkey")
+        .orderBy($"o_orderpriority")
+    }),
+
     // IVM beyond SUM/COUNT (IncrementalView.maintainMinMax): AVG derives
     // from the decimal-exact (sum, cnt); MIN/MAX maintain optimistically
     // from inserted extremes and RESCAN only affected keys under deletes.
@@ -1893,6 +1908,20 @@ object CdcQueries {
         FROM orders WHERE o_orderkey % 11 <> 0)
       SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS cnt,
         ${graft.util.Sumd.SUMD("price")} AS total
+      FROM cur GROUP BY o_orderpriority
+      ORDER BY o_orderpriority""",
+
+    // Fresh COUNT(DISTINCT) over the same equivalent final table — what
+    // the refcount fold must reproduce exactly.
+    "q193_ivm_distinct" -> """
+      WITH cur AS (
+        SELECT
+          CASE WHEN o_orderkey % 13 = 0 THEN '1-URGENT'
+               ELSE o_orderpriority END AS o_orderpriority,
+          o_custkey
+        FROM orders WHERE o_orderkey % 11 <> 0)
+      SELECT o_orderpriority, CAST(count(DISTINCT o_custkey) AS BIGINT) AS ndv,
+        CAST(count(*) AS BIGINT) AS n_rows
       FROM cur GROUP BY o_orderpriority
       ORDER BY o_orderpriority""",
 

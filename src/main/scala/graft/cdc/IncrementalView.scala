@@ -69,6 +69,49 @@ object IncrementalView {
     batches.map(delta(_, key, value)).reduce(merge(_, _, key))
       .filter(col("cnt") > 0)
 
+  /** One change batch's per-(key, value) REFCOUNT contribution — the
+    * state behind the incremental COUNT(DISTINCT) view below. Same ±1
+    * contribution algebra as [[delta]], but keyed by the PAIR: an update
+    * that moves a row between groups (or rewrites the counted value)
+    * decrements the old pair and increments the new one. */
+  def deltaDistinct(batch: DataFrame, key: String, value: String): DataFrame = {
+    def c(img: String, sgn: Int) = struct(
+      col(s"$img.$key").as("k"), col(s"$img.$value").as("v"), lit(sgn).as("sgn"))
+    batch.select(explode(
+        when(col("op") === "insert", array(c("after", 1)))
+          .when(col("op") === "delete", array(c("before", -1)))
+          .otherwise(array(c("before", -1), c("after", 1)))).as("ct"))
+      .select(col("ct.k").as(key), col("ct.v").as(value), col("ct.sgn").as("sgn"))
+      .groupBy(col(key), col(value))
+      .agg(sum(col("sgn")).cast("long").as("ref"))
+  }
+
+  /** Merge two (key, value, ref) refcount frames — associative like
+    * [[merge]], so batch grouping never matters. */
+  def mergeDistinct(a: DataFrame, b: DataFrame, key: String, value: String): DataFrame =
+    a.withColumnRenamed("ref", "ref_a")
+      .join(b.withColumnRenamed("ref", "ref_b"), Seq(key, value), "full_outer")
+      .select(col(key), col(value),
+        (coalesce(col("ref_a"), lit(0L)) + coalesce(col("ref_b"), lit(0L))).as("ref"))
+
+  /** Incremental COUNT(DISTINCT value) per key — the duplicate-sensitive
+    * member of the IVM family (q79 SUM/COUNT fold, q89 MIN/MAX rescan,
+    * q174 join, q176 top-k): SUM/COUNT contributions cannot express
+    * DISTINCT, and a naive NDV view breaks on deletes ("was that the
+    * value's LAST copy in the group?"). The classical answer (Gupta &
+    * Mumick's duplicate-preserving multiset view) maintains the
+    * (key, value, refcount) frame by the same contribution algebra; the
+    * view reads as the per-key count of pairs with ref > 0 (n_rows =
+    * the ref sum rides along). State is bounded by LIVE distinct pairs —
+    * exactly what any exact distinct count must retain; a delta touches
+    * only the batch's pairs. */
+  def maintainDistinct(batches: Seq[DataFrame], key: String, value: String): DataFrame =
+    batches.map(deltaDistinct(_, key, value))
+      .reduce(mergeDistinct(_, _, key, value))
+      .filter(col("ref") > 0)
+      .groupBy(col(key))
+      .agg(count(lit(1)).as("ndv"), sum(col("ref")).cast("long").as("n_rows"))
+
   /** Incremental equi-JOIN view maintenance — the join member of the IVM
     * family (SUM/COUNT fold above, MIN/MAX rescan below; this maintains a
     * materialized `fact ⋈ dim` keyed by the fact PK). Affected-key

@@ -54,6 +54,15 @@ object Analytics {
   val WinsorLo = 0.05
   val WinsorHi = 0.95
 
+  /** q191: heavy keys reported per profiled join column. */
+  val SkewTopN = 10
+  /** The join columns q191 profiles — the keys the q108 salting and AQE
+    * skew-join decisions actually ride on. One definition for the Spark
+    * arms and the oracle's UNION arms. */
+  val SkewCols: Seq[(String, String)] =
+    Seq("lineitem" -> "l_orderkey", "lineitem" -> "l_suppkey",
+      "orders" -> "o_custkey")
+
   /** q167's histogram surface: the lineitem measures profiled, and the
     * k=8 equi-height bucket bounds (quantiles i/8, i=0..8 — every q is an
     * exact binary fraction). One definition feeds the Spark plan AND the
@@ -78,6 +87,19 @@ object Analytics {
     .select(col("event_type"), unix_timestamp(col("ts")).as("tsec"),
       least(greatest(floor(col("value") / 10.0), lit(0.0)), lit(9.0))
         .cast("long").as("bkt"))
+
+  /** (from_type, to_type) transition rows -> the q192 report (counts +
+    * row fractions). Shared by q192 (batch lead-window adjacency) and
+    * q194 (streaming stateful adjacency): the counting is commutative,
+    * so one report definition — and one oracle — gates both modes. */
+  def transitionReport(trans: DataFrame): DataFrame = {
+    val c = trans.groupBy(col("from_type"), col("to_type"))
+      .agg(count(lit(1)).as("cnt"))
+    c.crossJoin(broadcast(c.agg(sum(col("cnt")).cast("long").as("total"))))
+      .select(col("from_type"), col("to_type"), col("cnt"),
+        (col("cnt").cast("double") / col("total").cast("double")).as("frac"))
+      .repartition(1).sortWithinPartitions(col("from_type"), col("to_type"))
+  }
 
   /** (event_type, bkt, b, o) cells -> the per-type chi-square drift
     * report. Shared by q177 (batch) and q182 (streaming): the b/o
@@ -146,6 +168,57 @@ object Analytics {
         .agg(sum(when(col("tsec") < col("mid"), 1L).otherwise(0L)).as("b"),
           sum(when(col("tsec") >= col("mid"), 1L).otherwise(0L)).as("o"))
       chi2FromCells(cells)
+    }),
+
+    // ---- q191: join-key skew diagnostics — the report that feeds the
+    //      q108 salting and AQE skew-join decisions: per profiled join
+    //      column, the top heavy keys with the summary (rows, distinct
+    //      keys, skew ratio = max key count / mean key count). Scale
+    //      shape per column: ONE partial+final count agg on the key;
+    //      top-N is TakeOrderedAndProject; the rank window runs on the N
+    //      survivors partitioned by a single-valued non-foldable key
+    //      (q69's bounded-window trick); the summary is a 1-row
+    //      broadcast. The skew ratio is (max*keys)/rows — two IEEE ops
+    //      in the same order both engines.
+    "q191_skew_diagnostics" -> ((s, dir) => {
+      def arm(table: String, c: String): DataFrame = {
+        val cnts = Tables.load(s, dir, table)
+          .groupBy(col(c).cast("long").as("key_val"))
+          .agg(count(lit(1)).as("cnt"))
+        val summary = cnts.agg(sum(col("cnt")).cast("long").as("n_rows"),
+          count(lit(1)).as("n_keys"), max(col("cnt")).as("max_cnt"))
+        val top = cnts.orderBy(col("cnt").desc, col("key_val")).limit(SkewTopN)
+        val w = Window.partitionBy(col("n_rows"))
+          .orderBy(col("cnt").desc, col("key_val"))
+        top.crossJoin(broadcast(summary))
+          .withColumn("rank", row_number().over(w))
+          .select(lit(s"$table.$c").as("col_name"), col("rank"), col("key_val"),
+            col("cnt"), col("n_rows"), col("n_keys"),
+            (col("max_cnt").cast("double") * col("n_keys").cast("double") /
+              col("n_rows").cast("double")).as("skew_ratio"))
+      }
+      SkewCols.map { case (t, c) => arm(t, c) }.reduce(_ unionByName _)
+        .repartition(1).sortWithinPartitions(col("col_name"), col("rank"))
+    }),
+
+    // ---- q192: event-transition mining — the first-order Markov
+    //      transition table over per-user event sequences (the "what do
+    //      users do next" surface behind q75's fixed funnel: this is the
+    //      exploratory form that discovers funnels). Per user, events
+    //      order by (ts, event_id); each adjacent pair contributes one
+    //      (from, to) transition; the report is global counts + row
+    //      fractions. Scale shape: ONE per-user lead window (partitioned
+    //      by user — never global), then a (from, to)-keyed partial+final
+    //      agg over types x types cells; fractions are exact-count IEEE
+    //      divisions against the broadcast 1-row total.
+    "q192_event_transitions" -> ((s, dir) => {
+      import s.implicits._
+      val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+      transitionReport(Tables.load(s, dir, "events")
+        .select($"user_id", $"ts", $"event_id", $"event_type")
+        .withColumn("next_type", lead($"event_type", 1).over(w))
+        .filter($"next_type".isNotNull)
+        .select($"event_type".as("from_type"), $"next_type".as("to_type")))
     }),
 
     // ---- q188: marketing attribution (last-touch + linear) — the
@@ -444,6 +517,38 @@ object Analytics {
           AS chi2,
         CAST(sum(CASE WHEN b = 0 THEN o ELSE 0 END) AS BIGINT) AS n_novel
       FROM x GROUP BY event_type ORDER BY event_type""",
+
+    // Same per-column count/top-N/summary arms UNION'd, same
+    // (cnt desc, key) rank order, same (max*keys)/rows ratio op order.
+    "q191_skew_diagnostics" -> (SkewCols.map { case (table, c) => s"""
+      SELECT '$table.$c' AS col_name, rank, key_val, cnt, n_rows, n_keys,
+        max_cnt::DOUBLE * n_keys::DOUBLE / n_rows::DOUBLE AS skew_ratio
+      FROM (
+        SELECT key_val, cnt,
+          ROW_NUMBER() OVER (ORDER BY cnt DESC, key_val) AS rank,
+          CAST(sum(cnt) OVER () AS BIGINT) AS n_rows,
+          CAST(count(*) OVER () AS BIGINT) AS n_keys,
+          CAST(max(cnt) OVER () AS BIGINT) AS max_cnt
+        FROM (
+          SELECT CAST($c AS BIGINT) AS key_val, CAST(count(*) AS BIGINT) AS cnt
+          FROM $table GROUP BY 1) k) r
+      WHERE rank <= $SkewTopN"""
+    }.mkString(" UNION ALL ") + " ORDER BY col_name, rank"),
+
+    // Same per-user (ts, event_id) lead adjacency, same exact-count row
+    // fractions.
+    "q192_event_transitions" -> """
+      WITH t AS (
+        SELECT event_type AS from_type,
+          lead(event_type, 1) OVER (PARTITION BY user_id
+            ORDER BY ts, event_id) AS to_type
+        FROM events),
+      c AS (
+        SELECT from_type, to_type, CAST(count(*) AS BIGINT) AS cnt
+        FROM t WHERE to_type IS NOT NULL GROUP BY 1, 2),
+      tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS total FROM c)
+      SELECT from_type, to_type, cnt, cnt::DOUBLE / total::DOUBLE AS frac
+      FROM c, tot ORDER BY from_type, to_type""",
 
     // Same pair frame (user equi-join + trailing-window residual), same
     // (ctsec desc, cid desc) last-touch rank, same exact 1/n split, SUMD

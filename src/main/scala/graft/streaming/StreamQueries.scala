@@ -86,6 +86,49 @@ object StreamQueries {
       graft.operators.Analytics.chi2FromCells(cells)
     }),
 
+    // ---- q194: STREAMING event-transition mining — q192 as a live
+    //      pipeline: per-user adjacency extracted by a keyed stateful
+    //      operator (one (seq, last-type) pair of state per user,
+    //      StreamingPipeline.streamingTransitions) with the feed in
+    //      global (ts, event_id) order chunked ARBITRARILY — the state
+    //      carries each user's last event across micro-batch boundaries,
+    //      so chunking cannot break adjacency. The transition COUNTING is
+    //      commutative, so the sunk rows fold through the same
+    //      transitionReport as batch and q192's oracle gates this run
+    //      verbatim (the q137/q149/q182 one-decision-procedure
+    //      discipline).
+    "q194_stream_transitions" -> ((s, dir) => {
+      import s.implicits._
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      implicit val sqlCtx: SQLContext = s.sqlContext
+      val rows = Tables.load(s, dir, "events")
+        .select($"user_id", $"ts", $"event_id", $"event_type")
+        .as[(Long, java.sql.Timestamp, Long, String)].collect()
+        .sortBy { case (_, ts, eid, _) => (ts.getTime, ts.getNanos, eid) }
+        .zipWithIndex
+        .map { case ((uid, _, _, tp), i) => (uid, i.toLong, tp) }
+      val src = MemoryStream[(Long, Long, String)]
+      val stream = graft.streaming.StreamingPipeline
+        .streamingTransitions(src.toDS()).toDF("from_type", "to_type")
+      val qname = "q194_out_" + java.util.UUID.randomUUID.toString.replace("-", "")
+      val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+      try {
+        s.conf.set("spark.sql.shuffle.partitions", "8")
+        val query = stream.writeStream.format("memory").queryName(qname)
+          .outputMode("append").start()
+        try {
+          rows.grouped(math.max(500, (rows.length + 3) / 4)).foreach { ch =>
+            src.addData(ch.toIndexedSeq); query.processAllAvailable()
+          }
+        } finally query.stop()
+      } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+      val sunk0 = s.table(qname)
+      val sunk = s.createDataFrame(
+        java.util.Arrays.asList(sunk0.collect(): _*), sunk0.schema)
+      s.catalog.dropTempView(qname)
+      graft.operators.Analytics.transitionReport(sunk)
+    }),
+
     // ---- q149: STREAMING KMV sketch — the deterministic member of the
     //      commuting-sketch family (q127 CMS: counters add; q128 HLL:
     //      registers max; KMV: k-smallest-distinct, a union-trim that is
@@ -812,6 +855,11 @@ object StreamQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    // q192's oracle verbatim: the ordered feed + cross-chunk state make
+    // streaming adjacency equal batch lead adjacency by construction, and
+    // the counting commutes.
+    "q194_stream_transitions" ->
+      graft.operators.Analytics.oracles("q192_event_transitions"),
     // q177's oracle verbatim: the cell counters are commuting sums, so the
     // streaming accumulation equals the batch cells by construction and
     // one report definition (chi2FromCells) serves both modes.

@@ -573,6 +573,36 @@ object StreamingPipeline {
         (k, mx)
     }
 
+  /** q194: per-user event-transition extraction as a streaming stateful
+    * operator — state per user is ONE (seq, last type) pair; each
+    * micro-batch folds its (seq-sorted) slice of the user after the
+    * carried state, emitting one (from, to) row per adjacency. With a
+    * feed in global (ts, event_id) order this equals q192's batch
+    * lead-window adjacency exactly, whatever the micro-batch boundaries
+    * (the state carries adjacency ACROSS chunks). Within a micro-batch
+    * the group iterator carries no order guarantee, so rows sort by seq —
+    * bounded by the user's slice of one batch, never their history.
+    * Input rows: (user_id, seq, event_type). */
+  def streamingTransitions(events: Dataset[(Long, Long, String)])
+      : Dataset[(String, String)] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_._1)
+      .flatMapGroupsWithState(
+        org.apache.spark.sql.streaming.OutputMode.Append(), GroupStateTimeout.NoTimeout) {
+        (uid: Long, it: Iterator[(Long, Long, String)],
+            state: GroupState[(Long, String)]) =>
+          val sorted = it.toIndexedSeq.sortBy(_._2)
+          var last = state.getOption
+          val out = Seq.newBuilder[(String, String)]
+          sorted.foreach { case (_, seq, tp) =>
+            last.foreach { case (_, lt) => out += ((lt, tp)) }
+            last = Some((seq, tp))
+          }
+          last.foreach(state.update)
+          out.result().iterator
+      }
+  }
+
   /** Streaming exact dedup — the streaming form of the q40 batch dedup:
     * emit only the FIRST-seen row per content hash across all
     * micro-batches; within a batch the lowest doc_id wins, so output is

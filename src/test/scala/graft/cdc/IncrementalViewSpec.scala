@@ -43,6 +43,27 @@ class IncrementalViewSpec extends AnyFunSuite {
     assert(got == Map("a" -> (2L, 30.75)), s"b must vanish: $got")
   }
 
+  test("distinct view: refcounts survive duplicate deletes and group moves (q193)") {
+    def ndv(batches: Seq[DataFrame]): Map[String, (Long, Long)] =
+      IncrementalView.maintainDistinct(batches, "grp", "v")
+        .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // two rows in 'a' share v=10.5 (dup value), one distinct 20.25
+    val dup = Seq((1L, "a", 10.5), (2L, "a", 10.5), (3L, "a", 20.25),
+      (4L, "b", 5.0)).toDF("id", "grp", "v")
+    val b1 = ChangeFeed.inserts(dup, $"id")
+    assert(ndv(Seq(b1)) == Map("a" -> (2L, 3L), "b" -> (1L, 1L)))
+    // deleting ONE of the duplicate copies must NOT drop the ndv
+    val b2 = ChangeFeed.deletes(dup.filter($"id" === 1), $"id" + 10)
+    assert(ndv(Seq(b1, b2)) == Map("a" -> (2L, 2L), "b" -> (1L, 1L)))
+    // deleting the LAST copy drops it
+    val b3 = ChangeFeed.deletes(dup.filter($"id" === 2), $"id" + 20)
+    assert(ndv(Seq(b1, b2, b3)) == Map("a" -> (1L, 1L), "b" -> (1L, 1L)))
+    // a group-moving update relocates the value's refcount
+    val b4 = ChangeFeed.updates(dup.filter($"id" === 3),
+      Map("grp" -> lit("b")), $"id" + 30)
+    assert(ndv(Seq(b1, b2, b3, b4)) == Map("b" -> (2L, 2L)))
+  }
+
   test("merge is associative: pairwise grouping equals sequential fold") {
     val b1 = ChangeFeed.inserts(base, $"id")
     val b2 = ChangeFeed.updates(base.filter($"id" === 1),

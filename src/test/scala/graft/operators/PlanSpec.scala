@@ -861,6 +861,21 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("windowspecdefinition(nprobe"), "per-arm rank windows: " + p)
   }
 
+  test("q191: skew arms are count aggs + TakeOrdered — no global rank over keys") {
+    val p = plan("q191_skew_diagnostics")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("TakeOrderedAndProject"), "top-N must be TakeOrdered: " + p)
+    // the only rank windows run on the N survivors (partitioned by the
+    // single-valued summary key), never over the full key frame
+    assert(p.contains("windowspecdefinition(n_rows"), p)
+  }
+
+  test("q192: transition adjacency is a per-user lead window") {
+    val p = plan("q192_event_transitions")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("windowspecdefinition(user_id"), "per-user windows: " + p)
+  }
+
   test("q184: label-prop vote is a keyed agg + per-node window — no cartesian") {
     val p = plan("q184_label_prop")
     assert(!p.contains("CartesianProduct"), p)
