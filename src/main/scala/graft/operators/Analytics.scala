@@ -54,6 +54,41 @@ object Analytics {
   val WinsorLo = 0.05
   val WinsorHi = 0.95
 
+  /** q195 Benford expectation: p(d) = log10(1 + 1/d), computed ONCE
+    * driver-side and shipped as exact INTEGER parts-per-billion (a raw
+    * 17-digit double literal parsed to a different last-ulp double in
+    * DuckDB than in the JVM — integers sidestep the literal-parse path
+    * entirely; both engines then derive p by the same single division). */
+  val BenfordPpb: Seq[Long] =
+    (1 to 9).map(d => math.round(math.log10(1.0 + 1.0 / d) * 1e9))
+
+  /** q198 conversion bar: every synthetic user purchases at least once,
+    * so "any purchase" is degenerate (pooled p = 1 and the z denominator
+    * vanishes) — a user converts at >= this many purchases instead. */
+  val ConvPurchases = 14L
+
+  /** q197 price rescale: correlation is scale-invariant, and dividing
+    * the 2-decimal price by this exact power of ten (a) keeps every
+    * per-row product within 6 DECIMAL digits — so the SUMD casts never
+    * round at all (a /1e5 scale makes 7-decimal values whose 6-decimal
+    * tie Spark's string-based cast and DuckDB's binary-value cast break
+    * DIFFERENTLY) — and (b) keeps every decimal sum's int64 image under
+    * 2^53, where both engines' decimal->double conversion is the same
+    * single correctly-rounded step (the raw ~1e14 y*y sums were not). */
+  val CorrScale = 1000.0
+
+  /** q196 bot-signal policy: machine-like = low inter-event-gap
+    * coefficient of variation OR high event count. Declared constants —
+    * the gate's value is the exact gap-statistics algebra, the flag is
+    * the policy a deployment tunes. */
+  val BotCvMax = 0.9
+  val BotMinEvents = 75L
+
+  /** q199 regression time unit: seconds-since-corpus-start over 3600 —
+    * keeps x (and so the decimal-cast x*x / x*y products) inside the
+    * SUMD DECIMAL(18,6) per-value range. */
+  val OlsHour = 3600.0
+
   /** q191: heavy keys reported per profiled join column. */
   val SkewTopN = 10
   /** The join columns q191 profiles — the keys the q108 salting and AQE
@@ -168,6 +203,152 @@ object Analytics {
         .agg(sum(when(col("tsec") < col("mid"), 1L).otherwise(0L)).as("b"),
           sum(when(col("tsec") >= col("mid"), 1L).otherwise(0L)).as("o"))
       chi2FromCells(cells)
+    }),
+
+    // ---- q195: Benford first-digit audit — the classic fabricated-data
+    //      screen (Benford 1938; Nigrini's fraud-audit use is the public
+    //      methodology): the leading digit of naturally-occurring
+    //      amounts follows log10(1+1/d), and a feed whose digits don't is
+    //      suspect. The first digit comes from the BIGINT string of
+    //      floor(price) — never from double formatting (engine-specific)
+    //      or a runtime log10 (libm); expectations are driver-computed
+    //      shared literals. ONE table pass into a 9-cell agg; expected
+    //      and chi2 terms are single-IEEE-op arithmetic per cell.
+    "q195_benford" -> ((s, dir) => {
+      import s.implicits._
+      val digits = Tables.load(s, dir, "orders")
+        .select(substring(floor($"o_totalprice").cast("long").cast("string"), 1, 1)
+          .cast("long").as("digit"))
+        .groupBy($"digit").agg(count(lit(1)).as("observed"))
+      digits
+        .crossJoin(broadcast(digits.agg(sum($"observed").cast("long").as("n"))))
+        .withColumn("p_benford",
+          element_at(typedLit(BenfordPpb), $"digit".cast("int")).cast("double")
+            / lit(1.0e9))
+        .withColumn("expected", $"n".cast("double") * $"p_benford")
+        .withColumn("chi2_term",
+          ($"observed".cast("double") - $"expected") *
+            ($"observed".cast("double") - $"expected") / $"expected")
+        .select($"digit", $"observed", $"n", $"p_benford", $"expected", $"chi2_term")
+        .repartition(1).sortWithinPartitions($"digit")
+    }),
+
+    // ---- q196: bot/abuse signals from inter-event timing — per user:
+    //      event count, exact integer gap sums (unix-second gaps via a
+    //      per-user lead window), mean gap, gap variance by the q78
+    //      sum-of-squares identity (every sum is EXACT BIGINT arithmetic
+    //      — gaps are integers, squares bounded by span², far inside
+    //      int64 — so only the final divisions are IEEE), coefficient of
+    //      variation, and the machine-like flag (low cv OR high volume).
+    //      Scale shape: one per-user window pass + a user-keyed agg;
+    //      no quantiles, no global state.
+    "q196_bot_signals" -> ((s, dir) => {
+      import s.implicits._
+      val w = Window.partitionBy($"user_id").orderBy($"tsec", $"event_id")
+      val gaps = Tables.load(s, dir, "events")
+        .select($"user_id", unix_timestamp($"ts").as("tsec"), $"event_id")
+        .withColumn("gap", $"tsec" - lag($"tsec", 1).over(w))
+        .filter($"gap".isNotNull)
+      gaps.groupBy($"user_id")
+        .agg(count(lit(1)).as("n_gaps"), sum($"gap").as("s"),
+          sum($"gap" * $"gap").as("ss"))
+        .filter($"n_gaps" > 1)
+        .withColumn("mean_gap", $"s".cast("double") / $"n_gaps".cast("double"))
+        .withColumn("var_gap",
+          ($"ss".cast("double") - $"s".cast("double") * $"s".cast("double")
+            / $"n_gaps".cast("double")) / ($"n_gaps" - 1).cast("double"))
+        .withColumn("cv", sqrt($"var_gap") / $"mean_gap")
+        .withColumn("flag",
+          $"cv" < BotCvMax || ($"n_gaps" + 1) >= BotMinEvents)
+        .select($"user_id", ($"n_gaps" + 1).as("n_events"), $"mean_gap",
+          $"var_gap", $"cv", $"flag")
+        .repartition(1).sortWithinPartitions($"user_id")
+    }),
+
+    // ---- q197: Pearson correlation per group — the dependence screen a
+    //      feature pipeline runs before trusting a proxy column (here:
+    //      does quantity track price within each return flag?). Five
+    //      SUMD sums off ONE scan (x, y, xy, xx, yy — each per-row
+    //      product a single IEEE multiply, sums order-independent under
+    //      the decimal convention), then the textbook
+    //      (n·Sxy − Sx·Sy)/(sqrt(n·Sxx − Sx²)·sqrt(n·Syy − Sy²)) with
+    //      the identical op order in the oracle; sqrt correctly rounded.
+    "q197_correlation" -> ((s, dir) => {
+      import s.implicits._
+      Tables.load(s, dir, "lineitem")
+        .select($"l_returnflag", $"l_quantity".as("x"),
+          ($"l_extendedprice" / lit(CorrScale)).as("y"))
+        .groupBy($"l_returnflag")
+        .agg(count(lit(1)).as("n"), sumd($"x").as("sx"), sumd($"y").as("sy"),
+          sumd($"x" * $"y").as("sxy"), sumd($"x" * $"x").as("sxx"),
+          sumd($"y" * $"y").as("syy"))
+        .withColumn("r",
+          ($"n".cast("double") * $"sxy" - $"sx" * $"sy") /
+            (sqrt($"n".cast("double") * $"sxx" - $"sx" * $"sx") *
+              sqrt($"n".cast("double") * $"syy" - $"sy" * $"sy")))
+        .select($"l_returnflag", $"n", $"r")
+        .repartition(1).sortWithinPartitions($"l_returnflag")
+    }),
+
+    // ---- q198: A/B conversion report with the two-proportion z-test —
+    //      the experiment readout an events pipeline serves daily.
+    //      Variant = user_id parity (the synthetic assignment); a user
+    //      converts if they ever purchase. Two user-keyed aggs (per-user
+    //      conversion, then the 1-row variant rollup via conditional
+    //      sums); rates/lift/pooled-z are fixed-order IEEE arithmetic on
+    //      exact integer counts, sqrt correctly rounded. Output is ONE
+    //      row — nothing here can shuffle more than the user key.
+    "q198_ab_test" -> ((s, dir) => {
+      import s.implicits._
+      val u = Tables.load(s, dir, "events")
+        .groupBy($"user_id")
+        .agg(when(sum(when($"event_type" === "purchase", 1L).otherwise(0L))
+          >= ConvPurchases, 1L).otherwise(0L).as("conv"))
+        .withColumn("variant", $"user_id" % 2)
+      u.agg(
+          sum(when($"variant" === 0, 1L).otherwise(0L)).as("n_a"),
+          sum(when($"variant" === 0, $"conv").otherwise(0L)).as("conv_a"),
+          sum(when($"variant" === 1, 1L).otherwise(0L)).as("n_b"),
+          sum(when($"variant" === 1, $"conv").otherwise(0L)).as("conv_b"))
+        .withColumn("rate_a", $"conv_a".cast("double") / $"n_a".cast("double"))
+        .withColumn("rate_b", $"conv_b".cast("double") / $"n_b".cast("double"))
+        .withColumn("lift", $"rate_b" - $"rate_a")
+        .withColumn("p_pool",
+          ($"conv_a" + $"conv_b").cast("double") / ($"n_a" + $"n_b").cast("double"))
+        .withColumn("z", $"lift" /
+          sqrt($"p_pool" * (lit(1.0) - $"p_pool") *
+            (lit(1.0) / $"n_a".cast("double") + lit(1.0) / $"n_b".cast("double"))))
+        .select($"n_a", $"conv_a", $"rate_a", $"n_b", $"conv_b", $"rate_b",
+          $"lift", $"z")
+    }),
+
+    // ---- q199: per-group OLS trend (simple linear regression of event
+    //      value on hours-since-corpus-start) — the drift-DIRECTION
+    //      companion to q177's distribution test: chi2 says the
+    //      distribution moved, the slope says which way and how fast.
+    //      x rescales to hours so the decimal-cast x·x / x·y products
+    //      stay inside the SUMD per-value range (see OlsHour); the
+    //      corpus start is the broadcast 1-row min (q177's midpoint
+    //      discipline); slope/intercept are the closed-form sums
+    //      identity with oracle-identical op order. One scan + one
+    //      group agg.
+    "q199_ols_trend" -> ((s, dir) => {
+      import s.implicits._
+      val ev = Tables.load(s, dir, "events")
+        .select($"event_type", unix_timestamp($"ts").as("tsec"), $"value")
+      val start = ev.agg(min($"tsec").as("t0"))
+      ev.crossJoin(broadcast(start))
+        .withColumn("x", ($"tsec" - $"t0").cast("double") / lit(OlsHour))
+        .groupBy($"event_type")
+        .agg(count(lit(1)).as("n"), sumd($"x").as("sx"), sumd($"value").as("sy"),
+          sumd($"x" * $"value").as("sxy"), sumd($"x" * $"x").as("sxx"))
+        .withColumn("slope",
+          ($"n".cast("double") * $"sxy" - $"sx" * $"sy") /
+            ($"n".cast("double") * $"sxx" - $"sx" * $"sx"))
+        .withColumn("intercept",
+          ($"sy" - $"slope" * $"sx") / $"n".cast("double"))
+        .select($"event_type", $"n", $"slope", $"intercept")
+        .repartition(1).sortWithinPartitions($"event_type")
     }),
 
     // ---- q191: join-key skew diagnostics — the report that feeds the
@@ -517,6 +698,122 @@ object Analytics {
           AS chi2,
         CAST(sum(CASE WHEN b = 0 THEN o ELSE 0 END) AS BIGINT) AS n_novel
       FROM x GROUP BY event_type ORDER BY event_type""",
+
+    // Same BIGINT-string first digit, same shared p literals, same
+    // single-op expected/chi2 arithmetic.
+    "q195_benford" -> s"""
+      WITH d AS (
+        SELECT CAST(substring(CAST(CAST(floor(o_totalprice) AS BIGINT) AS VARCHAR),
+          1, 1) AS BIGINT) AS digit
+        FROM orders),
+      c AS (SELECT digit, CAST(count(*) AS BIGINT) AS observed FROM d GROUP BY 1),
+      t AS (SELECT CAST(sum(observed) AS BIGINT) AS n FROM c),
+      x AS (
+        SELECT digit, observed, n,
+          ${BenfordPpb.mkString("[", ", ", "]")}[digit]::DOUBLE / 1.0e9
+            AS p_benford
+        FROM c, t),
+      y AS (SELECT digit, observed, n, p_benford,
+              n::DOUBLE * p_benford AS expected FROM x)
+      SELECT digit, observed, n, p_benford, expected,
+        (observed::DOUBLE - expected) * (observed::DOUBLE - expected) / expected
+          AS chi2_term
+      FROM y ORDER BY digit""",
+
+    // Same per-user lag gaps, exact BIGINT sums, q78 variance identity,
+    // same cv/flag policy constants.
+    "q196_bot_signals" -> s"""
+      WITH e AS (
+        SELECT user_id, CAST(FLOOR(epoch(ts)) AS BIGINT) AS tsec, event_id
+        FROM events),
+      g AS (
+        SELECT user_id,
+          tsec - lag(tsec, 1) OVER (PARTITION BY user_id
+            ORDER BY tsec, event_id) AS gap
+        FROM e),
+      s AS (
+        SELECT user_id, CAST(count(*) AS BIGINT) AS n_gaps,
+          CAST(sum(gap) AS BIGINT) AS s, CAST(sum(gap * gap) AS BIGINT) AS ss
+        FROM g WHERE gap IS NOT NULL GROUP BY user_id),
+      x AS (
+        SELECT user_id, n_gaps, s, ss,
+          s::DOUBLE / n_gaps::DOUBLE AS mean_gap,
+          (ss::DOUBLE - s::DOUBLE * s::DOUBLE / n_gaps::DOUBLE)
+            / (n_gaps - 1)::DOUBLE AS var_gap
+        FROM s WHERE n_gaps > 1)
+      SELECT user_id, n_gaps + 1 AS n_events, mean_gap, var_gap,
+        sqrt(var_gap) / mean_gap AS cv,
+        (sqrt(var_gap) / mean_gap < $BotCvMax
+          OR n_gaps + 1 >= $BotMinEvents) AS flag
+      FROM x ORDER BY user_id""",
+
+    // Same five SUMD sums off one scan and the identical closed form
+    // (price pre-divided by the shared exact scale).
+    "q197_correlation" -> s"""
+      WITH l AS (
+        SELECT l_returnflag, l_quantity AS x,
+          l_extendedprice / $CorrScale AS y
+        FROM lineitem),
+      s AS (
+        SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
+          ${SUMD("x")} AS sx, ${SUMD("y")} AS sy,
+          ${SUMD("x * y")} AS sxy,
+          ${SUMD("x * x")} AS sxx,
+          ${SUMD("y * y")} AS syy
+        FROM l GROUP BY l_returnflag)
+      SELECT l_returnflag, n,
+        (n::DOUBLE * sxy - sx * sy) /
+          (sqrt(n::DOUBLE * sxx - sx * sx) * sqrt(n::DOUBLE * syy - sy * sy)) AS r
+      FROM s ORDER BY l_returnflag""",
+
+    // Same per-user conversion roll-up and the pooled two-proportion z
+    // with identical op order.
+    "q198_ab_test" -> s"""
+      WITH u AS (
+        SELECT user_id,
+          CAST(CASE WHEN sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+            >= $ConvPurchases THEN 1 ELSE 0 END AS BIGINT) AS conv
+        FROM events GROUP BY user_id),
+      r AS (
+        SELECT
+          CAST(sum(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+          CAST(sum(CASE WHEN user_id % 2 = 0 THEN conv ELSE 0 END) AS BIGINT) AS conv_a,
+          CAST(sum(CASE WHEN user_id % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+          CAST(sum(CASE WHEN user_id % 2 = 1 THEN conv ELSE 0 END) AS BIGINT) AS conv_b
+        FROM u),
+      x AS (
+        SELECT n_a, conv_a, n_b, conv_b,
+          conv_a::DOUBLE / n_a::DOUBLE AS rate_a,
+          conv_b::DOUBLE / n_b::DOUBLE AS rate_b,
+          (conv_a + conv_b)::DOUBLE / (n_a + n_b)::DOUBLE AS p_pool
+        FROM r)
+      SELECT n_a, conv_a, rate_a, n_b, conv_b, rate_b,
+        rate_b - rate_a AS lift,
+        (rate_b - rate_a) /
+          sqrt(p_pool * (1.0 - p_pool)
+            * (1.0 / n_a::DOUBLE + 1.0 / n_b::DOUBLE)) AS z
+      FROM x""",
+
+    // Same broadcast start, hour rescale, SUMD sums, closed-form slope.
+    "q199_ols_trend" -> s"""
+      WITH e AS (
+        SELECT event_type, CAST(FLOOR(epoch(ts)) AS BIGINT) AS tsec, value
+        FROM events),
+      t0 AS (SELECT CAST(min(tsec) AS BIGINT) AS t0 FROM e),
+      x AS (
+        SELECT event_type, (tsec - t0)::DOUBLE / $OlsHour AS x, value
+        FROM e, t0),
+      s AS (
+        SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+          ${SUMD("x")} AS sx, ${SUMD("value")} AS sy,
+          ${SUMD("x * value")} AS sxy, ${SUMD("x * x")} AS sxx
+        FROM x GROUP BY event_type),
+      f AS (
+        SELECT event_type, n, sx, sy,
+          (n::DOUBLE * sxy - sx * sy) / (n::DOUBLE * sxx - sx * sx) AS slope
+        FROM s)
+      SELECT event_type, n, slope, (sy - slope * sx) / n::DOUBLE AS intercept
+      FROM f ORDER BY event_type""",
 
     // Same per-column count/top-N/summary arms UNION'd, same
     // (cnt desc, key) rank order, same (max*keys)/rows ratio op order.

@@ -861,6 +861,17 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("windowspecdefinition(nprobe"), "per-arm rank windows: " + p)
   }
 
+  test("q195-q199: the statistics pack stays agg-shaped — no cartesian, windows per-key") {
+    for (q <- Seq("q195_benford", "q197_correlation", "q198_ab_test", "q199_ols_trend"))
+      assert(!plan(q).contains("CartesianProduct"), q)
+    val p196 = plan("q196_bot_signals")
+    assert(!p196.contains("CartesianProduct"), p196)
+    assert(p196.contains("windowspecdefinition(user_id"), "per-user gap window: " + p196)
+    // correlation is one scan into a grouped partial+final agg
+    val p197 = plan("q197_correlation")
+    assert("HashAggregate".r.findAllIn(p197).size >= 2, p197)
+  }
+
   test("q191: skew arms are count aggs + TakeOrdered — no global rank over keys") {
     val p = plan("q191_skew_diagnostics")
     assert(!p.contains("CartesianProduct"), p)
