@@ -131,6 +131,14 @@ object Corpus {
   /** q186 diversity orders: distinct-n ratios reported for n = 1..3. */
   val DiversityMaxN = 3
 
+  /** q201 k-core geometry: the coreness bar and the FIXED number of peel
+    * rounds whose trajectory the gate reports (at sf0.01 the 3-core
+    * empties in 6 rounds; at other SFs the trajectory after exactly
+    * [[PeelRounds]] rounds is still a deterministic, comparable object —
+    * the gate pins the trajectory, not a fixpoint claim). */
+  val CoreK = 3L
+  val PeelRounds = 6
+
   /** q142 temperature-mixture geometry: sampling temperature alpha = 0.5
     * realized as sqrt (correctly-rounded IEEE in BOTH engines — a general
     * pow would go through exp/ln whose last ulp is libm-specific), and the
@@ -849,6 +857,45 @@ object Corpus {
     "q178_gopher_rules" -> ((s, dir) =>
       gopherMatrix(t(s, dir, "documents"))
         .repartition(1).sortWithinPartitions(col("doc_id"))),
+
+    // ---- q201: k-core peeling (Matula & Beck 1983; Batagelj-Zaversnik
+    //      is the sequential classic, this is the synchronous
+    //      distributed form) — iteratively remove nodes of degree < k
+    //      and report the (round, nodes, edges) TRAJECTORY, the
+    //      degeneracy profile a graph-curation pass reads to find the
+    //      dense core (near-dup cluster nuclei, link farms). Each round
+    //      is one degree agg + two semi-joins on the endpoint — never
+    //      adjacency materialization beyond the live edge set, and the
+    //      edge set only shrinks; rounds are a fixed constant (the
+    //      trajectory is the gated object, not a fixpoint claim).
+    //      Oracle = the identical rounds unrolled as CTEs.
+    "q201_kcore_peel" -> ((s, dir) => {
+      val d = t(s, dir, "documents").select(col("doc_id"))
+      var edges = d.select(col("doc_id").as("x"), (col("doc_id") % 97).as("y"))
+        .unionByName(d.select(col("doc_id").as("x"), expr("doc_id div 2").as("y")))
+        .select(least(col("x"), col("y")).as("a"), greatest(col("x"), col("y")).as("b"))
+        .filter(col("a") =!= col("b")).distinct()
+        .localCheckpoint()
+      def stats(round: Int, e: DataFrame): DataFrame =
+        e.select(col("a").as("v")).unionByName(e.select(col("b").as("v")))
+          .distinct().agg(count(lit(1)).as("n_nodes"))
+          .crossJoin(e.agg(count(lit(1)).as("n_edges")))
+          .select(lit(round.toLong).as("round"), col("n_nodes"), col("n_edges"))
+      var out = stats(0, edges)
+      for (r <- 1 to PeelRounds) {
+        val keep = edges.select(col("a").as("v"))
+          .unionByName(edges.select(col("b").as("v")))
+          .groupBy(col("v")).agg(count(lit(1)).as("c"))
+          .filter(col("c") >= CoreK).select(col("v"))
+        edges = edges
+          .join(keep.withColumnRenamed("v", "a"), Seq("a"), "left_semi")
+          .join(keep.withColumnRenamed("v", "b"), Seq("b"), "left_semi")
+          .select(col("a"), col("b"))
+          .localCheckpoint()
+        out = out.unionByName(stats(r, edges))
+      }
+      out.repartition(1).sortWithinPartitions(col("round"))
+    }),
 
     // ---- q184: label propagation step (Raghavan et al. 2007) — the
     //      community-detection member of the graph family (q54 CC min-
@@ -1951,6 +1998,39 @@ object Corpus {
           AND ws.n_stop >= $GopherMinStop
           AND cov.cover::DOUBLE / ws.sumlen::DOUBLE < $Gopher2gCap) AS keep
       FROM ws JOIN cov USING (doc_id) ORDER BY ws.doc_id""",
+
+    // The identical peel rounds unrolled as CTEs (e0..eN), trajectory
+    // stats per round UNION'd.
+    "q201_kcore_peel" -> {
+      // MATERIALIZED: each round references its predecessor three times —
+      // default CTE inlining would expand the chain exponentially
+      val head = s"""
+      WITH e0 AS MATERIALIZED (
+        SELECT DISTINCT least(x, y) AS a, greatest(x, y) AS b FROM (
+          SELECT doc_id AS x, doc_id % 97 AS y FROM documents
+          UNION
+          SELECT doc_id, doc_id // 2 FROM documents) z
+        WHERE least(x, y) <> greatest(x, y))"""
+      val rounds = (1 to PeelRounds).map { i =>
+        s""",
+      k$i AS MATERIALIZED (
+        SELECT v FROM (
+          SELECT v, count(*) AS c FROM (
+            SELECT a AS v FROM e${i - 1} UNION ALL SELECT b FROM e${i - 1}) u
+          GROUP BY v) d WHERE c >= $CoreK),
+      e$i AS MATERIALIZED (
+        SELECT a, b FROM e${i - 1}
+        WHERE a IN (SELECT v FROM k$i) AND b IN (SELECT v FROM k$i))"""
+      }.mkString
+      val arms = (0 to PeelRounds).map { i =>
+        s"""
+      SELECT CAST($i AS BIGINT) AS round,
+        (SELECT CAST(count(DISTINCT v) AS BIGINT) FROM
+          (SELECT a AS v FROM e$i UNION ALL SELECT b FROM e$i) u$i) AS n_nodes,
+        (SELECT CAST(count(*) AS BIGINT) FROM e$i) AS n_edges"""
+      }.mkString(" UNION ALL ")
+      head + rounds + arms + " ORDER BY round"
+    },
 
     // Same edge synthesis/undirection (UNION set semantics both sides),
     // same mod-seeded labels, same (votes desc, label) argmax.

@@ -148,7 +148,42 @@ object Multimodal {
       })
   }
 
+  /** q202 scene-change threshold over the 0..255 frame signature
+    * (frame_checksum mod 256 — the fake codec's "mean luma"); a
+    * consecutive-frame jump beyond it opens a new scene. */
+  val SceneThresh = 96L
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- q202: scene detection / keyframe selection — the video-side
+    //      curation step between q61's blind stride sampling and q159's
+    //      near-dup: cut the frame stream where consecutive frame
+    //      signatures jump (content change), emit one row per scene with
+    //      its start keyframe — what a video training pipeline stores
+    //      instead of every frame. The decode stays the executor-side
+    //      mapPartitions pipeline (stride 1 — every frame is examined);
+    //      scene cuts are a per-MEDIA lag window over frame_idx (never
+    //      global); scenes are the same gaps-and-islands cumsum as q150;
+    //      all arithmetic exact integers, so the oracle replays
+    //      frame -> signature -> cut -> scene bit-for-bit.
+    "q202_scene_detect" -> ((s, dir) => {
+      import s.implicits._
+      val frames = frameSample(syntheticCorpus(s, dir), frameBytes = 64, stride = 1)
+        .toDF()
+        .withColumn("sig", col("frame_checksum") % 256)
+      val w = Window.partitionBy(col("media_id")).orderBy(col("frame_idx"))
+      frames
+        .withColumn("prev_sig", lag(col("sig"), 1).over(w))
+        .withColumn("cut",
+          when(col("prev_sig").isNull ||
+            abs(col("sig") - col("prev_sig")) > SceneThresh, 1L).otherwise(0L))
+        .withColumn("scene_idx", sum(col("cut")).over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .groupBy(col("media_id"), col("scene_idx"))
+        .agg(min(col("frame_idx")).as("start_frame"),
+          count(lit(1)).as("n_frames"),
+          min(col("sig")).as("min_sig"), max(col("sig")).as("max_sig"))
+        .repartition(1).sortWithinPartitions(col("media_id"), col("scene_idx"))
+    }),
     // Full multimodal pipeline: binary column + metadata -> mapPartitions
     // decode/resize/extract -> relational output, oracle-verified because
     // the fake codec is exact integer arithmetic over the payload bytes.
@@ -334,6 +369,41 @@ object Multimodal {
       s"""CAST(list_sum(list_transform(range(0, ${d * d}),
             i -> rs[i + 1] * ((($k * 64 + i) % 7) - 3))) AS BIGINT)"""
     Map(
+      // q61's frame replay at stride 1, then the same signature, per-media
+      // lag cut, and gaps-and-islands scene assembly.
+      "q202_scene_detect" -> s"""
+      WITH f AS (
+        SELECT doc_id AS media_id, g.i AS frame_idx,
+          substring(text, g.i * 64 + 1, 64) AS frame
+        FROM documents,
+          LATERAL (SELECT unnest(range(0, (length(text) + 63) // 64)) AS i) g),
+      sigf AS (
+        SELECT media_id, frame_idx,
+          list_reduce(
+            list_prepend(0::BIGINT,
+              list_transform(range(1, length(frame)+1),
+                j -> ord(substring(frame, j, 1))::BIGINT)),
+            (acc, c) -> (acc*31 + c) % ${TextOps.HashMod}) % 256 AS sig
+        FROM f),
+      cuts AS (
+        SELECT media_id, frame_idx, sig,
+          CASE WHEN lag(sig, 1) OVER wm IS NULL
+            OR abs(sig - lag(sig, 1) OVER wm) > $SceneThresh
+            THEN 1 ELSE 0 END AS cut
+        FROM sigf
+        WINDOW wm AS (PARTITION BY media_id ORDER BY frame_idx)),
+      scenes AS (
+        SELECT media_id, frame_idx, sig,
+          sum(cut) OVER (PARTITION BY media_id ORDER BY frame_idx
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS scene_idx
+        FROM cuts)
+      SELECT media_id, CAST(scene_idx AS BIGINT) AS scene_idx,
+        CAST(min(frame_idx) AS INT) AS start_frame,
+        CAST(count(*) AS BIGINT) AS n_frames,
+        CAST(min(sig) AS BIGINT) AS min_sig, CAST(max(sig) AS BIGINT) AS max_sig
+      FROM scenes GROUP BY media_id, scene_idx
+      ORDER BY media_id, scene_idx""",
+
       "q61_frame_sample" -> s"""
       WITH f AS (
         SELECT doc_id AS media_id, g.i AS frame_idx,

@@ -84,6 +84,10 @@ object Analytics {
   val BotCvMax = 0.9
   val BotMinEvents = 75L
 
+  /** q200 resampling grid step (seconds): hourly points over the stream's
+    * global [min, max] span. */
+  val GridStep = 3600L
+
   /** q199 regression time unit: seconds-since-corpus-start over 3600 —
     * keeps x (and so the decimal-cast x*x / x*y products) inside the
     * SUMD DECIMAL(18,6) per-value range. */
@@ -203,6 +207,63 @@ object Analytics {
         .agg(sum(when(col("tsec") < col("mid"), 1L).otherwise(0L)).as("b"),
           sum(when(col("tsec") >= col("mid"), 1L).otherwise(0L)).as("o"))
       chi2FromCells(cells)
+    }),
+
+    // ---- q200: time-series resampling to a fixed grid with linear
+    //      interpolation — the irregular-to-regular step every
+    //      monitoring/feature pipeline needs before windowed models
+    //      (q39's gap fill carries values; this interpolates between
+    //      them). The hourly grid spans the stream's global range; per
+    //      (type, grid point) the surrounding events come from ONE
+    //      merged union of events + grid points with two
+    //      last/first-ignore-nulls windows per type (the standard as-of
+    //      sandwich — no per-point probe join), and v = v0 +
+    //      (v1-v0)·(t-t0)/(t1-t0) is fixed-order IEEE on exact integer
+    //      time deltas. Grid points outside a type's observed span keep
+    //      NULL. Scale: the windows partition by TYPE; at 100 TB the key
+    //      becomes (type, day) with boundary stitching — q77's note.
+    "q200_resample" -> ((s, dir) => {
+      import s.implicits._
+      val ev = Tables.load(s, dir, "events")
+        .select($"event_type", unix_timestamp($"ts").as("tsec"),
+          $"event_id", $"value")
+      // pure integer grid alignment (a double ceil/floor could sit a ulp
+      // off an exact multiple): first/last grid points inside [min, max]
+      val span = ev.agg(
+        expr(s"((min(tsec) + $GridStep - 1) div $GridStep) * $GridStep").as("t0"),
+        expr(s"(max(tsec) div $GridStep) * $GridStep").as("t1"))
+      val grid = span
+        .select(explode(expr(s"sequence(t0, t1, $GridStep)")).as("gt"))
+        .crossJoin(ev.select($"event_type").distinct())
+      val merged = ev
+        .select($"event_type", $"tsec", lit(0L).as("is_grid"), $"event_id",
+          $"tsec".as("e_t"), $"value".as("e_v"), lit(null).cast("long").as("gt"))
+        .unionByName(grid.select($"event_type", $"gt".as("tsec"),
+          lit(1L).as("is_grid"), lit(Long.MaxValue).as("event_id"),
+          lit(null).cast("long").as("e_t"), lit(null).cast("double").as("e_v"),
+          $"gt"))
+      // events sort BEFORE the grid point at an equal timestamp, so a
+      // sample landing exactly on an event interpolates from it on the
+      // left with zero weight error (t == t0 gives v0 exactly)
+      val wAsc = Window.partitionBy($"event_type")
+        .orderBy($"tsec", $"is_grid", $"event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wDesc = Window.partitionBy($"event_type")
+        .orderBy($"tsec".desc, $"is_grid".desc, $"event_id".desc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      merged
+        .withColumn("t0", last($"e_t", ignoreNulls = true).over(wAsc))
+        .withColumn("v0", last($"e_v", ignoreNulls = true).over(wAsc))
+        .withColumn("t1", last($"e_t", ignoreNulls = true).over(wDesc))
+        .withColumn("v1", last($"e_v", ignoreNulls = true).over(wDesc))
+        .filter($"is_grid" === 1L)
+        .withColumn("v", when($"t0".isNull || $"t1".isNull,
+            lit(null).cast("double"))
+          .when($"t1" === $"t0", $"v0")
+          .otherwise($"v0" + ($"v1" - $"v0") *
+            (($"gt" - $"t0").cast("double") / ($"t1" - $"t0").cast("double"))))
+        .select($"event_type", $"gt", $"t0", $"t1", $"v")
+        .repartition(1).sortWithinPartitions($"event_type", $"gt")
     }),
 
     // ---- q195: Benford first-digit audit — the classic fabricated-data
@@ -698,6 +759,49 @@ object Analytics {
           AS chi2,
         CAST(sum(CASE WHEN b = 0 THEN o ELSE 0 END) AS BIGINT) AS n_novel
       FROM x GROUP BY event_type ORDER BY event_type""",
+
+    // Same integer grid alignment, the same union-sandwich with
+    // IGNORE NULLS windows under identical (tsec, is_grid, event_id)
+    // orderings, and the same fixed-order interpolation formula.
+    "q200_resample" -> s"""
+      WITH ev AS (
+        SELECT event_type, CAST(FLOOR(epoch(ts)) AS BIGINT) AS tsec,
+          event_id, value
+        FROM events),
+      span AS (
+        SELECT ((min(tsec) + $GridStep - 1) // $GridStep) * $GridStep AS t0,
+               (max(tsec) // $GridStep) * $GridStep AS t1
+        FROM ev),
+      grid AS (
+        SELECT t.event_type, CAST(u.gt AS BIGINT) AS gt
+        FROM (SELECT DISTINCT event_type FROM ev) t, span,
+          unnest(range(span.t0, span.t1 + 1, $GridStep)) AS u(gt)),
+      merged AS (
+        SELECT event_type, tsec, 0 AS is_grid, event_id,
+          tsec AS e_t, value AS e_v, CAST(NULL AS BIGINT) AS gt
+        FROM ev
+        UNION ALL
+        SELECT event_type, gt, 1, ${Long.MaxValue}, NULL, NULL, gt FROM grid),
+      w AS (
+        SELECT event_type, is_grid, gt,
+          last_value(e_t IGNORE NULLS) OVER wa AS t0,
+          last_value(e_v IGNORE NULLS) OVER wa AS v0,
+          last_value(e_t IGNORE NULLS) OVER wd AS t1,
+          last_value(e_v IGNORE NULLS) OVER wd AS v1
+        FROM merged
+        WINDOW wa AS (PARTITION BY event_type
+            ORDER BY tsec, is_grid, event_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+          wd AS (PARTITION BY event_type
+            ORDER BY tsec DESC, is_grid DESC, event_id DESC
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+      SELECT event_type, gt, t0, t1,
+        CASE WHEN t0 IS NULL OR t1 IS NULL THEN NULL
+             WHEN t1 = t0 THEN v0
+             ELSE v0 + (v1 - v0) * ((gt - t0)::DOUBLE / (t1 - t0)::DOUBLE)
+        END AS v
+      FROM w WHERE is_grid = 1
+      ORDER BY event_type, gt""",
 
     // Same BIGINT-string first digit, same shared p literals, same
     // single-op expected/chi2 arithmetic.

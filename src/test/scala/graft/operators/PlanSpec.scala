@@ -872,6 +872,18 @@ class PlanSpec extends AnyFunSuite {
     assert("HashAggregate".r.findAllIn(p197).size >= 2, p197)
   }
 
+  test("q200: resample sandwich windows partition by type; no per-point probe join") {
+    val p = plan("q200_resample")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("windowspecdefinition(event_type"), "per-type windows: " + p)
+  }
+
+  test("q202: scene cuts are per-media windows over executor-side frames") {
+    val p = plan("q202_scene_detect")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("windowspecdefinition(media_id"), "per-media windows: " + p)
+  }
+
   test("q191: skew arms are count aggs + TakeOrdered — no global rank over keys") {
     val p = plan("q191_skew_diagnostics")
     assert(!p.contains("CartesianProduct"), p)
