@@ -858,6 +858,73 @@ object Corpus {
       gopherMatrix(t(s, dir, "documents"))
         .repartition(1).sortWithinPartitions(col("doc_id"))),
 
+    // ---- q203: END-TO-END pretraining-corpus pipeline — the capstone
+    //      composition gate: the five stages a real corpus build chains,
+    //      each individually proven, composed into ONE decision the
+    //      oracle replays end to end (the q166 composition discipline at
+    //      pipeline scale):
+    //        1. Gopher rule filter        (q178's gopherMatrix.keep)
+    //        2. exact dedup               (q40's md5 election, min id)
+    //        3. near-dup dedup            (q41's banded pair set; one-pass
+    //                                      greedy — drop the larger id)
+    //        4. per-source calibration    (q175's percent_rank admission)
+    //        5. temperature mixture       (q142's sqrt targets + q65's
+    //                                      running-sum admission)
+    //      Output: one row per source with every stage's survivor count,
+    //      final admitted tokens, and the temperature target — the shrink
+    //      funnel a corpus release documents. Scale shape: every stage
+    //      keeps its own proven plan (doc-keyed aggs, banded equi-joins,
+    //      per-source windows, broadcast target frames); the composition
+    //      adds only per-source count aggs and left joins on the
+    //      source key.
+    "q203_pipeline_e2e" -> ((s, dir) => {
+      graft.functions.GraftFunctions.register(s)
+      val docs = t(s, dir, "documents")
+      val d1 = docs.join(
+        gopherMatrix(docs).filter(col("keep")).select(col("doc_id")), Seq("doc_id"))
+      val w2 = Window.partitionBy(col("dg")).orderBy(col("doc_id"))
+      val d2 = d1.withColumn("dg", md5(col("text")))
+        .withColumn("rn", row_number().over(w2)).filter(col("rn") === 1)
+        .drop("dg", "rn")
+        .localCheckpoint() // feeds the pair join twice + the next stage
+      val rejects = NearDup.exactJaccardPairs(d2)
+        .select(col("id_b").as("doc_id")).distinct()
+      val d3 = d2.join(rejects, Seq("doc_id"), "left_anti")
+      val w4 = Window.partitionBy(col("source")).orderBy(col("quality"))
+      val d4 = TextOps.qualityScore(d3)
+        .join(d3.select(col("doc_id"), col("source"), col("text")), Seq("doc_id"))
+        .withColumn("pct", percent_rank().over(w4))
+        .filter(col("pct") >= lit(TextOps.CalibAdmit))
+      val toks = d4.select(col("doc_id"), col("source"),
+        wsTokenCount(col("text")).as("n_tokens"),
+        call_function("graft_polyhash", col("text"), lit(31),
+          lit(TextOps.HashMod)).as("ohash"))
+        .localCheckpoint() // feeds targets AND admission
+      val tgt = temperatureTargets(toks.groupBy(col("source"))
+          .agg(sum(col("n_tokens")).cast("long").as("src_tokens")))
+        .select(col("source"), col("target"))
+      val w5 = Window.partitionBy(col("source")).orderBy(col("ohash"), col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val admitted = toks.join(broadcast(tgt), Seq("source"))
+        .withColumn("start", sum(col("n_tokens")).over(w5) - col("n_tokens"))
+        .filter(col("start") < col("target"))
+      def cnt(df: DataFrame, name: String): DataFrame =
+        df.groupBy(col("source")).agg(count(lit(1)).as(name))
+      docs.groupBy(col("source")).agg(count(lit(1)).as("n_raw"))
+        .join(cnt(d1, "n_gopher"), Seq("source"), "left")
+        .join(cnt(d2, "n_exact"), Seq("source"), "left")
+        .join(cnt(d3, "n_neardup"), Seq("source"), "left")
+        .join(cnt(d4, "n_cal"), Seq("source"), "left")
+        .join(admitted.groupBy(col("source"))
+          .agg(count(lit(1)).as("n_final"),
+            sum(col("n_tokens")).cast("long").as("tokens_final")),
+          Seq("source"), "left")
+        .join(tgt, Seq("source"), "left")
+        .na.fill(0L, Seq("n_gopher", "n_exact", "n_neardup", "n_cal",
+          "n_final", "tokens_final", "target"))
+        .repartition(1).sortWithinPartitions(col("source"))
+    }),
+
     // ---- q201: k-core peeling (Matula & Beck 1983; Batagelj-Zaversnik
     //      is the sequential classic, this is the synchronous
     //      distributed form) — iteratively remove nodes of degree < k
@@ -1998,6 +2065,108 @@ object Corpus {
           AND ws.n_stop >= $GopherMinStop
           AND cov.cover::DOUBLE / ws.sumlen::DOUBLE < $Gopher2gCap) AS keep
       FROM ws JOIN cov USING (doc_id) ORDER BY ws.doc_id""",
+
+    // The full five-stage replay: q178's keep rule, md5 election,
+    // q67-style Jaccard pairs with the one-pass larger-id rejection,
+    // q175's percent_rank admission, q142's temperature arithmetic and
+    // q65's running-sum admission — then the per-source funnel report.
+    // Stage CTEs MATERIALIZED (each feeds several consumers).
+    "q203_pipeline_e2e" -> s"""
+      WITH gw AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS W
+                  FROM documents),
+      gs AS MATERIALIZED (
+        SELECT ws.doc_id FROM (
+          SELECT doc_id, CAST(count(*) AS BIGINT) AS nw,
+            CAST(sum(len(wd)) AS BIGINT) AS sumlen,
+            CAST(count(DISTINCT CASE WHEN wd IN
+              (${GopherStops.map(x => s"'$x'").mkString(",")}) THEN wd END)
+              AS BIGINT) AS n_stop
+          FROM (SELECT doc_id, unnest(W) AS wd FROM gw) w GROUP BY doc_id) ws
+        JOIN (
+          SELECT doc_id, CAST(max(cnt * (len(w1) + len(w2))) AS BIGINT) AS cover
+          FROM (SELECT doc_id, w1, w2, count(*) AS cnt FROM (
+            SELECT doc_id, W[i] AS w1, W[i+1] AS w2
+            FROM gw, unnest(range(1, len(W))) AS u(i)) bg GROUP BY 1, 2, 3) bc
+          GROUP BY doc_id) cov USING (doc_id)
+        WHERE ws.nw >= $GopherMinWords AND ws.nw <= $GopherMaxWords
+          AND ws.sumlen::DOUBLE / ws.nw::DOUBLE >= $GopherMinWlen
+          AND ws.sumlen::DOUBLE / ws.nw::DOUBLE <= $GopherMaxWlen
+          AND ws.n_stop >= $GopherMinStop
+          AND cov.cover::DOUBLE / ws.sumlen::DOUBLE < $Gopher2gCap),
+      d1 AS MATERIALIZED (
+        SELECT d.* FROM documents d
+        WHERE d.doc_id IN (SELECT doc_id FROM gs)),
+      d2 AS MATERIALIZED (
+        SELECT doc_id, text, lang, source, n_chars FROM (
+          SELECT d1.*, ROW_NUMBER() OVER (PARTITION BY md5(text)
+            ORDER BY doc_id) AS rn
+          FROM d1) x WHERE rn = 1),
+      sh AS MATERIALIZED (
+        SELECT doc_id, ${TextOps.shinglesSql("text", NearDup.ShingleK)} AS sh
+        FROM d2),
+      rej AS MATERIALIZED (
+        SELECT DISTINCT b.doc_id
+        FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        WHERE len(list_intersect(a.sh, b.sh))::DOUBLE
+            / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)))
+          >= ${NearDup.JaccardT}),
+      d3 AS MATERIALIZED (
+        SELECT * FROM d2 WHERE doc_id NOT IN (SELECT doc_id FROM rej)),
+      q AS (${TextOps.qualitySql("d3")}),
+      d4 AS MATERIALIZED (
+        SELECT doc_id, source, text FROM (
+          SELECT q.doc_id, d3.source, d3.text,
+            percent_rank() OVER (PARTITION BY d3.source ORDER BY q.quality)
+              AS pct
+          FROM q JOIN d3 USING (doc_id)) x
+        WHERE pct >= ${TextOps.CalibAdmit}),
+      tok AS MATERIALIZED (
+        SELECT doc_id, source, ${wsTokenCountSql("text")} AS n_tokens,
+          ${TextOps.polyHashSql("text")} AS ohash
+        FROM d4),
+      st AS (SELECT source, CAST(sum(n_tokens) AS BIGINT) AS src_tokens
+             FROM tok GROUP BY source),
+      tw AS (SELECT source, src_tokens, sqrt(src_tokens::DOUBLE) AS w FROM st),
+      tot AS (SELECT ${graft.util.Sumd.SUMD("w")} AS sumw,
+                CAST(sum(src_tokens) AS BIGINT) AS total_tokens FROM tw),
+      tgt AS MATERIALIZED (
+        SELECT source,
+          CAST(floor((total_tokens // $TempBudgetDiv)::DOUBLE * w / sumw)
+            AS BIGINT) AS target
+        FROM tw, tot),
+      adm AS (
+        SELECT source, doc_id, n_tokens FROM (
+          SELECT t.source, t.doc_id, t.n_tokens, g.target,
+            sum(t.n_tokens) OVER (PARTITION BY t.source
+              ORDER BY t.ohash, t.doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - t.n_tokens
+              AS strt
+          FROM tok t JOIN tgt g USING (source)) x
+        WHERE strt < target)
+      SELECT base.source,
+        base.n_raw,
+        coalesce(c1.n, 0) AS n_gopher,
+        coalesce(c2.n, 0) AS n_exact,
+        coalesce(c3.n, 0) AS n_neardup,
+        coalesce(c4.n, 0) AS n_cal,
+        coalesce(c5.n, 0) AS n_final,
+        coalesce(c5.tok, 0) AS tokens_final,
+        coalesce(tgt.target, 0) AS target
+      FROM (SELECT source, CAST(count(*) AS BIGINT) AS n_raw
+            FROM documents GROUP BY source) base
+      LEFT JOIN (SELECT source, CAST(count(*) AS BIGINT) AS n FROM d1
+                 GROUP BY source) c1 USING (source)
+      LEFT JOIN (SELECT source, CAST(count(*) AS BIGINT) AS n FROM d2
+                 GROUP BY source) c2 USING (source)
+      LEFT JOIN (SELECT source, CAST(count(*) AS BIGINT) AS n FROM d3
+                 GROUP BY source) c3 USING (source)
+      LEFT JOIN (SELECT source, CAST(count(*) AS BIGINT) AS n FROM d4
+                 GROUP BY source) c4 USING (source)
+      LEFT JOIN (SELECT source, CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(n_tokens) AS BIGINT) AS tok FROM adm
+                 GROUP BY source) c5 USING (source)
+      LEFT JOIN tgt USING (source)
+      ORDER BY base.source""",
 
     // The identical peel rounds unrolled as CTEs (e0..eN), trajectory
     // stats per round UNION'd.

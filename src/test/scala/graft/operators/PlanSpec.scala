@@ -884,6 +884,15 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("windowspecdefinition(media_id"), "per-media windows: " + p)
   }
 
+  test("q203: the pipeline composition keeps every stage's proven shape") {
+    val p = plan("q203_pipeline_e2e")
+    assert(!p.contains("CartesianProduct"), p)
+    // near-dup rejection is an anti-join; calibration and admission run
+    // per-source windows; no media/doc all-pairs anywhere
+    assert(p.contains("LeftAnti"), "near-dup stage must anti-join: " + p)
+    assert(p.contains("windowspecdefinition(source"), "per-source windows: " + p)
+  }
+
   test("q191: skew arms are count aggs + TakeOrdered — no global rank over keys") {
     val p = plan("q191_skew_diagnostics")
     assert(!p.contains("CartesianProduct"), p)
