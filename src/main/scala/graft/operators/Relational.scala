@@ -154,6 +154,103 @@ object Relational {
       u.union(i).union(e).select($"op", $"k").orderBy($"op", $"k")
     }),
 
+    // ---- q204: window-function OMNIBUS — every remaining SQL window
+    //      primitive the surface hadn't individually gated (rank,
+    //      dense_rank, ntile, cume_dist, nth_value, first/last over the
+    //      full frame, lag/lead with defaults), all in one per-priority
+    //      window pass over a UNIQUE (price, key) order so every result
+    //      is deterministic. The output filter applies AFTER the windows
+    //      (a row subset of the full computation — both engines
+    //      identically). One exchange on the partition key.
+    "q204_window_omnibus" -> ((s, dir) => {
+      import s.implicits._
+      val wb = Window.partitionBy($"o_orderpriority")
+        .orderBy($"o_totalprice", $"o_orderkey")
+      val wf = wb.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      t(s, dir, "orders")
+        .select($"o_orderkey", $"o_orderpriority", $"o_totalprice")
+        .withColumn("rnk", rank().over(wb).cast("long"))
+        .withColumn("drnk", dense_rank().over(wb).cast("long"))
+        .withColumn("tile", ntile(4).over(wb).cast("long"))
+        .withColumn("cd", cume_dist().over(wb))
+        .withColumn("nth2", nth_value($"o_orderkey", 2).over(wf))
+        .withColumn("fv", first($"o_orderkey").over(wf))
+        .withColumn("lv", last($"o_orderkey").over(wf))
+        .withColumn("lg", lag($"o_orderkey", 1, -1L).over(wb))
+        .withColumn("ld", lead($"o_orderkey", 1, -1L).over(wb))
+        .filter($"o_orderkey" % 23 === 0)
+        .drop($"o_totalprice")
+        .repartition(1).sortWithinPartitions($"o_orderkey")
+    }),
+
+    // ---- q205: BAG-semantics set operations — q11 covers the DISTINCT
+    //      forms; EXCEPT ALL / INTERSECT ALL are the multiset forms
+    //      (multiplicity arithmetic: max(m-n, 0) and min(m, n) per key)
+    //      that reconciliation queries actually need (how many copies
+    //      survive, not whether any does). Spark plans both as
+    //      count-annotated joins — no row explosion; the report groups
+    //      the result multiset back to (key, cnt).
+    "q205_bag_setops" -> ((s, dir) => {
+      import s.implicits._
+      val li = t(s, dir, "lineitem")
+      val a = li.filter($"l_quantity" > 25).select($"l_orderkey".as("k"))
+      val b = li.filter($"l_extendedprice" > 30000).select($"l_orderkey".as("k"))
+      def report(df: DataFrame, op: String): DataFrame =
+        df.groupBy($"k").agg(count(lit(1)).as("cnt"))
+          .select(lit(op).as("op"), $"k", $"cnt")
+      report(a.exceptAll(b), "except_all")
+        .unionByName(report(a.intersectAll(b), "intersect_all"))
+        .filter($"k" % 7 === 0)
+        .repartition(1).sortWithinPartitions($"op", $"k")
+    }),
+
+    // ---- q206: string-function OMNIBUS — the scalar-string surface
+    //      beyond q13/q35 (pad, reverse, repeat, split_part, translate,
+    //      position), one narrow projection, no shuffle. Functions chosen
+    //      for cross-engine identical semantics (no locale-dependent
+    //      casing beyond ASCII upper, no collation).
+    "q206_string_omnibus" -> ((s, dir) => {
+      import s.implicits._
+      t(s, dir, "part")
+        .filter($"p_partkey" % 11 === 0)
+        .select($"p_partkey", $"p_name",
+          upper($"p_name").as("up"),
+          lpad($"p_name", 16, "*").as("lp"),
+          rpad($"p_name", 16, ".").as("rp"),
+          reverse($"p_name").as("rev"),
+          repeat(substring($"p_name", 1, 3), 2).as("rep"),
+          split_part($"p_name", lit(" "), lit(2)).as("sp"),
+          translate($"p_name", "aeiou", "12345").as("tr"),
+          instr($"p_name", "e").cast("long").as("pos_e"))
+        .repartition(1).sortWithinPartitions($"p_partkey")
+    }),
+
+    // ---- q207: date/time OMNIBUS — the calendar surface beyond q14
+    //      (field extraction, ISO week, month clamping, day arithmetic),
+    //      all computed on the DATE cast of the timestamp so no
+    //      timezone/locale semantics are in play. dayofweek is
+    //      normalized to Spark's 1=Sunday convention on the oracle side
+    //      (DuckDB's dayofweek is 0=Sunday); add_months exercises the
+    //      end-of-month clamp both engines apply. Narrow projection, no
+    //      shuffle.
+    "q207_date_omnibus" -> ((s, dir) => {
+      import s.implicits._
+      t(s, dir, "orders")
+        .filter($"o_orderkey" % 29 === 0)
+        .select($"o_orderkey", $"o_orderdate".cast("date").as("d"))
+        .select($"o_orderkey", $"d",
+          year($"d").cast("long").as("y"),
+          quarter($"d").cast("long").as("q"),
+          month($"d").cast("long").as("m"),
+          dayofmonth($"d").cast("long").as("dom"),
+          dayofweek($"d").cast("long").as("dow"),
+          weekofyear($"d").cast("long").as("iso_week"),
+          last_day($"d").as("eom"),
+          add_months($"d", 1).as("next_m"),
+          datediff($"d", lit("1995-01-01").cast("date")).cast("long").as("days_since"))
+        .repartition(1).sortWithinPartitions($"o_orderkey")
+    }),
+
     // ---- global sort + limit (top-k)
     "q12_sort_limit" -> ((s, dir) => {
       import s.implicits._
@@ -567,6 +664,76 @@ object Relational {
       FROM orders
       GROUP BY CUBE (o_orderstatus, o_orderpriority)
       ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""",
+
+    // Identical window set over the same unique order; subset filter after.
+    "q204_window_omnibus" -> """
+      SELECT o_orderkey, o_orderpriority, rnk, drnk, tile, cd, nth2, fv, lv,
+        lg, ld
+      FROM (
+        SELECT o_orderkey, o_orderpriority,
+          CAST(rank() OVER wb AS BIGINT) AS rnk,
+          CAST(dense_rank() OVER wb AS BIGINT) AS drnk,
+          CAST(ntile(4) OVER wb AS BIGINT) AS tile,
+          cume_dist() OVER wb AS cd,
+          nth_value(o_orderkey, 2) OVER wf AS nth2,
+          first_value(o_orderkey) OVER wf AS fv,
+          last_value(o_orderkey) OVER wf AS lv,
+          lag(o_orderkey, 1, -1) OVER wb AS lg,
+          lead(o_orderkey, 1, -1) OVER wb AS ld
+        FROM orders
+        WINDOW wb AS (PARTITION BY o_orderpriority
+            ORDER BY o_totalprice, o_orderkey),
+          wf AS (PARTITION BY o_orderpriority
+            ORDER BY o_totalprice, o_orderkey
+            ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)) x
+      WHERE o_orderkey % 23 = 0
+      ORDER BY o_orderkey""",
+
+    // Same multisets, the engine's EXCEPT ALL / INTERSECT ALL, regrouped.
+    "q205_bag_setops" -> """
+      WITH a AS (SELECT l_orderkey AS k FROM lineitem WHERE l_quantity > 25),
+      b AS (SELECT l_orderkey AS k FROM lineitem WHERE l_extendedprice > 30000),
+      ea AS (SELECT k FROM a EXCEPT ALL SELECT k FROM b),
+      ia AS (SELECT k FROM a INTERSECT ALL SELECT k FROM b),
+      r AS (
+        SELECT 'except_all' AS op, k, CAST(count(*) AS BIGINT) AS cnt
+        FROM ea GROUP BY k
+        UNION ALL
+        SELECT 'intersect_all', k, CAST(count(*) AS BIGINT) FROM ia GROUP BY k)
+      SELECT op, k, cnt FROM r WHERE k % 7 = 0 ORDER BY op, k""",
+
+    // Same scalar chain; strpos ≡ instr for the first-occurrence position.
+    "q206_string_omnibus" -> """
+      SELECT p_partkey, p_name,
+        upper(p_name) AS up,
+        lpad(p_name, 16, '*') AS lp,
+        rpad(p_name, 16, '.') AS rp,
+        reverse(p_name) AS rev,
+        repeat(substring(p_name, 1, 3), 2) AS rep,
+        split_part(p_name, ' ', 2) AS sp,
+        translate(p_name, 'aeiou', '12345') AS tr,
+        CAST(strpos(p_name, 'e') AS BIGINT) AS pos_e
+      FROM part
+      WHERE p_partkey % 11 = 0
+      ORDER BY p_partkey""",
+
+    // Same field extraction; dayofweek normalized to 1=Sunday; isodow-week
+    // via DuckDB's ISO weekofyear; interval-month addition clamps like
+    // add_months.
+    "q207_date_omnibus" -> """
+      SELECT o_orderkey, d,
+        CAST(year(d) AS BIGINT) AS y,
+        CAST(quarter(d) AS BIGINT) AS q,
+        CAST(month(d) AS BIGINT) AS m,
+        CAST(day(d) AS BIGINT) AS dom,
+        CAST(dayofweek(d) + 1 AS BIGINT) AS dow,
+        CAST(weekofyear(d) AS BIGINT) AS iso_week,
+        last_day(d) AS eom,
+        CAST(d + INTERVAL 1 MONTH AS DATE) AS next_m,
+        CAST(date_diff('day', DATE '1995-01-01', d) AS BIGINT) AS days_since
+      FROM (SELECT o_orderkey, CAST(o_orderdate AS DATE) AS d FROM orders
+            WHERE o_orderkey % 29 = 0) x
+      ORDER BY o_orderkey""",
 
     "q11_setops" -> """
       WITH a AS (SELECT c_custkey AS k FROM customer WHERE c_mktsegment = 'BUILDING'),

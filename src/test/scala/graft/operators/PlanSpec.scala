@@ -893,6 +893,17 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("windowspecdefinition(source"), "per-source windows: " + p)
   }
 
+  test("q204/q205: omnibus windows partition by priority; bag ops don't explode") {
+    val p204 = plan("q204_window_omnibus")
+    assert(!p204.contains("CartesianProduct"), p204)
+    assert(p204.contains("windowspecdefinition(o_orderpriority"), p204)
+    val p205 = plan("q205_bag_setops")
+    assert(!p205.contains("CartesianProduct"), p205)
+    // bag semantics must come from count-annotated set-op plans, not a
+    // row-multiplying join
+    assert(!p205.contains("BroadcastNestedLoopJoin"), p205)
+  }
+
   test("q191: skew arms are count aggs + TakeOrdered — no global rank over keys") {
     val p = plan("q191_skew_diagnostics")
     assert(!p.contains("CartesianProduct"), p)
