@@ -251,6 +251,50 @@ object Relational {
         .repartition(1).sortWithinPartitions($"o_orderkey")
     }),
 
+    // ---- q208: array higher-order-function OMNIBUS — transform /
+    //      filter / exists / forall / aggregate / zip_with / slice /
+    //      sort / position in one narrow projection over the words
+    //      array (the HOF surface the ext operators lean on, gated
+    //      directly). All integer/string arithmetic; the zip_with sum
+    //      reduces to Σ len(w_i)·i, which the oracle states directly —
+    //      identical integers either way. array_position's 0-for-absent
+    //      matches coalesce(list_position, 0).
+    "q208_array_omnibus" -> ((s, dir) => {
+      import s.implicits._
+      t(s, dir, "documents")
+        .filter($"doc_id" % 13 === 0)
+        .select($"doc_id",
+          expr("regexp_extract_all(lower(text), '[a-z0-9]+', 0)").as("ws"))
+        .select($"doc_id",
+          size($"ws").cast("long").as("nw"),
+          expr("cast(size(filter(ws, w -> length(w) > 4)) as bigint)").as("n_long"),
+          expr("exists(ws, w -> length(w) = 5)").as("has5"),
+          expr("forall(ws, w -> length(w) <= 8)").as("all_short"),
+          expr("aggregate(zip_with(transform(ws, w -> length(w)), " +
+            "sequence(1, size(ws)), (a, b) -> cast(a * b as bigint)), " +
+            "cast(0 as bigint), (acc, x) -> acc + x)").as("zsum"),
+          expr("cast(array_position(ws, 'the') as bigint)").as("pos_the"),
+          expr("array_join(slice(array_sort(array_distinct(ws)), 1, 3), ',')")
+            .as("first3"))
+        .repartition(1).sortWithinPartitions($"doc_id")
+    }),
+
+    // ---- q209: GROUPING()/GROUPING_ID() over CUBE — the subtotal-row
+    //      disambiguation q09/q10/q18 stop short of (a NULL group value
+    //      is ambiguous between "the NULL group" and "the subtotal row";
+    //      grouping flags are the standard answer). Both engines put the
+    //      first cube column in the high bit.
+    "q209_grouping_id" -> ((s, dir) => {
+      import s.implicits._
+      t(s, dir, "lineitem")
+        .cube($"l_returnflag", $"l_linestatus")
+        .agg(grouping($"l_returnflag").cast("long").as("g_rf"),
+          grouping($"l_linestatus").cast("long").as("g_ls"),
+          grouping_id().cast("long").as("gid"),
+          count(lit(1)).as("n"))
+        .repartition(1).sortWithinPartitions($"gid", $"l_returnflag", $"l_linestatus")
+    }),
+
     // ---- global sort + limit (top-k)
     "q12_sort_limit" -> ((s, dir) => {
       import s.implicits._
@@ -734,6 +778,34 @@ object Relational {
       FROM (SELECT o_orderkey, CAST(o_orderdate AS DATE) AS d FROM orders
             WHERE o_orderkey % 29 = 0) x
       ORDER BY o_orderkey""",
+
+    // list_* equivalents; the zip_with sum stated directly as Σ len·i.
+    "q208_array_omnibus" -> """
+      WITH d AS (
+        SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS W
+        FROM documents WHERE doc_id % 13 = 0)
+      SELECT doc_id,
+        CAST(len(W) AS BIGINT) AS nw,
+        CAST(len(list_filter(W, w -> length(w) > 4)) AS BIGINT) AS n_long,
+        len(list_filter(W, w -> length(w) = 5)) > 0 AS has5,
+        len(list_filter(W, w -> length(w) > 8)) = 0 AS all_short,
+        CAST(list_reduce(list_prepend(0::BIGINT,
+          list_transform(range(1, len(W) + 1), i -> length(W[i])::BIGINT * i)),
+          (acc, x) -> acc + x) AS BIGINT) AS zsum,
+        CAST(coalesce(list_position(W, 'the'), 0) AS BIGINT) AS pos_the,
+        array_to_string(list_sort(list_distinct(W))[1:3], ',') AS first3
+      FROM d ORDER BY doc_id""",
+
+    // Same cube with the standard first-column-MSB grouping flags.
+    "q209_grouping_id" -> """
+      SELECT l_returnflag, l_linestatus,
+        CAST(GROUPING(l_returnflag) AS BIGINT) AS g_rf,
+        CAST(GROUPING(l_linestatus) AS BIGINT) AS g_ls,
+        CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid,
+        CAST(count(*) AS BIGINT) AS n
+      FROM lineitem
+      GROUP BY CUBE (l_returnflag, l_linestatus)
+      ORDER BY gid, l_returnflag, l_linestatus""",
 
     "q11_setops" -> """
       WITH a AS (SELECT c_custkey AS k FROM customer WHERE c_mktsegment = 'BUILDING'),
