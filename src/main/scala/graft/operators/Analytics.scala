@@ -88,6 +88,10 @@ object Analytics {
     * global [min, max] span. */
   val GridStep = 3600L
 
+  /** q211 discrete-percentile probes — exact binary fractions, so p·n and
+    * p·100 never round. */
+  val DiscPs = Seq(0.25, 0.5, 0.75)
+
   /** q199 regression time unit: seconds-since-corpus-start over 3600 —
     * keeps x (and so the decimal-cast x*x / x*y products) inside the
     * SUMD DECIMAL(18,6) per-value range. */
@@ -264,6 +268,30 @@ object Analytics {
             (($"gt" - $"t0").cast("double") / ($"t1" - $"t0").cast("double"))))
         .select($"event_type", $"gt", $"t0", $"t1", $"v")
         .repartition(1).sortWithinPartitions($"event_type", $"gt")
+    }),
+
+    // ---- q211: DISCRETE percentiles (percentile_disc semantics: the
+    //      smallest actual element whose cumulative fraction reaches p —
+    //      a value the dataset really contains, unlike q34's continuous
+    //      interpolation). Both engines compute the SAME explicit rank
+    //      selection (rn = ceil(p·n) under a (value, event_id) order)
+    //      rather than trusting builtin tie conventions; p is an exact
+    //      binary fraction so ceil never sees a rounding artifact. Ties
+    //      in value are harmless — any tie order selects the same value.
+    //      One rank window per type + a 3-probe explode.
+    "q211_percentile_disc" -> ((s, dir) => {
+      import s.implicits._
+      val w = Window.partitionBy($"event_type").orderBy($"value", $"event_id")
+      val wp = Window.partitionBy($"event_type")
+      Tables.load(s, dir, "events")
+        .select($"event_type", $"event_id", $"value")
+        .withColumn("rn", row_number().over(w))
+        .withColumn("n", count(lit(1)).over(wp))
+        .withColumn("p", explode(typedLit(DiscPs)))
+        .filter($"rn" === ceil($"p" * $"n".cast("double")).cast("long"))
+        .select($"event_type", ($"p" * 100).cast("long").as("pct"),
+          $"value".as("disc_value"))
+        .repartition(1).sortWithinPartitions($"event_type", $"pct")
     }),
 
     // ---- q195: Benford first-digit audit — the classic fabricated-data
@@ -759,6 +787,20 @@ object Analytics {
           AS chi2,
         CAST(sum(CASE WHEN b = 0 THEN o ELSE 0 END) AS BIGINT) AS n_novel
       FROM x GROUP BY event_type ORDER BY event_type""",
+
+    // Same explicit rank selection; unnest expands the probe list.
+    "q211_percentile_disc" -> s"""
+      WITH r AS (
+        SELECT event_type, value,
+          ROW_NUMBER() OVER (PARTITION BY event_type
+            ORDER BY value, event_id) AS rn,
+          CAST(count(*) OVER (PARTITION BY event_type) AS BIGINT) AS n
+        FROM events),
+      x AS (SELECT event_type, value, rn, n,
+              unnest([${DiscPs.mkString(", ")}]) AS p FROM r)
+      SELECT event_type, CAST(p * 100 AS BIGINT) AS pct, value AS disc_value
+      FROM x WHERE rn = CAST(ceil(p * n::DOUBLE) AS BIGINT)
+      ORDER BY event_type, pct""",
 
     // Same integer grid alignment, the same union-sandwich with
     // IGNORE NULLS windows under identical (tsec, is_grid, event_id)

@@ -129,6 +129,53 @@ object StreamQueries {
       graft.operators.Analytics.transitionReport(sunk)
     }),
 
+    // ---- q210: STREAMING last-touch attribution — q188's last-touch
+    //      model live (StreamingPipeline.streamingLastTouch): one
+    //      (click id, click tsec) pair of state per user, purchases
+    //      credit it inside the trailing window. The feed orders by
+    //      (tsec, click-before-purchase, event_id) — the exact order
+    //      under which the stateful rule equals the batch rank window
+    //      (see the operator's scaladoc for the tie algebra) — and
+    //      chunks arbitrarily (state carries across boundaries). The
+    //      oracle replays the batch arm.
+    "q210_stream_attribution" -> ((s, dir) => {
+      import s.implicits._
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      implicit val sqlCtx: SQLContext = s.sqlContext
+      val rows = Tables.load(s, dir, "events")
+        .filter($"event_type".isin("click", "purchase"))
+        .select($"user_id", unix_timestamp($"ts").as("tsec"), $"event_id",
+          $"event_type")
+        .as[(Long, Long, Long, String)].collect()
+        .sortBy { case (_, ts, eid, typ) =>
+          (ts, if (typ == "click") 0 else 1, eid) }
+        .zipWithIndex
+        .map { case ((uid, ts, eid, typ), i) => (uid, i.toLong, typ, eid, ts) }
+      val src = MemoryStream[(Long, Long, String, Long, Long)]
+      val stream = graft.streaming.StreamingPipeline
+        .streamingLastTouch(src.toDS()).toDF("cid", "pid")
+      val qname = "q210_out_" + java.util.UUID.randomUUID.toString.replace("-", "")
+      val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+      try {
+        s.conf.set("spark.sql.shuffle.partitions", "8")
+        val query = stream.writeStream.format("memory").queryName(qname)
+          .outputMode("append").start()
+        try {
+          rows.grouped(math.max(500, (rows.length + 3) / 4)).foreach { ch =>
+            src.addData(ch.toIndexedSeq); query.processAllAvailable()
+          }
+        } finally query.stop()
+      } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+      val sunk0 = s.table(qname)
+      val sunk = s.createDataFrame(
+        java.util.Arrays.asList(sunk0.collect(): _*), sunk0.schema)
+      s.catalog.dropTempView(qname)
+      sunk.groupBy(col("cid"))
+        .agg(graft.util.Sumd.sumd(lit(1.0)).as("credit"),
+          count(lit(1)).as("n_purchases"))
+        .repartition(1).sortWithinPartitions(col("cid"))
+    }),
+
     // ---- q149: STREAMING KMV sketch — the deterministic member of the
     //      commuting-sketch family (q127 CMS: counters add; q128 HLL:
     //      registers max; KMV: k-smallest-distinct, a union-trim that is
@@ -855,6 +902,29 @@ object StreamQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    // q188's last-touch arm replayed: same pair frame, same
+    // (ctsec desc, cid desc) rank, SUMD credit.
+    "q210_stream_attribution" -> s"""
+      WITH ev AS (
+        SELECT user_id, event_id, event_type,
+          CAST(FLOOR(epoch(ts)) AS BIGINT) AS tsec
+        FROM events),
+      pairs AS (
+        SELECT p.event_id AS pid, c.event_id AS cid, c.tsec AS ctsec
+        FROM ev p JOIN ev c ON p.user_id = c.user_id
+        WHERE p.event_type = 'purchase' AND c.event_type = 'click'
+          AND c.tsec <= p.tsec
+          AND c.tsec > p.tsec - ${graft.operators.Analytics.AttrWindow}),
+      last_ AS (
+        SELECT cid FROM (
+          SELECT cid,
+            ROW_NUMBER() OVER (PARTITION BY pid ORDER BY ctsec DESC, cid DESC)
+              AS rn
+          FROM pairs) x WHERE rn = 1)
+      SELECT cid, ${graft.util.Sumd.SUMD("1.0")} AS credit,
+        CAST(count(*) AS BIGINT) AS n_purchases
+      FROM last_ GROUP BY cid ORDER BY cid""",
+
     // q192's oracle verbatim: the ordered feed + cross-chunk state make
     // streaming adjacency equal batch lead adjacency by construction, and
     // the counting commutes.

@@ -603,6 +603,40 @@ object StreamingPipeline {
       }
   }
 
+  /** q210: streaming last-touch attribution — q188's last-touch model as
+    * a live operator: per-user state is ONE (click event_id, click tsec)
+    * pair — the only thing last-touch needs; each purchase credits the
+    * state's click when it falls inside the trailing window. Equals the
+    * batch rank-window arm by construction when the feed orders by
+    * (tsec, click-before-purchase, event_id): the batch rule is
+    * "latest click with ctsec <= ptsec" on unix SECONDS, so same-second
+    * clicks must precede same-second purchases in the feed, and among
+    * same-second clicks the last kept (max event_id) is exactly the
+    * batch tie-break (ctsec desc, cid desc). Input rows:
+    * (user_id, seq, typ, event_id, tsec); output (cid, pid). */
+  def streamingLastTouch(events: Dataset[(Long, Long, String, Long, Long)])
+      : Dataset[(Long, Long)] = {
+    import events.sparkSession.implicits._
+    val win = graft.operators.Analytics.AttrWindow
+    events.groupByKey(_._1)
+      .flatMapGroupsWithState(
+        org.apache.spark.sql.streaming.OutputMode.Append(), GroupStateTimeout.NoTimeout) {
+        (uid: Long, it: Iterator[(Long, Long, String, Long, Long)],
+            state: GroupState[(Long, Long)]) =>
+          val sorted = it.toIndexedSeq.sortBy(_._2)
+          var last = state.getOption
+          val out = Seq.newBuilder[(Long, Long)]
+          sorted.foreach { case (_, _, typ, eid, ts) =>
+            if (typ == "click") last = Some((eid, ts))
+            else last.foreach { case (cid, cts) =>
+              if (cts > ts - win) out += ((cid, eid))
+            }
+          }
+          last.foreach(state.update)
+          out.result().iterator
+      }
+  }
+
   /** Streaming exact dedup — the streaming form of the q40 batch dedup:
     * emit only the FIRST-seen row per content hash across all
     * micro-batches; within a batch the lowest doc_id wins, so output is

@@ -904,6 +904,12 @@ class PlanSpec extends AnyFunSuite {
     assert(!p205.contains("BroadcastNestedLoopJoin"), p205)
   }
 
+  test("q211: discrete-percentile rank windows partition by type") {
+    val p = plan("q211_percentile_disc")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("windowspecdefinition(event_type"), "per-type windows: " + p)
+  }
+
   test("q191: skew arms are count aggs + TakeOrdered — no global rank over keys") {
     val p = plan("q191_skew_diagnostics")
     assert(!p.contains("CartesianProduct"), p)
