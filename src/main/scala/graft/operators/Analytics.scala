@@ -92,6 +92,16 @@ object Analytics {
     * p·100 never round. */
   val DiscPs = Seq(0.25, 0.5, 0.75)
 
+  /** q212 CUSUM parameters in exact integer MICRO-units (values quantize
+    * to floor(x·1e6 + 0.5) — floor is identical in both engines, unlike
+    * round(), which is HALF_UP in Spark and half-even in DuckDB; after
+    * quantization every accumulation is BIGINT-exact, which is what lets
+    * an order-DEPENDENT running sum cross engines at all). Slack k and
+    * alarm threshold h follow the usual "half-sigma / several-sigma"
+    * shape but are declared constants here. */
+  val CusumSlackMicro = 10000000L // k = 10
+  val CusumHMicro = 500000000L    // h = 500
+
   /** q199 regression time unit: seconds-since-corpus-start over 3600 —
     * keeps x (and so the decimal-cast x*x / x*y products) inside the
     * SUMD DECIMAL(18,6) per-value range. */
@@ -268,6 +278,40 @@ object Analytics {
             (($"gt" - $"t0").cast("double") / ($"t1" - $"t0").cast("double"))))
         .select($"event_type", $"gt", $"t0", $"t1", $"v")
         .repartition(1).sortWithinPartitions($"event_type", $"gt")
+    }),
+
+    // ---- q212: CUSUM change-point detection (Page 1954) — the
+    //      SEQUENTIAL drift alarm beside q177's batch test and q199's
+    //      trend slope: S_t = max(0, S_{t-1} + (x_t − mean − k)), alarm
+    //      when S_t > h. The recurrence parallelizes as S_t = P_t −
+    //      min(0, min_{j≤t} P_j) over the deviation prefix sum P — two
+    //      per-type running windows, no sequential scan. Determinism:
+    //      deviations quantize ONCE to integer micro-units (see
+    //      CusumSlackMicro) so every window accumulation is BIGINT-exact
+    //      — the only way an order-dependent running double sum can be
+    //      bit-identical cross-engine. Output per type: alarms, peak
+    //      statistic, first alarm time.
+    "q212_cusum" -> ((s, dir) => {
+      import s.implicits._
+      val ev = Tables.load(s, dir, "events")
+        .select($"event_type", unix_timestamp($"ts").as("tsec"), $"event_id", $"value")
+      val stats = ev.groupBy($"event_type")
+        .agg(sumd($"value").as("sv"), count(lit(1)).as("n"))
+        .select($"event_type",
+          floor(($"sv" / $"n".cast("double")) * 1e6 + 0.5).cast("long").as("mean_q"))
+      val wRun = Window.partitionBy($"event_type").orderBy($"tsec", $"event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      ev.join(broadcast(stats), Seq("event_type"))
+        .withColumn("dev_q",
+          floor($"value" * 1e6 + 0.5).cast("long") - $"mean_q" - CusumSlackMicro)
+        .withColumn("p", sum($"dev_q").over(wRun))
+        .withColumn("s", $"p" - least(min($"p").over(wRun), lit(0L)))
+        .groupBy($"event_type")
+        .agg(count(lit(1)).as("n"),
+          sum(when($"s" > CusumHMicro, 1L).otherwise(0L)).as("n_alarms"),
+          max($"s").as("s_max"),
+          min(when($"s" > CusumHMicro, $"tsec")).as("first_alarm"))
+        .repartition(1).sortWithinPartitions($"event_type")
     }),
 
     // ---- q211: DISCRETE percentiles (percentile_disc semantics: the
@@ -787,6 +831,41 @@ object Analytics {
           AS chi2,
         CAST(sum(CASE WHEN b = 0 THEN o ELSE 0 END) AS BIGINT) AS n_novel
       FROM x GROUP BY event_type ORDER BY event_type""",
+
+    // Same micro-unit quantization (floor both engines), same two running
+    // windows over the identical (tsec, event_id) order.
+    "q212_cusum" -> s"""
+      WITH ev AS (
+        SELECT event_type, CAST(FLOOR(epoch(ts)) AS BIGINT) AS tsec,
+          event_id, value
+        FROM events),
+      st AS (
+        SELECT event_type,
+          CAST(floor((${SUMD("value")} / count(*)::DOUBLE) * 1e6 + 0.5)
+            AS BIGINT) AS mean_q
+        FROM ev GROUP BY event_type),
+      d AS (
+        SELECT e.event_type, e.tsec, e.event_id,
+          CAST(floor(e.value * 1e6 + 0.5) AS BIGINT) - s.mean_q
+            - $CusumSlackMicro AS dev_q
+        FROM ev e JOIN st s USING (event_type)),
+      pr AS (
+        SELECT event_type, tsec, event_id,
+          CAST(sum(dev_q) OVER w AS BIGINT) AS p
+        FROM d
+        WINDOW w AS (PARTITION BY event_type ORDER BY tsec, event_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+      runs AS (
+        SELECT event_type, tsec,
+          p - least(CAST(min(p) OVER w2 AS BIGINT), 0) AS s
+        FROM pr
+        WINDOW w2 AS (PARTITION BY event_type ORDER BY tsec, event_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+      SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        CAST(count(*) FILTER (WHERE s > $CusumHMicro) AS BIGINT) AS n_alarms,
+        CAST(max(s) AS BIGINT) AS s_max,
+        min(tsec) FILTER (WHERE s > $CusumHMicro) AS first_alarm
+      FROM runs GROUP BY event_type ORDER BY event_type""",
 
     // Same explicit rank selection; unnest expands the probe list.
     "q211_percentile_disc" -> s"""

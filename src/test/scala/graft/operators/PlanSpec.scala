@@ -904,6 +904,13 @@ class PlanSpec extends AnyFunSuite {
     assert(!p205.contains("BroadcastNestedLoopJoin"), p205)
   }
 
+  test("q212: CUSUM runs as two per-type running windows — no sequential scan") {
+    val p = plan("q212_cusum")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("windowspecdefinition(event_type"), "per-type windows: " + p)
+    assert(p.contains("BroadcastHashJoin"), "mean frame must broadcast: " + p)
+  }
+
   test("q211: discrete-percentile rank windows partition by type") {
     val p = plan("q211_percentile_disc")
     assert(!p.contains("CartesianProduct"), p)
