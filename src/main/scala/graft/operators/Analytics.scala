@@ -102,6 +102,10 @@ object Analytics {
   val CusumSlackMicro = 10000000L // k = 10
   val CusumHMicro = 500000000L    // h = 500
 
+  /** q213 seasonality: the hourly series repeats daily, so the seasonal
+    * lag is 24 buckets. */
+  val SeasonLag = 24
+
   /** q199 regression time unit: seconds-since-corpus-start over 3600 —
     * keeps x (and so the decimal-cast x*x / x*y products) inside the
     * SUMD DECIMAL(18,6) per-value range. */
@@ -278,6 +282,65 @@ object Analytics {
             (($"gt" - $"t0").cast("double") / ($"t1" - $"t0").cast("double"))))
         .select($"event_type", $"gt", $"t0", $"t1", $"v")
         .repartition(1).sortWithinPartitions($"event_type", $"gt")
+    }),
+
+    // ---- q213: seasonal-naive forecast EVALUATION (MAE + MASE,
+    //      Hyndman & Koehler 2006 — MASE is the standard scale-free
+    //      accuracy metric) — the backtest every forecasting deployment
+    //      runs before trusting a model: predict each hour's mean value
+    //      by the same hour yesterday (seasonal naive), score MAE, and
+    //      scale by the one-step-naive MAE. Hourly means are
+    //      (type, hour)-keyed SUMD aggs; both predictions are per-type
+    //      lag windows over the hour series; every |error| is a single
+    //      IEEE subtract+abs summed under SUMD; the final MASE is one
+    //      division. Rows where a lag is undefined are excluded
+    //      identically in both engines.
+    "q213_seasonal_eval" -> ((s, dir) => {
+      import s.implicits._
+      val hourly = Tables.load(s, dir, "events")
+        .select($"event_type", expr("unix_timestamp(ts) div 3600").as("hr"), $"value")
+        .groupBy($"event_type", $"hr")
+        .agg((sumd($"value") / count(lit(1)).cast("double")).as("y"))
+      val w = Window.partitionBy($"event_type").orderBy($"hr")
+      hourly
+        .withColumn("y_season", lag($"y", SeasonLag).over(w))
+        .withColumn("y_prev", lag($"y", 1).over(w))
+        .filter($"y_season".isNotNull && $"y_prev".isNotNull)
+        .groupBy($"event_type")
+        .agg(count(lit(1)).as("n_hours"),
+          (sumd(abs($"y" - $"y_season")) / count(lit(1)).cast("double"))
+            .as("mae_seasonal"),
+          (sumd(abs($"y" - $"y_prev")) / count(lit(1)).cast("double"))
+            .as("mae_naive1"))
+        .withColumn("mase", $"mae_seasonal" / $"mae_naive1")
+        .repartition(1).sortWithinPartitions($"event_type")
+    }),
+
+    // ---- q214: funnel latency quantiles — the time-to-convert
+    //      distribution behind q75's stage counts (p50/p90 of
+    //      signup -> purchase latency, the numbers an activation team
+    //      actually tracks). Per-user first-signup/first-purchase-after
+    //      are the q75 aggregates; latencies are exact integer seconds;
+    //      the quantiles ride the distributed exactQuantiles engine
+    //      (bit-equal to quantile_cont). One user-keyed pass + the
+    //      quantile machinery.
+    "q214_time_to_convert" -> ((s, dir) => {
+      import s.implicits._
+      val ev = Tables.load(s, dir, "events")
+        .select($"user_id", $"event_type", unix_timestamp($"ts").as("tsec"))
+      val s1 = ev.groupBy($"user_id")
+        .agg(min(when($"event_type" === "signup", $"tsec")).as("s_t"))
+      val lat = ev.join(s1, "user_id")
+        .groupBy($"user_id")
+        .agg(max($"s_t").as("s_t"),
+          min(when($"event_type" === "purchase" && $"tsec" >= $"s_t", $"tsec"))
+            .as("p_t"))
+        .filter($"p_t".isNotNull)
+        .select($"user_id", ($"p_t" - $"s_t").cast("double").as("latency"),
+          lit(1).as("_all"))
+      Advanced.exactQuantiles(lat, "_all", "latency",
+          Seq(("p50", 0.5), ("p90", 0.9)), countAs = Some("n_converted"))
+        .drop("_all")
     }),
 
     // ---- q212: CUSUM change-point detection (Page 1954) — the
@@ -831,6 +894,46 @@ object Analytics {
           AS chi2,
         CAST(sum(CASE WHEN b = 0 THEN o ELSE 0 END) AS BIGINT) AS n_novel
       FROM x GROUP BY event_type ORDER BY event_type""",
+
+    // Same hourly SUMD means, per-type lag windows, SUMD'd absolute
+    // errors, and the identical quotient chain.
+    "q213_seasonal_eval" -> s"""
+      WITH h AS (
+        SELECT event_type, CAST(FLOOR(epoch(ts)) AS BIGINT) // 3600 AS hr,
+          ${SUMD("value")} / count(*)::DOUBLE AS y
+        FROM events GROUP BY event_type, hr),
+      l AS (
+        SELECT event_type, hr, y,
+          lag(y, $SeasonLag) OVER (PARTITION BY event_type ORDER BY hr) AS ys,
+          lag(y, 1) OVER (PARTITION BY event_type ORDER BY hr) AS yp
+        FROM h)
+      SELECT event_type, CAST(count(*) AS BIGINT) AS n_hours,
+        ${SUMD("abs(y - ys)")} / count(*)::DOUBLE AS mae_seasonal,
+        ${SUMD("abs(y - yp)")} / count(*)::DOUBLE AS mae_naive1,
+        (${SUMD("abs(y - ys)")} / count(*)::DOUBLE)
+          / (${SUMD("abs(y - yp)")} / count(*)::DOUBLE) AS mase
+      FROM l WHERE ys IS NOT NULL AND yp IS NOT NULL
+      GROUP BY event_type ORDER BY event_type""",
+
+    // q75's first-stage aggregates, exact integer latencies, and the
+    // proven quantile_cont equivalence.
+    "q214_time_to_convert" -> """
+      WITH ev AS (
+        SELECT user_id, event_type, CAST(FLOOR(epoch(ts)) AS BIGINT) AS tsec
+        FROM events),
+      s1 AS (
+        SELECT user_id,
+          min(CASE WHEN event_type = 'signup' THEN tsec END) AS s_t
+        FROM ev GROUP BY user_id),
+      lat AS (
+        SELECT e.user_id, max(s1.s_t) AS s_t,
+          min(CASE WHEN e.event_type = 'purchase' AND e.tsec >= s1.s_t
+              THEN e.tsec END) AS p_t
+        FROM ev e JOIN s1 USING (user_id) GROUP BY e.user_id)
+      SELECT CAST(count(*) AS BIGINT) AS n_converted,
+        quantile_cont((p_t - s_t)::DOUBLE, 0.5) AS p50,
+        quantile_cont((p_t - s_t)::DOUBLE, 0.9) AS p90
+      FROM lat WHERE p_t IS NOT NULL""",
 
     // Same micro-unit quantization (floor both engines), same two running
     // windows over the identical (tsec, event_id) order.
