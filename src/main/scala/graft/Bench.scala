@@ -67,7 +67,7 @@ object Bench {
       "q163_bootstrap", "q165_stream_full_outer", "q170_stream_index",
       "q171_backfill", "q174_ivm_join", "q181_mor_vacuum",
       "q182_stream_chi2_drift", "q194_stream_transitions",
-      "q210_stream_attribution")
+      "q210_stream_attribution", "q215_stream_cusum")
     selected.foreach { case (name, fn) =>
       try {
         // Run twice, report the second: the first run absorbs positional

@@ -145,6 +145,36 @@ object Analytics {
       least(greatest(floor(col("value") / 10.0), lit(0.0)), lit(9.0))
         .cast("long").as("bkt"))
 
+  /** q212's micro-unit deviation stream: (event_type, tsec, event_id,
+    * dev_q) with the per-type mean quantized once — ONE definition for
+    * the batch windows (q212) and the q215 streaming feed, so the two
+    * modes can never disagree on the quantization. */
+  def cusumDevs(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ev = Tables.load(s, dir, "events")
+      .select($"event_type", unix_timestamp($"ts").as("tsec"), $"event_id", $"value")
+    val stats = ev.groupBy($"event_type")
+      .agg(sumd($"value").as("sv"), count(lit(1)).as("n"))
+      .select($"event_type",
+        floor(($"sv" / $"n".cast("double")) * 1e6 + 0.5).cast("long").as("mean_q"))
+    ev.join(broadcast(stats), Seq("event_type"))
+      .withColumn("dev_q",
+        floor($"value" * 1e6 + 0.5).cast("long") - $"mean_q" - CusumSlackMicro)
+      .select($"event_type", $"tsec", $"event_id", $"dev_q")
+  }
+
+  /** (event_type, tsec, s) statistic rows -> the q212 alarm report.
+    * Shared by the batch windows and the q215 streaming run (the
+    * statistic series are equal row-for-row, so one report — and one
+    * oracle — gates both modes). */
+  def cusumReport(runs: DataFrame): DataFrame = runs
+    .groupBy(col("event_type"))
+    .agg(count(lit(1)).as("n"),
+      sum(when(col("s") > CusumHMicro, 1L).otherwise(0L)).as("n_alarms"),
+      max(col("s")).as("s_max"),
+      min(when(col("s") > CusumHMicro, col("tsec"))).as("first_alarm"))
+    .repartition(1).sortWithinPartitions(col("event_type"))
+
   /** (from_type, to_type) transition rows -> the q192 report (counts +
     * row fractions). Shared by q192 (batch lead-window adjacency) and
     * q194 (streaming stateful adjacency): the counting is commutative,
@@ -356,25 +386,11 @@ object Analytics {
     //      statistic, first alarm time.
     "q212_cusum" -> ((s, dir) => {
       import s.implicits._
-      val ev = Tables.load(s, dir, "events")
-        .select($"event_type", unix_timestamp($"ts").as("tsec"), $"event_id", $"value")
-      val stats = ev.groupBy($"event_type")
-        .agg(sumd($"value").as("sv"), count(lit(1)).as("n"))
-        .select($"event_type",
-          floor(($"sv" / $"n".cast("double")) * 1e6 + 0.5).cast("long").as("mean_q"))
       val wRun = Window.partitionBy($"event_type").orderBy($"tsec", $"event_id")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      ev.join(broadcast(stats), Seq("event_type"))
-        .withColumn("dev_q",
-          floor($"value" * 1e6 + 0.5).cast("long") - $"mean_q" - CusumSlackMicro)
+      cusumReport(cusumDevs(s, dir)
         .withColumn("p", sum($"dev_q").over(wRun))
-        .withColumn("s", $"p" - least(min($"p").over(wRun), lit(0L)))
-        .groupBy($"event_type")
-        .agg(count(lit(1)).as("n"),
-          sum(when($"s" > CusumHMicro, 1L).otherwise(0L)).as("n_alarms"),
-          max($"s").as("s_max"),
-          min(when($"s" > CusumHMicro, $"tsec")).as("first_alarm"))
-        .repartition(1).sortWithinPartitions($"event_type")
+        .withColumn("s", $"p" - least(min($"p").over(wRun), lit(0L))))
     }),
 
     // ---- q211: DISCRETE percentiles (percentile_disc semantics: the

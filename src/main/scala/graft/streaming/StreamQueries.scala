@@ -176,6 +176,46 @@ object StreamQueries {
         .repartition(1).sortWithinPartitions(col("cid"))
     }),
 
+    // ---- q215: STREAMING CUSUM — q212 as a live monitor
+    //      (StreamingPipeline.streamingCusum): per-type state is the
+    //      (prefix sum, running min) pair the recurrence needs; the feed
+    //      orders by (tsec, event_id) and chunks arbitrarily (state
+    //      carries across boundaries), deviations come from the SAME
+    //      cusumDevs quantization as batch, so the emitted statistic
+    //      series equals the batch window computation row for row and
+    //      q212's oracle gates this run verbatim through the shared
+    //      cusumReport (the q137/q149/q182/q194 discipline).
+    "q215_stream_cusum" -> ((s, dir) => {
+      import s.implicits._
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      implicit val sqlCtx: SQLContext = s.sqlContext
+      val rows = graft.operators.Analytics.cusumDevs(s, dir)
+        .as[(String, Long, Long, Long)].collect()
+        .sortBy { case (_, ts, eid, _) => (ts, eid) }
+        .zipWithIndex
+        .map { case ((tp, ts, _, dq), i) => (tp, i.toLong, ts, dq) }
+      val src = MemoryStream[(String, Long, Long, Long)]
+      val stream = graft.streaming.StreamingPipeline
+        .streamingCusum(src.toDS()).toDF("event_type", "tsec", "s")
+      val qname = "q215_out_" + java.util.UUID.randomUUID.toString.replace("-", "")
+      val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+      try {
+        s.conf.set("spark.sql.shuffle.partitions", "8")
+        val query = stream.writeStream.format("memory").queryName(qname)
+          .outputMode("append").start()
+        try {
+          rows.grouped(math.max(500, (rows.length + 3) / 4)).foreach { ch =>
+            src.addData(ch.toIndexedSeq); query.processAllAvailable()
+          }
+        } finally query.stop()
+      } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+      val sunk0 = s.table(qname)
+      val sunk = s.createDataFrame(
+        java.util.Arrays.asList(sunk0.collect(): _*), sunk0.schema)
+      s.catalog.dropTempView(qname)
+      graft.operators.Analytics.cusumReport(sunk)
+    }),
+
     // ---- q149: STREAMING KMV sketch — the deterministic member of the
     //      commuting-sketch family (q127 CMS: counters add; q128 HLL:
     //      registers max; KMV: k-smallest-distinct, a union-trim that is
@@ -902,6 +942,10 @@ object StreamQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    // q212's oracle verbatim: same quantization, same ordered recurrence
+    // (carried across chunks by the keyed state), same shared report.
+    "q215_stream_cusum" -> graft.operators.Analytics.oracles("q212_cusum"),
+
     // q188's last-touch arm replayed: same pair frame, same
     // (ctsec desc, cid desc) rank, SUMD credit.
     "q210_stream_attribution" -> s"""

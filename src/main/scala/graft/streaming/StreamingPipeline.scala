@@ -637,6 +637,37 @@ object StreamingPipeline {
       }
   }
 
+  /** q215: streaming CUSUM — q212's change-point alarm live. State per
+    * type is the THREE-long tuple the recurrence needs (prefix sum P,
+    * running min of P, alarm/peak accumulators are emitted per batch
+    * instead): here (p, minp, n). Each micro-batch folds its seq-sorted
+    * slice after the carried state and emits the slice's per-row
+    * statistic rows (tsec, s) for the gate's batch-side report — all
+    * arithmetic the same exact BIGINT micro-units as batch, so with a
+    * (tsec, event_id)-ordered feed the emitted series equals q212's
+    * window computation row for row, whatever the chunking. Input rows:
+    * (event_type, seq, tsec, dev_q). Output (event_type, tsec, s). */
+  def streamingCusum(events: Dataset[(String, Long, Long, Long)])
+      : Dataset[(String, Long, Long)] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_._1)
+      .flatMapGroupsWithState(
+        org.apache.spark.sql.streaming.OutputMode.Append(), GroupStateTimeout.NoTimeout) {
+        (tp: String, it: Iterator[(String, Long, Long, Long)],
+            state: GroupState[(Long, Long)]) =>
+          val sorted = it.toIndexedSeq.sortBy(_._2)
+          var (p, minp) = state.getOption.getOrElse((0L, 0L))
+          val out = Seq.newBuilder[(String, Long, Long)]
+          sorted.foreach { case (_, _, tsec, devQ) =>
+            p += devQ
+            if (p < minp) minp = p
+            out += ((tp, tsec, p - math.min(minp, 0L)))
+          }
+          state.update((p, minp))
+          out.result().iterator
+      }
+  }
+
   /** Streaming exact dedup — the streaming form of the q40 batch dedup:
     * emit only the FIRST-seen row per content hash across all
     * micro-batches; within a batch the lowest doc_id wins, so output is
