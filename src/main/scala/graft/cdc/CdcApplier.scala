@@ -355,7 +355,7 @@ object CdcApplier {
     val hconf = spark.sparkContext.hadoopConfiguration
     val target = new Path(targetDir)
     val fs = target.getFileSystem(hconf)
-    openTarget(fs, target)
+    openTargetForWrite(fs, target)
 
     val meta = TargetMeta.read(hconf, target)
     meta.foreach { m =>
@@ -539,7 +539,7 @@ object CdcApplier {
     val hconf = spark.sparkContext.hadoopConfiguration
     val target = new Path(targetDir)
     val fs = target.getFileSystem(hconf)
-    openTarget(fs, target)
+    openTargetForWrite(fs, target)
     val meta = TargetMeta.read(hconf, target).getOrElse(
       throw new IllegalStateException(s"no graft table state at $targetDir"))
     if (!meta.storage.contains("mor"))
@@ -555,9 +555,14 @@ object CdcApplier {
     val tmp = new Path(targetDir + ".tmp")
     if (fs.exists(tmp)) fs.delete(tmp, true)
     resolved.write.partitionBy(BUCKET).mode("overwrite").parquet(tmp.toString)
-    publishBuckets(fs, target, tmp, buckets)
+    // Floor BEFORE the bucket publish: a crash in between leaves intact
+    // history with a floor that refuses as-of reads of it — safe-
+    // conservative. The reverse order would leave collapsed data with a
+    // stale floor, silently answering pre-compaction positions with the
+    // collapsed (wrong) history.
     TargetMeta.write(hconf, target, meta.copy(
       collapsed = Some(math.max(maxPos, meta.collapsed.getOrElse(Long.MinValue)))))
+    publishBuckets(fs, target, tmp, buckets)
     spark.catalog.refreshByPath(targetDir)
     buckets
   }
@@ -579,7 +584,7 @@ object CdcApplier {
     val hconf = spark.sparkContext.hadoopConfiguration
     val target = new Path(targetDir)
     val fs = target.getFileSystem(hconf)
-    openTarget(fs, target)
+    openTargetForWrite(fs, target)
     val meta = TargetMeta.read(hconf, target).getOrElse(
       throw new IllegalStateException(s"no graft table state at $targetDir"))
     if (!meta.storage.contains("mor"))
@@ -598,9 +603,10 @@ object CdcApplier {
     val tmp = new Path(targetDir + ".tmp")
     if (fs.exists(tmp)) fs.delete(tmp, true)
     merged.write.partitionBy(BUCKET).mode("overwrite").parquet(tmp.toString)
-    publishBuckets(fs, target, tmp, buckets)
+    // floor before publish — same crash-ordering rule as [[compactMor]]
     TargetMeta.write(hconf, target, meta.copy(
       collapsed = Some(math.max(oldMax, meta.collapsed.getOrElse(Long.MinValue)))))
+    publishBuckets(fs, target, tmp, buckets)
     spark.catalog.refreshByPath(targetDir)
     buckets
   }
@@ -705,7 +711,7 @@ object CdcApplier {
     val hconf = spark.sparkContext.hadoopConfiguration
     val target = new Path(targetDir)
     val fs = target.getFileSystem(hconf)
-    openTarget(fs, target) // a crashed rebucket's .bak may hold the data
+    openTargetForWrite(fs, target) // a crashed rebucket's .bak may hold the data
 
     // The on-disk modulus is the layout's truth: a run configured with a
     // different numBuckets would hash keys into bucket dirs the existing
@@ -819,7 +825,7 @@ object CdcApplier {
     val hconf = spark.sparkContext.hadoopConfiguration
     val target = new Path(targetDir)
     val fs = target.getFileSystem(hconf)
-    openTarget(fs, target)
+    openTargetForWrite(fs, target)
     val meta = TargetMeta.read(hconf, target).getOrElse(
       throw new IllegalStateException(s"no graft target metadata at $targetDir"))
     // A mor layout must collapse to one version per key FIRST: dropping a
@@ -879,7 +885,7 @@ object CdcApplier {
     val hconf = spark.sparkContext.hadoopConfiguration
     val target = new Path(targetDir)
     val fs = target.getFileSystem(hconf)
-    openTarget(fs, target)
+    openTargetForWrite(fs, target)
     recoverBuckets(fs, target)
     val buckets = bucketIds(fs, target)
     if (buckets.isEmpty) return Seq.empty
@@ -941,7 +947,7 @@ object CdcApplier {
     val hconf = spark.sparkContext.hadoopConfiguration
     val target = new Path(targetDir)
     val fs = target.getFileSystem(hconf)
-    openTarget(fs, target)
+    openTargetForWrite(fs, target)
     val meta = TargetMeta.read(hconf, target).getOrElse(
       throw new IllegalStateException(s"no graft table state at $targetDir"))
     val marker = new Path(target, ".graft_backfill")
@@ -970,7 +976,12 @@ object CdcApplier {
     var outType: Option[org.apache.spark.sql.types.StructField] = None
     todo.foreach { b =>
       val live = new Path(target, s"$BUCKET=$b")
-      val rows = spark.read.parquet(live.toString)
+      // mergeSchema: a MOR bucket holds mixed-schema files after additive
+      // evolution (applyBatchMor appends new-column delta files without
+      // rewriting old ones) — a single-file schema inference would silently
+      // drop the other files' columns in the rewrite, permanent loss once
+      // the bucket swaps
+      val rows = spark.read.option("mergeSchema", true).parquet(live.toString)
         .withColumn(colName, colExpr)
       outType = Some(rows.schema(colName))
       val tmp = new Path(targetDir + s".backfill.tmp/$BUCKET=$b")
@@ -1052,7 +1063,7 @@ object CdcApplier {
     val hconf = spark.sparkContext.hadoopConfiguration
     val target = new Path(targetDir)
     val fs = target.getFileSystem(hconf)
-    openTarget(fs, target)
+    openTargetForWrite(fs, target)
     val meta = TargetMeta.read(hconf, target).getOrElse(
       throw new IllegalStateException(s"no graft target metadata at $targetDir"))
     if (meta.storage.contains("mor"))
@@ -1123,7 +1134,7 @@ object CdcApplier {
     val hconf = spark.sparkContext.hadoopConfiguration
     val target = new Path(targetDir)
     val fs = target.getFileSystem(hconf)
-    openTarget(fs, target)
+    openTargetForWrite(fs, target)
     val meta = TargetMeta.read(hconf, target)
     meta.foreach { m =>
       if (atPos < m.horizon)
@@ -1176,25 +1187,54 @@ object CdcApplier {
 
   /** Open-target discipline shared by EVERY public entry point that reads
     * `.graft_meta` or bucket dirs (snapshot, lookups, feeds, compactions,
-    * appliers, rebucket): first heal an interrupted whole-target swap via
+    * appliers, rebucket): heal an interrupted whole-target swap via
     * [[recoverTarget]] — so a reader arriving after a crash mid-[[rebucket]]
     * restores the `.bak` instead of mis-reporting an existing table as
-    * never-bootstrapped or throwing "no graft table state" — then reclaim a
-    * stale `<target>.rebucket.tmp` staging tree: once recovery has run, no
-    * rebucket is in progress (single-writer discipline, same assumption as
-    * the swap protocol itself), so a leftover staging copy is an orphaned
-    * full-table duplicate from a crash after the fresh tree was written but
-    * before its swap — garbage that would otherwise leak indefinitely under
-    * applyBatch/compact-only lifecycles. */
+    * never-bootstrapped or throwing "no graft table state". Read-only entry
+    * points stop here: they must NOT reclaim staging trees, because a reader
+    * concurrent with an in-flight rebucket/bootstrap/backfill would delete
+    * the maintainer's half-written staging copy and fail that job — reads
+    * stay safe DURING maintenance (the live tree is untouched until the
+    * atomic swap), only [[openTargetForWrite]]'s single-writer entry points
+    * may assume no other maintainer is mid-write. */
   private[cdc] def openTarget(fs: FileSystem, target: Path): Unit = {
     recoverTarget(fs, target)
     // bucket-level heal too: a reader arriving after a crashed PER-BUCKET
     // swap (applyBatch/compact/optimize publish) must see the .bak'd
     // bucket's data, not a hole where the bucket was
     if (fs.exists(target)) recoverBuckets(fs, target)
-    Seq(".rebucket.tmp", ".bootstrap.tmp", ".backfill.tmp").foreach { suffix =>
+  }
+
+  /** Every sibling staging suffix any writer stages under before its swap —
+    * kept HERE, next to the reclaim loop, so the list cannot drift from the
+    * writers: `.tmp` ([[applyBatch]]/[[compactMor]]/[[vacuumMor]]),
+    * `.compact.tmp` ([[compact]]), `.optimize.tmp` ([[optimize]]),
+    * `.backfill.tmp` ([[backfill]]), `.rebucket.tmp` ([[rebucket]]),
+    * `.bootstrap.tmp` ([[bootstrap]]); [[applyBatchMor]]'s tokenized
+    * `.delta-<token>` trees are matched by prefix glob below. */
+  private val StagingSuffixes = Seq(
+    ".tmp", ".compact.tmp", ".optimize.tmp",
+    ".backfill.tmp", ".rebucket.tmp", ".bootstrap.tmp")
+
+  /** [[openTarget]] plus staging reclaim — the WRITER entry-point form
+    * (applyBatch/applyBatchMor/compact/compactMor/vacuumMor/optimize/
+    * backfill/rebucket/bootstrap). Once recovery has run, single-writer
+    * discipline says no other maintenance is in progress, so any leftover
+    * staging tree is an orphaned full-bucket-sized duplicate from a crash
+    * after it was written but before its swap — garbage that would
+    * otherwise leak indefinitely. */
+  private[cdc] def openTargetForWrite(fs: FileSystem, target: Path): Unit = {
+    openTarget(fs, target)
+    StagingSuffixes.foreach { suffix =>
       val staging = new Path(target.getParent, target.getName + suffix)
       if (fs.exists(staging)) fs.delete(staging, true)
+    }
+    // tokenized delta staging from a crashed applyBatchMor publish
+    if (fs.exists(target.getParent)) {
+      val deltaPrefix = target.getName + ".delta-"
+      fs.listStatus(target.getParent)
+        .filter(_.getPath.getName.startsWith(deltaPrefix))
+        .foreach(s => fs.delete(s.getPath, true))
     }
   }
 

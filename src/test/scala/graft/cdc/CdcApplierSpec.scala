@@ -985,13 +985,17 @@ class CdcApplierSpec extends AnyFunSuite {
       CdcApplier.bootstrap(spark, seed, target, 150L, opts))
 
     // Crash window A: fresh tree fully written, swap never started — the
-    // old state stays live and the staging tree is reclaimed by any reader.
+    // old state stays live. A READER must leave the staging tree alone
+    // (it cannot tell a crash orphan from a maintainer mid-write); the
+    // next WRITER entry reclaims it under single-writer discipline.
     val live = new Path(target)
     val fs = live.getFileSystem(hconf)
     val staging = new Path(target + ".bootstrap.tmp")
     fs.mkdirs(staging)
     assert(state(target) == Set(s1v2))
-    assert(!fs.exists(staging))
+    assert(fs.exists(staging)) // reader: hands off the maintainer's staging
+    assert(CdcApplier.bootstrap(spark, seed2, target, 300L, opts) == 5)
+    assert(!fs.exists(staging)) // writer: orphan reclaimed
 
     // Crash window B: between the two swap renames — live gone, .bak holds
     // the pre-bootstrap state; the next reader restores it.
@@ -1043,7 +1047,12 @@ class CdcApplierSpec extends AnyFunSuite {
     assert(CdcApplier.snapshotIfBootstrapped(spark, target).isDefined)
     assert(state(target) == before)
     assert(!fs.exists(bak))
-    // ... and the orphaned staging copy is gone (no rebucket in progress)
+    // ... but a READER leaves the staging copy alone — it cannot tell a
+    // crash orphan from a live rebucket mid-write, and deleting a
+    // maintainer's staging tree would fail that job; the next WRITER
+    // reclaims it (single-writer discipline)
+    assert(fs.exists(staging))
+    CdcApplier.applyBatch(spark, ev("insert", 20, None, Some(s2)), target, opts)
     assert(!fs.exists(staging))
 
     // (b) crash AFTER the fresh tree was fully written but BEFORE swapDir:
