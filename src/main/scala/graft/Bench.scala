@@ -1,5 +1,6 @@
 package graft
 
+import org.apache.spark.scheduler.{SparkListener, SparkListenerStageCompleted}
 import org.apache.spark.sql.SparkSession
 
 /** Benchmark harness (driver contract): runs every SparkEntry query on
@@ -10,6 +11,21 @@ import org.apache.spark.sql.SparkSession
   * would let Catalyst prune unevaluated projections, so pure-projection
   * queries (q13/q14) would benchmark scan+count only. Failures are reported
   * in an `errors` map — never as a (fast) timing.
+  *
+  * Besides the per-query headline seconds, the JSON carries the raw
+  * evidence that separates "plan regression" from "machine noise" without a
+  * re-run (two rounds of driver-side inflation were unadjudicable from the
+  * median alone):
+  *  - `samples`: every raw sample per query (3 for the medianOf3 set, the
+  *    warm+measured pair otherwise — the first entry is the warm-up);
+  *  - `shuffle`: per-sample `[shuffleReadBytes, shuffleWriteBytes,
+  *    stageCount]` from a stage-completion listener, aligned 1:1 with
+  *    `samples`. Equal shuffle profiles across unequal sample times =
+  *    machine; a changed profile = plan.
+  *  - `rocksdb`: median-of-3 for the two heaviest stateful-streaming gates
+  *    re-run under the production RocksDB state-store profile
+  *    ([[graft.streaming.GraftConf.applyProductionStreamingProfile]]), so
+  *    the claimed 100 TB deployment backend has a measured local cost.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -31,11 +47,34 @@ object Bench {
     Tables.schemaDrift(spark, sfDir)
       .foreach(w => System.err.println(s"[schema-canary] $w"))
 
+    // Cumulative stage/shuffle counters; per-sample deltas are snapshotted
+    // around each run. Listener delivery is async — the post-job backlog is
+    // tiny and the snapshot waits a beat, so deltas are exact in practice.
+    val shufRead = new java.util.concurrent.atomic.AtomicLong
+    val shufWrite = new java.util.concurrent.atomic.AtomicLong
+    val stageCount = new java.util.concurrent.atomic.AtomicLong
+    spark.sparkContext.addSparkListener(new SparkListener {
+      override def onStageCompleted(sc: SparkListenerStageCompleted): Unit = {
+        stageCount.incrementAndGet()
+        val m = sc.stageInfo.taskMetrics
+        if (m != null) {
+          shufRead.addAndGet(m.shuffleReadMetrics.totalBytesRead)
+          shufWrite.addAndGet(m.shuffleWriteMetrics.bytesWritten)
+        }
+      }
+    })
+    def snap(): (Long, Long, Long) = {
+      Thread.sleep(10) // drain the listener bus backlog
+      (shufRead.get(), shufWrite.get(), stageCount.get())
+    }
+
     // Warm up the session (codegen, file-index, scheduler) so the first
     // measured query doesn't absorb ~2s of one-time JVM/session cost.
     Tables.load(spark, sfDir, "region").queryExecution.toRdd.foreach(_ => ())
 
     var times = Vector.empty[(String, Double)]
+    var samples = Vector.empty[(String, Seq[Double])]
+    var shuffles = Vector.empty[(String, Seq[(Long, Long, Long)])]
     var errors = Vector.empty[(String, String)]
     // Optional args restrict the run to the named queries (dev loop).
     val selected =
@@ -67,34 +106,78 @@ object Bench {
       "q163_bootstrap", "q165_stream_full_outer", "q170_stream_index",
       "q171_backfill", "q174_ivm_join", "q181_mor_vacuum",
       "q182_stream_chi2_drift", "q194_stream_transitions",
-      "q210_stream_attribution", "q215_stream_cusum")
+      "q210_stream_attribution", "q215_stream_cusum",
+      "q216_sql_connector", "q217_stream_join_view", "q218_stream_topk_view",
+      "q219_stream_distinct_view")
+
+    def measure(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame)
+        : (Double, Seq[Double], Seq[(Long, Long, Long)]) = {
+      def once(): (Double, (Long, Long, Long)) = {
+        val (r0, w0, s0) = snap()
+        val t0 = System.nanoTime()
+        fn(spark, sfDir).queryExecution.toRdd.foreach(_ => ())
+        val t = (System.nanoTime() - t0) / 1e9
+        val (r1, w1, s1) = snap()
+        (t, (r1 - r0, w1 - w0, s1 - s0))
+      }
+      val runs = Vector.fill(if (medianOf3(name)) 3 else 2)(once())
+      val ts = runs.map(_._1)
+      // headline: median for medianOf3, else the measured (second) run —
+      // the first entry of `samples` is the warm-up either way
+      val headline = if (medianOf3(name)) ts.sorted.apply(1) else ts.last
+      (headline, ts, runs.map(_._2))
+    }
+
     selected.foreach { case (name, fn) =>
       try {
-        // Run twice, report the second: the first run absorbs positional
-        // one-time costs (codegen compile, JIT, broadcast warmup) that
-        // otherwise land on whichever query happens to run first.
-        def once(): Double = {
-          val t0 = System.nanoTime()
-          fn(spark, sfDir).queryExecution.toRdd.foreach(_ => ())
-          (System.nanoTime() - t0) / 1e9
-        }
-        if (medianOf3(name)) {
-          times :+= name -> Vector.fill(3)(once()).sorted.apply(1)
-        } else {
-          once()
-          times :+= name -> once()
-        }
+        val (headline, ts, sh) = measure(name, fn)
+        times :+= name -> headline
+        samples :+= name -> ts
+        shuffles :+= name -> sh
       } catch {
         case e: Throwable =>
           errors :+= name -> Option(e.getMessage).getOrElse(e.getClass.getName).take(200)
       }
     }
+
+    // RocksDB state-store arm: the two heaviest bounded-state streaming
+    // gates under the production backend (default arm above for contrast).
+    var rocks = Vector.empty[(String, Double)]
+    val rocksQs = Seq("q87_stream_admit_bounded", "q170_stream_index")
+      .filter(q => args.isEmpty || args.contains(q))
+    if (rocksQs.nonEmpty) {
+      val prev = graft.streaming.GraftConf.applyProductionStreamingProfile(spark)
+      try rocksQs.foreach { name =>
+        SparkEntry.queries.get(name).foreach { fn =>
+          try {
+            def once(): Double = {
+              val t0 = System.nanoTime()
+              fn(spark, sfDir).queryExecution.toRdd.foreach(_ => ())
+              (System.nanoTime() - t0) / 1e9
+            }
+            rocks :+= name -> Vector.fill(3)(once()).sorted.apply(1)
+          } catch {
+            case e: Throwable =>
+              errors :+= s"rocksdb:$name" ->
+                Option(e.getMessage).getOrElse(e.getClass.getName).take(200)
+          }
+        }
+      } finally graft.streaming.GraftConf.restoreConf(spark, prev)
+    }
+
     import graft.util.Json.{quote => jstr}
     val qs = times.map { case (k, v) => s"${jstr(k)}:$v" }.mkString("{", ",", "}")
+    val ss = samples.map { case (k, v) =>
+      s"${jstr(k)}:${v.map(t => f"$t%.3f").mkString("[", ",", "]")}"
+    }.mkString("{", ",", "}")
+    val sh = shuffles.map { case (k, v) =>
+      s"${jstr(k)}:${v.map { case (r, w, st) => s"[$r,$w,$st]" }.mkString("[", ",", "]")}"
+    }.mkString("{", ",", "}")
+    val rk = rocks.map { case (k, v) => s"${jstr(k)}:$v" }.mkString("{", ",", "}")
     val es = errors.map { case (k, v) => s"${jstr(k)}:${jstr(v)}" }.mkString("{", ",", "}")
     val total = times.map(_._2).sum
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$es,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"samples":$ss,"shuffle":$sh,"rocksdb":$rk,"errors":$es,"sf":"$sfDir"}"""
     println(json)
     // Also persist to a file: stdout passes through the driver's tail capture,
     // which has twice head-truncated the artifact (BENCH_r04/r05 parsed:null).

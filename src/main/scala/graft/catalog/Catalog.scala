@@ -134,23 +134,23 @@ class Catalog(spark: SparkSession, storeDir: String) {
     * target directory) into the session catalog under `sparkTableName`,
     * with columns renamed source→sink.
     *
-    * The view is created from SQL TEXT, not from a DataFrame: a
-    * `createOrReplaceTempView` over `CdcApplier.snapshot` would capture the
-    * parquet file listing eagerly, and the next `applyBatch` swap would
-    * leave the view reading deleted files. SQL-text temp views re-analyze
-    * per query (fresh relation), and `applyBatch` calls `refreshByPath`
-    * after each publish to drop cached listings — so the mapped name always
-    * serves the latest published state while the pipeline is live.
-    * (During the short window of an additive-evolution publish the view's
-    * single-footer schema inference may lag a column behind `snapshot`'s
-    * mergeSchema read; the next completed publish + refresh heals it.) */
+    * The relation is the [[graft.sources.GraftDataSource]] connector, not a
+    * raw parquet read: tombstones are filtered inside the scan, a
+    * merge-on-read target resolves latest-per-key (a plain parquet view
+    * would leak every superseded version), and PK predicates bucket-prune
+    * exactly as `pointLookup`/`rangeLookup` do — the engine's layouts,
+    * available to plain SQL under the mapped name. Staleness is a non-issue
+    * by construction: the view's plan holds only the V2 table handle, and
+    * the connector lists buckets at each query's scan build, so an
+    * `applyBatch` swap is visible to the very next query. (A schema
+    * EVOLUTION still needs a re-`map` to surface the new column — the view
+    * schema is resolved here.) */
   def map(name: String, targetDir: String): Unit = {
     val m = get(name).getOrElse(throw new NoSuchElementException(s"no mapping $name"))
-    val colsSql = m.cols
-      .map(c => s"`${c.dbColumnName}` AS `${c.hbaseColumnName}`").mkString(", ")
-    spark.sql(
-      s"""CREATE OR REPLACE TEMPORARY VIEW `${m.sparkTableName}` AS
-          SELECT $colsSql FROM parquet.`$targetDir` WHERE NOT `${CdcApplier.DEL}`""")
+    spark.read.format("graft").load(targetDir)
+      .select(m.cols.map(c =>
+        col(s"`${c.dbColumnName}`").as(c.hbaseColumnName)).toIndexedSeq: _*)
+      .createOrReplaceTempView(m.sparkTableName)
   }
 
   /** The `unmap` verb. */

@@ -82,7 +82,7 @@ object CdcApplier {
       bucketCols: Option[Seq[String]] = None,
       rangeBounds: Option[Seq[Long]] = None)
 
-  private[cdc] val POS = "_graft_pos"
+  private[graft] val POS = "_graft_pos"
   private val KIND = "_graft_kind"
   private[graft] val DEL = "_graft_deleted"
   // Partition-directory column; deliberately NOT underscore-prefixed —
@@ -283,14 +283,41 @@ object CdcApplier {
     * every lookup, so writer and readers cannot disagree. */
   private def bucketExpr(
       bucketOrder: Seq[String], numBuckets: Int, rangeBounds: Option[Seq[Long]]): Column =
+    bucketExprCols(bucketOrder.map(col), numBuckets, rangeBounds)
+
+  /** Core of [[bucketExpr]] over arbitrary input Columns — the
+    * [[graft.sources.GraftDataSource]] connector evaluates it over LITERAL
+    * key values (the whole expression folds to a constant) to map pushed PK
+    * predicates to bucket ids; sharing the one definition means the SQL
+    * reader cannot disagree with the writer's on-disk assignment. */
+  private[graft] def bucketExprCols(
+      bucketOrder: Seq[Column], numBuckets: Int, rangeBounds: Option[Seq[Long]]): Column =
     rangeBounds match {
       case Some(bs) =>
         require(bucketOrder.size == 1,
           s"range bucketing needs a single bucket column, got ${bucketOrder.mkString(",")}")
         bs.foldLeft(lit(0))((acc, b) =>
-          acc + when(col(bucketOrder.head) >= b, 1).otherwise(0))
-      case None => pmod(hash(bucketOrder.map(col): _*), lit(numBuckets))
+          acc + when(bucketOrder.head >= b, 1).otherwise(0))
+      case None => pmod(hash(bucketOrder: _*), lit(numBuckets))
     }
+
+  /** Driver-side bucket ids of a bounded set of literal key tuples:
+    * [[bucketExprCols]] over foldable literals, one column per tuple on a
+    * one-row plan — constant folding reduces it to a LocalTableScan, so the
+    * whole batch evaluates driver-side in one `first()`. Used by the V2
+    * connector's pushdown planning; bounded by the pushed IN-list size. */
+  private[graft] def bucketIdsOf(
+      spark: SparkSession, tuples: Seq[Seq[Column]], numBuckets: Int,
+      rangeBounds: Option[Seq[Long]]): Seq[Int] = {
+    if (tuples.isEmpty) return Seq.empty
+    val cols = tuples.zipWithIndex.map { case (lits, i) =>
+      bucketExprCols(lits, numBuckets, rangeBounds).as(s"b$i")
+    }
+    spark.sql("SELECT 1").select(cols: _*).first().toSeq.map {
+      case i: Int => i
+      case other  => throw new IllegalStateException(s"non-integer bucket id $other")
+    }
+  }
 
   /** Resolve the (bucketCols, rangeBounds, numBuckets) triple against the
     * persisted layout, with the same adopt-or-drift discipline as pkCols. */
@@ -326,7 +353,7 @@ object CdcApplier {
     (bucketOrder, rangeBounds, numBuckets)
   }
 
-  private[cdc] def resolveOnRead(df: DataFrame, pkCols: Seq[String]): DataFrame = {
+  private[graft] def resolveOnRead(df: DataFrame, pkCols: Seq[String]): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(pkCols.map(col): _*).orderBy(col(POS).desc)
     df.withColumn("_graft_rn", row_number().over(w))
@@ -694,7 +721,7 @@ object CdcApplier {
     if (hasState) Some(snapshot(spark, targetDir)) else None
   }
 
-  private[cdc] def bucketIds(fs: FileSystem, dir: Path): Seq[Int] =
+  private[graft] def bucketIds(fs: FileSystem, dir: Path): Seq[Int] =
     if (!fs.exists(dir)) Seq.empty
     else fs.listStatus(dir).toIndexedSeq
       .map(_.getPath.getName)
@@ -1197,7 +1224,7 @@ object CdcApplier {
     * stay safe DURING maintenance (the live tree is untouched until the
     * atomic swap), only [[openTargetForWrite]]'s single-writer entry points
     * may assume no other maintainer is mid-write. */
-  private[cdc] def openTarget(fs: FileSystem, target: Path): Unit = {
+  private[graft] def openTarget(fs: FileSystem, target: Path): Unit = {
     recoverTarget(fs, target)
     // bucket-level heal too: a reader arriving after a crashed PER-BUCKET
     // swap (applyBatch/compact/optimize publish) must see the .bak'd

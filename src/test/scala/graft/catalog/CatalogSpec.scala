@@ -140,6 +140,29 @@ class CatalogSpec extends AnyFunSuite {
     cat.unmap("mixfs.student")
   }
 
+  test("a mapped MERGE-ON-READ target serves latest-per-key, not every version") {
+    val (cat, _) = newCatalog()
+    val m = cat.add(f1Json)
+    val target = Files.createTempDirectory("graft_catalog_t").toString + "/student_mor"
+    val rows = Seq((1, 1, 90, "ann", "a"), (2, 2, 70, "bob", "b"))
+      .toDF("sn", "id", "score", "name", "rem")
+    val opts = CdcApplier.Options(m.pkCols)
+    CdcApplier.applyBatchMor(spark, ChangeFeed.inserts(rows, lit(10L)), target, opts)
+    // delta appends: superseded version + a tombstone now coexist on disk
+    CdcApplier.applyBatchMor(spark,
+      ChangeFeed.updates(rows.filter($"sn" === 1), Map("score" -> lit(95)), lit(20L)),
+      target, opts)
+    CdcApplier.applyBatchMor(spark,
+      ChangeFeed.deletes(rows.filter($"sn" === 2), lit(30L)), target, opts)
+
+    cat.map("mixfs.student", target)
+    // the raw tree holds 4 version rows; the mapped name must serve exactly
+    // the one live, latest row (the old Catalog.map leaked all non-tombstones)
+    assert(spark.read.parquet(target).count() == 4)
+    assert(spark.sql("SELECT score FROM student2").as[Int].collect().toSeq == Seq(95))
+    cat.unmap("mixfs.student")
+  }
+
   // ---- S3 discovery over the F2 typezoo fixture
   val typezoo: Seq[SourceColumn] = Seq(
     SourceColumn("pk", "bigint", isPrimaryKey = true),

@@ -252,6 +252,24 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("SortMergeJoin"), s"no shuffle join in an index read:\n$p")
   }
 
+  test("q216: V2 connector scans push filters and bucket-prune (cow IN-list, range BETWEEN)") {
+    val p = plan("q216_sql_connector")
+    // every connector scan advertises its pruning ratio in the relation
+    // label; the IN-list and BETWEEN legs must read strictly fewer buckets
+    // than the layout holds (the mor full-scan leg legitimately reads all)
+    val ratios = """buckets=(\d+)/(\d+)""".r.findAllMatchIn(p)
+      .map(m => (m.group(1).toInt, m.group(2).toInt)).toSeq
+    assert(ratios.size >= 3, s"three connector scans expected:\n$p")
+    assert(ratios.count { case (m, n) => m < n } >= 2,
+      s"the IN-list and BETWEEN legs must bucket-prune (got $ratios):\n$p")
+    // the pushed predicates surface on the scan nodes: the engine keeps
+    // them for row-group skipping inside the pruned buckets
+    assert(p.contains("PushedFilters"), p)
+    assert(p.contains("In(o_orderkey"), s"IN-list must reach PushedFilters:\n$p")
+    assert(p.contains("GreaterThanOrEqual(o_orderkey,1000)"),
+      s"BETWEEN endpoints must reach PushedFilters:\n$p")
+  }
+
   test("q111: PageRank step is equi-joins + partial/final aggs, one scalar broadcast") {
     val p = plan("q111_pagerank_step")
     assert(!p.contains("CartesianProduct"),
