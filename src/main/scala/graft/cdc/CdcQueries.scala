@@ -558,6 +558,138 @@ object CdcQueries {
         .orderBy($"o_orderpriority", $"rnk")
     }),
 
+    // ---- q217: the STREAMING deployment of q174's join view — the same
+    //      lifecycle driven as TWO consolidated micro-batches (orders +
+    //      customer changes in ONE envelope stream, the q93 topology)
+    //      through IncrementalView.startJoinView's checkpointed
+    //      foreachBatch, then the LAST micro-batch re-delivered straight
+    //      into the batch body (the at-least-once crash replay). Replay
+    //      guard here is the APPLIER's per-key position guard — the
+    //      recomputed rows' positions no longer beat the stored ones, so
+    //      the replay converges to a no-op (idempotence-by-position;
+    //      contrast q219's non-idempotent fold, which needs the batch-id
+    //      pointer). Batch-2 envelope positions ride a base offset
+    //      (q138's b2base discipline) so view positions increase across
+    //      micro-batches. Shares q174's oracle verbatim.
+    "q217_stream_join_view" -> ((s, dir) => {
+      import s.implicits._
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+      val o = Tables.load(s, dir, "orders")
+      val c = Tables.load(s, dir, "customer")
+      val root = Files.createTempDirectory("graft_sjv").toString
+      val fact = root + "/o"; val dim = root + "/c"; val view = root + "/v"
+
+      // Driver-feed synthesis, as in q33: MemoryStream data must originate
+      // on the driver; the pipeline itself never collects row data.
+      def toEnvelope(changes: DataFrame, table: String): Array[EnvelopeRow] =
+        changes.select($"op", lit(table).as("table"), $"next_position",
+            to_json($"before").as("before_json"), to_json($"after").as("after_json"))
+          .as[EnvelopeRow].collect()
+
+      val b2base = 10000000L
+      val fcond = $"o_orderkey" % 7 === 0 || $"o_orderkey" % 13 === 0
+      val fb = ChangeFeed.updates(o.filter(fcond),
+        Map(
+          "o_totalprice" -> when($"o_orderkey" % 7 === 0, $"o_totalprice" * 1.2)
+            .otherwise($"o_totalprice"),
+          "o_custkey" -> when($"o_orderkey" % 13 === 0, $"o_custkey" + 1)
+            .otherwise($"o_custkey")),
+        $"o_orderkey" * 10 + 5 + b2base)
+      val db = ChangeFeed.updates(
+          c.filter($"c_custkey" % 5 === 0 && $"c_custkey" % 17 =!= 0),
+          Map("c_acctbal" -> ($"c_acctbal" + 100.0)), $"c_custkey" * 10 + 5 + b2base)
+        .union(ChangeFeed.deletes(c.filter($"c_custkey" % 17 === 0),
+          $"c_custkey" * 10 + 7 + b2base))
+      val envBatches = Seq(
+        toEnvelope(ChangeFeed.inserts(o, $"o_orderkey" * 10), "orders") ++
+          toEnvelope(ChangeFeed.inserts(c, $"c_custkey" * 10), "customer"),
+        toEnvelope(fb, "orders") ++ toEnvelope(db, "customer"))
+
+      val src = MemoryStream[EnvelopeRow]
+      val q = IncrementalView.startJoinView(src.toDF(),
+        "orders", o.schema, "customer", c.schema, fact, dim, view, s"$root/ckpt",
+        Seq("o_orderkey"), Seq("c_custkey"), "o_orderkey", "o_custkey", "c_custkey")
+      // ONE addData per lifecycle batch (q115's discipline): the running
+      // trigger may otherwise split a chunked feed into micro-batches whose
+      // max positions are NON-monotone, violating the view-position feed
+      // contract (and racing the dim store's bootstrap)
+      try envBatches.foreach { rows =>
+        src.addData(rows.toIndexedSeq)
+        q.processAllAvailable() // one micro-batch per lifecycle batch
+      } finally q.stop()
+
+      // crash replay of the last micro-batch: exact no-op by position guard
+      IncrementalView.applyJoinViewBatch(s,
+        s.createDataset(envBatches.last.toIndexedSeq).toDF(),
+        "orders", o.schema, "customer", c.schema, fact, dim, view,
+        Seq("o_orderkey"), Seq("c_custkey"), "o_orderkey", "o_custkey", "c_custkey")
+
+      CdcApplier.snapshot(s, view).drop("_graft_pos")
+        .select((o.columns ++ c.columns.filterNot(_ == "c_custkey"))
+          .map(col).toIndexedSeq: _*)
+        .orderBy($"o_orderkey")
+    }),
+
+    // ---- q218: the STREAMING deployment of q176's top-k view — same
+    //      affected-group rescan per micro-batch, exactly-once by the
+    //      applier's position guard, last batch re-delivered. Shares
+    //      q176's oracle verbatim.
+    "q218_stream_topk_view" -> ((s, dir) => {
+      import s.implicits._
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+      val o = Tables.load(s, dir, "orders")
+      val root = Files.createTempDirectory("graft_stv").toString
+      val fact = root + "/o"; val view = root + "/v"
+
+      def toEnvelope(changes: DataFrame): Array[EnvelopeRow] =
+        changes.select($"op", lit("orders").as("table"), $"next_position",
+            to_json($"before").as("before_json"), to_json($"after").as("after_json"))
+          .as[EnvelopeRow].collect()
+
+      val b2base = 10000000L
+      val fcond = $"o_orderkey" % 7 === 0 || $"o_orderkey" % 13 === 0
+      val fb = ChangeFeed.updates(o.filter(fcond),
+          Map(
+            "o_totalprice" -> when($"o_orderkey" % 7 === 0, $"o_totalprice" * 1.2)
+              .otherwise($"o_totalprice"),
+            "o_orderpriority" -> when($"o_orderkey" % 13 === 0, lit("5-LOW"))
+              .otherwise($"o_orderpriority")),
+          $"o_orderkey" * 10 + 5 + b2base)
+        .union(ChangeFeed.deletes(
+          o.filter($"o_orderkey" % 11 === 0 && !($"o_orderkey" % 7 === 0
+            || $"o_orderkey" % 13 === 0)),
+          $"o_orderkey" * 10 + 7 + b2base))
+      val envBatches = Seq(
+        toEnvelope(ChangeFeed.inserts(o, $"o_orderkey" * 10)), toEnvelope(fb))
+
+      def parse(df: DataFrame): DataFrame =
+        df.select($"op", $"next_position",
+          from_json($"before_json", o.schema).as("before"),
+          from_json($"after_json", o.schema).as("after"))
+      val src = MemoryStream[EnvelopeRow]
+      val q = IncrementalView.startTopKView(parse(src.toDF()), fact, view,
+        s"$root/ckpt", CdcApplier.Options(Seq("o_orderkey")),
+        "o_orderpriority", "o_totalprice", "o_orderkey", 3)
+      // ONE addData per lifecycle batch — same monotone-position feed
+      // contract as q217
+      try envBatches.foreach { rows =>
+        src.addData(rows.toIndexedSeq)
+        q.processAllAvailable()
+      } finally q.stop()
+
+      // crash replay of the last micro-batch: exact no-op by position guard
+      IncrementalView.applyTopKViewBatch(s,
+        parse(s.createDataset(envBatches.last.toIndexedSeq).toDF()), fact, view,
+        CdcApplier.Options(Seq("o_orderkey")),
+        "o_orderpriority", "o_totalprice", "o_orderkey", 3)
+
+      CdcApplier.snapshot(s, view).drop("_graft_pos")
+        .select($"o_orderpriority", $"rnk", $"o_orderkey", $"o_totalprice")
+        .orderBy($"o_orderpriority", $"rnk")
+    }),
+
     // MOR as its own binlog — a downstream replica fed EXCLUSIVELY by
     // CdcApplier.changeFeed increments reconstructed from the primary's
     // delta files (op inferred from the version chain, before-images from
@@ -744,6 +876,77 @@ object CdcQueries {
       CdcApplier.rangeLookup(s, target, 1000L, 3000L)
         .select(o.columns.map(col).toIndexedSeq: _*)
         .orderBy($"o_orderkey")
+    }),
+
+    // The graft DataSource V2 connector (r9 verdict ask #1): the engine's
+    // layouts served to PLAIN SQL — `spark.read.format("graft")` — with the
+    // same read guarantees the Scala entry points give. Three legs, each a
+    // proven lifecycle re-read through the connector instead of its Scala
+    // API, each leg's oracle body reused verbatim:
+    //  - cow_in: q110's hash-bucketed COW lifecycle; a literal IN-list
+    //    filter pushes through SupportsPushDownFilters, maps to bucket ids
+    //    via the writer's own bucketExprCols, and the scan loads ONLY the
+    //    covered bucket dirs (PlanSpec q216 + the corrupted-bucket spec
+    //    prove the pruning is load-bearing).
+    //  - range_between: q134's range-bucketed lifecycle; BETWEEN endpoints
+    //    map to the covering CONTIGUOUS buckets by driver arithmetic over
+    //    the persisted split points.
+    //  - mor_full: the cow_in feed applied merge-on-read; the connector
+    //    resolves latest-per-key + tombstones — the exact leak the old
+    //    parquet-view Catalog.map had (superseded versions served to SQL).
+    // 100 TB: legs 1-2 read |keys|/covering buckets, never the table; leg 3
+    // adds one per-bucket latest-per-key window after pruning.
+    "q216_sql_connector" -> ((s, dir) => {
+      import s.implicits._
+      val o = Tables.load(s, dir, "orders")
+      val base = Files.createTempDirectory("graft_cdc").toString
+      val ocols = o.columns.map(col).toIndexedSeq
+
+      // leg 1: q110's COW lifecycle, read through the connector
+      val cow = base + "/orders_dsv2_cow"
+      val opts = CdcApplier.Options(Seq("o_orderkey"))
+      val b1 = ChangeFeed.inserts(o, $"o_orderkey" * 10)
+      val b2 = ChangeFeed.updates(
+          o.filter($"o_orderkey" % 7 === 0),
+          Map("o_totalprice" -> $"o_totalprice" * 1.2),
+          $"o_orderkey" * 10 + 3)
+        .union(ChangeFeed.deletes(o.filter($"o_orderkey" % 11 === 0), $"o_orderkey" * 10 + 5))
+      CdcApplier.applyBatch(s, b1, cow, opts)
+      CdcApplier.applyBatch(s, b2, cow, opts)
+      // bounded literal key batch (pointLookup's contract), incl. a miss
+      val ks = o.filter($"o_orderkey" % 2500 === 0)
+        .select($"o_orderkey").as[Long].collect().toIndexedSeq.sorted :+ -1L
+      val cowRead = s.read.format("graft").load(cow)
+        .filter(col("o_orderkey").isin(ks: _*))
+        .select(lit("cow_in").as("leg") +: ocols: _*)
+
+      // leg 2: q134's range lifecycle, BETWEEN through the connector
+      val rng = base + "/orders_dsv2_range"
+      val maxKey = o.agg(max($"o_orderkey")).first.getLong(0)
+      val bounds = (1 to 15).map(i => maxKey * i / 16)
+      val ropts = CdcApplier.Options(Seq("o_orderkey"), rangeBounds = Some(bounds))
+      CdcApplier.applyBatch(s, ChangeFeed.inserts(o, $"o_orderkey" * 10), rng, ropts)
+      CdcApplier.applyBatch(s,
+        ChangeFeed.updates(o.filter($"o_orderkey" % 5 === 1),
+          Map("o_totalprice" -> ($"o_totalprice" * 1.35)), $"o_orderkey" * 10 + 3)
+          .union(ChangeFeed.deletes(o.filter($"o_orderkey" % 12 === 7),
+            $"o_orderkey" * 10 + 5)),
+        rng, ropts)
+      val rngRead = s.read.format("graft").load(rng)
+        .filter($"o_orderkey".between(1000L, 3000L))
+        .select(lit("range_between").as("leg") +: ocols: _*)
+
+      // leg 3: the SAME cow feed applied merge-on-read, full read — the
+      // superseded %7 originals and %11 tombstones are on disk as deltas
+      // and must not leak
+      val mor = base + "/orders_dsv2_mor"
+      CdcApplier.applyBatchMor(s, b1, mor, opts)
+      CdcApplier.applyBatchMor(s, b2, mor, opts)
+      val morRead = s.read.format("graft").load(mor)
+        .select(lit("mor_full").as("leg") +: ocols: _*)
+
+      cowRead.unionByName(rngRead).unionByName(morRead)
+        .orderBy($"leg", $"o_orderkey")
     }),
 
     // COVERING index — q123's space-for-hops trade: the index entry
@@ -961,6 +1164,51 @@ object CdcQueries {
       import s.implicits._
       IncrementalView.maintainDistinct(lifecycle(s, dir).batches,
           "o_orderpriority", "o_custkey")
+        .orderBy($"o_orderpriority")
+    }),
+
+    // The STREAMING form of q193 (COUNT(DISTINCT) refcount view via
+    // startDistinctView): the q79 lifecycle as three micro-batches through
+    // the checkpointed versioned-snapshot topology — the refcount fold is
+    // NON-idempotent, so the batch-id pointer guard is load-bearing — then
+    // the LAST micro-batch re-delivered under its applied id: the guard
+    // must make it an exact no-op or the doubled refcounts break the
+    // shared q193 oracle (q97/q94's one-decision-procedure discipline).
+    "q219_stream_distinct_view" -> ((s, dir) => {
+      import s.implicits._
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+      val lc = lifecycle(s, dir)
+      val (o, batches) = (lc.orders, lc.batches)
+
+      def toEnvelope(changes: DataFrame): Array[EnvelopeRow] =
+        changes.select($"op", lit("orders").as("table"), $"next_position",
+            to_json($"before").as("before_json"), to_json($"after").as("after_json"))
+          .as[EnvelopeRow].collect()
+
+      val root = Files.createTempDirectory("graft_vdist").toString
+      val viewDir = s"$root/view"
+      val src = MemoryStream[EnvelopeRow]
+      def parse(df: DataFrame): DataFrame =
+        df.select($"op", $"next_position",
+          from_json($"before_json", o.schema).as("before"),
+          from_json($"after_json", o.schema).as("after"))
+      val q = IncrementalView.startDistinctView(parse(src.toDF()), viewDir,
+        s"$root/ckpt", "o_orderpriority", "o_custkey")
+      val envBatches = batches.map(toEnvelope)
+      try envBatches.foreach { rows =>
+        rows.grouped(1500).foreach(ch => src.addData(ch.toIndexedSeq))
+        q.processAllAvailable() // one micro-batch per lifecycle batch
+      } finally q.stop()
+
+      val lastId = IncrementalView.lastApplied(s, viewDir)
+        .getOrElse(sys.error("view never published"))
+      IncrementalView.applyViewBatchDistinct(s,
+        parse(s.createDataset(envBatches.last.toIndexedSeq).toDF()),
+        lastId, viewDir, "o_orderpriority", "o_custkey")
+
+      IncrementalView.snapshotViewDistinct(s, viewDir, "o_orderpriority")
+        .getOrElse(sys.error("view absent after publish"))
         .orderBy($"o_orderpriority")
     }),
 
@@ -1404,6 +1652,148 @@ object CdcQueries {
         .orderBy($"c_mktsegment")
     }),
 
+    // ---- q220: q115's torn-read hammer on the (primary, SECONDARY INDEX)
+    //      pair — the race q170 left open: the index is applied in the
+    //      same micro-batch as the primary but by a SEPARATE publish, so a
+    //      two-hop reader (index prefix lookup -> primary fetch) could
+    //      cross an epoch boundary between hops. The epoch marker now
+    //      carries the index target under Epoch.indexName, so
+    //      consistentSnapshot pins BOTH stores to one batch. A concurrent
+    //      reader hammers the pinned two-hop read through a
+    //      custkey-move-heavy lifecycle (moves change which orders a
+    //      looked-up custkey owns — exactly what a torn pair gets wrong);
+    //      every pinned sample must equal the lifecycle replayed to its
+    //      epoch. The FINAL two-hop rows are the DuckDB-gated output.
+    "q220_epoch_index" -> ((s, dir) => {
+      import s.implicits._
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+      import graft.streaming.StreamingPipeline
+      val o = Tables.load(s, dir, "orders")
+      val lookup = Seq(3L, 7L, 11L, 19L, 42L)
+
+      // Lifecycle state after batch k (0-based), shared by feed + oracle:
+      // custkey moves at batches 1 (%6=2: +1) and 2 (%12=5: +1, disjoint
+      // keys), deletes at batch 1 (%9=1), reprice at batch 2 (%10=4).
+      def state(k: Long): DataFrame = {
+        var df = o
+        if (k >= 1) df = df.withColumn("o_custkey",
+            when($"o_orderkey" % 6 === 2, $"o_custkey" + 1).otherwise($"o_custkey"))
+          .filter($"o_orderkey" % 9 =!= 1)
+        if (k >= 2) df = df.withColumn("o_totalprice",
+            when($"o_orderkey" % 10 === 4, $"o_totalprice" * 1.3).otherwise($"o_totalprice"))
+          .withColumn("o_custkey",
+            when($"o_orderkey" % 12 === 5, $"o_custkey" + 1).otherwise($"o_custkey"))
+        df
+      }
+
+      def toEnvelope(changes: DataFrame): Array[EnvelopeRow] =
+        changes.select($"op", lit("orders").as("table"), $"next_position",
+            to_json($"before").as("before_json"), to_json($"after").as("after_json"))
+          .as[EnvelopeRow].collect()
+      val b1 = 10000000L; val b2 = 20000000L
+      // batch-1 delete images reflect the move sub-batch before them; the
+      // batch-2 move images reflect the reprice (q133's image discipline)
+      val moved1 = o.withColumn("o_custkey",
+        when($"o_orderkey" % 6 === 2, $"o_custkey" + 1).otherwise($"o_custkey"))
+      val repriced2 = state(1).withColumn("o_totalprice",
+        when($"o_orderkey" % 10 === 4, $"o_totalprice" * 1.3).otherwise($"o_totalprice"))
+      val batches: Seq[Array[EnvelopeRow]] = Seq(
+        toEnvelope(ChangeFeed.inserts(o, $"o_orderkey" * 10)),
+        toEnvelope(ChangeFeed.updates(o.filter($"o_orderkey" % 6 === 2),
+            Map("o_custkey" -> ($"o_custkey" + 1)), $"o_orderkey" * 10 + 3 + b1)
+          .union(ChangeFeed.deletes(moved1.filter($"o_orderkey" % 9 === 1),
+            $"o_orderkey" * 10 + 5 + b1))),
+        toEnvelope(ChangeFeed.updates(state(1).filter($"o_orderkey" % 10 === 4),
+            Map("o_totalprice" -> ($"o_totalprice" * 1.3)), $"o_orderkey" * 10 + 3 + b2)
+          .union(ChangeFeed.updates(repriced2.filter($"o_orderkey" % 12 === 5),
+            Map("o_custkey" -> ($"o_custkey" + 1)), $"o_orderkey" * 10 + 5 + b2))))
+
+      val root = Files.createTempDirectory("graft_epochix").toString
+      val store = s"$root/orders"; val index = s"$root/orders_idx"
+      val ixSpec = StreamingPipeline.IndexSpec(index, Seq("o_custkey", "o_orderkey"),
+        CdcApplier.Options(Seq("o_custkey", "o_orderkey"),
+          bucketCols = Some(Seq("o_custkey"))))
+      val targets = Map("orders" -> store,
+        StreamingPipeline.Epoch.indexName("orders", index) -> index)
+      val hconf = s.sparkContext.hadoopConfiguration
+      val src = MemoryStream[EnvelopeRow]
+      val q = StreamingPipeline.startConsolidated(
+        src.toDF(), Map("orders" -> (o.schema, store)), s"$root/ckpt",
+        _ => StreamingPipeline.PipelineOptions(
+          CdcApplier.Options(Seq("o_orderkey")), indexes = Seq(ixSpec)),
+        epochDir = Some(root))
+
+      // pinned two-hop samples: (epoch, matched count, sum of matched
+      // orderkeys, Sumd of matched prices) — membership AND values both
+      // change per epoch, so a torn (index, primary) pair cannot match
+      def twoHop(idx: DataFrame, primary: DataFrame): DataFrame =
+        primary.join(
+          idx.filter($"o_custkey".isin(lookup: _*)).select($"o_orderkey"),
+          Seq("o_orderkey"), "left_semi")
+      val samples = new java.util.concurrent.ConcurrentLinkedQueue[(Long, Long, Long, Double)]
+      @volatile var readerStop = false
+      @volatile var readerErr: Option[Throwable] = None
+      def sampleOnce(): Unit = {
+        val (k, snaps) = StreamingPipeline.Epoch.consistentSnapshot(s, root, targets)
+        if (k >= 0 && snaps.keySet == targets.keySet) {
+          val r = twoHop(snaps(targets.keySet.filter(_ != "orders").head), snaps("orders"))
+            .agg(count(lit(1)), sum($"o_orderkey"),
+              graft.util.Sumd.sumd($"o_totalprice")).collect()(0)
+          // re-verify the pin after materialization (q115's discipline)
+          val pinned = StreamingPipeline.Epoch.read(hconf, root).exists {
+            case (k2, pos2) => k2 == k && targets.forall { case (t, _) =>
+              pos2.get(t).map(_._2).contains(StreamingPipeline.Epoch.fileSig(
+                snaps(t).inputFiles
+                  .map(f => new org.apache.hadoop.fs.Path(f).toUri.getPath).toSet))
+            }
+          }
+          if (pinned)
+            samples.add((k, r.getLong(0),
+              if (r.isNullAt(1)) 0L else r.getLong(1), r.getDouble(2)))
+        }
+      }
+      val reader = new Thread(() =>
+        try while (!readerStop) {
+          try sampleOnce()
+          catch { case scala.util.control.NonFatal(_) => () }
+          Thread.sleep(10)
+        } catch { case e: Throwable => readerErr = Some(e) })
+      reader.setDaemon(true)
+      reader.start()
+      try batches.foreach { rows =>
+        src.addData(rows.toIndexedSeq)
+        q.processAllAvailable() // exactly one micro-batch per lifecycle batch
+      } finally {
+        readerStop = true
+        reader.join(30000)
+        q.stop()
+      }
+      readerErr.foreach(throw _)
+      sampleOnce() // quiescent: guarantees at least the final epoch sampled
+      require(!samples.isEmpty, "reader landed no pinned two-hop sample")
+
+      // per-epoch oracle: the lifecycle replayed to the sample's batch
+      import scala.jdk.CollectionConverters._
+      val observed = samples.asScala.toSeq
+      observed.map(_._1).distinct.foreach { k =>
+        val e = state(k).filter($"o_custkey".isin(lookup: _*))
+          .agg(count(lit(1)), sum($"o_orderkey"),
+            graft.util.Sumd.sumd($"o_totalprice")).collect()(0)
+        val expect = (k, e.getLong(0),
+          if (e.isNullAt(1)) 0L else e.getLong(1), e.getDouble(2))
+        observed.filter(_._1 == k).foreach(got =>
+          require(got == expect, s"torn two-hop read: got $got expected $expect"))
+      }
+
+      val (ek, snaps) = StreamingPipeline.Epoch.consistentSnapshot(s, root, targets)
+      require(ek == batches.size - 1 && snaps.keySet == targets.keySet,
+        s"final epoch must pin primary+index at batch ${batches.size - 1}, got $ek")
+      twoHop(snaps(targets.keySet.filter(_ != "orders").head), snaps("orders"))
+        .select(o.columns.map(col).toIndexedSeq: _*)
+        .orderBy($"o_orderkey")
+    }),
+
     // TypeMapper's COMPAT mode (the reference's narrow lattice with the
     // StringType catch-all, HbaseTableInfo.scala:158-182) driven through
     // the full q32 merge lifecycle: the orders table arrives as a MySQL
@@ -1651,6 +2041,60 @@ object CdcQueries {
             IN (3, 7, 11, 19, 42)
       ORDER BY o_orderkey"""
 
+  /** q174/q217 shared oracle: the declarative final-state join. */
+  private val q174OracleSql: String = """
+      WITH o2 AS (
+        SELECT o_orderkey,
+          CASE WHEN o_orderkey % 13 = 0 THEN o_custkey + 1 ELSE o_custkey END AS o_custkey,
+          o_orderstatus,
+          CASE WHEN o_orderkey % 7 = 0 THEN o_totalprice * 1.2 ELSE o_totalprice END AS o_totalprice,
+          o_orderdate, o_orderpriority
+        FROM orders),
+      c2 AS (
+        SELECT c_custkey, c_name, c_nationkey,
+          CASE WHEN c_custkey % 5 = 0 THEN c_acctbal + 100.0 ELSE c_acctbal END AS c_acctbal,
+          c_mktsegment
+        FROM customer WHERE c_custkey % 17 <> 0)
+      SELECT o2.o_orderkey, o2.o_custkey, o2.o_orderstatus, o2.o_totalprice,
+        o2.o_orderdate, o2.o_orderpriority,
+        c2.c_name, c2.c_nationkey, c2.c_acctbal, c2.c_mktsegment
+      FROM o2 JOIN c2 ON o2.o_custkey = c2.c_custkey
+      ORDER BY o_orderkey"""
+
+  /** q176/q218 shared oracle: the final-state rank window. */
+  private val q176OracleSql: String = """
+      WITH o2 AS (
+        SELECT o_orderkey,
+          CASE WHEN o_orderkey % 13 = 0 THEN '5-LOW' ELSE o_orderpriority END
+            AS o_orderpriority,
+          CASE WHEN o_orderkey % 7 = 0 THEN o_totalprice * 1.2 ELSE o_totalprice END
+            AS o_totalprice
+        FROM orders
+        WHERE NOT (o_orderkey % 11 = 0 AND o_orderkey % 7 <> 0
+          AND o_orderkey % 13 <> 0)),
+      r AS (
+        SELECT o_orderpriority, o_orderkey, o_totalprice,
+          ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+            ORDER BY o_totalprice DESC, o_orderkey) AS rnk
+        FROM o2)
+      SELECT o_orderpriority, rnk, o_orderkey, o_totalprice
+      FROM r WHERE rnk <= 3
+      ORDER BY o_orderpriority, rnk"""
+
+  /** q193/q219 shared oracle: fresh COUNT(DISTINCT) over the equivalent
+    * final table. */
+  private val q193OracleSql: String = """
+      WITH cur AS (
+        SELECT
+          CASE WHEN o_orderkey % 13 = 0 THEN '1-URGENT'
+               ELSE o_orderpriority END AS o_orderpriority,
+          o_custkey
+        FROM orders WHERE o_orderkey % 11 <> 0)
+      SELECT o_orderpriority, CAST(count(DISTINCT o_custkey) AS BIGINT) AS ndv,
+        CAST(count(*) AS BIGINT) AS n_rows
+      FROM cur GROUP BY o_orderpriority
+      ORDER BY o_orderpriority"""
+
   val oracles: Map[String, String] = Map(
     "q30_cdc_merge" -> """
       SELECT o_orderkey, o_custkey, o_orderstatus,
@@ -1679,49 +2123,35 @@ object CdcQueries {
       ORDER BY o_orderkey""",
 
     "q123_secondary_index" -> q123OracleSql,
+    // q220: final two-hop state after the move/delete/reprice lifecycle —
+    // final custkey composes both disjoint move batches; rows whose FINAL
+    // custkey lands in the lookup set.
+    "q220_epoch_index" -> """
+      SELECT o_orderkey, ck AS o_custkey, o_orderstatus, tp AS o_totalprice,
+        o_orderdate, o_orderpriority
+      FROM (
+        SELECT o_orderkey, o_orderstatus, o_orderdate, o_orderpriority,
+          (CASE WHEN o_orderkey % 6 = 2 THEN o_custkey + 1 ELSE o_custkey END)
+            + (CASE WHEN o_orderkey % 12 = 5 THEN 1 ELSE 0 END) AS ck,
+          CASE WHEN o_orderkey % 10 = 4 THEN o_totalprice * 1.3
+               ELSE o_totalprice END AS tp
+        FROM orders WHERE o_orderkey % 9 <> 1) x
+      WHERE ck IN (3, 7, 11, 19, 42)
+      ORDER BY o_orderkey""",
     // q174: declarative replay — mutated orders joined to surviving
     // mutated customers; a %13 move past the last custkey simply finds
     // no partner and the row is absent.
-    "q174_ivm_join" -> """
-      WITH o2 AS (
-        SELECT o_orderkey,
-          CASE WHEN o_orderkey % 13 = 0 THEN o_custkey + 1 ELSE o_custkey END AS o_custkey,
-          o_orderstatus,
-          CASE WHEN o_orderkey % 7 = 0 THEN o_totalprice * 1.2 ELSE o_totalprice END AS o_totalprice,
-          o_orderdate, o_orderpriority
-        FROM orders),
-      c2 AS (
-        SELECT c_custkey, c_name, c_nationkey,
-          CASE WHEN c_custkey % 5 = 0 THEN c_acctbal + 100.0 ELSE c_acctbal END AS c_acctbal,
-          c_mktsegment
-        FROM customer WHERE c_custkey % 17 <> 0)
-      SELECT o2.o_orderkey, o2.o_custkey, o2.o_orderstatus, o2.o_totalprice,
-        o2.o_orderdate, o2.o_orderpriority,
-        c2.c_name, c2.c_nationkey, c2.c_acctbal, c2.c_mktsegment
-      FROM o2 JOIN c2 ON o2.o_custkey = c2.c_custkey
-      ORDER BY o_orderkey""",
+    "q174_ivm_join" -> q174OracleSql,
+    // q217: the STREAMING join view must converge to the identical final
+    // view — one shared oracle text (q97/q94's discipline).
+    "q217_stream_join_view" -> q174OracleSql,
 
     // q176: final-state rank window — %11 keys delete only when not
     // also update-touched (one op per key per batch), %13 moves rank in
     // their NEW group, %7 reprices reorder in place.
-    "q176_ivm_topk" -> """
-      WITH o2 AS (
-        SELECT o_orderkey,
-          CASE WHEN o_orderkey % 13 = 0 THEN '5-LOW' ELSE o_orderpriority END
-            AS o_orderpriority,
-          CASE WHEN o_orderkey % 7 = 0 THEN o_totalprice * 1.2 ELSE o_totalprice END
-            AS o_totalprice
-        FROM orders
-        WHERE NOT (o_orderkey % 11 = 0 AND o_orderkey % 7 <> 0
-          AND o_orderkey % 13 <> 0)),
-      r AS (
-        SELECT o_orderpriority, o_orderkey, o_totalprice,
-          ROW_NUMBER() OVER (PARTITION BY o_orderpriority
-            ORDER BY o_totalprice DESC, o_orderkey) AS rnk
-        FROM o2)
-      SELECT o_orderpriority, rnk, o_orderkey, o_totalprice
-      FROM r WHERE rnk <= 3
-      ORDER BY o_orderpriority, rnk""",
+    "q176_ivm_topk" -> q176OracleSql,
+    // q218: the STREAMING top-k view shares the same final-state oracle.
+    "q218_stream_topk_view" -> q176OracleSql,
 
     "q171_backfill" -> """
       SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
@@ -1804,6 +2234,30 @@ object CdcQueries {
       FROM orders
       WHERE o_orderkey % 12 <> 7 AND o_orderkey BETWEEN 1000 AND 3000
       ORDER BY o_orderkey""",
+
+    // q216: each leg replays its source gate's oracle body verbatim —
+    // cow_in/mor_full are q110/q32's lifecycle (%7 reprice, %11 delete),
+    // range_between is q134's — so the connector read cannot drift from
+    // the Scala-API read of the same target.
+    "q216_sql_connector" -> """
+      SELECT 'cow_in' AS leg, o_orderkey, o_custkey, o_orderstatus,
+        CASE WHEN o_orderkey % 7 = 0 THEN o_totalprice * 1.2 ELSE o_totalprice END AS o_totalprice,
+        o_orderdate, o_orderpriority
+      FROM orders
+      WHERE o_orderkey % 11 <> 0 AND o_orderkey % 2500 = 0
+      UNION ALL
+      SELECT 'range_between' AS leg, o_orderkey, o_custkey, o_orderstatus,
+        CASE WHEN o_orderkey % 5 = 1 THEN o_totalprice * 1.35 ELSE o_totalprice END AS o_totalprice,
+        o_orderdate, o_orderpriority
+      FROM orders
+      WHERE o_orderkey % 12 <> 7 AND o_orderkey BETWEEN 1000 AND 3000
+      UNION ALL
+      SELECT 'mor_full' AS leg, o_orderkey, o_custkey, o_orderstatus,
+        CASE WHEN o_orderkey % 7 = 0 THEN o_totalprice * 1.2 ELSE o_totalprice END AS o_totalprice,
+        o_orderdate, o_orderpriority
+      FROM orders
+      WHERE o_orderkey % 11 <> 0
+      ORDER BY leg, o_orderkey""",
 
     "q133_covering_index" -> """
       SELECT ck AS o_custkey, o_orderkey, tp AS o_totalprice FROM (
@@ -1913,17 +2367,9 @@ object CdcQueries {
 
     // Fresh COUNT(DISTINCT) over the same equivalent final table — what
     // the refcount fold must reproduce exactly.
-    "q193_ivm_distinct" -> """
-      WITH cur AS (
-        SELECT
-          CASE WHEN o_orderkey % 13 = 0 THEN '1-URGENT'
-               ELSE o_orderpriority END AS o_orderpriority,
-          o_custkey
-        FROM orders WHERE o_orderkey % 11 <> 0)
-      SELECT o_orderpriority, CAST(count(DISTINCT o_custkey) AS BIGINT) AS ndv,
-        CAST(count(*) AS BIGINT) AS n_rows
-      FROM cur GROUP BY o_orderpriority
-      ORDER BY o_orderpriority""",
+    "q193_ivm_distinct" -> q193OracleSql,
+    // q219: the STREAMING refcount view shares the same oracle.
+    "q219_stream_distinct_view" -> q193OracleSql,
 
     // The streaming SUM/COUNT view must converge to q79's fresh
     // aggregation — one shared oracle text.

@@ -489,4 +489,154 @@ object IncrementalView {
         applyViewBatch(batch.sparkSession, batch, batchId, viewDir, key, value)
       }
       .start()
+
+  // ---- streaming forms of the JOIN / TOP-K / COUNT(DISTINCT) members.
+  //      Two replay disciplines, chosen by the view's algebra:
+  //       - JOIN and TOP-K maintenance write ONLY through CdcApplier
+  //         targets, so exactly-once needs no extra machinery: every
+  //         recomputed row of a crash-replayed micro-batch carries the
+  //         replayed batch's positions, which no longer beat the stored
+  //         `_graft_pos` — the applier converges the replay to a no-op
+  //         (idempotence-by-position). The contract it rests on: view
+  //         positions must be NON-DECREASING across micro-batches (derived
+  //         below as the batch's max envelope position, so a feed with
+  //         per-batch position bases — q138's b2base discipline — gets it
+  //         for free).
+  //       - the COUNT(DISTINCT) refcount fold is a non-idempotent DELTA
+  //         (re-applying doubles the contributions), so it runs under
+  //         [[applyGeneric]]'s versioned-snapshot batch-id pointer exactly
+  //         like the SUM/COUNT and MIN/MAX folds.
+
+  /** One consolidated micro-batch (op, table, next_position, before_json,
+    * after_json — the q93 two-table envelope) applied to the fact + dim
+    * primaries and folded into the join view, in one decision procedure.
+    * Affected keys are read straight off the batch's before+after images —
+    * exactly the projection a CDC batch yields. */
+  def applyJoinViewBatch(spark: SparkSession, batch: DataFrame,
+      factTable: String, factSchema: org.apache.spark.sql.types.StructType,
+      dimTable: String, dimSchema: org.apache.spark.sql.types.StructType,
+      factDir: String, dimDir: String, viewDir: String,
+      factPk: Seq[String], dimPk: Seq[String],
+      factKey: String, joinCol: String, dimKey: String): Unit = {
+    if (batch.isEmpty) return
+    def parse(table: String, schema: org.apache.spark.sql.types.StructType) =
+      batch.filter(col("table") === table)
+        .select(col("op"), col("next_position"),
+          from_json(col("before_json"), schema).as("before"),
+          from_json(col("after_json"), schema).as("after"))
+    def keysOf(df: DataFrame, k: String): DataFrame =
+      df.select(col(s"before.$k").as(k))
+        .unionByName(df.select(col(s"after.$k").as(k)))
+        .filter(col(k).isNotNull).distinct()
+    val fb = parse(factTable, factSchema)
+    val db = parse(dimTable, dimSchema)
+    if (!fb.isEmpty) CdcApplier.applyBatch(spark, fb, factDir, CdcApplier.Options(factPk))
+    if (!db.isEmpty) CdcApplier.applyBatch(spark, db, dimDir, CdcApplier.Options(dimPk))
+    // A side that has seen NO traffic yet has no store to read — treat it
+    // as consistently empty (a fact-only early batch joins nothing yet;
+    // the dim's first batch later brings its own changed keys, which
+    // recompute the dim-hit fact keys). Checked via the filesystem, not
+    // the batch: an empty batch for a BOOTSTRAPPED side must still read
+    // the real store.
+    val hconf = spark.sparkContext.hadoopConfiguration
+    def bootstrapped(d: String) =
+      CdcApplier.bucketIds(new Path(d).getFileSystem(hconf), new Path(d)).nonEmpty
+    if (!bootstrapped(factDir) || !bootstrapped(dimDir)) return
+    // view position: the batch's max envelope position — non-decreasing
+    // across batches by the feed contract, stable across replays
+    val pos = batch.agg(max(col("next_position"))).first.getLong(0)
+    maintainJoinView(spark, factDir, dimDir, viewDir, pos,
+      keysOf(fb, factKey), keysOf(db, dimKey), factKey, joinCol, dimKey)
+  }
+
+  /** Streaming JOIN-view topology: the q174 algebra under the streaming
+    * contract — one checkpointed foreachBatch keeps both primaries current
+    * and maintains the materialized `fact ⋈ dim` from the same batch.
+    * Per-batch cost ∝ affected keys × join (the batch's own fact keys +
+    * one semi-join for dim-hit fact keys), never |view|. */
+  def startJoinView(envelope: DataFrame,
+      factTable: String, factSchema: org.apache.spark.sql.types.StructType,
+      dimTable: String, dimSchema: org.apache.spark.sql.types.StructType,
+      factDir: String, dimDir: String, viewDir: String, checkpointDir: String,
+      factPk: Seq[String], dimPk: Seq[String],
+      factKey: String, joinCol: String, dimKey: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    envelope.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        applyJoinViewBatch(batch.sparkSession, batch, factTable, factSchema,
+          dimTable, dimSchema, factDir, dimDir, viewDir, factPk, dimPk,
+          factKey, joinCol, dimKey)
+      }
+      .start()
+
+  /** One parsed micro-batch (op, next_position, before, after) applied to
+    * the primary and folded into the top-k view: affected groups are the
+    * batch's before+after group values (a group-moving update touches both
+    * sides; the move target needs no special casing). */
+  def applyTopKViewBatch(spark: SparkSession, batch: DataFrame,
+      factDir: String, viewDir: String, factOpts: CdcApplier.Options,
+      grp: String, ord: String, key: String, k: Int): Unit = {
+    if (batch.isEmpty) return
+    CdcApplier.applyBatch(spark, batch, factDir, factOpts)
+    val pos = batch.agg(max(col("next_position"))).first.getLong(0)
+    val groups = batch.select(col(s"before.$grp").as(grp))
+      .unionByName(batch.select(col(s"after.$grp").as(grp)))
+      .filter(col(grp).isNotNull).distinct()
+    maintainTopKView(spark, factDir, viewDir, pos, groups, grp, ord, key, k)
+  }
+
+  /** Streaming TOP-K view topology: the q176 affected-group rescan per
+    * micro-batch, exactly-once by the applier's position guard. Per-batch
+    * cost ∝ touched groups × group size, never |fact|. */
+  def startTopKView(changes: DataFrame, factDir: String, viewDir: String,
+      checkpointDir: String, factOpts: CdcApplier.Options,
+      grp: String, ord: String, key: String, k: Int)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    changes.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        applyTopKViewBatch(batch.sparkSession, batch, factDir, viewDir,
+          factOpts, grp, ord, key, k)
+      }
+      .start()
+
+  /** Apply one change micro-batch to the persisted COUNT(DISTINCT)
+    * refcount view, exactly once — [[applyViewBatch]]'s versioned-pointer
+    * discipline over the [[deltaDistinct]] algebra (the fold is
+    * non-idempotent, so the batch-id guard is load-bearing). Pairs at
+    * EXACTLY ref 0 leave the stored frame; negative refs stay visible —
+    * the same feed-inconsistency signal the SUM/COUNT view keeps. */
+  def applyViewBatchDistinct(spark: SparkSession, batch: DataFrame, batchId: Long,
+      viewDir: String, key: String, value: String): Unit =
+    applyGeneric(spark, batchId, viewDir) { applied =>
+      val d = deltaDistinct(batch, key, value)
+      (applied match {
+        case Some(v) => mergeDistinct(spark.read.parquet(s"$viewDir/v$v"), d, key, value)
+        case None    => d
+      }).filter(col("ref") =!= 0)
+    }
+
+  /** The COUNT(DISTINCT) view's read form: per-key ndv (live pairs) +
+    * n_rows — the same final aggregation as [[maintainDistinct]], over the
+    * persisted refcount frame. */
+  def snapshotViewDistinct(spark: SparkSession, viewDir: String, key: String)
+      : Option[DataFrame] =
+    appliedBatch(spark, viewDir).map(v =>
+      spark.read.parquet(s"$viewDir/v$v")
+        .filter(col("ref") > 0)
+        .groupBy(col(key))
+        .agg(count(lit(1)).as("ndv"), sum(col("ref")).cast("long").as("n_rows")))
+
+  /** Streaming COUNT(DISTINCT) view topology — state bounded by LIVE
+    * distinct (key, value) pairs (what any exact distinct count must
+    * retain); a batch's delta touches only its own pairs. */
+  def startDistinctView(changes: DataFrame, viewDir: String, checkpointDir: String,
+      key: String, value: String): org.apache.spark.sql.streaming.StreamingQuery =
+    changes.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        applyViewBatchDistinct(batch.sparkSession, batch, batchId, viewDir, key, value)
+      }
+      .start()
 }

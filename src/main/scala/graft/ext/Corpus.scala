@@ -840,6 +840,48 @@ object Corpus {
         col("r_2gram"), col("keep"))
   }
 
+  /** The q203/q221 shared five-stage pipeline chain (Gopher filter →
+    * exact dedup → near-dup → calibration → temperature admission), each
+    * frame exposed so the funnel gate (q203) and the release capstone
+    * (q221) compose the SAME stage plans — one definition, two gates. */
+  private[graft] case class PipelineStages(docs: DataFrame, d1: DataFrame,
+      d2: DataFrame, d3: DataFrame, d4: DataFrame, toks: DataFrame,
+      tgt: DataFrame, admitted: DataFrame)
+
+  private[graft] def pipelineStages(s: SparkSession, dir: String): PipelineStages = {
+    graft.functions.GraftFunctions.register(s)
+    val docs = t(s, dir, "documents")
+    val d1 = docs.join(
+      gopherMatrix(docs).filter(col("keep")).select(col("doc_id")), Seq("doc_id"))
+    val w2 = Window.partitionBy(col("dg")).orderBy(col("doc_id"))
+    val d2 = d1.withColumn("dg", md5(col("text")))
+      .withColumn("rn", row_number().over(w2)).filter(col("rn") === 1)
+      .drop("dg", "rn")
+      .localCheckpoint() // feeds the pair join twice + the next stage
+    val rejects = NearDup.exactJaccardPairs(d2)
+      .select(col("id_b").as("doc_id")).distinct()
+    val d3 = d2.join(rejects, Seq("doc_id"), "left_anti")
+    val w4 = Window.partitionBy(col("source")).orderBy(col("quality"))
+    val d4 = TextOps.qualityScore(d3)
+      .join(d3.select(col("doc_id"), col("source"), col("text")), Seq("doc_id"))
+      .withColumn("pct", percent_rank().over(w4))
+      .filter(col("pct") >= lit(TextOps.CalibAdmit))
+    val toks = d4.select(col("doc_id"), col("source"),
+      wsTokenCount(col("text")).as("n_tokens"),
+      call_function("graft_polyhash", col("text"), lit(31),
+        lit(TextOps.HashMod)).as("ohash"))
+      .localCheckpoint() // feeds targets AND admission
+    val tgt = temperatureTargets(toks.groupBy(col("source"))
+        .agg(sum(col("n_tokens")).cast("long").as("src_tokens")))
+      .select(col("source"), col("target"))
+    val w5 = Window.partitionBy(col("source")).orderBy(col("ohash"), col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val admitted = toks.join(broadcast(tgt), Seq("source"))
+      .withColumn("start", sum(col("n_tokens")).over(w5) - col("n_tokens"))
+      .filter(col("start") < col("target"))
+    PipelineStages(docs, d1, d2, d3, d4, toks, tgt, admitted)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- q178: Gopher quality rule MATRIX (Rae et al. 2021) — the
     //      per-rule boolean audit that complements q68's first-fail
@@ -878,51 +920,99 @@ object Corpus {
     //      adds only per-source count aggs and left joins on the
     //      source key.
     "q203_pipeline_e2e" -> ((s, dir) => {
-      graft.functions.GraftFunctions.register(s)
-      val docs = t(s, dir, "documents")
-      val d1 = docs.join(
-        gopherMatrix(docs).filter(col("keep")).select(col("doc_id")), Seq("doc_id"))
-      val w2 = Window.partitionBy(col("dg")).orderBy(col("doc_id"))
-      val d2 = d1.withColumn("dg", md5(col("text")))
-        .withColumn("rn", row_number().over(w2)).filter(col("rn") === 1)
-        .drop("dg", "rn")
-        .localCheckpoint() // feeds the pair join twice + the next stage
-      val rejects = NearDup.exactJaccardPairs(d2)
-        .select(col("id_b").as("doc_id")).distinct()
-      val d3 = d2.join(rejects, Seq("doc_id"), "left_anti")
-      val w4 = Window.partitionBy(col("source")).orderBy(col("quality"))
-      val d4 = TextOps.qualityScore(d3)
-        .join(d3.select(col("doc_id"), col("source"), col("text")), Seq("doc_id"))
-        .withColumn("pct", percent_rank().over(w4))
-        .filter(col("pct") >= lit(TextOps.CalibAdmit))
-      val toks = d4.select(col("doc_id"), col("source"),
-        wsTokenCount(col("text")).as("n_tokens"),
-        call_function("graft_polyhash", col("text"), lit(31),
-          lit(TextOps.HashMod)).as("ohash"))
-        .localCheckpoint() // feeds targets AND admission
-      val tgt = temperatureTargets(toks.groupBy(col("source"))
-          .agg(sum(col("n_tokens")).cast("long").as("src_tokens")))
-        .select(col("source"), col("target"))
-      val w5 = Window.partitionBy(col("source")).orderBy(col("ohash"), col("doc_id"))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      val admitted = toks.join(broadcast(tgt), Seq("source"))
-        .withColumn("start", sum(col("n_tokens")).over(w5) - col("n_tokens"))
-        .filter(col("start") < col("target"))
+      val st = pipelineStages(s, dir)
       def cnt(df: DataFrame, name: String): DataFrame =
         df.groupBy(col("source")).agg(count(lit(1)).as(name))
-      docs.groupBy(col("source")).agg(count(lit(1)).as("n_raw"))
-        .join(cnt(d1, "n_gopher"), Seq("source"), "left")
-        .join(cnt(d2, "n_exact"), Seq("source"), "left")
-        .join(cnt(d3, "n_neardup"), Seq("source"), "left")
-        .join(cnt(d4, "n_cal"), Seq("source"), "left")
-        .join(admitted.groupBy(col("source"))
+      st.docs.groupBy(col("source")).agg(count(lit(1)).as("n_raw"))
+        .join(cnt(st.d1, "n_gopher"), Seq("source"), "left")
+        .join(cnt(st.d2, "n_exact"), Seq("source"), "left")
+        .join(cnt(st.d3, "n_neardup"), Seq("source"), "left")
+        .join(cnt(st.d4, "n_cal"), Seq("source"), "left")
+        .join(st.admitted.groupBy(col("source"))
           .agg(count(lit(1)).as("n_final"),
             sum(col("n_tokens")).cast("long").as("tokens_final")),
           Seq("source"), "left")
-        .join(tgt, Seq("source"), "left")
+        .join(st.tgt, Seq("source"), "left")
         .na.fill(0L, Seq("n_gopher", "n_exact", "n_neardup", "n_cal",
           "n_final", "tokens_final", "target"))
         .repartition(1).sortWithinPartitions(col("source"))
+    }),
+
+    // ---- q221: the FULL RELEASE ARTIFACT capstone — q203 stops at
+    //      mixture admission; a real corpus release continues on the
+    //      ADMITTED set: train the tokenizer ON the released corpus and
+    //      tokenize it (q112's vocab-sized merge chain), concat-and-chunk
+    //      pack (q173's span arithmetic over BPE+EOS counts), shard the
+    //      training permutation (q140's two-phase prefix sum via
+    //      Curation.shardAssign — the SAME definition the q140/q156 gates
+    //      lock), and emit the release's two manifest artifacts (q156
+    //      xor-digest integrity manifest, q157 data card) — all in ONE
+    //      gate, so the shard manifest provably describes exactly the
+    //      filtered corpus (the oracle replays all nine stages through
+    //      the SHARED q203 CTE chain; the stages cannot desynchronize).
+    //      Output: long-format (section, k_num, k1, n_docs, n_tokens,
+    //      extra) — card rows per (source, lang) with char sums, pack
+    //      rows per source with sequence counts, shard rows with xor
+    //      digests. Scale shape: every stage keeps its proven plan; the
+    //      composition adds only doc_id/source-keyed joins and aggs, and
+    //      the admitted corpus is localCheckpointed ONCE where it feeds
+    //      four consumers.
+    "q221_release_capstone" -> ((s, dir) => {
+      val st = pipelineStages(s, dir)
+      val d5 = st.admitted.select(col("doc_id"), col("source"))
+        .join(st.d4.select(col("doc_id"), col("text")), Seq("doc_id"))
+        .join(st.docs.select(col("doc_id"), col("lang"), col("n_chars")), Seq("doc_id"))
+        .localCheckpoint() // feeds tokenizer training, encode, card
+      // q112's train+encode, on the RELEASED corpus
+      val words = d5.select(col("doc_id"), explode(TextOps.words(col("text"))).as("w"))
+      var vocab = words.groupBy(col("w")).agg(count(lit(1)).as("f"))
+        .withColumn("s", expr(
+          "transform(sequence(1, length(w)), i -> substring(w, i, 1))"))
+        .select(col("w"), col("f"), col("s"))
+        .localCheckpoint()
+      (1 to BpeTrainIters).foreach { _ =>
+        vocab = bpeStep(vocab)._2.localCheckpoint()
+      }
+      val enc = vocab.select(col("w"), size(col("s")).cast("long").as("n_sym"))
+      val docToks = words.join(enc, "w")
+        .groupBy(col("doc_id")).agg(sum(col("n_sym")).cast("long").as("bpe"))
+      val d6 = d5.join(docToks, Seq("doc_id"))
+        .localCheckpoint() // feeds pack, shard, manifest, card
+      // q173's pack over BPE+EOS counts
+      val wp = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val spans = d6.select(col("source"), col("doc_id"), (col("bpe") + 1L).as("n"))
+        .withColumn("endc", sum(col("n")).over(wp))
+        .withColumn("strt", col("endc") - col("n"))
+        .select(col("source"),
+          explode(expr(s"sequence(strt div $SeqLen, (endc - 1) div $SeqLen)"))
+            .as("seq_id"))
+      val packs = d6.groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("bpe") + 1L).cast("long").as("n_tokens"))
+        .join(spans.groupBy(col("source"))
+          .agg(countDistinct(col("seq_id")).as("n_seqs")), Seq("source"))
+      // q140's shard assignment + q156's manifest, over the released corpus
+      val shards = Curation.shardAssign(
+        d6.select(col("doc_id"), col("bpe").as("n_tokens")))
+      val mani = shards
+        .join(d6.select(col("doc_id"), TextOps.polyHash(col("text")).as("dh")),
+          Seq("doc_id"))
+        .groupBy(col("shard"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).cast("long").as("n_tokens"),
+          expr("bit_xor(dh)").as("digest"))
+      // q157's card over the released corpus (BPE token counts)
+      val card = d6.groupBy(col("source"), col("lang"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("bpe")).cast("long").as("n_tokens"),
+          sum(col("n_chars")).cast("long").as("n_chars"))
+      card.select(lit("card").as("section"), lit(0L).as("k_num"),
+          concat(col("source"), lit("/"), col("lang")).as("k1"),
+          col("n_docs"), col("n_tokens"), col("n_chars").as("extra"))
+        .unionByName(packs.select(lit("pack").as("section"), lit(0L).as("k_num"),
+          col("source").as("k1"), col("n_docs"), col("n_tokens"),
+          col("n_seqs").as("extra")))
+        .unionByName(mani.select(lit("shard").as("section"), col("shard").as("k_num"),
+          lit("").as("k1"), col("n_docs"), col("n_tokens"), col("digest").as("extra")))
+        .repartition(1).sortWithinPartitions(col("section"), col("k_num"), col("k1"))
     }),
 
     // ---- q201: k-core peeling (Matula & Beck 1983; Batagelj-Zaversnik
@@ -2033,46 +2123,11 @@ object Corpus {
           FROM scored) b
         WHERE rn = 1)"""
 
-  val oracles: Map[String, String] = Map(
-    // Same two doc-keyed aggregates; the bigram arm indexes the words
-    // array laterally (W[i], W[i+1]) — identical adjacency to the Spark
-    // side's shifted-slice zip.
-    "q178_gopher_rules" -> s"""
-      WITH d AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS W
-                 FROM documents),
-      w AS (SELECT doc_id, unnest(W) AS wd FROM d),
-      ws AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS nw,
-               CAST(sum(len(wd)) AS BIGINT) AS sumlen,
-               CAST(count(DISTINCT CASE WHEN wd IN (${GopherStops.map(x => s"'$x'").mkString(",")})
-                 THEN wd END) AS BIGINT) AS n_stop
-             FROM w GROUP BY doc_id),
-      bg AS (SELECT doc_id, W[i] AS w1, W[i+1] AS w2
-             FROM d, unnest(range(1, len(W))) AS u(i)),
-      bc AS (SELECT doc_id, w1, w2, count(*) AS cnt FROM bg GROUP BY 1, 2, 3),
-      cov AS (SELECT doc_id, CAST(max(cnt * (len(w1) + len(w2))) AS BIGINT) AS cover
-              FROM bc GROUP BY doc_id)
-      SELECT ws.doc_id, ws.nw,
-        ws.sumlen::DOUBLE / ws.nw::DOUBLE AS mean_wlen, ws.n_stop,
-        cov.cover::DOUBLE / ws.sumlen::DOUBLE AS top2g_frac,
-        (ws.nw >= $GopherMinWords AND ws.nw <= $GopherMaxWords) AS r_words,
-        (ws.sumlen::DOUBLE / ws.nw::DOUBLE >= $GopherMinWlen
-          AND ws.sumlen::DOUBLE / ws.nw::DOUBLE <= $GopherMaxWlen) AS r_wlen,
-        (ws.n_stop >= $GopherMinStop) AS r_stop,
-        (cov.cover::DOUBLE / ws.sumlen::DOUBLE < $Gopher2gCap) AS r_2gram,
-        ((ws.nw >= $GopherMinWords AND ws.nw <= $GopherMaxWords)
-          AND (ws.sumlen::DOUBLE / ws.nw::DOUBLE >= $GopherMinWlen
-            AND ws.sumlen::DOUBLE / ws.nw::DOUBLE <= $GopherMaxWlen)
-          AND ws.n_stop >= $GopherMinStop
-          AND cov.cover::DOUBLE / ws.sumlen::DOUBLE < $Gopher2gCap) AS keep
-      FROM ws JOIN cov USING (doc_id) ORDER BY ws.doc_id""",
-
-    // The full five-stage replay: q178's keep rule, md5 election,
-    // q67-style Jaccard pairs with the one-pass larger-id rejection,
-    // q175's percent_rank admission, q142's temperature arithmetic and
-    // q65's running-sum admission — then the per-source funnel report.
-    // Stage CTEs MATERIALIZED (each feeds several consumers).
-    "q203_pipeline_e2e" -> s"""
-      WITH gw AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS W
+  /** The q203/q221 shared oracle CTE chain — the SQL mirror of
+    * [[pipelineStages]], ending in the `adm` admitted set (plus the d1-d4
+    * stage frames and `tgt` the funnel gate reads). ONE text feeds both
+    * oracles, so they cannot desynchronize. */
+  private def pipelineSqlCtes: String = s"""gw AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS W
                   FROM documents),
       gs AS MATERIALIZED (
         SELECT ws.doc_id FROM (
@@ -2142,7 +2197,48 @@ object Corpus {
               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - t.n_tokens
               AS strt
           FROM tok t JOIN tgt g USING (source)) x
-        WHERE strt < target)
+        WHERE strt < target)"""
+
+  val oracles: Map[String, String] = Map(
+    // Same two doc-keyed aggregates; the bigram arm indexes the words
+    // array laterally (W[i], W[i+1]) — identical adjacency to the Spark
+    // side's shifted-slice zip.
+    "q178_gopher_rules" -> s"""
+      WITH d AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS W
+                 FROM documents),
+      w AS (SELECT doc_id, unnest(W) AS wd FROM d),
+      ws AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS nw,
+               CAST(sum(len(wd)) AS BIGINT) AS sumlen,
+               CAST(count(DISTINCT CASE WHEN wd IN (${GopherStops.map(x => s"'$x'").mkString(",")})
+                 THEN wd END) AS BIGINT) AS n_stop
+             FROM w GROUP BY doc_id),
+      bg AS (SELECT doc_id, W[i] AS w1, W[i+1] AS w2
+             FROM d, unnest(range(1, len(W))) AS u(i)),
+      bc AS (SELECT doc_id, w1, w2, count(*) AS cnt FROM bg GROUP BY 1, 2, 3),
+      cov AS (SELECT doc_id, CAST(max(cnt * (len(w1) + len(w2))) AS BIGINT) AS cover
+              FROM bc GROUP BY doc_id)
+      SELECT ws.doc_id, ws.nw,
+        ws.sumlen::DOUBLE / ws.nw::DOUBLE AS mean_wlen, ws.n_stop,
+        cov.cover::DOUBLE / ws.sumlen::DOUBLE AS top2g_frac,
+        (ws.nw >= $GopherMinWords AND ws.nw <= $GopherMaxWords) AS r_words,
+        (ws.sumlen::DOUBLE / ws.nw::DOUBLE >= $GopherMinWlen
+          AND ws.sumlen::DOUBLE / ws.nw::DOUBLE <= $GopherMaxWlen) AS r_wlen,
+        (ws.n_stop >= $GopherMinStop) AS r_stop,
+        (cov.cover::DOUBLE / ws.sumlen::DOUBLE < $Gopher2gCap) AS r_2gram,
+        ((ws.nw >= $GopherMinWords AND ws.nw <= $GopherMaxWords)
+          AND (ws.sumlen::DOUBLE / ws.nw::DOUBLE >= $GopherMinWlen
+            AND ws.sumlen::DOUBLE / ws.nw::DOUBLE <= $GopherMaxWlen)
+          AND ws.n_stop >= $GopherMinStop
+          AND cov.cover::DOUBLE / ws.sumlen::DOUBLE < $Gopher2gCap) AS keep
+      FROM ws JOIN cov USING (doc_id) ORDER BY ws.doc_id""",
+
+    // The full five-stage replay: q178's keep rule, md5 election,
+    // q67-style Jaccard pairs with the one-pass larger-id rejection,
+    // q175's percent_rank admission, q142's temperature arithmetic and
+    // q65's running-sum admission — then the per-source funnel report.
+    // Stage CTEs MATERIALIZED (each feeds several consumers).
+    "q203_pipeline_e2e" -> s"""
+      WITH $pipelineSqlCtes
       SELECT base.source,
         base.n_raw,
         coalesce(c1.n, 0) AS n_gopher,
@@ -2167,6 +2263,66 @@ object Corpus {
                  GROUP BY source) c5 USING (source)
       LEFT JOIN tgt USING (source)
       ORDER BY base.source""",
+
+    // q221: the q203 chain CONTINUED through the release stages — the
+    // shared CTE prefix guarantees the manifest describes exactly the
+    // corpus q203 admitted; BPE trains on the admitted set (d5), pack/
+    // shard/manifest/card all read the tokenized admitted frame d6.
+    "q221_release_capstone" -> s"""
+      WITH $pipelineSqlCtes,
+      d5 AS MATERIALIZED (
+        SELECT a.doc_id, a.source, d4.text, doc.lang, doc.n_chars
+        FROM adm a JOIN d4 USING (doc_id)
+        JOIN documents doc ON doc.doc_id = a.doc_id),
+      ${bpeTrainCtes(carry = "w, ", from = "d5")},
+      enc AS (SELECT w, CAST(len(s) AS BIGINT) AS n_sym FROM v$BpeTrainIters),
+      dt AS MATERIALIZED (
+        SELECT ws.doc_id, CAST(sum(e.n_sym) AS BIGINT) AS bpe
+        FROM ws JOIN enc e USING (w) GROUP BY ws.doc_id),
+      d6 AS MATERIALIZED (
+        SELECT d5.doc_id, d5.source, d5.text, d5.lang, d5.n_chars, dt.bpe
+        FROM d5 JOIN dt USING (doc_id)),
+      pk AS (
+        SELECT source,
+          unnest(range(strt // $SeqLen, ((endc - 1) // $SeqLen) + 1)) AS seq_id
+        FROM (
+          SELECT source, doc_id,
+            CAST(sum(bpe + 1) OVER (PARTITION BY source ORDER BY doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS endc,
+            CAST(sum(bpe + 1) OVER (PARTITION BY source ORDER BY doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - (bpe + 1)
+              AS BIGINT) AS strt
+          FROM d6) x),
+      packs AS (
+        SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+          CAST(sum(bpe + 1) AS BIGINT) AS n_tokens
+        FROM d6 GROUP BY source),
+      pseq AS (
+        SELECT source, CAST(count(DISTINCT seq_id) AS BIGINT) AS n_seqs
+        FROM pk GROUP BY source),
+      ${Curation.shardAssignSqlCtes("d6", "bpe")},
+      mani AS (
+        SELECT s.shard, CAST(count(*) AS BIGINT) AS n_docs,
+          CAST(sum(s.n_tokens) AS BIGINT) AS n_tokens,
+          bit_xor(${TextOps.polyHashSql("d6.text")}) AS digest
+        FROM shards s JOIN d6 USING (doc_id)
+        GROUP BY s.shard),
+      card AS (
+        SELECT source, lang, CAST(count(*) AS BIGINT) AS n_docs,
+          CAST(sum(bpe) AS BIGINT) AS n_tokens,
+          CAST(sum(n_chars) AS BIGINT) AS n_chars
+        FROM d6 GROUP BY source, lang)
+      SELECT section, k_num, k1, n_docs, n_tokens, extra FROM (
+        SELECT 'card' AS section, CAST(0 AS BIGINT) AS k_num,
+          source || '/' || lang AS k1, n_docs, n_tokens, n_chars AS extra
+        FROM card
+        UNION ALL
+        SELECT 'pack', 0, p.source, p.n_docs, p.n_tokens, q.n_seqs
+        FROM packs p JOIN pseq q ON p.source = q.source
+        UNION ALL
+        SELECT 'shard', shard, '', n_docs, n_tokens, digest FROM mani) u
+      ORDER BY section, k_num, k1""",
+
 
     // The identical peel rounds unrolled as CTEs (e0..eN), trajectory
     // stats per round UNION'd.
@@ -2954,7 +3110,7 @@ object Corpus {
     * char segmentation → [[BpeTrainIters]] (pair-count, argmax, fenced
     * merge) rounds. `carry` prefixes extra vocab columns ("w, " keeps the
     * word through the chain for q112's per-word application). */
-  private def bpeTrainCtes(carry: String): String = {
+  private def bpeTrainCtes(carry: String, from: String = "documents"): String = {
     val iterBlocks = (1 to BpeTrainIters).map { i =>
       s""",
       p$i AS (
@@ -2973,7 +3129,7 @@ object Corpus {
     }.mkString
     s"""ws AS (
         SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS w
-        FROM documents),
+        FROM $from),
       vocab AS (
         SELECT w, CAST(count(*) AS BIGINT) AS f FROM ws GROUP BY w),
       v0 AS (

@@ -300,9 +300,16 @@ object Curation {
   /** q140/q156's shared core: the shard assignment (doc_id, n_tokens,
     * tok_start, shard, shard_offset) — the q122 two-phase prefix sum over
     * the training permutation, no single-partition window at any size. */
-  private[graft] def trainShards(s: SparkSession, dir: String): DataFrame = {
-    val keyed = t(s, dir, "documents")
-      .select(col("doc_id"), Corpus.wsTokenCount(col("text")).as("n_tokens"),
+  private[graft] def trainShards(s: SparkSession, dir: String): DataFrame =
+    shardAssign(t(s, dir, "documents")
+      .select(col("doc_id"), Corpus.wsTokenCount(col("text")).as("n_tokens")))
+
+  /** [[trainShards]] over an arbitrary (doc_id, n_tokens) frame — the seam
+    * the q221 release capstone shards its ADMITTED corpus through, so the
+    * release layout cannot drift from the q140/q156 gates' definition. */
+  private[graft] def shardAssign(docs: DataFrame): DataFrame = {
+    val keyed = docs
+      .select(col("doc_id"), col("n_tokens"),
         md5(concat(lit("ep1:"), col("doc_id").cast("string")).cast("binary")).as("okey"))
       .withColumn("bucket", substring(col("okey"), 1, 1))
     // same single-valued partition key discipline as q122's offsets
@@ -326,11 +333,17 @@ object Curation {
 
   /** q140/q156's shared oracle chain ending in a `shards` CTE — the SQL
     * mirror of [[trainShards]]. */
-  private def trainShardsSqlCtes: String = s"""keyed AS (
+  private def trainShardsSqlCtes: String =
+    shardAssignSqlCtes("documents", Corpus.wsTokenCountSql("text"))
+
+  /** [[shardAssign]]'s SQL mirror over any (doc_id, `nTokensSql`) source —
+    * shared with the q221 release capstone's oracle. */
+  private[graft] def shardAssignSqlCtes(from: String, nTokensSql: String): String =
+    s"""keyed AS (
         SELECT doc_id, md5('ep1:' || CAST(doc_id AS VARCHAR)) AS okey,
           substring(md5('ep1:' || CAST(doc_id AS VARCHAR)), 1, 1) AS bucket,
-          ${Corpus.wsTokenCountSql("text")} AS n_tokens
-        FROM documents),
+          $nTokensSql AS n_tokens
+        FROM $from),
       offs AS (
         SELECT bucket,
           CAST(COALESCE(sum(bt) OVER (ORDER BY bucket

@@ -397,11 +397,20 @@ object StreamingPipeline {
           // a position check alone cannot (data swaps BEFORE the
           // high-water file advances, leaving a window where table A reads
           // new and table B old under a clean position check).
+          // The marker covers each table's SECONDARY INDEXES too (under
+          // [[Epoch.indexName]] keys): an index is applied in the same
+          // micro-batch as its primary but by a SEPARATE publish, so a
+          // two-hop reader (index lookup -> primary fetch) can otherwise
+          // cross an epoch boundary between hops — exactly the class of
+          // race the two-TABLE marker closed. With index entries in the
+          // marker, consistentSnapshot pins (primary, index) to one batch.
           epochDir.foreach { dir =>
-            val positions = tables.toSeq.sortBy(_._1).map { case (t, (_, targetDir)) =>
-              (t,
-                readHighWater(batch.sparkSession, targetDir).getOrElse(Long.MinValue),
-                Epoch.fileSig(Epoch.liveDataFiles(batch.sparkSession, targetDir)))
+            val positions = tables.toSeq.sortBy(_._1).flatMap { case (t, (_, targetDir)) =>
+              def entry(name: String, d: String) = (name,
+                readHighWater(batch.sparkSession, d).getOrElse(Long.MinValue),
+                Epoch.fileSig(Epoch.liveDataFiles(batch.sparkSession, d)))
+              entry(t, targetDir) +:
+                opts(t).indexes.map(ix => entry(Epoch.indexName(t, ix.targetDir), ix.targetDir))
             }
             Epoch.write(batch.sparkSession.sparkContext.hadoopConfiguration,
               dir, batchId, positions)
@@ -417,6 +426,14 @@ object StreamingPipeline {
     * table's position high-watermark at that point. */
   object Epoch {
     private def path(epochDir: String) = new Path(epochDir, ".graft_epoch")
+
+    /** Marker key for a table's secondary-index target — ONE naming rule
+      * shared by the writer ([[startConsolidated]]'s marker) and readers
+      * (the `tables` map handed to [[consistentSnapshot]]), so the two
+      * cannot drift. The full index dir keeps the key unambiguous when a
+      * table carries several indexes. */
+    def indexName(table: String, indexDir: String): String =
+      s"$table:index:$indexDir"
 
     /** Direct-FS listing of a bucketed target's live data files — the part
       * files under non-hidden `graft_bucket=*` dirs, scheme-stripped. No

@@ -637,8 +637,13 @@ class CdcApplierSpec extends AnyFunSuite {
   test("differential: random lifecycles converge identically through cow and mor") {
     // Seeded random op sequences (deterministic across runs): the two
     // storage modes are different physical encodings of ONE logical merge
-    // semantics, so every sequence — inserts, updates, PK moves, deletes,
-    // interleaved compactions — must land both stores on the same state.
+    // semantics, so every sequence must land every store on the same state.
+    // Operation pool (all EIGHT maintenance ops interleave at random or
+    // fixed points): applyBatch, applyBatchMor, changeFeed-fed replica,
+    // compact (cow, at the cursor horizon), compactMor, vacuumMor (random
+    // retention positions), optimize, rebucket, mid-lifecycle BOOTSTRAP
+    // (a fourth store seeded from the cow snapshot then fed the tail),
+    // and a post-run BACKFILL sliced at a random maxBuckets.
     val rnd = new scala.util.Random(4242)
     (1 to 3).foreach { trial =>
       val cow = newTarget(); val mor = newTarget()
@@ -673,6 +678,13 @@ class CdcApplierSpec extends AnyFunSuite {
       // the mor deltas (cursor = the previous batch's max position)
       val replica = newTarget()
       var cursor = Long.MinValue
+      // fourth party: a store BOOTSTRAPPED mid-lifecycle from the cow
+      // snapshot (the S1b snapshot-then-tail rebootstrap), fed only the
+      // TAIL batches — the horizon guard must discard nothing it needs
+      // and everything it already holds
+      val boot = newTarget()
+      val bootAt = 1 + rnd.nextInt(3) // after this many batches
+      var bootSeeded = false
       batches.zipWithIndex.foreach { case (events, bi) =>
         val dfs = events.map { case (op, p, b, a) => ev(op, p, b, a) }
         val batch = dfs.reduce(_ union _)
@@ -680,8 +692,23 @@ class CdcApplierSpec extends AnyFunSuite {
         CdcApplier.applyBatchMor(spark, batch, mor, opts)
         CdcApplier.applyBatch(spark,
           CdcApplier.changeFeed(spark, mor, cursor), replica, opts)
+        if (bootSeeded) CdcApplier.applyBatch(spark, batch, boot, opts)
         cursor = events.map(_._2).max
+        if (bi + 1 == bootAt && !bootSeeded) {
+          CdcApplier.bootstrap(spark,
+            CdcApplier.snapshot(spark, cow).drop("_graft_pos"), boot, cursor, opts)
+          bootSeeded = true
+        }
         if (bi == 2) CdcApplier.compactMor(spark, mor) // mid-lifecycle collapse
+        // random-point tombstone compaction on the cow store at the
+        // published cursor horizon — dropped tombstones must never
+        // resurrect rows
+        if (rnd.nextInt(3) == 0) CdcApplier.compact(spark, cow, cursor)
+        // random-point VACUUM on the mor store: collapse the version
+        // window below a random retention position at-or-under the feed
+        // cursor (the floor must never outrun the replica's feed)
+        if (rnd.nextInt(3) == 0)
+          CdcApplier.vacuumMor(spark, mor, cursor - 10L * rnd.nextInt(3))
         // random-point re-bucketing on the cow store: a modulus migration
         // anywhere in the lifecycle must be invisible to the fold
         if (rnd.nextInt(3) == 0)
@@ -697,8 +724,32 @@ class CdcApplierSpec extends AnyFunSuite {
       assert(state(replica) == state(mor),
         s"trial $trial: the feed-built replica diverged — " +
           s"replica=${state(replica)} mor=${state(mor)}")
+      assert(state(boot) == state(cow),
+        s"trial $trial: the mid-lifecycle bootstrap diverged — " +
+          s"boot=${state(boot)} cow=${state(cow)}")
       assert(state(cow) == live.values.toSet,
         s"trial $trial: all stores must equal the reference fold")
+
+      // post-run BACKFILL sliced at a random maxBuckets: the bounded first
+      // slice + completion must land the declarative projection, and the
+      // sliced path must equal a fresh one-shot backfill's result
+      val slice = 1 + rnd.nextInt(3)
+      val nb = CdcApplier.bucketIds(
+        new org.apache.hadoop.fs.Path(cow).getFileSystem(
+          spark.sparkContext.hadoopConfiguration),
+        new org.apache.hadoop.fs.Path(cow)).size
+      if (nb > slice) { // bounded first slice leaves the resumable marker
+        val first = CdcApplier.backfill(spark, cow, "score2",
+          org.apache.spark.sql.functions.col("score") * 2, maxBuckets = slice)
+        assert(first.size == slice)
+      }
+      CdcApplier.backfill(spark, cow, "score2",
+        org.apache.spark.sql.functions.col("score") * 2)
+      val got = CdcApplier.snapshot(spark, cow)
+        .select($"sn", $"id", $"score", $"score2").as[(Int, Int, Int, Int)]
+        .collect().toSet
+      assert(got == live.values.map(st => (st.sn, st.id, st.score, st.score * 2)).toSet,
+        s"trial $trial: sliced backfill diverged from the declarative projection")
     }
   }
 

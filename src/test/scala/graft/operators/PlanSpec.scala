@@ -911,6 +911,23 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("windowspecdefinition(source"), "per-source windows: " + p)
   }
 
+  test("q221: release stages keep their shapes — no cartesian, bucketed shard windows") {
+    val p = plan("q221_release_capstone")
+    val fin = p.split("== Initial Plan ==")(0)
+    assert(!fin.contains("CartesianProduct"), p)
+    // pack runs per-source windows; shard assignment's corpus windows
+    // partition by the 16-way permutation bucket (q140's shape) — an
+    // empty windowspec partition list would be a single-partition sort
+    assert(fin.contains("windowspecdefinition(source"), "per-source pack windows: " + p)
+    assert(fin.contains("windowspecdefinition(bucket"), "bucketed shard windows: " + p)
+    val globals = fin.linesIterator.filter(l =>
+      l.contains("windowspecdefinition(") &&
+        !l.contains("windowspecdefinition(source") &&
+        !l.contains("windowspecdefinition(bucket") &&
+        !l.contains("windowspecdefinition(tall")).toSeq
+    assert(globals.isEmpty, s"unpartitioned corpus window:\n${globals.mkString("\n")}")
+  }
+
   test("q204/q205: omnibus windows partition by priority; bag ops don't explode") {
     val p204 = plan("q204_window_omnibus")
     assert(!p204.contains("CartesianProduct"), p204)
