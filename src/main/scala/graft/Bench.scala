@@ -108,7 +108,8 @@ object Bench {
       "q182_stream_chi2_drift", "q194_stream_transitions",
       "q210_stream_attribution", "q215_stream_cusum",
       "q216_sql_connector", "q217_stream_join_view", "q218_stream_topk_view",
-      "q219_stream_distinct_view", "q220_epoch_index", "q221_release_capstone")
+      "q219_stream_distinct_view", "q220_epoch_index", "q221_release_capstone",
+      "q222_inverted_index")
 
     def measure(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame)
         : (Double, Seq[Double], Seq[(Long, Long, Long)]) = {

@@ -58,13 +58,25 @@ object Retrieval {
   private[graft] def bm25Scores(docs: DataFrame): DataFrame = {
     val dl = docs.select(col("doc_id"),
       size(TextOps.words(col("text"))).cast("long").as("dl"))
-    val stats = dl.agg(
-      (sum(col("dl")).cast("double") / count(lit(1)).cast("double")).as("avgdl"),
-      count(lit(1)).as("n_docs"))
     val tf = docs
       .select(col("doc_id"), explode(TextOps.words(col("text"))).as("term"))
       .filter(col("term").isin(Bm25Query: _*))
       .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+    bm25FromStats(tf, dl)
+  }
+
+  /** The BM25 arithmetic over pre-computed statistics — ONE definition
+    * serving both the corpus-scan path ([[bm25Scores]], q74/q169) and the
+    * q222 INDEX-SERVED path (tf = the looked-up postings, dl = the doc-
+    * length store): the scoring cannot drift between a fresh scan and an
+    * incrementally-maintained index. `tf` = (doc_id, term, tf) for the
+    * query terms; `dl` = (doc_id, dl) for every live doc. df per term
+    * falls out of `tf` itself (the postings retrieved for a term ARE its
+    * document set). */
+  private[graft] def bm25FromStats(tf: DataFrame, dl: DataFrame): DataFrame = {
+    val stats = dl.agg(
+      (sum(col("dl")).cast("double") / count(lit(1)).cast("double")).as("avgdl"),
+      count(lit(1)).as("n_docs"))
     val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
     val scored = tf
       .join(broadcast(dfreq), "term")
@@ -80,6 +92,46 @@ object Retrieval {
               (col("dl").cast("double") / col("avgdl"))))))
     scored.groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_hit"), graft.util.Sumd.sumd(col("sc")).as("score"))
+  }
+
+  /** q222's index-maintenance feed: the documents CDC envelope projected
+    * to a MULTI-ENTRY (inverted) index — per changed doc, one posting row
+    * per distinct term, PK (term, doc_id), term-bucketed. The single-entry
+    * index feed (q123/q170) retires a moved key via the PK-move fan-out;
+    * a SET-valued index generalizes that: terms present only in the
+    * before-image become deletes, every after-image term upserts its
+    * (term, doc_id, tf) — so a text edit retires exactly the dropped
+    * terms' postings, a doc delete retires all of them, and last-writer-
+    * wins per (term, doc_id) resolves multiple edits of one doc inside a
+    * batch by position, like any other applier feed. Cost per batch ∝ the
+    * changed docs' term sets (two image-keyed aggs + one anti-join) —
+    * never the index or the corpus. */
+  private[graft] def invertedIndexFeed(changes: DataFrame): DataFrame = {
+    def pairs(img: String) = changes
+      .filter(col(img).isNotNull)
+      .select(col("next_position"), col(s"$img.doc_id").as("doc_id"),
+        explode(TextOps.words(col(s"$img.text"))).as("term"))
+      .groupBy(col("next_position"), col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val after = pairs("after")
+    val removed = pairs("before")
+      .join(after.select(col("next_position"), col("doc_id"), col("term")),
+        Seq("next_position", "doc_id", "term"), "left_anti")
+    def img = struct(col("term"), col("doc_id"), col("tf"))
+    after.select(lit("insert").as("op"), col("next_position"),
+        when(lit(false), img).as("before"), img.as("after"))
+      .unionByName(removed.select(lit("delete").as("op"), col("next_position"),
+        img.as("before"), when(lit(false), img).as("after")))
+  }
+
+  /** q222's doc-length store feed: the ordinary single-entry projected
+    * index (q123's indexFeed shape) with the computed `dl` column. */
+  private[graft] def doclenFeed(changes: DataFrame): DataFrame = {
+    def img(side: String) = when(col(side).isNotNull,
+      struct(col(s"$side.doc_id").as("doc_id"),
+        size(TextOps.words(col(s"$side.text"))).cast("long").as("dl")))
+    changes.select(col("op"), col("next_position"),
+      img("before").as("before"), img("after").as("after"))
   }
 
   /** q80 collocation thresholds: a bigram needs [[CollocMinCount]]
@@ -174,6 +226,62 @@ object Retrieval {
     //      frames; the fusion is a full-outer equi-join of two <= RrfPool
     //      row frames. An arm can rank docs the other never retrieves —
     //      the outer join with coalesce-to-0 is the semantics under test.
+    // ---- q222: INCREMENTAL INVERTED INDEX + index-served BM25 — the
+    //      search-engine composition of the CDC applier (§2.1) with the
+    //      retrieval surface: a (term, doc_id, tf) postings table (PK
+    //      (term, doc_id), TERM-bucketed) and a (doc_id, dl) length store,
+    //      both maintained from the documents CDC envelope through
+    //      invertedIndexFeed/doclenFeed — the multi-entry generalization
+    //      of q123's secondary index. The lifecycle plants every hazard:
+    //      text edits that CHANGE query-term tf and dl (%5=1 docs gain
+    //      ' spark spark query'), doc deletes (%7=2, images carrying the
+    //      edited text), and edit-then-delete docs. Serving: the fixed
+    //      3-term query is a BUCKET-PRUNED prefix pointLookup on the
+    //      postings table (≤3 term buckets read; df per term = the
+    //      retrieved postings count — exact, no extra pass) + the doc-
+    //      length store for dl/avgdl/n_docs, scored by bm25FromStats —
+    //      the SAME arithmetic as q74's corpus scan, so index-served and
+    //      scan-served retrieval cannot drift. At 100 TB: maintenance per
+    //      batch ∝ changed docs' term sets; query cost ∝ query terms'
+    //      postings + a doc-count-sized store agg — never a corpus scan.
+    //      Oracle: q74's shared CTE chain over the declaratively-mutated
+    //      final corpus.
+    "q222_inverted_index" -> ((s, dir) => {
+      import graft.cdc.{CdcApplier, ChangeFeed}
+      val docs = t(s, dir, "documents")
+      val root = java.nio.file.Files.createTempDirectory("graft_invidx").toString
+      val post = root + "/postings"; val dlen = root + "/doclen"
+      val popts = CdcApplier.Options(Seq("term", "doc_id"),
+        bucketCols = Some(Seq("term")))
+      val lopts = CdcApplier.Options(Seq("doc_id"))
+      def applyDocBatch(changes: DataFrame): Unit = {
+        CdcApplier.applyBatch(s, invertedIndexFeed(changes), post, popts)
+        CdcApplier.applyBatch(s, doclenFeed(changes), dlen, lopts)
+        ()
+      }
+      val b2base = 10000000L
+      val edited = concat(col("text"), lit(" spark spark query"))
+      val cur1 = docs.withColumn("text",
+        when(col("doc_id") % 5 === 1, edited).otherwise(col("text")))
+      applyDocBatch(ChangeFeed.inserts(docs, col("doc_id") * 10))
+      applyDocBatch(
+        ChangeFeed.updates(docs.filter(col("doc_id") % 5 === 1),
+            Map("text" -> edited), col("doc_id") * 10 + 3 + b2base)
+          .union(ChangeFeed.deletes(cur1.filter(col("doc_id") % 7 === 2),
+            col("doc_id") * 10 + 5 + b2base)))
+      // serve: term-bucket-pruned postings lookups + the length store
+      val qterms = s.createDataFrame(
+        s.sparkContext.parallelize(Bm25Query.map(org.apache.spark.sql.Row(_))),
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("term",
+            org.apache.spark.sql.types.StringType))))
+      val postings = CdcApplier.pointLookup(s, post, qterms)
+        .select(col("doc_id"), col("term"), col("tf"))
+      val dlSnap = CdcApplier.snapshot(s, dlen).select(col("doc_id"), col("dl"))
+      bm25FromStats(postings, dlSnap)
+        .orderBy(col("doc_id"))
+    }),
+
     "q169_hybrid_rrf" -> ((s, dir) => {
       graft.functions.GraftFunctions.register(s)
       def pool(df: DataFrame, scoreCol: String, rankName: String) = df
@@ -278,21 +386,23 @@ object Retrieval {
     })
   )
 
-  /** The q74/q169 shared BM25 oracle chain ending in
-    * `bm(doc_id, n_hit, score)` — the SQL twin of [[bm25Scores]]. */
-  private val bm25Ctes: String = {
+  /** The q74/q169/q222 shared BM25 oracle chain ending in
+    * `bm(doc_id, n_hit, score)` — the SQL twin of [[bm25Scores]],
+    * parameterized by the corpus relation (q222 scores the declaratively
+    * MUTATED corpus its index was maintained to). */
+  private def bm25CtesFrom(from: String): String = {
     val terms = Bm25Query.map(q => s"'$q'").mkString(", ")
     s"""d AS (
         SELECT doc_id,
           len(regexp_extract_all(lower(text), '[a-z0-9]+'))::BIGINT AS dl
-        FROM documents),
+        FROM $from),
       stats AS (
         SELECT CAST(sum(dl) AS BIGINT)::DOUBLE / count(*)::DOUBLE AS avgdl,
           CAST(count(*) AS BIGINT) AS n_docs
         FROM d),
       w AS (
         SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term
-        FROM documents),
+        FROM $from),
       tf AS (
         SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
         FROM w WHERE term IN ($terms) GROUP BY doc_id, term),
@@ -325,14 +435,26 @@ object Retrieval {
       ORDER BY term""",
 
     "q74_bm25" -> s"""
-      WITH $bm25Ctes
+      WITH ${bm25CtesFrom("documents")}
+      SELECT doc_id, n_hit, score FROM bm ORDER BY doc_id""",
+
+    // q222: the index-served scores must equal the shared BM25 chain over
+    // the MUTATED final corpus (edits applied, deletions gone) — a stale
+    // posting, a missed tf update, or a leaked tombstone breaks the hash.
+    "q222_inverted_index" -> s"""
+      WITH cur AS MATERIALIZED (
+        SELECT doc_id,
+          CASE WHEN doc_id % 5 = 1 THEN text || ' spark spark query'
+               ELSE text END AS text
+        FROM documents WHERE doc_id % 7 <> 2),
+      ${bm25CtesFrom("cur")}
       SELECT doc_id, n_hit, score FROM bm ORDER BY doc_id""",
 
     // q169: the shared BM25 chain's scores pooled to top-RrfPool, the
     // q50-fold cosine arm likewise, RRF = 1/(60+rank) summed over a FULL
     // JOIN of the pools (an arm can retrieve docs the other never saw).
     "q169_hybrid_rrf" -> s"""
-      WITH $bm25Ctes,
+      WITH ${bm25CtesFrom("documents")},
       spool AS (
         SELECT doc_id, ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS r_sparse
         FROM (SELECT doc_id, score FROM bm ORDER BY score DESC, doc_id

@@ -928,6 +928,22 @@ class PlanSpec extends AnyFunSuite {
     assert(globals.isEmpty, s"unpartitioned corpus window:\n${globals.mkString("\n")}")
   }
 
+  test("q222: index-served BM25 reads only the query terms' buckets") {
+    val p = plan("q222_inverted_index")
+    // the postings lookup bucket-prunes on the term prefix and pushes the
+    // term IN-list for row-group skipping — query cost ∝ query terms'
+    // postings, never the index
+    assert(p.linesIterator.exists(l =>
+        l.contains("PartitionFilters") && l.contains("graft_bucket") && l.contains("IN")),
+      s"postings scan must prune to the query terms' buckets:\n$p")
+    assert(p.linesIterator.exists(l =>
+        l.contains("PushedFilters") && l.contains("In(term")),
+      s"the term IN-list must reach PushedFilters:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+    // df + corpus stats ride broadcasts (term-count and 1-row frames)
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
   test("q204/q205: omnibus windows partition by priority; bag ops don't explode") {
     val p204 = plan("q204_window_omnibus")
     assert(!p204.contains("CartesianProduct"), p204)
