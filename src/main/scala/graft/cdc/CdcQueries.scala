@@ -1074,6 +1074,37 @@ object CdcQueries {
         .orderBy($"o_orderkey")
     }),
 
+    // q131's time travel through the V2 CONNECTOR — the SQL-surface form:
+    // `.option("asOfPos", pos)` applies the as-of cut BEFORE latest-per-
+    // key resolution with snapshotAsOf's exact guards (mor-only, floor
+    // refusal), so a SQL session reads historical state without the Scala
+    // API. Same lifecycle, one extra connector read at HEAD proving the
+    // option's absence serves current state (the two reads differ exactly
+    // by batch 2's effect). Shares q131's oracle for the as-of leg; the
+    // head leg replays declaratively.
+    "q224_sql_time_travel" -> ((s, dir) => {
+      import s.implicits._
+      val o = Tables.load(s, dir, "orders")
+      val target = Files.createTempDirectory("graft_cdc").toString + "/orders_tt2"
+      val opts = CdcApplier.Options(Seq("o_orderkey"))
+      val b2base = 10000000L
+      CdcApplier.applyBatchMor(s,
+        ChangeFeed.inserts(o, $"o_orderkey" * 10), target, opts)
+      CdcApplier.applyBatchMor(s,
+        ChangeFeed.updates(o.filter($"o_orderkey" % 3 === 0),
+          Map("o_totalprice" -> ($"o_totalprice" * 1.15)),
+          $"o_orderkey" * 10 + 1 + b2base)
+          .union(ChangeFeed.deletes(o.filter($"o_orderkey" % 7 === 2),
+            $"o_orderkey" * 10 + 3 + b2base)),
+        target, opts)
+      val ocols = o.columns.map(col).toIndexedSeq
+      val asOf = s.read.format("graft").option("asOfPos", b2base - 1).load(target)
+        .select(lit("asof").as("leg") +: ocols: _*)
+      val head = s.read.format("graft").load(target)
+        .select(lit("head").as("leg") +: ocols: _*)
+      asOf.unionByName(head).orderBy($"leg", $"o_orderkey")
+    }),
+
     // The q33 streaming topology with the MERGE-ON-READ sink: same
     // from_json -> startPerTable pipeline, but every micro-batch lands as
     // appended delta files (applyBatchMor) and compactEvery=1 runs the
@@ -2274,6 +2305,20 @@ object CdcQueries {
         o_orderdate, o_orderpriority
       FROM orders
       ORDER BY o_orderkey""",
+
+    // q224: asof leg = q131's oracle body verbatim (pre-batch-2 state =
+    // the raw table); head leg = batch 2's reprice + deletes applied.
+    "q224_sql_time_travel" -> """
+      SELECT 'asof' AS leg, o_orderkey, o_custkey, o_orderstatus,
+        o_totalprice, o_orderdate, o_orderpriority
+      FROM orders
+      UNION ALL
+      SELECT 'head' AS leg, o_orderkey, o_custkey, o_orderstatus,
+        CASE WHEN o_orderkey % 3 = 0 THEN o_totalprice * 1.15
+             ELSE o_totalprice END AS o_totalprice,
+        o_orderdate, o_orderpriority
+      FROM orders WHERE o_orderkey % 7 <> 2
+      ORDER BY leg, o_orderkey""",
 
     // Both tagged states replayed declaratively. current: the %13
     // after-images are rebuilt from the BASE table (upsert resurrection —

@@ -134,6 +134,37 @@ object Retrieval {
       img("before").as("before"), img("after").as("after"))
   }
 
+  private[graft] def postingsOpts = graft.cdc.CdcApplier.Options(
+    Seq("term", "doc_id"), bucketCols = Some(Seq("term")))
+  private[graft] def doclenOpts = graft.cdc.CdcApplier.Options(Seq("doc_id"))
+
+  /** One documents micro-batch into BOTH index stores — the q222 feeds
+    * under the streaming contract. Exactly-once by the applier's per-key
+    * position guard (both feeds are deterministic projections of the
+    * batch, so a crash-replayed batch re-derives identical rows at
+    * identical positions — q217/q218's idempotence-by-position). */
+  private[graft] def applyInvertedIndexBatch(spark: SparkSession,
+      batch: DataFrame, postDir: String, dlenDir: String): Unit = {
+    if (batch.isEmpty) return
+    graft.cdc.CdcApplier.applyBatch(spark, invertedIndexFeed(batch), postDir, postingsOpts)
+    graft.cdc.CdcApplier.applyBatch(spark, doclenFeed(batch), dlenDir, doclenOpts)
+    ()
+  }
+
+  /** Streaming inverted-index topology (q223): the q170 streaming-index
+    * discipline for the MULTI-entry index — one checkpointed foreachBatch
+    * maintains postings + doc-length stores from the documents CDC
+    * envelope; a search deployment's index is live within one micro-batch
+    * of its corpus. */
+  def startInvertedIndex(changes: DataFrame, postDir: String, dlenDir: String,
+      checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery =
+    changes.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        applyInvertedIndexBatch(batch.sparkSession, batch, postDir, dlenDir)
+      }
+      .start()
+
   /** q80 collocation thresholds: a bigram needs [[CollocMinCount]]
     * occurrences to be scored; the top [[CollocTopK]] by lift are kept. */
   val CollocMinCount = 5
@@ -251,14 +282,8 @@ object Retrieval {
       val docs = t(s, dir, "documents")
       val root = java.nio.file.Files.createTempDirectory("graft_invidx").toString
       val post = root + "/postings"; val dlen = root + "/doclen"
-      val popts = CdcApplier.Options(Seq("term", "doc_id"),
-        bucketCols = Some(Seq("term")))
-      val lopts = CdcApplier.Options(Seq("doc_id"))
-      def applyDocBatch(changes: DataFrame): Unit = {
-        CdcApplier.applyBatch(s, invertedIndexFeed(changes), post, popts)
-        CdcApplier.applyBatch(s, doclenFeed(changes), dlen, lopts)
-        ()
-      }
+      def applyDocBatch(changes: DataFrame): Unit =
+        applyInvertedIndexBatch(s, changes, post, dlen)
       val b2base = 10000000L
       val edited = concat(col("text"), lit(" spark spark query"))
       val cur1 = docs.withColumn("text",
@@ -270,6 +295,64 @@ object Retrieval {
           .union(ChangeFeed.deletes(cur1.filter(col("doc_id") % 7 === 2),
             col("doc_id") * 10 + 5 + b2base)))
       // serve: term-bucket-pruned postings lookups + the length store
+      val qterms = s.createDataFrame(
+        s.sparkContext.parallelize(Bm25Query.map(org.apache.spark.sql.Row(_))),
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("term",
+            org.apache.spark.sql.types.StringType))))
+      val postings = CdcApplier.pointLookup(s, post, qterms)
+        .select(col("doc_id"), col("term"), col("tf"))
+      val dlSnap = CdcApplier.snapshot(s, dlen).select(col("doc_id"), col("dl"))
+      bm25FromStats(postings, dlSnap)
+        .orderBy(col("doc_id"))
+    }),
+
+    // ---- q223: the STREAMING deployment of q222 — the same lifecycle
+    //      as two micro-batches through startInvertedIndex's checkpointed
+    //      foreachBatch (q170's streaming-index discipline, multi-entry
+    //      form), the last micro-batch re-delivered (crash replay -> no-op
+    //      by the applier's position guard), then the identical index-
+    //      served BM25 read. Shares q222's oracle verbatim (q137/q149/
+    //      q170's one-decision-procedure discipline).
+    "q223_stream_inverted_index" -> ((s, dir) => {
+      import s.implicits._
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+      import graft.cdc.{CdcApplier, ChangeFeed, EnvelopeRow}
+      val docs = t(s, dir, "documents")
+      val root = java.nio.file.Files.createTempDirectory("graft_sinvidx").toString
+      val post = root + "/postings"; val dlen = root + "/doclen"
+
+      def toEnvelope(changes: DataFrame): Array[EnvelopeRow] =
+        changes.select(col("op"), lit("documents").as("table"), col("next_position"),
+            to_json(col("before")).as("before_json"), to_json(col("after")).as("after_json"))
+          .as[EnvelopeRow].collect()
+      val b2base = 10000000L
+      val edited = concat(col("text"), lit(" spark spark query"))
+      val cur1 = docs.withColumn("text",
+        when(col("doc_id") % 5 === 1, edited).otherwise(col("text")))
+      val envBatches = Seq(
+        toEnvelope(ChangeFeed.inserts(docs, col("doc_id") * 10)),
+        toEnvelope(ChangeFeed.updates(docs.filter(col("doc_id") % 5 === 1),
+            Map("text" -> edited), col("doc_id") * 10 + 3 + b2base)
+          .union(ChangeFeed.deletes(cur1.filter(col("doc_id") % 7 === 2),
+            col("doc_id") * 10 + 5 + b2base))))
+
+      def parse(df: DataFrame): DataFrame =
+        df.select(col("op"), col("next_position"),
+          from_json(col("before_json"), docs.schema).as("before"),
+          from_json(col("after_json"), docs.schema).as("after"))
+      val src = MemoryStream[EnvelopeRow]
+      val q = startInvertedIndex(parse(src.toDF()), post, dlen, s"$root/ckpt")
+      // ONE addData per lifecycle batch (monotone-position feed contract)
+      try envBatches.foreach { rows =>
+        src.addData(rows.toIndexedSeq)
+        q.processAllAvailable()
+      } finally q.stop()
+      // crash replay of the last micro-batch: exact no-op by position guard
+      applyInvertedIndexBatch(s,
+        parse(s.createDataset(envBatches.last.toIndexedSeq).toDF()), post, dlen)
+
       val qterms = s.createDataFrame(
         s.sparkContext.parallelize(Bm25Query.map(org.apache.spark.sql.Row(_))),
         org.apache.spark.sql.types.StructType(Seq(
@@ -422,6 +505,15 @@ object Retrieval {
         FROM scored GROUP BY doc_id)"""
   }
 
+  private val invertedIndexOracle: String = s"""
+      WITH cur AS MATERIALIZED (
+        SELECT doc_id,
+          CASE WHEN doc_id % 5 = 1 THEN text || ' spark spark query'
+               ELSE text END AS text
+        FROM documents WHERE doc_id % 7 <> 2),
+      ${bm25CtesFrom("cur")}
+      SELECT doc_id, n_hit, score FROM bm ORDER BY doc_id"""
+
   val oracles: Map[String, String] = Map(
     "q72_heavy_hitters" -> s"""
       WITH w AS (
@@ -438,17 +530,12 @@ object Retrieval {
       WITH ${bm25CtesFrom("documents")}
       SELECT doc_id, n_hit, score FROM bm ORDER BY doc_id""",
 
-    // q222: the index-served scores must equal the shared BM25 chain over
-    // the MUTATED final corpus (edits applied, deletions gone) — a stale
-    // posting, a missed tf update, or a leaked tombstone breaks the hash.
-    "q222_inverted_index" -> s"""
-      WITH cur AS MATERIALIZED (
-        SELECT doc_id,
-          CASE WHEN doc_id % 5 = 1 THEN text || ' spark spark query'
-               ELSE text END AS text
-        FROM documents WHERE doc_id % 7 <> 2),
-      ${bm25CtesFrom("cur")}
-      SELECT doc_id, n_hit, score FROM bm ORDER BY doc_id""",
+    // q222/q223: the index-served scores must equal the shared BM25 chain
+    // over the MUTATED final corpus (edits applied, deletions gone) — a
+    // stale posting, a missed tf update, or a leaked tombstone breaks the
+    // hash. ONE text gates batch and streaming maintenance.
+    "q222_inverted_index" -> invertedIndexOracle,
+    "q223_stream_inverted_index" -> invertedIndexOracle,
 
     // q169: the shared BM25 chain's scores pooled to top-RrfPool, the
     // q50-fold cosine arm likewise, RRF = 1/(60+rank) summed over a FULL

@@ -73,8 +73,10 @@ class GraftDataSource extends TableProvider with RelationProvider with DataSourc
 
   override def getTable(
       schema: StructType, partitioning: Array[Transform],
-      properties: java.util.Map[String, String]): Table =
-    new GraftTable(GraftDataSource.pathOf(new CaseInsensitiveStringMap(properties)), schema)
+      properties: java.util.Map[String, String]): Table = {
+    val opts = new CaseInsensitiveStringMap(properties)
+    new GraftTable(GraftDataSource.pathOf(opts), schema, GraftDataSource.asOfOf(opts))
+  }
 
   /** V1 seam for SQL-on-file (``SELECT ... FROM graft.`dir` `` resolves
     * through [[RelationProvider]], not [[TableProvider]]) — same planning
@@ -85,13 +87,17 @@ class GraftDataSource extends TableProvider with RelationProvider with DataSourc
       ctx: SQLContext, parameters: Map[String, String]): BaseRelation = {
     val dir = parameters.getOrElse("path", throw new IllegalArgumentException(
       "graft source needs a path"))
-    new GraftV1Relation(ctx, dir)
+    val asOf = parameters.collectFirst {
+      case (k, v) if k.equalsIgnoreCase("asofpos") => v.toLong
+    }
+    new GraftV1Relation(ctx, dir, asOf)
   }
 }
 
 /** The SQL-on-file relation: per-`buildScan` (per query) bucket pruning and
   * filter application — exactly [[GraftScan]]'s plan, V1-shaped. */
-class GraftV1Relation(ctx: SQLContext, targetDir: String)
+class GraftV1Relation(ctx: SQLContext, targetDir: String,
+    asOf: Option[Long] = None)
     extends BaseRelation with PrunedFilteredScan {
   override def sqlContext: SQLContext = ctx
   override val schema: StructType =
@@ -111,7 +117,7 @@ class GraftV1Relation(ctx: SQLContext, targetDir: String)
     val meta = TargetMeta.read(hconf, target)
     val covered = GraftScan.coveredBuckets(meta, schema, filters, all)
     val required = StructType(requiredColumns.map(schema(_)))
-    GraftScan.planRead(spark, targetDir, schema, required, filters, covered)
+    GraftScan.planRead(spark, targetDir, schema, required, filters, covered, asOf)
       .queryExecution.toRdd.asInstanceOf[RDD[Row]]
   }
   override def toString: String = s"GraftV1Relation($targetDir)"
@@ -123,16 +129,24 @@ object GraftDataSource {
     p.getOrElse(throw new IllegalArgumentException(
       "graft source needs exactly one path: spark.read.format(\"graft\").load(targetDir)"))
   }
+
+  /** Time-travel read option: `.option("asOfPos", pos)` serves the state
+    * AS OF that position — [[CdcApplier.snapshotAsOf]]'s semantics (mor
+    * layouts only; positions below the compaction/vacuum floor are
+    * refused rather than answered wrong) available to plain SQL. */
+  private[sources] def asOfOf(options: CaseInsensitiveStringMap): Option[Long] =
+    Option(options.get("asofpos")).map(_.toLong)
 }
 
-class GraftTable(val targetDir: String, tableSchema: StructType)
-    extends Table with SupportsRead {
+class GraftTable(val targetDir: String, tableSchema: StructType,
+    asOf: Option[Long] = None) extends Table with SupportsRead {
   override def name(): String = s"graft.`$targetDir`"
   override def schema(): StructType = tableSchema
   override def capabilities(): java.util.Set[TableCapability] =
     java.util.EnumSet.of(TableCapability.BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new GraftScanBuilder(SparkSession.active, targetDir, tableSchema)
+    new GraftScanBuilder(SparkSession.active, targetDir, tableSchema,
+      asOf.orElse(GraftDataSource.asOfOf(options)))
 }
 
 object GraftTable {
@@ -158,7 +172,8 @@ object GraftTable {
   }
 }
 
-class GraftScanBuilder(spark: SparkSession, targetDir: String, fullSchema: StructType)
+class GraftScanBuilder(spark: SparkSession, targetDir: String, fullSchema: StructType,
+    asOf: Option[Long] = None)
     extends ScanBuilder with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
 
   private var pushed: Array[Filter] = Array.empty
@@ -177,7 +192,8 @@ class GraftScanBuilder(spark: SparkSession, targetDir: String, fullSchema: Struc
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
 
-  override def build(): Scan = new GraftScan(spark, targetDir, fullSchema, required, pushed)
+  override def build(): Scan =
+    new GraftScan(spark, targetDir, fullSchema, required, pushed, asOf)
 }
 
 /** One planned read: bucket pruning + filter classification happen HERE
@@ -185,7 +201,8 @@ class GraftScanBuilder(spark: SparkSession, targetDir: String, fullSchema: Struc
   * serves a stale swap). */
 class GraftScan(
     spark: SparkSession, targetDir: String, fullSchema: StructType,
-    required: StructType, pushed: Array[Filter]) extends V1Scan {
+    required: StructType, pushed: Array[Filter],
+    asOf: Option[Long] = None) extends V1Scan {
 
   /** (covered bucket ids, all bucket ids) — exposed for plan tests. */
   val (prunedBuckets, allBuckets): (Seq[Int], Seq[Int]) = {
@@ -201,7 +218,7 @@ class GraftScan(
   /** The inner declarative plan the relation executes — also the seam the
     * plan-shape tests inspect (`innerDf.queryExecution`). */
   val innerDf: DataFrame = GraftScan.planRead(
-    spark, targetDir, fullSchema, required, pushed, prunedBuckets)
+    spark, targetDir, fullSchema, required, pushed, prunedBuckets, asOf)
 
   override def readSchema(): StructType = required
 
@@ -332,12 +349,28 @@ object GraftScan {
     * mor resolve → tombstone filter → (remaining filters) → projection. */
   private[sources] def planRead(
       spark: SparkSession, targetDir: String, fullSchema: StructType,
-      required: StructType, pushed: Array[Filter], buckets: Seq[Int]): DataFrame = {
+      required: StructType, pushed: Array[Filter], buckets: Seq[Int],
+      asOf: Option[Long] = None): DataFrame = {
     val hconf = spark.sparkContext.hadoopConfiguration
     val target = new Path(targetDir)
     val meta = TargetMeta.read(hconf, target)
     val isMor = meta.exists(_.storage.contains("mor"))
     val pkCols = meta.flatMap(_.pkCols).getOrElse(Seq.empty)
+    // time travel: snapshotAsOf's guards verbatim — mor only, and a
+    // position below the retained-history floor is refused, never
+    // answered with the collapsed (wrong) history
+    asOf.foreach { pos =>
+      val m = meta.getOrElse(
+        throw new IllegalStateException(s"no graft table state at $targetDir"))
+      if (!m.storage.contains("mor"))
+        throw new IllegalStateException(
+          s"$targetDir is copy-on-write - superseded versions are rewritten away; " +
+            "asOfPos needs the mor layout")
+      val floor = math.max(m.horizon, m.collapsed.getOrElse(Long.MinValue))
+      if (pos < floor)
+        throw new IllegalArgumentException(
+          s"asOfPos $pos predates the retained history (floor $floor)")
+    }
 
     if (buckets.isEmpty) {
       val empty = spark.createDataFrame(
@@ -359,7 +392,10 @@ object GraftScan {
     def applyFilters(df: DataFrame, fs: Array[Filter]): DataFrame =
       fs.flatMap(toColumn).foldLeft(df)(_.filter(_))
 
-    val filtered = applyFilters(raw, below)
+    // the as-of cut applies BEFORE latest-per-key resolution (a key's
+    // winner as of pos is its newest version at or below pos)
+    val cut = asOf.map(pos => raw.filter(col(CdcApplier.POS) <= pos)).getOrElse(raw)
+    val filtered = applyFilters(cut, below)
     val resolved = if (isMor) CdcApplier.resolveOnRead(filtered, pkCols) else filtered
     val live = applyFilters(resolved.filter(!col(DEL)), above)
     live.select(required.fieldNames.map(col).toIndexedSeq: _*)

@@ -192,6 +192,29 @@ class GraftDataSourceSpec extends AnyFunSuite {
     } finally spark.sql("DROP TABLE IF EXISTS graft_accts")
   }
 
+  test("asOfPos: mor time travel through the connector, with snapshotAsOf's guards") {
+    val target = newDir()
+    val one = Seq((1L, 1L, 10.0, "t0")).toDF("k", "grp", "bal", "tag")
+    CdcApplier.applyBatchMor(spark, ChangeFeed.inserts(one, lit(100L)), target, opts)
+    CdcApplier.applyBatchMor(spark,
+      ChangeFeed.updates(one, Map("bal" -> lit(999.0)), lit(200L)), target, opts)
+    def at(pos: Long) = spark.read.format("graft")
+      .option("asOfPos", pos).load(target).select($"bal").as[Double].collect().toSeq
+    assert(at(150L) == Seq(10.0)) // pre-update state
+    assert(at(250L) == Seq(999.0)) // post-update state
+    // compaction collapses history; a pre-floor position is REFUSED
+    CdcApplier.compactMor(spark, target)
+    val e = intercept[Exception] { at(150L) }
+    assert(e.getMessage.contains("retained history"), e.getMessage)
+    // cow layouts have no history to travel
+    val cow = newDir()
+    CdcApplier.applyBatch(spark, ChangeFeed.inserts(one, lit(10L)), cow, opts)
+    val e2 = intercept[Exception] {
+      spark.read.format("graft").option("asOfPos", 5L).load(cow).collect()
+    }
+    assert(e2.getMessage.contains("copy-on-write"), e2.getMessage)
+  }
+
   test("empty target (meta only, no buckets) reads as typed empty table") {
     val target = newDir()
     val one = Seq((1L, 1L, 10.0, "t0")).toDF("k", "grp", "bal", "tag")
