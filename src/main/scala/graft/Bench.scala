@@ -109,7 +109,8 @@ object Bench {
       "q210_stream_attribution", "q215_stream_cusum",
       "q216_sql_connector", "q217_stream_join_view", "q218_stream_topk_view",
       "q219_stream_distinct_view", "q220_epoch_index", "q221_release_capstone",
-      "q222_inverted_index", "q223_stream_inverted_index", "q224_sql_time_travel")
+      "q222_inverted_index", "q223_stream_inverted_index", "q224_sql_time_travel",
+      "q225_sql_changefeed")
 
     def measure(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame)
         : (Double, Seq[Double], Seq[(Long, Long, Long)]) = {

@@ -730,6 +730,46 @@ object CdcQueries {
         .orderBy($"o_orderkey")
     }),
 
+    // q138 driven ENTIRELY through the SQL surface: the replica is fed by
+    // connector reads — `.option("changesFrom", cursor)` switches the
+    // relation to the reconstructed CDC envelope (Delta CDF's
+    // table_changes on the graft surface), with changeFeed's mor/floor
+    // guards and schema. Same three batches, same cursors; the replayed
+    // envelope lands through the ordinary applier, so a wrong op class,
+    // missing before-image, or positional slip in the CONNECTOR's
+    // envelope breaks q138's shared oracle.
+    "q225_sql_changefeed" -> ((s, dir) => {
+      import s.implicits._
+      val o = Tables.load(s, dir, "orders")
+      val base = Files.createTempDirectory("graft_cdc").toString
+      val src = base + "/orders_scf_src"
+      val dst = base + "/orders_scf_dst"
+      val opts = CdcApplier.Options(Seq("o_orderkey"))
+      val b2base = 10000000L
+      val b3base = 20000000L
+      val cur1 = o.withColumn("o_totalprice",
+        when($"o_orderkey" % 4 === 1, $"o_totalprice" * 1.3).otherwise($"o_totalprice"))
+      val cur2 = cur1.filter($"o_orderkey" % 9 =!= 5)
+      val batches = Seq(
+        ChangeFeed.inserts(o, $"o_orderkey" * 10),
+        ChangeFeed.updates(o.filter($"o_orderkey" % 4 === 1),
+          Map("o_totalprice" -> ($"o_totalprice" * 1.3)),
+          $"o_orderkey" * 10 + 2 + b2base)
+          .union(ChangeFeed.deletes(o.filter($"o_orderkey" % 9 === 5),
+            $"o_orderkey" * 10 + 4 + b2base)),
+        ChangeFeed.updates(cur2.filter($"o_orderkey" % 10 === 6),
+          Map("o_orderpriority" -> lit("3-LOW")), $"o_orderkey" * 10 + 6 + b3base))
+      val cursors = Seq(Long.MinValue, b2base - 1, b3base - 1)
+      batches.zip(cursors).foreach { case (b, from) =>
+        CdcApplier.applyBatchMor(s, b, src, opts)
+        val feed = s.read.format("graft").option("changesFrom", from).load(src)
+        CdcApplier.applyBatch(s, feed, dst, opts)
+      }
+      CdcApplier.snapshot(s, dst)
+        .select(o.columns.map(col).toIndexedSeq: _*)
+        .orderBy($"o_orderkey")
+    }),
+
     // Temporal fact-to-SCD2 join — the warehouse pattern the history
     // exists FOR: each fact row (lineitem, at position key*10+line+1)
     // joins the dimension VERSION valid at its position, so facts
@@ -2126,6 +2166,18 @@ object CdcQueries {
       FROM cur GROUP BY o_orderpriority
       ORDER BY o_orderpriority"""
 
+  /** q138/q225 shared oracle: the final replicated state. */
+  private val q138OracleSql: String = """
+      SELECT o_orderkey, o_custkey, o_orderstatus,
+        CASE WHEN o_orderkey % 4 = 1 THEN o_totalprice * 1.3 ELSE o_totalprice END
+          AS o_totalprice,
+        o_orderdate,
+        CASE WHEN o_orderkey % 10 = 6 THEN '3-LOW' ELSE o_orderpriority END
+          AS o_orderpriority
+      FROM orders
+      WHERE o_orderkey % 9 <> 5
+      ORDER BY o_orderkey"""
+
   val oracles: Map[String, String] = Map(
     "q30_cdc_merge" -> """
       SELECT o_orderkey, o_custkey, o_orderstatus,
@@ -2240,16 +2292,10 @@ object CdcQueries {
     "q136_temporal_join" -> temporalJoinOracle,
     "q137_stream_enrich" -> temporalJoinOracle,
 
-    "q138_mor_changefeed" -> """
-      SELECT o_orderkey, o_custkey, o_orderstatus,
-        CASE WHEN o_orderkey % 4 = 1 THEN o_totalprice * 1.3 ELSE o_totalprice END
-          AS o_totalprice,
-        o_orderdate,
-        CASE WHEN o_orderkey % 10 = 6 THEN '3-LOW' ELSE o_orderpriority END
-          AS o_orderpriority
-      FROM orders
-      WHERE o_orderkey % 9 <> 5
-      ORDER BY o_orderkey""",
+    "q138_mor_changefeed" -> q138OracleSql,
+    // q225: the connector-served feed must land the replica on the same
+    // final state — one shared oracle text.
+    "q225_sql_changefeed" -> q138OracleSql,
 
     "q135_forget" -> """
       SELECT event_id, ts, user_id, event_type, value, props

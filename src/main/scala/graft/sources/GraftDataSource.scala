@@ -68,14 +68,19 @@ import graft.cdc.CdcApplier.TargetMeta
 class GraftDataSource extends TableProvider with RelationProvider with DataSourceRegister {
   override def shortName(): String = "graft"
 
-  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
-    GraftTable.tableSchema(SparkSession.active, GraftDataSource.pathOf(options))
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
+    val path = GraftDataSource.pathOf(options)
+    if (GraftDataSource.changesFromOf(options).isDefined)
+      GraftTable.changesSchema(SparkSession.active, path)
+    else GraftTable.tableSchema(SparkSession.active, path)
+  }
 
   override def getTable(
       schema: StructType, partitioning: Array[Transform],
       properties: java.util.Map[String, String]): Table = {
     val opts = new CaseInsensitiveStringMap(properties)
-    new GraftTable(GraftDataSource.pathOf(opts), schema, GraftDataSource.asOfOf(opts))
+    new GraftTable(GraftDataSource.pathOf(opts), schema,
+      GraftDataSource.asOfOf(opts), GraftDataSource.changesFromOf(opts))
   }
 
   /** V1 seam for SQL-on-file (``SELECT ... FROM graft.`dir` `` resolves
@@ -90,18 +95,22 @@ class GraftDataSource extends TableProvider with RelationProvider with DataSourc
     val asOf = parameters.collectFirst {
       case (k, v) if k.equalsIgnoreCase("asofpos") => v.toLong
     }
-    new GraftV1Relation(ctx, dir, asOf)
+    val changesFrom = parameters.collectFirst {
+      case (k, v) if k.equalsIgnoreCase("changesfrom") => v.toLong
+    }
+    new GraftV1Relation(ctx, dir, asOf, changesFrom)
   }
 }
 
 /** The SQL-on-file relation: per-`buildScan` (per query) bucket pruning and
   * filter application — exactly [[GraftScan]]'s plan, V1-shaped. */
 class GraftV1Relation(ctx: SQLContext, targetDir: String,
-    asOf: Option[Long] = None)
+    asOf: Option[Long] = None, changesFrom: Option[Long] = None)
     extends BaseRelation with PrunedFilteredScan {
   override def sqlContext: SQLContext = ctx
   override val schema: StructType =
-    GraftTable.tableSchema(ctx.sparkSession, targetDir)
+    if (changesFrom.isDefined) GraftTable.changesSchema(ctx.sparkSession, targetDir)
+    else GraftTable.tableSchema(ctx.sparkSession, targetDir)
   override def needConversion: Boolean = false
   // convention as in the V2 scan: pruning + parquet pushdown below, but the
   // engine keeps the authoritative evaluation above
@@ -115,9 +124,12 @@ class GraftV1Relation(ctx: SQLContext, targetDir: String,
     CdcApplier.openTarget(fs, target)
     val all = CdcApplier.bucketIds(fs, target)
     val meta = TargetMeta.read(hconf, target)
-    val covered = GraftScan.coveredBuckets(meta, schema, filters, all)
+    val covered =
+      if (changesFrom.isDefined) all
+      else GraftScan.coveredBuckets(meta, schema, filters, all)
     val required = StructType(requiredColumns.map(schema(_)))
-    GraftScan.planRead(spark, targetDir, schema, required, filters, covered, asOf)
+    GraftScan.planRead(spark, targetDir, schema, required, filters, covered,
+        asOf, changesFrom)
       .queryExecution.toRdd.asInstanceOf[RDD[Row]]
   }
   override def toString: String = s"GraftV1Relation($targetDir)"
@@ -136,17 +148,29 @@ object GraftDataSource {
     * refused rather than answered wrong) available to plain SQL. */
   private[sources] def asOfOf(options: CaseInsensitiveStringMap): Option[Long] =
     Option(options.get("asofpos")).map(_.toLong)
+
+  /** Change-feed read option: `.option("changesFrom", pos)` serves the
+    * reconstructed CDC envelope of every change with position > pos —
+    * [[CdcApplier.changeFeed]]'s semantics and guards (mor layouts are
+    * their own binlog between compactions; a cursor below the retained
+    * floor is refused). The table's schema switches to the envelope shape
+    * (op, next_position, before, after) — Delta CDF's `table_changes` on
+    * the graft surface. */
+  private[sources] def changesFromOf(options: CaseInsensitiveStringMap): Option[Long] =
+    Option(options.get("changesfrom")).map(_.toLong)
 }
 
 class GraftTable(val targetDir: String, tableSchema: StructType,
-    asOf: Option[Long] = None) extends Table with SupportsRead {
+    asOf: Option[Long] = None, changesFrom: Option[Long] = None)
+    extends Table with SupportsRead {
   override def name(): String = s"graft.`$targetDir`"
   override def schema(): StructType = tableSchema
   override def capabilities(): java.util.Set[TableCapability] =
     java.util.EnumSet.of(TableCapability.BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new GraftScanBuilder(SparkSession.active, targetDir, tableSchema,
-      asOf.orElse(GraftDataSource.asOfOf(options)))
+      asOf.orElse(GraftDataSource.asOfOf(options)),
+      changesFrom.orElse(GraftDataSource.changesFromOf(options)))
 }
 
 object GraftTable {
@@ -170,10 +194,26 @@ object GraftTable {
     StructType(stored.fields.filterNot(f =>
       f.name == CdcApplier.DEL || f.name == CdcApplier.BUCKET))
   }
+
+  /** The `changesFrom` mode's relation schema: the reconstructed CDC
+    * envelope — (op, next_position, before, after) with the image structs
+    * holding the DATA columns (layout columns excluded, `_graft_pos`
+    * included as `next_position`, not inside the images — exactly
+    * [[CdcApplier.changeFeed]]'s output shape). */
+  private[sources] def changesSchema(spark: SparkSession, targetDir: String): StructType = {
+    import org.apache.spark.sql.types._
+    val data = StructType(tableSchema(spark, targetDir).fields
+      .filterNot(_.name == CdcApplier.POS))
+    StructType(Seq(
+      StructField("op", StringType, nullable = false),
+      StructField("next_position", LongType, nullable = true),
+      StructField("before", data, nullable = true),
+      StructField("after", data, nullable = true)))
+  }
 }
 
 class GraftScanBuilder(spark: SparkSession, targetDir: String, fullSchema: StructType,
-    asOf: Option[Long] = None)
+    asOf: Option[Long] = None, changesFrom: Option[Long] = None)
     extends ScanBuilder with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
 
   private var pushed: Array[Filter] = Array.empty
@@ -189,11 +229,18 @@ class GraftScanBuilder(spark: SparkSession, targetDir: String, fullSchema: Struc
   }
   override def pushedFilters(): Array[Filter] = pushed
 
+  /** Top-level column pruning only: Catalyst may hand a schema with
+    * NESTED-pruned struct fields (e.g. `before: struct<bal>` in the
+    * change-feed mode); this scan serves whole columns, so each requested
+    * column is restored to its full declared type — a silently-accepted
+    * narrower struct would make the `needConversion=false` consumer read
+    * wrong ordinals inside the actual rows. Spark projects the nested
+    * extraction above the scan. */
   override def pruneColumns(requiredSchema: StructType): Unit =
-    required = requiredSchema
+    required = StructType(requiredSchema.fields.map(f => fullSchema(f.name)))
 
   override def build(): Scan =
-    new GraftScan(spark, targetDir, fullSchema, required, pushed, asOf)
+    new GraftScan(spark, targetDir, fullSchema, required, pushed, asOf, changesFrom)
 }
 
 /** One planned read: bucket pruning + filter classification happen HERE
@@ -202,7 +249,7 @@ class GraftScanBuilder(spark: SparkSession, targetDir: String, fullSchema: Struc
 class GraftScan(
     spark: SparkSession, targetDir: String, fullSchema: StructType,
     required: StructType, pushed: Array[Filter],
-    asOf: Option[Long] = None) extends V1Scan {
+    asOf: Option[Long] = None, changesFrom: Option[Long] = None) extends V1Scan {
 
   /** (covered bucket ids, all bucket ids) — exposed for plan tests. */
   val (prunedBuckets, allBuckets): (Seq[Int], Seq[Int]) = {
@@ -212,13 +259,17 @@ class GraftScan(
     CdcApplier.openTarget(fs, target)
     val all = CdcApplier.bucketIds(fs, target)
     val meta = TargetMeta.read(hconf, target)
-    (GraftScan.coveredBuckets(meta, fullSchema, pushed, all), all)
+    // the change feed reconstructs before-images from each touched key's
+    // version chain — its internal semi-join already bounds the read, and
+    // pushed-filter bucket pruning does not apply to the envelope shape
+    if (changesFrom.isDefined) (all, all)
+    else (GraftScan.coveredBuckets(meta, fullSchema, pushed, all), all)
   }
 
   /** The inner declarative plan the relation executes — also the seam the
     * plan-shape tests inspect (`innerDf.queryExecution`). */
   val innerDf: DataFrame = GraftScan.planRead(
-    spark, targetDir, fullSchema, required, pushed, prunedBuckets, asOf)
+    spark, targetDir, fullSchema, required, pushed, prunedBuckets, asOf, changesFrom)
 
   override def readSchema(): StructType = required
 
@@ -350,7 +401,18 @@ object GraftScan {
   private[sources] def planRead(
       spark: SparkSession, targetDir: String, fullSchema: StructType,
       required: StructType, pushed: Array[Filter], buckets: Seq[Int],
-      asOf: Option[Long] = None): DataFrame = {
+      asOf: Option[Long] = None, changesFrom: Option[Long] = None): DataFrame = {
+    require(asOf.isEmpty || changesFrom.isEmpty,
+      "asOfPos and changesFrom are mutually exclusive read modes")
+    // change-feed mode: the envelope IS the relation — CdcApplier
+    // reconstructs it (with its own mor/floor guards); translatable
+    // pushed filters apply on the final envelope frame (Spark
+    // re-evaluates above as always)
+    changesFrom.foreach { from =>
+      val feed = CdcApplier.changeFeed(spark, targetDir, from)
+      val filtered = pushed.flatMap(toColumn).foldLeft(feed)(_.filter(_))
+      return filtered.select(required.fieldNames.map(col).toIndexedSeq: _*)
+    }
     val hconf = spark.sparkContext.hadoopConfiguration
     val target = new Path(targetDir)
     val meta = TargetMeta.read(hconf, target)

@@ -215,6 +215,31 @@ class GraftDataSourceSpec extends AnyFunSuite {
     assert(e2.getMessage.contains("copy-on-write"), e2.getMessage)
   }
 
+  test("changesFrom: envelope reads through the connector, with changeFeed's guards") {
+    val target = newDir()
+    val one = Seq((1L, 1L, 10.0, "t0")).toDF("k", "grp", "bal", "tag")
+    CdcApplier.applyBatchMor(spark, ChangeFeed.inserts(one, lit(100L)), target, opts)
+    CdcApplier.applyBatchMor(spark,
+      ChangeFeed.updates(one, Map("bal" -> lit(999.0)), lit(200L)), target, opts)
+    val feed = spark.read.format("graft").option("changesFrom", 150L).load(target)
+    assert(feed.columns.toSeq == Seq("op", "next_position", "before", "after"))
+    val rows = feed.select($"op", $"next_position", $"before.bal", $"after.bal")
+      .as[(String, Long, Option[Double], Option[Double])].collect().toSeq
+    assert(rows == Seq(("update", 200L, Some(10.0), Some(999.0))), rows.toString)
+    // the two read modes are mutually exclusive
+    val e = intercept[Exception] {
+      spark.read.format("graft").option("changesFrom", 0L)
+        .option("asOfPos", 100L).load(target).collect()
+    }
+    assert(e.getMessage.contains("mutually exclusive"), e.getMessage)
+    // compaction collapses the version chain; a pre-floor cursor is refused
+    CdcApplier.compactMor(spark, target)
+    val e2 = intercept[Exception] {
+      spark.read.format("graft").option("changesFrom", 150L).load(target).collect()
+    }
+    assert(e2.getMessage.contains("retained history"), e2.getMessage)
+  }
+
   test("empty target (meta only, no buckets) reads as typed empty table") {
     val target = newDir()
     val one = Seq((1L, 1L, 10.0, "t0")).toDF("k", "grp", "bal", "tag")
