@@ -119,11 +119,19 @@ object CdcApplier {
     *  - `collapsed`: the highest position whose version history a
     *    [[compactMor]] has collapsed — [[snapshotAsOf]] refuses positions
     *    at or below it (an intermediate image may be gone, so the answer
-    *    could silently be the later state). */
+    *    could silently be the later state).
+    *  - `maxPos`: the highest position [[applyBatchMor]] has PUBLISHED
+    *    (updated after each batch's deltas land) — the change-feed
+    *    high-water mark a streaming tail ([[graft.sources]] `readStream`)
+    *    polls from metadata instead of scanning data. May lag the data
+    *    after a crash (stale-LOW is the safe direction: rows are
+    *    re-discovered, never skipped); absent on pre-upgrade targets →
+    *    readers fall back to a POS scan. */
   case class TargetMeta(numBuckets: Int, horizon: Long,
       schemaJson: Option[String] = None, pkCols: Option[Seq[String]] = None,
       bucketCols: Option[Seq[String]] = None, storage: Option[String] = None,
-      collapsed: Option[Long] = None, rangeBounds: Option[Seq[Long]] = None)
+      collapsed: Option[Long] = None, rangeBounds: Option[Seq[Long]] = None,
+      maxPos: Option[Long] = None)
 
   object TargetMeta {
     private def metaPath(target: Path) = new Path(target, ".graft_meta")
@@ -135,7 +143,8 @@ object CdcApplier {
           kv.get("pkCols").map(_.split(",").toSeq.filter(_.nonEmpty)),
           kv.get("bucketCols").map(_.split(",").toSeq.filter(_.nonEmpty)),
           kv.get("storage"), kv.get("collapsed").map(_.toLong),
-          kv.get("rangeBounds").map(_.split(",").toSeq.filter(_.nonEmpty).map(_.toLong)))
+          kv.get("rangeBounds").map(_.split(",").toSeq.filter(_.nonEmpty).map(_.toLong)),
+          kv.get("maxPos").map(_.toLong))
       }
 
     def write(conf: org.apache.hadoop.conf.Configuration, target: Path, m: TargetMeta): Unit =
@@ -146,6 +155,7 @@ object CdcApplier {
           m.storage.map(v => s"storage=$v\n").getOrElse("") +
           m.collapsed.map(v => s"collapsed=$v\n").getOrElse("") +
           m.rangeBounds.map(b => s"rangeBounds=${b.mkString(",")}\n").getOrElse("") +
+          m.maxPos.map(v => s"maxPos=$v\n").getOrElse("") +
           m.schemaJson.map(j => s"schema=$j\n").getOrElse(""))
   }
 
@@ -423,6 +433,7 @@ object CdcApplier {
     resolved.write.partitionBy(BUCKET).mode("overwrite").parquet(tmp.toString)
 
     val touched = scala.collection.mutable.ArrayBuffer.empty[Int]
+    val published = scala.collection.mutable.ArrayBuffer.empty[String]
     bucketIds(fs, tmp).foreach { b =>
       val from = new Path(tmp, s"$BUCKET=$b")
       val to = new Path(target, s"$BUCKET=$b")
@@ -431,10 +442,25 @@ object CdcApplier {
         val dest = new Path(to, s"delta-$token-${f.getPath.getName}")
         if (!fs.rename(f.getPath, dest))
           throw new IOException(s"cannot publish delta file ${f.getPath} -> $dest")
+        published += dest.toString
       }
       touched += b
     }
     fs.delete(tmp, true)
+    // Advance the persisted change-feed high-water mark (`maxPos`) — the
+    // metadata a streaming tail polls instead of scanning data. Strictly
+    // AFTER the deltas land: a crash in between leaves maxPos stale-LOW,
+    // so the tail re-discovers the rows when the replayed batch publishes
+    // and meta catches up — it can never silently skip past them. Cost:
+    // one POS-column read of just this batch's delta files.
+    if (published.nonEmpty) {
+      val batchMax = spark.read.parquet(published.toSeq: _*)
+        .agg(max(col(POS))).first()
+      if (!batchMax.isNullAt(0)) TargetMeta.read(hconf, target).foreach { m =>
+        val hi = math.max(m.maxPos.getOrElse(Long.MinValue), batchMax.getLong(0))
+        TargetMeta.write(hconf, target, m.copy(maxPos = Some(hi)))
+      }
+    }
     spark.catalog.refreshByPath(targetDir)
     touched.toSeq.sorted
   }

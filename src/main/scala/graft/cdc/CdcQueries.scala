@@ -770,6 +770,116 @@ object CdcQueries {
         .orderBy($"o_orderkey")
     }),
 
+    // STREAMING change-feed tail (q227): q225's replication chain driven
+    // by a REAL `spark.readStream.format("graft")` query — the mor
+    // primary's change feed arrives in micro-batches with offsets
+    // checkpointed by Structured Streaming (GraftChangeFeedSource), and
+    // each batch lands on the replica through the SAME applyBatch as the
+    // binlog path. Offsets come from the maxPos high-water mark in
+    // .graft_meta (one metadata read per trigger, zero data I/O); each
+    // micro-batch reconstructs exactly the (start, end] envelope range, so
+    // crash replay re-serves identical rows and the applier's LWW merge
+    // makes redelivery a no-op. Final replica state = the lifecycle's
+    // declarative image — q138's oracle gates it verbatim (one decision
+    // procedure for the batch feed, the SQL feed, and the streaming tail).
+    // 100 TB: per-trigger cost ∝ the new deltas (position-clustered files
+    // → row-group skipping below the cursor), never the table.
+    "q227_stream_changefeed" -> ((s, dir) => {
+      import s.implicits._
+      val o = Tables.load(s, dir, "orders")
+      val base = Files.createTempDirectory("graft_cdc").toString
+      val src = base + "/orders_stail_src"
+      val dst = base + "/orders_stail_dst"
+      val opts = CdcApplier.Options(Seq("o_orderkey"))
+      val b2base = 10000000L
+      val b3base = 20000000L
+      val cur1 = o.withColumn("o_totalprice",
+        when($"o_orderkey" % 4 === 1, $"o_totalprice" * 1.3).otherwise($"o_totalprice"))
+      val cur2 = cur1.filter($"o_orderkey" % 9 =!= 5)
+      val batches = Seq(
+        ChangeFeed.inserts(o, $"o_orderkey" * 10),
+        ChangeFeed.updates(o.filter($"o_orderkey" % 4 === 1),
+          Map("o_totalprice" -> ($"o_totalprice" * 1.3)),
+          $"o_orderkey" * 10 + 2 + b2base)
+          .union(ChangeFeed.deletes(o.filter($"o_orderkey" % 9 === 5),
+            $"o_orderkey" * 10 + 4 + b2base)),
+        ChangeFeed.updates(cur2.filter($"o_orderkey" % 10 === 6),
+          Map("o_orderpriority" -> lit("3-LOW")), $"o_orderkey" * 10 + 6 + b3base))
+      // the stream needs the layout to exist; batch 1 creates it
+      CdcApplier.applyBatchMor(s, batches.head, src, opts)
+      val tail = s.readStream.format("graft").load(src)
+        .writeStream
+        .option("checkpointLocation", base + "/ckpt")
+        .foreachBatch { (feed: DataFrame, _: Long) =>
+          CdcApplier.applyBatch(s, feed, dst, opts); ()
+        }
+        .start()
+      try {
+        tail.processAllAvailable()
+        batches.tail.foreach { b =>
+          CdcApplier.applyBatchMor(s, b, src, opts)
+          tail.processAllAvailable()
+        }
+      } finally tail.stop()
+      CdcApplier.snapshot(s, dst)
+        .select(o.columns.map(col).toIndexedSeq: _*)
+        .orderBy($"o_orderkey")
+    }),
+
+    // ONE-QUERY REPLICATION (q228): the reference's entire runtime
+    // topology — tail a change log (S1), apply with merge discipline
+    // (S9-S12), checkpoint offsets (S14) — as a single Structured
+    // Streaming query with ZERO custom code between source and sink:
+    //   readStream.format("graft").load(src)
+    //     .writeStream.format("graft").start(dst)
+    // The source serves (start,end] envelope ranges off the maxPos
+    // metadata cursor (q227); the sink recognizes the envelope shape and
+    // lands each micro-batch through applyBatch — exactly-once WITHOUT
+    // sink-side batch bookkeeping because positions make redelivery a
+    // no-op (idempotence-by-position). Same lifecycle, same declarative
+    // final state, same q138 oracle as the batch feed (q225) and the
+    // foreachBatch tail (q227): one decision procedure for every
+    // replication surface. 100 TB: per-trigger cost ∝ new deltas (source)
+    // + touched buckets (sink).
+    "q228_stream_replica" -> ((s, dir) => {
+      import s.implicits._
+      val o = Tables.load(s, dir, "orders")
+      val base = Files.createTempDirectory("graft_cdc").toString
+      val src = base + "/orders_repl_src"
+      val dst = base + "/orders_repl_dst"
+      val opts = CdcApplier.Options(Seq("o_orderkey"))
+      val b2base = 10000000L
+      val b3base = 20000000L
+      val cur1 = o.withColumn("o_totalprice",
+        when($"o_orderkey" % 4 === 1, $"o_totalprice" * 1.3).otherwise($"o_totalprice"))
+      val cur2 = cur1.filter($"o_orderkey" % 9 =!= 5)
+      val batches = Seq(
+        ChangeFeed.inserts(o, $"o_orderkey" * 10),
+        ChangeFeed.updates(o.filter($"o_orderkey" % 4 === 1),
+          Map("o_totalprice" -> ($"o_totalprice" * 1.3)),
+          $"o_orderkey" * 10 + 2 + b2base)
+          .union(ChangeFeed.deletes(o.filter($"o_orderkey" % 9 === 5),
+            $"o_orderkey" * 10 + 4 + b2base)),
+        ChangeFeed.updates(cur2.filter($"o_orderkey" % 10 === 6),
+          Map("o_orderpriority" -> lit("3-LOW")), $"o_orderkey" * 10 + 6 + b3base))
+      CdcApplier.applyBatchMor(s, batches.head, src, opts)
+      val repl = s.readStream.format("graft").load(src)
+        .writeStream.format("graft")
+        .option("checkpointLocation", base + "/ckpt")
+        .option("pk", "o_orderkey")
+        .start(dst)
+      try {
+        repl.processAllAvailable()
+        batches.tail.foreach { b =>
+          CdcApplier.applyBatchMor(s, b, src, opts)
+          repl.processAllAvailable()
+        }
+      } finally repl.stop()
+      CdcApplier.snapshot(s, dst)
+        .select(o.columns.map(col).toIndexedSeq: _*)
+        .orderBy($"o_orderkey")
+    }),
+
     // Temporal fact-to-SCD2 join — the warehouse pattern the history
     // exists FOR: each fact row (lineitem, at position key*10+line+1)
     // joins the dimension VERSION valid at its position, so facts
@@ -936,6 +1046,84 @@ object CdcQueries {
     //    parquet-view Catalog.map had (superseded versions served to SQL).
     // 100 TB: legs 1-2 read |keys|/covering buckets, never the table; leg 3
     // adds one per-bucket latest-per-key window after pruning.
+    // SQL WRITE surface (q226): the engine's tables accept hand-typed SQL —
+    // df.write seeds the layout, INSERT INTO upserts, DELETE FROM
+    // tombstones a pushed range, INSERT OVERWRITE replaces contents, and a
+    // merge-on-read target records the SQL statements as ordinary change
+    // history (served back through changesFrom). Every route funnels into
+    // GraftWrites.insertInto/deleteWhere → the SAME applyBatch merge the
+    // streaming applier uses: one shuffle on the bucket key, cost ∝ touched
+    // buckets, tombstone/LWW semantics identical to the binlog path — a SQL
+    // statement is just a change batch somebody typed.
+    // 100 TB: the upsert touches only the %7 keys' buckets; the DELETE's
+    // range predicate prunes to covering buckets before the tombstone scan;
+    // only OVERWRITE reads the current live set (its semantics demand it).
+    "q226_sql_write" -> ((s, dir) => {
+      import s.implicits._
+      val o = Tables.load(s, dir, "orders")
+      val base = Files.createTempDirectory("graft_cdc").toString
+      o.createOrReplaceTempView("q226_orders")
+
+      // leg 1 (cow): seed via df.write, upsert %7 via INSERT INTO (auto
+      // position), tombstone a key range via DELETE FROM
+      // positional INSERT lists follow the TABLE's served column order
+      // (the layout's own schema is the truth, not the source's)
+      def insertSql(table: String, priceExpr: String, posExpr: String,
+          where: String): String = {
+        val cols = s.table(table).columns.map {
+          case "o_totalprice" => s"$priceExpr AS o_totalprice"
+          case "_graft_pos"   => s"CAST($posExpr AS BIGINT) AS _graft_pos"
+          case c              => c
+        }
+        s"INSERT INTO $table SELECT ${cols.mkString(", ")} FROM q226_orders WHERE $where"
+      }
+
+      val cow = base + "/orders_sqlw_cow"
+      o.write.format("graft").option("pk", "o_orderkey")
+        .option("buckets", "8").option("position", "10").mode("append").save(cow)
+      s.sql("DROP TABLE IF EXISTS q226_cow")
+      s.sql(s"CREATE TABLE q226_cow USING graft OPTIONS (path '$cow')")
+      s.sql(insertSql("q226_cow", "o_totalprice * 1.2", "NULL", "o_orderkey % 7 = 0"))
+      s.sql("DELETE FROM q226_cow WHERE o_orderkey BETWEEN 1000 AND 3000")
+      val cowRead = s.sql("SELECT o_orderkey, o_totalprice, o_orderstatus FROM q226_cow")
+        .select(lit("cow").as("leg"), $"o_orderkey", $"o_totalprice",
+          $"o_orderstatus".as("tag"))
+
+      // leg 2 (overwrite): replace-contents is ONE batch of tombstones +
+      // inserts in the CDC algebra — not a directory wipe
+      val ow = base + "/orders_sqlw_ow"
+      o.filter($"o_orderkey" % 3 === 0).write.format("graft")
+        .option("pk", "o_orderkey").option("position", "10")
+        .mode("append").save(ow)
+      s.sql("DROP TABLE IF EXISTS q226_ow")
+      s.sql(s"CREATE TABLE q226_ow USING graft OPTIONS (path '$ow')")
+      s.sql(insertSql("q226_ow", "o_totalprice * 2.0", "NULL", "o_orderkey % 4 = 0")
+        .replaceFirst("INSERT INTO", "INSERT OVERWRITE"))
+      val owRead = s.sql("SELECT o_orderkey, o_totalprice, o_orderstatus FROM q226_ow")
+        .select(lit("ow").as("leg"), $"o_orderkey", $"o_totalprice",
+          $"o_orderstatus".as("tag"))
+
+      // leg 3 (mor): SQL writes ARE the change history — the per-row
+      // _graft_pos column carries explicit positions in, and changesFrom
+      // serves the statements back as envelopes
+      val mor = base + "/orders_sqlw_mor"
+      o.write.format("graft").option("pk", "o_orderkey")
+        .option("storage", "mor").option("position", "100")
+        .mode("append").save(mor)
+      s.sql("DROP TABLE IF EXISTS q226_mor")
+      s.sql(s"CREATE TABLE q226_mor USING graft OPTIONS (path '$mor')")
+      s.sql(insertSql("q226_mor", "o_totalprice * 1.5", "200", "o_orderkey % 5 = 0"))
+      val feed = s.read.format("graft").option("changesFrom", 150).load(mor)
+        .select(lit("feed").as("leg"), $"after.o_orderkey".as("o_orderkey"),
+          $"after.o_totalprice".as("o_totalprice"), $"op".as("tag"))
+
+      s.sql("DROP TABLE IF EXISTS q226_cow")
+      s.sql("DROP TABLE IF EXISTS q226_ow")
+      s.sql("DROP TABLE IF EXISTS q226_mor")
+      cowRead.unionByName(owRead).unionByName(feed)
+        .orderBy($"leg", $"o_orderkey")
+    }),
+
     "q216_sql_connector" -> ((s, dir) => {
       import s.implicits._
       val o = Tables.load(s, dir, "orders")
@@ -2297,6 +2485,13 @@ object CdcQueries {
     // final state — one shared oracle text.
     "q225_sql_changefeed" -> q138OracleSql,
 
+    // q227: same replication chain as q225, driven by the streaming tail —
+    // same declarative final state, same decision procedure.
+    "q227_stream_changefeed" -> q138OracleSql,
+
+    // q228: the chain again as ONE source->sink streaming query.
+    "q228_stream_replica" -> q138OracleSql,
+
     "q135_forget" -> """
       SELECT event_id, ts, user_id, event_type, value, props
       FROM events
@@ -2316,6 +2511,24 @@ object CdcQueries {
     // cow_in/mor_full are q110/q32's lifecycle (%7 reprice, %11 delete),
     // range_between is q134's — so the connector read cannot drift from
     // the Scala-API read of the same target.
+    // q226: replay the three SQL-written lifecycles — upsert+range-delete,
+    // replace-contents, and the mor target's change envelope.
+    "q226_sql_write" -> """
+      SELECT 'cow' AS leg, o_orderkey,
+        CASE WHEN o_orderkey % 7 = 0 THEN o_totalprice * 1.2 ELSE o_totalprice END AS o_totalprice,
+        o_orderstatus AS tag
+      FROM orders
+      WHERE NOT (o_orderkey BETWEEN 1000 AND 3000)
+      UNION ALL
+      SELECT 'ow' AS leg, o_orderkey, o_totalprice * 2.0 AS o_totalprice,
+        o_orderstatus AS tag
+      FROM orders WHERE o_orderkey % 4 = 0
+      UNION ALL
+      SELECT 'feed' AS leg, o_orderkey, o_totalprice * 1.5 AS o_totalprice,
+        'update' AS tag
+      FROM orders WHERE o_orderkey % 5 = 0
+      ORDER BY leg, o_orderkey""",
+
     "q216_sql_connector" -> """
       SELECT 'cow_in' AS leg, o_orderkey, o_custkey, o_orderstatus,
         CASE WHEN o_orderkey % 7 = 0 THEN o_totalprice * 1.2 ELSE o_totalprice END AS o_totalprice,

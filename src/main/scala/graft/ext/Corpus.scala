@@ -139,6 +139,10 @@ object Corpus {
   val CoreK = 3L
   val PeelRounds = 6
 
+  /** q229 BFS horizon — rounds are driver-synchronized equi-joins, so the
+    * hop bound is the iteration budget, not a correctness parameter. */
+  val BfsHops = 6
+
   /** q142 temperature-mixture geometry: sampling temperature alpha = 0.5
     * realized as sqrt (correctly-rounded IEEE in BOTH engines — a general
     * pow would go through exp/ln whose last ulp is libm-specific), and the
@@ -1026,6 +1030,46 @@ object Corpus {
     //      edge set only shrinks; rounds are a fixed constant (the
     //      trajectory is the gated object, not a fixpoint claim).
     //      Oracle = the identical rounds unrolled as CTEs.
+    // ---- q229: BFS hop layers (bounded multi-round frontier expansion) —
+    //      the reachability member of the graph family (q54 CC labels
+    //      components, this labels DISTANCE): per-hop counts and node sums
+    //      from the corpus min-id seed over q111's synthetic edge set,
+    //      undirected. Scale shape: each round is ONE left-semi equi-join
+    //      of the edge set against the frontier (shuffle keyed on node)
+    //      plus an anti-join against the visited set — cost ∝ frontier
+    //      degree sum, never nodes²; visited/frontier localCheckpoint per
+    //      round keeps the plan depth constant (q201's peel discipline).
+    //      First discovery = min distance, so no per-node min fold is
+    //      needed. The oracle walks the same graph with a recursive CTE
+    //      and takes min(dist) per node — an independent decision
+    //      procedure for every layer's membership.
+    "q229_bfs_layers" -> ((s, dir) => {
+      val d = t(s, dir, "documents").select(col("doc_id"))
+      val e0 = d.select(col("doc_id").as("src"), (col("doc_id") % 97).as("dst"))
+        .unionByName(d.select(col("doc_id").as("src"), expr("doc_id div 2").as("dst")))
+        .distinct()
+        .filter(col("src") =!= col("dst"))
+      val und = e0.select(col("src").as("v"), col("dst").as("u"))
+        .unionByName(e0.select(col("dst").as("v"), col("src").as("u")))
+        .distinct().localCheckpoint()
+      val seed = d.agg(min(col("doc_id")).as("node"))
+      var visited = seed.select(col("node"), lit(0L).as("dist")).localCheckpoint()
+      var frontier = visited.select(col("node"))
+      for (h <- 1 to BfsHops) {
+        val next = und
+          .join(frontier.withColumnRenamed("node", "v"), Seq("v"), "left_semi")
+          .select(col("u").as("node")).distinct()
+          .join(visited, Seq("node"), "left_anti")
+          .select(col("node"), lit(h.toLong).as("dist"))
+          .localCheckpoint()
+        visited = visited.unionByName(next).localCheckpoint()
+        frontier = next.select(col("node"))
+      }
+      visited.groupBy(col("dist"))
+        .agg(count(lit(1)).as("n"), sum(col("node")).as("sum_node"))
+        .repartition(1).sortWithinPartitions(col("dist"))
+    }),
+
     "q201_kcore_peel" -> ((s, dir) => {
       val d = t(s, dir, "documents").select(col("doc_id"))
       var edges = d.select(col("doc_id").as("x"), (col("doc_id") % 97).as("y"))
@@ -2502,6 +2546,30 @@ object Corpus {
     // The identical op tree to pageRankStep: same edge synthesis, same
     // uniform start, same left-assoc (1-d)/N + d·in + d·dangling/N, sums
     // at DECIMAL(38,18).
+    // q229: recursive-CTE walk of the same undirected graph from the same
+    // min-id seed; min(dist) per node = the BFS layer.
+    "q229_bfs_layers" -> s"""
+      WITH RECURSIVE edges AS (
+        SELECT src, dst FROM (
+          SELECT doc_id AS src, doc_id % 97 AS dst FROM documents
+          UNION
+          SELECT doc_id AS src, doc_id // 2 AS dst FROM documents) e
+        WHERE src <> dst),
+      und AS (
+        SELECT src AS v, dst AS u FROM edges
+        UNION
+        SELECT dst AS v, src AS u FROM edges),
+      walk AS (
+        SELECT (SELECT min(doc_id) FROM documents) AS node, CAST(0 AS BIGINT) AS dist
+        UNION
+        SELECT u.u AS node, w.dist + 1 AS dist
+        FROM walk w JOIN und u ON u.v = w.node
+        WHERE w.dist < $BfsHops),
+      layer AS (SELECT node, min(dist) AS dist FROM walk GROUP BY node)
+      SELECT dist, CAST(count(*) AS BIGINT) AS n,
+        CAST(sum(node) AS BIGINT) AS sum_node
+      FROM layer GROUP BY dist ORDER BY dist""",
+
     "q111_pagerank_step" -> s"""
       WITH edges AS (
         SELECT src, dst FROM (

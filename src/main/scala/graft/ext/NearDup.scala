@@ -479,7 +479,65 @@ object NearDup {
   def sortedPairs(pairs: DataFrame): DataFrame =
     pairs.repartition(1).sortWithinPartitions(col("id_a"), col("id_b"))
 
+  /** q230 content-defined chunking parameters: rolling window, boundary
+    * divisor (expected chunk length ≈ divisor chars). */
+  val CdcWindow = 16
+  val CdcDivisor = 32
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- q230: content-defined chunking dedup (the FastCDC/LBFS family,
+    //      Muthitacharoen et al. SOSP 2001) — STORAGE-level dedup beside
+    //      the semantic members (q40 exact, q42 MinHash, q141 paragraph):
+    //      chunk boundaries are set by the CONTENT (rolling-hash windows
+    //      whose hash ≡ 0 mod the divisor), so an insertion shifts only
+    //      the chunk it lands in and duplicate spans re-align — the
+    //      property fixed-size blocks lack and the reason every backup /
+    //      dataset-versioning system chunks this way. Pipeline per doc,
+    //      entirely inside one projection (text NEVER shuffles): the
+    //      graft_gram_hashes window hashes mark cut positions, cuts fold
+    //      to (start, end) spans, each span hashes its substring through
+    //      graft_polyhash — only (clen, hash) pairs explode out. Corpus
+    //      rollup: total/distinct chunk counts and bytes + the top-10
+    //      most-duplicated chunks, dedup keyed on (hash, len) so a
+    //      modulus collision cannot merge unequal-length chunks. The
+    //      oracle recomputes boundaries, spans and hashes from the same
+    //      shared polyhash definition. 100 TB: per-doc work ∝ text
+    //      length (the same class as q144 winnowing); the shuffle carries
+    //      8-byte digests; the rollup is one (hash, len)-keyed agg.
+    "q230_cdc_chunking" -> ((s, dir) => {
+      graft.functions.GraftFunctions.register(s)
+      val mod = graft.ext.TextOps.HashMod
+      val chunks = t(s, dir, "documents")
+        .selectExpr("doc_id", "text", s"""
+          filter(transform(graft_gram_hashes(text, $CdcWindow, 31, CAST($mod AS BIGINT)),
+                   (h, i) -> IF(h % $CdcDivisor = 0, i + $CdcWindow, CAST(NULL AS INT))),
+                 x -> x IS NOT NULL) AS cuts""")
+        .selectExpr("doc_id", s"""
+          transform(
+            filter(
+              zip_with(concat(array(1), transform(cuts, c -> c + 1)),
+                       concat(cuts, array(length(text))),
+                       (s, e) -> struct(s AS s, e AS e)),
+              sp -> sp.s <= sp.e),
+            sp -> struct(CAST(sp.e - sp.s + 1 AS BIGINT) AS clen,
+                         graft_polyhash(substring(text, sp.s, sp.e - sp.s + 1), 31,
+                                        CAST($mod AS BIGINT)) AS h))
+          AS chunks""")
+        .selectExpr("doc_id", "explode(chunks) AS ch")
+        .select(col("ch.clen").as("clen"), col("ch.h").as("h"))
+        .localCheckpoint() // three aggregates read it; compute the pass once
+      val total = chunks.agg(count(lit(1)).as("a"), sum(col("clen")).as("b"))
+        .select(lit("chunks").as("sect"), col("a"), col("b"))
+      val distinctStats = chunks.groupBy(col("h"), col("clen")).agg(count(lit(1)).as("cnt"))
+        .agg(count(lit(1)).as("a"), sum(col("clen")).as("b"))
+        .select(lit("distinct").as("sect"), col("a"), col("b"))
+      val top = chunks.groupBy(col("h"), col("clen")).agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("h"), col("clen")).limit(10)
+        .select(lit("top").as("sect"), col("h").as("a"), col("cnt").as("b"))
+      total.unionByName(distinctStats).unionByName(top)
+        .repartition(1).sortWithinPartitions(col("sect"), col("a"), col("b"))
+    }),
+
     "q41_neardup_jaccard" -> ((s, dir) => {
       graft.functions.GraftFunctions.register(s)
       sortedPairs(exactJaccardPairs(t(s, dir, "documents")))
@@ -569,6 +627,46 @@ object NearDup {
           (acc, c) -> (acc*131 + c) % $P2)"""
 
   val oracles: Map[String, String] = Map(
+    // q230: recompute boundaries, spans, chunk hashes from the shared
+    // polyhash definition, declaratively.
+    "q230_cdc_chunking" -> s"""
+      WITH cuts AS (
+        SELECT doc_id, text,
+          list_filter(
+            list_transform(range(1, length(text) - $CdcWindow + 2),
+              gi -> CASE WHEN (${TextOps.polyHashSql(s"substring(text, gi, $CdcWindow)")})
+                              % $CdcDivisor = 0
+                         THEN gi + ${CdcWindow - 1} END),
+            x -> x IS NOT NULL) AS cuts
+        FROM documents),
+      spans AS (
+        SELECT doc_id, text,
+          list_prepend(1, list_transform(cuts, bc -> bc + 1)) AS starts,
+          list_append(cuts, length(text)) AS ends
+        FROM cuts),
+      sp AS (
+        SELECT doc_id, text,
+          unnest(list_filter(
+            list_transform(range(1, len(starts) + 1),
+              si -> struct_pack(s := starts[si], e := ends[si])),
+            spn -> spn.s <= spn.e)) AS spn
+        FROM spans),
+      ch AS (
+        SELECT CAST(spn.e - spn.s + 1 AS BIGINT) AS clen,
+          (${TextOps.polyHashSql("substring(text, spn.s, spn.e - spn.s + 1)")}) AS h
+        FROM sp),
+      dist AS (SELECT h, clen, CAST(count(*) AS BIGINT) AS cnt
+               FROM ch GROUP BY h, clen)
+      SELECT 'chunks' AS sect, CAST(count(*) AS BIGINT) AS a,
+             CAST(sum(clen) AS BIGINT) AS b FROM ch
+      UNION ALL
+      SELECT 'distinct' AS sect, CAST(count(*) AS BIGINT) AS a,
+             CAST(sum(clen) AS BIGINT) AS b FROM dist
+      UNION ALL
+      SELECT 'top' AS sect, h AS a, cnt AS b FROM (
+        SELECT h, clen, cnt FROM dist ORDER BY cnt DESC, h, clen LIMIT 10)
+      ORDER BY sect, a, b""",
+
     "q41_neardup_jaccard" -> jaccardOracle,
     "q42_minhash_lsh" -> jaccardOracle,
     "q47_simhash" -> simhashOracle,

@@ -1,13 +1,16 @@
 package graft.sources
 
+import scala.jdk.CollectionConverters._
 import scala.util.Try
 
 import org.apache.hadoop.fs.Path
 import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.{Column, DataFrame, Row, SQLContext, SparkSession}
-import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.catalog.{SupportsDelete, SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.{Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns, V1Scan}
+import org.apache.spark.sql.connector.write.{LogicalWriteInfo, SupportsTruncate, V1Write, Write, WriteBuilder}
+import org.apache.spark.sql.{SaveMode}
 import org.apache.spark.sql.functions.{col, lit, not}
 import org.apache.spark.sql.sources._
 import org.apache.spark.sql.types.{DataType, StructType}
@@ -51,9 +54,13 @@ import graft.cdc.CdcApplier.TargetMeta
   * `needConversion=false` relation — rows stay InternalRow end-to-end, and
   * the inner parquet scan keeps its whole-stage codegen.
   *
-  * Read-only by design: writes go through [[CdcApplier.applyBatch]] — the
-  * CDC merge discipline (last-writer-wins, tombstones, bucket swaps) is not
-  * expressible as a blind V2 append.
+  * Writes (`INSERT INTO` / `INSERT OVERWRITE` / `DELETE FROM` /
+  * `df.write.format("graft")`) are NOT blind appends: every surface funnels
+  * into [[GraftWrites.insertInto]] / [[GraftWrites.deleteWhere]], which
+  * express the statement as a change batch and hand it to
+  * [[CdcApplier.applyBatch]] — the CDC merge discipline (last-writer-wins,
+  * tombstones, bucket swaps) applies to hand-typed SQL exactly as to the
+  * replication stream.
   *
   * 100 TB shape: a `WHERE pk IN (...)` over a 1000-bucket table reads ≤
   * |IN| bucket dirs with the IN-list pushed to parquet row groups; a
@@ -65,8 +72,46 @@ import graft.cdc.CdcApplier.TargetMeta
   * Astro's catalog with rowkey-prefix pruning (SURVEY §2.2 scans); this is
   * that capability, Spark-native.
   */
-class GraftDataSource extends TableProvider with RelationProvider with DataSourceRegister {
+class GraftDataSource extends TableProvider with RelationProvider
+    with CreatableRelationProvider with StreamSourceProvider
+    with StreamSinkProvider with DataSourceRegister {
   override def shortName(): String = "graft"
+
+  /** Streaming seam: `spark.readStream.format("graft").load(dir)` tails a
+    * mor target's change feed ([[GraftChangeFeedSource]]). [[GraftTable]]
+    * deliberately does not claim MICRO_BATCH_READ, so `DataStreamReader`
+    * falls back to this V1 provider — the streaming mirror of the batch
+    * path's [[V1Scan]] seam. */
+  override def sourceSchema(ctx: SQLContext, schema: Option[StructType],
+      providerName: String, parameters: Map[String, String]): (String, StructType) =
+    (shortName(), GraftTable.changesSchema(ctx.sparkSession,
+      GraftDataSource.streamPathOf(parameters)))
+
+  override def createSource(ctx: SQLContext, metadataPath: String,
+      schema: Option[StructType], providerName: String,
+      parameters: Map[String, String]): org.apache.spark.sql.execution.streaming.Source =
+    new GraftChangeFeedSource(ctx.sparkSession,
+      GraftDataSource.streamPathOf(parameters),
+      parameters.collectFirst {
+        case (k, v) if k.equalsIgnoreCase("changesfrom") => v.toLong
+      })
+
+  /** Streaming sink seam: `df.writeStream.format("graft").start(dir)`
+    * lands micro-batches through the applier ([[GraftSink]]) — with
+    * [[createSource]] above, replication is one streaming query. */
+  override def createSink(ctx: SQLContext, parameters: Map[String, String],
+      partitionColumns: Seq[String],
+      outputMode: org.apache.spark.sql.streaming.OutputMode): org.apache.spark.sql.execution.streaming.Sink = {
+    require(partitionColumns.isEmpty,
+      "graft targets are bucketed by their persisted layout, not partitionBy")
+    new GraftSink(ctx.sparkSession, GraftDataSource.streamPathOf(parameters),
+      parameters)
+  }
+
+  /** Accept an externally-supplied schema: `df.write.format("graft")` on a
+    * NOT-YET-EXISTING target hands the frame's own schema to [[getTable]]
+    * (there is nothing on disk to infer from); reads never pass one. */
+  override def supportsExternalMetadata(): Boolean = true
 
   override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
     val path = GraftDataSource.pathOf(options)
@@ -100,13 +145,41 @@ class GraftDataSource extends TableProvider with RelationProvider with DataSourc
     }
     new GraftV1Relation(ctx, dir, asOf, changesFrom)
   }
+
+  /** V1 save path (`df.write.format("graft").mode(...).save(dir)` when the
+    * V2 route is not taken): [[SaveMode]] maps onto the CDC write algebra —
+    * Append = upsert batch, Overwrite = replace-contents batch,
+    * ErrorIfExists / Ignore consult the target's `.graft_meta`. */
+  override def createRelation(ctx: SQLContext, mode: SaveMode,
+      parameters: Map[String, String], data: DataFrame): BaseRelation = {
+    val dir = parameters.getOrElse("path", throw new IllegalArgumentException(
+      "graft write needs a path"))
+    val exists = TargetMeta.read(
+      ctx.sparkSession.sparkContext.hadoopConfiguration, new Path(dir)).isDefined
+    mode match {
+      case SaveMode.ErrorIfExists if exists =>
+        throw new IllegalStateException(s"graft target $dir already exists")
+      case SaveMode.Ignore if exists => // no-op by contract
+      case m =>
+        GraftWrites.insertInto(dir, data, m == SaveMode.Overwrite, parameters)
+    }
+    new GraftV1Relation(ctx, dir)
+  }
 }
 
 /** The SQL-on-file relation: per-`buildScan` (per query) bucket pruning and
   * filter application — exactly [[GraftScan]]'s plan, V1-shaped. */
 class GraftV1Relation(ctx: SQLContext, targetDir: String,
     asOf: Option[Long] = None, changesFrom: Option[Long] = None)
-    extends BaseRelation with PrunedFilteredScan {
+    extends BaseRelation with PrunedFilteredScan with InsertableRelation {
+  /** SQL `INSERT INTO` on a V1-resolved graft relation — the CDC upsert /
+    * replace-contents batch of [[GraftWrites.insertInto]]. The as-of and
+    * change-feed projections are read-only views of history. */
+  override def insert(data: DataFrame, overwrite: Boolean): Unit = {
+    require(asOf.isEmpty && changesFrom.isEmpty,
+      "asOfPos / changesFrom serve read-only projections; write to the table itself")
+    GraftWrites.insertInto(targetDir, data, overwrite, Map.empty)
+  }
   override def sqlContext: SQLContext = ctx
   override val schema: StructType =
     if (changesFrom.isDefined) GraftTable.changesSchema(ctx.sparkSession, targetDir)
@@ -136,6 +209,11 @@ class GraftV1Relation(ctx: SQLContext, targetDir: String,
 }
 
 object GraftDataSource {
+  private[sources] def streamPathOf(parameters: Map[String, String]): String =
+    parameters.collectFirst { case (k, v) if k.equalsIgnoreCase("path") => v }
+      .getOrElse(throw new IllegalArgumentException(
+        "graft stream source needs a path: spark.readStream.format(\"graft\").load(targetDir)"))
+
   private[sources] def pathOf(options: CaseInsensitiveStringMap): String = {
     val p = Option(options.get("path"))
     p.getOrElse(throw new IllegalArgumentException(
@@ -162,15 +240,52 @@ object GraftDataSource {
 
 class GraftTable(val targetDir: String, tableSchema: StructType,
     asOf: Option[Long] = None, changesFrom: Option[Long] = None)
-    extends Table with SupportsRead {
+    extends Table with SupportsRead with SupportsWrite with SupportsDelete {
   override def name(): String = s"graft.`$targetDir`"
   override def schema(): StructType = tableSchema
   override def capabilities(): java.util.Set[TableCapability] =
-    java.util.EnumSet.of(TableCapability.BATCH_READ)
+    java.util.EnumSet.of(TableCapability.BATCH_READ,
+      TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new GraftScanBuilder(SparkSession.active, targetDir, tableSchema,
       asOf.orElse(GraftDataSource.asOfOf(options)),
       changesFrom.orElse(GraftDataSource.changesFromOf(options)))
+
+  /** V2 write route (SQL `INSERT INTO` / `INSERT OVERWRITE` on `USING
+    * graft` tables, `df.write` V2 saves) — lands on
+    * [[GraftWrites.insertInto]] like every other write surface, through
+    * the public [[V1Write]] seam (the write-side mirror of the scan's
+    * [[V1Scan]]). */
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
+    require(asOf.isEmpty && changesFrom.isEmpty,
+      "asOfPos / changesFrom serve read-only projections; write to the table itself")
+    new GraftWriteBuilder(targetDir,
+      info.options.asCaseSensitiveMap.asScala.toMap)
+  }
+
+  /** SQL `DELETE FROM`: predicates translate through the read path's own
+    * exact [[GraftScan.toColumn]] translations and tombstone the selected
+    * keys via the applier — cost ∝ touched buckets, never a rewrite. */
+  override def canDeleteWhere(filters: Array[Filter]): Boolean =
+    GraftWrites.canDelete(filters)
+  override def deleteWhere(filters: Array[Filter]): Unit =
+    GraftWrites.deleteWhere(SparkSession.active, targetDir, filters)
+}
+
+/** Write-intent builder: `truncate()` (Spark's INSERT OVERWRITE planning)
+  * flips the one flag that turns the upsert batch into the
+  * replace-contents batch. */
+class GraftWriteBuilder(targetDir: String, params: Map[String, String])
+    extends WriteBuilder with SupportsTruncate {
+  private var overwrite = false
+  override def truncate(): WriteBuilder = { overwrite = true; this }
+  override def build(): Write = new V1Write {
+    override def toInsertableRelation(): InsertableRelation =
+      new InsertableRelation {
+        override def insert(data: DataFrame, ow: Boolean): Unit =
+          GraftWrites.insertInto(targetDir, data, overwrite || ow, params)
+      }
+  }
 }
 
 object GraftTable {

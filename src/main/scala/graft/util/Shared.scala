@@ -25,13 +25,33 @@ object AtomicFile {
     FileContext.getFileContext(q.toUri, conf).rename(tmp, q, Options.Rename.OVERWRITE)
   }
 
+  /** Read the live file, riding out the two transient windows a CONCURRENT
+    * [[write]] exposes on checksummed filesystems (Hadoop's local FS keeps
+    * a `.crc` sidecar that renames in a separate step from the data file):
+    * a momentarily-absent file mid-rename, and a data/sidecar mismatch
+    * (`ChecksumException`). Both windows are a rename wide; a bounded
+    * retry is correct because the writer either completes or crashed —
+    * and a crashed writer leaves the PREVIOUS consistent (data, crc) pair,
+    * which the next attempt reads. HDFS/object stores have no sidecar, so
+    * the retry path never triggers there. */
   def read(conf: Configuration, live: Path): Option[String] = {
     val fs = live.getFileSystem(conf)
-    if (!fs.exists(live)) None
-    else {
-      val in = fs.open(live)
-      try Some(new String(in.readAllBytes(), StandardCharsets.UTF_8)) finally in.close()
+    var attempt = 0
+    while (true) {
+      try {
+        if (!fs.exists(live)) return None
+        val in = fs.open(live)
+        try return Some(new String(in.readAllBytes(), StandardCharsets.UTF_8))
+        finally in.close()
+      } catch {
+        case e @ (_: org.apache.hadoop.fs.ChecksumException |
+                  _: java.io.FileNotFoundException) =>
+          attempt += 1
+          if (attempt >= 10) throw e
+          Thread.sleep(20L * attempt)
+      }
     }
+    None // unreachable
   }
 }
 
