@@ -1,0 +1,235 @@
+package graft.catalog
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.analysis.{NamespaceAlreadyExistsException, NoSuchNamespaceException, NoSuchTableException, NonEmptyNamespaceException, TableAlreadyExistsException}
+import org.apache.spark.sql.connector.catalog.{Identifier, NamespaceChange, SupportsNamespaces, Table, TableCatalog, TableChange}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.types.{BooleanType, DataType, LongType, StructField, StructType}
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+import graft.cdc.CdcApplier
+import graft.cdc.CdcApplier.TargetMeta
+import graft.sources.GraftTable
+
+/** A Spark V2 catalog plugin serving graft tables by NAME — full DDL + DML
+  * through plain SQL with zero Scala in sight:
+  * {{{
+  *   spark.sql.catalog.gr      = graft.catalog.GraftCatalog
+  *   spark.sql.catalog.gr.root = /data/graft
+  *
+  *   CREATE NAMESPACE gr.prod;
+  *   CREATE TABLE gr.prod.accounts (k BIGINT, bal DOUBLE) OPTIONS (pk 'k');
+  *   INSERT INTO gr.prod.accounts ...;         -- CDC upsert (q226 path)
+  *   SELECT * FROM gr.prod.accounts WHERE k = 7;  -- bucket-pruned (q216)
+  *   ALTER TABLE gr.prod.accounts ADD COLUMN note STRING;  -- additive (S4)
+  *   SHOW TABLES IN gr.prod; DROP TABLE ...; ALTER TABLE ... RENAME TO ...
+  * }}}
+  *
+  * Layout: `root/<namespace...>/<table>` — a table IS its target directory
+  * (the `.graft_meta` marks it; namespaces carry a `.graft_namespace`
+  * marker so an empty namespace survives a listing). The catalog holds NO
+  * state of its own: `loadTable` reads `.graft_meta` fresh, so a table
+  * maintained by a concurrently-running applier/stream serves its current
+  * state through the same [[GraftTable]] as the path-based reads — one
+  * table implementation behind both addressing modes.
+  *
+  * `CREATE TABLE` writes only the meta file (PK from the `pk` option,
+  * `buckets`/`bucketCols`/`rangeBounds`/`storage=mor` as in every other
+  * write surface) — an empty layout the first INSERT/applyBatch fills,
+  * exactly the state the applier leaves after a crash between meta and
+  * first publish (a valid empty table, by its own recovery contract).
+  * `ALTER TABLE ADD COLUMN` is the additive-evolution DDL (S4): it evolves
+  * the persisted schema; existing rows surface NULL.
+  *
+  * Reference parity: S15 catalog CRUD + EP2's `map` surface (SURVEY §2.1)
+  * as a native Spark catalog — the reference's Astro-backed
+  * `Hbase2CataLog` equivalent, addressed with multi-part SQL names.
+  */
+class GraftCatalog extends TableCatalog with SupportsNamespaces {
+
+  private var catalogName: String = _
+  private var root: Path = _
+
+  private def spark: SparkSession = SparkSession.active
+  private def fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+  private def hconf = spark.sparkContext.hadoopConfiguration
+
+  override def initialize(name: String, options: CaseInsensitiveStringMap): Unit = {
+    catalogName = name
+    val r = Option(options.get("root")).getOrElse(throw new IllegalArgumentException(
+      s"graft catalog '$name' needs spark.sql.catalog.$name.root=<warehouse dir>"))
+    root = new Path(r)
+    fs.mkdirs(root)
+  }
+
+  override def name(): String = catalogName
+  override def defaultNamespace(): Array[String] = Array("default")
+
+  private def nsPath(ns: Array[String]): Path =
+    ns.foldLeft(root)((p, n) => new Path(p, n))
+  private def tablePath(ident: Identifier): Path =
+    new Path(nsPath(ident.namespace), ident.name)
+  private def nsMarker(p: Path): Path = new Path(p, ".graft_namespace")
+  private def isTableDir(p: Path): Boolean =
+    fs.exists(new Path(p, ".graft_meta"))
+
+  // ---- namespaces -------------------------------------------------------
+
+  override def namespaceExists(ns: Array[String]): Boolean =
+    ns.isEmpty || fs.exists(nsMarker(nsPath(ns))) ||
+      (ns.sameElements(defaultNamespace()) && { fs.mkdirs(nsPath(ns)); true })
+
+  override def createNamespace(ns: Array[String],
+      metadata: java.util.Map[String, String]): Unit = {
+    val p = nsPath(ns)
+    if (fs.exists(nsMarker(p))) throw new NamespaceAlreadyExistsException(ns)
+    fs.mkdirs(p)
+    graft.util.AtomicFile.write(hconf, nsMarker(p), "")
+  }
+
+  override def listNamespaces(): Array[Array[String]] =
+    fs.listStatus(root).filter(s => s.isDirectory && fs.exists(nsMarker(s.getPath)))
+      .map(s => Array(s.getPath.getName)).sortBy(_.head) ++
+      (if (fs.exists(nsMarker(nsPath(defaultNamespace())))) Nil
+       else Seq(defaultNamespace())) // implicit default always addressable
+
+  override def listNamespaces(ns: Array[String]): Array[Array[String]] = {
+    if (ns.isEmpty) return listNamespaces()
+    if (!namespaceExists(ns)) throw new NoSuchNamespaceException(ns)
+    val p = nsPath(ns)
+    fs.listStatus(p).filter(s => s.isDirectory && fs.exists(nsMarker(s.getPath)))
+      .map(s => ns :+ s.getPath.getName).sortBy(_.mkString("."))
+  }
+
+  override def loadNamespaceMetadata(ns: Array[String]): java.util.Map[String, String] = {
+    if (!namespaceExists(ns)) throw new NoSuchNamespaceException(ns)
+    Map("location" -> nsPath(ns).toString).asJava
+  }
+
+  override def alterNamespace(ns: Array[String], changes: NamespaceChange*): Unit =
+    throw new UnsupportedOperationException("graft namespaces carry no mutable metadata")
+
+  override def dropNamespace(ns: Array[String], cascade: Boolean): Boolean = {
+    val p = nsPath(ns)
+    if (!fs.exists(nsMarker(p))) return false
+    if (!cascade && listTables(ns).nonEmpty)
+      throw new NonEmptyNamespaceException(ns)
+    fs.delete(p, true)
+  }
+
+  // ---- tables -----------------------------------------------------------
+
+  override def listTables(ns: Array[String]): Array[Identifier] = {
+    if (!namespaceExists(ns)) throw new NoSuchNamespaceException(ns)
+    val p = nsPath(ns)
+    if (!fs.exists(p)) return Array.empty
+    fs.listStatus(p).filter(s => s.isDirectory && isTableDir(s.getPath))
+      .map(s => Identifier.of(ns, s.getPath.getName)).sortBy(_.name)
+  }
+
+  override def tableExists(ident: Identifier): Boolean =
+    isTableDir(tablePath(ident))
+
+  override def loadTable(ident: Identifier): Table = {
+    val dir = tablePath(ident)
+    if (!isTableDir(dir)) throw new NoSuchTableException(ident)
+    new GraftTable(dir.toString,
+      GraftTable.tableSchema(spark, dir.toString))
+  }
+
+  /** Case-insensitive property lookup, accepting both the bare key and
+    * Spark's `option.`-prefixed form (CREATE TABLE ... OPTIONS). */
+  private def prop(properties: java.util.Map[String, String], key: String): Option[String] = {
+    val m = properties.asScala
+    m.collectFirst { case (k, v) if k.equalsIgnoreCase(key) => v }
+      .orElse(m.collectFirst {
+        case (k, v) if k.equalsIgnoreCase(s"${TableCatalog.OPTION_PREFIX}$key") => v
+      })
+  }
+
+  override def createTable(ident: Identifier, schema: StructType,
+      partitions: Array[Transform],
+      properties: java.util.Map[String, String]): Table = {
+    require(partitions.isEmpty,
+      "graft tables are bucketed by their PK layout (buckets/rangeBounds " +
+        "options), not PARTITIONED BY")
+    if (tableExists(ident)) throw new TableAlreadyExistsException(ident)
+    if (!namespaceExists(ident.namespace))
+      throw new NoSuchNamespaceException(ident.namespace)
+    val pk = prop(properties, "pk").map(_.split(",").toSeq.map(_.trim)).getOrElse(
+      throw new IllegalArgumentException(
+        "CREATE TABLE needs the primary key: OPTIONS (pk 'col1,col2')"))
+    pk.foreach { k =>
+      require(schema.fieldNames.contains(k), s"pk column '$k' is not in the schema")
+    }
+    // persisted schema = user columns + layout columns, exactly the shape
+    // the first applyBatch would write (snapshot/tableSchema filter them)
+    val withLayout = StructType(
+      schema.fields.filterNot(f =>
+        f.name == CdcApplier.POS || f.name == CdcApplier.DEL) ++
+        Seq(StructField(CdcApplier.POS, LongType, nullable = true),
+          StructField(CdcApplier.DEL, BooleanType, nullable = true)))
+    val dir = tablePath(ident)
+    fs.mkdirs(dir)
+    TargetMeta.write(hconf, dir, TargetMeta(
+      numBuckets = prop(properties, "buckets").map(_.toInt).getOrElse(16),
+      horizon = Long.MinValue,
+      schemaJson = Some(withLayout.json),
+      pkCols = Some(pk),
+      bucketCols = prop(properties, "bucketCols").map(_.split(",").toSeq.map(_.trim)),
+      storage = prop(properties, "storage").filter(_.equalsIgnoreCase("mor")).map(_ => "mor"),
+      rangeBounds = prop(properties, "rangeBounds").map(_.split(",").toSeq.map(_.trim.toLong))))
+    loadTable(ident)
+  }
+
+  override def alterTable(ident: Identifier, changes: TableChange*): Table = {
+    val dir = tablePath(ident)
+    val meta = TargetMeta.read(hconf, dir).getOrElse(
+      throw new NoSuchTableException(ident))
+    val stored = meta.schemaJson.map(j =>
+      DataType.fromJson(j).asInstanceOf[StructType]).getOrElse(
+      throw new IllegalStateException(
+        s"$dir has a pre-upgrade meta with no persisted schema; run one applyBatch first"))
+    val evolved = changes.foldLeft(stored) {
+      case (s, add: TableChange.AddColumn) =>
+        require(add.fieldNames.length == 1,
+          "graft supports top-level ADD COLUMN only")
+        val n = add.fieldNames.head
+        require(!s.fieldNames.contains(n), s"column '$n' already exists")
+        // additive evolution (S4): always nullable — stored rows have no
+        // value for it, and the applier's merge surfaces NULL. New data
+        // columns land BEFORE the layout columns so the served column
+        // order stays (data..., _graft_pos) — positional INSERTs depend
+        // on it.
+        val layoutNames = Set(CdcApplier.POS, CdcApplier.DEL, CdcApplier.BUCKET)
+        val (data, layout) = s.fields.partition(f => !layoutNames(f.name))
+        StructType(data ++ Seq(StructField(n, add.dataType, nullable = true)) ++ layout)
+      case (_, c) =>
+        throw new UnsupportedOperationException(
+          s"graft tables evolve additively only (ADD COLUMN); got $c")
+    }
+    TargetMeta.write(hconf, dir, meta.copy(schemaJson = Some(evolved.json)))
+    loadTable(ident)
+  }
+
+  override def dropTable(ident: Identifier): Boolean = {
+    val dir = tablePath(ident)
+    if (!isTableDir(dir)) false
+    else fs.delete(dir, true)
+  }
+
+  override def renameTable(from: Identifier, to: Identifier): Unit = {
+    if (!tableExists(from)) throw new NoSuchTableException(from)
+    if (tableExists(to)) throw new TableAlreadyExistsException(to)
+    if (!namespaceExists(to.namespace))
+      throw new NoSuchNamespaceException(to.namespace)
+    fs.mkdirs(nsPath(to.namespace))
+    if (!fs.rename(tablePath(from), tablePath(to)))
+      throw new IllegalStateException(s"cannot rename $from to $to")
+  }
+
+  override def toString: String = s"GraftCatalog($catalogName at $root)"
+}

@@ -1124,6 +1124,80 @@ object CdcQueries {
         .orderBy($"leg", $"o_orderkey")
     }),
 
+    // MATERIALIZED-VIEW REWRITE (q232): the optimizer half of the IVM
+    // family — the engine maintains aggregate views incrementally
+    // (q79/q97/q217-q219); GraftViewRewrite makes Catalyst SERVE them: a
+    // Rule[LogicalPlan] (public extraOptimizations / extensions hook)
+    // rewrites the matching count(*) aggregate over the base parquet into
+    // a scan of the maintained view store, re-binding the original output
+    // ExprIds. Matching is deliberately narrow (one group column, one
+    // count(*), no filters, exact base path) — a too-eager rewrite is a
+    // wrong-results generator. The gate SELF-AUDITS the fire (requires
+    // the optimized plan contains no base-table scan), executes under the
+    // registration (localCheckpoint), then unregisters so no other gate
+    // sees the rule. 100 TB: a corpus-sized scan+shuffle collapses to a
+    // groups-sized view read; that is the entire point of maintaining
+    // the view.
+    "q232_view_rewrite" -> ((s, dir) => {
+      import s.implicits._
+      val o = Tables.load(s, dir, "orders")
+      val viewDir = Files.createTempDirectory("graft_cdc").toString + "/orders_cnt_view"
+      val viewRows = o.groupBy($"o_orderpriority").agg(count(lit(1)).as("cnt"))
+      CdcApplier.applyBatch(s, ChangeFeed.inserts(viewRows, lit(1L)), viewDir,
+        CdcApplier.Options(Seq("o_orderpriority"), numBuckets = 4))
+      val basePath = dir + "/orders.parquet"
+      graft.plans.GraftViewRewrite.install(s)
+      graft.plans.GraftViewRewrite.register(basePath, "o_orderpriority", viewDir)
+      try {
+        val q = Tables.load(s, dir, "orders")
+          .groupBy($"o_orderpriority").agg(count(lit(1)).as("cnt"))
+        val opt = q.queryExecution.optimizedPlan.toString
+        require(!opt.contains("Aggregate [") && opt.contains("_graft_deleted"),
+          "view rewrite did not fire; plan still aggregates the base:\n" + opt)
+        // execute UNDER the registration; the checkpointed result is what
+        // the driver hashes
+        q.orderBy($"o_orderpriority").localCheckpoint()
+      } finally graft.plans.GraftViewRewrite.unregister(basePath, "o_orderpriority")
+    }),
+
+    // CATALOG surface (q231): the full DDL+DML lifecycle through the V2
+    // catalog plugin (GraftCatalog) with every statement addressed by
+    // NAME — CREATE NAMESPACE / CREATE TABLE (layout from OPTIONS) /
+    // INSERT (seed + upsert) / DELETE / ALTER TABLE ADD COLUMN (S4
+    // additive evolution as DDL) / INSERT with the evolved schema /
+    // SELECT. No path appears after the catalog root is configured; the
+    // catalog holds no state of its own (a table IS its directory), so
+    // every statement lands on the same applier/connector machinery the
+    // path-addressed gates lock. 100 TB: identical to q226 — the catalog
+    // adds name resolution, not a data path.
+    "q231_catalog_sql" -> ((s, dir) => {
+      import s.implicits._
+      val o = Tables.load(s, dir, "orders")
+      val whRoot = Files.createTempDirectory("graft_cat").toString
+      s.conf.set("spark.sql.catalog.q231cat", "graft.catalog.GraftCatalog")
+      s.conf.set("spark.sql.catalog.q231cat.root", whRoot)
+      o.createOrReplaceTempView("q231_orders")
+      s.sql("CREATE NAMESPACE IF NOT EXISTS q231cat.prod")
+      s.sql(s"""CREATE TABLE q231cat.prod.orders_t (${o.schema.toDDL})
+                OPTIONS (pk 'o_orderkey', buckets '8')""")
+      s.sql("""INSERT INTO q231cat.prod.orders_t
+               SELECT *, CAST(NULL AS BIGINT) FROM q231_orders""")
+      s.sql("""INSERT INTO q231cat.prod.orders_t
+               SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice * 1.2,
+                      o_orderdate, o_orderpriority, CAST(NULL AS BIGINT)
+               FROM q231_orders WHERE o_orderkey % 7 = 0""")
+      s.sql("DELETE FROM q231cat.prod.orders_t WHERE o_orderkey BETWEEN 1000 AND 3000")
+      s.sql("ALTER TABLE q231cat.prod.orders_t ADD COLUMN flag STRING")
+      s.sql("""INSERT INTO q231cat.prod.orders_t
+               SELECT 9999999L, o_custkey, o_orderstatus, 123.0,
+                      o_orderdate, o_orderpriority, 'evolved', CAST(NULL AS BIGINT)
+               FROM q231_orders
+               WHERE o_orderkey = (SELECT min(o_orderkey) FROM q231_orders)""")
+      s.sql("""SELECT o_orderkey, o_totalprice, o_orderstatus, flag
+               FROM q231cat.prod.orders_t""")
+        .orderBy($"o_orderkey")
+    }),
+
     "q216_sql_connector" -> ((s, dir) => {
       import s.implicits._
       val o = Tables.load(s, dir, "orders")
@@ -2511,6 +2585,24 @@ object CdcQueries {
     // cow_in/mor_full are q110/q32's lifecycle (%7 reprice, %11 delete),
     // range_between is q134's — so the connector read cannot drift from
     // the Scala-API read of the same target.
+    // q232: the rewritten aggregate must equal the base-computed truth.
+    "q232_view_rewrite" -> """
+      SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS cnt
+      FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""",
+
+    // q231: replay the catalog-addressed lifecycle — reprice, range
+    // delete, and the one evolved-schema row (old rows NULL flag).
+    "q231_catalog_sql" -> """
+      SELECT o_orderkey,
+        CASE WHEN o_orderkey % 7 = 0 THEN o_totalprice * 1.2 ELSE o_totalprice END AS o_totalprice,
+        o_orderstatus, CAST(NULL AS VARCHAR) AS flag
+      FROM orders
+      WHERE NOT (o_orderkey BETWEEN 1000 AND 3000)
+      UNION ALL
+      SELECT 9999999, 123.0, o_orderstatus, 'evolved' AS flag
+      FROM orders WHERE o_orderkey = (SELECT min(o_orderkey) FROM orders)
+      ORDER BY o_orderkey""",
+
     // q226: replay the three SQL-written lifecycles — upsert+range-delete,
     // replace-contents, and the mor target's change envelope.
     "q226_sql_write" -> """

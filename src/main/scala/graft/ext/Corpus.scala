@@ -143,6 +143,18 @@ object Corpus {
     * hop bound is the iteration budget, not a correctness parameter. */
   val BfsHops = 6
 
+  /** One BFS frontier expansion: the hop-`h` discoveries given the
+    * undirected edge set `und(v, u)`, the current `frontier(node)` and the
+    * `visited(node, dist)` set — ONE left-semi equi-join (edges touching
+    * the frontier) + one left-anti (drop already-discovered). Shared by
+    * the q229 gate and its PlanSpec round-shape lock. */
+  private[graft] def bfsRound(und: DataFrame, frontier: DataFrame,
+      visited: DataFrame, h: Int): DataFrame =
+    und.join(frontier.withColumnRenamed("node", "v"), Seq("v"), "left_semi")
+      .select(col("u").as("node")).distinct()
+      .join(visited, Seq("node"), "left_anti")
+      .select(col("node"), lit(h.toLong).as("dist"))
+
   /** q142 temperature-mixture geometry: sampling temperature alpha = 0.5
     * realized as sqrt (correctly-rounded IEEE in BOTH engines — a general
     * pow would go through exp/ln whose last ulp is libm-specific), and the
@@ -1056,12 +1068,7 @@ object Corpus {
       var visited = seed.select(col("node"), lit(0L).as("dist")).localCheckpoint()
       var frontier = visited.select(col("node"))
       for (h <- 1 to BfsHops) {
-        val next = und
-          .join(frontier.withColumnRenamed("node", "v"), Seq("v"), "left_semi")
-          .select(col("u").as("node")).distinct()
-          .join(visited, Seq("node"), "left_anti")
-          .select(col("node"), lit(h.toLong).as("dist"))
-          .localCheckpoint()
+        val next = bfsRound(und, frontier, visited, h).localCheckpoint()
         visited = visited.unionByName(next).localCheckpoint()
         frontier = next.select(col("node"))
       }

@@ -200,7 +200,85 @@ object Retrieval {
     m.keysIterator
   }
 
+  /** q233 retrieval-evaluation geometry: query docs (`doc_id %
+    * [[RboQueryMod]] = 0`), [[RboTerms]] lexicographically-smallest
+    * distinct terms per query doc, rankings truncated at [[RboK]], and the
+    * integer df-weight scale for system A's scoring. RBO persistence
+    * p = 1/2 is a DELIBERATE determinism choice: the geometric weights
+    * 2^-(d-1) are exact binary doubles, so the fixed-order fold is
+    * bit-identical cross-engine (q164's ordered-fold discipline) — no
+    * libm pow anywhere. */
+  val RboQueryMod = 100L
+  val RboTerms = 3
+  val RboK = 10
+  val RboWScale = 1000000000000L
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- q233: retrieval EVALUATION — rank-biased overlap (Webber et
+    //      al. TOIS 2010) between two retrieval systems + MRR of the
+    //      known-relevant doc, the measurement layer over the retrieval
+    //      family (q74 BM25, q169 RRF, q190 recall sweep, q222 index).
+    //      Systems compared: A = df-weighted tf (weights as EXACT BIGINT
+    //      `scale // df` — no floats in scoring), B = raw tf. Per query:
+    //      truncated RBO@10 with p=1/2 (each depth's overlap X_d joins
+    //      through greatest(ra, rb) <= d; weights exact powers of two;
+    //      the per-depth terms fold in fixed d-order so the double sum is
+    //      bit-identical cross-engine) and MRR contribution of the
+    //      query's own source doc (ONE IEEE division, or 0 outside the
+    //      cutoff). Scale shape: one tokenize pass feeds tf + df; scoring
+    //      is a query-terms equi-join (cost ∝ posting lists, never the
+    //      corpus); rankings are per-QUERY windows over scored docs; the
+    //      depth expansion is queries × 10 rows against a result-sized
+    //      overlap set (the one cross join, bounded by construction).
+    "q233_retrieval_eval" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val docs = t(s, dir, "documents")
+      val words = docs.select(col("doc_id"),
+        explode(TextOps.words(col("text"))).as("w"))
+      val tf = words.groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("tf"))
+      val dft = tf.groupBy(col("w")).agg(count(lit(1)).as("df"))
+      val qt = {
+        val qw = words.filter(col("doc_id") % RboQueryMod === 0)
+          .select(col("doc_id").as("qid"), col("w")).distinct()
+        val win = Window.partitionBy(col("qid")).orderBy(col("w"))
+        qw.withColumn("rn", row_number().over(win))
+          .filter(col("rn") <= RboTerms).select(col("qid"), col("w"))
+      }
+      val scores = qt.join(tf, Seq("w")).join(dft, Seq("w"))
+        .groupBy(col("qid"), col("doc_id"))
+        .agg(sum(col("tf") * expr(s"$RboWScale div df")).as("sa"),
+          sum(col("tf")).as("sb"))
+      val wA = Window.partitionBy(col("qid")).orderBy(col("sa").desc, col("doc_id"))
+      val wB = Window.partitionBy(col("qid")).orderBy(col("sb").desc, col("doc_id"))
+      val ranked = scores
+        .withColumn("ra", row_number().over(wA))
+        .withColumn("rb", row_number().over(wB))
+        .localCheckpoint() // overlap, depth counts and MRR all read it
+      val ov = ranked.filter(col("ra") <= RboK && col("rb") <= RboK)
+        .select(col("qid"), greatest(col("ra"), col("rb")).as("dmin"))
+      val qids = qt.select(col("qid")).distinct()
+      val depths = s.range(1, RboK + 1).select(col("id").cast("int").as("d"))
+      val xd = qids.crossJoin(broadcast(depths))
+        .join(ov, Seq("qid"), "left")
+        .groupBy(col("qid"), col("d"))
+        .agg(sum(when(col("dmin") <= col("d"), 1L).otherwise(0L)).as("xd"))
+      val termCol = (col("xd").cast("double") / col("d")) *
+        (lit(1.0) / expr("shiftleft(CAST(1 AS BIGINT), CAST(d - 1 AS INT))")) *
+        lit(0.5)
+      val rbo = xd.select(col("qid"), col("d"), termCol.as("t"))
+        .groupBy(col("qid"))
+        .agg(aggregate(array_sort(collect_list(struct(col("d"), col("t")))),
+          lit(0.0), (acc, x) => acc + x.getField("t")).as("rbo"))
+      val self = ranked.filter(col("doc_id") === col("qid") && col("ra") <= RboK)
+        .select(col("qid"), col("ra"))
+      qids.join(self, Seq("qid"), "left").join(rbo, Seq("qid"))
+        .select(col("qid"),
+          coalesce(col("ra"), lit(0)).cast("long").as("rank_self"),
+          when(col("ra").isNull, lit(0.0)).otherwise(lit(1.0) / col("ra")).as("mrr"),
+          col("rbo"))
+        .repartition(1).sortWithinPartitions(col("qid"))
+    }),
+
     // ---- q72: exact heavy hitters (count*K > corpus token total). Three
     //      corpus scans, each with bounded state: candidate generation
     //      (mapPartitions Misra-Gries, k counters per task, k rows
@@ -515,6 +593,58 @@ object Retrieval {
       SELECT doc_id, n_hit, score FROM bm ORDER BY doc_id"""
 
   val oracles: Map[String, String] = Map(
+    // q233: the same two scorings, rankings, depth overlaps and ordered
+    // fold, declaratively.
+    "q233_retrieval_eval" -> s"""
+      WITH words AS (
+        SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS w
+        FROM documents),
+      tf AS (SELECT doc_id, w, CAST(count(*) AS BIGINT) AS tf
+             FROM words GROUP BY doc_id, w),
+      dft AS (SELECT w, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY w),
+      qt AS (
+        SELECT qid, w FROM (
+          SELECT qid, w, row_number() OVER (PARTITION BY qid ORDER BY w) AS rn
+          FROM (SELECT DISTINCT doc_id AS qid, w FROM words
+                WHERE doc_id % $RboQueryMod = 0))
+        WHERE rn <= $RboTerms),
+      scores AS (
+        SELECT qt.qid, t.doc_id,
+          CAST(sum(t.tf * ($RboWScale // d.df)) AS BIGINT) AS sa,
+          CAST(sum(t.tf) AS BIGINT) AS sb
+        FROM qt JOIN tf t USING (w) JOIN dft d USING (w)
+        GROUP BY qt.qid, t.doc_id),
+      ranked AS (
+        SELECT qid, doc_id,
+          row_number() OVER (PARTITION BY qid ORDER BY sa DESC, doc_id) AS ra,
+          row_number() OVER (PARTITION BY qid ORDER BY sb DESC, doc_id) AS rb
+        FROM scores),
+      ov AS (SELECT qid, greatest(ra, rb) AS dmin FROM ranked
+             WHERE ra <= $RboK AND rb <= $RboK),
+      qd AS (SELECT DISTINCT qid, r.d FROM qt, range(1, ${RboK + 1}) r(d)),
+      xd AS (
+        SELECT qd.qid, qd.d,
+          CAST(sum(CASE WHEN ov.dmin <= qd.d THEN 1 ELSE 0 END) AS BIGINT) AS xd
+        FROM qd LEFT JOIN ov ON ov.qid = qd.qid
+        GROUP BY qd.qid, qd.d),
+      trm AS (
+        SELECT qid, d,
+          (CAST(xd AS DOUBLE) / d) * (1.0 / (1 << (d - 1))) * 0.5 AS t
+        FROM xd),
+      rbo AS (
+        SELECT qid,
+          list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list(t ORDER BY d)),
+            (a, b) -> a + b) AS rbo
+        FROM trm GROUP BY qid),
+      slf AS (SELECT qid, ra FROM ranked WHERE doc_id = qid AND ra <= $RboK)
+      SELECT q.qid, CAST(COALESCE(s.ra, 0) AS BIGINT) AS rank_self,
+        CASE WHEN s.ra IS NULL THEN 0.0 ELSE 1.0 / s.ra END AS mrr,
+        r.rbo
+      FROM (SELECT DISTINCT qid FROM qt) q
+      LEFT JOIN slf s USING (qid)
+      JOIN rbo r USING (qid)
+      ORDER BY q.qid""",
+
     "q72_heavy_hitters" -> s"""
       WITH w AS (
         SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term

@@ -294,7 +294,7 @@ object GraftTable {
     * columns (`_graft_deleted`, `graft_bucket`) are implementation detail.
     * Prefers the schema persisted in `.graft_meta` (no file listing);
     * falls back to mergeSchema parquet inference for pre-upgrade targets. */
-  private[sources] def tableSchema(spark: SparkSession, targetDir: String): StructType = {
+  private[graft] def tableSchema(spark: SparkSession, targetDir: String): StructType = {
     val target = new Path(targetDir)
     val hconf = spark.sparkContext.hadoopConfiguration
     val fs = target.getFileSystem(hconf)

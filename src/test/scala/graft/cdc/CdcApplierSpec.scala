@@ -685,6 +685,14 @@ class CdcApplierSpec extends AnyFunSuite {
       val boot = newTarget()
       val bootAt = 1 + rnd.nextInt(3) // after this many batches
       var bootSeeded = false
+      // fifth party: a store written ONLY through the SQL write surface
+      // (GraftWrites.insertInto/deleteWhere — the one funnel every SQL
+      // route lands on; GraftWritesSpec proves the statements reach it).
+      // SQL has no before-images, so each batch is expressed as its NET
+      // effect: last-event-per-key upserts with explicit per-row
+      // positions, plus DELETEs for keys whose last touch killed them
+      // (including the retired old key of a PK move).
+      val sqlStore = newTarget()
       batches.zipWithIndex.foreach { case (events, bi) =>
         val dfs = events.map { case (op, p, b, a) => ev(op, p, b, a) }
         val batch = dfs.reduce(_ union _)
@@ -693,6 +701,32 @@ class CdcApplierSpec extends AnyFunSuite {
         CdcApplier.applyBatch(spark,
           CdcApplier.changeFeed(spark, mor, cursor), replica, opts)
         if (bootSeeded) CdcApplier.applyBatch(spark, batch, boot, opts)
+        locally {
+          import org.apache.spark.sql.sources.{And, EqualTo, Filter, Or}
+          val net = scala.collection.mutable.LinkedHashMap
+            .empty[(Int, Int), (Long, Option[Student])]
+          events.foreach { case (_, p, b, a) =>
+            b.foreach(st => net((st.sn, st.id)) = (p, None))
+            a.foreach(st => net((st.sn, st.id)) = (p, Some(st)))
+          }
+          val ups = net.values.collect { case (p, Some(st)) => (st, p) }.toSeq
+          if (ups.nonEmpty) {
+            val df = ups.map { case (st, p) =>
+              (st.sn, st.id, st.score, st.name, st.rem, p)
+            }.toDF("sn", "id", "score", "name", "rem", "_graft_pos")
+            graft.sources.GraftWrites.insertInto(
+              sqlStore, df, overwrite = false, Map("pk" -> "sn,id"))
+          }
+          // iterator first: Map.collect with a Tuple2-valued pf builds a
+          // MAP (dedup by _1), silently dropping dead keys that share sn
+          val dead = net.iterator.collect { case (k, (_, None)) => k }.toSeq
+          if (dead.nonEmpty) {
+            val pred = dead.map(k =>
+              And(EqualTo("sn", k._1), EqualTo("id", k._2)): Filter)
+              .reduce((x, y) => Or(x, y))
+            graft.sources.GraftWrites.deleteWhere(spark, sqlStore, Array(pred))
+          }
+        }
         cursor = events.map(_._2).max
         if (bi + 1 == bootAt && !bootSeeded) {
           CdcApplier.bootstrap(spark,
@@ -729,6 +763,9 @@ class CdcApplierSpec extends AnyFunSuite {
           s"boot=${state(boot)} cow=${state(cow)}")
       assert(state(cow) == live.values.toSet,
         s"trial $trial: all stores must equal the reference fold")
+      assert(state(sqlStore) == live.values.toSet,
+        s"trial $trial: the SQL-written store diverged — " +
+          s"sql=${state(sqlStore)} ref=${live.values.toSet}")
 
       // post-run BACKFILL sliced at a random maxBuckets: the bounded first
       // slice + completion must land the declarative projection, and the

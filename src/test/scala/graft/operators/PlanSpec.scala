@@ -998,6 +998,36 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("windowspecdefinition(doc_id"), "per-doc windows: " + p)
   }
 
+  test("q229: BFS layers are semi/anti equi-joins over the frontier — no cartesian, no window") {
+    val p = plan("q229_bfs_layers")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("windowspecdefinition"), "no window fold: " + p)
+    assert("HashAggregate".r.findAllIn(p).size >= 2, "partial+final layer agg: " + p)
+    // the per-round joins live behind the round checkpoints in the gate's
+    // final plan; lock the ROUND shape through the shared definition
+    import org.apache.spark.sql.functions.{col, lit}
+    import spark.implicits._
+    val und = Seq((1L, 2L), (2L, 3L)).toDF("v", "u")
+    val frontier = Seq(1L).toDF("node")
+    val visited = Seq((1L, 0L)).toDF("node", "dist")
+    val round = graft.ext.Corpus.bfsRound(und, frontier, visited, 1)
+    val rp = round.queryExecution.executedPlan.toString
+    assert(rp.contains("LeftSemi"), "frontier semi-join: " + rp)
+    assert(rp.contains("LeftAnti"), "visited anti-join: " + rp)
+    assert(!rp.contains("CartesianProduct") && !rp.contains("BroadcastNestedLoopJoin"), rp)
+  }
+
+  test("q230: chunking is per-doc projection + digest-keyed aggs — no window, no joins") {
+    val p = plan("q230_cdc_chunking")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("SortMergeJoin") && !p.contains("BroadcastHashJoin"),
+      "rollup needs no join at all: " + p)
+    assert(!p.contains("windowspecdefinition"), "no corpus window: " + p)
+    assert("HashAggregate".r.findAllIn(p).size >= 2, "partial+final rollup: " + p)
+  }
+
   test("q186: gram synthesis windows partition by doc; one corpus pass") {
     val p = plan("q186_ngram_diversity")
     assert(!p.contains("CartesianProduct"), p)
