@@ -111,7 +111,8 @@ object Bench {
       "q219_stream_distinct_view", "q220_epoch_index", "q221_release_capstone",
       "q222_inverted_index", "q223_stream_inverted_index", "q224_sql_time_travel",
       "q225_sql_changefeed", "q226_sql_write", "q227_stream_changefeed",
-      "q228_stream_replica", "q231_catalog_sql")
+      "q228_stream_replica", "q231_catalog_sql", "q234_sql_update",
+      "q235_sql_merge")
 
     def measure(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame)
         : (Double, Seq[Double], Seq[(Long, Long, Long)]) = {

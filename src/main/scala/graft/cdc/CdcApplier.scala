@@ -1282,11 +1282,14 @@ object CdcApplier {
       val staging = new Path(target.getParent, target.getName + suffix)
       if (fs.exists(staging)) fs.delete(staging, true)
     }
-    // tokenized delta staging from a crashed applyBatchMor publish
+    // tokenized staging from a crashed applyBatchMor publish (.delta-<tok>)
+    // or an aborted row-level DML statement (.rowlevel-<queryId> — its
+    // committer localCheckpoints the staged frame before the applier runs,
+    // so a LIVE statement never needs its tree past this point)
     if (fs.exists(target.getParent)) {
-      val deltaPrefix = target.getName + ".delta-"
+      val prefixes = Seq(".delta-", ".rowlevel-").map(target.getName + _)
       fs.listStatus(target.getParent)
-        .filter(_.getPath.getName.startsWith(deltaPrefix))
+        .filter(s => prefixes.exists(s.getPath.getName.startsWith))
         .foreach(s => fs.delete(s.getPath, true))
     }
   }

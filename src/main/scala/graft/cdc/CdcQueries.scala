@@ -1198,6 +1198,118 @@ object CdcQueries {
         .orderBy($"o_orderkey")
     }),
 
+    // ROW-LEVEL DML (q234): SQL UPDATE through the delta-based row-level
+    // operation (SupportsRowLevelOperations + SupportsDelta,
+    // sources/GraftRowLevel.scala) — Spark's own analyzer rewrites the
+    // statement into target-scan + per-row verbs, the connector stages the
+    // verbs in per-task parquet (never through the driver) and folds them
+    // into ONE applier change batch: tombstones for retired keys at p,
+    // upserts at p+1 (INSERT OVERWRITE's two-position discipline). The
+    // second UPDATE moves PKs (SET o_orderkey = ...): the old key must
+    // retire via tombstone and the row re-land under the new key — the
+    // S9-S11 PK-move semantics (q30) surfaced as ANSI UPDATE. 100 TB:
+    // cost ∝ changed rows + touched buckets; the staged delta is
+    // distributed parquet, the merge is the applier's own.
+    "q234_sql_update" -> ((s, dir) => {
+      import s.implicits._
+      val o = Tables.load(s, dir, "orders")
+      val whRoot = Files.createTempDirectory("graft_cat").toString
+      s.conf.set("spark.sql.catalog.q234cat", "graft.catalog.GraftCatalog")
+      s.conf.set("spark.sql.catalog.q234cat.root", whRoot)
+      o.createOrReplaceTempView("q234_orders")
+      s.sql("CREATE NAMESPACE IF NOT EXISTS q234cat.prod")
+      s.sql(s"""CREATE TABLE q234cat.prod.orders_t (${o.schema.toDDL})
+                OPTIONS (pk 'o_orderkey', buckets '8')""")
+      s.sql("""INSERT INTO q234cat.prod.orders_t
+               SELECT *, CAST(NULL AS BIGINT) FROM q234_orders""")
+      // predicated non-PK update
+      s.sql("""UPDATE q234cat.prod.orders_t
+               SET o_totalprice = o_totalprice * 1.1, o_orderstatus = 'R'
+               WHERE o_orderpriority = '1-URGENT'""")
+      // PK-moving update: old keys retire, rows re-land under new keys
+      s.sql("""UPDATE q234cat.prod.orders_t
+               SET o_orderkey = o_orderkey + 10000000
+               WHERE o_orderkey % 1000 = 0""")
+      s.sql("""SELECT o_orderkey, o_totalprice, o_orderstatus
+               FROM q234cat.prod.orders_t""")
+        .orderBy($"o_orderkey")
+    }),
+
+    // ROW-LEVEL DML (q235): MERGE INTO with all three branch kinds in one
+    // statement — conditional DELETE, UPDATE from source values, and
+    // NOT-MATCHED INSERT — against a graft catalog table. One statement =
+    // one applier batch; the merge's join is Spark's own rewrite (target
+    // scan x source on the PK), so the 100 TB cost is the join plus
+    // touched buckets, and every branch composes with history/change-feed
+    // semantics because the fold IS the applier. Reference parity: the
+    // consolidated S9-S11 apply expressed as the ANSI statement a SQL user
+    // would actually type.
+    "q235_sql_merge" -> ((s, dir) => {
+      import s.implicits._
+      val o = Tables.load(s, dir, "orders")
+      val whRoot = Files.createTempDirectory("graft_cat").toString
+      s.conf.set("spark.sql.catalog.q235cat", "graft.catalog.GraftCatalog")
+      s.conf.set("spark.sql.catalog.q235cat.root", whRoot)
+      o.createOrReplaceTempView("q235_orders")
+      s.sql("CREATE NAMESPACE IF NOT EXISTS q235cat.prod")
+      s.sql(s"""CREATE TABLE q235cat.prod.orders_t (${o.schema.toDDL})
+                OPTIONS (pk 'o_orderkey', buckets '8')""")
+      s.sql("""INSERT INTO q235cat.prod.orders_t
+               SELECT *, CAST(NULL AS BIGINT) FROM q235_orders""")
+      // source: matched keys (%3) with their current price, plus brand-new
+      // keys (+20M, %5) carrying tripled prices
+      s.sql("""SELECT o_orderkey AS k, o_custkey, o_orderstatus,
+                      o_totalprice AS amt, o_orderdate, o_orderpriority
+               FROM q235_orders WHERE o_orderkey % 3 = 0
+               UNION ALL
+               SELECT o_orderkey + 20000000 AS k, o_custkey, o_orderstatus,
+                      o_totalprice * 3 AS amt, o_orderdate, o_orderpriority
+               FROM q235_orders WHERE o_orderkey % 5 = 0""")
+        .createOrReplaceTempView("q235_src")
+      s.sql("""MERGE INTO q235cat.prod.orders_t t USING q235_src s
+               ON t.o_orderkey = s.k
+               WHEN MATCHED AND s.k % 6 = 0 THEN DELETE
+               WHEN MATCHED THEN
+                 UPDATE SET o_totalprice = s.amt * 2.0, o_orderstatus = 'M'
+               WHEN NOT MATCHED THEN
+                 INSERT (o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+                         o_orderdate, o_orderpriority, _graft_pos)
+                 VALUES (s.k, s.o_custkey, 'I', s.amt, s.o_orderdate,
+                         s.o_orderpriority, CAST(NULL AS BIGINT))""")
+      s.sql("""SELECT o_orderkey, o_totalprice, o_orderstatus
+               FROM q235cat.prod.orders_t""")
+        .orderBy($"o_orderkey")
+    }),
+
+    // CONNECTOR STATISTICS (q236): the scan reports its covered-bucket
+    // bytes as relation statistics (GraftScan.prunedBytes ->
+    // GraftRelation.sizeInBytes), so Catalyst's JoinSelection sizes graft
+    // reads correctly — a dimension-sized graft table joined to a fact
+    // auto-broadcasts with NO hint. Without the override, V1 relations
+    // report defaultSizeInBytes (= infinite) and every graft join plans as
+    // a shuffle — at 100 TB the difference between a map-side hash probe
+    // and shuffling the fact table. The gate SELF-AUDITS the plan: the
+    // hint-free join must pick BroadcastHashJoin with the graft scan on
+    // the build side. Stats are post-pushdown (a point-pruned read of a
+    // huge table reports one bucket's bytes), file-byte conservative on
+    // mor.
+    "q236_connector_stats" -> ((s, dir) => {
+      import s.implicits._
+      val n = Tables.load(s, dir, "nation")
+      val c = Tables.load(s, dir, "customer")
+      val dim = Files.createTempDirectory("graft_cdc").toString + "/nation_dim"
+      CdcApplier.applyBatch(s, ChangeFeed.inserts(n, lit(1L)), dim,
+        CdcApplier.Options(Seq("n_nationkey"), numBuckets = 4))
+      val dimDf = s.read.format("graft").load(dim).drop("_graft_pos")
+      val q = c.join(dimDf, $"c_nationkey" === $"n_nationkey")
+        .groupBy($"n_name")
+        .agg(count(lit(1)).as("cust_cnt"), sum($"c_custkey").as("key_sum"))
+      val phys = q.queryExecution.executedPlan.toString
+      require(phys.contains("BroadcastHashJoin") && !phys.contains("SortMergeJoin"),
+        "connector stats must auto-broadcast the dimension:\n" + phys)
+      q.orderBy($"n_name")
+    }),
+
     "q216_sql_connector" -> ((s, dir) => {
       import s.implicits._
       val o = Tables.load(s, dir, "orders")
@@ -2602,6 +2714,43 @@ object CdcQueries {
       SELECT 9999999, 123.0, o_orderstatus, 'evolved' AS flag
       FROM orders WHERE o_orderkey = (SELECT min(o_orderkey) FROM orders)
       ORDER BY o_orderkey""",
+
+    // q234: replay the two UPDATEs — urgent reprice, then the PK move
+    // (%1000 keys re-land at +10M; both updates compose on urgent movers).
+    "q234_sql_update" -> """
+      WITH s1 AS (
+        SELECT o_orderkey,
+          CASE WHEN o_orderpriority = '1-URGENT' THEN o_totalprice * 1.1
+               ELSE o_totalprice END AS o_totalprice,
+          CASE WHEN o_orderpriority = '1-URGENT' THEN 'R'
+               ELSE o_orderstatus END AS o_orderstatus
+        FROM orders)
+      SELECT CASE WHEN o_orderkey % 1000 = 0 THEN o_orderkey + 10000000
+                  ELSE o_orderkey END AS o_orderkey,
+             o_totalprice, o_orderstatus
+      FROM s1 ORDER BY o_orderkey""",
+
+    // q235: replay the merge — %6 keys deleted (every matched %3 key that
+    // is also even), remaining %3 keys repriced from the source, and the
+    // +20M inserts from the %5 branch.
+    "q235_sql_merge" -> """
+      SELECT o_orderkey,
+        CASE WHEN o_orderkey % 3 = 0 THEN o_totalprice * 2.0
+             ELSE o_totalprice END AS o_totalprice,
+        CASE WHEN o_orderkey % 3 = 0 THEN 'M' ELSE o_orderstatus END AS o_orderstatus
+      FROM orders WHERE o_orderkey % 6 <> 0
+      UNION ALL
+      SELECT o_orderkey + 20000000 AS o_orderkey,
+             o_totalprice * 3 AS o_totalprice, 'I' AS o_orderstatus
+      FROM orders WHERE o_orderkey % 5 = 0
+      ORDER BY o_orderkey""",
+
+    // q236: the broadcast is a plan property; the values are a plain join.
+    "q236_connector_stats" -> """
+      SELECT n_name, CAST(count(*) AS BIGINT) AS cust_cnt,
+             CAST(sum(c_custkey) AS BIGINT) AS key_sum
+      FROM customer JOIN nation ON c_nationkey = n_nationkey
+      GROUP BY n_name ORDER BY n_name""",
 
     // q226: replay the three SQL-written lifecycles — upsert+range-delete,
     // replace-contents, and the mor target's change envelope.

@@ -240,7 +240,8 @@ object GraftDataSource {
 
 class GraftTable(val targetDir: String, tableSchema: StructType,
     asOf: Option[Long] = None, changesFrom: Option[Long] = None)
-    extends Table with SupportsRead with SupportsWrite with SupportsDelete {
+    extends Table with SupportsRead with SupportsWrite with SupportsDelete
+    with org.apache.spark.sql.connector.catalog.SupportsRowLevelOperations {
   override def name(): String = s"graft.`$targetDir`"
   override def schema(): StructType = tableSchema
   override def capabilities(): java.util.Set[TableCapability] =
@@ -261,6 +262,17 @@ class GraftTable(val targetDir: String, tableSchema: StructType,
       "asOfPos / changesFrom serve read-only projections; write to the table itself")
     new GraftWriteBuilder(targetDir,
       info.options.asCaseSensitiveMap.asScala.toMap)
+  }
+
+  /** SQL `UPDATE` / `MERGE INTO` (and row-level `DELETE` when the
+    * predicates don't translate): Spark's delta-based row-level rewrite,
+    * folded back into ONE applier change batch — see [[GraftRowLevel]]. */
+  override def newRowLevelOperationBuilder(
+      info: org.apache.spark.sql.connector.write.RowLevelOperationInfo)
+      : org.apache.spark.sql.connector.write.RowLevelOperationBuilder = {
+    require(asOf.isEmpty && changesFrom.isEmpty,
+      "asOfPos / changesFrom serve read-only projections; write to the table itself")
+    () => new GraftRowLevelOperation(targetDir, tableSchema, info)
   }
 
   /** SQL `DELETE FROM`: predicates translate through the read path's own
@@ -306,8 +318,17 @@ object GraftTable {
       case None =>
         throw new IllegalStateException(s"no graft table state at $targetDir")
     }
+    val pk = TargetMeta.read(hconf, target).flatMap(_.pkCols)
+      .getOrElse(Seq.empty).toSet
+    // PK columns are served NON-nullable: the applier's S6 completeness
+    // guard raises on null PKs before any row lands, so the tightening is
+    // semantically true — and Spark's row-level DML (UPDATE/MERGE) requires
+    // non-nullable rowId attributes. Under the default ANSI store-
+    // assignment policy a nullable INSERT query just gains a runtime
+    // AssertNotNull, the Spark-native spelling of the same S6 guard.
     StructType(stored.fields.filterNot(f =>
-      f.name == CdcApplier.DEL || f.name == CdcApplier.BUCKET))
+      f.name == CdcApplier.DEL || f.name == CdcApplier.BUCKET)
+      .map(f => if (pk.contains(f.name)) f.copy(nullable = false) else f))
   }
 
   /** The `changesFrom` mode's relation schema: the reconstructed CDC
@@ -386,6 +407,24 @@ class GraftScan(
   val innerDf: DataFrame = GraftScan.planRead(
     spark, targetDir, fullSchema, required, pushed, prunedBuckets, asOf, changesFrom)
 
+  /** Bytes under the COVERED buckets only — the connector's statistics
+    * (post-pushdown, so a point lookup on a 1000-bucket table reports one
+    * bucket's bytes). Served through [[GraftRelation.sizeInBytes]] so
+    * Catalyst sizes joins correctly: a dimension-sized graft table (or a
+    * bucket-pruned read of a huge one) auto-broadcasts with no hint —
+    * without this, V1 relations report `defaultSizeInBytes` (= infinite)
+    * and every graft join is planned as a shuffle. Driver-side listing of
+    * dirs the scan already listed; raw file bytes over-estimate a mor
+    * target's resolved rows (conservative — never a wrong broadcast). */
+  val prunedBytes: Long = {
+    val target = new Path(targetDir)
+    val fs = target.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    prunedBuckets.map { b =>
+      val d = new Path(target, s"${CdcApplier.BUCKET}=$b")
+      if (fs.exists(d)) fs.listStatus(d).map(_.getLen).sum else 0L
+    }.sum
+  }
+
   override def readSchema(): StructType = required
 
   override def description(): String =
@@ -393,18 +432,23 @@ class GraftScan(
 
   override def toV1TableScan[T <: BaseRelation with TableScan](context: SQLContext): T =
     new GraftRelation(context, required, innerDf,
-      s"$targetDir buckets=${prunedBuckets.size}/${allBuckets.size}").asInstanceOf[T]
+      s"$targetDir buckets=${prunedBuckets.size}/${allBuckets.size}",
+      prunedBytes).asInstanceOf[T]
 }
 
 /** `needConversion=false`: `buildScan` hands back the inner plan's
   * InternalRow RDD directly — zero row conversion, and the inner parquet
   * scan keeps whole-stage codegen. */
 class GraftRelation(
-    ctx: SQLContext, s: StructType, df: DataFrame, label: String)
+    ctx: SQLContext, s: StructType, df: DataFrame, label: String,
+    bytes: Long = Long.MaxValue)
     extends BaseRelation with TableScan {
   override def sqlContext: SQLContext = ctx
   override def schema: StructType = s
   override def needConversion: Boolean = false
+  /** Covered-bucket bytes ([[GraftScan.prunedBytes]]) — lets Catalyst
+    * auto-broadcast dimension-sized (or point-pruned) graft reads. */
+  override def sizeInBytes: Long = bytes
   override def buildScan(): RDD[Row] =
     df.queryExecution.toRdd.asInstanceOf[RDD[Row]]
   override def toString: String = s"GraftRelation($label)"

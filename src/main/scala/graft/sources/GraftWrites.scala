@@ -87,7 +87,7 @@ object GraftWrites {
 
   /** Highest position on disk (empty target → 0). A POS-only scan: parquet
     * reads one column and can answer from row-group stats. */
-  private def maxPos(spark: SparkSession, targetDir: String): Long = {
+  private[sources] def maxPos(spark: SparkSession, targetDir: String): Long = {
     val target = new Path(targetDir)
     val fs = target.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(target) || CdcApplier.bucketIds(fs, target).isEmpty) 0L

@@ -252,6 +252,17 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("SortMergeJoin"), s"no shuffle join in an index read:\n$p")
   }
 
+  test("q236: connector statistics auto-broadcast the dimension (no hint)") {
+    val p = plan("q236_connector_stats")
+    // the graft dim read reports covered-bucket bytes as sizeInBytes, so
+    // JoinSelection picks a broadcast join on its own; the fact side must
+    // never shuffle for a dimension join
+    assert(p.contains("BroadcastHashJoin"),
+      s"dimension-sized graft read must auto-broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      s"no shuffle join for a broadcastable dimension:\n$p")
+  }
+
   test("q216: V2 connector scans push filters and bucket-prune (cow IN-list, range BETWEEN)") {
     val p = plan("q216_sql_connector")
     // every connector scan advertises its pruning ratio in the relation
