@@ -59,6 +59,26 @@ object NearDup {
     * no per-shingle String allocation, full codegen. Hashed shingle sets
     * have the same distinct counts as the string sets up to a negligible
     * 64-bit collision probability. */
+  /** (doc_id, band, key) LSH band keys off a hashed-shingle frame — the
+    * shared banding of the batch pairs operator and the streaming
+    * admission gate ([[graft.streaming.StreamNearDup]]), so the two cannot
+    * disagree on the signature geometry. */
+  private[graft] def bandKeys(hashed: DataFrame): DataFrame = {
+    val bandArr = TextOps.bind(call_function("graft_minhash_sig", col("shh"), lit(NumPerms))) {
+      sig =>
+        array((0 until NumPerms / BandRows).map(b =>
+          struct(lit(b).as("band"),
+            concat_ws("-", (0 until BandRows)
+              .map(r => element_at(sig, b * BandRows + r + 1).cast("string")): _*).as("key"))): _*)
+    }
+    hashed.select(col("doc_id"), explode(bandArr).as("bk"))
+      .select(col("doc_id"), col("bk.band").as("band"), col("bk.key").as("key"))
+  }
+
+  /** [[withHashedShingles]] for the streaming admission operator. */
+  private[graft] def hashedShingles(docs: DataFrame): DataFrame =
+    withHashedShingles(docs)
+
   private def withHashedShingles(docs: DataFrame): DataFrame =
     docs.repartition(col("doc_id")) // spread CPU-heavy narrow work
       .select(col("doc_id"),
@@ -304,15 +324,7 @@ object NearDup {
     * can't re-inline it per band. */
   def minhashLshPairs(docs: DataFrame): DataFrame = {
     val hashed = withHashedShingles(docs)
-    val bandArr = TextOps.bind(call_function("graft_minhash_sig", col("shh"), lit(NumPerms))) {
-      sig =>
-        array((0 until NumPerms / BandRows).map(b =>
-          struct(lit(b).as("band"),
-            concat_ws("-", (0 until BandRows)
-              .map(r => element_at(sig, b * BandRows + r + 1).cast("string")): _*).as("key"))): _*)
-    }
-    val bands = hashed.select(col("doc_id"), explode(bandArr).as("bk"))
-      .select(col("doc_id"), col("bk.band").as("band"), col("bk.key").as("key"))
+    val bands = bandKeys(hashed)
     val cand = bands.as("a").join(bands.as("b"),
         col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
           col("a.doc_id") < col("b.doc_id"))

@@ -791,6 +791,46 @@ object StreamQueries {
       out
     }),
 
+    // ---- q237: streaming MinHash-LSH near-dup ADMISSION — the q42
+    //      operator the way a crawl pipeline actually runs it: each doc
+    //      admitted at ingest iff no earlier-SEEN doc is a verified
+    //      near-duplicate (exact Jaccard >= t; LSH bands are candidate
+    //      generation only, the shared q42 geometry). State lives in
+    //      applier targets (band first-owners via -doc_id positions, seen
+    //      shingle sets, admitted set), so exactly-once is idempotence-
+    //      by-position, not executor memory. Feed = documents plus a
+    //      recrawl of every %5 doc at +10000 (exact dups, all rejected),
+    //      doc_id-ordered in 4 chunks — rejections must hold both within
+    //      a chunk and across the store boundary. Oracle: the order-free
+    //      seen-based rule — rejected iff ANY lower-id doc has J >= t —
+    //      over exact shingle sets (q41/q42's decision procedure).
+    "q237_stream_neardup" -> ((s, dir) => {
+      import s.implicits._
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      implicit val sqlCtx: SQLContext = s.sqlContext
+      val docs = Tables.load(s, dir, "documents").select($"doc_id", $"text")
+      val rows = docs
+        .union(docs.filter($"doc_id" % 5 === 0)
+          .select(($"doc_id" + 10000).as("doc_id"), $"text"))
+        .orderBy($"doc_id")
+        .as[(Long, String)].collect()
+      val base = java.nio.file.Files.createTempDirectory("graft_snd").toString
+      val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+      try {
+        s.conf.set("spark.sql.shuffle.partitions", "8")
+        val src = MemoryStream[(Long, String)]
+        val query = StreamNearDup.start(
+          src.toDF().toDF("doc_id", "text"), base + "/state", base + "/ckpt")
+        try {
+          val chunkSize = math.max(100, (rows.length + 3) / 4)
+          rows.grouped(chunkSize).foreach { c =>
+            src.addData(c.toIndexedSeq); query.processAllAvailable()
+          }
+        } finally query.stop()
+      } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+      StreamNearDup.admitted(s, base + "/state")
+    }),
+
     // ---- q86: streaming budget admission vs the batch oracle. The
     //      streaming form admits in ARRIVAL order (a stream has no global
     //      content-hash sort — q65's ohash ordering is the batch
@@ -1121,6 +1161,28 @@ object StreamQueries {
             UNION ALL SELECT doc_id + 10000, text FROM documents)
       GROUP BY sha256(text)
       ORDER BY keep_id""",
+
+    // q237: seen-based near-dup admission — rejected iff ANY lower-id doc
+    // in the fed relation has exact shingle Jaccard >= t (q41/q42's
+    // decision procedure over the same shinglesSql definition).
+    "q237_stream_neardup" -> s"""
+      WITH feed AS (
+        SELECT doc_id, text FROM documents
+        UNION ALL
+        SELECT doc_id + 10000 AS doc_id, text FROM documents WHERE doc_id % 5 = 0),
+      sh AS (
+        SELECT doc_id,
+          ${graft.ext.TextOps.shinglesSql("text", graft.ext.NearDup.ShingleK)} AS sh
+        FROM feed),
+      rej AS (
+        SELECT DISTINCT b.doc_id
+        FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        WHERE len(list_intersect(a.sh, b.sh))::DOUBLE
+            / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)))
+            >= ${graft.ext.NearDup.JaccardT})
+      SELECT doc_id FROM feed
+      WHERE doc_id NOT IN (SELECT doc_id FROM rej)
+      ORDER BY doc_id""",
 
     "q86_stream_admission" -> s"""
       SELECT doc_id, source, n_tokens, start FROM (
