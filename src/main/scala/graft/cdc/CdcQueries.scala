@@ -1160,6 +1160,45 @@ object CdcQueries {
       } finally graft.plans.GraftViewRewrite.unregister(basePath, "o_orderpriority")
     }),
 
+    // STATS-VIEW REWRITE (q238): q232 widened to the full q89 stats-view
+    // shape — ONE registered (base, group, value) view serves ANY
+    // combination of COUNT(*)/SUM/MIN/MAX/AVG over the value column, each
+    // aggregate mapped to its maintained column in one projection. SUM is
+    // served as the view's decimal-exact sum cast to double (SUMD's
+    // one-final-IEEE-step discipline), so the rewrite is reproducible
+    // regardless of the base's aggregation order. Distinct/filtered/
+    // wrong-column/wrong-type aggregates never match (ViewRewriteSpec
+    // locks the near-misses) — narrowness IS the correctness guarantee.
+    // 100 TB: a five-aggregate corpus scan+shuffle collapses to one
+    // groups-sized read.
+    "q238_stats_view_rewrite" -> ((s, dir) => {
+      import s.implicits._
+      val o = Tables.load(s, dir, "orders")
+      val viewDir = Files.createTempDirectory("graft_cdc").toString + "/orders_stats_view"
+      val viewRows = IncrementalView.maintainMinMax(
+        Seq(ChangeFeed.inserts(o, lit(1L))), o, "o_orderpriority", "o_totalprice")
+      CdcApplier.applyBatch(s, ChangeFeed.inserts(viewRows, lit(1L)), viewDir,
+        CdcApplier.Options(Seq("o_orderpriority"), numBuckets = 4))
+      val basePath = dir + "/orders.parquet"
+      graft.plans.GraftViewRewrite.install(s)
+      graft.plans.GraftViewRewrite.registerStats(
+        basePath, "o_orderpriority", "o_totalprice", viewDir)
+      try {
+        val q = Tables.load(s, dir, "orders")
+          .groupBy($"o_orderpriority")
+          .agg(count(lit(1)).as("cnt"),
+            sum($"o_totalprice").as("total"),
+            min($"o_totalprice").as("mn"),
+            max($"o_totalprice").as("mx"),
+            avg($"o_totalprice").as("avg_price"))
+        val opt = q.queryExecution.optimizedPlan.toString
+        require(!opt.contains("Aggregate [") && opt.contains("_graft_deleted"),
+          "stats-view rewrite did not fire; plan still aggregates the base:\n" + opt)
+        q.orderBy($"o_orderpriority").localCheckpoint()
+      } finally graft.plans.GraftViewRewrite.unregisterStats(
+        basePath, "o_orderpriority", "o_totalprice")
+    }),
+
     // CATALOG surface (q231): the full DDL+DML lifecycle through the V2
     // catalog plugin (GraftCatalog) with every statement addressed by
     // NAME — CREATE NAMESPACE / CREATE TABLE (layout from OPTIONS) /
@@ -2714,6 +2753,15 @@ object CdcQueries {
       SELECT 9999999, 123.0, o_orderstatus, 'evolved' AS flag
       FROM orders WHERE o_orderkey = (SELECT min(o_orderkey) FROM orders)
       ORDER BY o_orderkey""",
+
+    // q238: the five served aggregates, SUMD-exact where order-dependent.
+    "q238_stats_view_rewrite" -> s"""
+      SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS cnt,
+        ${graft.util.Sumd.SUMD("o_totalprice")} AS total,
+        min(o_totalprice) AS mn, max(o_totalprice) AS mx,
+        ${graft.util.Sumd.SUMD("o_totalprice")} / CAST(count(*) AS DOUBLE) AS avg_price
+      FROM orders GROUP BY o_orderpriority
+      ORDER BY o_orderpriority""",
 
     // q234: replay the two UPDATEs — urgent reprice, then the PK move
     // (%1000 keys re-land at +10M; both updates compose on urgent movers).

@@ -82,6 +82,55 @@ class ViewRewriteSpec extends AnyFunSuite {
     assert(agg().queryExecution.optimizedPlan.toString.contains("Aggregate ["))
   }
 
+  private def buildStatsView(): String = {
+    val viewDir = Files.createTempDirectory("graft_mv").toString + "/sv"
+    val rows = graft.cdc.IncrementalView.maintainMinMax(
+      Seq(ChangeFeed.inserts(spark.read.parquet(base), lit(1L))),
+      spark.read.parquet(base), "grp", "x")
+    CdcApplier.applyBatch(spark, ChangeFeed.inserts(rows, lit(1L)), viewDir,
+      CdcApplier.Options(Seq("grp"), numBuckets = 2))
+    viewDir
+  }
+
+  test("stats view serves any COUNT/SUM/MIN/MAX/AVG combination; results equal") {
+    val viewDir = buildStatsView()
+    GraftViewRewrite.install(spark)
+    GraftViewRewrite.registerStats(base, "grp", "x", viewDir)
+    try {
+      val q = spark.read.parquet(base).groupBy($"grp")
+        .agg(sum($"x").as("s"), max($"x").as("mx"), count(lit(1)).as("c"))
+      val opt = q.queryExecution.optimizedPlan.toString
+      assert(!opt.contains("Aggregate ["), "still aggregating the base: " + opt)
+      assert(opt.contains("_graft_deleted"), "not reading the view store: " + opt)
+      val got = q.collect()
+        .map(r => (r.getString(0), (r.getDouble(1), r.getDouble(2), r.getLong(3))))
+        .toMap
+      // grp g1 = ids {1,4,...,100} step 3 -> 34 ids; x = 2*id
+      assert(got("g1")._3 == 34L && got("g1")._2 == 200.0, got.toString)
+      val fresh = spark.read.parquet(base).groupBy($"grp")
+        .agg(sum($"x"), max($"x"), count(lit(1))).collect()
+        .map(r => (r.getString(0), (r.getDouble(1), r.getDouble(2), r.getLong(3))))
+        .toMap
+      assert(got == fresh, s"rewritten != fresh: $got vs $fresh")
+    } finally GraftViewRewrite.unregisterStats(base, "grp", "x")
+  }
+
+  test("stats near-misses pass through: distinct, wrong value column, expression arg") {
+    val viewDir = buildStatsView()
+    GraftViewRewrite.install(spark)
+    GraftViewRewrite.registerStats(base, "grp", "x", viewDir)
+    try {
+      def stillAggregates(df: DataFrame): Boolean =
+        df.queryExecution.optimizedPlan.toString.contains("Aggregate [")
+      assert(stillAggregates(spark.read.parquet(base).groupBy($"grp")
+        .agg(sum_distinct($"x").as("s"))), "DISTINCT must not rewrite")
+      assert(stillAggregates(spark.read.parquet(base).groupBy($"grp")
+        .agg(sum($"k".cast("double")).as("s"))), "unregistered column must not rewrite")
+      assert(stillAggregates(spark.read.parquet(base).groupBy($"grp")
+        .agg(sum($"x" * 2).as("s"))), "expression argument must not rewrite")
+    } finally GraftViewRewrite.unregisterStats(base, "grp", "x")
+  }
+
   test("parents above the aggregate keep resolving (ExprId re-bind)") {
     val viewDir = buildView()
     GraftViewRewrite.install(spark)
