@@ -85,6 +85,12 @@ object TextOps {
 
   private val stopwords = Seq("the", "a", "of", "and", "to", "in")
 
+  /** q239's decoration: DECOMPOSED accents (e + U+0301, a + U+0300) and
+    * doubled whitespace — the ONE Scala constant interpolates into both
+    * the Spark plan and the DuckDB oracle text, so both engines normalize
+    * byte-identical input. */
+  private[graft] val NormPrefix = "Café  du  Marché à gogo — "
+
   /** q175 admission cut: a doc survives when its within-source quality
     * percent_rank is at or above this (every source contributes its best
     * 30%). Shared by the Spark plan and the oracle. */
@@ -311,6 +317,34 @@ object TextOps {
 
     // ---- Corpus quality stats per language: doc/char/word counts, stopword
     //      and punctuation ratios. Per-row narrow work + one small agg.
+    // UNICODE NORMALIZATION (q239): the pipeline step every byte-level
+    // operator here depends on — the same visible string has multiple
+    // encodings (composed vs decomposed accents), and shingle hashes /
+    // dedup digests see them as different documents unless normalized
+    // first. graft_normalize is a native codegen Expression (Spark ships
+    // no Unicode normalizer); the form resolves at plan time to one JVM
+    // intrinsic call per row. The gate decorates each doc with a
+    // DECOMPOSED-accent prefix (shared constant, same bytes both engines):
+    // NFC must compose it (shorter), the NFD+strip-marks+NFC chain must
+    // equal DuckDB's strip_accents, whitespace collapse is the regexp leg.
+    // 100 TB: one narrow projection, no shuffle, whole-stage codegen.
+    "q239_normalize" -> ((s, dir) => {
+      import s.implicits._
+      graft.functions.GraftFunctions.register(s)
+      def norm(c: Column, f: String): Column =
+        call_function("graft_normalize", c, lit(f))
+      t(s, dir, "documents")
+        .repartition($"doc_id")
+        .withColumn("s", concat(lit(NormPrefix), $"text"))
+        .select($"doc_id",
+          norm($"s", "NFC").as("nfc"),
+          length($"s").as("raw_len"),
+          length(norm($"s", "NFC")).as("nfc_len"),
+          norm(regexp_replace(norm($"s", "NFD"), "\\p{Mn}", ""), "NFC").as("stripped"),
+          regexp_replace($"s", "\\s+", " ").as("ws_norm"))
+        .orderBy($"doc_id")
+    }),
+
     "q43_text_stats" -> ((s, dir) => {
       import s.implicits._
       val stops = array(stopwords.map(lit): _*)
@@ -497,6 +531,19 @@ object TextOps {
             UNION ALL SELECT doc_id + 10000, text FROM documents)
       GROUP BY sha256(text)
       ORDER BY keep_id""",
+
+    // q239: DuckDB's nfc_normalize / strip_accents / regexp_replace over
+    // the SAME decorated bytes (NormPrefix interpolates verbatim).
+    "q239_normalize" -> s"""
+      WITH dec AS (
+        SELECT doc_id, '$NormPrefix' || text AS s FROM documents)
+      SELECT doc_id,
+        nfc_normalize(s) AS nfc,
+        CAST(length(s) AS INT) AS raw_len,
+        CAST(length(nfc_normalize(s)) AS INT) AS nfc_len,
+        strip_accents(nfc_normalize(s)) AS stripped,
+        regexp_replace(s, '\\s+', ' ', 'g') AS ws_norm
+      FROM dec ORDER BY doc_id""",
 
     "q43_text_stats" -> s"""
       WITH d AS (

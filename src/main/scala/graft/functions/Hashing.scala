@@ -712,6 +712,7 @@ case class QDot(left: Expression, right: Expression) extends BinaryExpression {
 object GraftFunctions {
   val entries: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
     PolyHash.registryEntry,
+    NormalizeString.registryEntry,
     (FunctionIdentifier("graft_shingle_hashes"),
       new ExpressionInfo(classOf[ShingleHashes].getName, "graft_shingle_hashes"),
       { children: Seq[Expression] =>
