@@ -112,7 +112,7 @@ object Bench {
       "q222_inverted_index", "q223_stream_inverted_index", "q224_sql_time_travel",
       "q225_sql_changefeed", "q226_sql_write", "q227_stream_changefeed",
       "q228_stream_replica", "q231_catalog_sql", "q234_sql_update",
-      "q235_sql_merge", "q237_stream_neardup")
+      "q235_sql_merge", "q237_stream_neardup", "q240_sql_maintenance")
 
     def measure(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame)
         : (Double, Seq[Double], Seq[(Long, Long, Long)]) = {

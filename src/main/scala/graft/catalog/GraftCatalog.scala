@@ -48,7 +48,22 @@ import graft.sources.GraftTable
   * as a native Spark catalog — the reference's Astro-backed
   * `Hbase2CataLog` equivalent, addressed with multi-part SQL names.
   */
-class GraftCatalog extends TableCatalog with SupportsNamespaces {
+class GraftCatalog extends TableCatalog with SupportsNamespaces
+    with org.apache.spark.sql.connector.catalog.ProcedureCatalog {
+
+  /** SQL `CALL <cat>.system.<op>(...)` — the maintenance surface
+    * ([[GraftProcedures]]: optimize / compact / vacuum / rebucket /
+    * backfill), dispatching to the same applier entry points as the
+    * Scala API. */
+  override def loadProcedure(ident: Identifier)
+      : org.apache.spark.sql.connector.catalog.procedures.UnboundProcedure =
+    GraftProcedures.load(root, ident).getOrElse(
+      throw new RuntimeException(s"unknown procedure: $ident"))
+
+  override def listProcedures(namespace: Array[String]): Array[Identifier] =
+    if (namespace.sameElements(Array(GraftProcedures.Namespace)))
+      GraftProcedures.list(catalogName)
+    else Array.empty
 
   private var catalogName: String = _
   private var root: Path = _

@@ -1,0 +1,127 @@
+package graft.catalog
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.connector.catalog.Identifier
+import org.apache.spark.sql.connector.catalog.procedures.{BoundProcedure, ProcedureParameter, UnboundProcedure}
+import org.apache.spark.sql.connector.read.{LocalScan, Scan}
+import org.apache.spark.sql.functions.expr
+import org.apache.spark.sql.types.{DataType, IntegerType, LongType, StringType, StructField, StructType}
+import org.apache.spark.unsafe.types.UTF8String
+
+import graft.cdc.CdcApplier
+import graft.cdc.CdcApplier.TargetMeta
+
+/** SQL `CALL` surface for the engine's maintenance operations — the
+  * reference's EP2 ops tooling (SURVEY §2.1) as Spark V2 procedures:
+  * {{{
+  *   CALL gr.system.optimize(table => 'prod.accounts', target_mb => 128);
+  *   CALL gr.system.compact(table => 'prod.accounts');        -- mode-aware
+  *   CALL gr.system.vacuum(table => 'prod.events', retain_from_pos => 500);
+  *   CALL gr.system.rebucket(table => 'prod.accounts', buckets => 64);
+  *   CALL gr.system.backfill(table => 't', column => 'c', expression => 'a*2');
+  * }}}
+  * Each procedure resolves `table` ('ns.table', relative to this catalog's
+  * root), dispatches to the SAME [[CdcApplier]] entry point the Scala API
+  * uses (one decision procedure — a SQL CALL cannot drift from the
+  * library), and returns a one-row summary relation (op, target, touched
+  * buckets). `compact` dispatches on the persisted storage mode: mor
+  * targets collapse their version deltas ([[CdcApplier.compactMor]]), cow
+  * targets drop tombstones below the required `horizon_pos`
+  * ([[CdcApplier.compact]]) — the mode lives in `.graft_meta`, so the
+  * caller cannot pick the wrong collapse. `backfill` takes the fill as a
+  * SQL expression string, parsed by Spark's own parser.
+  *
+  * 100 TB: identical to the Scala entry points — every procedure is the
+  * applier's own bounded bucket-level rewrite; the CALL adds name
+  * resolution only.
+  */
+object GraftProcedures {
+
+  val Namespace = "system"
+
+  private val names = Seq("optimize", "compact", "vacuum", "rebucket", "backfill")
+
+  def list(catalogName: String): Array[Identifier] =
+    names.map(n => Identifier.of(Array(Namespace), n)).toArray
+
+  def load(root: Path, ident: Identifier): Option[UnboundProcedure] =
+    if (!ident.namespace.sameElements(Array(Namespace))) None
+    else if (!names.contains(ident.name)) None
+    else Some(new GraftProcedure(root, ident.name))
+}
+
+/** One maintenance procedure; binding is trivial (fixed signatures). */
+class GraftProcedure(root: Path, op: String) extends UnboundProcedure with BoundProcedure {
+  import ProcedureParameter.in
+
+  override def name(): String = op
+  override def description(): String = s"graft maintenance: $op"
+  override def bind(inputType: StructType): BoundProcedure = this
+  override def isDeterministic: Boolean = false
+
+  override def parameters(): Array[ProcedureParameter] = op match {
+    case "optimize" => Array(
+      in("table", StringType).build(),
+      in("target_mb", IntegerType).defaultValue("128").build())
+    case "compact" => Array(
+      in("table", StringType).build(),
+      in("horizon_pos", LongType).defaultValue("CAST(NULL AS BIGINT)").build())
+    case "vacuum" => Array(
+      in("table", StringType).build(),
+      in("retain_from_pos", LongType).build())
+    case "rebucket" => Array(
+      in("table", StringType).build(),
+      in("buckets", IntegerType).build())
+    case "backfill" => Array(
+      in("table", StringType).build(),
+      in("column", StringType).build(),
+      in("expression", StringType).build(),
+      in("max_buckets", IntegerType).defaultValue("2147483647").build())
+  }
+
+  private def dirOf(table: String): String = {
+    val parts = table.split('.')
+    parts.foldLeft(root)((p, seg) => new Path(p, seg)).toString
+  }
+
+  override def call(input: InternalRow): java.util.Iterator[Scan] = {
+    val spark = SparkSession.active
+    val table = input.getUTF8String(0).toString
+    val dir = dirOf(table)
+    val touched: Int = op match {
+      case "optimize" =>
+        CdcApplier.optimize(spark, dir, input.getInt(1).toLong << 20).size
+      case "compact" =>
+        val meta = TargetMeta.read(spark.sparkContext.hadoopConfiguration,
+          new Path(dir)).getOrElse(
+          throw new IllegalStateException(s"no graft table state at $dir"))
+        if (meta.storage.contains("mor")) CdcApplier.compactMor(spark, dir).size
+        else {
+          require(!input.isNullAt(1),
+            "compact on a copy-on-write target needs horizon_pos (tombstones " +
+              "below it are dropped; size it to the slowest change-feed cursor)")
+          CdcApplier.compact(spark, dir, input.getLong(1)).size
+        }
+      case "vacuum" =>
+        CdcApplier.vacuumMor(spark, dir, input.getLong(1)).size
+      case "rebucket" =>
+        CdcApplier.rebucket(spark, dir, input.getInt(1))
+      case "backfill" =>
+        CdcApplier.backfill(spark, dir, input.getUTF8String(1).toString,
+          expr(input.getUTF8String(2).toString), input.getInt(3)).size
+    }
+    val schema = StructType(Seq(
+      StructField("op", StringType, nullable = false),
+      StructField("target", StringType, nullable = false),
+      StructField("touched_buckets", IntegerType, nullable = false)))
+    val row = new GenericInternalRow(
+      Array[Any](UTF8String.fromString(op), UTF8String.fromString(table), touched))
+    java.util.Collections.singletonList[Scan](new LocalScan {
+      override def rows(): Array[InternalRow] = Array(row)
+      override def readSchema(): StructType = schema
+    }).iterator()
+  }
+}

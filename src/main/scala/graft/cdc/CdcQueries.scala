@@ -1160,6 +1160,42 @@ object CdcQueries {
       } finally graft.plans.GraftViewRewrite.unregister(basePath, "o_orderpriority")
     }),
 
+    // SQL MAINTENANCE (q240): the engine's maintenance operations as SQL
+    // CALL procedures (ProcedureCatalog on GraftCatalog — the reference's
+    // EP2 ops tooling as ANSI CALL statements): a mor lifecycle (seed,
+    // reprice, range delete) followed by CALL compact (mode-aware version
+    // collapse), CALL optimize (bin-packing), and CALL backfill (schema
+    // evolution with a SQL-expression fill) — each dispatching to the SAME
+    // CdcApplier entry point the Scala API uses, each state-preserving
+    // (the final hash proves it: the oracle replays only the DML, so any
+    // maintenance-induced drift fails the gate). 100 TB: the applier's
+    // own bounded bucket rewrites; CALL adds name resolution only.
+    "q240_sql_maintenance" -> ((s, dir) => {
+      import s.implicits._
+      val o = Tables.load(s, dir, "orders")
+      val whRoot = Files.createTempDirectory("graft_cat").toString
+      s.conf.set("spark.sql.catalog.q240cat", "graft.catalog.GraftCatalog")
+      s.conf.set("spark.sql.catalog.q240cat.root", whRoot)
+      o.createOrReplaceTempView("q240_orders")
+      s.sql("CREATE NAMESPACE IF NOT EXISTS q240cat.prod")
+      s.sql(s"""CREATE TABLE q240cat.prod.orders_t (${o.schema.toDDL})
+                OPTIONS (pk 'o_orderkey', buckets '8', storage 'mor')""")
+      s.sql("""INSERT INTO q240cat.prod.orders_t
+               SELECT *, CAST(NULL AS BIGINT) FROM q240_orders""")
+      s.sql("""INSERT INTO q240cat.prod.orders_t
+               SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice * 1.2,
+                      o_orderdate, o_orderpriority, CAST(NULL AS BIGINT)
+               FROM q240_orders WHERE o_orderkey % 7 = 0""")
+      s.sql("DELETE FROM q240cat.prod.orders_t WHERE o_orderkey BETWEEN 1000 AND 3000")
+      s.sql("CALL q240cat.system.compact(table => 'prod.orders_t')")
+      s.sql("CALL q240cat.system.optimize(table => 'prod.orders_t')")
+      s.sql("""CALL q240cat.system.backfill(table => 'prod.orders_t',
+               column => 'price2x', expression => 'o_totalprice * 2')""")
+      s.sql("""SELECT o_orderkey, o_totalprice, price2x
+               FROM q240cat.prod.orders_t""")
+        .orderBy($"o_orderkey")
+    }),
+
     // STATS-VIEW REWRITE (q238): q232 widened to the full q89 stats-view
     // shape — ONE registered (base, group, value) view serves ANY
     // combination of COUNT(*)/SUM/MIN/MAX/AVG over the value column, each
@@ -2752,6 +2788,17 @@ object CdcQueries {
       UNION ALL
       SELECT 9999999, 123.0, o_orderstatus, 'evolved' AS flag
       FROM orders WHERE o_orderkey = (SELECT min(o_orderkey) FROM orders)
+      ORDER BY o_orderkey""",
+
+    // q240: replay ONLY the DML — maintenance must be invisible to state.
+    "q240_sql_maintenance" -> """
+      SELECT o_orderkey,
+        CASE WHEN o_orderkey % 7 = 0 THEN o_totalprice * 1.2
+             ELSE o_totalprice END AS o_totalprice,
+        (CASE WHEN o_orderkey % 7 = 0 THEN o_totalprice * 1.2
+              ELSE o_totalprice END) * 2 AS price2x
+      FROM orders
+      WHERE NOT (o_orderkey BETWEEN 1000 AND 3000)
       ORDER BY o_orderkey""",
 
     // q238: the five served aggregates, SUMD-exact where order-dependent.
