@@ -126,12 +126,22 @@ object CdcApplier {
     *    polls from metadata instead of scanning data. May lag the data
     *    after a crash (stale-LOW is the safe direction: rows are
     *    re-discovered, never skipped); absent on pre-upgrade targets →
-    *    readers fall back to a POS scan. */
+    *    readers fall back to a POS scan.
+    *  - `bucketMaxPos`: per-bucket position high-water marks (mor) —
+    *    [[changeFeed]] prunes buckets whose mark is at or below the
+    *    cursor, so an incremental consumer's cost is the TOUCHED buckets,
+    *    not the table. A missing entry means "unknown — read the bucket"
+    *    (bootstrap-seeded targets, pre-upgrade metas). Semantics under the
+    *    single-writer crash contract: the pruned feed serves the
+    *    ACKNOWLEDGED-position prefix — exactly the high-water contract the
+    *    streaming tail already polls; an unacknowledged batch's rows
+    *    surface when its replay publishes and meta catches up. */
   case class TargetMeta(numBuckets: Int, horizon: Long,
       schemaJson: Option[String] = None, pkCols: Option[Seq[String]] = None,
       bucketCols: Option[Seq[String]] = None, storage: Option[String] = None,
       collapsed: Option[Long] = None, rangeBounds: Option[Seq[Long]] = None,
-      maxPos: Option[Long] = None)
+      maxPos: Option[Long] = None,
+      bucketMaxPos: Option[Map[Int, Long]] = None)
 
   object TargetMeta {
     private def metaPath(target: Path) = new Path(target, ".graft_meta")
@@ -144,7 +154,9 @@ object CdcApplier {
           kv.get("bucketCols").map(_.split(",").toSeq.filter(_.nonEmpty)),
           kv.get("storage"), kv.get("collapsed").map(_.toLong),
           kv.get("rangeBounds").map(_.split(",").toSeq.filter(_.nonEmpty).map(_.toLong)),
-          kv.get("maxPos").map(_.toLong))
+          kv.get("maxPos").map(_.toLong),
+          kv.get("bucketMaxPos").map(_.split(",").toSeq.filter(_.nonEmpty)
+            .map { e => val Array(b, p) = e.split(":"); b.toInt -> p.toLong }.toMap))
       }
 
     def write(conf: org.apache.hadoop.conf.Configuration, target: Path, m: TargetMeta): Unit =
@@ -156,6 +168,9 @@ object CdcApplier {
           m.collapsed.map(v => s"collapsed=$v\n").getOrElse("") +
           m.rangeBounds.map(b => s"rangeBounds=${b.mkString(",")}\n").getOrElse("") +
           m.maxPos.map(v => s"maxPos=$v\n").getOrElse("") +
+          m.bucketMaxPos.map(bm => s"bucketMaxPos=${
+            bm.toSeq.sorted.map { case (b, p) => s"$b:$p" }.mkString(",")}\n")
+            .getOrElse("") +
           m.schemaJson.map(j => s"schema=$j\n").getOrElse(""))
   }
 
@@ -454,11 +469,22 @@ object CdcApplier {
     // and meta catches up — it can never silently skip past them. Cost:
     // one POS-column read of just this batch's delta files.
     if (published.nonEmpty) {
-      val batchMax = spark.read.parquet(published.toSeq: _*)
-        .agg(max(col(POS))).first()
-      if (!batchMax.isNullAt(0)) TargetMeta.read(hconf, target).foreach { m =>
-        val hi = math.max(m.maxPos.getOrElse(Long.MinValue), batchMax.getLong(0))
-        TargetMeta.write(hconf, target, m.copy(maxPos = Some(hi)))
+      // per-bucket maxima in the same pass (basePath keeps the BUCKET
+      // partition column on the delta-file read): the global mark feeds
+      // the streaming tail's poll, the per-bucket marks feed changeFeed's
+      // bucket pruning
+      val perBucket = spark.read.option("basePath", targetDir)
+        .parquet(published.toSeq: _*)
+        .groupBy(col(BUCKET)).agg(max(col(POS)).as("p"))
+        .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+      if (perBucket.nonEmpty) TargetMeta.read(hconf, target).foreach { m =>
+        val hi = math.max(m.maxPos.getOrElse(Long.MinValue), perBucket.values.max)
+        val merged = m.bucketMaxPos.getOrElse(Map.empty) ++
+          perBucket.map { case (b, p) =>
+            b -> math.max(p, m.bucketMaxPos.flatMap(_.get(b)).getOrElse(Long.MinValue))
+          }
+        TargetMeta.write(hconf, target,
+          m.copy(maxPos = Some(hi), bucketMaxPos = Some(merged)))
       }
     }
     spark.catalog.refreshByPath(targetDir)
@@ -542,6 +568,18 @@ object CdcApplier {
     * [[applyBatch]] like any source feed — replication without tapping the
     * original source. `fromPos` at or below the collapsed watermark is
     * refused: those transitions' before-images are gone. */
+  /** (covered buckets, all buckets) for a change feed from `fromPos` —
+    * the pruning arithmetic, exposed as a seam for the plan-shape tests. */
+  private[graft] def changeFeedBuckets(
+      spark: SparkSession, targetDir: String, fromPos: Long): (Seq[Int], Seq[Int]) = {
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val target = new Path(targetDir)
+    val all = bucketIds(target.getFileSystem(hconf), target)
+    val marks = TargetMeta.read(hconf, target).flatMap(_.bucketMaxPos)
+      .getOrElse(Map.empty[Int, Long])
+    (all.filter(b => marks.get(b).forall(_ > fromPos)), all)
+  }
+
   def changeFeed(spark: SparkSession, targetDir: String, fromPos: Long): DataFrame = {
     val hconf = spark.sparkContext.hadoopConfiguration
     val target = new Path(targetDir)
@@ -558,7 +596,22 @@ object CdcApplier {
         s"change feed from $fromPos predates the retained history (floor $floor)")
     val pkCols = meta.pkCols.getOrElse(
       throw new IllegalStateException(s"mor layout at $targetDir has no persisted PK"))
-    val raw = spark.read.option("mergeSchema", true).parquet(targetDir)
+    // bucket pruning off the per-bucket high-water marks: a bucket whose
+    // mark is at or below the cursor holds no acknowledged change past it,
+    // and a touched key's OLDER versions live in the same bucket (bucketing
+    // is by key), so the pruned read is complete for both the touched-key
+    // scan and the version chains. Missing mark => read the bucket.
+    val (covered, all) = changeFeedBuckets(spark, targetDir, fromPos)
+    val raw =
+      if (covered.size == all.size)
+        spark.read.option("mergeSchema", true).parquet(targetDir)
+      else {
+        // empty covered set still plans one bucket: the POS filter yields
+        // the (correct) empty feed without special-casing the schema
+        val read = if (covered.nonEmpty) covered else all.take(1)
+        spark.read.option("mergeSchema", true).option("basePath", targetDir)
+          .parquet(read.map(b => s"$targetDir/$BUCKET=$b"): _*)
+      }
     val dataCols = raw.columns.filterNot(c => c == POS || c == DEL || c == BUCKET).toSeq
     val touched = raw.filter(col(POS) > fromPos)
       .select(pkCols.map(col): _*).distinct()

@@ -730,6 +730,63 @@ object CdcQueries {
         .orderBy($"o_orderkey")
     }),
 
+    // FEED BUCKET PRUNING (q241): q138's replication chain extended with a
+    // fourth, ONE-KEY batch — the incremental step that dominates a real
+    // tail's life. changeFeed now prunes buckets off the per-bucket
+    // position high-water marks applyBatchMor persists (bucketMaxPos in
+    // .graft_meta): a touched key's older versions live in ITS bucket
+    // (bucketing is by key), so the pruned read is complete for both the
+    // touched-key scan and the version chains, and the per-trigger cost of
+    // a streaming tail (q227) is the TOUCHED buckets, not the table. The
+    // gate SELF-AUDITS the pruning (covered strictly < all for the one-key
+    // cursor) and shares the replica-state decision procedure with q138 —
+    // the final state must equal the declarative replay regardless of how
+    // few buckets the feed planned. 100 TB: an idle table's tail costs one
+    // metadata read; a one-key change costs one bucket.
+    "q241_feed_pruning" -> ((s, dir) => {
+      import s.implicits._
+      val o = Tables.load(s, dir, "orders")
+      val base = Files.createTempDirectory("graft_cdc").toString
+      val src = base + "/orders_fp_src"
+      val dst = base + "/orders_fp_dst"
+      val opts = CdcApplier.Options(Seq("o_orderkey"))
+      val b2base = 10000000L
+      val b3base = 20000000L
+      val b4base = 30000000L
+      val cur1 = o.withColumn("o_totalprice",
+        when($"o_orderkey" % 4 === 1, $"o_totalprice" * 1.3).otherwise($"o_totalprice"))
+      val cur2 = cur1.filter($"o_orderkey" % 9 =!= 5)
+      val batches = Seq(
+        ChangeFeed.inserts(o, $"o_orderkey" * 10),
+        ChangeFeed.updates(o.filter($"o_orderkey" % 4 === 1),
+          Map("o_totalprice" -> ($"o_totalprice" * 1.3)),
+          $"o_orderkey" * 10 + 2 + b2base)
+          .union(ChangeFeed.deletes(o.filter($"o_orderkey" % 9 === 5),
+            $"o_orderkey" * 10 + 4 + b2base)),
+        ChangeFeed.updates(cur2.filter($"o_orderkey" % 10 === 6),
+          Map("o_orderpriority" -> lit("3-LOW")), $"o_orderkey" * 10 + 6 + b3base))
+      val cursors = Seq(Long.MinValue, b2base - 1, b3base - 1)
+      batches.zip(cursors).foreach { case (b, from) =>
+        CdcApplier.applyBatchMor(s, b, src, opts)
+        CdcApplier.applyBatch(s, CdcApplier.changeFeed(s, src, from), dst, opts)
+      }
+      // the one-key tail step: the feed for this cursor must plan only
+      // the touched key's bucket
+      val minKey = o.agg(min($"o_orderkey")).first.getLong(0)
+      val cur3 = cur2.withColumn("o_orderpriority",
+        when($"o_orderkey" % 10 === 6, lit("3-LOW")).otherwise($"o_orderpriority"))
+      CdcApplier.applyBatchMor(s,
+        ChangeFeed.updates(cur3.filter($"o_orderkey" === minKey),
+          Map("o_orderstatus" -> lit("Z")), lit(b4base)), src, opts)
+      val (covered, all) = CdcApplier.changeFeedBuckets(s, src, b4base - 1)
+      require(covered.size == 1 && all.size > 1,
+        s"one-key feed must cover exactly one bucket, got $covered of $all")
+      CdcApplier.applyBatch(s, CdcApplier.changeFeed(s, src, b4base - 1), dst, opts)
+      CdcApplier.snapshot(s, dst)
+        .select(o.columns.map(col).toIndexedSeq: _*)
+        .orderBy($"o_orderkey")
+    }),
+
     // q138 driven ENTIRELY through the SQL surface: the replica is fed by
     // connector reads — `.option("changesFrom", cursor)` switches the
     // relation to the reconstructed CDC envelope (Delta CDF's
@@ -2628,6 +2685,20 @@ object CdcQueries {
       ORDER BY o_orderkey"""
 
   val oracles: Map[String, String] = Map(
+    // q241: q138's declarative replay + the one-key tail step.
+    "q241_feed_pruning" -> """
+      SELECT o_orderkey, o_custkey,
+        CASE WHEN o_orderkey = (SELECT min(o_orderkey) FROM orders)
+             THEN 'Z' ELSE o_orderstatus END AS o_orderstatus,
+        CASE WHEN o_orderkey % 4 = 1 THEN o_totalprice * 1.3 ELSE o_totalprice END
+          AS o_totalprice,
+        o_orderdate,
+        CASE WHEN o_orderkey % 10 = 6 THEN '3-LOW' ELSE o_orderpriority END
+          AS o_orderpriority
+      FROM orders
+      WHERE o_orderkey % 9 <> 5
+      ORDER BY o_orderkey""",
+
     "q30_cdc_merge" -> """
       SELECT o_orderkey, o_custkey, o_orderstatus,
         CASE WHEN o_orderkey % 3 = 0 THEN o_totalprice * 1.1 ELSE o_totalprice END AS o_totalprice,

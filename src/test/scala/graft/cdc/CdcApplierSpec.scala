@@ -885,6 +885,40 @@ class CdcApplierSpec extends AnyFunSuite {
     assert(e2.getMessage.contains("copy-on-write"))
   }
 
+  test("changeFeed: bucket pruning off per-bucket high-water marks") {
+    val target = newTarget()
+    val seed = (1 to 40).map(i => Student(i, i, i, s"n$i", "r"))
+    CdcApplier.applyBatchMor(spark,
+      seed.map(st => ev("insert", 10, None, Some(st))).reduce(_ union _),
+      target, opts.copy(numBuckets = 8))
+    // one touched key since cursor 10: the feed must plan ONLY its bucket
+    val touched = seed.head.copy(score = 99)
+    CdcApplier.applyBatchMor(spark,
+      ev("update", 20, Some(seed.head), Some(touched)), target,
+      opts.copy(numBuckets = 8))
+    val (covered, all) = CdcApplier.changeFeedBuckets(spark, target, 10)
+    assert(all.size == 8 && covered.size == 1,
+      s"expected 1 covered bucket of 8, got $covered of $all")
+    val feed = CdcApplier.changeFeed(spark, target, 10)
+      .selectExpr("op", "next_position", "after.sn").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getInt(2))).toSeq
+    assert(feed == Seq(("update", 20L, 1)), feed.toString)
+    // cursor before everything: all buckets covered, full feed intact
+    val (c0, _) = CdcApplier.changeFeedBuckets(spark, target, Long.MinValue)
+    assert(c0.size == 8)
+    assert(CdcApplier.changeFeed(spark, target, Long.MinValue).count() == 41)
+    // no acknowledged change past the frontier: empty feed, no exception
+    assert(CdcApplier.changeFeed(spark, target, 20).count() == 0)
+    assert(CdcApplier.changeFeedBuckets(spark, target, 20)._1.isEmpty)
+    // a compact rewrites buckets but positions are unchanged: marks keep
+    // over-estimating safely (the pruning arithmetic survives the rewrite;
+    // the feed itself now starts at the collapsed floor)
+    CdcApplier.compactMor(spark, target)
+    val (c1, a1) = CdcApplier.changeFeedBuckets(spark, target, 10)
+    assert(c1.size == 1 && a1.size == 8, s"$c1 of $a1")
+    assert(CdcApplier.changeFeed(spark, target, 20).count() == 0)
+  }
+
   test("applyBatch: a later run with the PK columns in a different order adopts the layout's") {
     val target = newTarget()
     CdcApplier.applyBatch(spark, ev("insert", 10, None, Some(s1)), target, opts)
