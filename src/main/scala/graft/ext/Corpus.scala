@@ -1694,6 +1694,37 @@ object Corpus {
     //      (the left join's null side), never a silent drop. Gate: per-doc
     //      word and unigram-token counts, oracle replaying the identical
     //      lattice + fallback.
+    // TOKENIZER EVALUATION (q242): the metrics a tokenizer ships with —
+    // per-language fertility (tokens/word), compression (chars/token) and
+    // whole-word rate over the TRAINED unigram-LM segmentation (q164's
+    // vocab, q168's encode — shared lattice, so the eval cannot drift from
+    // the tokenizer it scores). Exact BIGINT sums with single final IEEE
+    // divisions. 100 TB: one corpus pass for words, segmentation joined on
+    // the (vocab-sized) distinct-word frame — q168's exact shape plus a
+    // languages-sized aggregate.
+    "q242_tokenizer_eval" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val words = docs.select(col("lang"), explode(TextOps.words(col("text"))).as("w"))
+      val seg = unigramSegment(docs)
+        .select(col("w"), size(split(col("seg"), "\\|")).cast("long").as("n_pieces"))
+      words.join(seg, Seq("w"), "left")
+        .withColumn("n_tok", coalesce(col("n_pieces"), length(col("w")).cast("long")))
+        .withColumn("wlen", length(col("w")).cast("long"))
+        .withColumn("whole", when(col("n_pieces") === 1L, 1L).otherwise(0L))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).cast("long").as("n_words"),
+          sum(col("n_tok")).cast("long").as("n_tokens"),
+          sum(col("wlen")).cast("long").as("n_chars"),
+          sum(col("whole")).cast("long").as("n_whole"))
+        .withColumn("fertility",
+          col("n_tokens").cast("double") / col("n_words").cast("double"))
+        .withColumn("chars_per_token",
+          col("n_chars").cast("double") / col("n_tokens").cast("double"))
+        .withColumn("whole_word_rate",
+          col("n_whole").cast("double") / col("n_words").cast("double"))
+        .orderBy(col("lang"))
+    }),
+
     "q168_unigram_encode" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
       val words = docs.select(col("doc_id"), explode(TextOps.words(col("text"))).as("w"))
@@ -2884,6 +2915,27 @@ object Corpus {
 
     // q168 = the shared lattice's winners applied to the corpus: one
     // per-word join, char-count fallback past the length cap.
+    // q242: the same lattice, aggregated per language with exact sums.
+    "q242_tokenizer_eval" -> s"""
+      WITH $uniLatticeCtes,
+      wd AS (
+        SELECT lang, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS w
+        FROM documents),
+      j AS (
+        SELECT lang,
+          coalesce(len(string_split(b.seg, '|')), length(wd.w)) AS n_tok,
+          length(wd.w) AS wlen,
+          CASE WHEN len(string_split(b.seg, '|')) = 1 THEN 1 ELSE 0 END AS whole
+        FROM wd LEFT JOIN best b ON b.w = wd.w)
+      SELECT lang, CAST(count(*) AS BIGINT) AS n_words,
+        CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+        CAST(sum(wlen) AS BIGINT) AS n_chars,
+        CAST(sum(whole) AS BIGINT) AS n_whole,
+        CAST(sum(n_tok) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS fertility,
+        CAST(sum(wlen) AS DOUBLE) / CAST(sum(n_tok) AS DOUBLE) AS chars_per_token,
+        CAST(sum(whole) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS whole_word_rate
+      FROM j GROUP BY lang ORDER BY lang""",
+
     "q168_unigram_encode" -> s"""
       WITH $uniLatticeCtes,
       wd AS (
