@@ -1235,6 +1235,10 @@ object CdcQueries {
       s.conf.set("spark.sql.catalog.q240cat.root", whRoot)
       o.createOrReplaceTempView("q240_orders")
       s.sql("CREATE NAMESPACE IF NOT EXISTS q240cat.prod")
+      // repeat-run safety (bench medianOf3): the catalog plugin is
+      // CACHED by name, so a rerun lands in the first run's root —
+      // drop the previous lifecycle's table
+      s.sql("DROP TABLE IF EXISTS q240cat.prod.orders_t")
       s.sql(s"""CREATE TABLE q240cat.prod.orders_t (${o.schema.toDDL})
                 OPTIONS (pk 'o_orderkey', buckets '8', storage 'mor')""")
       s.sql("""INSERT INTO q240cat.prod.orders_t
@@ -1310,6 +1314,10 @@ object CdcQueries {
       s.conf.set("spark.sql.catalog.q231cat.root", whRoot)
       o.createOrReplaceTempView("q231_orders")
       s.sql("CREATE NAMESPACE IF NOT EXISTS q231cat.prod")
+      // repeat-run safety (bench medianOf3): the catalog plugin is
+      // CACHED by name, so a rerun lands in the first run's root —
+      // drop the previous lifecycle's table
+      s.sql("DROP TABLE IF EXISTS q231cat.prod.orders_t")
       s.sql(s"""CREATE TABLE q231cat.prod.orders_t (${o.schema.toDDL})
                 OPTIONS (pk 'o_orderkey', buckets '8')""")
       s.sql("""INSERT INTO q231cat.prod.orders_t
@@ -1350,6 +1358,10 @@ object CdcQueries {
       s.conf.set("spark.sql.catalog.q234cat.root", whRoot)
       o.createOrReplaceTempView("q234_orders")
       s.sql("CREATE NAMESPACE IF NOT EXISTS q234cat.prod")
+      // repeat-run safety (bench medianOf3): the catalog plugin is
+      // CACHED by name, so a rerun lands in the first run's root —
+      // drop the previous lifecycle's table
+      s.sql("DROP TABLE IF EXISTS q234cat.prod.orders_t")
       s.sql(s"""CREATE TABLE q234cat.prod.orders_t (${o.schema.toDDL})
                 OPTIONS (pk 'o_orderkey', buckets '8')""")
       s.sql("""INSERT INTO q234cat.prod.orders_t
@@ -1384,6 +1396,10 @@ object CdcQueries {
       s.conf.set("spark.sql.catalog.q235cat.root", whRoot)
       o.createOrReplaceTempView("q235_orders")
       s.sql("CREATE NAMESPACE IF NOT EXISTS q235cat.prod")
+      // repeat-run safety (bench medianOf3): the catalog plugin is
+      // CACHED by name, so a rerun lands in the first run's root —
+      // drop the previous lifecycle's table
+      s.sql("DROP TABLE IF EXISTS q235cat.prod.orders_t")
       s.sql(s"""CREATE TABLE q235cat.prod.orders_t (${o.schema.toDDL})
                 OPTIONS (pk 'o_orderkey', buckets '8')""")
       s.sql("""INSERT INTO q235cat.prod.orders_t

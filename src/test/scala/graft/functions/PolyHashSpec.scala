@@ -28,9 +28,9 @@ class PolyHashSpec extends AnyFunSuite {
     new GraftExtensions().apply(ext) // must accept all registry entries
     assert(GraftFunctions.entries.map(_._1.funcName).sorted ==
       Seq("graft_bitmap", "graft_dot", "graft_fingerprint", "graft_gram_hashes",
-        "graft_i8quant", "graft_maxabs", "graft_minhash_sig", "graft_polyhash",
-        "graft_qdot", "graft_rep_stats", "graft_shingle_hashes", "graft_simhash",
-        "graft_winnow"))
+        "graft_i8quant", "graft_maxabs", "graft_minhash_sig", "graft_normalize",
+        "graft_polyhash", "graft_qdot", "graft_rep_stats", "graft_shingle_hashes",
+        "graft_simhash", "graft_winnow"))
   }
 
   test("graft_winnow: window minima, distinct sorted, short-text edges, MOSS guarantee") {
