@@ -330,6 +330,47 @@ object Similarity {
         .repartition(1).sortWithinPartitions(col("rank_trunc"))
     }),
 
+    // LATE-INTERACTION retrieval (q243): ColBERT-style MaxSim (Khattab &
+    // Zaharia, SIGIR 2020) — a document scores as the SUM over query
+    // sub-vectors of the MAX cosine against any document sub-vector,
+    // here over the 4x16 segment decomposition of the 64-dim embeddings
+    // (q172's matryoshka splits). The whole MaxSim is ONE codegen'd
+    // projection per (query, doc) pair — 16 fixed graft_dot kernel calls,
+    // greatest() per row, additions in a FIXED fold order so the double
+    // sum is bit-identical cross-engine — no explode, no per-sub-vector
+    // shuffle. 100 TB: the brute pass is the exactness baseline (q50's
+    // class, query set broadcast); the candidate-generation scale path is
+    // the same IVF/LSH bucketing with MaxSim as the re-rank, which this
+    // gate's arithmetic locks.
+    "q243_late_interaction" -> ((s, dir) => {
+      graft.functions.GraftFunctions.register(s)
+      val S = 4; val D = 16
+      def sub(c: Column, i: Int) = slice(c, i * D + 1, D)
+      val e = t(s, dir, "embeddings").repartition(col("vec_id"))
+      def withSubNorms(df: DataFrame, p: String): DataFrame =
+        (0 until S).foldLeft(df)((d, i) =>
+          d.withColumn(s"${p}n$i", sqrt(dotd(sub(col(s"${p}e"), i), sub(col(s"${p}e"), i)))))
+      val q = withSubNorms(e.filter(col("vec_id") < NumQueries)
+        .select(col("vec_id").as("qid"), col("embedding").as("qe")), "q")
+      val tgt = withSubNorms(e.filter(col("vec_id") >= NumQueries)
+        .select(col("vec_id").as("tid"), col("embedding").as("te")), "t")
+      def cosij(i: Int, j: Int): Column = {
+        val den = col(s"qn$i") * col(s"tn$j")
+        when(den === 0.0, lit(0.0))
+          .otherwise(dotd(sub(col("qe"), i), sub(col("te"), j)) / den)
+      }
+      def gi(i: Int): Column = greatest((0 until S).map(j => cosij(i, j)): _*)
+      val maxsim = (1 until S).foldLeft(gi(0))((acc, i) => acc + gi(i))
+      val w = Window.partitionBy(col("qid")).orderBy(col("maxsim").desc, col("tid"))
+      tgt.crossJoin(broadcast(q))
+        .withColumn("maxsim", maxsim)
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= TopK)
+        .select(col("qid").as("query_id"), col("rank"),
+          col("tid").as("neighbor_id"), col("maxsim"))
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
     "q50_ann_brute" -> ((s, dir) => {
       graft.functions.GraftFunctions.register(s)
       val e = t(s, dir, "embeddings")
@@ -887,6 +928,34 @@ object Similarity {
         (f.vec_id IS NOT NULL) AS in_full_topk
       FROM tpool t LEFT JOIN fpool f ON t.vec_id = f.vec_id
       ORDER BY t.rank_trunc""",
+
+    // q243: the same fixed 4x16 decomposition, greatest-per-query-segment,
+    // and the identical ((g0+g1)+g2)+g3 fold order.
+    "q243_late_interaction" -> {
+      def sl(e: String, i: Int) = s"list_slice($e, ${i * 16 + 1}, ${i * 16 + 16})"
+      def cos(i: Int, j: Int) =
+        s"""CASE WHEN q.n$i * t.n$j = 0 THEN 0.0
+            ELSE ${dotSql(s"q.s$i", s"t.s$j")} / (q.n$i * t.n$j) END"""
+      def g(i: Int) = s"greatest(${(0 until 4).map(j => cos(i, j)).mkString(", ")})"
+      s"""
+      WITH sub AS (
+        SELECT vec_id, ${(0 until 4).map(i => s"${sl("embedding", i)} AS s$i").mkString(", ")}
+        FROM embeddings),
+      subn AS (
+        SELECT vec_id, s0, s1, s2, s3,
+          ${(0 until 4).map(i => s"sqrt(${dotSql(s"s$i", s"s$i")}) AS n$i").mkString(", ")}
+        FROM sub),
+      scored AS (
+        SELECT q.vec_id AS query_id, t.vec_id AS neighbor_id,
+          ((${g(0)} + ${g(1)}) + ${g(2)}) + ${g(3)} AS maxsim
+        FROM subn q JOIN subn t ON q.vec_id < $NumQueries AND t.vec_id >= $NumQueries)
+      SELECT query_id, rank, neighbor_id, maxsim FROM (
+        SELECT query_id, neighbor_id, maxsim,
+          ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY maxsim DESC, neighbor_id) AS rank
+        FROM scored) x
+      WHERE rank <= $TopK
+      ORDER BY query_id, rank"""
+    },
 
     "q50_ann_brute" -> s"""
       WITH e AS (${codesSql("")}),
