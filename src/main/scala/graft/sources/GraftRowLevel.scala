@@ -91,14 +91,7 @@ object GraftRowLevel {
     // carries a different PK value (a PK move retires the old key)
     val pkMoved = pkCols.map(c => !(col(idCol(c)) <=> col(c)))
       .reduce(_ || _)
-    val oldKeys = staged
-      .filter(col(OP) === DELETE || (col(OP) === UPDATE && pkMoved))
-      .select(pkCols.map(c => col(idCol(c)).as(c)): _*)
-      .distinct()
-    val victims = CdcApplier.snapshot(spark, targetDir)
-      .drop(CdcApplier.POS)
-      .join(oldKeys, pkCols, "left_semi")
-    val delEnv = ChangeFeed.deletes(victims, lit(p))
+    val retiring = col(OP) === DELETE || (col(OP) === UPDATE && pkMoved)
 
     // upserts: the full new-row images of INSERT and UPDATE verbs (the
     // served _graft_pos column is offset introspection, not data — the
@@ -108,7 +101,23 @@ object GraftRowLevel {
       .select(imgCols.map(col): _*)
     val upEnv = ChangeFeed.inserts(ups, lit(p + 1L))
 
-    val batch = delEnv.unionByName(upEnv, allowMissingColumns = true)
+    // the tombstone leg reads the current snapshot for full before-images;
+    // a statement that retires nothing (every plain UPDATE, every pure
+    // MERGE-upsert) must not pay that scan — the staged frame is already
+    // materialized, so the emptiness probe is local
+    val hasRetiring = staged.filter(retiring).limit(1).count() > 0
+    val batch =
+      if (!hasRetiring) upEnv
+      else {
+        val oldKeys = staged.filter(retiring)
+          .select(pkCols.map(c => col(idCol(c)).as(c)): _*)
+          .distinct()
+        val victims = CdcApplier.snapshot(spark, targetDir)
+          .drop(CdcApplier.POS)
+          .join(oldKeys, pkCols, "left_semi")
+        ChangeFeed.deletes(victims, lit(p))
+          .unionByName(upEnv, allowMissingColumns = true)
+      }
     if (isMor) CdcApplier.applyBatchMor(spark, batch, targetDir, opts)
     else CdcApplier.applyBatch(spark, batch, targetDir, opts)
   }
