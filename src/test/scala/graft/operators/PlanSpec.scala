@@ -252,6 +252,19 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("SortMergeJoin"), s"no shuffle join in an index read:\n$p")
   }
 
+  test("q243: MaxSim is one broadcast pair projection — no explode, no sub-vector shuffle") {
+    val p = plan("q243_late_interaction")
+    val fin = p.split("== Initial Plan ==")(0)
+    // the 4x16 decomposition stays inside the per-pair projection: no
+    // Generate (explode) anywhere, the only join is the broadcast query
+    // cross, and the only exchange is the per-query rank window's
+    assert(!fin.contains("Generate "), s"sub-vectors must not explode:\n$p")
+    assert(fin.contains("BroadcastNestedLoopJoin"),
+      s"query set must broadcast:\n$p")
+    assert(!fin.contains("SortMergeJoin") && !fin.contains("ShuffledHashJoin"),
+      s"no shuffle join in the brute pass:\n$p")
+  }
+
   test("q236: connector statistics auto-broadcast the dimension (no hint)") {
     val p = plan("q236_connector_stats")
     // the graft dim read reports covered-bucket bytes as sizeInBytes, so
