@@ -155,6 +155,46 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       GraftTable.tableSchema(spark, dir.toString))
   }
 
+  /** SQL time travel: `SELECT ... FROM <cat>.<ns>.<t> VERSION AS OF <pos>`
+    * serves the state as of `_graft_pos` = pos — the same cut the
+    * DataFrame path reaches via `.option("asOfPos", pos)` (q224) and the
+    * Scala path via [[CdcApplier.snapshotAsOf]]: the as-of filter applies
+    * BEFORE latest-per-key resolution, so each key answers with its newest
+    * version at or below the cut. A graft table's version axis IS the
+    * replication position (every change carries one), so the SQL
+    * "version" is a position, not a snapshot counter.
+    *
+    * Guards are checked EAGERLY here — at statement analysis, not first
+    * action — with [[CdcApplier.snapshotAsOf]]'s exact semantics: only a
+    * merge-on-read layout retains history (copy-on-write rewrites
+    * superseded versions away), and a position below the retained floor
+    * (compaction horizon / vacuum collapse watermark) is REFUSED rather
+    * than answered with the collapsed, wrong history. */
+  override def loadTable(ident: Identifier, version: String): Table = {
+    val dir = tablePath(ident)
+    if (!isTableDir(dir)) throw new NoSuchTableException(ident)
+    val pos =
+      try version.toLong
+      catch {
+        case _: NumberFormatException => throw new IllegalArgumentException(
+          s"graft VERSION AS OF takes a _graft_pos position (a long); got '$version'")
+      }
+    val meta = TargetMeta.read(hconf, tablePath(ident)).getOrElse(
+      throw new NoSuchTableException(ident))
+    if (!meta.storage.contains("mor"))
+      throw new IllegalStateException(
+        s"$ident is copy-on-write — superseded versions are rewritten away; " +
+          "VERSION AS OF needs the mor layout")
+    val floor = math.max(meta.horizon, meta.collapsed.getOrElse(Long.MinValue))
+    if (pos < floor)
+      throw new IllegalArgumentException(
+        s"VERSION AS OF $pos predates the retained history (floor $floor) — " +
+          "those versions have been collapsed; size the compaction cadence " +
+          "to the audit horizon")
+    new GraftTable(dir.toString,
+      GraftTable.tableSchema(spark, dir.toString), asOf = Some(pos))
+  }
+
   /** Case-insensitive property lookup, accepting both the bare key and
     * Spark's `option.`-prefixed form (CREATE TABLE ... OPTIONS). */
   private def prop(properties: java.util.Map[String, String], key: String): Option[String] = {

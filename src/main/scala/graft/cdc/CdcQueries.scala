@@ -1667,6 +1667,46 @@ object CdcQueries {
       asOf.unionByName(head).orderBy($"leg", $"o_orderkey")
     }),
 
+    // SQL TIME TRAVEL BY NAME (q245): `VERSION AS OF <pos>` through the V2
+    // catalog (GraftCatalog.loadTable(ident, version)) — the q224 as-of cut
+    // reachable by a SQL user with no option syntax and no path. The q103
+    // lifecycle lands in a mor CATALOG table, a vacuum collapses history
+    // below pos 200 (creating a real retention floor), and the statement
+    // reads the state AS OF position 300000 — mid-lifecycle, q104's exact
+    // cut, sharing q104's interval oracle (valid_from = the winning
+    // version's _graft_pos). The refusal leg: VERSION AS OF 50 sits below
+    // the collapse watermark and must RAISE at analysis (never answer with
+    // collapsed, wrong history); the outcome is reproduced as a literal
+    // audit column the oracle pins to true. 100 TB: the cut is a pushed
+    // `_graft_pos <= pos` filter ahead of the same per-bucket resolve every
+    // mor read pays — time travel costs one predicate, not a rewind.
+    "q245_sql_version_asof" -> ((s, dir) => {
+      import s.implicits._
+      val lc = lifecycle(s, dir)
+      val whRoot = Files.createTempDirectory("graft_cat").toString
+      s.conf.set("spark.sql.catalog.q245cat", "graft.catalog.GraftCatalog")
+      s.conf.set("spark.sql.catalog.q245cat.root", whRoot)
+      s.sql("CREATE NAMESPACE IF NOT EXISTS q245cat.prod")
+      // repeat-run safety (bench medianOf3): the catalog plugin is CACHED
+      // by name, so a rerun lands in the first run's root
+      s.sql("DROP TABLE IF EXISTS q245cat.prod.orders_tt")
+      s.sql(s"""CREATE TABLE q245cat.prod.orders_tt (${lc.orders.schema.toDDL})
+                OPTIONS (pk 'o_orderkey', buckets '8', storage 'mor')""")
+      val target = s"$whRoot/prod/orders_tt"
+      val opts = CdcApplier.Options(Seq("o_orderkey"))
+      lc.batches.foreach(b => CdcApplier.applyBatchMor(s, b, target, opts))
+      CdcApplier.vacuumMor(s, target, 200L)
+      val refused = scala.util.Try(
+        s.sql("SELECT * FROM q245cat.prod.orders_tt VERSION AS OF 50")).isFailure
+      require(refused,
+        "a below-floor VERSION AS OF must raise, not answer with collapsed history")
+      s.sql("""SELECT o_orderkey, _graft_pos AS valid_from, o_totalprice,
+                      o_orderpriority
+               FROM q245cat.prod.orders_tt VERSION AS OF 300000""")
+        .withColumn("below_floor_refused", lit(refused))
+        .orderBy($"o_orderkey")
+    }),
+
     // The q33 streaming topology with the MERGE-ON-READ sink: same
     // from_json -> startPerTable pipeline, but every micro-batch lands as
     // appended delta files (applyBatchMor) and compactEvery=1 runs the
@@ -3189,6 +3229,17 @@ object CdcQueries {
     // 300000 (valid_from <= pos < valid_to).
     "q104_scd2_asof" -> s"""$scd2CtesSql
       SELECT o_orderkey, valid_from, o_totalprice, o_orderpriority
+      FROM w
+      WHERE kind = 'v' AND valid_from <= 300000
+        AND (valid_to IS NULL OR valid_to > 300000)
+      ORDER BY o_orderkey""",
+
+    // q104's cut read back through SQL `VERSION AS OF` (the winning
+    // version's _graft_pos IS its valid_from); the refusal leg's outcome
+    // is pinned as a literal.
+    "q245_sql_version_asof" -> s"""$scd2CtesSql
+      SELECT o_orderkey, valid_from, o_totalprice, o_orderpriority,
+        true AS below_floor_refused
       FROM w
       WHERE kind = 'v' AND valid_from <= 300000
         AND (valid_to IS NULL OR valid_to > 300000)
