@@ -1458,6 +1458,139 @@ object CdcQueries {
       q.orderBy($"n_name")
     }),
 
+    // RUNTIME BUCKET PRUNING (q244): the connector's Batch leg implements
+    // SupportsRuntimeFiltering, so Spark's dynamic-pruning machinery feeds
+    // a JOIN's observed dimension keys into the SAME literal-keys→bucket
+    // arithmetic the static pushdown uses — at execution time. Two legs,
+    // both executing the join then auditing the FINAL plan: (hash) a
+    // 6-key dimension filtered to 3 hot keys against a 16-bucket hash
+    // fact — the runtime IN prunes to ≤3 buckets; (range) a dimension of
+    // every key in [1200, 2800] against a range-split fact — min/max of
+    // the runtime keys cover ≤2 of the 6 contiguous buckets, the layout's
+    // scale story (ANY number of keys prunes, because range coverage is
+    // endpoint arithmetic, not per-key hashing). The fallback leg (no
+    // join) must read ALL buckets. Oracle = the plain joins on orders;
+    // audit outcomes pinned as literals. 100 TB: this is Astro's
+    // rowkey-prefix pruning in join form — a selective dim join touches
+    // dim-sized bucket dirs, never the fact table.
+    "q244_runtime_bucket_pruning" -> ((s, dir) => {
+      import s.implicits._
+      val o = Tables.load(s, dir, "orders")
+      val base = Files.createTempDirectory("graft_cdc").toString
+      val hashFact = s"$base/fact_hash"
+      val rangeFact = s"$base/fact_range"
+      CdcApplier.applyBatch(s, ChangeFeed.inserts(o, $"o_orderkey" * 10),
+        hashFact, CdcApplier.Options(Seq("o_orderkey"), numBuckets = 16))
+      CdcApplier.applyBatch(s, ChangeFeed.inserts(o, $"o_orderkey" * 10),
+        rangeFact, CdcApplier.Options(Seq("o_orderkey"),
+          rangeBounds = Some(Seq(1000L, 2000L, 3000L, 4000L, 5000L))))
+      def ratioOf(plan: String): (Int, Int) =
+        """GraftBatchScan \S+ runtime-filterable buckets=(\d+)/(\d+)""".r
+          .findFirstMatchIn(plan)
+          .map(m => (m.group(1).toInt, m.group(2).toInt))
+          .getOrElse(throw new IllegalStateException(
+            s"no runtime-filterable graft scan in plan:\n$plan"))
+      // hash leg: a tiny PARQUET dimension (a literal frame would fold to
+      // a LocalRelation, and dynamic pruning requires a selective FILTER
+      // on the dim side) — deterministic at every sf, broadcast-sized so
+      // the pruning benefit check accepts
+      Seq((1L, "hot"), (2L, "cold"), (3L, "hot"), (4L, "cold"),
+        (5L, "cold"), (7L, "hot")).toDF("k", "flag")
+        .repartition(1).write.parquet(s"$base/dim_hash")
+      val dim = s.read.parquet(s"$base/dim_hash")
+      val hashJoin = s.read.format("graft").load(hashFact)
+        .join(dim, $"o_orderkey" === $"k").filter($"flag" === "hot")
+        .select($"o_orderkey", $"o_totalprice")
+      hashJoin.queryExecution.toRdd.count() // execute: runtime filter fires
+      val (hm, hn) = ratioOf(hashJoin.queryExecution.executedPlan.toString)
+      require(hn == 16 && hm <= 3,
+        s"3 hot keys must prune a 16-bucket hash fact to <=3 buckets, read $hm/$hn")
+      // range leg: the dimension is every fact key in one band — collected
+      // into a LOCAL frame (bounded by the band) so the dim side is
+      // broadcast-sized; endpoint arithmetic prunes regardless of key count
+      val bandKeys = o.filter($"o_orderkey".between(1200L, 2800L))
+        .select($"o_orderkey").as[Long].collect().toIndexedSeq
+      bandKeys.map((_, "hot")).toDF("k", "flag")
+        .repartition(1).write.parquet(s"$base/dim_range")
+      val dimR = s.read.parquet(s"$base/dim_range")
+      val rangeJoin = s.read.format("graft").load(rangeFact)
+        .join(dimR, $"o_orderkey" === $"k").filter($"flag" === "hot")
+        .select($"o_orderkey", $"o_totalprice")
+      rangeJoin.queryExecution.toRdd.count()
+      val (rm, rn) = ratioOf(rangeJoin.queryExecution.executedPlan.toString)
+      require(rn == 6 && rm <= 2,
+        s"a [1200,2800] key band must prune a 6-bucket range fact to <=2, read $rm/$rn")
+      // fallback: with no runtime keys a full read plans ALL buckets (the
+      // sum refuses footer pushdown, so this is the row-level Batch leg)
+      val full = s.read.format("graft").load(hashFact)
+        .agg(sum($"o_orderkey").as("t"))
+      full.queryExecution.toRdd.count()
+      val (fm, fn) = ratioOf(full.queryExecution.executedPlan.toString)
+      require(fm == fn && fn == 16,
+        s"the no-filter leg must read every bucket, read $fm/$fn")
+      hashJoin.select(lit("hash").as("leg"), $"o_orderkey", $"o_totalprice")
+        .unionByName(rangeJoin.select(lit("range").as("leg"), $"o_orderkey",
+          $"o_totalprice"))
+        .withColumn("runtime_pruned", lit(hm <= 3 && rm <= 2))
+        .withColumn("fullscan_reads_all", lit(fm == fn))
+        .orderBy($"leg", $"o_orderkey")
+    }),
+
+    // CONNECTOR AGGREGATE + LIMIT PUSHDOWN (q246): a global
+    // COUNT/MIN/MAX over a mapped copy-on-write graft table is answered
+    // from parquet FOOTER statistics alone (SupportsPushDownAggregates →
+    // GraftAggScan: one per-file statistics row, Spark's final aggregate
+    // merges) — q139's metadata-only stats pass, now behind the connector.
+    // Three legs, self-auditing their plans: (cow) footer-only — the plan
+    // must show GraftAggScan and NO row-level GraftRelation read; (mor)
+    // the SAME aggregates against a merge-on-read target with deletes —
+    // pushdown must REFUSE (resolution changes every answer) and the full
+    // resolve serve it; (limit) a pushed LIMIT large enough to keep the
+    // result deterministic — the scan label must carry `limit=`. The %3
+    // update nulls o_custkey so COUNT(col) exercises footer null counts.
+    // 100 TB: the cow leg reads zero data pages; refusal legs fall back to
+    // the ordinary scan, so the pushdown can never trade speed for truth.
+    "q246_connector_agg_pushdown" -> ((s, dir) => {
+      import s.implicits._
+      val o = Tables.load(s, dir, "orders")
+      val base = Files.createTempDirectory("graft_cdc").toString
+      val cow = s"$base/orders_agg_cow"
+      val mor = s"$base/orders_agg_mor"
+      val opts = CdcApplier.Options(Seq("o_orderkey"), numBuckets = 8)
+      val ins = ChangeFeed.inserts(o, $"o_orderkey" * 10)
+      val upd = ChangeFeed.updates(o.filter($"o_orderkey" % 3 === 0),
+        Map("o_totalprice" -> ($"o_totalprice" * 1.1),
+          "o_custkey" -> lit(null).cast("bigint")),
+        $"o_orderkey" * 10 + 5)
+      CdcApplier.applyBatch(s, ins, cow, opts)
+      CdcApplier.applyBatch(s, upd, cow, opts)
+      CdcApplier.applyBatchMor(s, ins, mor, opts)
+      CdcApplier.applyBatchMor(s, upd, mor, opts)
+      CdcApplier.applyBatchMor(s,
+        ChangeFeed.deletes(o.filter($"o_orderkey" % 5 === 0),
+          $"o_orderkey" * 10 + 7), mor, opts)
+      def aggs(df: DataFrame): DataFrame = df.agg(
+        count(lit(1)).as("n"), count($"o_custkey").as("n_ck"),
+        min($"o_orderkey").as("min_ok"), max($"o_orderkey").as("max_ok"),
+        min($"o_totalprice").as("min_px"), max($"o_totalprice").as("max_px"))
+      val cowAgg = aggs(s.read.format("graft").load(cow))
+      val cowPlan = cowAgg.queryExecution.executedPlan.toString
+      require(cowPlan.contains("GraftAggRelation(") && !cowPlan.contains("GraftRelation("),
+        "cow aggregates must be footer-only (no row-level read):\n" + cowPlan)
+      val morAgg = aggs(s.read.format("graft").load(mor))
+      val morPlan = morAgg.queryExecution.executedPlan.toString
+      require(!morPlan.contains("GraftAggRelation(") && morPlan.contains("GraftRelation("),
+        "mor aggregates must refuse footer pushdown and fully resolve:\n" + morPlan)
+      val limAgg = aggs(s.read.format("graft").load(cow).limit(10000000))
+      val limPlan = limAgg.queryExecution.executedPlan.toString
+      require(limPlan.contains("limit=10000000"),
+        "the LIMIT must push into the connector scan:\n" + limPlan)
+      cowAgg.select(lit("cow").as("leg"), $"*")
+        .unionByName(limAgg.select(lit("limit").as("leg"), $"*"))
+        .unionByName(morAgg.select(lit("mor").as("leg"), $"*"))
+        .orderBy($"leg")
+    }),
+
     "q216_sql_connector" -> ((s, dir) => {
       import s.implicits._
       val o = Tables.load(s, dir, "orders")
@@ -2973,6 +3106,46 @@ object CdcQueries {
              CAST(sum(c_custkey) AS BIGINT) AS key_sum
       FROM customer JOIN nation ON c_nationkey = n_nationkey
       GROUP BY n_name ORDER BY n_name""",
+
+    // q244: hash leg = the 3 hot literal keys that exist in orders; range
+    // leg = every key in the band; audit literals pinned true.
+    "q244_runtime_bucket_pruning" -> """
+      SELECT 'hash' AS leg, o_orderkey, o_totalprice,
+        true AS runtime_pruned, true AS fullscan_reads_all
+      FROM orders WHERE o_orderkey IN (1, 3, 7)
+      UNION ALL
+      SELECT 'range', o_orderkey, o_totalprice, true, true
+      FROM orders WHERE o_orderkey BETWEEN 1200 AND 2800
+      ORDER BY leg, o_orderkey""",
+
+    // q246: the cow/limit legs aggregate the post-update table (the limit
+    // is larger than the table, so its row equals the cow row); the mor
+    // leg additionally drops the %5-deleted keys.
+    "q246_connector_agg_pushdown" -> """
+      WITH cowf AS (
+        SELECT o_orderkey,
+          CASE WHEN o_orderkey % 3 = 0 THEN CAST(NULL AS BIGINT)
+               ELSE o_custkey END AS o_custkey,
+          CASE WHEN o_orderkey % 3 = 0 THEN o_totalprice * 1.1
+               ELSE o_totalprice END AS o_totalprice
+        FROM orders),
+      morf AS (SELECT * FROM cowf WHERE o_orderkey % 5 <> 0),
+      legs AS (
+        SELECT 'cow' AS leg, count(*) AS n, count(o_custkey) AS n_ck,
+          min(o_orderkey) AS min_ok, max(o_orderkey) AS max_ok,
+          min(o_totalprice) AS min_px, max(o_totalprice) AS max_px
+        FROM cowf
+        UNION ALL
+        SELECT 'limit', count(*), count(o_custkey),
+          min(o_orderkey), max(o_orderkey),
+          min(o_totalprice), max(o_totalprice)
+        FROM cowf
+        UNION ALL
+        SELECT 'mor', count(*), count(o_custkey),
+          min(o_orderkey), max(o_orderkey),
+          min(o_totalprice), max(o_totalprice)
+        FROM morf)
+      SELECT * FROM legs ORDER BY leg""",
 
     // q226: replay the three SQL-written lifecycles — upsert+range-delete,
     // replace-contents, and the mor target's change envelope.

@@ -221,17 +221,20 @@ object IncrementalView {
 
   /** One change batch's per-key contribution, extended with the MIN/MAX
     * maintenance inputs: inserted extremes (the optimistic candidates) and
-    * deleted extremes (the rescan triggers). */
-  def deltaMinMax(batch: DataFrame, key: String, value: String): DataFrame = {
+    * deleted extremes (the rescan triggers). The group key may be
+    * COMPOSITE (q247's finer-than-query view grouping) — same algebra,
+    * keyed on the column tuple. */
+  def deltaMinMax(batch: DataFrame, keys: Seq[String], value: String): DataFrame = {
     def c(img: String, sgn: Int) = struct(
-      col(s"$img.$key").as("k"), lit(sgn).as("sgn"), col(s"$img.$value").as("v"))
+      struct(keys.map(k => col(s"$img.$k").as(k)): _*).as("k"),
+      lit(sgn).as("sgn"), col(s"$img.$value").as("v"))
     batch.select(explode(
         when(col("op") === "insert", array(c("after", 1)))
           .when(col("op") === "delete", array(c("before", -1)))
           .otherwise(array(c("before", -1), c("after", 1)))).as("ct"))
-      .select(col("ct.k").as(key), col("ct.sgn").as("sgn"),
-        graft.util.Sumd.dec(col("ct.v")).as("v"), col("ct.v").cast("double").as("vd"))
-      .groupBy(col(key))
+      .select(keys.map(k => col(s"ct.k.$k").as(k)) ++ Seq(col("ct.sgn").as("sgn"),
+        graft.util.Sumd.dec(col("ct.v")).as("v"), col("ct.v").cast("double").as("vd")): _*)
+      .groupBy(keys.map(col): _*)
       .agg(sum(col("sgn")).cast("long").as("cnt"),
         sum(col("sgn") * col("v")).cast(DecimalType(28, 6)).as("sum"),
         min(when(col("sgn") > 0, col("vd"))).as("ins_mn"),
@@ -240,22 +243,28 @@ object IncrementalView {
         max(when(col("sgn") < 0, col("vd"))).as("del_mx"))
   }
 
+  def deltaMinMax(batch: DataFrame, key: String, value: String): DataFrame =
+    deltaMinMax(batch, Seq(key), value)
+
   /** Merge two extended frames — associative like [[merge]] (mins/maxes of
     * mins/maxes; `least`/`greatest` skip nulls). */
-  def mergeMinMax(a: DataFrame, b: DataFrame, key: String): DataFrame = {
+  def mergeMinMax(a: DataFrame, b: DataFrame, key: String): DataFrame =
+    mergeMinMax(a, b, Seq(key))
+
+  def mergeMinMax(a: DataFrame, b: DataFrame, keys: Seq[String]): DataFrame = {
     val cols = Seq("cnt", "sum", "ins_mn", "ins_mx", "del_mn", "del_mx")
     val ar = cols.foldLeft(a)((d, n) => d.withColumnRenamed(n, s"${n}_a"))
     val br = cols.foldLeft(b)((d, n) => d.withColumnRenamed(n, s"${n}_b"))
     val zero = lit(0).cast(DecimalType(28, 6))
-    ar.join(br, Seq(key), "full_outer")
-      .select(col(key),
+    ar.join(br, keys, "full_outer")
+      .select(keys.map(col) ++ Seq[org.apache.spark.sql.Column](
         (coalesce(col("cnt_a"), lit(0L)) + coalesce(col("cnt_b"), lit(0L))).as("cnt"),
         (coalesce(col("sum_a"), zero) + coalesce(col("sum_b"), zero))
           .cast(DecimalType(28, 6)).as("sum"),
         least(col("ins_mn_a"), col("ins_mn_b")).as("ins_mn"),
         greatest(col("ins_mx_a"), col("ins_mx_b")).as("ins_mx"),
         least(col("del_mn_a"), col("del_mn_b")).as("del_mn"),
-        greatest(col("del_mx_a"), col("del_mx_b")).as("del_mx"))
+        greatest(col("del_mx_a"), col("del_mx_b")).as("del_mx")): _*)
   }
 
   /** Fold change batches into a (key, cnt, sum, avg, mn, mx) view
@@ -269,30 +278,37 @@ object IncrementalView {
     * AVG divides the decimal-exact sum by the count in ONE double
     * division, reproducible cross-engine. */
   def maintainMinMax(batches: Seq[DataFrame], base: DataFrame,
-      key: String, value: String): DataFrame = {
+      key: String, value: String): DataFrame =
+    maintainMinMax(batches, base, Seq(key), value)
+
+  def maintainMinMax(batches: Seq[DataFrame], base: DataFrame,
+      keys: Seq[String], value: String): DataFrame = {
     // materialize the fold ONCE (aggregate-sized): ok/affected/rescan all
     // branch off it, and without this each branch re-runs every delta
-    val flagged = batches.map(deltaMinMax(_, key, value))
-      .reduce(mergeMinMax(_, _, key))
+    val kc = keys.map(col)
+    val flagged = batches.map(deltaMinMax(_, keys, value))
+      .reduce(mergeMinMax(_, _, keys))
       .filter(col("cnt") > 0)
       .withColumn("rescan",
         (col("del_mn").isNotNull && col("del_mn") <= col("ins_mn")) ||
           (col("del_mx").isNotNull && col("del_mx") >= col("ins_mx")))
       .localCheckpoint()
     val ok = flagged.filter(!col("rescan"))
-      .select(col(key), col("cnt"), col("sum"),
-        col("ins_mn").as("mn"), col("ins_mx").as("mx"))
-    val affected = flagged.filter(col("rescan")).select(col(key), col("cnt"), col("sum"))
+      .select(kc ++ Seq[org.apache.spark.sql.Column](col("cnt"), col("sum"),
+        col("ins_mn").as("mn"), col("ins_mx").as("mx")): _*)
+    val affected = flagged.filter(col("rescan"))
+      .select(kc ++ Seq[org.apache.spark.sql.Column](col("cnt"), col("sum")): _*)
     val rescanned = base
-      .join(broadcast(affected.select(col(key))), Seq(key), "left_semi")
-      .groupBy(col(key))
+      .join(broadcast(affected.select(kc: _*)), keys, "left_semi")
+      .groupBy(kc: _*)
       .agg(min(col(value).cast("double")).as("mn"), max(col(value).cast("double")).as("mx"))
     // LEFT join: an affected key with cnt>0 but NO base rows is an
     // inconsistent feed (the deltas and the base disagree) — null mn/mx
     // keeps it visible, consistent with the negative-cnt signal; an inner
     // join would silently drop the key from the view.
-    ok.union(affected.join(rescanned, Seq(key), "left")
-        .select(col(key), col("cnt"), col("sum"), col("mn"), col("mx")))
+    ok.union(affected.join(rescanned, keys, "left")
+        .select(kc ++ Seq[org.apache.spark.sql.Column](
+          col("cnt"), col("sum"), col("mn"), col("mx")): _*))
       .withColumn("avg", col("sum").cast("double") / col("cnt").cast("double"))
   }
 

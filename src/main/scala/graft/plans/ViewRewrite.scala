@@ -1,9 +1,10 @@
 package graft.plans
 
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute, AttributeReference, Cast, Literal, NamedExpression}
+import org.apache.spark.sql.catalyst.expressions.{Alias, And, Attribute, AttributeReference, Cast, Divide, EqualTo, Expression, IsNotNull, Literal, NamedExpression}
 import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Average, Count, Max, Min, Sum}
-import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, LogicalPlan, Project}
+import org.apache.spark.sql.catalyst.plans.Inner
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, Join, LogicalPlan, Project}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
 import org.apache.spark.sql.types.{DoubleType, LongType}
@@ -43,11 +44,22 @@ object GraftViewRewrite extends Rule[LogicalPlan] {
   /** (absolute base path, grouping column) -> view target dir. */
   private val views = new java.util.concurrent.ConcurrentHashMap[(String, String), String]
 
-  /** (absolute base path, grouping column, value column) -> a q89-shaped
-    * stats view target `(key, cnt, sum: decimal, mn, mx, avg)` serving
-    * COUNT(*) / SUM / MIN / MAX / AVG of the value column in one row. */
+  /** (absolute base path, grouping columns, value column) -> a q89-shaped
+    * stats view target `(keys..., cnt, sum: decimal, mn, mx, avg)` serving
+    * COUNT(*) / SUM / MIN / MAX / AVG of the value column. The view's
+    * grouping may be FINER than a query's (q247): a query grouping by a
+    * strict subset of the view's columns re-aggregates the view —
+    * groups-sized work, the base never scans. */
   private val statsViews =
-    new java.util.concurrent.ConcurrentHashMap[(String, String, String), String]
+    new java.util.concurrent.ConcurrentHashMap[(String, Seq[String], String), String]
+
+  /** (fact base path, dim base path) -> a maintained fact⋈dim JOIN view
+    * ([[graft.cdc.IncrementalView.maintainJoinView]]'s store: the joined
+    * rows keyed by the fact PK, dim key column omitted — it equals the
+    * fact's join column on every inner-join row). */
+  private case class JoinView(joinCol: String, dimKey: String, viewDir: String)
+  private val joinViews =
+    new java.util.concurrent.ConcurrentHashMap[(String, String), JoinView]
 
   def register(basePath: String, groupCol: String, viewDir: String): Unit =
     views.put((normalize(basePath), groupCol), viewDir)
@@ -57,10 +69,25 @@ object GraftViewRewrite extends Rule[LogicalPlan] {
 
   def registerStats(basePath: String, groupCol: String, valueCol: String,
       viewDir: String): Unit =
-    statsViews.put((normalize(basePath), groupCol, valueCol), viewDir)
+    registerStats(basePath, Seq(groupCol), valueCol, viewDir)
 
   def unregisterStats(basePath: String, groupCol: String, valueCol: String): Unit =
-    statsViews.remove((normalize(basePath), groupCol, valueCol))
+    unregisterStats(basePath, Seq(groupCol), valueCol)
+
+  def registerStats(basePath: String, groupCols: Seq[String], valueCol: String,
+      viewDir: String): Unit =
+    statsViews.put((normalize(basePath), groupCols, valueCol), viewDir)
+
+  def unregisterStats(basePath: String, groupCols: Seq[String], valueCol: String): Unit =
+    statsViews.remove((normalize(basePath), groupCols, valueCol))
+
+  def registerJoin(factPath: String, dimPath: String, joinCol: String,
+      dimKey: String, viewDir: String): Unit =
+    joinViews.put((normalize(factPath), normalize(dimPath)),
+      JoinView(joinCol, dimKey, viewDir))
+
+  def unregisterJoin(factPath: String, dimPath: String): Unit =
+    joinViews.remove((normalize(factPath), normalize(dimPath)))
 
   private def normalize(p: String): String =
     new org.apache.hadoop.fs.Path(p).toUri.getPath
@@ -149,48 +176,160 @@ object GraftViewRewrite extends Rule[LogicalPlan] {
     * cast to double — SUMD's "exact sum, one final IEEE division/cast"
     * discipline, so the rewrite reproduces the maintained view bit-for-bit
     * regardless of the base's aggregation order. */
-  private def statsRewrite(g: AttributeReference, aggExprs: Seq[NamedExpression],
-      child: LogicalPlan): Option[LogicalPlan] = {
-    val members = aggExprs.tail.map {
+  private def statsRewrite(groups: Seq[AttributeReference],
+      aggExprs: Seq[NamedExpression], child: LogicalPlan): Option[LogicalPlan] = {
+    val members = aggExprs.drop(groups.length).map {
       case a @ Alias(ae: AggregateExpression, _) => statsMember(ae).map((a, _))
       case _ => None
     }
     for {
-      _ <- if (aggExprs.length >= 2 && members.forall(_.isDefined)) Some(()) else None
+      _ <- if (members.nonEmpty && members.forall(_.isDefined)) Some(()) else None
       basePath <- baseScanPath(child)
-      gOut <- aggExprs.head match {
-        case a: AttributeReference if a.exprId == g.exprId => Some(a)
-        case _ => None
+      // output shape: the grouping attributes first, in grouping order
+      gOuts <- {
+        val heads = aggExprs.take(groups.length)
+        val ok = heads.length == groups.length && heads.zip(groups).forall {
+          case (a: AttributeReference, g) => a.exprId == g.exprId
+          case _ => false
+        }
+        if (ok) Some(heads.map(_.asInstanceOf[AttributeReference])) else None
       }
       valueCol <- members.flatMap(_.get._2._2).distinct match {
         case Seq(v) => Some(v)
         case Seq()  => None // count-only is the narrow rule's job
         case _      => None // two different value columns: not this view
       }
-      viewDir <- Option(statsViews.get((basePath, g.name, valueCol)))
-    } yield {
-      val viewPlan = CdcApplier.snapshot(SparkSession.active, viewDir)
-        .select(g.name, "cnt", "sum", "mn", "mx", "avg").queryExecution.analyzed
-      val byName: Map[String, Attribute] =
-        viewPlan.output.map(a => a.name -> a).toMap
-      val vg = byName(g.name)
-      val served = members.map(_.get).map { case (orig, (colName, _)) =>
-        val raw = byName(colName)
-        val expr = if (colName == "sum") Cast(raw, DoubleType) else raw
-        Alias(expr, orig.name)(exprId = orig.exprId)
+      // exact grouping match first (pure projection); else the SMALLEST
+      // registered view whose grouping is a strict superset (re-aggregate)
+      hit <- {
+        import scala.jdk.CollectionConverters._
+        val qNames = groups.map(_.name)
+        val candidates = statsViews.entrySet.asScala.toSeq.collect {
+          case e if e.getKey._1 == basePath && e.getKey._3 == valueCol &&
+            qNames.toSet.subsetOf(e.getKey._2.toSet) => (e.getKey._2, e.getValue)
+        }
+        candidates.sortBy(_._1.length).headOption
+          .map { case (vGroups, dir) => (vGroups, dir, vGroups.toSet == qNames.toSet) }
       }
-      Project(Alias(vg, gOut.name)(exprId = gOut.exprId) +: served, viewPlan)
+    } yield {
+      val (viewGroups, viewDir, exact) = hit
+      val qNames = groups.map(_.name)
+      if (exact) {
+        val viewPlan = CdcApplier.snapshot(SparkSession.active, viewDir)
+          .select((qNames ++ Seq("cnt", "sum", "mn", "mx", "avg")).map(org.apache.spark.sql.functions.col): _*)
+          .queryExecution.analyzed
+        val byName: Map[String, Attribute] =
+          viewPlan.output.map(a => a.name -> a).toMap
+        val served = members.map(_.get).map { case (orig, (colName, _)) =>
+          val raw = byName(colName)
+          val expr = if (colName == "sum") Cast(raw, DoubleType) else raw
+          Alias(expr, orig.name)(exprId = orig.exprId)
+        }
+        Project(gOuts.map(g =>
+          Alias(byName(g.name), g.name)(exprId = g.exprId)) ++ served, viewPlan)
+      } else {
+        // group-subset (q247): re-aggregate the finer view — sums of
+        // decimal-exact sums stay exact, counts add, extremes nest
+        // (min-of-mins); AVG re-derives as the exact total over the total
+        // count in ONE double division, the view's own discipline. Work is
+        // view-groups-sized; the base never scans.
+        val viewPlan = CdcApplier.snapshot(SparkSession.active, viewDir)
+          .select((qNames ++ Seq("cnt", "sum", "mn", "mx")).map(org.apache.spark.sql.functions.col): _*)
+          .queryExecution.analyzed
+        val byName: Map[String, Attribute] =
+          viewPlan.output.map(a => a.name -> a).toMap
+        def agg(fn: org.apache.spark.sql.catalyst.expressions.aggregate.AggregateFunction)
+            : Expression = fn.toAggregateExpression()
+        val served = members.map(_.get).map { case (orig, (colName, _)) =>
+          val expr: Expression = colName match {
+            case "cnt" => agg(Sum(byName("cnt")))
+            case "sum" => Cast(agg(Sum(byName("sum"))), DoubleType)
+            case "mn"  => agg(Min(byName("mn")))
+            case "mx"  => agg(Max(byName("mx")))
+            case "avg" => Divide(Cast(agg(Sum(byName("sum"))), DoubleType),
+              Cast(agg(Sum(byName("cnt"))), DoubleType))
+          }
+          Alias(expr, orig.name)(exprId = orig.exprId)
+        }
+        val gAtts = gOuts.map(g => byName(g.name))
+        Aggregate(gAtts, gOuts.zip(gAtts).map { case (orig, v) =>
+          Alias(v, orig.name)(exprId = orig.exprId) } ++ served, viewPlan, None)
+      }
     }
   }
 
+  /** `true` iff the subtree is nothing but IsNotNull guards over the join
+    * keys — the filters the optimizer itself derives from an inner
+    * equi-join, vacuous on the view (its rows ARE the join's). */
+  private def isNotNullOnly(e: Expression, keyNames: Set[String]): Boolean =
+    e match {
+      case IsNotNull(a: AttributeReference) => keyNames(a.name)
+      case And(l, r) => isNotNullOnly(l, keyNames) && isNotNullOnly(r, keyNames)
+      case _ => false
+    }
+
+  /** [[baseScanPath]] that also sees through the join-key IsNotNull
+    * filters the optimizer pushes below an inner join. */
+  private def sideScanPath(plan: LogicalPlan, keyNames: Set[String]): Option[String] =
+    plan match {
+      case Filter(cond, child) if isNotNullOnly(cond, keyNames) =>
+        sideScanPath(child, keyNames)
+      case Project(projectList, child)
+          if projectList.forall(_.isInstanceOf[AttributeReference]) =>
+        sideScanPath(child, keyNames)
+      case other => baseScanPath(other)
+    }
+
+  /** The fact⋈dim rewrite (q247): an inner equi-join of two registered
+    * base scans on the registered key pair is served from the maintained
+    * JOIN-view store — the join (and both base scans) disappear from the
+    * plan; whatever sits above (aggregates, filters, projections) applies
+    * unchanged over the re-bound attributes, because the view's rows ARE
+    * the join's rows (the registrar's freshness contract, as everywhere).
+    * The dim key column is served from the fact's join column — equal by
+    * inner-join construction. Narrowness guards: exactly one equi-pair,
+    * both sides pure pruning/IsNotNull over single registered scans,
+    * unambiguous column names, every needed column present in the view. */
+  private def joinRewrite(l: LogicalPlan, r: LogicalPlan, cond: Expression,
+      output: Seq[Attribute]): Option[LogicalPlan] = {
+    val pair = cond match {
+      case EqualTo(x: AttributeReference, y: AttributeReference) => Some((x, y))
+      case _ => None
+    }
+    for {
+      (x, y) <- pair
+      keyNames = Set(x.name, y.name)
+      lp <- sideScanPath(l, keyNames)
+      rp <- sideScanPath(r, keyNames)
+      jv <- Option(joinViews.get((lp, rp)))
+      _ <- if (keyNames == Set(jv.joinCol, jv.dimKey)) Some(()) else None
+      _ <- if (output.map(_.name).distinct.length == output.length) Some(())
+           else None
+      viewPlan = CdcApplier.snapshot(SparkSession.active, jv.viewDir)
+        .drop(CdcApplier.POS).queryExecution.analyzed
+      byName: Map[String, Attribute] = viewPlan.output.map(a => a.name -> a).toMap
+      _ <- if (output.forall(o => byName.contains(o.name) || o.name == jv.dimKey))
+        Some(()) else None
+    } yield Project(output.map { o =>
+      val src = byName.getOrElse(o.name, byName(jv.joinCol))
+      Alias(src, o.name)(exprId = o.exprId)
+    }, viewPlan)
+  }
+
   override def apply(plan: LogicalPlan): LogicalPlan = {
-    if (views.isEmpty && statsViews.isEmpty) return plan
+    if (views.isEmpty && statsViews.isEmpty && joinViews.isEmpty) return plan
     plan.transform {
-      case agg @ Aggregate(Seq(g: AttributeReference), aggExprs, child, _)
-          if aggExprs.length >= 2 =>
-        countRewrite(g, aggExprs, child)
-          .orElse(statsRewrite(g, aggExprs, child))
+      case agg @ Aggregate(groupExprs, aggExprs, child, _)
+          if groupExprs.nonEmpty && aggExprs.length > groupExprs.length &&
+            groupExprs.forall(_.isInstanceOf[AttributeReference]) =>
+        val groups = groupExprs.map(_.asInstanceOf[AttributeReference])
+        (groups match {
+          case Seq(g) => countRewrite(g, aggExprs, child)
+          case _      => None
+        }).orElse(statsRewrite(groups, aggExprs, child))
           .getOrElse(agg)
+      case j @ Join(left, right, Inner, Some(cond), _) =>
+        joinRewrite(left, right, cond, j.output).getOrElse(j)
     }
   }
 }

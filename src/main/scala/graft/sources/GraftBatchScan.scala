@@ -1,0 +1,264 @@
+package graft.sources
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{BoundReference, UnsafeProjection, UnsafeRow}
+import org.apache.spark.sql.connector.expressions.{Expressions, NamedReference}
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, Statistics, SupportsReportStatistics, SupportsRuntimeFiltering}
+import org.apache.spark.sql.graft.ParquetReadShim
+import org.apache.spark.sql.sources.Filter
+import org.apache.spark.sql.types.{BooleanType, DataType, StructField, StructType}
+
+import graft.cdc.CdcApplier
+import graft.cdc.CdcApplier.TargetMeta
+
+/** The RUNTIME-FILTERABLE read leg of the graft connector (q244): a true
+  * DataSource-V2 `Batch` scan, chosen by [[GraftScanBuilder]] exactly when
+  * the static predicates could NOT bound the bucket key — the case where
+  * the only remaining pruning opportunity is a JOIN's runtime keys. Spark's
+  * dynamic-pruning machinery (`PartitionPruning` → `BatchScanExec`) then
+  * feeds the dimension side's observed join keys into
+  * [[SupportsRuntimeFiltering.filter]] at EXECUTION time, and this scan
+  * maps them through the same literal-keys→bucket arithmetic the static
+  * pushdown uses ([[GraftScan.coveredBuckets]] over the writer's own hash /
+  * range-split expression) — so `SELECT ... FROM fact JOIN dim ON fact.pk =
+  * dim.k WHERE dim.x = ...` reads only the buckets the dimension's keys
+  * can live in, instead of every bucket the layout holds. This is the join
+  * form of the reference's rowkey-prefix pruning (Astro scans prune HBase
+  * regions by rowkey prefix; SURVEY EP3), and at 100 TB it is the
+  * difference between touching ≤|dim keys| bucket directories and scanning
+  * the fact table.
+  *
+  * Planning: ONE input partition per bucket directory. A bucket is
+  * key-complete (every version of a key hashes to the same bucket), which
+  * makes the second property of this leg sound: merge-on-read
+  * latest-per-key resolution happens INSIDE the reader
+  * ([[MorResolvingReader]] — a per-bucket hashmap keyed on the PK
+  * projection), so the resolve that costs the V1 leg a window-function
+  * SHUFFLE costs this leg nothing but the bucket's resolved working set —
+  * the same per-bucket memory bound the applier's own merge already
+  * assumes. Copy-on-write buckets stream through [[LiveRowsReader]] with
+  * zero buffering (tombstone filter + projection only).
+  *
+  * Decoding is Spark's own V2 parquet reader end-to-end
+  * ([[ParquetReadShim.parquetReaderFactory]]): per-file schema clipping
+  * (additive evolution surfaces NULL), vectorized decode, row-group
+  * skipping for the pushed filters (merge-on-read pushes only
+  * PK-referencing predicates below the resolve — a non-key predicate could
+  * skip a row group holding a key's WINNING version while an older version
+  * survives elsewhere). Spark re-evaluates every pushed predicate above
+  * the scan (the connector's standing convention), so reader-side
+  * filtering is a performance matter only.
+  *
+  * Statistics ([[SupportsReportStatistics]]): bytes under the covered
+  * buckets — the V2 mirror of [[GraftRelation.sizeInBytes]], keeping the
+  * q236 auto-broadcast property on this leg.
+  */
+class GraftBatchScan(
+    spark: SparkSession, targetDir: String, fullSchema: StructType,
+    required: StructType, pushed: Array[Filter])
+    extends Scan with Batch with SupportsRuntimeFiltering with SupportsReportStatistics {
+
+  private val target = new Path(targetDir)
+  private val hconf = spark.sparkContext.hadoopConfiguration
+  private val fs = target.getFileSystem(hconf)
+  CdcApplier.openTarget(fs, target)
+  private val meta = TargetMeta.read(hconf, target)
+  private val isMor = meta.exists(_.storage.contains("mor"))
+  private val pkCols: Seq[String] = meta.flatMap(_.pkCols).getOrElse(Seq.empty)
+  private val bucketCols: Seq[String] =
+    meta.flatMap(m => m.bucketCols.orElse(m.pkCols)).getOrElse(Seq.empty)
+
+  /** All bucket ids the layout holds (fixed for the scan's lifetime). */
+  val allBuckets: Seq[Int] = CdcApplier.bucketIds(fs, target)
+
+  /** Currently-covered buckets: starts at the static coverage (= all, or
+    * this leg would not have been chosen) and only ever SHRINKS under
+    * runtime filters — a conservative intersection, never a widening. */
+  @volatile var activeBuckets: Seq[Int] =
+    GraftScan.coveredBuckets(meta, fullSchema, pushed, allBuckets)
+
+  /** What the last `planInputPartitions` actually planned — the seam the
+    * q244 gate and specs assert runtime pruning through. */
+  @volatile var lastPlannedBuckets: Seq[Int] = activeBuckets
+
+  // ---- runtime filtering (Spark calls these at execution time) ----------
+
+  /** The bucket key columns — the only attributes whose runtime values can
+    * prune bucket directories. */
+  override def filterAttributes(): Array[NamedReference] =
+    bucketCols.map(c => Expressions.column(c)).toArray
+
+  override def filter(filters: Array[Filter]): Unit =
+    activeBuckets = GraftScan
+      .coveredBuckets(meta, fullSchema, pushed ++ filters, allBuckets)
+      .intersect(activeBuckets)
+
+  // ---- schemas -----------------------------------------------------------
+
+  /** File truth: data columns + `_graft_pos` + `_graft_deleted` (the
+    * BUCKET column is the directory, never in the files). Read as fully
+    * nullable — a file written before an additive evolution lacks the new
+    * columns and the reader surfaces NULL. */
+  private val fileSchema: StructType = {
+    val stored = meta.flatMap(_.schemaJson) match {
+      case Some(j) => DataType.fromJson(j).asInstanceOf[StructType]
+      case None =>
+        spark.read.option("mergeSchema", true).parquet(targetDir).schema
+    }
+    StructType(stored.fields.filterNot(_.name == CdcApplier.BUCKET)
+      .map(_.copy(nullable = true)))
+  }
+
+  /** Internal read schema: the required columns first (so output ordinals
+    * are a prefix), then whatever the reader additionally needs — the PK +
+    * `_graft_pos` for merge-on-read resolution, `_graft_deleted` always
+    * (the tombstone filter). */
+  private val readInternal: StructType = {
+    val have = required.fieldNames.toSet
+    val extras = (if (isMor) pkCols :+ CdcApplier.POS else Seq.empty) ++
+      Seq(CdcApplier.DEL)
+    StructType(required.fields.map(f => fileSchema(f.name)) ++
+      extras.distinct.filterNot(have).map(fileSchema(_)))
+  }
+  private def ord(c: String): Int = readInternal.fieldNames.indexOf(c)
+
+  override def readSchema(): StructType = required
+  override def toBatch: Batch = this
+
+  override def description(): String =
+    s"GraftBatchScan $targetDir runtime-filterable " +
+      s"buckets=${activeBuckets.size}/${allBuckets.size}"
+
+  // ---- batch -------------------------------------------------------------
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    val bs = activeBuckets
+    lastPlannedBuckets = bs
+    bs.zipWithIndex.map { case (b, i) =>
+      val d = new Path(target, s"${CdcApplier.BUCKET}=$b")
+      val files =
+        if (fs.exists(d))
+          fs.listStatus(d).filter(st =>
+            st.isFile && st.getPath.getName.endsWith(".parquet")).toSeq
+        else Seq.empty
+      ParquetReadShim.bucketPartition(i, files)
+    }.toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory = {
+    // below-resolve row-group skipping: PK-referencing predicates only on
+    // merge-on-read (a key's versions agree on its PK, so skipping by PK
+    // cannot change a key's winner); everything on copy-on-write
+    val parquetSafe =
+      if (isMor) pushed.filter(_.references.toSet.subsetOf(pkCols.toSet))
+      else pushed
+    val inner = ParquetReadShim.parquetReaderFactory(
+      spark, fileSchema, readInternal, parquetSafe)
+    new GraftResolvingReaderFactory(inner, isMor,
+      pkCols.map(ord).toArray, ord(CdcApplier.POS), ord(CdcApplier.DEL),
+      readInternal, required.indices.toArray)
+  }
+
+  override def estimateStatistics(): Statistics = {
+    val bytes = activeBuckets.map { b =>
+      val d = new Path(target, s"${CdcApplier.BUCKET}=$b")
+      if (fs.exists(d)) fs.listStatus(d).map(_.getLen).sum else 0L
+    }.sum
+    new Statistics {
+      override def sizeInBytes(): java.util.OptionalLong =
+        java.util.OptionalLong.of(bytes)
+      override def numRows(): java.util.OptionalLong =
+        java.util.OptionalLong.empty()
+    }
+  }
+}
+
+/** Wraps Spark's parquet reader factory with the graft read semantics:
+  * tombstone filtering (+ reader-local latest-per-key resolution on
+  * merge-on-read) and the projection down to the served columns. Row-based
+  * by construction — resolution needs rows; the inner parquet decode stays
+  * vectorized and hands rows off the column batches. */
+class GraftResolvingReaderFactory(
+    inner: PartitionReaderFactory, isMor: Boolean,
+    pkOrdinals: Array[Int], posOrdinal: Int, delOrdinal: Int,
+    readSchema: StructType, outOrdinals: Array[Int])
+    extends PartitionReaderFactory {
+
+  override def supportColumnarReads(partition: InputPartition): Boolean = false
+
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    def proj(ords: Array[Int]): UnsafeProjection = UnsafeProjection.create(
+      ords.toIndexedSeq.map(i =>
+        BoundReference(i, readSchema(i).dataType, nullable = true)))
+    val in = inner.createReader(partition)
+    if (isMor)
+      new MorResolvingReader(in, proj(pkOrdinals), posOrdinal, delOrdinal,
+        proj(outOrdinals))
+    else new LiveRowsReader(in, delOrdinal, proj(outOrdinals))
+  }
+}
+
+/** Copy-on-write: stream rows through, dropping tombstones (and null-DEL
+  * rows — exactly the `!col(_graft_deleted)` semantics of every other read
+  * path) and projecting to the served columns. Zero buffering. */
+class LiveRowsReader(
+    inner: PartitionReader[InternalRow], delOrdinal: Int,
+    outProj: UnsafeProjection) extends PartitionReader[InternalRow] {
+  private var cur: InternalRow = _
+  override def next(): Boolean = {
+    while (inner.next()) {
+      val r = inner.get()
+      if (!r.isNullAt(delOrdinal) && !r.getBoolean(delOrdinal)) {
+        cur = outProj(r)
+        return true
+      }
+    }
+    false
+  }
+  override def get(): InternalRow = cur
+  override def close(): Unit = inner.close()
+}
+
+/** Merge-on-read: the bucket is key-complete, so latest-per-key resolves
+  * READER-LOCALLY — a hashmap from the PK projection to the newest
+  * version's row ([[graft.cdc.CdcApplier.resolveOnRead]]'s semantics:
+  * newest `_graft_pos` wins; replay duplicates are value-identical, so the
+  * first-seen tie winner is the same row). Memory is the bucket's RESOLVED
+  * working set — the bound the applier's own merge already assumes per
+  * bucket — and the shuffle the V1 leg's window resolution pays does not
+  * exist here. Tombstones drop AFTER resolution (a newer tombstone
+  * suppresses an older upsert). */
+class MorResolvingReader(
+    inner: PartitionReader[InternalRow], keyProj: UnsafeProjection,
+    posOrdinal: Int, delOrdinal: Int, outProj: UnsafeProjection)
+    extends PartitionReader[InternalRow] {
+  private var it: Iterator[InternalRow] = _
+  private var cur: InternalRow = _
+
+  private def materialize(): Unit = {
+    val winners = new java.util.HashMap[UnsafeRow, (Long, InternalRow)]()
+    while (inner.next()) {
+      val r = inner.get()
+      val pos = if (r.isNullAt(posOrdinal)) Long.MinValue else r.getLong(posOrdinal)
+      val k = keyProj(r)
+      val prev = winners.get(k)
+      if (prev == null) winners.put(k.copy(), (pos, r.copy()))
+      else if (pos > prev._1) winners.put(k.copy(), (pos, r.copy()))
+    }
+    it = {
+      import scala.jdk.CollectionConverters._
+      winners.values.iterator.asScala
+        .filter { case (_, r) => !r.isNullAt(delOrdinal) && !r.getBoolean(delOrdinal) }
+        .map { case (_, r) => outProj(r) }
+    }
+  }
+
+  override def next(): Boolean = {
+    if (it == null) materialize()
+    if (it.hasNext) { cur = it.next(); true } else false
+  }
+  override def get(): InternalRow = cur
+  override def close(): Unit = inner.close()
+}

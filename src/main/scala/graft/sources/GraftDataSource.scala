@@ -8,7 +8,8 @@ import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.{Column, DataFrame, Row, SQLContext, SparkSession}
 import org.apache.spark.sql.connector.catalog.{SupportsDelete, SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
-import org.apache.spark.sql.connector.read.{Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns, V1Scan}
+import org.apache.spark.sql.connector.expressions.aggregate.Aggregation
+import org.apache.spark.sql.connector.read.{Scan, ScanBuilder, SupportsPushDownAggregates, SupportsPushDownFilters, SupportsPushDownLimit, SupportsPushDownRequiredColumns, V1Scan}
 import org.apache.spark.sql.connector.write.{LogicalWriteInfo, SupportsTruncate, V1Write, Write, WriteBuilder}
 import org.apache.spark.sql.{SaveMode}
 import org.apache.spark.sql.functions.{col, lit, not}
@@ -350,10 +351,13 @@ object GraftTable {
 
 class GraftScanBuilder(spark: SparkSession, targetDir: String, fullSchema: StructType,
     asOf: Option[Long] = None, changesFrom: Option[Long] = None)
-    extends ScanBuilder with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
+    extends ScanBuilder with SupportsPushDownFilters with SupportsPushDownRequiredColumns
+    with SupportsPushDownAggregates with SupportsPushDownLimit {
 
   private var pushed: Array[Filter] = Array.empty
   private var required: StructType = fullSchema
+  private var aggScan: Option[GraftAggScan] = None
+  private var pushedLimit: Option[Int] = None
 
   /** Accept every filter we can translate to a Column (they prune buckets
     * and reach the parquet scan); return ALL filters as residual so Spark
@@ -365,18 +369,71 @@ class GraftScanBuilder(spark: SparkSession, targetDir: String, fullSchema: Struc
   }
   override def pushedFilters(): Array[Filter] = pushed
 
+  /** Footer-only aggregation (q246): a global COUNT/MIN/MAX over a
+    * copy-on-write target is answered from parquet footer statistics — the
+    * same metadata-only pass `spark.sql.parquet.aggregatePushdown` runs on
+    * plain parquet (q139), now available behind the connector. PARTIAL
+    * pushdown: the scan serves one per-file statistics row and Spark's own
+    * final aggregate merges them (typed min-of-mins, summed counts), so
+    * this engine never re-implements aggregate semantics. Acceptance is
+    * strict — see [[GraftAggScan.fromFooters]]: merge-on-read refuses
+    * (latest-per-key resolution changes every answer), any footer whose
+    * statistics cannot PROVE all rows live refuses, any filter present
+    * refuses (this engine keeps authoritative filter evaluation above the
+    * scan, which pre-aggregated rows would bypass). Refusal is never
+    * wrong — the planner falls back to the ordinary row-level scan. */
+  override def supportCompletePushDown(agg: Aggregation): Boolean = false
+  override def pushAggregation(agg: Aggregation): Boolean = {
+    if (pushed.nonEmpty || asOf.isDefined || changesFrom.isDefined) return false
+    aggScan = GraftAggScan.fromFooters(spark, targetDir, fullSchema, agg)
+    aggScan.isDefined
+  }
+
+  /** LIMIT pushdown: the inner plan caps each task at `n` rows (Spark's
+    * LocalLimit semantics) AFTER mor resolution and tombstone filtering,
+    * so a bare `SELECT ... LIMIT n` stops reading once satisfied instead
+    * of materializing the table. Partial by contract — Spark keeps its own
+    * global limit above. */
+  override def pushLimit(n: Int): Boolean = { pushedLimit = Some(n); true }
+  override def isPartiallyPushed(): Boolean = true
+
   /** Top-level column pruning only: Catalyst may hand a schema with
     * NESTED-pruned struct fields (e.g. `before: struct<bal>` in the
     * change-feed mode); this scan serves whole columns, so each requested
     * column is restored to its full declared type — a silently-accepted
     * narrower struct would make the `needConversion=false` consumer read
     * wrong ordinals inside the actual rows. Spark projects the nested
-    * extraction above the scan. */
+    * extraction above the scan. (With a pushed aggregation the scan's
+    * output IS the aggregate schema — nothing to prune.) */
   override def pruneColumns(requiredSchema: StructType): Unit =
-    required = StructType(requiredSchema.fields.map(f => fullSchema(f.name)))
+    if (aggScan.isEmpty)
+      required = StructType(requiredSchema.fields.map(f => fullSchema(f.name)))
 
-  override def build(): Scan =
-    new GraftScan(spark, targetDir, fullSchema, required, pushed, asOf, changesFrom)
+  /** Leg selection. Pushed aggregation wins (footer-only). Otherwise: when
+    * the static predicates could NOT bound the bucket key — a full-coverage
+    * read, where a join's runtime keys are the only remaining pruning
+    * opportunity — build the runtime-filterable [[GraftBatchScan]] (q244);
+    * every statically-pruned, as-of, change-feed, or limit-pushed read
+    * keeps the V1 [[GraftScan]] leg (already bucket-pruned / mode-special,
+    * runtime filtering has nothing left to win there). */
+  override def build(): Scan = aggScan.getOrElse {
+    val runtimeEligible =
+      asOf.isEmpty && changesFrom.isEmpty && pushedLimit.isEmpty && {
+        val target = new Path(targetDir)
+        val hconf = spark.sparkContext.hadoopConfiguration
+        val fs = target.getFileSystem(hconf)
+        CdcApplier.openTarget(fs, target)
+        val all = CdcApplier.bucketIds(fs, target)
+        val meta = TargetMeta.read(hconf, target)
+        all.nonEmpty &&
+          GraftScan.coveredBuckets(meta, fullSchema, pushed, all).size == all.size
+      }
+    if (runtimeEligible)
+      new GraftBatchScan(spark, targetDir, fullSchema, required, pushed)
+    else
+      new GraftScan(spark, targetDir, fullSchema, required, pushed, asOf,
+        changesFrom, pushedLimit)
+  }
 }
 
 /** One planned read: bucket pruning + filter classification happen HERE
@@ -385,7 +442,8 @@ class GraftScanBuilder(spark: SparkSession, targetDir: String, fullSchema: Struc
 class GraftScan(
     spark: SparkSession, targetDir: String, fullSchema: StructType,
     required: StructType, pushed: Array[Filter],
-    asOf: Option[Long] = None, changesFrom: Option[Long] = None) extends V1Scan {
+    asOf: Option[Long] = None, changesFrom: Option[Long] = None,
+    limit: Option[Int] = None) extends V1Scan {
 
   /** (covered bucket ids, all bucket ids) — exposed for plan tests. */
   val (prunedBuckets, allBuckets): (Seq[Int], Seq[Int]) = {
@@ -404,8 +462,11 @@ class GraftScan(
 
   /** The inner declarative plan the relation executes — also the seam the
     * plan-shape tests inspect (`innerDf.queryExecution`). */
-  val innerDf: DataFrame = GraftScan.planRead(
-    spark, targetDir, fullSchema, required, pushed, prunedBuckets, asOf, changesFrom)
+  val innerDf: DataFrame = {
+    val df = GraftScan.planRead(
+      spark, targetDir, fullSchema, required, pushed, prunedBuckets, asOf, changesFrom)
+    limit.map(df.limit).getOrElse(df)
+  }
 
   /** Bytes under the COVERED buckets only — the connector's statistics
     * (post-pushdown, so a point lookup on a 1000-bucket table reports one
@@ -428,11 +489,13 @@ class GraftScan(
   override def readSchema(): StructType = required
 
   override def description(): String =
-    s"GraftScan $targetDir buckets=${prunedBuckets.size}/${allBuckets.size}"
+    s"GraftScan $targetDir buckets=${prunedBuckets.size}/${allBuckets.size}" +
+      limit.map(n => s" limit=$n").getOrElse("")
 
   override def toV1TableScan[T <: BaseRelation with TableScan](context: SQLContext): T =
     new GraftRelation(context, required, innerDf,
-      s"$targetDir buckets=${prunedBuckets.size}/${allBuckets.size}",
+      s"$targetDir buckets=${prunedBuckets.size}/${allBuckets.size}" +
+        limit.map(n => s" limit=$n").getOrElse(""),
       prunedBytes).asInstanceOf[T]
 }
 
@@ -621,4 +684,96 @@ object GraftScan {
     val live = applyFilters(resolved.filter(!col(DEL)), above)
     live.select(required.fieldNames.map(col).toIndexedSeq: _*)
   }
+}
+
+/** Footer-only aggregate scan (q246): readSchema IS the aggregate schema;
+  * the relation serves the precomputed per-file statistics rows and Spark's
+  * final aggregate merges them. No data page is ever read — the scan's
+  * entire input was the footers the acceptance sweep already opened. */
+class GraftAggScan(targetDir: String, aggSchema: StructType,
+    partials: Seq[org.apache.spark.sql.catalyst.InternalRow], nFiles: Int)
+    extends V1Scan {
+  override def readSchema(): StructType = aggSchema
+  override def description(): String =
+    s"GraftAggScan $targetDir footer-only files=$nFiles"
+  override def toV1TableScan[T <: BaseRelation with TableScan](context: SQLContext): T =
+    new GraftAggRelation(context, aggSchema, partials, targetDir, nFiles)
+      .asInstanceOf[T]
+}
+
+/** The per-file partial rows as a `needConversion=false` relation — one
+  * row per file, result-sized by construction. */
+class GraftAggRelation(ctx: SQLContext, s: StructType,
+    rows: Seq[org.apache.spark.sql.catalyst.InternalRow], targetDir: String,
+    nFiles: Int) extends BaseRelation with TableScan {
+  override def sqlContext: SQLContext = ctx
+  override def schema: StructType = s
+  override def needConversion: Boolean = false
+  override def sizeInBytes: Long = 1024L
+  override def buildScan(): RDD[Row] =
+    ctx.sparkSession.sparkContext.parallelize(rows, 1).asInstanceOf[RDD[Row]]
+  override def toString: String =
+    s"GraftAggRelation($targetDir footer-only files=$nFiles)"
+}
+
+object GraftAggScan {
+  import scala.jdk.CollectionConverters._
+
+  /** Some(scan) iff this aggregation is PROVABLY answerable from footer
+    * statistics alone; None refuses (the caller falls back to the ordinary
+    * row-level scan, so refusal is never a correctness event). Acceptance:
+    *
+    *  - copy-on-write only: merge-on-read holds superseded versions whose
+    *    statistics would pollute every extreme and every count;
+    *  - shape/type gate is Spark's own parquet-pushdown rule
+    *    ([[org.apache.spark.sql.graft.AggShim.aggSchema]] — global
+    *    count/min/max over stats-safe types);
+    *  - EVERY footer's `_graft_deleted` statistics must prove all rows
+    *    live (max = false, zero nulls — the read path drops null-DEL rows
+    *    too). COW targets keep tombstones until `compact`, and a footer
+    *    cannot subtract them, so a tombstone-bearing file refuses;
+    *  - a missing statistic for any referenced column throws inside the
+    *    sweep and refuses.
+    *
+    * The sweep is metadata-only I/O, one footer per file, driver-side —
+    * the same cost class as the directory listing the scan already pays
+    * (and the acceptance decision is synchronous by API contract). At
+    * thousands of buckets the refusing path costs nothing: the first
+    * tombstone-bearing footer short-circuits. */
+  private[sources] def fromFooters(
+      spark: SparkSession, targetDir: String, fullSchema: StructType,
+      agg: Aggregation): Option[GraftAggScan] = Try {
+    import org.apache.parquet.hadoop.ParquetFileReader
+    import org.apache.parquet.hadoop.util.HadoopInputFile
+    val target = new Path(targetDir)
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val fs = target.getFileSystem(hconf)
+    CdcApplier.openTarget(fs, target)
+    val meta = TargetMeta.read(hconf, target)
+    if (meta.exists(_.storage.contains("mor"))) return None
+    val aggSchema = org.apache.spark.sql.graft.AggShim.aggSchema(agg, fullSchema)
+      .getOrElse(return None)
+    val files = CdcApplier.bucketIds(fs, target).flatMap { b =>
+      fs.listStatus(new Path(target, s"${CdcApplier.BUCKET}=$b"))
+        .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
+    }
+    val rows = files.map { st =>
+      val rdr = ParquetFileReader.open(HadoopInputFile.fromStatus(st, hconf))
+      try {
+        val footer = rdr.getFooter
+        val allLive = footer.getBlocks.asScala.forall { blk =>
+          blk.getColumns.asScala.find(_.getPath.toDotString == CdcApplier.DEL)
+            .exists { c =>
+              val s = c.getStatistics
+              s != null && !s.isEmpty && s.getNumNulls == 0 &&
+                s.hasNonNullValue && s.genericGetMax == java.lang.Boolean.FALSE
+            }
+        }
+        if (!allLive) return None
+        org.apache.spark.sql.graft.AggShim.footerPartialRow(
+          footer, st.getPath.toString, fullSchema, agg, aggSchema)
+      } finally rdr.close()
+    }
+    Some(new GraftAggScan(targetDir, aggSchema, rows, files.size))
+  }.toOption.flatten
 }

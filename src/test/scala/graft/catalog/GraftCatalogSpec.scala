@@ -107,6 +107,37 @@ class GraftCatalogSpec extends AnyFunSuite {
     assert(feed.count() == 1)
   }
 
+  test("VERSION AS OF serves the as-of cut by name; cow and below-floor refuse") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS gr.tt")
+    spark.sql("""CREATE TABLE gr.tt.m (k BIGINT, v DOUBLE)
+                 OPTIONS (pk 'k', storage 'mor')""")
+    spark.sql("INSERT INTO gr.tt.m SELECT 1L, 1.0, CAST(100 AS BIGINT)")
+    spark.sql("INSERT INTO gr.tt.m SELECT 1L, 2.0, CAST(200 AS BIGINT)")
+    spark.sql("INSERT INTO gr.tt.m SELECT 2L, 5.0, CAST(150 AS BIGINT)")
+    val asOf = spark.sql("SELECT k, v FROM gr.tt.m VERSION AS OF 150 ORDER BY k")
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(asOf == Seq((1L, 1.0), (2L, 5.0)))
+    // HEAD is unaffected by history reads
+    assert(spark.sql("SELECT v FROM gr.tt.m WHERE k = 1")
+      .as[Double].collect().toSeq == Seq(2.0))
+    // a vacuum collapses history below 150 -> the collapse watermark (100)
+    // becomes the floor; reads below it refuse at ANALYSIS
+    graft.cdc.CdcApplier.vacuumMor(spark, s"$warehouse/tt/m", 150L)
+    val e = intercept[Exception] {
+      spark.sql("SELECT * FROM gr.tt.m VERSION AS OF 99")
+    }
+    assert(e.getMessage.contains("retained history"), e.getMessage)
+    // at-or-above the floor still serves
+    assert(spark.sql("SELECT k FROM gr.tt.m VERSION AS OF 150").count() == 2)
+    // copy-on-write refuses: superseded versions are rewritten away
+    spark.sql("CREATE TABLE gr.tt.c (k BIGINT, v DOUBLE) OPTIONS (pk 'k')")
+    spark.sql("INSERT INTO gr.tt.c SELECT 1L, 1.0, CAST(100 AS BIGINT)")
+    val e2 = intercept[Exception] {
+      spark.sql("SELECT * FROM gr.tt.c VERSION AS OF 100")
+    }
+    assert(e2.getMessage.contains("mor"), e2.getMessage)
+  }
+
   test("guards: pk required, duplicate create refused, missing table refused") {
     spark.sql("CREATE NAMESPACE IF NOT EXISTS gr.g")
     val e1 = intercept[Exception] {

@@ -294,6 +294,29 @@ class PlanSpec extends AnyFunSuite {
       s"BETWEEN endpoints must reach PushedFilters:\n$p")
   }
 
+  test("q244: runtime filters prune the fact scan to fewer buckets than the layout holds") {
+    val p = plan("q244_runtime_bucket_pruning")
+    // the gate's requires already executed (both joins pruned, fallback
+    // read all); lock the plan surface: runtime-filterable Batch scans
+    // under broadcast joins, never a shuffle join against the tiny dims
+    assert(p.contains("GraftBatchScan"), s"Batch leg expected:\n$p")
+    assert(p.contains("BroadcastHashJoin"), s"dims must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      s"no shuffle join against broadcast-sized dims:\n$p")
+  }
+
+  test("q246: cow aggregates are footer-only, mor falls back to the row-level resolve") {
+    val p = plan("q246_connector_agg_pushdown")
+    // cow + limit legs: the pushed aggregation serves per-file statistics
+    // rows — no row-level relation may appear under those aggregates
+    assert(p.contains("GraftAggRelation("), s"footer-only scan expected:\n$p")
+    assert(p.contains("PushedAggregates"), s"pushed aggregates must surface:\n$p")
+    // mor leg: refusal falls back to the ordinary resolve-on-read scan
+    assert(p.contains("GraftRelation("), s"mor leg must row-level scan:\n$p")
+    // limit leg: the pushed LIMIT reaches the scan label
+    assert(p.contains("limit=10000000"), s"pushed limit expected:\n$p")
+  }
+
   test("q111: PageRank step is equi-joins + partial/final aggs, one scalar broadcast") {
     val p = plan("q111_pagerank_step")
     assert(!p.contains("CartesianProduct"),

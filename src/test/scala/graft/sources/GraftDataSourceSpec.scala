@@ -158,6 +158,110 @@ class GraftDataSourceSpec extends AnyFunSuite {
       Array[Filter](EqualTo("grp", 1L)), all) == all)
   }
 
+  test("runtime filtering: join keys prune buckets at execution; results intact (cow + mor)") {
+    import org.apache.spark.sql.sources.In
+    for (isMor <- Seq(false, true)) {
+      val target = newDir()
+      build(target, mor = isMor)
+      val schema = GraftTable.tableSchema(spark, target)
+      // direct-construction check: the scan maps runtime IN keys through
+      // the layout arithmetic and re-plans strictly fewer partitions
+      val scan = new GraftBatchScan(spark, target, schema, schema, Array.empty)
+      assert(scan.activeBuckets.size == 8)
+      scan.filter(Array[Filter](In("k", Array(3L, 14L))))
+      assert(scan.activeBuckets.nonEmpty && scan.activeBuckets.size < 8,
+        s"mor=$isMor active=${scan.activeBuckets}")
+      assert(scan.planInputPartitions().length == scan.activeBuckets.size)
+      // a runtime filter can only SHRINK coverage, never widen it back
+      scan.filter(Array[Filter](In("k", Array(3L, 14L, 77L, 140L))))
+      assert(scan.activeBuckets.size <= 2)
+
+      // end-to-end: the dim-join answer equals the expected subset, and the
+      // executed plan shows the runtime-pruned ratio on the Batch leg.
+      // Parquet dim: a literal frame folds to a LocalRelation, and dynamic
+      // pruning requires a selective FILTER on the dim side.
+      val dimPath = Files.createTempDirectory("graft_dsv2").toString + "/dim"
+      Seq((3L, "hot"), (14L, "hot"), (11L, "cold")).toDF("dk", "flag")
+        .repartition(1).write.parquet(dimPath)
+      val dim = spark.read.parquet(dimPath)
+      val q = read(target).join(dim, $"k" === $"dk")
+        .filter($"flag" === "hot").select($"k", $"bal")
+      q.queryExecution.toRdd.count()
+      val plan = q.queryExecution.executedPlan.toString
+      val m = """GraftBatchScan \S+ runtime-filterable buckets=(\d+)/(\d+)""".r
+        .findFirstMatchIn(plan).getOrElse(fail(s"no batch scan in:\n$plan"))
+      assert(m.group(1).toInt < m.group(2).toInt, plan)
+      val got = q.collect().map(r => (r.getLong(0), r.getDouble(1))).toSet
+      val want = expected.filter($"k".isin(3L, 14L)).select($"k", $"bal")
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSet
+      assert(got == want, s"mor=$isMor")
+      assert(got.nonEmpty)
+    }
+  }
+
+  test("batch leg: full reads (no static pruning) serve exact state on both storages") {
+    for (isMor <- Seq(false, true)) {
+      val target = newDir()
+      build(target, mor = isMor)
+      val df = read(target)
+      val plan = df.queryExecution.executedPlan.toString
+      assert(plan.contains("GraftBatchScan"), s"mor=$isMor full scans take the Batch leg:\n$plan")
+      val got = df.drop("_graft_pos").as[Acct].collect().toSet
+      assert(got == expected.as[Acct].collect().toSet, s"mor=$isMor")
+    }
+    // statically-pruned reads stay on the V1 leg (already bucket-pruned)
+    val target = newDir()
+    build(target)
+    val pruned = read(target).filter($"k" === 3L)
+    assert(pruned.queryExecution.executedPlan.toString.contains("GraftRelation("))
+    assert(pruned.count() == 1)
+  }
+
+  test("aggregate pushdown: tombstone-free cow answers from footers; " +
+      "tombstones, mor, and filters all refuse") {
+    // insert-only cow: COUNT/MIN/MAX must plan footer-only
+    val clean = newDir()
+    CdcApplier.applyBatch(spark, ChangeFeed.inserts(accts(200), $"k" * 10),
+      clean, opts)
+    val q = read(clean).agg(count(lit(1)).as("n"), min($"bal").as("mn"),
+      max($"k").as("mx"))
+    val p = q.queryExecution.executedPlan.toString
+    assert(p.contains("GraftAggRelation(") && !p.contains("GraftRelation("), p)
+    val r = q.collect()(0)
+    assert((r.getLong(0), r.getDouble(1), r.getLong(2)) == (200L, 1.5, 200L))
+
+    // the SAME query against a tombstone-bearing cow must refuse (footer
+    // counts cannot subtract deletes) and still answer correctly
+    val tomb = newDir()
+    build(tomb) // has %11 deletes -> tombstones until compact
+    val q2 = read(tomb).agg(count(lit(1)).as("n"))
+    val p2 = q2.queryExecution.executedPlan.toString
+    assert(!p2.contains("GraftAggRelation("), p2)
+    assert(q2.collect()(0).getLong(0) == expected.count())
+
+    // mor refuses (resolution changes the answer)
+    val mor = newDir()
+    build(mor, mor = true)
+    val q3 = read(mor).agg(count(lit(1)).as("n"))
+    assert(!q3.queryExecution.executedPlan.toString.contains("GraftAggRelation("))
+    assert(q3.collect()(0).getLong(0) == expected.count())
+
+    // any filter refuses (the engine keeps authoritative evaluation above)
+    val q4 = read(clean).filter($"grp" === 1L).agg(count(lit(1)).as("n"))
+    assert(!q4.queryExecution.executedPlan.toString.contains("GraftAggRelation("))
+  }
+
+  test("limit pushdown caps the inner scan and stays partial") {
+    val target = newDir()
+    build(target)
+    val df = read(target).limit(5)
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("limit=5"), p)
+    assert(df.count() == 5)
+    // a limit larger than the table changes nothing
+    assert(read(target).limit(10000).count() == expected.count())
+  }
+
   test("pushed filters appear in the physical plan (explain surface)") {
     val target = newDir()
     build(target)
