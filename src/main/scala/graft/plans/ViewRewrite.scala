@@ -176,27 +176,44 @@ object GraftViewRewrite extends Rule[LogicalPlan] {
     * cast to double — SUMD's "exact sum, one final IEEE division/cast"
     * discipline, so the rewrite reproduces the maintained view bit-for-bit
     * regardless of the base's aggregation order. */
+  /** One aggregate-output slot, classified for view serving. The
+    * optimizer may have collapsed projections into the aggregate (aliased
+    * group columns, appended literal tags), so the matcher classifies each
+    * slot instead of assuming [groups..., aggregates...] order. */
+  private sealed trait Slot
+  private case class GroupSlot(orig: NamedExpression, groupName: String) extends Slot
+  private case class MemberSlot(orig: NamedExpression, member: String) extends Slot
+  private case class LiteralSlot(orig: Alias) extends Slot
+
+  private def classify(e: NamedExpression,
+      groupByIdName: Map[org.apache.spark.sql.catalyst.expressions.ExprId, String])
+      : Option[Slot] = e match {
+    case a: AttributeReference if groupByIdName.contains(a.exprId) =>
+      Some(GroupSlot(a, groupByIdName(a.exprId)))
+    case al @ Alias(a: AttributeReference, _) if groupByIdName.contains(a.exprId) =>
+      Some(GroupSlot(al, groupByIdName(a.exprId)))
+    case al @ Alias(ae: AggregateExpression, _) =>
+      statsMember(ae).map { case (m, _) => MemberSlot(al, m) }
+    case al @ Alias(_: Literal, _) => Some(LiteralSlot(al))
+    case _ => None
+  }
+
   private def statsRewrite(groups: Seq[AttributeReference],
       aggExprs: Seq[NamedExpression], child: LogicalPlan): Option[LogicalPlan] = {
-    val members = aggExprs.drop(groups.length).map {
-      case a @ Alias(ae: AggregateExpression, _) => statsMember(ae).map((a, _))
-      case _ => None
+    val groupByIdName = groups.map(g => g.exprId -> g.name).toMap
+    val slots = aggExprs.map(classify(_, groupByIdName))
+    val memberValueCols = aggExprs.collect {
+      case Alias(ae: AggregateExpression, _) => statsMember(ae).flatMap(_._2)
     }
     for {
-      _ <- if (members.nonEmpty && members.forall(_.isDefined)) Some(()) else None
+      _ <- if (slots.forall(_.isDefined) &&
+        slots.exists(_.exists(_.isInstanceOf[MemberSlot]))) Some(()) else None
       basePath <- baseScanPath(child)
-      // output shape: the grouping attributes first, in grouping order
-      gOuts <- {
-        val heads = aggExprs.take(groups.length)
-        val ok = heads.length == groups.length && heads.zip(groups).forall {
-          case (a: AttributeReference, g) => a.exprId == g.exprId
-          case _ => false
-        }
-        if (ok) Some(heads.map(_.asInstanceOf[AttributeReference])) else None
-      }
-      valueCol <- members.flatMap(_.get._2._2).distinct match {
-        case Seq(v) => Some(v)
-        case Seq()  => None // count-only is the narrow rule's job
+      // count-only (None) is served by ANY stats view over these groups —
+      // the cnt column does not depend on the view's value column
+      valueCol <- memberValueCols.flatten.distinct match {
+        case Seq(v) => Some(Some(v))
+        case Seq()  => Some(None)
         case _      => None // two different value columns: not this view
       }
       // exact grouping match first (pure projection); else the SMALLEST
@@ -205,34 +222,39 @@ object GraftViewRewrite extends Rule[LogicalPlan] {
         import scala.jdk.CollectionConverters._
         val qNames = groups.map(_.name)
         val candidates = statsViews.entrySet.asScala.toSeq.collect {
-          case e if e.getKey._1 == basePath && e.getKey._3 == valueCol &&
+          case e if e.getKey._1 == basePath &&
+            valueCol.forall(_ == e.getKey._3) &&
             qNames.toSet.subsetOf(e.getKey._2.toSet) => (e.getKey._2, e.getValue)
         }
-        candidates.sortBy(_._1.length).headOption
+        candidates.sortBy(c => (c._1.length, c._1.mkString(","))).headOption
           .map { case (vGroups, dir) => (vGroups, dir, vGroups.toSet == qNames.toSet) }
       }
     } yield {
-      val (viewGroups, viewDir, exact) = hit
-      val qNames = groups.map(_.name)
+      val (_, viewDir, exact) = hit
+      val qNames = groups.map(_.name).distinct
       if (exact) {
         val viewPlan = CdcApplier.snapshot(SparkSession.active, viewDir)
           .select((qNames ++ Seq("cnt", "sum", "mn", "mx", "avg")).map(org.apache.spark.sql.functions.col): _*)
           .queryExecution.analyzed
         val byName: Map[String, Attribute] =
           viewPlan.output.map(a => a.name -> a).toMap
-        val served = members.map(_.get).map { case (orig, (colName, _)) =>
-          val raw = byName(colName)
-          val expr = if (colName == "sum") Cast(raw, DoubleType) else raw
-          Alias(expr, orig.name)(exprId = orig.exprId)
+        val served = slots.map(_.get).map {
+          case GroupSlot(orig, g) =>
+            Alias(byName(g), orig.name)(exprId = orig.exprId)
+          case MemberSlot(orig, m) =>
+            val raw = byName(m)
+            val expr = if (m == "sum") Cast(raw, DoubleType) else raw
+            Alias(expr, orig.name)(exprId = orig.exprId)
+          case LiteralSlot(orig) =>
+            Alias(orig.child, orig.name)(exprId = orig.exprId)
         }
-        Project(gOuts.map(g =>
-          Alias(byName(g.name), g.name)(exprId = g.exprId)) ++ served, viewPlan)
+        Project(served, viewPlan)
       } else {
-        // group-subset (q247): re-aggregate the finer view — sums of
-        // decimal-exact sums stay exact, counts add, extremes nest
-        // (min-of-mins); AVG re-derives as the exact total over the total
-        // count in ONE double division, the view's own discipline. Work is
-        // view-groups-sized; the base never scans.
+        // group-subset (q247): re-aggregate the finer view — counts add,
+        // decimal-exact sums add, extremes nest (min-of-mins); AVG
+        // re-derives as the exact total over the total count in ONE double
+        // division, the view's own discipline. Work is view-groups-sized;
+        // the base never scans.
         val viewPlan = CdcApplier.snapshot(SparkSession.active, viewDir)
           .select((qNames ++ Seq("cnt", "sum", "mn", "mx")).map(org.apache.spark.sql.functions.col): _*)
           .queryExecution.analyzed
@@ -240,20 +262,24 @@ object GraftViewRewrite extends Rule[LogicalPlan] {
           viewPlan.output.map(a => a.name -> a).toMap
         def agg(fn: org.apache.spark.sql.catalyst.expressions.aggregate.AggregateFunction)
             : Expression = fn.toAggregateExpression()
-        val served = members.map(_.get).map { case (orig, (colName, _)) =>
-          val expr: Expression = colName match {
-            case "cnt" => agg(Sum(byName("cnt")))
-            case "sum" => Cast(agg(Sum(byName("sum"))), DoubleType)
-            case "mn"  => agg(Min(byName("mn")))
-            case "mx"  => agg(Max(byName("mx")))
-            case "avg" => Divide(Cast(agg(Sum(byName("sum"))), DoubleType),
-              Cast(agg(Sum(byName("cnt"))), DoubleType))
-          }
-          Alias(expr, orig.name)(exprId = orig.exprId)
+        val served = slots.map(_.get).map {
+          case GroupSlot(orig, g) =>
+            Alias(byName(g), orig.name)(exprId = orig.exprId)
+          case MemberSlot(orig, m) =>
+            val expr: Expression = m match {
+              case "cnt" => agg(Sum(byName("cnt")))
+              case "sum" => Cast(agg(Sum(byName("sum"))), DoubleType)
+              case "mn"  => agg(Min(byName("mn")))
+              case "mx"  => agg(Max(byName("mx")))
+              case "avg" => Divide(Cast(agg(Sum(byName("sum"))), DoubleType),
+                Cast(agg(Sum(byName("cnt"))), DoubleType))
+            }
+            Alias(expr, orig.name)(exprId = orig.exprId)
+          case LiteralSlot(orig) =>
+            Alias(orig.child, orig.name)(exprId = orig.exprId)
         }
-        val gAtts = gOuts.map(g => byName(g.name))
-        Aggregate(gAtts, gOuts.zip(gAtts).map { case (orig, v) =>
-          Alias(v, orig.name)(exprId = orig.exprId) } ++ served, viewPlan, None)
+        val gAtts = qNames.map(byName(_))
+        Aggregate(gAtts, served, viewPlan, None)
       }
     }
   }

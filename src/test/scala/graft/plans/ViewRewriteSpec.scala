@@ -131,6 +131,152 @@ class ViewRewriteSpec extends AnyFunSuite {
     } finally GraftViewRewrite.unregisterStats(base, "grp", "x")
   }
 
+  // finer base for the group-subset tests: (k, grp, sub, x)
+  private val base2 = {
+    val dir = Files.createTempDirectory("graft_mv").toString + "/base2.parquet"
+    spark.range(1, 101).select(
+      $"id".as("k"), concat(lit("g"), $"id" % 3).as("grp"),
+      concat(lit("s"), $"id" % 2).as("sub"), ($"id" * 2.0).as("x"))
+      .write.parquet(dir)
+    dir
+  }
+
+  private def buildFineStatsView(): String = {
+    val viewDir = Files.createTempDirectory("graft_mv").toString + "/fsv"
+    val rows = graft.cdc.IncrementalView.maintainMinMax(
+      Seq(ChangeFeed.inserts(spark.read.parquet(base2), lit(1L))),
+      spark.read.parquet(base2), Seq("grp", "sub"), "x")
+    CdcApplier.applyBatch(spark, ChangeFeed.inserts(rows, lit(1L)), viewDir,
+      CdcApplier.Options(Seq("grp", "sub"), numBuckets = 2))
+    viewDir
+  }
+
+  test("group subset: a coarser query re-aggregates the finer view; base never scans") {
+    val viewDir = buildFineStatsView()
+    GraftViewRewrite.install(spark)
+    GraftViewRewrite.registerStats(base2, Seq("grp", "sub"), "x", viewDir)
+    try {
+      val q = spark.read.parquet(base2).groupBy($"grp")
+        .agg(count(lit(1)).as("c"), sum($"x").as("s"),
+          min($"x").as("mn"), max($"x").as("mx"), avg($"x").as("av"))
+      val opt = q.queryExecution.optimizedPlan.toString
+      assert(opt.contains("_graft_deleted"),
+        "not reading the view store (base still scans): " + opt)
+      val got = q.collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4), r.getDouble(5))).toMap
+      val fresh = spark.read.parquet(base2).groupBy($"grp")
+        .agg(count(lit(1)), sum($"x"), min($"x"), max($"x"), avg($"x"))
+        .collect().map(r => r.getString(0) ->
+          (r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4), r.getDouble(5))).toMap
+      assert(got.keySet == fresh.keySet)
+      fresh.foreach { case (g, (c, s, mn, mx, av)) =>
+        val (gc, gs, gmn, gmx, gav) = got(g)
+        assert(gc == c && gmn == mn && gmx == mx, s"$g: $got vs $fresh")
+        // the view serves the DECIMAL-exact sum; the base plan's double
+        // sum is order-dependent — equality up to accumulation order
+        assert(math.abs(gs - s) <= math.ulp(s) * 64, s"$g sum: $gs vs $s")
+        assert(math.abs(gav - av) <= math.ulp(av) * 64, s"$g avg: $gav vs $av")
+      }
+      // the EXACT grouping still serves as a pure projection
+      val exact = spark.read.parquet(base2).groupBy($"grp", $"sub")
+        .agg(count(lit(1)).as("c"))
+      // (needs a view registered under the exact key to fire the
+      // projection path — the subset lookup covers it here: same view)
+      val exactOpt = exact.queryExecution.optimizedPlan.toString
+      assert(exactOpt.contains("_graft_deleted") && !exactOpt.contains("Aggregate ["),
+        "exact grouping must serve as a pure projection: " + exactOpt)
+      assert(exact.collect().map(_.getLong(2)).sum == 100L)
+      // NOT a subset (different column) passes through
+      val other = spark.read.parquet(base2).groupBy($"k")
+        .agg(sum($"x").as("s"))
+      val otherOpt = other.queryExecution.optimizedPlan.toString
+      assert(otherOpt.contains("Aggregate [") && !otherOpt.contains("_graft_deleted"),
+        "a non-subset grouping must not rewrite: " + otherOpt)
+    } finally GraftViewRewrite.unregisterStats(base2, Seq("grp", "sub"), "x")
+  }
+
+  // join fixture: fact (fk, jc, amt) ⋈ dim (dk, dname) on jc = dk
+  private val factBase = {
+    val dir = Files.createTempDirectory("graft_mv").toString + "/fact.parquet"
+    spark.range(1, 101).select(
+      $"id".as("fk"), ($"id" % 10).as("jc"), ($"id" * 3.0).as("amt"))
+      .write.parquet(dir)
+    dir
+  }
+  private val dimBase = {
+    val dir = Files.createTempDirectory("graft_mv").toString + "/dim.parquet"
+    spark.range(0, 10).select($"id".as("dk"), concat(lit("d"), $"id").as("dname"))
+      .write.parquet(dir)
+    dir
+  }
+
+  private def buildJoinView(): String = {
+    val root = Files.createTempDirectory("graft_mv").toString
+    val (fact, dimT, view) = (root + "/f", root + "/d", root + "/jv")
+    CdcApplier.applyBatch(spark,
+      ChangeFeed.inserts(spark.read.parquet(factBase), $"fk" * 10), fact,
+      CdcApplier.Options(Seq("fk"), numBuckets = 2))
+    CdcApplier.applyBatch(spark,
+      ChangeFeed.inserts(spark.read.parquet(dimBase), $"dk" * 10), dimT,
+      CdcApplier.Options(Seq("dk"), numBuckets = 2))
+    graft.cdc.IncrementalView.maintainJoinView(spark, fact, dimT, view, 1000L,
+      spark.read.parquet(factBase).select($"fk"),
+      spark.read.parquet(dimBase).select($"dk"), "fk", "jc", "dk")
+    view
+  }
+
+  test("join rewrite: registered fact⋈dim serves from the join-view store") {
+    val viewDir = buildJoinView()
+    GraftViewRewrite.install(spark)
+    GraftViewRewrite.registerJoin(factBase, dimBase, "jc", "dk", viewDir)
+    try {
+      val q = spark.read.parquet(factBase)
+        .join(spark.read.parquet(dimBase), $"jc" === $"dk")
+      val opt = q.queryExecution.optimizedPlan.toString
+      assert(!opt.contains("Join "), "join must disappear: " + opt)
+      assert(opt.contains("_graft_deleted"), "not reading the view store: " + opt)
+      val got = q.select($"fk", $"jc", $"amt", $"dk", $"dname")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+          r.getLong(3), r.getString(4))).toSet
+      val fresh = spark.read.parquet(factBase)
+        .join(spark.read.parquet(dimBase), $"jc" === $"dk")
+        .select($"fk", $"jc", $"amt", $"dk", $"dname")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+          r.getLong(3), r.getString(4))).toSet
+      assert(got == fresh && got.size == 100)
+      // aggregates above the rewritten join keep resolving
+      val agg = spark.read.parquet(factBase)
+        .join(spark.read.parquet(dimBase), $"jc" === $"dk")
+        .groupBy($"dname").agg(count(lit(1)).as("c"))
+      assert(!agg.queryExecution.optimizedPlan.toString.contains("Join "))
+      assert(agg.collect().map(_.getLong(1)).sum == 100L)
+    } finally GraftViewRewrite.unregisterJoin(factBase, dimBase)
+  }
+
+  test("join near-misses pass through: outer join, extra predicate, reversed, unregistered") {
+    val viewDir = buildJoinView()
+    GraftViewRewrite.install(spark)
+    GraftViewRewrite.registerJoin(factBase, dimBase, "jc", "dk", viewDir)
+    try {
+      def stillJoins(df: DataFrame): Boolean =
+        df.queryExecution.optimizedPlan.toString.contains("Join ")
+      val f = spark.read.parquet(factBase)
+      val d = spark.read.parquet(dimBase)
+      assert(stillJoins(f.join(d, $"jc" === $"dk", "left")),
+        "outer join must not rewrite (null-extension is not the view's content)")
+      assert(stillJoins(f.join(d, $"jc" === $"dk" && $"amt" > 30.0)),
+        "extra join predicate must not rewrite")
+      assert(stillJoins(d.join(f, $"dk" === $"jc")),
+        "reversed side registration must not rewrite")
+      assert(stillJoins(f.join(d, $"fk" === $"dk")),
+        "a different key pair must not rewrite")
+    } finally GraftViewRewrite.unregisterJoin(factBase, dimBase)
+    assert(spark.read.parquet(factBase)
+      .join(spark.read.parquet(dimBase), $"jc" === $"dk")
+      .queryExecution.optimizedPlan.toString.contains("Join "),
+      "unregistered must not rewrite")
+  }
+
   test("parents above the aggregate keep resolving (ExprId re-bind)") {
     val viewDir = buildView()
     GraftViewRewrite.install(spark)
