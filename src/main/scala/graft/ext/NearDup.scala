@@ -496,7 +496,125 @@ object NearDup {
   val CdcWindow = 16
   val CdcDivisor = 32
 
+  // -- Bloom cross-release dedup (q248) parameters: m = 2^20 bits (128 KiB
+  // of filter, 16384 longs), k = 7 probes. At this gate's history size
+  // (n <= ~3.5k docs at sf0.1) the false-positive rate
+  // (1 - e^{-kn/m})^k is below 1e-11, so the deterministic audit bound of
+  // 16 observed FPs is astronomically conservative at every sf. Sizing at
+  // 100 TB: m scales with |history| (1% FPR needs ~9.6 bits/key — 10B keys
+  // = 12 GiB, beyond comfortable broadcast), so a full-corpus deployment
+  // shards the filter by key prefix and routes arrivals with an
+  // equi-shuffle; the ALGEBRA here (OR-merge bitsets, double-hash probes)
+  // is shard-shape already.
+  val BloomBits = 1 << 20
+  val BloomHashes = 7
+
+  /** ONE definition of the probe positions for builder and prober — the
+    * two cannot desynchronize. Kirsch-Mitzenmacher double hashing
+    * (g_i = h1 + i*h2, 2006, public) over two murmur3-finalizer mixes of
+    * the 64-bit key. */
+  object Bloom {
+    private def fmix64(x0: Long): Long = {
+      var x = x0
+      x ^= x >>> 33; x *= 0xff51afd7ed558ccdL
+      x ^= x >>> 33; x *= 0xc4ceb9fe1a85ec53L
+      x ^= x >>> 33; x
+    }
+    private def positions(h: Long, numBits: Int, k: Int): Iterator[Int] = {
+      val h1 = fmix64(h)
+      val h2 = fmix64(h ^ 0x9e3779b97f4a7c15L) | 1L
+      (0 until k).iterator.map(i => (((h1 + i * h2) >>> 1) % numBits).toInt)
+    }
+    def set(bits: Array[Long], h: Long, numBits: Int, k: Int): Unit =
+      positions(h, numBits, k).foreach(p => bits(p >>> 6) |= (1L << (p & 63)))
+    def mightContain(bits: Array[Long], h: Long, numBits: Int, k: Int): Boolean =
+      positions(h, numBits, k).forall(p => (bits(p >>> 6) & (1L << (p & 63))) != 0L)
+  }
+
+  /** Fixed-size Bloom filter over 64-bit content hashes as a typed
+    * Aggregator (Bloom 1970; the deployment mode is Dolma's cross-release
+    * deduper, Soldaini et al. 2024): the state is the bitset itself,
+    * reduce sets k bits, merge ORs — fully commutative/associative, so the
+    * build is ONE distributed aggregation pass over the historical release
+    * with a fixed-size (never history-sized) state. */
+  class BloomAgg(numBits: Int, numHashes: Int)
+      extends org.apache.spark.sql.expressions.Aggregator[Long, Array[Long], Array[Long]] {
+    override def zero: Array[Long] = new Array[Long](numBits >>> 6)
+    override def reduce(b: Array[Long], h: Long): Array[Long] = {
+      Bloom.set(b, h, numBits, numHashes); b
+    }
+    override def merge(a: Array[Long], b: Array[Long]): Array[Long] = {
+      var i = 0
+      while (i < a.length) { a(i) |= b(i); i += 1 }
+      a
+    }
+    override def finish(r: Array[Long]): Array[Long] = r
+    override def bufferEncoder: org.apache.spark.sql.Encoder[Array[Long]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]]()
+    override def outputEncoder: org.apache.spark.sql.Encoder[Array[Long]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]]()
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // BLOOM CROSS-RELEASE DEDUP (q248, Dolma's deployment mode): admit a
+    // new crawl against a PREVIOUS RELEASE too large to equi-join every
+    // day. History = the whole documents release, folded ONCE into a
+    // fixed-size Bloom filter (BloomAgg, broadcast — 128 KiB here, never
+    // history-sized); arrivals = recrawls of every %5 doc (verbatim — must
+    // be rejected) plus updated texts of every %7 doc (novel — must be
+    // admitted). An arrival whose probe says DEFINITELY-NEW admits with no
+    // further work (the Bloom has no false negatives); only the MAYBE-SEEN
+    // subset — true duplicates plus <= the FP bound — pays the exact
+    // digest anti-join, so the exact join's left side is duplicate-sized,
+    // never crawl-sized. The result is therefore EXACTLY the exact
+    // anti-join (the oracle), and the probabilistic step never emits an
+    // ungated answer: in-query raise_error audits pin (a) zero false
+    // negatives (a definitely-new arrival found in history = broken
+    // filter) and (b) the observed FP count within the deterministic
+    // bound; both are reproduced as literal columns the oracle pins true.
+    // Digests shuffle, never text (house dedup rule).
+    "q248_bloom_cross_release" -> ((s, dir) => {
+      import s.implicits._
+      val docs = t(s, dir, "documents")
+      val bloomAgg = new BloomAgg(BloomBits, BloomHashes).toColumn
+      val bits = docs.select(xxhash64($"text").as("h")).as[Long]
+        .select(bloomAgg).head() // fixed 128 KiB artifact, one agg pass
+      val bc = s.sparkContext.broadcast(bits)
+      val might = udf((h: Long) =>
+        Bloom.mightContain(bc.value, h, BloomBits, BloomHashes))
+      val arrivals = docs.filter($"doc_id" % 5 === 0)
+        .select($"doc_id", $"text")
+        .unionByName(docs.filter($"doc_id" % 7 === 0)
+          .select(($"doc_id" + 1000000L).as("doc_id"),
+            concat($"text", lit(" v2")).as("text")))
+        .withColumn("ck", md5($"text"))
+        .withColumn("maybe_seen", might(xxhash64($"text")))
+      val histKeys = docs.select(md5($"text").as("ck")).distinct()
+      // definitely-new arrivals admit with zero further I/O; only the
+      // maybe-set pays the exact anti-join (FP rescue)
+      val definite = arrivals.filter(!$"maybe_seen")
+      val rescued = arrivals.filter($"maybe_seen")
+        .join(histKeys, Seq("ck"), "left_anti")
+      // audit (a): a definitely-new arrival must NEVER be in history — a
+      // violation means the filter lost a bit (broken no-false-negatives)
+      val fnAudit = definite.join(histKeys, Seq("ck"), "left_semi")
+        .agg(count(lit(1)).as("fn"))
+        .select(when($"fn" > 0, raise_error(concat(
+          lit("bloom false negative: "), $"fn".cast("string"),
+          lit(" definitely-new arrivals found in history"))).cast("boolean"))
+          .otherwise(lit(true)).as("no_false_negatives"))
+      // audit (b): observed FPs = maybe-seen arrivals that were actually
+      // novel; deterministic per sf, bounded far above (1-e^{-kn/m})^k
+      val fpAudit = rescued.agg(count(lit(1)).as("fp"))
+        .select(when($"fp" > 16, raise_error(concat(
+          lit("bloom FP count out of bound: "), $"fp".cast("string")))
+            .cast("boolean"))
+          .otherwise(lit(true)).as("fp_within_bound"))
+      definite.select($"doc_id", $"ck")
+        .unionByName(rescued.select($"doc_id", $"ck"))
+        .crossJoin(broadcast(fnAudit)).crossJoin(broadcast(fpAudit))
+        .orderBy($"doc_id")
+    }),
     // ---- q230: content-defined chunking dedup (the FastCDC/LBFS family,
     //      Muthitacharoen et al. SOSP 2001) — STORAGE-level dedup beside
     //      the semantic members (q40 exact, q42 MinHash, q141 paragraph):
@@ -639,6 +757,19 @@ object NearDup {
           (acc, c) -> (acc*131 + c) % $P2)"""
 
   val oracles: Map[String, String] = Map(
+    // q248: the exact anti-join truth — recrawls are rejected (their text
+    // is in the release), ' v2' updates admit; audits pinned true.
+    "q248_bloom_cross_release" -> """
+      WITH hist AS (SELECT md5(text) AS ck FROM documents),
+      arr AS (
+        SELECT doc_id, text FROM documents WHERE doc_id % 5 = 0
+        UNION ALL
+        SELECT doc_id + 1000000, text || ' v2' FROM documents WHERE doc_id % 7 = 0)
+      SELECT a.doc_id, md5(a.text) AS ck,
+        true AS no_false_negatives, true AS fp_within_bound
+      FROM arr a
+      WHERE NOT EXISTS (SELECT 1 FROM hist h WHERE h.ck = md5(a.text))
+      ORDER BY a.doc_id""",
     // q230: recompute boundaries, spans, chunk hashes from the shared
     // polyhash definition, declaratively.
     "q230_cdc_chunking" -> s"""

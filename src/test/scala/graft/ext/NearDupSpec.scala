@@ -155,4 +155,24 @@ class NearDupSpec extends AnyFunSuite {
     assert(got == Set((1L, 2L)),
       s"want exactly the planted overlap pair, got $got")
   }
+  test("Bloom filter: no false negatives ever; FP rate within the design bound") {
+    import NearDup.{Bloom, BloomAgg, BloomBits, BloomHashes}
+    val agg = new BloomAgg(BloomBits, BloomHashes)
+    // build over 5k deterministic keys through the full Aggregator path
+    // (reduce + merge), as the distributed build would
+    val keys = (0 until 5000).map(i => i.toLong * 0x9e3779b97f4a7c15L + 17)
+    val half = keys.length / 2
+    val b1 = keys.take(half).foldLeft(agg.zero)(agg.reduce)
+    val b2 = keys.drop(half).foldLeft(agg.zero)(agg.reduce)
+    val bits = agg.merge(b1, b2)
+    // every inserted key MUST probe positive (Bloom's structural guarantee)
+    assert(keys.forall(Bloom.mightContain(bits, _, BloomBits, BloomHashes)))
+    // non-members: (1 - e^{-kn/m})^k with n=5000, m=2^20, k=7 is ~5e-11;
+    // 100k probes should observe zero positives (any hit = a broken mix)
+    val fps = (1000000 until 1100000).count(i =>
+      Bloom.mightContain(bits, i.toLong * 0x9e3779b97f4a7c15L + 17,
+        BloomBits, BloomHashes))
+    assert(fps == 0, s"$fps false positives in 100k probes at design FPR ~5e-11")
+  }
+
 }

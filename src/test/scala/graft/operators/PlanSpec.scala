@@ -305,6 +305,21 @@ class PlanSpec extends AnyFunSuite {
       s"no shuffle join against broadcast-sized dims:\n$p")
   }
 
+  test("q248: the exact rescue join is digest-keyed equi, left side maybe-only") {
+    val p = plan("q248_bloom_cross_release")
+    val fin = p.split("== Initial Plan ==")(0)
+    // no all-pairs anywhere: the only nested-loops are the two ONE-ROW
+    // audit broadcasts (Cross builds), the rescue anti-join is equi on the
+    // md5 digest, and raw text never shuffles as a key
+    assert(!fin.contains("CartesianProduct"), s"no cartesian:\n$p")
+    val bnlj = fin.linesIterator.filter(_.contains("BroadcastNestedLoopJoin")).toSeq
+    assert(bnlj.size <= 2 && bnlj.forall(_.contains("Cross")),
+      s"only the two 1-row audit broadcasts may nested-loop:\n$p")
+    assert(fin.contains("LeftAnti") || fin.contains("LeftSemi"),
+      s"rescue must be an anti/semi digest join:\n$p")
+    assert(p.contains("md5("), s"the join key must be the digest:\n$p")
+  }
+
   test("q246: cow aggregates are footer-only, mor falls back to the row-level resolve") {
     val p = plan("q246_connector_agg_pushdown")
     // cow + limit legs: the pushed aggregation serves per-file statistics
