@@ -52,6 +52,18 @@ object Retrieval {
   val RrfTopK = 20
   val RrfQueryVec = 0L
 
+  /** q249 two-stage geometry: three (query embedding, term set) pairs —
+    * vec_id/doc_id spaces are aligned in the corpus, so qid N uses
+    * embedding vec_id = N. Terms drawn from the synthetic corpus' stable
+    * vocabulary (present at every sf); candidates per query C, final
+    * top-k K. */
+  val TwoStageQueries: Seq[(Long, Seq[String])] = Seq(
+    0L -> Seq("scan", "column", "order"),
+    1L -> Seq("join", "merge", "group"),
+    2L -> Seq("query", "key", "value"))
+  val TwoStageC = 50
+  val TwoStageK = 10
+
   /** q74's BM25 scorer — (doc_id, n_hit, score) for [[Bm25Query]]; shared
     * with the q169 sparse arm so the lexical scoring cannot drift between
     * the standalone gate and the fusion. */
@@ -73,13 +85,23 @@ object Retrieval {
     * query terms; `dl` = (doc_id, dl) for every live doc. df per term
     * falls out of `tf` itself (the postings retrieved for a term ARE its
     * document set). */
-  private[graft] def bm25FromStats(tf: DataFrame, dl: DataFrame): DataFrame = {
+  private[graft] def bm25FromStats(tf: DataFrame, dl: DataFrame): DataFrame =
+    bm25FromStats(tf, dl, Nil)
+
+  /** `extraKeys` generalization (q249): `tf` may carry additional key
+    * columns (e.g. a query id) — df/scoring/grouping key on them too, so
+    * one pass scores several term sets. df per (keys, term) equals the
+    * term's global postings count whenever each (keys, term) retrieves the
+    * full postings list, which is how every caller feeds it. */
+  private[graft] def bm25FromStats(
+      tf: DataFrame, dl: DataFrame, extraKeys: Seq[String]): DataFrame = {
     val stats = dl.agg(
       (sum(col("dl")).cast("double") / count(lit(1)).cast("double")).as("avgdl"),
       count(lit(1)).as("n_docs"))
-    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val dfreq = tf.groupBy((extraKeys :+ "term").map(col): _*)
+      .agg(count(lit(1)).as("df"))
     val scored = tf
-      .join(broadcast(dfreq), "term")
+      .join(broadcast(dfreq), extraKeys :+ "term")
       .join(dl, "doc_id")
       .crossJoin(broadcast(stats))
       .withColumn("idf",
@@ -90,7 +112,7 @@ object Retrieval {
           (col("tf").cast("double") + lit(Bm25K1) *
             (lit(1.0 - Bm25B) + lit(Bm25B) *
               (col("dl").cast("double") / col("avgdl"))))))
-    scored.groupBy(col("doc_id"))
+    scored.groupBy((extraKeys :+ "doc_id").map(col): _*)
       .agg(count(lit(1)).as("n_hit"), graft.util.Sumd.sumd(col("sc")).as("score"))
   }
 
@@ -335,6 +357,72 @@ object Retrieval {
     //      frames; the fusion is a full-outer equi-join of two <= RrfPool
     //      row frames. An arm can rank docs the other never retrieves —
     //      the outer join with coalesce-to-0 is the semantics under test.
+    // ---- q249: TWO-STAGE RETRIEVAL — the composition the scale story
+    //      has been promising: stage 1 pulls top-C candidates PER QUERY
+    //      from the maintained inverted index (q222's bucket-pruned
+    //      postings lookup — the read touches only the query terms'
+    //      buckets + the doc-length store, never the corpus), stage 2
+    //      re-ranks ONLY those C with ColBERT-style MaxSim (q243's exact
+    //      arithmetic via the shared maxSimCol) after fetching candidate
+    //      embeddings through ONE equi-join — the q243 brute cross never
+    //      happens. Three queries, each a (query embedding, term set)
+    //      pair; candidates ranked by the index-served BM25 (one
+    //      bm25FromStats pass keyed by query id), final top-k by MaxSim.
+    //      100 TB: stage-1 cost ∝ query terms' postings; stage-2 cost ∝
+    //      3C candidate embedding rows (candidates BROADCAST into the
+    //      embeddings scan — on a bucketed embedding store this becomes
+    //      the same point-lookup pruning as every other keyed fetch).
+    //      Oracle: the identical two stages replayed declaratively —
+    //      shared BM25 arithmetic, shared MaxSim SQL builders.
+    "q249_two_stage_retrieval" -> ((s, dir) => {
+      graft.functions.GraftFunctions.register(s)
+      import graft.cdc.{CdcApplier, ChangeFeed}
+      import org.apache.spark.sql.expressions.Window
+      val docs = t(s, dir, "documents")
+      val root = java.nio.file.Files.createTempDirectory("graft_twostage").toString
+      val post = root + "/postings"; val dlen = root + "/doclen"
+      applyInvertedIndexBatch(s,
+        ChangeFeed.inserts(docs, col("doc_id") * 10), post, dlen)
+      // stage 1: ONE bucket-pruned lookup over the union of query terms,
+      // scored per query id by the shared BM25 arithmetic
+      val qtRows = TwoStageQueries.flatMap { case (qid, terms) =>
+        terms.map(tm => (qid, tm))
+      }
+      val qt = s.createDataFrame(qtRows).toDF("qid", "term")
+      val allTerms = s.createDataFrame(
+        qtRows.map(_._2).distinct.map(Tuple1(_))).toDF("term")
+      val postings = CdcApplier.pointLookup(s, post, allTerms)
+        .select(col("doc_id"), col("term"), col("tf"))
+      val dlSnap = CdcApplier.snapshot(s, dlen).select(col("doc_id"), col("dl"))
+      val qids = TwoStageQueries.map(_._1)
+      val cw = Window.partitionBy(col("qid"))
+        .orderBy(col("score").desc, col("doc_id"))
+      val cand = bm25FromStats(
+          postings.join(broadcast(qt), Seq("term")), dlSnap, Seq("qid"))
+        .filter(!col("doc_id").isin(qids.map(Long.box): _*))
+        .withColumn("crank", row_number().over(cw))
+        .filter(col("crank") <= TwoStageC)
+        .select(col("qid"), col("doc_id"))
+      // stage 2: fetch ONLY the candidates' embeddings (equi-join,
+      // candidate side broadcast) and re-rank with the shared MaxSim
+      val e = t(s, dir, "embeddings")
+      val tgt = Similarity.withSubNorms(
+        e.select(col("vec_id").as("tid"), col("embedding").as("te")), "t")
+      val qe = Similarity.withSubNorms(
+        e.filter(col("vec_id").isin(qids.map(Long.box): _*))
+          .select(col("vec_id").as("qid"), col("embedding").as("qe")), "q")
+      val rw = Window.partitionBy(col("qid"))
+        .orderBy(col("maxsim").desc, col("tid"))
+      tgt.join(broadcast(cand), col("tid") === col("doc_id"))
+        .join(broadcast(qe), Seq("qid"))
+        .withColumn("maxsim", Similarity.maxSimCol)
+        .withColumn("rank", row_number().over(rw))
+        .filter(col("rank") <= TwoStageK)
+        .select(col("qid").as("query_id"), col("rank"),
+          col("tid").as("neighbor_id"), col("maxsim"))
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
     // ---- q222: INCREMENTAL INVERTED INDEX + index-served BM25 — the
     //      search-engine composition of the CDC applier (§2.1) with the
     //      retrieval surface: a (term, doc_id, tf) postings table (PK
@@ -659,6 +747,69 @@ object Retrieval {
     "q74_bm25" -> s"""
       WITH ${bm25CtesFrom("documents")}
       SELECT doc_id, n_hit, score FROM bm ORDER BY doc_id""",
+
+    // q249: both stages replayed declaratively — the per-query BM25 chain
+    // (shared arithmetic), the top-C cut, then the shared MaxSim builders
+    // over exactly the candidate pairs.
+    "q249_two_stage_retrieval" -> {
+      val qtVals = TwoStageQueries.flatMap { case (q, ts) =>
+        ts.map(tm => s"($q, '$tm')")
+      }.mkString(", ")
+      val qidList = TwoStageQueries.map(_._1).mkString(", ")
+      s"""
+      WITH d AS (
+        SELECT doc_id,
+          len(regexp_extract_all(lower(text), '[a-z0-9]+'))::BIGINT AS dl
+        FROM documents),
+      stats AS (
+        SELECT CAST(sum(dl) AS BIGINT)::DOUBLE / count(*)::DOUBLE AS avgdl,
+          CAST(count(*) AS BIGINT) AS n_docs
+        FROM d),
+      w AS (
+        SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term
+        FROM documents),
+      qt(qid, term) AS (VALUES $qtVals),
+      tf AS (
+        SELECT q.qid, w.doc_id, w.term, CAST(count(*) AS BIGINT) AS tf
+        FROM w JOIN qt q ON q.term = w.term
+        GROUP BY q.qid, w.doc_id, w.term),
+      dfreq AS (
+        SELECT qid, term, CAST(count(*) AS BIGINT) AS df
+        FROM tf GROUP BY qid, term),
+      scored AS (
+        SELECT t.qid, t.doc_id,
+          (((s.n_docs - f.df)::DOUBLE + 0.5) / (f.df::DOUBLE + 0.5))
+            * ((t.tf::DOUBLE * ${Bm25K1 + 1.0}) /
+               (t.tf::DOUBLE + $Bm25K1 * (${1.0 - Bm25B} + $Bm25B *
+                 (d.dl::DOUBLE / s.avgdl)))) AS sc
+        FROM tf t
+        JOIN dfreq f ON f.qid = t.qid AND f.term = t.term
+        JOIN d ON d.doc_id = t.doc_id
+        CROSS JOIN stats s),
+      bm AS (
+        SELECT qid, doc_id, ${SUMD("sc")} AS score
+        FROM scored GROUP BY qid, doc_id),
+      cand AS (
+        SELECT qid, doc_id FROM (
+          SELECT qid, doc_id,
+            ROW_NUMBER() OVER (PARTITION BY qid ORDER BY score DESC, doc_id) AS crank
+          FROM bm WHERE doc_id NOT IN ($qidList)) x
+        WHERE crank <= $TwoStageC),
+      ${Similarity.maxSimSubnCtesSql},
+      pairs AS (
+        SELECT c.qid AS query_id, c.doc_id AS neighbor_id,
+          ${Similarity.maxSimScoreSql} AS maxsim
+        FROM cand c
+        JOIN subn q ON q.vec_id = c.qid
+        JOIN subn t ON t.vec_id = c.doc_id)
+      SELECT query_id, rank, neighbor_id, maxsim FROM (
+        SELECT query_id, neighbor_id, maxsim,
+          ROW_NUMBER() OVER (PARTITION BY query_id
+            ORDER BY maxsim DESC, neighbor_id) AS rank
+        FROM pairs) x
+      WHERE rank <= $TwoStageK
+      ORDER BY query_id, rank"""
+    },
 
     // q222/q223: the index-served scores must equal the shared BM25 chain
     // over the MUTATED final corpus (edits applied, deletions gone) — a

@@ -83,6 +83,64 @@ object Similarity {
           list_transform(range(1, len($a)+1), i -> $a[i]::DOUBLE * $b[i]::DOUBLE)),
         (acc, v) -> acc + v)"""
 
+  // -- ColBERT-style MaxSim pieces (q243 brute pass, q249 two-stage
+  //    re-rank): the fixed 4x16 segment decomposition, per-segment norms,
+  //    and the ((g0+g1)+g2)+g3 fold — ONE definition for every gate that
+  //    scores MaxSim, so the brute baseline and the candidate re-rank
+  //    cannot drift (Khattab & Zaharia, SIGIR 2020).
+  private[graft] val MaxSimSegs = 4
+  private[graft] val MaxSimDim = 16
+
+  private[graft] def maxSimSub(c: Column, i: Int): Column =
+    slice(c, i * MaxSimDim + 1, MaxSimDim)
+
+  /** Adds per-segment norms `<p>n0..n3` of the embedding column `<p>e`. */
+  private[graft] def withSubNorms(df: DataFrame, p: String): DataFrame =
+    (0 until MaxSimSegs).foldLeft(df)((d, i) =>
+      d.withColumn(s"${p}n$i",
+        sqrt(dotd(maxSimSub(col(s"${p}e"), i), maxSimSub(col(s"${p}e"), i)))))
+
+  /** The whole MaxSim as ONE codegen'd projection over columns
+    * (qe, qn0..3, te, tn0..3): 16 fixed graft_dot kernel calls,
+    * greatest() per query segment, additions in a FIXED fold order so the
+    * double sum is bit-identical cross-engine — no explode, no
+    * per-sub-vector shuffle. */
+  private[graft] def maxSimCol: Column = {
+    def cosij(i: Int, j: Int): Column = {
+      val den = col(s"qn$i") * col(s"tn$j")
+      when(den === 0.0, lit(0.0))
+        .otherwise(dotd(maxSimSub(col("qe"), i), maxSimSub(col("te"), j)) / den)
+    }
+    def gi(i: Int): Column =
+      greatest((0 until MaxSimSegs).map(j => cosij(i, j)): _*)
+    (1 until MaxSimSegs).foldLeft(gi(0))((acc, i) => acc + gi(i))
+  }
+
+  /** DuckDB twin of the MaxSim pieces: the `sub`/`subn` CTE bodies (over
+    * the embeddings relation) and the scored expression between aliases
+    * `q` and `t` — identical slices, norms, and fold order. */
+  private[graft] val maxSimSubnCtesSql: String = {
+    def sl(e: String, i: Int) =
+      s"list_slice($e, ${i * MaxSimDim + 1}, ${i * MaxSimDim + MaxSimDim})"
+    s"""sub AS (
+        SELECT vec_id,
+          ${(0 until MaxSimSegs).map(i => s"${sl("embedding", i)} AS s$i").mkString(", ")}
+        FROM embeddings),
+      subn AS (
+        SELECT vec_id, ${(0 until MaxSimSegs).map(i => s"s$i").mkString(", ")},
+          ${(0 until MaxSimSegs).map(i => s"sqrt(${dotSql(s"s$i", s"s$i")}) AS n$i").mkString(", ")}
+        FROM sub)"""
+  }
+
+  private[graft] val maxSimScoreSql: String = {
+    def cos(i: Int, j: Int) =
+      s"""CASE WHEN q.n$i * t.n$j = 0 THEN 0.0
+          ELSE ${dotSql(s"q.s$i", s"t.s$j")} / (q.n$i * t.n$j) END"""
+    def g(i: Int) =
+      s"greatest(${(0 until MaxSimSegs).map(j => cos(i, j)).mkString(", ")})"
+    s"((${g(0)} + ${g(1)}) + ${g(2)}) + ${g(3)}"
+  }
+
   /** Deterministic pseudo-random hyperplane component in [-1, 1). The same
     * literal values are baked into the Spark plan and the oracle SQL. */
   private def planeVal(plane: Int, j: Int): Double = {
@@ -344,26 +402,14 @@ object Similarity {
     // gate's arithmetic locks.
     "q243_late_interaction" -> ((s, dir) => {
       graft.functions.GraftFunctions.register(s)
-      val S = 4; val D = 16
-      def sub(c: Column, i: Int) = slice(c, i * D + 1, D)
       val e = t(s, dir, "embeddings").repartition(col("vec_id"))
-      def withSubNorms(df: DataFrame, p: String): DataFrame =
-        (0 until S).foldLeft(df)((d, i) =>
-          d.withColumn(s"${p}n$i", sqrt(dotd(sub(col(s"${p}e"), i), sub(col(s"${p}e"), i)))))
       val q = withSubNorms(e.filter(col("vec_id") < NumQueries)
         .select(col("vec_id").as("qid"), col("embedding").as("qe")), "q")
       val tgt = withSubNorms(e.filter(col("vec_id") >= NumQueries)
         .select(col("vec_id").as("tid"), col("embedding").as("te")), "t")
-      def cosij(i: Int, j: Int): Column = {
-        val den = col(s"qn$i") * col(s"tn$j")
-        when(den === 0.0, lit(0.0))
-          .otherwise(dotd(sub(col("qe"), i), sub(col("te"), j)) / den)
-      }
-      def gi(i: Int): Column = greatest((0 until S).map(j => cosij(i, j)): _*)
-      val maxsim = (1 until S).foldLeft(gi(0))((acc, i) => acc + gi(i))
       val w = Window.partitionBy(col("qid")).orderBy(col("maxsim").desc, col("tid"))
       tgt.crossJoin(broadcast(q))
-        .withColumn("maxsim", maxsim)
+        .withColumn("maxsim", maxSimCol)
         .withColumn("rank", row_number().over(w))
         .filter(col("rank") <= TopK)
         .select(col("qid").as("query_id"), col("rank"),
@@ -930,32 +976,20 @@ object Similarity {
       ORDER BY t.rank_trunc""",
 
     // q243: the same fixed 4x16 decomposition, greatest-per-query-segment,
-    // and the identical ((g0+g1)+g2)+g3 fold order.
-    "q243_late_interaction" -> {
-      def sl(e: String, i: Int) = s"list_slice($e, ${i * 16 + 1}, ${i * 16 + 16})"
-      def cos(i: Int, j: Int) =
-        s"""CASE WHEN q.n$i * t.n$j = 0 THEN 0.0
-            ELSE ${dotSql(s"q.s$i", s"t.s$j")} / (q.n$i * t.n$j) END"""
-      def g(i: Int) = s"greatest(${(0 until 4).map(j => cos(i, j)).mkString(", ")})"
-      s"""
-      WITH sub AS (
-        SELECT vec_id, ${(0 until 4).map(i => s"${sl("embedding", i)} AS s$i").mkString(", ")}
-        FROM embeddings),
-      subn AS (
-        SELECT vec_id, s0, s1, s2, s3,
-          ${(0 until 4).map(i => s"sqrt(${dotSql(s"s$i", s"s$i")}) AS n$i").mkString(", ")}
-        FROM sub),
+    // and the identical ((g0+g1)+g2)+g3 fold order (shared SQL builders
+    // with q249's re-rank).
+    "q243_late_interaction" -> s"""
+      WITH $maxSimSubnCtesSql,
       scored AS (
         SELECT q.vec_id AS query_id, t.vec_id AS neighbor_id,
-          ((${g(0)} + ${g(1)}) + ${g(2)}) + ${g(3)} AS maxsim
+          $maxSimScoreSql AS maxsim
         FROM subn q JOIN subn t ON q.vec_id < $NumQueries AND t.vec_id >= $NumQueries)
       SELECT query_id, rank, neighbor_id, maxsim FROM (
         SELECT query_id, neighbor_id, maxsim,
           ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY maxsim DESC, neighbor_id) AS rank
         FROM scored) x
       WHERE rank <= $TopK
-      ORDER BY query_id, rank"""
-    },
+      ORDER BY query_id, rank""",
 
     "q50_ann_brute" -> s"""
       WITH e AS (${codesSql("")}),

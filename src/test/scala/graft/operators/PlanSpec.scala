@@ -305,6 +305,23 @@ class PlanSpec extends AnyFunSuite {
       s"no shuffle join against broadcast-sized dims:\n$p")
   }
 
+  test("q249: candidate re-rank joins are all equi — the brute cross never happens") {
+    val p = plan("q249_two_stage_retrieval")
+    val fin = p.split("== Initial Plan ==")(0)
+    // stage 2 fetches ONLY candidate embeddings: broadcast equi-joins on
+    // (doc_id/tid) and (qid); q243's BroadcastNestedLoopJoin query cross
+    // must NOT appear anywhere in the two-stage composition
+    assert(!fin.contains("CartesianProduct"), s"no cartesian:\n$p")
+    // the only nested-loop is bm25FromStats' ONE-ROW (avgdl, n_docs)
+    // scalar broadcast — a Cross build, q111's accepted class; a row-level
+    // fallback or a corpus cross would not be
+    val bnlj = fin.linesIterator.filter(_.contains("BroadcastNestedLoopJoin")).toSeq
+    assert(bnlj.forall(_.contains("Cross")),
+      s"only the one-row stats broadcast may nested-loop:\n$p")
+    assert(fin.contains("BroadcastHashJoin"),
+      s"candidate fetch must be a broadcast equi-join:\n$p")
+  }
+
   test("q248: the exact rescue join is digest-keyed equi, left side maybe-only") {
     val p = plan("q248_bloom_cross_release")
     val fin = p.split("== Initial Plan ==")(0)
