@@ -232,7 +232,7 @@ object CdcQueries {
     // updates+deletes), and applied by StreamingPipeline.startPerTable —
     // from_json per-table parse, checkpointed foreachBatch, incremental
     // bucketed merge. Final state must equal the declarative oracle.
-    "q33_streaming_merge" -> ((s, dir) => {
+    "q33_streaming_merge" -> ((s, dir) => graft.util.SmallBatches(s) {
       import s.implicits._
       import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
       implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
@@ -389,7 +389,7 @@ object CdcQueries {
     //      under their NEW custkey only. Shares q123's oracle verbatim
     //      (equal by construction — same envelope, same projection, same
     //      merges).
-    "q170_stream_index" -> ((s, dir) => {
+    "q170_stream_index" -> ((s, dir) => graft.util.SmallBatches(s) {
       import s.implicits._
       import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
       implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
@@ -572,7 +572,7 @@ object CdcQueries {
     //      pointer). Batch-2 envelope positions ride a base offset
     //      (q138's b2base discipline) so view positions increase across
     //      micro-batches. Shares q174's oracle verbatim.
-    "q217_stream_join_view" -> ((s, dir) => {
+    "q217_stream_join_view" -> ((s, dir) => graft.util.SmallBatches(s) {
       import s.implicits._
       import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
       implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
@@ -642,7 +642,7 @@ object CdcQueries {
     //      affected-group rescan per micro-batch, exactly-once by the
     //      applier's position guard, last batch re-delivered. Shares
     //      q176's oracle verbatim.
-    "q218_stream_topk_view" -> ((s, dir) => {
+    "q218_stream_topk_view" -> ((s, dir) => graft.util.SmallBatches(s) {
       import s.implicits._
       import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
       implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
@@ -850,7 +850,7 @@ object CdcQueries {
     // procedure for the batch feed, the SQL feed, and the streaming tail).
     // 100 TB: per-trigger cost ∝ the new deltas (position-clustered files
     // → row-group skipping below the cursor), never the table.
-    "q227_stream_changefeed" -> ((s, dir) => {
+    "q227_stream_changefeed" -> ((s, dir) => graft.util.SmallBatches(s) {
       import s.implicits._
       val o = Tables.load(s, dir, "orders")
       val base = Files.createTempDirectory("graft_cdc").toString
@@ -907,7 +907,7 @@ object CdcQueries {
     // foreachBatch tail (q227): one decision procedure for every
     // replication surface. 100 TB: per-trigger cost ∝ new deltas (source)
     // + touched buckets (sink).
-    "q228_stream_replica" -> ((s, dir) => {
+    "q228_stream_replica" -> ((s, dir) => graft.util.SmallBatches(s) {
       import s.implicits._
       val o = Tables.load(s, dir, "orders")
       val base = Files.createTempDirectory("graft_cdc").toString
@@ -1903,12 +1903,18 @@ object CdcQueries {
     "q245_sql_version_asof" -> ((s, dir) => {
       import s.implicits._
       val lc = lifecycle(s, dir)
-      val whRoot = Files.createTempDirectory("graft_cat").toString
-      s.conf.set("spark.sql.catalog.q245cat", "graft.catalog.GraftCatalog")
-      s.conf.set("spark.sql.catalog.q245cat.root", whRoot)
-      s.sql("CREATE NAMESPACE IF NOT EXISTS q245cat.prod")
       // repeat-run safety (bench medianOf3): the catalog plugin is CACHED
-      // by name, so a rerun lands in the first run's root
+      // by name, so a rerun must REUSE the first run's root — this gate
+      // also addresses the table by PATH (the applier writes), and a
+      // fresh root would split the SQL table from the lifecycle data
+      val whRoot = s.conf.getOption("spark.sql.catalog.q245cat.root")
+        .getOrElse {
+          val r = Files.createTempDirectory("graft_cat").toString
+          s.conf.set("spark.sql.catalog.q245cat", "graft.catalog.GraftCatalog")
+          s.conf.set("spark.sql.catalog.q245cat.root", r)
+          r
+        }
+      s.sql("CREATE NAMESPACE IF NOT EXISTS q245cat.prod")
       s.sql("DROP TABLE IF EXISTS q245cat.prod.orders_tt")
       s.sql(s"""CREATE TABLE q245cat.prod.orders_tt (${lc.orders.schema.toDDL})
                 OPTIONS (pk 'o_orderkey', buckets '8', storage 'mor')""")
@@ -1934,7 +1940,7 @@ object CdcQueries {
     // compact path (version collapse BEFORE tombstone horizon) under the
     // real checkpointed streaming lifecycle. Final state must equal the
     // same declarative oracle shape as the cow run.
-    "q130_stream_mor" -> ((s, dir) => {
+    "q130_stream_mor" -> ((s, dir) => graft.util.SmallBatches(s) {
       import s.implicits._
       import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
       implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
@@ -2028,7 +2034,7 @@ object CdcQueries {
     // the LAST micro-batch re-delivered under its applied id: the guard
     // must make it an exact no-op or the doubled refcounts break the
     // shared q193 oracle (q97/q94's one-decision-procedure discipline).
-    "q219_stream_distinct_view" -> ((s, dir) => {
+    "q219_stream_distinct_view" -> ((s, dir) => graft.util.SmallBatches(s) {
       import s.implicits._
       import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
       implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
@@ -2145,7 +2151,7 @@ object CdcQueries {
     // replay) straight into applyViewBatchMinMax: a broken replay guard
     // would double the deltas and break the hash. The oracle re-aggregates
     // the equivalent final table from scratch (same SQL as q89).
-    "q94_stream_minmax_view" -> ((s, dir) => {
+    "q94_stream_minmax_view" -> ((s, dir) => graft.util.SmallBatches(s) {
       import s.implicits._
       import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
       implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
@@ -2305,7 +2311,7 @@ object CdcQueries {
     // broken guard would re-chain the open intervals against their own
     // versions and break the hash. Shares q103's fresh-derivation oracle:
     // the incremental fold must land on the identical final history.
-    "q105_stream_scd2" -> ((s, dir) => {
+    "q105_stream_scd2" -> ((s, dir) => graft.util.SmallBatches(s) {
       import s.implicits._
       import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
       implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
@@ -2523,7 +2529,7 @@ object CdcQueries {
     //      looked-up custkey owns — exactly what a torn pair gets wrong);
     //      every pinned sample must equal the lifecycle replayed to its
     //      epoch. The FINAL two-hop rows are the DuckDB-gated output.
-    "q220_epoch_index" -> ((s, dir) => {
+    "q220_epoch_index" -> ((s, dir) => graft.util.SmallBatches(s) {
       import s.implicits._
       import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
       implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
@@ -2759,7 +2765,7 @@ object CdcQueries {
     //      The applier's additive-evolution path (q160's) upgrades the
     //      store under the restarted stream. One oracle gates the batch
     //      (q160) and streaming (q161) executions of the same DDL story.
-    "q161_stream_schema_evolution" -> ((s, dir) => {
+    "q161_stream_schema_evolution" -> ((s, dir) => graft.util.SmallBatches(s) {
       import s.implicits._
       import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
       implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext

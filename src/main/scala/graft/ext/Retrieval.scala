@@ -480,7 +480,7 @@ object Retrieval {
     //      by the applier's position guard), then the identical index-
     //      served BM25 read. Shares q222's oracle verbatim (q137/q149/
     //      q170's one-decision-procedure discipline).
-    "q223_stream_inverted_index" -> ((s, dir) => {
+    "q223_stream_inverted_index" -> ((s, dir) => graft.util.SmallBatches(s) {
       import s.implicits._
       import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
       implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext

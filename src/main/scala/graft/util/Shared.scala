@@ -104,3 +104,22 @@ object Sumd {
   /** SQL fragment mirroring [[sumdHi]]. */
   def SUMDHI(e: String): String = s"CAST(SUM(CAST($e AS DECIMAL(38,18))) AS DOUBLE)"
 }
+
+
+/** Scoped micro-batch shuffle sizing for the harness-heavy STREAMING gates
+  * (bench r11 ask #8): their per-micro-batch applier jobs exchange
+  * batch-sized fractions of the table, where the session's 32 shuffle
+  * partitions are task-launch overhead, not parallelism (AQE cannot
+  * coalesce them — it is disabled inside stateful streaming). The q237
+  * gate set this precedent; this helper scopes the same `8` to a gate's
+  * lifecycle and restores the session conf before the (oracle-gated)
+  * result evaluates. At 100 TB a deployment sizes shuffle partitions to
+  * its micro-batch exactly the same way. Semantics are untouched — every
+  * wrapped gate's result still hashes against its DuckDB oracle. */
+object SmallBatches {
+  def apply[T](s: org.apache.spark.sql.SparkSession)(body: => T): T = {
+    val prev = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", "8")
+    try body finally s.conf.set("spark.sql.shuffle.partitions", prev)
+  }
+}
