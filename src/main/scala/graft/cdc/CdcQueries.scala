@@ -2209,7 +2209,7 @@ object CdcQueries {
     // then cross-table joined and aggregated. The oracle replays both
     // lifecycles declaratively and joins fresh tables, so the gate fails if
     // either table's state at the epoch is stale, torn, or misapplied.
-    "q93_epoch_snapshot" -> ((s, dir) => {
+    "q93_epoch_snapshot" -> ((s, dir) => graft.util.SmallBatches(s) {
       import s.implicits._
       import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
       implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
@@ -2367,7 +2367,7 @@ object CdcQueries {
     // replaying the lifecycle up to that batch; a reader that ever saw
     // table A at batch k and table B at batch k-1 fails the in-query
     // require. The FINAL state is the DuckDB-gated output.
-    "q115_epoch_concurrent" -> ((s, dir) => {
+    "q115_epoch_concurrent" -> ((s, dir) => graft.util.SmallBatches(s) {
       import s.implicits._
       import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
       implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
@@ -2400,22 +2400,27 @@ object CdcQueries {
             to_json($"before").as("before_json"), to_json($"after").as("after_json"))
           .as[EnvelopeRow].collect()
       val batches: Seq[Array[EnvelopeRow]] = Seq(
-        toEnvelope("orders", ChangeFeed.inserts(o, $"o_orderkey" * 10)) ++
-          toEnvelope("customer", ChangeFeed.inserts(c, $"c_custkey" * 10)),
-        toEnvelope("orders", ChangeFeed.updates(o.filter($"o_orderkey" % 3 === 0),
-            Map("o_totalprice" -> $"o_totalprice" * 1.1), $"o_orderkey" * 10 + 3)) ++
-          toEnvelope("customer", ChangeFeed.updates(c.filter($"c_custkey" % 4 === 0),
-            Map("c_acctbal" -> ($"c_acctbal" + 100.0)), $"c_custkey" * 10 + 3)),
-        toEnvelope("orders", ChangeFeed.deletes(
-            ordersState(1).filter($"o_orderkey" % 5 === 0), $"o_orderkey" * 10 + 5)) ++
-          toEnvelope("customer", ChangeFeed.deletes(
-            customerState(1).filter($"c_custkey" % 6 === 0), $"c_custkey" * 10 + 5)),
-        toEnvelope("orders", ChangeFeed.updates(
-            ordersState(2).filter($"o_orderkey" % 7 === 0),
-            Map("o_totalprice" -> $"o_totalprice" * 0.9), $"o_orderkey" * 10 + 7)) ++
-          toEnvelope("customer", ChangeFeed.updates(
-            customerState(2).filter($"c_custkey" % 8 === 0),
-            Map("c_acctbal" -> ($"c_acctbal" - 50.0)), $"c_custkey" * 10 + 7)))
+        FeedMemo.rows("orders_ins10", dir)(
+          toEnvelope("orders", ChangeFeed.inserts(o, $"o_orderkey" * 10))) ++
+          FeedMemo.rows("customer_ins10", dir)(
+            toEnvelope("customer", ChangeFeed.inserts(c, $"c_custkey" * 10))),
+        FeedMemo.rows("q115_b2", dir)(
+          toEnvelope("orders", ChangeFeed.updates(o.filter($"o_orderkey" % 3 === 0),
+              Map("o_totalprice" -> $"o_totalprice" * 1.1), $"o_orderkey" * 10 + 3)) ++
+            toEnvelope("customer", ChangeFeed.updates(c.filter($"c_custkey" % 4 === 0),
+              Map("c_acctbal" -> ($"c_acctbal" + 100.0)), $"c_custkey" * 10 + 3))),
+        FeedMemo.rows("q115_b3", dir)(
+          toEnvelope("orders", ChangeFeed.deletes(
+              ordersState(1).filter($"o_orderkey" % 5 === 0), $"o_orderkey" * 10 + 5)) ++
+            toEnvelope("customer", ChangeFeed.deletes(
+              customerState(1).filter($"c_custkey" % 6 === 0), $"c_custkey" * 10 + 5))),
+        FeedMemo.rows("q115_b4", dir)(
+          toEnvelope("orders", ChangeFeed.updates(
+              ordersState(2).filter($"o_orderkey" % 7 === 0),
+              Map("o_totalprice" -> $"o_totalprice" * 0.9), $"o_orderkey" * 10 + 7)) ++
+            toEnvelope("customer", ChangeFeed.updates(
+              customerState(2).filter($"c_custkey" % 8 === 0),
+              Map("c_acctbal" -> ($"c_acctbal" - 50.0)), $"c_custkey" * 10 + 7))))
 
       val root = Files.createTempDirectory("graft_epochc").toString
       val targets = Map("orders" -> s"$root/orders", "customer" -> s"$root/customer")

@@ -43,7 +43,8 @@ class KmvAgg(k: Int) extends Aggregator[Long, Seq[Long], Seq[Long]] {
   // buffer invariant: sorted ascending, distinct, length <= k
   override def reduce(b: Seq[Long], h: Long): Seq[Long] =
     if (b.length == k && h >= b.last) b // steady-state O(1) fast path
-    else if (b.contains(h)) b
+    else if (b.search(h).isInstanceOf[
+      scala.collection.Searching.Found]) b // sorted: O(log k) membership
     else ((b :+ h).sorted: Seq[Long]).take(k)
   override def merge(x: Seq[Long], y: Seq[Long]): Seq[Long] =
     ((x ++ y).distinct.sorted: Seq[Long]).take(k)
