@@ -73,6 +73,12 @@ object Bench {
     // gate's bounded-state claim is a MEASURED number (numRowsTotal,
     // memoryUsedBytes per state operator), not an assertion. Keyed by
     // runId — a gate with several lifecycles reports each.
+    // An EMPTY list is itself the measurement for the applier-target
+    // gates (q217-class): their streaming queries run micro-batches with
+    // ZERO Spark state-store rows — the bounded state lives in bucketed
+    // graft targets, exactly the deployment claim. Recording the empty
+    // profile distinguishes "streaming, no executor state" from "not a
+    // streaming gate".
     val lastState = new java.util.concurrent.ConcurrentHashMap[
       java.util.UUID, Seq[(Long, Long)]]
     spark.streams.addListener(
@@ -80,11 +86,9 @@ object Bench {
         import org.apache.spark.sql.streaming.StreamingQueryListener._
         override def onQueryStarted(e: QueryStartedEvent): Unit = ()
         override def onQueryTerminated(e: QueryTerminatedEvent): Unit = ()
-        override def onQueryProgress(e: QueryProgressEvent): Unit = {
-          val ops = e.progress.stateOperators.toSeq
-            .map(so => (so.numRowsTotal, so.memoryUsedBytes))
-          if (ops.nonEmpty) lastState.put(e.progress.runId, ops)
-        }
+        override def onQueryProgress(e: QueryProgressEvent): Unit =
+          lastState.put(e.progress.runId, e.progress.stateOperators.toSeq
+            .map(so => (so.numRowsTotal, so.memoryUsedBytes)))
       })
 
     // Warm up the session (codegen, file-index, scheduler) so the first
