@@ -217,6 +217,33 @@ class GraftDataSourceSpec extends AnyFunSuite {
     assert(pruned.count() == 1)
   }
 
+  test("batch leg: additive evolution serves NULL for old files; contradictory " +
+      "runtime keys plan zero partitions") {
+    import org.apache.spark.sql.sources.In
+    // evolve AFTER the first batch: bucket files have mixed schemas and the
+    // Batch leg's per-file clipping must surface NULL, exactly like the V1 read
+    val target = newDir()
+    CdcApplier.applyBatch(spark, ChangeFeed.inserts(accts(50), $"k" * 10),
+      target, opts)
+    val extra = accts(50).filter($"k" <= 5).withColumn("note", concat(lit("n"), $"k"))
+    CdcApplier.applyBatch(spark, ChangeFeed.inserts(extra, $"k" * 10 + 5),
+      target, opts)
+    val df = read(target)
+    assert(df.queryExecution.executedPlan.toString.contains("GraftBatchScan"))
+    val got = df.select($"k", $"note").collect()
+      .map(r => (r.getLong(0), Option(r.getString(1)))).toMap
+    assert(got(3L) == Some("n3") && got(40L) == None && got.size == 50)
+
+    // a runtime filter whose keys hash to no live bucket plans ZERO partitions
+    val schema = GraftTable.tableSchema(spark, target)
+    val scan = new GraftBatchScan(spark, target, schema, schema, Array.empty)
+    val all = scan.activeBuckets.size
+    scan.filter(Array[Filter](In("k", Array[Any]()), In("k", Array(3L))))
+    // empty IN ∩ {3} = empty value set -> zero covered buckets
+    assert(scan.activeBuckets.isEmpty && scan.planInputPartitions().isEmpty,
+      s"all=$all active=${scan.activeBuckets}")
+  }
+
   test("aggregate pushdown: tombstone-free cow answers from footers; " +
       "tombstones, mor, and filters all refuse") {
     // insert-only cow: COUNT/MIN/MAX must plan footer-only
