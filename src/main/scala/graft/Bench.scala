@@ -139,7 +139,9 @@ object Bench {
       "q235_sql_merge", "q237_stream_neardup", "q240_sql_maintenance",
       "q244_runtime_bucket_pruning", "q245_sql_version_asof",
       "q246_connector_agg_pushdown", "q247_view_rewrite_join_subset",
-      "q248_bloom_cross_release", "q249_two_stage_retrieval")
+      "q248_bloom_cross_release", "q249_two_stage_retrieval",
+      "q250_file_skipping", "q251_two_stage_keyed_fetch",
+      "q252_trained_codebook", "q253_type_widening", "q254_sql_history")
 
     def measure(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame)
         : (Double, Seq[Double], Seq[(Long, Long, Long)]) = {

@@ -42,7 +42,8 @@ object GraftProcedures {
 
   val Namespace = "system"
 
-  private val names = Seq("optimize", "compact", "vacuum", "rebucket", "backfill")
+  private val names = Seq("optimize", "compact", "vacuum", "rebucket", "backfill",
+    "history")
 
   def list(catalogName: String): Array[Identifier] =
     names.map(n => Identifier.of(Array(Namespace), n)).toArray
@@ -80,6 +81,7 @@ class GraftProcedure(root: Path, op: String) extends UnboundProcedure with Bound
       in("column", StringType).build(),
       in("expression", StringType).build(),
       in("max_buckets", IntegerType).defaultValue("2147483647").build())
+    case "history" => Array(in("table", StringType).build())
   }
 
   private def dirOf(table: String): String = {
@@ -91,6 +93,42 @@ class GraftProcedure(root: Path, op: String) extends UnboundProcedure with Bound
     val spark = SparkSession.active
     val table = input.getUTF8String(0).toString
     val dir = dirOf(table)
+    // `history` (q254): time travel (VERSION AS OF / asOfPos) exists, but a
+    // SQL user could not DISCOVER what positions are answerable. One
+    // relation per retained VERSION-IMAGE position stamp: row count at the
+    // stamp, whether snapshotAsOf answers it (pos >= the floor), plus the
+    // floor / storage mode / bucket modulus from `.graft_meta`. Cost: one
+    // POS-grouped pass over the retained window's files — the window a
+    // deployment already sizes to its audit horizon; never the history.
+    if (op == "history") {
+      val hconf = spark.sparkContext.hadoopConfiguration
+      val meta = TargetMeta.read(hconf, new Path(dir)).getOrElse(
+        throw new IllegalStateException(s"no graft table state at $dir"))
+      require(meta.storage.contains("mor"),
+        "history needs the mor layout — copy-on-write rewrites supersede history")
+      val floorRaw = math.max(meta.horizon, meta.collapsed.getOrElse(Long.MinValue))
+      val posCounts = spark.read.option("mergeSchema", true).parquet(dir)
+        .groupBy(org.apache.spark.sql.functions.col(CdcApplier.POS))
+        .count().collect()
+        .map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+      val schema = StructType(Seq(
+        StructField("position", LongType, nullable = false),
+        StructField("n_rows", LongType, nullable = false),
+        StructField("answerable", org.apache.spark.sql.types.BooleanType, nullable = false),
+        StructField("floor", LongType, nullable = true),
+        StructField("storage", StringType, nullable = false),
+        StructField("buckets", IntegerType, nullable = false)))
+      val outRows: Array[InternalRow] = posCounts.map { case (p, n) =>
+        new GenericInternalRow(Array[Any](p, n, p >= floorRaw,
+          if (floorRaw == Long.MinValue) null else floorRaw,
+          UTF8String.fromString(meta.storage.getOrElse("cow")), meta.numBuckets))
+          : InternalRow
+      }
+      return java.util.Collections.singletonList[Scan](new LocalScan {
+        override def rows(): Array[InternalRow] = outRows
+        override def readSchema(): StructType = schema
+      }).iterator()
+    }
     val touched: Int = op match {
       case "optimize" =>
         CdcApplier.optimize(spark, dir, input.getInt(1).toLong << 20).size

@@ -5,7 +5,7 @@ import java.io.IOException
 import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{BooleanType, LongType, StructType}
+import org.apache.spark.sql.types.{BooleanType, ByteType, DataType, DecimalType, DoubleType, FloatType, IntegerType, LongType, ShortType, StructType}
 
 /** Idempotent, incremental CDC MERGE applier (SURVEY.md §2.1 S9-S14, §2.3).
   *
@@ -174,16 +174,40 @@ object CdcApplier {
           m.schemaJson.map(j => s"schema=$j\n").getOrElse(""))
   }
 
+  /** `true` iff retyping `from` → `to` is LOSSLESS — the type-widening
+    * lattice (public design point: Delta Lake type widening): integral
+    * upcasts, float→double, and same-scale decimal precision growth.
+    * Everything else (narrowing, cross-family retypes) is drift. */
+  private[graft] def canWiden(from: DataType, to: DataType): Boolean = (from, to) match {
+    case (ByteType, ShortType | IntegerType | LongType) => true
+    case (ShortType, IntegerType | LongType)            => true
+    case (IntegerType, LongType)                        => true
+    case (FloatType, DoubleType)                        => true
+    case (f: DecimalType, t: DecimalType) =>
+      t.scale == f.scale && t.precision >= f.precision
+    case _ => false
+  }
+
   /** Fail fast on schema drift — the full-column comparison of the
     * reference's `TableInfo.sameData` (`TableInfo.scala:19-39`), which
     * re-discovers the schema on ANY table-map change, not just key changes:
-    *  - a PK column missing or retyped in the incoming schema → drift error;
-    *  - a stored non-key column missing (dropped) or retyped → drift error
-    *    naming the column, instead of a confusing union/parquet failure;
+    *  - a PK column missing or retyped in the incoming schema → drift error
+    *    (ALWAYS — the bucket hash ran over the stored type; widening a key
+    *    would re-hash keys away from their rows);
+    *  - a stored non-key column missing (dropped) → drift error naming the
+    *    column, instead of a confusing union/parquet failure;
+    *  - a retyped non-key column → with `allowWidening` (the copy-on-write
+    *    apply path, q253), a LOSSLESS widening in either direction is
+    *    accepted — stored-narrower means the upstream DDL widened (the
+    *    caller rewrites, like the additive path); incoming-narrower means
+    *    an old-schema batch replayed after the widen (the caller upcasts
+    *    the batch — replay convergence must survive a widen). Anything
+    *    outside the [[canWiden]] lattice is drift, exactly as before;
     *  - a column only in the incoming schema → allowed: [[applyBatch]]
     *    evolves the stored schema additively (new nullable column).
     * Layout columns are excluded from the comparison. */
-  def checkSchemaDrift(target: StructType, incoming: StructType, pkCols: Seq[String]): Unit = {
+  def checkSchemaDrift(target: StructType, incoming: StructType, pkCols: Seq[String],
+      allowWidening: Boolean = false): Unit = {
     val layout = Set(POS, DEL, BUCKET, KIND)
     pkCols.foreach { k =>
       val t = target.fields.find(_.name == k)
@@ -197,9 +221,12 @@ object CdcApplier {
         case None => throw new IllegalStateException(
           s"schema drift: stored column '${t.name}' (${t.dataType}) is missing from the " +
             "incoming change schema (dropped upstream?) — migrate or re-bootstrap the target")
-        case Some(i) if i.dataType != t.dataType => throw new IllegalStateException(
-          s"schema drift: column '${t.name}' retyped ${t.dataType} -> ${i.dataType} — " +
-            "migrate or re-bootstrap the target")
+        case Some(i) if i.dataType != t.dataType &&
+            !(allowWidening && (canWiden(t.dataType, i.dataType) ||
+              canWiden(i.dataType, t.dataType))) =>
+          throw new IllegalStateException(
+            s"schema drift: column '${t.name}' retyped ${t.dataType} -> ${i.dataType} — " +
+              "migrate or re-bootstrap the target")
         case _ => ()
       }
     }
@@ -462,6 +489,12 @@ object CdcApplier {
       touched += b
     }
     fs.delete(tmp, true)
+    // file-level data-skipping stats for the fresh delta files (q250):
+    // merged into each touched bucket's sidecar AFTER the renames — a
+    // crash in between leaves the new files unlisted, i.e. never skipped
+    published.map(new Path(_)).groupBy(_.getParent).foreach {
+      case (bucketDir, files) => FileStats.appendSidecar(fs, bucketDir, files.toSeq)
+    }
     // Advance the persisted change-feed high-water mark (`maxPos`) — the
     // metadata a streaming tail polls instead of scanning data. Strictly
     // AFTER the deltas land: a crash in between leaves maxPos stale-LOW,
@@ -868,7 +901,8 @@ object CdcApplier {
       val stored =
         if (hasState) Some(spark.read.option("mergeSchema", true).parquet(targetDir))
         else None
-      stored.foreach(s => checkSchemaDrift(s.schema, resolved.schema, opts.pkCols))
+      stored.foreach(s =>
+        checkSchemaDrift(s.schema, resolved.schema, opts.pkCols, allowWidening = true))
 
       // Additive evolution (S4): new non-key incoming columns surface as
       // NULL on stored rows. Schema changes are table-wide, so ALL buckets
@@ -878,13 +912,33 @@ object CdcApplier {
         val have = s.columns.toSet
         resolved.schema.fields.filterNot(f => have(f.name) || f.name == KIND)
       }
+      // Type-widening evolution (S4/q253, the other lossless DDL): a
+      // stored non-key column retyped WIDER upstream (int→bigint,
+      // float→double, decimal precision growth) rewrites the table at the
+      // widened type — same table-wide discipline as the additive path.
+      // The REVERSE mismatch (incoming narrower than stored — an
+      // old-schema batch replayed after the widen) upcasts the batch
+      // instead: replay convergence must survive a widen.
+      val storedTypes = stored.map(_.schema.fields.map(f => f.name -> f.dataType).toMap)
+        .getOrElse(Map.empty)
+      val widened = resolved.schema.fields.filter(f =>
+        storedTypes.get(f.name).exists(t =>
+          t != f.dataType && canWiden(t, f.dataType)))
+      val upcastIncoming = resolved.schema.fields.filter(f =>
+        storedTypes.get(f.name).exists(t =>
+          t != f.dataType && canWiden(f.dataType, t)))
+      val resolvedWide = upcastIncoming.foldLeft(resolved)(
+        (df, f) => df.withColumn(f.name, col(f.name).cast(storedTypes(f.name))))
       val rewrite =
-        if (newFields.nonEmpty) (bucketIds(fs, target) ++ touched).distinct.sorted
+        if (newFields.nonEmpty || widened.nonEmpty)
+          (bucketIds(fs, target) ++ touched).distinct.sorted
         else touched.toIndexedSeq
       val current = stored match {
         case Some(s) =>
-          newFields.foldLeft(
+          val base = widened.foldLeft(
             s.filter(col(BUCKET).isin(rewrite.map(Int.box): _*)))(
+            (df, f) => df.withColumn(f.name, col(f.name).cast(f.dataType)))
+          newFields.foldLeft(base)(
             (df, f) => df.withColumn(f.name, lit(null).cast(f.dataType)))
         case None =>
           val schema = StructType(
@@ -893,12 +947,12 @@ object CdcApplier {
           spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
       }
 
-      val merged = merge(current, resolved, opts)
+      val merged = merge(current, resolvedWide, opts)
       // Publish the layout metadata BEFORE the first bucket publish (a
       // crash in between leaves meta + no buckets, which bootstraps fine),
       // refreshing the persisted schema on creation and on evolution so a
       // fully-compacted target can still be read as a typed empty table.
-      if (meta.isEmpty || newFields.nonEmpty ||
+      if (meta.isEmpty || newFields.nonEmpty || widened.nonEmpty ||
           meta.exists(m => m.schemaJson.isEmpty || m.pkCols.isEmpty))
         TargetMeta.write(hconf, target,
           TargetMeta(numBuckets, horizon, Some(merged.schema.json), Some(pkOrder),
@@ -986,7 +1040,7 @@ object CdcApplier {
     * every layout), and one repartition by (bucket, salt) writes each
     * bucket in ~its target file count. Returns the optimized bucket ids. */
   def optimize(spark: SparkSession, targetDir: String,
-      targetFileBytes: Long = 128L << 20): Seq[Int] = {
+      targetFileBytes: Long = 128L << 20, clusterBy: Seq[String] = Seq.empty): Seq[Int] = {
     require(targetFileBytes > 0, s"targetFileBytes must be positive")
     val hconf = spark.sparkContext.hadoopConfiguration
     val target = new Path(targetDir)
@@ -1001,6 +1055,41 @@ object CdcApplier {
         .filterNot(f => f.getPath.getName.startsWith("_") ||
           f.getPath.getName.startsWith("."))
       (b, files.length, files.map(_.getLen).sum)
+    }
+    // Clustered rewrite (Delta's OPTIMIZE ZORDER BY, linear form): lay each
+    // bucket's rows out in `clusterBy` order so every file covers a NARROW
+    // value interval — the layout that makes the q250 per-file min/max
+    // statistics tight enough to skip on non-key predicates. One
+    // `repartitionByRange(BUCKET, clusterBy...)` + in-partition sort: a
+    // range task holds a contiguous (bucket, cluster) slice, so each
+    // written file is a contiguous cluster interval of its bucket. Every
+    // populated bucket rewrites (clustering is the point, not bin-packing);
+    // state is carried verbatim, exactly as the bin-packing leg.
+    if (clusterBy.nonEmpty) {
+      val meta0 = TargetMeta.read(hconf, target)
+      val schemaCols = meta0.flatMap(_.schemaJson).map(j =>
+        org.apache.spark.sql.types.DataType.fromJson(j)
+          .asInstanceOf[StructType].fieldNames.toSet)
+      schemaCols.foreach { have =>
+        val missing = clusterBy.filterNot(have)
+        require(missing.isEmpty,
+          s"clusterBy column(s) ${missing.mkString(",")} not in the table schema")
+      }
+      val touched = stats.collect { case (b, n, _) if n > 0 => b }.sorted
+      if (touched.isEmpty) return Seq.empty
+      val totalBins = stats.map { case (_, _, bytes) =>
+        math.max(1L, (bytes + targetFileBytes - 1) / targetFileBytes)
+      }.sum.toInt
+      val tmp = new Path(targetDir + ".optimize.tmp")
+      if (fs.exists(tmp)) fs.delete(tmp, true)
+      val orderCols = (col(BUCKET) +: clusterBy.map(col)).toIndexedSeq
+      spark.read.option("mergeSchema", true).parquet(targetDir)
+        .repartitionByRange(math.max(1, totalBins), orderCols: _*)
+        .sortWithinPartitions(orderCols: _*)
+        .write.partitionBy(BUCKET).mode("overwrite").parquet(tmp.toString)
+      publishBuckets(fs, target, tmp, touched)
+      spark.catalog.refreshByPath(targetDir)
+      return touched
     }
     val plan = stats.flatMap { case (b, nFiles, bytes) =>
       val bins = math.max(1L, (bytes + targetFileBytes - 1) / targetFileBytes).toInt
@@ -1138,7 +1227,14 @@ object CdcApplier {
     buckets.foreach { b =>
       val fresh = new Path(tmp, s"$BUCKET=$b")
       val live = new Path(root, s"$BUCKET=$b")
-      if (fs.exists(fresh)) swapDir(fs, live, fresh)
+      if (fs.exists(fresh)) {
+        // file-level data-skipping statistics (q250): collected on the
+        // staging tree so the sidecar SWAPS WITH ITS BUCKET — stats can
+        // never describe files a reader does not see. One footer open per
+        // freshly-written file, at write time, amortized over every read.
+        FileStats.writeSidecar(fs, fresh)
+        swapDir(fs, live, fresh)
+      }
       else fs.delete(live, true) // bucket has no surviving rows
     }
     fs.delete(tmp, true)
@@ -1197,6 +1293,10 @@ object CdcApplier {
         fs, f.getPath, fs, new Path(fresh, f.getPath.getName), false, hconf)
     }
     TargetMeta.write(hconf, fresh, meta.copy(numBuckets = newNumBuckets))
+    // data-skipping sidecars for the re-hashed buckets (q250) — written on
+    // the staging tree, published by the same whole-target swap
+    bucketIds(fs, fresh).foreach(b =>
+      FileStats.writeSidecar(fs, new Path(fresh, s"$BUCKET=$b")))
     swapDir(fs, target, fresh)
     spark.catalog.refreshByPath(targetDir)
     newNumBuckets
@@ -1286,6 +1386,9 @@ object CdcApplier {
       collapsed = meta.flatMap(_.storage).map(_ => atPos),
       rangeBounds = rangeBounds))
     graft.util.AtomicFile.write(hconf, new Path(fresh, HIGHWATER), atPos.toString)
+    // data-skipping sidecars for the seeded buckets (q250), same protocol
+    bucketIds(fs, fresh).foreach(b =>
+      FileStats.writeSidecar(fs, new Path(fresh, s"$BUCKET=$b")))
     swapDir(fs, target, fresh)
     spark.catalog.refreshByPath(targetDir)
     numBuckets

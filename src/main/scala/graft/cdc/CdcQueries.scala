@@ -244,9 +244,7 @@ object CdcQueries {
       // pipeline itself (startPerTable -> from_json -> applyBatch) touches
       // the driver with row data.
       def toEnvelope(changes: org.apache.spark.sql.DataFrame): Array[EnvelopeRow] =
-        changes.select($"op", lit("orders").as("table"), $"next_position",
-            to_json($"before").as("before_json"), to_json($"after").as("after_json"))
-          .as[EnvelopeRow].collect()
+        FeedMemo.toEnvelope(changes, "orders")
 
       val batch1 = FeedMemo.rows("orders_ins10", dir)(
         toEnvelope(ChangeFeed.inserts(o, $"o_orderkey" * 10)))
@@ -301,10 +299,8 @@ object CdcQueries {
       import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
       implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
       val o = Tables.load(s, dir, "orders")
-      def toEnvelope(changes: DataFrame): Array[EnvelopeRow] =
-        changes.select($"op", lit("orders").as("table"), $"next_position",
-            to_json($"before").as("before_json"), to_json($"after").as("after_json"))
-          .as[EnvelopeRow].collect()
+      def toEnvelope(changes: org.apache.spark.sql.DataFrame): Array[EnvelopeRow] =
+        FeedMemo.toEnvelope(changes, "orders")
       def feed(src: MemoryStream[EnvelopeRow], rows: Array[EnvelopeRow]): Unit =
         rows.grouped(1500).foreach(c => src.addData(c.toIndexedSeq))
 
@@ -394,10 +390,8 @@ object CdcQueries {
       import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
       implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
       val o = Tables.load(s, dir, "orders")
-      def toEnvelope(changes: DataFrame): Array[EnvelopeRow] =
-        changes.select($"op", lit("orders").as("table"), $"next_position",
-            to_json($"before").as("before_json"), to_json($"after").as("after_json"))
-          .as[EnvelopeRow].collect()
+      def toEnvelope(changes: org.apache.spark.sql.DataFrame): Array[EnvelopeRow] =
+        FeedMemo.toEnvelope(changes, "orders")
 
       val root = Files.createTempDirectory("graft_sidx").toString
       val store = s"$root/orders_si"
@@ -583,10 +577,8 @@ object CdcQueries {
 
       // Driver-feed synthesis, as in q33: MemoryStream data must originate
       // on the driver; the pipeline itself never collects row data.
-      def toEnvelope(changes: DataFrame, table: String): Array[EnvelopeRow] =
-        changes.select($"op", lit(table).as("table"), $"next_position",
-            to_json($"before").as("before_json"), to_json($"after").as("after_json"))
-          .as[EnvelopeRow].collect()
+      def toEnvelope(changes: org.apache.spark.sql.DataFrame, table: String): Array[EnvelopeRow] =
+        FeedMemo.toEnvelope(changes, table)
 
       val b2base = 10000000L
       val fcond = $"o_orderkey" % 7 === 0 || $"o_orderkey" % 13 === 0
@@ -650,10 +642,8 @@ object CdcQueries {
       val root = Files.createTempDirectory("graft_stv").toString
       val fact = root + "/o"; val view = root + "/v"
 
-      def toEnvelope(changes: DataFrame): Array[EnvelopeRow] =
-        changes.select($"op", lit("orders").as("table"), $"next_position",
-            to_json($"before").as("before_json"), to_json($"after").as("after_json"))
-          .as[EnvelopeRow].collect()
+      def toEnvelope(changes: org.apache.spark.sql.DataFrame): Array[EnvelopeRow] =
+        FeedMemo.toEnvelope(changes, "orders")
 
       val b2base = 10000000L
       val fcond = $"o_orderkey" % 7 === 0 || $"o_orderkey" % 13 === 0
@@ -1678,6 +1668,194 @@ object CdcQueries {
         .orderBy($"leg")
     }),
 
+    // FILE-LEVEL DATA SKIPPING (q250): per-file min/max/null-count sidecars
+    // collected at every publish ([[FileStats]]; Delta/Iceberg's add-file
+    // statistics, public design point), consumed by both connector legs to
+    // skip whole files whose ranges exclude a pushed predicate — closing
+    // the non-key read gap: bucket pruning is KEY-only, so a status/date/
+    // price filter used to list and open EVERY file in EVERY bucket before
+    // row-group stats engaged. Two legs, both auditing kept<total from the
+    // executed plan: (cow) a price predicate after a CLUSTERED optimize
+    // (clusterBy=o_totalprice — Delta's OPTIMIZE ZORDER BY, linear form:
+    // each file covers a narrow price interval, so the predicate keeps only
+    // the top slice); (mor) key-banded delta batches — the auto-increment
+    // CDC shape — where a recent-keys range query skips the historical
+    // delta files even though hash bucketing cannot prune (mor skips on
+    // PK-referencing predicates ONLY: a key's versions agree on its PK, so
+    // a skipped file holds no version of any surviving key). Oracle: the
+    // post-update table under the same predicates (the mor threshold is the
+    // pure-integer form `k*10 > 9*max(k)` — no division, no doubles — so
+    // both engines derive the identical cut). 100 TB: reads touch the files
+    // a predicate can match, not the bucket's history; stats are collected
+    // once per file at WRITE time (one footer open, amortized), never per
+    // query.
+    "q250_file_skipping" -> ((s, dir) => {
+      import s.implicits._
+      val o = Tables.load(s, dir, "orders")
+      val base = Files.createTempDirectory("graft_cdc").toString
+      val opts = CdcApplier.Options(Seq("o_orderkey"), numBuckets = 8)
+      def filesRatio(plan: String): (Int, Int) =
+        """GraftBatchScan \S+ runtime-filterable buckets=\d+/\d+ files=(\d+)/(\d+)""".r
+          .findFirstMatchIn(plan)
+          .map(m => (m.group(1).toInt, m.group(2).toInt))
+          .getOrElse(throw new IllegalStateException(
+            s"no file-skipping graft scan in plan:\n$plan"))
+      // cow leg: insert + update lifecycle, then cluster by the NON-KEY
+      // predicate column; bins sized relative to the table so the layout
+      // holds ~3 files per bucket at every sf
+      val cow = s"$base/orders_skip_cow"
+      CdcApplier.applyBatch(s, ChangeFeed.inserts(o, $"o_orderkey" * 10), cow, opts)
+      CdcApplier.applyBatch(s, ChangeFeed.updates(o.filter($"o_orderkey" % 3 === 0),
+        Map("o_totalprice" -> ($"o_totalprice" * 1.1)), $"o_orderkey" * 10 + 5),
+        cow, opts)
+      val fs = new org.apache.hadoop.fs.Path(cow)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      val cowBytes = CdcApplier.bucketIds(fs, new org.apache.hadoop.fs.Path(cow))
+        .map { b =>
+          fs.listStatus(new org.apache.hadoop.fs.Path(cow, s"${CdcApplier.BUCKET}=$b"))
+            .filterNot(f => f.getPath.getName.startsWith("_") ||
+              f.getPath.getName.startsWith(".")).map(_.getLen).sum
+        }.sum
+      CdcApplier.optimize(s, cow, targetFileBytes = math.max(8L << 10, cowBytes / 24),
+        clusterBy = Seq("o_totalprice"))
+      val cowQ = s.read.format("graft").load(cow)
+        .filter($"o_totalprice" > 400000.0)
+        .select(lit("cow").as("leg"), $"o_orderkey", $"o_totalprice".as("px"))
+      cowQ.queryExecution.toRdd.count()
+      val (ck, cn) = filesRatio(cowQ.queryExecution.executedPlan.toString)
+      require(ck < cn && cn > 8,
+        s"a clustered price predicate must open strictly fewer files, read $ck/$cn")
+      // mor leg: three key-banded delta batches (the auto-increment shape);
+      // the recent-keys query must skip the historical bands' delta files
+      val mor = s"$base/orders_skip_mor"
+      val maxK = o.agg(max($"o_orderkey")).as[Long].head()
+      val b1 = o.filter($"o_orderkey" <= maxK / 3)
+      val b2 = o.filter($"o_orderkey" > maxK / 3 && $"o_orderkey" <= 2 * maxK / 3)
+      val b3 = o.filter($"o_orderkey" > 2 * maxK / 3)
+      CdcApplier.applyBatchMor(s, ChangeFeed.inserts(b1, $"o_orderkey" * 10), mor, opts)
+      CdcApplier.applyBatchMor(s, ChangeFeed.inserts(b2, $"o_orderkey" * 10), mor, opts)
+      CdcApplier.applyBatchMor(s, ChangeFeed.inserts(b3, $"o_orderkey" * 10), mor, opts)
+      // pure-integer threshold: k*10 > 9*maxK  ⟺  k >= 9*maxK/10 + 1
+      val thr = 9L * maxK / 10L + 1L
+      val morQ = s.read.format("graft").load(mor)
+        .filter($"o_orderkey" >= thr)
+        .select(lit("mor").as("leg"), $"o_orderkey", $"o_totalprice".as("px"))
+      morQ.queryExecution.toRdd.count()
+      val (mk, mn) = filesRatio(morQ.queryExecution.executedPlan.toString)
+      require(mk < mn,
+        s"a recent-keys range query must skip historical delta files, read $mk/$mn")
+      cowQ.unionByName(morQ)
+        .withColumn("file_skipped", lit(ck < cn && mk < mn))
+        .orderBy($"leg", $"o_orderkey")
+    }),
+
+    // TYPE-WIDENING SCHEMA EVOLUTION (q253; public design point: Delta
+    // Lake type widening): the common production DDL is a LOSSLESS widen
+    // (int→bigint, float→double, decimal precision growth) — S4's drift
+    // guard used to fail it like a narrowing. Lifecycle: (1) insert with
+    // qty INT; (2) a bigint-schema update batch whose values NEED the
+    // width — the applier accepts the widen and rewrites the table at
+    // bigint (table-wide, the additive path's discipline); (3) an
+    // OLD-SCHEMA int batch arrives after the widen (the replay shape) —
+    // upcast into the widened column, convergence intact. Refusal legs
+    // stay refusals, spec-pinned here as in-gate requires: a cross-family
+    // retype (int→string) still drifts; merge-on-read refuses widening
+    // outright (mixed-type delta files cannot merge-read). Oracle: the
+    // final state replayed with CAST AS BIGINT. 100 TB: the widen costs
+    // ONE table rewrite — exactly what the DDL means — and replays cost a
+    // projection cast, never a migration.
+    "q253_type_widening" -> ((s, dir) => {
+      import s.implicits._
+      val o = Tables.load(s, dir, "orders")
+      val base = Files.createTempDirectory("graft_cdc").toString
+      val target = s"$base/orders_widen"
+      val opts = CdcApplier.Options(Seq("o_orderkey"), numBuckets = 8)
+      val oInt = o.select($"o_orderkey", ($"o_orderkey" % 100).cast("int").as("qty"))
+      CdcApplier.applyBatch(s, ChangeFeed.inserts(oInt, $"o_orderkey" * 10),
+        target, opts)
+      // the widen: an upstream ALTER ... TYPE BIGINT shows up as a
+      // bigint-schema change batch with values beyond int range
+      val oLong = o.select($"o_orderkey",
+        ($"o_orderkey" % 100).cast("bigint").as("qty"))
+      CdcApplier.applyBatch(s,
+        ChangeFeed.updates(oLong.filter($"o_orderkey" % 3 === 0),
+          Map("qty" -> ($"o_orderkey" * 1000000L)), $"o_orderkey" * 10 + 5),
+        target, opts)
+      val widenedType = CdcApplier.TargetMeta
+        .read(s.sparkContext.hadoopConfiguration, new org.apache.hadoop.fs.Path(target))
+        .flatMap(_.schemaJson)
+        .map(j => org.apache.spark.sql.types.DataType.fromJson(j)
+          .asInstanceOf[org.apache.spark.sql.types.StructType]("qty").dataType)
+      require(widenedType.contains(org.apache.spark.sql.types.LongType),
+        s"the persisted schema must carry the widened type, got $widenedType")
+      // old-schema replay shape: an INT batch lands AFTER the widen and
+      // upcasts into the widened column
+      val extra = o.select(($"o_orderkey" + 5000000L).as("o_orderkey"),
+        ($"o_orderkey" % 100).cast("int").as("qty"))
+      CdcApplier.applyBatch(s, ChangeFeed.inserts(extra, $"o_orderkey" * 10 + 8),
+        target, opts)
+      // refusals survive: cross-family retype drifts; mor refuses widening
+      val narrowRefused = scala.util.Try(CdcApplier.applyBatch(s,
+        ChangeFeed.inserts(o.select($"o_orderkey",
+          concat(lit("x"), $"o_orderkey").as("qty")).limit(5), lit(999999999L)),
+        target, opts)).isFailure
+      require(narrowRefused, "a cross-family retype must still drift")
+      val mor = s"$base/orders_widen_mor"
+      CdcApplier.applyBatchMor(s, ChangeFeed.inserts(oInt, $"o_orderkey" * 10),
+        mor, opts)
+      val morRefused = scala.util.Try(CdcApplier.applyBatchMor(s,
+        ChangeFeed.inserts(oLong.limit(5), lit(999999999L)), mor, opts)).isFailure
+      require(morRefused, "merge-on-read must refuse widening (mixed delta types)")
+      CdcApplier.snapshot(s, target)
+        .select($"o_orderkey", $"qty")
+        .withColumn("widened", lit(widenedType.contains(
+          org.apache.spark.sql.types.LongType)))
+        .withColumn("narrow_refused", lit(narrowRefused))
+        .withColumn("mor_refused", lit(morRefused))
+        .orderBy($"o_orderkey")
+    }),
+
+    // CALL system.history (q254): time travel (q224/q245) exists, but a
+    // SQL user could not DISCOVER what positions are answerable. The
+    // history procedure serves one row per retained version-image stamp —
+    // row count at the stamp, answerable = (pos >= floor) — plus the floor
+    // / storage / modulus from `.graft_meta`, through the same
+    // ProcedureCatalog seam as q240's maintenance CALLs. Lifecycle plants
+    // the full shape: four batch-stamped positions, then a PARTIAL vacuum
+    // (retain from 200) that collapses the two pre-window stamps per key —
+    // position 100 keeps only keys whose latest pre-window image is the
+    // insert, position 150 absorbs the %2 updates, and the floor lands on
+    // the vacuum point (150 = the max collapsed stamp), below which the
+    // procedure reports NOT answerable — exactly what VERSION AS OF would
+    // refuse. Oracle: the per-position counts derived declaratively.
+    "q254_sql_history" -> ((s, dir) => {
+      import s.implicits._
+      val o = Tables.load(s, dir, "orders")
+      val whRoot = s.conf.getOption("spark.sql.catalog.q245cat.root")
+        .getOrElse {
+          val r = Files.createTempDirectory("graft_cat").toString
+          s.conf.set("spark.sql.catalog.q245cat", "graft.catalog.GraftCatalog")
+          s.conf.set("spark.sql.catalog.q245cat.root", r)
+          r
+        }
+      s.sql("CREATE NAMESPACE IF NOT EXISTS q245cat.prod")
+      s.sql("DROP TABLE IF EXISTS q245cat.prod.orders_hist")
+      s.sql(s"""CREATE TABLE q245cat.prod.orders_hist (${o.schema.toDDL})
+                OPTIONS (pk 'o_orderkey', buckets '8', storage 'mor')""")
+      val target = s"$whRoot/prod/orders_hist"
+      val opts = CdcApplier.Options(Seq("o_orderkey"))
+      CdcApplier.applyBatchMor(s, ChangeFeed.inserts(o, lit(100L)), target, opts)
+      CdcApplier.applyBatchMor(s, ChangeFeed.updates(o.filter($"o_orderkey" % 2 === 0),
+        Map("o_totalprice" -> ($"o_totalprice" * 1.1)), lit(150L)), target, opts)
+      CdcApplier.applyBatchMor(s, ChangeFeed.updates(o.filter($"o_orderkey" % 4 === 0),
+        Map("o_totalprice" -> ($"o_totalprice" * 1.2)), lit(200L)), target, opts)
+      CdcApplier.applyBatchMor(s, ChangeFeed.deletes(o.filter($"o_orderkey" % 6 === 0),
+        lit(300L)), target, opts)
+      CdcApplier.vacuumMor(s, target, 200L)
+      s.sql("CALL q245cat.system.history(table => 'prod.orders_hist')")
+        .orderBy($"position")
+    }),
+
     "q216_sql_connector" -> ((s, dir) => {
       import s.implicits._
       val o = Tables.load(s, dir, "orders")
@@ -1946,16 +2124,22 @@ object CdcQueries {
       implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
       val o = Tables.load(s, dir, "orders")
       def toEnvelope(changes: org.apache.spark.sql.DataFrame): Array[EnvelopeRow] =
-        changes.select($"op", lit("orders").as("table"), $"next_position",
-            to_json($"before").as("before_json"), to_json($"after").as("after_json"))
-          .as[EnvelopeRow].collect()
+        FeedMemo.toEnvelope(changes, "orders")
       // Positions are globally monotone ACROSS batches (the binlog
       // contract the horizon guard relies on): compactEvery=1 advances the
       // horizon to batch 1's high-watermark, so batch 2's positions must
       // all lie above it — unlike q33's interleaved per-key positions,
       // which are fine only because that query never compacts.
+      // The feed is additionally sorted by POSITION WITHIN each logical
+      // batch: the running query may pick up a PARTIAL feed as its own
+      // micro-batch (default trigger races feed()), and compactEvery=1
+      // then advances the horizon to that split's max position — with
+      // unordered positions a later chunk's lower-position deletes would
+      // be discarded as already-replayed. A real binlog delivers in
+      // position order; the sort is that contract, not a workaround.
       val batch1 = FeedMemo.rows("orders_ins10", dir)(
         toEnvelope(ChangeFeed.inserts(o, $"o_orderkey" * 10)))
+        .sortBy(_.next_position)
       val b2base = 10000000L
       val batch2 = toEnvelope(
         ChangeFeed.updates(o.filter($"o_orderkey" % 4 === 0),
@@ -1963,6 +2147,7 @@ object CdcQueries {
           $"o_orderkey" * 10 + 5 + b2base)
           .union(ChangeFeed.deletes(o.filter($"o_orderkey" % 6 === 0),
             $"o_orderkey" * 10 + 7 + b2base)))
+        .sortBy(_.next_position)
       val root = Files.createTempDirectory("graft_stream").toString
       val target = s"$root/orders_mor_state"
       val src = MemoryStream[EnvelopeRow]
@@ -2041,10 +2226,8 @@ object CdcQueries {
       val lc = lifecycle(s, dir)
       val (o, batches) = (lc.orders, lc.batches)
 
-      def toEnvelope(changes: DataFrame): Array[EnvelopeRow] =
-        changes.select($"op", lit("orders").as("table"), $"next_position",
-            to_json($"before").as("before_json"), to_json($"after").as("after_json"))
-          .as[EnvelopeRow].collect()
+      def toEnvelope(changes: org.apache.spark.sql.DataFrame): Array[EnvelopeRow] =
+        FeedMemo.toEnvelope(changes, "orders")
 
       val root = Files.createTempDirectory("graft_vdist").toString
       val viewDir = s"$root/view"
@@ -2108,10 +2291,8 @@ object CdcQueries {
 
       // Driver-feed synthesis, as in q33: MemoryStream data must originate
       // on the driver; the pipeline itself never collects row data.
-      def toEnvelope(changes: DataFrame): Array[EnvelopeRow] =
-        changes.select($"op", lit("orders").as("table"), $"next_position",
-            to_json($"before").as("before_json"), to_json($"after").as("after_json"))
-          .as[EnvelopeRow].collect()
+      def toEnvelope(changes: org.apache.spark.sql.DataFrame): Array[EnvelopeRow] =
+        FeedMemo.toEnvelope(changes, "orders")
 
       val root = Files.createTempDirectory("graft_vagg").toString
       val viewDir = s"$root/view"
@@ -2160,10 +2341,8 @@ object CdcQueries {
 
       // Driver-feed synthesis, as in q33: MemoryStream data must originate
       // on the driver; the pipeline itself never collects row data.
-      def toEnvelope(changes: DataFrame): Array[EnvelopeRow] =
-        changes.select($"op", lit("orders").as("table"), $"next_position",
-            to_json($"before").as("before_json"), to_json($"after").as("after_json"))
-          .as[EnvelopeRow].collect()
+      def toEnvelope(changes: org.apache.spark.sql.DataFrame): Array[EnvelopeRow] =
+        FeedMemo.toEnvelope(changes, "orders")
 
       val root = Files.createTempDirectory("graft_vmm").toString
       val (target, viewDir) = (s"$root/orders", s"$root/view")
@@ -2219,9 +2398,7 @@ object CdcQueries {
       // Driver-feed synthesis, as in q33: MemoryStream data must originate
       // on the driver; the pipeline itself never collects row data.
       def toEnvelope(table: String, changes: DataFrame): Array[EnvelopeRow] =
-        changes.select($"op", lit(table).as("table"), $"next_position",
-            to_json($"before").as("before_json"), to_json($"after").as("after_json"))
-          .as[EnvelopeRow].collect()
+        FeedMemo.toEnvelope(changes, table)
 
       val batch1 =
         toEnvelope("orders", ChangeFeed.inserts(o, $"o_orderkey" * 10)) ++
@@ -2320,10 +2497,8 @@ object CdcQueries {
 
       // Driver-feed synthesis, as in q33/q97: MemoryStream data must
       // originate on the driver; the pipeline never collects row data.
-      def toEnvelope(changes: DataFrame): Array[EnvelopeRow] =
-        changes.select($"op", lit("orders").as("table"), $"next_position",
-            to_json($"before").as("before_json"), to_json($"after").as("after_json"))
-          .as[EnvelopeRow].collect()
+      def toEnvelope(changes: org.apache.spark.sql.DataFrame): Array[EnvelopeRow] =
+        FeedMemo.toEnvelope(changes, "orders")
 
       val root = Files.createTempDirectory("graft_scd2").toString
       val viewDir = s"$root/hist"
@@ -2396,9 +2571,7 @@ object CdcQueries {
       }
 
       def toEnvelope(table: String, changes: DataFrame): Array[EnvelopeRow] =
-        changes.select($"op", lit(table).as("table"), $"next_position",
-            to_json($"before").as("before_json"), to_json($"after").as("after_json"))
-          .as[EnvelopeRow].collect()
+        FeedMemo.toEnvelope(changes, table)
       val batches: Seq[Array[EnvelopeRow]] = Seq(
         FeedMemo.rows("orders_ins10", dir)(
           toEnvelope("orders", ChangeFeed.inserts(o, $"o_orderkey" * 10))) ++
@@ -2557,10 +2730,8 @@ object CdcQueries {
         df
       }
 
-      def toEnvelope(changes: DataFrame): Array[EnvelopeRow] =
-        changes.select($"op", lit("orders").as("table"), $"next_position",
-            to_json($"before").as("before_json"), to_json($"after").as("after_json"))
-          .as[EnvelopeRow].collect()
+      def toEnvelope(changes: org.apache.spark.sql.DataFrame): Array[EnvelopeRow] =
+        FeedMemo.toEnvelope(changes, "orders")
       val b1 = 10000000L; val b2 = 20000000L
       // batch-1 delete images reflect the move sub-batch before them; the
       // batch-2 move images reflect the reprice (q133's image discipline)
@@ -2776,9 +2947,7 @@ object CdcQueries {
       implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
       val o = Tables.load(s, dir, "orders")
       def toEnvelope(changes: org.apache.spark.sql.DataFrame): Array[EnvelopeRow] =
-        changes.select($"op", lit("orders").as("table"), $"next_position",
-            to_json($"before").as("before_json"), to_json($"after").as("after_json"))
-          .as[EnvelopeRow].collect()
+        FeedMemo.toEnvelope(changes, "orders")
       val root = Files.createTempDirectory("graft_stream").toString
       val target = s"$root/orders_evo"
       def feed(src: MemoryStream[EnvelopeRow], rows: Array[EnvelopeRow]): Unit =
@@ -3272,6 +3441,62 @@ object CdcQueries {
           min(o_totalprice), max(o_totalprice)
         FROM morf)
       SELECT * FROM legs ORDER BY leg""",
+
+    // q250: the cow leg filters the post-update price; the mor leg's
+    // recent-keys cut is the pure-integer form (no division, no double
+    // literals) so both engines derive the identical threshold.
+    "q250_file_skipping" -> """
+      SELECT 'cow' AS leg, o_orderkey,
+        CASE WHEN o_orderkey % 3 = 0 THEN o_totalprice * 1.1
+             ELSE o_totalprice END AS px,
+        true AS file_skipped
+      FROM orders
+      WHERE CASE WHEN o_orderkey % 3 = 0 THEN o_totalprice * 1.1
+                 ELSE o_totalprice END > 400000.0
+      UNION ALL
+      SELECT 'mor', o_orderkey, o_totalprice, true
+      FROM orders
+      WHERE o_orderkey * 10 > (SELECT max(o_orderkey) * 9 FROM orders)
+      ORDER BY leg, o_orderkey""",
+
+    // q253: final state after the widen — original rows at the widened
+    // type, %3 rows carrying the beyond-int values, the post-widen int
+    // batch upcast in; refusal audits pinned true.
+    "q253_type_widening" -> """
+      WITH fin AS (
+        SELECT o_orderkey,
+          CASE WHEN o_orderkey % 3 = 0 THEN o_orderkey * 1000000
+               ELSE CAST(o_orderkey % 100 AS BIGINT) END AS qty
+        FROM orders
+        UNION ALL
+        SELECT o_orderkey + 5000000 AS o_orderkey,
+          CAST(o_orderkey % 100 AS BIGINT) AS qty
+        FROM orders)
+      SELECT o_orderkey, qty, true AS widened, true AS narrow_refused,
+        true AS mor_refused
+      FROM fin ORDER BY o_orderkey""",
+
+    // q254: per-position version-image counts after the partial vacuum —
+    // pre-window stamps collapse per key (100 keeps non-%2 keys, 150
+    // absorbs the %2 updates), in-window stamps survive verbatim; the
+    // floor is the max collapsed stamp (150) and only positions at or
+    // above it are answerable.
+    "q254_sql_history" -> """
+      WITH n AS (SELECT
+          CAST(count(*) AS BIGINT) AS total,
+          CAST(sum(CASE WHEN o_orderkey % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS even,
+          CAST(sum(CASE WHEN o_orderkey % 4 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS q4,
+          CAST(sum(CASE WHEN o_orderkey % 6 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS q6
+        FROM orders)
+      SELECT position, n_rows, answerable,
+        CAST(150 AS BIGINT) AS floor, 'mor' AS storage, 8 AS buckets
+      FROM (
+        SELECT CAST(100 AS BIGINT) AS position, total - even AS n_rows,
+          false AS answerable FROM n
+        UNION ALL SELECT 150, even, true FROM n
+        UNION ALL SELECT 200, q4, true FROM n
+        UNION ALL SELECT 300, q6, true FROM n) x
+      ORDER BY position""",
 
     // q226: replay the three SQL-written lifecycles — upsert+range-delete,
     // replace-contents, and the mor target's change envelope.

@@ -25,4 +25,19 @@ object FeedMemo {
     * Callers MUST key distinct batch content with distinct recipes. */
   def rows(recipe: String, dir: String)(mk: => Array[EnvelopeRow]): Array[EnvelopeRow] =
     m.computeIfAbsent((recipe, dir), _ => mk)
+
+  /** THE envelope projection every feed-synthesizing gate uses (ADVICE
+    * r11): first-caller-wins memoization is only sound when every producer
+    * of a shared recipe is byte-identical, and ONE definition makes that
+    * structural — a gate cannot drift its projection while sharing a memo
+    * key, because there is no longer a per-gate projection to drift. */
+  def toEnvelope(changes: org.apache.spark.sql.DataFrame,
+      table: String = "orders"): Array[EnvelopeRow] = {
+    import org.apache.spark.sql.functions.{col, lit, to_json}
+    changes.select(col("op"), lit(table).as("table"), col("next_position"),
+        to_json(col("before")).as("before_json"),
+        to_json(col("after")).as("after_json"))
+      .as[EnvelopeRow](org.apache.spark.sql.Encoders.product[EnvelopeRow])
+      .collect()
+  }
 }

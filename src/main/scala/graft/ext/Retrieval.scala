@@ -116,6 +116,57 @@ object Retrieval {
       .agg(count(lit(1)).as("n_hit"), graft.util.Sumd.sumd(col("sc")).as("score"))
   }
 
+  /** Two-stage retrieval, stage 1 (q249/q251 — ONE definition so the
+    * sibling gates cannot drift): build the maintained inverted index +
+    * doc-length store from the documents feed, then serve the top-
+    * [[TwoStageC]] BM25 candidates PER QUERY from ONE bucket-pruned
+    * lookup over the union of query terms, scored per query id by the
+    * shared BM25 arithmetic. Returns (qid, doc_id). */
+  private def twoStageCandidates(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    import graft.cdc.{CdcApplier, ChangeFeed}
+    import org.apache.spark.sql.expressions.Window
+    val docs = t(s, dir, "documents")
+    val root = java.nio.file.Files.createTempDirectory("graft_twostage").toString
+    val post = root + "/postings"; val dlen = root + "/doclen"
+    applyInvertedIndexBatch(s,
+      ChangeFeed.inserts(docs, col("doc_id") * 10), post, dlen)
+    val qtRows = TwoStageQueries.flatMap { case (qid, terms) =>
+      terms.map(tm => (qid, tm))
+    }
+    val qt = s.createDataFrame(qtRows).toDF("qid", "term")
+    val allTerms = s.createDataFrame(
+      qtRows.map(_._2).distinct.map(Tuple1(_))).toDF("term")
+    val postings = CdcApplier.pointLookup(s, post, allTerms)
+      .select(col("doc_id"), col("term"), col("tf"))
+    val dlSnap = CdcApplier.snapshot(s, dlen).select(col("doc_id"), col("dl"))
+    val qids = TwoStageQueries.map(_._1)
+    val cw = Window.partitionBy(col("qid"))
+      .orderBy(col("score").desc, col("doc_id"))
+    bm25FromStats(
+        postings.join(broadcast(qt), Seq("term")), dlSnap, Seq("qid"))
+      .filter(!col("doc_id").isin(qids.map(Long.box): _*))
+      .withColumn("crank", row_number().over(cw))
+      .filter(col("crank") <= TwoStageC)
+      .select(col("qid"), col("doc_id"))
+  }
+
+  /** Two-stage retrieval, stage 2's re-rank half (q249/q251): MaxSim over
+    * the candidate rows (already joined to their target embeddings +
+    * sub-norms), final top-[[TwoStageK]] per query. */
+  private def twoStageRerank(tgt: DataFrame, qe: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val rw = Window.partitionBy(col("qid"))
+      .orderBy(col("maxsim").desc, col("tid"))
+    tgt.join(broadcast(qe), Seq("qid"))
+      .withColumn("maxsim", Similarity.maxSimCol)
+      .withColumn("rank", row_number().over(rw))
+      .filter(col("rank") <= TwoStageK)
+      .select(col("qid").as("query_id"), col("rank"),
+        col("tid").as("neighbor_id"), col("maxsim"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   /** q222's index-maintenance feed: the documents CDC envelope projected
     * to a MULTI-ENTRY (inverted) index — per changed doc, one posting row
     * per distinct term, PK (term, doc_id), term-bucketed. The single-entry
@@ -375,34 +426,8 @@ object Retrieval {
     //      Oracle: the identical two stages replayed declaratively —
     //      shared BM25 arithmetic, shared MaxSim SQL builders.
     "q249_two_stage_retrieval" -> ((s, dir) => {
-      graft.functions.GraftFunctions.register(s)
-      import graft.cdc.{CdcApplier, ChangeFeed}
-      import org.apache.spark.sql.expressions.Window
-      val docs = t(s, dir, "documents")
-      val root = java.nio.file.Files.createTempDirectory("graft_twostage").toString
-      val post = root + "/postings"; val dlen = root + "/doclen"
-      applyInvertedIndexBatch(s,
-        ChangeFeed.inserts(docs, col("doc_id") * 10), post, dlen)
-      // stage 1: ONE bucket-pruned lookup over the union of query terms,
-      // scored per query id by the shared BM25 arithmetic
-      val qtRows = TwoStageQueries.flatMap { case (qid, terms) =>
-        terms.map(tm => (qid, tm))
-      }
-      val qt = s.createDataFrame(qtRows).toDF("qid", "term")
-      val allTerms = s.createDataFrame(
-        qtRows.map(_._2).distinct.map(Tuple1(_))).toDF("term")
-      val postings = CdcApplier.pointLookup(s, post, allTerms)
-        .select(col("doc_id"), col("term"), col("tf"))
-      val dlSnap = CdcApplier.snapshot(s, dlen).select(col("doc_id"), col("dl"))
+      val cand = twoStageCandidates(s, dir)
       val qids = TwoStageQueries.map(_._1)
-      val cw = Window.partitionBy(col("qid"))
-        .orderBy(col("score").desc, col("doc_id"))
-      val cand = bm25FromStats(
-          postings.join(broadcast(qt), Seq("term")), dlSnap, Seq("qid"))
-        .filter(!col("doc_id").isin(qids.map(Long.box): _*))
-        .withColumn("crank", row_number().over(cw))
-        .filter(col("crank") <= TwoStageC)
-        .select(col("qid"), col("doc_id"))
       // stage 2: fetch ONLY the candidates' embeddings (equi-join,
       // candidate side broadcast) and re-rank with the shared MaxSim
       val e = t(s, dir, "embeddings")
@@ -411,16 +436,58 @@ object Retrieval {
       val qe = Similarity.withSubNorms(
         e.filter(col("vec_id").isin(qids.map(Long.box): _*))
           .select(col("vec_id").as("qid"), col("embedding").as("qe")), "q")
-      val rw = Window.partitionBy(col("qid"))
-        .orderBy(col("maxsim").desc, col("tid"))
-      tgt.join(broadcast(cand), col("tid") === col("doc_id"))
-        .join(broadcast(qe), Seq("qid"))
-        .withColumn("maxsim", Similarity.maxSimCol)
-        .withColumn("rank", row_number().over(rw))
-        .filter(col("rank") <= TwoStageK)
-        .select(col("qid").as("query_id"), col("rank"),
-          col("tid").as("neighbor_id"), col("maxsim"))
-        .orderBy(col("query_id"), col("rank"))
+      twoStageRerank(tgt.join(broadcast(cand), col("tid") === col("doc_id")), qe)
+    }),
+
+    // ---- q251: TWO-STAGE RETRIEVAL, KEYED FETCH — q249 with its one
+    //      remaining full scan closed: stage 2's candidate-embedding fetch
+    //      goes through a PK-BUCKETED graft store (vec_id PK) via
+    //      [[graft.cdc.CdcApplier.pointLookup]] — bucket IN-list +
+    //      pushed key IN-list, so the fetch reads the candidates' bucket
+    //      dirs and row groups, never the embeddings table. The candidate
+    //      set is localized ONCE (≤ 3·C rows by the stage-1 top-C
+    //      construction — the same driver-bounded class as pointLookup's
+    //      own key collects) so stage 1 does not re-execute for the
+    //      lookup's bucket/key collects. In-gate audits: the fetch plan
+    //      must carry the bucket partition IN-list and must not reference
+    //      the embeddings parquet. Oracle: q249's, verbatim — the stages
+    //      are semantically identical; only the fetch path changes. 100 TB:
+    //      stage 1 ∝ query terms' postings, stage 2 ∝ C — END TO END now,
+    //      with no table-sized read anywhere.
+    "q251_two_stage_keyed_fetch" -> ((s, dir) => {
+      import graft.cdc.{CdcApplier, ChangeFeed}
+      val cand = twoStageCandidates(s, dir)
+      val qids = TwoStageQueries.map(_._1)
+      // embedding store: vec_id-bucketed graft target (built once per gate
+      // run — in production this IS how the embeddings live)
+      val e = t(s, dir, "embeddings")
+      val estore = java.nio.file.Files.createTempDirectory("graft_twostage")
+        .toString + "/embstore"
+      CdcApplier.applyBatch(s, ChangeFeed.inserts(e, col("vec_id") * 10),
+        estore, CdcApplier.Options(Seq("vec_id"), numBuckets = 16))
+      // localize the ≤ 3·C candidate pairs once
+      val candLocal = cand.collect().map(r => (r.getLong(0), r.getLong(1)))
+      val candDf = broadcast(s.createDataFrame(candLocal.toIndexedSeq)
+        .toDF("qid", "doc_id"))
+      val keys = s.createDataFrame(
+        (candLocal.map(_._2) ++ qids).distinct.toIndexedSeq.map(Tuple1(_)))
+        .toDF("vec_id")
+      val fetched = CdcApplier.pointLookup(s, estore, keys)
+        .select(col("vec_id"), col("embedding"))
+      val plan = fetched.queryExecution.executedPlan.toString
+      require(plan.linesIterator.exists(l =>
+        l.contains("PartitionFilters") && l.contains("graft_bucket") && l.contains("IN")),
+        "the candidate fetch must be a bucket-pruned point lookup:\n" + plan)
+      require(!plan.contains("embeddings"),
+        "stage 2 must never scan the embeddings table:\n" + plan)
+      val tgt = Similarity.withSubNorms(
+        fetched.join(candDf, col("vec_id") === col("doc_id"))
+          .select(col("qid"), col("vec_id").as("tid"), col("embedding").as("te"),
+            col("doc_id")), "t")
+      val qe = Similarity.withSubNorms(
+        fetched.filter(col("vec_id").isin(qids.map(Long.box): _*))
+          .select(col("vec_id").as("qid"), col("embedding").as("qe")), "q")
+      twoStageRerank(tgt, qe)
     }),
 
     // ---- q222: INCREMENTAL INVERTED INDEX + index-served BM25 — the
@@ -489,10 +556,8 @@ object Retrieval {
       val root = java.nio.file.Files.createTempDirectory("graft_sinvidx").toString
       val post = root + "/postings"; val dlen = root + "/doclen"
 
-      def toEnvelope(changes: DataFrame): Array[EnvelopeRow] =
-        changes.select(col("op"), lit("documents").as("table"), col("next_position"),
-            to_json(col("before")).as("before_json"), to_json(col("after")).as("after_json"))
-          .as[EnvelopeRow].collect()
+      def toEnvelope(changes: org.apache.spark.sql.DataFrame): Array[EnvelopeRow] =
+        graft.cdc.FeedMemo.toEnvelope(changes, "documents")
       val b2base = 10000000L
       val edited = concat(col("text"), lit(" spark spark query"))
       val cur1 = docs.withColumn("text",
@@ -680,6 +745,69 @@ object Retrieval {
       ${bm25CtesFrom("cur")}
       SELECT doc_id, n_hit, score FROM bm ORDER BY doc_id"""
 
+  /** Two-stage retrieval oracle — shared by q249 (broadcast-join fetch)
+    * and q251 (bucketed-store keyed fetch): identical semantics, so ONE
+    * declarative replay gates both. */
+  private lazy val twoStageOracleSql: String = {
+    val qtVals = TwoStageQueries.flatMap { case (q, ts) =>
+      ts.map(tm => s"($q, '$tm')")
+    }.mkString(", ")
+    val qidList = TwoStageQueries.map(_._1).mkString(", ")
+    s"""
+      WITH d AS (
+        SELECT doc_id,
+          len(regexp_extract_all(lower(text), '[a-z0-9]+'))::BIGINT AS dl
+        FROM documents),
+      stats AS (
+        SELECT CAST(sum(dl) AS BIGINT)::DOUBLE / count(*)::DOUBLE AS avgdl,
+          CAST(count(*) AS BIGINT) AS n_docs
+        FROM d),
+      w AS (
+        SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term
+        FROM documents),
+      qt(qid, term) AS (VALUES $qtVals),
+      tf AS (
+        SELECT q.qid, w.doc_id, w.term, CAST(count(*) AS BIGINT) AS tf
+        FROM w JOIN qt q ON q.term = w.term
+        GROUP BY q.qid, w.doc_id, w.term),
+      dfreq AS (
+        SELECT qid, term, CAST(count(*) AS BIGINT) AS df
+        FROM tf GROUP BY qid, term),
+      scored AS (
+        SELECT t.qid, t.doc_id,
+          (((s.n_docs - f.df)::DOUBLE + 0.5) / (f.df::DOUBLE + 0.5))
+            * ((t.tf::DOUBLE * ${Bm25K1 + 1.0}) /
+               (t.tf::DOUBLE + $Bm25K1 * (${1.0 - Bm25B} + $Bm25B *
+                 (d.dl::DOUBLE / s.avgdl)))) AS sc
+        FROM tf t
+        JOIN dfreq f ON f.qid = t.qid AND f.term = t.term
+        JOIN d ON d.doc_id = t.doc_id
+        CROSS JOIN stats s),
+      bm AS (
+        SELECT qid, doc_id, ${SUMD("sc")} AS score
+        FROM scored GROUP BY qid, doc_id),
+      cand AS (
+        SELECT qid, doc_id FROM (
+          SELECT qid, doc_id,
+            ROW_NUMBER() OVER (PARTITION BY qid ORDER BY score DESC, doc_id) AS crank
+          FROM bm WHERE doc_id NOT IN ($qidList)) x
+        WHERE crank <= $TwoStageC),
+      ${Similarity.maxSimSubnCtesSql},
+      pairs AS (
+        SELECT c.qid AS query_id, c.doc_id AS neighbor_id,
+          ${Similarity.maxSimScoreSql} AS maxsim
+        FROM cand c
+        JOIN subn q ON q.vec_id = c.qid
+        JOIN subn t ON t.vec_id = c.doc_id)
+      SELECT query_id, rank, neighbor_id, maxsim FROM (
+        SELECT query_id, neighbor_id, maxsim,
+          ROW_NUMBER() OVER (PARTITION BY query_id
+            ORDER BY maxsim DESC, neighbor_id) AS rank
+        FROM pairs) x
+      WHERE rank <= $TwoStageK
+      ORDER BY query_id, rank"""
+  }
+
   val oracles: Map[String, String] = Map(
     // q233: the same two scorings, rankings, depth overlaps and ordered
     // fold, declaratively.
@@ -748,68 +876,14 @@ object Retrieval {
       WITH ${bm25CtesFrom("documents")}
       SELECT doc_id, n_hit, score FROM bm ORDER BY doc_id""",
 
-    // q249: both stages replayed declaratively — the per-query BM25 chain
-    // (shared arithmetic), the top-C cut, then the shared MaxSim builders
-    // over exactly the candidate pairs.
-    "q249_two_stage_retrieval" -> {
-      val qtVals = TwoStageQueries.flatMap { case (q, ts) =>
-        ts.map(tm => s"($q, '$tm')")
-      }.mkString(", ")
-      val qidList = TwoStageQueries.map(_._1).mkString(", ")
-      s"""
-      WITH d AS (
-        SELECT doc_id,
-          len(regexp_extract_all(lower(text), '[a-z0-9]+'))::BIGINT AS dl
-        FROM documents),
-      stats AS (
-        SELECT CAST(sum(dl) AS BIGINT)::DOUBLE / count(*)::DOUBLE AS avgdl,
-          CAST(count(*) AS BIGINT) AS n_docs
-        FROM d),
-      w AS (
-        SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term
-        FROM documents),
-      qt(qid, term) AS (VALUES $qtVals),
-      tf AS (
-        SELECT q.qid, w.doc_id, w.term, CAST(count(*) AS BIGINT) AS tf
-        FROM w JOIN qt q ON q.term = w.term
-        GROUP BY q.qid, w.doc_id, w.term),
-      dfreq AS (
-        SELECT qid, term, CAST(count(*) AS BIGINT) AS df
-        FROM tf GROUP BY qid, term),
-      scored AS (
-        SELECT t.qid, t.doc_id,
-          (((s.n_docs - f.df)::DOUBLE + 0.5) / (f.df::DOUBLE + 0.5))
-            * ((t.tf::DOUBLE * ${Bm25K1 + 1.0}) /
-               (t.tf::DOUBLE + $Bm25K1 * (${1.0 - Bm25B} + $Bm25B *
-                 (d.dl::DOUBLE / s.avgdl)))) AS sc
-        FROM tf t
-        JOIN dfreq f ON f.qid = t.qid AND f.term = t.term
-        JOIN d ON d.doc_id = t.doc_id
-        CROSS JOIN stats s),
-      bm AS (
-        SELECT qid, doc_id, ${SUMD("sc")} AS score
-        FROM scored GROUP BY qid, doc_id),
-      cand AS (
-        SELECT qid, doc_id FROM (
-          SELECT qid, doc_id,
-            ROW_NUMBER() OVER (PARTITION BY qid ORDER BY score DESC, doc_id) AS crank
-          FROM bm WHERE doc_id NOT IN ($qidList)) x
-        WHERE crank <= $TwoStageC),
-      ${Similarity.maxSimSubnCtesSql},
-      pairs AS (
-        SELECT c.qid AS query_id, c.doc_id AS neighbor_id,
-          ${Similarity.maxSimScoreSql} AS maxsim
-        FROM cand c
-        JOIN subn q ON q.vec_id = c.qid
-        JOIN subn t ON t.vec_id = c.doc_id)
-      SELECT query_id, rank, neighbor_id, maxsim FROM (
-        SELECT query_id, neighbor_id, maxsim,
-          ROW_NUMBER() OVER (PARTITION BY query_id
-            ORDER BY maxsim DESC, neighbor_id) AS rank
-        FROM pairs) x
-      WHERE rank <= $TwoStageK
-      ORDER BY query_id, rank"""
-    },
+    // q249/q251: both stages replayed declaratively — the per-query BM25
+    // chain (shared arithmetic), the top-C cut, then the shared MaxSim
+    // builders over exactly the candidate pairs. ONE oracle gates both
+    // fetch paths (q251 changes only HOW stage 2 reads the embeddings —
+    // keyed store lookup instead of a table scan — never what it computes).
+    "q251_two_stage_keyed_fetch" -> twoStageOracleSql,
+    "q249_two_stage_retrieval" -> twoStageOracleSql,
+
 
     // q222/q223: the index-served scores must equal the shared BM25 chain
     // over the MUTATED final corpus (edits applied, deletions gone) — a

@@ -648,6 +648,83 @@ object Similarity {
         .repartition(1).sortWithinPartitions(col("cell"), col("pos"))
     }),
 
+    // ---- q252: TRAIN-AND-PERSIST THE IVF CODEBOOK — the "model
+    //      artifacts are tables" lifecycle that removes the engine's last
+    //      hard-coded model surface: the IVF centroids stop being driver
+    //      literals and become a TRAINED, STORED, RE-SERVED artifact.
+    //      Training = q62's Lloyd step ITERATED (spherical k-means:
+    //      assignment is the same projection-only argmax-cosine cellOf —
+    //      no join, no shuffle — means are the same decimal-exact SUMD
+    //      aggregation, then each round's centroids renormalize with the
+    //      shared index-order fold). Each round's K x D centroid matrix is
+    //      collected driver-side — bounded by construction (16 x 64), the
+    //      same class as the seed literals it replaces. After R rounds the
+    //      codebook PERSISTS as a graft table (PK (cell, pos), the
+    //      applier's own lifecycle — model artifacts get CDC semantics for
+    //      free), and the serve leg reads it BACK from the store and
+    //      assigns the corpus under the store-served centroids. Output
+    //      pins all three surfaces bit-exactly: the per-round trajectory
+    //      (q99's per-iteration discipline), the STORED coordinates (a
+    //      single ulp lost in the round-trip breaks the hash), and the
+    //      served assignment counts. 100 TB: per round ONE corpus pass
+    //      (projection + 1024-row agg); serving reads a 16-row table.
+    //      Oracle: the identical R rounds unrolled declaratively.
+    "q252_trained_codebook" -> ((s, dir) => {
+      graft.functions.GraftFunctions.register(s)
+      import graft.cdc.{CdcApplier, ChangeFeed}
+      import graft.util.Sumd.sumd
+      val e = t(s, dir, "embeddings").repartition(col("vec_id"))
+      val Rounds = 3
+      var cent: Seq[(Int, Seq[Double])] = ivfCentroids(e)
+      val traj = scala.collection.mutable.ArrayBuffer
+        .empty[(String, Long, Int, Long, Long, Double)]
+      for (r <- 1 to Rounds) {
+        val means = e.filter(col("vec_id") >= NumQueries)
+          .withColumn("cell", cellOf(col("embedding"), cent))
+          .select(col("cell"), posexplode(col("embedding")).as(Seq("pos", "x")))
+          .groupBy(col("cell"), col("pos"))
+          .agg(count(lit(1)).as("n"),
+            (sumd(col("x").cast("double")) / count(lit(1))).as("m"))
+          .collect() // K x D artifact rows — driver-bounded by construction
+          .map(row => (row.getInt(0), row.getInt(1), row.getLong(2), row.getDouble(3)))
+        cent = means.groupBy(_._1).toSeq.sortBy(_._1).map { case (cell, rows) =>
+          val vec = rows.sortBy(_._2).map(_._4).toSeq
+          val nrm = math.sqrt(vec.foldLeft(0.0)((a, x) => a + x * x))
+          (cell, vec.map(_ / nrm))
+        }
+        val cellN = means.map(x => x._1 -> x._3).toMap
+        cent.foreach { case (cell, vec) =>
+          vec.zipWithIndex.foreach { case (c, p) =>
+            traj += (("train", r.toLong, cell, p.toLong, cellN(cell), c))
+          }
+        }
+      }
+      // persist the trained codebook as a graft table, then SERVE FROM THE
+      // STORE — the round-trip is part of what the oracle pins
+      val store = java.nio.file.Files.createTempDirectory("graft_codebook")
+        .toString + "/ivf_codebook"
+      val cbDf = s.createDataFrame(cent.flatMap { case (cell, vec) =>
+        vec.zipWithIndex.map { case (c, p) => (cell, p.toLong, c) }
+      }).toDF("cell", "pos", "c")
+      CdcApplier.applyBatch(s, ChangeFeed.inserts(cbDf, lit(1L)), store,
+        CdcApplier.Options(Seq("cell", "pos"), numBuckets = 4))
+      val stored = CdcApplier.snapshot(s, store)
+        .select(col("cell"), col("pos"), col("c"))
+        .collect().map(r => (r.getInt(0), r.getLong(1), r.getDouble(2)))
+      val centStore = stored.groupBy(_._1).toSeq.sortBy(_._1).map {
+        case (cell, rows) => (cell, rows.sortBy(_._2).map(_._3).toSeq)
+      }
+      val counts = e.filter(col("vec_id") >= NumQueries)
+        .withColumn("cell", cellOf(col("embedding"), centStore))
+        .groupBy(col("cell")).agg(count(lit(1)).as("n"))
+        .collect().map(r => (r.getInt(0), r.getLong(1)))
+      val out = traj.toSeq ++
+        stored.map { case (cell, p, c) => ("stored", Rounds.toLong, cell, p, 0L, c) } ++
+        counts.map { case (cell, n) => ("serve", (Rounds + 1).toLong, cell, -1L, n, 0.0) }
+      s.createDataFrame(out).toDF("leg", "round", "cell", "pos", "n", "c")
+        .orderBy(col("leg"), col("round"), col("cell"), col("pos"))
+    }),
+
     // ---- q66: int8-quantized ANN — the memory-compression scale path.
     //      Every vector is symmetric-int8 quantized ONCE (graft_i8quant:
     //      codes packed one signed byte per component — genuinely 4x
@@ -1192,6 +1269,70 @@ object Similarity {
         ${graft.util.Sumd.SUMD("u.x::DOUBLE")} / count(*) AS c_new
       FROM ex GROUP BY cell, u.pos
       ORDER BY cell, pos""",
+
+    // q252: the R training rounds unrolled declaratively — per round the
+    // q62 assignment/mean chain (same dot fold, same tie rule, same SUMD
+    // means) plus the spherical renormalization (index-order fold of m*m,
+    // one sqrt, one division — every op bit-identical cross-engine); the
+    // stored leg re-emits round R's coordinates (pinning the parquet
+    // round-trip exactly), the serve leg re-assigns under them.
+    "q252_trained_codebook" -> {
+      val rounds = 3
+      def roundCtes(r: Int): String = s"""
+      tassign_$r AS (
+        SELECT t.vec_id, t.embedding, c.cid,
+          ROW_NUMBER() OVER (PARTITION BY t.vec_id
+            ORDER BY ${dotSql("t.embedding", "c.cv")} DESC, c.cid) AS rn
+        FROM e t, cent_${r - 1} c WHERE t.vec_id >= $NumQueries),
+      ex_$r AS (
+        SELECT cid AS cell,
+          unnest(list_transform(range(1, len(embedding) + 1),
+            i -> struct_pack(pos := i - 1, x := embedding[i]))) AS u
+        FROM tassign_$r WHERE rn = 1),
+      mean_$r AS (
+        SELECT cell, u.pos AS pos, CAST(count(*) AS BIGINT) AS n,
+          ${graft.util.Sumd.SUMD("u.x::DOUBLE")} / count(*) AS m
+        FROM ex_$r GROUP BY cell, u.pos),
+      nrm_$r AS (
+        SELECT cell,
+          sqrt(list_reduce(list_prepend(0.0::DOUBLE, list(m * m ORDER BY pos)),
+            (acc, v) -> acc + v)) AS nrm
+        FROM mean_$r GROUP BY cell),
+      cent_$r AS (
+        SELECT m.cell AS cid, list(m.m / g.nrm ORDER BY m.pos) AS cv
+        FROM mean_$r m JOIN nrm_$r g ON g.cell = m.cell
+        GROUP BY m.cell)"""
+      s"""
+      WITH e AS (${codesSql("")}),
+      cent_0 AS (
+        SELECT CAST(vec_id - $NumQueries AS INT) AS cid,
+          list_transform(embedding, x -> x::DOUBLE / nrm) AS cv
+        FROM e WHERE vec_id >= $NumQueries AND vec_id < ${NumQueries + IvfCells}),
+      ${(1 to rounds).map(roundCtes).mkString(",")},
+      tassign_serve AS (
+        SELECT t.vec_id, c.cid,
+          ROW_NUMBER() OVER (PARTITION BY t.vec_id
+            ORDER BY ${dotSql("t.embedding", "c.cv")} DESC, c.cid) AS rn
+        FROM e t, cent_$rounds c WHERE t.vec_id >= $NumQueries),
+      serve AS (
+        SELECT cid AS cell, CAST(count(*) AS BIGINT) AS n
+        FROM tassign_serve WHERE rn = 1 GROUP BY cid),
+      trainrows AS (${(1 to rounds).map(r => s"""
+        SELECT 'train' AS leg, CAST($r AS BIGINT) AS round, m.cell, m.pos, m.n,
+          m.m / g.nrm AS c
+        FROM mean_$r m JOIN nrm_$r g ON g.cell = m.cell""").mkString(" UNION ALL ")}),
+      storedrows AS (
+        SELECT 'stored' AS leg, CAST($rounds AS BIGINT) AS round, m.cell, m.pos,
+          CAST(0 AS BIGINT) AS n, m.m / g.nrm AS c
+        FROM mean_$rounds m JOIN nrm_$rounds g ON g.cell = m.cell),
+      serverows AS (
+        SELECT 'serve' AS leg, CAST(${rounds + 1} AS BIGINT) AS round, cell,
+          CAST(-1 AS BIGINT) AS pos, n, 0.0::DOUBLE AS c
+        FROM serve)
+      SELECT * FROM (SELECT * FROM trainrows UNION ALL SELECT * FROM storedrows
+        UNION ALL SELECT * FROM serverows) x
+      ORDER BY leg, round, cell, pos"""
+    },
 
     // Mirrors the full quantization procedure: same maxabs (abs/max over
     // exact float→double widenings), same three-IEEE-op code formula, the

@@ -55,6 +55,44 @@ object HashUtil {
     acc
   }
 
+  /** 64-bit finalizer (murmur3 fmix64) — the Bloom kernel's mixer. */
+  private def bloomFmix64(x0: Long): Long = {
+    var x = x0
+    x ^= x >>> 33; x *= 0xff51afd7ed558ccdL
+    x ^= x >>> 33; x *= 0xc4ceb9fe1a85ec53L
+    x ^= x >>> 33; x
+  }
+
+  /** THE shared Bloom construction (Kirsch–Mitzenmacher double hashing over
+    * fmix64): [[graft.ext.NearDup.BloomAgg]]'s build and the
+    * `graft_bloom_might` probe both call these two, so filter build and
+    * probe cannot disagree on bit positions. */
+  def bloomSet(bits: Array[Long], h: Long, numBits: Int, k: Int): Unit = {
+    val h1 = bloomFmix64(h)
+    val h2 = bloomFmix64(h ^ 0x9e3779b97f4a7c15L) | 1L
+    var i = 0
+    while (i < k) {
+      val p = (((h1 + i * h2) >>> 1) % numBits).toInt
+      bits(p >>> 6) |= (1L << (p & 63))
+      i += 1
+    }
+  }
+
+  /** Probe half of [[bloomSet]] over a column-borne bitset (the broadcast
+    * Bloom artifact as an array<bigint> literal) — a tight branch-per-hash
+    * loop, codegen-framed by [[BloomMight]]. */
+  def bloomMight(bits: ArrayData, h: Long, numBits: Int, k: Int): Boolean = {
+    val h1 = bloomFmix64(h)
+    val h2 = bloomFmix64(h ^ 0x9e3779b97f4a7c15L) | 1L
+    var i = 0
+    while (i < k) {
+      val p = (((h1 + i * h2) >>> 1) % numBits).toInt
+      if ((bits.getLong(p >>> 6) & (1L << (p & 63))) == 0L) return false
+      i += 1
+    }
+    true
+  }
+
   /** Membership bitmap of `hs` against a SORTED dictionary: bit i of the
     * output (word i>>6, bit i&63) is set iff dict(i) occurs in `hs`.
     * Binary search per element — O(n log m) per row, no shuffle, no
@@ -460,6 +498,47 @@ case class Winnow(children: Seq[Expression])
       newChildren: IndexedSeq[Expression]): Expression = copy(children = newChildren)
 }
 
+/** `graft_bloom_might(h, bits, numBits, k)` — Bloom-filter membership probe
+  * (q248's admission scan): k Kirsch–Mitzenmacher positions of `h` tested
+  * against the bitset column (the broadcast filter as an array<bigint>
+  * literal). The 15th native kernel: the probe stays inside whole-stage
+  * codegen like every other per-row kernel — the scalar `udf` it replaced
+  * opaqued the admission scan. The construction is [[HashUtil.bloomSet]]'s
+  * mirror, one definition for build and probe. */
+case class BloomMight(first: Expression, second: Expression,
+    third: Expression, fourth: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.QuaternaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    val actual = Seq(first, second, third, fourth).map(_.dataType)
+    val ok = actual.head == LongType &&
+      (actual(1) match {
+        case ArrayType(LongType, _) => true
+        case _ => false
+      }) && actual(2) == IntegerType && actual(3) == IntegerType
+    if (ok) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"graft_bloom_might expects (bigint, array<bigint>, int, int), got (${actual.mkString(", ")})")
+  }
+
+  override def dataType: DataType = org.apache.spark.sql.types.BooleanType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "graft_bloom_might"
+
+  override def nullSafeEval(h: Any, bits: Any, numBits: Any, k: Any): Any =
+    HashUtil.bloomMight(bits.asInstanceOf[ArrayData], h.asInstanceOf[Long],
+      numBits.asInstanceOf[Int], k.asInstanceOf[Int])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (h, bits, numBits, k) =>
+      s"${ev.value} = graft.functions.HashUtil.bloomMight($bits, $h, $numBits, $k);")
+
+  override protected def withNewChildrenInternal(
+      newFirst: Expression, newSecond: Expression, newThird: Expression,
+      newFourth: Expression): Expression =
+    copy(first = newFirst, second = newSecond, third = newThird, fourth = newFourth)
+}
+
 /** `graft_minhash_sig(hashes, perms)` — MinHash signature over an
   * array<long>, one codegen'd loop per row. */
 case class MinHashSig(left: Expression, right: Expression)
@@ -786,6 +865,13 @@ object GraftFunctions {
       { children: Seq[Expression] =>
         require(children.length == 2, "graft_qdot(a, b) takes 2 arguments")
         QDot(children(0), children(1))
+      }),
+    (FunctionIdentifier("graft_bloom_might"),
+      new ExpressionInfo(classOf[BloomMight].getName, "graft_bloom_might"),
+      { children: Seq[Expression] =>
+        require(children.length == 4,
+          "graft_bloom_might(h, bits, numBits, k) takes 4 arguments")
+        BloomMight(children(0), children(1), children(2), children(3))
       }))
 
   /** Idempotent imperative registration for an already-built session. */

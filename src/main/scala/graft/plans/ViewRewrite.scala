@@ -262,6 +262,18 @@ object GraftViewRewrite extends Rule[LogicalPlan] {
           viewPlan.output.map(a => a.name -> a).toMap
         def agg(fn: org.apache.spark.sql.catalyst.expressions.aggregate.AggregateFunction)
             : Expression = fn.toAggregateExpression()
+        // maintainMinMax surfaces an inconsistent feed (deltas disagree
+        // with the base) as a NULL mn/mx SENTINEL in the fine view. A bare
+        // Min/Max rollup would SKIP those nulls and serve a confident
+        // extreme the finer view deliberately refused — so the sentinel
+        // propagates: if ANY contributing fine group carries NULL, the
+        // coarser group serves NULL too.
+        def sentinelNesting(c: Attribute,
+            fn: Attribute => org.apache.spark.sql.catalyst.expressions.aggregate.AggregateFunction)
+            : Expression =
+          org.apache.spark.sql.catalyst.expressions.If(
+            agg(Max(org.apache.spark.sql.catalyst.expressions.IsNull(c))),
+            Literal(null, c.dataType), agg(fn(c)))
         val served = slots.map(_.get).map {
           case GroupSlot(orig, g) =>
             Alias(byName(g), orig.name)(exprId = orig.exprId)
@@ -269,8 +281,8 @@ object GraftViewRewrite extends Rule[LogicalPlan] {
             val expr: Expression = m match {
               case "cnt" => agg(Sum(byName("cnt")))
               case "sum" => Cast(agg(Sum(byName("sum"))), DoubleType)
-              case "mn"  => agg(Min(byName("mn")))
-              case "mx"  => agg(Max(byName("mx")))
+              case "mn"  => sentinelNesting(byName("mn"), Min(_))
+              case "mx"  => sentinelNesting(byName("mx"), Max(_))
               case "avg" => Divide(Cast(agg(Sum(byName("sum"))), DoubleType),
                 Cast(agg(Sum(byName("cnt"))), DoubleType))
             }

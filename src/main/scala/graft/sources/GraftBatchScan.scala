@@ -73,15 +73,33 @@ class GraftBatchScan(
   /** All bucket ids the layout holds (fixed for the scan's lifetime). */
   val allBuckets: Seq[Int] = CdcApplier.bucketIds(fs, target)
 
-  /** Currently-covered buckets: starts at the static coverage (= all, or
-    * this leg would not have been chosen) and only ever SHRINKS under
-    * runtime filters — a conservative intersection, never a widening. */
-  @volatile var activeBuckets: Seq[Int] =
-    GraftScan.coveredBuckets(meta, fullSchema, pushed, allBuckets)
+  /** The runtime filters of the CURRENT execution. Spark hands
+    * [[SupportsRuntimeFiltering.filter]] the complete runtime-filter set
+    * for an execution in one call, so the semantics here are REPLACE, not
+    * accumulate: coverage is always recomputed from `pushed ++ these`
+    * against the static baseline. Intersecting into persistent state (the
+    * pre-r12 shape) was correct within one execution but wrong across
+    * them — a re-executed Scan whose dimension side had GAINED keys would
+    * keep the previous execution's narrower pruning and silently drop
+    * rows. Replacing resets coverage to exactly what this execution's
+    * filters justify. */
+  @volatile private var runtimeFilters: Array[Filter] = Array.empty
+
+  /** Currently-covered buckets: the static coverage (= all, or this leg
+    * would not have been chosen) narrowed by the current execution's
+    * runtime filters — recomputed from scratch per [[filter]] call, never
+    * carried across executions. */
+  def activeBuckets: Seq[Int] =
+    GraftScan.coveredBuckets(meta, fullSchema, pushed ++ runtimeFilters, allBuckets)
 
   /** What the last `planInputPartitions` actually planned — the seam the
     * q244 gate and specs assert runtime pruning through. */
-  @volatile var lastPlannedBuckets: Seq[Int] = activeBuckets
+  @volatile var lastPlannedBuckets: Seq[Int] =
+    GraftScan.coveredBuckets(meta, fullSchema, pushed, allBuckets)
+
+  /** (files planned, files present) from the last `planInputPartitions` —
+    * the q250 data-skipping seam. (-1, -1) until a plan ran. */
+  @volatile var lastPlannedFiles: (Int, Int) = (-1, -1)
 
   // ---- runtime filtering (Spark calls these at execution time) ----------
 
@@ -91,9 +109,7 @@ class GraftBatchScan(
     bucketCols.map(c => Expressions.column(c)).toArray
 
   override def filter(filters: Array[Filter]): Unit =
-    activeBuckets = GraftScan
-      .coveredBuckets(meta, fullSchema, pushed ++ filters, allBuckets)
-      .intersect(activeBuckets)
+    runtimeFilters = filters
 
   // ---- schemas -----------------------------------------------------------
 
@@ -129,22 +145,36 @@ class GraftBatchScan(
 
   override def description(): String =
     s"GraftBatchScan $targetDir runtime-filterable " +
-      s"buckets=${activeBuckets.size}/${allBuckets.size}"
+      s"buckets=${activeBuckets.size}/${allBuckets.size}" +
+      (if (lastPlannedFiles._2 >= 0)
+        s" files=${lastPlannedFiles._1}/${lastPlannedFiles._2}" else "")
 
   // ---- batch -------------------------------------------------------------
 
   override def planInputPartitions(): Array[InputPartition] = {
     val bs = activeBuckets
     lastPlannedBuckets = bs
-    bs.zipWithIndex.map { case (b, i) =>
+    // File-level data skipping (q250): the same sidecar statistics the V1
+    // leg consults, against the skip-safe filter set — copy-on-write may
+    // skip on ANY pushed/runtime predicate; merge-on-read only on
+    // PK-referencing ones (a key's versions agree on its PK, so a skipped
+    // file holds no version of any key surviving the predicate above the
+    // reader-local resolve). Unknown files/columns are always kept.
+    val skipF = {
+      val all = (pushed ++ runtimeFilters).toIndexedSeq
+      if (isMor) all.filter(_.references.toSet.subsetOf(pkCols.toSet)) else all
+    }
+    var kept = 0
+    var total = 0
+    val parts = bs.zipWithIndex.map { case (b, i) =>
       val d = new Path(target, s"${CdcApplier.BUCKET}=$b")
-      val files =
-        if (fs.exists(d))
-          fs.listStatus(d).filter(st =>
-            st.isFile && st.getPath.getName.endsWith(".parquet")).toSeq
-        else Seq.empty
+      val (files, n) = graft.cdc.FileStats.selectBucketFiles(fs, d, skipF)
+      kept += files.size
+      total += n
       ParquetReadShim.bucketPartition(i, files)
     }.toArray
+    lastPlannedFiles = (kept, total)
+    parts
   }
 
   override def createReaderFactory(): PartitionReaderFactory = {

@@ -460,11 +460,16 @@ class GraftScan(
     else (GraftScan.coveredBuckets(meta, fullSchema, pushed, all), all)
   }
 
+  /** (files read, files present) when sidecar statistics pruned the file
+    * list (q250) — None when skipping did not engage. */
+  @volatile var fileSkip: Option[(Int, Int)] = None
+
   /** The inner declarative plan the relation executes — also the seam the
     * plan-shape tests inspect (`innerDf.queryExecution`). */
   val innerDf: DataFrame = {
     val df = GraftScan.planRead(
-      spark, targetDir, fullSchema, required, pushed, prunedBuckets, asOf, changesFrom)
+      spark, targetDir, fullSchema, required, pushed, prunedBuckets, asOf,
+      changesFrom, onFileSkip = (k, t) => fileSkip = Some((k, t)))
     limit.map(df.limit).getOrElse(df)
   }
 
@@ -488,14 +493,16 @@ class GraftScan(
 
   override def readSchema(): StructType = required
 
+  private def suffix: String =
+    limit.map(n => s" limit=$n").getOrElse("") +
+      fileSkip.map { case (k, t) => s" files=$k/$t" }.getOrElse("")
+
   override def description(): String =
-    s"GraftScan $targetDir buckets=${prunedBuckets.size}/${allBuckets.size}" +
-      limit.map(n => s" limit=$n").getOrElse("")
+    s"GraftScan $targetDir buckets=${prunedBuckets.size}/${allBuckets.size}$suffix"
 
   override def toV1TableScan[T <: BaseRelation with TableScan](context: SQLContext): T =
     new GraftRelation(context, required, innerDf,
-      s"$targetDir buckets=${prunedBuckets.size}/${allBuckets.size}" +
-        limit.map(n => s" limit=$n").getOrElse(""),
+      s"$targetDir buckets=${prunedBuckets.size}/${allBuckets.size}$suffix",
       prunedBytes).asInstanceOf[T]
 }
 
@@ -618,12 +625,16 @@ object GraftScan {
     }
   }.getOrElse(all)
 
-  /** The inner declarative read: pruned bucket dirs → (PK-safe filters) →
-    * mor resolve → tombstone filter → (remaining filters) → projection. */
+  /** The inner declarative read: pruned bucket dirs → file-level stats
+    * skipping (q250) → (PK-safe filters) → mor resolve → tombstone filter →
+    * (remaining filters) → projection. `onFileSkip(kept, total)` reports the
+    * data-skipping outcome when sidecar statistics were consulted — the
+    * seam scan descriptions and the q250 gate audit through. */
   private[sources] def planRead(
       spark: SparkSession, targetDir: String, fullSchema: StructType,
       required: StructType, pushed: Array[Filter], buckets: Seq[Int],
-      asOf: Option[Long] = None, changesFrom: Option[Long] = None): DataFrame = {
+      asOf: Option[Long] = None, changesFrom: Option[Long] = None,
+      onFileSkip: (Int, Int) => Unit = (_, _) => ()): DataFrame = {
     require(asOf.isEmpty || changesFrom.isEmpty,
       "asOfPos and changesFrom are mutually exclusive read modes")
     // change-feed mode: the envelope IS the relation — CdcApplier
@@ -656,16 +667,8 @@ object GraftScan {
           s"asOfPos $pos predates the retained history (floor $floor)")
     }
 
-    if (buckets.isEmpty) {
-      val empty = spark.createDataFrame(
-        spark.sparkContext.emptyRDD[Row], required)
-      return empty
-    }
-    val paths = buckets.map(b => s"$targetDir/$BUCKET=$b")
-    val raw = spark.read
-      .option("mergeSchema", true)
-      .option("basePath", targetDir)
-      .parquet(paths: _*)
+    def emptyDf = spark.createDataFrame(spark.sparkContext.emptyRDD[Row], required)
+    if (buckets.isEmpty) return emptyDf
 
     // Below-resolve filters must not change a key's latest version: only
     // predicates over PK columns qualify on mor (a key's versions agree on
@@ -673,6 +676,25 @@ object GraftScan {
     val (below, above) =
       if (isMor) pushed.partition(_.references.toSet.subsetOf(pkCols.toSet))
       else (pushed, Array.empty[Filter])
+
+    // File-level data skipping (q250): the below-resolve filter set is by
+    // construction exactly the set safe for FILE skipping too (cow: all
+    // pushed; mor: PK-referencing only — a skipped file holds no version of
+    // any key that could survive the predicate above). Time travel reads
+    // every version file (the cut is by POS), so it opts out.
+    val fs = target.getFileSystem(hconf)
+    val fileSel =
+      if (asOf.isDefined) None
+      else graft.cdc.FileStats.selectFiles(fs, target, buckets, below.toIndexedSeq)
+    fileSel.foreach { case (_, k, t) => onFileSkip(k, t) }
+    fileSel.foreach { case (files, _, _) => if (files.isEmpty) return emptyDf }
+
+    val paths = fileSel.map(_._1)
+      .getOrElse(buckets.map(b => s"$targetDir/$BUCKET=$b"))
+    val raw = spark.read
+      .option("mergeSchema", true)
+      .option("basePath", targetDir)
+      .parquet(paths: _*)
     def applyFilters(df: DataFrame, fs: Array[Filter]): DataFrame =
       fs.flatMap(toColumn).foldLeft(df)(_.filter(_))
 
@@ -719,6 +741,26 @@ class GraftAggRelation(ctx: SQLContext, s: StructType,
 object GraftAggScan {
   import scala.jdk.CollectionConverters._
 
+  /** Planning-time footer caches (ADVICE r11): an ACCEPTING aggregate
+    * query used to re-open every data file's footer on every planning —
+    * at thousands of files that is repeated driver I/O well beyond the
+    * directory-listing cost class. Keyed by (path, length, modification
+    * time): the applier's crash-safe publish never rewrites a file in
+    * place (bucket swaps create new files; mor deltas are append-only
+    * renames), so a matching key proves the footer content. `liveCache`
+    * (file → all-rows-live?) is aggregation-independent; `rowCache`
+    * additionally keys the aggregation so distinct aggregates over one
+    * file each cache their own partial row. Bounded by wholesale clear —
+    * a planning cache, correctness never depends on residency. */
+  private type FileKey = (String, Long, Long)
+  private val liveCache =
+    new java.util.concurrent.ConcurrentHashMap[FileKey, java.lang.Boolean]
+  private val rowCache = new java.util.concurrent.ConcurrentHashMap[
+    (FileKey, String), org.apache.spark.sql.catalyst.InternalRow]
+  private val CacheCap = 1 << 16
+  private def capped[K, V](m: java.util.concurrent.ConcurrentHashMap[K, V]): Unit =
+    if (m.size > CacheCap) m.clear()
+
   /** Some(scan) iff this aggregation is PROVABLY answerable from footer
     * statistics alone; None refuses (the caller falls back to the ordinary
     * row-level scan, so refusal is never a correctness event). Acceptance:
@@ -757,22 +799,39 @@ object GraftAggScan {
       fs.listStatus(new Path(target, s"${CdcApplier.BUCKET}=$b"))
         .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
     }
+    val aggKey = aggSchema.catalogString + "|" +
+      (agg.groupByExpressions ++ agg.aggregateExpressions)
+        .map(_.describe()).mkString(",")
     val rows = files.map { st =>
-      val rdr = ParquetFileReader.open(HadoopInputFile.fromStatus(st, hconf))
-      try {
-        val footer = rdr.getFooter
-        val allLive = footer.getBlocks.asScala.forall { blk =>
-          blk.getColumns.asScala.find(_.getPath.toDotString == CdcApplier.DEL)
-            .exists { c =>
-              val s = c.getStatistics
-              s != null && !s.isEmpty && s.getNumNulls == 0 &&
-                s.hasNonNullValue && s.genericGetMax == java.lang.Boolean.FALSE
-            }
-        }
-        if (!allLive) return None
-        org.apache.spark.sql.graft.AggShim.footerPartialRow(
-          footer, st.getPath.toString, fullSchema, agg, aggSchema)
-      } finally rdr.close()
+      val fkey: FileKey = (st.getPath.toString, st.getLen, st.getModificationTime)
+      // cache fast paths: a known tombstone-bearing file refuses without
+      // I/O; a known-live file with a cached partial row serves without I/O
+      val knownLive = liveCache.get(fkey)
+      if (knownLive != null && !knownLive.booleanValue) return None
+      val cached = rowCache.get((fkey, aggKey))
+      if (cached != null) cached
+      else {
+        val rdr = ParquetFileReader.open(HadoopInputFile.fromStatus(st, hconf))
+        try {
+          val footer = rdr.getFooter
+          val allLive = footer.getBlocks.asScala.forall { blk =>
+            blk.getColumns.asScala.find(_.getPath.toDotString == CdcApplier.DEL)
+              .exists { c =>
+                val s = c.getStatistics
+                s != null && !s.isEmpty && s.getNumNulls == 0 &&
+                  s.hasNonNullValue && s.genericGetMax == java.lang.Boolean.FALSE
+              }
+          }
+          capped(liveCache)
+          liveCache.put(fkey, java.lang.Boolean.valueOf(allLive))
+          if (!allLive) return None
+          val row = org.apache.spark.sql.graft.AggShim.footerPartialRow(
+            footer, st.getPath.toString, fullSchema, agg, aggSchema)
+          capped(rowCache)
+          rowCache.put((fkey, aggKey), row)
+          row
+        } finally rdr.close()
+      }
     }
     Some(new GraftAggScan(targetDir, aggSchema, rows, files.size))
   }.toOption.flatten

@@ -27,10 +27,37 @@ class PolyHashSpec extends AnyFunSuite {
     val ext = new org.apache.spark.sql.SparkSessionExtensions
     new GraftExtensions().apply(ext) // must accept all registry entries
     assert(GraftFunctions.entries.map(_._1.funcName).sorted ==
-      Seq("graft_bitmap", "graft_dot", "graft_fingerprint", "graft_gram_hashes",
-        "graft_i8quant", "graft_maxabs", "graft_minhash_sig", "graft_normalize",
-        "graft_polyhash", "graft_qdot", "graft_rep_stats", "graft_shingle_hashes",
-        "graft_simhash", "graft_winnow"))
+      Seq("graft_bitmap", "graft_bloom_might", "graft_dot", "graft_fingerprint",
+        "graft_gram_hashes", "graft_i8quant", "graft_maxabs", "graft_minhash_sig",
+        "graft_normalize", "graft_polyhash", "graft_qdot", "graft_rep_stats",
+        "graft_shingle_hashes", "graft_simhash", "graft_winnow"))
+  }
+
+  test("graft_bloom_might: kernel equals the scala reference; probe stays in-plan") {
+    import graft.ext.NearDup.Bloom
+    val numBits = 1 << 12
+    val k = 7
+    val bits = new Array[Long](numBits >>> 6)
+    val members = (0 until 200).map(i => 0x9E3779B97F4A7C15L * i + 17)
+    members.foreach(h => Bloom.set(bits, h, numBits, k))
+    // no false negatives by construction; kernel must agree with the scala
+    // reference on members AND on a non-member sweep (some of which are FPs
+    // — agreement, not absence, is the contract)
+    val probes = members ++ (0 until 500).map(i => 0xC2B2AE3D27D4EB4FL * i + 3)
+    val df = probes.toDF("h")
+      .withColumn("m", expr(s"graft_bloom_might(h, ${bits.mkString("array(", "L,", "L)")}, $numBits, $k)"))
+    val got = df.collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    probes.foreach { h =>
+      assert(got(h) == Bloom.mightContain(bits, h, numBits, k), s"h=$h")
+    }
+    members.foreach(h => assert(got(h), s"member $h must probe true"))
+    // the probe is a native expression — in-plan over a real scan (a local
+    // relation constant-folds the whole projection), no ScalaUDF node
+    val planDf = spark.range(3)
+      .selectExpr(s"graft_bloom_might(id, ${bits.mkString("array(", "L,", "L)")}, $numBits, $k) AS m")
+    val plan = planDf.queryExecution.executedPlan.toString
+    assert(plan.contains("graft_bloom_might") && !plan.toLowerCase.contains("scalaudf"),
+      plan.take(2000))
   }
 
   test("graft_winnow: window minima, distinct sorted, short-text edges, MOSS guarantee") {

@@ -195,6 +195,36 @@ class ViewRewriteSpec extends AnyFunSuite {
     } finally GraftViewRewrite.unregisterStats(base2, Seq("grp", "sub"), "x")
   }
 
+  test("group subset: a fine group's NULL mn/mx sentinel propagates to the rollup") {
+    // maintainMinMax surfaces an inconsistent feed as NULL mn/mx; the
+    // coarser re-aggregation must serve NULL for any group containing such
+    // a fine group — a bare Min/Max would skip the NULL and serve a
+    // confident extreme the finer view deliberately refused.
+    val viewDir = buildFineStatsView()
+    // poison ONE fine group's extremes to the sentinel (an update through
+    // the applier, exactly how a maintenance pass would store it)
+    val poisoned = CdcApplier.snapshot(spark, viewDir)
+      .where($"grp" === "g0" && $"sub" === "s0")
+      .select($"grp", $"sub", $"cnt", $"sum",
+        lit(null).cast("double").as("mn"), lit(null).cast("double").as("mx"),
+        $"avg")
+    CdcApplier.applyBatch(spark, ChangeFeed.inserts(poisoned, lit(2L)), viewDir,
+      CdcApplier.Options(Seq("grp", "sub"), numBuckets = 2))
+    GraftViewRewrite.install(spark)
+    GraftViewRewrite.registerStats(base2, Seq("grp", "sub"), "x", viewDir)
+    try {
+      val q = spark.read.parquet(base2).groupBy($"grp")
+        .agg(min($"x").as("mn"), max($"x").as("mx"), count(lit(1)).as("c"))
+      assert(q.queryExecution.optimizedPlan.toString.contains("_graft_deleted"),
+        "must serve from the view store")
+      val got = q.collect().map(r =>
+        r.getString(0) -> (Option(r.get(1)), Option(r.get(2)))).toMap
+      assert(got("g0") == (None, None), s"sentinel must propagate: $got")
+      assert(got("g1")._1.isDefined && got("g2")._2.isDefined,
+        s"healthy groups still serve extremes: $got")
+    } finally GraftViewRewrite.unregisterStats(base2, Seq("grp", "sub"), "x")
+  }
+
   // join fixture: fact (fk, jc, amt) ⋈ dim (dk, dname) on jc = dk
   private val factBase = {
     val dir = Files.createTempDirectory("graft_mv").toString + "/fact.parquet"

@@ -172,9 +172,17 @@ class GraftDataSourceSpec extends AnyFunSuite {
       assert(scan.activeBuckets.nonEmpty && scan.activeBuckets.size < 8,
         s"mor=$isMor active=${scan.activeBuckets}")
       assert(scan.planInputPartitions().length == scan.activeBuckets.size)
-      // a runtime filter can only SHRINK coverage, never widen it back
+      // runtime filters are REPLACE-semantics per execution: a later call
+      // with MORE keys recomputes coverage from the static baseline (a
+      // re-executed plan whose dim side gained keys must not keep the old
+      // narrower pruning), but never exceeds the static coverage
+      val narrow = scan.activeBuckets
       scan.filter(Array[Filter](In("k", Array(3L, 14L, 77L, 140L))))
-      assert(scan.activeBuckets.size <= 2)
+      assert(scan.activeBuckets.size >= narrow.size && scan.activeBuckets.size <= 4)
+      assert(scan.activeBuckets.toSet.subsetOf((0 until 8).toSet))
+      // and dropping back to fewer keys re-narrows (no sticky state)
+      scan.filter(Array[Filter](In("k", Array(3L, 14L))))
+      assert(scan.activeBuckets == narrow)
 
       // end-to-end: the dim-join answer equals the expected subset, and the
       // executed plan shows the runtime-pruned ratio on the Batch leg.
