@@ -227,6 +227,43 @@ object Bench {
       } finally graft.streaming.GraftConf.restoreConf(spark, prev)
     }
 
+    // AQE plan-drift canary arm (r12 ask #7): PlanSpec-locked batch
+    // queries re-measured under the FORCED production AQE profile
+    // (adaptive + coalescePartitions + skewJoin all on). Adaptive itself
+    // is Spark 4's default — the main arm above already executes under
+    // AQE — so this arm prices the full profile and, paired with
+    // AqeCanarySpec's invariant asserts, catches a runtime re-plan that
+    // would undo a locked property at scale. One sample per query:
+    // pricing, not a regression gate.
+    var aqeArm = Vector.empty[(String, Double)]
+    val aqeQs = Seq("q02_filter_agg", "q03_join_topk", "q04_semi_join",
+      "q05_anti_join", "q41_neardup_jaccard", "q42_minhash_lsh",
+      "q108_salted_join", "q147_bloom_join", "q236_connector_stats")
+      .filter(q => args.isEmpty || args.contains(q))
+    if (aqeQs.nonEmpty) {
+      val confs = Seq("spark.sql.adaptive.enabled",
+        "spark.sql.adaptive.coalescePartitions.enabled",
+        "spark.sql.adaptive.skewJoin.enabled")
+      val prevConfs = confs.map(k => k -> spark.conf.getOption(k))
+      confs.foreach(k => spark.conf.set(k, "true"))
+      try aqeQs.foreach { name =>
+        SparkEntry.queries.get(name).foreach { fn =>
+          try {
+            val t0 = System.nanoTime()
+            fn(spark, sfDir).queryExecution.toRdd.foreach(_ => ())
+            aqeArm :+= name -> ((System.nanoTime() - t0) / 1e9)
+          } catch {
+            case e: Throwable =>
+              errors :+= s"aqe:$name" ->
+                Option(e.getMessage).getOrElse(e.getClass.getName).take(200)
+          }
+        }
+      } finally prevConfs.foreach {
+        case (k, Some(v)) => spark.conf.set(k, v)
+        case (k, None)    => spark.conf.unset(k)
+      }
+    }
+
     import graft.util.Json.{quote => jstr}
     val qs = times.map { case (k, v) => s"${jstr(k)}:$v" }.mkString("{", ",", "}")
     val ss = samples.map { case (k, v) =>
@@ -236,6 +273,7 @@ object Bench {
       s"${jstr(k)}:${v.map { case (r, w, st) => s"[$r,$w,$st]" }.mkString("[", ",", "]")}"
     }.mkString("{", ",", "}")
     val rk = rocks.map { case (k, v) => s"${jstr(k)}:$v" }.mkString("{", ",", "}")
+    val aq = aqeArm.map { case (k, v) => s"${jstr(k)}:$v" }.mkString("{", ",", "}")
     def stateJson(v: Vector[(String, Seq[Seq[(Long, Long)]])]): String =
       v.map { case (k, qsStates) =>
         s"${jstr(k)}:${qsStates.map(_.map { case (n, m) => s"[$n,$m]" }
@@ -246,7 +284,7 @@ object Bench {
     val es = errors.map { case (k, v) => s"${jstr(k)}:${jstr(v)}" }.mkString("{", ",", "}")
     val total = times.map(_._2).sum
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"samples":$ss,"shuffle":$sh,"state":$st,"rocksdb":$rk,"rocksdb_state":$rst,"errors":$es,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"samples":$ss,"shuffle":$sh,"state":$st,"rocksdb":$rk,"rocksdb_state":$rst,"aqe":$aq,"errors":$es,"sf":"$sfDir"}"""
     println(json)
     // Also persist to a file: stdout passes through the driver's tail capture,
     // which has twice head-truncated the artifact (BENCH_r04/r05 parsed:null).

@@ -646,7 +646,25 @@ object CdcApplier {
           .parquet(read.map(b => s"$targetDir/$BUCKET=$b"): _*)
       }
     val dataCols = raw.columns.filterNot(c => c == POS || c == DEL || c == BUCKET).toSeq
-    val touched = raw.filter(col(POS) > fromPos)
+    // Touched-key DISCOVERY rides the q250 file statistics: a delta file
+    // whose max position is at or below the cursor cannot hold a
+    // qualifying row (every key touched past the cursor has its
+    // qualifying VERSION in some newer file), so discovery reads only the
+    // new files — an incremental consumer's discovery cost is the new
+    // data, not the bucket's retained history. The VERSION-CHAIN read
+    // below stays full-bucket on purpose: before-images live in OLDER
+    // files of the same keys. Files without stats are always read.
+    val fs2 = target.getFileSystem(hconf)
+    val newFiles = covered.flatMap { b =>
+      FileStats.selectBucketFiles(fs2, new Path(target, s"$BUCKET=$b"),
+        Seq(org.apache.spark.sql.sources.GreaterThan(POS, fromPos)))._1
+        .map(_.getPath.toString)
+    }
+    val discovery =
+      if (newFiles.isEmpty) raw.filter(lit(false))
+      else spark.read.option("mergeSchema", true).option("basePath", targetDir)
+        .parquet(newFiles: _*)
+    val touched = discovery.filter(col(POS) > fromPos)
       .select(pkCols.map(col): _*).distinct()
     val versions = raw.join(touched, pkCols, "left_semi")
     val w = org.apache.spark.sql.expressions.Window
@@ -795,11 +813,31 @@ object CdcApplier {
       .select(bucketExpr(bucketCols, numBuckets, meta.rangeBounds).as(BUCKET))
       .distinct().collect().map(_.getInt(0)).sorted
     if (buckets.isEmpty) return snapshot(spark, targetDir).limit(0)
-    val pruned = spark.read.option("mergeSchema", true).parquet(targetDir)
-      .filter(col(BUCKET).isin(buckets.map(Int.box): _*))
     // One bounded collect of the distinct key tuples feeds every column's
     // IN-list (contract-bounded like the bucket collect above).
     val keyRows = keys.select(lookupCols.map(col): _*).distinct().collect()
+    // File-level skipping inside the covered buckets (q250): the per-column
+    // key IN-lists are PK-referencing, so they are skip-safe on BOTH
+    // storage modes (all of a key's versions agree on its PK) — a lookup
+    // into a bucket with a long file history opens only the files whose
+    // key ranges can hold the probed keys. Unknown files are always read;
+    // when nothing skips, the ordinary bucket-directory read keeps its plan.
+    val fsL = target.getFileSystem(hconf)
+    val inFilters: Seq[org.apache.spark.sql.sources.Filter] =
+      lookupCols.zipWithIndex.map { case (pk, i) =>
+        org.apache.spark.sql.sources.In(pk, keyRows.map(_.get(i)).distinct)
+      }
+    val perBucket = buckets.map(b => FileStats.selectBucketFiles(
+      fsL, new Path(target, s"$BUCKET=$b"), inFilters))
+    val keptFiles = perBucket.flatMap(_._1).map(_.getPath.toString)
+    val pruned =
+      if (keptFiles.isEmpty && perBucket.map(_._2).sum > 0)
+        return snapshot(spark, targetDir).limit(0)
+      else if (keptFiles.size < perBucket.map(_._2).sum)
+        spark.read.option("mergeSchema", true).option("basePath", targetDir)
+          .parquet(keptFiles.toIndexedSeq: _*)
+      else spark.read.option("mergeSchema", true).parquet(targetDir)
+        .filter(col(BUCKET).isin(buckets.map(Int.box): _*))
     val rowGroupPruned = lookupCols.zipWithIndex.foldLeft(pruned) {
       case (df, (pk, i)) =>
         val vals = keyRows.map(_.get(i)).distinct

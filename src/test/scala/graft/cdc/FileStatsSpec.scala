@@ -183,6 +183,42 @@ class FileStatsSpec extends AnyFunSuite {
       s"non-key predicates must not file-skip on mor:\n$nkPlan"))
   }
 
+  test("change feed: POS stats skip historical delta files for discovery; " +
+      "envelopes complete (before-images from the full chain)") {
+    val dir = newDir()
+    val morOpts = CdcApplier.Options(Seq("k"), numBuckets = 2)
+    val rows = accts(60)
+    CdcApplier.applyBatchMor(spark, ChangeFeed.inserts(rows, lit(100L)), dir, morOpts)
+    CdcApplier.applyBatchMor(spark,
+      ChangeFeed.updates(rows.filter($"k" % 3 === 0),
+        Map("bal" -> ($"bal" * 2.0)), lit(200L)), dir, morOpts)
+    CdcApplier.applyBatchMor(spark,
+      ChangeFeed.deletes(rows.filter($"k" % 10 === 0), lit(300L)), dir, morOpts)
+    val fs = fsOf(dir)
+    // selection level: a cursor past batch 2 skips batches 1+2's delta files
+    val perBucket = CdcApplier.bucketIds(fs, new Path(dir)).map { b =>
+      FileStats.selectBucketFiles(fs, new Path(dir, s"${CdcApplier.BUCKET}=$b"),
+        Seq(GreaterThan(CdcApplier.POS, 200L)))
+    }
+    assert(perBucket.forall { case (kept, total) => kept.size < total },
+      s"historical delta files must skip: ${perBucket.map(p => (p._1.size, p._2))}")
+    // feed level: the envelope from the skipped-discovery read is COMPLETE —
+    // updates carry before-images from older (skipped-for-discovery) files
+    val feed = CdcApplier.changeFeed(spark, dir, 200L)
+      .select($"op", $"next_position", $"before.k".as("bk"), $"after.k".as("ak"))
+      .collect()
+    val deletes = feed.filter(_.getString(0) == "delete")
+    assert(deletes.length == 6 && deletes.forall(r => !r.isNullAt(2)),
+      "deletes must carry before-images reconstructed from the full chain")
+    assert(feed.forall(_.getLong(1) == 300L))
+    // and a mid-history cursor still reconstructs update before-images
+    val feed2 = CdcApplier.changeFeed(spark, dir, 150L)
+      .filter($"op" === "update").select($"before.bal".as("bb"), $"after.bal".as("ab"))
+      .collect()
+    assert(feed2.nonEmpty && feed2.forall(r => r.getDouble(1) == r.getDouble(0) * 2.0),
+      "update before-images must come from the older files")
+  }
+
   test("V1 leg: combined PK + non-key predicate skips within the pruned bucket") {
     val dir = newDir()
     CdcApplier.applyBatch(spark, ChangeFeed.inserts(accts(400), $"k" * 10), dir, opts)

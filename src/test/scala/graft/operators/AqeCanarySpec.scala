@@ -1,0 +1,96 @@
+package graft.operators
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkEntry
+
+/** AQE plan-drift canary (round-12 ask #7): production runs adaptive query
+  * execution, so the plan properties [[PlanSpec]] locks are only worth
+  * their 100 TB claims if they SURVIVE AQE's runtime re-planning. Two
+  * facts pinned here:
+  *
+  *  1. AQE is ON in the test conf already — Spark 4 defaults
+  *     `spark.sql.adaptive.enabled=true` and no session in this repo turns
+  *     it off, so every PlanSpec lock has been an under-AQE lock all along
+  *     (`plan()` finalizes the adaptive plan before asserting). The canary
+  *     makes that explicit: if a future conf change silently disabled AQE
+  *     in tests, the locks would stop guarding what production executes —
+  *     this suite fails instead.
+  *  2. Under the full production AQE profile (coalescePartitions +
+  *     skewJoin forced on), the invariant SUBSET that a runtime re-plan
+  *     must never undo still holds: dimension joins stay broadcast,
+  *     EXISTS/NOT EXISTS stay semi/anti, pushed filters stay pushed, and
+  *     no near-dup/bloom join degrades to a cartesian — the exact failure
+  *     classes an AQE rewrite could introduce at scale.
+  */
+class AqeCanarySpec extends AnyFunSuite {
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private val dir = "/root/testdata/sf0.001"
+
+  /** Final physical plan with AQE resolved (executes the query), plus the
+    * formatted explain for scan-level PushedFilters — PlanSpec's reader. */
+  private def plan(q: String): String = {
+    val df = SparkEntry.queries(q)(spark, dir)
+    df.queryExecution.toRdd.foreach(_ => ())
+    df.queryExecution.executedPlan.toString + "\n" +
+      df.queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+  }
+
+  private val AqeConfs = Seq(
+    "spark.sql.adaptive.enabled",
+    "spark.sql.adaptive.coalescePartitions.enabled",
+    "spark.sql.adaptive.skewJoin.enabled")
+
+  private def withAqeForced[T](f: => T): T = {
+    val prev = AqeConfs.map(k => k -> spark.conf.getOption(k))
+    AqeConfs.foreach(k => spark.conf.set(k, "true"))
+    try f finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None)    => spark.conf.unset(k)
+    }
+  }
+
+  test("AQE is the default execution mode — PlanSpec's locks already run under it") {
+    assert(spark.conf.get("spark.sql.adaptive.enabled") == "true",
+      "adaptive execution was disabled in the test conf: every PlanSpec " +
+        "lock would stop guarding what production executes")
+  }
+
+  test("broadcast + top-k survive the production AQE profile") {
+    withAqeForced {
+      val p = plan("q03_join_topk")
+      assert(p.contains("BroadcastHashJoin"), p)
+      assert(p.contains("TakeOrderedAndProject"), p)
+      val stats = plan("q236_connector_stats")
+      assert(stats.contains("BroadcastHashJoin"),
+        "connector-stats auto-broadcast must survive AQE:\n" + stats)
+    }
+  }
+
+  test("semi/anti joins and pushdown survive the production AQE profile") {
+    withAqeForced {
+      assert(plan("q04_semi_join").contains("LeftSemi"))
+      assert(plan("q05_anti_join").contains("LeftAnti"))
+      val p = plan("q02_filter_agg")
+      assert(p.contains("PushedFilters: [") &&
+        p.contains("GreaterThanOrEqual(l_shipdate"), p)
+    }
+  }
+
+  test("no candidate join degrades to a cartesian under the production AQE profile") {
+    withAqeForced {
+      Seq("q41_neardup_jaccard", "q42_minhash_lsh", "q147_bloom_join",
+        "q108_salted_join").foreach { q =>
+        val p = plan(q)
+        assert(!p.contains("CartesianProduct"), s"$q grew a cartesian:\n$p")
+      }
+    }
+  }
+}
