@@ -492,9 +492,9 @@ object CdcApplier {
     // file-level data-skipping stats for the fresh delta files (q250):
     // merged into each touched bucket's sidecar AFTER the renames — a
     // crash in between leaves the new files unlisted, i.e. never skipped
-    published.map(new Path(_)).groupBy(_.getParent).foreach {
-      case (bucketDir, files) => FileStats.appendSidecar(fs, bucketDir, files.toSeq)
-    }
+    FileStats.appendSidecars(fs,
+      published.map(new Path(_)).groupBy(_.getParent)
+        .map { case (d, files) => d -> files.toSeq })
     // Advance the persisted change-feed high-water mark (`maxPos`) — the
     // metadata a streaming tail polls instead of scanning data. Strictly
     // AFTER the deltas land: a crash in between leaves maxPos stale-LOW,
@@ -655,13 +655,14 @@ object CdcApplier {
     // below stays full-bucket on purpose: before-images live in OLDER
     // files of the same keys. Files without stats are always read.
     val fs2 = target.getFileSystem(hconf)
-    val newFiles = covered.flatMap { b =>
+    val perBucketNew = covered.map(b =>
       FileStats.selectBucketFiles(fs2, new Path(target, s"$BUCKET=$b"),
-        Seq(org.apache.spark.sql.sources.GreaterThan(POS, fromPos)))._1
-        .map(_.getPath.toString)
-    }
+        Seq(org.apache.spark.sql.sources.GreaterThan(POS, fromPos))))
+    val newFiles = perBucketNew.flatMap(_._1).map(_.getPath.toString)
     val discovery =
       if (newFiles.isEmpty) raw.filter(lit(false))
+      else if (newFiles.size == perBucketNew.map(_._2).sum)
+        raw // nothing skips — reuse the chain read's scan, no second job
       else spark.read.option("mergeSchema", true).option("basePath", targetDir)
         .parquet(newFiles: _*)
     val touched = discovery.filter(col(POS) > fromPos)
@@ -1262,17 +1263,18 @@ object CdcApplier {
       fs: FileSystem, root: Path, tmp: Path, buckets: Seq[Int]): Unit = {
     fs.mkdirs(root)
     recoverBuckets(fs, root)
+    // file-level data-skipping statistics (q250): collected on the staging
+    // tree in ONE pooled footer pass over every fresh bucket, so each
+    // sidecar SWAPS WITH ITS BUCKET — stats can never describe files a
+    // reader does not see. One footer open per freshly-written file, at
+    // write time, amortized over every read.
+    val freshDirs = buckets.map(b => new Path(tmp, s"$BUCKET=$b"))
+      .filter(fs.exists(_))
+    FileStats.writeSidecars(fs, freshDirs)
     buckets.foreach { b =>
       val fresh = new Path(tmp, s"$BUCKET=$b")
       val live = new Path(root, s"$BUCKET=$b")
-      if (fs.exists(fresh)) {
-        // file-level data-skipping statistics (q250): collected on the
-        // staging tree so the sidecar SWAPS WITH ITS BUCKET — stats can
-        // never describe files a reader does not see. One footer open per
-        // freshly-written file, at write time, amortized over every read.
-        FileStats.writeSidecar(fs, fresh)
-        swapDir(fs, live, fresh)
-      }
+      if (fs.exists(fresh)) swapDir(fs, live, fresh)
       else fs.delete(live, true) // bucket has no surviving rows
     }
     fs.delete(tmp, true)
@@ -1333,8 +1335,8 @@ object CdcApplier {
     TargetMeta.write(hconf, fresh, meta.copy(numBuckets = newNumBuckets))
     // data-skipping sidecars for the re-hashed buckets (q250) — written on
     // the staging tree, published by the same whole-target swap
-    bucketIds(fs, fresh).foreach(b =>
-      FileStats.writeSidecar(fs, new Path(fresh, s"$BUCKET=$b")))
+    FileStats.writeSidecars(fs,
+      bucketIds(fs, fresh).map(b => new Path(fresh, s"$BUCKET=$b")))
     swapDir(fs, target, fresh)
     spark.catalog.refreshByPath(targetDir)
     newNumBuckets
@@ -1425,8 +1427,8 @@ object CdcApplier {
       rangeBounds = rangeBounds))
     graft.util.AtomicFile.write(hconf, new Path(fresh, HIGHWATER), atPos.toString)
     // data-skipping sidecars for the seeded buckets (q250), same protocol
-    bucketIds(fs, fresh).foreach(b =>
-      FileStats.writeSidecar(fs, new Path(fresh, s"$BUCKET=$b")))
+    FileStats.writeSidecars(fs,
+      bucketIds(fs, fresh).map(b => new Path(fresh, s"$BUCKET=$b")))
     swapDir(fs, target, fresh)
     spark.catalog.refreshByPath(targetDir)
     numBuckets

@@ -15,6 +15,19 @@ import org.apache.spark.sql.types.DecimalType
   * no point is the live file absent or truncated. (A delete-then-rename
   * publish has a crash window where the file is simply gone.) */
 object AtomicFile {
+  /** `FileContext.getFileContext` constructs a fresh AbstractFileSystem on
+    * EVERY call (no cache, unlike `FileSystem.get`) — ~30 ms apiece, which
+    * turned each metadata publish into a constructor storm once the q250
+    * sidecars multiplied the writes per publish. One context per
+    * (scheme, authority) is safe here: every path is fully qualified, so
+    * the context's mutable working-dir state is never consulted. */
+  private val fcCache = new java.util.concurrent.ConcurrentHashMap[String, FileContext]
+  private def fcFor(q: Path, conf: Configuration): FileContext = {
+    val u = q.toUri
+    fcCache.computeIfAbsent(s"${u.getScheme}://${Option(u.getAuthority).getOrElse("")}",
+      _ => FileContext.getFileContext(u, conf))
+  }
+
   def write(conf: Configuration, live: Path, content: String): Unit = {
     val fs = live.getFileSystem(conf)
     fs.mkdirs(live.getParent)
@@ -22,7 +35,7 @@ object AtomicFile {
     val tmp = new Path(q.getParent, "." + q.getName + ".tmp")
     val out = fs.create(tmp, true)
     try out.write(content.getBytes(StandardCharsets.UTF_8)) finally out.close()
-    FileContext.getFileContext(q.toUri, conf).rename(tmp, q, Options.Rename.OVERWRITE)
+    fcFor(q, conf).rename(tmp, q, Options.Rename.OVERWRITE)
   }
 
   /** Read the live file, riding out the two transient windows a CONCURRENT
