@@ -68,7 +68,9 @@ object FileStats {
 
   /** One column's file-level statistics in its canonical domain. `mn`/`mx`
     * are None when parquet suppressed the range (e.g. NaN-bearing doubles)
-    * or every row is null. */
+    * or every row is null. `nulls` is -1 when any row group left its null
+    * count UNSET (legal in the format) — the matcher treats that as
+    * unknown, never as zero. */
   case class ColStats(kind: Char, nulls: Long, mn: Option[String], mx: Option[String])
 
   /** One data file's statistics: total rows + tracked columns. */
@@ -157,7 +159,10 @@ object FileStats {
           kindOf(chunks.head.getPrimitiveType).foreach { kind =>
             val stats = chunks.map(_.getStatistics)
             if (stats.forall(s => s != null && !s.isEmpty)) {
-              val nulls = stats.map(_.getNumNulls).sum
+              val nulls =
+                if (stats.forall(s => s.isNumNullsSet && s.getNumNulls >= 0))
+                  stats.map(_.getNumNulls).sum
+                else -1L // unknown — never treated as zero
               // a block with rows but no range (NaN suppression) poisons
               // the file's range; all-null blocks contribute nothing
               val ranged = chunks.zip(stats).forall { case (c, s) =>
@@ -333,7 +338,7 @@ object FileStats {
     * min/max pruning algebra. Conservative on every unknown. */
   def mayMatch(e: FileEntry, f: Filter): Boolean = {
     def stats(a: String): Option[ColStats] = e.cols.get(a)
-    def allNull(s: ColStats): Boolean = e.rows > 0 && s.nulls == e.rows
+    def allNull(s: ColStats): Boolean = s.nulls >= 0 && e.rows > 0 && s.nulls == e.rows
     // range test: Some(false) = provably no match, otherwise keep
     def withRange(a: String, v: Any)(test: (Char, String, String, String) => Boolean): Boolean =
       stats(a) match {
@@ -348,7 +353,7 @@ object FileStats {
     f match {
       case EqualTo(a, v) =>
         withRange(a, v)((k, c, mn, mx) => cmp(k, c, mn) >= 0 && cmp(k, c, mx) <= 0)
-      case EqualNullSafe(a, null) => stats(a).forall(_.nulls > 0)
+      case EqualNullSafe(a, null) => stats(a).forall(_.nulls != 0)
       case EqualNullSafe(a, v) =>
         withRange(a, v)((k, c, mn, mx) => cmp(k, c, mn) >= 0 && cmp(k, c, mx) <= 0)
       case In(a, vs) =>
@@ -359,7 +364,7 @@ object FileStats {
       case GreaterThanOrEqual(a, v) => withRange(a, v)((k, c, _, mx) => cmp(k, mx, c) >= 0)
       case LessThan(a, v) => withRange(a, v)((k, c, mn, _) => cmp(k, mn, c) < 0)
       case LessThanOrEqual(a, v) => withRange(a, v)((k, c, mn, _) => cmp(k, mn, c) <= 0)
-      case IsNull(a) => stats(a).forall(_.nulls > 0)
+      case IsNull(a) => stats(a).forall(_.nulls != 0) // -1 (unknown) keeps
       case IsNotNull(a) => stats(a).forall(s => !allNull(s))
       case StringStartsWith(a, v) =>
         withRange(a, v)((k, c, mn, mx) =>

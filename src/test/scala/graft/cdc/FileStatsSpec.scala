@@ -96,6 +96,11 @@ class FileStatsSpec extends AnyFunSuite {
     // unknown column / untranslatable filter / Not: keep
     assert(m(EqualTo("ghost", 1L)))
     assert(m(Not(EqualTo("k", 150L))))
+    // unset null count (-1, legal in the format) is UNKNOWN, never zero:
+    // null tests keep the file, the value range still prunes
+    val eU = FileEntry(10, Map("u" -> ColStats('i', -1, Some("1"), Some("5"))))
+    assert(FileStats.mayMatch(eU, IsNull("u")) && FileStats.mayMatch(eU, IsNotNull("u")))
+    assert(!FileStats.mayMatch(eU, EqualTo("u", 9L)))
   }
 
   test("clustered optimize makes non-key skipping fire on the Batch leg; " +
