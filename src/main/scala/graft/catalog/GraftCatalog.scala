@@ -262,9 +262,23 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
         val layoutNames = Set(CdcApplier.POS, CdcApplier.DEL, CdcApplier.BUCKET)
         val (data, layout) = s.fields.partition(f => !layoutNames(f.name))
         StructType(data ++ Seq(StructField(n, add.dataType, nullable = true)) ++ layout)
+      case (s, up: TableChange.UpdateColumnType) =>
+        require(up.fieldNames.length == 1,
+          "graft supports top-level ALTER COLUMN TYPE only")
+        // lossless type widening (q253, the S4 lattice) — EAGER and
+        // whole-target-atomic via the applier (a meta-only update would
+        // tear readers: meta bigint, files int); everything outside the
+        // lattice refuses inside widenColumn with the drift message
+        CdcApplier.widenColumn(org.apache.spark.sql.SparkSession.active,
+          dir.toString, up.fieldNames.head, up.newDataType)
+        // widenColumn swapped the meta in; re-read it as this fold's truth
+        TargetMeta.read(hconf, dir).flatMap(_.schemaJson)
+          .map(j => DataType.fromJson(j).asInstanceOf[StructType])
+          .getOrElse(s)
       case (_, c) =>
         throw new UnsupportedOperationException(
-          s"graft tables evolve additively only (ADD COLUMN); got $c")
+          s"graft tables evolve additively only (ADD COLUMN, widening " +
+            s"ALTER COLUMN TYPE); got $c")
     }
     TargetMeta.write(hconf, dir, meta.copy(schemaJson = Some(evolved.json)))
     loadTable(ident)

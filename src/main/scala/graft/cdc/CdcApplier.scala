@@ -1342,6 +1342,63 @@ object CdcApplier {
     newNumBuckets
   }
 
+  /** Eager DDL type widening (q253's SQL-DDL seam: `ALTER TABLE ... ALTER
+    * COLUMN c TYPE t`). The lazy path widens on the next change batch
+    * ([[applyBatch]]'s widen leg), but a DDL is a user-initiated rewrite
+    * NOW — and a meta-only update would tear readers (meta says bigint,
+    * files say int, the `needConversion=false` scan reads wrong ordinals).
+    * So the widen is whole-target-atomic, [[rebucket]]'s protocol: the
+    * fresh tree (cast buckets + carried root files + the widened-schema
+    * meta + fresh sidecars) swaps in with [[swapDir]] — readers see the
+    * old table or the new, never a mix. Refused outside the [[canWiden]]
+    * lattice, for PK columns, and on merge-on-read (mixed-type delta
+    * chains cannot merge-read) — exactly the applier's own rules. */
+  def widenColumn(spark: SparkSession, targetDir: String, column: String,
+      to: DataType): Unit = {
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val target = new Path(targetDir)
+    val fs = target.getFileSystem(hconf)
+    openTargetForWrite(fs, target)
+    val meta = TargetMeta.read(hconf, target).getOrElse(
+      throw new IllegalStateException(s"no graft target metadata at $targetDir"))
+    if (meta.storage.contains("mor"))
+      throw new IllegalStateException(
+        s"$targetDir is merge-on-read: mixed-type delta chains cannot merge-read; " +
+          "compactMor + re-bootstrap to widen")
+    val stored = meta.schemaJson.map(j =>
+      org.apache.spark.sql.types.DataType.fromJson(j).asInstanceOf[StructType])
+      .getOrElse(throw new IllegalStateException(
+        s"$targetDir has a pre-upgrade meta with no persisted schema"))
+    val field = stored.fields.find(_.name == column).getOrElse(
+      throw new IllegalArgumentException(s"no column '$column' at $targetDir"))
+    if (meta.pkCols.exists(_.contains(column)))
+      throw new IllegalStateException(
+        s"cannot widen PK column '$column': the bucket hash ran over the stored type")
+    if (field.dataType == to) return
+    if (!canWiden(field.dataType, to))
+      throw new IllegalStateException(
+        s"retype ${field.dataType} -> $to of '$column' is not a lossless widening")
+    val widenedSchema = StructType(stored.fields.map(f =>
+      if (f.name == column) f.copy(dataType = to) else f))
+    recoverBuckets(fs, target)
+    val fresh = new Path(targetDir + ".widen.tmp")
+    if (fs.exists(fresh)) fs.delete(fresh, true)
+    if (bucketIds(fs, target).nonEmpty)
+      spark.read.option("mergeSchema", true).parquet(targetDir)
+        .withColumn(column, col(column).cast(to))
+        .write.partitionBy(BUCKET).parquet(fresh.toString)
+    else fs.mkdirs(fresh)
+    fs.listStatus(target).filter(_.isFile).foreach { f =>
+      org.apache.hadoop.fs.FileUtil.copy(
+        fs, f.getPath, fs, new Path(fresh, f.getPath.getName), false, hconf)
+    }
+    TargetMeta.write(hconf, fresh, meta.copy(schemaJson = Some(widenedSchema.json)))
+    FileStats.writeSidecars(fs,
+      bucketIds(fs, fresh).map(b => new Path(fresh, s"$BUCKET=$b")))
+    swapDir(fs, target, fresh)
+    spark.catalog.refreshByPath(targetDir)
+  }
+
   /** The stream-cursor file name, shared with StreamingPipeline's
     * high-watermark read/write so [[bootstrap]] and the pipeline cannot
     * disagree on where the cursor lives. */

@@ -74,6 +74,38 @@ class GraftCatalogSpec extends AnyFunSuite {
     assert(e.getMessage.contains("additively"), e.getMessage)
   }
 
+  test("ALTER COLUMN TYPE widens losslessly (eager atomic rewrite); " +
+      "narrowing, PK, and mor refuse") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS gr.widen")
+    spark.sql("CREATE TABLE gr.widen.t (k BIGINT, qty INT) OPTIONS (pk 'k')")
+    spark.sql("INSERT INTO gr.widen.t SELECT id, CAST(id * 3 AS INT), CAST(NULL AS BIGINT) FROM range(1, 21)")
+    spark.sql("ALTER TABLE gr.widen.t ALTER COLUMN qty TYPE BIGINT")
+    // served type is bigint and beyond-int values now fit
+    assert(spark.sql("SELECT qty FROM gr.widen.t").schema("qty").dataType ==
+      org.apache.spark.sql.types.LongType)
+    spark.sql("INSERT INTO gr.widen.t SELECT 100L, 9000000000L, CAST(NULL AS BIGINT)")
+    val got = spark.sql("SELECT k, qty FROM gr.widen.t WHERE k IN (5, 100) ORDER BY k")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got == Seq((5L, 15L), (100L, 9000000000L)))
+    // refusals: narrowing (Spark's analyzer refuses it upstream of the
+    // catalog — also correct), cross-family, PK, mor
+    assert(intercept[Exception] {
+      spark.sql("ALTER TABLE gr.widen.t ALTER COLUMN qty TYPE INT")
+    }.getMessage.contains("NOT_SUPPORTED_CHANGE_COLUMN"))
+    assert(intercept[Exception] {
+      spark.sql("ALTER TABLE gr.widen.t ALTER COLUMN qty TYPE STRING")
+    }.getMessage.contains("widening"))
+    assert(intercept[Exception] {
+      spark.sql("ALTER TABLE gr.widen.t ALTER COLUMN k TYPE DECIMAL(38,0)")
+    }.getMessage.contains("PK"))
+    spark.sql("""CREATE TABLE gr.widen.m (k BIGINT, qty INT)
+                 OPTIONS (pk 'k', storage 'mor')""")
+    spark.sql("INSERT INTO gr.widen.m SELECT 1L, 1, CAST(100 AS BIGINT)")
+    assert(intercept[Exception] {
+      spark.sql("ALTER TABLE gr.widen.m ALTER COLUMN qty TYPE BIGINT")
+    }.getMessage.contains("merge-on-read"))
+  }
+
   test("RENAME and DROP; CTAS creates and fills in one statement") {
     spark.sql("CREATE NAMESPACE IF NOT EXISTS gr.tmp")
     spark.sql("""CREATE TABLE gr.tmp.src (k BIGINT, v DOUBLE) OPTIONS (pk 'k')""")
