@@ -141,7 +141,9 @@ object Bench {
       "q246_connector_agg_pushdown", "q247_view_rewrite_join_subset",
       "q248_bloom_cross_release", "q249_two_stage_retrieval",
       "q250_file_skipping", "q251_two_stage_keyed_fetch",
-      "q252_trained_codebook", "q253_type_widening", "q254_sql_history")
+      "q252_trained_codebook", "q253_type_widening", "q254_sql_history",
+      "q255_spj_join", "q256_named_tags", "q257_commit_fence",
+      "q258_column_rename", "q259_drop_column", "q260_codebook_refresh")
 
     def measure(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame)
         : (Double, Seq[Double], Seq[(Long, Long, Long)]) = {

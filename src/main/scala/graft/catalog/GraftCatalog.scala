@@ -49,7 +49,8 @@ import graft.sources.GraftTable
   * `Hbase2CataLog` equivalent, addressed with multi-part SQL names.
   */
 class GraftCatalog extends TableCatalog with SupportsNamespaces
-    with org.apache.spark.sql.connector.catalog.ProcedureCatalog {
+    with org.apache.spark.sql.connector.catalog.ProcedureCatalog
+    with org.apache.spark.sql.connector.catalog.FunctionCatalog {
 
   /** SQL `CALL <cat>.system.<op>(...)` — the maintenance surface
     * ([[GraftProcedures]]: optimize / compact / vacuum / rebucket /
@@ -64,6 +65,25 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     if (namespace.sameElements(Array(GraftProcedures.Namespace)))
       GraftProcedures.list(catalogName)
     else Array.empty
+
+  /** The catalog's FUNCTION surface — one entry, `bucket`, the layout's
+    * own assignment ([[graft.sources.GraftBucketFunction]]). Spark's
+    * storage-partitioned-join machinery resolves the `bucket(n, k)`
+    * transform that [[graft.sources.GraftTable.partitioning]] /
+    * [[graft.sources.GraftBatchScan.outputPartitioning]] report by loading
+    * this function from the table's own catalog (empty namespace — the
+    * V2ExpressionUtils convention), so two graft tables join
+    * shuffle-free exactly when their layouts genuinely agree. */
+  override def loadFunction(ident: Identifier)
+      : org.apache.spark.sql.connector.catalog.functions.UnboundFunction =
+    if (ident.namespace.isEmpty && ident.name == "bucket")
+      graft.sources.GraftBucketFunction
+    else throw new org.apache.spark.sql.catalyst.analysis.NoSuchFunctionException(ident)
+
+  override def listFunctions(namespace: Array[String]): Array[Identifier] =
+    if (namespace.isEmpty) Array(Identifier.of(Array.empty, "bucket"))
+    else if (namespaceExists(namespace)) Array.empty
+    else throw new NoSuchNamespaceException(namespace)
 
   private var catalogName: String = _
   private var root: Path = _
@@ -151,8 +171,12 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
   override def loadTable(ident: Identifier): Table = {
     val dir = tablePath(ident)
     if (!isTableDir(dir)) throw new NoSuchTableException(ident)
+    // spjCapable: THIS catalog resolves the `bucket` transform (q255), so
+    // tables it serves may report their layout for storage-partitioned
+    // joins; path-based/session-catalog reads must not (their catalog
+    // throws on the function lookup instead of declining).
     new GraftTable(dir.toString,
-      GraftTable.tableSchema(spark, dir.toString))
+      GraftTable.tableSchema(spark, dir.toString), spjCapable = true)
   }
 
   /** SQL time travel: `SELECT ... FROM <cat>.<ns>.<t> VERSION AS OF <pos>`
@@ -173,14 +197,20 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
   override def loadTable(ident: Identifier, version: String): Table = {
     val dir = tablePath(ident)
     if (!isTableDir(dir)) throw new NoSuchTableException(ident)
+    val meta = TargetMeta.read(hconf, tablePath(ident)).getOrElse(
+      throw new NoSuchTableException(ident))
+    // numeric = a raw _graft_pos; otherwise a NAMED TAG (q256 — tag names
+    // are refused all-digit forms at creation, so the two cannot collide)
     val pos =
       try version.toLong
       catch {
-        case _: NumberFormatException => throw new IllegalArgumentException(
-          s"graft VERSION AS OF takes a _graft_pos position (a long); got '$version'")
+        case _: NumberFormatException =>
+          meta.tags.getOrElse(Map.empty).getOrElse(version,
+            throw new IllegalArgumentException(
+              s"graft VERSION AS OF takes a _graft_pos position or a tag " +
+                s"name; '$version' is neither (tags: ${
+                  meta.tags.getOrElse(Map.empty).keys.toSeq.sorted.mkString(", ")})"))
       }
-    val meta = TargetMeta.read(hconf, tablePath(ident)).getOrElse(
-      throw new NoSuchTableException(ident))
     if (!meta.storage.contains("mor"))
       throw new IllegalStateException(
         s"$ident is copy-on-write — superseded versions are rewritten away; " +
@@ -192,7 +222,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
           "those versions have been collapsed; size the compaction cadence " +
           "to the audit horizon")
     new GraftTable(dir.toString,
-      GraftTable.tableSchema(spark, dir.toString), asOf = Some(pos))
+      GraftTable.tableSchema(spark, dir.toString), asOf = Some(pos),
+      spjCapable = true)
   }
 
   /** Case-insensitive property lookup, accepting both the bare key and
@@ -254,6 +285,13 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
           "graft supports top-level ADD COLUMN only")
         val n = add.fieldNames.head
         require(!s.fieldNames.contains(n), s"column '$n' already exists")
+        // q258: the new name must not shadow a renamed column's LOGICAL name
+        require(!meta.renames.exists(_.contains(n)),
+          s"column '$n' already exists (as a renamed column's current name)")
+        // q259: a retired physical name cannot return — old files may still
+        // carry its bytes, and a re-add would resurrect them
+        require(!meta.drops.exists(_.contains(n)),
+          s"'$n' is a retired (dropped) column's physical name; pick a fresh name")
         // additive evolution (S4): always nullable — stored rows have no
         // value for it, and the applier's merge surfaces NULL. New data
         // columns land BEFORE the layout columns so the served column
@@ -275,12 +313,31 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
         TargetMeta.read(hconf, dir).flatMap(_.schemaJson)
           .map(j => DataType.fromJson(j).asInstanceOf[StructType])
           .getOrElse(s)
+      case (s, dc: TableChange.DeleteColumn) =>
+        require(dc.fieldNames.length == 1,
+          "graft supports top-level DROP COLUMN only")
+        // column mapping (q259): META-ONLY — the physical name retires
+        // from the logical view; files rewrite on their own cadence
+        CdcApplier.dropColumn(org.apache.spark.sql.SparkSession.active,
+          dir.toString, dc.fieldNames.head)
+        s // schemaJson is physical and unchanged by a drop
+      case (s, rc: TableChange.RenameColumn) =>
+        require(rc.fieldNames.length == 1,
+          "graft supports top-level RENAME COLUMN only")
+        // column mapping (q258): META-ONLY — files keep physical names,
+        // the applier records logical->physical; guards live there
+        CdcApplier.renameColumn(org.apache.spark.sql.SparkSession.active,
+          dir.toString, rc.fieldNames.head, rc.newName)
+        s // schemaJson is physical and unchanged by a rename
       case (_, c) =>
         throw new UnsupportedOperationException(
-          s"graft tables evolve additively only (ADD COLUMN, widening " +
-            s"ALTER COLUMN TYPE); got $c")
+          s"graft tables evolve via ADD COLUMN, widening ALTER COLUMN TYPE, " +
+            s"RENAME COLUMN, and DROP COLUMN; got $c")
     }
-    TargetMeta.write(hconf, dir, meta.copy(schemaJson = Some(evolved.json)))
+    // FRESH meta for the final write: widen/rename above mutate the meta
+    // in place — a copy from the entry read would clobber their changes
+    val metaNow = TargetMeta.read(hconf, dir).getOrElse(meta)
+    TargetMeta.write(hconf, dir, metaNow.copy(schemaJson = Some(evolved.json)))
     loadTable(ident)
   }
 

@@ -43,7 +43,7 @@ object GraftProcedures {
   val Namespace = "system"
 
   private val names = Seq("optimize", "compact", "vacuum", "rebucket", "backfill",
-    "history")
+    "history", "tag", "drop_tag", "tags")
 
   def list(catalogName: String): Array[Identifier] =
     names.map(n => Identifier.of(Array(Namespace), n)).toArray
@@ -82,6 +82,14 @@ class GraftProcedure(root: Path, op: String) extends UnboundProcedure with Bound
       in("expression", StringType).build(),
       in("max_buckets", IntegerType).defaultValue("2147483647").build())
     case "history" => Array(in("table", StringType).build())
+    case "tag" => Array(
+      in("table", StringType).build(),
+      in("name", StringType).build(),
+      in("pos", LongType).build())
+    case "drop_tag" => Array(
+      in("table", StringType).build(),
+      in("name", StringType).build())
+    case "tags" => Array(in("table", StringType).build())
   }
 
   private def dirOf(table: String): String = {
@@ -126,6 +134,34 @@ class GraftProcedure(root: Path, op: String) extends UnboundProcedure with Bound
       }
       return java.util.Collections.singletonList[Scan](new LocalScan {
         override def rows(): Array[InternalRow] = outRows
+        override def readSchema(): StructType = schema
+      }).iterator()
+    }
+    // Named refs (q256): tag/drop_tag mutate `.graft_meta` through the
+    // applier's own guards (mor-only, answerable-position, no-overwrite,
+    // collapse-pinning); `tags` lists them with live answerability.
+    if (op == "tag" || op == "drop_tag" || op == "tags") {
+      val hconf = spark.sparkContext.hadoopConfiguration
+      if (op == "tag")
+        CdcApplier.createTag(spark, dir, input.getUTF8String(1).toString,
+          input.getLong(2))
+      else if (op == "drop_tag")
+        CdcApplier.dropTag(spark, dir, input.getUTF8String(1).toString)
+      val meta = TargetMeta.read(hconf, new Path(dir)).getOrElse(
+        throw new IllegalStateException(s"no graft table state at $dir"))
+      val floorT = math.max(meta.horizon, meta.collapsed.getOrElse(Long.MinValue))
+      val schema = StructType(Seq(
+        StructField("tag", StringType, nullable = false),
+        StructField("position", LongType, nullable = false),
+        StructField("answerable", org.apache.spark.sql.types.BooleanType,
+          nullable = false)))
+      val tagRows: Array[InternalRow] = meta.tags.getOrElse(Map.empty).toSeq.sorted
+        .map { case (n, p) =>
+          new GenericInternalRow(Array[Any](
+            UTF8String.fromString(n), p, p >= floorT)): InternalRow
+        }.toArray
+      return java.util.Collections.singletonList[Scan](new LocalScan {
+        override def rows(): Array[InternalRow] = tagRows
         override def readSchema(): StructType = schema
       }).iterator()
     }

@@ -136,12 +136,33 @@ object CdcApplier {
     *    ACKNOWLEDGED-position prefix — exactly the high-water contract the
     *    streaming tail already polls; an unacknowledged batch's rows
     *    surface when its replay publishes and meta catches up. */
+  /**  - `tags`: NAMED position refs (q256; public design point: Iceberg
+    *    tags): `name -> _graft_pos`, served by SQL `VERSION AS OF 'name'`
+    *    and the `tag`/`drop_tag`/`tags` procedures. A tag PINS its history:
+    *    [[compactMor]]/[[vacuumMor]] refuse any collapse that would raise
+    *    the as-of floor above a tagged position (drop the tag first) — so
+    *    a tag, once created, stays answerable until explicitly dropped.
+    *  - `renames`: COLUMN-MAPPING for non-key data columns (q258; public
+    *    design point: Delta Lake column mapping): `logical -> physical`.
+    *    Data files and `schemaJson` keep PHYSICAL names forever — a rename
+    *    is one meta entry, zero file rewrites at any size — and only the
+    *    serving edges translate: reads alias physical→logical on the way
+    *    out ([[logicalize]]), incoming change batches map logical→physical
+    *    on the way in ([[delogicalizeChanges]]), pushed predicates
+    *    translate before footer/sidecar matching. PK and bucket columns
+    *    refuse to rename (they are the layout's identity).
+    * (The commit-fence sequence — q257, [[withCommitTicket]] — deliberately
+    * does NOT live here: it is the `.graft_commits` marker directory, so
+    * claiming and advancing it never rewrites this file.) */
   case class TargetMeta(numBuckets: Int, horizon: Long,
       schemaJson: Option[String] = None, pkCols: Option[Seq[String]] = None,
       bucketCols: Option[Seq[String]] = None, storage: Option[String] = None,
       collapsed: Option[Long] = None, rangeBounds: Option[Seq[Long]] = None,
       maxPos: Option[Long] = None,
-      bucketMaxPos: Option[Map[Int, Long]] = None)
+      bucketMaxPos: Option[Map[Int, Long]] = None,
+      tags: Option[Map[String, Long]] = None,
+      renames: Option[Map[String, String]] = None,
+      drops: Option[Seq[String]] = None)
 
   object TargetMeta {
     private def metaPath(target: Path) = new Path(target, ".graft_meta")
@@ -156,7 +177,12 @@ object CdcApplier {
           kv.get("rangeBounds").map(_.split(",").toSeq.filter(_.nonEmpty).map(_.toLong)),
           kv.get("maxPos").map(_.toLong),
           kv.get("bucketMaxPos").map(_.split(",").toSeq.filter(_.nonEmpty)
-            .map { e => val Array(b, p) = e.split(":"); b.toInt -> p.toLong }.toMap))
+            .map { e => val Array(b, p) = e.split(":"); b.toInt -> p.toLong }.toMap),
+          kv.get("tags").map(_.split(",").toSeq.filter(_.nonEmpty)
+            .map { e => val i = e.lastIndexOf(':'); e.take(i) -> e.drop(i + 1).toLong }.toMap),
+          kv.get("renames").map(_.split(",").toSeq.filter(_.nonEmpty)
+            .map { e => val Array(l, p) = e.split(":", 2); l -> p }.toMap),
+          kv.get("drops").map(_.split(",").toSeq.filter(_.nonEmpty)))
       }
 
     def write(conf: org.apache.hadoop.conf.Configuration, target: Path, m: TargetMeta): Unit =
@@ -171,7 +197,141 @@ object CdcApplier {
           m.bucketMaxPos.map(bm => s"bucketMaxPos=${
             bm.toSeq.sorted.map { case (b, p) => s"$b:$p" }.mkString(",")}\n")
             .getOrElse("") +
+          m.tags.filter(_.nonEmpty).map(ts => s"tags=${
+            ts.toSeq.sorted.map { case (n, p) => s"$n:$p" }.mkString(",")}\n")
+            .getOrElse("") +
+          m.renames.filter(_.nonEmpty).map(rn => s"renames=${
+            rn.toSeq.sorted.map { case (l, p) => s"$l:$p" }.mkString(",")}\n")
+            .getOrElse("") +
+          m.drops.filter(_.nonEmpty).map(ds => s"drops=${ds.sorted.mkString(",")}\n")
+            .getOrElse("") +
           m.schemaJson.map(j => s"schema=$j\n").getOrElse(""))
+  }
+
+  /** A CONCURRENT writer holds (or held) this target's commit ticket —
+    * retryable after the conflict is resolved: wait for the live writer, or
+    * [[reclaimCommit]] if the holder is known dead (the restart contract). */
+  class GraftConcurrentWriteException(msg: String) extends IllegalStateException(msg)
+
+  // ---- commit fence (q257) -------------------------------------------------
+  //
+  // Every bucket-swapping publisher claims the NEXT commit ticket — an
+  // EXCLUSIVE marker-file create, the one atomic filesystem primitive —
+  // before touching state, and converts it to a DONE marker only after its
+  // publish completes (public design point: Delta's optimistic commit
+  // protocol / HBase region fencing). Two concurrent writers (a split-brain
+  // applier after failover, a second misconfigured pipeline, an optimize
+  // racing an apply) therefore fail LOUDLY at entry instead of silently
+  // losing each other's merges in last-swap-wins bucket interleavings.
+  //
+  // State lives ONLY in the `.graft_commits` marker directory — never in
+  // `.graft_meta`, so fencing adds no meta rewrite: the current sequence is
+  // the highest `d<seq>` (done) marker; a claim is `c<seq+1>` created with
+  // overwrite=false; success renames it to `d<seq+1>` and drops the
+  // previous done marker. Single-writer cost per publish: one listing, one
+  // create, one rename, one delete — all metadata ops on empty files.
+  //
+  // Crash windows: died HOLDING the claim → `c<cur+1>` persists and every
+  // later claim conflicts until the restarted single writer calls
+  // [[reclaimCommit]] (it alone can assert the prior holder is dead — the
+  // same contract bootstrap/restart already carries; bucket-level recovery
+  // plus replay convergence make re-running the fenced batch safe). Died
+  // AFTER the rename → a lower done marker lingers and the next claim
+  // garbage-collects it. A claim that slips in between a zombie's listing
+  // and its create is closed by the post-create re-list check below.
+
+  private def commitsDir(target: Path) = new Path(target, ".graft_commits")
+  private def claimPath(target: Path, seq: Long) = new Path(commitsDir(target), s"c$seq")
+  private def donePath(target: Path, seq: Long) = new Path(commitsDir(target), s"d$seq")
+
+  private def markerSeq(name: String): Option[Long] =
+    if (name.length > 1 && (name.head == 'c' || name.head == 'd') &&
+      name.drop(1).forall(_.isDigit)) Some(name.drop(1).toLong)
+    else None
+
+  /** The target's committed sequence: the highest done marker (0 = no
+    * fenced publish yet — pre-upgrade targets fence from their next one). */
+  def commitSeq(fs: FileSystem, target: Path): Long = {
+    val d = commitsDir(target)
+    if (!fs.exists(d)) 0L
+    else fs.listStatus(d).toSeq
+      .flatMap(st => if (st.getPath.getName.head == 'd') markerSeq(st.getPath.getName) else None)
+      .foldLeft(0L)(math.max)
+  }
+
+  /** Claim the next commit ticket. Returns the claimed sequence. */
+  private[graft] def claimCommit(fs: FileSystem, target: Path): Long = {
+    fs.mkdirs(commitsDir(target))
+    val listing = fs.listStatus(commitsDir(target)).toSeq.map(_.getPath)
+    val cur = listing.flatMap(p =>
+      if (p.getName.head == 'd') markerSeq(p.getName) else None).foldLeft(0L)(math.max)
+    // GC: done markers below the current one (crash between rename and
+    // delete) and claim markers at or below it (completed or superseded).
+    listing.foreach { p =>
+      markerSeq(p.getName).foreach { s =>
+        if ((p.getName.head == 'd' && s < cur) || (p.getName.head == 'c' && s <= cur))
+          fs.delete(p, false)
+      }
+    }
+    val next = cur + 1
+    val claim = claimPath(target, next)
+    val claimed =
+      try { fs.create(claim, false).close(); true }
+      catch { case _: IOException => false }
+    if (!claimed)
+      throw new GraftConcurrentWriteException(
+        s"commit $next of $target is already claimed by a concurrent writer " +
+          "— retry after it finishes, or reclaimCommit() if it is known dead")
+    // close the list-vs-create race: if the sequence advanced in between,
+    // this claim names a transition that already happened — release it.
+    val cur2 = commitSeq(fs, target)
+    if (cur2 != cur) {
+      fs.delete(claim, false)
+      throw new GraftConcurrentWriteException(
+        s"commit sequence of $target advanced $cur -> $cur2 during claim — " +
+          "a concurrent writer published; retry from fresh state")
+    }
+    next
+  }
+
+  /** Run `body` under the target's commit ticket: claim, execute, convert
+    * the claim to the done marker. On ANY body failure the claim is
+    * released WITHOUT advancing (refusal legs — drift guards, tag pins —
+    * must not burn sequence numbers or leave the target fenced). */
+  private[graft] def withCommitTicket[T](spark: SparkSession, targetDir: String)(body: => T): T = {
+    val target = new Path(targetDir)
+    val fs = target.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val seq = claimCommit(fs, target)
+    val result =
+      try body
+      catch { case e: Throwable => fs.delete(claimPath(target, seq), false); throw e }
+    if (fs.exists(claimPath(target, seq))) {
+      if (!fs.rename(claimPath(target, seq), donePath(target, seq)))
+        throw new IOException(s"cannot finalize commit $seq of $target")
+    } else {
+      // a WHOLE-TARGET swap (bootstrap/rebucket/widen) replaced the dir —
+      // and the marker directory with it; re-seed the done marker in the
+      // fresh dir so the sequence carries across the swap
+      fs.mkdirs(commitsDir(target))
+      fs.create(donePath(target, seq), true).close()
+    }
+    fs.delete(donePath(target, seq - 1), false)
+    result
+  }
+
+  /** Adopt a dead writer's commit ticket: deletes the `commitSeq+1` claim
+    * marker left by a holder that crashed mid-publish. ONLY the restarted
+    * single writer may call this (it alone can assert the prior holder is
+    * dead — reclaiming a LIVE holder's ticket would re-open the lost-update
+    * race this fence exists to close). Returns true iff a stale ticket was
+    * reclaimed. Bucket-level crash recovery is unchanged — the next
+    * publisher's openTargetForWrite already restores interrupted swaps;
+    * replay convergence makes re-running the fenced batch safe. */
+  def reclaimCommit(spark: SparkSession, targetDir: String): Boolean = {
+    val target = new Path(targetDir)
+    val fs = target.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val stale = claimPath(target, commitSeq(fs, target) + 1)
+    if (fs.exists(stale)) { fs.delete(stale, false); true } else false
   }
 
   /** `true` iff retyping `from` → `to` is LOSSLESS — the type-widening
@@ -207,7 +367,7 @@ object CdcApplier {
     *    evolves the stored schema additively (new nullable column).
     * Layout columns are excluded from the comparison. */
   def checkSchemaDrift(target: StructType, incoming: StructType, pkCols: Seq[String],
-      allowWidening: Boolean = false): Unit = {
+      allowWidening: Boolean = false, dropped: Set[String] = Set.empty): Unit = {
     val layout = Set(POS, DEL, BUCKET, KIND)
     pkCols.foreach { k =>
       val t = target.fields.find(_.name == k)
@@ -216,7 +376,10 @@ object CdcApplier {
         throw new IllegalStateException(
           s"PK schema drift on '$k': target=${t.map(_.dataType)} incoming=${i.map(_.dataType)}")
     }
-    target.fields.filterNot(f => layout(f.name) || pkCols.contains(f.name)).foreach { t =>
+    // retired columns (q259 DROP) are exempt: a post-drop batch omits them
+    // by design, and a pre-drop replay carrying them is equally legal
+    target.fields.filterNot(f =>
+      layout(f.name) || pkCols.contains(f.name) || dropped(f.name)).foreach { t =>
       incoming.fields.find(_.name == t.name) match {
         case None => throw new IllegalStateException(
           s"schema drift: stored column '${t.name}' (${t.dataType}) is missing from the " +
@@ -312,14 +475,16 @@ object CdcApplier {
           resolveOnRead(raw, meta.flatMap(_.pkCols).getOrElse(
             throw new IllegalStateException(s"mor layout at $targetDir has no persisted PK")))
         else raw
-      resolved.filter(!col(DEL)).drop(DEL, BUCKET)
+      logicalize(resolved.filter(!col(DEL)).drop(DEL, BUCKET), meta)
     } else {
-      val schema = TargetMeta.read(spark.sparkContext.hadoopConfiguration, target)
+      val meta = TargetMeta.read(spark.sparkContext.hadoopConfiguration, target)
+      val schema = meta
         .flatMap(_.schemaJson)
         .map(j => org.apache.spark.sql.types.DataType.fromJson(j).asInstanceOf[StructType])
         .getOrElse(throw new IllegalStateException(s"no graft table state at $targetDir"))
-      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
-        .drop(DEL, BUCKET)
+      logicalize(
+        spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+          .drop(DEL, BUCKET), meta)
     }
   }
 
@@ -430,6 +595,10 @@ object CdcApplier {
     * by a replay re-appends value-identical (key, pos) rows, which
     * [[resolveOnRead]] collapses — convergence holds. */
   def applyBatchMor(
+      spark: SparkSession, changes: DataFrame, targetDir: String, opts: Options): Seq[Int] =
+    withCommitTicket(spark, targetDir)(applyBatchMorInner(spark, changes, targetDir, opts))
+
+  private def applyBatchMorInner(
       spark: SparkSession, changes: DataFrame, targetDir: String, opts: Options): Seq[Int] = {
     val hconf = spark.sparkContext.hadoopConfiguration
     val target = new Path(targetDir)
@@ -450,7 +619,8 @@ object CdcApplier {
           s"caller configured ${opts.pkCols.mkString(",")}")
     val (bucketOrder, rangeBounds, numBuckets) = resolveLayout(meta, opts, pkOrder)
 
-    val inHorizon = resolveBatch(changes, opts)
+    // write-side column mapping (q258): logical envelope names → physical
+    val inHorizon = resolveBatch(delogicalizeChanges(changes, meta), opts)
     val resolved = (if (horizon == Long.MinValue) inHorizon
                     else inHorizon.filter(col(POS) > horizon))
       .withColumn(DEL, col(KIND) === "delete").drop(KIND)
@@ -466,7 +636,8 @@ object CdcApplier {
       m.schemaJson.foreach(j =>
         checkSchemaDrift(
           org.apache.spark.sql.types.DataType.fromJson(j).asInstanceOf[StructType],
-          resolved.schema, pkOrder))
+          resolved.schema, pkOrder,
+          dropped = m.drops.getOrElse(Seq.empty).toSet))
     }
 
     val token = java.util.UUID.randomUUID.toString.replace("-", "").take(12)
@@ -552,10 +723,220 @@ object CdcApplier {
           "to the audit horizon")
     val pkCols = meta.pkCols.getOrElse(
       throw new IllegalStateException(s"mor layout at $targetDir has no persisted PK"))
-    resolveOnRead(
-      spark.read.option("mergeSchema", true).parquet(targetDir).filter(col(POS) <= pos),
-      pkCols)
-      .filter(!col(DEL)).drop(DEL, BUCKET)
+    logicalize(
+      resolveOnRead(
+        spark.read.option("mergeSchema", true).parquet(targetDir).filter(col(POS) <= pos),
+        pkCols)
+        .filter(!col(DEL)).drop(DEL, BUCKET),
+      Some(meta))
+  }
+
+  // ---- column mapping (q258) ----------------------------------------------
+
+  /** logical → physical for one column name: a `renames` key maps to its
+    * physical; anything else (physical names, never-renamed columns,
+    * layout columns) passes through. */
+  private[graft] def physicalName(meta: Option[TargetMeta], name: String): String =
+    meta.flatMap(_.renames).flatMap(_.get(name)).getOrElse(name)
+
+  /** physical → logical (reverse lookup; identity when unmapped). */
+  private[graft] def logicalName(meta: Option[TargetMeta], phys: String): String =
+    meta.flatMap(_.renames).flatMap(_.collectFirst {
+      case (l, p) if p == phys => l
+    }).getOrElse(phys)
+
+  /** Serve a physically-named frame under the table's LOGICAL view — the
+    * read-side translation every serving edge applies: dropped columns
+    * (q259) disappear, renamed columns (q258) take their logical names.
+    * Identity when the table has neither. */
+  private[graft] def logicalize(df: DataFrame, meta: Option[TargetMeta]): DataFrame = {
+    val dropped = meta.flatMap(_.drops).getOrElse(Seq.empty)
+      .filter(df.columns.contains)
+    val undropped = if (dropped.isEmpty) df else df.drop(dropped: _*)
+    meta.flatMap(_.renames).filter(_.nonEmpty).fold(undropped) { rn =>
+      rn.foldLeft(undropped) { case (d, (log, phys)) =>
+        if (d.columns.contains(phys)) d.withColumnRenamed(phys, log) else d
+      }
+    }
+  }
+
+  /** Map an incoming change envelope's image-struct field names to the
+    * layout's physical names — the write-side translation. Accepts the
+    * CURRENT logical name (the post-rename upstream schema) and the
+    * physical name (pre-rename replays) for each column; an intermediate
+    * name from a CHAINED rename is not resolvable (its mapping is gone —
+    * same as Delta, where files know ids, not name history) and lands on
+    * the additive-evolution path like any unknown column. */
+  private def delogicalizeChanges(changes: DataFrame, meta: Option[TargetMeta]): DataFrame = {
+    val rn = meta.flatMap(_.renames).getOrElse(Map.empty)
+    if (rn.isEmpty) return changes
+    val fields = changes.schema("after").dataType.asInstanceOf[StructType].fieldNames.toSeq
+    if (fields.forall(f => !rn.contains(f))) return changes
+    def remap(side: String) = when(col(side).isNotNull,
+      struct(fields.map(f => col(s"$side.$f").as(rn.getOrElse(f, f))): _*))
+    changes.withColumn("before", remap("before")).withColumn("after", remap("after"))
+  }
+
+  /** Rename a non-key data column (q258) — META-ONLY, zero file rewrites at
+    * any scale: files keep their physical names; `renames` carries the
+    * logical view. Refusals: PK/bucket columns (the layout's identity),
+    * layout columns, unknown columns, and any target name already serving
+    * as a logical or physical name (either collision would make the
+    * logical view ambiguous). Renaming a column BACK to its physical name
+    * simply drops the mapping. Fenced like every meta mutation. */
+  def renameColumn(spark: SparkSession, targetDir: String, from: String, to: String): Unit =
+    withCommitTicket(spark, targetDir) {
+      val hconf = spark.sparkContext.hadoopConfiguration
+      val target = new Path(targetDir)
+      val meta = TargetMeta.read(hconf, target).getOrElse(
+        throw new IllegalStateException(s"no graft table state at $targetDir"))
+      val stored = meta.schemaJson.map(j =>
+        org.apache.spark.sql.types.DataType.fromJson(j).asInstanceOf[StructType]).getOrElse(
+        throw new IllegalStateException(
+          s"$targetDir has a pre-upgrade meta with no persisted schema; run one applyBatch first"))
+      val rn = meta.renames.getOrElse(Map.empty)
+      val layout = Set(POS, DEL, BUCKET, KIND)
+      val keyCols = (meta.pkCols.getOrElse(Seq.empty) ++
+        meta.bucketCols.getOrElse(Seq.empty)).toSet
+      // `from` must be a CURRENT logical column (not retired by a drop)
+      val droppedR = meta.drops.getOrElse(Seq.empty).toSet
+      val phys = rn.getOrElse(from,
+        if (stored.fieldNames.contains(from) && !rn.values.toSet.contains(from) &&
+          !droppedR.contains(from)) from
+        else throw new IllegalArgumentException(
+          s"no column '$from' at $targetDir (current columns: ${
+            stored.fieldNames.filterNot(layout).filterNot(droppedR)
+              .map(logicalName(Some(meta), _)).mkString(", ")})"))
+      if (layout(phys) || keyCols(phys))
+        throw new IllegalArgumentException(
+          s"cannot rename '$from': PK/bucket/layout columns are the layout's identity")
+      require(to.matches("[A-Za-z_][A-Za-z0-9_]*"),
+        s"rename target '$to' must be [A-Za-z_][A-Za-z0-9_]*")
+      val currentLogicals = stored.fieldNames.filterNot(layout)
+        .map(logicalName(Some(meta), _)).toSet
+      val physNames = stored.fieldNames.toSet
+      if (currentLogicals.contains(to) && to != from)
+        throw new IllegalArgumentException(s"column '$to' already exists at $targetDir")
+      if (physNames.contains(to) && to != phys)
+        throw new IllegalArgumentException(
+          s"'$to' is another column's physical name at $targetDir — it would shadow " +
+            "that column's storage")
+      val updated = if (to == phys) rn - from else (rn - from) + (to -> phys)
+      TargetMeta.write(hconf, target,
+        meta.copy(renames = if (updated.isEmpty) None else Some(updated)))
+    }
+
+  /** Drop a non-key data column (q259) — META-ONLY, the mirror of
+    * [[renameColumn]] (Delta column mapping's drop): files keep the bytes
+    * until their buckets naturally rewrite; `drops` retires the PHYSICAL
+    * name from the logical view at every serving edge. Replays still
+    * carrying the column apply cleanly (their values land in the retired
+    * storage, invisible); post-drop batches simply omit it
+    * ([[checkSchemaDrift]] skips retired names). The retired physical name
+    * cannot be re-added (files may still carry its old values — a re-add
+    * would resurrect them; pick a fresh name). PK/bucket/layout columns
+    * refuse. Fenced like every meta mutation. */
+  def dropColumn(spark: SparkSession, targetDir: String, name: String): Unit =
+    withCommitTicket(spark, targetDir) {
+      val hconf = spark.sparkContext.hadoopConfiguration
+      val target = new Path(targetDir)
+      val meta = TargetMeta.read(hconf, target).getOrElse(
+        throw new IllegalStateException(s"no graft table state at $targetDir"))
+      val stored = meta.schemaJson.map(j =>
+        org.apache.spark.sql.types.DataType.fromJson(j).asInstanceOf[StructType]).getOrElse(
+        throw new IllegalStateException(
+          s"$targetDir has a pre-upgrade meta with no persisted schema; run one applyBatch first"))
+      val rn = meta.renames.getOrElse(Map.empty)
+      val layout = Set(POS, DEL, BUCKET, KIND)
+      val dropped = meta.drops.getOrElse(Seq.empty).toSet
+      val phys = rn.getOrElse(name,
+        if (stored.fieldNames.contains(name) && !rn.values.toSet.contains(name) &&
+          !dropped.contains(name)) name
+        else throw new IllegalArgumentException(s"no column '$name' at $targetDir"))
+      if (layout(phys) ||
+        (meta.pkCols.getOrElse(Seq.empty) ++ meta.bucketCols.getOrElse(Seq.empty))
+          .contains(phys))
+        throw new IllegalArgumentException(
+          s"cannot drop '$name': PK/bucket/layout columns are the layout's identity")
+      TargetMeta.write(hconf, target, meta.copy(
+        renames = Some(rn - name).filter(_.nonEmpty),
+        drops = Some((dropped + phys).toSeq.sorted)))
+    }
+
+  /** Create a NAMED position ref (q256; public design point: Iceberg tags):
+    * `VERSION AS OF '<name>'` and [[snapshotAsOfTag]] then serve the state
+    * at the tagged `_graft_pos`. Tags live in `.graft_meta` (one atomic
+    * rename — same crash-safety as every meta change) and PIN their
+    * history: [[compactMor]]/[[vacuumMor]] refuse any collapse that would
+    * raise the as-of floor above a tagged position, so a tag stays
+    * answerable until [[dropTag]]. Only merge-on-read layouts retain
+    * history, so only they can be tagged; a purely-numeric name is refused
+    * (SQL `VERSION AS OF` parses digits as a raw position — the name would
+    * be unreachable); a tag at an unanswerable or not-yet-published
+    * position is refused (it could never serve what it claims). */
+  def createTag(spark: SparkSession, targetDir: String, name: String, pos: Long): Unit = {
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val target = new Path(targetDir)
+    val meta = TargetMeta.read(hconf, target).getOrElse(
+      throw new IllegalStateException(s"no graft table state at $targetDir"))
+    if (!meta.storage.contains("mor"))
+      throw new IllegalStateException(
+        s"$targetDir is copy-on-write — superseded versions are rewritten away; " +
+          "tags need the mor layout")
+    require(name.nonEmpty && name.matches("[A-Za-z0-9_.\\-]+"),
+      s"tag name '$name' must be [A-Za-z0-9_.-]+")
+    require(!name.forall(_.isDigit),
+      s"tag name '$name' is all digits — VERSION AS OF would read it as a position")
+    val floor = math.max(meta.horizon, meta.collapsed.getOrElse(Long.MinValue))
+    if (pos < floor)
+      throw new IllegalArgumentException(
+        s"tag '$name' at $pos predates the retained history (floor $floor)")
+    meta.maxPos.foreach { hi =>
+      if (pos > hi) throw new IllegalArgumentException(
+        s"tag '$name' at $pos is beyond the published high-water mark $hi")
+    }
+    val tags = meta.tags.getOrElse(Map.empty)
+    if (tags.contains(name))
+      throw new IllegalStateException(
+        s"tag '$name' already exists at ${tags(name)} — drop it first")
+    TargetMeta.write(hconf, target, meta.copy(tags = Some(tags + (name -> pos))))
+  }
+
+  /** Drop a named ref — after this the tagged history is collapse-eligible
+    * again. Unknown names refuse (a silent no-op would hide typos from the
+    * retention pipeline that believes it unpinned something). */
+  def dropTag(spark: SparkSession, targetDir: String, name: String): Unit = {
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val target = new Path(targetDir)
+    val meta = TargetMeta.read(hconf, target).getOrElse(
+      throw new IllegalStateException(s"no graft table state at $targetDir"))
+    val tags = meta.tags.getOrElse(Map.empty)
+    if (!tags.contains(name))
+      throw new IllegalArgumentException(s"no tag '$name' at $targetDir")
+    TargetMeta.write(hconf, target, meta.copy(tags = Some(tags - name)))
+  }
+
+  /** [[snapshotAsOf]] addressed by tag name. */
+  def snapshotAsOfTag(spark: SparkSession, targetDir: String, name: String): DataFrame = {
+    val meta = TargetMeta.read(
+      spark.sparkContext.hadoopConfiguration, new Path(targetDir)).getOrElse(
+      throw new IllegalStateException(s"no graft table state at $targetDir"))
+    val pos = meta.tags.getOrElse(Map.empty).getOrElse(name,
+      throw new IllegalArgumentException(s"no tag '$name' at $targetDir"))
+    snapshotAsOf(spark, targetDir, pos)
+  }
+
+  /** The tag-pinning guard: refuse a collapse whose new floor would strand
+    * any tag below it ([[compactMor]]/[[vacuumMor]] call this BEFORE
+    * touching state). The error names the blocking tags — the operator
+    * either drops them or retains past them, never silently breaks them. */
+  private def requireTagsAnswerable(meta: TargetMeta, newFloor: Long, op: String): Unit = {
+    val stranded = meta.tags.getOrElse(Map.empty).filter(_._2 < newFloor).toSeq.sorted
+    if (stranded.nonEmpty)
+      throw new IllegalStateException(
+        s"$op would raise the as-of floor to $newFloor, stranding tag(s) " +
+          stranded.map { case (n, p) => s"'$n'@$p" }.mkString(", ") +
+          " — drop them first or retain past them")
   }
 
   /** Range scan against a RANGE-bucketed snapshot — the reference target's
@@ -587,7 +968,7 @@ object CdcApplier {
     val resolved =
       if (meta.storage.contains("mor")) resolveOnRead(pruned, pkCols)
       else pruned
-    resolved.filter(!col(DEL)).drop(DEL, BUCKET)
+    logicalize(resolved.filter(!col(DEL)).drop(DEL, BUCKET), Some(meta))
   }
 
   /** Change-data feed FROM a merge-on-read target: reconstruct the CDC
@@ -645,7 +1026,13 @@ object CdcApplier {
         spark.read.option("mergeSchema", true).option("basePath", targetDir)
           .parquet(read.map(b => s"$targetDir/$BUCKET=$b"): _*)
       }
-    val dataCols = raw.columns.filterNot(c => c == POS || c == DEL || c == BUCKET).toSeq
+    // envelope image structs serve LOGICAL field names (q258) — the feed's
+    // consumers replay into applyBatch, whose write-side translation maps
+    // them back; a consumer seeing physical names would desync on rename
+    val droppedCF = meta.drops.getOrElse(Seq.empty).toSet
+    val dataCols = raw.columns
+      .filterNot(c => c == POS || c == DEL || c == BUCKET || droppedCF(c)).toSeq
+    val logicalOf: String => String = c => logicalName(Some(meta), c)
     // Touched-key DISCOVERY rides the q250 file statistics: a delta file
     // whose max position is at or below the cursor cannot hold a
     // qualifying row (every key touched past the cursor has its
@@ -670,7 +1057,7 @@ object CdcApplier {
     val versions = raw.join(touched, pkCols, "left_semi")
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(pkCols.map(col): _*).orderBy(col(POS))
-    val img = struct(dataCols.map(col): _*)
+    val img = struct(dataCols.map(c => col(c).as(logicalOf(c))): _*)
     versions
       .withColumn("_prev", lag(struct(img.as("img"), col(DEL).as("del")), 1).over(w))
       .filter(col(POS) > fromPos)
@@ -693,7 +1080,10 @@ object CdcApplier {
     * through the same crash-safe per-bucket swap as the copy-on-write
     * path. Readers before/after see identical state; the delta files and
     * their window cost are gone. */
-  def compactMor(spark: SparkSession, targetDir: String): Seq[Int] = {
+  def compactMor(spark: SparkSession, targetDir: String): Seq[Int] =
+    withCommitTicket(spark, targetDir)(compactMorInner(spark, targetDir))
+
+  private def compactMorInner(spark: SparkSession, targetDir: String): Seq[Int] = {
     val hconf = spark.sparkContext.hadoopConfiguration
     val target = new Path(targetDir)
     val fs = target.getFileSystem(hconf)
@@ -709,6 +1099,8 @@ object CdcApplier {
     val raw = spark.read.option("mergeSchema", true).parquet(targetDir)
     // the as-of floor: every position at or below this loses its history
     val maxPos = raw.agg(max(col(POS))).collect()(0).getLong(0)
+    // tags pin history (q256): refuse rather than strand a named ref
+    requireTagsAnswerable(meta, maxPos, "compactMor")
     val resolved = resolveOnRead(raw, pkCols)
     val tmp = new Path(targetDir + ".tmp")
     if (fs.exists(tmp)) fs.delete(tmp, true)
@@ -738,7 +1130,11 @@ object CdcApplier {
     * before/after (the collapsed image keeps each winner's own pos/del).
     * Rides the same crash-safe per-bucket swap; a no-op (nothing below
     * the window) touches nothing. */
-  def vacuumMor(spark: SparkSession, targetDir: String, retainFromPos: Long): Seq[Int] = {
+  def vacuumMor(spark: SparkSession, targetDir: String, retainFromPos: Long): Seq[Int] =
+    withCommitTicket(spark, targetDir)(vacuumMorInner(spark, targetDir, retainFromPos))
+
+  private def vacuumMorInner(
+      spark: SparkSession, targetDir: String, retainFromPos: Long): Seq[Int] = {
     val hconf = spark.sparkContext.hadoopConfiguration
     val target = new Path(targetDir)
     val fs = target.getFileSystem(hconf)
@@ -756,6 +1152,8 @@ object CdcApplier {
     val oldMaxRow = old.agg(max(col(POS))).collect()(0)
     if (oldMaxRow.isNullAt(0)) return Seq.empty // nothing below the window
     val oldMax = oldMaxRow.getLong(0)
+    // tags pin history (q256): refuse rather than strand a named ref
+    requireTagsAnswerable(meta, oldMax, "vacuumMor")
     val merged = resolveOnRead(old, pkCols)
       .unionByName(raw.filter(col(POS) >= retainFromPos))
     val tmp = new Path(targetDir + ".tmp")
@@ -853,7 +1251,7 @@ object CdcApplier {
     val resolved =
       if (meta.storage.contains("mor")) resolveOnRead(matched, pkCols)
       else matched
-    resolved.filter(!col(DEL)).drop(DEL, BUCKET)
+    logicalize(resolved.filter(!col(DEL)).drop(DEL, BUCKET), Some(meta))
   }
 
   /** [[snapshot]] for callers that must distinguish "this target was never
@@ -885,6 +1283,10 @@ object CdcApplier {
     * Returns the touched bucket ids so downstream sinks can replicate
     * incrementally. */
   def applyBatch(
+      spark: SparkSession, changes: DataFrame, targetDir: String, opts: Options): Seq[Int] =
+    withCommitTicket(spark, targetDir)(applyBatchInner(spark, changes, targetDir, opts))
+
+  private def applyBatchInner(
       spark: SparkSession, changes: DataFrame, targetDir: String, opts: Options): Seq[Int] = {
     val hconf = spark.sparkContext.hadoopConfiguration
     val target = new Path(targetDir)
@@ -918,7 +1320,8 @@ object CdcApplier {
     // Events at or below the compaction horizon are already applied and
     // their tombstones may be gone — discard instead of merging (a stale
     // upsert below the horizon must not resurrect a compacted delete).
-    val inHorizon = resolveBatch(changes, opts)
+    // write-side column mapping (q258): logical envelope names → physical.
+    val inHorizon = resolveBatch(delogicalizeChanges(changes, meta), opts)
     val resolved = (if (horizon == Long.MinValue) inHorizon
                     else inHorizon.filter(col(POS) > horizon))
       .withColumn(BUCKET, bucketExpr(bucketOrder, numBuckets, rangeBounds))
@@ -941,7 +1344,8 @@ object CdcApplier {
         if (hasState) Some(spark.read.option("mergeSchema", true).parquet(targetDir))
         else None
       stored.foreach(s =>
-        checkSchemaDrift(s.schema, resolved.schema, opts.pkCols, allowWidening = true))
+        checkSchemaDrift(s.schema, resolved.schema, opts.pkCols, allowWidening = true,
+          dropped = meta.flatMap(_.drops).getOrElse(Seq.empty).toSet))
 
       // Additive evolution (S4): new non-key incoming columns surface as
       // NULL on stored rows. Schema changes are table-wide, so ALL buckets
@@ -1020,7 +1424,11 @@ object CdcApplier {
     * intact with the guard already active, never the reverse. Only buckets
     * actually holding compactable tombstones are rewritten, through the
     * same crash-safe publish as the merge. */
-  def compact(spark: SparkSession, targetDir: String, horizonPos: Long): Seq[Int] = {
+  def compact(spark: SparkSession, targetDir: String, horizonPos: Long): Seq[Int] =
+    withCommitTicket(spark, targetDir)(compactInner(spark, targetDir, horizonPos))
+
+  private def compactInner(
+      spark: SparkSession, targetDir: String, horizonPos: Long): Seq[Int] = {
     val hconf = spark.sparkContext.hadoopConfiguration
     val target = new Path(targetDir)
     val fs = target.getFileSystem(hconf)
@@ -1030,7 +1438,7 @@ object CdcApplier {
     // A mor layout must collapse to one version per key FIRST: dropping a
     // tombstone while an older superseded upsert still sits in a delta
     // file would let resolve-on-read resurrect the dead row.
-    if (meta.storage.contains("mor")) compactMor(spark, targetDir)
+    if (meta.storage.contains("mor")) compactMorInner(spark, targetDir)
     // re-read: compactMor may have advanced the collapsed watermark, which
     // a write from the stale copy would silently revert
     val metaNow = TargetMeta.read(hconf, target).getOrElse(meta)
@@ -1079,7 +1487,12 @@ object CdcApplier {
     * every layout), and one repartition by (bucket, salt) writes each
     * bucket in ~its target file count. Returns the optimized bucket ids. */
   def optimize(spark: SparkSession, targetDir: String,
-      targetFileBytes: Long = 128L << 20, clusterBy: Seq[String] = Seq.empty): Seq[Int] = {
+      targetFileBytes: Long = 128L << 20, clusterBy: Seq[String] = Seq.empty): Seq[Int] =
+    withCommitTicket(spark, targetDir)(
+      optimizeInner(spark, targetDir, targetFileBytes, clusterBy))
+
+  private def optimizeInner(spark: SparkSession, targetDir: String,
+      targetFileBytes: Long, clusterBy: Seq[String]): Seq[Int] = {
     require(targetFileBytes > 0, s"targetFileBytes must be positive")
     val hconf = spark.sparkContext.hadoopConfiguration
     val target = new Path(targetDir)
@@ -1106,11 +1519,13 @@ object CdcApplier {
     // state is carried verbatim, exactly as the bin-packing leg.
     if (clusterBy.nonEmpty) {
       val meta0 = TargetMeta.read(hconf, target)
+      // callers name columns LOGICALLY (q258); the files are physical
+      val clusterPhys = clusterBy.map(physicalName(meta0, _))
       val schemaCols = meta0.flatMap(_.schemaJson).map(j =>
         org.apache.spark.sql.types.DataType.fromJson(j)
           .asInstanceOf[StructType].fieldNames.toSet)
       schemaCols.foreach { have =>
-        val missing = clusterBy.filterNot(have)
+        val missing = clusterPhys.filterNot(have)
         require(missing.isEmpty,
           s"clusterBy column(s) ${missing.mkString(",")} not in the table schema")
       }
@@ -1121,7 +1536,7 @@ object CdcApplier {
       }.sum.toInt
       val tmp = new Path(targetDir + ".optimize.tmp")
       if (fs.exists(tmp)) fs.delete(tmp, true)
-      val orderCols = (col(BUCKET) +: clusterBy.map(col)).toIndexedSeq
+      val orderCols = (col(BUCKET) +: clusterPhys.map(col)).toIndexedSeq
       spark.read.option("mergeSchema", true).parquet(targetDir)
         .repartitionByRange(math.max(1, totalBins), orderCols: _*)
         .sortWithinPartitions(orderCols: _*)
@@ -1176,7 +1591,12 @@ object CdcApplier {
     * column refuses (finish one backfill before starting another).
     * Returns the bucket ids processed in THIS call. */
   def backfill(spark: SparkSession, targetDir: String, colName: String,
-      colExpr: Column, maxBuckets: Int = Int.MaxValue): Seq[Int] = {
+      colExpr: Column, maxBuckets: Int = Int.MaxValue): Seq[Int] =
+    withCommitTicket(spark, targetDir)(
+      backfillInner(spark, targetDir, colName, colExpr, maxBuckets))
+
+  private def backfillInner(spark: SparkSession, targetDir: String, colName: String,
+      colExpr: Column, maxBuckets: Int): Seq[Int] = {
     require(maxBuckets > 0, "maxBuckets must be positive")
     val hconf = spark.sparkContext.hadoopConfiguration
     val target = new Path(targetDir)
@@ -1201,7 +1621,7 @@ object CdcApplier {
           .map(j => org.apache.spark.sql.types.DataType.fromJson(j)
             .asInstanceOf[StructType].fieldNames.toSet)
           .getOrElse(Set.empty)
-        if (have(colName))
+        if (have(colName) || have.map(logicalName(Some(meta), _)).contains(colName))
           throw new IllegalArgumentException(
             s"column '$colName' already exists at $targetDir")
         Set.empty
@@ -1215,8 +1635,15 @@ object CdcApplier {
       // rewriting old ones) — a single-file schema inference would silently
       // drop the other files' columns in the rewrite, permanent loss once
       // the bucket swaps
-      val rows = spark.read.option("mergeSchema", true).parquet(live.toString)
+      // the fill expression references LOGICAL names (q258): compute on the
+      // logical view, then store back under physical names
+      val filled = logicalize(
+        spark.read.option("mergeSchema", true).parquet(live.toString), Some(meta))
         .withColumn(colName, colExpr)
+      val rows = meta.renames.getOrElse(Map.empty).foldLeft(filled) {
+        case (d, (log, phys)) =>
+          if (d.columns.contains(log)) d.withColumnRenamed(log, phys) else d
+      }
       outType = Some(rows.schema(colName))
       val tmp = new Path(targetDir + s".backfill.tmp/$BUCKET=$b")
       if (fs.exists(tmp)) fs.delete(tmp, true)
@@ -1300,7 +1727,10 @@ object CdcApplier {
     * [[compactMor]] to one version per key first; re-hashing per-bucket
     * version chains across buckets would reorder resolve-on-read input).
     * Returns the new modulus (0 = no-op). */
-  def rebucket(spark: SparkSession, targetDir: String, newNumBuckets: Int): Int = {
+  def rebucket(spark: SparkSession, targetDir: String, newNumBuckets: Int): Int =
+    withCommitTicket(spark, targetDir)(rebucketInner(spark, targetDir, newNumBuckets))
+
+  private def rebucketInner(spark: SparkSession, targetDir: String, newNumBuckets: Int): Int = {
     require(newNumBuckets > 0, s"newNumBuckets must be positive, got $newNumBuckets")
     val hconf = spark.sparkContext.hadoopConfiguration
     val target = new Path(targetDir)
@@ -1354,6 +1784,10 @@ object CdcApplier {
     * lattice, for PK columns, and on merge-on-read (mixed-type delta
     * chains cannot merge-read) — exactly the applier's own rules. */
   def widenColumn(spark: SparkSession, targetDir: String, column: String,
+      to: DataType): Unit =
+    withCommitTicket(spark, targetDir)(widenColumnInner(spark, targetDir, column, to))
+
+  private def widenColumnInner(spark: SparkSession, targetDir: String, columnArg: String,
       to: DataType): Unit = {
     val hconf = spark.sparkContext.hadoopConfiguration
     val target = new Path(targetDir)
@@ -1361,6 +1795,8 @@ object CdcApplier {
     openTargetForWrite(fs, target)
     val meta = TargetMeta.read(hconf, target).getOrElse(
       throw new IllegalStateException(s"no graft target metadata at $targetDir"))
+    // callers name the column LOGICALLY (q258); files/schemaJson are physical
+    val column = physicalName(Some(meta), columnArg)
     if (meta.storage.contains("mor"))
       throw new IllegalStateException(
         s"$targetDir is merge-on-read: mixed-type delta chains cannot merge-read; " +
@@ -1432,6 +1868,12 @@ object CdcApplier {
     * the unavoidable re-copy, with nothing super-linear on top. Returns the
     * layout's bucket modulus. */
   def bootstrap(
+      spark: SparkSession, source: DataFrame, targetDir: String, atPos: Long,
+      opts: Options): Int =
+    withCommitTicket(spark, targetDir)(
+      bootstrapInner(spark, source, targetDir, atPos, opts))
+
+  private def bootstrapInner(
       spark: SparkSession, source: DataFrame, targetDir: String, atPos: Long,
       opts: Options): Int = {
     val hconf = spark.sparkContext.hadoopConfiguration

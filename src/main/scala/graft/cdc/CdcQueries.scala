@@ -1856,6 +1856,352 @@ object CdcQueries {
         .orderBy($"position")
     }),
 
+    // STORAGE-PARTITIONED JOIN (q255; public design point: Iceberg's
+    // SupportsReportPartitioning + FunctionCatalog `bucket` function,
+    // SPARK-37375): two graft tables bucketed on the SAME join key with the
+    // same modulus join with ZERO shuffle — the layout already paid the
+    // shuffle at write time, and Spark's key-grouped execution aligns the
+    // two sides' per-bucket partitions by their reported bucket ids
+    // (GraftBatchScan's KeyGroupedPartitioning, resolved against the
+    // catalog's own `bucket` function = the writer's exact pmod(murmur3)).
+    // Both sides run a real CDC lifecycle first (inserts + price updates on
+    // the fact, deletes on the dim), so the zero-exchange join reads
+    // MERGED state, not raw inserts. In-gate requires: (a) the SPJ plan
+    // contains NO shuffle exchange; (b) a deliberately MISMATCHED layout
+    // (different modulus) falls back to a shuffle join — and returns the
+    // SAME row count, so refusal is a plan property, never a correctness
+    // one. Oracle: the joined lifecycle replay. 100 TB: a co-bucketed
+    // fact-fact join moves zero bytes between executors — the single
+    // biggest shuffle a replication-fed warehouse pays, eliminated.
+    "q255_spj_join" -> ((s, dir) => {
+      import s.implicits._
+      val o = Tables.load(s, dir, "orders")
+      val c = Tables.load(s, dir, "customer")
+      val whRoot = s.conf.getOption("spark.sql.catalog.q245cat.root")
+        .getOrElse {
+          val r = Files.createTempDirectory("graft_cat").toString
+          s.conf.set("spark.sql.catalog.q245cat", "graft.catalog.GraftCatalog")
+          s.conf.set("spark.sql.catalog.q245cat.root", r)
+          r
+        }
+      s.sql("CREATE NAMESPACE IF NOT EXISTS q245cat.prod")
+      Seq("orders_spj", "cust_spj", "cust_spj_mis").foreach(t =>
+        s.sql(s"DROP TABLE IF EXISTS q245cat.prod.$t"))
+      s.sql(s"""CREATE TABLE q245cat.prod.orders_spj (${o.schema.toDDL})
+                OPTIONS (pk 'o_custkey,o_orderkey', bucketCols 'o_custkey',
+                         buckets '8')""")
+      s.sql(s"""CREATE TABLE q245cat.prod.cust_spj (${c.schema.toDDL})
+                OPTIONS (pk 'c_custkey', buckets '8')""")
+      s.sql(s"""CREATE TABLE q245cat.prod.cust_spj_mis (${c.schema.toDDL})
+                OPTIONS (pk 'c_custkey', buckets '16')""")
+      val oOpts = CdcApplier.Options(Seq("o_custkey", "o_orderkey"),
+        bucketCols = Some(Seq("o_custkey")), numBuckets = 8)
+      val cOpts = CdcApplier.Options(Seq("c_custkey"), numBuckets = 8)
+      val mOpts = CdcApplier.Options(Seq("c_custkey"), numBuckets = 16)
+      CdcApplier.applyBatch(s, ChangeFeed.inserts(o, $"o_orderkey" * 10),
+        s"$whRoot/prod/orders_spj", oOpts)
+      CdcApplier.applyBatch(s, ChangeFeed.updates(o.filter($"o_orderkey" % 7 === 0),
+        Map("o_totalprice" -> ($"o_totalprice" * 1.2)), $"o_orderkey" * 10 + 5),
+        s"$whRoot/prod/orders_spj", oOpts)
+      Seq(("cust_spj", cOpts), ("cust_spj_mis", mOpts)).foreach { case (t, op) =>
+        CdcApplier.applyBatch(s, ChangeFeed.inserts(c, $"c_custkey" * 10),
+          s"$whRoot/prod/$t", op)
+        CdcApplier.applyBatch(s, ChangeFeed.deletes(c.filter($"c_custkey" % 10 === 0),
+          $"c_custkey" * 10 + 5), s"$whRoot/prod/$t", op)
+      }
+      val confs = Seq(
+        "spark.sql.sources.v2.bucketing.enabled" -> "true",
+        "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+      val saved = confs.map { case (k, _) => k -> s.conf.getOption(k) }
+      confs.foreach { case (k, v) => s.conf.set(k, v) }
+      try {
+        def joined(custTable: String) = s.sql(
+          s"""SELECT o.o_orderkey, o.o_custkey, c.c_name, o.o_totalprice AS px
+              FROM q245cat.prod.orders_spj o
+              JOIN q245cat.prod.$custTable c ON o.o_custkey = c.c_custkey""")
+        val spj = joined("cust_spj")
+        spj.queryExecution.toRdd.count()
+        val plan = spj.queryExecution.executedPlan.toString
+        require(!plan.contains("Exchange"),
+          s"a co-bucketed graft join must not shuffle either side:\n$plan")
+        require(plan.contains("GraftBatchScan"),
+          s"expected both sides on the key-grouped Batch leg:\n$plan")
+        val mis = joined("cust_spj_mis")
+        mis.queryExecution.toRdd.count()
+        require(mis.queryExecution.executedPlan.toString.contains("Exchange"),
+          "a mismatched bucket modulus must fall back to a shuffle join")
+        val spjN = spj.count()
+        val misN = mis.count()
+        require(spjN == misN && spjN > 0,
+          s"SPJ and shuffle joins must agree: $spjN vs $misN")
+        spj.withColumn("spj_zero_shuffle", lit(true))
+          .orderBy($"o_orderkey")
+      } finally saved.foreach { case (k, v) =>
+        v.fold(s.conf.unset(k))(s.conf.set(k, _))
+      }
+    }),
+
+    // NAMED TAGS (q256; public design point: Iceberg tags): a position is
+    // the honest version axis but a HUMAN ships releases by name — `CALL
+    // system.tag(t, name, pos)` pins a name to a `_graft_pos`, SQL `VERSION
+    // AS OF '<name>'` serves it, and the tag PINS ITS HISTORY: compaction/
+    // vacuum refuse any collapse that would raise the as-of floor above a
+    // tagged position (the error names the blockers; drop_tag releases).
+    // Lifecycle: 4 stamps (insert@100, %2 updates@150, %4 updates@200, %6
+    // deletes@300); tags genesis@100 / mid@150 / release@300; a vacuum
+    // retaining from 200 must REFUSE (it would strand genesis@100), then
+    // succeed after drop_tag — and 'mid'@150 must answer IDENTICALLY before
+    // and after the vacuum (150 is exactly the post-vacuum floor). Oracle:
+    // both tagged states replayed declaratively. 100 TB: a tag is one
+    // meta-file entry; its cost is the delta retention it pins — priced
+    // and visible, never silent.
+    "q256_named_tags" -> ((s, dir) => {
+      import s.implicits._
+      val o = Tables.load(s, dir, "orders")
+      val whRoot = s.conf.getOption("spark.sql.catalog.q245cat.root")
+        .getOrElse {
+          val r = Files.createTempDirectory("graft_cat").toString
+          s.conf.set("spark.sql.catalog.q245cat", "graft.catalog.GraftCatalog")
+          s.conf.set("spark.sql.catalog.q245cat.root", r)
+          r
+        }
+      s.sql("CREATE NAMESPACE IF NOT EXISTS q245cat.prod")
+      s.sql("DROP TABLE IF EXISTS q245cat.prod.orders_tags")
+      s.sql(s"""CREATE TABLE q245cat.prod.orders_tags (${o.schema.toDDL})
+                OPTIONS (pk 'o_orderkey', buckets '8', storage 'mor')""")
+      val target = s"$whRoot/prod/orders_tags"
+      val opts = CdcApplier.Options(Seq("o_orderkey"))
+      CdcApplier.applyBatchMor(s, ChangeFeed.inserts(o, lit(100L)), target, opts)
+      CdcApplier.applyBatchMor(s, ChangeFeed.updates(o.filter($"o_orderkey" % 2 === 0),
+        Map("o_totalprice" -> ($"o_totalprice" * 1.1)), lit(150L)), target, opts)
+      CdcApplier.applyBatchMor(s, ChangeFeed.updates(o.filter($"o_orderkey" % 4 === 0),
+        Map("o_totalprice" -> ($"o_totalprice" * 1.2)), lit(200L)), target, opts)
+      CdcApplier.applyBatchMor(s, ChangeFeed.deletes(o.filter($"o_orderkey" % 6 === 0),
+        lit(300L)), target, opts)
+      Seq(("genesis", 100L), ("mid", 150L), ("release", 300L)).foreach { case (n, p) =>
+        s.sql(s"CALL q245cat.system.tag(table => 'prod.orders_tags', " +
+          s"name => '$n', pos => ${p}L)")
+      }
+      def midState() = s.sql(
+        """SELECT o_orderkey, o_totalprice AS px
+           FROM q245cat.prod.orders_tags VERSION AS OF 'mid'""")
+      // pin the PRE-vacuum answer distributed-side (localCheckpoint — a
+      // lazy frame would silently re-read the post-vacuum state)
+      val midBefore = midState().localCheckpoint()
+      // the pin: retaining from 200 would strand genesis@100 — refuse
+      val vacuumRefused = scala.util.Try(
+        CdcApplier.vacuumMor(s, target, 200L)).failed.toOption.exists { e =>
+        e.getMessage.contains("genesis")
+      }
+      require(vacuumRefused, "vacuum must refuse while a tag pins pre-window history")
+      s.sql("CALL q245cat.system.drop_tag(table => 'prod.orders_tags', name => 'genesis')")
+      CdcApplier.vacuumMor(s, target, 200L) // now legal: floor lands on 150
+      val midAfter = midState()
+      val drift = midBefore.exceptAll(midAfter).count() +
+        midAfter.exceptAll(midBefore).count()
+      require(drift == 0,
+        "a retained tag must answer identically across the vacuum")
+      val listed = s.sql("CALL q245cat.system.tags(table => 'prod.orders_tags')")
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getBoolean(2))).toSet
+      require(listed == Set(("mid", 150L, true), ("release", 300L, true)),
+        s"tag listing drifted: $listed")
+      val mid = midState()
+        .select(lit("mid").as("leg"), $"o_orderkey", $"px")
+      val rel = s.sql(
+        """SELECT o_orderkey, o_totalprice AS px
+           FROM q245cat.prod.orders_tags VERSION AS OF 'release'""")
+        .select(lit("release").as("leg"), $"o_orderkey", $"px")
+      mid.unionByName(rel)
+        .withColumn("vacuum_refused", lit(vacuumRefused))
+        .orderBy($"leg", $"o_orderkey")
+    }),
+
+    // COLUMN RENAME VIA NAME MAPPING (q258; public design point: Delta Lake
+    // column mapping): RENAME COLUMN is a META-ONLY operation — data files
+    // and the persisted schema keep their PHYSICAL names forever; the
+    // logical->physical map translates at the serving edges only. At 100 TB
+    // this is the whole point: the alternative is a full-table rewrite for
+    // a name change. The gate proves the full round trip: (1) lifecycle
+    // under the original name; (2) SQL ALTER TABLE ... RENAME COLUMN
+    // o_totalprice -> price_usd; (3) reads by the NEW name through the V2
+    // catalog; (4) a NEW-NAME update batch applies (write-side
+    // translation); (5) an OLD-NAME (physical) batch replays after the
+    // rename and converges (replay safety); (6) the clustered optimize +
+    // file-skip path works ON the renamed column (predicate translation
+    // down to the physical sidecars — in-gate require on kept<total from
+    // the executed plan); (7) PK renames refuse; the old name is GONE from
+    // the served schema. Oracle: the lifecycle replayed under the new name.
+    "q258_column_rename" -> ((s, dir) => {
+      import s.implicits._
+      val o = Tables.load(s, dir, "orders")
+      val whRoot = s.conf.getOption("spark.sql.catalog.q245cat.root")
+        .getOrElse {
+          val r = Files.createTempDirectory("graft_cat").toString
+          s.conf.set("spark.sql.catalog.q245cat", "graft.catalog.GraftCatalog")
+          s.conf.set("spark.sql.catalog.q245cat.root", r)
+          r
+        }
+      s.sql("CREATE NAMESPACE IF NOT EXISTS q245cat.prod")
+      s.sql("DROP TABLE IF EXISTS q245cat.prod.orders_ren")
+      s.sql(s"""CREATE TABLE q245cat.prod.orders_ren (${o.schema.toDDL})
+                OPTIONS (pk 'o_orderkey', buckets '8')""")
+      val target = s"$whRoot/prod/orders_ren"
+      val opts = CdcApplier.Options(Seq("o_orderkey"), numBuckets = 8)
+      CdcApplier.applyBatch(s, ChangeFeed.inserts(o, $"o_orderkey" * 10), target, opts)
+      s.sql("ALTER TABLE q245cat.prod.orders_ren RENAME COLUMN o_totalprice TO price_usd")
+      // served schema speaks the new name; the old one is gone
+      val served = s.table("q245cat.prod.orders_ren").columns.toSet
+      require(served.contains("price_usd") && !served.contains("o_totalprice"),
+        s"served schema must carry the rename: $served")
+      // NEW-name update batch (the post-rename upstream schema)
+      val renamed = o.withColumnRenamed("o_totalprice", "price_usd")
+      CdcApplier.applyBatch(s, ChangeFeed.updates(renamed.filter($"o_orderkey" % 3 === 0),
+        Map("price_usd" -> ($"price_usd" * 1.1)), $"o_orderkey" * 10 + 5), target, opts)
+      // OLD-name (physical) replay batch lands AFTER the rename — a %5
+      // wave at a newer position; replay translation must converge it
+      CdcApplier.applyBatch(s, ChangeFeed.updates(o.filter($"o_orderkey" % 5 === 0),
+        Map("o_totalprice" -> ($"o_totalprice" * 2.0)), $"o_orderkey" * 10 + 7),
+        target, opts)
+      // PK renames refuse (the layout's identity)
+      val pkRefused = scala.util.Try(
+        s.sql("ALTER TABLE q245cat.prod.orders_ren RENAME COLUMN o_orderkey TO id"))
+        .isFailure
+      require(pkRefused, "renaming a PK column must refuse")
+      // clustered layout + file skipping on the RENAMED column: predicate
+      // translation must reach the physical sidecars
+      val fs = new org.apache.hadoop.fs.Path(target)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      val bytes = CdcApplier.bucketIds(fs, new org.apache.hadoop.fs.Path(target))
+        .map { b =>
+          fs.listStatus(new org.apache.hadoop.fs.Path(target, s"${CdcApplier.BUCKET}=$b"))
+            .filterNot(f => f.getPath.getName.startsWith("_") ||
+              f.getPath.getName.startsWith(".")).map(_.getLen).sum
+        }.sum
+      CdcApplier.optimize(s, target, targetFileBytes = math.max(8L << 10, bytes / 24),
+        clusterBy = Seq("price_usd"))
+      val q = s.table("q245cat.prod.orders_ren")
+        .filter($"price_usd" > 400000.0)
+        .select($"o_orderkey", $"price_usd")
+      q.queryExecution.toRdd.count()
+      val plan = q.queryExecution.executedPlan.toString
+      val fileRatio = """files=(\d+)/(\d+)""".r.findFirstMatchIn(plan)
+        .map(m => (m.group(1).toInt, m.group(2).toInt))
+      require(fileRatio.exists { case (k, n) => k < n && n > 8 },
+        s"the renamed-column predicate must still skip files, got $fileRatio in:\n$plan")
+      q.withColumn("skipped", lit(true)).withColumn("pk_rename_refused", lit(pkRefused))
+        .orderBy($"o_orderkey")
+    }),
+
+    // DROP COLUMN VIA MAPPING (q259; the q258 machinery's mirror — Delta
+    // column mapping's drop): META-ONLY retirement of a physical name.
+    // Files keep the bytes until their buckets naturally rewrite; every
+    // serving edge excludes the retired column; post-drop batches omit it
+    // (the drift guard exempts retired names) and pre-drop replays still
+    // carrying it apply cleanly into invisible storage. Lifecycle: insert
+    // with an extra `note` column; DROP COLUMN note via SQL; served schema
+    // loses it; a post-drop update batch (no note) applies; a pre-drop
+    // replay (with note) applies and converges; re-ADDing `note` refuses
+    // (files may still carry old bytes — resurrection guard); dropping the
+    // PK refuses. Oracle: the lifecycle replayed without the column.
+    // 100 TB: the alternative is a full rewrite to unship a column.
+    "q259_drop_column" -> ((s, dir) => {
+      import s.implicits._
+      val o = Tables.load(s, dir, "orders")
+      val whRoot = s.conf.getOption("spark.sql.catalog.q245cat.root")
+        .getOrElse {
+          val r = Files.createTempDirectory("graft_cat").toString
+          s.conf.set("spark.sql.catalog.q245cat", "graft.catalog.GraftCatalog")
+          s.conf.set("spark.sql.catalog.q245cat.root", r)
+          r
+        }
+      s.sql("CREATE NAMESPACE IF NOT EXISTS q245cat.prod")
+      s.sql("DROP TABLE IF EXISTS q245cat.prod.orders_drop")
+      val withNote = o.withColumn("note", concat(lit("n"), $"o_orderkey" % 7))
+      s.sql(s"""CREATE TABLE q245cat.prod.orders_drop (${withNote.schema.toDDL})
+                OPTIONS (pk 'o_orderkey', buckets '8')""")
+      val target = s"$whRoot/prod/orders_drop"
+      val opts = CdcApplier.Options(Seq("o_orderkey"), numBuckets = 8)
+      CdcApplier.applyBatch(s, ChangeFeed.inserts(withNote, $"o_orderkey" * 10),
+        target, opts)
+      s.sql("ALTER TABLE q245cat.prod.orders_drop DROP COLUMN note")
+      val served = s.table("q245cat.prod.orders_drop").columns.toSet
+      require(!served.contains("note"), s"dropped column still served: $served")
+      // post-drop batch: the upstream schema no longer carries the column
+      CdcApplier.applyBatch(s, ChangeFeed.updates(o.filter($"o_orderkey" % 3 === 0),
+        Map("o_totalprice" -> ($"o_totalprice" * 1.1)), $"o_orderkey" * 10 + 5),
+        target, opts)
+      // pre-drop replay: an old-schema batch still carrying `note` lands at
+      // a newer position for the %5 keys and must converge (its note values
+      // go to invisible storage)
+      CdcApplier.applyBatch(s, ChangeFeed.updates(withNote.filter($"o_orderkey" % 5 === 0),
+        Map("o_totalprice" -> ($"o_totalprice" * 2.0)), $"o_orderkey" * 10 + 7),
+        target, opts)
+      val readdRefused = scala.util.Try(
+        s.sql("ALTER TABLE q245cat.prod.orders_drop ADD COLUMN note STRING")).isFailure
+      require(readdRefused, "re-adding a retired physical name must refuse")
+      val pkDropRefused = scala.util.Try(
+        s.sql("ALTER TABLE q245cat.prod.orders_drop DROP COLUMN o_orderkey")).isFailure
+      require(pkDropRefused, "dropping a PK column must refuse")
+      s.table("q245cat.prod.orders_drop")
+        .select($"o_orderkey", $"o_totalprice".as("px"), $"o_orderstatus")
+        .withColumn("readd_refused", lit(readdRefused))
+        .withColumn("pk_drop_refused", lit(pkDropRefused))
+        .orderBy($"o_orderkey")
+    }),
+
+    // COMMIT FENCE (q257; public design point: Delta's optimistic commit
+    // protocol / HBase region fencing): every bucket-swapping publisher
+    // claims the next commit ticket — an exclusive marker-file create —
+    // before touching state, so a CONCURRENT writer (split-brain applier
+    // after failover, a second misconfigured pipeline, an optimize racing
+    // an apply) fails LOUDLY instead of silently losing the other writer's
+    // merge in last-swap-wins bucket interleavings. The gate drives the
+    // interleave deterministically: claim the ticket (the "live concurrent
+    // writer"), then an applyBatch AND an optimize must both throw the
+    // typed conflict; reclaimCommit (the restart contract — holder known
+    // dead) releases it; the retried batch converges; a REPLAY of the same
+    // batch is then applied again and must change nothing (fencing must
+    // not break replay convergence). The commit sequence is pinned to the
+    // exact number of publishes. Oracle: the converged lifecycle. 100 TB:
+    // fencing is four metadata ops on empty files per publish — no meta
+    // rewrite, no data I/O.
+    "q257_commit_fence" -> ((s, dir) => {
+      import s.implicits._
+      val o = Tables.load(s, dir, "orders")
+      val base = Files.createTempDirectory("graft_cdc").toString
+      val target = s"$base/orders_fence"
+      val opts = CdcApplier.Options(Seq("o_orderkey"), numBuckets = 8)
+      CdcApplier.applyBatch(s, ChangeFeed.inserts(o, $"o_orderkey" * 10), target, opts)
+      val fs = new org.apache.hadoop.fs.Path(target)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      val tpath = new org.apache.hadoop.fs.Path(target)
+      require(CdcApplier.commitSeq(fs, tpath) == 1L, "one publish, sequence 1")
+      // a concurrent writer holds the next ticket
+      CdcApplier.claimCommit(fs, tpath)
+      val upd = ChangeFeed.updates(o.filter($"o_orderkey" % 5 === 0),
+        Map("o_totalprice" -> ($"o_totalprice" * 1.3)), $"o_orderkey" * 10 + 5)
+      def conflicted(f: => Any): Boolean = scala.util.Try(f).failed.toOption
+        .exists(_.isInstanceOf[CdcApplier.GraftConcurrentWriteException])
+      val applyFenced = conflicted(CdcApplier.applyBatch(s, upd, target, opts))
+      val optimizeFenced = conflicted(CdcApplier.optimize(s, target, 64L << 20))
+      require(applyFenced && optimizeFenced,
+        "every publisher must conflict while the ticket is held")
+      require(CdcApplier.commitSeq(fs, tpath) == 1L,
+        "fenced attempts must not advance the sequence")
+      // the holder dies; the restarted single writer reclaims and retries
+      require(CdcApplier.reclaimCommit(s, target), "stale ticket must reclaim")
+      require(!CdcApplier.reclaimCommit(s, target), "reclaim is idempotent-false")
+      CdcApplier.applyBatch(s, upd, target, opts)
+      // replay convergence survives fencing: same batch again, no change
+      CdcApplier.applyBatch(s, upd, target, opts)
+      require(CdcApplier.commitSeq(fs, tpath) == 3L,
+        "three publishes, sequence 3")
+      CdcApplier.snapshot(s, target)
+        .select($"o_orderkey", $"o_totalprice".as("px"))
+        .withColumn("fenced", lit(applyFenced && optimizeFenced))
+        .orderBy($"o_orderkey")
+    }),
+
     "q216_sql_connector" -> ((s, dir) => {
       import s.implicits._
       val o = Tables.load(s, dir, "orders")
@@ -3497,6 +3843,69 @@ object CdcQueries {
         UNION ALL SELECT 200, q4, true FROM n
         UNION ALL SELECT 300, q6, true FROM n) x
       ORDER BY position""",
+
+    // q256: the two tagged states replayed — 'mid'@150 (all keys, %2
+    // updated) and 'release'@300 (%6 deleted, %4 then %2 precedence).
+    "q256_named_tags" -> """
+      SELECT 'mid' AS leg, o_orderkey,
+        CASE WHEN o_orderkey % 2 = 0 THEN o_totalprice * 1.1
+             ELSE o_totalprice END AS px,
+        true AS vacuum_refused
+      FROM orders
+      UNION ALL
+      SELECT 'release', o_orderkey,
+        CASE WHEN o_orderkey % 4 = 0 THEN o_totalprice * 1.2
+             WHEN o_orderkey % 2 = 0 THEN o_totalprice * 1.1
+             ELSE o_totalprice END,
+        true
+      FROM orders WHERE o_orderkey % 6 <> 0
+      ORDER BY leg, o_orderkey""",
+
+    // q258: the renamed-column lifecycle under the NEW name — %3 keys 1.1x
+    // (new-name batch), %5 keys 2.0x at a newer position (old-name replay
+    // wins where both touch), filtered to the skip predicate.
+    "q258_column_rename" -> """
+      WITH fin AS (
+        SELECT o_orderkey,
+          CASE WHEN o_orderkey % 5 = 0 THEN o_totalprice * 2.0
+               WHEN o_orderkey % 3 = 0 THEN o_totalprice * 1.1
+               ELSE o_totalprice END AS price_usd
+        FROM orders)
+      SELECT o_orderkey, price_usd, true AS skipped, true AS pk_rename_refused
+      FROM fin WHERE price_usd > 400000.0
+      ORDER BY o_orderkey""",
+
+    // q259: the post-drop lifecycle — %5 keys 2.0x (newer replay) beats the
+    // %3 keys' 1.1x where both touch; `note` is gone from the view.
+    "q259_drop_column" -> """
+      SELECT o_orderkey,
+        CASE WHEN o_orderkey % 5 = 0 THEN o_totalprice * 2.0
+             WHEN o_orderkey % 3 = 0 THEN o_totalprice * 1.1
+             ELSE o_totalprice END AS px,
+        o_orderstatus,
+        true AS readd_refused, true AS pk_drop_refused
+      FROM orders ORDER BY o_orderkey""",
+
+    // q257: the converged post-fence lifecycle — %5 keys carry the retried
+    // (and replayed) 1.3x update.
+    "q257_commit_fence" -> """
+      SELECT o_orderkey,
+        CASE WHEN o_orderkey % 5 = 0 THEN o_totalprice * 1.3
+             ELSE o_totalprice END AS px,
+        true AS fenced
+      FROM orders ORDER BY o_orderkey""",
+
+    // q255: the co-bucketed join after both lifecycles — fact prices with
+    // the %7 update applied, dim with the %10 deletes removed.
+    "q255_spj_join" -> """
+      SELECT o.o_orderkey, o.o_custkey, c.c_name,
+        CASE WHEN o.o_orderkey % 7 = 0 THEN o.o_totalprice * 1.2
+             ELSE o.o_totalprice END AS px,
+        true AS spj_zero_shuffle
+      FROM orders o
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      WHERE c.c_custkey % 10 <> 0
+      ORDER BY o.o_orderkey""",
 
     // q226: replay the three SQL-written lifecycles — upsert+range-delete,
     // replace-contents, and the mor target's change envelope.

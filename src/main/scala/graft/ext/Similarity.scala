@@ -725,6 +725,112 @@ object Similarity {
         .orderBy(col("leg"), col("round"), col("cell"), col("pos"))
     }),
 
+    // ---- q260: DRIFT-TRIGGERED CODEBOOK REFRESH — the q252 artifact's
+    //      OPERATING lifecycle: production embeddings drift, and a stored
+    //      quantizer must notice and retrain WITHOUT restarting from
+    //      scratch (public design point: IVF re-training / index refresh in
+    //      FAISS-style serving stacks; k-means++ warm starts). The codebook
+    //      lives in a MERGE-ON-READ graft table, so MODEL VERSIONS get the
+    //      store's own time travel: v1 publishes at position 100, the
+    //      refresh SUPERSEDES the same (cell,pos) keys at position 200, and
+    //      `snapshotAsOf(100)` keeps serving the old model — rollback and
+    //      A/B reads are storage features, not ML-ops machinery.
+    //      Staleness is MEASURED, not assumed: fit = SUMD-exact mean of
+    //      each vector's best cosine against the stored centroids (one
+    //      projection pass, no join); the shifted distribution (the same
+    //      corpus with components REVERSED — deterministic and
+    //      DuckDB-replayable) must fit WORSE than the training data
+    //      (in-gate require), and ONE Lloyd round seeded FROM THE STORE
+    //      over old+new must improve it (in-gate require) — both audits
+    //      also emitted as rows the oracle reproduces bit-exactly.
+    //      100 TB: detection is one narrow pass over the NEW slice; the
+    //      refresh round is one corpus pass (the q62/q252 cost), serving
+    //      stays a 16-row store read at either version.
+    "q260_codebook_refresh" -> ((s, dir) => {
+      graft.functions.GraftFunctions.register(s)
+      import graft.cdc.{CdcApplier, ChangeFeed}
+      import graft.util.Sumd.sumd
+      val eAll = t(s, dir, "embeddings").repartition(col("vec_id"))
+      val base = eAll.filter(col("vec_id") >= NumQueries)
+        .select(col("vec_id"), col("embedding"))
+      // the drifted distribution: same vectors, components reversed
+      val fresh = base.select((col("vec_id") + 1000000L).as("vec_id"),
+        reverse(col("embedding")).as("embedding"))
+
+      def lloydRound(corpus: DataFrame, c: Seq[(Int, Seq[Double])])
+          : Seq[(Int, Seq[Double])] = {
+        val means = corpus
+          .withColumn("cell", cellOf(col("embedding"), c))
+          .select(col("cell"), posexplode(col("embedding")).as(Seq("pos", "x")))
+          .groupBy(col("cell"), col("pos"))
+          .agg((sumd(col("x").cast("double")) / count(lit(1))).as("m"))
+          .collect().map(r => (r.getInt(0), r.getInt(1), r.getDouble(2)))
+        means.groupBy(_._1).toSeq.sortBy(_._1).map { case (cell, rows) =>
+          val vec = rows.sortBy(_._2).map(_._3).toSeq
+          val nrm = math.sqrt(vec.foldLeft(0.0)((a, x) => a + x * x))
+          (cell, vec.map(_ / nrm))
+        }
+      }
+      // v1: two warm-up rounds on the BASE distribution (q252's training)
+      var cent: Seq[(Int, Seq[Double])] = ivfCentroids(eAll)
+      for (_ <- 1 to 2) cent = lloydRound(base, cent)
+      val store = java.nio.file.Files.createTempDirectory("graft_codebook")
+        .toString + "/ivf_codebook"
+      def cbDf(c: Seq[(Int, Seq[Double])]) = s.createDataFrame(
+        c.flatMap { case (cell, vec) =>
+          vec.zipWithIndex.map { case (x, p) => (cell, p.toLong, x) }
+        }).toDF("cell", "pos", "c")
+      val cbOpts = CdcApplier.Options(Seq("cell", "pos"), numBuckets = 4)
+      CdcApplier.applyBatchMor(s, ChangeFeed.inserts(cbDf(cent), lit(100L)),
+        store, cbOpts)
+      def readCodebook(df: DataFrame): Seq[(Int, Seq[Double])] = df
+        .select(col("cell"), col("pos"), col("c"))
+        .collect().map(r => (r.getInt(0), r.getLong(1), r.getDouble(2)))
+        .groupBy(_._1).toSeq.sortBy(_._1)
+        .map { case (cell, rows) => (cell, rows.sortBy(_._2).map(_._3).toSeq) }
+      val v1 = readCodebook(CdcApplier.snapshot(s, store))
+      // staleness audit: SUMD-exact mean best-cosine under the STORED model
+      def fit(dfv: DataFrame, c: Seq[(Int, Seq[Double])]): Double = dfv
+        .withColumn("nrm", sqrt(dotd(col("embedding"), col("embedding"))))
+        .withColumn("mc",
+          greatest(c.map { case (_, cv) => dotd(col("embedding"), typedLit(cv)) }: _*)
+            / col("nrm"))
+        .agg((sumd(col("mc")) / count(lit(1))).as("f")).head().getDouble(0)
+      val fitBase = fit(base, v1)
+      val fitNewOld = fit(fresh, v1)
+      require(fitNewOld < fitBase,
+        f"the drifted slice must look stale under the stored codebook " +
+          f"($fitNewOld%.6f vs $fitBase%.6f)")
+      // refresh: ONE Lloyd round seeded FROM THE STORE, over old+new —
+      // published as a superseding MOR batch (same keys, newer position)
+      val v2 = lloydRound(base.unionByName(fresh), v1)
+      CdcApplier.applyBatchMor(s, ChangeFeed.inserts(cbDf(v2), lit(200L)),
+        store, cbOpts)
+      val v2Stored = readCodebook(CdcApplier.snapshot(s, store))
+      val fitNewRef = fit(fresh, v2Stored)
+      require(fitNewRef > fitNewOld,
+        f"the seeded refresh must improve the drifted slice's fit " +
+          f"($fitNewRef%.6f vs $fitNewOld%.6f)")
+      // versioned serving: the store still answers the OLD model at 100
+      val v1AsOf = readCodebook(CdcApplier.snapshotAsOf(s, store, 100L))
+      val all = base.unionByName(fresh)
+      def counts(c: Seq[(Int, Seq[Double])]) = all
+        .withColumn("cell", cellOf(col("embedding"), c))
+        .groupBy(col("cell")).agg(count(lit(1)).as("n"))
+        .collect().map(r => (r.getInt(0), r.getLong(1)))
+      val out =
+        v1AsOf.flatMap { case (cell, vec) => vec.zipWithIndex.map {
+          case (x, p) => ("cb_v1", cell, p.toLong, 0L, x) } } ++
+        v2Stored.flatMap { case (cell, vec) => vec.zipWithIndex.map {
+          case (x, p) => ("cb_v2", cell, p.toLong, 0L, x) } } ++
+        Seq(("fit", -1, 0L, 0L, fitBase), ("fit", -1, 1L, 0L, fitNewOld),
+          ("fit", -1, 2L, 0L, fitNewRef)) ++
+        counts(v1AsOf).map { case (cell, n) => ("serve_v1", cell, -1L, n, 0.0) } ++
+        counts(v2Stored).map { case (cell, n) => ("serve_v2", cell, -1L, n, 0.0) }
+      s.createDataFrame(out).toDF("leg", "cell", "pos", "n", "c")
+        .orderBy(col("leg"), col("cell"), col("pos"))
+    }),
+
     // ---- q66: int8-quantized ANN — the memory-compression scale path.
     //      Every vector is symmetric-int8 quantized ONCE (graft_i8quant:
     //      codes packed one signed byte per component — genuinely 4x
@@ -1332,6 +1438,97 @@ object Similarity {
       SELECT * FROM (SELECT * FROM trainrows UNION ALL SELECT * FROM storedrows
         UNION ALL SELECT * FROM serverows) x
       ORDER BY leg, round, cell, pos"""
+    },
+
+    // q260: the full refresh lifecycle unrolled — two base rounds (q252's
+    // chain), the SUMD-exact fit audits (per-vector MAX(dot)/nrm, then the
+    // decimal mean — same op order as the gate), one seeded refresh round
+    // over base+drifted, and the serve counts under BOTH versions (v1 via
+    // the store's AS OF 100, here just cent_2).
+    "q260_codebook_refresh" -> {
+      def roundCte(r: Int, corpus: String, seed: String, out: String): String = s"""
+      ta_$out AS (
+        SELECT t.vec_id, t.embedding, c.cid,
+          ROW_NUMBER() OVER (PARTITION BY t.vec_id
+            ORDER BY ${dotSql("t.embedding", "c.cv")} DESC, c.cid) AS rn
+        FROM $corpus t, $seed c),
+      ex_$out AS (
+        SELECT cid AS cell,
+          unnest(list_transform(range(1, len(embedding) + 1),
+            i -> struct_pack(pos := i - 1, x := embedding[i]))) AS u
+        FROM ta_$out WHERE rn = 1),
+      mean_$out AS (
+        SELECT cell, u.pos AS pos,
+          ${graft.util.Sumd.SUMD("u.x::DOUBLE")} / count(*) AS m
+        FROM ex_$out GROUP BY cell, u.pos),
+      nrm_$out AS (
+        SELECT cell,
+          sqrt(list_reduce(list_prepend(0.0::DOUBLE, list(m * m ORDER BY pos)),
+            (acc, v) -> acc + v)) AS nrm
+        FROM mean_$out GROUP BY cell),
+      cent_$out AS (
+        SELECT m.cell AS cid, list(m.m / g.nrm ORDER BY m.pos) AS cv
+        FROM mean_$out m JOIN nrm_$out g ON g.cell = m.cell
+        GROUP BY m.cell)"""
+      def fitCte(name: String, corpus: String, seed: String): String = s"""
+      ${name}_mx AS (
+        SELECT t.vec_id,
+          MAX(${dotSql("t.embedding", "c.cv")}) /
+            sqrt(${dotSql("t.embedding", "t.embedding")}) AS mc
+        FROM $corpus t, $seed c GROUP BY t.vec_id, t.embedding),
+      $name AS (
+        SELECT ${graft.util.Sumd.SUMD("mc")} / count(*) AS f FROM ${name}_mx)"""
+      def serveCte(name: String, seed: String): String = s"""
+      ${name}_a AS (
+        SELECT t.vec_id, c.cid,
+          ROW_NUMBER() OVER (PARTITION BY t.vec_id
+            ORDER BY ${dotSql("t.embedding", "c.cv")} DESC, c.cid) AS rn
+        FROM allv t, $seed c),
+      $name AS (
+        SELECT cid AS cell, CAST(count(*) AS BIGINT) AS n
+        FROM ${name}_a WHERE rn = 1 GROUP BY cid)"""
+      s"""
+      WITH base AS (
+        SELECT vec_id, embedding FROM embeddings WHERE vec_id >= $NumQueries),
+      fresh AS (
+        SELECT vec_id + 1000000 AS vec_id, list_reverse(embedding) AS embedding
+        FROM base),
+      allv AS (SELECT * FROM base UNION ALL SELECT * FROM fresh),
+      cent_0 AS (
+        SELECT CAST(vec_id - $NumQueries AS INT) AS cid,
+          list_transform(embedding,
+            x -> x::DOUBLE / sqrt(${dotSql("embedding", "embedding")})) AS cv
+        FROM embeddings
+        WHERE vec_id >= $NumQueries AND vec_id < ${NumQueries + IvfCells}),
+      ${roundCte(1, "base", "cent_0", "1")},
+      ${roundCte(2, "base", "cent_1", "2")},
+      ${fitCte("fit_base", "base", "cent_2")},
+      ${fitCte("fit_new_old", "fresh", "cent_2")},
+      ${roundCte(3, "allv", "cent_2", "ref")},
+      ${fitCte("fit_new_ref", "fresh", "cent_ref")},
+      ${serveCte("serve_v1", "cent_2")},
+      ${serveCte("serve_v2", "cent_ref")},
+      cb1 AS (
+        SELECT 'cb_v1' AS leg, m.cell, m.pos, CAST(0 AS BIGINT) AS n,
+          m.m / g.nrm AS c
+        FROM mean_2 m JOIN nrm_2 g ON g.cell = m.cell),
+      cb2 AS (
+        SELECT 'cb_v2' AS leg, m.cell, m.pos, CAST(0 AS BIGINT) AS n,
+          m.m / g.nrm AS c
+        FROM mean_ref m JOIN nrm_ref g ON g.cell = m.cell),
+      fits AS (
+        SELECT 'fit' AS leg, -1 AS cell, 0 AS pos, CAST(0 AS BIGINT) AS n, f AS c
+        FROM fit_base
+        UNION ALL SELECT 'fit', -1, 1, 0, f FROM fit_new_old
+        UNION ALL SELECT 'fit', -1, 2, 0, f FROM fit_new_ref),
+      serves AS (
+        SELECT 'serve_v1' AS leg, cell, -1 AS pos, n, 0.0::DOUBLE AS c FROM serve_v1
+        UNION ALL SELECT 'serve_v2', cell, -1, n, 0.0::DOUBLE FROM serve_v2)
+      SELECT leg, CAST(cell AS INT) AS cell, CAST(pos AS BIGINT) AS pos, n,
+        CAST(c AS DOUBLE) AS c
+      FROM (SELECT * FROM cb1 UNION ALL SELECT * FROM cb2
+        UNION ALL SELECT * FROM fits UNION ALL SELECT * FROM serves) x
+      ORDER BY leg, cell, pos"""
     },
 
     // Mirrors the full quantization procedure: same maxabs (abs/max over

@@ -57,8 +57,9 @@ import graft.cdc.CdcApplier.TargetMeta
   */
 class GraftBatchScan(
     spark: SparkSession, targetDir: String, fullSchema: StructType,
-    required: StructType, pushed: Array[Filter])
-    extends Scan with Batch with SupportsRuntimeFiltering with SupportsReportStatistics {
+    required: StructType, pushed: Array[Filter], spjCapable: Boolean = false)
+    extends Scan with Batch with SupportsRuntimeFiltering with SupportsReportStatistics
+    with org.apache.spark.sql.connector.read.SupportsReportPartitioning {
 
   private val target = new Path(targetDir)
   private val hconf = spark.sparkContext.hadoopConfiguration
@@ -127,15 +128,26 @@ class GraftBatchScan(
       .map(_.copy(nullable = true)))
   }
 
+  /** LOGICAL query name → the PHYSICAL name files/footers/sidecars carry
+    * (q258 column mapping; identity when the table has no renames). */
+  private val physOf: String => String = c => CdcApplier.physicalName(meta, c)
+  /** Pushed filters in physical terms — what the parquet reader and the
+    * sidecar matcher consume; untranslatable nodes drop (both consumers
+    * are optimizations, dropping only reads more). */
+  private val pushedPhys: Array[Filter] =
+    pushed.flatMap(GraftScan.renameRefs(_, physOf))
+
   /** Internal read schema: the required columns first (so output ordinals
     * are a prefix), then whatever the reader additionally needs — the PK +
     * `_graft_pos` for merge-on-read resolution, `_graft_deleted` always
-    * (the tombstone filter). */
+    * (the tombstone filter). Field lookups are by PHYSICAL name; the
+    * output's ordinal contract makes the logical/physical naming moot at
+    * runtime (InternalRows carry no names). */
   private val readInternal: StructType = {
     val have = required.fieldNames.toSet
     val extras = (if (isMor) pkCols :+ CdcApplier.POS else Seq.empty) ++
       Seq(CdcApplier.DEL)
-    StructType(required.fields.map(f => fileSchema(f.name)) ++
+    StructType(required.fields.map(f => fileSchema(physOf(f.name))) ++
       extras.distinct.filterNot(have).map(fileSchema(_)))
   }
   private def ord(c: String): Int = readInternal.fieldNames.indexOf(c)
@@ -151,6 +163,30 @@ class GraftBatchScan(
 
   // ---- batch -------------------------------------------------------------
 
+  /** Storage-partitioned-join eligibility (q255; public design point:
+    * Iceberg's SupportsReportPartitioning + `bucket` catalog function,
+    * SPARK-37375). A HASH layout whose bucket key columns are all in the
+    * read schema reports `KeyGroupedPartitioning(bucket(n, keys...), #all
+    * buckets)` — one key-complete partition per bucket directory, each
+    * carrying its bucket id as the partition key — so a join of two graft
+    * tables with agreeing layouts shuffles NEITHER side (the layout paid
+    * the shuffle once, at write time). Range layouts and key-pruned
+    * projections report Unknown; refusal costs a shuffle, never
+    * correctness. The transform resolves against the table's OWN catalog
+    * ([[GraftBucketFunction]] — the writer's exact pmod(murmur3) fold). */
+  private def keyGrouped: Boolean =
+    spjCapable && meta.exists(_.rangeBounds.isEmpty) && bucketCols.nonEmpty &&
+      bucketCols.forall(required.fieldNames.contains) && allBuckets.nonEmpty
+
+  override def outputPartitioning()
+      : org.apache.spark.sql.connector.read.partitioning.Partitioning =
+    if (keyGrouped)
+      new org.apache.spark.sql.connector.read.partitioning.KeyGroupedPartitioning(
+        Array(Expressions.bucket(meta.get.numBuckets, bucketCols: _*)),
+        allBuckets.size)
+    else new org.apache.spark.sql.connector.read.partitioning.UnknownPartitioning(
+      allBuckets.size)
+
   override def planInputPartitions(): Array[InputPartition] = {
     val bs = activeBuckets
     lastPlannedBuckets = bs
@@ -161,9 +197,11 @@ class GraftBatchScan(
     // file holds no version of any key surviving the predicate above the
     // reader-local resolve). Unknown files/columns are always kept.
     val skipF = {
-      val all = (pushed ++ runtimeFilters).toIndexedSeq
+      val all = (pushedPhys ++
+        runtimeFilters.flatMap(GraftScan.renameRefs(_, physOf))).toIndexedSeq
       if (isMor) all.filter(_.references.toSet.subsetOf(pkCols.toSet)) else all
     }
+    val grouped = keyGrouped
     var kept = 0
     var total = 0
     val parts = bs.zipWithIndex.map { case (b, i) =>
@@ -171,7 +209,11 @@ class GraftBatchScan(
       val (files, n) = graft.cdc.FileStats.selectBucketFiles(fs, d, skipF)
       kept += files.size
       total += n
-      ParquetReadShim.bucketPartition(i, files)
+      val fp = ParquetReadShim.bucketPartition(i, files)
+      // partition key = the bucket id (= the bucket(n, keys) value for
+      // every row in the directory) — what Spark's key-grouped execution
+      // aligns the two join sides by
+      if (grouped) GraftBucketPartition(fp, b) else fp
     }.toArray
     lastPlannedFiles = (kept, total)
     parts
@@ -182,8 +224,8 @@ class GraftBatchScan(
     // merge-on-read (a key's versions agree on its PK, so skipping by PK
     // cannot change a key's winner); everything on copy-on-write
     val parquetSafe =
-      if (isMor) pushed.filter(_.references.toSet.subsetOf(pkCols.toSet))
-      else pushed
+      if (isMor) pushedPhys.filter(_.references.toSet.subsetOf(pkCols.toSet))
+      else pushedPhys
     val inner = ParquetReadShim.parquetReaderFactory(
       spark, fileSchema, readInternal, parquetSafe)
     new GraftResolvingReaderFactory(inner, isMor,
@@ -205,6 +247,19 @@ class GraftBatchScan(
   }
 }
 
+/** One bucket directory's files plus the bucket id as the partition key —
+  * the [[org.apache.spark.sql.connector.read.HasPartitionKey]] carrier
+  * Spark's key-grouped execution groups/aligns partitions by. Unwrapped by
+  * [[GraftResolvingReaderFactory]] before the inner parquet factory sees
+  * it (the factory handles FilePartitions only). */
+case class GraftBucketPartition(
+    fp: InputPartition, bucketId: Int)
+    extends InputPartition with org.apache.spark.sql.connector.read.HasPartitionKey {
+  override def partitionKey(): InternalRow =
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](bucketId))
+}
+
 /** Wraps Spark's parquet reader factory with the graft read semantics:
   * tombstone filtering (+ reader-local latest-per-key resolution on
   * merge-on-read) and the projection down to the served columns. Row-based
@@ -222,7 +277,11 @@ class GraftResolvingReaderFactory(
     def proj(ords: Array[Int]): UnsafeProjection = UnsafeProjection.create(
       ords.toIndexedSeq.map(i =>
         BoundReference(i, readSchema(i).dataType, nullable = true)))
-    val in = inner.createReader(partition)
+    val filePart = partition match {
+      case GraftBucketPartition(fp, _) => fp
+      case p => p
+    }
+    val in = inner.createReader(filePart)
     if (isMor)
       new MorResolvingReader(in, proj(pkOrdinals), posOrdinal, delOrdinal,
         proj(outOrdinals))

@@ -240,7 +240,8 @@ object GraftDataSource {
 }
 
 class GraftTable(val targetDir: String, tableSchema: StructType,
-    asOf: Option[Long] = None, changesFrom: Option[Long] = None)
+    asOf: Option[Long] = None, changesFrom: Option[Long] = None,
+    spjCapable: Boolean = false)
     extends Table with SupportsRead with SupportsWrite with SupportsDelete
     with org.apache.spark.sql.connector.catalog.SupportsRowLevelOperations {
   override def name(): String = s"graft.`$targetDir`"
@@ -248,10 +249,37 @@ class GraftTable(val targetDir: String, tableSchema: StructType,
   override def capabilities(): java.util.Set[TableCapability] =
     java.util.EnumSet.of(TableCapability.BATCH_READ,
       TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE)
+
+  /** The layout as a V2 partitioning transform — `bucket(numBuckets,
+    * bucketCols...)` for HASH layouts, resolved against this table's own
+    * catalog function ([[GraftBucketFunction]]) by Spark's
+    * storage-partitioned-join rule. Reported ONLY for tables served by
+    * [[graft.catalog.GraftCatalog]] (`spjCapable`): that catalog is the one
+    * that can resolve `bucket` — Spark resolves transforms against the
+    * RELATION'S catalog, and the session catalog (path reads, `USING
+    * graft` tables) throws on the lookup instead of declining. Range
+    * layouts report nothing (their assignment is split-point arithmetic,
+    * not the `bucket` hash — misreporting would co-locate wrong); so do
+    * the as-of / change-feed projections (their relations don't serve the
+    * key columns as the live-table shape this transform describes). */
+  override def partitioning(): Array[org.apache.spark.sql.connector.expressions.Transform] = {
+    if (!spjCapable || asOf.isDefined || changesFrom.isDefined) return Array.empty
+    val meta = TargetMeta.read(
+      SparkSession.active.sparkContext.hadoopConfiguration, new Path(targetDir))
+    meta match {
+      case Some(m) if m.rangeBounds.isEmpty =>
+        m.bucketCols.orElse(m.pkCols).filter(_.nonEmpty)
+          .map(cs => Array(org.apache.spark.sql.connector.expressions.Expressions
+            .bucket(m.numBuckets, cs: _*)))
+          .getOrElse(Array.empty)
+      case _ => Array.empty
+    }
+  }
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new GraftScanBuilder(SparkSession.active, targetDir, tableSchema,
       asOf.orElse(GraftDataSource.asOfOf(options)),
-      changesFrom.orElse(GraftDataSource.changesFromOf(options)))
+      changesFrom.orElse(GraftDataSource.changesFromOf(options)),
+      spjCapable = spjCapable)
 
   /** V2 write route (SQL `INSERT INTO` / `INSERT OVERWRITE` on `USING
     * graft` tables, `df.write` V2 saves) — lands on
@@ -319,17 +347,24 @@ object GraftTable {
       case None =>
         throw new IllegalStateException(s"no graft table state at $targetDir")
     }
-    val pk = TargetMeta.read(hconf, target).flatMap(_.pkCols)
-      .getOrElse(Seq.empty).toSet
+    val metaOpt = TargetMeta.read(hconf, target)
+    val pk = metaOpt.flatMap(_.pkCols).getOrElse(Seq.empty).toSet
     // PK columns are served NON-nullable: the applier's S6 completeness
     // guard raises on null PKs before any row lands, so the tightening is
     // semantically true — and Spark's row-level DML (UPDATE/MERGE) requires
     // non-nullable rowId attributes. Under the default ANSI store-
     // assignment policy a nullable INSERT query just gains a runtime
     // AssertNotNull, the Spark-native spelling of the same S6 guard.
+    // Field names are served LOGICALLY (q258 column mapping) — the files
+    // and schemaJson stay physical; renames translate and retired columns
+    // (q259 drops) disappear at this edge.
+    val droppedCols = metaOpt.flatMap(_.drops).getOrElse(Seq.empty).toSet
     StructType(stored.fields.filterNot(f =>
-      f.name == CdcApplier.DEL || f.name == CdcApplier.BUCKET)
-      .map(f => if (pk.contains(f.name)) f.copy(nullable = false) else f))
+      f.name == CdcApplier.DEL || f.name == CdcApplier.BUCKET || droppedCols(f.name))
+      .map { f =>
+        val named = f.copy(name = CdcApplier.logicalName(metaOpt, f.name))
+        if (pk.contains(f.name)) named.copy(nullable = false) else named
+      })
   }
 
   /** The `changesFrom` mode's relation schema: the reconstructed CDC
@@ -350,7 +385,8 @@ object GraftTable {
 }
 
 class GraftScanBuilder(spark: SparkSession, targetDir: String, fullSchema: StructType,
-    asOf: Option[Long] = None, changesFrom: Option[Long] = None)
+    asOf: Option[Long] = None, changesFrom: Option[Long] = None,
+    spjCapable: Boolean = false)
     extends ScanBuilder with SupportsPushDownFilters with SupportsPushDownRequiredColumns
     with SupportsPushDownAggregates with SupportsPushDownLimit {
 
@@ -429,7 +465,8 @@ class GraftScanBuilder(spark: SparkSession, targetDir: String, fullSchema: Struc
           GraftScan.coveredBuckets(meta, fullSchema, pushed, all).size == all.size
       }
     if (runtimeEligible)
-      new GraftBatchScan(spark, targetDir, fullSchema, required, pushed)
+      new GraftBatchScan(spark, targetDir, fullSchema, required, pushed,
+        spjCapable = spjCapable)
     else
       new GraftScan(spark, targetDir, fullSchema, required, pushed, asOf,
         changesFrom, pushedLimit)
@@ -546,6 +583,30 @@ object GraftScan {
     case And(l, r) => for { lc <- toColumn(l); rc <- toColumn(r) } yield lc && rc
     case Or(l, r)  => for { lc <- toColumn(l); rc <- toColumn(r) } yield lc || rc
     case Not(c)    => toColumn(c).map(not)
+    case _         => None
+  }
+
+  /** Rewrite a pushed filter's attribute references (q258 column mapping:
+    * LOGICAL query names → the PHYSICAL names footers and sidecars carry).
+    * An untranslatable node returns None and the CALLER DROPS it — both
+    * consumers (file-level skipping, parquet row-group pushdown) are pure
+    * optimizations, so dropping only reads more, never wrong. */
+  private[sources] def renameRefs(f: Filter, phys: String => String): Option[Filter] = f match {
+    case EqualTo(a, v)            => Some(EqualTo(phys(a), v))
+    case EqualNullSafe(a, v)      => Some(EqualNullSafe(phys(a), v))
+    case In(a, vs)                => Some(In(phys(a), vs))
+    case IsNull(a)                => Some(IsNull(phys(a)))
+    case IsNotNull(a)             => Some(IsNotNull(phys(a)))
+    case GreaterThan(a, v)        => Some(GreaterThan(phys(a), v))
+    case GreaterThanOrEqual(a, v) => Some(GreaterThanOrEqual(phys(a), v))
+    case LessThan(a, v)           => Some(LessThan(phys(a), v))
+    case LessThanOrEqual(a, v)    => Some(LessThanOrEqual(phys(a), v))
+    case StringStartsWith(a, v)   => Some(StringStartsWith(phys(a), v))
+    case StringEndsWith(a, v)     => Some(StringEndsWith(phys(a), v))
+    case StringContains(a, v)     => Some(StringContains(phys(a), v))
+    case And(l, r) => for { lc <- renameRefs(l, phys); rc <- renameRefs(r, phys) } yield And(lc, rc)
+    case Or(l, r)  => for { lc <- renameRefs(l, phys); rc <- renameRefs(r, phys) } yield Or(lc, rc)
+    case Not(c)    => renameRefs(c, phys).map(Not)
     case _         => None
   }
 
@@ -683,18 +744,28 @@ object GraftScan {
     // any key that could survive the predicate above). Time travel reads
     // every version file (the cut is by POS), so it opts out.
     val fs = target.getFileSystem(hconf)
+    // sidecar statistics carry PHYSICAL names (q258): translate the skip
+    // set; untranslatable nodes drop (skipping is optional, never wrong)
+    val physOf: String => String = c => CdcApplier.physicalName(meta, c)
     val fileSel =
       if (asOf.isDefined) None
-      else graft.cdc.FileStats.selectFiles(fs, target, buckets, below.toIndexedSeq)
+      else graft.cdc.FileStats.selectFiles(fs, target, buckets,
+        below.toIndexedSeq.flatMap(renameRefs(_, physOf)))
     fileSel.foreach { case (_, k, t) => onFileSkip(k, t) }
     fileSel.foreach { case (files, _, _) => if (files.isEmpty) return emptyDf }
 
     val paths = fileSel.map(_._1)
       .getOrElse(buckets.map(b => s"$targetDir/$BUCKET=$b"))
-    val raw = spark.read
-      .option("mergeSchema", true)
-      .option("basePath", targetDir)
-      .parquet(paths: _*)
+    // logicalize EARLY (q258): everything below — pushed-filter columns,
+    // required projection, resolve, tombstone filter — speaks logical
+    // names; the rename is a Project(Alias), which Spark pushes filters
+    // straight through into the parquet scan
+    val raw = CdcApplier.logicalize(
+      spark.read
+        .option("mergeSchema", true)
+        .option("basePath", targetDir)
+        .parquet(paths: _*),
+      meta)
     def applyFilters(df: DataFrame, fs: Array[Filter]): DataFrame =
       fs.flatMap(toColumn).foldLeft(df)(_.filter(_))
 
@@ -793,6 +864,10 @@ object GraftAggScan {
     CdcApplier.openTarget(fs, target)
     val meta = TargetMeta.read(hconf, target)
     if (meta.exists(_.storage.contains("mor"))) return None
+    // column-mapped tables refuse (q258): the aggregation names logical
+    // columns, footers carry physical — refusal falls back to the row
+    // scan, which translates; never a correctness event
+    if (meta.exists(_.renames.exists(_.nonEmpty))) return None
     val aggSchema = org.apache.spark.sql.graft.AggShim.aggSchema(agg, fullSchema)
       .getOrElse(return None)
     val files = CdcApplier.bucketIds(fs, target).flatMap { b =>

@@ -322,6 +322,13 @@ object StreamingPipeline {
       changes: DataFrame, targetDir: String, checkpointDir: String,
       opts: PipelineOptions): StreamingQuery = {
     Metrics.registerJmx(targetDir)
+    // Restart-from-checkpoint IS the single-writer restart contract (S2):
+    // the prior incarnation is dead by definition, so a commit ticket it
+    // died holding (q257 fence) is reclaimed here — the first replayed
+    // micro-batch then re-applies and converges instead of fencing forever.
+    if (CdcApplier.reclaimCommit(changes.sparkSession, targetDir))
+      Console.err.println(
+        s"[graft] reclaimed a stale commit ticket at $targetDir (prior writer died mid-publish)")
     changes.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
@@ -369,6 +376,14 @@ object StreamingPipeline {
       opts: String => PipelineOptions,
       epochDir: Option[String] = None): StreamingQuery = {
     tables.values.foreach { case (_, targetDir) => Metrics.registerJmx(targetDir) }
+    // same restart-reclaim contract as [[start]], for every routed target
+    // and its secondary indexes
+    tables.toSeq.sortBy(_._1).foreach { case (t, (_, targetDir)) =>
+      (targetDir +: opts(t).indexes.map(_.targetDir)).foreach { d =>
+        if (CdcApplier.reclaimCommit(changes.sparkSession, d))
+          Console.err.println(s"[graft] reclaimed a stale commit ticket at $d")
+      }
+    }
     changes.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>

@@ -67,11 +67,15 @@ class GraftCatalogSpec extends AnyFunSuite {
     val got = spark.sql("SELECT k, note FROM gr.evo.t ORDER BY k")
       .collect().map(r => (r.getLong(0), Option(r.getString(1)))).toSeq
     assert(got == Seq((1L, None), (2L, Some("hello"))))
-    // non-additive changes are refused
+    // DROP COLUMN is supported via column mapping (q259): meta-only, the
+    // served schema loses the column immediately
+    spark.sql("ALTER TABLE gr.evo.t DROP COLUMN note")
+    assert(!spark.table("gr.evo.t").columns.contains("note"))
+    // unsupported evolution classes still refuse
     val e = intercept[Exception] {
-      spark.sql("ALTER TABLE gr.evo.t DROP COLUMN v")
+      spark.sql("ALTER TABLE gr.evo.t ALTER COLUMN v COMMENT 'x'")
     }
-    assert(e.getMessage.contains("additively"), e.getMessage)
+    assert(e.getMessage.contains("evolve via"), e.getMessage)
   }
 
   test("ALTER COLUMN TYPE widens losslessly (eager atomic rewrite); " +

@@ -267,11 +267,15 @@ class CdcApplierSpec extends AnyFunSuite {
 
     val fs = new Path(target).getFileSystem(spark.sparkContext.hadoopConfiguration)
     def bucketFiles(): Map[String, Seq[(String, Long, Long)]] =
-      fs.listStatus(new Path(target)).filter(_.isDirectory).map { d =>
-        d.getPath.getName ->
-          fs.listStatus(d.getPath).map(f =>
-            (f.getPath.getName, f.getLen, f.getModificationTime)).toSeq.sortBy(_._1)
-      }.toMap
+      fs.listStatus(new Path(target))
+        // bucket DATA dirs only: `.graft_commits` (the q257 fence's marker
+        // dir) legitimately changes on every publish
+        .filter(d => d.isDirectory && !d.getPath.getName.startsWith("."))
+        .map { d =>
+          d.getPath.getName ->
+            fs.listStatus(d.getPath).map(f =>
+              (f.getPath.getName, f.getLen, f.getModificationTime)).toSeq.sortBy(_._1)
+        }.toMap
     val before = bucketFiles()
     assert(before.size > 1, "need multiple buckets for the test to mean anything")
 
@@ -399,7 +403,10 @@ class CdcApplierSpec extends AnyFunSuite {
     val fs = new Path(target).getFileSystem(spark.sparkContext.hadoopConfiguration)
     def files(): Set[String] =
       if (!fs.exists(new Path(target))) Set.empty
-      else fs.listStatus(new Path(target)).filter(_.isDirectory)
+      else fs.listStatus(new Path(target))
+        // bucket DATA dirs only — the q257 fence's `.graft_commits` marker
+        // dir changes on every publish by design
+        .filter(d => d.isDirectory && !d.getPath.getName.startsWith("."))
         .flatMap(d => fs.listStatus(d.getPath).map(_.getPath.toString)).toSet
 
     val rows = (1 to 24).map(i => Student(i, i * 7, i * 10, s"n$i", "r"))
