@@ -143,7 +143,8 @@ object Bench {
       "q250_file_skipping", "q251_two_stage_keyed_fetch",
       "q252_trained_codebook", "q253_type_widening", "q254_sql_history",
       "q255_spj_join", "q256_named_tags", "q257_commit_fence",
-      "q258_column_rename", "q259_drop_column", "q260_codebook_refresh")
+      "q258_column_rename", "q259_drop_column", "q260_codebook_refresh",
+      "q261_sql_detail")
 
     def measure(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame)
         : (Double, Seq[Double], Seq[(Long, Long, Long)]) = {

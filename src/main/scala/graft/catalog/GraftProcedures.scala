@@ -43,7 +43,7 @@ object GraftProcedures {
   val Namespace = "system"
 
   private val names = Seq("optimize", "compact", "vacuum", "rebucket", "backfill",
-    "history", "tag", "drop_tag", "tags")
+    "history", "tag", "drop_tag", "tags", "detail")
 
   def list(catalogName: String): Array[Identifier] =
     names.map(n => Identifier.of(Array(Namespace), n)).toArray
@@ -90,6 +90,7 @@ class GraftProcedure(root: Path, op: String) extends UnboundProcedure with Bound
       in("table", StringType).build(),
       in("name", StringType).build())
     case "tags" => Array(in("table", StringType).build())
+    case "detail" => Array(in("table", StringType).build())
   }
 
   private def dirOf(table: String): String = {
@@ -134,6 +135,61 @@ class GraftProcedure(root: Path, op: String) extends UnboundProcedure with Bound
       }
       return java.util.Collections.singletonList[Scan](new LocalScan {
         override def rows(): Array[InternalRow] = outRows
+        override def readSchema(): StructType = schema
+      }).iterator()
+    }
+    // DESCRIBE DETAIL (q261; Delta's DESCRIBE DETAIL surface): ONE row of
+    // table-level facts a SQL operator needs before any maintenance call —
+    // storage mode, bucket modulus, PK, the as-of floor, the published
+    // high-water position, the commit-fence sequence, live row count, and
+    // the evolution-surface counts (tags/renames/drops). Everything comes
+    // from `.graft_meta` + the marker dir except `live_rows` (one snapshot
+    // count — the same read any reader pays) and files/bytes (one bounded
+    // listing, the cost class every maintenance op already pays).
+    if (op == "detail") {
+      val hconf = spark.sparkContext.hadoopConfiguration
+      val target = new Path(dir)
+      val meta = TargetMeta.read(hconf, target).getOrElse(
+        throw new IllegalStateException(s"no graft table state at $dir"))
+      val fs = target.getFileSystem(hconf)
+      val floorD = math.max(meta.horizon, meta.collapsed.getOrElse(Long.MinValue))
+      val buckets = CdcApplier.bucketIds(fs, target)
+      val files = buckets.flatMap { b =>
+        fs.listStatus(new Path(target, s"${CdcApplier.BUCKET}=$b"))
+          .filterNot(f => f.getPath.getName.startsWith("_") ||
+            f.getPath.getName.startsWith("."))
+      }
+      val liveRows = CdcApplier.snapshot(spark, dir).count()
+      val schema = StructType(Seq(
+        StructField("storage", StringType, nullable = false),
+        StructField("buckets", IntegerType, nullable = false),
+        StructField("pk", StringType, nullable = false),
+        StructField("floor", LongType, nullable = true),
+        StructField("max_pos", LongType, nullable = true),
+        StructField("commit_seq", LongType, nullable = false),
+        StructField("live_rows", LongType, nullable = false),
+        StructField("n_tags", IntegerType, nullable = false),
+        StructField("n_renames", IntegerType, nullable = false),
+        StructField("n_drops", IntegerType, nullable = false),
+        StructField("n_buckets_on_disk", IntegerType, nullable = false),
+        StructField("n_files", IntegerType, nullable = false),
+        StructField("bytes", LongType, nullable = false)))
+      val row: InternalRow = new GenericInternalRow(Array[Any](
+        UTF8String.fromString(meta.storage.getOrElse("cow")),
+        meta.numBuckets,
+        UTF8String.fromString(meta.pkCols.getOrElse(Seq.empty).mkString(",")),
+        if (floorD == Long.MinValue) null else floorD,
+        meta.maxPos.orNull,
+        CdcApplier.commitSeq(fs, target),
+        liveRows,
+        meta.tags.map(_.size).getOrElse(0),
+        meta.renames.map(_.size).getOrElse(0),
+        meta.drops.map(_.size).getOrElse(0),
+        buckets.size,
+        files.size,
+        files.map(_.getLen).sum))
+      return java.util.Collections.singletonList[Scan](new LocalScan {
+        override def rows(): Array[InternalRow] = Array(row)
         override def readSchema(): StructType = schema
       }).iterator()
     }

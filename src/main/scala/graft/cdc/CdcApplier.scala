@@ -874,7 +874,8 @@ object CdcApplier {
     * (SQL `VERSION AS OF` parses digits as a raw position — the name would
     * be unreachable); a tag at an unanswerable or not-yet-published
     * position is refused (it could never serve what it claims). */
-  def createTag(spark: SparkSession, targetDir: String, name: String, pos: Long): Unit = {
+  def createTag(spark: SparkSession, targetDir: String, name: String, pos: Long): Unit =
+    withCommitTicket(spark, targetDir) {
     val hconf = spark.sparkContext.hadoopConfiguration
     val target = new Path(targetDir)
     val meta = TargetMeta.read(hconf, target).getOrElse(
@@ -905,16 +906,17 @@ object CdcApplier {
   /** Drop a named ref — after this the tagged history is collapse-eligible
     * again. Unknown names refuse (a silent no-op would hide typos from the
     * retention pipeline that believes it unpinned something). */
-  def dropTag(spark: SparkSession, targetDir: String, name: String): Unit = {
-    val hconf = spark.sparkContext.hadoopConfiguration
-    val target = new Path(targetDir)
-    val meta = TargetMeta.read(hconf, target).getOrElse(
-      throw new IllegalStateException(s"no graft table state at $targetDir"))
-    val tags = meta.tags.getOrElse(Map.empty)
-    if (!tags.contains(name))
-      throw new IllegalArgumentException(s"no tag '$name' at $targetDir")
-    TargetMeta.write(hconf, target, meta.copy(tags = Some(tags - name)))
-  }
+  def dropTag(spark: SparkSession, targetDir: String, name: String): Unit =
+    withCommitTicket(spark, targetDir) {
+      val hconf = spark.sparkContext.hadoopConfiguration
+      val target = new Path(targetDir)
+      val meta = TargetMeta.read(hconf, target).getOrElse(
+        throw new IllegalStateException(s"no graft table state at $targetDir"))
+      val tags = meta.tags.getOrElse(Map.empty)
+      if (!tags.contains(name))
+        throw new IllegalArgumentException(s"no tag '$name' at $targetDir")
+      TargetMeta.write(hconf, target, meta.copy(tags = Some(tags - name)))
+    }
 
   /** [[snapshotAsOf]] addressed by tag name. */
   def snapshotAsOfTag(spark: SparkSession, targetDir: String, name: String): DataFrame = {

@@ -2149,6 +2149,55 @@ object CdcQueries {
         .orderBy($"o_orderkey")
     }),
 
+    // DESCRIBE DETAIL (q261; Delta's DESCRIBE DETAIL surface): the one-row
+    // table-facts relation completing the SQL observability triplet
+    // (detail + history q254 + tags q256) — a SQL operator can now see the
+    // storage mode, modulus, PK, retention floor, high-water position,
+    // commit-fence sequence, live rows, and the evolution-surface counts
+    // before issuing any maintenance CALL. The lifecycle plants every
+    // field: 4 mor batches (100/150/200/300), a tag, a rename, and a
+    // partial vacuum — each of the SEVEN fenced publishes ticks commit_seq
+    // exactly once (4 applies + tag + rename + vacuum = 7), the vacuum
+    // lands the floor on 150, and live_rows couples the row to the data.
+    // Files/bytes are environment-shaped, so they are REQUIRED positive
+    // in-gate rather than hash-compared. Oracle: every field derived
+    // declaratively from the lifecycle.
+    "q261_sql_detail" -> ((s, dir) => {
+      import s.implicits._
+      val o = Tables.load(s, dir, "orders")
+      val whRoot = s.conf.getOption("spark.sql.catalog.q245cat.root")
+        .getOrElse {
+          val r = Files.createTempDirectory("graft_cat").toString
+          s.conf.set("spark.sql.catalog.q245cat", "graft.catalog.GraftCatalog")
+          s.conf.set("spark.sql.catalog.q245cat.root", r)
+          r
+        }
+      s.sql("CREATE NAMESPACE IF NOT EXISTS q245cat.prod")
+      s.sql("DROP TABLE IF EXISTS q245cat.prod.orders_detail")
+      s.sql(s"""CREATE TABLE q245cat.prod.orders_detail (${o.schema.toDDL})
+                OPTIONS (pk 'o_orderkey', buckets '8', storage 'mor')""")
+      val target = s"$whRoot/prod/orders_detail"
+      val opts = CdcApplier.Options(Seq("o_orderkey"))
+      CdcApplier.applyBatchMor(s, ChangeFeed.inserts(o, lit(100L)), target, opts)
+      CdcApplier.applyBatchMor(s, ChangeFeed.updates(o.filter($"o_orderkey" % 2 === 0),
+        Map("o_totalprice" -> ($"o_totalprice" * 1.1)), lit(150L)), target, opts)
+      CdcApplier.applyBatchMor(s, ChangeFeed.updates(o.filter($"o_orderkey" % 4 === 0),
+        Map("o_totalprice" -> ($"o_totalprice" * 1.2)), lit(200L)), target, opts)
+      CdcApplier.applyBatchMor(s, ChangeFeed.deletes(o.filter($"o_orderkey" % 6 === 0),
+        lit(300L)), target, opts)
+      s.sql("CALL q245cat.system.tag(table => 'prod.orders_detail', " +
+        "name => 'keep', pos => 200L)")
+      s.sql("ALTER TABLE q245cat.prod.orders_detail RENAME COLUMN o_totalprice TO px_usd")
+      CdcApplier.vacuumMor(s, target, 200L) // floor -> 150; 'keep'@200 survives
+      val d = s.sql("CALL q245cat.system.detail(table => 'prod.orders_detail')")
+      val r = d.head()
+      require(r.getAs[Int]("n_files") > 0 && r.getAs[Long]("bytes") > 0L &&
+        r.getAs[Int]("n_buckets_on_disk") == 8,
+        s"environment-shaped fields must be sane: $r")
+      d.select($"storage", $"buckets", $"pk", $"floor", $"max_pos",
+        $"commit_seq", $"live_rows", $"n_tags", $"n_renames", $"n_drops")
+    }),
+
     // COMMIT FENCE (q257; public design point: Delta's optimistic commit
     // protocol / HBase region fencing): every bucket-swapping publisher
     // claims the next commit ticket — an exclusive marker-file create —
@@ -3885,6 +3934,16 @@ object CdcQueries {
         o_orderstatus,
         true AS readd_refused, true AS pk_drop_refused
       FROM orders ORDER BY o_orderkey""",
+
+    // q261: every detail field derived from the lifecycle — 7 fenced
+    // publishes, floor on the vacuum point, live rows = the %6 survivors.
+    "q261_sql_detail" -> """
+      SELECT 'mor' AS storage, 8 AS buckets, 'o_orderkey' AS pk,
+        CAST(150 AS BIGINT) AS floor, CAST(300 AS BIGINT) AS max_pos,
+        CAST(7 AS BIGINT) AS commit_seq,
+        (SELECT CAST(count(*) AS BIGINT) FROM orders
+         WHERE o_orderkey % 6 <> 0) AS live_rows,
+        1 AS n_tags, 1 AS n_renames, 0 AS n_drops""",
 
     // q257: the converged post-fence lifecycle — %5 keys carry the retried
     // (and replayed) 1.3x update.

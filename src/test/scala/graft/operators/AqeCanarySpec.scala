@@ -93,4 +93,16 @@ class AqeCanarySpec extends AnyFunSuite {
       }
     }
   }
+
+  test("the storage-partitioned join stays shuffle-free under the production AQE profile") {
+    // q255's zero-exchange property is exactly the kind of plan shape an
+    // adaptive re-plan could undo at scale (an AQE-inserted exchange would
+    // silently re-pay the shuffle the layout already paid at write time) —
+    // the gate's own require re-runs here under the FORCED full profile.
+    withAqeForced {
+      val df = SparkEntry.queries("q255_spj_join")(spark, dir)
+      df.queryExecution.toRdd.foreach(_ => ())
+      assert(df.count() > 0)
+    }
+  }
 }
