@@ -279,6 +279,9 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       DataType.fromJson(j).asInstanceOf[StructType]).getOrElse(
       throw new IllegalStateException(
         s"$dir has a pre-upgrade meta with no persisted schema; run one applyBatch first"))
+    // only the ADD COLUMN path needs the final schema write below — widen/
+    // rename/drop persist their own meta under their own commit tickets
+    var needSchemaWrite = false
     val evolved = changes.foldLeft(stored) {
       case (s, add: TableChange.AddColumn) =>
         require(add.fieldNames.length == 1,
@@ -299,6 +302,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
         // on it.
         val layoutNames = Set(CdcApplier.POS, CdcApplier.DEL, CdcApplier.BUCKET)
         val (data, layout) = s.fields.partition(f => !layoutNames(f.name))
+        needSchemaWrite = true
         StructType(data ++ Seq(StructField(n, add.dataType, nullable = true)) ++ layout)
       case (s, up: TableChange.UpdateColumnType) =>
         require(up.fieldNames.length == 1,
@@ -334,10 +338,15 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
           s"graft tables evolve via ADD COLUMN, widening ALTER COLUMN TYPE, " +
             s"RENAME COLUMN, and DROP COLUMN; got $c")
     }
-    // FRESH meta for the final write: widen/rename above mutate the meta
-    // in place — a copy from the entry read would clobber their changes
-    val metaNow = TargetMeta.read(hconf, dir).getOrElse(meta)
-    TargetMeta.write(hconf, dir, metaNow.copy(schemaJson = Some(evolved.json)))
+    // The ADD COLUMN schema write runs under its own commit ticket like
+    // every other meta mutation (an unfenced read-modify-write here could
+    // clobber a concurrent publisher's maxPos/tag update), over a FRESH
+    // meta read (widen/rename/drop above already persisted their changes).
+    if (needSchemaWrite)
+      CdcApplier.withCommitTicket(org.apache.spark.sql.SparkSession.active, dir.toString) {
+        val metaNow = TargetMeta.read(hconf, dir).getOrElse(meta)
+        TargetMeta.write(hconf, dir, metaNow.copy(schemaJson = Some(evolved.json)))
+      }
     loadTable(ident)
   }
 

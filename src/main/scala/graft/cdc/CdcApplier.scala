@@ -810,6 +810,10 @@ object CdcApplier {
       if (layout(phys) || keyCols(phys))
         throw new IllegalArgumentException(
           s"cannot rename '$from': PK/bucket/layout columns are the layout's identity")
+      // the meta KV format is comma/colon/newline-delimited: a physical
+      // name carrying a delimiter would corrupt every later meta read
+      require(!phys.exists(c => c == ',' || c == ':' || c == '\n'),
+        s"column '$from': physical name '$phys' carries a meta-format delimiter")
       require(to.matches("[A-Za-z_][A-Za-z0-9_]*"),
         s"rename target '$to' must be [A-Za-z_][A-Za-z0-9_]*")
       val currentLogicals = stored.fieldNames.filterNot(layout)
@@ -858,6 +862,9 @@ object CdcApplier {
           .contains(phys))
         throw new IllegalArgumentException(
           s"cannot drop '$name': PK/bucket/layout columns are the layout's identity")
+      // same delimiter guard as renameColumn — `drops` shares the KV format
+      require(!phys.exists(c => c == ',' || c == ':' || c == '\n'),
+        s"column '$name': physical name '$phys' carries a meta-format delimiter")
       TargetMeta.write(hconf, target, meta.copy(
         renames = Some(rn - name).filter(_.nonEmpty),
         drops = Some((dropped + phys).toSeq.sorted)))
@@ -1399,9 +1406,15 @@ object CdcApplier {
       // fully-compacted target can still be read as a typed empty table.
       if (meta.isEmpty || newFields.nonEmpty || widened.nonEmpty ||
           meta.exists(m => m.schemaJson.isEmpty || m.pkCols.isEmpty))
+        // COPY the existing meta (never rebuild from scratch): a rebuild
+        // here silently wiped tags/renames/drops on the first evolving
+        // batch after any of them landed — a dropped column would
+        // resurrect with its stale bytes, a tag or rename would vanish
         TargetMeta.write(hconf, target,
-          TargetMeta(numBuckets, horizon, Some(merged.schema.json), Some(pkOrder),
-            if (bucketOrder == pkOrder) None else Some(bucketOrder),
+          meta.getOrElse(TargetMeta(numBuckets, horizon)).copy(
+            numBuckets = numBuckets, horizon = horizon,
+            schemaJson = Some(merged.schema.json), pkCols = Some(pkOrder),
+            bucketCols = if (bucketOrder == pkOrder) None else Some(bucketOrder),
             rangeBounds = rangeBounds))
 
       val tmp = new Path(targetDir + ".tmp")

@@ -18,6 +18,21 @@ case class EnvelopeRow(op: String, table: String, next_position: Long,
   */
 object CdcQueries {
 
+  /** Register the shared `q245cat` graft catalog once per session and
+    * return its warehouse root (creating the `prod` namespace) — ONE
+    * definition for every SQL-catalog gate, so the registration cannot
+    * drift between them. */
+  private def graftCatRoot(s: SparkSession): String = {
+    val root = s.conf.getOption("spark.sql.catalog.q245cat.root").getOrElse {
+      val r = Files.createTempDirectory("graft_cat").toString
+      s.conf.set("spark.sql.catalog.q245cat", "graft.catalog.GraftCatalog")
+      s.conf.set("spark.sql.catalog.q245cat.root", r)
+      r
+    }
+    s.sql("CREATE NAMESPACE IF NOT EXISTS q245cat.prod")
+    root
+  }
+
   /** The SHARED q79 CDC lifecycle — inserts of every row (pos k*10), one
     * update batch that BOTH reprices (%7, x1.2) and group-moves (%13 →
     * 1-URGENT) at pos k*10+5, one delete batch (%11, post-update
@@ -1831,14 +1846,7 @@ object CdcQueries {
     "q254_sql_history" -> ((s, dir) => {
       import s.implicits._
       val o = Tables.load(s, dir, "orders")
-      val whRoot = s.conf.getOption("spark.sql.catalog.q245cat.root")
-        .getOrElse {
-          val r = Files.createTempDirectory("graft_cat").toString
-          s.conf.set("spark.sql.catalog.q245cat", "graft.catalog.GraftCatalog")
-          s.conf.set("spark.sql.catalog.q245cat.root", r)
-          r
-        }
-      s.sql("CREATE NAMESPACE IF NOT EXISTS q245cat.prod")
+      val whRoot = graftCatRoot(s)
       s.sql("DROP TABLE IF EXISTS q245cat.prod.orders_hist")
       s.sql(s"""CREATE TABLE q245cat.prod.orders_hist (${o.schema.toDDL})
                 OPTIONS (pk 'o_orderkey', buckets '8', storage 'mor')""")
@@ -1877,14 +1885,7 @@ object CdcQueries {
       import s.implicits._
       val o = Tables.load(s, dir, "orders")
       val c = Tables.load(s, dir, "customer")
-      val whRoot = s.conf.getOption("spark.sql.catalog.q245cat.root")
-        .getOrElse {
-          val r = Files.createTempDirectory("graft_cat").toString
-          s.conf.set("spark.sql.catalog.q245cat", "graft.catalog.GraftCatalog")
-          s.conf.set("spark.sql.catalog.q245cat.root", r)
-          r
-        }
-      s.sql("CREATE NAMESPACE IF NOT EXISTS q245cat.prod")
+      val whRoot = graftCatRoot(s)
       Seq("orders_spj", "cust_spj", "cust_spj_mis").foreach(t =>
         s.sql(s"DROP TABLE IF EXISTS q245cat.prod.$t"))
       s.sql(s"""CREATE TABLE q245cat.prod.orders_spj (${o.schema.toDDL})
@@ -1958,14 +1959,7 @@ object CdcQueries {
     "q256_named_tags" -> ((s, dir) => {
       import s.implicits._
       val o = Tables.load(s, dir, "orders")
-      val whRoot = s.conf.getOption("spark.sql.catalog.q245cat.root")
-        .getOrElse {
-          val r = Files.createTempDirectory("graft_cat").toString
-          s.conf.set("spark.sql.catalog.q245cat", "graft.catalog.GraftCatalog")
-          s.conf.set("spark.sql.catalog.q245cat.root", r)
-          r
-        }
-      s.sql("CREATE NAMESPACE IF NOT EXISTS q245cat.prod")
+      val whRoot = graftCatRoot(s)
       s.sql("DROP TABLE IF EXISTS q245cat.prod.orders_tags")
       s.sql(s"""CREATE TABLE q245cat.prod.orders_tags (${o.schema.toDDL})
                 OPTIONS (pk 'o_orderkey', buckets '8', storage 'mor')""")
@@ -2034,14 +2028,7 @@ object CdcQueries {
     "q258_column_rename" -> ((s, dir) => {
       import s.implicits._
       val o = Tables.load(s, dir, "orders")
-      val whRoot = s.conf.getOption("spark.sql.catalog.q245cat.root")
-        .getOrElse {
-          val r = Files.createTempDirectory("graft_cat").toString
-          s.conf.set("spark.sql.catalog.q245cat", "graft.catalog.GraftCatalog")
-          s.conf.set("spark.sql.catalog.q245cat.root", r)
-          r
-        }
-      s.sql("CREATE NAMESPACE IF NOT EXISTS q245cat.prod")
+      val whRoot = graftCatRoot(s)
       s.sql("DROP TABLE IF EXISTS q245cat.prod.orders_ren")
       s.sql(s"""CREATE TABLE q245cat.prod.orders_ren (${o.schema.toDDL})
                 OPTIONS (pk 'o_orderkey', buckets '8')""")
@@ -2107,14 +2094,7 @@ object CdcQueries {
     "q259_drop_column" -> ((s, dir) => {
       import s.implicits._
       val o = Tables.load(s, dir, "orders")
-      val whRoot = s.conf.getOption("spark.sql.catalog.q245cat.root")
-        .getOrElse {
-          val r = Files.createTempDirectory("graft_cat").toString
-          s.conf.set("spark.sql.catalog.q245cat", "graft.catalog.GraftCatalog")
-          s.conf.set("spark.sql.catalog.q245cat.root", r)
-          r
-        }
-      s.sql("CREATE NAMESPACE IF NOT EXISTS q245cat.prod")
+      val whRoot = graftCatRoot(s)
       s.sql("DROP TABLE IF EXISTS q245cat.prod.orders_drop")
       val withNote = o.withColumn("note", concat(lit("n"), $"o_orderkey" % 7))
       s.sql(s"""CREATE TABLE q245cat.prod.orders_drop (${withNote.schema.toDDL})
@@ -2165,14 +2145,7 @@ object CdcQueries {
     "q261_sql_detail" -> ((s, dir) => {
       import s.implicits._
       val o = Tables.load(s, dir, "orders")
-      val whRoot = s.conf.getOption("spark.sql.catalog.q245cat.root")
-        .getOrElse {
-          val r = Files.createTempDirectory("graft_cat").toString
-          s.conf.set("spark.sql.catalog.q245cat", "graft.catalog.GraftCatalog")
-          s.conf.set("spark.sql.catalog.q245cat.root", r)
-          r
-        }
-      s.sql("CREATE NAMESPACE IF NOT EXISTS q245cat.prod")
+      val whRoot = graftCatRoot(s)
       s.sql("DROP TABLE IF EXISTS q245cat.prod.orders_detail")
       s.sql(s"""CREATE TABLE q245cat.prod.orders_detail (${o.schema.toDDL})
                 OPTIONS (pk 'o_orderkey', buckets '8', storage 'mor')""")
@@ -2480,14 +2453,7 @@ object CdcQueries {
       // by name, so a rerun must REUSE the first run's root — this gate
       // also addresses the table by PATH (the applier writes), and a
       // fresh root would split the SQL table from the lifecycle data
-      val whRoot = s.conf.getOption("spark.sql.catalog.q245cat.root")
-        .getOrElse {
-          val r = Files.createTempDirectory("graft_cat").toString
-          s.conf.set("spark.sql.catalog.q245cat", "graft.catalog.GraftCatalog")
-          s.conf.set("spark.sql.catalog.q245cat.root", r)
-          r
-        }
-      s.sql("CREATE NAMESPACE IF NOT EXISTS q245cat.prod")
+      val whRoot = graftCatRoot(s)
       s.sql("DROP TABLE IF EXISTS q245cat.prod.orders_tt")
       s.sql(s"""CREATE TABLE q245cat.prod.orders_tt (${lc.orders.schema.toDDL})
                 OPTIONS (pk 'o_orderkey', buckets '8', storage 'mor')""")

@@ -258,6 +258,10 @@ case class GraftBucketPartition(
   override def partitionKey(): InternalRow =
     new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
       Array[Any](bucketId))
+  // delegate locality: the wrapped FilePartition reports block hosts —
+  // dropping them would schedule every SPJ partition without locality on
+  // a real cluster, remote-reading exactly the joins SPJ accelerates
+  override def preferredLocations(): Array[String] = fp.preferredLocations()
 }
 
 /** Wraps Spark's parquet reader factory with the graft read semantics:

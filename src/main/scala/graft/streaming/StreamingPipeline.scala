@@ -326,9 +326,14 @@ object StreamingPipeline {
     // the prior incarnation is dead by definition, so a commit ticket it
     // died holding (q257 fence) is reclaimed here — the first replayed
     // micro-batch then re-applies and converges instead of fencing forever.
-    if (CdcApplier.reclaimCommit(changes.sparkSession, targetDir))
-      Console.err.println(
-        s"[graft] reclaimed a stale commit ticket at $targetDir (prior writer died mid-publish)")
+    // Secondary-index targets publish under their own tickets in the same
+    // micro-batch, so they reclaim too (a stale index ticket would fail
+    // every retry of every batch — an unrecoverable query otherwise).
+    (targetDir +: opts.indexes.map(_.targetDir)).foreach { d =>
+      if (CdcApplier.reclaimCommit(changes.sparkSession, d))
+        Console.err.println(
+          s"[graft] reclaimed a stale commit ticket at $d (prior writer died mid-publish)")
+    }
     changes.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>

@@ -156,6 +156,26 @@ class RenameSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] { CdcApplier.renameColumn(spark, t, "v", "w") }
   }
 
+  test("renames and drops survive an additive-evolution batch (meta is copied, never rebuilt)") {
+    val t = newTarget()
+    CdcApplier.applyBatch(spark, ChangeFeed.inserts(rows(20), $"k" * 10), t, opts)
+    CdcApplier.renameColumn(spark, t, "v", "value")
+    CdcApplier.dropColumn(spark, t, "tag")
+    // an EVOLVING batch (new column `extra`) hits the schema-refresh meta
+    // write — which used to rebuild TargetMeta from scratch, silently
+    // wiping the rename (column-not-found) and resurrecting the drop
+    val evolvedRows = rows(20).withColumnRenamed("v", "value").drop("tag")
+      .withColumn("extra", $"k" * 3)
+    CdcApplier.applyBatch(spark, ChangeFeed.inserts(evolvedRows, lit(500L)), t, opts)
+    val m = metaOf(t).get
+    assert(m.renames.get == Map("value" -> "v"), "rename must survive evolution")
+    assert(m.drops.get == Seq("tag"), "drop must survive evolution")
+    val snap = CdcApplier.snapshot(spark, t)
+    assert(snap.columns.contains("value") && snap.columns.contains("extra") &&
+      !snap.columns.contains("v") && !snap.columns.contains("tag"))
+    assert(snap.filter($"k" === 4).select($"extra").as[Long].head() == 12L)
+  }
+
   test("composition: widen and backfill name columns logically after a rename") {
     val t = newTarget()
     val intRows = spark.range(1, 11).select($"id".as("k"),
