@@ -159,6 +159,25 @@ class CommitFenceSpec extends AnyFunSuite {
     assert(CdcApplier.compactMor(spark, t).nonEmpty)
   }
 
+  test("every meta mutation ticks the commit sequence exactly once") {
+    // q261's commit_seq oracle counts on this arithmetic: applies, tags,
+    // renames, drops, and maintenance each claim one ticket per publish
+    val t = morLifecycle() // 3 applies
+    val fs = fsOf(t)
+    assert(CdcApplier.commitSeq(fs, new Path(t)) == 3L)
+    CdcApplier.createTag(spark, t, "a", 150L)
+    assert(CdcApplier.commitSeq(fs, new Path(t)) == 4L)
+    CdcApplier.renameColumn(spark, t, "v", "value")
+    assert(CdcApplier.commitSeq(fs, new Path(t)) == 5L)
+    CdcApplier.dropColumn(spark, t, "value")
+    assert(CdcApplier.commitSeq(fs, new Path(t)) == 6L)
+    CdcApplier.dropTag(spark, t, "a")
+    assert(CdcApplier.commitSeq(fs, new Path(t)) == 7L)
+    // a REFUSED mutation burns nothing
+    intercept[IllegalArgumentException] { CdcApplier.dropTag(spark, t, "ghost") }
+    assert(CdcApplier.commitSeq(fs, new Path(t)) == 7L)
+  }
+
   test("a tag AT the new floor survives the collapse and answers identically") {
     val t = morLifecycle()
     CdcApplier.createTag(spark, t, "head", 200L)
