@@ -82,6 +82,10 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
 
   override def listFunctions(namespace: Array[String]): Array[Identifier] =
     if (namespace.isEmpty) Array(Identifier.of(Array.empty, "bucket"))
+    // `system` is a real namespace on the procedure surface (CALL system.*)
+    // but carries no marker dir — mirror listProcedures' special-casing so
+    // SHOW FUNCTIONS IN <cat>.system lists empty instead of erroring
+    else if (namespace.sameElements(Array(GraftProcedures.Namespace))) Array.empty
     else if (namespaceExists(namespace)) Array.empty
     else throw new NoSuchNamespaceException(namespace)
 
@@ -226,6 +230,21 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       spjCapable = true)
   }
 
+  /** SQL `TIMESTAMP AS OF` (q265; Delta/Iceberg's wall-clock travel).
+    * Spark hands the resolved timestamp in MICROSECONDS; the fence's commit
+    * stamps ([[CdcApplier.commitStamps]] — written by every publish from an
+    * injectable, monotone clock) resolve it to the greatest position
+    * published at or before it, which then serves through the SAME
+    * position-travel path as `VERSION AS OF` (identical floor guards). A
+    * timestamp before the first stamped commit errors, the Delta contract. */
+  override def loadTable(ident: Identifier, timestamp: Long): Table = {
+    val dir = tablePath(ident)
+    if (!isTableDir(dir)) throw new NoSuchTableException(ident)
+    val pos = CdcApplier.positionAsOfTimestamp(spark, dir.toString,
+      Math.floorDiv(timestamp, 1000L))
+    loadTable(ident, pos.toString)
+  }
+
   /** Case-insensitive property lookup, accepting both the bare key and
     * Spark's `option.`-prefixed form (CREATE TABLE ... OPTIONS). */
   private def prop(properties: java.util.Map[String, String], key: String): Option[String] = {
@@ -273,38 +292,57 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
 
   override def alterTable(ident: Identifier, changes: TableChange*): Table = {
     val dir = tablePath(ident)
-    val meta = TargetMeta.read(hconf, dir).getOrElse(
-      throw new NoSuchTableException(ident))
-    val stored = meta.schemaJson.map(j =>
-      DataType.fromJson(j).asInstanceOf[StructType]).getOrElse(
-      throw new IllegalStateException(
-        s"$dir has a pre-upgrade meta with no persisted schema; run one applyBatch first"))
-    // only the ADD COLUMN path needs the final schema write below — widen/
-    // rename/drop persist their own meta under their own commit tickets
-    var needSchemaWrite = false
-    val evolved = changes.foldLeft(stored) {
-      case (s, add: TableChange.AddColumn) =>
-        require(add.fieldNames.length == 1,
-          "graft supports top-level ADD COLUMN only")
-        val n = add.fieldNames.head
-        require(!s.fieldNames.contains(n), s"column '$n' already exists")
-        // q258: the new name must not shadow a renamed column's LOGICAL name
-        require(!meta.renames.exists(_.contains(n)),
-          s"column '$n' already exists (as a renamed column's current name)")
-        // q259: a retired physical name cannot return — old files may still
-        // carry its bytes, and a re-add would resurrect them
-        require(!meta.drops.exists(_.contains(n)),
-          s"'$n' is a retired (dropped) column's physical name; pick a fresh name")
-        // additive evolution (S4): always nullable — stored rows have no
-        // value for it, and the applier's merge surfaces NULL. New data
-        // columns land BEFORE the layout columns so the served column
-        // order stays (data..., _graft_pos) — positional INSERTs depend
-        // on it.
-        val layoutNames = Set(CdcApplier.POS, CdcApplier.DEL, CdcApplier.BUCKET)
-        val (data, layout) = s.fields.partition(f => !layoutNames(f.name))
-        needSchemaWrite = true
-        StructType(data ++ Seq(StructField(n, add.dataType, nullable = true)) ++ layout)
-      case (s, up: TableChange.UpdateColumnType) =>
+    if (!isTableDir(dir)) throw new NoSuchTableException(ident)
+    if (changes.isEmpty) return loadTable(ident)
+    val adds = changes.collect { case a: TableChange.AddColumn => a }
+    // Atomicity contract: ADD COLUMNs batch (validated together, one fenced
+    // schema write — all land or none); every OTHER evolution (widen /
+    // rename / drop) applies side effects eagerly through its own fenced
+    // applier entry point, so it must be the statement's ONLY change — a
+    // multi-change statement failing halfway would otherwise leave earlier
+    // changes permanently applied with no rollback.
+    if (adds.length != changes.length && changes.length > 1)
+      throw new UnsupportedOperationException(
+        "graft ALTER TABLE applies widening/RENAME/DROP changes one per " +
+          "statement (each is its own fenced commit); only ADD COLUMNs batch")
+    if (adds.nonEmpty) {
+      // The whole read-validate-evolve-write fold runs INSIDE the commit
+      // ticket over a FRESH meta read: computing the evolved schema from a
+      // pre-claim read would silently clobber a concurrent publisher's
+      // additive evolution or widen landing in between (lost update —
+      // exactly the race the fence exists to close).
+      CdcApplier.withCommitTicket(org.apache.spark.sql.SparkSession.active, dir.toString) {
+        val meta = TargetMeta.read(hconf, dir).getOrElse(
+          throw new NoSuchTableException(ident))
+        val stored = meta.schemaJson.map(j =>
+          DataType.fromJson(j).asInstanceOf[StructType]).getOrElse(
+          throw new IllegalStateException(
+            s"$dir has a pre-upgrade meta with no persisted schema; run one applyBatch first"))
+        val evolved = adds.foldLeft(stored) { (s, add) =>
+          require(add.fieldNames.length == 1,
+            "graft supports top-level ADD COLUMN only")
+          val n = add.fieldNames.head
+          require(!s.fieldNames.contains(n), s"column '$n' already exists")
+          // q258: the new name must not shadow a renamed column's LOGICAL name
+          require(!meta.renames.exists(_.contains(n)),
+            s"column '$n' already exists (as a renamed column's current name)")
+          // q259: a retired physical name cannot return — old files may still
+          // carry its bytes, and a re-add would resurrect them
+          require(!meta.drops.exists(_.contains(n)),
+            s"'$n' is a retired (dropped) column's physical name; pick a fresh name")
+          // additive evolution (S4): always nullable — stored rows have no
+          // value for it, and the applier's merge surfaces NULL. New data
+          // columns land BEFORE the layout columns so the served column
+          // order stays (data..., _graft_pos) — positional INSERTs depend
+          // on it.
+          val layoutNames = Set(CdcApplier.POS, CdcApplier.DEL, CdcApplier.BUCKET)
+          val (data, layout) = s.fields.partition(f => !layoutNames(f.name))
+          StructType(data ++ Seq(StructField(n, add.dataType, nullable = true)) ++ layout)
+        }
+        TargetMeta.write(hconf, dir, meta.copy(schemaJson = Some(evolved.json)))
+      }
+    } else changes.head match {
+      case up: TableChange.UpdateColumnType =>
         require(up.fieldNames.length == 1,
           "graft supports top-level ALTER COLUMN TYPE only")
         // lossless type widening (q253, the S4 lattice) — EAGER and
@@ -313,40 +351,25 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
         // lattice refuses inside widenColumn with the drift message
         CdcApplier.widenColumn(org.apache.spark.sql.SparkSession.active,
           dir.toString, up.fieldNames.head, up.newDataType)
-        // widenColumn swapped the meta in; re-read it as this fold's truth
-        TargetMeta.read(hconf, dir).flatMap(_.schemaJson)
-          .map(j => DataType.fromJson(j).asInstanceOf[StructType])
-          .getOrElse(s)
-      case (s, dc: TableChange.DeleteColumn) =>
+      case dc: TableChange.DeleteColumn =>
         require(dc.fieldNames.length == 1,
           "graft supports top-level DROP COLUMN only")
         // column mapping (q259): META-ONLY — the physical name retires
         // from the logical view; files rewrite on their own cadence
         CdcApplier.dropColumn(org.apache.spark.sql.SparkSession.active,
           dir.toString, dc.fieldNames.head)
-        s // schemaJson is physical and unchanged by a drop
-      case (s, rc: TableChange.RenameColumn) =>
+      case rc: TableChange.RenameColumn =>
         require(rc.fieldNames.length == 1,
           "graft supports top-level RENAME COLUMN only")
         // column mapping (q258): META-ONLY — files keep physical names,
         // the applier records logical->physical; guards live there
         CdcApplier.renameColumn(org.apache.spark.sql.SparkSession.active,
           dir.toString, rc.fieldNames.head, rc.newName)
-        s // schemaJson is physical and unchanged by a rename
-      case (_, c) =>
+      case c =>
         throw new UnsupportedOperationException(
           s"graft tables evolve via ADD COLUMN, widening ALTER COLUMN TYPE, " +
             s"RENAME COLUMN, and DROP COLUMN; got $c")
     }
-    // The ADD COLUMN schema write runs under its own commit ticket like
-    // every other meta mutation (an unfenced read-modify-write here could
-    // clobber a concurrent publisher's maxPos/tag update), over a FRESH
-    // meta read (widen/rename/drop above already persisted their changes).
-    if (needSchemaWrite)
-      CdcApplier.withCommitTicket(org.apache.spark.sql.SparkSession.active, dir.toString) {
-        val metaNow = TargetMeta.read(hconf, dir).getOrElse(meta)
-        TargetMeta.write(hconf, dir, metaNow.copy(schemaJson = Some(evolved.json)))
-      }
     loadTable(ident)
   }
 

@@ -43,7 +43,8 @@ object GraftProcedures {
   val Namespace = "system"
 
   private val names = Seq("optimize", "compact", "vacuum", "rebucket", "backfill",
-    "history", "tag", "drop_tag", "tags", "detail")
+    "history", "tag", "drop_tag", "tags", "detail",
+    "rollback", "commits", "files", "branch", "fast_forward", "drop_branch")
 
   def list(catalogName: String): Array[Identifier] =
     names.map(n => Identifier.of(Array(Namespace), n)).toArray
@@ -91,6 +92,14 @@ class GraftProcedure(root: Path, op: String) extends UnboundProcedure with Bound
       in("name", StringType).build())
     case "tags" => Array(in("table", StringType).build())
     case "detail" => Array(in("table", StringType).build())
+    case "rollback" => Array(
+      in("table", StringType).build(),
+      in("pos", LongType).build())
+    case "commits" => Array(in("table", StringType).build())
+    case "files" => Array(in("table", StringType).build())
+    case "branch" | "drop_branch" | "fast_forward" => Array(
+      in("table", StringType).build(),
+      in("name", StringType).build())
   }
 
   private def dirOf(table: String): String = {
@@ -188,6 +197,105 @@ class GraftProcedure(root: Path, op: String) extends UnboundProcedure with Bound
         buckets.size,
         files.size,
         files.map(_.getLen).sum))
+      return java.util.Collections.singletonList[Scan](new LocalScan {
+        override def rows(): Array[InternalRow] = Array(row)
+        override def readSchema(): StructType = schema
+      }).iterator()
+    }
+    // Commit stamps (q265/q267): the fence's done markers as a relation —
+    // sequence, wall-clock timestamp, published position, recorded bucket
+    // count. The observability half of TIMESTAMP AS OF (which timestamps
+    // are answerable and what position each resolves to) and of the
+    // disjoint-commit rebase (which commits recorded their touch sets).
+    if (op == "commits") {
+      val stamps = CdcApplier.commitStamps(spark, dir)
+      val schema = StructType(Seq(
+        StructField("seq", LongType, nullable = false),
+        StructField("ts_ms", LongType, nullable = true),
+        StructField("position", LongType, nullable = true),
+        StructField("n_buckets", IntegerType, nullable = true)))
+      val outRows: Array[InternalRow] = stamps.map { s =>
+        new GenericInternalRow(Array[Any](s.seq, s.ts.orNull, s.pos.orNull,
+          s.buckets.map(_.size).orNull)): InternalRow
+      }.toArray
+      return java.util.Collections.singletonList[Scan](new LocalScan {
+        override def rows(): Array[InternalRow] = outRows
+        override def readSchema(): StructType = schema
+      }).iterator()
+    }
+    // Per-file data-skipping statistics (q269; the observability half of
+    // q250): one row per (file, tracked column) straight from the bucket
+    // sidecars, so an operator can SEE why a predicate did or did not skip
+    // a file. String ranges decode from their canonical base64 for
+    // display; numeric/date/boolean ranges are the canonical longs/doubles.
+    if (op == "files") {
+      val hconf = spark.sparkContext.hadoopConfiguration
+      val target = new Path(dir)
+      val fs = target.getFileSystem(hconf)
+      val schema = StructType(Seq(
+        StructField("bucket", IntegerType, nullable = false),
+        StructField("file", StringType, nullable = false),
+        StructField("n_rows", LongType, nullable = false),
+        StructField("column", StringType, nullable = false),
+        StructField("kind", StringType, nullable = false),
+        StructField("nulls", LongType, nullable = true),
+        StructField("min", StringType, nullable = true),
+        StructField("max", StringType, nullable = true)))
+      def display(kind: Char, v: Option[String]): AnyRef = v.map { c =>
+        UTF8String.fromString(if (kind == 's')
+          new String(java.util.Base64.getDecoder.decode(c),
+            java.nio.charset.StandardCharsets.UTF_8)
+        else c)
+      }.orNull
+      val outRows: Array[InternalRow] =
+        CdcApplier.bucketIds(fs, target).flatMap { b =>
+          graft.cdc.FileStats
+            .readSidecar(fs, new Path(target, s"${CdcApplier.BUCKET}=$b"))
+            .toSeq.sortBy(_._1).flatMap { case (f, e) =>
+              e.cols.toSeq.sortBy(_._1).map { case (c, st) =>
+                new GenericInternalRow(Array[Any](
+                  b, UTF8String.fromString(f), e.rows, UTF8String.fromString(c),
+                  UTF8String.fromString(st.kind.toString),
+                  if (st.nulls < 0) null else st.nulls,
+                  display(st.kind, st.mn), display(st.kind, st.mx))): InternalRow
+              }
+            }
+        }.toArray
+      return java.util.Collections.singletonList[Scan](new LocalScan {
+        override def rows(): Array[InternalRow] = outRows
+        override def readSchema(): StructType = schema
+      }).iterator()
+    }
+    // Branch lifecycle (q264): create / fast_forward / drop, dispatching to
+    // the same Branch entry points as the Scala API.
+    if (op == "branch" || op == "fast_forward" || op == "drop_branch") {
+      val name = input.getUTF8String(1).toString
+      val detail: Long = op match {
+        case "branch"       => graft.cdc.Branch.create(spark, dir, name)
+        case "fast_forward" => graft.cdc.Branch.fastForward(spark, dir, name).size.toLong
+        case "drop_branch"  => graft.cdc.Branch.drop(spark, dir, name); 0L
+      }
+      val schema = StructType(Seq(
+        StructField("op", StringType, nullable = false),
+        StructField("branch", StringType, nullable = false),
+        StructField("detail", LongType, nullable = false)))
+      val row: InternalRow = new GenericInternalRow(Array[Any](
+        UTF8String.fromString(op), UTF8String.fromString(name), detail))
+      return java.util.Collections.singletonList[Scan](new LocalScan {
+        override def rows(): Array[InternalRow] = Array(row)
+        override def readSchema(): StructType = schema
+      }).iterator()
+    }
+    // RESTORE as a new commit (q263): reinstates the as-of state at
+    // maxPos+1 — history keeps answering, CDC continues on top.
+    if (op == "rollback") {
+      val restoredTo = CdcApplier.rollback(spark, dir, input.getLong(1))
+      val schema = StructType(Seq(
+        StructField("op", StringType, nullable = false),
+        StructField("target", StringType, nullable = false),
+        StructField("restored_as_pos", LongType, nullable = false)))
+      val row: InternalRow = new GenericInternalRow(Array[Any](
+        UTF8String.fromString(op), UTF8String.fromString(table), restoredTo))
       return java.util.Collections.singletonList[Scan](new LocalScan {
         override def rows(): Array[InternalRow] = Array(row)
         override def readSchema(): StructType = schema

@@ -154,6 +154,15 @@ object CdcApplier {
     * (The commit-fence sequence — q257, [[withCommitTicket]] — deliberately
     * does NOT live here: it is the `.graft_commits` marker directory, so
     * claiming and advancing it never rewrites this file.) */
+  /**  - `sorted`: the PHYSICAL columns every data file is INTERNALLY sorted
+    *    by (q262; public design point: Iceberg sort orders / Delta OPTIMIZE
+    *    ZORDER). Set when the layout's rewrite paths write each bucket in
+    *    this order (copy-on-write only — a MOR delta chain is unordered by
+    *    construction); every later bucket rewrite MAINTAINS it. The scan
+    *    reports it ([[graft.sources.GraftBatchScan]] `SupportsReportOrdering`)
+    *    so a co-bucketed storage-partitioned join runs with NO Exchange and
+    *    NO Sort — the layout paid the sort once, at write time. Absent on
+    *    pre-upgrade targets (their buckets were written unsorted). */
   case class TargetMeta(numBuckets: Int, horizon: Long,
       schemaJson: Option[String] = None, pkCols: Option[Seq[String]] = None,
       bucketCols: Option[Seq[String]] = None, storage: Option[String] = None,
@@ -162,7 +171,8 @@ object CdcApplier {
       bucketMaxPos: Option[Map[Int, Long]] = None,
       tags: Option[Map[String, Long]] = None,
       renames: Option[Map[String, String]] = None,
-      drops: Option[Seq[String]] = None)
+      drops: Option[Seq[String]] = None,
+      sorted: Option[Seq[String]] = None)
 
   object TargetMeta {
     private def metaPath(target: Path) = new Path(target, ".graft_meta")
@@ -182,7 +192,8 @@ object CdcApplier {
             .map { e => val i = e.lastIndexOf(':'); e.take(i) -> e.drop(i + 1).toLong }.toMap),
           kv.get("renames").map(_.split(",").toSeq.filter(_.nonEmpty)
             .map { e => val Array(l, p) = e.split(":", 2); l -> p }.toMap),
-          kv.get("drops").map(_.split(",").toSeq.filter(_.nonEmpty)))
+          kv.get("drops").map(_.split(",").toSeq.filter(_.nonEmpty)),
+          kv.get("sorted").map(_.split(",").toSeq.filter(_.nonEmpty)))
       }
 
     def write(conf: org.apache.hadoop.conf.Configuration, target: Path, m: TargetMeta): Unit =
@@ -204,6 +215,8 @@ object CdcApplier {
             rn.toSeq.sorted.map { case (l, p) => s"$l:$p" }.mkString(",")}\n")
             .getOrElse("") +
           m.drops.filter(_.nonEmpty).map(ds => s"drops=${ds.sorted.mkString(",")}\n")
+            .getOrElse("") +
+          m.sorted.filter(_.nonEmpty).map(sc => s"sorted=${sc.mkString(",")}\n")
             .getOrElse("") +
           m.schemaJson.map(j => s"schema=$j\n").getOrElse(""))
   }
@@ -249,6 +262,74 @@ object CdcApplier {
       name.drop(1).forall(_.isDigit)) Some(name.drop(1).toLong)
     else None
 
+  /** How many done markers (= commit stamps, q265) are retained: the
+    * timestamp-travel window in commits. Older markers are GC'd at claim
+    * time (the Delta-log-retention design point: timestamp resolution has a
+    * bounded horizon; position travel is unaffected — positions live in the
+    * data, not the markers). */
+  private[graft] val CommitStampsKept = 512L
+
+  /** One finalized commit's stamp — the done marker's content (q265/q267):
+    * `ts` from the injectable commit clock (monotone non-decreasing across
+    * commits), `pos` the published high-water `_graft_pos` at finalize time
+    * (None on targets that do not maintain one), `buckets` the bucket ids
+    * the commit touched when the publisher recorded them (None = unknown —
+    * conservative: overlaps everything; Some(Nil) = meta-only, touches no
+    * data). Pre-upgrade empty markers parse as ts = None. */
+  case class CommitStamp(seq: Long, ts: Option[Long], pos: Option[Long],
+      buckets: Option[Seq[Int]])
+
+  /** The commit clock (q265): injectable for deterministic gates via
+    * `spark.graft.commit.clock.ms`; wall clock otherwise. The RESOLVE path
+    * (timestamp → position) never consults a clock — only stamps. */
+  private def commitClockMs(spark: SparkSession): Long =
+    spark.conf.getOption("spark.graft.commit.clock.ms").map(_.toLong)
+      .getOrElse(System.currentTimeMillis())
+
+  private def parseStamp(seq: Long, content: String): CommitStamp = {
+    val kv = content.linesIterator.map(_.split("=", 2))
+      .collect { case Array(k, v) => k -> v }.toMap
+    CommitStamp(seq,
+      kv.get("ts").flatMap(s => scala.util.Try(s.toLong).toOption),
+      kv.get("pos").flatMap(s => scala.util.Try(s.toLong).toOption),
+      kv.get("buckets").map(_.split(",").toSeq.filter(_.nonEmpty).map(_.toInt)))
+  }
+
+  /** All retained commit stamps, ascending by sequence. One listing + one
+    * small read per retained marker — bounded by [[CommitStampsKept]]. */
+  def commitStamps(spark: SparkSession, targetDir: String): Seq[CommitStamp] = {
+    val target = new Path(targetDir)
+    val fs = target.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val d = commitsDir(target)
+    if (!fs.exists(d)) return Seq.empty
+    fs.listStatus(d).toSeq
+      .flatMap(st => if (st.getPath.getName.head == 'd')
+        markerSeq(st.getPath.getName) else None)
+      .sorted
+      .map(seq => parseStamp(seq,
+        graft.util.AtomicFile.read(fs.getConf, donePath(target, seq)).getOrElse("")))
+  }
+
+  /** Resolve a wall-clock timestamp (ms) to the greatest published position
+    * whose commit stamp is at or below it (q265; Delta/Iceberg's
+    * TIMESTAMP AS OF semantics). Errors when `tsMs` predates the first
+    * stamped commit — Delta's contract — or when no stamp carries a
+    * position (pre-upgrade history). */
+  def positionAsOfTimestamp(spark: SparkSession, targetDir: String, tsMs: Long): Long = {
+    val stamped = commitStamps(spark, targetDir)
+      .filter(s => s.ts.isDefined && s.pos.isDefined)
+    if (stamped.isEmpty)
+      throw new IllegalStateException(
+        s"$targetDir has no timestamped commits — TIMESTAMP AS OF needs the " +
+          "stamped fence (publish at least one batch with this version)")
+    val atOrBefore = stamped.filter(_.ts.get <= tsMs)
+    if (atOrBefore.isEmpty)
+      throw new IllegalArgumentException(
+        s"timestamp $tsMs predates the first stamped commit " +
+          s"(${stamped.head.ts.get}) of $targetDir")
+    atOrBefore.map(_.pos.get).max
+  }
+
   /** The target's committed sequence: the highest done marker (0 = no
     * fenced publish yet — pre-upgrade targets fence from their next one). */
   def commitSeq(fs: FileSystem, target: Path): Long = {
@@ -265,11 +346,13 @@ object CdcApplier {
     val listing = fs.listStatus(commitsDir(target)).toSeq.map(_.getPath)
     val cur = listing.flatMap(p =>
       if (p.getName.head == 'd') markerSeq(p.getName) else None).foldLeft(0L)(math.max)
-    // GC: done markers below the current one (crash between rename and
-    // delete) and claim markers at or below it (completed or superseded).
+    // GC: claim markers at or below the sequence (completed or superseded)
+    // and done markers past the stamp-retention window (q265 — done markers
+    // are the commit-timestamp log now, so recent ones are KEPT).
     listing.foreach { p =>
       markerSeq(p.getName).foreach { s =>
-        if ((p.getName.head == 'd' && s < cur) || (p.getName.head == 'c' && s <= cur))
+        if ((p.getName.head == 'd' && s < cur - CommitStampsKept) ||
+          (p.getName.head == 'c' && s <= cur))
           fs.delete(p, false)
       }
     }
@@ -298,25 +381,60 @@ object CdcApplier {
     * the claim to the done marker. On ANY body failure the claim is
     * released WITHOUT advancing (refusal legs — drift guards, tag pins —
     * must not burn sequence numbers or leave the target fenced). */
-  private[graft] def withCommitTicket[T](spark: SparkSession, targetDir: String)(body: => T): T = {
+  private[graft] def withCommitTicket[T](spark: SparkSession, targetDir: String)(body: => T): T =
+    withCommitTicketRecorded[T](spark, targetDir, _ => None)(body)
+
+  /** [[withCommitTicket]] that also RECORDS the commit's touched bucket ids
+    * in the done-marker stamp (q267): `touchedOf(result)` = Some(ids) when
+    * the publisher knows exactly which buckets it rewrote (Some(Nil) for
+    * meta-only mutations), None when it cannot bound them (whole-target
+    * swaps, schema rewrites) — an unrecorded commit conservatively overlaps
+    * everything in [[optimize]]'s rebase check. */
+  private[graft] def withCommitTicketRecorded[T](
+      spark: SparkSession, targetDir: String, touchedOf: T => Option[Seq[Int]])(
+      body: => T): T = {
     val target = new Path(targetDir)
     val fs = target.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val seq = claimCommit(fs, target)
     val result =
       try body
       catch { case e: Throwable => fs.delete(claimPath(target, seq), false); throw e }
-    if (fs.exists(claimPath(target, seq))) {
-      if (!fs.rename(claimPath(target, seq), donePath(target, seq)))
-        throw new IOException(s"cannot finalize commit $seq of $target")
-    } else {
-      // a WHOLE-TARGET swap (bootstrap/rebucket/widen) replaced the dir —
-      // and the marker directory with it; re-seed the done marker in the
-      // fresh dir so the sequence carries across the swap
-      fs.mkdirs(commitsDir(target))
-      fs.create(donePath(target, seq), true).close()
-    }
-    fs.delete(donePath(target, seq - 1), false)
+    finalizeCommit(spark, fs, target, seq, touchedOf(result))
     result
+  }
+
+  /** Convert a held claim into the stamped done marker (q265/q267). The
+    * missing-claim legs are distinguished (the round-12 theft hole): a
+    * whole-target swap (bootstrap/rebucket/widen) replaces the target dir —
+    * and the `.graft_commits` marker dir with it — so a MISSING MARKER DIR
+    * re-seeds; a marker dir that still exists with the claim gone means a
+    * concurrent writer reclaimed a LIVE holder's ticket (a second
+    * misconfigured pipeline — one of the fence's stated adversaries), and
+    * completing silently would re-open the lost-update race the fence
+    * exists to close, so it throws the typed conflict instead. */
+  private def finalizeCommit(spark: SparkSession, fs: FileSystem, target: Path,
+      seq: Long, buckets: Option[Seq[Int]]): Unit = {
+    val swapped = !fs.exists(commitsDir(target))
+    if (!swapped && !fs.exists(claimPath(target, seq)))
+      throw new GraftConcurrentWriteException(
+        s"commit $seq of $target: the claim marker vanished while this publish " +
+          "ran — a concurrent writer reclaimed a LIVE holder's ticket; the two " +
+          "publishes may have interleaved. Verify state and re-apply (replay " +
+          "convergence makes the re-run safe); fix the writer that reclaimed.")
+    if (swapped) fs.mkdirs(commitsDir(target))
+    // stamp: monotone timestamp (ties broken upward, the Delta adjustment)
+    // + the published high-water position + the recorded bucket set
+    val prevTs = graft.util.AtomicFile
+      .read(fs.getConf, donePath(target, seq - 1))
+      .map(parseStamp(seq - 1, _)).flatMap(_.ts).getOrElse(Long.MinValue)
+    val ts = math.max(commitClockMs(spark), prevTs + 1)
+    val pos = TargetMeta.read(fs.getConf, target).flatMap(_.maxPos)
+    graft.util.AtomicFile.write(fs.getConf, donePath(target, seq),
+      s"ts=$ts\n" + pos.map(p => s"pos=$p\n").getOrElse("") +
+        buckets.map(bs => s"buckets=${bs.sorted.mkString(",")}\n").getOrElse(""))
+    fs.delete(claimPath(target, seq), false)
+    // retention GC rides the claim path; here only the previous marker
+    // BEYOND the window would go, which the next claim handles
   }
 
   /** Adopt a dead writer's commit ticket: deletes the `commitSeq+1` claim
@@ -570,6 +688,27 @@ object CdcApplier {
     (bucketOrder, rangeBounds, numBuckets)
   }
 
+  /** The layout's write-time sort columns (q262): the bucket key first (so
+    * a reported prefix is exactly what a co-bucketed join needs), then the
+    * rest of the PK — all physical names, rename-proof by construction
+    * (key columns refuse renames). */
+  private def sortColsOf(bucketOrder: Seq[String], pkOrder: Seq[String]): Seq[String] =
+    bucketOrder ++ pkOrder.filterNot(bucketOrder.toSet)
+
+  /** Sorted bucket write (q262): all of a bucket's rows land in ONE task
+    * (repartition on the bucket id), sorted by (bucket, sortCols) within
+    * it, so each published bucket directory holds one file internally
+    * sorted by the layout's sort columns. At 100 TB this pays the sort
+    * once at write — every later co-bucketed storage-partitioned join then
+    * runs with no Exchange AND no Sort (the scan reports the order). The
+    * one-task-per-bucket shape is the same per-bucket memory bound the
+    * merge and the MOR reader already assume. */
+  private def writeSorted(df: DataFrame, sortCols: Seq[String], parts: Int,
+      dest: String): Unit =
+    df.repartition(math.max(parts, 1), col(BUCKET))
+      .sortWithinPartitions((BUCKET +: sortCols).map(col): _*)
+      .write.partitionBy(BUCKET).mode("overwrite").parquet(dest)
+
   private[graft] def resolveOnRead(df: DataFrame, pkCols: Seq[String]): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(pkCols.map(col): _*).orderBy(col(POS).desc)
@@ -596,7 +735,8 @@ object CdcApplier {
     * [[resolveOnRead]] collapses — convergence holds. */
   def applyBatchMor(
       spark: SparkSession, changes: DataFrame, targetDir: String, opts: Options): Seq[Int] =
-    withCommitTicket(spark, targetDir)(applyBatchMorInner(spark, changes, targetDir, opts))
+    withCommitTicketRecorded(spark, targetDir, (r: Seq[Int]) => Some(r))(
+      applyBatchMorInner(spark, changes, targetDir, opts))
 
   private def applyBatchMorInner(
       spark: SparkSession, changes: DataFrame, targetDir: String, opts: Options): Seq[Int] = {
@@ -772,6 +912,16 @@ object CdcApplier {
     if (rn.isEmpty) return changes
     val fields = changes.schema("after").dataType.asInstanceOf[StructType].fieldNames.toSeq
     if (fields.forall(f => !rn.contains(f))) return changes
+    // a batch carrying BOTH the logical and the physical name of one column
+    // (a hand-built replay union) would remap into duplicate struct fields —
+    // ambiguous-column failures or silent wrong-field resolution downstream;
+    // refuse loudly instead
+    val remapped = fields.map(f => rn.getOrElse(f, f))
+    val dup = remapped.diff(remapped.distinct).distinct
+    if (dup.nonEmpty)
+      throw new IllegalArgumentException(
+        s"change batch carries both the logical and the physical name of " +
+          s"column(s) ${dup.mkString(",")} — drop one side before applying")
     def remap(side: String) = when(col(side).isNotNull,
       struct(fields.map(f => col(s"$side.$f").as(rn.getOrElse(f, f))): _*))
     changes.withColumn("before", remap("before")).withColumn("after", remap("after"))
@@ -785,7 +935,7 @@ object CdcApplier {
     * logical view ambiguous). Renaming a column BACK to its physical name
     * simply drops the mapping. Fenced like every meta mutation. */
   def renameColumn(spark: SparkSession, targetDir: String, from: String, to: String): Unit =
-    withCommitTicket(spark, targetDir) {
+    withCommitTicketRecorded(spark, targetDir, (_: Unit) => Some(Nil)) {
       val hconf = spark.sparkContext.hadoopConfiguration
       val target = new Path(targetDir)
       val meta = TargetMeta.read(hconf, target).getOrElse(
@@ -841,7 +991,7 @@ object CdcApplier {
     * would resurrect them; pick a fresh name). PK/bucket/layout columns
     * refuse. Fenced like every meta mutation. */
   def dropColumn(spark: SparkSession, targetDir: String, name: String): Unit =
-    withCommitTicket(spark, targetDir) {
+    withCommitTicketRecorded(spark, targetDir, (_: Unit) => Some(Nil)) {
       val hconf = spark.sparkContext.hadoopConfiguration
       val target = new Path(targetDir)
       val meta = TargetMeta.read(hconf, target).getOrElse(
@@ -882,7 +1032,7 @@ object CdcApplier {
     * be unreachable); a tag at an unanswerable or not-yet-published
     * position is refused (it could never serve what it claims). */
   def createTag(spark: SparkSession, targetDir: String, name: String, pos: Long): Unit =
-    withCommitTicket(spark, targetDir) {
+    withCommitTicketRecorded(spark, targetDir, (_: Unit) => Some(Nil)) {
     val hconf = spark.sparkContext.hadoopConfiguration
     val target = new Path(targetDir)
     val meta = TargetMeta.read(hconf, target).getOrElse(
@@ -914,7 +1064,7 @@ object CdcApplier {
     * again. Unknown names refuse (a silent no-op would hide typos from the
     * retention pipeline that believes it unpinned something). */
   def dropTag(spark: SparkSession, targetDir: String, name: String): Unit =
-    withCommitTicket(spark, targetDir) {
+    withCommitTicketRecorded(spark, targetDir, (_: Unit) => Some(Nil)) {
       val hconf = spark.sparkContext.hadoopConfiguration
       val target = new Path(targetDir)
       val meta = TargetMeta.read(hconf, target).getOrElse(
@@ -925,6 +1075,13 @@ object CdcApplier {
       TargetMeta.write(hconf, target, meta.copy(tags = Some(tags - name)))
     }
 
+  /** [[snapshotAsOf]] addressed by wall-clock timestamp in epoch ms (q265):
+    * resolves through the commit stamps ([[positionAsOfTimestamp]]) to the
+    * greatest position published at or before `tsMs`, then serves that
+    * position with all of [[snapshotAsOf]]'s floor guards. */
+  def snapshotAsOfTimestamp(spark: SparkSession, targetDir: String, tsMs: Long): DataFrame =
+    snapshotAsOf(spark, targetDir, positionAsOfTimestamp(spark, targetDir, tsMs))
+
   /** [[snapshotAsOf]] addressed by tag name. */
   def snapshotAsOfTag(spark: SparkSession, targetDir: String, name: String): DataFrame = {
     val meta = TargetMeta.read(
@@ -934,6 +1091,73 @@ object CdcApplier {
       throw new IllegalArgumentException(s"no tag '$name' at $targetDir"))
     snapshotAsOf(spark, targetDir, pos)
   }
+
+  /** RESTORE as a NEW commit (q263; public design point: Delta RESTORE /
+    * Iceberg rollback-to-snapshot): reinstate the state AS OF `pos` while
+    * KEEPING history — the restore publishes at `maxPos + 1` as ordinary
+    * superseding deltas, so post-restore time travel to the bad position
+    * still answers, the change feed shows the restore as plain
+    * retire/upsert transitions, and CDC apply continues on top. Mechanics:
+    * diff the CURRENT resolved state against the AS-OF resolved state
+    * (one full-outer join on the PK), emit an upsert for every key whose
+    * as-of image differs from (or is missing from) the current state and a
+    * delete for every key live now but not then, and push that synthetic
+    * envelope through the MOR apply — ONE fenced commit, bucket-pruned
+    * writes ∝ the diff. 100 TB: the diff is one co-partitioned join over
+    * the table (the unavoidable cost of knowing what changed); the WRITE
+    * is only the changed keys, not a table rewrite. Guards: mor-only
+    * (cow rewrote its history away), `pos` within the retained floor, and
+    * a no-op restore (nothing differs) publishes nothing but still
+    * commits (the fence records the operator's intent). Returns the
+    * restore position (maxPos + 1), or `pos`'s own high-water when the
+    * table was already at that state. */
+  def rollback(spark: SparkSession, targetDir: String, pos: Long): Long =
+    withCommitTicketRecorded(spark, targetDir,
+      (r: (Long, Seq[Int])) => Some(r._2)) {
+      val hconf = spark.sparkContext.hadoopConfiguration
+      val target = new Path(targetDir)
+      val fs = target.getFileSystem(hconf)
+      openTargetForWrite(fs, target)
+      val meta = TargetMeta.read(hconf, target).getOrElse(
+        throw new IllegalStateException(s"no graft table state at $targetDir"))
+      if (!meta.storage.contains("mor"))
+        throw new IllegalStateException(
+          s"$targetDir is copy-on-write — superseded versions are rewritten away; " +
+            "rollback needs the mor layout")
+      val floor = math.max(meta.horizon, meta.collapsed.getOrElse(Long.MinValue))
+      if (pos < floor)
+        throw new IllegalArgumentException(
+          s"rollback to $pos predates the retained history (floor $floor) — " +
+            "those versions have been collapsed")
+      val hi = meta.maxPos.getOrElse(
+        throw new IllegalStateException(s"$targetDir has no published high-water mark"))
+      if (pos >= hi) (hi, Seq.empty[Int]) // already at that state — empty commit
+      else {
+        val pkCols = meta.pkCols.getOrElse(
+          throw new IllegalStateException(s"mor layout at $targetDir has no persisted PK"))
+        val raw = spark.read.option("mergeSchema", true).parquet(targetDir)
+        val dataCols = raw.columns.filterNot(c =>
+          c == POS || c == DEL || c == BUCKET).toSeq
+        def img(side: String) = struct(dataCols.map(c => col(s"$side.$c").as(c)): _*)
+        val asof = resolveOnRead(raw.filter(col(POS) <= pos), pkCols).as("a")
+        val cur = resolveOnRead(raw, pkCols).as("c")
+        val joinCond = pkCols.map(k => col(s"a.$k") <=> col(s"c.$k")).reduce(_ && _)
+        val aLive = col(s"a.$DEL").isNotNull && !col(s"a.$DEL")
+        val cLive = col(s"c.$DEL").isNotNull && !col(s"c.$DEL")
+        val newPos = hi + 1
+        val changes = asof.join(cur, joinCond, "full_outer")
+          .withColumn("op",
+            when(aLive && (!cLive || !(img("a") <=> img("c"))), "update")
+              .when(!aLive && cLive, "delete"))
+          .filter(col("op").isNotNull)
+          .select(col("op"), lit(newPos).as("next_position"),
+            when(cLive, img("c")).as("before"),
+            when(col("op") =!= "delete", img("a")).as("after"))
+        val opts = Options(pkCols, numBuckets = meta.numBuckets,
+          bucketCols = meta.bucketCols, rangeBounds = meta.rangeBounds)
+        (newPos, applyBatchMorInner(spark, changes, targetDir, opts))
+      }
+    }._1
 
   /** The tag-pinning guard: refuse a collapse whose new floor would strand
     * any tag below it ([[compactMor]]/[[vacuumMor]] call this BEFORE
@@ -1090,7 +1314,8 @@ object CdcApplier {
     * path. Readers before/after see identical state; the delta files and
     * their window cost are gone. */
   def compactMor(spark: SparkSession, targetDir: String): Seq[Int] =
-    withCommitTicket(spark, targetDir)(compactMorInner(spark, targetDir))
+    withCommitTicketRecorded(spark, targetDir, (r: Seq[Int]) => Some(r))(
+      compactMorInner(spark, targetDir))
 
   private def compactMorInner(spark: SparkSession, targetDir: String): Seq[Int] = {
     val hconf = spark.sparkContext.hadoopConfiguration
@@ -1140,7 +1365,8 @@ object CdcApplier {
     * Rides the same crash-safe per-bucket swap; a no-op (nothing below
     * the window) touches nothing. */
   def vacuumMor(spark: SparkSession, targetDir: String, retainFromPos: Long): Seq[Int] =
-    withCommitTicket(spark, targetDir)(vacuumMorInner(spark, targetDir, retainFromPos))
+    withCommitTicketRecorded(spark, targetDir, (r: Seq[Int]) => Some(r))(
+      vacuumMorInner(spark, targetDir, retainFromPos))
 
   private def vacuumMorInner(
       spark: SparkSession, targetDir: String, retainFromPos: Long): Seq[Int] = {
@@ -1293,7 +1519,8 @@ object CdcApplier {
     * incrementally. */
   def applyBatch(
       spark: SparkSession, changes: DataFrame, targetDir: String, opts: Options): Seq[Int] =
-    withCommitTicket(spark, targetDir)(applyBatchInner(spark, changes, targetDir, opts))
+    withCommitTicketRecorded(spark, targetDir, (r: Seq[Int]) => Some(r))(
+      applyBatchInner(spark, changes, targetDir, opts))
 
   private def applyBatchInner(
       spark: SparkSession, changes: DataFrame, targetDir: String, opts: Options): Seq[Int] = {
@@ -1400,6 +1627,13 @@ object CdcApplier {
       }
 
       val merged = merge(current, resolvedWide, opts)
+      // q262: a fresh layout (and any evolution, which rewrites EVERY
+      // bucket) publishes its buckets sorted and records that in meta; an
+      // existing sorted layout is maintained (every rewrite path here
+      // writes sorted); a pre-upgrade unsorted layout stays unmarked until
+      // a whole-table rewrite (evolution/rebucket) upgrades it.
+      val sortCols = sortColsOf(bucketOrder, pkOrder)
+      val wholeTable = meta.isEmpty || newFields.nonEmpty || widened.nonEmpty
       // Publish the layout metadata BEFORE the first bucket publish (a
       // crash in between leaves meta + no buckets, which bootstraps fine),
       // refreshing the persisted schema on creation and on evolution so a
@@ -1415,14 +1649,24 @@ object CdcApplier {
             numBuckets = numBuckets, horizon = horizon,
             schemaJson = Some(merged.schema.json), pkCols = Some(pkOrder),
             bucketCols = if (bucketOrder == pkOrder) None else Some(bucketOrder),
-            rangeBounds = rangeBounds))
+            rangeBounds = rangeBounds,
+            sorted = if (wholeTable) Some(sortCols)
+                     else meta.flatMap(_.sorted)))
 
       val tmp = new Path(targetDir + ".tmp")
       if (fs.exists(tmp)) fs.delete(tmp, true)
-      merged
-        .write.partitionBy(BUCKET).mode("overwrite").parquet(tmp.toString)
+      writeSorted(merged, sortCols, rewrite.size, tmp.toString)
 
       publishBuckets(fs, target, tmp, rewrite)
+      // q262 honesty: this publish wrote its buckets in PK-sort order. If a
+      // clusterBy optimize had recorded a DIFFERENT order, the table now
+      // holds mixed per-bucket orders — no single truth to report — so the
+      // flag degrades (Delta's OPTIMIZE-ZORDER-degrades-on-write behavior);
+      // the next clustered optimize re-establishes it.
+      if (!wholeTable)
+        TargetMeta.read(hconf, target)
+          .filter(m => m.sorted.exists(_ != sortCols)).foreach(m =>
+            TargetMeta.write(hconf, target, m.copy(sorted = None)))
       // Invalidate cached file listings/plans over this path (mapped views
       // resolve per query; without this they can see swapped-away files).
       spark.catalog.refreshByPath(targetDir)
@@ -1471,9 +1715,14 @@ object CdcApplier {
 
     val tmp = new Path(targetDir + ".compact.tmp")
     if (fs.exists(tmp)) fs.delete(tmp, true)
-    all.filter(col(BUCKET).isin(touched.map(Int.box): _*))
+    val survivors = all.filter(col(BUCKET).isin(touched.map(Int.box): _*))
       .filter(!compactable)
-      .write.partitionBy(BUCKET).mode("overwrite").parquet(tmp.toString)
+    // q262: maintain the layout's recorded file order through the rewrite
+    metaNow.sorted match {
+      case Some(sc) => writeSorted(survivors, sc, touched.size, tmp.toString)
+      case None =>
+        survivors.write.partitionBy(BUCKET).mode("overwrite").parquet(tmp.toString)
+    }
     publishBuckets(fs, target, tmp, touched)
     spark.catalog.refreshByPath(targetDir)
     touched
@@ -1503,19 +1752,41 @@ object CdcApplier {
     * bucket in ~its target file count. Returns the optimized bucket ids. */
   def optimize(spark: SparkSession, targetDir: String,
       targetFileBytes: Long = 128L << 20, clusterBy: Seq[String] = Seq.empty): Seq[Int] =
-    withCommitTicket(spark, targetDir)(
-      optimizeInner(spark, targetDir, targetFileBytes, clusterBy))
+    optimizeStaged(spark, targetDir, targetFileBytes, clusterBy, () => ())
 
-  private def optimizeInner(spark: SparkSession, targetDir: String,
-      targetFileBytes: Long, clusterBy: Seq[String]): Seq[Int] = {
+  /** [[optimize]] body — OPTIMISTIC under the fence (q267; public design
+    * point: Delta's disjoint-commit conflict checker). The expensive
+    * rewrite is STAGED with no ticket held (into a tokenized tree no other
+    * writer's staging reclaim matches), then the ticket is claimed for the
+    * cheap publish window only. If other commits landed while staging, the
+    * staged rewrite still publishes iff every one of them RECORDED a
+    * touched-bucket set disjoint from ours (their stamps, q265's done
+    * markers) — the loser rebase-validates and publishes without redoing
+    * the data work; any overlap, or an unrecorded (conservative) commit,
+    * discards the staging with the typed conflict. Before q267 a data
+    * publish had to WAIT out the entire optimize (the fence serialized the
+    * rewrite's full duration); now it waits only for the publish window.
+    * `midStage` is the test seam: runs after staging, before the claim —
+    * the exact window the rebase check covers. */
+  private[graft] def optimizeStaged(spark: SparkSession, targetDir: String,
+      targetFileBytes: Long, clusterBy: Seq[String], midStage: () => Unit): Seq[Int] = {
     require(targetFileBytes > 0, s"targetFileBytes must be positive")
     val hconf = spark.sparkContext.hadoopConfiguration
     val target = new Path(targetDir)
     val fs = target.getFileSystem(hconf)
-    openTargetForWrite(fs, target)
-    recoverBuckets(fs, target)
+    // read-only heal ONLY: openTargetForWrite's staging reclaim assumes the
+    // ticket is held, and this phase deliberately is not — a concurrent
+    // fenced publisher may be mid-write in its own staging tree
+    openTarget(fs, target)
+    // reclaim leftovers of PREVIOUS crashed optimizes (ours is tokenized
+    // fresh below; two concurrent optimizes are caught at claim anyway)
+    if (fs.exists(target.getParent))
+      fs.listStatus(target.getParent)
+        .filter(_.getPath.getName.startsWith(target.getName + ".optimize-"))
+        .foreach(s => fs.delete(s.getPath, true))
+    val seq0 = commitSeq(fs, target)
     val buckets = bucketIds(fs, target)
-    if (buckets.isEmpty) return Seq.empty
+    val metaPre = TargetMeta.read(hconf, target)
     // bounded driver listing: (bucket, fileCount, bytes) per bucket dir
     val stats = buckets.map { b =>
       val files = fs.listStatus(new Path(target, s"$BUCKET=$b"))
@@ -1523,67 +1794,124 @@ object CdcApplier {
           f.getPath.getName.startsWith("."))
       (b, files.length, files.map(_.getLen).sum)
     }
+    val token = java.util.UUID.randomUUID.toString.replace("-", "").take(12)
+    val tmp = new Path(targetDir + s".optimize-$token.tmp")
+
+    // ---- stage (no ticket) ------------------------------------------------
     // Clustered rewrite (Delta's OPTIMIZE ZORDER BY, linear form): lay each
     // bucket's rows out in `clusterBy` order so every file covers a NARROW
     // value interval — the layout that makes the q250 per-file min/max
-    // statistics tight enough to skip on non-key predicates. One
+    // statistics tight enough to skip on non-key predicates, and (q262) the
+    // sorted-file property the scan reports. One
     // `repartitionByRange(BUCKET, clusterBy...)` + in-partition sort: a
     // range task holds a contiguous (bucket, cluster) slice, so each
     // written file is a contiguous cluster interval of its bucket. Every
     // populated bucket rewrites (clustering is the point, not bin-packing);
     // state is carried verbatim, exactly as the bin-packing leg.
-    if (clusterBy.nonEmpty) {
-      val meta0 = TargetMeta.read(hconf, target)
-      // callers name columns LOGICALLY (q258); the files are physical
-      val clusterPhys = clusterBy.map(physicalName(meta0, _))
-      val schemaCols = meta0.flatMap(_.schemaJson).map(j =>
-        org.apache.spark.sql.types.DataType.fromJson(j)
-          .asInstanceOf[StructType].fieldNames.toSet)
-      schemaCols.foreach { have =>
-        val missing = clusterPhys.filterNot(have)
-        require(missing.isEmpty,
-          s"clusterBy column(s) ${missing.mkString(",")} not in the table schema")
+    var clusterPhysOpt: Option[Seq[String]] = None
+    val touched: Seq[Int] =
+      if (buckets.isEmpty) Seq.empty
+      else if (clusterBy.nonEmpty) {
+        // callers name columns LOGICALLY (q258); the files are physical
+        val clusterPhys = clusterBy.map(physicalName(metaPre, _))
+        val schemaCols = metaPre.flatMap(_.schemaJson).map(j =>
+          org.apache.spark.sql.types.DataType.fromJson(j)
+            .asInstanceOf[StructType].fieldNames.toSet)
+        schemaCols.foreach { have =>
+          val missing = clusterPhys.filterNot(have)
+          require(missing.isEmpty,
+            s"clusterBy column(s) ${missing.mkString(",")} not in the table schema")
+        }
+        val t = stats.collect { case (b, n, _) if n > 0 => b }.sorted
+        if (t.nonEmpty) {
+          clusterPhysOpt = Some(clusterPhys)
+          val totalBins = stats.map { case (_, _, bytes) =>
+            math.max(1L, (bytes + targetFileBytes - 1) / targetFileBytes)
+          }.sum.toInt
+          val orderCols = (col(BUCKET) +: clusterPhys.map(col)).toIndexedSeq
+          spark.read.option("mergeSchema", true).parquet(targetDir)
+            .repartitionByRange(math.max(1, totalBins), orderCols: _*)
+            .sortWithinPartitions(orderCols: _*)
+            .write.partitionBy(BUCKET).mode("overwrite").parquet(tmp.toString)
+        }
+        t
+      } else {
+        val plan = stats.flatMap { case (b, nFiles, bytes) =>
+          val bins = math.max(1L, (bytes + targetFileBytes - 1) / targetFileBytes).toInt
+          if (nFiles > bins) Some(b -> bins) else None
+        }.toMap
+        val t = plan.keys.toSeq.sorted
+        if (t.nonEmpty) {
+          val oversized = spark.read.option("mergeSchema", true).parquet(targetDir)
+            .filter(col(BUCKET).isin(t.map(Int.box): _*))
+          metaPre.flatMap(_.sorted) match {
+            case Some(sc) =>
+              // q262: a sorted layout bin-packs by RANGE, not salt — each
+              // written file stays an internally-sorted, range-disjoint
+              // slice of its bucket, so the scan keeps reporting the order
+              val orderCols = (col(BUCKET) +: sc.map(col)).toIndexedSeq
+              oversized
+                .repartitionByRange(math.max(1, plan.values.sum), orderCols: _*)
+                .sortWithinPartitions(orderCols: _*)
+                .write.partitionBy(BUCKET).mode("overwrite").parquet(tmp.toString)
+            case None =>
+              // bin salt hashes the PK columns (when persisted) plus POS: a
+              // freshly-bootstrapped bucket has ONE position for every row,
+              // and a POS-only salt would collapse an oversized bucket into
+              // a single oversized file instead of its bin-packed target
+              val binOf = element_at(
+                map(plan.toSeq.flatMap { case (b, n) => Seq(lit(b), lit(n)) }: _*),
+                col(BUCKET))
+              val saltCols =
+                metaPre.flatMap(_.pkCols).getOrElse(Seq.empty).map(col) :+ col(POS)
+              oversized
+                .withColumn("_graft_bin", pmod(hash(saltCols: _*), binOf))
+                .repartition(math.max(1, plan.values.sum), col(BUCKET), col("_graft_bin"))
+                .drop("_graft_bin")
+                .write.partitionBy(BUCKET).mode("overwrite").parquet(tmp.toString)
+          }
+        }
+        t
       }
-      val touched = stats.collect { case (b, n, _) if n > 0 => b }.sorted
-      if (touched.isEmpty) return Seq.empty
-      val totalBins = stats.map { case (_, _, bytes) =>
-        math.max(1L, (bytes + targetFileBytes - 1) / targetFileBytes)
-      }.sum.toInt
-      val tmp = new Path(targetDir + ".optimize.tmp")
-      if (fs.exists(tmp)) fs.delete(tmp, true)
-      val orderCols = (col(BUCKET) +: clusterPhys.map(col)).toIndexedSeq
-      spark.read.option("mergeSchema", true).parquet(targetDir)
-        .repartitionByRange(math.max(1, totalBins), orderCols: _*)
-        .sortWithinPartitions(orderCols: _*)
-        .write.partitionBy(BUCKET).mode("overwrite").parquet(tmp.toString)
-      publishBuckets(fs, target, tmp, touched)
-      spark.catalog.refreshByPath(targetDir)
-      return touched
+    midStage()
+
+    // ---- claim + rebase-validate + publish (ticket held, short) ----------
+    val seq =
+      try claimCommit(fs, target)
+      catch { case e: Throwable => fs.delete(tmp, true); throw e }
+    try {
+      if (touched.nonEmpty && seq != seq0 + 1) {
+        val landed = commitStamps(spark, targetDir)
+          .filter(s => s.seq > seq0 && s.seq < seq)
+        val landedBuckets: Option[Seq[Int]] =
+          if (landed.size != (seq - seq0 - 1) || landed.exists(_.buckets.isEmpty))
+            None // an intervening commit did not record its touch set
+          else Some(landed.flatMap(_.buckets.get))
+        val overlap = landedBuckets.map(_.toSet.intersect(touched.toSet))
+        if (overlap.forall(_.nonEmpty))
+          throw new GraftConcurrentWriteException(
+            s"optimize of $targetDir lost the ticket race to commit(s) " +
+              s"${seq0 + 1}..${seq - 1} touching " +
+              overlap.map(o => s"overlapping bucket(s) ${o.toSeq.sorted.mkString(",")}")
+                .getOrElse("an unrecorded bucket set") +
+              " — the staged rewrite is stale; re-run optimize")
+      }
+      if (touched.nonEmpty) {
+        publishBuckets(fs, target, tmp, touched)
+        // the clustered rewrite re-establishes (or changes) the recorded
+        // file order — persist it from a FRESH meta read under the ticket
+        clusterPhysOpt.foreach { cp =>
+          TargetMeta.read(hconf, target).foreach(m =>
+            TargetMeta.write(hconf, target, m.copy(sorted = Some(cp))))
+        }
+      }
+    } catch {
+      case e: Throwable =>
+        fs.delete(tmp, true)
+        fs.delete(claimPath(target, seq), false) // release without advancing
+        throw e
     }
-    val plan = stats.flatMap { case (b, nFiles, bytes) =>
-      val bins = math.max(1L, (bytes + targetFileBytes - 1) / targetFileBytes).toInt
-      if (nFiles > bins) Some(b -> bins) else None
-    }.toMap
-    if (plan.isEmpty) return Seq.empty
-    val touched = plan.keys.toSeq.sorted
-    val binOf = element_at(
-      map(plan.toSeq.flatMap { case (b, n) => Seq(lit(b), lit(n)) }: _*),
-      col(BUCKET))
-    val tmp = new Path(targetDir + ".optimize.tmp")
-    if (fs.exists(tmp)) fs.delete(tmp, true)
-    // bin salt hashes the PK columns (when persisted) plus POS: a
-    // freshly-bootstrapped bucket has ONE position for every row, and a
-    // POS-only salt would collapse an oversized bucket into a single
-    // oversized file instead of its bin-packed target
-    val meta = TargetMeta.read(hconf, target)
-    val saltCols = meta.flatMap(_.pkCols).getOrElse(Seq.empty).map(col) :+ col(POS)
-    spark.read.option("mergeSchema", true).parquet(targetDir)
-      .filter(col(BUCKET).isin(touched.map(Int.box): _*))
-      .withColumn("_graft_bin", pmod(hash(saltCols: _*), binOf))
-      .repartition(math.max(1, plan.values.sum), col(BUCKET), col("_graft_bin"))
-      .drop("_graft_bin")
-      .write.partitionBy(BUCKET).mode("overwrite").parquet(tmp.toString)
-    publishBuckets(fs, target, tmp, touched)
+    finalizeCommit(spark, fs, target, seq, Some(touched))
     spark.catalog.refreshByPath(targetDir)
     touched
   }
@@ -1662,7 +1990,14 @@ object CdcApplier {
       outType = Some(rows.schema(colName))
       val tmp = new Path(targetDir + s".backfill.tmp/$BUCKET=$b")
       if (fs.exists(tmp)) fs.delete(tmp, true)
-      rows.write.parquet(tmp.toString)
+      // q262: a sorted layout's per-bucket rewrite re-sorts (one task — the
+      // bucket-fits-memory bound every per-bucket path already assumes)
+      meta.sorted match {
+        case Some(sc) =>
+          rows.repartition(1).sortWithinPartitions(sc.map(col): _*)
+            .write.parquet(tmp.toString)
+        case None => rows.write.parquet(tmp.toString)
+      }
       swapDir(fs, live, tmp)
       // marker AFTER the swap: a crash in between re-processes this
       // bucket, which is idempotent
@@ -1767,17 +2102,22 @@ object CdcApplier {
 
     val fresh = new Path(targetDir + ".rebucket.tmp")
     if (fs.exists(fresh)) fs.delete(fresh, true)
-    spark.read.option("mergeSchema", true).parquet(targetDir)
-      .drop(BUCKET)
-      .withColumn(BUCKET, bucketExpr(bucketOrder, newNumBuckets, None))
-      .write.partitionBy(BUCKET).parquet(fresh.toString)
+    // q262: a rebucket rewrites EVERY row, so it publishes sorted and
+    // upgrades even a pre-upgrade unsorted layout to the recorded order
+    val sortCols = sortColsOf(bucketOrder, pkOrder)
+    writeSorted(
+      spark.read.option("mergeSchema", true).parquet(targetDir)
+        .drop(BUCKET)
+        .withColumn(BUCKET, bucketExpr(bucketOrder, newNumBuckets, None)),
+      sortCols, newNumBuckets, fresh.toString)
     // carry every root FILE (high-watermark, meta, any future sidecar) into
     // the fresh tree, then overwrite the meta with the new modulus
     fs.listStatus(target).filter(_.isFile).foreach { f =>
       org.apache.hadoop.fs.FileUtil.copy(
         fs, f.getPath, fs, new Path(fresh, f.getPath.getName), false, hconf)
     }
-    TargetMeta.write(hconf, fresh, meta.copy(numBuckets = newNumBuckets))
+    TargetMeta.write(hconf, fresh,
+      meta.copy(numBuckets = newNumBuckets, sorted = Some(sortCols)))
     // data-skipping sidecars for the re-hashed buckets (q250) — written on
     // the staging tree, published by the same whole-target swap
     FileStats.writeSidecars(fs,
@@ -1834,11 +2174,15 @@ object CdcApplier {
     recoverBuckets(fs, target)
     val fresh = new Path(targetDir + ".widen.tmp")
     if (fs.exists(fresh)) fs.delete(fresh, true)
-    if (bucketIds(fs, target).nonEmpty)
-      spark.read.option("mergeSchema", true).parquet(targetDir)
+    if (bucketIds(fs, target).nonEmpty) {
+      val cast = spark.read.option("mergeSchema", true).parquet(targetDir)
         .withColumn(column, col(column).cast(to))
-        .write.partitionBy(BUCKET).parquet(fresh.toString)
-    else fs.mkdirs(fresh)
+      // q262: maintain the recorded order through the whole-table rewrite
+      meta.sorted match {
+        case Some(sc) => writeSorted(cast, sc, meta.numBuckets, fresh.toString)
+        case None => cast.write.partitionBy(BUCKET).parquet(fresh.toString)
+      }
+    } else fs.mkdirs(fresh)
     fs.listStatus(target).filter(_.isFile).foreach { f =>
       org.apache.hadoop.fs.FileUtil.copy(
         fs, f.getPath, fs, new Path(fresh, f.getPath.getName), false, hconf)
@@ -1929,7 +2273,11 @@ object CdcApplier {
       .withColumn(BUCKET, bucketExpr(bucketOrder, numBuckets, rangeBounds))
     val fresh = new Path(targetDir + ".bootstrap.tmp")
     if (fs.exists(fresh)) fs.delete(fresh, true)
-    rows.write.partitionBy(BUCKET).parquet(fresh.toString)
+    val isMorSeed = meta.flatMap(_.storage).contains("mor")
+    // q262: copy-on-write seeds publish sorted and record it; a mor seed's
+    // later delta appends would break the invariant, so it stays unmarked
+    if (isMorSeed) rows.write.partitionBy(BUCKET).parquet(fresh.toString)
+    else writeSorted(rows, sortColsOf(bucketOrder, pkOrder), numBuckets, fresh.toString)
     TargetMeta.write(hconf, fresh, TargetMeta(
       numBuckets, horizon = atPos, schemaJson = Some(rows.schema.json),
       pkCols = Some(pkOrder),
@@ -1938,7 +2286,8 @@ object CdcApplier {
       // a re-seeded mor target has exactly one version per key: every
       // intermediate image at or below the seed position is gone
       collapsed = meta.flatMap(_.storage).map(_ => atPos),
-      rangeBounds = rangeBounds))
+      rangeBounds = rangeBounds,
+      sorted = if (isMorSeed) None else Some(sortColsOf(bucketOrder, pkOrder))))
     graft.util.AtomicFile.write(hconf, new Path(fresh, HIGHWATER), atPos.toString)
     // data-skipping sidecars for the seeded buckets (q250), same protocol
     FileStats.writeSidecars(fs,

@@ -407,6 +407,40 @@ object FileStats {
     (kept, files.size)
   }
 
+  /** Reader-side ordering verdict for ONE bucket directory (q262): can its
+    * data files be CONCATENATED in some order so the stream stays sorted by
+    * the layout's sort columns? Returns (file names in ascending min-order
+    * of physical column `c`, depth): 2 = ranges on `c` are STRICTLY
+    * disjoint across files (the full write-time sort-column list holds
+    * across the concatenation), 1 = ranges touch only at equal boundaries
+    * (order holds on `c` alone), 0 = overlap / missing stats / nulls on `c`
+    * (no provable order — the consumer falls back to sorting). A bucket
+    * with ≤1 data file is trivially full-depth. Conservative everywhere:
+    * refusal costs a Sort above the scan, never correctness. */
+  def bucketFileOrder(fs: FileSystem, bucketDir: Path, c: String)
+      : (Seq[String], Int) = {
+    val files =
+      (if (fs.exists(bucketDir)) fs.listStatus(bucketDir).filter(isDataFile).toSeq
+       else Seq.empty).map(_.getPath.getName).sorted
+    if (files.size <= 1) return (files, 2)
+    val side = readSidecar(fs, bucketDir)
+    val ranges = files.map(f => side.get(f).flatMap(e => e.cols.get(c).flatMap(s =>
+      for { mn <- s.mn; mx <- s.mx; if s.nulls == 0 } yield (s.kind, mn, mx))))
+    if (ranges.exists(_.isEmpty)) return (files, 0)
+    val kind = ranges.head.get._1
+    val byMin = files.zip(ranges.map(_.get))
+      .sortWith((a, b) => cmp(kind, a._2._2, b._2._2) < 0 ||
+        (cmp(kind, a._2._2, b._2._2) == 0 && a._1 < b._1))
+    var depth = 2
+    byMin.sliding(2).foreach {
+      case Seq((_, (_, _, mx1)), (_, (_, mn2, _))) =>
+        val d = cmp(kind, mx1, mn2)
+        if (d > 0) depth = 0 else if (d == 0) depth = math.min(depth, 1)
+      case _ => ()
+    }
+    (byMin.map(_._1), depth)
+  }
+
   /** Multi-bucket selection for the V1 scan: Some((kept file paths, kept
     * count, total count)) when at least one sidecar exists under the
     * covered buckets AND there is something to test; None = read the bucket

@@ -59,7 +59,8 @@ class GraftBatchScan(
     spark: SparkSession, targetDir: String, fullSchema: StructType,
     required: StructType, pushed: Array[Filter], spjCapable: Boolean = false)
     extends Scan with Batch with SupportsRuntimeFiltering with SupportsReportStatistics
-    with org.apache.spark.sql.connector.read.SupportsReportPartitioning {
+    with org.apache.spark.sql.connector.read.SupportsReportPartitioning
+    with org.apache.spark.sql.connector.read.SupportsReportOrdering {
 
   private val target = new Path(targetDir)
   private val hconf = spark.sparkContext.hadoopConfiguration
@@ -187,6 +188,51 @@ class GraftBatchScan(
     else new org.apache.spark.sql.connector.read.partitioning.UnknownPartitioning(
       allBuckets.size)
 
+  // ---- reported ordering (q262) ------------------------------------------
+
+  /** The per-partition ordering this scan can PROVE and will serve, plus
+    * the file concatenation order per bucket that serves it. Copy-on-write
+    * layouts whose meta records a write-time sort (q262) stream each bucket
+    * in that order: a single file per bucket serves the full sort-column
+    * list trivially; a multi-file bucket serves it iff the q250 sidecar
+    * ranges on the FIRST sort column are disjoint across files (strictly →
+    * full list; touching only at equal boundaries → the first column
+    * alone). Any unknown (missing stats, nulls on the sort column,
+    * overlap) degrades to NO reported order — refusal costs a Sort above
+    * the scan, never correctness. Merge-on-read never reports (the
+    * reader-local hashmap resolve is unordered by construction). Reported
+    * names are LOGICAL (the relation's output) and only the prefix present
+    * in the pruned read schema is claimed. */
+  private lazy val orderInfo: (Seq[String], Map[Int, Seq[String]]) = {
+    val sortedPhys = meta.flatMap(_.sorted).getOrElse(Seq.empty)
+    if (isMor || sortedPhys.isEmpty) (Seq.empty, Map.empty)
+    else {
+      val logicalSorted = sortedPhys.map(c => CdcApplier.logicalName(meta, c))
+      val present = logicalSorted.takeWhile(required.fieldNames.contains)
+      if (present.isEmpty) (Seq.empty, Map.empty)
+      else {
+        var depth = present.length
+        val orders = allBuckets.map { b =>
+          val (names, d) = graft.cdc.FileStats.bucketFileOrder(
+            fs, new Path(target, s"${CdcApplier.BUCKET}=$b"), sortedPhys.head)
+          if (d == 0) depth = 0
+          else if (d == 1) depth = math.min(depth, 1)
+          b -> names
+        }.toMap
+        (present.take(depth), if (depth == 0) Map.empty[Int, Seq[String]] else orders)
+      }
+    }
+  }
+
+  /** `SupportsReportOrdering`: ascending, NULLS FIRST — exactly the order
+    * the publish-side `sortWithinPartitions` wrote (Spark's default
+    * ascending null ordering), so a co-bucketed storage-partitioned join
+    * satisfies its SortMergeJoin requirement with NO per-partition Sort. */
+  override def outputOrdering()
+      : Array[org.apache.spark.sql.connector.expressions.SortOrder] =
+    orderInfo._1.map(c => Expressions.sort(Expressions.column(c),
+      org.apache.spark.sql.connector.expressions.SortDirection.ASCENDING)).toArray
+
   override def planInputPartitions(): Array[InputPartition] = {
     val bs = activeBuckets
     lastPlannedBuckets = bs
@@ -206,7 +252,16 @@ class GraftBatchScan(
     var total = 0
     val parts = bs.zipWithIndex.map { case (b, i) =>
       val d = new Path(target, s"${CdcApplier.BUCKET}=$b")
-      val (files, n) = graft.cdc.FileStats.selectBucketFiles(fs, d, skipF)
+      val (files0, n) = graft.cdc.FileStats.selectBucketFiles(fs, d, skipF)
+      // serve the REPORTED order (q262): concatenate the bucket's files in
+      // ascending min-order of the first sort column; skipping files never
+      // disturbs the order of the rest
+      val files = orderInfo._2.get(b) match {
+        case Some(names) if orderInfo._1.nonEmpty =>
+          val idx = names.zipWithIndex.toMap
+          files0.sortBy(st => idx.getOrElse(st.getPath.getName, Int.MaxValue))
+        case _ => files0
+      }
       kept += files.size
       total += n
       val fp = ParquetReadShim.bucketPartition(i, files)

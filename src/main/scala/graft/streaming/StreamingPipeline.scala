@@ -316,6 +316,17 @@ object StreamingPipeline {
     } finally cached.unpersist()
   }
 
+  /** Checkpoint evidence that THIS query ran before: a non-empty `offsets`
+    * log under the checkpoint dir. Only then may the restart auto-reclaim a
+    * held commit ticket — with no checkpoint there was no prior
+    * incarnation, so any held ticket belongs to SOMEONE ELSE (alive). */
+  private def hadPriorIncarnation(
+      spark: org.apache.spark.sql.SparkSession, checkpointDir: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(checkpointDir, "offsets")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.exists(p) && fs.listStatus(p).nonEmpty
+  }
+
   /** Start the streaming CDC query. `changes` must be a streaming DataFrame
     * with columns (op, table, next_position, before, after). */
   def start(
@@ -329,11 +340,17 @@ object StreamingPipeline {
     // Secondary-index targets publish under their own tickets in the same
     // micro-batch, so they reclaim too (a stale index ticket would fail
     // every retry of every batch — an unrecoverable query otherwise).
-    (targetDir +: opts.indexes.map(_.targetDir)).foreach { d =>
-      if (CdcApplier.reclaimCommit(changes.sparkSession, d))
-        Console.err.println(
-          s"[graft] reclaimed a stale commit ticket at $d (prior writer died mid-publish)")
-    }
+    // GATED on checkpoint evidence of a prior incarnation: a FIRST start
+    // (no checkpoint offsets yet) cannot assert any ticket holder is its
+    // own dead predecessor — reclaiming there would let a second
+    // misconfigured pipeline steal a LIVE writer's ticket, the exact
+    // adversary the fence exists for; it fences loudly instead.
+    if (hadPriorIncarnation(changes.sparkSession, checkpointDir))
+      (targetDir +: opts.indexes.map(_.targetDir)).foreach { d =>
+        if (CdcApplier.reclaimCommit(changes.sparkSession, d))
+          Console.err.println(
+            s"[graft] reclaimed a stale commit ticket at $d (prior writer died mid-publish)")
+      }
     changes.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
@@ -381,14 +398,15 @@ object StreamingPipeline {
       opts: String => PipelineOptions,
       epochDir: Option[String] = None): StreamingQuery = {
     tables.values.foreach { case (_, targetDir) => Metrics.registerJmx(targetDir) }
-    // same restart-reclaim contract as [[start]], for every routed target
-    // and its secondary indexes
-    tables.toSeq.sortBy(_._1).foreach { case (t, (_, targetDir)) =>
-      (targetDir +: opts(t).indexes.map(_.targetDir)).foreach { d =>
-        if (CdcApplier.reclaimCommit(changes.sparkSession, d))
-          Console.err.println(s"[graft] reclaimed a stale commit ticket at $d")
+    // same restart-reclaim contract as [[start]] — including its
+    // prior-incarnation gate — for every routed target and its indexes
+    if (hadPriorIncarnation(changes.sparkSession, checkpointDir))
+      tables.toSeq.sortBy(_._1).foreach { case (t, (_, targetDir)) =>
+        (targetDir +: opts(t).indexes.map(_.targetDir)).foreach { d =>
+          if (CdcApplier.reclaimCommit(changes.sparkSession, d))
+            Console.err.println(s"[graft] reclaimed a stale commit ticket at $d")
+        }
       }
-    }
     changes.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
