@@ -144,7 +144,11 @@ object Bench {
       "q252_trained_codebook", "q253_type_widening", "q254_sql_history",
       "q255_spj_join", "q256_named_tags", "q257_commit_fence",
       "q258_column_rename", "q259_drop_column", "q260_codebook_refresh",
-      "q261_sql_detail")
+      "q261_sql_detail",
+      "q262_sorted_spj", "q263_rollback", "q264_branch_wap",
+      "q265_timestamp_travel", "q266_index_route", "q267_commit_rebase",
+      "q268_residual_ivfpq", "q269_file_stats_sql",
+      "q270_streamed_index_route", "q271_rollback_to_tag", "q272_zorder")
 
     def measure(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame)
         : (Double, Seq[Double], Seq[(Long, Long, Long)]) = {

@@ -286,7 +286,14 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       pkCols = Some(pk),
       bucketCols = prop(properties, "bucketCols").map(_.split(",").toSeq.map(_.trim)),
       storage = prop(properties, "storage").filter(_.equalsIgnoreCase("mor")).map(_ => "mor"),
-      rangeBounds = prop(properties, "rangeBounds").map(_.split(",").toSeq.map(_.trim.toLong))))
+      rangeBounds = prop(properties, "rangeBounds").map(_.split(",").toSeq.map(_.trim.toLong)),
+      // q262: a fresh copy-on-write table's every future bucket publish is
+      // sorted, so the layout is born with the recorded order (mor delta
+      // chains are unordered by construction — unmarked)
+      sorted = if (prop(properties, "storage").exists(_.equalsIgnoreCase("mor"))) None
+        else Some(CdcApplier.sortColsOf(
+          prop(properties, "bucketCols").map(_.split(",").toSeq.map(_.trim)).getOrElse(pk),
+          pk))))
     loadTable(ident)
   }
 

@@ -94,7 +94,8 @@ class GraftProcedure(root: Path, op: String) extends UnboundProcedure with Bound
     case "detail" => Array(in("table", StringType).build())
     case "rollback" => Array(
       in("table", StringType).build(),
-      in("pos", LongType).build())
+      in("pos", LongType).defaultValue("CAST(NULL AS BIGINT)").build(),
+      in("tag", StringType).defaultValue("CAST(NULL AS STRING)").build())
     case "commits" => Array(in("table", StringType).build())
     case "files" => Array(in("table", StringType).build())
     case "branch" | "drop_branch" | "fast_forward" => Array(
@@ -287,9 +288,15 @@ class GraftProcedure(root: Path, op: String) extends UnboundProcedure with Bound
       }).iterator()
     }
     // RESTORE as a new commit (q263): reinstates the as-of state at
-    // maxPos+1 — history keeps answering, CDC continues on top.
+    // maxPos+1 — history keeps answering, CDC continues on top. Addressed
+    // by position OR by tag name (q271), exactly one.
     if (op == "rollback") {
-      val restoredTo = CdcApplier.rollback(spark, dir, input.getLong(1))
+      val byPos = !input.isNullAt(1)
+      val byTag = !input.isNullAt(2)
+      require(byPos != byTag, "rollback takes exactly one of pos / tag")
+      val restoredTo =
+        if (byPos) CdcApplier.rollback(spark, dir, input.getLong(1))
+        else CdcApplier.rollbackToTag(spark, dir, input.getUTF8String(2).toString)
       val schema = StructType(Seq(
         StructField("op", StringType, nullable = false),
         StructField("target", StringType, nullable = false),

@@ -692,7 +692,7 @@ object CdcApplier {
     * a reported prefix is exactly what a co-bucketed join needs), then the
     * rest of the PK — all physical names, rename-proof by construction
     * (key columns refuse renames). */
-  private def sortColsOf(bucketOrder: Seq[String], pkOrder: Seq[String]): Seq[String] =
+  private[graft] def sortColsOf(bucketOrder: Seq[String], pkOrder: Seq[String]): Seq[String] =
     bucketOrder ++ pkOrder.filterNot(bucketOrder.toSet)
 
   /** Sorted bucket write (q262): all of a bucket's rows land in ONE task
@@ -1158,6 +1158,18 @@ object CdcApplier {
         (newPos, applyBatchMorInner(spark, changes, targetDir, opts))
       }
     }._1
+
+  /** [[rollback]] addressed by tag name (q271) — "restore the release":
+    * the tag names the position, the restore keeps the tag answerable by
+    * construction (a restore never raises the floor). */
+  def rollbackToTag(spark: SparkSession, targetDir: String, name: String): Long = {
+    val meta = TargetMeta.read(
+      spark.sparkContext.hadoopConfiguration, new Path(targetDir)).getOrElse(
+      throw new IllegalStateException(s"no graft table state at $targetDir"))
+    val pos = meta.tags.getOrElse(Map.empty).getOrElse(name,
+      throw new IllegalArgumentException(s"no tag '$name' at $targetDir"))
+    rollback(spark, targetDir, pos)
+  }
 
   /** The tag-pinning guard: refuse a collapse whose new floor would strand
     * any tag below it ([[compactMor]]/[[vacuumMor]] call this BEFORE
@@ -1915,6 +1927,92 @@ object CdcApplier {
     spark.catalog.refreshByPath(targetDir)
     touched
   }
+
+  /** TRUE Z-ORDER clustering (q272; public design point: Delta's OPTIMIZE
+    * ZORDER BY — the BIT-INTERLEAVED form, not q250's linear clusterBy):
+    * lay each bucket's rows out along a Morton curve over 2+ columns so
+    * every written file covers a narrow RECTANGLE of the value space — the
+    * q250 per-file min/max statistics then skip on predicates over ANY of
+    * the z-columns, where a linear sort only serves its leading column.
+    *
+    * Determinism contract: the caller supplies each column's split bounds
+    * (15 sorted longs → a 4-bit cell id per column, the same
+    * count-of-bounds-below arithmetic as range bucketing), so the z-value
+    * is a pure projection — codegen'd shifts/ors, no sampling, no driver
+    * pass — and a replay lays files out identically. Rows, versions, and
+    * tombstones are carried verbatim (state identity is the gate's
+    * oracle); `sorted` CLEARS in meta (a Morton order is not a column
+    * order — reporting one would be a lie; re-establish with a clusterBy
+    * optimize if a join wants sort-free merges). Published through the
+    * same crash-safe per-bucket swap, fenced like every maintainer.
+    * 100 TB: one bounded rewrite, amortized over every multi-column
+    * predicate the table ever serves. */
+  def zorder(spark: SparkSession, targetDir: String, cols: Seq[String],
+      bounds: Seq[Seq[Long]], targetFileBytes: Long = 128L << 20): Seq[Int] =
+    withCommitTicketRecorded(spark, targetDir, (r: Seq[Int]) => Some(r)) {
+      require(cols.size >= 2 && cols.size <= 3,
+        s"zorder interleaves 2-3 columns, got ${cols.size}")
+      require(bounds.size == cols.size && bounds.forall(_.size == 15),
+        "zorder needs 15 sorted split bounds per column (a 4-bit cell id)")
+      bounds.foreach(b => require(b == b.sorted && b.distinct == b,
+        "zorder bounds must be sorted and distinct"))
+      require(targetFileBytes > 0, "targetFileBytes must be positive")
+      val hconf = spark.sparkContext.hadoopConfiguration
+      val target = new Path(targetDir)
+      val fs = target.getFileSystem(hconf)
+      openTargetForWrite(fs, target)
+      val meta = TargetMeta.read(hconf, target).getOrElse(
+        throw new IllegalStateException(s"no graft table state at $targetDir"))
+      // callers name columns LOGICALLY (q258); files are physical
+      val physCols = cols.map(physicalName(Some(meta), _))
+      val have = meta.schemaJson.map(j =>
+        org.apache.spark.sql.types.DataType.fromJson(j)
+          .asInstanceOf[StructType].fieldNames.toSet).getOrElse(Set.empty)
+      physCols.foreach(c => require(have.isEmpty || have(c),
+        s"zorder column '$c' not in the table schema"))
+      val buckets = bucketIds(fs, target)
+      if (buckets.isEmpty) Seq.empty
+      else {
+        // 4-bit per-column cell id: count of bounds at or below the value
+        // (NULLs land in cell 0 — they sort together, which is all a
+        // skipping layout needs)
+        def cellId(c: String, bs: Seq[Long]): Column =
+          bs.foldLeft(lit(0))((acc, b) =>
+            acc + when(col(c) >= b, 1).otherwise(0))
+        // Morton interleave: bit j of column i's cell id lands at position
+        // j * nCols + i — pure integer shifts and ors, codegen'd
+        val n = physCols.size
+        val zval = (0 until 4).flatMap { j =>
+          physCols.zipWithIndex.map { case (c, i) =>
+            shiftleft(shiftright(cellId(c, bounds(i)), j).bitwiseAND(lit(1)),
+              j * n + i)
+          }
+        }.reduce((a, b) => a.bitwiseOR(b))
+        val stats = buckets.map { b =>
+          fs.listStatus(new Path(target, s"$BUCKET=$b"))
+            .filterNot(f => f.getPath.getName.startsWith("_") ||
+              f.getPath.getName.startsWith(".")).map(_.getLen).sum
+        }
+        val totalBins = math.max(1, stats.map(bytes =>
+          math.max(1L, (bytes + targetFileBytes - 1) / targetFileBytes)).sum.toInt)
+        val tmp = new Path(targetDir + ".zorder.tmp")
+        if (fs.exists(tmp)) fs.delete(tmp, true)
+        val orderCols = Seq(col(BUCKET), col("_graft_z"))
+        spark.read.option("mergeSchema", true).parquet(targetDir)
+          .withColumn("_graft_z", zval)
+          .repartitionByRange(totalBins, orderCols: _*)
+          .sortWithinPartitions(orderCols: _*)
+          .drop("_graft_z")
+          .write.partitionBy(BUCKET).mode("overwrite").parquet(tmp.toString)
+        publishBuckets(fs, target, tmp, buckets)
+        // a Morton layout is not a lexicographic column order — never
+        // report one (fresh read: publishBuckets ran under our ticket)
+        TargetMeta.read(hconf, target).filter(_.sorted.nonEmpty).foreach(m =>
+          TargetMeta.write(hconf, target, m.copy(sorted = None)))
+        spark.catalog.refreshByPath(targetDir)
+        buckets
+      }
+    }
 
   /** Resumable column backfill — the UPDATE-analog of additive schema
     * evolution (S4 adds the column as NULL on stored rows; this populates

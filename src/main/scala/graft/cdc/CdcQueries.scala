@@ -2224,6 +2224,603 @@ object CdcQueries {
         .orderBy($"o_orderkey")
     }),
 
+    // SORTED-BUCKET LAYOUT + REPORTED ORDERING (q262; public design point:
+    // Iceberg sort orders + SupportsReportOrdering, SPARK-38647): q255
+    // removed the Exchange from a co-bucketed join but each merge-join side
+    // still sorted per partition. Every copy-on-write bucket publish now
+    // writes ONE file internally sorted by (bucket key, rest of PK),
+    // `.graft_meta` records it, and the Batch scan REPORTS it — so the
+    // same join runs with NO Exchange AND NO Sort: the layout paid the
+    // sort once, at write time, and at 100 TB every join over it reuses
+    // that work. The fact side runs a full lifecycle INCLUDING a tombstone
+    // compaction (a bucket rewrite — order must survive it). In-gate
+    // requires: (a) the sorted SPJ plan has no Exchange and no Sort node;
+    // (b) a merge-on-read dim (reader-local hashmap resolve — unordered by
+    // construction) still joins zero-Exchange but falls back to a
+    // per-partition Sort; (c) both joins agree. Oracle: the declarative
+    // lifecycle join. Wrong ordering cannot pass silently: a SortMergeJoin
+    // fed unsorted input returns wrong rows and breaks the hash.
+    "q262_sorted_spj" -> ((s, dir) => {
+      import s.implicits._
+      val o = Tables.load(s, dir, "orders")
+      val c = Tables.load(s, dir, "customer")
+      val whRoot = graftCatRoot(s)
+      Seq("orders_srt", "cust_srt", "cust_srt_mor").foreach(t =>
+        s.sql(s"DROP TABLE IF EXISTS q245cat.prod.$t"))
+      s.sql(s"""CREATE TABLE q245cat.prod.orders_srt (${o.schema.toDDL})
+                OPTIONS (pk 'o_custkey,o_orderkey', bucketCols 'o_custkey',
+                         buckets '8')""")
+      s.sql(s"""CREATE TABLE q245cat.prod.cust_srt (${c.schema.toDDL})
+                OPTIONS (pk 'c_custkey', buckets '8')""")
+      s.sql(s"""CREATE TABLE q245cat.prod.cust_srt_mor (${c.schema.toDDL})
+                OPTIONS (pk 'c_custkey', buckets '8', storage 'mor')""")
+      val oOpts = CdcApplier.Options(Seq("o_custkey", "o_orderkey"),
+        bucketCols = Some(Seq("o_custkey")), numBuckets = 8)
+      val cOpts = CdcApplier.Options(Seq("c_custkey"), numBuckets = 8)
+      val fact = s"$whRoot/prod/orders_srt"
+      CdcApplier.applyBatch(s, ChangeFeed.inserts(o, $"o_orderkey" * 10), fact, oOpts)
+      CdcApplier.applyBatch(s, ChangeFeed.updates(o.filter($"o_orderkey" % 7 === 0),
+        Map("o_totalprice" -> ($"o_totalprice" * 1.2)), $"o_orderkey" * 10 + 5),
+        fact, oOpts)
+      CdcApplier.applyBatch(s, ChangeFeed.deletes(o.filter($"o_orderkey" % 13 === 0),
+        $"o_orderkey" * 10 + 7), fact, oOpts)
+      // tombstone compaction rewrites the touched buckets — order survives
+      CdcApplier.compact(s, fact, Long.MaxValue / 2)
+      CdcApplier.applyBatch(s, ChangeFeed.inserts(c, $"c_custkey" * 10),
+        s"$whRoot/prod/cust_srt", cOpts)
+      CdcApplier.applyBatch(s, ChangeFeed.deletes(c.filter($"c_custkey" % 10 === 0),
+        $"c_custkey" * 10 + 5), s"$whRoot/prod/cust_srt", cOpts)
+      CdcApplier.applyBatchMor(s, ChangeFeed.inserts(c, $"c_custkey" * 10),
+        s"$whRoot/prod/cust_srt_mor", cOpts)
+      CdcApplier.applyBatchMor(s, ChangeFeed.deletes(c.filter($"c_custkey" % 10 === 0),
+        $"c_custkey" * 10 + 5), s"$whRoot/prod/cust_srt_mor", cOpts)
+      val confs = Seq(
+        "spark.sql.sources.v2.bucketing.enabled" -> "true",
+        "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+      val saved = confs.map { case (k, _) => k -> s.conf.getOption(k) }
+      confs.foreach { case (k, v) => s.conf.set(k, v) }
+      try {
+        def joined(custTable: String) = s.sql(
+          s"""SELECT o.o_orderkey, o.o_custkey, c.c_name, o.o_totalprice AS px
+              FROM q245cat.prod.orders_srt o
+              JOIN q245cat.prod.$custTable c ON o.o_custkey = c.c_custkey""")
+        val spj = joined("cust_srt")
+        spj.queryExecution.toRdd.count()
+        val plan = spj.queryExecution.executedPlan.toString
+        require(!plan.contains("Exchange"),
+          s"a sorted co-bucketed join must not shuffle:\n$plan")
+        require(!plan.contains("Sort ["),
+          s"a sorted co-bucketed join must not re-sort either side:\n$plan")
+        require(plan.contains("GraftBatchScan"),
+          s"expected both sides on the key-grouped Batch leg:\n$plan")
+        val mor = joined("cust_srt_mor")
+        mor.queryExecution.toRdd.count()
+        val morPlan = mor.queryExecution.executedPlan.toString
+        require(!morPlan.contains("Exchange"),
+          s"the mor dim still aligns by bucket — no shuffle:\n$morPlan")
+        require(morPlan.contains("Sort ["),
+          s"a mor side is unordered by construction and must re-sort:\n$morPlan")
+        val a = spj.count(); val b = mor.count()
+        require(a == b && a > 0, s"sorted and mor joins must agree: $a vs $b")
+        spj.withColumn("sorted_zero_sort", lit(true)).orderBy($"o_orderkey")
+      } finally saved.foreach { case (k, v) =>
+        v.fold(s.conf.unset(k))(s.conf.set(k, _))
+      }
+    }),
+
+    // ROLLBACK / RESTORE-AS-A-NEW-COMMIT (q263; public design point: Delta
+    // RESTORE / Iceberg rollback-to-snapshot): time travel (q245) and tags
+    // (q256) READ the past; this un-does a bad batch — as a NEW fenced
+    // commit at maxPos+1 (superseding deltas over the diffed keys only),
+    // so history is KEPT: post-restore time travel to the bad position
+    // still answers the bad state bit-for-bit (in-gate exceptAll), the
+    // change feed shows the restore as ordinary update transitions (count
+    // pinned), CDC continues on top, and the vacuum floor guards restores
+    // exactly like reads (refusal pinned). Oracle: restore-then-continue
+    // replayed declaratively. 100 TB: the diff is one co-partitioned
+    // full-outer join; the WRITE is only the changed keys.
+    "q263_rollback" -> ((s, dir) => {
+      import s.implicits._
+      val o = Tables.load(s, dir, "orders")
+      val target = Files.createTempDirectory("graft_cdc").toString + "/orders_rb"
+      val opts = CdcApplier.Options(Seq("o_orderkey"))
+      CdcApplier.applyBatchMor(s, ChangeFeed.inserts(o, lit(100L)), target, opts)
+      // the BAD batch: a fat-fingered reprice
+      CdcApplier.applyBatchMor(s, ChangeFeed.updates(o.filter($"o_orderkey" % 3 === 0),
+        Map("o_totalprice" -> ($"o_totalprice" * 9.99)), lit(200L)), target, opts)
+      val restoredAs = CdcApplier.rollback(s, target, 100L)
+      require(restoredAs == 201L, s"restore lands at maxPos+1, got $restoredAs")
+      // history kept: the bad position still answers, exactly
+      val bad = o.select($"o_orderkey",
+        when($"o_orderkey" % 3 === 0, $"o_totalprice" * 9.99)
+          .otherwise($"o_totalprice").as("o_totalprice"))
+      val asOfBad = CdcApplier.snapshotAsOf(s, target, 200L)
+        .select($"o_orderkey", $"o_totalprice")
+      require(asOfBad.exceptAll(bad).count() + bad.exceptAll(asOfBad).count() == 0,
+        "post-restore time travel to the bad position must still answer it")
+      // the restore IS the change feed's next transitions
+      val nRestored = CdcApplier.changeFeed(s, target, 200L)
+        .filter($"next_position" === 201L && $"op" === "update").count()
+      require(nRestored == o.filter($"o_orderkey" % 3 === 0).count(),
+        "the change feed must carry one restore update per un-done key")
+      // CDC continues on top of the restore
+      CdcApplier.applyBatchMor(s, ChangeFeed.updates(o.filter($"o_orderkey" % 4 === 0),
+        Map("o_totalprice" -> ($"o_totalprice" * 1.2)), lit(400L)), target, opts)
+      // the vacuum floor guards restores like any as-of read
+      CdcApplier.vacuumMor(s, target, 400L) // floor -> 201
+      val floorRefused = scala.util.Try(
+        CdcApplier.rollback(s, target, 150L)).isFailure
+      require(floorRefused, "rollback below the retained floor must refuse")
+      CdcApplier.snapshot(s, target)
+        .select($"o_orderkey", $"o_totalprice".as("px"))
+        .withColumn("restored_as", lit(restoredAs))
+        .withColumn("floor_refused", lit(floorRefused))
+        .orderBy($"o_orderkey")
+    }),
+
+    // BRANCHES + WRITE-AUDIT-PUBLISH (q264; public design points: Iceberg
+    // branching / the WAP pattern): a named WRITABLE lineage sharing main's
+    // data files. Stage on the branch (ordinary MOR applies into a sibling
+    // delta dir; the branch point pins main's history via an internal
+    // tag), AUDIT against the branch lineage (union-resolve snapshot +
+    // bucket-pruned point lookups) while main readers are pinned unchanged
+    // (in-gate exceptAll mid-stage), then fast-forward main atomically
+    // under main's commit ticket (file moves, zero copies). A branch main
+    // OUTRAN refuses to fast-forward (typed conflict, pinned); an
+    // abandoned branch drops without a trace. Oracle: the published
+    // lineage replayed declaratively. 100 TB: branch = a position + its
+    // own staged batches; fast-forward = renames + one meta write.
+    "q264_branch_wap" -> ((s, dir) => {
+      import s.implicits._
+      val o = Tables.load(s, dir, "orders")
+      val target = Files.createTempDirectory("graft_cdc").toString + "/orders_wap"
+      val opts = CdcApplier.Options(Seq("o_orderkey"))
+      CdcApplier.applyBatchMor(s, ChangeFeed.inserts(o, lit(100L)), target, opts)
+      val from = Branch.create(s, target, "rel")
+      require(from == 100L, s"branch point must be main's high-water, got $from")
+      // stage: reprice evens, trim the %9 keys (delete images post-reprice)
+      Branch.applyBatch(s, target, "rel",
+        ChangeFeed.updates(o.filter($"o_orderkey" % 2 === 0),
+          Map("o_totalprice" -> ($"o_totalprice" * 1.5)), lit(200L)))
+      val repriced = o.withColumn("o_totalprice",
+        when($"o_orderkey" % 2 === 0, $"o_totalprice" * 1.5).otherwise($"o_totalprice"))
+      Branch.applyBatch(s, target, "rel",
+        ChangeFeed.deletes(repriced.filter($"o_orderkey" % 9 === 0), lit(300L)))
+      // main readers pinned unchanged mid-stage
+      val baseState = o.select($"o_orderkey", $"o_totalprice")
+      val mainMid = CdcApplier.snapshot(s, target).select($"o_orderkey", $"o_totalprice")
+      require(mainMid.exceptAll(baseState).count() +
+        baseState.exceptAll(mainMid).count() == 0,
+        "main must be untouched while the branch stages")
+      // audit probe: one staged-deleted key vanishes, one repriced survives
+      val delKey = o.filter($"o_orderkey" % 9 === 0)
+        .agg(min($"o_orderkey")).first.getLong(0)
+      val updKey = o.filter($"o_orderkey" % 2 === 0 && $"o_orderkey" % 9 =!= 0)
+        .agg(min($"o_orderkey")).first.getLong(0)
+      val audited = Branch.pointLookup(s, target, "rel",
+        Seq(delKey, updKey).toDF("o_orderkey"))
+        .select($"o_orderkey").as[Long].collect().toSet
+      require(audited == Set(updKey),
+        s"the audit lookup must see the staged lineage: $audited")
+      // publish: WAP's atomic fast-forward
+      Branch.fastForward(s, target, "rel")
+      // a branch main OUTRAN refuses; abandoning it leaves no trace
+      Branch.create(s, target, "late")
+      Branch.applyBatch(s, target, "late",
+        ChangeFeed.updates(o.filter($"o_orderkey" % 11 === 0),
+          Map("o_orderpriority" -> lit("5-LOW")), lit(350L)))
+      val cur = repriced.filter($"o_orderkey" % 9 =!= 0)
+      CdcApplier.applyBatchMor(s, ChangeFeed.updates(cur.filter($"o_orderkey" % 5 === 0),
+        Map("o_totalprice" -> ($"o_totalprice" * 1.1)), lit(400L)), target, opts)
+      val ffRefused = scala.util.Try(Branch.fastForward(s, target, "late"))
+        .failed.toOption
+        .exists(_.isInstanceOf[CdcApplier.GraftConcurrentWriteException])
+      require(ffRefused, "fast-forward must refuse once main outran the branch")
+      Branch.drop(s, target, "late")
+      CdcApplier.snapshot(s, target)
+        .select($"o_orderkey", $"o_totalprice".as("px"), $"o_orderpriority")
+        .withColumn("ff_refused", lit(ffRefused))
+        .orderBy($"o_orderkey")
+    }),
+
+    // TIMESTAMP AS OF (q265; public design point: Delta/Iceberg wall-clock
+    // time travel): positions are the honest version axis but SQL users
+    // travel by timestamp. Every fenced publish stamps its done marker
+    // from an INJECTABLE monotone clock (`spark.graft.commit.clock.ms` —
+    // gates stay deterministic; the resolve path never consults a clock),
+    // `TIMESTAMP AS OF t` resolves to the greatest position stamped at or
+    // before t and serves it through the SAME path as VERSION AS OF
+    // (agreement pinned three ways: SQL-vs-SQL, Scala-vs-SQL), a
+    // pre-first-commit timestamp ERRORS the way Delta does (pinned), and
+    // `CALL system.commits` exposes the stamp log (values pinned). Oracle:
+    // the resolved state replayed declaratively.
+    "q265_timestamp_travel" -> ((s, dir) => {
+      import s.implicits._
+      val o = Tables.load(s, dir, "orders")
+      val whRoot = graftCatRoot(s)
+      s.sql("DROP TABLE IF EXISTS q245cat.prod.orders_ts")
+      s.sql(s"""CREATE TABLE q245cat.prod.orders_ts (${o.schema.toDDL})
+                OPTIONS (pk 'o_orderkey', buckets '8', storage 'mor')""")
+      val target = s"$whRoot/prod/orders_ts"
+      val opts = CdcApplier.Options(Seq("o_orderkey"))
+      val t1 = 1700000000000L; val hour = 3600000L
+      def at[T](ts: Long)(f: => T): T = {
+        s.conf.set("spark.graft.commit.clock.ms", ts.toString)
+        try f finally s.conf.unset("spark.graft.commit.clock.ms")
+      }
+      at(t1) { CdcApplier.applyBatchMor(s,
+        ChangeFeed.inserts(o, lit(100L)), target, opts) }
+      at(t1 + hour) { CdcApplier.applyBatchMor(s,
+        ChangeFeed.updates(o.filter($"o_orderkey" % 2 === 0),
+          Map("o_totalprice" -> ($"o_totalprice" * 1.1)), lit(200L)), target, opts) }
+      at(t1 + 2 * hour) { CdcApplier.applyBatchMor(s,
+        ChangeFeed.deletes(o.filter($"o_orderkey" % 6 === 0), lit(300L)),
+        target, opts) }
+      def fmt(ms: Long) = java.time.format.DateTimeFormatter
+        .ofPattern("yyyy-MM-dd HH:mm:ss").withZone(java.time.ZoneOffset.UTC)
+        .format(java.time.Instant.ofEpochMilli(ms)) + "+00:00"
+      // half past the second commit resolves to position 200
+      val mid = t1 + hour + 30 * 60000L
+      val byTs = s.sql(s"""SELECT o_orderkey, o_totalprice AS px
+        FROM q245cat.prod.orders_ts TIMESTAMP AS OF '${fmt(mid)}'""")
+      val byPos = s.sql("""SELECT o_orderkey, o_totalprice AS px
+        FROM q245cat.prod.orders_ts VERSION AS OF 200""")
+      require(byTs.exceptAll(byPos).count() + byPos.exceptAll(byTs).count() == 0,
+        "timestamp and position travel must agree everywhere")
+      val scalaTs = CdcApplier.snapshotAsOfTimestamp(s, target, mid)
+        .select($"o_orderkey", $"o_totalprice".as("px"))
+      require(scalaTs.exceptAll(byPos).count() +
+        byPos.exceptAll(scalaTs).count() == 0,
+        "the Scala surface must resolve identically")
+      val preRefused = scala.util.Try(s.sql(
+        s"""SELECT count(*) FROM q245cat.prod.orders_ts
+            TIMESTAMP AS OF '${fmt(t1 - hour)}'""").collect()).isFailure
+      require(preRefused, "a pre-first-commit timestamp must error")
+      val stamps = s.sql("CALL q245cat.system.commits(table => 'prod.orders_ts')")
+        .select($"ts_ms", $"position").as[(Long, Long)].collect().sorted.toSeq
+      require(stamps == Seq((t1, 100L), (t1 + hour, 200L), (t1 + 2 * hour, 300L)),
+        s"the stamp log must pin (clock, position) per commit: $stamps")
+      byTs.withColumn("pre_refused", lit(preRefused)).orderBy($"o_orderkey")
+    }),
+
+    // AUTOMATIC SECONDARY-INDEX ROUTING (q266; public design point:
+    // Phoenix/Astro secondary-index plan rewrite): q123 maintains the
+    // (value, pk) index but consumed it as two MANUAL chained pointLookups
+    // — a SQL user filtering on the indexed column got a full scan unless
+    // they knew the index existed. GraftIndexRoute (the ViewRewrite seam)
+    // now rewrites an eligible point/IN predicate into index-lookup →
+    // PK-fetch automatically. In-gate: the rewrite FIRES on the indexed
+    // point predicate (counter seam), answers IDENTICALLY with the route
+    // unregistered (row-set equality), and DECLINES on a range predicate
+    // and on a non-indexed column (counter seam) — refusal is a plan
+    // property, never a correctness one. Oracle: q123's lifecycle replay.
+    // 100 TB: ≤k index buckets + matching store buckets instead of a
+    // fact-table scan, chosen by the optimizer.
+    "q266_index_route" -> ((s, dir) => {
+      import s.implicits._
+      val o = Tables.load(s, dir, "orders")
+      val base = Files.createTempDirectory("graft_cdc").toString
+      val store = base + "/orders_rt"
+      val index = base + "/orders_rt_idx"
+      val sopts = CdcApplier.Options(Seq("o_orderkey"))
+      val iopts = CdcApplier.Options(Seq("o_custkey", "o_orderkey"),
+        bucketCols = Some(Seq("o_custkey")))
+      def indexFeed(changes: DataFrame): DataFrame =
+        changes.select(col("op"), col("next_position"),
+          when(col("before").isNotNull, struct(
+            col("before.o_custkey").as("o_custkey"),
+            col("before.o_orderkey").as("o_orderkey"))).as("before"),
+          when(col("after").isNotNull, struct(
+            col("after.o_custkey").as("o_custkey"),
+            col("after.o_orderkey").as("o_orderkey"))).as("after"))
+      val b1 = ChangeFeed.inserts(o, $"o_orderkey" * 10)
+      val b2 = ChangeFeed.updates(o.filter($"o_orderkey" % 6 === 2),
+          Map("o_custkey" -> ($"o_custkey" + 1)), $"o_orderkey" * 10 + 3)
+        .union(ChangeFeed.deletes(o.filter($"o_orderkey" % 9 === 1), $"o_orderkey" * 10 + 5))
+      Seq(b1, b2).foreach { b =>
+        CdcApplier.applyBatch(s, b, store, sopts)
+        CdcApplier.applyBatch(s, indexFeed(b), index, iopts)
+      }
+      import graft.plans.GraftIndexRoute
+      GraftIndexRoute.install(s)
+      GraftIndexRoute.register(store, "o_custkey", index)
+      try {
+        def query() = CdcApplier.snapshot(s, store)
+          .filter($"o_custkey".isin(3L, 7L, 11L, 19L, 42L))
+          .select(o.columns.map(col).toIndexedSeq: _*)
+        val f0 = GraftIndexRoute.fired
+        val routed = query().collect()
+        require(GraftIndexRoute.fired > f0,
+          "the rewrite must fire on the indexed point predicate")
+        GraftIndexRoute.unregister(store, "o_custkey")
+        val plain = query().collect()
+        require(routed.map(_.toString).sorted.toSeq ==
+          plain.map(_.toString).sorted.toSeq,
+          "routed and unrouted answers must be identical")
+        GraftIndexRoute.register(store, "o_custkey", index)
+        val d0 = GraftIndexRoute.declined
+        CdcApplier.snapshot(s, store)
+          .filter($"o_custkey" >= 3L && $"o_custkey" <= 11L)
+          .select(o.columns.map(col).toIndexedSeq: _*)
+          .queryExecution.optimizedPlan
+        require(GraftIndexRoute.declined > d0,
+          "a range predicate beyond the index's point form must decline")
+        val d1 = GraftIndexRoute.declined
+        CdcApplier.snapshot(s, store).filter($"o_orderstatus" === "F")
+          .select(o.columns.map(col).toIndexedSeq: _*)
+          .queryExecution.optimizedPlan
+        require(GraftIndexRoute.declined > d1,
+          "a predicate on a non-indexed column must decline")
+        query()
+          .withColumn("fired", lit(true))
+          .withColumn("range_declined", lit(true))
+          .withColumn("same_without_rule", lit(true))
+          .orderBy($"o_orderkey")
+      } finally GraftIndexRoute.unregister(store, "o_custkey")
+    }),
+
+    // DISJOINT-COMMIT RECONCILIATION UNDER THE FENCE (q267; public design
+    // point: Delta's conflict checker allowing disjoint commits): q257's
+    // fence serialized ALL writers — an optimize losing the ticket race to
+    // a data publish re-ran its whole rewrite even on disjoint buckets.
+    // optimize is now OPTIMISTIC: it stages with no ticket held, claims
+    // for the short publish window, and — when commits landed mid-stage —
+    // publishes anyway iff every one of them RECORDED a touched-bucket set
+    // disjoint from its own (the commit stamps, q265's done markers). The
+    // gate drives both interleavings deterministically through the
+    // midStage seam on a RANGE-bucketed layout (bucket membership is SQL-
+    // expressible, so the oracle replays it): DISJOINT — a data publish
+    // into bucket 2 lands while optimize stages bucket 0; both commit,
+    // one rewrite each (sequence arithmetic pinned). OVERLAP — a publish
+    // into bucket 0 mid-stage; optimize refuses with the typed conflict
+    // and burns no sequence number; the honest re-run lands. Oracle: the
+    // full update lifecycle replayed declaratively (a lost update from a
+    // wrongly-rebased optimize would break the hash).
+    "q267_commit_rebase" -> ((s, dir) => {
+      import s.implicits._
+      val o = Tables.load(s, dir, "orders")
+      val target = Files.createTempDirectory("graft_cdc").toString + "/orders_rbase"
+      val bounds = Seq(101L, 201L, 301L)
+      val opts = CdcApplier.Options(Seq("o_orderkey"), rangeBounds = Some(bounds))
+      val tpath = new org.apache.hadoop.fs.Path(target)
+      val fs = tpath.getFileSystem(s.sparkContext.hadoopConfiguration)
+      def seqNow = CdcApplier.commitSeq(fs, tpath)
+      def upd(pred: org.apache.spark.sql.Column, f: Double, pos: Long) =
+        ChangeFeed.updates(o.filter(pred),
+          Map("o_totalprice" -> ($"o_totalprice" * f)), lit(pos))
+      CdcApplier.applyBatchMor(s, ChangeFeed.inserts(o, lit(100L)), target, opts)
+      CdcApplier.optimize(s, target) // bin-pack every bucket to one file
+      CdcApplier.applyBatchMor(s, upd($"o_orderkey" <= 100, 1.2, 200L), target, opts)
+      CdcApplier.applyBatchMor(s, upd($"o_orderkey" <= 100, 1.3, 300L), target, opts)
+      require(seqNow == 4L, s"lifecycle prelude must be 4 commits, got $seqNow")
+      // DISJOINT: optimize stages bucket 0; a publish into bucket 2 lands
+      // mid-stage; the rebase validates disjointness and BOTH commit
+      val touched = CdcApplier.optimizeStaged(s, target, 128L << 20, Seq.empty,
+        () => CdcApplier.applyBatchMor(s,
+          upd($"o_orderkey" > 200 && $"o_orderkey" <= 300, 1.4, 400L), target, opts))
+      require(touched == Seq(0), s"optimize's plan must be bucket 0 only: $touched")
+      require(seqNow == 6L,
+        s"both the mid-stage publish and the rebased optimize commit: $seqNow")
+      // OVERLAP: the mid-stage publish hits optimize's own bucket — refuse
+      CdcApplier.applyBatchMor(s, upd($"o_orderkey" <= 100, 1.5, 500L), target, opts)
+      val refused = scala.util.Try(
+        CdcApplier.optimizeStaged(s, target, 128L << 20, Seq.empty,
+          () => CdcApplier.applyBatchMor(s,
+            upd($"o_orderkey" <= 50, 1.6, 600L), target, opts)))
+        .failed.toOption
+        .exists(_.isInstanceOf[CdcApplier.GraftConcurrentWriteException])
+      require(refused, "an overlapping-bucket rebase must refuse")
+      require(seqNow == 8L,
+        s"the refused optimize must burn no sequence number: $seqNow")
+      CdcApplier.optimize(s, target) // the honest re-run
+      require(seqNow == 9L, s"the re-run commits: $seqNow")
+      CdcApplier.snapshot(s, target)
+        .select($"o_orderkey", $"o_totalprice".as("px"))
+        .withColumn("rebase_landed", lit(true))
+        .withColumn("overlap_refused", lit(refused))
+        .orderBy($"o_orderkey")
+    }),
+
+    // PER-FILE STATISTICS AS A RELATION (q269; the observability half of
+    // q250's data skipping — Delta's per-add-file stats surfaced the way
+    // DESCRIBE DETAIL surfaces table facts): `CALL system.files` serves
+    // one row per (data file, tracked column) straight from the bucket
+    // sidecars — rows, null count, canonical min/max — so an operator can
+    // SEE why a predicate did or did not skip a file. On a RANGE-bucketed
+    // layout freshly published by the sorted writer (ONE file per bucket,
+    // pinned in-gate) the file-level stats ARE the bucket-level facts, so
+    // the oracle replays them declaratively per range bucket. 100 TB: the
+    // relation is the sidecars, read once per bucket — the same I/O class
+    // as a directory listing.
+    "q269_file_stats_sql" -> ((s, dir) => {
+      import s.implicits._
+      val o = Tables.load(s, dir, "orders")
+      val whRoot = graftCatRoot(s)
+      s.sql("DROP TABLE IF EXISTS q245cat.prod.orders_fs")
+      s.sql(s"""CREATE TABLE q245cat.prod.orders_fs (${o.schema.toDDL})
+                OPTIONS (pk 'o_orderkey', rangeBounds '101,201,301')""")
+      val target = s"$whRoot/prod/orders_fs"
+      val opts = CdcApplier.Options(Seq("o_orderkey"),
+        rangeBounds = Some(Seq(101L, 201L, 301L)))
+      CdcApplier.applyBatch(s, ChangeFeed.inserts(o, $"o_orderkey" * 10), target, opts)
+      val filesRel = s.sql("CALL q245cat.system.files(table => 'prod.orders_fs')")
+      val perBucket = filesRel.select($"bucket", $"file").distinct()
+        .groupBy($"bucket").count().as[(Int, Long)].collect().toMap
+      require(perBucket.size == 4 && perBucket.values.forall(_ == 1L),
+        s"the sorted publish writes one file per bucket: $perBucket")
+      filesRel.filter($"column".isin("o_orderkey", "o_custkey", "o_orderstatus"))
+        .select($"bucket", $"column", $"n_rows", $"nulls", $"min", $"max")
+        .orderBy($"bucket", $"column")
+    }),
+
+    // STREAMED INDEX + AUTOMATIC ROUTING (q270): q170 maintains the
+    // secondary index from the live stream (same micro-batch as the
+    // primary), q266 routes point predicates through an index — this gate
+    // closes the loop: the PRODUCTION-maintained index (streamed through
+    // StreamingPipeline's IndexSpec, custkey moves retiring stale entries
+    // via the S10 fan-out) serves the optimizer's automatic rewrite. The
+    // routed query must equal the unrouted scan (row-set equality) and the
+    // rewrite must actually fire (counter seam). Oracle: q123's replay —
+    // the same lifecycle, so a stale streamed index entry breaks the hash.
+    "q270_streamed_index_route" -> ((s, dir) => graft.util.SmallBatches(s) {
+      import s.implicits._
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+      val o = Tables.load(s, dir, "orders")
+      def toEnvelope(changes: DataFrame): Array[EnvelopeRow] =
+        FeedMemo.toEnvelope(changes, "orders")
+      val root = Files.createTempDirectory("graft_sidx").toString
+      val store = s"$root/orders_sr"
+      val index = s"$root/orders_sr_idx"
+      val sopts = CdcApplier.Options(Seq("o_orderkey"))
+      val iopts = CdcApplier.Options(Seq("o_custkey", "o_orderkey"),
+        bucketCols = Some(Seq("o_custkey")))
+      val b1 = FeedMemo.rows("orders_ins10", dir)(
+        toEnvelope(ChangeFeed.inserts(o, $"o_orderkey" * 10)))
+      val b2 = FeedMemo.rows("q270_b2", dir)(
+        toEnvelope(ChangeFeed.updates(o.filter($"o_orderkey" % 6 === 2),
+            Map("o_custkey" -> ($"o_custkey" + 1)), $"o_orderkey" * 10 + 3)
+          .union(ChangeFeed.deletes(o.filter($"o_orderkey" % 9 === 1),
+            $"o_orderkey" * 10 + 5))))
+      val src = MemoryStream[EnvelopeRow]
+      val queries = graft.streaming.StreamingPipeline.startPerTable(
+        src.toDF(), Map("orders" -> (o.schema, store)), s"$root/ckpt",
+        _ => graft.streaming.StreamingPipeline.PipelineOptions(sopts,
+          indexes = Seq(graft.streaming.StreamingPipeline.IndexSpec(
+            index, Seq("o_custkey", "o_orderkey"), iopts))))
+      try Seq(b1, b2).foreach { rows =>
+        rows.grouped(1500).foreach(c => src.addData(c.toIndexedSeq))
+        queries.values.foreach(_.processAllAvailable())
+      } finally queries.values.foreach(_.stop())
+      import graft.plans.GraftIndexRoute
+      GraftIndexRoute.install(s)
+      GraftIndexRoute.register(store, "o_custkey", index)
+      try {
+        def query() = CdcApplier.snapshot(s, store)
+          .filter($"o_custkey".isin(3L, 7L, 11L, 19L, 42L))
+          .select(o.columns.map(col).toIndexedSeq: _*)
+        val f0 = GraftIndexRoute.fired
+        val routed = query().collect()
+        require(GraftIndexRoute.fired > f0,
+          "the rewrite must fire against the streamed index")
+        GraftIndexRoute.unregister(store, "o_custkey")
+        val plain = query().collect()
+        require(routed.map(_.toString).sorted.toSeq ==
+          plain.map(_.toString).sorted.toSeq,
+          "the streamed index must serve the identical answer")
+        GraftIndexRoute.register(store, "o_custkey", index)
+        query().withColumn("streamed_route", lit(true)).orderBy($"o_orderkey")
+      } finally GraftIndexRoute.unregister(store, "o_custkey")
+    }),
+
+    // ROLLBACK BY TAG (q271): q256 names a release, q263 restores a
+    // position — "restore the release" composes them: tag the good state,
+    // take bad batches, `CALL system.rollback(table, tag => ...)`. The
+    // restore keeps the tag answerable by construction (a restore never
+    // raises the floor), so the tagged read and the restored head must
+    // agree — pinned in-gate; CDC continues on top. Oracle: the restored
+    // lifecycle replay.
+    "q271_rollback_to_tag" -> ((s, dir) => {
+      import s.implicits._
+      val o = Tables.load(s, dir, "orders")
+      val whRoot = graftCatRoot(s)
+      s.sql("DROP TABLE IF EXISTS q245cat.prod.orders_rbt")
+      s.sql(s"""CREATE TABLE q245cat.prod.orders_rbt (${o.schema.toDDL})
+                OPTIONS (pk 'o_orderkey', buckets '8', storage 'mor')""")
+      val target = s"$whRoot/prod/orders_rbt"
+      val opts = CdcApplier.Options(Seq("o_orderkey"))
+      CdcApplier.applyBatchMor(s, ChangeFeed.inserts(o, lit(100L)), target, opts)
+      s.sql("CALL q245cat.system.tag(table => 'prod.orders_rbt', " +
+        "name => 'good', pos => 100L)")
+      // two bad batches land after the release
+      CdcApplier.applyBatchMor(s, ChangeFeed.updates(o.filter($"o_orderkey" % 2 === 0),
+        Map("o_totalprice" -> ($"o_totalprice" * 7.7)), lit(200L)), target, opts)
+      CdcApplier.applyBatchMor(s, ChangeFeed.deletes(o.filter($"o_orderkey" % 5 === 0),
+        lit(300L)), target, opts)
+      val restored = s.sql(
+        "CALL q245cat.system.rollback(table => 'prod.orders_rbt', tag => 'good')")
+        .head().getAs[Long]("restored_as_pos")
+      require(restored == 301L, s"restore lands at maxPos+1, got $restored")
+      // the tag and the restored head agree exactly
+      val tagged = CdcApplier.snapshotAsOfTag(s, target, "good")
+        .select($"o_orderkey", $"o_totalprice")
+      val head = CdcApplier.snapshot(s, target).select($"o_orderkey", $"o_totalprice")
+      require(tagged.exceptAll(head).count() + head.exceptAll(tagged).count() == 0,
+        "the restored head must equal the tagged state")
+      // exactly one of pos/tag, enforced
+      val bothRefused = scala.util.Try(s.sql(
+        "CALL q245cat.system.rollback(table => 'prod.orders_rbt', " +
+          "pos => 100L, tag => 'good')").collect()).isFailure
+      require(bothRefused, "rollback must take exactly one of pos/tag")
+      // CDC continues on the restored lineage
+      CdcApplier.applyBatchMor(s, ChangeFeed.updates(o.filter($"o_orderkey" % 3 === 0),
+        Map("o_orderpriority" -> lit("1-URGENT")), lit(400L)), target, opts)
+      CdcApplier.snapshot(s, target)
+        .select($"o_orderkey", $"o_totalprice".as("px"), $"o_orderpriority")
+        .withColumn("restored_as", lit(restored))
+        .orderBy($"o_orderkey")
+    }),
+
+    // TRUE Z-ORDER (q272; Delta's OPTIMIZE ZORDER BY, the BIT-INTERLEAVED
+    // form): q250's clusterBy lays files out along ONE column's order —
+    // skipping on the second column stays dead. zorder() walks a Morton
+    // curve over two columns (deterministic: caller-supplied 15-bound
+    // 4-bit cell ids per column, interleaved with codegen'd shifts — no
+    // sampling), so every written file covers a narrow RECTANGLE and the
+    // q250 sidecar stats skip on predicates over EITHER column. In-gate
+    // requires: after zorder, file-level skipping engages on BOTH columns
+    // (kept < total for a point predicate on each), and `sorted` cleared
+    // (a Morton order is not a column order — the scan must not claim
+    // one). State is carried verbatim through the rewrite — the oracle is
+    // the full lifecycle replay, so a lost row/version breaks the hash.
+    "q272_zorder" -> ((s, dir) => {
+      import s.implicits._
+      val o = Tables.load(s, dir, "orders")
+      val target = Files.createTempDirectory("graft_cdc").toString + "/orders_z"
+      val opts = CdcApplier.Options(Seq("o_orderkey"), numBuckets = 4)
+      CdcApplier.applyBatch(s, ChangeFeed.inserts(o, $"o_orderkey" * 10), target, opts)
+      CdcApplier.applyBatch(s, ChangeFeed.updates(o.filter($"o_orderkey" % 7 === 0),
+        Map("o_totalprice" -> ($"o_totalprice" * 1.2)), $"o_orderkey" * 10 + 5),
+        target, opts)
+      CdcApplier.applyBatch(s, ChangeFeed.deletes(o.filter($"o_orderkey" % 11 === 0),
+        $"o_orderkey" * 10 + 7), target, opts)
+      val maxK = o.agg(max($"o_orderkey")).first.getLong(0)
+      val maxC = o.agg(max($"o_custkey")).first.getLong(0)
+      def bounds(maxV: Long) = (1 to 15).map(i => math.max(1L, maxV * i / 16))
+      val hconf = s.sparkContext.hadoopConfiguration
+      val tpath = new org.apache.hadoop.fs.Path(target)
+      val fs = tpath.getFileSystem(hconf)
+      // size the file target to the table so every SF lands ~6 files per
+      // bucket — the multi-file shape the skip requires below exercise
+      val totalBytes = CdcApplier.bucketIds(fs, tpath).map { b =>
+        fs.listStatus(new org.apache.hadoop.fs.Path(target, s"graft_bucket=$b"))
+          .filterNot(f => f.getPath.getName.startsWith("_") ||
+            f.getPath.getName.startsWith(".")).map(_.getLen).sum
+      }.sum
+      CdcApplier.zorder(s, target, Seq("o_orderkey", "o_custkey"),
+        Seq(bounds(maxK), bounds(maxC)),
+        targetFileBytes = math.max(4096L, totalBytes / 24))
+      require(CdcApplier.TargetMeta.read(hconf, tpath).get.sorted.isEmpty,
+        "a Morton layout must not claim a column order")
+      // both dimensions skip at file level now
+      def coverage(f: org.apache.spark.sql.sources.Filter): (Int, Int) =
+        CdcApplier.bucketIds(fs, tpath).map { b =>
+          val (kept, n) = FileStats.selectBucketFiles(fs,
+            new org.apache.hadoop.fs.Path(target, s"graft_bucket=$b"), Seq(f))
+          (kept.size, n)
+        }.reduce((a, b) => (a._1 + b._1, a._2 + b._2))
+      val (kk, nk) = coverage(org.apache.spark.sql.sources.EqualTo("o_orderkey", 42L))
+      val (kc, nc) = coverage(org.apache.spark.sql.sources.EqualTo("o_custkey", 42L))
+      require(nk > CdcApplier.bucketIds(fs, tpath).size,
+        s"zorder must have split buckets into multiple files, got $nk")
+      require(kk < nk, s"orderkey predicate must skip files: $kk/$nk")
+      require(kc < nc, s"custkey predicate must skip files: $kc/$nc")
+      CdcApplier.snapshot(s, target)
+        .select($"o_orderkey", $"o_custkey", $"o_totalprice".as("px"))
+        .withColumn("both_dims_skip", lit(kk < nk && kc < nc))
+        .orderBy($"o_orderkey")
+    }),
+
     "q216_sql_connector" -> ((s, dir) => {
       import s.implicits._
       val o = Tables.load(s, dir, "orders")
@@ -3919,6 +4516,132 @@ object CdcQueries {
              ELSE o_totalprice END AS px,
         true AS fenced
       FROM orders ORDER BY o_orderkey""",
+
+    // q262: the sorted co-bucketed join — fact with the %7 reprice and the
+    // %13 deletes (compacted) applied, dim with the %10 deletes removed.
+    "q262_sorted_spj" -> """
+      SELECT o.o_orderkey, o.o_custkey, c.c_name,
+        CASE WHEN o.o_orderkey % 7 = 0 THEN o.o_totalprice * 1.2
+             ELSE o.o_totalprice END AS px,
+        true AS sorted_zero_sort
+      FROM orders o
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      WHERE c.c_custkey % 10 <> 0 AND o.o_orderkey % 13 <> 0
+      ORDER BY o.o_orderkey""",
+
+    // q263: restore-to-100 un-does the %3 reprice; the %4 batch then lands
+    // on top of the restored state.
+    "q263_rollback" -> """
+      SELECT o_orderkey,
+        CASE WHEN o_orderkey % 4 = 0 THEN o_totalprice * 1.2
+             ELSE o_totalprice END AS px,
+        CAST(201 AS BIGINT) AS restored_as, true AS floor_refused
+      FROM orders ORDER BY o_orderkey""",
+
+    // q264: the fast-forwarded lineage (%2 reprice, %9 trim) plus the
+    // direct %5 reprice main applied afterwards; the abandoned 'late'
+    // branch's priority change never lands.
+    "q264_branch_wap" -> """
+      SELECT o_orderkey,
+        CASE WHEN o_orderkey % 5 = 0 AND o_orderkey % 2 = 0
+               THEN o_totalprice * 1.5 * 1.1
+             WHEN o_orderkey % 5 = 0 THEN o_totalprice * 1.1
+             WHEN o_orderkey % 2 = 0 THEN o_totalprice * 1.5
+             ELSE o_totalprice END AS px,
+        o_orderpriority, true AS ff_refused
+      FROM orders WHERE o_orderkey % 9 <> 0
+      ORDER BY o_orderkey""",
+
+    // q265: the timestamp between commits 2 and 3 resolves to position 200
+    // — inserts with the %2 reprice, deletes not yet applied.
+    "q265_timestamp_travel" -> """
+      SELECT o_orderkey,
+        CASE WHEN o_orderkey % 2 = 0 THEN o_totalprice * 1.1
+             ELSE o_totalprice END AS px,
+        true AS pre_refused
+      FROM orders ORDER BY o_orderkey""",
+
+    // q266: q123's lifecycle replay (custkey moves, %9 deletes) filtered to
+    // the routed IN-list, plus the rule-behavior flags.
+    "q266_index_route" -> """
+      SELECT o_orderkey,
+        CASE WHEN o_orderkey % 6 = 2 THEN o_custkey + 1 ELSE o_custkey END AS o_custkey,
+        o_orderstatus, o_totalprice, o_orderdate, o_orderpriority,
+        true AS fired, true AS range_declined, true AS same_without_rule
+      FROM orders
+      WHERE o_orderkey % 9 <> 1
+        AND (CASE WHEN o_orderkey % 6 = 2 THEN o_custkey + 1 ELSE o_custkey END)
+            IN (3, 7, 11, 19, 42)
+      ORDER BY o_orderkey""",
+
+    // q267: last-writer-wins over the interleaved lifecycle — the overlap
+    // leg's publish (x1.6 at 600) landed even though the optimize racing
+    // it refused.
+    "q267_commit_rebase" -> """
+      SELECT o_orderkey,
+        CASE WHEN o_orderkey <= 50 THEN o_totalprice * 1.6
+             WHEN o_orderkey <= 100 THEN o_totalprice * 1.5
+             WHEN o_orderkey > 200 AND o_orderkey <= 300 THEN o_totalprice * 1.4
+             ELSE o_totalprice END AS px,
+        true AS rebase_landed, true AS overlap_refused
+      FROM orders ORDER BY o_orderkey""",
+
+    // q269: the per-file statistics relation replayed per range bucket —
+    // one file per bucket, so file stats are bucket aggregates.
+    "q269_file_stats_sql" -> """
+      WITH b AS (
+        SELECT CASE WHEN o_orderkey >= 301 THEN 3
+                    WHEN o_orderkey >= 201 THEN 2
+                    WHEN o_orderkey >= 101 THEN 1 ELSE 0 END AS bucket, *
+        FROM orders)
+      SELECT bucket, col AS "column", n_rows, nulls, min, max FROM (
+        SELECT bucket, 'o_orderkey' AS col, count(*) AS n_rows,
+          CAST(0 AS BIGINT) AS nulls,
+          CAST(min(o_orderkey) AS VARCHAR) AS min,
+          CAST(max(o_orderkey) AS VARCHAR) AS max
+        FROM b GROUP BY bucket
+        UNION ALL
+        SELECT bucket, 'o_custkey', count(*), CAST(0 AS BIGINT),
+          CAST(min(o_custkey) AS VARCHAR), CAST(max(o_custkey) AS VARCHAR)
+        FROM b GROUP BY bucket
+        UNION ALL
+        SELECT bucket, 'o_orderstatus', count(*), CAST(0 AS BIGINT),
+          min(o_orderstatus), max(o_orderstatus)
+        FROM b GROUP BY bucket)
+      ORDER BY bucket, col""",
+
+    // q270: q123's lifecycle replay (the streamed index maintained the
+    // same transitions), filtered to the routed IN-list.
+    "q270_streamed_index_route" -> """
+      SELECT o_orderkey,
+        CASE WHEN o_orderkey % 6 = 2 THEN o_custkey + 1 ELSE o_custkey END AS o_custkey,
+        o_orderstatus, o_totalprice, o_orderdate, o_orderpriority,
+        true AS streamed_route
+      FROM orders
+      WHERE o_orderkey % 9 <> 1
+        AND (CASE WHEN o_orderkey % 6 = 2 THEN o_custkey + 1 ELSE o_custkey END)
+            IN (3, 7, 11, 19, 42)
+      ORDER BY o_orderkey""",
+
+    // q271: restore-to-'good'@100 un-does both bad batches; the %3
+    // priority batch then lands on the restored lineage.
+    "q271_rollback_to_tag" -> """
+      SELECT o_orderkey, o_totalprice AS px,
+        CASE WHEN o_orderkey % 3 = 0 THEN '1-URGENT' ELSE o_orderpriority END
+          AS o_orderpriority,
+        CAST(301 AS BIGINT) AS restored_as
+      FROM orders ORDER BY o_orderkey""",
+
+    // q272: state identity through the Morton rewrite — the %7 reprice
+    // applied, the %11 deletes gone; the layout change is invisible to
+    // the data.
+    "q272_zorder" -> """
+      SELECT o_orderkey, o_custkey,
+        CASE WHEN o_orderkey % 7 = 0 THEN o_totalprice * 1.2
+             ELSE o_totalprice END AS px,
+        true AS both_dims_skip
+      FROM orders WHERE o_orderkey % 11 <> 0
+      ORDER BY o_orderkey""",
 
     // q255: the co-bucketed join after both lifecycles — fact prices with
     // the %7 update applied, dim with the %10 deletes removed.

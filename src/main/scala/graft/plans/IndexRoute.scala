@@ -141,7 +141,13 @@ object GraftIndexRoute extends Rule[LogicalPlan] {
       fetched = CdcApplier.pointLookup(spark, storePath,
         CdcApplier.pointLookup(spark, route.indexDir, keys)
           .select(storePk.map(org.apache.spark.sql.functions.col): _*))
-      plan = fetched.queryExecution.analyzed
+      // this subtree is injected POST-analysis into an already-optimized
+      // plan, so hint wrappers must be resolved here (EliminateResolvedHint
+      // already ran); dropping them costs at most a join strategy, and the
+      // semi-join's key side is stats-tiny anyway
+      plan = fetched.queryExecution.analyzed.transform {
+        case h: org.apache.spark.sql.catalyst.plans.logical.ResolvedHint => h.child
+      }
       byName: Map[String, org.apache.spark.sql.catalyst.expressions.Attribute] =
         plan.output.map(a => a.name -> a).toMap
       _ <- if (outAttrs.forall(o => byName.contains(o.name))) Some(()) else None
