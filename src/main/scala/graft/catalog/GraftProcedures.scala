@@ -44,7 +44,8 @@ object GraftProcedures {
 
   private val names = Seq("optimize", "compact", "vacuum", "rebucket", "backfill",
     "history", "tag", "drop_tag", "tags", "detail",
-    "rollback", "commits", "files", "branch", "fast_forward", "drop_branch")
+    "rollback", "commits", "files", "branch", "fast_forward", "drop_branch",
+    "branches")
 
   def list(catalogName: String): Array[Identifier] =
     names.map(n => Identifier.of(Array(Namespace), n)).toArray
@@ -101,6 +102,7 @@ class GraftProcedure(root: Path, op: String) extends UnboundProcedure with Bound
     case "branch" | "drop_branch" | "fast_forward" => Array(
       in("table", StringType).build(),
       in("name", StringType).build())
+    case "branches" => Array(in("table", StringType).build())
   }
 
   private def dirOf(table: String): String = {
@@ -262,6 +264,31 @@ class GraftProcedure(root: Path, op: String) extends UnboundProcedure with Bound
               }
             }
         }.toArray
+      return java.util.Collections.singletonList[Scan](new LocalScan {
+        override def rows(): Array[InternalRow] = outRows
+        override def readSchema(): StructType = schema
+      }).iterator()
+    }
+    // Branch listing (q264's observability): one row per live branch —
+    // name, branch point, and the branch's own staged high-water mark
+    // (null before any staged batch). Branches are the `branch-` pin tags
+    // plus their sibling delta dirs; both read in one meta pass.
+    if (op == "branches") {
+      val hconf = spark.sparkContext.hadoopConfiguration
+      val meta = TargetMeta.read(hconf, new Path(dir)).getOrElse(
+        throw new IllegalStateException(s"no graft table state at $dir"))
+      val schema = StructType(Seq(
+        StructField("branch", StringType, nullable = false),
+        StructField("from_pos", LongType, nullable = false),
+        StructField("staged_max_pos", LongType, nullable = true)))
+      val outRows: Array[InternalRow] = meta.tags.getOrElse(Map.empty).toSeq
+        .collect { case (n, p) if n.startsWith("branch-") =>
+          val name = n.stripPrefix("branch-")
+          val staged = TargetMeta.read(hconf,
+            new Path(graft.cdc.Branch.branchDir(dir, name))).flatMap(_.maxPos)
+          new GenericInternalRow(Array[Any](
+            UTF8String.fromString(name), p, staged.orNull)): InternalRow
+        }.sortBy(_.getUTF8String(0).toString).toArray
       return java.util.Collections.singletonList[Scan](new LocalScan {
         override def rows(): Array[InternalRow] = outRows
         override def readSchema(): StructType = schema

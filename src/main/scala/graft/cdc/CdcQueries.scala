@@ -2373,7 +2373,11 @@ object CdcQueries {
     "q264_branch_wap" -> ((s, dir) => {
       import s.implicits._
       val o = Tables.load(s, dir, "orders")
-      val target = Files.createTempDirectory("graft_cdc").toString + "/orders_wap"
+      val whRoot = graftCatRoot(s)
+      s.sql("DROP TABLE IF EXISTS q245cat.prod.orders_wap")
+      s.sql(s"""CREATE TABLE q245cat.prod.orders_wap (${o.schema.toDDL})
+                OPTIONS (pk 'o_orderkey', buckets '16', storage 'mor')""")
+      val target = s"$whRoot/prod/orders_wap"
       val opts = CdcApplier.Options(Seq("o_orderkey"))
       CdcApplier.applyBatchMor(s, ChangeFeed.inserts(o, lit(100L)), target, opts)
       val from = Branch.create(s, target, "rel")
@@ -2416,7 +2420,15 @@ object CdcQueries {
         .failed.toOption
         .exists(_.isInstanceOf[CdcApplier.GraftConcurrentWriteException])
       require(ffRefused, "fast-forward must refuse once main outran the branch")
+      // the listing surface: 'rel' fast-forwarded away, 'late' still live
+      // with its branch point and staged high-water visible
+      val listed = s.sql("CALL q245cat.system.branches(table => 'prod.orders_wap')")
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+      require(listed == Set(("late", 300L, 350L)),
+        s"branch listing must show the live branch lineage: $listed")
       Branch.drop(s, target, "late")
+      require(s.sql("CALL q245cat.system.branches(table => 'prod.orders_wap')")
+        .count() == 0, "a dropped branch leaves no listing")
       CdcApplier.snapshot(s, target)
         .select($"o_orderkey", $"o_totalprice".as("px"), $"o_orderpriority")
         .withColumn("ff_refused", lit(ffRefused))

@@ -105,4 +105,17 @@ class AqeCanarySpec extends AnyFunSuite {
       assert(df.count() > 0)
     }
   }
+
+  test("the sorted SPJ stays shuffle-free AND sort-free under the production AQE profile") {
+    // q262 extends q255: the layout also paid the SORT at write time, and
+    // an adaptive re-plan inserting either an Exchange or a per-partition
+    // Sort would silently re-pay it — the gate's own requires (no
+    // "Exchange", no "Sort [" node, MOR side re-sorts, both joins agree)
+    // re-run here under the FORCED full profile.
+    withAqeForced {
+      val df = SparkEntry.queries("q262_sorted_spj")(spark, dir)
+      df.queryExecution.toRdd.foreach(_ => ())
+      assert(df.count() > 0)
+    }
+  }
 }
