@@ -94,7 +94,7 @@ object Branch {
     // pin FIRST (fenced — compaction past the branch point now refuses);
     // a crash in between leaves a tag an operator drops, never a branch
     // whose base history can silently vanish
-    CdcApplier.createTag(spark, mainDir, pinTag(name), from)
+    CdcApplier.createTagInternal(spark, mainDir, pinTag(name), from)
     fs.mkdirs(new Path(dir))
     // the branch's own meta: main's layout verbatim, horizon = the branch
     // point (stale positions refuse), no inherited marks — the branch dir
@@ -255,7 +255,7 @@ object Branch {
     * released (fenced via the tag machinery) — main never knew. */
   def drop(spark: SparkSession, mainDir: String, name: String): Unit = {
     branchFrom(spark, mainDir, name) // typed error on unknown names
-    CdcApplier.dropTag(spark, mainDir, pinTag(name))
+    CdcApplier.dropTagInternal(spark, mainDir, pinTag(name))
     fsOf(spark, mainDir).delete(new Path(branchDir(mainDir, name)), true)
   }
 }

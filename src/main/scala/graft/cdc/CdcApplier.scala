@@ -1031,7 +1031,19 @@ object CdcApplier {
     * (SQL `VERSION AS OF` parses digits as a raw position — the name would
     * be unreachable); a tag at an unanswerable or not-yet-published
     * position is refused (it could never serve what it claims). */
-  def createTag(spark: SparkSession, targetDir: String, name: String, pos: Long): Unit =
+  def createTag(spark: SparkSession, targetDir: String, name: String, pos: Long): Unit = {
+    // the `branch-` prefix is the branch machinery's PIN namespace (q264):
+    // a user tag there would fabricate a phantom branch in the listing
+    require(!name.startsWith("branch-"),
+      s"tag names starting with 'branch-' are reserved for branch pins — " +
+        "use Branch.create / CALL system.branch")
+    createTagInternal(spark, targetDir, name, pos)
+  }
+
+  /** [[createTag]] without the namespace guard — the branch machinery's
+    * own pin-creation seam (q264). */
+  private[cdc] def createTagInternal(
+      spark: SparkSession, targetDir: String, name: String, pos: Long): Unit =
     withCommitTicketRecorded(spark, targetDir, (_: Unit) => Some(Nil)) {
     val hconf = spark.sparkContext.hadoopConfiguration
     val target = new Path(targetDir)
@@ -1063,7 +1075,20 @@ object CdcApplier {
   /** Drop a named ref — after this the tagged history is collapse-eligible
     * again. Unknown names refuse (a silent no-op would hide typos from the
     * retention pipeline that believes it unpinned something). */
-  def dropTag(spark: SparkSession, targetDir: String, name: String): Unit =
+  def dropTag(spark: SparkSession, targetDir: String, name: String): Unit = {
+    // dropping a branch PIN through the tag surface would silently release
+    // the branch point to compaction, stranding the branch's staged work —
+    // the branch lifecycle owns its pins (drop_branch / fast_forward)
+    require(!name.startsWith("branch-"),
+      s"'$name' is a branch pin — drop the branch (Branch.drop / " +
+        "CALL system.drop_branch), not its tag")
+    dropTagInternal(spark, targetDir, name)
+  }
+
+  /** [[dropTag]] without the namespace guard — the branch machinery's own
+    * pin-release seam (q264). */
+  private[cdc] def dropTagInternal(
+      spark: SparkSession, targetDir: String, name: String): Unit =
     withCommitTicketRecorded(spark, targetDir, (_: Unit) => Some(Nil)) {
       val hconf = spark.sparkContext.hadoopConfiguration
       val target = new Path(targetDir)
@@ -1790,8 +1815,16 @@ object CdcApplier {
     // ticket is held, and this phase deliberately is not — a concurrent
     // fenced publisher may be mid-write in its own staging tree
     openTarget(fs, target)
-    // reclaim leftovers of PREVIOUS crashed optimizes (ours is tokenized
-    // fresh below; two concurrent optimizes are caught at claim anyway)
+    // Reclaim leftovers of PREVIOUS crashed optimizes. Deliberately only
+    // HERE (not in openTargetForWrite): a fenced data publisher reclaiming
+    // these trees would delete a LIVE optimize's unfenced staging on every
+    // race — killing the optimistic protocol's liveness under continuous
+    // ingest. The trade-off: a crashed optimize's tree leaks until the
+    // next optimize on the table, and a SECOND optimize racing a live one
+    // steals its staging — which the pre-publish staging-integrity check
+    // below turns into a loud typed conflict, never silent data loss
+    // (single-optimizer-per-table is the operating contract, as for every
+    // maintenance op).
     if (fs.exists(target.getParent))
       fs.listStatus(target.getParent)
         .filter(_.getPath.getName.startsWith(target.getName + ".optimize-"))
@@ -1909,6 +1942,20 @@ object CdcApplier {
               " — the staged rewrite is stale; re-run optimize")
       }
       if (touched.nonEmpty) {
+        // The staging tree must still hold EVERY planned bucket before the
+        // publish: optimize is state-preserving, so a missing fresh dir can
+        // only mean the tree was stolen (a second optimize's startup
+        // reclaim raced this one) — publishing anyway would let
+        // publishBuckets read the absence as "bucket has no surviving
+        // rows" and DELETE the live buckets: silent data loss. Refuse
+        // loudly instead; the re-run stages fresh.
+        val missing = touched.filterNot(b =>
+          fs.exists(new Path(tmp, s"$BUCKET=$b")))
+        if (missing.nonEmpty)
+          throw new GraftConcurrentWriteException(
+            s"optimize of $targetDir lost its staged tree for bucket(s) " +
+              s"${missing.mkString(",")} — a concurrent optimize reclaimed " +
+              "the staging; re-run (only one optimize per table at a time)")
         publishBuckets(fs, target, tmp, touched)
         // the clustered rewrite re-establishes (or changes) the recorded
         // file order — persist it from a FRESH meta read under the ticket
@@ -2423,7 +2470,7 @@ object CdcApplier {
     * `.bootstrap.tmp` ([[bootstrap]]); [[applyBatchMor]]'s tokenized
     * `.delta-<token>` trees are matched by prefix glob below. */
   private val StagingSuffixes = Seq(
-    ".tmp", ".compact.tmp", ".optimize.tmp",
+    ".tmp", ".compact.tmp", ".optimize.tmp", ".zorder.tmp",
     ".backfill.tmp", ".rebucket.tmp", ".bootstrap.tmp")
 
   /** [[openTarget]] plus staging reclaim — the WRITER entry-point form

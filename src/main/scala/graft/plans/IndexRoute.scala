@@ -128,9 +128,16 @@ object GraftIndexRoute extends Rule[LogicalPlan] {
       // pure column projection only (the snapshot/tableSchema shape)
       outAttrs <- Some(projList).filter(_.forall(_.isInstanceOf[AttributeReference]))
       spark = SparkSession.active
-      // index lookup: the literal values, typed as the routed column
+      // index lookup: the literal values, typed as the routed column.
+      // Literals carry Catalyst-INTERNAL values (UTF8String for strings,
+      // epoch ints/longs for dates/timestamps) — convert to the external
+      // form createDataFrame expects; a type whose conversion surprises
+      // DECLINES (the rule's contract), never crashes planning.
+      external <- scala.util.Try(route.values.map(v =>
+        org.apache.spark.sql.catalyst.CatalystTypeConverters
+          .convertToScala(v, route.col.dataType))).toOption
       keys = spark.createDataFrame(
-        spark.sparkContext.parallelize(route.values.map(Row(_)), 1),
+        spark.sparkContext.parallelize(external.map(Row(_)), 1),
         org.apache.spark.sql.types.StructType(Seq(
           org.apache.spark.sql.types.StructField(
             route.col.name, route.col.dataType, nullable = false))))

@@ -178,6 +178,21 @@ class Round13Spec extends AnyFunSuite {
     intercept[IllegalArgumentException] { Branch.drop(spark, t, "wip") }
   }
 
+  test("q264: the branch-pin tag namespace is fenced off from user tags") {
+    val t = newTarget()
+    CdcApplier.applyBatchMor(spark, ChangeFeed.inserts(rows(10), lit(100L)), t, opts)
+    // a user tag cannot fabricate a phantom branch
+    intercept[IllegalArgumentException] {
+      CdcApplier.createTag(spark, t, "branch-ghost", 100L)
+    }
+    // a user drop cannot silently release a live branch's pin
+    Branch.create(spark, t, "live")
+    intercept[IllegalArgumentException] {
+      CdcApplier.dropTag(spark, t, "branch-live")
+    }
+    Branch.drop(spark, t, "live") // the lifecycle's own release still works
+  }
+
   test("q266: the route declines compound predicates and foreign stores") {
     import graft.plans.GraftIndexRoute
     val base = Files.createTempDirectory("graft_r13").toString
@@ -209,6 +224,28 @@ class Round13Spec extends AnyFunSuite {
       run(CdcApplier.snapshot(spark, other).filter($"c" === 3L).select($"k", $"c"))
       assert(GraftIndexRoute.fired == f1 && GraftIndexRoute.declined == d1)
     } finally GraftIndexRoute.unregister(store, "c")
+  }
+
+  test("q266: a STRING-typed indexed column routes (internal literals convert)") {
+    import graft.plans.GraftIndexRoute
+    val base = Files.createTempDirectory("graft_r13").toString
+    val store = base + "/sst"
+    val index = base + "/six"
+    val data = rows(30).withColumn("tag", concat(lit("t"), ($"k" % 5).cast("string")))
+    CdcApplier.applyBatch(spark, ChangeFeed.inserts(data, $"k" * 10), store,
+      CdcApplier.Options(Seq("k")))
+    CdcApplier.applyBatch(spark,
+      ChangeFeed.inserts(data.select($"tag", $"k"), $"k" * 10), index,
+      CdcApplier.Options(Seq("tag", "k"), bucketCols = Some(Seq("tag"))))
+    GraftIndexRoute.install(spark)
+    GraftIndexRoute.register(store, "tag", index)
+    try {
+      val f0 = GraftIndexRoute.fired
+      val got = CdcApplier.snapshot(spark, store).filter($"tag" === "t2")
+        .select($"k").as[Long].collect().toSet
+      assert(GraftIndexRoute.fired > f0, "string point predicate must route")
+      assert(got == (1L to 30L).filter(_ % 5 == 2).toSet, s"wrong rows: $got")
+    } finally GraftIndexRoute.unregister(store, "tag")
   }
 
   test("q272: zorder guards, state identity, and sorted-flag clearing") {
