@@ -204,16 +204,32 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     val meta = TargetMeta.read(hconf, tablePath(ident)).getOrElse(
       throw new NoSuchTableException(ident))
     // numeric = a raw _graft_pos; otherwise a NAMED TAG (q256 — tag names
-    // are refused all-digit forms at creation, so the two cannot collide)
+    // are refused all-digit forms at creation, so the two cannot collide),
+    // or a live BRANCH name (q277 — Iceberg's branch-read spelling): the
+    // branch LINEAGE (main as of the branch point + staged deltas) serves
+    // through the connector's branch mode. Tags win a name collision
+    // (they are the older namespace; branch pin tags live under the
+    // reserved `branch-` prefix, so the two metas cannot alias).
     val pos =
       try version.toLong
       catch {
         case _: NumberFormatException =>
-          meta.tags.getOrElse(Map.empty).getOrElse(version,
-            throw new IllegalArgumentException(
-              s"graft VERSION AS OF takes a _graft_pos position or a tag " +
-                s"name; '$version' is neither (tags: ${
-                  meta.tags.getOrElse(Map.empty).keys.toSeq.sorted.mkString(", ")})"))
+          val tags = meta.tags.getOrElse(Map.empty)
+          tags.get(version) match {
+            case Some(p) => p
+            case None if graft.cdc.Branch.exists(spark, dir.toString, version) =>
+              return new GraftTable(dir.toString,
+                GraftTable.tableSchema(spark, dir.toString),
+                branch = Some(version))
+            case None =>
+              throw new IllegalArgumentException(
+                s"graft VERSION AS OF takes a _graft_pos position, a tag " +
+                  s"name, or a live branch name; '$version' is none (tags: ${
+                    tags.keys.toSeq.filterNot(_.startsWith("branch-"))
+                      .sorted.mkString(", ")}; branches: ${
+                    tags.keys.toSeq.filter(_.startsWith("branch-"))
+                      .map(_.stripPrefix("branch-")).sorted.mkString(", ")})")
+          }
       }
     if (!meta.storage.contains("mor"))
       throw new IllegalStateException(

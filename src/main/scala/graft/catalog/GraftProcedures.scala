@@ -45,7 +45,7 @@ object GraftProcedures {
   private val names = Seq("optimize", "compact", "vacuum", "rebucket", "backfill",
     "history", "tag", "drop_tag", "tags", "detail",
     "rollback", "commits", "files", "branch", "fast_forward", "drop_branch",
-    "branches")
+    "branches", "analyze", "zorder")
 
   def list(catalogName: String): Array[Identifier] =
     names.map(n => Identifier.of(Array(Namespace), n)).toArray
@@ -103,6 +103,11 @@ class GraftProcedure(root: Path, op: String) extends UnboundProcedure with Bound
       in("table", StringType).build(),
       in("name", StringType).build())
     case "branches" => Array(in("table", StringType).build())
+    case "analyze" => Array(in("table", StringType).build())
+    case "zorder" => Array(
+      in("table", StringType).build(),
+      in("columns", StringType).build(),
+      in("target_mb", IntegerType).defaultValue("128").build())
   }
 
   private def dirOf(table: String): String = {
@@ -330,6 +335,47 @@ class GraftProcedure(root: Path, op: String) extends UnboundProcedure with Bound
         StructField("restored_as_pos", LongType, nullable = false)))
       val row: InternalRow = new GenericInternalRow(Array[Any](
         UTF8String.fromString(op), UTF8String.fromString(table), restoredTo))
+      return java.util.Collections.singletonList[Scan](new LocalScan {
+        override def rows(): Array[InternalRow] = Array(row)
+        override def readSchema(): StructType = schema
+      }).iterator()
+    }
+    // ANALYZE (q278; ANALYZE TABLE ... FOR COLUMNS): one distributed pass
+    // over the live snapshot → persisted row count + per-column NDV/min/
+    // max/nulls/widths (`.graft_colstats`), served to Spark's CBO through
+    // the scans' SupportsReportStatistics — join reorder and broadcast
+    // selection then run on real numbers.
+    if (op == "analyze") {
+      val ts = graft.cdc.ColumnStats.analyze(spark, dir)
+      val schema = StructType(Seq(
+        StructField("op", StringType, nullable = false),
+        StructField("target", StringType, nullable = false),
+        StructField("n_rows", LongType, nullable = false),
+        StructField("n_columns", IntegerType, nullable = false),
+        StructField("size_estimate_bytes", LongType, nullable = false)))
+      val row: InternalRow = new GenericInternalRow(Array[Any](
+        UTF8String.fromString(op), UTF8String.fromString(table),
+        ts.rows, ts.cols.size, ts.sizeBytes))
+      return java.util.Collections.singletonList[Scan](new LocalScan {
+        override def rows(): Array[InternalRow] = Array(row)
+        override def readSchema(): StructType = schema
+      }).iterator()
+    }
+    // Z-ORDER (q279; Delta's OPTIMIZE ZORDER BY as a CALL): split bounds
+    // self-derive from the table's own exact quantiles (deterministic —
+    // the q34 engine), then the fenced bit-interleaved rewrite (q272).
+    if (op == "zorder") {
+      val cols = input.getUTF8String(1).toString.split(",").toSeq.map(_.trim)
+      val (bounds, touched) = graft.cdc.CdcApplier.zorderAuto(spark, dir, cols,
+        input.getInt(2).toLong << 20)
+      val schema = StructType(Seq(
+        StructField("op", StringType, nullable = false),
+        StructField("target", StringType, nullable = false),
+        StructField("touched_buckets", IntegerType, nullable = false),
+        StructField("bounds", StringType, nullable = false)))
+      val row: InternalRow = new GenericInternalRow(Array[Any](
+        UTF8String.fromString(op), UTF8String.fromString(table), touched.size,
+        UTF8String.fromString(bounds.map(_.mkString(",")).mkString(";"))))
       return java.util.Collections.singletonList[Scan](new LocalScan {
         override def rows(): Array[InternalRow] = Array(row)
         override def readSchema(): StructType = schema

@@ -63,6 +63,17 @@ object Branch {
   private def fsOf(spark: SparkSession, dir: String): FileSystem =
     new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
 
+  /** The branch point, for the SQL read surface (q277): `VERSION AS OF
+    * '<branch>'` serves the branch lineage through the connector. */
+  private[graft] def point(spark: SparkSession, mainDir: String, name: String): Long =
+    branchFrom(spark, mainDir, name)
+
+  /** `true` iff a live branch of this name exists (pin tag + delta dir). */
+  private[graft] def exists(spark: SparkSession, mainDir: String, name: String): Boolean =
+    CdcApplier.TargetMeta.read(spark.sparkContext.hadoopConfiguration,
+      new Path(mainDir))
+      .exists(_.tags.getOrElse(Map.empty).contains(pinTag(name)))
+
   /** The branch point: main's published high-water position at create time. */
   private def branchFrom(spark: SparkSession, mainDir: String, name: String): Long = {
     val meta = TargetMeta.read(spark.sparkContext.hadoopConfiguration,
@@ -210,6 +221,12 @@ object Branch {
             "branch is no longer a linear continuation; re-branch from the " +
             "current head and re-stage")
       val branchMeta = TargetMeta.read(hconf, new Path(dir))
+      // a compacted table's sorted / one-version-per-key claim (q276) must
+      // clear BEFORE any delta file becomes visible — a crash between the
+      // moves and a later meta write would otherwise leave the claim
+      // licensing resolve-free reads over multi-version buckets
+      TargetMeta.read(hconf, main).filter(_.sorted.nonEmpty).foreach(m =>
+        TargetMeta.write(hconf, main, m.copy(sorted = None)))
       val touched = scala.collection.mutable.ArrayBuffer.empty[Int]
       val moved = scala.collection.mutable.ArrayBuffer.empty[Path]
       CdcApplier.bucketIds(fs, new Path(dir)).foreach { b =>
@@ -244,7 +261,10 @@ object Branch {
           bHi.getOrElse(Long.MinValue))).filter(_ > Long.MinValue),
         bucketMaxPos = Some(merged).filter(_.nonEmpty),
         tags = Some(metaNow.tags.getOrElse(Map.empty) - pinTag(name))
-          .filter(_.nonEmpty)))
+          .filter(_.nonEmpty),
+        // the moved delta files break a compacted table's sorted /
+        // one-version-per-key claim (q276) exactly like any fresh delta
+        sorted = None))
       fs.delete(new Path(dir), true)
       spark.catalog.refreshByPath(mainDir)
       touched.toSeq.sorted

@@ -163,6 +163,17 @@ object CdcApplier {
     *    so a co-bucketed storage-partitioned join runs with NO Exchange and
     *    NO Sort — the layout paid the sort once, at write time. Absent on
     *    pre-upgrade targets (their buckets were written unsorted). */
+  /**  - `dv`: outstanding DELETION-VECTOR tombstone rows on a copy-on-write
+    *    layout (q275; public design point: Delta deletion vectors / Iceberg
+    *    equality-delete files). [[applyBatchDv]] APPENDS per-bucket
+    *    key-tombstone files instead of rewriting the bucket — the
+    *    small-delete path with MOR's write cost on COW's layout — and
+    *    every reader of a `dv > 0` table resolves latest-per-key on read
+    *    (the tombstone out-positions the masked row) exactly as MOR does.
+    *    The count is an UPPER bound: a later bucket rewrite folds that
+    *    bucket's vectors without decrementing (conservative — resolving an
+    *    already-folded bucket is a no-op); [[compact]] folds table-wide
+    *    and clears it. */
   case class TargetMeta(numBuckets: Int, horizon: Long,
       schemaJson: Option[String] = None, pkCols: Option[Seq[String]] = None,
       bucketCols: Option[Seq[String]] = None, storage: Option[String] = None,
@@ -172,7 +183,8 @@ object CdcApplier {
       tags: Option[Map[String, Long]] = None,
       renames: Option[Map[String, String]] = None,
       drops: Option[Seq[String]] = None,
-      sorted: Option[Seq[String]] = None)
+      sorted: Option[Seq[String]] = None,
+      dv: Option[Long] = None)
 
   object TargetMeta {
     private def metaPath(target: Path) = new Path(target, ".graft_meta")
@@ -193,7 +205,8 @@ object CdcApplier {
           kv.get("renames").map(_.split(",").toSeq.filter(_.nonEmpty)
             .map { e => val Array(l, p) = e.split(":", 2); l -> p }.toMap),
           kv.get("drops").map(_.split(",").toSeq.filter(_.nonEmpty)),
-          kv.get("sorted").map(_.split(",").toSeq.filter(_.nonEmpty)))
+          kv.get("sorted").map(_.split(",").toSeq.filter(_.nonEmpty)),
+          kv.get("dv").map(_.toLong))
       }
 
     def write(conf: org.apache.hadoop.conf.Configuration, target: Path, m: TargetMeta): Unit =
@@ -218,6 +231,7 @@ object CdcApplier {
             .getOrElse("") +
           m.sorted.filter(_.nonEmpty).map(sc => s"sorted=${sc.mkString(",")}\n")
             .getOrElse("") +
+          m.dv.filter(_ > 0).map(v => s"dv=$v\n").getOrElse("") +
           m.schemaJson.map(j => s"schema=$j\n").getOrElse(""))
   }
 
@@ -266,8 +280,14 @@ object CdcApplier {
     * timestamp-travel window in commits. Older markers are GC'd at claim
     * time (the Delta-log-retention design point: timestamp resolution has a
     * bounded horizon; position travel is unaffected — positions live in the
-    * data, not the markers). */
+    * data, not the markers). Sized by `spark.graft.commit.stamps.kept`
+    * (default 512) — a timestamp older than the retained window REFUSES in
+    * [[positionAsOfTimestamp]], exactly like the collapsed-history floor. */
   private[graft] val CommitStampsKept = 512L
+
+  private[graft] def commitStampsKept: Long =
+    scala.util.Try(SparkSession.active.conf
+      .get("spark.graft.commit.stamps.kept").toLong).getOrElse(CommitStampsKept)
 
   /** One finalized commit's stamp — the done marker's content (q265/q267):
     * `ts` from the injectable commit clock (monotone non-decreasing across
@@ -311,10 +331,18 @@ object CdcApplier {
   }
 
   /** Resolve a wall-clock timestamp (ms) to the greatest published position
-    * whose commit stamp is at or below it (q265; Delta/Iceberg's
-    * TIMESTAMP AS OF semantics). Errors when `tsMs` predates the first
-    * stamped commit — Delta's contract — or when no stamp carries a
-    * position (pre-upgrade history). */
+    * whose commit stamp is at or below it (q265). Contract — ICEBERG's
+    * timestamp-travel semantics, deliberately: a timestamp AFTER the latest
+    * stamped commit resolves to the latest position (latest-wins; Delta
+    * would error there — this engine chooses the form under which
+    * `TIMESTAMP AS OF now()` always answers the current state). A
+    * timestamp BEFORE the first RETAINED stamp errors — both the
+    * predates-first-commit case and the case where older stamps were GC'd
+    * past the retention window ([[commitStampsKept]]): the resolution
+    * floor rises with GC exactly like the collapsed-history floor, and a
+    * timestamp below it refuses rather than answering with a silently-later
+    * position. Also errors when no stamp carries a position (pre-upgrade
+    * history). */
   def positionAsOfTimestamp(spark: SparkSession, targetDir: String, tsMs: Long): Long = {
     val stamped = commitStamps(spark, targetDir)
       .filter(s => s.ts.isDefined && s.pos.isDefined)
@@ -349,9 +377,10 @@ object CdcApplier {
     // GC: claim markers at or below the sequence (completed or superseded)
     // and done markers past the stamp-retention window (q265 — done markers
     // are the commit-timestamp log now, so recent ones are KEPT).
+    val kept = commitStampsKept
     listing.foreach { p =>
       markerSeq(p.getName).foreach { s =>
-        if ((p.getName.head == 'd' && s < cur - CommitStampsKept) ||
+        if ((p.getName.head == 'd' && s < cur - kept) ||
           (p.getName.head == 'c' && s <= cur))
           fs.delete(p, false)
       }
@@ -589,9 +618,10 @@ object CdcApplier {
       val raw = spark.read.option("mergeSchema", true).parquet(targetDir)
       val meta = TargetMeta.read(hconf, target)
       val resolved =
-        if (meta.exists(_.storage.contains("mor")))
+        if (needsResolve(meta))
           resolveOnRead(raw, meta.flatMap(_.pkCols).getOrElse(
-            throw new IllegalStateException(s"mor layout at $targetDir has no persisted PK")))
+            throw new IllegalStateException(
+              s"version-bearing layout at $targetDir has no persisted PK")))
         else raw
       logicalize(resolved.filter(!col(DEL)).drop(DEL, BUCKET), meta)
     } else {
@@ -716,6 +746,16 @@ object CdcApplier {
       .filter(col("_graft_rn") === 1).drop("_graft_rn")
   }
 
+  /** `true` iff this layout's buckets can hold MORE THAN ONE version of a
+    * key, so every reader must resolve latest-per-key: merge-on-read delta
+    * chains, and copy-on-write layouts with outstanding deletion vectors
+    * (q275 — the appended key-tombstones mask their rows through exactly
+    * the same resolve). One definition for every read path, so a new
+    * version-bearing layout cannot silently leak superseded rows through a
+    * reader that forgot about it. */
+  private[graft] def needsResolve(meta: Option[TargetMeta]): Boolean =
+    meta.exists(m => m.storage.contains("mor") || m.dv.exists(_ > 0))
+
   /** Merge-on-read apply: the write-amplification complement of
     * [[applyBatch]] (public design point: Hudi's MOR tables / Iceberg v2
     * delete files). The resolved batch is APPENDED as per-bucket delta
@@ -780,6 +820,16 @@ object CdcApplier {
           dropped = m.drops.getOrElse(Seq.empty).toSet))
     }
 
+    // q276: a compacted-and-sorted mor table serves order-reporting,
+    // resolve-free reads (compactMor collapsed every bucket to one version
+    // per key) — a FRESH delta breaks both properties, so the flag clears
+    // BEFORE the delta files become visible (a crash in between leaves an
+    // unclaimed order over still-single-version buckets — conservative;
+    // the reverse order would let a reader stream duplicate versions).
+    meta.filter(_.sorted.nonEmpty).foreach { m =>
+      TargetMeta.write(hconf, target, m.copy(sorted = None))
+    }
+
     val token = java.util.UUID.randomUUID.toString.replace("-", "").take(12)
     val tmp = new Path(targetDir + s".delta-$token")
     if (fs.exists(tmp)) fs.delete(tmp, true)
@@ -833,6 +883,116 @@ object CdcApplier {
     }
     spark.catalog.refreshByPath(targetDir)
     touched.toSeq.sorted
+  }
+
+  /** DELETION VECTORS for copy-on-write (q275; public design points: Delta
+    * Lake deletion vectors, Iceberg v2 equality-delete files): a 1-row
+    * DELETE on a COW layout used to rewrite the whole bucket (the swap
+    * publish) — the small-delete write amplification every lake format
+    * grew a sidecar for. This applies a DELETE-ONLY change batch by
+    * APPENDING per-bucket key-tombstone files (`dv-*`: the PK columns +
+    * position + `_graft_deleted=true`, nothing else — a masked row's data
+    * bytes are never rewritten), publishing through the MOR append
+    * primitive (tmp write → per-file renames → sidecar append), fenced
+    * like every publisher. `.graft_meta` records the outstanding count
+    * (`dv`), and EVERY reader of a dv-bearing table resolves latest-per-key
+    * on read ([[needsResolve]]) — the tombstone out-positions the row it
+    * masks, so masking is the resolve every MOR reader already runs.
+    *
+    * Lifecycle: a later [[applyBatch]] upsert at a higher position
+    * RESURRECTS the key (ordinary position race — and the bucket rewrite
+    * it triggers folds that bucket's vectors in passing); [[compact]]
+    * folds table-wide (resolving every bucket, dropping masked rows) and
+    * clears the flag; the horizon guard discards stale replayed vectors
+    * exactly as it discards stale upserts. `sorted` CLEARS — an appended
+    * tombstone file breaks the one-sorted-file-per-bucket claim, and a
+    * resolving reader is unordered by construction. Refused on MOR (its
+    * ordinary delete IS an appended tombstone already).
+    *
+    * 100 TB: a k-row delete costs k tombstone rows + one rename per
+    * touched bucket — not the touched buckets' rewrite; readers pay the
+    * resolve window only until the next fold, the exact Delta-DV
+    * trade-off. Returns the touched bucket ids. */
+  def applyBatchDv(
+      spark: SparkSession, changes: DataFrame, targetDir: String, opts: Options): Seq[Int] =
+    withCommitTicketRecorded(spark, targetDir, (r: Seq[Int]) => Some(r))(
+      applyBatchDvInner(spark, changes, targetDir, opts))
+
+  private def applyBatchDvInner(
+      spark: SparkSession, changes: DataFrame, targetDir: String, opts: Options): Seq[Int] = {
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val target = new Path(targetDir)
+    val fs = target.getFileSystem(hconf)
+    openTargetForWrite(fs, target)
+    val meta = TargetMeta.read(hconf, target).getOrElse(
+      throw new IllegalStateException(
+        s"no graft table state at $targetDir — deletion vectors mask EXISTING rows"))
+    if (meta.storage.contains("mor"))
+      throw new IllegalStateException(
+        s"$targetDir is merge-on-read — its ordinary delete already appends a " +
+          "tombstone delta; deletion vectors are the copy-on-write small-delete path")
+    val pkOrder = meta.pkCols.getOrElse(opts.pkCols)
+    if (pkOrder.toSet != opts.pkCols.toSet)
+      throw new IllegalStateException(
+        s"PK drift: target layout is keyed by ${pkOrder.mkString(",")}, " +
+          s"caller configured ${opts.pkCols.mkString(",")}")
+    val (bucketOrder, rangeBounds, numBuckets) = resolveLayout(Some(meta), opts, pkOrder)
+    // delete-only by contract: an upsert has data bytes to write, which is
+    // applyBatch's job — silently accepting one here would mask it forever
+    val nonDeletes = changes.filter(col("op") =!= "delete").limit(1).count()
+    require(nonDeletes == 0L,
+      "deletion vectors apply DELETE-only batches; route upserts through applyBatch")
+    val horizon = meta.horizon
+    val inHorizon = resolveBatch(delogicalizeChanges(changes, Some(meta)), opts)
+    val vectors = (if (horizon == Long.MinValue) inHorizon
+                   else inHorizon.filter(col(POS) > horizon))
+      .withColumn(DEL, col(KIND) === "delete").drop(KIND)
+      .withColumn(BUCKET, bucketExpr(bucketOrder, numBuckets, rangeBounds))
+      // the vector IS (key, position, tombstone) — no data bytes
+      .select((pkOrder.map(col) ++ Seq(col(POS), col(DEL), col(BUCKET))): _*)
+      // a vector for a bucket with no rows masks nothing — and would create
+      // a bucket dir out of a delete, so keep to the buckets that exist
+      .filter(col(BUCKET).isin(bucketIds(fs, target).map(Int.box): _*))
+      .persist()
+    try {
+      val nVec = vectors.count()
+      if (nVec == 0L) return Seq.empty
+      val token = java.util.UUID.randomUUID.toString.replace("-", "").take(12)
+      val tmp = new Path(targetDir + s".delta-$token")
+      if (fs.exists(tmp)) fs.delete(tmp, true)
+      vectors.write.partitionBy(BUCKET).mode("overwrite").parquet(tmp.toString)
+      val touched = scala.collection.mutable.ArrayBuffer.empty[Int]
+      val published = scala.collection.mutable.ArrayBuffer.empty[Path]
+      bucketIds(fs, tmp).foreach { b =>
+        val from = new Path(tmp, s"$BUCKET=$b")
+        val to = new Path(target, s"$BUCKET=$b")
+        fs.listStatus(from).filterNot(_.getPath.getName.startsWith("_")).foreach { f =>
+          val dest = new Path(to, s"dv-$token-${f.getPath.getName}")
+          if (!fs.rename(f.getPath, dest))
+            throw new IOException(s"cannot publish deletion vector ${f.getPath} -> $dest")
+          published += dest
+        }
+        touched += b
+      }
+      fs.delete(tmp, true)
+      FileStats.appendSidecars(fs,
+        published.groupBy(_.getParent).map { case (d, fls) => d -> fls.toSeq })
+      // The `dv` flag lands strictly AFTER the renames — maxPos's stale-LOW
+      // discipline. A reader in the crash window sees tombstone files
+      // without the flag: the COW read's `!_graft_deleted` filter drops the
+      // vectors themselves and serves the masked rows — the consistent
+      // PRE-batch state (the batch is unacknowledged; its replay re-appends
+      // value-identical vectors and completes the flag). The reverse order
+      // would be correct too but would leave a crashed table paying the
+      // resolve window forever on zero vectors. `sorted` clears in the same
+      // write: an appended tombstone file breaks the one-sorted-file claim,
+      // and a resolving read is unordered by construction.
+      TargetMeta.read(hconf, target).foreach(m =>
+        TargetMeta.write(hconf, target, m.copy(
+          dv = Some(m.dv.getOrElse(0L) + nVec), sorted = None)))
+      spark.catalog.refreshByPath(targetDir)
+      touched.toSeq.sorted
+    } finally vectors.unpersist()
   }
 
   /** Position time travel on a merge-on-read target: the state AS OF
@@ -1236,7 +1396,7 @@ object CdcApplier {
       .filter(col(BUCKET).isin(buckets: _*))
       .filter(col(keyCol) >= lo && col(keyCol) <= hi)
     val resolved =
-      if (meta.storage.contains("mor")) resolveOnRead(pruned, pkCols)
+      if (needsResolve(Some(meta))) resolveOnRead(pruned, pkCols)
       else pruned
     logicalize(resolved.filter(!col(DEL)).drop(DEL, BUCKET), Some(meta))
   }
@@ -1375,7 +1535,12 @@ object CdcApplier {
     val resolved = resolveOnRead(raw, pkCols)
     val tmp = new Path(targetDir + ".tmp")
     if (fs.exists(tmp)) fs.delete(tmp, true)
-    resolved.write.partitionBy(BUCKET).mode("overwrite").parquet(tmp.toString)
+    // q276: the compacted image is ONE version per key — write each bucket
+    // sorted (the same one-task-per-bucket bound as every per-bucket path)
+    // so the post-compaction table can report ordering and serve
+    // resolve-free streaming reads until the next delta lands
+    val sortCols = sortColsOf(meta.bucketCols.getOrElse(pkCols), pkCols)
+    writeSorted(resolved, sortCols, buckets.size, tmp.toString)
     // Floor BEFORE the bucket publish: a crash in between leaves intact
     // history with a floor that refuses as-of reads of it — safe-
     // conservative. The reverse order would leave collapsed data with a
@@ -1384,6 +1549,14 @@ object CdcApplier {
     TargetMeta.write(hconf, target, meta.copy(
       collapsed = Some(math.max(maxPos, meta.collapsed.getOrElse(Long.MinValue)))))
     publishBuckets(fs, target, tmp, buckets)
+    // `sorted` lands strictly AFTER the publish: on a MOR layout the flag
+    // asserts BOTH file order and one-version-per-key (the resolve-free
+    // read's licence, q276) — claiming it before every bucket swapped
+    // would let a reader stream a still-multi-version bucket unresolved.
+    // A crash in between leaves a compacted, unclaimed table — only a
+    // Sort + resolve window is lost, never correctness.
+    TargetMeta.read(hconf, target).foreach(m =>
+      TargetMeta.write(hconf, target, m.copy(sorted = Some(sortCols))))
     spark.catalog.refreshByPath(targetDir)
     buckets
   }
@@ -1431,9 +1604,13 @@ object CdcApplier {
     val tmp = new Path(targetDir + ".tmp")
     if (fs.exists(tmp)) fs.delete(tmp, true)
     merged.write.partitionBy(BUCKET).mode("overwrite").parquet(tmp.toString)
-    // floor before publish — same crash-ordering rule as [[compactMor]]
+    // floor before publish — same crash-ordering rule as [[compactMor]].
+    // `sorted` clears (q276): the retained window keeps MULTIPLE versions
+    // per key and this rewrite is unsorted — a stale claim would license a
+    // resolve-free read over multi-version buckets.
     TargetMeta.write(hconf, target, meta.copy(
-      collapsed = Some(math.max(oldMax, meta.collapsed.getOrElse(Long.MinValue)))))
+      collapsed = Some(math.max(oldMax, meta.collapsed.getOrElse(Long.MinValue))),
+      sorted = None))
     publishBuckets(fs, target, tmp, buckets)
     spark.catalog.refreshByPath(targetDir)
     buckets
@@ -1516,12 +1693,13 @@ object CdcApplier {
     }
     val matched = rowGroupPruned
       .join(broadcast(keys), lookupCols, "left_semi")
-    // mor layouts resolve latest-per-key AFTER pruning (all versions of a
-    // key share its bucket and key values, so pruning keeps them together;
-    // the window sorts only the matched rows) — a stale upsert must not
-    // outlive its newer tombstone.
+    // version-bearing layouts (mor deltas, outstanding deletion vectors)
+    // resolve latest-per-key AFTER pruning (all versions of a key share its
+    // bucket and key values, so pruning keeps them together; the window
+    // sorts only the matched rows) — a stale upsert must not outlive its
+    // newer tombstone.
     val resolved =
-      if (meta.storage.contains("mor")) resolveOnRead(matched, pkCols)
+      if (needsResolve(Some(meta))) resolveOnRead(matched, pkCols)
       else matched
     logicalize(resolved.filter(!col(DEL)).drop(DEL, BUCKET), Some(meta))
   }
@@ -1663,7 +1841,14 @@ object CdcApplier {
           spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
       }
 
-      val merged = merge(current, resolvedWide, opts)
+      // q275: outstanding deletion vectors make `current` multi-version
+      // (masked row + its tombstone) — the merge's full-outer join assumes
+      // one row per key, so resolve first; the rewrite FOLDS the touched
+      // buckets' vectors in passing.
+      val currentFolded =
+        if (meta.exists(_.dv.exists(_ > 0))) resolveOnRead(current, pkOrder)
+        else current
+      val merged = merge(currentFolded, resolvedWide, opts)
       // q262: a fresh layout (and any evolution, which rewrites EVERY
       // bucket) publishes its buckets sorted and records that in meta; an
       // existing sorted layout is maintained (every rewrite path here
@@ -1704,6 +1889,19 @@ object CdcApplier {
         TargetMeta.read(hconf, target)
           .filter(m => m.sorted.exists(_ != sortCols)).foreach(m =>
             TargetMeta.write(hconf, target, m.copy(sorted = None)))
+      // q275: the rewritten buckets folded their deletion vectors; when no
+      // OTHER bucket still holds a dv- file, the flag clears and readers
+      // stop paying the resolve window. One bounded listing per untouched
+      // bucket — exact, not the conservative count.
+      if (meta.exists(_.dv.exists(_ > 0))) {
+        val untouched = bucketIds(fs, target).filterNot(rewrite.toSet)
+        val anyVectors = untouched.exists(b =>
+          fs.listStatus(new Path(target, s"$BUCKET=$b"))
+            .exists(_.getPath.getName.startsWith("dv-")))
+        if (!anyVectors)
+          TargetMeta.read(hconf, target).foreach(m =>
+            TargetMeta.write(hconf, target, m.copy(dv = None)))
+      }
       // Invalidate cached file listings/plans over this path (mapped views
       // resolve per query; without this they can see swapped-away files).
       spark.catalog.refreshByPath(targetDir)
@@ -1746,14 +1944,39 @@ object CdcApplier {
     if (bucketIds(fs, target).isEmpty) return Seq.empty
     val all = spark.read.option("mergeSchema", true).parquet(targetDir)
     val compactable = col(DEL) && col(POS) <= horizonPos
-    val touched = all.filter(compactable)
-      .select(BUCKET).distinct().collect().map(_.getInt(0)).sorted.toIndexedSeq
-    if (touched.isEmpty) return Seq.empty
+    // q275: compaction FOLDS outstanding deletion vectors — every bucket
+    // still holding a dv- file resolves latest-per-key (the masked rows
+    // drop, the vectors become ordinary tombstones subject to the horizon)
+    // and rewrites; dropping a vector-tombstone WITHOUT the resolve would
+    // resurrect its masked row, so the fold and the tombstone drop are one
+    // rewrite, never two.
+    val dvOutstanding = metaNow.dv.exists(_ > 0)
+    val dvBuckets =
+      if (!dvOutstanding) Seq.empty
+      else bucketIds(fs, target).filter(b =>
+        fs.listStatus(new Path(target, s"$BUCKET=$b"))
+          .exists(_.getPath.getName.startsWith("dv-")))
+    val tombTouched = all.filter(compactable)
+      .select(BUCKET).distinct().collect().map(_.getInt(0)).toSeq
+    val touched = (tombTouched ++ dvBuckets).distinct.sorted.toIndexedSeq
+    if (touched.isEmpty) {
+      // flagged but nothing on disk (all folded by later rewrites): clear
+      if (dvOutstanding)
+        TargetMeta.read(hconf, target).foreach(m =>
+          TargetMeta.write(hconf, target, m.copy(dv = None)))
+      return Seq.empty
+    }
 
     val tmp = new Path(targetDir + ".compact.tmp")
     if (fs.exists(tmp)) fs.delete(tmp, true)
-    val survivors = all.filter(col(BUCKET).isin(touched.map(Int.box): _*))
-      .filter(!compactable)
+    val selected = all.filter(col(BUCKET).isin(touched.map(Int.box): _*))
+    val resolved =
+      if (dvOutstanding)
+        resolveOnRead(selected, metaNow.pkCols.getOrElse(
+          throw new IllegalStateException(
+            s"dv-bearing layout at $targetDir has no persisted PK")))
+      else selected
+    val survivors = resolved.filter(!compactable)
     // q262: maintain the layout's recorded file order through the rewrite
     metaNow.sorted match {
       case Some(sc) => writeSorted(survivors, sc, touched.size, tmp.toString)
@@ -1761,6 +1984,11 @@ object CdcApplier {
         survivors.write.partitionBy(BUCKET).mode("overwrite").parquet(tmp.toString)
     }
     publishBuckets(fs, target, tmp, touched)
+    // every dv-bearing bucket was rewritten — the flag clears (fresh read:
+    // publishBuckets ran under this op's ticket)
+    if (dvOutstanding)
+      TargetMeta.read(hconf, target).foreach(m =>
+        TargetMeta.write(hconf, target, m.copy(dv = None)))
     spark.catalog.refreshByPath(targetDir)
     touched
   }
@@ -1942,26 +2170,24 @@ object CdcApplier {
               " — the staged rewrite is stale; re-run optimize")
       }
       if (touched.nonEmpty) {
-        // The staging tree must still hold EVERY planned bucket before the
-        // publish: optimize is state-preserving, so a missing fresh dir can
-        // only mean the tree was stolen (a second optimize's startup
-        // reclaim raced this one) — publishing anyway would let
-        // publishBuckets read the absence as "bucket has no surviving
-        // rows" and DELETE the live buckets: silent data loss. Refuse
-        // loudly instead; the re-run stages fresh.
-        val missing = touched.filterNot(b =>
-          fs.exists(new Path(tmp, s"$BUCKET=$b")))
-        if (missing.nonEmpty)
-          throw new GraftConcurrentWriteException(
-            s"optimize of $targetDir lost its staged tree for bucket(s) " +
-              s"${missing.mkString(",")} — a concurrent optimize reclaimed " +
-              "the staging; re-run (only one optimize per table at a time)")
-        publishBuckets(fs, target, tmp, touched)
+        // State-preserving publish: a fresh dir missing for ANY planned
+        // bucket means the staging tree was stolen (a second optimize's
+        // startup reclaim raced this one). The refusal is enforced INSIDE
+        // publishBuckets, atomic with each swap (requireAll) — a separate
+        // pre-check here would leave a TOCTOU window in which the reclaim
+        // lands between the check and the swaps and the publish silently
+        // deletes live buckets.
+        publishBuckets(fs, target, tmp, touched, requireAll = true)
         // the clustered rewrite re-establishes (or changes) the recorded
-        // file order — persist it from a FRESH meta read under the ticket
+        // file order — persist it from a FRESH meta read under the ticket.
+        // On MOR the flag must NOT be set (q276): there `sorted` asserts
+        // one-version-per-key too (the resolve-free read's licence), and a
+        // clustered rewrite carries the multi-version chain verbatim — it
+        // clears any existing claim instead.
         clusterPhysOpt.foreach { cp =>
           TargetMeta.read(hconf, target).foreach(m =>
-            TargetMeta.write(hconf, target, m.copy(sorted = Some(cp))))
+            TargetMeta.write(hconf, target, m.copy(
+              sorted = if (m.storage.contains("mor")) None else Some(cp))))
         }
       }
     } catch {
@@ -1999,8 +2225,10 @@ object CdcApplier {
     withCommitTicketRecorded(spark, targetDir, (r: Seq[Int]) => Some(r)) {
       require(cols.size >= 2 && cols.size <= 3,
         s"zorder interleaves 2-3 columns, got ${cols.size}")
-      require(bounds.size == cols.size && bounds.forall(_.size == 15),
-        "zorder needs 15 sorted split bounds per column (a 4-bit cell id)")
+      require(bounds.size == cols.size &&
+        bounds.forall(b => b.nonEmpty && b.size <= 15),
+        "zorder needs 1-15 sorted split bounds per column (up to a 4-bit " +
+          "cell id; fewer bounds = coarser cells, e.g. a low-NDV column)")
       bounds.foreach(b => require(b == b.sorted && b.distinct == b,
         "zorder bounds must be sorted and distinct"))
       require(targetFileBytes > 0, "targetFileBytes must be positive")
@@ -2051,7 +2279,8 @@ object CdcApplier {
           .sortWithinPartitions(orderCols: _*)
           .drop("_graft_z")
           .write.partitionBy(BUCKET).mode("overwrite").parquet(tmp.toString)
-        publishBuckets(fs, target, tmp, buckets)
+        // state-preserving: a missing staged bucket is theft, never "empty"
+        publishBuckets(fs, target, tmp, buckets, requireAll = true)
         // a Morton layout is not a lexicographic column order — never
         // report one (fresh read: publishBuckets ran under our ticket)
         TargetMeta.read(hconf, target).filter(_.sorted.nonEmpty).foreach(m =>
@@ -2060,6 +2289,31 @@ object CdcApplier {
         buckets
       }
     }
+
+  /** [[zorder]] with SELF-DERIVED split bounds (q279 — the SQL-operable
+    * form behind `CALL system.zorder`): the 15 split points per column come
+    * from the table's OWN exact quantiles at 1/16..15/16 ([[graft.operators
+    * .Advanced.exactQuantiles]] — the q34 distributed engine: exact ranks,
+    * no sampling nondeterminism, so the derived bounds are REPRODUCIBLE
+    * run-to-run over the same data; duplicates from a skewed/low-NDV column
+    * collapse to fewer, coarser cells). One bounded quantile pass over the
+    * live snapshot, then the ordinary fenced rewrite. Returns (bounds,
+    * touched buckets) so callers can pin reproducibility. */
+  def zorderAuto(spark: SparkSession, targetDir: String, cols: Seq[String],
+      targetFileBytes: Long = 128L << 20): (Seq[Seq[Long]], Seq[Int]) = {
+    require(cols.size >= 2 && cols.size <= 3,
+      s"zorder interleaves 2-3 columns, got ${cols.size}")
+    val snap = snapshot(spark, targetDir).withColumn("_graft_all", lit(1))
+    val specs = (1 to 15).map(i => (s"q$i", i / 16.0))
+    val bounds = cols.map { c =>
+      val rows = graft.operators.Advanced
+        .exactQuantiles(snap, "_graft_all", c, specs).collect()
+      require(rows.nonEmpty, s"zorder bounds need non-null values in '$c'")
+      (1 to 15).map(i => math.floor(rows(0).getAs[Double](s"q$i")).toLong)
+        .distinct.sorted
+    }
+    (bounds, zorder(spark, targetDir, cols, bounds, targetFileBytes))
+  }
 
   /** Resumable column backfill — the UPDATE-analog of additive schema
     * evolution (S4 adds the column as NULL on stored rows; this populates
@@ -2180,9 +2434,20 @@ object CdcApplier {
     * interrupted earlier swap, then swap each bucket's fresh dir into place
     * (deleting the live dir when the bucket came out empty), then drop the
     * staging dir. Used by the primary sink and the coerced replica so the
-    * crash-safety protocol cannot drift between them. */
+    * crash-safety protocol cannot drift between them.
+    *
+    * `requireAll` (the STATE-PRESERVING publishers: optimize/zorder, whose
+    * staged trees rebuild populated buckets verbatim): a missing fresh
+    * bucket can only mean the staging tree was stolen out from under this
+    * publisher (a concurrent optimize's startup reclaim) — treating the
+    * absence as "no surviving rows" would DELETE the live bucket, silent
+    * data loss. The check lives INSIDE the publish loop, atomic with each
+    * swap (closing the round-13 TOCTOU between a separate pre-check and the
+    * swaps): it throws the typed conflict, leaving every not-yet-swapped
+    * bucket untouched; replay convergence makes the re-run safe. */
   private[cdc] def publishBuckets(
-      fs: FileSystem, root: Path, tmp: Path, buckets: Seq[Int]): Unit = {
+      fs: FileSystem, root: Path, tmp: Path, buckets: Seq[Int],
+      requireAll: Boolean = false): Unit = {
     fs.mkdirs(root)
     recoverBuckets(fs, root)
     // file-level data-skipping statistics (q250): collected on the staging
@@ -2197,6 +2462,11 @@ object CdcApplier {
       val fresh = new Path(tmp, s"$BUCKET=$b")
       val live = new Path(root, s"$BUCKET=$b")
       if (fs.exists(fresh)) swapDir(fs, live, fresh)
+      else if (requireAll)
+        throw new GraftConcurrentWriteException(
+          s"state-preserving publish into $root lost its staged tree for " +
+            s"bucket $b — a concurrent optimize reclaimed the staging; " +
+            "re-run (only one optimize per table at a time)")
       else fs.delete(live, true) // bucket has no surviving rows
     }
     fs.delete(tmp, true)

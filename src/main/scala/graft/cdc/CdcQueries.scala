@@ -2833,6 +2833,632 @@ object CdcQueries {
         .orderBy($"o_orderkey")
     }),
 
+    // INDEX ROUTING ON THE CATALOG/DSV2 SURFACE (q273; the q266 rewrite
+    // carried to the plan leg SQL users actually query through): q266's
+    // rule matched only the V1 LogicalRelation shape the Scala snapshot
+    // produces — a SQL user querying `cat.ns.t` (the DataSourceV2Relation
+    // leg, q216/q231, the EP3 surface the reference's Astro delegation maps
+    // to) still got a full scan on an indexed-column point predicate. The
+    // rule now matches the V2 scan relation too, firing exactly when the
+    // chosen scan is the plain full-coverage Batch leg (as-of/change-feed/
+    // limit/aggregate projections are excluded by construction). In-gate:
+    // the rewrite FIRES on catalog SQL (counter + the GraftBatchScan node
+    // GONE from the routed plan), answers IDENTICALLY with the route
+    // unregistered (row-set equality + the full scan back in the plan),
+    // and DECLINES on a range predicate (hash index) and on a non-indexed
+    // column through the same SQL surface. Oracle: q123's lifecycle
+    // replay. 100 TB: the catalog user's point query reads ≤k index
+    // buckets + matching store buckets, with zero knowledge the index
+    // exists.
+    "q273_index_route_sql" -> ((s, dir) => {
+      import s.implicits._
+      val o = Tables.load(s, dir, "orders")
+      val whRoot = graftCatRoot(s)
+      s.sql("DROP TABLE IF EXISTS q245cat.prod.orders_route")
+      s.sql(s"""CREATE TABLE q245cat.prod.orders_route (${o.schema.toDDL})
+                OPTIONS (pk 'o_orderkey', buckets '16')""")
+      val store = s"$whRoot/prod/orders_route"
+      val index = Files.createTempDirectory("graft_cdc").toString + "/orders_route_idx"
+      val sopts = CdcApplier.Options(Seq("o_orderkey"))
+      val iopts = CdcApplier.Options(Seq("o_custkey", "o_orderkey"),
+        bucketCols = Some(Seq("o_custkey")))
+      def indexFeed(changes: DataFrame): DataFrame =
+        changes.select(col("op"), col("next_position"),
+          when(col("before").isNotNull, struct(
+            col("before.o_custkey").as("o_custkey"),
+            col("before.o_orderkey").as("o_orderkey"))).as("before"),
+          when(col("after").isNotNull, struct(
+            col("after.o_custkey").as("o_custkey"),
+            col("after.o_orderkey").as("o_orderkey"))).as("after"))
+      val b1 = ChangeFeed.inserts(o, $"o_orderkey" * 10)
+      val b2 = ChangeFeed.updates(o.filter($"o_orderkey" % 6 === 2),
+          Map("o_custkey" -> ($"o_custkey" + 1)), $"o_orderkey" * 10 + 3)
+        .union(ChangeFeed.deletes(o.filter($"o_orderkey" % 9 === 1), $"o_orderkey" * 10 + 5))
+      Seq(b1, b2).foreach { b =>
+        CdcApplier.applyBatch(s, b, store, sopts)
+        CdcApplier.applyBatch(s, indexFeed(b), index, iopts)
+      }
+      import graft.plans.GraftIndexRoute
+      GraftIndexRoute.install(s)
+      GraftIndexRoute.register(store, "o_custkey", index)
+      try {
+        def query() = s.sql(
+          """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+                    o_orderdate, o_orderpriority
+             FROM q245cat.prod.orders_route
+             WHERE o_custkey IN (3, 7, 11, 19, 42)""")
+        val f0 = GraftIndexRoute.fired
+        val routedDf = query()
+        val routed = routedDf.collect()
+        require(GraftIndexRoute.fired > f0,
+          "the rewrite must fire on the catalog SQL point predicate")
+        require(!routedDf.queryExecution.executedPlan.toString.contains("GraftBatchScan"),
+          "the routed plan must replace the full V2 scan with the lookup chain")
+        GraftIndexRoute.unregister(store, "o_custkey")
+        val plainDf = query()
+        val plain = plainDf.collect()
+        require(plainDf.queryExecution.executedPlan.toString.contains("GraftBatchScan"),
+          "without the route the catalog read keeps its full-coverage V2 scan")
+        require(routed.map(_.toString).sorted.toSeq ==
+          plain.map(_.toString).sorted.toSeq,
+          "routed and unrouted catalog answers must be identical")
+        GraftIndexRoute.register(store, "o_custkey", index)
+        val d0 = GraftIndexRoute.declined
+        s.sql("""SELECT o_orderkey FROM q245cat.prod.orders_route
+                 WHERE o_custkey >= 3 AND o_custkey <= 11""")
+          .queryExecution.optimizedPlan
+        require(GraftIndexRoute.declined > d0,
+          "a range over the hash-bucketed index must decline on the SQL leg")
+        val d1 = GraftIndexRoute.declined
+        s.sql("""SELECT o_orderkey FROM q245cat.prod.orders_route
+                 WHERE o_orderstatus = 'F'""")
+          .queryExecution.optimizedPlan
+        require(GraftIndexRoute.declined > d1,
+          "a non-indexed column must decline on the SQL leg")
+        query()
+          .withColumn("sql_fired", lit(true))
+          .withColumn("sql_range_declined", lit(true))
+          .withColumn("sql_same_without_rule", lit(true))
+          .orderBy($"o_orderkey")
+      } finally GraftIndexRoute.unregister(store, "o_custkey")
+    }),
+
+    // RANGE ROUTING OVER A RANGE-BUCKETED INDEX (q274; the BETWEEN form of
+    // q266 — HBase's rowkey-range scan, chosen by the optimizer): the rule
+    // declined every non-point predicate by design, but rangeLookup +
+    // range-bucketed layouts already exist (q134): a BETWEEN on an indexed
+    // column whose index is RANGE-bucketed is exactly a covering-bucket
+    // prefix scan → PK fetch. The rule now routes literal one-/two-sided
+    // ranges when (and only when) the index layout is range-bucketed on the
+    // routed column, with a bounded planning-time count enforcing the
+    // maxKeys cap. In-gate: the BETWEEN fires on the range index (counter),
+    // answers identically with the route unregistered, and the SAME
+    // predicate DECLINES when the registered index is hash-bucketed (the
+    // layout cannot serve a contiguous scan). Oracle: the lifecycle replay
+    // filtered to the range. 100 TB: a time/fk-range query reads the
+    // covering index buckets + matched store buckets, never either table.
+    "q274_range_route" -> ((s, dir) => {
+      import s.implicits._
+      val o = Tables.load(s, dir, "orders")
+      val base = Files.createTempDirectory("graft_cdc").toString
+      val store = base + "/orders_rr"
+      val rangeIdx = base + "/orders_rr_ridx"
+      val hashIdx = base + "/orders_rr_hidx"
+      val sopts = CdcApplier.Options(Seq("o_orderkey"))
+      // index bucketed by RANGE on the indexed value — 4 covering buckets
+      val ropts = CdcApplier.Options(Seq("o_custkey", "o_orderkey"),
+        bucketCols = Some(Seq("o_custkey")), rangeBounds = Some(Seq(25L, 50L, 100L)))
+      val hopts = CdcApplier.Options(Seq("o_custkey", "o_orderkey"),
+        bucketCols = Some(Seq("o_custkey")))
+      def indexFeed(changes: DataFrame): DataFrame =
+        changes.select(col("op"), col("next_position"),
+          when(col("before").isNotNull, struct(
+            col("before.o_custkey").as("o_custkey"),
+            col("before.o_orderkey").as("o_orderkey"))).as("before"),
+          when(col("after").isNotNull, struct(
+            col("after.o_custkey").as("o_custkey"),
+            col("after.o_orderkey").as("o_orderkey"))).as("after"))
+      val b1 = ChangeFeed.inserts(o, $"o_orderkey" * 10)
+      val b2 = ChangeFeed.updates(o.filter($"o_orderkey" % 6 === 2),
+          Map("o_custkey" -> ($"o_custkey" + 1)), $"o_orderkey" * 10 + 3)
+        .union(ChangeFeed.deletes(o.filter($"o_orderkey" % 9 === 1), $"o_orderkey" * 10 + 5))
+      Seq(b1, b2).foreach { b =>
+        CdcApplier.applyBatch(s, b, store, sopts)
+        CdcApplier.applyBatch(s, indexFeed(b), rangeIdx, ropts)
+        CdcApplier.applyBatch(s, indexFeed(b), hashIdx, hopts)
+      }
+      import graft.plans.GraftIndexRoute
+      GraftIndexRoute.install(s)
+      def query() = CdcApplier.snapshot(s, store)
+        .filter($"o_custkey" >= 10L && $"o_custkey" <= 30L)
+        .select(o.columns.map(col).toIndexedSeq: _*)
+      // leg 1: the hash index cannot serve a contiguous range — decline
+      GraftIndexRoute.register(store, "o_custkey", hashIdx)
+      try {
+        val d0 = GraftIndexRoute.declined
+        val f0 = GraftIndexRoute.fired
+        query().queryExecution.optimizedPlan
+        require(GraftIndexRoute.declined > d0 && GraftIndexRoute.fired == f0,
+          "a range over a HASH-bucketed index must decline")
+      } finally GraftIndexRoute.unregister(store, "o_custkey")
+      // leg 2: the range-bucketed index routes the same predicate
+      GraftIndexRoute.register(store, "o_custkey", rangeIdx)
+      try {
+        val f1 = GraftIndexRoute.fired
+        val routed = query().collect()
+        require(GraftIndexRoute.fired > f1,
+          "the BETWEEN must route over the range-bucketed index")
+        GraftIndexRoute.unregister(store, "o_custkey")
+        val plain = query().collect()
+        require(routed.map(_.toString).sorted.toSeq ==
+          plain.map(_.toString).sorted.toSeq,
+          "routed and unrouted range answers must be identical")
+        GraftIndexRoute.register(store, "o_custkey", rangeIdx)
+        query()
+          .withColumn("range_fired", lit(true))
+          .withColumn("hash_declined", lit(true))
+          .orderBy($"o_orderkey")
+      } finally GraftIndexRoute.unregister(store, "o_custkey")
+    }),
+
+    // DELETION VECTORS FOR COPY-ON-WRITE (q275; public design points:
+    // Delta deletion vectors / Iceberg equality-delete files): a 1-row
+    // DELETE on a COW bucket used to rewrite the whole bucket; the only
+    // alternative was switching the table to MOR. applyBatchDv closes the
+    // middle: per-bucket key-tombstone files APPEND (the MOR rename
+    // primitive), `.graft_meta` flags the outstanding count, and every
+    // reader resolves latest-per-key until a rewrite folds the vectors.
+    // In-gate requires: (a) the DV delete rewrites NOTHING — every
+    // pre-existing data file survives by name, only dv- files appear;
+    // (b) point lookups mask deleted keys immediately; (c) a later upsert
+    // at a higher position RESURRECTS its key (ordinary position race) and
+    // folds its buckets in passing; (d) compact folds table-wide — flag
+    // cleared, zero dv- files left, answers unchanged; (e) a stale
+    // replayed vector below the advanced horizon DISCARDS (no
+    // resurrection, the applyBatch horizon contract). Oracle: the final
+    // lifecycle state replayed declaratively. 100 TB: a k-row delete
+    // costs k tombstone rows + a rename per touched bucket, not the
+    // buckets' rewrite.
+    "q275_deletion_vectors" -> ((s, dir) => {
+      import s.implicits._
+      val o = Tables.load(s, dir, "orders")
+      val target = Files.createTempDirectory("graft_cdc").toString + "/orders_dv"
+      val opts = CdcApplier.Options(Seq("o_orderkey"), numBuckets = 8)
+      CdcApplier.applyBatch(s, ChangeFeed.inserts(o, $"o_orderkey" * 10), target, opts)
+      val hconf = s.sparkContext.hadoopConfiguration
+      val tpath = new org.apache.hadoop.fs.Path(target)
+      val fs = tpath.getFileSystem(hconf)
+      def bucketFiles(): Map[Int, Set[String]] =
+        CdcApplier.bucketIds(fs, tpath).map { b =>
+          b -> fs.listStatus(new org.apache.hadoop.fs.Path(target, s"graft_bucket=$b"))
+            .filter(f => f.isFile && !f.getPath.getName.startsWith("_") &&
+              !f.getPath.getName.startsWith(".")).map(_.getPath.getName).toSet
+        }.toMap
+      def metaNow = CdcApplier.TargetMeta.read(hconf, tpath).get
+      val before = bucketFiles()
+      val delKeys = o.filter($"o_orderkey" % 10 === 3)
+      val nDel = delKeys.count()
+      CdcApplier.applyBatchDv(s,
+        ChangeFeed.deletes(delKeys, $"o_orderkey" * 10 + 5), target, opts)
+      val after = bucketFiles()
+      require(before.forall { case (b, fl) => fl.subsetOf(after(b)) },
+        "a DV delete must not rewrite any pre-existing data file")
+      require(after.exists { case (b, fl) =>
+        (fl -- before.getOrElse(b, Set.empty)).exists(_.startsWith("dv-")) },
+        "the delete must land as appended dv- tombstone files")
+      require(metaNow.dv.contains(nDel),
+        s"meta must flag the outstanding vector count, got ${metaNow.dv}")
+      // reads mask immediately: 13 is deleted (and never resurrected), 14 lives
+      val masked = CdcApplier.pointLookup(s, target,
+        Seq(13L).toDF("o_orderkey")).count()
+      require(masked == 0L, "a point lookup must mask a dv-deleted key")
+      val live = CdcApplier.pointLookup(s, target,
+        Seq(14L).toDF("o_orderkey")).count()
+      require(live == 1L, "a live key still answers")
+      // a later upsert resurrects its key (position race) + folds its buckets
+      CdcApplier.applyBatch(s, ChangeFeed.updates(o.filter($"o_orderkey" % 20 === 3),
+        Map("o_totalprice" -> ($"o_totalprice" * 2.0)), $"o_orderkey" * 10 + 8),
+        target, opts)
+      val back = CdcApplier.pointLookup(s, target, Seq(23L).toDF("o_orderkey")).count()
+      require(back == 1L, "an upsert above the vector's position resurrects the key")
+      // compact folds: flag cleared, zero dv- files, horizon advanced
+      CdcApplier.compact(s, target, Long.MaxValue / 2)
+      require(metaNow.dv.isEmpty, "compact must clear the dv flag")
+      require(bucketFiles().values.forall(_.forall(!_.startsWith("dv-"))),
+        "compact must fold every dv- file away")
+      // a stale replayed vector below the horizon discards — no resurrection
+      // guard needed beyond the one every apply already enforces
+      val replayed = CdcApplier.applyBatchDv(s,
+        ChangeFeed.deletes(delKeys, $"o_orderkey" * 10 + 5), target, opts)
+      require(replayed.isEmpty, "a stale vector below the horizon must discard")
+      require(CdcApplier.pointLookup(s, target, Seq(23L).toDF("o_orderkey"))
+        .count() == 1L, "the resurrected key survives the stale replay")
+      CdcApplier.snapshot(s, target)
+        .select($"o_orderkey", $"o_totalprice".as("px"))
+        .withColumn("appended_only", lit(true))
+        .withColumn("folded", lit(true))
+        .withColumn("stale_discarded", lit(true))
+        .orderBy($"o_orderkey")
+    }),
+
+    // SORTED MOR COMPACTION (q276; the q262 sorted-SPJ story finished on
+    // merge-on-read): the scan hard-refused to report order on MOR because
+    // live delta chains are unordered — correct, but compactMor collapses
+    // every bucket to ONE resolved, now-SORTED file, so until the next
+    // delta lands the table is exactly as joinable as sorted COW. compactMor
+    // now writes sorted and records it; every delta append / vacuum /
+    // fast-forward CLEARS the claim before new versions become visible; and
+    // the V2 scan additionally drops the resolve on a proven-compacted
+    // table (one version per key — the tombstone-filter reader streams in
+    // file order). In-gate: q262's join shape on a MOR fact POST-compaction
+    // plans with NO Exchange and NO Sort; a fresh delta flips the plan back
+    // to a re-sorting (and resolving) read — both directions asserted, plus
+    // the meta flag's set/clear transitions. Oracle: the full lifecycle
+    // join replay. 100 TB: the compaction the deployment already runs now
+    // also buys every downstream co-bucketed join its Sort back.
+    "q276_sorted_mor_compact" -> ((s, dir) => {
+      import s.implicits._
+      val o = Tables.load(s, dir, "orders")
+      val c = Tables.load(s, dir, "customer")
+      val whRoot = graftCatRoot(s)
+      Seq("orders_smc", "cust_smc").foreach(t =>
+        s.sql(s"DROP TABLE IF EXISTS q245cat.prod.$t"))
+      s.sql(s"""CREATE TABLE q245cat.prod.orders_smc (${o.schema.toDDL})
+                OPTIONS (pk 'o_custkey,o_orderkey', bucketCols 'o_custkey',
+                         buckets '8', storage 'mor')""")
+      s.sql(s"""CREATE TABLE q245cat.prod.cust_smc (${c.schema.toDDL})
+                OPTIONS (pk 'c_custkey', buckets '8')""")
+      val fact = s"$whRoot/prod/orders_smc"
+      val dim = s"$whRoot/prod/cust_smc"
+      val oOpts = CdcApplier.Options(Seq("o_custkey", "o_orderkey"),
+        bucketCols = Some(Seq("o_custkey")), numBuckets = 8)
+      val cOpts = CdcApplier.Options(Seq("c_custkey"), numBuckets = 8)
+      CdcApplier.applyBatchMor(s, ChangeFeed.inserts(o, $"o_orderkey" * 10), fact, oOpts)
+      CdcApplier.applyBatchMor(s, ChangeFeed.updates(o.filter($"o_orderkey" % 7 === 0),
+        Map("o_totalprice" -> ($"o_totalprice" * 1.2)), $"o_orderkey" * 10 + 5),
+        fact, oOpts)
+      CdcApplier.applyBatchMor(s, ChangeFeed.deletes(o.filter($"o_orderkey" % 13 === 0),
+        $"o_orderkey" * 10 + 7), fact, oOpts)
+      CdcApplier.applyBatch(s, ChangeFeed.inserts(c, $"c_custkey" * 10), dim, cOpts)
+      CdcApplier.applyBatch(s, ChangeFeed.deletes(c.filter($"c_custkey" % 10 === 0),
+        $"c_custkey" * 10 + 5), dim, cOpts)
+      val hconf = s.sparkContext.hadoopConfiguration
+      def factMeta = CdcApplier.TargetMeta.read(hconf,
+        new org.apache.hadoop.fs.Path(fact)).get
+      require(factMeta.sorted.isEmpty, "a live mor delta chain claims no order")
+      CdcApplier.compactMor(s, fact)
+      require(factMeta.sorted.contains(Seq("o_custkey", "o_orderkey")),
+        s"compactMor must record the bucket-key sort, got ${factMeta.sorted}")
+      val confs = Seq(
+        "spark.sql.sources.v2.bucketing.enabled" -> "true",
+        "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+      val saved = confs.map { case (k, _) => k -> s.conf.getOption(k) }
+      confs.foreach { case (k, v) => s.conf.set(k, v) }
+      try {
+        def joined() = s.sql(
+          s"""SELECT o.o_orderkey, o.o_custkey, c.c_name, o.o_totalprice AS px
+              FROM q245cat.prod.orders_smc o
+              JOIN q245cat.prod.cust_smc c ON o.o_custkey = c.c_custkey""")
+        val spj = joined()
+        spj.queryExecution.toRdd.count()
+        val plan = spj.queryExecution.executedPlan.toString
+        require(!plan.contains("Exchange"),
+          s"the compacted-mor co-bucketed join must not shuffle:\n$plan")
+        require(!plan.contains("Sort ["),
+          s"a COMPACTED mor fact reports its order — no re-sort:\n$plan")
+        require(plan.contains("GraftBatchScan"),
+          s"expected both sides on the key-grouped Batch leg:\n$plan")
+        // the fresh delta clears the claim and flips the plan back
+        val repriced = o.withColumn("o_totalprice",
+          when($"o_orderkey" % 7 === 0, $"o_totalprice" * 1.2)
+            .otherwise($"o_totalprice"))
+        CdcApplier.applyBatchMor(s,
+          ChangeFeed.updates(
+            repriced.filter($"o_orderkey" % 5 === 0 && $"o_orderkey" % 13 =!= 0),
+            Map("o_totalprice" -> ($"o_totalprice" * 1.1)), $"o_orderkey" * 10 + 9),
+          fact, oOpts)
+        require(factMeta.sorted.isEmpty,
+          "a fresh delta must clear the compacted-order claim")
+        val mor = joined()
+        mor.queryExecution.toRdd.count()
+        val morPlan = mor.queryExecution.executedPlan.toString
+        require(!morPlan.contains("Exchange"),
+          s"the delta'd fact still aligns by bucket — no shuffle:\n$morPlan")
+        require(morPlan.contains("Sort ["),
+          s"a live delta chain is unordered again and must re-sort:\n$morPlan")
+        joined()
+          .withColumn("compacted_zero_sort", lit(true))
+          .withColumn("delta_resorts", lit(true))
+          .orderBy($"o_orderkey")
+      } finally saved.foreach { case (k, v) =>
+        v.fold(s.conf.unset(k))(s.conf.set(k, _))
+      }
+    }),
+
+    // BRANCH READS ON THE SQL SURFACE + WAP CAPSTONE (q277; Iceberg's
+    // branch-read spelling over q264's branches): Branch.snapshot/
+    // pointLookup were API-only — a release engineer wants the audit read
+    // as plain SQL. `VERSION AS OF '<branch>'` (and the `branch` read
+    // option) now serves the BRANCH LINEAGE — main as of the branch point
+    // overlaid with the staged deltas, resolved latest-per-key — through
+    // the connector, bucket-pruned on both sides. The gate runs the WAP
+    // release end-to-end THROUGH SQL: CALL branch → stage two release
+    // batches → audit via VERSION AS OF (counts + exact row set) while a
+    // CONCURRENT reader (à la q115) hammers main and must observe zero
+    // deviation from the pre-release state → CALL fast_forward → main
+    // serves the audited lineage bit-for-bit (the collected audit rows ARE
+    // the published rows) and the branch read refuses (the name is gone).
+    // Oracle: the published lineage replayed declaratively. 100 TB: the
+    // audit read costs the touched buckets, the publish costs renames.
+    "q277_branch_sql_wap" -> ((s, dir) => {
+      import s.implicits._
+      val o = Tables.load(s, dir, "orders")
+      val whRoot = graftCatRoot(s)
+      s.sql("DROP TABLE IF EXISTS q245cat.prod.orders_wapsql")
+      s.sql(s"""CREATE TABLE q245cat.prod.orders_wapsql (${o.schema.toDDL})
+                OPTIONS (pk 'o_orderkey', buckets '16', storage 'mor')""")
+      val target = s"$whRoot/prod/orders_wapsql"
+      val opts = CdcApplier.Options(Seq("o_orderkey"))
+      CdcApplier.applyBatchMor(s, ChangeFeed.inserts(o, lit(100L)), target, opts)
+      s.sql("CALL q245cat.system.branch(table => 'prod.orders_wapsql', name => 'audit')")
+      val baseCount = o.count()
+      @volatile var deviations = 0
+      @volatile var reads = 0
+      @volatile var stop = false
+      val reader = new Thread(() => {
+        while (!stop) {
+          try {
+            val n = s.sql("SELECT count(*) FROM q245cat.prod.orders_wapsql")
+              .first.getLong(0)
+            reads += 1
+            if (n != baseCount) deviations += 1
+          } catch { case _: Throwable => deviations += 1 }
+          Thread.sleep(20)
+        }
+      }, "q277-main-reader")
+      reader.setDaemon(true)
+      reader.start()
+      val audRows =
+        try {
+          Branch.applyBatch(s, target, "audit",
+            ChangeFeed.updates(o.filter($"o_orderkey" % 3 === 0),
+              Map("o_totalprice" -> ($"o_totalprice" * 1.25)), lit(200L)))
+          val repriced = o.withColumn("o_totalprice",
+            when($"o_orderkey" % 3 === 0, $"o_totalprice" * 1.25)
+              .otherwise($"o_totalprice"))
+          Branch.applyBatch(s, target, "audit",
+            ChangeFeed.deletes(repriced.filter($"o_orderkey" % 11 === 0), lit(300L)))
+          // the AUDIT: branch lineage through plain SQL
+          val audited = s.sql(
+            """SELECT o_orderkey, o_totalprice AS px
+               FROM q245cat.prod.orders_wapsql VERSION AS OF 'audit'""")
+            .collect().map(r => (r.getLong(0), r.getDouble(1))).toSet
+          require(audited.size ==
+            o.filter($"o_orderkey" % 11 =!= 0).count().toInt,
+            "the audit read must serve the staged lineage's row count")
+          audited
+        } finally { stop = true; reader.join(30000) }
+      require(reads > 0 && deviations == 0,
+        s"main readers must be pinned unchanged mid-stage ($reads reads, " +
+          s"$deviations deviations)")
+      s.sql("CALL q245cat.system.fast_forward(table => 'prod.orders_wapsql', " +
+        "name => 'audit')")
+      val branchGone = scala.util.Try(s.sql(
+        """SELECT count(*) FROM q245cat.prod.orders_wapsql
+           VERSION AS OF 'audit'""").collect()).isFailure
+      require(branchGone, "the branch read must refuse once fast-forwarded away")
+      val published = s.sql(
+        """SELECT o_orderkey, o_totalprice AS px
+           FROM q245cat.prod.orders_wapsql""")
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSet
+      require(published == audRows,
+        "what main publishes must be BIT-FOR-BIT what the audit read approved")
+      s.sql("""SELECT o_orderkey, o_totalprice AS px
+               FROM q245cat.prod.orders_wapsql""")
+        .withColumn("pinned_mid_stage", lit(deviations == 0))
+        .withColumn("branch_read_gone", lit(branchGone))
+        .orderBy($"o_orderkey")
+    }),
+
+    // COLUMN-LEVEL CBO STATISTICS (q278; public design point: ANALYZE TABLE
+    // ... COMPUTE STATISTICS FOR COLUMNS feeding Spark's cost-based
+    // optimizer): the connector reported BYTES (q236 flips broadcasts) but
+    // Spark's CBO can consume per-leaf row counts and per-column NDV/min/
+    // max — the numbers join REORDER and join-cardinality estimation run
+    // on. `CALL system.analyze` computes them in one distributed pass and
+    // the scans serve them via SupportsReportStatistics.columnStats. The
+    // gate drives both CBO decisions through the SAME queries before and
+    // after the analyze (the only delta IS the statistics):
+    // (a) BROADCAST: a mor dim with 8x superseded history + half its keys
+    //     deleted — raw file bytes blow the threshold (no broadcast);
+    //     analyzed live-rows x width sizes it truthfully (broadcast fires);
+    // (b) REORDER: a 3-table join written worst-first ((big JOIN big) JOIN
+    //     tiny) — without leaf row counts CostBasedJoinReorder bails and
+    //     the written order stands; with them the tiny dim joins FIRST;
+    // (c) the leaf's optimizer stats carry the exact live row count + NDV;
+    // (d) answers identical in all four plan shapes. Oracle: the join
+    // replay. 100 TB: the difference between a shuffle of a fact-sized
+    // intermediate and a broadcast hash join, chosen from real numbers.
+    "q278_cbo_stats" -> ((s, dir) => {
+      import s.implicits._
+      val o = Tables.load(s, dir, "orders")
+      val c = Tables.load(s, dir, "customer")
+      val whRoot = graftCatRoot(s)
+      Seq("orders_cbo", "orders_cbo2", "cust_cbo", "cust_cbo_tiny").foreach(t =>
+        s.sql(s"DROP TABLE IF EXISTS q245cat.prod.$t"))
+      s.sql(s"""CREATE TABLE q245cat.prod.orders_cbo (${o.schema.toDDL})
+                OPTIONS (pk 'o_orderkey', buckets '8')""")
+      s.sql(s"""CREATE TABLE q245cat.prod.orders_cbo2 (${o.schema.toDDL})
+                OPTIONS (pk 'o_orderkey', buckets '8')""")
+      s.sql(s"""CREATE TABLE q245cat.prod.cust_cbo (${c.schema.toDDL})
+                OPTIONS (pk 'c_custkey', buckets '8', storage 'mor')""")
+      s.sql(s"""CREATE TABLE q245cat.prod.cust_cbo_tiny (${c.schema.toDDL})
+                OPTIONS (pk 'c_custkey', buckets '8')""")
+      val oOpts = CdcApplier.Options(Seq("o_orderkey"), numBuckets = 8)
+      val cOpts = CdcApplier.Options(Seq("c_custkey"), numBuckets = 8)
+      CdcApplier.applyBatch(s, ChangeFeed.inserts(o, $"o_orderkey" * 10),
+        s"$whRoot/prod/orders_cbo", oOpts)
+      CdcApplier.applyBatch(s, ChangeFeed.inserts(o, $"o_orderkey" * 10),
+        s"$whRoot/prod/orders_cbo2", oOpts)
+      val dimDir = s"$whRoot/prod/cust_cbo"
+      CdcApplier.applyBatchMor(s, ChangeFeed.inserts(c, lit(100L)), dimDir, cOpts)
+      // 7 superseded rounds: file bytes ~8x the live data
+      (1 to 7).foreach { i =>
+        CdcApplier.applyBatchMor(s, ChangeFeed.updates(c,
+          Map("c_acctbal" -> ($"c_acctbal" * (1.0 + i / 100.0))),
+          lit(100L + i * 100L)), dimDir, cOpts)
+      }
+      CdcApplier.applyBatchMor(s, ChangeFeed.deletes(c.filter($"c_custkey" % 2 === 0),
+        lit(900L)), dimDir, cOpts)
+      CdcApplier.applyBatch(s, ChangeFeed.inserts(c.filter($"c_custkey" % 20 === 3),
+        lit(100L)), s"$whRoot/prod/cust_cbo_tiny", cOpts)
+      val hconf = s.sparkContext.hadoopConfiguration
+      def bytesOf(d: String): Long = {
+        val p = new org.apache.hadoop.fs.Path(d)
+        val bfs = p.getFileSystem(hconf)
+        CdcApplier.bucketIds(bfs, p).map { b =>
+          bfs.listStatus(new org.apache.hadoop.fs.Path(d, s"graft_bucket=$b"))
+            .filterNot(f => f.getPath.getName.startsWith("_") ||
+              f.getPath.getName.startsWith(".")).map(_.getLen).sum
+        }.sum
+      }
+      // the threshold sits BELOW both sides' raw bytes (nothing broadcasts
+      // on byte statistics) but ABOVE the dim's analyzed live-rows x width
+      // (the truthful number the analyze unlocks)
+      val threshold = math.min(bytesOf(dimDir), bytesOf(s"$whRoot/prod/orders_cbo")) / 2
+      val confs = Seq(
+        "spark.sql.adaptive.enabled" -> "false",
+        "spark.sql.cbo.enabled" -> "true",
+        "spark.sql.cbo.joinReorder.enabled" -> "true",
+        "spark.sql.autoBroadcastJoinThreshold" -> threshold.toString)
+      val saved = confs.map { case (k, _) => k -> s.conf.getOption(k) }
+      confs.foreach { case (k, v) => s.conf.set(k, v) }
+      try {
+        def flipQ = s.sql(
+          """SELECT o.o_orderkey, c.c_name
+             FROM q245cat.prod.orders_cbo o
+             JOIN q245cat.prod.cust_cbo c ON o.o_custkey = c.c_custkey""")
+        def reorderQ = s.sql(
+          """SELECT count(*) AS n
+             FROM q245cat.prod.orders_cbo a
+             JOIN q245cat.prod.orders_cbo2 b ON a.o_custkey = b.o_custkey
+             JOIN q245cat.prod.cust_cbo_tiny t ON a.o_custkey = t.c_custkey""")
+        def planOf(df: DataFrame): String = df.queryExecution.executedPlan.toString
+        // ---- BEFORE the analyze: bytes-only statistics -------------------
+        val prePlan = planOf(flipQ)
+        require(!prePlan.contains("BroadcastHashJoin"),
+          s"unanalyzed: raw file bytes exceed the threshold — no broadcast:\n$prePlan")
+        val preReorder = planOf(reorderQ)
+        require(preReorder.indexOf("orders_cbo2") >= 0 &&
+          preReorder.indexOf("cust_cbo_tiny") >= 0 &&
+          preReorder.indexOf("orders_cbo2") < preReorder.indexOf("cust_cbo_tiny"),
+          s"unanalyzed: no leaf row counts — the written join order stands:\n$preReorder")
+        val preRows = flipQ.collect().map(r => (r.getLong(0), r.getString(1))).toSet
+        val preCount = reorderQ.collect()(0).getLong(0)
+        // ---- the ANALYZE ---------------------------------------------------
+        Seq("orders_cbo", "orders_cbo2", "cust_cbo", "cust_cbo_tiny").foreach(t =>
+          s.sql(s"CALL q245cat.system.analyze(table => 'prod.$t')").collect())
+        val liveRows = c.filter($"c_custkey" % 2 =!= 0).count()
+        // (c) the leaf's optimizer stats: exact live rows + exact PK NDV
+        val leafStats = s.sql("SELECT c_custkey, c_name FROM q245cat.prod.cust_cbo")
+          .queryExecution.optimizedPlan.stats
+        require(leafStats.rowCount.contains(BigInt(liveRows)),
+          s"analyzed leaf must carry the live row count: ${leafStats.rowCount}")
+        val ndv = leafStats.attributeStats.toSeq
+          .find(_._1.name == "c_custkey").flatMap(_._2.distinctCount)
+        require(ndv.contains(BigInt(liveRows)),
+          s"analyzed leaf must carry the PK's exact NDV: $ndv")
+        // ---- AFTER: the same queries, different plans, same answers ------
+        val postPlan = planOf(flipQ)
+        require(postPlan.contains("BroadcastHashJoin"),
+          s"analyzed: live-rows x width is under the threshold — broadcast:\n$postPlan")
+        val postReorder = planOf(reorderQ)
+        require(postReorder.indexOf("cust_cbo_tiny") <
+          postReorder.indexOf("orders_cbo2"),
+          s"analyzed: the tiny dim must join FIRST:\n$postReorder")
+        val postRows = flipQ.collect().map(r => (r.getLong(0), r.getString(1))).toSet
+        require(postRows == preRows && reorderQ.collect()(0).getLong(0) == preCount,
+          "statistics steer plans, never answers")
+        flipQ
+          .withColumn("stats_broadcast", lit(true))
+          .withColumn("stats_reorder", lit(true))
+          .withColumn("same_answers", lit(true))
+          .orderBy($"o_orderkey", $"c_name")
+      } finally saved.foreach { case (k, v) =>
+        v.fold(s.conf.unset(k))(s.conf.set(k, _))
+      }
+    }),
+
+    // CALL system.zorder WITH SELF-DERIVED BOUNDS (q279; Delta's OPTIMIZE
+    // ZORDER BY as a SQL CALL): q272's true Morton rewrite was API-only
+    // with caller-supplied cell bounds. The CALL derives the 15 split
+    // points per column from the table's OWN exact quantiles (q34's
+    // distributed engine — exact ranks, zero sampling nondeterminism),
+    // then runs the same fenced rewrite. In-gate: TWO consecutive CALLs
+    // derive IDENTICAL bounds (reproducibility over the state-preserving
+    // rewrite — also proving state identity the cheap way), the API form
+    // with a gate-sized file target makes file-level skipping fire on BOTH
+    // dimensions with the SAME derived bounds, and `sorted` stays cleared.
+    // Oracle: the lifecycle replay — a lost row/version breaks the hash.
+    "q279_zorder_sql" -> ((s, dir) => {
+      import s.implicits._
+      val o = Tables.load(s, dir, "orders")
+      val whRoot = graftCatRoot(s)
+      s.sql("DROP TABLE IF EXISTS q245cat.prod.orders_z9")
+      s.sql(s"""CREATE TABLE q245cat.prod.orders_z9 (${o.schema.toDDL})
+                OPTIONS (pk 'o_orderkey', buckets '4')""")
+      val target = s"$whRoot/prod/orders_z9"
+      val opts = CdcApplier.Options(Seq("o_orderkey"), numBuckets = 4)
+      CdcApplier.applyBatch(s, ChangeFeed.inserts(o, $"o_orderkey" * 10), target, opts)
+      CdcApplier.applyBatch(s, ChangeFeed.updates(o.filter($"o_orderkey" % 3 === 0),
+        Map("o_totalprice" -> ($"o_totalprice" * 1.3)), $"o_orderkey" * 10 + 5),
+        target, opts)
+      CdcApplier.applyBatch(s, ChangeFeed.deletes(o.filter($"o_orderkey" % 10 === 6),
+        $"o_orderkey" * 10 + 7), target, opts)
+      def callZ() = s.sql(
+        """CALL q245cat.system.zorder(table => 'prod.orders_z9',
+                                      columns => 'o_orderkey,o_custkey')""")
+        .collect()(0).getString(3)
+      val bounds1 = callZ()
+      val bounds2 = callZ()
+      require(bounds1 == bounds2 && bounds1.nonEmpty,
+        s"derived bounds must be reproducible run-to-run: $bounds1 vs $bounds2")
+      // the API form with a gate-sized file target: same bounds, and the
+      // multi-file layout lets the q250 sidecars skip on BOTH dimensions
+      val hconf = s.sparkContext.hadoopConfiguration
+      val tpath = new org.apache.hadoop.fs.Path(target)
+      val fs = tpath.getFileSystem(hconf)
+      val totalBytes = CdcApplier.bucketIds(fs, tpath).map { b =>
+        fs.listStatus(new org.apache.hadoop.fs.Path(target, s"graft_bucket=$b"))
+          .filterNot(f => f.getPath.getName.startsWith("_") ||
+            f.getPath.getName.startsWith(".")).map(_.getLen).sum
+      }.sum
+      val (apiBounds, _) = CdcApplier.zorderAuto(s, target,
+        Seq("o_orderkey", "o_custkey"),
+        targetFileBytes = math.max(4096L, totalBytes / 24))
+      require(apiBounds.map(_.mkString(",")).mkString(";") == bounds1,
+        "the API derivation must agree with the CALL's")
+      require(CdcApplier.TargetMeta.read(hconf, tpath).get.sorted.isEmpty,
+        "a Morton layout must not claim a column order")
+      def coverage(f: org.apache.spark.sql.sources.Filter): (Int, Int) =
+        CdcApplier.bucketIds(fs, tpath).map { b =>
+          val (kept, n) = FileStats.selectBucketFiles(fs,
+            new org.apache.hadoop.fs.Path(target, s"graft_bucket=$b"), Seq(f))
+          (kept.size, n)
+        }.reduce((a, b) => (a._1 + b._1, a._2 + b._2))
+      val (kk, nk) = coverage(org.apache.spark.sql.sources.EqualTo("o_orderkey", 42L))
+      val (kc, nc) = coverage(org.apache.spark.sql.sources.EqualTo("o_custkey", 42L))
+      require(nk > CdcApplier.bucketIds(fs, tpath).size,
+        s"zorder must have split buckets into multiple files, got $nk")
+      require(kk < nk, s"orderkey predicate must skip files: $kk/$nk")
+      require(kc < nc, s"custkey predicate must skip files: $kc/$nc")
+      CdcApplier.snapshot(s, target)
+        .select($"o_orderkey", $"o_custkey", $"o_totalprice".as("px"))
+        .withColumn("bounds_reproducible", lit(true))
+        .withColumn("both_dims_skip", lit(kk < nk && kc < nc))
+        .orderBy($"o_orderkey")
+    }),
+
     "q216_sql_connector" -> ((s, dir) => {
       import s.implicits._
       val o = Tables.load(s, dir, "orders")
@@ -4653,6 +5279,89 @@ object CdcQueries {
              ELSE o_totalprice END AS px,
         true AS both_dims_skip
       FROM orders WHERE o_orderkey % 11 <> 0
+      ORDER BY o_orderkey""",
+
+    // q273: q266's lifecycle replay (custkey moves, %9 deletes) filtered to
+    // the routed IN-list — served through catalog SQL this time.
+    "q273_index_route_sql" -> """
+      SELECT o_orderkey,
+        CASE WHEN o_orderkey % 6 = 2 THEN o_custkey + 1 ELSE o_custkey END AS o_custkey,
+        o_orderstatus, o_totalprice, o_orderdate, o_orderpriority,
+        true AS sql_fired, true AS sql_range_declined,
+        true AS sql_same_without_rule
+      FROM orders
+      WHERE o_orderkey % 9 <> 1
+        AND (CASE WHEN o_orderkey % 6 = 2 THEN o_custkey + 1 ELSE o_custkey END)
+            IN (3, 7, 11, 19, 42)
+      ORDER BY o_orderkey""",
+
+    // q275: the %10=3 keys dv-deleted, the %20=3 half resurrected at 2.0x
+    // by a later upsert; the fold and the stale replay change nothing.
+    "q275_deletion_vectors" -> """
+      SELECT o_orderkey,
+        CASE WHEN o_orderkey % 20 = 3 THEN o_totalprice * 2.0
+             ELSE o_totalprice END AS px,
+        true AS appended_only, true AS folded, true AS stale_discarded
+      FROM orders
+      WHERE o_orderkey % 10 <> 3 OR o_orderkey % 20 = 3
+      ORDER BY o_orderkey""",
+
+    // q276: the compacted-then-delta'd mor lifecycle joined to the trimmed
+    // dim — %13 deletes gone, %7 reprice, then the %5 reprice on top.
+    "q276_sorted_mor_compact" -> """
+      SELECT o.o_orderkey, o.o_custkey, c.c_name,
+        CASE WHEN o.o_orderkey % 7 = 0 AND o.o_orderkey % 5 = 0
+               THEN o.o_totalprice * 1.2 * 1.1
+             WHEN o.o_orderkey % 7 = 0 THEN o.o_totalprice * 1.2
+             WHEN o.o_orderkey % 5 = 0 THEN o.o_totalprice * 1.1
+             ELSE o.o_totalprice END AS px,
+        true AS compacted_zero_sort, true AS delta_resorts
+      FROM orders o
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      WHERE o.o_orderkey % 13 <> 0 AND c.c_custkey % 10 <> 0
+      ORDER BY o.o_orderkey""",
+
+    // q277: the fast-forwarded release lineage — %3 repriced 1.25x, %11
+    // trimmed — exactly what the SQL audit read approved.
+    "q277_branch_sql_wap" -> """
+      SELECT o_orderkey,
+        CASE WHEN o_orderkey % 3 = 0 THEN o_totalprice * 1.25
+             ELSE o_totalprice END AS px,
+        true AS pinned_mid_stage, true AS branch_read_gone
+      FROM orders WHERE o_orderkey % 11 <> 0
+      ORDER BY o_orderkey""",
+
+    // q278: the fact ⋈ surviving-dim join — the dim's %2 keys deleted; the
+    // acctbal churn is invisible (not selected), the plans differ, the
+    // answers must not.
+    "q278_cbo_stats" -> """
+      SELECT o.o_orderkey, c.c_name,
+        true AS stats_broadcast, true AS stats_reorder, true AS same_answers
+      FROM orders o
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      WHERE c.c_custkey % 2 <> 0
+      ORDER BY o.o_orderkey, c.c_name""",
+
+    // q279: state identity through two CALL rewrites + the API rewrite —
+    // the %3 reprice applied, the %10=6 deletes gone.
+    "q279_zorder_sql" -> """
+      SELECT o_orderkey, o_custkey,
+        CASE WHEN o_orderkey % 3 = 0 THEN o_totalprice * 1.3
+             ELSE o_totalprice END AS px,
+        true AS bounds_reproducible, true AS both_dims_skip
+      FROM orders WHERE o_orderkey % 10 <> 6
+      ORDER BY o_orderkey""",
+
+    // q274: the same lifecycle filtered to the routed custkey RANGE.
+    "q274_range_route" -> """
+      SELECT o_orderkey,
+        CASE WHEN o_orderkey % 6 = 2 THEN o_custkey + 1 ELSE o_custkey END AS o_custkey,
+        o_orderstatus, o_totalprice, o_orderdate, o_orderpriority,
+        true AS range_fired, true AS hash_declined
+      FROM orders
+      WHERE o_orderkey % 9 <> 1
+        AND (CASE WHEN o_orderkey % 6 = 2 THEN o_custkey + 1 ELSE o_custkey END)
+            BETWEEN 10 AND 30
       ORDER BY o_orderkey""",
 
     // q255: the co-bucketed join after both lifecycles — fact prices with

@@ -1,48 +1,77 @@
 package graft.plans
 
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.catalyst.expressions.{Alias, And, AttributeReference, EqualTo, Expression, In, IsNotNull, Literal, NamedExpression, Not}
+import org.apache.spark.sql.catalyst.expressions.{Alias, And, AttributeReference, EqualTo, Expression, GreaterThan, GreaterThanOrEqual, In, IsNotNull, LessThan, LessThanOrEqual, Literal, NamedExpression, Not}
 import org.apache.spark.sql.catalyst.plans.logical.{Filter, LogicalPlan, Project}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+import org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation
 import org.apache.spark.sql.Row
 
 import graft.cdc.CdcApplier
 
-/** AUTOMATIC secondary-index routing (q266) — the optimizer half of q123's
-  * index machinery. The engine can MAINTAIN a secondary index (a graft
-  * table keyed (value, pk), bucketed on the value prefix, fed from the same
-  * change envelope as the base store — q123/q170), but a SQL user filtering
-  * on the indexed non-key column still got a full scan unless they knew to
-  * chain two [[CdcApplier.pointLookup]]s by hand. This `Rule[LogicalPlan]`
-  * (the [[GraftViewRewrite]] seam: `experimental.extraOptimizations`)
-  * rewrites an eligible point/IN predicate on a REGISTERED indexed column
-  * into exactly that chain — index lookup → PK fetch — so the query reads
-  * ≤k index buckets + the matching store buckets instead of the table
-  * (the HBase-ecosystem covered-index read path, SURVEY S7/EP3; public
-  * design point: Phoenix/Astro secondary-index plan rewrite).
+/** AUTOMATIC secondary-index routing (q266/q273/q274) — the optimizer half
+  * of q123's index machinery. The engine can MAINTAIN a secondary index (a
+  * graft table keyed (value, pk), bucketed on the value prefix, fed from the
+  * same change envelope as the base store — q123/q170), but a SQL user
+  * filtering on the indexed non-key column still got a full scan unless
+  * they knew to chain two [[CdcApplier.pointLookup]]s by hand. This
+  * `Rule[LogicalPlan]` (the [[GraftViewRewrite]] seam:
+  * `experimental.extraOptimizations`) rewrites an eligible predicate on a
+  * REGISTERED indexed column into exactly that chain — index lookup →
+  * PK fetch — so the query reads ≤k index buckets + the matching store
+  * buckets instead of the table (the HBase-ecosystem covered-index read
+  * path, SURVEY S7/EP3; public design point: Phoenix/Astro secondary-index
+  * plan rewrite).
+  *
+  * TWO plan legs route (q273): the V1 `LogicalRelation(HadoopFsRelation)`
+  * shape the Scala read paths ([[CdcApplier.snapshot]]) produce, and the
+  * DataSource-V2 `DataSourceV2ScanRelation` shape catalog SQL
+  * (`SELECT ... FROM cat.ns.t WHERE ...`) reaches the optimizer with. The
+  * V2 leg fires only when the chosen scan is the plain full-coverage
+  * [[graft.sources.GraftBatchScan]] — by construction that excludes as-of
+  * / change-feed / limit / aggregate projections, whose semantics a
+  * current-state lookup must not impersonate.
+  *
+  * TWO predicate forms route:
+  *  - point/IN (`col = lit`, `col IN (lits)`) — on any index layout;
+  *  - RANGE (`col >= lo AND col <= hi`, any one- or two-sided combination
+  *    of >/>=/</<=) — ONLY when the index table itself is RANGE-bucketed on
+  *    the indexed column (q274): the covering buckets are then a contiguous
+  *    prefix-scan ([[CdcApplier.rangeLookup]]), exactly HBase's
+  *    rowkey-range scan. On a hash-bucketed index a range would read every
+  *    index bucket, so it DECLINES — the plan runs as written.
   *
   * Deliberately NARROW (the [[GraftViewRewrite]] discipline — an eager
   * rewrite is a wrong-results generator). Fires ONLY when the plan is
-  * `Project(cols..., Filter(conjuncts, LogicalRelation(store path)))` where
-  *  - the conjuncts are exactly: one `col = lit` / `col IN (lits)` on the
+  * `[Project(cols...)](Filter(conjuncts, relation(store path)))` where
+  *  - the conjuncts are exactly: the routable predicate(s) on the
   *    registered indexed column, plus only predicates the lookup already
   *    enforces (IsNotNull on the indexed column — vacuous against
   *    literals — and the snapshot's own tombstone filter on
   *    `_graft_deleted`, which [[CdcApplier.pointLookup]] applies);
   *  - the projected columns all exist on the lookup's output (data columns
   *    + `_graft_pos`).
-  * Range predicates beyond the index's point form, predicates on other
-  * columns, and any unrecognized conjunct DECLINE — the plan runs as
-  * written. Freshness is the registrar's contract, exactly as for the
-  * maintained views: registering asserts the index is maintained from the
-  * same envelope (q123's discipline); unregister around backfills.
+  * Predicates on other columns and any unrecognized conjunct DECLINE.
+  * Freshness is the registrar's contract, exactly as for the maintained
+  * views: registering asserts the index is maintained from the same
+  * envelope (q123's discipline); unregister around backfills.
   *
-  * The rewrite executes the two lookups at PLANNING time — driver-bounded
-  * by the same contract as every pointLookup (a point/IN batch is a
-  * handful of literals, never a table). 100 TB: this is the difference
-  * between ≤k bucket directories and a full fact-table scan, chosen
-  * automatically.
+  * The rewrite executes the lookups at PLANNING time — driver-bounded by
+  * the same contract as every pointLookup (a point/IN batch is a handful
+  * of literals, never a table). Bounds are ENFORCED, not assumed: an
+  * IN-list wider than `spark.graft.indexroute.maxKeys` (default 1024)
+  * declines, and a range whose index matches more than that many keys
+  * declines after one bounded count over the covering index buckets —
+  * refusal is always the rule's safe default. The entire rewrite body is
+  * failure-isolated: ANY throw (index dir deleted after registration,
+  * layout mismatch, conversion surprise) DECLINES and the user's
+  * otherwise-valid plan runs as written, never fails planning.
+  *
+  * 100 TB: this is the difference between ≤k bucket directories and a
+  * full fact-table scan, chosen automatically — now also through the
+  * catalog SQL surface users actually query (q273) and for the BETWEEN
+  * form every time-keyed lookup table serves (q274).
   */
 object GraftIndexRoute extends Rule[LogicalPlan] {
 
@@ -51,10 +80,22 @@ object GraftIndexRoute extends Rule[LogicalPlan] {
     new java.util.concurrent.ConcurrentHashMap[(String, String), String]
 
   /** Plan-shape seams for the spec/gate: how often the rewrite fired /
-    * was consulted but declined, since install or [[resetCounters]]. */
-  @volatile var fired: Long = 0L
-  @volatile var declined: Long = 0L
-  def resetCounters(): Unit = { fired = 0L; declined = 0L }
+    * was consulted but declined, since install or [[resetCounters]].
+    * LongAdders — two sessions planning concurrently must not lose
+    * counts (the monotonicity the gates assert). */
+  private val firedCount = new java.util.concurrent.atomic.LongAdder
+  private val declinedCount = new java.util.concurrent.atomic.LongAdder
+  def fired: Long = firedCount.sum()
+  def declined: Long = declinedCount.sum()
+  def resetCounters(): Unit = { firedCount.reset(); declinedCount.reset() }
+
+  /** Hard cap on planning-time lookup keys: an IN-list wider than this —
+    * or a range matching more index keys than this — declines to the scan
+    * (a generated 50k-literal IN must not run table lookups at planning
+    * time on the driver path). */
+  private def maxKeys(spark: SparkSession): Int =
+    scala.util.Try(spark.conf.get("spark.graft.indexroute.maxKeys").toInt)
+      .getOrElse(1024)
 
   def register(storePath: String, indexedCol: String, indexDir: String): Unit =
     indexes.put((normalize(storePath), indexedCol), indexDir)
@@ -70,12 +111,23 @@ object GraftIndexRoute extends Rule[LogicalPlan] {
       spark.experimental.extraOptimizations =
         spark.experimental.extraOptimizations :+ this
 
+  /** The store path of a routable relation, or None. V1: a single-root
+    * HadoopFsRelation (the snapshot read). V2 (q273): a catalog/path graft
+    * table whose chosen scan is the plain full-coverage Batch leg — the
+    * builder picks it exactly when no static predicate bounded the bucket
+    * key and no as-of/change-feed/limit/aggregate mode is in play, which
+    * is precisely the only shape a current-state lookup may replace. */
   private def scanPath(plan: LogicalPlan): Option[String] = plan match {
     case r: LogicalRelation => r.relation match {
       case fs: HadoopFsRelation => fs.location.rootPaths.toList match {
         case one :: Nil => Some(normalize(one.toString))
         case _          => None
       }
+      case _ => None
+    }
+    case r: DataSourceV2ScanRelation => (r.relation.table, r.scan) match {
+      case (t: graft.sources.GraftTable, _: graft.sources.GraftBatchScan) =>
+        Some(normalize(t.targetDir))
       case _ => None
     }
     case _ => None
@@ -86,9 +138,17 @@ object GraftIndexRoute extends Rule[LogicalPlan] {
     case other     => Seq(other)
   }
 
-  /** The single point/IN predicate on a registered indexed column, or None. */
-  private case class Route(col: AttributeReference, values: Seq[Any],
+  /** The routable predicate set on a registered indexed column, or None. */
+  private sealed trait Form
+  private case class Points(values: Seq[Any]) extends Form
+  private case class Range(lo: Option[Long], hi: Option[Long]) extends Form
+  private case class Route(col: AttributeReference, form: Form,
       indexDir: String, storePath: String)
+
+  private def asLong(v: Any): Option[Long] = v match {
+    case n: java.lang.Number => Some(n.longValue)
+    case _                   => None
+  }
 
   private def routeOf(cs: Seq[Expression], storePath: String): Option[Route] = {
     val points = cs.collect {
@@ -98,9 +158,38 @@ object GraftIndexRoute extends Rule[LogicalPlan] {
         vs.forall { case Literal(v, _) => v != null; case _ => false } =>
         (a, vs.map { case Literal(v, _) => v })
     }
-    points match {
-      case Seq((a, vs)) =>
-        Option(indexes.get((storePath, a.name))).map(Route(a, vs, _, storePath))
+    // range conjuncts (q274): literal one-/two-sided bounds, integral only
+    // (rangeLookup's domain — the range-bucketed layouts are Long-keyed)
+    val ranges = cs.collect {
+      case GreaterThan(a: AttributeReference, Literal(v, _)) if v != null =>
+        (a, asLong(v).map(x => Range(Some(x + 1), None)))
+      case GreaterThan(Literal(v, _), a: AttributeReference) if v != null =>
+        (a, asLong(v).map(x => Range(None, Some(x - 1))))
+      case GreaterThanOrEqual(a: AttributeReference, Literal(v, _)) if v != null =>
+        (a, asLong(v).map(x => Range(Some(x), None)))
+      case GreaterThanOrEqual(Literal(v, _), a: AttributeReference) if v != null =>
+        (a, asLong(v).map(x => Range(None, Some(x))))
+      case LessThan(a: AttributeReference, Literal(v, _)) if v != null =>
+        (a, asLong(v).map(x => Range(None, Some(x - 1))))
+      case LessThan(Literal(v, _), a: AttributeReference) if v != null =>
+        (a, asLong(v).map(x => Range(Some(x + 1), None)))
+      case LessThanOrEqual(a: AttributeReference, Literal(v, _)) if v != null =>
+        (a, asLong(v).map(x => Range(None, Some(x))))
+      case LessThanOrEqual(Literal(v, _), a: AttributeReference) if v != null =>
+        (a, asLong(v).map(x => Range(Some(x), None)))
+    }
+    (points, ranges) match {
+      case (Seq((a, vs)), Seq()) =>
+        Option(indexes.get((storePath, a.name))).map(Route(a, Points(vs), _, storePath))
+      case (Seq(), rs) if rs.nonEmpty && rs.forall(_._2.isDefined) &&
+        rs.map(_._1.name).distinct.size == 1 =>
+        val a = rs.head._1
+        val merged = rs.flatMap(_._2).foldLeft(Range(None, None)) { (acc, r) =>
+          Range(
+            (acc.lo.toSeq ++ r.lo.toSeq).reduceOption(math.max(_: Long, _: Long)),
+            (acc.hi.toSeq ++ r.hi.toSeq).reduceOption(math.min(_: Long, _: Long)))
+        }
+        Option(indexes.get((storePath, a.name))).map(Route(a, merged, _, storePath))
       case _ => None
     }
   }
@@ -117,8 +206,51 @@ object GraftIndexRoute extends Rule[LogicalPlan] {
     case _ => false
   }
 
+  /** The index-side lookup for one route: the matched keys projected to the
+    * store's PK, or None to decline (cap exceeded, layout ineligible). */
+  private def indexKeys(spark: SparkSession, route: Route,
+      storePk: Seq[String]): Option[org.apache.spark.sql.DataFrame] = {
+    val cap = maxKeys(spark)
+    route.form match {
+      case Points(values) =>
+        if (values.size > cap) return None
+        // Literals carry Catalyst-INTERNAL values (UTF8String for strings,
+        // epoch ints/longs for dates/timestamps) — convert to the external
+        // form createDataFrame expects; a type whose conversion surprises
+        // DECLINES (the rule's contract), never crashes planning.
+        val external = values.map(v =>
+          org.apache.spark.sql.catalyst.CatalystTypeConverters
+            .convertToScala(v, route.col.dataType))
+        val keys = spark.createDataFrame(
+          spark.sparkContext.parallelize(external.map(Row(_)), 1),
+          org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField(
+              route.col.name, route.col.dataType, nullable = false))))
+        Some(CdcApplier.pointLookup(spark, route.indexDir, keys)
+          .select(storePk.map(org.apache.spark.sql.functions.col): _*))
+      case Range(lo, hi) =>
+        // range routes ONLY over a range-bucketed index whose bucket key IS
+        // the indexed column (q274) — on a hash layout the range would read
+        // every index bucket, so decline
+        val imeta = graft.cdc.CdcApplier.TargetMeta.read(
+          spark.sparkContext.hadoopConfiguration,
+          new org.apache.hadoop.fs.Path(route.indexDir)).getOrElse(return None)
+        if (imeta.rangeBounds.isEmpty) return None
+        val ipk = imeta.pkCols.getOrElse(return None)
+        if (imeta.bucketCols.getOrElse(ipk).headOption != Some(route.col.name))
+          return None
+        val matched = CdcApplier.rangeLookup(spark, route.indexDir,
+          lo.getOrElse(Long.MinValue), hi.getOrElse(Long.MaxValue))
+          .select(storePk.map(org.apache.spark.sql.functions.col): _*)
+        // bounded-fetch enforcement: one count over the covering buckets —
+        // wider matches decline to the scan (which is then the right plan)
+        if (matched.limit(cap + 1).count() > cap) None
+        else Some(matched)
+    }
+  }
+
   private def rewrite(projList: Seq[NamedExpression], cond: Expression,
-      rel: LogicalRelation, storePath: String): Option[LogicalPlan] = {
+      storePath: String): Option[LogicalPlan] = {
     val cs = conjuncts(cond)
     for {
       route <- routeOf(cs, storePath)
@@ -128,26 +260,12 @@ object GraftIndexRoute extends Rule[LogicalPlan] {
       // pure column projection only (the snapshot/tableSchema shape)
       outAttrs <- Some(projList).filter(_.forall(_.isInstanceOf[AttributeReference]))
       spark = SparkSession.active
-      // index lookup: the literal values, typed as the routed column.
-      // Literals carry Catalyst-INTERNAL values (UTF8String for strings,
-      // epoch ints/longs for dates/timestamps) — convert to the external
-      // form createDataFrame expects; a type whose conversion surprises
-      // DECLINES (the rule's contract), never crashes planning.
-      external <- scala.util.Try(route.values.map(v =>
-        org.apache.spark.sql.catalyst.CatalystTypeConverters
-          .convertToScala(v, route.col.dataType))).toOption
-      keys = spark.createDataFrame(
-        spark.sparkContext.parallelize(external.map(Row(_)), 1),
-        org.apache.spark.sql.types.StructType(Seq(
-          org.apache.spark.sql.types.StructField(
-            route.col.name, route.col.dataType, nullable = false))))
       storeMeta <- graft.cdc.CdcApplier.TargetMeta.read(
         spark.sparkContext.hadoopConfiguration,
         new org.apache.hadoop.fs.Path(storePath))
       storePk <- storeMeta.pkCols
-      fetched = CdcApplier.pointLookup(spark, storePath,
-        CdcApplier.pointLookup(spark, route.indexDir, keys)
-          .select(storePk.map(org.apache.spark.sql.functions.col): _*))
+      keys <- indexKeys(spark, route, storePk)
+      fetched = CdcApplier.pointLookup(spark, storePath, keys)
       // this subtree is injected POST-analysis into an already-optimized
       // plan, so hint wrappers must be resolved here (EliminateResolvedHint
       // already ran); dropping them costs at most a join strategy, and the
@@ -163,17 +281,50 @@ object GraftIndexRoute extends Rule[LogicalPlan] {
     }, plan)
   }
 
+  /** [[rewrite]] with the rule's decline-on-ANY-failure contract: the body
+    * runs planning-time lookups against live state, and an index dir
+    * deleted or corrupted after registration must fail THE REWRITE, never
+    * the user's otherwise-valid plan. */
+  private def tryRewrite(projList: Seq[NamedExpression], cond: Expression,
+      storePath: String): Option[LogicalPlan] =
+    try rewrite(projList, cond, storePath)
+    catch {
+      case scala.util.control.NonFatal(e) =>
+        logWarning(s"graft index route declined on failure: $e")
+        None
+    }
+
+  /** Counting is PER PLAN: one fired tick when any rewrite landed in this
+    * apply, else one declined tick when a registered relation was consulted
+    * — the seam the gates/specs assert ("exactly once per plan"), robust to
+    * a plan holding several candidate shapes (a Project-level decline still
+    * consults the bare Filter beneath it). */
   override def apply(plan: LogicalPlan): LogicalPlan = {
     if (indexes.isEmpty) return plan
-    plan.transform {
+    var consulted = false
+    var landed = false
+    def consult(p: LogicalPlan, projList: Seq[NamedExpression],
+        cond: Expression, rel: LogicalPlan): LogicalPlan =
+      scanPath(rel).flatMap { sp =>
+        if (!indexes.keySet().stream().anyMatch(_._1 == sp)) None
+        else {
+          consulted = true
+          val r = tryRewrite(projList, cond, sp)
+          if (r.isDefined) landed = true
+          r
+        }
+      }.getOrElse(p)
+    val out = plan.transform {
       case p @ Project(projList, Filter(cond, rel: LogicalRelation)) =>
-        scanPath(rel).flatMap { sp =>
-          if (!indexes.keySet().stream().anyMatch(_._1 == sp)) None
-          else rewrite(projList, cond, rel, sp) match {
-            case some @ Some(_) => fired += 1; some
-            case None           => declined += 1; None
-          }
-        }.getOrElse(p)
+        consult(p, projList, cond, rel)
+      case p @ Project(projList, Filter(cond, rel: DataSourceV2ScanRelation)) =>
+        consult(p, projList, cond, rel)
+      // catalog SQL's SELECT-* shape: the no-op Project is already elided
+      case p @ Filter(cond, rel: DataSourceV2ScanRelation) =>
+        consult(p, rel.output, cond, rel)
     }
+    if (landed) firedCount.increment()
+    else if (consulted) declinedCount.increment()
+    out
   }
 }

@@ -68,6 +68,19 @@ class GraftBatchScan(
   CdcApplier.openTarget(fs, target)
   private val meta = TargetMeta.read(hconf, target)
   private val isMor = meta.exists(_.storage.contains("mor"))
+  /** Outstanding deletion vectors (q275): appended key-tombstones mask rows
+    * through the same latest-per-key resolve as MOR. */
+  private val dvOutstanding = meta.exists(_.dv.exists(_ > 0))
+  /** q276: on MOR, a recorded `sorted` is set ONLY by compactMor (after its
+    * publish) and cleared by every delta append / vacuum / fast-forward
+    * BEFORE new versions become visible — so mor + sorted proves ONE
+    * version per key, and the bucket streams through the tombstone-filter
+    * reader with no resolve (and may report its order below). */
+  private val morCompacted = isMor && meta.exists(_.sorted.exists(_.nonEmpty))
+  /** Latest-per-key resolution required? MOR delta chains (unless proven
+    * compacted) and dv-bearing COW — [[CdcApplier.needsResolve]]'s rule,
+    * refined by the compaction proof this scan can additionally use. */
+  private val mustResolve = (isMor && !morCompacted) || dvOutstanding
   private val pkCols: Seq[String] = meta.flatMap(_.pkCols).getOrElse(Seq.empty)
   private val bucketCols: Seq[String] =
     meta.flatMap(m => m.bucketCols.orElse(m.pkCols)).getOrElse(Seq.empty)
@@ -106,9 +119,15 @@ class GraftBatchScan(
   // ---- runtime filtering (Spark calls these at execution time) ----------
 
   /** The bucket key columns — the only attributes whose runtime values can
-    * prune bucket directories. */
+    * prune bucket directories. ONLY claimed when every bucket column
+    * survives column pruning: Spark resolves these against the scan's
+    * pruned output (V2ExpressionUtils.resolveRef THROWS on a miss — a
+    * query projecting none of the key columns must still plan), and the
+    * pruning arithmetic needs a value set for every bucket column anyway. */
   override def filterAttributes(): Array[NamedReference] =
-    bucketCols.map(c => Expressions.column(c)).toArray
+    if (bucketCols.nonEmpty && bucketCols.forall(required.fieldNames.contains))
+      bucketCols.map(c => Expressions.column(c)).toArray
+    else Array.empty
 
   override def filter(filters: Array[Filter]): Unit =
     runtimeFilters = filters
@@ -146,7 +165,7 @@ class GraftBatchScan(
     * runtime (InternalRows carry no names). */
   private val readInternal: StructType = {
     val have = required.fieldNames.toSet
-    val extras = (if (isMor) pkCols :+ CdcApplier.POS else Seq.empty) ++
+    val extras = (if (mustResolve) pkCols :+ CdcApplier.POS else Seq.empty) ++
       Seq(CdcApplier.DEL)
     StructType(required.fields.map(f => fileSchema(physOf(f.name))) ++
       extras.distinct.filterNot(have).map(fileSchema(_)))
@@ -205,7 +224,11 @@ class GraftBatchScan(
     * in the pruned read schema is claimed. */
   private lazy val orderInfo: (Seq[String], Map[Int, Seq[String]]) = {
     val sortedPhys = meta.flatMap(_.sorted).getOrElse(Seq.empty)
-    if (isMor || sortedPhys.isEmpty) (Seq.empty, Map.empty)
+    // a resolving read is unordered by construction (reader-local hashmap):
+    // live MOR delta chains and dv-bearing COW refuse; a COMPACTED mor
+    // (q276 — `sorted` set by compactMor, cleared by any delta) streams in
+    // file order and MAY report, exactly like sorted COW
+    if (mustResolve || sortedPhys.isEmpty) (Seq.empty, Map.empty)
     else {
       val logicalSorted = sortedPhys.map(c => CdcApplier.logicalName(meta, c))
       val present = logicalSorted.takeWhile(required.fieldNames.contains)
@@ -245,7 +268,9 @@ class GraftBatchScan(
     val skipF = {
       val all = (pushedPhys ++
         runtimeFilters.flatMap(GraftScan.renameRefs(_, physOf))).toIndexedSeq
-      if (isMor) all.filter(_.references.toSet.subsetOf(pkCols.toSet)) else all
+      // one-version layouts (cow, compacted mor) may skip on anything; a
+      // resolving layout only on PK-referencing predicates
+      if (mustResolve) all.filter(_.references.toSet.subsetOf(pkCols.toSet)) else all
     }
     val grouped = keyGrouped
     var kept = 0
@@ -279,25 +304,43 @@ class GraftBatchScan(
     // merge-on-read (a key's versions agree on its PK, so skipping by PK
     // cannot change a key's winner); everything on copy-on-write
     val parquetSafe =
-      if (isMor) pushedPhys.filter(_.references.toSet.subsetOf(pkCols.toSet))
+      if (mustResolve) pushedPhys.filter(_.references.toSet.subsetOf(pkCols.toSet))
       else pushedPhys
     val inner = ParquetReadShim.parquetReaderFactory(
       spark, fileSchema, readInternal, parquetSafe)
-    new GraftResolvingReaderFactory(inner, isMor,
+    new GraftResolvingReaderFactory(inner, mustResolve,
       pkCols.map(ord).toArray, ord(CdcApplier.POS), ord(CdcApplier.DEL),
       readInternal, required.indices.toArray)
   }
 
+  /** Bytes under the covered buckets, PLUS — when the table was ANALYZEd
+    * (q278, [[graft.cdc.ColumnStats]]) and this is a full-coverage read —
+    * the live row count, the rows×width size estimate (raw file bytes
+    * over-count a mor table's superseded versions, the wrong number for
+    * broadcast selection), and per-column NDV/min/max/nulls/widths for
+    * CBO's join reorder and cardinality estimation. A pruned read keeps
+    * the byte-based honesty (the stats describe the whole table). */
   override def estimateStatistics(): Statistics = {
     val bytes = activeBuckets.map { b =>
       val d = new Path(target, s"${CdcApplier.BUCKET}=$b")
       if (fs.exists(d)) fs.listStatus(d).map(_.getLen).sum else 0L
     }.sum
+    val analyzed =
+      if (activeBuckets.size == allBuckets.size)
+        graft.cdc.ColumnStats.read(spark, targetDir)
+      else None
     new Statistics {
       override def sizeInBytes(): java.util.OptionalLong =
-        java.util.OptionalLong.of(bytes)
+        java.util.OptionalLong.of(analyzed.map(_.sizeBytes).getOrElse(bytes))
       override def numRows(): java.util.OptionalLong =
-        java.util.OptionalLong.empty()
+        analyzed.map(ts => java.util.OptionalLong.of(ts.rows))
+          .getOrElse(java.util.OptionalLong.empty())
+      override def columnStats(): java.util.Map[
+          org.apache.spark.sql.connector.expressions.NamedReference,
+          org.apache.spark.sql.connector.read.colstats.ColumnStatistics] =
+        if (analyzed.isDefined)
+          graft.cdc.ColumnStats.v2ColumnStats(spark, targetDir, required)
+        else java.util.Collections.emptyMap()
     }
   }
 }

@@ -126,7 +126,8 @@ class GraftDataSource extends TableProvider with RelationProvider
       properties: java.util.Map[String, String]): Table = {
     val opts = new CaseInsensitiveStringMap(properties)
     new GraftTable(GraftDataSource.pathOf(opts), schema,
-      GraftDataSource.asOfOf(opts), GraftDataSource.changesFromOf(opts))
+      GraftDataSource.asOfOf(opts), GraftDataSource.changesFromOf(opts),
+      branch = GraftDataSource.branchOf(opts))
   }
 
   /** V1 seam for SQL-on-file (``SELECT ... FROM graft.`dir` `` resolves
@@ -237,11 +238,20 @@ object GraftDataSource {
     * the graft surface. */
   private[sources] def changesFromOf(options: CaseInsensitiveStringMap): Option[Long] =
     Option(options.get("changesfrom")).map(_.toLong)
+
+  /** Branch read option (q277): `.option("branch", name)` serves the
+    * BRANCH LINEAGE — main AS OF the branch point overlaid with the
+    * branch's staged deltas, resolved latest-per-key
+    * ([[graft.cdc.Branch.snapshot]]'s semantics) — through the connector,
+    * with bucket pruning on BOTH sides. The audit-read surface of the WAP
+    * pattern, also reachable as `VERSION AS OF '<branch>'` on the catalog. */
+  private[sources] def branchOf(options: CaseInsensitiveStringMap): Option[String] =
+    Option(options.get("branch"))
 }
 
 class GraftTable(val targetDir: String, tableSchema: StructType,
     asOf: Option[Long] = None, changesFrom: Option[Long] = None,
-    spjCapable: Boolean = false)
+    spjCapable: Boolean = false, branch: Option[String] = None)
     extends Table with SupportsRead with SupportsWrite with SupportsDelete
     with org.apache.spark.sql.connector.catalog.SupportsRowLevelOperations {
   override def name(): String = s"graft.`$targetDir`"
@@ -263,7 +273,8 @@ class GraftTable(val targetDir: String, tableSchema: StructType,
     * the as-of / change-feed projections (their relations don't serve the
     * key columns as the live-table shape this transform describes). */
   override def partitioning(): Array[org.apache.spark.sql.connector.expressions.Transform] = {
-    if (!spjCapable || asOf.isDefined || changesFrom.isDefined) return Array.empty
+    if (!spjCapable || asOf.isDefined || changesFrom.isDefined ||
+      branch.isDefined) return Array.empty
     val meta = TargetMeta.read(
       SparkSession.active.sparkContext.hadoopConfiguration, new Path(targetDir))
     meta match {
@@ -279,7 +290,8 @@ class GraftTable(val targetDir: String, tableSchema: StructType,
     new GraftScanBuilder(SparkSession.active, targetDir, tableSchema,
       asOf.orElse(GraftDataSource.asOfOf(options)),
       changesFrom.orElse(GraftDataSource.changesFromOf(options)),
-      spjCapable = spjCapable)
+      spjCapable = spjCapable,
+      branch = branch.orElse(GraftDataSource.branchOf(options)))
 
   /** V2 write route (SQL `INSERT INTO` / `INSERT OVERWRITE` on `USING
     * graft` tables, `df.write` V2 saves) — lands on
@@ -287,8 +299,9 @@ class GraftTable(val targetDir: String, tableSchema: StructType,
     * the public [[V1Write]] seam (the write-side mirror of the scan's
     * [[V1Scan]]). */
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
-    require(asOf.isEmpty && changesFrom.isEmpty,
-      "asOfPos / changesFrom serve read-only projections; write to the table itself")
+    require(asOf.isEmpty && changesFrom.isEmpty && branch.isEmpty,
+      "asOfPos / changesFrom / branch serve read-only projections; write to " +
+        "the table itself (branch staging goes through Branch.applyBatch)")
     new GraftWriteBuilder(targetDir,
       info.options.asCaseSensitiveMap.asScala.toMap)
   }
@@ -299,8 +312,9 @@ class GraftTable(val targetDir: String, tableSchema: StructType,
   override def newRowLevelOperationBuilder(
       info: org.apache.spark.sql.connector.write.RowLevelOperationInfo)
       : org.apache.spark.sql.connector.write.RowLevelOperationBuilder = {
-    require(asOf.isEmpty && changesFrom.isEmpty,
-      "asOfPos / changesFrom serve read-only projections; write to the table itself")
+    require(asOf.isEmpty && changesFrom.isEmpty && branch.isEmpty,
+      "asOfPos / changesFrom / branch serve read-only projections; write to " +
+        "the table itself")
     () => new GraftRowLevelOperation(targetDir, tableSchema, info)
   }
 
@@ -386,7 +400,7 @@ object GraftTable {
 
 class GraftScanBuilder(spark: SparkSession, targetDir: String, fullSchema: StructType,
     asOf: Option[Long] = None, changesFrom: Option[Long] = None,
-    spjCapable: Boolean = false)
+    spjCapable: Boolean = false, branch: Option[String] = None)
     extends ScanBuilder with SupportsPushDownFilters with SupportsPushDownRequiredColumns
     with SupportsPushDownAggregates with SupportsPushDownLimit {
 
@@ -420,7 +434,8 @@ class GraftScanBuilder(spark: SparkSession, targetDir: String, fullSchema: Struc
     * wrong — the planner falls back to the ordinary row-level scan. */
   override def supportCompletePushDown(agg: Aggregation): Boolean = false
   override def pushAggregation(agg: Aggregation): Boolean = {
-    if (pushed.nonEmpty || asOf.isDefined || changesFrom.isDefined) return false
+    if (pushed.nonEmpty || asOf.isDefined || changesFrom.isDefined ||
+      branch.isDefined) return false
     aggScan = GraftAggScan.fromFooters(spark, targetDir, fullSchema, agg)
     aggScan.isDefined
   }
@@ -454,7 +469,8 @@ class GraftScanBuilder(spark: SparkSession, targetDir: String, fullSchema: Struc
     * runtime filtering has nothing left to win there). */
   override def build(): Scan = aggScan.getOrElse {
     val runtimeEligible =
-      asOf.isEmpty && changesFrom.isEmpty && pushedLimit.isEmpty && {
+      asOf.isEmpty && changesFrom.isEmpty && pushedLimit.isEmpty &&
+        branch.isEmpty && {
         val target = new Path(targetDir)
         val hconf = spark.sparkContext.hadoopConfiguration
         val fs = target.getFileSystem(hconf)
@@ -469,7 +485,7 @@ class GraftScanBuilder(spark: SparkSession, targetDir: String, fullSchema: Struc
         spjCapable = spjCapable)
     else
       new GraftScan(spark, targetDir, fullSchema, required, pushed, asOf,
-        changesFrom, pushedLimit)
+        changesFrom, pushedLimit, branch)
   }
 }
 
@@ -480,7 +496,8 @@ class GraftScan(
     spark: SparkSession, targetDir: String, fullSchema: StructType,
     required: StructType, pushed: Array[Filter],
     asOf: Option[Long] = None, changesFrom: Option[Long] = None,
-    limit: Option[Int] = None) extends V1Scan {
+    limit: Option[Int] = None, branchOf: Option[String] = None) extends V1Scan
+    with org.apache.spark.sql.connector.read.SupportsReportStatistics {
 
   /** (covered bucket ids, all bucket ids) — exposed for plan tests. */
   val (prunedBuckets, allBuckets): (Seq[Int], Seq[Int]) = {
@@ -497,6 +514,18 @@ class GraftScan(
     else (GraftScan.coveredBuckets(meta, fullSchema, pushed, all), all)
   }
 
+  /** Branch-side coverage (q277): the branch delta dir shares main's exact
+    * layout (copied meta), so the same pruning arithmetic applies to its
+    * bucket dirs — (covered, all) of the BRANCH side, None when this is
+    * not a branch read. The plan-shape seam the bucket-pruning spec locks. */
+  val branchPruned: Option[(Seq[Int], Seq[Int])] = branchOf.map { name =>
+    val bdir = new Path(graft.cdc.Branch.branchDir(targetDir, name))
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val bAll = CdcApplier.bucketIds(bdir.getFileSystem(hconf), bdir)
+    val meta = TargetMeta.read(hconf, new Path(targetDir))
+    (GraftScan.coveredBuckets(meta, fullSchema, pushed, bAll), bAll)
+  }
+
   /** (files read, files present) when sidecar statistics pruned the file
     * list (q250) — None when skipping did not engage. */
   @volatile var fileSkip: Option[(Int, Int)] = None
@@ -506,7 +535,8 @@ class GraftScan(
   val innerDf: DataFrame = {
     val df = GraftScan.planRead(
       spark, targetDir, fullSchema, required, pushed, prunedBuckets, asOf,
-      changesFrom, onFileSkip = (k, t) => fileSkip = Some((k, t)))
+      changesFrom, onFileSkip = (k, t) => fileSkip = Some((k, t)),
+      branchOf = branchOf, branchPruned = branchPruned)
     limit.map(df.limit).getOrElse(df)
   }
 
@@ -529,6 +559,32 @@ class GraftScan(
   }
 
   override def readSchema(): StructType = required
+
+  /** The V1 leg's logical-plan statistics (q278): pruned bytes always; the
+    * ANALYZEd row count + column stats additionally on a plain
+    * full-coverage read (history/branch/limit projections and pruned reads
+    * keep byte-based honesty — table-level stats do not describe them). */
+  override def estimateStatistics()
+      : org.apache.spark.sql.connector.read.Statistics = {
+    val analyzed =
+      if (asOf.isEmpty && changesFrom.isEmpty && branchOf.isEmpty &&
+        limit.isEmpty && prunedBuckets.size == allBuckets.size)
+        graft.cdc.ColumnStats.read(spark, targetDir)
+      else None
+    new org.apache.spark.sql.connector.read.Statistics {
+      override def sizeInBytes(): java.util.OptionalLong =
+        java.util.OptionalLong.of(analyzed.map(_.sizeBytes).getOrElse(prunedBytes))
+      override def numRows(): java.util.OptionalLong =
+        analyzed.map(ts => java.util.OptionalLong.of(ts.rows))
+          .getOrElse(java.util.OptionalLong.empty())
+      override def columnStats(): java.util.Map[
+          org.apache.spark.sql.connector.expressions.NamedReference,
+          org.apache.spark.sql.connector.read.colstats.ColumnStatistics] =
+        if (analyzed.isDefined)
+          graft.cdc.ColumnStats.v2ColumnStats(spark, targetDir, required)
+        else java.util.Collections.emptyMap()
+    }
+  }
 
   private def suffix: String =
     limit.map(n => s" limit=$n").getOrElse("") +
@@ -695,9 +751,46 @@ object GraftScan {
       spark: SparkSession, targetDir: String, fullSchema: StructType,
       required: StructType, pushed: Array[Filter], buckets: Seq[Int],
       asOf: Option[Long] = None, changesFrom: Option[Long] = None,
-      onFileSkip: (Int, Int) => Unit = (_, _) => ()): DataFrame = {
-    require(asOf.isEmpty || changesFrom.isEmpty,
-      "asOfPos and changesFrom are mutually exclusive read modes")
+      onFileSkip: (Int, Int) => Unit = (_, _) => (),
+      branchOf: Option[String] = None,
+      branchPruned: Option[(Seq[Int], Seq[Int])] = None): DataFrame = {
+    require(Seq(asOf, changesFrom, branchOf).count(_.isDefined) <= 1,
+      "asOfPos / changesFrom / branch are mutually exclusive read modes")
+    // Branch-lineage mode (q277): main AS OF the branch point ∪ the
+    // branch's staged deltas, resolved latest-per-key — Branch.snapshot's
+    // semantics with the connector's bucket pruning on BOTH sides (the
+    // branch copies main's layout, so one pruning arithmetic covers both).
+    // Branches are mor-only, so the read always resolves; only
+    // PK-referencing pushed filters apply below the resolve.
+    branchOf.foreach { name =>
+      val hconf = spark.sparkContext.hadoopConfiguration
+      val from = graft.cdc.Branch.point(spark, targetDir, name)
+      val bdir = graft.cdc.Branch.branchDir(targetDir, name)
+      val meta = TargetMeta.read(hconf, new Path(targetDir))
+      val pkCols = meta.flatMap(_.pkCols).getOrElse(
+        throw new IllegalStateException(s"branch read of $targetDir needs a persisted PK"))
+      def emptyB = spark.createDataFrame(spark.sparkContext.emptyRDD[Row], required)
+      def rd(dir: String, bs: Seq[Int]): Option[DataFrame] =
+        if (bs.isEmpty) None
+        else Some(spark.read.option("mergeSchema", true).option("basePath", dir)
+          .parquet(bs.map(b => s"$dir/${CdcApplier.BUCKET}=$b"): _*))
+      val mainSlice = rd(targetDir, buckets)
+        .map(_.filter(col(CdcApplier.POS) <= from))
+      val branchSlice = rd(bdir, branchPruned.map(_._1).getOrElse(Seq.empty))
+      val merged = (mainSlice, branchSlice) match {
+        case (Some(m), Some(b)) => m.unionByName(b, allowMissingColumns = true)
+        case (Some(m), None)    => m
+        case (None, Some(b))    => b
+        case (None, None)       => return emptyB
+      }
+      val raw = CdcApplier.logicalize(merged, meta)
+      val (below, above) = pushed.partition(_.references.toSet.subsetOf(pkCols.toSet))
+      def applyF(df: DataFrame, fs: Array[Filter]): DataFrame =
+        fs.flatMap(toColumn).foldLeft(df)(_.filter(_))
+      val resolved = CdcApplier.resolveOnRead(applyF(raw, below), pkCols)
+      val live = applyF(resolved.filter(!col(DEL)), above)
+      return live.select(required.fieldNames.map(col).toIndexedSeq: _*)
+    }
     // change-feed mode: the envelope IS the relation — CdcApplier
     // reconstructs it (with its own mor/floor guards); translatable
     // pushed filters apply on the final envelope frame (Spark
@@ -710,7 +803,8 @@ object GraftScan {
     val hconf = spark.sparkContext.hadoopConfiguration
     val target = new Path(targetDir)
     val meta = TargetMeta.read(hconf, target)
-    val isMor = meta.exists(_.storage.contains("mor"))
+    // mor delta chains AND dv-bearing cow (q275) resolve latest-per-key
+    val resolveNeeded = CdcApplier.needsResolve(meta)
     val pkCols = meta.flatMap(_.pkCols).getOrElse(Seq.empty)
     // time travel: snapshotAsOf's guards verbatim — mor only, and a
     // position below the retained-history floor is refused, never
@@ -732,10 +826,11 @@ object GraftScan {
     if (buckets.isEmpty) return emptyDf
 
     // Below-resolve filters must not change a key's latest version: only
-    // predicates over PK columns qualify on mor (a key's versions agree on
-    // its PK); on copy-on-write everything is already one-version.
+    // predicates over PK columns qualify on a resolving layout (a key's
+    // versions agree on its PK); on one-version copy-on-write everything
+    // applies below.
     val (below, above) =
-      if (isMor) pushed.partition(_.references.toSet.subsetOf(pkCols.toSet))
+      if (resolveNeeded) pushed.partition(_.references.toSet.subsetOf(pkCols.toSet))
       else (pushed, Array.empty[Filter])
 
     // File-level data skipping (q250): the below-resolve filter set is by
@@ -773,7 +868,8 @@ object GraftScan {
     // winner as of pos is its newest version at or below pos)
     val cut = asOf.map(pos => raw.filter(col(CdcApplier.POS) <= pos)).getOrElse(raw)
     val filtered = applyFilters(cut, below)
-    val resolved = if (isMor) CdcApplier.resolveOnRead(filtered, pkCols) else filtered
+    val resolved =
+      if (resolveNeeded) CdcApplier.resolveOnRead(filtered, pkCols) else filtered
     val live = applyFilters(resolved.filter(!col(DEL)), above)
     live.select(required.fieldNames.map(col).toIndexedSeq: _*)
   }
@@ -864,6 +960,10 @@ object GraftAggScan {
     CdcApplier.openTarget(fs, target)
     val meta = TargetMeta.read(hconf, target)
     if (meta.exists(_.storage.contains("mor"))) return None
+    // outstanding deletion vectors (q275) refuse: footers cannot subtract a
+    // masked row (the per-file DEL sweep below would catch the vectors too,
+    // but refusing on the flag skips the sweep)
+    if (meta.exists(_.dv.exists(_ > 0))) return None
     // column-mapped tables refuse (q258): the aggregation names logical
     // columns, footers carry physical — refusal falls back to the row
     // scan, which translates; never a correctness event

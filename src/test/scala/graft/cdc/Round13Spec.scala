@@ -255,8 +255,14 @@ class Round13Spec extends AnyFunSuite {
     intercept[IllegalArgumentException] {
       CdcApplier.zorder(spark, t, Seq("k"), Seq(good)) // one column: not a curve
     }
+    // q279 relaxed the arity to 1-15 bounds (low-NDV columns collapse
+    // their quantiles); EMPTY and OVERSIZED bound lists still refuse
     intercept[IllegalArgumentException] {
-      CdcApplier.zorder(spark, t, Seq("k", "v"), Seq(good, good.take(7)))
+      CdcApplier.zorder(spark, t, Seq("k", "v"), Seq(good, Seq.empty))
+    }
+    intercept[IllegalArgumentException] {
+      CdcApplier.zorder(spark, t, Seq("k", "v"),
+        Seq(good, (1 to 16).map(_.toLong)))
     }
     intercept[IllegalArgumentException] {
       CdcApplier.zorder(spark, t, Seq("k", "nope"), Seq(good, good))
