@@ -148,7 +148,10 @@ object Bench {
       "q262_sorted_spj", "q263_rollback", "q264_branch_wap",
       "q265_timestamp_travel", "q266_index_route", "q267_commit_rebase",
       "q268_residual_ivfpq", "q269_file_stats_sql",
-      "q270_streamed_index_route", "q271_rollback_to_tag", "q272_zorder")
+      "q270_streamed_index_route", "q271_rollback_to_tag", "q272_zorder",
+      "q273_index_route_sql", "q274_range_route", "q275_deletion_vectors",
+      "q276_sorted_mor_compact", "q277_branch_sql_wap", "q278_cbo_stats",
+      "q279_zorder_sql", "q280_stats_sql", "q281_dv_sql_delete")
 
     def measure(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame)
         : (Double, Seq[Double], Seq[(Long, Long, Long)]) = {

@@ -286,6 +286,10 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     pk.foreach { k =>
       require(schema.fieldNames.contains(k), s"pk column '$k' is not in the schema")
     }
+    require(!(prop(properties, "storage").exists(_.equalsIgnoreCase("mor")) &&
+      prop(properties, "dv_deletes").exists(_.equalsIgnoreCase("true"))),
+      "dv_deletes is the copy-on-write small-delete path; a mor table's " +
+        "ordinary delete already appends a tombstone delta")
     // persisted schema = user columns + layout columns, exactly the shape
     // the first applyBatch would write (snapshot/tableSchema filter them)
     val withLayout = StructType(
@@ -303,6 +307,10 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       bucketCols = prop(properties, "bucketCols").map(_.split(",").toSeq.map(_.trim)),
       storage = prop(properties, "storage").filter(_.equalsIgnoreCase("mor")).map(_ => "mor"),
       rangeBounds = prop(properties, "rangeBounds").map(_.split(",").toSeq.map(_.trim.toLong)),
+      // q281: SQL DELETEs on this cow table land as deletion vectors
+      // (appended key-tombstones, q275) instead of bucket rewrites
+      dvDeletes = prop(properties, "dv_deletes").map(_.equalsIgnoreCase("true"))
+        .filter(identity),
       // q262: a fresh copy-on-write table's every future bucket publish is
       // sorted, so the layout is born with the recorded order (mor delta
       // chains are unordered by construction — unmarked)

@@ -45,7 +45,7 @@ object GraftProcedures {
   private val names = Seq("optimize", "compact", "vacuum", "rebucket", "backfill",
     "history", "tag", "drop_tag", "tags", "detail",
     "rollback", "commits", "files", "branch", "fast_forward", "drop_branch",
-    "branches", "analyze", "zorder")
+    "branches", "analyze", "zorder", "stats")
 
   def list(catalogName: String): Array[Identifier] =
     names.map(n => Identifier.of(Array(Namespace), n)).toArray
@@ -103,7 +103,7 @@ class GraftProcedure(root: Path, op: String) extends UnboundProcedure with Bound
       in("table", StringType).build(),
       in("name", StringType).build())
     case "branches" => Array(in("table", StringType).build())
-    case "analyze" => Array(in("table", StringType).build())
+    case "analyze" | "stats" => Array(in("table", StringType).build())
     case "zorder" => Array(
       in("table", StringType).build(),
       in("columns", StringType).build(),
@@ -358,6 +358,43 @@ class GraftProcedure(root: Path, op: String) extends UnboundProcedure with Bound
         ts.rows, ts.cols.size, ts.sizeBytes))
       return java.util.Collections.singletonList[Scan](new LocalScan {
         override def rows(): Array[InternalRow] = Array(row)
+        override def readSchema(): StructType = schema
+      }).iterator()
+    }
+    // The persisted ANALYZE statistics as a relation (q280; the
+    // observability half of q278, the way system.files surfaces the q250
+    // sidecars): one row per analyzed column — kind, exact NDV, nulls,
+    // canonical min/max (strings base64-decoded for display), widths.
+    // Refuses when never analyzed (an empty answer would read as "zero
+    // columns tracked", which is a different fact).
+    if (op == "stats") {
+      val ts = graft.cdc.ColumnStats.read(spark, dir).getOrElse(
+        throw new IllegalStateException(
+          s"$dir has no persisted statistics — CALL system.analyze first"))
+      val schema = StructType(Seq(
+        StructField("column", StringType, nullable = false),
+        StructField("kind", StringType, nullable = false),
+        StructField("ndv", LongType, nullable = false),
+        StructField("nulls", LongType, nullable = false),
+        StructField("min", StringType, nullable = true),
+        StructField("max", StringType, nullable = true),
+        StructField("avg_len", LongType, nullable = false),
+        StructField("max_len", LongType, nullable = false)))
+      def display(kind: Char, v: Option[String]): AnyRef = v.map { c =>
+        UTF8String.fromString(if (kind == 's')
+          new String(java.util.Base64.getDecoder.decode(c),
+            java.nio.charset.StandardCharsets.UTF_8)
+        else c)
+      }.orNull
+      val outRows: Array[InternalRow] = ts.cols.toSeq.sortBy(_._1).map {
+        case (c, st) =>
+          new GenericInternalRow(Array[Any](
+            UTF8String.fromString(c), UTF8String.fromString(st.kind.toString),
+            st.ndv, st.nulls, display(st.kind, st.mn), display(st.kind, st.mx),
+            st.avgLen, st.maxLen)): InternalRow
+      }.toArray
+      return java.util.Collections.singletonList[Scan](new LocalScan {
+        override def rows(): Array[InternalRow] = outRows
         override def readSchema(): StructType = schema
       }).iterator()
     }

@@ -184,7 +184,8 @@ object CdcApplier {
       renames: Option[Map[String, String]] = None,
       drops: Option[Seq[String]] = None,
       sorted: Option[Seq[String]] = None,
-      dv: Option[Long] = None)
+      dv: Option[Long] = None,
+      dvDeletes: Option[Boolean] = None)
 
   object TargetMeta {
     private def metaPath(target: Path) = new Path(target, ".graft_meta")
@@ -206,7 +207,8 @@ object CdcApplier {
             .map { e => val Array(l, p) = e.split(":", 2); l -> p }.toMap),
           kv.get("drops").map(_.split(",").toSeq.filter(_.nonEmpty)),
           kv.get("sorted").map(_.split(",").toSeq.filter(_.nonEmpty)),
-          kv.get("dv").map(_.toLong))
+          kv.get("dv").map(_.toLong),
+          kv.get("dvDeletes").map(_ == "1"))
       }
 
     def write(conf: org.apache.hadoop.conf.Configuration, target: Path, m: TargetMeta): Unit =
@@ -232,6 +234,7 @@ object CdcApplier {
           m.sorted.filter(_.nonEmpty).map(sc => s"sorted=${sc.mkString(",")}\n")
             .getOrElse("") +
           m.dv.filter(_ > 0).map(v => s"dv=$v\n").getOrElse("") +
+          m.dvDeletes.filter(identity).map(_ => "dvDeletes=1\n").getOrElse("") +
           m.schemaJson.map(j => s"schema=$j\n").getOrElse(""))
   }
 

@@ -3459,6 +3459,124 @@ object CdcQueries {
         .orderBy($"o_orderkey")
     }),
 
+    // CALL system.stats (q280; the observability half of q278, exactly as
+    // system.files surfaces the q250 sidecars): the persisted ANALYZE
+    // statistics as a relation — per-column kind, EXACT NDV, nulls,
+    // canonical min/max, widths — so an operator can SEE the numbers CBO
+    // plans on (and whether they are stale) without re-running the pass.
+    // In-gate: an un-analyzed table REFUSES (an empty answer would read as
+    // "zero columns tracked"). Oracle: every served number recomputed
+    // declaratively from the live lifecycle state — an NDV or range off by
+    // one breaks the hash. Date mins/maxes pin the epoch-days canon;
+    // string ones pin the base64 round-trip.
+    "q280_stats_sql" -> ((s, dir) => {
+      import s.implicits._
+      val o = Tables.load(s, dir, "orders")
+      val whRoot = graftCatRoot(s)
+      s.sql("DROP TABLE IF EXISTS q245cat.prod.orders_stats")
+      s.sql(s"""CREATE TABLE q245cat.prod.orders_stats (${o.schema.toDDL})
+                OPTIONS (pk 'o_orderkey', buckets '8')""")
+      val target = s"$whRoot/prod/orders_stats"
+      val opts = CdcApplier.Options(Seq("o_orderkey"), numBuckets = 8)
+      CdcApplier.applyBatch(s, ChangeFeed.inserts(o, $"o_orderkey" * 10), target, opts)
+      CdcApplier.applyBatch(s, ChangeFeed.deletes(o.filter($"o_orderkey" % 6 === 0),
+        $"o_orderkey" * 10 + 5), target, opts)
+      val unanalyzed = scala.util.Try(s.sql(
+        "CALL q245cat.system.stats(table => 'prod.orders_stats')").collect()).isFailure
+      require(unanalyzed, "stats on a never-analyzed table must refuse")
+      s.sql("CALL q245cat.system.analyze(table => 'prod.orders_stats')").collect()
+      // o_orderdate is a TIMESTAMP in the testdata — deliberately untracked
+      // (the q246/FileStats precedent: timestamp canon is a format hazard);
+      // the gate pins the integral and string kinds
+      s.sql("CALL q245cat.system.stats(table => 'prod.orders_stats')")
+        .filter($"column".isin("o_orderkey", "o_custkey",
+          "o_orderstatus", "o_orderpriority"))
+        .withColumn("refused_unanalyzed", lit(unanalyzed))
+        .orderBy($"column")
+    }),
+
+    // DV-ROUTED SQL DELETE (q281; q275's deletion vectors reaching the
+    // statement a SQL user actually types): a cow table created with
+    // `dv_deletes 'true'` takes `DELETE FROM ... WHERE ...` as APPENDED
+    // key-tombstone files — zero bucket rewrite on the hot path, folded by
+    // the next rewrite/compact exactly like the API form. In-gate: every
+    // pre-existing data file survives the DELETE by name, dv- files
+    // appear, the flag counts them; a default table's identical DELETE
+    // REWRITES its buckets (the old behavior pinned as the contrast);
+    // compact folds and both tables converge to identical answers.
+    // Oracle: the final state replay. A mor + dv_deletes CREATE refuses.
+    "q281_dv_sql_delete" -> ((s, dir) => {
+      import s.implicits._
+      val o = Tables.load(s, dir, "orders")
+      val whRoot = graftCatRoot(s)
+      Seq("orders_dvd", "orders_dvd_plain").foreach(t =>
+        s.sql(s"DROP TABLE IF EXISTS q245cat.prod.$t"))
+      s.sql(s"""CREATE TABLE q245cat.prod.orders_dvd (${o.schema.toDDL})
+                OPTIONS (pk 'o_orderkey', buckets '8', dv_deletes 'true')""")
+      s.sql(s"""CREATE TABLE q245cat.prod.orders_dvd_plain (${o.schema.toDDL})
+                OPTIONS (pk 'o_orderkey', buckets '8')""")
+      val morRefused = scala.util.Try(s.sql(
+        s"""CREATE TABLE q245cat.prod.orders_dvd_mor (${o.schema.toDDL})
+            OPTIONS (pk 'o_orderkey', storage 'mor', dv_deletes 'true')"""))
+        .isFailure
+      require(morRefused, "dv_deletes on a mor table must refuse at CREATE")
+      val opts = CdcApplier.Options(Seq("o_orderkey"), numBuckets = 8)
+      val dvDir = s"$whRoot/prod/orders_dvd"
+      val plainDir = s"$whRoot/prod/orders_dvd_plain"
+      CdcApplier.applyBatch(s, ChangeFeed.inserts(o, $"o_orderkey" * 10), dvDir, opts)
+      CdcApplier.applyBatch(s, ChangeFeed.inserts(o, $"o_orderkey" * 10), plainDir, opts)
+      val hconf = s.sparkContext.hadoopConfiguration
+      def files(d: String): Map[Int, Set[String]] = {
+        val p = new org.apache.hadoop.fs.Path(d)
+        val fs = p.getFileSystem(hconf)
+        CdcApplier.bucketIds(fs, p).map { b =>
+          b -> fs.listStatus(new org.apache.hadoop.fs.Path(d, s"graft_bucket=$b"))
+            .filter(f => f.isFile && !f.getPath.getName.startsWith("_") &&
+              !f.getPath.getName.startsWith(".")).map(_.getPath.getName).toSet
+        }.toMap
+      }
+      val dvBefore = files(dvDir)
+      val plainBefore = files(plainDir)
+      // BOTH SQL delete routes: a translatable BETWEEN takes the direct
+      // SupportsDelete.deleteWhere path; the modulo predicate cannot
+      // translate and takes Spark's row-level delta rewrite — on a
+      // dv_deletes table both must land as appended vectors
+      s.sql("DELETE FROM q245cat.prod.orders_dvd WHERE o_orderkey BETWEEN 200 AND 260")
+      s.sql("DELETE FROM q245cat.prod.orders_dvd WHERE o_orderkey % 9 = 4")
+      s.sql("DELETE FROM q245cat.prod.orders_dvd_plain WHERE o_orderkey BETWEEN 200 AND 260")
+      s.sql("DELETE FROM q245cat.prod.orders_dvd_plain WHERE o_orderkey % 9 = 4")
+      val dvAfter = files(dvDir)
+      require(dvBefore.forall { case (b, fl) => fl.subsetOf(dvAfter(b)) },
+        "a dv-routed DELETE must not rewrite any data file")
+      require(dvAfter.exists { case (b, fl) =>
+        (fl -- dvBefore.getOrElse(b, Set.empty)).exists(_.startsWith("dv-")) },
+        "the DELETE must land as appended dv- files")
+      require(CdcApplier.TargetMeta.read(hconf,
+        new org.apache.hadoop.fs.Path(dvDir)).get.dv.exists(_ > 0),
+        "the outstanding-vector flag must be set")
+      val plainAfter = files(plainDir)
+      require(plainAfter.exists { case (b, fl) =>
+        plainBefore(b).exists(!fl.contains(_)) },
+        "the default table's DELETE rewrites its touched buckets (contrast)")
+      // both serve identical masked answers; compact folds the vectors
+      val a = s.sql("SELECT o_orderkey FROM q245cat.prod.orders_dvd")
+        .as[Long].collect().sorted.toSeq
+      val b = s.sql("SELECT o_orderkey FROM q245cat.prod.orders_dvd_plain")
+        .as[Long].collect().sorted.toSeq
+      require(a == b, "dv-routed and rewrite-routed DELETEs must agree")
+      s.sql("CALL q245cat.system.compact(table => 'prod.orders_dvd', " +
+        "horizon_pos => 99999999)").collect()
+      require(CdcApplier.TargetMeta.read(hconf,
+        new org.apache.hadoop.fs.Path(dvDir)).get.dv.isEmpty,
+        "compact must fold the vectors and clear the flag")
+      s.sql("""SELECT o_orderkey, o_totalprice AS px
+               FROM q245cat.prod.orders_dvd""")
+        .withColumn("appended_not_rewritten", lit(true))
+        .withColumn("plain_rewrote", lit(true))
+        .withColumn("mor_refused", lit(morRefused))
+        .orderBy($"o_orderkey")
+    }),
+
     "q216_sql_connector" -> ((s, dir) => {
       import s.implicits._
       val o = Tables.load(s, dir, "orders")
@@ -5350,6 +5468,54 @@ object CdcQueries {
              ELSE o_totalprice END AS px,
         true AS bounds_reproducible, true AS both_dims_skip
       FROM orders WHERE o_orderkey % 10 <> 6
+      ORDER BY o_orderkey""",
+
+    // q280: every served statistic recomputed from the live lifecycle
+    // state (the %6 keys deleted) — exact NDV, ranges (dates in epoch
+    // days), string widths.
+    "q280_stats_sql" -> """
+      WITH live AS (SELECT * FROM orders WHERE o_orderkey % 6 <> 0)
+      SELECT * FROM (
+        SELECT 'o_orderkey' AS "column", 'i' AS kind,
+          CAST(count(DISTINCT o_orderkey) AS BIGINT) AS ndv,
+          CAST(0 AS BIGINT) AS nulls,
+          CAST(min(o_orderkey) AS VARCHAR) AS min,
+          CAST(max(o_orderkey) AS VARCHAR) AS max,
+          CAST(8 AS BIGINT) AS avg_len, CAST(8 AS BIGINT) AS max_len,
+          true AS refused_unanalyzed
+        FROM live
+        UNION ALL
+        SELECT 'o_custkey', 'i', CAST(count(DISTINCT o_custkey) AS BIGINT),
+          CAST(0 AS BIGINT), CAST(min(o_custkey) AS VARCHAR),
+          CAST(max(o_custkey) AS VARCHAR), CAST(8 AS BIGINT),
+          CAST(8 AS BIGINT), true
+        FROM live
+        UNION ALL
+        SELECT 'o_orderstatus', 's',
+          CAST(count(DISTINCT o_orderstatus) AS BIGINT), CAST(0 AS BIGINT),
+          min(o_orderstatus), max(o_orderstatus),
+          CAST(CEIL(AVG(LENGTH(o_orderstatus))) AS BIGINT),
+          CAST(MAX(LENGTH(o_orderstatus)) AS BIGINT), true
+        FROM live
+        UNION ALL
+        SELECT 'o_orderpriority', 's',
+          CAST(count(DISTINCT o_orderpriority) AS BIGINT), CAST(0 AS BIGINT),
+          min(o_orderpriority), max(o_orderpriority),
+          CAST(CEIL(AVG(LENGTH(o_orderpriority))) AS BIGINT),
+          CAST(MAX(LENGTH(o_orderpriority)) AS BIGINT), true
+        FROM live)
+      ORDER BY "column" """,
+
+    // q281: both DELETE routes converge — the BETWEEN range and the %9=4
+    // keys gone; the routing difference is a file-layout property the
+    // in-gate requires pin.
+    "q281_dv_sql_delete" -> """
+      SELECT o_orderkey, o_totalprice AS px,
+        true AS appended_not_rewritten, true AS plain_rewrote,
+        true AS mor_refused
+      FROM orders
+      WHERE o_orderkey % 9 <> 4
+        AND NOT (o_orderkey BETWEEN 200 AND 260)
       ORDER BY o_orderkey""",
 
     // q274: the same lifecycle filtered to the routed custkey RANGE.

@@ -88,26 +88,35 @@ object GraftRowLevel {
     val p = GraftWrites.maxPos(spark, targetDir) + 1L
 
     // old keys to retire: DELETE verbs, plus UPDATE verbs whose new row
-    // carries a different PK value (a PK move retires the old key)
-    val pkMoved = pkCols.map(c => !(col(idCol(c)) <=> col(c)))
-      .reduce(_ || _)
+    // carries a different PK value (a PK move retires the old key). A pure
+    // DELETE statement stages NO new-row image at all (Spark's delta
+    // rewrite passes only the verb + rowId) — there the move test and the
+    // upsert leg reference columns that don't exist, so both collapse:
+    // nothing can move, nothing upserts.
+    val rowCols = rowSchema.fieldNames.toSet
+    val pkMoved =
+      if (pkCols.forall(rowCols)) pkCols.map(c => !(col(idCol(c)) <=> col(c)))
+        .reduce(_ || _)
+      else lit(false)
     val retiring = col(OP) === DELETE || (col(OP) === UPDATE && pkMoved)
 
     // upserts: the full new-row images of INSERT and UPDATE verbs (the
     // served _graft_pos column is offset introspection, not data — the
     // statement's own position supersedes whatever rode in)
     val imgCols = rowSchema.fieldNames.filterNot(_ == CdcApplier.POS).toSeq
-    val ups = staged.filter(col(OP) === INSERT || col(OP) === UPDATE)
-      .select(imgCols.map(col): _*)
-    val upEnv = ChangeFeed.inserts(ups, lit(p + 1L))
+    val upEnvOpt =
+      if (imgCols.isEmpty) None
+      else Some(ChangeFeed.inserts(
+        staged.filter(col(OP) === INSERT || col(OP) === UPDATE)
+          .select(imgCols.map(col): _*), lit(p + 1L)))
 
     // the tombstone leg reads the current snapshot for full before-images;
     // a statement that retires nothing (every plain UPDATE, every pure
     // MERGE-upsert) must not pay that scan — the staged frame is already
     // materialized, so the emptiness probe is local
     val hasRetiring = staged.filter(retiring).limit(1).count() > 0
-    val batch =
-      if (!hasRetiring) upEnv
+    val delEnvOpt =
+      if (!hasRetiring) None
       else {
         val oldKeys = staged.filter(retiring)
           .select(pkCols.map(c => col(idCol(c)).as(c)): _*)
@@ -115,10 +124,24 @@ object GraftRowLevel {
         val victims = CdcApplier.snapshot(spark, targetDir)
           .drop(CdcApplier.POS)
           .join(oldKeys, pkCols, "left_semi")
-        ChangeFeed.deletes(victims, lit(p))
-          .unionByName(upEnv, allowMissingColumns = true)
+        Some(ChangeFeed.deletes(victims, lit(p)))
       }
+    val batch = (delEnvOpt, upEnvOpt) match {
+      case (Some(d), Some(u)) => d.unionByName(u, allowMissingColumns = true)
+      case (Some(d), None)    => d
+      case (None, Some(u))    => u
+      case (None, None)       => return // a no-op statement applies nothing
+    }
+    // q281: a DELETE-only statement on a `dv_deletes` cow table lands as
+    // deletion vectors (q275) — appended key-tombstones, zero bucket
+    // rewrite — exactly like the translatable-predicate route in
+    // [[GraftWrites.deleteWhere]]. Statements that also upsert keep the
+    // merge path (the rewrite folds in passing).
+    val dvRoute = !isMor && upEnvOpt.isEmpty &&
+      CdcApplier.TargetMeta.read(spark.sparkContext.hadoopConfiguration,
+        new Path(targetDir)).exists(_.dvDeletes.contains(true))
     if (isMor) CdcApplier.applyBatchMor(spark, batch, targetDir, opts)
+    else if (dvRoute) CdcApplier.applyBatchDv(spark, batch, targetDir, opts)
     else CdcApplier.applyBatch(spark, batch, targetDir, opts)
   }
 }

@@ -169,6 +169,11 @@ object GraftWrites {
       CdcApplier.snapshot(spark, targetDir).drop(CdcApplier.POS))(_.filter(_))
     val batch = ChangeFeed.deletes(victims, lit(pos))
     if (isMor) CdcApplier.applyBatchMor(spark, batch, targetDir, opts)
+    // q281: a copy-on-write table created with `dv_deletes 'true'` takes
+    // SQL DELETEs as deletion vectors (q275) — appended key-tombstones,
+    // zero bucket rewrite; folding happens at the next rewrite/compact
+    else if (meta.dvDeletes.contains(true))
+      CdcApplier.applyBatchDv(spark, batch, targetDir, opts)
     else CdcApplier.applyBatch(spark, batch, targetDir, opts)
     ()
   }
