@@ -118,4 +118,19 @@ class AqeCanarySpec extends AnyFunSuite {
       assert(df.count() > 0)
     }
   }
+
+  test("the compacted-mor sorted SPJ holds BOTH directions under the production AQE profile") {
+    // q276 extends q262 to merge-on-read: post-compaction the fact reports
+    // its order (zero Exchange, zero Sort — requires in-gate), and a fresh
+    // delta must flip the plan back to a re-sorting, resolving read. Both
+    // directions re-run here under the FORCED full profile — an adaptive
+    // re-plan wrongly keeping the resolve-free read after the delta would
+    // serve duplicate versions, which the gate's oracle-shaped join counts
+    // catch loudly.
+    withAqeForced {
+      val df = SparkEntry.queries("q276_sorted_mor_compact")(spark, dir)
+      df.queryExecution.toRdd.foreach(_ => ())
+      assert(df.count() > 0)
+    }
+  }
 }
