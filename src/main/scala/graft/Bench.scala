@@ -151,7 +151,8 @@ object Bench {
       "q270_streamed_index_route", "q271_rollback_to_tag", "q272_zorder",
       "q273_index_route_sql", "q274_range_route", "q275_deletion_vectors",
       "q276_sorted_mor_compact", "q277_branch_sql_wap", "q278_cbo_stats",
-      "q279_zorder_sql", "q280_stats_sql", "q281_dv_sql_delete")
+      "q279_zorder_sql", "q280_stats_sql", "q281_dv_sql_delete",
+      "q282_covered_route")
 
     def measure(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame)
         : (Double, Seq[Double], Seq[(Long, Long, Long)]) = {

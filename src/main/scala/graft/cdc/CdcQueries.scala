@@ -3485,11 +3485,11 @@ object CdcQueries {
         "CALL q245cat.system.stats(table => 'prod.orders_stats')").collect()).isFailure
       require(unanalyzed, "stats on a never-analyzed table must refuse")
       s.sql("CALL q245cat.system.analyze(table => 'prod.orders_stats')").collect()
-      // o_orderdate is a TIMESTAMP in the testdata — deliberately untracked
-      // (the q246/FileStats precedent: timestamp canon is a format hazard);
-      // the gate pins the integral and string kinds
+      // five kinds pinned: integral, string, and TIMESTAMP (canonical epoch
+      // micros — UTC sessions make the TZ and NTZ forms agree with DuckDB's
+      // epoch_us over the same parquet)
       s.sql("CALL q245cat.system.stats(table => 'prod.orders_stats')")
-        .filter($"column".isin("o_orderkey", "o_custkey",
+        .filter($"column".isin("o_orderkey", "o_custkey", "o_orderdate",
           "o_orderstatus", "o_orderpriority"))
         .withColumn("refused_unanalyzed", lit(unanalyzed))
         .orderBy($"column")
@@ -3575,6 +3575,112 @@ object CdcQueries {
         .withColumn("plain_rewrote", lit(true))
         .withColumn("mor_refused", lit(morRefused))
         .orderBy($"o_orderkey")
+    }),
+
+    // COVERED-INDEX ROUTING (q282; Phoenix's covered query, composing q133's
+    // covering index with q266's automatic routing): when every projected
+    // column already lives on the index table, the rewrite serves the query
+    // from ONE bucket-pruned index lookup — no second hop into the store at
+    // all. The layout offset `_graft_pos` is never covered (the index's
+    // positions are its own). The covered RANGE form additionally needs NO
+    // key cap: nothing is fetched to the driver, the covering-bucket scan
+    // is distributed end-to-end — pinned in-gate by routing a wide BETWEEN
+    // under maxKeys=5 (the two-hop form declines exactly there, q274's
+    // guard). In-gate: the covered point route fires with the STORE path
+    // absent from the plan; a projection adding a non-covered column keeps
+    // the two-hop route (store path present); answers identical with the
+    // route unregistered. Oracle: the maintained-payload lifecycle replay —
+    // a stale covered payload breaks the hash.
+    "q282_covered_route" -> ((s, dir) => {
+      import s.implicits._
+      val o = Tables.load(s, dir, "orders")
+      val base = Files.createTempDirectory("graft_cdc").toString
+      val store = base + "/orders_cov"
+      val covIdx = base + "/orders_cov_idx"
+      val sopts = CdcApplier.Options(Seq("o_orderkey"))
+      // range-bucketed covering index on custkey: (value, pk, payload)
+      val iopts = CdcApplier.Options(Seq("o_custkey", "o_orderkey"),
+        bucketCols = Some(Seq("o_custkey")), rangeBounds = Some(Seq(25L, 50L, 100L)))
+      def indexFeed(changes: DataFrame): DataFrame =
+        changes.select(col("op"), col("next_position"),
+          when(col("before").isNotNull, struct(
+            col("before.o_custkey").as("o_custkey"),
+            col("before.o_orderkey").as("o_orderkey"),
+            col("before.o_totalprice").as("o_totalprice"))).as("before"),
+          when(col("after").isNotNull, struct(
+            col("after.o_custkey").as("o_custkey"),
+            col("after.o_orderkey").as("o_orderkey"),
+            col("after.o_totalprice").as("o_totalprice"))).as("after"))
+      val b1 = ChangeFeed.inserts(o, $"o_orderkey" * 10)
+      // payload-only update (a same-key index upsert), a custkey move (S10
+      // fan-out retires the stale entry), and deletes
+      val b2 = ChangeFeed.updates(o.filter($"o_orderkey" % 4 === 0),
+          Map("o_totalprice" -> ($"o_totalprice" * 1.5)), $"o_orderkey" * 10 + 3)
+        .union(ChangeFeed.updates(o.filter($"o_orderkey" % 6 === 2),
+          Map("o_custkey" -> ($"o_custkey" + 1)), $"o_orderkey" * 10 + 5))
+        .union(ChangeFeed.deletes(o.filter($"o_orderkey" % 9 === 1),
+          $"o_orderkey" * 10 + 7))
+      Seq(b1, b2).foreach { b =>
+        CdcApplier.applyBatch(s, b, store, sopts)
+        CdcApplier.applyBatch(s, indexFeed(b), covIdx, iopts)
+      }
+      import graft.plans.GraftIndexRoute
+      GraftIndexRoute.install(s)
+      GraftIndexRoute.register(store, "o_custkey", covIdx)
+      try {
+        def covQ() = CdcApplier.snapshot(s, store)
+          .filter($"o_custkey" >= 10L && $"o_custkey" <= 30L)
+          .select($"o_orderkey", $"o_custkey", $"o_totalprice")
+        // exact scan-source audit (plan STRINGS truncate long file lists):
+        // every parquet relation's root paths, classified store vs index
+        def scanRoots(df: DataFrame): Seq[String] =
+          df.queryExecution.optimizedPlan.collect {
+            case r: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+              r.relation match {
+                case f: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+                  f.location.rootPaths.map(_.toUri.getPath)
+                case _ => Seq.empty[String]
+              }
+          }.flatten
+        def under(p: String, dir: String) = p == dir || p.startsWith(dir + "/")
+        // the wide covered RANGE routes even under a tiny key cap — the
+        // one-hop form never fetches keys to the driver
+        s.conf.set("spark.graft.indexroute.maxKeys", "5")
+        val f0 = GraftIndexRoute.fired
+        val covDf = covQ()
+        val routed = covDf.collect()
+        require(GraftIndexRoute.fired > f0,
+          "the covered range must route even under maxKeys=5")
+        val covRoots = scanRoots(covDf)
+        require(covRoots.nonEmpty && !covRoots.exists(under(_, store)),
+          s"a covered route must never touch the store: $covRoots")
+        require(covRoots.forall(under(_, covIdx)),
+          s"the covered route serves from the index alone: $covRoots")
+        s.conf.unset("spark.graft.indexroute.maxKeys")
+        // adding a non-covered column keeps the two-hop route
+        val f1 = GraftIndexRoute.fired
+        val twoHop = CdcApplier.snapshot(s, store)
+          .filter($"o_custkey".isin(11L, 19L))
+          .select($"o_orderkey", $"o_custkey", $"o_orderstatus")
+        twoHop.collect()
+        require(GraftIndexRoute.fired > f1,
+          "the non-covered projection still routes (two hops)")
+        require(scanRoots(twoHop).exists(under(_, store)),
+          s"the two-hop route must fetch from the store: ${scanRoots(twoHop)}")
+        GraftIndexRoute.unregister(store, "o_custkey")
+        val plain = covQ().collect()
+        require(routed.map(_.toString).sorted.toSeq ==
+          plain.map(_.toString).sorted.toSeq,
+          "covered and unrouted answers must be identical")
+        GraftIndexRoute.register(store, "o_custkey", covIdx)
+        covQ()
+          .withColumn("covered_one_hop", lit(true))
+          .withColumn("uncapped_range", lit(true))
+          .orderBy($"o_orderkey")
+      } finally {
+        s.conf.unset("spark.graft.indexroute.maxKeys")
+        GraftIndexRoute.unregister(store, "o_custkey")
+      }
     }),
 
     "q216_sql_connector" -> ((s, dir) => {
@@ -5491,6 +5597,13 @@ object CdcQueries {
           CAST(8 AS BIGINT), true
         FROM live
         UNION ALL
+        SELECT 'o_orderdate', 't', CAST(count(DISTINCT o_orderdate) AS BIGINT),
+          CAST(0 AS BIGINT),
+          CAST(epoch_us(min(o_orderdate)) AS VARCHAR),
+          CAST(epoch_us(max(o_orderdate)) AS VARCHAR),
+          CAST(8 AS BIGINT), CAST(8 AS BIGINT), true
+        FROM live
+        UNION ALL
         SELECT 'o_orderstatus', 's',
           CAST(count(DISTINCT o_orderstatus) AS BIGINT), CAST(0 AS BIGINT),
           min(o_orderstatus), max(o_orderstatus),
@@ -5516,6 +5629,23 @@ object CdcQueries {
       FROM orders
       WHERE o_orderkey % 9 <> 4
         AND NOT (o_orderkey BETWEEN 200 AND 260)
+      ORDER BY o_orderkey""",
+
+    // q282: the maintained-payload lifecycle in the covered range — a key
+    // hit by BOTH the price update (+3) and the custkey move (+5) resolves
+    // to the move (last writer by position), whose image carries the
+    // ORIGINAL price.
+    "q282_covered_route" -> """
+      SELECT o_orderkey,
+        CASE WHEN o_orderkey % 6 = 2 THEN o_custkey + 1 ELSE o_custkey END AS o_custkey,
+        CASE WHEN o_orderkey % 6 = 2 THEN o_totalprice
+             WHEN o_orderkey % 4 = 0 THEN o_totalprice * 1.5
+             ELSE o_totalprice END AS o_totalprice,
+        true AS covered_one_hop, true AS uncapped_range
+      FROM orders
+      WHERE o_orderkey % 9 <> 1
+        AND (CASE WHEN o_orderkey % 6 = 2 THEN o_custkey + 1 ELSE o_custkey END)
+            BETWEEN 10 AND 30
       ORDER BY o_orderkey""",
 
     // q274: the same lifecycle filtered to the routed custkey RANGE.

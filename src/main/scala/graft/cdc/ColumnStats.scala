@@ -49,6 +49,7 @@ object ColumnStats {
   private def kindOf(dt: DataType): Option[Char] = dt match {
     case ByteType | ShortType | IntegerType | LongType => Some('i')
     case DateType                                      => Some('a')
+    case TimestampType | TimestampNTZType              => Some('t') // epoch µs
     case FloatType | DoubleType                        => Some('d')
     case BooleanType                                   => Some('b')
     case StringType                                    => Some('s')
@@ -97,6 +98,17 @@ object ColumnStats {
       case 'a' => x match { // both collect() date encodings (java8API conf)
         case d: java.sql.Date       => d.toLocalDate.toEpochDay.toString
         case d: java.time.LocalDate => d.toEpochDay.toString
+      }
+      case 't' => x match { // epoch MICROS; sessions run UTC, so the TZ and
+        // NTZ forms agree with DuckDB's epoch_us over the same parquet
+        case t: java.sql.Timestamp =>
+          (Math.floorDiv(t.getTime, 1000L) * 1000000L +
+            (t.getNanos / 1000L) % 1000000L).toString
+        case t: java.time.Instant =>
+          (t.getEpochSecond * 1000000L + t.getNano / 1000L).toString
+        case t: java.time.LocalDateTime =>
+          val i = t.toInstant(java.time.ZoneOffset.UTC)
+          (i.getEpochSecond * 1000000L + i.getNano / 1000L).toString
       }
       case 'd' => x.asInstanceOf[Number].doubleValue.toString
       case 'b' => if (x.asInstanceOf[Boolean]) "1" else "0"
@@ -170,6 +182,7 @@ object ColumnStats {
       case ('i', IntegerType) => canon.toLong.toInt
       case ('i', LongType)    => canon.toLong
       case ('a', DateType)    => canon.toLong.toInt // epoch days
+      case ('t', TimestampType | TimestampNTZType) => canon.toLong // epoch µs
       case ('d', FloatType)   => canon.toDouble.toFloat
       case ('d', DoubleType)  => canon.toDouble
       case ('b', BooleanType) => canon == "1"

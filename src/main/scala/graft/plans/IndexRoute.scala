@@ -206,11 +206,22 @@ object GraftIndexRoute extends Rule[LogicalPlan] {
     case _ => false
   }
 
-  /** The index-side lookup for one route: the matched keys projected to the
-    * store's PK, or None to decline (cap exceeded, layout ineligible). */
-  private def indexKeys(spark: SparkSession, route: Route,
-      storePk: Seq[String]): Option[org.apache.spark.sql.DataFrame] = {
+  /** The served frame for one route. NON-covered (the default): the index
+    * lookup's matched keys feed a second pointLookup into the store.
+    * COVERED (q282; Phoenix's covered query): when every projected column
+    * already lives on the index table, the index lookup IS the answer —
+    * one hop, no store read at all; a covered RANGE additionally needs NO
+    * key cap (nothing is ever fetched to the driver — the covering-bucket
+    * scan is distributed end-to-end, so arbitrarily wide ranges route).
+    * None declines (cap exceeded, layout ineligible). */
+  private def serve(spark: SparkSession, route: Route, storePk: Seq[String],
+      idxMeta: graft.cdc.CdcApplier.TargetMeta, covered: Boolean)
+      : Option[org.apache.spark.sql.DataFrame] = {
     val cap = maxKeys(spark)
+    def fetch(idx: org.apache.spark.sql.DataFrame) =
+      if (covered) idx
+      else CdcApplier.pointLookup(spark, route.storePath,
+        idx.select(storePk.map(org.apache.spark.sql.functions.col): _*))
     route.form match {
       case Points(values) =>
         if (values.size > cap) return None
@@ -226,26 +237,23 @@ object GraftIndexRoute extends Rule[LogicalPlan] {
           org.apache.spark.sql.types.StructType(Seq(
             org.apache.spark.sql.types.StructField(
               route.col.name, route.col.dataType, nullable = false))))
-        Some(CdcApplier.pointLookup(spark, route.indexDir, keys)
-          .select(storePk.map(org.apache.spark.sql.functions.col): _*))
+        Some(fetch(CdcApplier.pointLookup(spark, route.indexDir, keys)))
       case Range(lo, hi) =>
         // range routes ONLY over a range-bucketed index whose bucket key IS
         // the indexed column (q274) — on a hash layout the range would read
         // every index bucket, so decline
-        val imeta = graft.cdc.CdcApplier.TargetMeta.read(
-          spark.sparkContext.hadoopConfiguration,
-          new org.apache.hadoop.fs.Path(route.indexDir)).getOrElse(return None)
-        if (imeta.rangeBounds.isEmpty) return None
-        val ipk = imeta.pkCols.getOrElse(return None)
-        if (imeta.bucketCols.getOrElse(ipk).headOption != Some(route.col.name))
+        if (idxMeta.rangeBounds.isEmpty) return None
+        val ipk = idxMeta.pkCols.getOrElse(return None)
+        if (idxMeta.bucketCols.getOrElse(ipk).headOption != Some(route.col.name))
           return None
         val matched = CdcApplier.rangeLookup(spark, route.indexDir,
           lo.getOrElse(Long.MinValue), hi.getOrElse(Long.MaxValue))
-          .select(storePk.map(org.apache.spark.sql.functions.col): _*)
-        // bounded-fetch enforcement: one count over the covering buckets —
-        // wider matches decline to the scan (which is then the right plan)
-        if (matched.limit(cap + 1).count() > cap) None
-        else Some(matched)
+        if (covered) Some(matched)
+        // bounded-fetch enforcement on the two-hop form only: one count
+        // over the covering buckets — wider matches decline to the scan
+        // (which is then the right plan)
+        else if (matched.limit(cap + 1).count() > cap) None
+        else Some(fetch(matched))
     }
   }
 
@@ -264,8 +272,22 @@ object GraftIndexRoute extends Rule[LogicalPlan] {
         spark.sparkContext.hadoopConfiguration,
         new org.apache.hadoop.fs.Path(storePath))
       storePk <- storeMeta.pkCols
-      keys <- indexKeys(spark, route, storePk)
-      fetched = CdcApplier.pointLookup(spark, storePath, keys)
+      idxMeta <- graft.cdc.CdcApplier.TargetMeta.read(
+        spark.sparkContext.hadoopConfiguration,
+        new org.apache.hadoop.fs.Path(route.indexDir))
+      // covered eligibility (q282): every projected column lives on the
+      // index table — LOGICAL names, since the lookup logicalizes. The
+      // layout offset `_graft_pos` is NEVER covered: the index's positions
+      // are its own, not the store's, and serving them would lie.
+      idxCols = idxMeta.schemaJson.map(j =>
+        org.apache.spark.sql.types.DataType.fromJson(j)
+          .asInstanceOf[org.apache.spark.sql.types.StructType].fieldNames.toSeq
+          .filterNot(c => c == CdcApplier.DEL || c == CdcApplier.BUCKET)
+          .map(c => CdcApplier.logicalName(Some(idxMeta), c)).toSet)
+        .getOrElse(Set.empty[String])
+      covered = idxCols.nonEmpty && outAttrs.forall(o =>
+        o.name != CdcApplier.POS && idxCols.contains(o.name))
+      fetched <- serve(spark, route, storePk, idxMeta, covered)
       // this subtree is injected POST-analysis into an already-optimized
       // plan, so hint wrappers must be resolved here (EliminateResolvedHint
       // already ran); dropping them costs at most a join strategy, and the

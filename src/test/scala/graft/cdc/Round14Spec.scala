@@ -111,7 +111,11 @@ class Round14Spec extends AnyFunSuite {
     val base = Files.createTempDirectory("graft_r14").toString
     val store = base + "/store"
     val index = base + "/index"
-    val data = spark.range(1, 101).select($"id".as("k"), ($"id" * 3).as("v"))
+    // `w` lives ONLY on the store, so projecting it forces the TWO-HOP
+    // route — the form the key cap guards (a covered projection would
+    // route uncapped, q282's contract, tested separately)
+    val data = spark.range(1, 101)
+      .select($"id".as("k"), ($"id" * 3).as("v"), ($"id" + 0.5).as("w"))
     CdcApplier.applyBatch(spark, ChangeFeed.inserts(data, $"k" * 10), store, opts)
     CdcApplier.applyBatch(spark,
       ChangeFeed.inserts(data.select($"v", $"k"), $"k" * 10), index,
@@ -125,14 +129,22 @@ class Round14Spec extends AnyFunSuite {
       val f0 = GraftIndexRoute.fired
       val d0 = GraftIndexRoute.declined
       CdcApplier.snapshot(spark, store)
-        .filter($"v" >= 3L && $"v" <= 150L).select($"k", $"v")
+        .filter($"v" >= 3L && $"v" <= 150L).select($"k", $"v", $"w")
         .queryExecution.optimizedPlan
       assert(GraftIndexRoute.fired == f0 && GraftIndexRoute.declined == d0 + 1,
-        "a wide range must decline after the bounded count")
+        "a wide two-hop range must decline after the bounded count")
+      // the SAME wide range with a COVERED projection routes uncapped
+      // (q282: the one-hop form never fetches keys to the driver)
+      val fc = GraftIndexRoute.fired
+      CdcApplier.snapshot(spark, store)
+        .filter($"v" >= 3L && $"v" <= 150L).select($"k", $"v")
+        .queryExecution.optimizedPlan
+      assert(GraftIndexRoute.fired == fc + 1,
+        "the covered form of the same range routes under the tiny cap")
       spark.conf.set("spark.graft.indexroute.maxKeys", "1024")
       val f1 = GraftIndexRoute.fired
       val routed = CdcApplier.snapshot(spark, store)
-        .filter($"v" >= 3L && $"v" <= 150L).select($"k", $"v")
+        .filter($"v" >= 3L && $"v" <= 150L).select($"k", $"v", $"w")
       val got = routed.collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
       assert(GraftIndexRoute.fired == f1 + 1, "inside the cap the range routes")
       val want = (1L to 50L).map(k => (k, k * 3)).toSeq
@@ -327,6 +339,34 @@ class Round14Spec extends AnyFunSuite {
     val scan = b.build().asInstanceOf[graft.sources.GraftScan]
     assert(!scan.estimateStatistics().numRows().isPresent,
       "a bucket-pruned read keeps byte-based statistics")
+  }
+
+  // ---- covered routing (q282): the POS exclusion ---------------------------
+
+  test("q282: _graft_pos is never covered — the route serves STORE positions") {
+    val base = Files.createTempDirectory("graft_r14").toString
+    val store = base + "/store"
+    val index = base + "/index"
+    val data = spark.range(1, 41).select($"id".as("k"), ($"id" % 7).as("v"))
+    // store positions k*100; index positions k*100+1 — DIFFERENT on purpose
+    CdcApplier.applyBatch(spark, ChangeFeed.inserts(data, $"k" * 100), store, opts)
+    CdcApplier.applyBatch(spark,
+      ChangeFeed.inserts(data.select($"v", $"k"), $"k" * 100 + 1), index,
+      CdcApplier.Options(Seq("v", "k"), bucketCols = Some(Seq("v")), numBuckets = 4))
+    import graft.plans.GraftIndexRoute
+    GraftIndexRoute.install(spark)
+    GraftIndexRoute.register(store, "v", index)
+    try {
+      val f0 = GraftIndexRoute.fired
+      // (k, v) alone IS covered by the index; adding _graft_pos must force
+      // the two-hop route — index positions are not store positions
+      val got = CdcApplier.snapshot(spark, store)
+        .filter($"v" === 3L).select($"k", $"v", col(CdcApplier.POS))
+        .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+      assert(GraftIndexRoute.fired > f0, "the projection still routes")
+      assert(got.nonEmpty && got.forall { case (k, p) => p == k * 100 },
+        s"served positions must be the STORE's, never the index's: $got")
+    } finally GraftIndexRoute.unregister(store, "v")
   }
 
   // ---- zorder bounds (q279): arity + low-NDV collapse ----------------------
