@@ -173,8 +173,30 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     isTableDir(tablePath(ident))
 
   override def loadTable(ident: Identifier): Table = {
+    // Branch-qualified spelling (q287; Iceberg's `t.branch_<name>`): in
+    // `cat.ns.t.branch_x` the last element arrives as the ident NAME with
+    // the table as the namespace tail. Resolves ONLY when the base table
+    // and a live branch both exist, so a real table named branch_* (if
+    // anyone makes one) still wins through the ordinary path below. The
+    // returned table READS the branch lineage and WRITES (INSERT / UPDATE /
+    // MERGE / DELETE) as branch staging — main untouched until
+    // fast_forward.
+    if (ident.name.startsWith("branch_") && ident.namespace.length >= 2) {
+      val baseIdent = Identifier.of(ident.namespace.init, ident.namespace.last)
+      val bdir = tablePath(baseIdent)
+      val bname = ident.name.stripPrefix("branch_")
+      if (isTableDir(bdir) && bname.nonEmpty &&
+          graft.cdc.Branch.exists(spark, bdir.toString, bname))
+        return new GraftTable(bdir.toString,
+          GraftTable.tableSchema(spark, bdir.toString), spjCapable = true,
+          branch = Some(bname))
+    }
     val dir = tablePath(ident)
     if (!isTableDir(dir)) throw new NoSuchTableException(ident)
+    // q283: the durable index registrations live in `.graft_meta`; the
+    // optimizer route table is in-memory per JVM — re-register this
+    // table's LIVE indexes on load so a fresh session routes immediately
+    graft.cdc.IndexLifecycle.registerLive(spark, dir.toString)
     // spjCapable: THIS catalog resolves the `bucket` transform (q255), so
     // tables it serves may report their layout for storage-partitioned
     // joins; path-based/session-catalog reads must not (their catalog
@@ -362,13 +384,16 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
           require(!meta.drops.exists(_.contains(n)),
             s"'$n' is a retired (dropped) column's physical name; pick a fresh name")
           // additive evolution (S4): always nullable — stored rows have no
-          // value for it, and the applier's merge surfaces NULL. New data
-          // columns land BEFORE the layout columns so the served column
-          // order stays (data..., _graft_pos) — positional INSERTs depend
-          // on it.
-          val layoutNames = Set(CdcApplier.POS, CdcApplier.DEL, CdcApplier.BUCKET)
-          val (data, layout) = s.fields.partition(f => !layoutNames(f.name))
-          StructType(data ++ Seq(StructField(n, add.dataType, nullable = true)) ++ layout)
+          // value for it, and the applier's merge surfaces NULL. New
+          // columns APPEND AT THE END (the Iceberg/Delta convention):
+          // Spark's MERGE schema evolution (q288) remaps the statement's
+          // already-resolved attributes old→new BY ORDINAL, so an ALTER
+          // that inserted mid-schema would silently rebind every column
+          // behind the insertion point (`_graft_pos` landing on the new
+          // column was the observed failure). Positional INSERTs follow
+          // the served order, so post-ALTER they list the new column LAST
+          // (after `_graft_pos`).
+          StructType(s.fields :+ StructField(n, add.dataType, nullable = true))
         }
         TargetMeta.write(hconf, dir, meta.copy(schemaJson = Some(evolved.json)))
       }

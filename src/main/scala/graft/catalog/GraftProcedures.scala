@@ -45,7 +45,8 @@ object GraftProcedures {
   private val names = Seq("optimize", "compact", "vacuum", "rebucket", "backfill",
     "history", "tag", "drop_tag", "tags", "detail",
     "rollback", "commits", "files", "branch", "fast_forward", "drop_branch",
-    "branches", "analyze", "zorder", "stats")
+    "branches", "analyze", "zorder", "stats", "create_index", "drop_index",
+    "indexes")
 
   def list(catalogName: String): Array[Identifier] =
     names.map(n => Identifier.of(Array(Namespace), n)).toArray
@@ -103,11 +104,27 @@ class GraftProcedure(root: Path, op: String) extends UnboundProcedure with Bound
       in("table", StringType).build(),
       in("name", StringType).build())
     case "branches" => Array(in("table", StringType).build())
-    case "analyze" | "stats" => Array(in("table", StringType).build())
+    case "stats" => Array(in("table", StringType).build())
+    case "analyze" => Array(
+      in("table", StringType).build(),
+      in("approx", org.apache.spark.sql.types.BooleanType)
+        .defaultValue("false").build(),
+      in("histogram_bins", IntegerType).defaultValue("0").build())
     case "zorder" => Array(
       in("table", StringType).build(),
       in("columns", StringType).build(),
       in("target_mb", IntegerType).defaultValue("128").build())
+    case "create_index" => Array(
+      in("table", StringType).build(),
+      in("column", StringType).build(),
+      in("covering", StringType).defaultValue("''").build(),
+      in("layout", StringType).defaultValue("'hash'").build(),
+      in("buckets", IntegerType).defaultValue("CAST(NULL AS INT)").build(),
+      in("max_buckets", IntegerType).defaultValue("2147483647").build())
+    case "drop_index" => Array(
+      in("table", StringType).build(),
+      in("column", StringType).build())
+    case "indexes" => Array(in("table", StringType).build())
   }
 
   private def dirOf(table: String): String = {
@@ -346,7 +363,9 @@ class GraftProcedure(root: Path, op: String) extends UnboundProcedure with Bound
     // the scans' SupportsReportStatistics — join reorder and broadcast
     // selection then run on real numbers.
     if (op == "analyze") {
-      val ts = graft.cdc.ColumnStats.analyze(spark, dir)
+      val ts = graft.cdc.ColumnStats.analyze(spark, dir,
+        approx = !input.isNullAt(1) && input.getBoolean(1),
+        histogramBins = if (input.isNullAt(2)) 0 else input.getInt(2))
       val schema = StructType(Seq(
         StructField("op", StringType, nullable = false),
         StructField("target", StringType, nullable = false),
@@ -413,6 +432,77 @@ class GraftProcedure(root: Path, op: String) extends UnboundProcedure with Bound
       val row: InternalRow = new GenericInternalRow(Array[Any](
         UTF8String.fromString(op), UTF8String.fromString(table), touched.size,
         UTF8String.fromString(bounds.map(_.mkString(",")).mkString(";"))))
+      return java.util.Collections.singletonList[Scan](new LocalScan {
+        override def rows(): Array[InternalRow] = Array(row)
+        override def readSchema(): StructType = schema
+      }).iterator()
+    }
+    // CREATE INDEX / DROP INDEX (q283): the full secondary-index lifecycle
+    // as DDL — seed backfill from the current store state (bucket-sliced,
+    // resumable via max_buckets; crash-resume re-CALLs), automatic
+    // maintenance from every subsequent apply, optimizer-route
+    // auto-registration on completion. Returns one row: lifecycle state
+    // after this call + the store buckets seeded by it.
+    if (op == "create_index") {
+      val column = input.getUTF8String(1).toString
+      val covering = input.getUTF8String(2).toString.split(",").toSeq
+        .map(_.trim).filter(_.nonEmpty)
+      val layout = input.getUTF8String(3).toString
+      val buckets = if (input.isNullAt(4)) None else Some(input.getInt(4))
+      val r = graft.cdc.IndexLifecycle.createIndex(
+        spark, dir, column, covering, layout, buckets, input.getInt(5))
+      val schema = StructType(Seq(
+        StructField("op", StringType, nullable = false),
+        StructField("target", StringType, nullable = false),
+        StructField("column", StringType, nullable = false),
+        StructField("state", StringType, nullable = false),
+        StructField("seeded_buckets", IntegerType, nullable = false)))
+      val row: InternalRow = new GenericInternalRow(Array[Any](
+        UTF8String.fromString(op), UTF8String.fromString(table),
+        UTF8String.fromString(column), UTF8String.fromString(r.state),
+        r.seeded.size))
+      return java.util.Collections.singletonList[Scan](new LocalScan {
+        override def rows(): Array[InternalRow] = Array(row)
+        override def readSchema(): StructType = schema
+      }).iterator()
+    }
+    // SECONDARY INDEXES AS A RELATION (q290; the observability half of
+    // q283, the system.stats pattern): one row per index — lifecycle
+    // state, layout, covering payload, live entry count (NULL while
+    // building — a partial count would read as corruption), and seed
+    // progress in store buckets. Refuses when the table has none.
+    if (op == "indexes") {
+      val infos = graft.cdc.IndexLifecycle.describe(spark, dir)
+      val schema = StructType(Seq(
+        StructField("idx_column", StringType, nullable = false),
+        StructField("state", StringType, nullable = false),
+        StructField("layout", StringType, nullable = false),
+        StructField("covering", StringType, nullable = false),
+        StructField("entries", LongType, nullable = true),
+        StructField("seeded_buckets", IntegerType, nullable = false),
+        StructField("total_buckets", IntegerType, nullable = false)))
+      val outRows: Array[InternalRow] = infos.map { i =>
+        new GenericInternalRow(Array[Any](
+          UTF8String.fromString(i.column), UTF8String.fromString(i.state),
+          UTF8String.fromString(i.layout),
+          UTF8String.fromString(i.covering.mkString(",")),
+          i.entries.map(Long.box).orNull, i.seeded, i.total)): InternalRow
+      }.toArray
+      return java.util.Collections.singletonList[Scan](new LocalScan {
+        override def rows(): Array[InternalRow] = outRows
+        override def readSchema(): StructType = schema
+      }).iterator()
+    }
+    if (op == "drop_index") {
+      val column = input.getUTF8String(1).toString
+      graft.cdc.IndexLifecycle.dropIndex(spark, dir, column)
+      val schema = StructType(Seq(
+        StructField("op", StringType, nullable = false),
+        StructField("target", StringType, nullable = false),
+        StructField("column", StringType, nullable = false)))
+      val row: InternalRow = new GenericInternalRow(Array[Any](
+        UTF8String.fromString(op), UTF8String.fromString(table),
+        UTF8String.fromString(column)))
       return java.util.Collections.singletonList[Scan](new LocalScan {
         override def rows(): Array[InternalRow] = Array(row)
         override def readSchema(): StructType = schema

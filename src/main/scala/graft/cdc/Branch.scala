@@ -55,6 +55,11 @@ object Branch {
   def branchDir(mainDir: String, name: String): String = {
     require(name.nonEmpty && name.matches("[A-Za-z0-9_.\\-]+"),
       s"branch name '$name' must be [A-Za-z0-9_.-]+")
+    // purely-numeric names are refused, matching the tag rule (createTag):
+    // SQL `VERSION AS OF '2024'` parses digits as a raw position first, so
+    // an all-digit branch would be permanently unreachable on that surface
+    require(!name.forall(_.isDigit),
+      s"branch name '$name' is purely numeric - VERSION AS OF would read it as a position")
     mainDir + s".branch-$name"
   }
 
@@ -221,6 +226,49 @@ object Branch {
             "branch is no longer a linear continuation; re-branch from the " +
             "current head and re-stage")
       val branchMeta = TargetMeta.read(hconf, new Path(dir))
+      // q283×q287: registered secondary indexes must see the published
+      // branch rows — but fast-forward is file RENAMES, no apply, so the
+      // maintenance envelope is reconstructed from state: the branch's
+      // resolved deltas (after images at their own positions) joined with
+      // main's CURRENT rows for those keys (before images — main cannot
+      // have advanced past the branch point, checked above; the lookup is
+      // bucket-pruned). MATERIALIZED before the renames (it reads the very
+      // files about to move), applied after the publish — the store-then-
+      // index order every apply uses. A key born and deleted entirely on
+      // the branch has nothing to retire and drops out. Cost ∝ the staged
+      // delta, never either table.
+      val ffIdxEnv: Option[org.apache.spark.sql.DataFrame] =
+        if (meta.indexes.exists(_.nonEmpty) &&
+            CdcApplier.bucketIds(fs, new Path(dir)).nonEmpty) {
+          val pk = meta.pkCols.getOrElse(throw new IllegalStateException(
+            s"indexed table at $mainDir has no persisted PK"))
+          val lpk = pk.map(CdcApplier.logicalName(Some(meta), _))
+          val deltas = CdcApplier.logicalize(
+            spark.read.option("mergeSchema", true).parquet(dir), Some(meta))
+          val after = CdcApplier.resolveOnRead(deltas, lpk).as("a")
+          val dataCols = after.columns.toSeq
+            .filterNot(c => c == POS || c == DEL || c == BUCKET)
+          val keys = CdcApplier.resolveOnRead(deltas, lpk)
+            .select(lpk.map(col): _*)
+          val before = CdcApplier.pointLookup(spark, mainDir, keys)
+            .drop(POS).as("b")
+          val joinCond = lpk.map(k => col(s"a.$k") <=> col(s"b.$k")).reduce(_ && _)
+          val bExists = col(s"b.${lpk.head}").isNotNull
+          def img(side: String) =
+            struct(dataCols.map(c => col(s"$side.$c").as(c)): _*)
+          val env = after.join(before, joinCond, "left_outer")
+            .withColumn("op",
+              when(col(s"a.$DEL"), lit("delete"))
+                .when(bExists, lit("update")).otherwise(lit("insert")))
+            // branch-born-and-deleted keys: nothing in main, nothing in
+            // the index — drop (a delete with no before image has no key)
+            .filter(!(col("op") === "delete" && !bExists))
+            .select(col("op"), col(s"a.$POS").as("next_position"),
+              when(bExists, img("b")).as("before"),
+              when(col("op") =!= "delete", img("a")).as("after"))
+            .localCheckpoint()
+          Some(env)
+        } else None
       // a compacted table's sorted / one-version-per-key claim (q276) must
       // clear BEFORE any delta file becomes visible — a crash between the
       // moves and a later meta write would otherwise leave the claim
@@ -267,6 +315,8 @@ object Branch {
         sorted = None))
       fs.delete(new Path(dir), true)
       spark.catalog.refreshByPath(mainDir)
+      // q283×q287: publish-then-maintain, like every apply
+      ffIdxEnv.foreach(IndexLifecycle.maintain(spark, _, mainDir))
       touched.toSeq.sorted
     }
   }

@@ -185,7 +185,14 @@ object CdcApplier {
       drops: Option[Seq[String]] = None,
       sorted: Option[Seq[String]] = None,
       dv: Option[Long] = None,
-      dvDeletes: Option[Boolean] = None)
+      dvDeletes: Option[Boolean] = None,
+      /** Live secondary indexes (q283): indexed LOGICAL column → lifecycle
+        * state (`building` while the seed backfill runs, `live` once
+        * complete and routed). The index table itself lives at the
+        * [[graft.cdc.IndexLifecycle.indexDir]] sibling; its layout/schema
+        * are ITS meta — this entry is only the store-side registration
+        * every apply consults for automatic maintenance. */
+      indexes: Option[Map[String, String]] = None)
 
   object TargetMeta {
     private def metaPath(target: Path) = new Path(target, ".graft_meta")
@@ -208,7 +215,9 @@ object CdcApplier {
           kv.get("drops").map(_.split(",").toSeq.filter(_.nonEmpty)),
           kv.get("sorted").map(_.split(",").toSeq.filter(_.nonEmpty)),
           kv.get("dv").map(_.toLong),
-          kv.get("dvDeletes").map(_ == "1"))
+          kv.get("dvDeletes").map(_ == "1"),
+          kv.get("indexes").map(_.split(",").toSeq.filter(_.nonEmpty)
+            .map { e => val i = e.lastIndexOf(':'); e.take(i) -> e.drop(i + 1) }.toMap))
       }
 
     def write(conf: org.apache.hadoop.conf.Configuration, target: Path, m: TargetMeta): Unit =
@@ -235,6 +244,9 @@ object CdcApplier {
             .getOrElse("") +
           m.dv.filter(_ > 0).map(v => s"dv=$v\n").getOrElse("") +
           m.dvDeletes.filter(identity).map(_ => "dvDeletes=1\n").getOrElse("") +
+          m.indexes.filter(_.nonEmpty).map(ix => s"indexes=${
+            ix.toSeq.sorted.map { case (c, st) => s"$c:$st" }.mkString(",")}\n")
+            .getOrElse("") +
           m.schemaJson.map(j => s"schema=$j\n").getOrElse(""))
   }
 
@@ -885,6 +897,9 @@ object CdcApplier {
       }
     }
     spark.catalog.refreshByPath(targetDir)
+    // q283: registered secondary indexes maintain from the same envelope,
+    // strictly after the store publish
+    IndexLifecycle.maintain(spark, changes, targetDir)
     touched.toSeq.sorted
   }
 
@@ -994,6 +1009,9 @@ object CdcApplier {
         TargetMeta.write(hconf, target, m.copy(
           dv = Some(m.dv.getOrElse(0L) + nVec), sorted = None)))
       spark.catalog.refreshByPath(targetDir)
+      // q283: index entries for masked keys retire as ordinary deletes
+      // (the dv batch carries full before-images by its callers' shape)
+      IndexLifecycle.maintain(spark, changes, targetDir)
       touched.toSeq.sorted
     } finally vectors.unpersist()
   }
@@ -1123,6 +1141,11 @@ object CdcApplier {
       if (layout(phys) || keyCols(phys))
         throw new IllegalArgumentException(
           s"cannot rename '$from': PK/bucket/layout columns are the layout's identity")
+      // q283: a column a secondary index serves (indexed or covering) is
+      // pinned by the index's own schema — evolving it desyncs the two
+      if (IndexLifecycle.servedColumns(hconf, targetDir).contains(from))
+        throw new IllegalStateException(
+          s"cannot rename '$from': a secondary index serves it — drop_index first")
       // the meta KV format is comma/colon/newline-delimited: a physical
       // name carrying a delimiter would corrupt every later meta read
       require(!phys.exists(c => c == ',' || c == ':' || c == '\n'),
@@ -1175,6 +1198,10 @@ object CdcApplier {
           .contains(phys))
         throw new IllegalArgumentException(
           s"cannot drop '$name': PK/bucket/layout columns are the layout's identity")
+      // q283: a column a secondary index serves is pinned by the index
+      if (IndexLifecycle.servedColumns(hconf, targetDir).contains(name))
+        throw new IllegalStateException(
+          s"cannot drop '$name': a secondary index serves it — drop_index first")
       // same delimiter guard as renameColumn — `drops` shares the KV format
       require(!phys.exists(c => c == ',' || c == ':' || c == '\n'),
         s"column '$name': physical name '$phys' carries a meta-format delimiter")
@@ -1847,9 +1874,22 @@ object CdcApplier {
       // q275: outstanding deletion vectors make `current` multi-version
       // (masked row + its tombstone) — the merge's full-outer join assumes
       // one row per key, so resolve first; the rewrite FOLDS the touched
-      // buckets' vectors in passing.
+      // buckets' vectors in passing. The gate is the meta `dv` flag OR
+      // on-disk evidence: applyBatchDv publishes its tombstone renames
+      // strictly BEFORE the flag (the stale-LOW discipline), so in that
+      // documented crash window dv-* files are visible with the flag
+      // absent — trusting the flag alone would feed merge a
+      // two-rows-per-key `current` and duplicate rows into the rewrite.
+      // Cost of the evidence check: one driver-side listing per rewritten
+      // bucket, dwarfed by the rewrite itself.
+      val dvOnDisk = meta.exists(_.dv.exists(_ > 0)) ||
+        (meta.isDefined && rewrite.exists { b =>
+          val d = new Path(target, s"$BUCKET=$b")
+          fs.exists(d) &&
+            fs.listStatus(d).exists(_.getPath.getName.startsWith("dv-"))
+        })
       val currentFolded =
-        if (meta.exists(_.dv.exists(_ > 0))) resolveOnRead(current, pkOrder)
+        if (dvOnDisk) resolveOnRead(current, pkOrder)
         else current
       val merged = merge(currentFolded, resolvedWide, opts)
       // q262: a fresh layout (and any evolution, which rewrites EVERY
@@ -1908,6 +1948,9 @@ object CdcApplier {
       // Invalidate cached file listings/plans over this path (mapped views
       // resolve per query; without this they can see swapped-away files).
       spark.catalog.refreshByPath(targetDir)
+      // q283: registered secondary indexes maintain from the same envelope,
+      // strictly after the store publish
+      IndexLifecycle.maintain(spark, changes, targetDir)
       rewrite.toSeq
     } finally resolved.unpersist()
   }
@@ -2583,6 +2626,10 @@ object CdcApplier {
     if (meta.pkCols.exists(_.contains(column)))
       throw new IllegalStateException(
         s"cannot widen PK column '$column': the bucket hash ran over the stored type")
+    // q283: an indexed/covering column's type is pinned by the index schema
+    if (IndexLifecycle.servedColumns(hconf, targetDir).contains(columnArg))
+      throw new IllegalStateException(
+        s"cannot widen '$columnArg': a secondary index serves it — drop_index first")
     if (field.dataType == to) return
     if (!canWiden(field.dataType, to))
       throw new IllegalStateException(

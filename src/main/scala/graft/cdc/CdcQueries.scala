@@ -2,7 +2,7 @@ package graft.cdc
 
 import java.nio.file.Files
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
@@ -897,6 +897,106 @@ object CdcQueries {
         .orderBy($"o_orderkey")
     }),
 
+    // STREAM-SOURCE ADMISSION CONTROL (q284; Delta's maxFilesPerTrigger /
+    // Kafka's maxOffsetsPerTrigger): without a cap, getOffset offers
+    // everything since the cursor as ONE micro-batch — after downtime the
+    // whole backlog lands as a single unbounded batch. With
+    // `.option("maxPositionsPerTrigger", n)` each offered offset advances
+    // at most n position units past the served cursor, so the backlog
+    // drains as bounded batches. In-gate: the FULL q227 lifecycle lands on
+    // the source BEFORE any tail runs (the downtime backlog), then a
+    // capped tail drains it in >=3 micro-batches — with a MID-DRAIN stop
+    // and a checkpoint-resumed second leg (the restart may interrupt an
+    // apply mid-publish; the resumed single writer reclaims the fence,
+    // the documented restart contract). Exactly-once is asserted by
+    // ACCOUNTING, not just convergence: per-epoch row counts keyed by
+    // batchId (a replayed epoch overwrites, never double-counts) must sum
+    // to exactly the envelope's row count. Final state = q138's oracle —
+    // byte-identical to the uncapped drain. 100 TB: a week-long backlog
+    // on a hot table becomes bounded, checkpointed batches sized by the
+    // deployment, with offsets still served from metadata alone.
+    "q284_stream_admission" -> ((s, dir) => graft.util.SmallBatches(s) {
+      import s.implicits._
+      val o = Tables.load(s, dir, "orders")
+      val base = Files.createTempDirectory("graft_cdc").toString
+      val src = base + "/orders_adm_src"
+      val dst = base + "/orders_adm_dst"
+      val opts = CdcApplier.Options(Seq("o_orderkey"))
+      val b2base = 10000000L
+      val b3base = 20000000L
+      val cur1 = o.withColumn("o_totalprice",
+        when($"o_orderkey" % 4 === 1, $"o_totalprice" * 1.3).otherwise($"o_totalprice"))
+      val cur2 = cur1.filter($"o_orderkey" % 9 =!= 5)
+      val batches = Seq(
+        ChangeFeed.inserts(o, $"o_orderkey" * 10),
+        ChangeFeed.updates(o.filter($"o_orderkey" % 4 === 1),
+          Map("o_totalprice" -> ($"o_totalprice" * 1.3)),
+          $"o_orderkey" * 10 + 2 + b2base)
+          .union(ChangeFeed.deletes(o.filter($"o_orderkey" % 9 === 5),
+            $"o_orderkey" * 10 + 4 + b2base)),
+        ChangeFeed.updates(cur2.filter($"o_orderkey" % 10 === 6),
+          Map("o_orderpriority" -> lit("3-LOW")), $"o_orderkey" * 10 + 6 + b3base))
+      // the ENTIRE lifecycle lands before any tail runs — the backlog
+      batches.foreach(b => CdcApplier.applyBatchMor(s, b, src, opts))
+      // exactly-once baseline: the UNCAPPED feed's own row count (a key
+      // hit twice inside one apply stores only its resolved version, so
+      // the raw envelope input over-counts)
+      val expectedRows = CdcApplier.changeFeed(s, src, Long.MinValue).count()
+      // per-epoch accounting: batchId -> rows served in that epoch; a
+      // replayed epoch OVERWRITES its entry (exactly-once bookkeeping)
+      val seen = new java.util.concurrent.ConcurrentHashMap[java.lang.Long, java.lang.Long]()
+      def startTail() = s.readStream.format("graft")
+        .option("maxPositionsPerTrigger", 10000000L)
+        .load(src)
+        .writeStream
+        .option("checkpointLocation", base + "/ckpt_adm")
+        .foreachBatch { (feed: DataFrame, id: Long) =>
+          val frame = feed.localCheckpoint()
+          val n = frame.count()
+          if (n > 0) {
+            // the mid-drain stop below may interrupt an apply holding the
+            // commit fence; the resumed single writer reclaims — the
+            // documented restart contract (StreamingPipeline does the same)
+            try CdcApplier.applyBatch(s, frame, dst, opts)
+            catch {
+              case _: CdcApplier.GraftConcurrentWriteException =>
+                CdcApplier.reclaimCommit(s, dst)
+                CdcApplier.applyBatch(s, frame, dst, opts)
+            }
+          }
+          seen.put(id, n); ()
+        }
+        .start()
+      // leg 1: drain only the first capped slice(s), stop MID-backlog
+      val t1 = startTail()
+      try {
+        val deadline = System.currentTimeMillis() + 120000L
+        while (seen.isEmpty && System.currentTimeMillis() < deadline)
+          Thread.sleep(50)
+        require(!seen.isEmpty, "the first capped micro-batch must land")
+      } finally t1.stop()
+      // leg 2: resume from the checkpoint; the cap keeps slicing
+      val t2 = startTail()
+      try t2.processAllAvailable() finally t2.stop()
+      val nBatches = seen.size()
+      require(nBatches >= 3,
+        s"the capped backlog must drain in >=3 micro-batches, got $nBatches")
+      val served = {
+        var s0 = 0L
+        seen.values().forEach(v => s0 += v.longValue)
+        s0
+      }
+      require(served == expectedRows,
+        s"exactly-once accounting: served $served of $expectedRows envelope rows " +
+          s"(epochs: ${
+            import scala.jdk.CollectionConverters._
+            seen.asScala.toSeq.sortBy(_._1.longValue)
+              .map { case (k, v) => s"$k->$v" }.mkString(", ")})")
+      CdcApplier.snapshot(s, dst)
+        .select(o.columns.map(col).toIndexedSeq: _*)
+        .orderBy($"o_orderkey")
+    }),
+
     // ONE-QUERY REPLICATION (q228): the reference's entire runtime
     // topology — tail a change log (S1), apply with merge discipline
     // (S9-S12), checkpoint offsets (S14) — as a single Structured
@@ -1415,9 +1515,12 @@ object CdcQueries {
                FROM q231_orders WHERE o_orderkey % 7 = 0""")
       s.sql("DELETE FROM q231cat.prod.orders_t WHERE o_orderkey BETWEEN 1000 AND 3000")
       s.sql("ALTER TABLE q231cat.prod.orders_t ADD COLUMN flag STRING")
+      // evolved columns append at the END of the served order — after
+      // `_graft_pos` — so a positional INSERT lists them last (q288: the
+      // append-at-end contract Spark's merge evolution remaps by)
       s.sql("""INSERT INTO q231cat.prod.orders_t
                SELECT 9999999L, o_custkey, o_orderstatus, 123.0,
-                      o_orderdate, o_orderpriority, 'evolved', CAST(NULL AS BIGINT)
+                      o_orderdate, o_orderpriority, CAST(NULL AS BIGINT), 'evolved'
                FROM q231_orders
                WHERE o_orderkey = (SELECT min(o_orderkey) FROM q231_orders)""")
       s.sql("""SELECT o_orderkey, o_totalprice, o_orderstatus, flag
@@ -3260,6 +3363,226 @@ object CdcQueries {
         .orderBy($"o_orderkey")
     }),
 
+    // SQL WRITES TO A BRANCH (q287; Iceberg's `t.branch_<name>` write
+    // spelling): q277 reads branches via SQL but STAGING still went
+    // through the API — a release engineer wants the stage leg as the
+    // DML they already type. The catalog now resolves
+    // `cat.ns.t.branch_<name>` to a branch-bound table: SELECT serves the
+    // branch lineage, and INSERT / UPDATE / MERGE / DELETE stage through
+    // Branch.applyBatch with positions self-assigned past the branch
+    // point — main untouched until fast_forward. The gate runs the FULL
+    // WAP lifecycle with every stage statement as SQL: UPDATE reprices,
+    // row-level DELETE trims, MERGE composes on the already-repriced
+    // lineage (matched UPDATE reads target values) and births new keys,
+    // INSERT appends more — while a CONCURRENT main reader observes zero
+    // deviation; the audit read (both spellings: the branch ident and
+    // VERSION AS OF) approves the lineage; fast_forward publishes it
+    // bit-for-bit; the branch spelling then refuses. Oracle: the
+    // declarative replay of all four statements. 100 TB: the release flow
+    // is plain DML + one CALL — staging costs the statements' own
+    // bucket-pruned applies, publish costs renames.
+    "q287_branch_sql_writes" -> ((s, dir) => {
+      import s.implicits._
+      val o = Tables.load(s, dir, "orders")
+      val whRoot = graftCatRoot(s)
+      s.sql("DROP TABLE IF EXISTS q245cat.prod.orders_wap2")
+      s.sql(s"""CREATE TABLE q245cat.prod.orders_wap2 (${o.schema.toDDL})
+                OPTIONS (pk 'o_orderkey', buckets '16', storage 'mor')""")
+      val target = s"$whRoot/prod/orders_wap2"
+      CdcApplier.applyBatchMor(s, ChangeFeed.inserts(o, lit(100L)), target,
+        CdcApplier.Options(Seq("o_orderkey")))
+      s.sql("CALL q245cat.system.branch(table => 'prod.orders_wap2', name => 'release')")
+      val branchT = "q245cat.prod.orders_wap2.branch_release"
+      val baseCount = o.count()
+      @volatile var deviations = 0
+      @volatile var reads = 0
+      @volatile var stop = false
+      val reader = new Thread(() => {
+        while (!stop) {
+          try {
+            val n = s.sql("SELECT count(*) FROM q245cat.prod.orders_wap2")
+              .first.getLong(0)
+            reads += 1
+            if (n != baseCount) deviations += 1
+          } catch { case _: Throwable => deviations += 1 }
+          Thread.sleep(20)
+        }
+      }, "q287-main-reader")
+      reader.setDaemon(true)
+      reader.start()
+      val audRows =
+        try {
+          // 1. UPDATE: reprice %3 on the branch
+          s.sql(s"""UPDATE $branchT SET o_totalprice = o_totalprice * 1.25
+                    WHERE o_orderkey % 3 = 0""")
+          // 2. row-level DELETE (untranslatable predicate): trim %11
+          s.sql(s"DELETE FROM $branchT WHERE o_orderkey % 11 = 0")
+          // 3. MERGE: matched UPDATE composes on the branch's CURRENT
+          //    (already-repriced) values; NOT MATCHED births +10M keys
+          o.filter($"o_orderkey" % 5 === 2 && $"o_orderkey" % 11 =!= 0)
+            .unionByName(o.filter($"o_orderkey" % 250 === 0)
+              .withColumn("o_orderkey", $"o_orderkey" + 10000000L))
+            .createOrReplaceTempView("q287_src")
+          s.sql(s"""MERGE INTO $branchT t USING q287_src s
+                    ON t.o_orderkey = s.o_orderkey
+                    WHEN MATCHED THEN
+                      UPDATE SET o_totalprice = t.o_totalprice * 1.1
+                    WHEN NOT MATCHED THEN
+                      INSERT (o_orderkey, o_custkey, o_orderstatus,
+                              o_totalprice, o_orderdate, o_orderpriority,
+                              _graft_pos)
+                      VALUES (s.o_orderkey, s.o_custkey, s.o_orderstatus,
+                              s.o_totalprice, s.o_orderdate,
+                              s.o_orderpriority, CAST(NULL AS BIGINT))""")
+          // 4. INSERT INTO the branch: +20M keys
+          o.filter($"o_orderkey" % 500 === 0)
+            .withColumn("o_orderkey", $"o_orderkey" + 20000000L)
+            .createOrReplaceTempView("q287_ins")
+          s.sql(s"""INSERT INTO $branchT
+                    SELECT *, CAST(NULL AS BIGINT) FROM q287_ins""")
+          // audit through BOTH read spellings — one lineage
+          val viaIdent = s.sql(
+            s"SELECT o_orderkey, o_totalprice AS px FROM $branchT")
+            .collect().map(r => (r.getLong(0), r.getDouble(1))).toSet
+          val viaAsOf = s.sql(
+            """SELECT o_orderkey, o_totalprice AS px
+               FROM q245cat.prod.orders_wap2 VERSION AS OF 'release'""")
+            .collect().map(r => (r.getLong(0), r.getDouble(1))).toSet
+          require(viaIdent == viaAsOf,
+            "the branch ident spelling and VERSION AS OF must serve one lineage")
+          viaIdent
+        } finally { stop = true; reader.join(30000) }
+      require(reads > 0 && deviations == 0,
+        s"main readers must be pinned unchanged mid-stage ($reads reads, " +
+          s"$deviations deviations)")
+      s.sql("CALL q245cat.system.fast_forward(table => 'prod.orders_wap2', " +
+        "name => 'release')")
+      val branchGone = scala.util.Try(
+        s.sql(s"SELECT count(*) FROM $branchT").collect()).isFailure
+      require(branchGone, "the branch spelling must refuse once fast-forwarded")
+      val published = s.sql(
+        """SELECT o_orderkey, o_totalprice AS px
+           FROM q245cat.prod.orders_wap2""")
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSet
+      require(published == audRows,
+        "main must publish BIT-FOR-BIT what the SQL audit approved")
+      s.sql("""SELECT o_orderkey, o_totalprice AS px
+               FROM q245cat.prod.orders_wap2""")
+        .withColumn("stage_was_sql", lit(true))
+        .withColumn("pinned_mid_stage", lit(deviations == 0))
+        .withColumn("ident_read_matches", lit(true))
+        .withColumn("branch_gone", lit(branchGone))
+        .orderBy($"o_orderkey")
+    }),
+
+    // ---- q288: ADDITIVE SCHEMA EVOLUTION THROUGH SQL MERGE/INSERT (the
+    //      S4 path q160 proved on the applier, surfaced on the statements
+    //      a user actually types; public design points: Spark 4's own
+    //      `MERGE ... WITH SCHEMA EVOLUTION` + TableCapability
+    //      AUTOMATIC_SCHEMA_EVOLUTION, and Delta's schema.autoMerge conf /
+    //      mergeSchema-append semantics for INSERT). Five legs, one store:
+    //      (1) explicit syntax: `MERGE WITH SCHEMA EVOLUTION INTO` carries
+    //          a NEW o_channel column — Spark computes the AddColumn,
+    //          routes it through GraftCatalog.alterTable (the fenced S4
+    //          additive commit), reloads, and the merge lands; untouched
+    //          rows surface NULL;
+    //      (2) the same syntax under NOT MATCHED: o_score evolves, matched
+    //          keys score, the insert action births +10M keys carrying the
+    //          evolved columns (the capability is a PREREQUISITE Spark
+    //          checks, never a trigger — graft tables advertise it always);
+    //      (3) a PLAIN merge naming yet another new column REFUSES at
+    //          analysis (the reference's fail-fast drift posture stays the
+    //          default; the statement syntax is the explicit opt-in);
+    //      (4) old-schema statement replay: a merge whose SOURCE has the
+    //          ORIGINAL schema converges post-evolution — assignments
+    //          align, evolved columns ride through untouched (q161's
+    //          restart-on-DDL discipline at the statement level);
+    //      (5) INSERT: with the conf on, ACCEPT_ANY_SCHEMA admits a BY
+    //          NAME frame carrying a new o_tag column AND omitting most
+    //          stored columns — extra evolves, absent NULL-pads, PK
+    //          required; conf off, the same INSERT refuses.
+    //      Oracle: the whole lifecycle replayed declaratively. 100 TB: the
+    //      evolving batch is the applier's table-wide rewrite (rare,
+    //      DDL-driven); every non-evolving statement stays cost ∝ touched
+    //      buckets.
+    "q288_merge_schema_evolution" -> ((s, dir) => {
+      import s.implicits._
+      val o = Tables.load(s, dir, "orders")
+      val whRoot = graftCatRoot(s)
+      s.sql("DROP TABLE IF EXISTS q245cat.prod.orders_evosql")
+      s.sql(s"""CREATE TABLE q245cat.prod.orders_evosql (${o.schema.toDDL})
+                OPTIONS (pk 'o_orderkey', buckets '8')""")
+      val target = s"$whRoot/prod/orders_evosql"
+      CdcApplier.applyBatch(s, ChangeFeed.inserts(o, lit(10L)), target,
+        CdcApplier.Options(Seq("o_orderkey")))
+      val tbl = "q245cat.prod.orders_evosql"
+      // leg 1: explicit WITH SCHEMA EVOLUTION syntax
+      o.filter($"o_orderkey" % 3 === 0)
+        .select($"o_orderkey", ($"o_totalprice" * 2.0).as("o_totalprice"),
+          concat(lit("ch-"), ($"o_orderkey" % 7).cast("string")).as("o_channel"))
+        .createOrReplaceTempView("q288_src1")
+      s.sql(s"""MERGE WITH SCHEMA EVOLUTION INTO $tbl t USING q288_src1 s
+                ON t.o_orderkey = s.o_orderkey
+                WHEN MATCHED THEN UPDATE SET
+                  o_totalprice = s.o_totalprice, o_channel = s.o_channel""")
+      require(s.table(tbl).columns.contains("o_channel"),
+        "WITH SCHEMA EVOLUTION must ALTER-add the new source column")
+      // leg 2: the syntax with a NOT MATCHED insert action birthing rows
+      // that carry the evolved columns
+      o.filter($"o_orderkey" % 5 === 1)
+        .withColumn("o_score", ($"o_orderkey" % 100) / lit(10.0))
+        .unionByName(o.filter($"o_orderkey" % 200 === 0)
+          .withColumn("o_score", ($"o_orderkey" % 100) / lit(10.0))
+          .withColumn("o_orderkey", $"o_orderkey" + 10000000L))
+        .createOrReplaceTempView("q288_src2")
+      s.sql(s"""MERGE WITH SCHEMA EVOLUTION INTO $tbl t USING q288_src2 s
+                ON t.o_orderkey = s.o_orderkey
+                WHEN MATCHED THEN UPDATE SET o_score = s.o_score
+                WHEN NOT MATCHED THEN INSERT
+                  (o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+                   o_orderdate, o_orderpriority, o_channel, o_score,
+                   _graft_pos)
+                VALUES (s.o_orderkey, s.o_custkey, s.o_orderstatus,
+                  s.o_totalprice, s.o_orderdate, s.o_orderpriority,
+                  CAST(NULL AS STRING), s.o_score, CAST(NULL AS BIGINT))""")
+      require(s.table(tbl).columns.contains("o_score"),
+        "the evolving merge's insert action must land the evolved column")
+      // leg 3: a PLAIN merge — fail-fast drift posture stays the default
+      o.limit(5).withColumn("o_bad", lit(1))
+        .createOrReplaceTempView("q288_src3")
+      val refused = scala.util.Try(s.sql(
+        s"""MERGE INTO $tbl t USING q288_src3 s
+            ON t.o_orderkey = s.o_orderkey
+            WHEN MATCHED THEN UPDATE SET o_bad = s.o_bad""")).isFailure
+      require(refused, "a new column without WITH SCHEMA EVOLUTION must refuse")
+      // leg 4: old-schema source replays and converges post-evolution
+      o.filter($"o_orderkey" % 7 === 0).createOrReplaceTempView("q288_src4")
+      s.sql(s"""MERGE INTO $tbl t USING q288_src4 s
+                ON t.o_orderkey = s.o_orderkey
+                WHEN MATCHED THEN UPDATE SET
+                  o_totalprice = t.o_totalprice + 1.0""")
+      // leg 5: INSERT by name — new column + absent stored columns
+      val insRefused = scala.util.Try(s.sql(
+        s"""INSERT INTO $tbl
+            SELECT o_orderkey + 20000000 AS o_orderkey,
+                   o_totalprice AS o_totalprice,
+                   concat('T-', CAST(o_orderkey % 9 AS STRING)) AS o_tag
+            FROM q288_src4""")).isFailure
+      require(insRefused, "INSERT with a new column must refuse with the conf off")
+      try {
+        s.conf.set("spark.graft.schema.autoMerge", "true")
+        o.filter($"o_orderkey" % 500 === 0)
+          .select(($"o_orderkey" + 20000000L).as("o_orderkey"),
+            $"o_totalprice",
+            concat(lit("T-"), ($"o_orderkey" % 9).cast("string")).as("o_tag"))
+          .createOrReplaceTempView("q288_src5")
+        s.sql(s"INSERT INTO $tbl SELECT * FROM q288_src5")
+      } finally s.conf.unset("spark.graft.schema.autoMerge")
+      s.sql(s"""SELECT o_orderkey, o_totalprice AS px, o_channel, o_score,
+                       o_tag
+                FROM $tbl""").orderBy($"o_orderkey")
+    }),
+
     // COLUMN-LEVEL CBO STATISTICS (q278; public design point: ANALYZE TABLE
     // ... COMPUTE STATISTICS FOR COLUMNS feeding Spark's cost-based
     // optimizer): the connector reported BYTES (q236 flips broadcasts) but
@@ -3383,6 +3706,194 @@ object CdcQueries {
           .withColumn("stats_broadcast", lit(true))
           .withColumn("stats_reorder", lit(true))
           .withColumn("same_answers", lit(true))
+          .orderBy($"o_orderkey", $"c_name")
+      } finally saved.foreach { case (k, v) =>
+        v.fold(s.conf.unset(k))(s.conf.set(k, _))
+      }
+    }),
+
+    // EQUI-HEIGHT HISTOGRAMS TO CBO (q285; ANALYZE ... COMPUTE STATISTICS
+    // with spark.sql.statistics.histogram.enabled, served through the V2
+    // colstats Histogram interface): NDV-only statistics estimate equality
+    // selectivity UNIFORMLY (rows/ndv) — on a skewed column the heavy
+    // value looks tiny and CBO happily broadcasts a frame that is most of
+    // the table. ANALYZE with histogram_bins derives k equi-height bins
+    // per numeric/date column from the distributed exact-quantile engine
+    // (deterministic — the q279 discipline; a heavy value occupies a run
+    // of singleton bins) plus one bin-keyed grouped NDV pass — never an
+    // Expand. In-gate: the same skewed-filter join is planned under
+    // NDV-only stats (estimated cardinality << table, BroadcastHashJoin
+    // chosen — the wrong call) and under histogram stats (estimate flips
+    // to ~the heavy fraction, the broadcast is gone), with the estimates
+    // require-pinned from the optimized plan's own stats and answers
+    // identical. Oracle: the declarative self-join. 100 TB: a 90%-heavy
+    // key no longer masquerades as rows/ndv — the exact shuffle-vs-
+    // broadcast call the scale story turns on, costed at two column-
+    // pruned passes per histogram column at ANALYZE time only.
+    "q285_cbo_histogram" -> ((s, dir) => {
+      import s.implicits._
+      val o = Tables.load(s, dir, "orders")
+      val whRoot = graftCatRoot(s)
+      s.sql("DROP TABLE IF EXISTS q245cat.prod.orders_hist")
+      // seg: 90% of rows carry the heavy value 0, the rest stay distinct
+      val oh = o.withColumn("seg",
+        when($"o_orderkey" % 10 < 9, 0L).otherwise($"o_orderkey"))
+      s.sql(s"""CREATE TABLE q245cat.prod.orders_hist (${oh.schema.toDDL})
+                OPTIONS (pk 'o_orderkey', buckets '8')""")
+      val tdir = s"$whRoot/prod/orders_hist"
+      CdcApplier.applyBatch(s, ChangeFeed.inserts(oh, $"o_orderkey" * 10), tdir,
+        CdcApplier.Options(Seq("o_orderkey"), numBuckets = 8))
+      val total = o.count()
+      val confs = Seq(
+        "spark.sql.adaptive.enabled" -> "false",
+        "spark.sql.cbo.enabled" -> "true",
+        "spark.sql.autoBroadcastJoinThreshold" -> "8192")
+      val saved = confs.map { case (k, _) => k -> s.conf.getOption(k) }
+      confs.foreach { case (k, v) => s.conf.set(k, v) }
+      try {
+        def q = s.sql(
+          """SELECT f.o_orderkey, g.o_totalprice
+             FROM q245cat.prod.orders_hist f
+             JOIN q245cat.prod.orders_hist g ON f.o_orderkey = g.o_orderkey
+             WHERE f.seg = 0""")
+        // the skew-filtered leg's estimated cardinality, from the
+        // optimizer's own stats visitor
+        def segEstimate(df: DataFrame): BigInt =
+          df.queryExecution.optimizedPlan.collect {
+            case flt: org.apache.spark.sql.catalyst.plans.logical.Filter
+              if flt.condition.references.exists(_.name == "seg") =>
+              flt.stats.rowCount
+          }.flatten.min
+        // ---- NDV-only statistics: uniform rows/ndv — the wrong call ----
+        s.sql("CALL q245cat.system.analyze(table => 'prod.orders_hist')").collect()
+        val pre = q
+        val preEst = segEstimate(pre)
+        require(preEst < total / 20,
+          s"uniform NDV estimation must under-count the heavy value: $preEst of $total")
+        require(pre.queryExecution.executedPlan.toString.contains("BroadcastHashJoin"),
+          "under-counted, the filtered fact broadcasts")
+        val preRows = pre.collect().map(_.toString).sorted.toSeq
+        // ---- histogram statistics: the skew is visible -----------------
+        s.sql("""CALL q245cat.system.analyze(table => 'prod.orders_hist',
+                 histogram_bins => 32)""").collect()
+        val post = q
+        val postEst = segEstimate(post)
+        require(postEst > total / 2,
+          s"the histogram must surface the heavy fraction: $postEst of $total")
+        require(!post.queryExecution.executedPlan.toString.contains("BroadcastHashJoin"),
+          "the ~90% frame must not broadcast")
+        require(post.collect().map(_.toString).sorted.toSeq == preRows,
+          "histograms steer plans, never answers")
+        q.withColumn("hist_cardinality_flip", lit(true))
+          .withColumn("hist_join_flip", lit(true))
+          .withColumn("same_answers", lit(true))
+          .orderBy($"o_orderkey")
+      } finally saved.foreach { case (k, v) =>
+        v.fold(s.conf.unset(k))(s.conf.set(k, _))
+      }
+    }),
+
+    // AUTO-ANALYZE CADENCE + APPROX NDV (q286; Delta's auto-compute /
+    // the compactEvery-optimizeEvery pattern carried to statistics): q278
+    // proved analyzed stats flip plans, but the ANALYZE was a manual CALL
+    // — a streaming deployment's stats go stale as the table churns. With
+    // `analyzeEvery = N` in PipelineOptions the pipeline re-analyzes every
+    // N applied batches, in APPROX mode by default: exact NDV plans an
+    // Expand that multiplies the scan by the tracked-column count, while
+    // approx_count_distinct is one pass over fixed-size mergeable HLL
+    // registers — the 100 TB mode, and CBO is an estimator anyway. In-gate:
+    // a MOR dim accumulates heavy superseded history through the pipeline
+    // surface; BEFORE the cadence fires there are no stats and raw bytes
+    // block the broadcast; the Nth batch fires the cadence with NO manual
+    // CALL, and the q278 broadcast flip lands on the auto-computed stats;
+    // the approx NDVs are then SELF-AUDITED against an exact pass (HLL
+    // default rsd ~5%; the gate pins a 15% bound), with rows exact in both
+    // modes. Oracle: the declarative fact ⋈ dim join. 100 TB: statistics
+    // freshness becomes a deployment knob, not an operator's memory.
+    "q286_auto_analyze" -> ((s, dir) => {
+      import s.implicits._
+      val o = Tables.load(s, dir, "orders")
+      val c = Tables.load(s, dir, "customer")
+      val whRoot = graftCatRoot(s)
+      Seq("orders_aa", "cust_aa").foreach(t =>
+        s.sql(s"DROP TABLE IF EXISTS q245cat.prod.$t"))
+      s.sql(s"""CREATE TABLE q245cat.prod.orders_aa (${o.schema.toDDL})
+                OPTIONS (pk 'o_orderkey', buckets '8')""")
+      s.sql(s"""CREATE TABLE q245cat.prod.cust_aa (${c.schema.toDDL})
+                OPTIONS (pk 'c_custkey', buckets '8', storage 'mor')""")
+      val factDir = s"$whRoot/prod/orders_aa"
+      val dimDir = s"$whRoot/prod/cust_aa"
+      CdcApplier.applyBatch(s, ChangeFeed.inserts(o, $"o_orderkey" * 10), factDir,
+        CdcApplier.Options(Seq("o_orderkey"), numBuckets = 8))
+      // the dim flows through the PIPELINE surface with the analyze cadence
+      val popts = graft.streaming.StreamingPipeline.PipelineOptions(
+        applier = CdcApplier.Options(Seq("c_custkey"), numBuckets = 8),
+        morSink = true, analyzeEvery = 5, analyzeApprox = true)
+      def env(b: DataFrame) = b.withColumn("table", lit("cust_aa"))
+      val feed = Seq(
+        ChangeFeed.inserts(c, lit(100L))) ++
+        (1 to 3).map(i => ChangeFeed.updates(c,
+          Map("c_acctbal" -> ($"c_acctbal" * (1.0 + i / 100.0))),
+          lit(100L + i * 100L))) :+
+        ChangeFeed.deletes(c.filter($"c_custkey" % 3 === 0), lit(900L))
+      // batches 0..3: history accumulates, cadence silent, NO stats yet
+      feed.take(4).zipWithIndex.foreach { case (b, i) =>
+        graft.streaming.StreamingPipeline.applyMicroBatch(
+          s, env(b), dimDir, popts, batchId = i.toLong)
+      }
+      require(graft.cdc.ColumnStats.read(s, dimDir).isEmpty,
+        "no stats may exist before the cadence fires")
+      val hconf = s.sparkContext.hadoopConfiguration
+      def bytesOf(d: String): Long = {
+        val p = new org.apache.hadoop.fs.Path(d)
+        val bfs = p.getFileSystem(hconf)
+        CdcApplier.bucketIds(bfs, p).map { b =>
+          bfs.listStatus(new org.apache.hadoop.fs.Path(d, s"graft_bucket=$b"))
+            .filterNot(f => f.getPath.getName.startsWith("_") ||
+              f.getPath.getName.startsWith(".")).map(_.getLen).sum
+        }.sum
+      }
+      val confs = Seq(
+        "spark.sql.adaptive.enabled" -> "false",
+        "spark.sql.cbo.enabled" -> "true",
+        "spark.sql.autoBroadcastJoinThreshold" ->
+          (math.min(bytesOf(dimDir), bytesOf(factDir)) / 2).toString)
+      val saved = confs.map { case (k, _) => k -> s.conf.getOption(k) }
+      confs.foreach { case (k, v) => s.conf.set(k, v) }
+      try {
+        def flipQ = s.sql(
+          """SELECT o.o_orderkey, c.c_name
+             FROM q245cat.prod.orders_aa o
+             JOIN q245cat.prod.cust_aa c ON o.o_custkey = c.c_custkey""")
+        require(!flipQ.queryExecution.executedPlan.toString.contains("BroadcastHashJoin"),
+          "statless: raw file bytes exceed the threshold — no broadcast")
+        // the 5th batch fires the cadence — statistics appear on their own
+        graft.streaming.StreamingPipeline.applyMicroBatch(
+          s, env(feed(4)), dimDir, popts, batchId = 4L)
+        val auto = graft.cdc.ColumnStats.read(s, dimDir).getOrElse(
+          throw new IllegalStateException("analyzeEvery must auto-persist stats"))
+        require(flipQ.queryExecution.executedPlan.toString.contains("BroadcastHashJoin"),
+          "auto-analyzed: live rows x width is under the threshold — broadcast")
+        // same answers across the two plan shapes: the broadcast plan vs
+        // the same query with broadcasting disabled outright
+        val steered = flipQ.collect().map(_.toString).sorted.toSeq
+        s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        require(!flipQ.queryExecution.executedPlan.toString.contains("BroadcastHashJoin"))
+        require(flipQ.collect().map(_.toString).sorted.toSeq == steered,
+          "auto stats steer plans, never answers")
+        s.conf.set("spark.sql.autoBroadcastJoinThreshold", confs(2)._2)
+        // approx self-audit: rows exact, NDVs inside the HLL bound
+        val exact = graft.cdc.ColumnStats.analyze(s, dimDir)
+        require(auto.rows == exact.rows, "row counts are exact in both modes")
+        exact.cols.foreach { case (cn, ex) =>
+          val ap = auto.cols(cn).ndv
+          require(math.abs(ap - ex.ndv).toDouble / math.max(1L, ex.ndv) <= 0.15,
+            s"approx NDV for $cn out of bound: $ap vs exact ${ex.ndv}")
+        }
+        flipQ
+          .withColumn("auto_stats", lit(true))
+          .withColumn("steers_broadcast", lit(true))
+          .withColumn("approx_within_bound", lit(true))
           .orderBy($"o_orderkey", $"c_name")
       } finally saved.foreach { case (k, v) =>
         v.fold(s.conf.unset(k))(s.conf.set(k, _))
@@ -3681,6 +4192,263 @@ object CdcQueries {
         s.conf.unset("spark.graft.indexroute.maxKeys")
         GraftIndexRoute.unregister(store, "o_custkey")
       }
+    }),
+
+    // CREATE INDEX AS DDL (q283; Phoenix's CREATE INDEX ... ASYNC, the
+    // lifecycle half of q273/q274/q282's routing): until now the index
+    // table was hand-assembled from the envelope and the route
+    // hand-registered — the one manual step left. CALL system.create_index
+    // seeds the index from the CURRENT store state bucket-by-bucket (the
+    // q171 resumable-slice discipline: max_buckets bounds one call, a
+    // marker resumes the rest — a 100 TB seed cannot be one job), wires
+    // automatic maintenance into every subsequent apply, and registers the
+    // optimizer route ONLY when the seed completes (`building` indexes are
+    // maintained, never routed). In-gate: the bounded first slice returns
+    // `building` and a mid-build point query does NOT route; a mid-build
+    // CDC batch lands through plain applyBatch (no hand-built index feed —
+    // the maintenance proof); completion returns `live`; the routed
+    // two-hop point query and the COVERED range (the index self-derived
+    // its range bounds from exact quantiles) both fire with scan-root
+    // audits; an in-memory deregistration heals itself on the next catalog
+    // load (the meta entry is the durable truth); drop_index deregisters
+    // for real — the same SQL then keeps its full scan and answers
+    // identically. Oracle: the q282 lifecycle replay on the routed
+    // IN-list. 100 TB: index DDL + bounded seed slices + automatic
+    // maintenance — the full Phoenix story with zero hand-wiring.
+    "q283_create_index_ddl" -> ((s, dir) => {
+      import s.implicits._
+      val o = Tables.load(s, dir, "orders")
+      val whRoot = graftCatRoot(s)
+      s.sql("DROP TABLE IF EXISTS q245cat.prod.orders_cidx")
+      s.sql(s"""CREATE TABLE q245cat.prod.orders_cidx (${o.schema.toDDL})
+                OPTIONS (pk 'o_orderkey', buckets '16')""")
+      val store = s"$whRoot/prod/orders_cidx"
+      val idx = store + ".idx-o_custkey"
+      val sopts = CdcApplier.Options(Seq("o_orderkey"))
+      CdcApplier.applyBatch(s, ChangeFeed.inserts(o, $"o_orderkey" * 10), store, sopts)
+      import graft.plans.GraftIndexRoute
+      GraftIndexRoute.install(s)
+      try {
+        // bounded first slice over the already-populated table: `building`
+        def create(maxB: String) = s.sql(
+          s"""CALL q245cat.system.create_index(table => 'prod.orders_cidx',
+              column => 'o_custkey', covering => 'o_totalprice',
+              layout => 'range'$maxB)""").collect()(0)
+        val r1 = create(", max_buckets => 5")
+        require(r1.getAs[String]("state") == "building" &&
+          r1.getAs[Int]("seeded_buckets") == 5,
+          s"bounded first slice must seed 5 buckets and stay building, got $r1")
+        val f0 = GraftIndexRoute.fired
+        s.sql("""SELECT o_orderkey FROM q245cat.prod.orders_cidx
+                 WHERE o_custkey = 7""").collect()
+        require(GraftIndexRoute.fired == f0,
+          "a half-seeded (building) index must never route")
+        // mid-build CDC batch through PLAIN applyBatch — automatic
+        // maintenance covers seeded and unseeded buckets alike (the later
+        // seed re-inserts value-identical (key, pos) rows; LWW folds them)
+        CdcApplier.applyBatch(s,
+          ChangeFeed.updates(o.filter($"o_orderkey" % 4 === 0),
+            Map("o_totalprice" -> ($"o_totalprice" * 1.5)), $"o_orderkey" * 10 + 3),
+          store, sopts)
+        val r2 = create("")
+        require(r2.getAs[String]("state") == "live",
+          s"the resumed seed must complete to live, got $r2")
+        // post-live CDC batch, still plain applyBatch: custkey MOVES (the
+        // index-PK fan-out) and deletes — the q282 lifecycle
+        CdcApplier.applyBatch(s,
+          ChangeFeed.updates(o.filter($"o_orderkey" % 6 === 2),
+              Map("o_custkey" -> ($"o_custkey" + 1)), $"o_orderkey" * 10 + 5)
+            .union(ChangeFeed.deletes(o.filter($"o_orderkey" % 9 === 1),
+              $"o_orderkey" * 10 + 7)),
+          store, sopts)
+        def pointQ() = s.sql(
+          """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+             FROM q245cat.prod.orders_cidx
+             WHERE o_custkey IN (3, 7, 11, 19, 42)""")
+        def covQ() = s.sql(
+          """SELECT o_orderkey, o_custkey, o_totalprice
+             FROM q245cat.prod.orders_cidx
+             WHERE o_custkey >= 10 AND o_custkey <= 30""")
+        def scanRoots(df: DataFrame): Seq[String] =
+          df.queryExecution.optimizedPlan.collect {
+            case r: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+              r.relation match {
+                case f: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+                  f.location.rootPaths.map(_.toUri.getPath)
+                case _ => Seq.empty[String]
+              }
+          }.flatten
+        def under(p: String, d: String) = p == d || p.startsWith(d + "/")
+        val f1 = GraftIndexRoute.fired
+        val pDf = pointQ(); val routedP = pDf.collect()
+        require(GraftIndexRoute.fired > f1,
+          "the routed point query must fire after completion")
+        require(!pDf.queryExecution.executedPlan.toString.contains("GraftBatchScan"),
+          "the routed plan replaces the full V2 scan")
+        require(scanRoots(pDf).exists(under(_, store)),
+          "the non-covered projection is a two-hop route (store fetch)")
+        // the covered RANGE routes uncapped (one hop, nothing driver-side)
+        s.conf.set("spark.graft.indexroute.maxKeys", "5")
+        val f2 = GraftIndexRoute.fired
+        val cDf = covQ(); val routedC = cDf.collect()
+        require(GraftIndexRoute.fired > f2,
+          "the covered range must route even under maxKeys=5")
+        val cRoots = scanRoots(cDf)
+        require(cRoots.nonEmpty && !cRoots.exists(under(_, store)) &&
+          cRoots.forall(under(_, idx)),
+          s"the covered route serves from the self-built index alone: $cRoots")
+        s.conf.unset("spark.graft.indexroute.maxKeys")
+        // in-memory deregistration heals on the next catalog load — the
+        // meta entry is the durable registration
+        GraftIndexRoute.unregister(store, "o_custkey")
+        val f3 = GraftIndexRoute.fired
+        pointQ().collect()
+        require(GraftIndexRoute.fired > f3,
+          "the catalog load must re-register the live index's route")
+        // DROP deregisters for real: the scan returns, answers identical
+        s.sql("""CALL q245cat.system.drop_index(table => 'prod.orders_cidx',
+                 column => 'o_custkey')""").collect()
+        val f4 = GraftIndexRoute.fired
+        val plainP = pointQ(); val plainRowsP = plainP.collect()
+        val plainRowsC = covQ().collect()
+        require(GraftIndexRoute.fired == f4,
+          "after drop_index nothing may route")
+        require(plainP.queryExecution.executedPlan.toString.contains("GraftBatchScan"),
+          "after drop_index the full-coverage V2 scan returns")
+        require(routedP.map(_.toString).sorted.toSeq ==
+          plainRowsP.map(_.toString).sorted.toSeq,
+          "routed and post-drop point answers must be identical")
+        require(routedC.map(_.toString).sorted.toSeq ==
+          plainRowsC.map(_.toString).sorted.toSeq,
+          "covered and post-drop range answers must be identical")
+        pointQ()
+          .withColumn("ddl_building_not_routed", lit(true))
+          .withColumn("auto_maintained", lit(true))
+          .withColumn("covered_range_fired", lit(true))
+          .withColumn("reload_reregisters", lit(true))
+          .withColumn("drop_deregisters", lit(true))
+          .orderBy($"o_orderkey")
+      } finally {
+        s.conf.unset("spark.graft.indexroute.maxKeys")
+        GraftIndexRoute.unregister(store, "o_custkey")
+      }
+    }),
+
+    // SECONDARY INDEXES AS A RELATION (q290; the observability half of
+    // q283, the system.stats/system.files pattern): CALL system.indexes
+    // serves each index's lifecycle facts — state, layout, covering
+    // payload, live entry count (NULL while building: a partial count
+    // would read as corruption), and seed progress in store buckets — so
+    // an operator can SEE a 100 TB backfill's progress across bounded
+    // create_index calls without touching the index table. In-gate: a
+    // table with no indexes REFUSES; phase 1 lists a completed covering
+    // index beside a mid-build bounded slice (3/8 buckets, entries NULL);
+    // phase 2 (seed resumed) lists both live with exactly one entry per
+    // live store row. Oracle: both phases replayed declaratively.
+    "q290_index_relation" -> ((s, dir) => {
+      import s.implicits._
+      val o = Tables.load(s, dir, "orders")
+      val whRoot = graftCatRoot(s)
+      s.sql("DROP TABLE IF EXISTS q245cat.prod.orders_idxrel")
+      s.sql(s"""CREATE TABLE q245cat.prod.orders_idxrel (${o.schema.toDDL})
+                OPTIONS (pk 'o_orderkey', buckets '8')""")
+      val store = s"$whRoot/prod/orders_idxrel"
+      CdcApplier.applyBatch(s, ChangeFeed.inserts(o, $"o_orderkey" * 10), store,
+        CdcApplier.Options(Seq("o_orderkey")))
+      def indexes() =
+        s.sql("CALL q245cat.system.indexes(table => 'prod.orders_idxrel')")
+      val refused = scala.util.Try(indexes().collect()).isFailure
+      require(refused, "a table with no indexes must refuse, not answer empty")
+      s.sql("""CALL q245cat.system.create_index(table => 'prod.orders_idxrel',
+               column => 'o_custkey', covering => 'o_totalprice')""").collect()
+      s.sql("""CALL q245cat.system.create_index(table => 'prod.orders_idxrel',
+               column => 'o_orderpriority', max_buckets => 3)""").collect()
+      val ph1 = indexes()
+      val schema1 = ph1.schema
+      val rows1 = ph1.collect()
+      val building = rows1.find(_.getString(0) == "o_orderpriority").get
+      require(building.getString(1) == "building" && building.isNullAt(4) &&
+        building.getInt(5) == 3,
+        s"the bounded slice must list as building 3/8 with NULL entries: $building")
+      s.sql("""CALL q245cat.system.create_index(table => 'prod.orders_idxrel',
+               column => 'o_orderpriority')""").collect()
+      val rows2 = indexes().collect()
+      require(rows2.forall(_.getString(1) == "live"),
+        s"the resumed seed must list both indexes live: ${rows2.mkString(";")}")
+      import scala.collection.JavaConverters._
+      val all = (rows1.map(r => Row.fromSeq(1 +: r.toSeq)) ++
+        rows2.map(r => Row.fromSeq(2 +: r.toSeq))).toList
+      s.createDataFrame(all.asJava, org.apache.spark.sql.types.StructType(
+        org.apache.spark.sql.types.StructField("phase",
+          org.apache.spark.sql.types.IntegerType, nullable = false) +:
+          schema1.fields))
+        .orderBy($"phase", $"idx_column")
+    }),
+
+    // ROUTING UNDER AND-CONJUNCTIONS (q289; Phoenix's index-plus-filter
+    // plan): the rule declined whenever ANY conjunct beside the indexed
+    // predicate wasn't lookup-enforced — correct but conservative: a
+    // row-local residual (`o_orderstatus = 'F'` beside the routed
+    // `o_custkey IN (...)`) can ride ABOVE the fetched frame, keeping the
+    // read at ≤k index buckets + matched store buckets while the residual
+    // preserves exact semantics. In-gate: the mixed predicate FIRES
+    // (counter + the V2 scan gone from the plan) on a DDL-created index
+    // (q283's lifecycle — the auto-maintained route is what serves);
+    // residual-ONLY still declines (residuals never fabricate a route);
+    // drop_index restores the scan and the answers are identical. Oracle:
+    // the lifecycle replay under both predicates. 100 TB: the common
+    // dashboard shape — point/IN on the indexed key plus a status/type
+    // filter — now routes instead of scanning the fact table.
+    "q289_residual_route" -> ((s, dir) => {
+      import s.implicits._
+      val o = Tables.load(s, dir, "orders")
+      val whRoot = graftCatRoot(s)
+      s.sql("DROP TABLE IF EXISTS q245cat.prod.orders_resid")
+      s.sql(s"""CREATE TABLE q245cat.prod.orders_resid (${o.schema.toDDL})
+                OPTIONS (pk 'o_orderkey', buckets '16')""")
+      val store = s"$whRoot/prod/orders_resid"
+      val sopts = CdcApplier.Options(Seq("o_orderkey"))
+      CdcApplier.applyBatch(s, ChangeFeed.inserts(o, $"o_orderkey" * 10), store, sopts)
+      s.sql("""CALL q245cat.system.create_index(table => 'prod.orders_resid',
+               column => 'o_custkey')""").collect()
+      // the q273 lifecycle through AUTO-maintenance: moves + deletes
+      CdcApplier.applyBatch(s,
+        ChangeFeed.updates(o.filter($"o_orderkey" % 6 === 2),
+            Map("o_custkey" -> ($"o_custkey" + 1)), $"o_orderkey" * 10 + 3)
+          .union(ChangeFeed.deletes(o.filter($"o_orderkey" % 9 === 1),
+            $"o_orderkey" * 10 + 5)),
+        store, sopts)
+      import graft.plans.GraftIndexRoute
+      GraftIndexRoute.install(s)
+      try {
+        def q() = s.sql(
+          """SELECT o_orderkey, o_custkey, o_orderstatus
+             FROM q245cat.prod.orders_resid
+             WHERE o_custkey IN (3, 7, 11, 19, 42) AND o_orderstatus = 'F'""")
+        val f0 = GraftIndexRoute.fired
+        val routedDf = q(); val routed = routedDf.collect()
+        require(GraftIndexRoute.fired > f0,
+          "the routed-with-residual predicate must fire")
+        require(!routedDf.queryExecution.executedPlan.toString.contains("GraftBatchScan"),
+          "the routed plan replaces the full V2 scan")
+        val d0 = GraftIndexRoute.declined
+        s.sql("""SELECT o_orderkey FROM q245cat.prod.orders_resid
+                 WHERE o_orderstatus = 'F'""").queryExecution.optimizedPlan
+        require(GraftIndexRoute.declined > d0,
+          "a residual-only predicate must still decline")
+        s.sql("""CALL q245cat.system.drop_index(table => 'prod.orders_resid',
+                 column => 'o_custkey')""").collect()
+        val plainDf = q(); val plain = plainDf.collect()
+        require(plainDf.queryExecution.executedPlan.toString.contains("GraftBatchScan"),
+          "after drop_index the full-coverage scan returns")
+        require(routed.map(_.toString).sorted.toSeq ==
+          plain.map(_.toString).sorted.toSeq,
+          "routed-with-residual and scan answers must be identical")
+        q()
+          .withColumn("residual_routed", lit(true))
+          .withColumn("residual_only_declined", lit(true))
+          .orderBy($"o_orderkey")
+      } finally GraftIndexRoute.unregister(store, "o_custkey")
     }),
 
     "q216_sql_connector" -> ((s, dir) => {
@@ -5110,6 +5878,10 @@ object CdcQueries {
     // q228: the chain again as ONE source->sink streaming query.
     "q228_stream_replica" -> q138OracleSql,
 
+    // q284: the same backlog drained under maxPositionsPerTrigger with a
+    // mid-drain restart — byte-identical final state, one shared oracle.
+    "q284_stream_admission" -> q138OracleSql,
+
     "q135_forget" -> """
       SELECT event_id, ts, user_id, event_type, value, props
       FROM events
@@ -5555,6 +6327,60 @@ object CdcQueries {
       FROM orders WHERE o_orderkey % 11 <> 0
       ORDER BY o_orderkey""",
 
+    // q287: the four SQL stage statements replayed declaratively — %3
+    // repriced 1.25x, %11 trimmed, matched %5=2 keys composed 1.1x on the
+    // repriced value, the MERGE-born +10M keys and INSERT-born +20M keys
+    // at their source prices.
+    "q287_branch_sql_writes" -> """
+      SELECT o_orderkey, px,
+        true AS stage_was_sql, true AS pinned_mid_stage,
+        true AS ident_read_matches, true AS branch_gone
+      FROM (
+        SELECT o_orderkey,
+          o_totalprice
+            * (CASE WHEN o_orderkey % 3 = 0 THEN 1.25 ELSE 1.0 END)
+            * (CASE WHEN o_orderkey % 5 = 2 THEN 1.1 ELSE 1.0 END) AS px
+        FROM orders WHERE o_orderkey % 11 <> 0
+        UNION ALL
+        SELECT o_orderkey + 10000000 AS o_orderkey, o_totalprice AS px
+        FROM orders WHERE o_orderkey % 250 = 0
+        UNION ALL
+        SELECT o_orderkey + 20000000 AS o_orderkey, o_totalprice AS px
+        FROM orders WHERE o_orderkey % 500 = 0
+      )
+      ORDER BY o_orderkey""",
+
+    // q288: the five-leg evolution lifecycle replayed declaratively —
+    // leg 1 doubles %3 prices and births o_channel, leg 2 scores %5==1
+    // keys and inserts +10M keys, leg 4 (old-schema source) adds 1.0 to
+    // %7 prices post-evolution, leg 5 inserts +20M keys by name with
+    // o_tag and NULL-padded stored columns. A lost evolved value, a
+    // non-NULL pad, or a replay that clobbered an evolved column all
+    // break the hash.
+    "q288_merge_schema_evolution" -> """
+      SELECT o_orderkey, px, o_channel, o_score, o_tag FROM (
+        SELECT o_orderkey,
+          (CASE WHEN o_orderkey % 3 = 0 THEN o_totalprice * 2.0
+                ELSE o_totalprice END)
+            + (CASE WHEN o_orderkey % 7 = 0 THEN 1.0 ELSE 0.0 END) AS px,
+          CASE WHEN o_orderkey % 3 = 0
+               THEN 'ch-' || CAST(o_orderkey % 7 AS VARCHAR) END AS o_channel,
+          CASE WHEN o_orderkey % 5 = 1
+               THEN (o_orderkey % 100) / 10.0 END AS o_score,
+          CAST(NULL AS VARCHAR) AS o_tag
+        FROM orders
+        UNION ALL
+        SELECT o_orderkey + 10000000, o_totalprice,
+          CAST(NULL AS VARCHAR), (o_orderkey % 100) / 10.0,
+          CAST(NULL AS VARCHAR)
+        FROM orders WHERE o_orderkey % 200 = 0
+        UNION ALL
+        SELECT o_orderkey + 20000000, o_totalprice,
+          CAST(NULL AS VARCHAR), CAST(NULL AS DOUBLE),
+          'T-' || CAST(o_orderkey % 9 AS VARCHAR)
+        FROM orders WHERE o_orderkey % 500 = 0
+      ) ORDER BY o_orderkey""",
+
     // q278: the fact ⋈ surviving-dim join — the dim's %2 keys deleted; the
     // acctbal churn is invisible (not selected), the plans differ, the
     // answers must not.
@@ -5646,6 +6472,81 @@ object CdcQueries {
       WHERE o_orderkey % 9 <> 1
         AND (CASE WHEN o_orderkey % 6 = 2 THEN o_custkey + 1 ELSE o_custkey END)
             BETWEEN 10 AND 30
+      ORDER BY o_orderkey""",
+
+    // q283: the q282 lifecycle (price +3, custkey move +5 whose image
+    // carries the ORIGINAL price, deletes +7) on the routed IN-list,
+    // served end-to-end through the DDL-created index.
+    "q283_create_index_ddl" -> """
+      SELECT o_orderkey,
+        CASE WHEN o_orderkey % 6 = 2 THEN o_custkey + 1 ELSE o_custkey END AS o_custkey,
+        o_orderstatus,
+        CASE WHEN o_orderkey % 6 = 2 THEN o_totalprice
+             WHEN o_orderkey % 4 = 0 THEN o_totalprice * 1.5
+             ELSE o_totalprice END AS o_totalprice,
+        true AS ddl_building_not_routed, true AS auto_maintained,
+        true AS covered_range_fired, true AS reload_reregisters,
+        true AS drop_deregisters
+      FROM orders
+      WHERE o_orderkey % 9 <> 1
+        AND (CASE WHEN o_orderkey % 6 = 2 THEN o_custkey + 1 ELSE o_custkey END)
+            IN (3, 7, 11, 19, 42)
+      ORDER BY o_orderkey""",
+
+    // q290: both observability phases replayed declaratively — the live
+    // covering index carries one entry per live store row; the bounded
+    // slice lists as building 3/8 with NULL entries until the resumed
+    // seed completes.
+    "q290_index_relation" -> """
+      SELECT * FROM (
+        SELECT 1 AS phase, 'o_custkey' AS idx_column, 'live' AS state,
+          'hash' AS layout, 'o_totalprice' AS covering,
+          (SELECT count(*) FROM orders) AS entries,
+          8 AS seeded_buckets, 8 AS total_buckets
+        UNION ALL
+        SELECT 1, 'o_orderpriority', 'building', 'hash', '',
+          CAST(NULL AS BIGINT), 3, 8
+        UNION ALL
+        SELECT 2, 'o_custkey', 'live', 'hash', 'o_totalprice',
+          (SELECT count(*) FROM orders), 8, 8
+        UNION ALL
+        SELECT 2, 'o_orderpriority', 'live', 'hash', '',
+          (SELECT count(*) FROM orders), 8, 8
+      ) ORDER BY phase, idx_column""",
+
+    // q286: the fact ⋈ dim join after the dim's pipeline lifecycle — the
+    // %3 deletes gone; reprices don't surface (c_name only).
+    "q286_auto_analyze" -> """
+      SELECT o.o_orderkey, c.c_name,
+        true AS auto_stats, true AS steers_broadcast,
+        true AS approx_within_bound
+      FROM orders o
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      WHERE c.c_custkey % 3 <> 0
+      ORDER BY o.o_orderkey, c.c_name""",
+
+    // q285: the skewed self-join — seg=0 is exactly the %10<9 rows, the
+    // join partner is the row itself.
+    "q285_cbo_histogram" -> """
+      SELECT o_orderkey, o_totalprice,
+        true AS hist_cardinality_flip, true AS hist_join_flip,
+        true AS same_answers
+      FROM orders
+      WHERE o_orderkey % 10 < 9
+      ORDER BY o_orderkey""",
+
+    // q289: the q273 lifecycle under the routed IN-list AND the residual
+    // status filter.
+    "q289_residual_route" -> """
+      SELECT o_orderkey,
+        CASE WHEN o_orderkey % 6 = 2 THEN o_custkey + 1 ELSE o_custkey END AS o_custkey,
+        o_orderstatus,
+        true AS residual_routed, true AS residual_only_declined
+      FROM orders
+      WHERE o_orderkey % 9 <> 1
+        AND (CASE WHEN o_orderkey % 6 = 2 THEN o_custkey + 1 ELSE o_custkey END)
+            IN (3, 7, 11, 19, 42)
+        AND o_orderstatus = 'F'
       ORDER BY o_orderkey""",
 
     // q274: the same lifecycle filtered to the routed custkey RANGE.

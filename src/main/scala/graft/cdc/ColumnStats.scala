@@ -35,9 +35,15 @@ object ColumnStats {
 
   private def statsPath(target: Path) = new Path(target, ".graft_colstats")
 
+  /** One equi-height histogram (q285): `height` rows per bin, bins as
+    * (lo, hi, ndv) in the double domain Catalyst estimation runs in
+    * (integers as-is, dates as epoch days). */
+  case class Hist(height: Double, bins: Seq[(Double, Double, Long)])
+
   /** One column's table-level statistics in the canonical string domain. */
   case class ColStat(kind: Char, ndv: Long, nulls: Long,
-      mn: Option[String], mx: Option[String], avgLen: Long, maxLen: Long)
+      mn: Option[String], mx: Option[String], avgLen: Long, maxLen: Long,
+      hist: Option[Hist] = None)
 
   /** The table's statistics: live row count, an estimated in-memory size
     * (rows x estimated row width — the number broadcast selection wants;
@@ -63,16 +69,40 @@ object ColumnStats {
     case _ => 8L
   }
 
-  /** ONE distributed pass over the live snapshot: count + per-column exact
+  /** ONE distributed pass over the live snapshot: count + per-column
     * NDV, nulls, min/max, and (strings) average/max length — all aggregates
     * in a single `agg` so the table is read once. Fenced as a meta-only
     * commit (stats swap atomically via [[graft.util.AtomicFile]]); the
-    * pass itself is the same read any full query pays. */
-  def analyze(spark: SparkSession, targetDir: String): TableStats =
+    * pass itself is the same read any full query pays.
+    *
+    * `approx` (q286): exact NDV uses `count_distinct`, which Spark plans
+    * as an Expand over the tracked columns — the scanned rows multiply by
+    * the column count. At 100 TB the right mode is
+    * `approx_count_distinct`: ONE pass, fixed-size mergeable HLL registers
+    * per column, no Expand — CBO is an estimator anyway (the default RSD
+    * ~2.3% is far inside estimation's error budget, and the spec audits
+    * the bound against the exact pass). Exact stays the default: the
+    * oracle gates pin exact NDVs.
+    *
+    * `histogramBins` > 1 (q285) additionally builds an EQUI-HEIGHT
+    * histogram per numeric/date column — the skew signal NDV alone cannot
+    * carry (uniform-NDV estimation makes a 90%-heavy value look like
+    * rows/ndv). Bounds come from the distributed exact-quantile engine
+    * (q167/q279's discipline — deterministic, no sampling); per-bin NDV
+    * from one bin-keyed aggregate (a shuffle of (bin, value) pairs, NOT an
+    * Expand). Cost: two column-pruned passes per histogram column, paid
+    * only when requested — at 100 TB that is the documented trade for
+    * skew-correct selectivity on the columns a deployment filters by. */
+  def analyze(spark: SparkSession, targetDir: String, approx: Boolean = false,
+      histogramBins: Int = 0): TableStats =
     CdcApplier.withCommitTicketRecorded(spark, targetDir,
-      (_: TableStats) => Some(Seq.empty))(analyzeInner(spark, targetDir))
+      (_: TableStats) => Some(Seq.empty))(
+      analyzeInner(spark, targetDir, approx, histogramBins))
 
-  private def analyzeInner(spark: SparkSession, targetDir: String): TableStats = {
+  private def analyzeInner(spark: SparkSession, targetDir: String,
+      approx: Boolean, histogramBins: Int): TableStats = {
+    require(histogramBins == 0 || histogramBins > 1,
+      "histogram_bins must be 0 (off) or >= 2")
     val target = new Path(targetDir)
     val hconf = spark.sparkContext.hadoopConfiguration
     val fs = target.getFileSystem(hconf)
@@ -80,9 +110,12 @@ object ColumnStats {
       .drop(CdcApplier.POS) // layout offset — not a user predicate column
     val tracked = snap.schema.fields
       .flatMap(f => kindOf(f.dataType).map(k => (f.name, f.dataType, k))).toSeq
+    def ndvAgg(c: String) =
+      if (approx) approx_count_distinct(col(c)).as(s"ndv_$c")
+      else count_distinct(col(c)).as(s"ndv_$c")
     val aggs = count(lit(1)).as("_rows") +: tracked.flatMap { case (c, dt, k) =>
       val base = Seq(
-        count_distinct(col(c)).as(s"ndv_$c"),
+        ndvAgg(c),
         sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"nulls_$c"),
         min(col(c)).as(s"mn_$c"),
         max(col(c)).as(s"mx_$c"))
@@ -124,9 +157,15 @@ object ColumnStats {
             .map(_.asInstanceOf[Number].longValue).getOrElse(0L)
           (math.ceil(a).toLong, m)
         } else (fixedLen(dt), fixedLen(dt))
-      c -> ColStat(k, row.getAs[Long](s"ndv_$c"), row.getAs[Long](s"nulls_$c"),
-        canon(k, row.getAs[Any](s"mn_$c")), canon(k, row.getAs[Any](s"mx_$c")),
-        avgLen, maxLen)
+      val nulls = row.getAs[Long](s"nulls_$c")
+      val mnC = canon(k, row.getAs[Any](s"mn_$c"))
+      val mxC = canon(k, row.getAs[Any](s"mx_$c"))
+      val hist =
+        if (histogramBins > 1 && "iad".contains(k))
+          equiHeight(spark, snap, c, k, histogramBins, rows - nulls, mnC, mxC)
+        else None
+      c -> ColStat(k, row.getAs[Long](s"ndv_$c"), nulls, mnC, mxC,
+        avgLen, maxLen, hist)
     }.toMap
     // estimated in-memory size: per-row overhead + column widths — the
     // broadcast-selection number (raw file bytes over-count mor history)
@@ -138,6 +177,44 @@ object ColumnStats {
     stats
   }
 
+  /** The equi-height histogram for one numeric/date column (q285): bounds
+    * from the distributed exact-quantile engine (deterministic), per-bin
+    * NDV from one bin-keyed grouped aggregate. A value on a repeated
+    * quantile bound (the heavy-hitter shape) occupies a run of SINGLETON
+    * bins (lo == hi, ndv 1) — exactly the signal equality-selectivity
+    * estimation sums over. Two column-pruned passes; never an Expand. */
+  private def equiHeight(spark: SparkSession, snap: org.apache.spark.sql.DataFrame,
+      c: String, kind: Char, k: Int, nonNull: Long,
+      mnC: Option[String], mxC: Option[String]): Option[Hist] = {
+    if (nonNull <= 0) return None
+    val lo = mnC.map(_.toDouble).getOrElse(return None)
+    val hi = mxC.map(_.toDouble).getOrElse(return None)
+    if (lo == hi)
+      return Some(Hist(nonNull.toDouble, Seq((lo, hi, 1L))))
+    val asD = kind match {
+      case 'a' => unix_date(col(c)).cast("double")
+      case _   => col(c).cast("double")
+    }
+    val dfh = snap.select(asD.as("_hv")).filter(col("_hv").isNotNull)
+      .withColumn("_g", lit(1))
+    val specs = (1 until k).map(i => (s"q$i", i.toDouble / k))
+    val qrows = graft.operators.Advanced
+      .exactQuantiles(dfh, "_g", "_hv", specs).collect()
+    if (qrows.isEmpty) return None
+    val interior = (1 until k).map(i => qrows(0).getAs[Double](s"q$i"))
+    val bounds = lo +: interior :+ hi
+    // bin id = #{interior bounds strictly below the value}: boundary
+    // values land in the LOWER bin, repeated bounds leave singleton runs
+    val binExpr = interior.map(b =>
+      when(lit(b) < col("_hv"), 1).otherwise(0)).reduce(_ + _)
+    val perBin = dfh.withColumn("_bin", binExpr)
+      .groupBy(col("_bin")).agg(count_distinct(col("_hv")).as("_ndv"))
+      .collect().map(r => r.getAs[Int]("_bin") -> r.getAs[Long]("_ndv")).toMap
+    val bins = (0 until k).map(i =>
+      (bounds(i), bounds(i + 1), math.max(1L, perBin.getOrElse(i, 1L))))
+    Some(Hist(nonNull.toDouble / k, bins))
+  }
+
   private def write(spark: SparkSession, targetDir: String, s: TableStats): Unit = {
     val target = new Path(targetDir)
     graft.util.AtomicFile.write(spark.sparkContext.hadoopConfiguration,
@@ -147,7 +224,15 @@ object ColumnStats {
           Seq(c, st.kind.toString, st.ndv.toString, st.nulls.toString,
             st.mn.getOrElse(""), st.mx.getOrElse(""),
             st.avgLen.toString, st.maxLen.toString).mkString("\t")
-        }.mkString("\n"))
+        }.mkString("\n") +
+        // histograms ride as separate `#hist` lines so the 8-field column
+        // lines keep their shape (a reader without histogram support skips
+        // them; see the read() fallthrough)
+        s.cols.toSeq.sortBy(_._1).collect { case (c, st) if st.hist.isDefined =>
+          val h = st.hist.get
+          s"\n#hist\t$c\t${h.height}\t" +
+            h.bins.map { case (lo, hi, ndv) => s"$lo:$hi:$ndv" }.mkString(";")
+        }.mkString)
   }
 
   /** The persisted statistics, or None (never analyzed / unreadable —
@@ -158,12 +243,25 @@ object ColumnStats {
       val lines = body.linesIterator.toSeq
       val kv = lines.takeWhile(_.contains("=")).map(_.split("=", 2))
         .collect { case Array(k, v) => k -> v }.toMap
-      val cols = lines.dropWhile(_.contains("=")).filter(_.nonEmpty).flatMap { l =>
+      val colLines = lines.dropWhile(_.contains("=")).filter(_.nonEmpty)
+      val hists = colLines.filter(_.startsWith("#hist\t")).flatMap { l =>
+        l.split("\t", -1) match {
+          case Array(_, c, height, bins) => Try {
+            c -> Hist(height.toDouble, bins.split(";").toSeq.map { b =>
+              val Array(lo, hi, ndv) = b.split(":")
+              (lo.toDouble, hi.toDouble, ndv.toLong)
+            })
+          }.toOption
+          case _ => None
+        }
+      }.toMap
+      val cols = colLines.filterNot(_.startsWith("#")).flatMap { l =>
         l.split("\t", -1) match {
           case Array(c, k, ndv, nulls, mn, mx, al, ml) if k.length == 1 =>
             Some(c -> ColStat(k.head, ndv.toLong, nulls.toLong,
               if (mn.isEmpty) None else Some(mn),
-              if (mx.isEmpty) None else Some(mx), al.toLong, ml.toLong))
+              if (mx.isEmpty) None else Some(mx), al.toLong, ml.toLong,
+              hists.get(c)))
           case _ => None
         }
       }.toMap
@@ -220,6 +318,27 @@ object ColumnStats {
                 java.util.OptionalLong.of(st.avgLen)
               override def maxLen(): java.util.OptionalLong =
                 java.util.OptionalLong.of(st.maxLen)
+              // q285: the equi-height histogram, when analyzed with bins —
+              // Catalyst's transformV2Stats folds it into the leaf's
+              // ColumnStat, where FilterEstimation runs skew-correct
+              // equality/range selectivity instead of uniform rows/NDV
+              override def histogram(): java.util.Optional[
+                  org.apache.spark.sql.connector.read.colstats.Histogram] =
+                st.hist.map { h =>
+                  java.util.Optional.of(
+                    new org.apache.spark.sql.connector.read.colstats.Histogram {
+                      override def height(): Double = h.height
+                      override def bins(): Array[
+                          org.apache.spark.sql.connector.read.colstats.HistogramBin] =
+                        h.bins.map { case (l, u, n) =>
+                          new org.apache.spark.sql.connector.read.colstats.HistogramBin {
+                            override def lo(): Double = l
+                            override def hi(): Double = u
+                            override def ndv(): Long = n
+                          }
+                        }.toArray
+                    })
+                }.getOrElse(java.util.Optional.empty())
             })
         }
       }

@@ -45,14 +45,20 @@ import graft.cdc.CdcApplier
   * Deliberately NARROW (the [[GraftViewRewrite]] discipline — an eager
   * rewrite is a wrong-results generator). Fires ONLY when the plan is
   * `[Project(cols...)](Filter(conjuncts, relation(store path)))` where
-  *  - the conjuncts are exactly: the routable predicate(s) on the
-  *    registered indexed column, plus only predicates the lookup already
-  *    enforces (IsNotNull on the indexed column — vacuous against
-  *    literals — and the snapshot's own tombstone filter on
-  *    `_graft_deleted`, which [[CdcApplier.pointLookup]] applies);
+  *  - SOME conjunct routes on a registered indexed column; the remaining
+  *    conjuncts are either enforced by the lookup already (IsNotNull on
+  *    the indexed column — vacuous against literals — and the snapshot's
+  *    own tombstone filter on `_graft_deleted`, which
+  *    [[CdcApplier.pointLookup]] applies) or ride as RESIDUALS (q289)
+  *    re-applied verbatim ABOVE the fetched frame — `o_status = 'F'`
+  *    beside the routed `custkey IN (...)` routes the indexed half and
+  *    filters the rest, exactly Phoenix's index-plus-filter plan. A
+  *    non-deterministic residual declines; a residual referencing a
+  *    column the served frame lacks declines.
   *  - the projected columns all exist on the lookup's output (data columns
   *    + `_graft_pos`).
-  * Predicates on other columns and any unrecognized conjunct DECLINE.
+  * A filter with NO routable conjunct declines — residuals alone never
+  * fabricate a route.
   * Freshness is the registrar's contract, exactly as for the maintained
   * views: registering asserts the index is maintained from the same
   * envelope (q123's discipline); unregister around backfills.
@@ -150,48 +156,74 @@ object GraftIndexRoute extends Rule[LogicalPlan] {
     case _                   => None
   }
 
-  private def routeOf(cs: Seq[Expression], storePath: String): Option[Route] = {
+  /** Strict-bound adjustment WITHOUT wraparound: `col > Long.MaxValue` /
+    * `col < Long.MinValue` are always-false predicates, and naive `x + 1`
+    * wraps them into whole-domain ranges — the route would then serve the
+    * ENTIRE index where the plan demands zero rows. A domain-edge strict
+    * bound declines instead (None), and the scan answers correctly. */
+  private def incExact(x: Long): Option[Long] =
+    if (x == Long.MaxValue) None else Some(x + 1)
+  private def decExact(x: Long): Option[Long] =
+    if (x == Long.MinValue) None else Some(x - 1)
+
+  /** The routable predicate on a registered indexed column, plus the
+    * conjuncts it CONSUMES (q289: everything else becomes a RESIDUAL the
+    * rewrite re-applies above the fetched frame — a point route no longer
+    * demands the filter be nothing-but-the-point). Point/IN wins over a
+    * range on ties; among several routable columns the name-least wins
+    * (determinism — the others' conjuncts ride as residuals, which is
+    * correct either way). */
+  private def routeOf(cs: Seq[Expression], storePath: String)
+      : Option[(Route, Seq[Expression])] = {
     val points = cs.collect {
-      case EqualTo(a: AttributeReference, Literal(v, _)) if v != null => (a, Seq(v))
-      case EqualTo(Literal(v, _), a: AttributeReference) if v != null => (a, Seq(v))
-      case In(a: AttributeReference, vs) if vs.nonEmpty &&
+      case e @ EqualTo(a: AttributeReference, Literal(v, _)) if v != null =>
+        (a, Seq(v), e)
+      case e @ EqualTo(Literal(v, _), a: AttributeReference) if v != null =>
+        (a, Seq(v), e)
+      case e @ In(a: AttributeReference, vs) if vs.nonEmpty &&
         vs.forall { case Literal(v, _) => v != null; case _ => false } =>
-        (a, vs.map { case Literal(v, _) => v })
+        (a, vs.map { case Literal(v, _) => v }, e)
     }
     // range conjuncts (q274): literal one-/two-sided bounds, integral only
-    // (rangeLookup's domain — the range-bucketed layouts are Long-keyed)
+    // (rangeLookup's domain — the range-bucketed layouts are Long-keyed);
+    // a non-convertible bound on the routed column falls into the residual
+    // set, which the rewrite enforces above the frame — never dropped
     val ranges = cs.collect {
-      case GreaterThan(a: AttributeReference, Literal(v, _)) if v != null =>
-        (a, asLong(v).map(x => Range(Some(x + 1), None)))
-      case GreaterThan(Literal(v, _), a: AttributeReference) if v != null =>
-        (a, asLong(v).map(x => Range(None, Some(x - 1))))
-      case GreaterThanOrEqual(a: AttributeReference, Literal(v, _)) if v != null =>
-        (a, asLong(v).map(x => Range(Some(x), None)))
-      case GreaterThanOrEqual(Literal(v, _), a: AttributeReference) if v != null =>
-        (a, asLong(v).map(x => Range(None, Some(x))))
-      case LessThan(a: AttributeReference, Literal(v, _)) if v != null =>
-        (a, asLong(v).map(x => Range(None, Some(x - 1))))
-      case LessThan(Literal(v, _), a: AttributeReference) if v != null =>
-        (a, asLong(v).map(x => Range(Some(x + 1), None)))
-      case LessThanOrEqual(a: AttributeReference, Literal(v, _)) if v != null =>
-        (a, asLong(v).map(x => Range(None, Some(x))))
-      case LessThanOrEqual(Literal(v, _), a: AttributeReference) if v != null =>
-        (a, asLong(v).map(x => Range(Some(x), None)))
+      case e @ GreaterThan(a: AttributeReference, Literal(v, _)) if v != null =>
+        (a, asLong(v).flatMap(incExact).map(x => Range(Some(x), None)), e)
+      case e @ GreaterThan(Literal(v, _), a: AttributeReference) if v != null =>
+        (a, asLong(v).flatMap(decExact).map(x => Range(None, Some(x))), e)
+      case e @ GreaterThanOrEqual(a: AttributeReference, Literal(v, _)) if v != null =>
+        (a, asLong(v).map(x => Range(Some(x), None)), e)
+      case e @ GreaterThanOrEqual(Literal(v, _), a: AttributeReference) if v != null =>
+        (a, asLong(v).map(x => Range(None, Some(x))), e)
+      case e @ LessThan(a: AttributeReference, Literal(v, _)) if v != null =>
+        (a, asLong(v).flatMap(decExact).map(x => Range(None, Some(x))), e)
+      case e @ LessThan(Literal(v, _), a: AttributeReference) if v != null =>
+        (a, asLong(v).flatMap(incExact).map(x => Range(Some(x), None)), e)
+      case e @ LessThanOrEqual(a: AttributeReference, Literal(v, _)) if v != null =>
+        (a, asLong(v).map(x => Range(None, Some(x))), e)
+      case e @ LessThanOrEqual(Literal(v, _), a: AttributeReference) if v != null =>
+        (a, asLong(v).map(x => Range(Some(x), None)), e)
     }
-    (points, ranges) match {
-      case (Seq((a, vs)), Seq()) =>
-        Option(indexes.get((storePath, a.name))).map(Route(a, Points(vs), _, storePath))
-      case (Seq(), rs) if rs.nonEmpty && rs.forall(_._2.isDefined) &&
-        rs.map(_._1.name).distinct.size == 1 =>
+    val pointRoute = points
+      .filter(p => indexes.containsKey((storePath, p._1.name)))
+      .sortBy(_._1.name).headOption.map { case (a, vs, e) =>
+        (Route(a, Points(vs), indexes.get((storePath, a.name)), storePath), Seq(e))
+      }
+    def rangeRoute = ranges
+      .filter(r => r._2.isDefined && indexes.containsKey((storePath, r._1.name)))
+      .groupBy(_._1.name).toSeq.sortBy(_._1).headOption.map { case (_, rs) =>
         val a = rs.head._1
         val merged = rs.flatMap(_._2).foldLeft(Range(None, None)) { (acc, r) =>
           Range(
             (acc.lo.toSeq ++ r.lo.toSeq).reduceOption(math.max(_: Long, _: Long)),
             (acc.hi.toSeq ++ r.hi.toSeq).reduceOption(math.min(_: Long, _: Long)))
         }
-        Option(indexes.get((storePath, a.name))).map(Route(a, merged, _, storePath))
-      case _ => None
-    }
+        (Route(a, merged, indexes.get((storePath, a.name)), storePath),
+          rs.map(_._3))
+      }
+    pointRoute.orElse(rangeRoute)
   }
 
   /** Every conjunct the lookup chain already enforces: IsNotNull on the
@@ -261,10 +293,17 @@ object GraftIndexRoute extends Rule[LogicalPlan] {
       storePath: String): Option[LogicalPlan] = {
     val cs = conjuncts(cond)
     for {
-      route <- routeOf(cs, storePath)
-      _ <- if (cs.forall(c =>
-        redundant(c, route.col.name) || routeOf(Seq(c), storePath).isDefined))
-        Some(()) else None
+      routed <- routeOf(cs, storePath)
+      (route, consumed) = routed
+      // RESIDUAL conjuncts (q289): everything the lookup chain does not
+      // already enforce re-applies ABOVE the fetched frame — the routed
+      // half narrows the read, the residual keeps the exact semantics.
+      // Non-deterministic residuals decline (re-evaluation could differ).
+      consumedSet = consumed.toSet
+      residual = cs.filterNot(c =>
+        consumedSet.contains(c) || redundant(c, route.col.name))
+      _ <- if (residual.forall(_.deterministic)) Some(()) else None
+      residRefs = residual.flatMap(_.references.toSeq.map(_.name)).toSet
       // pure column projection only (the snapshot/tableSchema shape)
       outAttrs <- Some(projList).filter(_.forall(_.isInstanceOf[AttributeReference]))
       spark = SparkSession.active
@@ -275,18 +314,20 @@ object GraftIndexRoute extends Rule[LogicalPlan] {
       idxMeta <- graft.cdc.CdcApplier.TargetMeta.read(
         spark.sparkContext.hadoopConfiguration,
         new org.apache.hadoop.fs.Path(route.indexDir))
-      // covered eligibility (q282): every projected column lives on the
-      // index table — LOGICAL names, since the lookup logicalizes. The
-      // layout offset `_graft_pos` is NEVER covered: the index's positions
-      // are its own, not the store's, and serving them would lie.
+      // covered eligibility (q282): every projected column — and every
+      // residual-referenced column — lives on the index table; LOGICAL
+      // names, since the lookup logicalizes. The layout offset
+      // `_graft_pos` is NEVER covered: the index's positions are its own,
+      // not the store's, and serving them would lie.
       idxCols = idxMeta.schemaJson.map(j =>
         org.apache.spark.sql.types.DataType.fromJson(j)
           .asInstanceOf[org.apache.spark.sql.types.StructType].fieldNames.toSeq
           .filterNot(c => c == CdcApplier.DEL || c == CdcApplier.BUCKET)
           .map(c => CdcApplier.logicalName(Some(idxMeta), c)).toSet)
         .getOrElse(Set.empty[String])
-      covered = idxCols.nonEmpty && outAttrs.forall(o =>
-        o.name != CdcApplier.POS && idxCols.contains(o.name))
+      covers = (n: String) => n != CdcApplier.POS && idxCols.contains(n)
+      covered = idxCols.nonEmpty && outAttrs.forall(o => covers(o.name)) &&
+        residRefs.forall(covers)
       fetched <- serve(spark, route, storePk, idxMeta, covered)
       // this subtree is injected POST-analysis into an already-optimized
       // plan, so hint wrappers must be resolved here (EliminateResolvedHint
@@ -297,10 +338,16 @@ object GraftIndexRoute extends Rule[LogicalPlan] {
       }
       byName: Map[String, org.apache.spark.sql.catalyst.expressions.Attribute] =
         plan.output.map(a => a.name -> a).toMap
-      _ <- if (outAttrs.forall(o => byName.contains(o.name))) Some(()) else None
+      _ <- if (outAttrs.forall(o => byName.contains(o.name)) &&
+        residRefs.forall(byName.contains)) Some(()) else None
+      // the residual's attributes re-bind to the served frame's exprIds
+      withResidual = if (residual.isEmpty) plan
+        else Filter(residual.map(_.transform {
+          case a: AttributeReference => byName(a.name)
+        }).reduce(And), plan)
     } yield Project(outAttrs.map { o =>
       Alias(byName(o.name), o.name)(exprId = o.exprId)
-    }, plan)
+    }, withResidual)
   }
 
   /** [[rewrite]] with the rule's decline-on-ANY-failure contract: the body

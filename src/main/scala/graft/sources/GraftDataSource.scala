@@ -95,6 +95,9 @@ class GraftDataSource extends TableProvider with RelationProvider
       GraftDataSource.streamPathOf(parameters),
       parameters.collectFirst {
         case (k, v) if k.equalsIgnoreCase("changesfrom") => v.toLong
+      },
+      parameters.collectFirst {
+        case (k, v) if k.equalsIgnoreCase("maxpositionspertrigger") => v.toLong
       })
 
   /** Streaming sink seam: `df.writeStream.format("graft").start(dir)`
@@ -249,6 +252,17 @@ object GraftDataSource {
     Option(options.get("branch"))
 }
 
+private[sources] object GraftProvider {
+  /** q288 gate conf: additive schema evolution through SQL MERGE/INSERT.
+    * Default OFF — the reference's S4 posture is fail-fast on drift; a
+    * user opts into the Delta-autoMerge analog explicitly. (The syntactic
+    * spelling `MERGE ... WITH SCHEMA EVOLUTION` needs no conf — the
+    * statement itself is the explicit opt-in.) */
+  def autoMergeEnabled: Boolean =
+    scala.util.Try(org.apache.spark.sql.SparkSession.active.conf
+      .get("spark.graft.schema.autoMerge").toBoolean).getOrElse(false)
+}
+
 class GraftTable(val targetDir: String, tableSchema: StructType,
     asOf: Option[Long] = None, changesFrom: Option[Long] = None,
     spjCapable: Boolean = false, branch: Option[String] = None)
@@ -256,9 +270,31 @@ class GraftTable(val targetDir: String, tableSchema: StructType,
     with org.apache.spark.sql.connector.catalog.SupportsRowLevelOperations {
   override def name(): String = s"graft.`$targetDir`"
   override def schema(): StructType = tableSchema
-  override def capabilities(): java.util.Set[TableCapability] =
-    java.util.EnumSet.of(TableCapability.BATCH_READ,
-      TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE)
+  /** q288 — additive schema evolution on the SQL write surface.
+    * AUTOMATIC_SCHEMA_EVOLUTION is advertised ALWAYS: in Spark 4 the
+    * capability is a PREREQUISITE, not a trigger — `MergeIntoTable.
+    * schemaEvolutionEnabled` requires the capability AND the explicit
+    * `MERGE ... WITH SCHEMA EVOLUTION` syntax, so a plain MERGE never
+    * evolves (the reference's fail-fast S4 drift posture stays the
+    * default; the statement itself is the explicit opt-in). Spark's own
+    * `ResolveMergeIntoSchemaEvolution` then routes the new source columns
+    * through [[graft.catalog.GraftCatalog.alterTable]] (the fenced S4
+    * additive commit) and reloads. With `spark.graft.schema.autoMerge=
+    * true` (session conf, default off — Delta's mergeSchema-append analog)
+    * the table additionally advertises ACCEPT_ANY_SCHEMA, which skips
+    * Spark's insert alignment so an `INSERT`/`append` may carry new
+    * columns; [[GraftWrites.insertInto]] then reconciles BY NAME (extra
+    * columns evolve additively, absent stored columns NULL-pad, PK must
+    * be present). The conf is read per-call: analysis consults
+    * capabilities at plan time, so flipping it flips the surface. */
+  override def capabilities(): java.util.Set[TableCapability] = {
+    val base = java.util.EnumSet.of(TableCapability.BATCH_READ,
+      TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE,
+      TableCapability.AUTOMATIC_SCHEMA_EVOLUTION)
+    if (GraftProvider.autoMergeEnabled)
+      base.add(TableCapability.ACCEPT_ANY_SCHEMA)
+    base
+  }
 
   /** The layout as a V2 partitioning transform — `bucket(numBuckets,
     * bucketCols...)` for HASH layouts, resolved against this table's own
@@ -299,11 +335,12 @@ class GraftTable(val targetDir: String, tableSchema: StructType,
     * the public [[V1Write]] seam (the write-side mirror of the scan's
     * [[V1Scan]]). */
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
-    require(asOf.isEmpty && changesFrom.isEmpty && branch.isEmpty,
-      "asOfPos / changesFrom / branch serve read-only projections; write to " +
-        "the table itself (branch staging goes through Branch.applyBatch)")
+    require(asOf.isEmpty && changesFrom.isEmpty,
+      "asOfPos / changesFrom serve read-only projections; write to the table itself")
+    // q287: a branch-bound table STAGES — `INSERT INTO cat.ns.t.branch_x`
+    // lands on Branch.applyBatch, main untouched until fast_forward
     new GraftWriteBuilder(targetDir,
-      info.options.asCaseSensitiveMap.asScala.toMap)
+      info.options.asCaseSensitiveMap.asScala.toMap, branch)
   }
 
   /** SQL `UPDATE` / `MERGE INTO` (and row-level `DELETE` when the
@@ -312,25 +349,29 @@ class GraftTable(val targetDir: String, tableSchema: StructType,
   override def newRowLevelOperationBuilder(
       info: org.apache.spark.sql.connector.write.RowLevelOperationInfo)
       : org.apache.spark.sql.connector.write.RowLevelOperationBuilder = {
-    require(asOf.isEmpty && changesFrom.isEmpty && branch.isEmpty,
-      "asOfPos / changesFrom / branch serve read-only projections; write to " +
-        "the table itself")
-    () => new GraftRowLevelOperation(targetDir, tableSchema, info)
+    require(asOf.isEmpty && changesFrom.isEmpty,
+      "asOfPos / changesFrom serve read-only projections; write to the table itself")
+    // q287: on a branch-bound table the rewrite READS the branch lineage
+    // and the folded change batch STAGES via Branch.applyBatch
+    () => new GraftRowLevelOperation(targetDir, tableSchema, info, branch)
   }
 
   /** SQL `DELETE FROM`: predicates translate through the read path's own
     * exact [[GraftScan.toColumn]] translations and tombstone the selected
-    * keys via the applier — cost ∝ touched buckets, never a rewrite. */
+    * keys via the applier — cost ∝ touched buckets, never a rewrite. On a
+    * branch-bound table (q287) the victims come from the branch lineage
+    * and the tombstones stage on the branch. */
   override def canDeleteWhere(filters: Array[Filter]): Boolean =
     GraftWrites.canDelete(filters)
   override def deleteWhere(filters: Array[Filter]): Unit =
-    GraftWrites.deleteWhere(SparkSession.active, targetDir, filters)
+    GraftWrites.deleteWhere(SparkSession.active, targetDir, filters, branch)
 }
 
 /** Write-intent builder: `truncate()` (Spark's INSERT OVERWRITE planning)
   * flips the one flag that turns the upsert batch into the
   * replace-contents batch. */
-class GraftWriteBuilder(targetDir: String, params: Map[String, String])
+class GraftWriteBuilder(targetDir: String, params: Map[String, String],
+    branch: Option[String] = None)
     extends WriteBuilder with SupportsTruncate {
   private var overwrite = false
   override def truncate(): WriteBuilder = { overwrite = true; this }
@@ -338,7 +379,7 @@ class GraftWriteBuilder(targetDir: String, params: Map[String, String])
     override def toInsertableRelation(): InsertableRelation =
       new InsertableRelation {
         override def insert(data: DataFrame, ow: Boolean): Unit =
-          GraftWrites.insertInto(targetDir, data, overwrite || ow, params)
+          GraftWrites.insertInto(targetDir, data, overwrite || ow, params, branch)
       }
   }
 }
@@ -784,10 +825,18 @@ object GraftScan {
         case (None, None)       => return emptyB
       }
       val raw = CdcApplier.logicalize(merged, meta)
-      val (below, above) = pushed.partition(_.references.toSet.subsetOf(pkCols.toSet))
+      // Pushed filters and the logicalized frame both speak LOGICAL names;
+      // a column-mapped table (q258) whose PK was renamed must partition
+      // and resolve on the logical spelling — resolving on the physical
+      // pkCols fails analysis, and a renamed pushed PK filter would
+      // silently never qualify for the below-resolve slot. (PK columns can
+      // never be dropped — dropColumn refuses layout identity — so the
+      // logical PK always exists on the logicalized frame.)
+      val logicalPk = pkCols.map(c => CdcApplier.logicalName(meta, c))
+      val (below, above) = pushed.partition(_.references.toSet.subsetOf(logicalPk.toSet))
       def applyF(df: DataFrame, fs: Array[Filter]): DataFrame =
         fs.flatMap(toColumn).foldLeft(df)(_.filter(_))
-      val resolved = CdcApplier.resolveOnRead(applyF(raw, below), pkCols)
+      val resolved = CdcApplier.resolveOnRead(applyF(raw, below), logicalPk)
       val live = applyF(resolved.filter(!col(DEL)), above)
       return live.select(required.fieldNames.map(col).toIndexedSeq: _*)
     }

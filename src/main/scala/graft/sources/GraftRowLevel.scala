@@ -76,7 +76,8 @@ object GraftRowLevel {
     * (full-row fidelity, the same shape as [[GraftWrites.deleteWhere]]). */
   private[sources] def commitStaged(
       spark: SparkSession, targetDir: String, files: Seq[String],
-      rowSchema: StructType, idSchema: StructType): Unit = {
+      rowSchema: StructType, idSchema: StructType,
+      branch: Option[String] = None): Unit = {
     if (files.isEmpty) return
     // materialize BEFORE the applier runs: applyBatch's own
     // openTargetForWrite reclaims `.rowlevel-*` staging trees (crash
@@ -85,7 +86,11 @@ object GraftRowLevel {
       .parquet(files: _*).localCheckpoint()
     val (opts, isMor) = GraftWrites.optionsFor(spark, targetDir, Map.empty)
     val pkCols = idSchema.fieldNames.toSeq
-    val p = GraftWrites.maxPos(spark, targetDir) + 1L
+    // q287: a branch-bound statement's positions sit past the branch point
+    // (staged rows must supersede main's as-of slice), and its victim
+    // before-images come from the BRANCH LINEAGE, not main
+    val p = branch.map(GraftWrites.branchNextPos(spark, targetDir, _))
+      .getOrElse(GraftWrites.maxPos(spark, targetDir) + 1L)
 
     // old keys to retire: DELETE verbs, plus UPDATE verbs whose new row
     // carries a different PK value (a PK move retires the old key). A pure
@@ -98,7 +103,18 @@ object GraftRowLevel {
       if (pkCols.forall(rowCols)) pkCols.map(c => !(col(idCol(c)) <=> col(c)))
         .reduce(_ || _)
       else lit(false)
-    val retiring = col(OP) === DELETE || (col(OP) === UPDATE && pkMoved)
+    // q283: on a store with registered secondary indexes EVERY update
+    // retires its old row (delete@p; the upsert@p+1 re-inserts, so the
+    // store state is unchanged) — the staged delta carries only the old
+    // PK values, so an indexed-VALUE move is undetectable here, and the
+    // index maintenance feed needs the full before-image delete to retire
+    // the stale entry. Costs the victims fetch those statements already
+    // pay whenever anything retires; unindexed stores keep the cheap path.
+    val hasIndexes = CdcApplier.TargetMeta.read(
+      spark.sparkContext.hadoopConfiguration, new Path(targetDir))
+      .exists(_.indexes.exists(_.nonEmpty))
+    val retiring = col(OP) === DELETE ||
+      (col(OP) === UPDATE && (if (hasIndexes) lit(true) else pkMoved))
 
     // upserts: the full new-row images of INSERT and UPDATE verbs (the
     // served _graft_pos column is offset introspection, not data — the
@@ -121,8 +137,10 @@ object GraftRowLevel {
         val oldKeys = staged.filter(retiring)
           .select(pkCols.map(c => col(idCol(c)).as(c)): _*)
           .distinct()
-        val victims = CdcApplier.snapshot(spark, targetDir)
-          .drop(CdcApplier.POS)
+        val current = branch
+          .map(graft.cdc.Branch.snapshot(spark, targetDir, _))
+          .getOrElse(CdcApplier.snapshot(spark, targetDir))
+        val victims = current.drop(CdcApplier.POS)
           .join(oldKeys, pkCols, "left_semi")
         Some(ChangeFeed.deletes(victims, lit(p)))
       }
@@ -137,10 +155,12 @@ object GraftRowLevel {
     // rewrite — exactly like the translatable-predicate route in
     // [[GraftWrites.deleteWhere]]. Statements that also upsert keep the
     // merge path (the rewrite folds in passing).
-    val dvRoute = !isMor && upEnvOpt.isEmpty &&
+    val dvRoute = branch.isEmpty && !isMor && upEnvOpt.isEmpty &&
       CdcApplier.TargetMeta.read(spark.sparkContext.hadoopConfiguration,
         new Path(targetDir)).exists(_.dvDeletes.contains(true))
-    if (isMor) CdcApplier.applyBatchMor(spark, batch, targetDir, opts)
+    if (branch.isDefined)
+      graft.cdc.Branch.applyBatch(spark, targetDir, branch.get, batch)
+    else if (isMor) CdcApplier.applyBatchMor(spark, batch, targetDir, opts)
     else if (dvRoute) CdcApplier.applyBatchDv(spark, batch, targetDir, opts)
     else CdcApplier.applyBatch(spark, batch, targetDir, opts)
   }
@@ -152,12 +172,14 @@ object GraftRowLevel {
   * the delta staging below. */
 class GraftRowLevelOperation(
     targetDir: String, tableSchema: StructType,
-    info: RowLevelOperationInfo) extends RowLevelOperation with SupportsDelta {
+    info: RowLevelOperationInfo, branch: Option[String] = None)
+    extends RowLevelOperation with SupportsDelta {
 
   override def command(): RowLevelOperation.Command = info.command
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new GraftScanBuilder(SparkSession.active, targetDir, tableSchema)
+    new GraftScanBuilder(SparkSession.active, targetDir, tableSchema,
+      branch = branch)
 
   override def rowId(): Array[NamedReference] = {
     val meta = CdcApplier.TargetMeta.read(
@@ -168,15 +190,16 @@ class GraftRowLevelOperation(
   }
 
   override def newWriteBuilder(info: LogicalWriteInfo): DeltaWriteBuilder =
-    new GraftDeltaWriteBuilder(targetDir, info)
+    new GraftDeltaWriteBuilder(targetDir, info, branch)
 }
 
-class GraftDeltaWriteBuilder(targetDir: String, info: LogicalWriteInfo)
-    extends DeltaWriteBuilder {
-  override def build(): DeltaWrite = new GraftDeltaWrite(targetDir, info)
+class GraftDeltaWriteBuilder(targetDir: String, info: LogicalWriteInfo,
+    branch: Option[String] = None) extends DeltaWriteBuilder {
+  override def build(): DeltaWrite = new GraftDeltaWrite(targetDir, info, branch)
 }
 
-class GraftDeltaWrite(targetDir: String, info: LogicalWriteInfo) extends DeltaWrite {
+class GraftDeltaWrite(targetDir: String, info: LogicalWriteInfo,
+    branch: Option[String] = None) extends DeltaWrite {
   private val rowSchema = info.schema()
   private val idSchema = info.rowIdSchema().orElseThrow(() =>
     new IllegalStateException("delta write without a rowId schema"))
@@ -189,7 +212,8 @@ class GraftDeltaWrite(targetDir: String, info: LogicalWriteInfo) extends DeltaWr
     override def commit(messages: Array[WriterCommitMessage]): Unit = {
       val spark = SparkSession.active
       val files = messages.collect { case StagedDeltaFile(path) => path }.toSeq
-      try GraftRowLevel.commitStaged(spark, targetDir, files, rowSchema, idSchema)
+      try GraftRowLevel.commitStaged(spark, targetDir, files, rowSchema,
+        idSchema, branch)
       finally {
         val p = new Path(stagingDir)
         val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)

@@ -57,7 +57,8 @@ case class GraftOffset(pos: Long) extends Offset {
   * tailable, so pipelines compose.
   */
 class GraftChangeFeedSource(
-    spark: SparkSession, targetDir: String, startPos: Option[Long])
+    spark: SparkSession, targetDir: String, startPos: Option[Long],
+    maxPositionsPerTrigger: Option[Long] = None)
     extends Source {
 
   private val hconf = spark.sparkContext.hadoopConfiguration
@@ -85,9 +86,59 @@ class GraftChangeFeedSource(
 
   override val schema: StructType = GraftTable.changesSchema(spark, targetDir)
 
+  require(maxPositionsPerTrigger.forall(_ > 0),
+    "maxPositionsPerTrigger must be positive")
+
+  /** ADMISSION CONTROL (q284; Delta's `maxFilesPerTrigger` / Kafka's
+    * `maxOffsetsPerTrigger`): without a cap, `getOffset` offers the FULL
+    * backlog as one micro-batch — after a week of downtime on a hot table
+    * that is one giant batch. With `.option("maxPositionsPerTrigger", n)`
+    * each offered offset advances at most `n` POSITION UNITS past the
+    * highest position already offered/consumed, so the backlog drains as
+    * bounded batches (Kafka's exact semantics: the cap is offset
+    * arithmetic, so sparse position ranges drain as smaller — possibly
+    * empty — batches; each range is still served exactly once).
+    *
+    * `cursor` tracks the highest position this source has offered or
+    * served. It re-anchors from every `getBatch` — Spark calls getBatch
+    * with the CHECKPOINTED range on restart before polling for new data,
+    * so after a restart the cap resumes from the committed cursor, never
+    * below it (offering below the checkpoint would replay served
+    * positions: the exactly-once hazard). A capped stream whose start
+    * floor is the unbounded `Long.MinValue` first anchors at one position
+    * below the table's minimum (one bounded POS-column pass, once per
+    * stream construction — row-group stats prune it; uncapped streams
+    * never pay it): capping arithmetic needs a finite base. */
+  @volatile private var cursor: Long = initial
+
   override def getOffset: Option[Offset] = {
     val hi = metaNow.flatMap(_.maxPos).getOrElse(scanMaxPos)
-    if (hi > initial) Some(GraftOffset(hi)) else None
+    val capped = maxPositionsPerTrigger match {
+      case Some(n) =>
+        if (cursor == Long.MinValue) cursor = scanMinPosAnchor
+        // saturating add: a cursor near the domain edge must not wrap
+        val lifted =
+          if (cursor > Long.MaxValue - n) Long.MaxValue else cursor + n
+        math.min(hi, lifted)
+      case None => hi
+    }
+    if (capped > initial && capped > cursor) {
+      cursor = capped
+      Some(GraftOffset(capped))
+    } else None
+  }
+
+  /** One position below the table's minimum — the finite anchor a capped
+    * stream needs when its start floor is `Long.MinValue`. */
+  private def scanMinPosAnchor: Long = {
+    val target = new Path(targetDir)
+    val fs = target.getFileSystem(hconf)
+    if (CdcApplier.bucketIds(fs, target).isEmpty) Long.MinValue
+    else {
+      val r = spark.read.option("mergeSchema", true).parquet(targetDir)
+        .agg(org.apache.spark.sql.functions.min(col(CdcApplier.POS))).first()
+      if (r.isNullAt(0)) Long.MinValue else r.getLong(0) - 1
+    }
   }
 
   /** Fallback for targets written before `maxPos` existed. */
@@ -105,6 +156,10 @@ class GraftChangeFeedSource(
   override def getBatch(start: Option[Offset], end: Offset): DataFrame = {
     val from = start.map(_.json.toLong).getOrElse(initial)
     val to = end.json.toLong
+    // re-anchor the admission cursor at the engine's (checkpointed) range:
+    // on restart this runs before any new-data poll, so a capped stream
+    // resumes from the committed position, never offers below it
+    cursor = math.max(cursor, to)
     val feed = CdcApplier.changeFeed(spark, targetDir, from)
       .filter(col("next_position") <= to)
       .select(schema.fieldNames.map(col).toIndexedSeq: _*)

@@ -98,12 +98,78 @@ object GraftWrites {
       }
   }
 
-  /** The one write entry point every SQL surface funnels into. */
-  def insertInto(targetDir: String, data: DataFrame, overwrite: Boolean,
-      params: Map[String, String]): Unit = {
+  /** q288 by-name reconciliation for autoMerge inserts: NULL-pad stored
+    * data columns the frame omits, require the PK, pass new columns
+    * through. A fresh target (no meta yet) has nothing to reconcile. */
+  private def reconcileByName(
+      spark: SparkSession, targetDir: String, data: DataFrame): DataFrame = {
+    val metaOpt = TargetMeta.read(
+      spark.sparkContext.hadoopConfiguration, new Path(targetDir))
+    if (metaOpt.isEmpty) return data
+    val served = GraftTable.tableSchema(spark, targetDir)
+    val have = data.columns.toSet
+    metaOpt.flatMap(_.pkCols).getOrElse(Seq.empty)
+      .map(c => CdcApplier.logicalName(metaOpt, c)).foreach(k =>
+        require(have(k), s"autoMerge INSERT is BY NAME and must carry the " +
+          s"PK: column '$k' is missing from (${data.columns.mkString(", ")})"))
+    served.fields.filterNot(f => have(f.name) || f.name == CdcApplier.POS)
+      .foldLeft(data)((df, f) =>
+        df.withColumn(f.name, org.apache.spark.sql.functions.lit(null)
+          .cast(f.dataType)))
+  }
+
+  /** The next staging position on a branch: strictly past both the branch
+    * point (so staged rows supersede main's as-of slice in the lineage
+    * resolve) and anything already staged (q287). */
+  private[sources] def branchNextPos(
+      spark: SparkSession, mainDir: String, name: String): Long = {
+    val staged = TargetMeta.read(spark.sparkContext.hadoopConfiguration,
+      new Path(graft.cdc.Branch.branchDir(mainDir, name))).flatMap(_.maxPos)
+    math.max(graft.cdc.Branch.point(spark, mainDir, name),
+      staged.getOrElse(Long.MinValue)) + 1L
+  }
+
+  /** The one write entry point every SQL surface funnels into. With
+    * `branch` set (q287; Iceberg's `INSERT INTO t.branch_<name>`), the
+    * same insert envelope STAGES on the branch through
+    * [[graft.cdc.Branch.applyBatch]] — main never sees it until
+    * fast_forward; positions self-assign past the branch point. */
+  def insertInto(targetDir: String, data0: DataFrame, overwrite: Boolean,
+      params: Map[String, String], branch: Option[String] = None): Unit = {
     require(opt(params, "asOfPos").isEmpty && opt(params, "changesFrom").isEmpty,
       "asOfPos / changesFrom serve read-only projections; write to the table itself")
-    val spark = data.sparkSession
+    val spark = data0.sparkSession
+    // q288: with `spark.graft.schema.autoMerge=true` the table advertises
+    // ACCEPT_ANY_SCHEMA, so Spark skips its insert alignment and the frame
+    // arrives with the SOURCE's shape — reconcile BY NAME (Delta's
+    // mergeSchema-append semantics): PK columns must be present, stored
+    // data columns absent from the frame NULL-pad (the S4 drift guard
+    // refuses missing columns — right for a CDC stream, wrong for a
+    // by-name relational INSERT), extra columns flow through and evolve
+    // the store additively in the applier. A bare positional `VALUES`
+    // arrives as col1/col2/... and fails the PK-presence guard — by-name
+    // means by name.
+    val data = if (!GraftProvider.autoMergeEnabled) data0
+      else reconcileByName(spark, targetDir, data0)
+    branch.foreach { name =>
+      // replace-contents on a branch would need the lineage's full live
+      // set tombstoned — a release flow stages deltas, not truncations
+      require(!overwrite,
+        s"INSERT OVERWRITE is not supported on branch '$name'; stage deltas " +
+          "and fast_forward, or overwrite main directly")
+      val base = branchNextPos(spark, targetDir, name)
+      val imgCols = data.columns.filterNot(_ == CdcApplier.POS).toSeq
+      val img = struct(imgCols.map(col): _*)
+      val posEx =
+        if (data.columns.contains(CdcApplier.POS))
+          coalesce(col(CdcApplier.POS).cast("long"), lit(base))
+        else lit(base)
+      val env = data.select(lit("insert").as("op"), posEx.as("next_position"),
+        org.apache.spark.sql.functions.when(lit(false), img).as("before"),
+        img.as("after"))
+      graft.cdc.Branch.applyBatch(spark, targetDir, name, env)
+      return
+    }
     val (opts, isMor) = optionsFor(spark, targetDir, params)
 
     val floor = opt(params, "position").map(_.toLong).getOrElse(
@@ -152,10 +218,20 @@ object GraftWrites {
     * holding matching keys are touched) and composes with history,
     * change-feed and mor semantics like any other delete. */
   def deleteWhere(spark: SparkSession, targetDir: String,
-      filters: Array[Filter]): Unit = {
+      filters: Array[Filter], branch: Option[String] = None): Unit = {
     val cols = filters.flatMap(GraftScan.toColumn)
     require(cols.length == filters.length,
       s"untranslatable delete predicate: ${filters.mkString(", ")}")
+    branch.foreach { name =>
+      // q287: tombstone the keys the predicates select FROM THE BRANCH
+      // LINEAGE, staged on the branch — main untouched
+      val victims = cols.foldLeft(
+        graft.cdc.Branch.snapshot(spark, targetDir, name)
+          .drop(CdcApplier.POS))(_.filter(_))
+      graft.cdc.Branch.applyBatch(spark, targetDir, name,
+        ChangeFeed.deletes(victims, lit(branchNextPos(spark, targetDir, name))))
+      return
+    }
     val hconf = spark.sparkContext.hadoopConfiguration
     val meta = TargetMeta.read(hconf, new Path(targetDir)).getOrElse(
       throw new IllegalStateException(s"no graft table state at $targetDir"))

@@ -69,6 +69,14 @@ object StreamingPipeline {
     *                      best-effort discipline as `compactEvery`.
     *                      0 (default) disables.
     * @param optimizeTargetBytes per-file size target for `optimizeEvery`
+    * @param analyzeEvery  CBO-statistics refresh cadence (q286): every N
+    *                      applied batches, re-run [[graft.cdc.ColumnStats
+    *                      .analyze]] so plans over the churning table keep
+    *                      steering on near-live numbers. Same best-effort
+    *                      discipline as its siblings. 0 (default) disables.
+    * @param analyzeApprox use `approx_count_distinct` in the cadence
+    *                      analyze (default — one pass, no Expand: the
+    *                      100 TB mode); false pins exact NDVs.
     * @param preApplyHook  test seam: runs before each apply attempt
     * @param morSink       apply through the merge-on-read delta path
     *                      ([[CdcApplier.applyBatchMor]]) instead of the
@@ -87,6 +95,8 @@ object StreamingPipeline {
       compactEvery: Int = 0,
       optimizeEvery: Int = 0,
       optimizeTargetBytes: Long = 128L << 20,
+      analyzeEvery: Int = 0,
+      analyzeApprox: Boolean = true,
       preApplyHook: () => Unit = () => (),
       morSink: Boolean = false,
       indexes: Seq[IndexSpec] = Nil)
@@ -311,6 +321,19 @@ object StreamingPipeline {
         catch {
           case e: Throwable =>
             Console.err.println(s"[graft] auto-optimize of $targetDir failed: $e")
+        }
+      }
+      // CBO statistics freshness on the compactEvery/optimizeEvery cadence
+      // (q286): a streaming deployment's stats otherwise go stale as the
+      // table churns — re-ANALYZE every N batches, approx NDV by default
+      // (one pass, mergeable HLL registers — the 100 TB mode; q285's exact
+      // mode stays opt-in). Best-effort like its siblings: stats are
+      // estimates by contract, a failed refresh retries next cadence.
+      if (opts.analyzeEvery > 0 && cadence(opts.analyzeEvery)) {
+        try graft.cdc.ColumnStats.analyze(spark, targetDir, opts.analyzeApprox)
+        catch {
+          case e: Throwable =>
+            Console.err.println(s"[graft] auto-analyze of $targetDir failed: $e")
         }
       }
     } finally cached.unpersist()

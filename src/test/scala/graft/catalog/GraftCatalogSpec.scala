@@ -63,7 +63,8 @@ class GraftCatalogSpec extends AnyFunSuite {
     spark.sql("CREATE TABLE gr.evo.t (k BIGINT, v STRING) OPTIONS (pk 'k')")
     spark.sql("INSERT INTO gr.evo.t SELECT 1L, 'a', CAST(NULL AS BIGINT)")
     spark.sql("ALTER TABLE gr.evo.t ADD COLUMN note STRING")
-    spark.sql("INSERT INTO gr.evo.t SELECT 2L, 'b', 'hello', CAST(NULL AS BIGINT)")
+    // the evolved column appends at the END of the served order (q288)
+    spark.sql("INSERT INTO gr.evo.t SELECT 2L, 'b', CAST(NULL AS BIGINT), 'hello'")
     val got = spark.sql("SELECT k, note FROM gr.evo.t ORDER BY k")
       .collect().map(r => (r.getLong(0), Option(r.getString(1)))).toSeq
     assert(got == Seq((1L, None), (2L, Some("hello"))))

@@ -211,11 +211,18 @@ class Round13Spec extends AnyFunSuite {
       val f0 = GraftIndexRoute.fired
       run(CdcApplier.snapshot(spark, store).filter($"c" === 3L).select($"k", $"c"))
       assert(GraftIndexRoute.fired > f0, "point predicate fires")
-      val d0 = GraftIndexRoute.declined
-      // an extra conjunct on another column: the chain cannot serve it
-      run(CdcApplier.snapshot(spark, store)
-        .filter($"c" === 3L && $"v" > 10.0).select($"k", $"c"))
-      assert(GraftIndexRoute.declined > d0, "compound predicates decline")
+      // r15 contract change (q289): an extra conjunct on another column no
+      // longer declines — the indexed half routes and the residual applies
+      // above the fetched frame, answers identical to the scan
+      val f0b = GraftIndexRoute.fired
+      val mixed = CdcApplier.snapshot(spark, store)
+        .filter($"c" === 3L && $"v" > 10.0).select($"k", $"c")
+      val got = mixed.collect().map(_.toString).sorted.toSeq
+      assert(GraftIndexRoute.fired > f0b,
+        "routed-with-residual fires (q289)")
+      val want = data.filter($"c" === 3L && $"v" > 10.0)
+        .select($"k", $"c").collect().map(_.toString).sorted.toSeq
+      assert(got == want, "the residual must filter above the routed frame")
       // a different (unregistered) store is never consulted
       val other = base + "/other"
       CdcApplier.applyBatch(spark, ChangeFeed.inserts(data, $"k" * 10), other,
