@@ -152,7 +152,10 @@ object Bench {
       "q273_index_route_sql", "q274_range_route", "q275_deletion_vectors",
       "q276_sorted_mor_compact", "q277_branch_sql_wap", "q278_cbo_stats",
       "q279_zorder_sql", "q280_stats_sql", "q281_dv_sql_delete",
-      "q282_covered_route")
+      "q282_covered_route", "q283_create_index_ddl", "q284_stream_admission",
+      "q285_cbo_histogram", "q286_auto_analyze", "q287_branch_sql_writes",
+      "q288_merge_schema_evolution", "q289_residual_route",
+      "q290_index_relation")
 
     def measure(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame)
         : (Double, Seq[Double], Seq[(Long, Long, Long)]) = {
