@@ -155,7 +155,7 @@ object Bench {
       "q282_covered_route", "q283_create_index_ddl", "q284_stream_admission",
       "q285_cbo_histogram", "q286_auto_analyze", "q287_branch_sql_writes",
       "q288_merge_schema_evolution", "q289_residual_route",
-      "q290_index_relation")
+      "q290_index_relation", "q291_table_audit", "q292_create_index_sql")
 
     def measure(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame)
         : (Double, Seq[Double], Seq[(Long, Long, Long)]) = {

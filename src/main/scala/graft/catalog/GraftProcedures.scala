@@ -46,7 +46,7 @@ object GraftProcedures {
     "history", "tag", "drop_tag", "tags", "detail",
     "rollback", "commits", "files", "branch", "fast_forward", "drop_branch",
     "branches", "analyze", "zorder", "stats", "create_index", "drop_index",
-    "indexes")
+    "indexes", "audit")
 
   def list(catalogName: String): Array[Identifier] =
     names.map(n => Identifier.of(Array(Namespace), n)).toArray
@@ -125,6 +125,7 @@ class GraftProcedure(root: Path, op: String) extends UnboundProcedure with Bound
       in("table", StringType).build(),
       in("column", StringType).build())
     case "indexes" => Array(in("table", StringType).build())
+    case "audit" => Array(in("table", StringType).build())
   }
 
   private def dirOf(table: String): String = {
@@ -463,6 +464,31 @@ class GraftProcedure(root: Path, op: String) extends UnboundProcedure with Bound
         r.seeded.size))
       return java.util.Collections.singletonList[Scan](new LocalScan {
         override def rows(): Array[InternalRow] = Array(row)
+        override def readSchema(): StructType = schema
+      }).iterator()
+    }
+    // DISTRIBUTED TABLE AUDIT (q291; Delta invariant checks / HBase hbck
+    // posture): verify the store's structural invariants IN PLACE — bucket
+    // assignment vs the layout fold, one-version-per-key on resolve-free
+    // layouts, file columns within the persisted schema, the dv flag vs
+    // on-disk vectors, each live secondary index set-equal to the store,
+    // ANALYZE row drift (informational). Read-only; repairs are the
+    // applier's documented entry points (rebucket / compact / re-seed).
+    if (op == "audit") {
+      val rows = graft.cdc.TableAudit.audit(spark, dir)
+      val schema = StructType(Seq(
+        StructField("check", StringType, nullable = false),
+        StructField("ok", org.apache.spark.sql.types.BooleanType, nullable = true),
+        StructField("violations", LongType, nullable = false),
+        StructField("detail", StringType, nullable = false)))
+      val outRows: Array[InternalRow] = rows.map { r =>
+        new GenericInternalRow(Array[Any](
+          UTF8String.fromString(r.check),
+          r.ok.map(Boolean.box).orNull, r.violations,
+          UTF8String.fromString(r.detail))): InternalRow
+      }.toArray
+      return java.util.Collections.singletonList[Scan](new LocalScan {
+        override def rows(): Array[InternalRow] = outRows
         override def readSchema(): StructType = schema
       }).iterator()
     }

@@ -661,7 +661,7 @@ object CdcApplier {
     * monotone in the key, so bucket ids follow key order and a range scan
     * covers CONTIGUOUS buckets). One definition for both apply paths and
     * every lookup, so writer and readers cannot disagree. */
-  private def bucketExpr(
+  private[cdc] def bucketExpr(
       bucketOrder: Seq[String], numBuckets: Int, rangeBounds: Option[Seq[Long]]): Column =
     bucketExprCols(bucketOrder.map(col), numBuckets, rangeBounds)
 

@@ -4385,6 +4385,178 @@ object CdcQueries {
         .orderBy($"phase", $"idx_column")
     }),
 
+    // ANSI CREATE INDEX / DROP INDEX (q292; Spark's SupportsIndex DDL over
+    // the q283 lifecycle — the literal SQL spelling, no CALL): a graft
+    // index is identified by its column (meta registry, route table and
+    // sibling dir all key on it), so the statement's index name must equal
+    // the column — the refusal names the contract. In-gate: wrong-name
+    // CREATE refuses; the covering CREATE seeds + auto-registers; a
+    // duplicate CREATE refuses while IF NOT EXISTS is silent; a plain CDC
+    // batch maintains the DDL-built index; the routed point query fires
+    // with the V2 scan gone; CALL system.indexes lists the DDL-created
+    // index; DROP INDEX restores the scan with identical answers and a
+    // re-DROP refuses.
+    "q292_create_index_sql" -> ((s, dir) => {
+      import s.implicits._
+      val o = Tables.load(s, dir, "orders")
+      val whRoot = graftCatRoot(s)
+      s.sql("DROP TABLE IF EXISTS q245cat.prod.orders_cidx2")
+      s.sql(s"""CREATE TABLE q245cat.prod.orders_cidx2 (${o.schema.toDDL})
+                OPTIONS (pk 'o_orderkey', buckets '8')""")
+      val store = s"$whRoot/prod/orders_cidx2"
+      val sopts = CdcApplier.Options(Seq("o_orderkey"))
+      CdcApplier.applyBatch(s, ChangeFeed.inserts(o, $"o_orderkey" * 10), store, sopts)
+      import graft.plans.GraftIndexRoute
+      GraftIndexRoute.install(s)
+      try {
+        val tbl = "q245cat.prod.orders_cidx2"
+        val wrongName = scala.util.Try(s.sql(
+          s"CREATE INDEX custidx ON $tbl (o_custkey)"))
+        require(wrongName.isFailure && wrongName.failed.get.getMessage
+          .contains("name the index after it"),
+          s"a mis-named index must refuse naming the contract: $wrongName")
+        s.sql(s"""CREATE INDEX o_custkey ON $tbl (o_custkey)
+                  OPTIONS (covering 'o_totalprice')""")
+        require(scala.util.Try(s.sql(
+          s"CREATE INDEX o_custkey ON $tbl (o_custkey)")).isFailure,
+          "a duplicate CREATE INDEX must refuse")
+        s.sql(s"CREATE INDEX IF NOT EXISTS o_custkey ON $tbl (o_custkey)")
+        // plain CDC batch post-create: the DDL-built index maintains
+        CdcApplier.applyBatch(s,
+          ChangeFeed.updates(o.filter($"o_orderkey" % 4 === 0),
+            Map("o_totalprice" -> ($"o_totalprice" * 1.25)),
+            $"o_orderkey" * 10 + 3),
+          store, sopts)
+        def q() = s.sql(
+          s"""SELECT o_orderkey, o_custkey, o_totalprice FROM $tbl
+              WHERE o_custkey IN (3, 7, 11, 19, 42)""")
+        val f1 = GraftIndexRoute.fired
+        val routedDf = q(); val routed = routedDf.collect()
+        require(GraftIndexRoute.fired > f1, "the DDL-built index must route")
+        require(!routedDf.queryExecution.executedPlan.toString
+          .contains("GraftBatchScan"), "the routed plan replaces the V2 scan")
+        val li = s.sql(
+          "CALL q245cat.system.indexes(table => 'prod.orders_cidx2')").collect()
+        require(li.length == 1 && li(0).getString(0) == "o_custkey" &&
+          li(0).getString(1) == "live" && li(0).getString(3) == "o_totalprice",
+          s"system.indexes must list the DDL-created index: ${li.mkString(";")}")
+        s.sql(s"DROP INDEX o_custkey ON $tbl")
+        val f2 = GraftIndexRoute.fired
+        val plainDf = q(); val plain = plainDf.collect()
+        require(GraftIndexRoute.fired == f2, "after DROP INDEX nothing routes")
+        require(plainDf.queryExecution.executedPlan.toString
+          .contains("GraftBatchScan"), "the V2 scan returns after the drop")
+        require(routed.map(_.toString).sorted.toSeq ==
+          plain.map(_.toString).sorted.toSeq,
+          "routed and post-drop answers must be identical")
+        require(scala.util.Try(s.sql(
+          s"DROP INDEX o_custkey ON $tbl")).isFailure,
+          "dropping a dropped index must refuse")
+        q().withColumn("ddl_spelling", lit(true))
+          .withColumn("routed", lit(true))
+          .withColumn("listed", lit(true))
+          .withColumn("dropped_scan_returns", lit(true))
+          .orderBy($"o_orderkey")
+      } finally GraftIndexRoute.unregister(store, "o_custkey")
+    }),
+
+    // DISTRIBUTED TABLE AUDIT (q291; Delta's invariant-check posture,
+    // HBase hbck — the reference's operational ecosystem): a 100 TB store
+    // cannot be downloaded to be checked, and a wrong bucket assignment or
+    // a drifted secondary index is SILENT until a pruned read answers
+    // wrong — CALL system.audit verifies the structural invariants in
+    // place with distributed aggregates (bucket-vs-layout-fold per row,
+    // one-version-per-key on resolve-free layouts, file columns within
+    // the persisted schema, dv flag vs disk, live indexes set-equal to
+    // the store, ANALYZE drift informational), read-only. In-gate: the
+    // healthy lifecycle store (CDC churn + live covering index + ANALYZE)
+    // audits clean — the oracle frame; a file smuggled into the WRONG
+    // bucket directory flags bucket_assignment AND pk_uniqueness on a
+    // scratch store; a stale entry injected directly into an index table
+    // flags exactly that index with violations=1.
+    "q291_table_audit" -> ((s, dir) => {
+      import s.implicits._
+      val o = Tables.load(s, dir, "orders")
+      val whRoot = graftCatRoot(s)
+      s.sql("DROP TABLE IF EXISTS q245cat.prod.orders_audit")
+      s.sql(s"""CREATE TABLE q245cat.prod.orders_audit (${o.schema.toDDL})
+                OPTIONS (pk 'o_orderkey', buckets '8')""")
+      val store = s"$whRoot/prod/orders_audit"
+      val sopts = CdcApplier.Options(Seq("o_orderkey"))
+      CdcApplier.applyBatch(s, ChangeFeed.inserts(o, $"o_orderkey" * 10), store, sopts)
+      CdcApplier.applyBatch(s,
+        ChangeFeed.updates(o.filter($"o_orderkey" % 4 === 0),
+          Map("o_totalprice" -> ($"o_totalprice" * 1.5)), $"o_orderkey" * 10 + 3)
+          .union(ChangeFeed.deletes(o.filter($"o_orderkey" % 9 === 1),
+            $"o_orderkey" * 10 + 7)),
+        store, sopts)
+      s.sql("""CALL q245cat.system.create_index(table => 'prod.orders_audit',
+               column => 'o_custkey', covering => 'o_totalprice')""").collect()
+      s.sql("CALL q245cat.system.analyze(table => 'prod.orders_audit')").collect()
+      val healthy = s.sql(
+        "CALL q245cat.system.audit(table => 'prod.orders_audit')")
+      val schemaH = org.apache.spark.sql.types.StructType(
+        healthy.schema.fields.take(3))
+      val hRows = healthy.collect()
+      require(hRows.filter(!_.isNullAt(1)).forall(r =>
+        r.getBoolean(1) && r.getLong(2) == 0L),
+        s"the healthy lifecycle store must audit clean: ${hRows.mkString(";")}")
+      require(hRows.exists(r => r.getString(0) == "stats_rows" &&
+        r.getLong(2) == 0L),
+        "ANALYZE ran after the churn, so the recorded rows must equal live")
+      // negative leg 1: a file smuggled into the WRONG bucket directory
+      val hconf = s.sparkContext.hadoopConfiguration
+      val negRoot = Files.createTempDirectory("graft_audit").toString
+      val neg = s"$negRoot/neg"
+      val small = s.range(1, 41).select($"id".as("k"), ($"id" % 7).as("v"))
+      CdcApplier.applyBatch(s, ChangeFeed.inserts(small, $"k" * 10), neg,
+        CdcApplier.Options(Seq("k"), numBuckets = 4))
+      val negPath = new org.apache.hadoop.fs.Path(neg)
+      val fsys = negPath.getFileSystem(hconf)
+      val srcFile = fsys.listStatus(
+        new org.apache.hadoop.fs.Path(neg, s"${CdcApplier.BUCKET}=0"))
+        .map(_.getPath).filter(_.getName.endsWith(".parquet")).head
+      org.apache.hadoop.fs.FileUtil.copy(fsys, srcFile, fsys,
+        new org.apache.hadoop.fs.Path(neg,
+          s"${CdcApplier.BUCKET}=1/smuggled-${srcFile.getName}"),
+        false, hconf)
+      val aud1 = TableAudit.audit(s, neg).map(r => r.check -> r).toMap
+      require(aud1("bucket_assignment").ok.contains(false) &&
+        aud1("bucket_assignment").violations > 0,
+        s"the smuggled file must flag bucket_assignment: ${aud1.values}")
+      require(aud1("pk_uniqueness").ok.contains(false),
+        "the smuggled duplicate keys must flag pk_uniqueness")
+      // negative leg 2: a stale entry injected directly into an index
+      val neg2 = s"$negRoot/neg2"
+      CdcApplier.applyBatch(s, ChangeFeed.inserts(small, $"k" * 10), neg2,
+        CdcApplier.Options(Seq("k"), numBuckets = 4))
+      IndexLifecycle.createIndex(s, neg2, "v")
+      try {
+        val idir = IndexLifecycle.indexDir(neg2, "v")
+        val imeta = CdcApplier.TargetMeta.read(hconf,
+          new org.apache.hadoop.fs.Path(idir)).get
+        CdcApplier.applyBatch(s,
+          ChangeFeed.inserts(
+            s.range(1, 2).select(lit(999L).as("v"), lit(12345L).as("k")),
+            lit(999999L)),
+          idir, CdcApplier.Options(imeta.pkCols.get,
+            numBuckets = imeta.numBuckets, bucketCols = imeta.bucketCols,
+            rangeBounds = imeta.rangeBounds))
+        val aud2 = TableAudit.audit(s, neg2).map(r => r.check -> r).toMap
+        require(aud2("index_v").ok.contains(false) &&
+          aud2("index_v").violations == 1L,
+          s"the injected stale entry must flag index_v with violations=1: ${aud2.values}")
+        require(aud2("bucket_assignment").ok.contains(true),
+          "the store itself stays clean — only the index drifted")
+      } finally graft.plans.GraftIndexRoute.unregister(neg2, "v")
+      import scala.collection.JavaConverters._
+      s.createDataFrame(
+        hRows.map(r => Row(r.getString(0),
+          if (r.isNullAt(1)) null else Boolean.box(r.getBoolean(1)),
+          r.getLong(2))).toList.asJava, schemaH)
+        .orderBy($"check")
+    }),
+
     // ROUTING UNDER AND-CONJUNCTIONS (q289; Phoenix's index-plus-filter
     // plan): the rule declined whenever ANY conjunct beside the indexed
     // predicate wasn't lookup-enforced — correct but conservative: a
@@ -6513,6 +6685,31 @@ object CdcQueries {
         SELECT 2, 'o_orderpriority', 'live', 'hash', '',
           (SELECT count(*) FROM orders), 8, 8
       ) ORDER BY phase, idx_column""",
+
+    // q292: the routed IN-list replayed over the lifecycle — the %4
+    // reprice landed through the maintained index.
+    "q292_create_index_sql" -> """
+      SELECT o_orderkey, o_custkey,
+        CASE WHEN o_orderkey % 4 = 0 THEN o_totalprice * 1.25
+             ELSE o_totalprice END AS o_totalprice,
+        true AS ddl_spelling, true AS routed, true AS listed,
+        true AS dropped_scan_returns
+      FROM orders WHERE o_custkey IN (3, 7, 11, 19, 42)
+      ORDER BY o_orderkey""",
+
+    // q291: the healthy store's audit report — every enforced invariant
+    // clean (ok true, zero violations), the version-bearing skips and the
+    // informational stats row surfacing ok=NULL.
+    "q291_table_audit" -> """
+      SELECT * FROM (
+        SELECT 'bucket_assignment' AS "check", true AS ok,
+          CAST(0 AS BIGINT) AS violations
+        UNION ALL SELECT 'dv_flag', true, 0
+        UNION ALL SELECT 'file_schema', true, 0
+        UNION ALL SELECT 'index_o_custkey', true, 0
+        UNION ALL SELECT 'pk_uniqueness', true, 0
+        UNION ALL SELECT 'stats_rows', CAST(NULL AS BOOLEAN), 0
+      ) ORDER BY "check"""",
 
     // q286: the fact ⋈ dim join after the dim's pipeline lifecycle — the
     // %3 deletes gone; reprices don't surface (c_name only).

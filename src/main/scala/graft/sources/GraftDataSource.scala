@@ -267,7 +267,8 @@ class GraftTable(val targetDir: String, tableSchema: StructType,
     asOf: Option[Long] = None, changesFrom: Option[Long] = None,
     spjCapable: Boolean = false, branch: Option[String] = None)
     extends Table with SupportsRead with SupportsWrite with SupportsDelete
-    with org.apache.spark.sql.connector.catalog.SupportsRowLevelOperations {
+    with org.apache.spark.sql.connector.catalog.SupportsRowLevelOperations
+    with org.apache.spark.sql.connector.catalog.index.SupportsIndex {
   override def name(): String = s"graft.`$targetDir`"
   override def schema(): StructType = tableSchema
   /** q288 — additive schema evolution on the SQL write surface.
@@ -294,6 +295,90 @@ class GraftTable(val targetDir: String, tableSchema: StructType,
     if (GraftProvider.autoMergeEnabled)
       base.add(TableCapability.ACCEPT_ANY_SCHEMA)
     base
+  }
+
+  // ---- ANSI index DDL (q292; Spark's SupportsIndex — `CREATE INDEX name
+  // ON t (col) [OPTIONS (...)]` / `DROP INDEX name ON t`): the literal DDL
+  // spelling over the q283 lifecycle. A graft secondary index is
+  // IDENTIFIED BY ITS COLUMN (the meta registry, the route table, and the
+  // sibling-dir layout all key on it), so the statement's index name must
+  // equal the indexed column — a clear refusal names the contract.
+  // OPTIONS pass through: covering, layout (or `USING <type>`), buckets,
+  // max_buckets (a bounded first slice; resume via CALL
+  // system.create_index — re-CREATE refuses as already-existing).
+
+  private def liveTableOnly(what: String): Unit =
+    require(asOf.isEmpty && changesFrom.isEmpty && branch.isEmpty,
+      s"$what applies to the live table, not an as-of/change-feed/branch projection")
+
+  override def createIndex(indexName: String,
+      columns: Array[org.apache.spark.sql.connector.expressions.NamedReference],
+      columnsProperties: java.util.Map[
+        org.apache.spark.sql.connector.expressions.NamedReference,
+        java.util.Map[String, String]],
+      properties: java.util.Map[String, String]): Unit = {
+    liveTableOnly("CREATE INDEX")
+    require(columns.length == 1,
+      "graft secondary indexes serve ONE column (composite selectivity " +
+        "comes from covering payload + residual filters); got " +
+        columns.map(_.describe).mkString(", "))
+    val colName = columns(0).fieldNames.mkString(".")
+    if (indexExists(indexName))
+      throw new org.apache.spark.sql.catalyst.analysis
+        .IndexAlreadyExistsException(indexName, name(), scala.None)
+    require(indexName == colName,
+      s"graft indexes are identified by their indexed column — name the " +
+        s"index after it ('$colName', got '$indexName')")
+    val p = new java.util.HashMap[String, String](properties)
+    val layout = Option(p.get(
+      org.apache.spark.sql.connector.catalog.index.SupportsIndex.PROP_TYPE))
+      .filter(_.nonEmpty)
+      .orElse(Option(p.get("layout"))).getOrElse("hash")
+    graft.cdc.IndexLifecycle.createIndex(SparkSession.active, targetDir,
+      colName,
+      covering = Option(p.get("covering")).toSeq
+        .flatMap(_.split(",").map(_.trim)).filter(_.nonEmpty),
+      layout = layout,
+      buckets = Option(p.get("buckets")).map(_.toInt),
+      maxBuckets = Option(p.get("max_buckets")).map(_.toInt)
+        .getOrElse(Int.MaxValue))
+    ()
+  }
+
+  override def dropIndex(indexName: String): Unit = {
+    liveTableOnly("DROP INDEX")
+    if (!indexExists(indexName))
+      throw new org.apache.spark.sql.catalyst.analysis
+        .NoSuchIndexException(indexName, name(), scala.None)
+    graft.cdc.IndexLifecycle.dropIndex(SparkSession.active, targetDir, indexName)
+  }
+
+  override def indexExists(indexName: String): Boolean =
+    graft.cdc.CdcApplier.TargetMeta.read(
+      SparkSession.active.sparkContext.hadoopConfiguration,
+      new Path(targetDir))
+      .exists(_.indexes.exists(_.contains(indexName)))
+
+  override def listIndexes()
+      : Array[org.apache.spark.sql.connector.catalog.index.TableIndex] = {
+    // an index-less table LISTS as empty (unlike CALL system.indexes,
+    // which refuses — a DDL listing is a query, the CALL is a probe)
+    val any = graft.cdc.CdcApplier.TargetMeta.read(
+      SparkSession.active.sparkContext.hadoopConfiguration,
+      new Path(targetDir)).exists(_.indexes.exists(_.nonEmpty))
+    if (!any)
+      return Array.empty[org.apache.spark.sql.connector.catalog.index.TableIndex]
+    graft.cdc.IndexLifecycle.describe(SparkSession.active, targetDir).map { i =>
+      val props = new java.util.Properties()
+      props.setProperty("state", i.state)
+      if (i.covering.nonEmpty) props.setProperty("covering", i.covering.mkString(","))
+      props.setProperty("seeded_buckets", i.seeded.toString)
+      props.setProperty("total_buckets", i.total.toString)
+      new org.apache.spark.sql.connector.catalog.index.TableIndex(
+        i.column, i.layout,
+        Array(org.apache.spark.sql.connector.expressions.Expressions.column(i.column)),
+        java.util.Collections.emptyMap(), props)
+    }.toArray
   }
 
   /** The layout as a V2 partitioning transform — `bucket(numBuckets,

@@ -209,6 +209,45 @@ class Round15Spec extends AnyFunSuite {
     Branch.drop(spark, store, "rel2024")
   }
 
+  // ---- q291: audit edge semantics ----------------------------------------
+
+  test("q291 audit: dv crash-window direction and version-bearing skips") {
+    val store = Files.createTempDirectory("graft_r15").toString + "/dvstore"
+    val data = spark.range(1, 21)
+      .select($"id".as("k"), ($"id" * 2.0).as("v"))
+    CdcApplier.applyBatch(spark, ChangeFeed.inserts(data, $"k" * 10), store, opts)
+    CdcApplier.applyBatchDv(spark,
+      ChangeFeed.deletes(data.filter($"k" % 5 === 0), $"k" * 10 + 5),
+      store, opts)
+    def row(c: String) = TableAudit.audit(spark, store).find(_.check == c).get
+    // outstanding vectors: flag == disk → clean; pk_uniqueness skips
+    // (dv makes the layout version-bearing)
+    assert(row("dv_flag").ok.contains(true))
+    assert(row("pk_uniqueness").ok.isEmpty)
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val meta = TargetMeta.read(hconf, new Path(store)).get
+    // disk > flag is the DOCUMENTED crash window (files publish first) —
+    // legal, never flagged
+    TargetMeta.write(hconf, new Path(store),
+      meta.copy(dv = meta.dv.map(_ - 1)))
+    assert(row("dv_flag").ok.contains(true))
+    // flag > disk is impossible under the publish order — flagged
+    TargetMeta.write(hconf, new Path(store),
+      meta.copy(dv = meta.dv.map(_ + 5)))
+    val bad = row("dv_flag")
+    assert(bad.ok.contains(false) && bad.violations == 5L)
+    TargetMeta.write(hconf, new Path(store), meta)
+    // a mor store skips pk_uniqueness too (delta chains are multi-version)
+    val mor = Files.createTempDirectory("graft_r15").toString + "/morstore"
+    CdcApplier.applyBatchMor(spark, ChangeFeed.inserts(data, $"k" * 10), mor, opts)
+    CdcApplier.applyBatchMor(spark,
+      ChangeFeed.updates(data.filter($"k" % 3 === 0),
+        Map("v" -> ($"v" * 2.0)), $"k" * 10 + 3), mor, opts)
+    val morAudit = TableAudit.audit(spark, mor).map(r => r.check -> r).toMap
+    assert(morAudit("pk_uniqueness").ok.isEmpty)
+    assert(morAudit("bucket_assignment").ok.contains(true))
+  }
+
   // ---- q288: autoMerge surfaces ------------------------------------------
 
   test("q288: autoMerge conf gates capabilities and by-name INSERT reconcile") {
