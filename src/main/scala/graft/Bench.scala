@@ -39,6 +39,14 @@ object Bench {
       // MICROS); Tables.load adapts to either, this conf covers the NANOS case.
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
+      // Optimization r15 (guide §6): graft's writes all land in tmp trees
+      // whose atomicity comes from the applier's own rename publish, so the
+      // v1 committer's two-phase job-commit renames buy nothing here — v2
+      // commits task files directly (the standard HDFS choice when the
+      // write path has its own atomicity), and the _SUCCESS marker is
+      // unused by every graft reader (publishBuckets filters _-prefixed).
+      .config("spark.hadoop.mapreduce.fileoutputcommitter.algorithm.version", "2")
+      .config("spark.hadoop.mapreduce.fileoutputcommitter.marksuccessfuljobs", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 

@@ -151,7 +151,7 @@ class GraftProcedure(root: Path, op: String) extends UnboundProcedure with Bound
       require(meta.storage.contains("mor"),
         "history needs the mor layout — copy-on-write rewrites supersede history")
       val floorRaw = math.max(meta.horizon, meta.collapsed.getOrElse(Long.MinValue))
-      val posCounts = spark.read.option("mergeSchema", true).parquet(dir)
+      val posCounts = CdcApplier.readStored(spark, Some(meta), Seq(dir))
         .groupBy(org.apache.spark.sql.functions.col(CdcApplier.POS))
         .count().collect()
         .map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)

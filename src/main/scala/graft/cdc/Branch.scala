@@ -148,7 +148,7 @@ object Branch {
     val meta = TargetMeta.read(hconf, new Path(mainDir)).get
     val pk = meta.pkCols.getOrElse(
       throw new IllegalStateException(s"mor layout at $mainDir has no persisted PK"))
-    val base = spark.read.option("mergeSchema", true).parquet(mainDir)
+    val base = CdcApplier.readStored(spark, Some(meta), Seq(mainDir))
       .filter(col(POS) <= from)
     val dir = branchDir(mainDir, name)
     val fs = fsOf(spark, dir)
@@ -181,17 +181,21 @@ object Branch {
       .select(CdcApplier.bucketExprCols(bucketCols.map(col), meta.numBuckets,
         meta.rangeBounds).as(BUCKET))
       .distinct().collect().map(_.getInt(0)).toSeq.sorted
-    def pruned(dir: String, fs: FileSystem): Option[DataFrame] = {
+    // main reads serve the persisted schema (readStored); branch delta
+    // dirs keep mergeSchema inference — they carry no meta of their own
+    // and may stage columns main does not have yet
+    def pruned(dir: String, fs: FileSystem,
+        m: Option[CdcApplier.TargetMeta]): Option[DataFrame] = {
       val present = CdcApplier.bucketIds(fs, new Path(dir)).toSet
       val read = buckets.filter(present)
       if (read.isEmpty) None
-      else Some(spark.read.option("mergeSchema", true).option("basePath", dir)
-        .parquet(read.map(b => s"$dir/$BUCKET=$b"): _*))
+      else Some(CdcApplier.readStored(spark, m,
+        read.map(b => s"$dir/$BUCKET=$b"), Some(dir)))
     }
-    val mainSlice = pruned(mainDir, fsOf(spark, mainDir))
+    val mainSlice = pruned(mainDir, fsOf(spark, mainDir), Some(meta))
       .map(_.filter(col(POS) <= from))
     val dir = branchDir(mainDir, name)
-    val branchSlice = pruned(dir, fsOf(spark, dir))
+    val branchSlice = pruned(dir, fsOf(spark, dir), None)
     val merged = (mainSlice, branchSlice) match {
       case (Some(m), Some(b)) => m.unionByName(b, allowMissingColumns = true)
       case (Some(m), None)    => m

@@ -617,10 +617,43 @@ object CdcApplier {
         coalesce(col(s"c.$BUCKET"), col(s"r.$BUCKET")).as(BUCKET)): _*)
   }
 
+  /** Parsed, fully-nullable form of the persisted table schema. Nullable
+    * throughout because a file written before an additive evolution lacks
+    * the new columns and the reader surfaces NULL — the same shape
+    * `mergeSchema` inference produces. */
+  private[graft] def storedSchema(meta: Option[TargetMeta]): Option[StructType] =
+    meta.flatMap(_.schemaJson).map(j => StructType(
+      org.apache.spark.sql.types.DataType.fromJson(j).asInstanceOf[StructType]
+        .fields.map(_.copy(nullable = true))))
+
+  /** Stored-table read WITHOUT per-read schema inference (optimization
+    * round 15, guide §6): `mergeSchema=true` plans a distributed footer
+    * read of EVERY data file on EVERY call — at 100 TB that is millions of
+    * footer reads per query, and locally it is one extra Spark job per
+    * read site. The applier maintains `.graft_meta.schemaJson` as the
+    * table-wide truth (creation, additive evolution and widening all
+    * refresh it in the same batch, MOR appends union it in
+    * [[applyBatchMor]] before the delta lands), so the persisted schema
+    * serves directly; targets without one (pre-upgrade) keep the
+    * inference path. Robustness across an additive publish interrupted
+    * mid-swap is unchanged: buckets not yet rewritten read the new column
+    * as NULL — exactly what the merged inference served. */
+  private[graft] def readStored(
+      spark: SparkSession, meta: Option[TargetMeta], paths: Seq[String],
+      basePath: Option[String] = None): DataFrame = {
+    val r0 = spark.read
+    val r1 = basePath.fold(r0)(b => r0.option("basePath", b))
+    storedSchema(meta) match {
+      case Some(s) => r1.schema(s).parquet(paths: _*)
+      case None    => r1.option("mergeSchema", true).parquet(paths: _*)
+    }
+  }
+
   /** Read the live table state: tombstones filtered, layout columns dropped
-    * (`_graft_pos` retained for offset introspection). `mergeSchema` keeps
-    * the read robust across an additive-evolution publish interrupted
-    * mid-swap (some buckets already carry the new column, some not yet).
+    * (`_graft_pos` retained for offset introspection). The persisted schema
+    * (or, pre-upgrade, mergeSchema inference) keeps the read robust across
+    * an additive-evolution publish interrupted mid-swap (some buckets
+    * already carry the new column, some not yet).
     * A target whose every row has been deleted AND compacted away has no
     * bucket dirs left — that is a valid empty table, typed from the schema
     * persisted in `.graft_meta`, not a read error. */
@@ -630,8 +663,8 @@ object CdcApplier {
     val fs = target.getFileSystem(hconf)
     openTarget(fs, target) // a crashed rebucket's .bak may hold the data
     if (bucketIds(fs, target).nonEmpty) {
-      val raw = spark.read.option("mergeSchema", true).parquet(targetDir)
       val meta = TargetMeta.read(hconf, target)
+      val raw = readStored(spark, meta, Seq(targetDir))
       val resolved =
         if (needsResolve(meta))
           resolveOnRead(raw, meta.flatMap(_.pkCols).getOrElse(
@@ -646,7 +679,7 @@ object CdcApplier {
         .map(j => org.apache.spark.sql.types.DataType.fromJson(j).asInstanceOf[StructType])
         .getOrElse(throw new IllegalStateException(s"no graft table state at $targetDir"))
       logicalize(
-        spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+        spark.createDataFrame(java.util.Collections.emptyList[org.apache.spark.sql.Row](), schema)
           .drop(DEL, BUCKET), meta)
     }
   }
@@ -740,19 +773,59 @@ object CdcApplier {
   private[graft] def sortColsOf(bucketOrder: Seq[String], pkOrder: Seq[String]): Seq[String] =
     bucketOrder ++ pkOrder.filterNot(bucketOrder.toSet)
 
+  /** A column that repartitions EXACTLY one bucket per shuffle partition.
+    * `repartition(n, $BUCKET)` hashes the bucket id, and with only n
+    * distinct values the collisions leave ~1/e of the tasks empty while
+    * others carry 2-3 whole buckets — the guide §2.5 too-few-distinct-keys
+    * skew, a 2-3x straggler on every bucket-rewrite stage. Spark's hash
+    * partitioning is pmod(murmur3(x, seed=42), n), so a driver-side probe
+    * finds, for each bucket id, an int literal that lands on exactly that
+    * partition (expected n probes per bucket, microseconds for any real
+    * bucket count); the per-row remap is one O(1) array index. The mapping
+    * is a literal — deterministic under task retry (guide §2.5's
+    * rand-repartition hazard does not apply). */
+  private[cdc] def bucketAlignedKey(buckets: Seq[Int], parts: Int): Column = {
+    // one int literal per shuffle partition whose murmur3 lands exactly
+    // there (walk candidates, first hit per partition wins)
+    val slotOfPartition = new Array[Integer](parts)
+    var remaining = parts
+    var x = 0
+    while (remaining > 0) {
+      val h = org.apache.spark.unsafe.hash.Murmur3_x86_32.hashInt(x, 42)
+      val p = ((h % parts) + parts) % parts
+      if (slotOfPartition(p) == null) {
+        slotOfPartition(p) = Integer.valueOf(x); remaining -= 1
+      }
+      x += 1
+    }
+    // bucket buckets(i) → partition i (mod parts): 1 bucket per task when
+    // parts == buckets.size. Lookup is one O(1) array index per row;
+    // element_at is 1-based; ids absent from `buckets` carry no rows.
+    val arr = new Array[Int](buckets.max + 1)
+    buckets.zipWithIndex.foreach { case (b, i) =>
+      arr(b) = slotOfPartition(i % parts).intValue
+    }
+    element_at(typedLit(arr.toSeq), col(BUCKET) + 1)
+  }
+
   /** Sorted bucket write (q262): all of a bucket's rows land in ONE task
-    * (repartition on the bucket id), sorted by (bucket, sortCols) within
-    * it, so each published bucket directory holds one file internally
-    * sorted by the layout's sort columns. At 100 TB this pays the sort
-    * once at write — every later co-bucketed storage-partitioned join then
-    * runs with no Exchange AND no Sort (the scan reports the order). The
-    * one-task-per-bucket shape is the same per-bucket memory bound the
-    * merge and the MOR reader already assume. */
-  private def writeSorted(df: DataFrame, sortCols: Seq[String], parts: Int,
-      dest: String): Unit =
-    df.repartition(math.max(parts, 1), col(BUCKET))
+    * (bucket-aligned repartition — see [[bucketAlignedKey]]), sorted by
+    * (bucket, sortCols) within it, so each published bucket directory
+    * holds one file internally sorted by the layout's sort columns. At
+    * 100 TB this pays the sort once at write — every later co-bucketed
+    * storage-partitioned join then runs with no Exchange AND no Sort (the
+    * scan reports the order). The one-task-per-bucket shape is the same
+    * per-bucket memory bound the merge and the MOR reader already assume. */
+  private def writeSorted(df: DataFrame, sortCols: Seq[String], buckets: Seq[Int],
+      dest: String): Unit = {
+    val n = math.max(buckets.size, 1)
+    val keyed =
+      if (buckets.isEmpty) df.repartition(n, col(BUCKET))
+      else df.repartition(n, bucketAlignedKey(buckets, n))
+    keyed
       .sortWithinPartitions((BUCKET +: sortCols).map(col): _*)
       .write.partitionBy(BUCKET).mode("overwrite").parquet(dest)
+  }
 
   private[graft] def resolveOnRead(df: DataFrame, pkCols: Seq[String]): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
@@ -833,6 +906,27 @@ object CdcApplier {
           org.apache.spark.sql.types.DataType.fromJson(j).asInstanceOf[StructType],
           resolved.schema, pkOrder,
           dropped = m.drops.getOrElse(Seq.empty).toSet))
+      // Additive evolution: this delta may carry NEW columns over files
+      // that keep their old schema. The persisted schema is every reader's
+      // source of truth ([[readStored]]), so the union lands BEFORE the
+      // delta files become visible — in that crash window the new column
+      // reads as all-NULL, exactly what merged inference served. Field
+      // order mirrors the inference order (old fields, new fields, BUCKET
+      // last) so envelope image structs keep their field order.
+      m.schemaJson.foreach { j =>
+        val old = org.apache.spark.sql.types.DataType.fromJson(j)
+          .asInstanceOf[StructType]
+        val have = old.fieldNames.toSet
+        val newF = resolved.schema.fields.filterNot(f => have(f.name))
+        if (newF.nonEmpty) {
+          val union = StructType(
+            old.fields.filterNot(_.name == BUCKET) ++ newF.filterNot(_.name == BUCKET) ++
+              old.fields.filter(_.name == BUCKET))
+          TargetMeta.write(hconf, target,
+            TargetMeta.read(hconf, target).getOrElse(m)
+              .copy(schemaJson = Some(union.json)))
+        }
+      }
     }
 
     // q276: a compacted-and-sorted mor table serves order-reporting,
@@ -1046,7 +1140,7 @@ object CdcApplier {
       throw new IllegalStateException(s"mor layout at $targetDir has no persisted PK"))
     logicalize(
       resolveOnRead(
-        spark.read.option("mergeSchema", true).parquet(targetDir).filter(col(POS) <= pos),
+        readStored(spark, Some(meta), Seq(targetDir)).filter(col(POS) <= pos),
         pkCols)
         .filter(!col(DEL)).drop(DEL, BUCKET),
       Some(meta))
@@ -1350,7 +1444,7 @@ object CdcApplier {
       else {
         val pkCols = meta.pkCols.getOrElse(
           throw new IllegalStateException(s"mor layout at $targetDir has no persisted PK"))
-        val raw = spark.read.option("mergeSchema", true).parquet(targetDir)
+        val raw = readStored(spark, Some(meta), Seq(targetDir))
         val dataCols = raw.columns.filterNot(c =>
           c == POS || c == DEL || c == BUCKET).toSeq
         def img(side: String) = struct(dataCols.map(c => col(s"$side.$c").as(c)): _*)
@@ -1422,7 +1516,7 @@ object CdcApplier {
     if (hi < lo) return snapshot(spark, targetDir).limit(0)
     // covering buckets: pure arithmetic over the persisted split points
     val buckets = (bounds.count(_ <= lo) to bounds.count(_ <= hi)).map(Int.box)
-    val pruned = spark.read.option("mergeSchema", true).parquet(targetDir)
+    val pruned = readStored(spark, Some(meta), Seq(targetDir))
       .filter(col(BUCKET).isin(buckets: _*))
       .filter(col(keyCol) >= lo && col(keyCol) <= hi)
     val resolved =
@@ -1478,13 +1572,13 @@ object CdcApplier {
     val (covered, all) = changeFeedBuckets(spark, targetDir, fromPos)
     val raw =
       if (covered.size == all.size)
-        spark.read.option("mergeSchema", true).parquet(targetDir)
+        readStored(spark, Some(meta), Seq(targetDir))
       else {
         // empty covered set still plans one bucket: the POS filter yields
         // the (correct) empty feed without special-casing the schema
         val read = if (covered.nonEmpty) covered else all.take(1)
-        spark.read.option("mergeSchema", true).option("basePath", targetDir)
-          .parquet(read.map(b => s"$targetDir/$BUCKET=$b"): _*)
+        readStored(spark, Some(meta),
+          read.map(b => s"$targetDir/$BUCKET=$b"), Some(targetDir))
       }
     // envelope image structs serve LOGICAL field names (q258) — the feed's
     // consumers replay into applyBatch, whose write-side translation maps
@@ -1510,8 +1604,7 @@ object CdcApplier {
       if (newFiles.isEmpty) raw.filter(lit(false))
       else if (newFiles.size == perBucketNew.map(_._2).sum)
         raw // nothing skips — reuse the chain read's scan, no second job
-      else spark.read.option("mergeSchema", true).option("basePath", targetDir)
-        .parquet(newFiles: _*)
+      else readStored(spark, Some(meta), newFiles, Some(targetDir))
     val touched = discovery.filter(col(POS) > fromPos)
       .select(pkCols.map(col): _*).distinct()
     val versions = raw.join(touched, pkCols, "left_semi")
@@ -1557,7 +1650,7 @@ object CdcApplier {
       throw new IllegalStateException(s"mor layout at $targetDir has no persisted PK"))
     val buckets = bucketIds(fs, target)
     if (buckets.isEmpty) return Seq.empty
-    val raw = spark.read.option("mergeSchema", true).parquet(targetDir)
+    val raw = readStored(spark, Some(meta), Seq(targetDir))
     // the as-of floor: every position at or below this loses its history
     val maxPos = raw.agg(max(col(POS))).collect()(0).getLong(0)
     // tags pin history (q256): refuse rather than strand a named ref
@@ -1570,7 +1663,7 @@ object CdcApplier {
     // so the post-compaction table can report ordering and serve
     // resolve-free streaming reads until the next delta lands
     val sortCols = sortColsOf(meta.bucketCols.getOrElse(pkCols), pkCols)
-    writeSorted(resolved, sortCols, buckets.size, tmp.toString)
+    writeSorted(resolved, sortCols, buckets, tmp.toString)
     // Floor BEFORE the bucket publish: a crash in between leaves intact
     // history with a floor that refuses as-of reads of it — safe-
     // conservative. The reverse order would leave collapsed data with a
@@ -1622,7 +1715,7 @@ object CdcApplier {
       throw new IllegalStateException(s"mor layout at $targetDir has no persisted PK"))
     val buckets = bucketIds(fs, target)
     if (buckets.isEmpty) return Seq.empty
-    val raw = spark.read.option("mergeSchema", true).parquet(targetDir)
+    val raw = readStored(spark, Some(meta), Seq(targetDir))
     val old = raw.filter(col(POS) < retainFromPos)
     val oldMaxRow = old.agg(max(col(POS))).collect()(0)
     if (oldMaxRow.isNullAt(0)) return Seq.empty // nothing below the window
@@ -1712,9 +1805,8 @@ object CdcApplier {
       if (keptFiles.isEmpty && perBucket.map(_._2).sum > 0)
         return snapshot(spark, targetDir).limit(0)
       else if (keptFiles.size < perBucket.map(_._2).sum)
-        spark.read.option("mergeSchema", true).option("basePath", targetDir)
-          .parquet(keptFiles.toIndexedSeq: _*)
-      else spark.read.option("mergeSchema", true).parquet(targetDir)
+        readStored(spark, Some(meta), keptFiles.toIndexedSeq, Some(targetDir))
+      else readStored(spark, Some(meta), Seq(targetDir))
         .filter(col(BUCKET).isin(buckets.map(Int.box): _*))
     val rowGroupPruned = lookupCols.zipWithIndex.foldLeft(pruned) {
       case (df, (pk, i)) =>
@@ -1822,7 +1914,7 @@ object CdcApplier {
         fs.listStatus(target).exists(_.getPath.getName.startsWith(s"$BUCKET="))
       }
       val stored =
-        if (hasState) Some(spark.read.option("mergeSchema", true).parquet(targetDir))
+        if (hasState) Some(readStored(spark, meta, Seq(targetDir)))
         else None
       stored.foreach(s =>
         checkSchemaDrift(s.schema, resolved.schema, opts.pkCols, allowWidening = true,
@@ -1868,7 +1960,13 @@ object CdcApplier {
           val schema = StructType(
             resolved.schema.fields.filterNot(f => f.name == KIND || f.name == POS || f.name == BUCKET))
             .add(POS, LongType).add(DEL, BooleanType).add(BUCKET, "int")
-          spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+          // LocalRelation, not an empty RDD: PropagateEmptyRelation can
+          // PROVE a LocalRelation empty and deletes the bootstrap merge's
+          // full-outer join (+ its exchange and sort) outright; a
+          // LogicalRDD is opaque and every first batch paid a real SMJ
+          // against a provably empty side (optimization r15, guide §2.4)
+          spark.createDataFrame(
+            java.util.Collections.emptyList[org.apache.spark.sql.Row](), schema)
       }
 
       // q275: outstanding deletion vectors make `current` multi-version
@@ -1920,7 +2018,7 @@ object CdcApplier {
 
       val tmp = new Path(targetDir + ".tmp")
       if (fs.exists(tmp)) fs.delete(tmp, true)
-      writeSorted(merged, sortCols, rewrite.size, tmp.toString)
+      writeSorted(merged, sortCols, rewrite, tmp.toString)
 
       publishBuckets(fs, target, tmp, rewrite)
       // q262 honesty: this publish wrote its buckets in PK-sort order. If a
@@ -1988,7 +2086,7 @@ object CdcApplier {
     recoverBuckets(fs, target)
     // a fully-compacted target has no bucket dirs — nothing left to drop
     if (bucketIds(fs, target).isEmpty) return Seq.empty
-    val all = spark.read.option("mergeSchema", true).parquet(targetDir)
+    val all = readStored(spark, Some(metaNow), Seq(targetDir))
     val compactable = col(DEL) && col(POS) <= horizonPos
     // q275: compaction FOLDS outstanding deletion vectors — every bucket
     // still holding a dv- file resolves latest-per-key (the masked rows
@@ -2025,7 +2123,7 @@ object CdcApplier {
     val survivors = resolved.filter(!compactable)
     // q262: maintain the layout's recorded file order through the rewrite
     metaNow.sorted match {
-      case Some(sc) => writeSorted(survivors, sc, touched.size, tmp.toString)
+      case Some(sc) => writeSorted(survivors, sc, touched, tmp.toString)
       case None =>
         survivors.write.partitionBy(BUCKET).mode("overwrite").parquet(tmp.toString)
     }
@@ -2148,7 +2246,7 @@ object CdcApplier {
             math.max(1L, (bytes + targetFileBytes - 1) / targetFileBytes)
           }.sum.toInt
           val orderCols = (col(BUCKET) +: clusterPhys.map(col)).toIndexedSeq
-          spark.read.option("mergeSchema", true).parquet(targetDir)
+          readStored(spark, metaPre, Seq(targetDir))
             .repartitionByRange(math.max(1, totalBins), orderCols: _*)
             .sortWithinPartitions(orderCols: _*)
             .write.partitionBy(BUCKET).mode("overwrite").parquet(tmp.toString)
@@ -2161,7 +2259,7 @@ object CdcApplier {
         }.toMap
         val t = plan.keys.toSeq.sorted
         if (t.nonEmpty) {
-          val oversized = spark.read.option("mergeSchema", true).parquet(targetDir)
+          val oversized = readStored(spark, metaPre, Seq(targetDir))
             .filter(col(BUCKET).isin(t.map(Int.box): _*))
           metaPre.flatMap(_.sorted) match {
             case Some(sc) =>
@@ -2319,7 +2417,7 @@ object CdcApplier {
         val tmp = new Path(targetDir + ".zorder.tmp")
         if (fs.exists(tmp)) fs.delete(tmp, true)
         val orderCols = Seq(col(BUCKET), col("_graft_z"))
-        spark.read.option("mergeSchema", true).parquet(targetDir)
+        readStored(spark, Some(meta), Seq(targetDir))
           .withColumn("_graft_z", zval)
           .repartitionByRange(totalBins, orderCols: _*)
           .sortWithinPartitions(orderCols: _*)
@@ -2373,7 +2471,9 @@ object CdcApplier {
     * resumes where it left off instead of restarting. Re-processing a
     * bucket is idempotent (the expression recomputes over rows that may
     * already carry the column). Readers mid-backfill see mixed state
-    * (filled buckets + mergeSchema NULLs) — the standard incremental-
+    * (filled buckets + NULLs elsewhere, served by the persisted schema,
+    * which evolves up front right after the marker) — the standard
+    * incremental-
     * UPDATE visibility contract. On completion the persisted schema
     * evolves and the marker is removed; a marker naming a DIFFERENT
     * column refuses (finish one backfill before starting another).
@@ -2412,21 +2512,48 @@ object CdcApplier {
         if (have(colName) || have.map(logicalName(Some(meta), _)).contains(colName))
           throw new IllegalArgumentException(
             s"column '$colName' already exists at $targetDir")
+        // The persisted schema evolves UP FRONT (readers serve it now —
+        // readStored): mid-backfill snapshots keep the UPDATE visibility
+        // contract (filled buckets + NULLs elsewhere), exactly what the
+        // merged inference used to surface from the filled files. The
+        // output type resolves against the logical frame — planning only,
+        // no scan. MARKER FIRST: a crash between the two writes resumes
+        // off the marker instead of refusing on the evolved schema.
+        graft.util.AtomicFile.write(hconf, marker, colName)
+        meta.schemaJson.foreach { j =>
+          val st = org.apache.spark.sql.types.DataType.fromJson(j)
+            .asInstanceOf[StructType]
+          val f = logicalize(
+            readStored(spark, Some(meta), Seq(targetDir)).limit(0), Some(meta))
+            .withColumn(colName, colExpr).schema(colName)
+          TargetMeta.write(hconf, target, meta.copy(schemaJson = Some(StructType(
+            st.fields.filterNot(_.name == BUCKET) ++
+              Seq(f.copy(nullable = true)) ++
+              st.fields.filter(_.name == BUCKET)).json)))
+        }
         Set.empty
     }
     val todo = bucketIds(fs, target).filterNot(done).take(maxBuckets)
     var outType: Option[org.apache.spark.sql.types.StructField] = None
     todo.foreach { b =>
       val live = new Path(target, s"$BUCKET=$b")
-      // mergeSchema: a MOR bucket holds mixed-schema files after additive
-      // evolution (applyBatchMor appends new-column delta files without
-      // rewriting old ones) — a single-file schema inference would silently
+      // schema from the persisted meta (BUCKET stripped — this is a bare
+      // bucket-dir read, no partition discovery); a MOR bucket holds
+      // mixed-schema files after additive evolution and the persisted union
+      // covers them all (a single-file schema inference would silently
       // drop the other files' columns in the rewrite, permanent loss once
-      // the bucket swaps
+      // the bucket swaps). Pre-upgrade metas fall back to mergeSchema.
+      // A crash-reprocessed bucket whose files already hold `colName` reads
+      // without it and recomputes identical values (colExpr deterministic).
       // the fill expression references LOGICAL names (q258): compute on the
       // logical view, then store back under physical names
-      val filled = logicalize(
-        spark.read.option("mergeSchema", true).parquet(live.toString), Some(meta))
+      val bucketRead = storedSchema(Some(meta)) match {
+        case Some(s) => spark.read.schema(StructType(
+            s.fields.filterNot(_.name == BUCKET))).parquet(live.toString)
+        case None =>
+          spark.read.option("mergeSchema", true).parquet(live.toString)
+      }
+      val filled = logicalize(bucketRead, Some(meta))
         .withColumn(colName, colExpr)
       val rows = meta.renames.getOrElse(Map.empty).foldLeft(filled) {
         case (d, (log, phys)) =>
@@ -2453,23 +2580,28 @@ object CdcApplier {
     fs.delete(new Path(targetDir + ".backfill.tmp"), true)
     val remaining = bucketIds(fs, target).filterNot(done ++ todo)
     if (remaining.isEmpty) {
-      // complete: evolve the persisted schema, drop the marker
-      val evolved = (meta.schemaJson, outType) match {
-        case (Some(j), Some(f)) =>
+      // complete: ensure the persisted schema is evolved, drop the marker.
+      // The fresh-start path already wrote the union up front; only a
+      // pre-upgrade marker (written before the up-front evolve existed,
+      // or a crash between marker and schema write) still lacks it.
+      val metaNow = TargetMeta.read(hconf, target).getOrElse(meta)
+      val evolved = (metaNow.schemaJson, outType) match {
+        case (Some(j), f) =>
           val st = org.apache.spark.sql.types.DataType.fromJson(j).asInstanceOf[StructType]
-          if (st.fieldNames.contains(colName)) st
-          else StructType(st.fields :+ f.copy(nullable = true))
-        case (Some(j), None) if done.nonEmpty =>
-          // crash landed after the last bucket but before the schema
-          // evolve: recover the evolved shape from the data itself
-          StructType(spark.read.option("mergeSchema", true).parquet(targetDir)
-            .schema.fields.filterNot(_.name == BUCKET))
-        case (Some(j), None) =>
-          org.apache.spark.sql.types.DataType.fromJson(j).asInstanceOf[StructType]
+          if (st.fieldNames.contains(colName)) null // already evolved: no-op
+          else f match {
+            case Some(ff) => StructType(st.fields :+ ff.copy(nullable = true))
+            case None if done.nonEmpty =>
+              // crash landed after the last bucket but before the schema
+              // evolve: recover the evolved shape from the data itself
+              StructType(spark.read.option("mergeSchema", true).parquet(targetDir)
+                .schema.fields.filterNot(_.name == BUCKET))
+            case None => null
+          }
         case _ => null
       }
       if (evolved != null)
-        TargetMeta.write(hconf, target, meta.copy(schemaJson = Some(evolved.json)))
+        TargetMeta.write(hconf, target, metaNow.copy(schemaJson = Some(evolved.json)))
       fs.delete(marker, false)
     }
     spark.catalog.refreshByPath(targetDir)
@@ -2567,10 +2699,10 @@ object CdcApplier {
     // upgrades even a pre-upgrade unsorted layout to the recorded order
     val sortCols = sortColsOf(bucketOrder, pkOrder)
     writeSorted(
-      spark.read.option("mergeSchema", true).parquet(targetDir)
+      readStored(spark, Some(meta), Seq(targetDir))
         .drop(BUCKET)
         .withColumn(BUCKET, bucketExpr(bucketOrder, newNumBuckets, None)),
-      sortCols, newNumBuckets, fresh.toString)
+      sortCols, 0 until newNumBuckets, fresh.toString)
     // carry every root FILE (high-watermark, meta, any future sidecar) into
     // the fresh tree, then overwrite the meta with the new modulus
     fs.listStatus(target).filter(_.isFile).foreach { f =>
@@ -2640,11 +2772,11 @@ object CdcApplier {
     val fresh = new Path(targetDir + ".widen.tmp")
     if (fs.exists(fresh)) fs.delete(fresh, true)
     if (bucketIds(fs, target).nonEmpty) {
-      val cast = spark.read.option("mergeSchema", true).parquet(targetDir)
+      val cast = readStored(spark, Some(meta), Seq(targetDir))
         .withColumn(column, col(column).cast(to))
       // q262: maintain the recorded order through the whole-table rewrite
       meta.sorted match {
-        case Some(sc) => writeSorted(cast, sc, meta.numBuckets, fresh.toString)
+        case Some(sc) => writeSorted(cast, sc, 0 until meta.numBuckets, fresh.toString)
         case None => cast.write.partitionBy(BUCKET).parquet(fresh.toString)
       }
     } else fs.mkdirs(fresh)
@@ -2742,7 +2874,8 @@ object CdcApplier {
     // q262: copy-on-write seeds publish sorted and record it; a mor seed's
     // later delta appends would break the invariant, so it stays unmarked
     if (isMorSeed) rows.write.partitionBy(BUCKET).parquet(fresh.toString)
-    else writeSorted(rows, sortColsOf(bucketOrder, pkOrder), numBuckets, fresh.toString)
+    else writeSorted(rows, sortColsOf(bucketOrder, pkOrder), 0 until numBuckets,
+      fresh.toString)
     TargetMeta.write(hconf, fresh, TargetMeta(
       numBuckets, horizon = atPos, schemaJson = Some(rows.schema.json),
       pkCols = Some(pkOrder),

@@ -75,12 +75,12 @@ object CoercingSink {
       else buckets
     if (effective.isEmpty) return
 
-    val raw = spark.read.option("mergeSchema", true).parquet(targetDir)
+    val meta = CdcApplier.TargetMeta.read(hconf, new Path(targetDir))
+    val raw = CdcApplier.readStored(spark, meta, Seq(targetDir))
       .filter(col(BUCKET).isin(effective.map(Int.box).toIndexedSeq: _*))
     // A merge-on-read primary holds multiple versions per key in its
     // deltas — resolve latest-per-key first, or the replica would carry
     // superseded images and rows whose tombstone is newer.
-    val meta = CdcApplier.TargetMeta.read(hconf, new Path(targetDir))
     val resolved =
       if (meta.exists(_.storage.contains("mor")))
         CdcApplier.resolveOnRead(raw, meta.flatMap(_.pkCols).getOrElse(

@@ -30,14 +30,15 @@ import graft.cdc.CdcApplier.{Options, TargetMeta, POS, DEL, BUCKET}
   *     ([[maintain]], hooked into applyBatch/applyBatchMor/applyBatchDv),
   *     so changes landing DURING the seed are never lost.
   *  2. The seed then walks the store's buckets — the q171 resumable
-  *     discipline: at 100 TB a seed cannot be one job, so each store
-  *     bucket's LIVE rows project to `(column, pk, covering...)` and apply
-  *     as an insert batch AT THE ROWS' OWN POSITIONS (`_graft_pos`), with
-  *     completed buckets recorded in a `.graft_idxseed` marker (atomic
-  *     rewrite per bucket). A crash — or a deliberate `maxBuckets` slice —
-  *     resumes where it left off. Re-seeding a bucket is idempotent:
-  *     seeded rows carry the same (key, position) as any concurrently
-  *     maintained entry, so last-writer-wins folds duplicates.
+  *     discipline: at 100 TB a seed cannot be one job, so each call takes
+  *     a ≤`maxBuckets` SLICE of store buckets whose LIVE rows project to
+  *     `(column, pk, covering...)` and apply as ONE insert batch AT THE
+  *     ROWS' OWN POSITIONS (`_graft_pos`), with completed buckets
+  *     recorded in a `.graft_idxseed` marker (atomic rewrite per slice).
+  *     A crash — or a deliberate `maxBuckets` slice — resumes where it
+  *     left off. Re-seeding a slice is idempotent: seeded rows carry the
+  *     same (key, position) as any concurrently maintained entry, so
+  *     last-writer-wins folds duplicates.
   *  3. On completion the store meta flips to `live` and the optimizer
   *     route registers ([[graft.plans.GraftIndexRoute]]) — ONLY then: a
   *     half-seeded index routed early would answer point queries with
@@ -194,10 +195,18 @@ object IndexLifecycle {
     val metaNow = TargetMeta.read(hconf, store).get
     val resolveNeeded = CdcApplier.needsResolve(Some(metaNow))
     val todo = CdcApplier.bucketIds(fs, store).filterNot(done).take(maxBuckets)
-    todo.foreach { b =>
+    // The whole ≤maxBuckets slice seeds as ONE apply (optimization round
+    // 15): per-bucket applies each rewrote every index bucket the slice's
+    // keys hash into — k slices × a near-full index rewrite ≈ O(k·n) write
+    // amplification for an n-row seed. One apply per slice pays one index
+    // rewrite per CALL; the caller still bounds a 100 TB seed by slicing
+    // (maxBuckets), and crash-resume granularity is the slice: the marker
+    // lands AFTER the apply, so a crash mid-slice re-seeds the slice,
+    // which is idempotent (same keys, same positions).
+    if (todo.nonEmpty) {
       val live = {
-        val raw = spark.read.option("mergeSchema", true)
-          .option("basePath", storeDir).parquet(s"$storeDir/$BUCKET=$b")
+        val raw = CdcApplier.readStored(spark, Some(metaNow),
+          todo.map(b => s"$storeDir/$BUCKET=$b"), Some(storeDir))
         val logical = CdcApplier.logicalize(raw, Some(metaNow))
         val lpk = metaNow.pkCols.get.map(CdcApplier.logicalName(Some(metaNow), _))
         val resolved =
@@ -214,11 +223,8 @@ object IndexLifecycle {
         when(lit(false), struct(icols.map(col): _*)).as("before"),
         struct(icols.map(col): _*).as("after"))
       if (!feed.isEmpty) CdcApplier.applyBatch(spark, feed, idir, iopts)
-      // marker AFTER the apply: a crash in between re-seeds this bucket,
-      // which is idempotent (same keys, same positions)
       graft.util.AtomicFile.write(hconf, seedMarker(idir),
-        (column +: (done ++ todo.takeWhile(_ <= b)).toSeq.sorted.map(_.toString))
-          .mkString("\n"))
+        (column +: (done ++ todo).toSeq.sorted.map(_.toString)).mkString("\n"))
     }
     val remaining = CdcApplier.bucketIds(fs, store).filterNot(done ++ todo)
     if (remaining.nonEmpty) CreateResult("building", todo)

@@ -71,7 +71,7 @@ object TableAudit {
       out += AuditRow("pk_uniqueness", Some(true), 0L, "empty table")
       out += AuditRow("file_schema", Some(true), 0L, "empty table")
     } else {
-      val raw = spark.read.option("mergeSchema", true).parquet(targetDir)
+      val raw = CdcApplier.readStored(spark, Some(meta), Seq(targetDir))
 
       // bucket_assignment + pk_uniqueness in ONE distributed pass over the
       // physical frame (names are physical on disk; the layout arithmetic

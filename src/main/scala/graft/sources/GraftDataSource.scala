@@ -895,11 +895,14 @@ object GraftScan {
       val meta = TargetMeta.read(hconf, new Path(targetDir))
       val pkCols = meta.flatMap(_.pkCols).getOrElse(
         throw new IllegalStateException(s"branch read of $targetDir needs a persisted PK"))
-      def emptyB = spark.createDataFrame(spark.sparkContext.emptyRDD[Row], required)
+      def emptyB = spark.createDataFrame(java.util.Collections.emptyList[Row](), required)
       def rd(dir: String, bs: Seq[Int]): Option[DataFrame] =
         if (bs.isEmpty) None
-        else Some(spark.read.option("mergeSchema", true).option("basePath", dir)
-          .parquet(bs.map(b => s"$dir/${CdcApplier.BUCKET}=$b"): _*))
+        // main serves the persisted schema; the branch delta dir keeps
+        // mergeSchema inference (no meta of its own, may stage new columns)
+        else Some(CdcApplier.readStored(spark,
+          if (dir == targetDir) meta else None,
+          bs.map(b => s"$dir/${CdcApplier.BUCKET}=$b"), Some(dir)))
       val mainSlice = rd(targetDir, buckets)
         .map(_.filter(col(CdcApplier.POS) <= from))
       val branchSlice = rd(bdir, branchPruned.map(_._1).getOrElse(Seq.empty))
@@ -956,7 +959,7 @@ object GraftScan {
           s"asOfPos $pos predates the retained history (floor $floor)")
     }
 
-    def emptyDf = spark.createDataFrame(spark.sparkContext.emptyRDD[Row], required)
+    def emptyDf = spark.createDataFrame(java.util.Collections.emptyList[Row](), required)
     if (buckets.isEmpty) return emptyDf
 
     // Below-resolve filters must not change a key's latest version: only
@@ -990,10 +993,7 @@ object GraftScan {
     // names; the rename is a Project(Alias), which Spark pushes filters
     // straight through into the parquet scan
     val raw = CdcApplier.logicalize(
-      spark.read
-        .option("mergeSchema", true)
-        .option("basePath", targetDir)
-        .parquet(paths: _*),
+      CdcApplier.readStored(spark, meta, paths, Some(targetDir)),
       meta)
     def applyFilters(df: DataFrame, fs: Array[Filter]): DataFrame =
       fs.flatMap(toColumn).foldLeft(df)(_.filter(_))

@@ -135,7 +135,8 @@ class GraftChangeFeedSource(
     val fs = target.getFileSystem(hconf)
     if (CdcApplier.bucketIds(fs, target).isEmpty) Long.MinValue
     else {
-      val r = spark.read.option("mergeSchema", true).parquet(targetDir)
+      val r = CdcApplier.readStored(spark,
+          CdcApplier.TargetMeta.read(hconf, target), Seq(targetDir))
         .agg(org.apache.spark.sql.functions.min(col(CdcApplier.POS))).first()
       if (r.isNullAt(0)) Long.MinValue else r.getLong(0) - 1
     }
@@ -147,7 +148,8 @@ class GraftChangeFeedSource(
     val fs = target.getFileSystem(hconf)
     if (CdcApplier.bucketIds(fs, target).isEmpty) Long.MinValue
     else {
-      val r = spark.read.option("mergeSchema", true).parquet(targetDir)
+      val r = CdcApplier.readStored(spark,
+          CdcApplier.TargetMeta.read(hconf, target), Seq(targetDir))
         .agg(max(col(CdcApplier.POS))).first()
       if (r.isNullAt(0)) Long.MinValue else r.getLong(0)
     }

@@ -91,7 +91,9 @@ object GraftWrites {
     val target = new Path(targetDir)
     val fs = target.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(target) || CdcApplier.bucketIds(fs, target).isEmpty) 0L
-    else spark.read.option("mergeSchema", true).parquet(targetDir)
+    else CdcApplier.readStored(spark,
+        CdcApplier.TargetMeta.read(spark.sparkContext.hadoopConfiguration, target),
+        Seq(targetDir))
       .agg(max(col(CdcApplier.POS))).first() match {
         case r if r.isNullAt(0) => 0L
         case r                  => r.getLong(0)

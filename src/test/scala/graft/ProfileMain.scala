@@ -27,7 +27,9 @@ object ProfileMain {
     case class Job(id: Int, t0: Long, site: String, desc: String)
     val live = new java.util.concurrent.ConcurrentHashMap[Int, Job]
     val done = new java.util.concurrent.ConcurrentLinkedQueue[(Job, Long)]
-    val stages = new java.util.concurrent.ConcurrentLinkedQueue[(Int, Long, Long, Long, Int)]
+    // (name, wallMs, execRunMs, tasks, shufR, shufW, serializeMs)
+    val stages = new java.util.concurrent.ConcurrentLinkedQueue[
+      (String, Long, Long, Int, Long, Long, Long)]
     spark.sparkContext.addSparkListener(new SparkListener {
       override def onJobStart(e: SparkListenerJobStart): Unit = {
         val site = Option(e.properties.getProperty("callSite.short")).getOrElse("?")
@@ -40,9 +42,12 @@ object ProfileMain {
       }
       override def onStageCompleted(e: SparkListenerStageCompleted): Unit = {
         val m = e.stageInfo.taskMetrics
-        if (m != null) stages.add((e.stageInfo.stageId,
+        val si = e.stageInfo
+        val wall = (for (s <- si.submissionTime; c <- si.completionTime) yield c - s)
+          .getOrElse(0L)
+        if (m != null) stages.add((si.name, wall, m.executorRunTime, si.numTasks,
           m.shuffleReadMetrics.totalBytesRead, m.shuffleWriteMetrics.bytesWritten,
-          m.executorRunTime, e.stageInfo.numTasks))
+          m.executorDeserializeTime + m.resultSerializationTime))
       }
     })
 
@@ -62,14 +67,19 @@ object ProfileMain {
           val jobs = done.asScala.toSeq.sortBy(_._1.id)
           val jobSum = jobs.map(_._2).sum / 1e9
           println(f"== $name total=$total%.2fs jobs=${jobs.size} jobTime=$jobSum%.2fs gap=${total - jobSum}%.2fs")
-          // aggregate by call site: where do the jobs come from?
-          val bySite = jobs.groupBy(_._1.site).map { case (s, js) =>
-            (s, js.size, js.map(_._2).sum / 1e9)
+          val sts = stages.asScala.toSeq
+          val totTasks = sts.map(_._4).sum
+          val totRun = sts.map(_._3).sum
+          val totSer = sts.map(_._7).sum
+          println(f"   stages=${sts.size} tasks=$totTasks execRunTime=${totRun / 1e3}%.1fs taskSerDeser=${totSer / 1e3}%.1fs")
+          // aggregate by stage name (embeds the triggering call site)
+          val byName = sts.groupBy(_._1).map { case (n, ss) =>
+            (n, ss.size, ss.map(_._2).sum / 1e3, ss.map(_._3).sum / 1e3,
+              ss.map(_._4).sum, ss.map(_._5).sum, ss.map(_._6).sum)
           }.toSeq.sortBy(-_._3)
-          bySite.foreach { case (s, n, t) => println(f"   $t%7.2fs  n=$n%-4d $s") }
-          val totTasks = stages.asScala.map(_._5).sum
-          val totRun = stages.asScala.map(_._4).sum
-          println(f"   stages=${stages.size} tasks=$totTasks execRunTime=${totRun / 1e3}%.1fs")
+          byName.take(18).foreach { case (n, c, wall, run, tk, sr, sw) =>
+            println(f"   wall=$wall%7.2fs run=$run%7.2fs n=$c%-4d tasks=$tk%-5d shR=${sr / 1024}%8dK shW=${sw / 1024}%8dK  $n")
+          }
       }
     }
     spark.stop()
