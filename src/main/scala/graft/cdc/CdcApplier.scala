@@ -962,24 +962,41 @@ object CdcApplier {
     // file-level data-skipping stats for the fresh delta files (q250):
     // merged into each touched bucket's sidecar AFTER the renames — a
     // crash in between leaves the new files unlisted, i.e. never skipped
-    FileStats.appendSidecars(fs,
+    val collected = FileStats.appendSidecars(fs,
       published.map(new Path(_)).groupBy(_.getParent)
         .map { case (d, files) => d -> files.toSeq })
     // Advance the persisted change-feed high-water mark (`maxPos`) — the
     // metadata a streaming tail polls instead of scanning data. Strictly
     // AFTER the deltas land: a crash in between leaves maxPos stale-LOW,
     // so the tail re-discovers the rows when the replayed batch publishes
-    // and meta catches up — it can never silently skip past them. Cost:
-    // one POS-column read of just this batch's delta files.
+    // and meta catches up — it can never silently skip past them.
     if (published.nonEmpty) {
-      // per-bucket maxima in the same pass (basePath keeps the BUCKET
-      // partition column on the delta-file read): the global mark feeds
-      // the streaming tail's poll, the per-bucket marks feed changeFeed's
-      // bucket pruning
-      val perBucket = spark.read.option("basePath", targetDir)
-        .parquet(published.toSeq: _*)
-        .groupBy(col(BUCKET)).agg(max(col(POS)).as("p"))
-        .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+      // Per-bucket maxima from the footer pass the sidecars already paid
+      // (optimization r15, guide §1.2): every delta file's POS range is in
+      // `collected`, so the previous distributed read-back of the files
+      // this publish just wrote folds to a driver-side max. Exactness is
+      // the contract — if ANY file's POS stats are missing (suppressed
+      // footer stats, a failed sidecar pass), fall back to the read. The
+      // global mark feeds the streaming tail's poll, the per-bucket marks
+      // feed changeFeed's bucket pruning.
+      val byBucket = published.map(new Path(_)).groupBy(_.getParent)
+      val fromFooters: Seq[Option[(Int, Long)]] = byBucket.toSeq.map {
+        case (d, files) =>
+          val names = files.map(_.getName).toSet
+          val maxes = collected.getOrElse(d, Seq.empty)
+            .collect { case (n, e) if names(n) => e.cols.get(POS).flatMap(_.mx) }
+          if (maxes.size == files.size && maxes.forall(_.isDefined))
+            scala.util.Try(
+              d.getName.stripPrefix(s"$BUCKET=").toInt ->
+                maxes.flatten.map(_.toLong).max).toOption
+          else None
+      }
+      val perBucket =
+        if (fromFooters.forall(_.isDefined)) fromFooters.flatten.toMap
+        else spark.read.option("basePath", targetDir)
+          .parquet(published.toSeq: _*)
+          .groupBy(col(BUCKET)).agg(max(col(POS)).as("p"))
+          .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
       if (perBucket.nonEmpty) TargetMeta.read(hconf, target).foreach { m =>
         val hi = math.max(m.maxPos.getOrElse(Long.MinValue), perBucket.values.max)
         val merged = m.bucketMaxPos.getOrElse(Map.empty) ++

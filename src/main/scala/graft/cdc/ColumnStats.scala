@@ -148,6 +148,20 @@ object ColumnStats {
       case 's' => java.util.Base64.getEncoder.encodeToString(
         x.asInstanceOf[String].getBytes(java.nio.charset.StandardCharsets.UTF_8))
     }).toOption)
+    // Histograms for ALL numeric/date columns from ONE melted table pass
+    // (optimization r15, guide §2.3): the per-column form paid two full
+    // column-pruned passes per histogram column; the melt pre-aggregates
+    // to per-(column, value) counts map-side, so the one shuffle carries
+    // distinct values, and both the quantile bounds and the per-bin NDVs
+    // derive from that NDV-sized frame.
+    val histInput =
+      if (histogramBins > 1)
+        tracked.collect { case (c, _, k) if "iad".contains(k) =>
+          (c, k, rows - row.getAs[Long](s"nulls_$c"),
+            canon(k, row.getAs[Any](s"mn_$c")), canon(k, row.getAs[Any](s"mx_$c")))
+        }
+      else Seq.empty
+    val hists = equiHeightAll(spark, snap, histInput, histogramBins)
     val cols = tracked.map { case (c, dt, k) =>
       val (avgLen, maxLen) =
         if (k == 's') {
@@ -160,12 +174,8 @@ object ColumnStats {
       val nulls = row.getAs[Long](s"nulls_$c")
       val mnC = canon(k, row.getAs[Any](s"mn_$c"))
       val mxC = canon(k, row.getAs[Any](s"mx_$c"))
-      val hist =
-        if (histogramBins > 1 && "iad".contains(k))
-          equiHeight(spark, snap, c, k, histogramBins, rows - nulls, mnC, mxC)
-        else None
       c -> ColStat(k, row.getAs[Long](s"ndv_$c"), nulls, mnC, mxC,
-        avgLen, maxLen, hist)
+        avgLen, maxLen, hists.get(c))
     }.toMap
     // estimated in-memory size: per-row overhead + column widths — the
     // broadcast-selection number (raw file bytes over-count mor history)
@@ -177,42 +187,123 @@ object ColumnStats {
     stats
   }
 
-  /** The equi-height histogram for one numeric/date column (q285): bounds
-    * from the distributed exact-quantile engine (deterministic), per-bin
-    * NDV from one bin-keyed grouped aggregate. A value on a repeated
-    * quantile bound (the heavy-hitter shape) occupies a run of SINGLETON
-    * bins (lo == hi, ndv 1) — exactly the signal equality-selectivity
-    * estimation sums over. Two column-pruned passes; never an Expand. */
-  private def equiHeight(spark: SparkSession, snap: org.apache.spark.sql.DataFrame,
-      c: String, kind: Char, k: Int, nonNull: Long,
-      mnC: Option[String], mxC: Option[String]): Option[Hist] = {
-    if (nonNull <= 0) return None
-    val lo = mnC.map(_.toDouble).getOrElse(return None)
-    val hi = mxC.map(_.toDouble).getOrElse(return None)
-    if (lo == hi)
-      return Some(Hist(nonNull.toDouble, Seq((lo, hi, 1L))))
-    val asD = kind match {
+  /** Equi-height histograms for EVERY numeric/date column in ONE table
+    * pass (q285; optimization r15, guide §2.3 "aggregate before you
+    * shuffle"): the columns melt to (column-idx, value) pairs that
+    * pre-aggregate map-side to per-value counts, so the single shuffle
+    * carries distinct (column, value) rows — never the table. Bounds
+    * follow R-7 / `quantile_cont` interpolation over the value-count
+    * frame's cumulative ranks, BIT-IDENTICAL to the exact-quantile
+    * engine's (same lo/hi rank values, same double expressions — locked
+    * by Round15Spec against Spark's own `percentile`); per-bin NDV is a
+    * count of distinct values per bin over the same frame. A value on a
+    * repeated quantile bound (the heavy-hitter shape) occupies a run of
+    * SINGLETON bins (lo == hi, ndv 1) — exactly the signal
+    * equality-selectivity estimation sums over.
+    *
+    * Replaces the per-column form (exact-quantile pass + bin-keyed
+    * count_distinct pass = TWO full passes per histogram column): at
+    * 100 TB an ANALYZE with h histogram columns now reads the table once
+    * instead of 2h times, and every post-melt step is NDV-sized.
+    * `cols`: (name, kind, nonNullRows, canonical min, canonical max). */
+  private def equiHeightAll(spark: SparkSession,
+      snap: org.apache.spark.sql.DataFrame,
+      cols: Seq[(String, Char, Long, Option[String], Option[String])],
+      k: Int): Map[String, Hist] = {
+    if (cols.isEmpty) return Map.empty
+    val resolved = scala.collection.mutable.Map.empty[String, Hist]
+    // constant / empty columns resolve without any pass — the same
+    // short-circuits as the per-column form
+    val varying = cols.flatMap { case (c, kind, nonNull, mnC, mxC) =>
+      if (nonNull <= 0) None
+      else (mnC.map(_.toDouble), mxC.map(_.toDouble)) match {
+        case (Some(lo), Some(hi)) if lo == hi =>
+          resolved(c) = Hist(nonNull.toDouble, Seq((lo, hi, 1L))); None
+        case (Some(lo), Some(hi)) => Some((c, kind, nonNull, lo, hi))
+        case _ => None
+      }
+    }
+    if (varying.isEmpty) return resolved.toMap
+    def asD(c: String, kind: Char) = kind match {
       case 'a' => unix_date(col(c)).cast("double")
       case _   => col(c).cast("double")
     }
-    val dfh = snap.select(asD.as("_hv")).filter(col("_hv").isNotNull)
-      .withColumn("_g", lit(1))
-    val specs = (1 until k).map(i => (s"q$i", i.toDouble / k))
-    val qrows = graft.operators.Advanced
-      .exactQuantiles(dfh, "_g", "_hv", specs).collect()
-    if (qrows.isEmpty) return None
-    val interior = (1 until k).map(i => qrows(0).getAs[Double](s"q$i"))
-    val bounds = lo +: interior :+ hi
-    // bin id = #{interior bounds strictly below the value}: boundary
-    // values land in the LOWER bin, repeated bounds leave singleton runs
-    val binExpr = interior.map(b =>
-      when(lit(b) < col("_hv"), 1).otherwise(0)).reduce(_ + _)
-    val perBin = dfh.withColumn("_bin", binExpr)
-      .groupBy(col("_bin")).agg(count_distinct(col("_hv")).as("_ndv"))
-      .collect().map(r => r.getAs[Int]("_bin") -> r.getAs[Long]("_ndv")).toMap
-    val bins = (0 until k).map(i =>
-      (bounds(i), bounds(i + 1), math.max(1L, perBin.getOrElse(i, 1L))))
-    Some(Hist(nonNull.toDouble / k, bins))
+    val pairs = varying.zipWithIndex.map { case ((c, kind, _, _, _), i) =>
+      struct(lit(i).as("_i"), asD(c, kind).as("_hv"))
+    }
+    // the ONE table pass; materialized once (NDV-sized) — the bounds
+    // derivation and the bin-NDV aggregation both read it
+    val vc = snap
+      .select(explode(array(pairs: _*)).as("_s"))
+      .select(col("_s._i").as("_i"), col("_s._hv").as("_hv"))
+      .filter(col("_hv").isNotNull)
+      .groupBy(col("_i"), col("_hv")).agg(count(lit(1)).as("_c"))
+      .localCheckpoint()
+    // R-7 bounds: a value-count row covers global 0-based ranks
+    // [cum - c, cum); the value at rank r is the covering row's. Keep only
+    // rows covering some quantile's floor/ceil rank — ≤ 2(k-1) rows per
+    // column reach the driver (the contract-bounded collect class).
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("_i")).orderBy(col("_hv"))
+    val cum = vc
+      .withColumn("_cum",
+        sum(col("_c")).over(w.rowsBetween(Window.unboundedPreceding, 0)))
+      .withColumn("_n", sum(col("_c")).over(Window.partitionBy(col("_i"))))
+    val needed = (1 until k).map { j =>
+      val h = (col("_n") - lit(1L)).cast("double") * lit(j.toDouble / k)
+      val loR = floor(h); val hiR = ceil(h)
+      (col("_cum") - col("_c") <= loR && loR < col("_cum")) ||
+        (col("_cum") - col("_c") <= hiR && hiR < col("_cum"))
+    }.reduce(_ || _)
+    val picked = cum.filter(needed)
+      .select(col("_i"), col("_hv"), (col("_cum") - col("_c")).as("_lo"),
+        col("_cum").as("_hi"), col("_n"))
+      .collect()
+    val byCol = picked.groupBy(_.getInt(0))
+    val interiorOf = varying.zipWithIndex.flatMap { case ((c, _, _, _, _), i) =>
+      byCol.get(i).map { rowsI =>
+        val n = rowsI.head.getAs[Long]("_n")
+        def valueAt(r: Long): Double = rowsI.find(x =>
+          x.getAs[Long]("_lo") <= r && r < x.getAs[Long]("_hi"))
+          .getOrElse(throw new IllegalStateException(
+            s"histogram rank $r uncovered for '$c'")).getAs[Double]("_hv")
+        // Spark's Percentile interpolation formula, verbatim (the
+        // exact-quantile engine's outCols expression in driver math —
+        // identical IEEE ops over identical operands)
+        c -> (1 until k).map { j =>
+          val h = (n - 1).toDouble * (j.toDouble / k)
+          val loR = math.floor(h).toLong; val hiR = math.ceil(h).toLong
+          if (loR == hiR) valueAt(loR)
+          else valueAt(loR) * (hiR - h) + valueAt(hiR) * (h - loR)
+        }
+      }
+    }.toMap
+    // per-bin NDV over the same frame: bin id = #{interior bounds strictly
+    // below the value} (boundary values land in the LOWER bin, repeated
+    // bounds leave singleton runs); rows are distinct values, so a plain
+    // count per (column, bin) IS the bin's NDV
+    val binAssign = varying.zipWithIndex.foldLeft(lit(-1)) {
+      case (acc, ((c, _, _, _, _), i)) =>
+        interiorOf.get(c).fold(acc) { interior =>
+          val e = interior.map(b =>
+            when(lit(b) < col("_hv"), 1).otherwise(0)).reduce(_ + _)
+          when(col("_i") === i, e).otherwise(acc)
+        }
+    }
+    val perBin = vc.withColumn("_bin", binAssign)
+      .groupBy(col("_i"), col("_bin")).agg(count(lit(1)).as("_ndv"))
+      .collect()
+      .map(r => (r.getInt(0), r.getAs[Int]("_bin")) -> r.getAs[Long]("_ndv"))
+      .toMap
+    varying.zipWithIndex.foreach { case ((c, _, nonNull, lo, hi), i) =>
+      interiorOf.get(c).foreach { interior =>
+        val bounds = lo +: interior :+ hi
+        val bins = (0 until k).map(j =>
+          (bounds(j), bounds(j + 1), math.max(1L, perBin.getOrElse((i, j), 1L))))
+        resolved(c) = Hist(nonNull.toDouble / k, bins)
+      }
+    }
+    resolved.toMap
   }
 
   private def write(spark: SparkSession, targetDir: String, s: TableStats): Unit = {

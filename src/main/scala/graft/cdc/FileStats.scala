@@ -299,8 +299,14 @@ object FileStats {
     appendSidecars(fs, Map(bucketDir -> newFiles))
 
   /** Multi-bucket append — one pooled footer pass across every bucket's
-    * fresh delta files (the mor publish's counterpart of [[writeSidecars]]). */
-  def appendSidecars(fs: FileSystem, byDir: Map[Path, Seq[Path]]): Unit = Try {
+    * fresh delta files (the mor publish's counterpart of [[writeSidecars]]).
+    * Returns the entries it collected (optimization r15, guide §1.2): the
+    * mor publish derives its per-bucket max-position watermarks from this
+    * SAME footer pass instead of a distributed read-back of the files it
+    * just wrote. Still best-effort — a failure returns empty and the
+    * caller falls back to the read. */
+  def appendSidecars(fs: FileSystem, byDir: Map[Path, Seq[Path]])
+      : Map[Path, Seq[(String, FileEntry)]] = Try {
     val pairs = byDir.toSeq.flatMap { case (d, files) =>
       files.flatMap(p => Try(fs.getFileStatus(p)).toOption.map(st => d -> st))
     }
@@ -308,7 +314,8 @@ object FileStats {
     writeAll(fs, byDir.keys.toSeq.map(d => d ->
       (readSidecar(fs, d) ++ added.getOrElse(d, Seq.empty))
         .toSeq.sortBy(_._1).map { case (n, e) => fmtEntry(n, e) }))
-  }
+    added
+  }.getOrElse(Map.empty)
 
   // ======================================================================
   // consumer — sidecar + pushed predicates → the files worth opening

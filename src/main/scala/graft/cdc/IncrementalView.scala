@@ -534,7 +534,17 @@ object IncrementalView {
       factDir: String, dimDir: String, viewDir: String,
       factPk: Seq[String], dimPk: Seq[String],
       factKey: String, joinCol: String, dimKey: String): Unit = {
-    if (batch.isEmpty) return
+    // ONE probe job per micro-batch (optimization r15, guide §1.2/§1.5):
+    // the previous isEmpty + fb.isEmpty + db.isEmpty + max-position probes
+    // each launched their own Spark job over the same (small) batch —
+    // pure fixed per-job cost, 4 scans of the batch where one aggregate
+    // answers all four questions.
+    val probe = batch.agg(
+      count(when(col("table") === factTable, 1)).as("nf"),
+      count(when(col("table") === dimTable, 1)).as("nd"),
+      max(col("next_position")).as("mx")).collect()(0)
+    val (nFact, nDim) = (probe.getLong(0), probe.getLong(1))
+    if (nFact == 0 && nDim == 0) return
     def parse(table: String, schema: org.apache.spark.sql.types.StructType) =
       batch.filter(col("table") === table)
         .select(col("op"), col("next_position"),
@@ -546,8 +556,8 @@ object IncrementalView {
         .filter(col(k).isNotNull).distinct()
     val fb = parse(factTable, factSchema)
     val db = parse(dimTable, dimSchema)
-    if (!fb.isEmpty) CdcApplier.applyBatch(spark, fb, factDir, CdcApplier.Options(factPk))
-    if (!db.isEmpty) CdcApplier.applyBatch(spark, db, dimDir, CdcApplier.Options(dimPk))
+    if (nFact > 0) CdcApplier.applyBatch(spark, fb, factDir, CdcApplier.Options(factPk))
+    if (nDim > 0) CdcApplier.applyBatch(spark, db, dimDir, CdcApplier.Options(dimPk))
     // A side that has seen NO traffic yet has no store to read — treat it
     // as consistently empty (a fact-only early batch joins nothing yet;
     // the dim's first batch later brings its own changed keys, which
@@ -559,8 +569,9 @@ object IncrementalView {
       CdcApplier.bucketIds(new Path(d).getFileSystem(hconf), new Path(d)).nonEmpty
     if (!bootstrapped(factDir) || !bootstrapped(dimDir)) return
     // view position: the batch's max envelope position — non-decreasing
-    // across batches by the feed contract, stable across replays
-    val pos = batch.agg(max(col("next_position"))).first.getLong(0)
+    // across batches by the feed contract, stable across replays (already
+    // computed by the fused probe above)
+    val pos = probe.getLong(2)
     maintainJoinView(spark, factDir, dimDir, viewDir, pos,
       keysOf(fb, factKey), keysOf(db, dimKey), factKey, joinCol, dimKey)
   }
@@ -593,9 +604,14 @@ object IncrementalView {
   def applyTopKViewBatch(spark: SparkSession, batch: DataFrame,
       factDir: String, viewDir: String, factOpts: CdcApplier.Options,
       grp: String, ord: String, key: String, k: Int): Unit = {
-    if (batch.isEmpty) return
+    // ONE probe job per micro-batch (optimization r15, guide §1.5): the
+    // emptiness check and the max-position read share a single aggregate
+    // instead of two full scans of the batch.
+    val probe = batch.agg(count(lit(1)).as("n"),
+      max(col("next_position")).as("mx")).collect()(0)
+    if (probe.getLong(0) == 0) return
     CdcApplier.applyBatch(spark, batch, factDir, factOpts)
-    val pos = batch.agg(max(col("next_position"))).first.getLong(0)
+    val pos = probe.getLong(1)
     val groups = batch.select(col(s"before.$grp").as(grp))
       .unionByName(batch.select(col(s"after.$grp").as(grp)))
       .filter(col(grp).isNotNull).distinct()

@@ -133,6 +133,68 @@ class OptR15Spec extends AnyFunSuite {
     assert(keyed.groupBy(_.getInt(0)).forall(_._2.length == 1))
   }
 
+  test("one-pass histograms match percentile bounds and exact per-bin NDVs") {
+    // the melted single-pass engine (wave 2) must serve BIT-IDENTICAL
+    // bounds to the R-7 interpolation it replaced (Spark's own percentile,
+    // which the exact-quantile engine is locked against) and exact per-bin
+    // distinct counts; skewed long + double + all-null + constant columns
+    val store = Files.createTempDirectory("graft_optr15h").toString + "/store"
+    val data = spark.range(1, 201).select(
+      $"id".as("k"),
+      when($"id" % 10 < 9, 0L).otherwise($"id").as("seg"), // 90% heavy value
+      ($"id" % 7).cast("double").as("d"),
+      lit(null).cast("long").as("allnull"),
+      lit(5L).as("const"))
+    CdcApplier.applyBatch(spark, ChangeFeed.inserts(data, $"k" * 10), store, opts)
+    val k = 8
+    ColumnStats.analyze(spark, store, histogramBins = k)
+    val ts = ColumnStats.read(spark, store).get
+    val snap = CdcApplier.snapshot(spark, store)
+    for (c <- Seq("seg", "d")) {
+      val h = ts.cols(c).hist.getOrElse(fail(s"no histogram for $c"))
+      val expect = snap.select(
+        (1 until k).map(j =>
+          expr(s"percentile($c, ${j.toDouble / k})").as(s"q$j")): _*).collect()(0)
+      val interior = (1 until k).map(j => expect.getAs[Double](s"q$j"))
+      assert(h.bins.map(_._1).drop(1) == interior, s"$c lower bounds")
+      assert(h.bins.map(_._2).dropRight(1) == interior, s"$c upper bounds")
+      // exact per-bin NDV, computed the pre-wave-2 way
+      val binExpr = interior.map(b =>
+        when(lit(b) < col(c).cast("double"), 1).otherwise(0)).reduce(_ + _)
+      val perBin = snap.filter(col(c).isNotNull).withColumn("_b", binExpr)
+        .groupBy($"_b").agg(count_distinct(col(c).cast("double")).as("n"))
+        .collect().map(r => r.getAs[Int]("_b") -> r.getAs[Long]("n")).toMap
+      assert(h.bins.zipWithIndex.forall { case ((_, _, ndv), i) =>
+        ndv == math.max(1L, perBin.getOrElse(i, 1L)) }, s"$c bin NDVs")
+      assert(h.height == snap.filter(col(c).isNotNull).count().toDouble / k)
+    }
+    // constant column: one singleton bin; all-null column: no histogram
+    assert(ts.cols("const").hist.contains(
+      ColumnStats.Hist(200.0, Seq((5.0, 5.0, 1L)))))
+    assert(ts.cols("allnull").hist.isEmpty)
+  }
+
+  test("mor publish derives exact maxPos watermarks from the footer pass") {
+    // the per-bucket max-position read-back of just-written delta files is
+    // now a driver-side fold over the sidecar footer stats — the persisted
+    // watermarks must stay EXACT (the streaming tail and changeFeed's
+    // bucket pruning both poll them)
+    val store = Files.createTempDirectory("graft_optr15w").toString + "/store"
+    val data = spark.range(1, 41)
+      .select($"id".as("k"), ($"id" % 7).as("v"))
+    CdcApplier.applyBatchMor(spark, ChangeFeed.inserts(data, $"k" * 10), store, opts)
+    CdcApplier.applyBatchMor(spark,
+      ChangeFeed.updates(data.filter($"k" % 3 === 0), Map("v" -> ($"v" + 1)),
+        $"k" * 10 + 5), store, opts)
+    val m = metaOf(store)
+    assert(m.maxPos.contains(400L)) // batch-1 insert k=40 at 40*10
+    val expect = CdcApplier.readStored(spark, Some(m), Seq(store))
+      .groupBy(col(CdcApplier.BUCKET))
+      .agg(max(col(CdcApplier.POS)).as("p"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(m.bucketMaxPos.contains(expect))
+  }
+
   test("index seed slices still resume and converge after the grouped apply") {
     val store = newStore(30)
     val r1 = IndexLifecycle.createIndex(spark, store, "v", maxBuckets = 1)
